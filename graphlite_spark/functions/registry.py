@@ -1,0 +1,228 @@
+"""GQL scalar/aggregate function registry → pyspark.sql.functions.
+
+Mirrors the reference registry (GraphLite `graphlite/src/functions/
+mod.rs:39-259`, case-insensitive per mod.rs:263-265). Everything maps
+to JVM-side built-ins — no Python UDFs in this module, so every
+function stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Aggregates (functions/aggregate_functions.rs:22-430)
+
+def _count(args, distinct):
+    c = args[0]
+    return F.count_distinct(c) if distinct else F.count(c)
+
+
+def _sum(args, distinct):
+    return F.sum_distinct(args[0]) if distinct else F.sum(args[0])
+
+
+def _collect(args, distinct):
+    return F.collect_set(args[0]) if distinct else F.collect_list(args[0])
+
+
+AGGREGATES: dict[str, Callable] = {
+    "COUNT": _count,
+    "SUM": _sum,
+    "AVG": lambda a, d: F.avg(a[0]),
+    "AVERAGE": lambda a, d: F.avg(a[0]),
+    "MIN": lambda a, d: F.min(a[0]),
+    "MAX": lambda a, d: F.max(a[0]),
+    "COLLECT": _collect,
+    "COLLECT_LIST": _collect,
+    "STDDEV": lambda a, d: F.stddev(a[0]),
+    "VARIANCE": lambda a, d: F.variance(a[0]),
+    "PERCENTILE": lambda a, d: F.percentile_approx(a[0], a[1]),
+}
+
+# ---------------------------------------------------------------------------
+# Scalars
+
+
+class UnknownFunction(ValueError):
+    pass
+
+
+def compile_function(name: str, args: list[Column], raw_args=None) -> Column:
+    """args are compiled Columns; raw_args the AST nodes (for literal-only
+    params such as EXTRACT field names)."""
+    n = name.upper()
+    f = _SCALARS.get(n)
+    if f is None:
+        raise UnknownFunction(f"unknown function {name}")
+    return f(args, raw_args)
+
+
+def _lit_int(node):
+    from ..gql import ast as A
+
+    if isinstance(node, A.Literal) and isinstance(node.value, int):
+        return node.value
+    raise ValueError("expected integer literal argument")
+
+
+def _extract(a, raw):
+    from ..gql import ast as A
+
+    field = raw[0].value if isinstance(raw[0], A.Literal) else None
+    src = a[1]
+    m = {
+        "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+        "HOUR": F.hour, "MINUTE": F.minute, "SECOND": F.second,
+        "DOW": F.dayofweek, "DOY": F.dayofyear, "WEEK": F.weekofyear,
+        "QUARTER": F.quarter,
+    }
+    if field not in m:
+        raise UnknownFunction(f"EXTRACT field {field}")
+    return m[field](src).cast("long")
+
+
+def _round(a, raw):
+    if len(a) == 2:
+        return F.round(a[0], _lit_int(raw[1]))
+    return F.round(a[0])
+
+
+def _log(a, raw):
+    if len(a) == 2:
+        return F.log(a[0]) / F.log(a[1])  # LOG(x, base)? reference: LOG(x)=ln
+    return F.log(a[0])
+
+
+_SCALARS: dict[str, Callable] = {
+    # string (string_functions.rs)
+    "UPPER": lambda a, r: F.upper(a[0]),
+    "LOWER": lambda a, r: F.lower(a[0]),
+    "TRIM": lambda a, r: F.trim(a[0]),
+    "LTRIM": lambda a, r: F.ltrim(a[0]),
+    "RTRIM": lambda a, r: F.rtrim(a[0]),
+    "SUBSTRING": lambda a, r: F.substr(a[0], a[1], a[2]) if len(a) == 3 else F.substr(a[0], a[1]),
+    "REPLACE": lambda a, r: F.replace(a[0], a[1], a[2]),
+    "REVERSE": lambda a, r: F.reverse(a[0]),
+    "LENGTH": lambda a, r: F.length(a[0]).cast("long"),
+    "CHAR_LENGTH": lambda a, r: F.length(a[0]).cast("long"),
+    "CONCAT": lambda a, r: F.concat(*[x.cast("string") for x in a]),
+    "SPLIT": lambda a, r: F.split(a[0], a[1]),
+    "LEFT": lambda a, r: F.substring(a[0], 1, _lit_int(r[1])),
+    "RIGHT": lambda a, r: F.substr(a[0], -a[1].cast("int")),
+    # numeric (mathematical_functions.rs / numeric_functions.rs)
+    "ROUND": _round,
+    "ABS": lambda a, r: F.abs(a[0]),
+    "CEIL": lambda a, r: F.ceil(a[0]),
+    "CEILING": lambda a, r: F.ceil(a[0]),
+    "FLOOR": lambda a, r: F.floor(a[0]),
+    "SQRT": lambda a, r: F.sqrt(a[0]),
+    "POWER": lambda a, r: F.pow(a[0], a[1]),
+    "POW": lambda a, r: F.pow(a[0], a[1]),
+    "LOG": _log,
+    "LOG10": lambda a, r: F.log10(a[0]),
+    "LOG2": lambda a, r: F.log2(a[0]),
+    "EXP": lambda a, r: F.exp(a[0]),
+    "SIN": lambda a, r: F.sin(a[0]),
+    "COS": lambda a, r: F.cos(a[0]),
+    "TAN": lambda a, r: F.tan(a[0]),
+    "ASIN": lambda a, r: F.asin(a[0]),
+    "ACOS": lambda a, r: F.acos(a[0]),
+    "ATAN": lambda a, r: F.atan(a[0]),
+    "PI": lambda a, r: F.lit(3.141592653589793),
+    "SIGN": lambda a, r: F.signum(a[0]),
+    "MOD": lambda a, r: a[0] % a[1],
+    # temporal (temporal_functions.rs)
+    "DATETIME": lambda a, r: F.to_timestamp(a[0]),
+    "DATE": lambda a, r: F.to_date(a[0]),
+    "NOW": lambda a, r: F.current_timestamp(),
+    "CURRENT_TIMESTAMP": lambda a, r: F.current_timestamp(),
+    "CURRENT_DATE": lambda a, r: F.current_date(),
+    "EXTRACT": _extract,
+    "DATE_ADD": lambda a, r: F.date_add(a[0], a[1].cast("int")),
+    "DATE_SUB": lambda a, r: F.date_sub(a[0], a[1].cast("int")),
+    "DATE_TRUNC": lambda a, r: F.date_trunc(r[0].value, a[1]),
+    "YEAR": lambda a, r: F.year(a[0]).cast("long"),
+    "MONTH": lambda a, r: F.month(a[0]).cast("long"),
+    "DAY": lambda a, r: F.dayofmonth(a[0]).cast("long"),
+    "TIME_WINDOW": lambda a, r: F.struct(a[0].alias("start"), a[1].alias("end")),
+    "DURATION_NUMERIC": lambda a, r: (a[0].cast("double") - a[1].cast("double")) if len(a) == 2 else a[0].cast("double"),
+    # timezone (timezone_functions.rs) — names kept, UTC-normalized engine
+    "AT_TIME_ZONE": lambda a, r: F.from_utc_timestamp(a[0], a[1]),
+    "CONVERT_TZ": lambda a, r: F.to_utc_timestamp(F.from_utc_timestamp(a[0], a[2]), a[1]),
+    # null handling (null_functions.rs)
+    "COALESCE": lambda a, r: F.coalesce(*a),
+    "NULLIF": lambda a, r: F.nullif(a[0], a[1]) if hasattr(F, "nullif") else F.when(a[0] == a[1], F.lit(None)).otherwise(a[0]),
+    "IFNULL": lambda a, r: F.coalesce(a[0], a[1]),
+    # list (list_functions.rs)
+    "LIST_CONTAINS": lambda a, r: F.array_contains(a[0], a[1]),
+    "LIST_SLICE": lambda a, r: F.slice(a[0], a[1], a[2]),
+    "LIST_APPEND": lambda a, r: F.array_append(a[0], a[1]),
+    "LIST_PREPEND": lambda a, r: F.array_prepend(a[0], a[1]),
+    "LIST_LENGTH": lambda a, r: F.size(a[0]).cast("long"),
+    "LIST_REVERSE": lambda a, r: F.reverse(a[0]),
+    "RANGE": lambda a, r: F.sequence(a[0].cast("long"), a[1].cast("long"), a[2].cast("long") if len(a) > 2 else F.lit(1).cast("long")),
+    "SIZE": lambda a, r: F.when(a[0].isNull(), F.lit(None)).otherwise(
+        F.coalesce(F.size(a[0]).cast("long"), F.length(a[0].cast("string")).cast("long"))
+    ),
+    # GQL predicates (special_functions.rs:29-232)
+    "ALL_DIFFERENT": lambda a, r: _all_different(a),
+    "SAME": lambda a, r: _same(a),
+    "PROPERTY_EXISTS": lambda a, r: a[0].isNotNull(),
+    # struct field access helper (compiler internal)
+    "_FIELD": lambda a, r: a[0].getField(r[1].value),
+}
+
+
+def _all_different(a: list[Column]) -> Column:
+    out = F.lit(True)
+    for i in range(len(a)):
+        for j in range(i + 1, len(a)):
+            out = out & (a[i] != a[j])
+    return out
+
+
+def _same(a: list[Column]) -> Column:
+    out = F.lit(True)
+    for i in range(1, len(a)):
+        out = out & (a[0] == a[i])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CAST target types (ast.rs:815-878 TypeSpec surface → Spark types)
+
+_CAST_TYPES = {
+    "BOOLEAN": "boolean",
+    "BOOL": "boolean",
+    "STRING": "string",
+    "VARCHAR": "string",
+    "INTEGER": "long",
+    "INT": "long",
+    "BIGINT": "long",
+    "SMALLINT": "smallint",
+    "FLOAT": "double",
+    "FLOAT32": "float",
+    "REAL": "float",
+    "DOUBLE": "double",
+    "DATE": "date",
+    "TIME": "timestamp",
+    "TIMESTAMP": "timestamp",
+    "DATETIME": "timestamp",
+}
+
+
+def compile_cast(col: Column, type_name: str) -> Column:
+    tn = type_name.upper().replace(" ", "")
+    if tn.startswith("DECIMAL"):
+        return col.cast(tn.lower())
+    if tn.startswith("STRING(") or tn.startswith("VARCHAR("):
+        return col.cast("string")
+    if tn.startswith("FLOAT("):
+        return col.cast("double")
+    if tn in _CAST_TYPES:
+        return col.cast(_CAST_TYPES[tn])
+    raise UnknownFunction(f"unsupported CAST target {type_name}")

@@ -1,0 +1,210 @@
+"""GQL AST for the Spark engine.
+
+Shapes follow the reference's AST (GraphLite `graphlite/src/ast/ast.rs`)
+but only carry what the DataFrame compiler needs — the reference's
+1,798-line enum collapses to small dataclasses here because Spark's
+Column/DataFrame layer is the runtime value system.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+# --------------------------------------------------------------------------
+# Expressions (reference: ast.rs:561-607 Expression enum)
+
+
+class Expr:
+    pass
+
+
+@dataclass
+class Literal(Expr):
+    value: Any  # python int/float/str/bool/None
+
+
+@dataclass
+class ListLiteral(Expr):
+    items: list[Expr]
+
+
+@dataclass
+class Var(Expr):
+    name: str
+
+
+@dataclass
+class Prop(Expr):
+    """``n.key`` property access (ast.rs PropertyAccess)."""
+
+    var: str
+    key: str
+
+
+@dataclass
+class Param(Expr):
+    name: str
+
+
+@dataclass
+class Unary(Expr):
+    op: str  # NOT, -, +
+    operand: Expr
+
+
+@dataclass
+class Binary(Expr):
+    """ops: + - * / % ^  = <> < <= > >=  AND OR XOR  IN  || (concat)
+    CONTAINS STARTS_WITH ENDS_WITH LIKE =~ ~= WITHIN (ast.rs:569-607)."""
+
+    op: str
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class IsPredicate(Expr):
+    """IS [NOT] NULL/TRUE/FALSE/UNKNOWN (ast.rs:1580-1611 subset)."""
+
+    operand: Expr
+    what: str  # NULL | TRUE | FALSE | UNKNOWN
+    negated: bool = False
+
+
+@dataclass
+class Case(Expr):
+    operand: Optional[Expr]  # simple CASE when set
+    whens: list[tuple[Expr, Expr]] = field(default_factory=list)
+    else_: Optional[Expr] = None
+
+
+@dataclass
+class Cast(Expr):
+    operand: Expr
+    type_name: str  # normalized upper-case TypeSpec name (ast.rs:815-878)
+
+
+@dataclass
+class FuncCall(Expr):
+    name: str  # upper-cased
+    args: list[Expr]
+    distinct: bool = False  # COUNT(DISTINCT x)
+
+
+@dataclass
+class CountStar(Expr):
+    pass
+
+
+@dataclass
+class Index(Expr):
+    operand: Expr
+    index: Expr
+
+
+@dataclass
+class ExistsSubquery(Expr):
+    """EXISTS { <pattern> [WHERE ...] } (ast.rs:1249-1260)."""
+
+    patterns: list["PathPattern"]
+    where: Optional[Expr] = None
+    negated: bool = False
+
+
+# --------------------------------------------------------------------------
+# Patterns (reference: ast.rs:270-370)
+
+
+@dataclass
+class NodePattern:
+    var: Optional[str]
+    labels: list[str]
+    props: dict[str, Expr] = field(default_factory=dict)
+
+
+@dataclass
+class EdgePattern:
+    var: Optional[str]
+    types: list[str]
+    props: dict[str, Expr] = field(default_factory=dict)
+    direction: str = "out"  # out | in | both (undirected '-' == both)
+    quant: Optional[tuple[int, Optional[int]]] = None  # {n}, {n,m}, {n,}, *
+    mode: str = "WALK"  # WALK | TRAIL | SIMPLE | ACYCLIC
+
+
+@dataclass
+class PathPattern:
+    """Alternating [Node, Edge, Node, Edge, ..., Node]."""
+
+    elements: list[Any]
+    var: Optional[str] = None  # p = (a)-[..]->(b)
+
+
+# --------------------------------------------------------------------------
+# Clauses / query (reference: ast.rs:141-265, 417-479)
+
+
+@dataclass
+class SortItem:
+    expr: Expr
+    asc: bool = True
+    nulls_first: Optional[bool] = None
+
+
+@dataclass
+class ReturnItem:
+    expr: Expr
+    alias: Optional[str]
+
+
+@dataclass
+class MatchClause:
+    patterns: list[PathPattern]
+    where: Optional[Expr] = None
+    optional: bool = False
+
+
+@dataclass
+class WithClause:
+    items: list[ReturnItem]
+    distinct: bool = False
+    where: Optional[Expr] = None
+    order_by: list[SortItem] = field(default_factory=list)
+    skip: Optional[int] = None
+    limit: Optional[int] = None
+
+
+@dataclass
+class UnwindClause:
+    expr: Expr
+    alias: str
+
+
+@dataclass
+class ReturnClause:
+    items: list[ReturnItem]
+    distinct: bool = False
+    order_by: list[SortItem] = field(default_factory=list)
+    skip: Optional[int] = None
+    limit: Optional[int] = None
+    group_by: list[Expr] = field(default_factory=list)  # SELECT form
+    having: Optional[Expr] = None
+
+
+@dataclass
+class Query:
+    """Linear pipeline of clauses ending in RETURN (ast.rs Query::Basic +
+    WithQuery pipelines, executor.rs:1179-1285)."""
+
+    clauses: list[Any] = field(default_factory=list)
+
+
+@dataclass
+class SetOp:
+    """UNION/INTERSECT/EXCEPT [ALL] (ast.rs:208-215)."""
+
+    op: str  # UNION | INTERSECT | EXCEPT
+    all: bool
+    left: Any  # Query | SetOp
+    right: Any

@@ -1,0 +1,898 @@
+"""GQL AST → PySpark DataFrame compiler.
+
+This is the Spark-first replacement for the reference's planner +
+interpreter (GraphLite `graphlite/src/plan/builders/logical_builder.rs`,
+`plan/pattern_optimization/*`, `exec/executor.rs:3449-3750`): instead of
+building a physical plan and interpreting it row-at-a-time, we compile
+the AST into lazy DataFrame transformations and let Catalyst do
+predicate pushdown, column pruning, join selection (broadcast/SMJ/
+shuffled-hash) and AQE re-planning.
+
+Frame model: a query pipeline is compiled into a single DataFrame whose
+columns are namespaced per bound variable: property ``p`` of variable
+``n`` lives in column ``n__p``; a node/edge's identity is its ``_id``
+property (column ``n___id``). WITH/UNWIND re-bind the namespace exactly
+like the reference's WITH-clause processor
+(read_engine/processors/with_clause_processor.rs:42-231).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.registry import AGGREGATES, compile_cast, compile_function
+from ..graph import DST, ID, SRC, PropertyGraph
+from . import ast as A
+
+MAX_PATH_HOPS = 12  # safety cap for unrolled variable-length paths
+
+
+class CompileError(ValueError):
+    pass
+
+
+@dataclass
+class Binding:
+    kind: str  # node | edge | value | path
+    label: Optional[str] = None  # node label / edge type (when known)
+    props: list[str] = field(default_factory=list)
+
+    def col(self, var: str, prop: str) -> str:
+        return f"{var}__{prop}"
+
+
+@dataclass
+class Frame:
+    df: DataFrame
+    bindings: dict[str, Binding] = field(default_factory=dict)
+
+    def clone(self) -> "Frame":
+        return Frame(self.df, dict(self.bindings))
+
+
+def _ncol(var: str, prop: str) -> str:
+    return f"{var}__{prop}"
+
+
+_anon_counter = itertools.count()
+
+
+def _anon() -> str:
+    return f"_a{next(_anon_counter)}"
+
+
+# ---------------------------------------------------------------------------
+# Expression compilation
+
+
+class ExprCompiler:
+    def __init__(self, frame: Frame, params: dict[str, Any] | None = None,
+                 allow_agg: bool = False):
+        self.frame = frame
+        self.params = params or {}
+        self.allow_agg = allow_agg
+
+    def compile(self, e: A.Expr) -> Column:
+        m = getattr(self, f"_c_{type(e).__name__}", None)
+        if m is None:
+            raise CompileError(f"unsupported expression node {type(e).__name__}")
+        return m(e)
+
+    # -- leaves --
+    def _c_Literal(self, e: A.Literal) -> Column:
+        return F.lit(e.value)
+
+    def _c_ListLiteral(self, e: A.ListLiteral) -> Column:
+        return F.array(*[self.compile(x) for x in e.items])
+
+    def _c_Param(self, e: A.Param) -> Column:
+        if e.name not in self.params:
+            raise CompileError(f"missing parameter ${e.name}")
+        v = self.params[e.name]
+        return F.array(*[F.lit(x) for x in v]) if isinstance(v, (list, tuple)) else F.lit(v)
+
+    def _c_Var(self, e: A.Var) -> Column:
+        b = self.frame.bindings.get(e.name)
+        if b is None:
+            raise CompileError(f"unbound variable {e.name!r}")
+        if b.kind == "value":
+            return F.col(e.name)
+        if b.kind in ("node", "edge"):
+            # entity as a value: struct of its properties (stable field order)
+            return F.struct(
+                *[F.col(_ncol(e.name, p)).alias(p) for p in sorted(b.props)]
+            )
+        raise CompileError(f"cannot use {b.kind} variable {e.name!r} as a value")
+
+    def entity_id(self, var: str) -> Column:
+        b = self.frame.bindings.get(var)
+        if b is None or b.kind not in ("node", "edge"):
+            raise CompileError(f"{var!r} is not a bound entity")
+        return F.col(_ncol(var, ID))
+
+    def _c_Prop(self, e: A.Prop) -> Column:
+        b = self.frame.bindings.get(e.var)
+        if b is None:
+            raise CompileError(f"unbound variable {e.var!r}")
+        if b.kind == "value":
+            # struct field access on a value column
+            return F.col(e.var).getField(e.key)
+        if e.key in b.props:
+            return F.col(_ncol(e.var, e.key))
+        # GraphLite returns NULL for a missing property
+        return F.lit(None)
+
+    # -- operators --
+    def _c_Unary(self, e: A.Unary) -> Column:
+        c = self.compile(e.operand)
+        if e.op == "NOT":
+            return ~c
+        if e.op == "-":
+            return -c
+        return c
+
+    def _c_Binary(self, e: A.Binary) -> Column:
+        op = e.op
+        if op == "AND":
+            return self.compile(e.left) & self.compile(e.right)
+        if op == "OR":
+            return self.compile(e.left) | self.compile(e.right)
+        if op == "XOR":
+            l, r = self.compile(e.left), self.compile(e.right)
+            return (l & ~r) | (~l & r)
+        if op == "IN":
+            lc = self.compile(e.left)
+            if isinstance(e.right, A.ListLiteral):
+                return lc.isin([x.value for x in e.right.items
+                                if isinstance(x, A.Literal)]) \
+                    if all(isinstance(x, A.Literal) for x in e.right.items) \
+                    else F.array_contains(self.compile(e.right), lc)
+            return F.array_contains(self.compile(e.right), lc)
+        # entity comparisons by identity (SURVEY §2.7 / executor.rs:9466-9525)
+        if op in ("=", "<>") and isinstance(e.left, A.Var) and isinstance(e.right, A.Var):
+            lb = self.frame.bindings.get(e.left.name)
+            rb = self.frame.bindings.get(e.right.name)
+            if lb and rb and lb.kind in ("node", "edge") and rb.kind in ("node", "edge"):
+                l, r = self.entity_id(e.left.name), self.entity_id(e.right.name)
+                return l == r if op == "=" else l != r
+        l = self.compile(e.left)
+        r = self.compile(e.right)
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return l / r
+        if op == "%":
+            return l % r
+        if op == "^":
+            return F.pow(l, r)
+        if op == "=":
+            return l == r
+        if op == "<>":
+            return l != r
+        if op == "<":
+            return l < r
+        if op == "<=":
+            return l <= r
+        if op == ">":
+            return l > r
+        if op == ">=":
+            return l >= r
+        if op == "||":
+            return F.concat(l.cast("string"), r.cast("string"))
+        if op == "CONTAINS":
+            return l.contains(r)
+        if op == "STARTS_WITH":
+            return l.startswith(r)
+        if op == "ENDS_WITH":
+            return l.endswith(r)
+        if op == "LIKE":
+            return l.like(e.right.value) if isinstance(e.right, A.Literal) else l.like(r)
+        if op == "=~":
+            return l.rlike(e.right.value) if isinstance(e.right, A.Literal) else l.rlike(r)
+        if op == "~=":
+            # fuzzy equal (executor.rs FuzzyEqual): case-insensitive trimmed eq
+            return F.lower(F.trim(l.cast("string"))) == F.lower(F.trim(r.cast("string")))
+        if op == "WITHIN":
+            # temporal value within TimeWindow struct(start,end)
+            return (l >= r.getField("start")) & (l <= r.getField("end"))
+        raise CompileError(f"unsupported binary operator {op}")
+
+    def _c_IsPredicate(self, e: A.IsPredicate) -> Column:
+        c = self.compile(e.operand)
+        if e.what == "NULL":
+            out = c.isNull()
+        elif e.what == "TRUE":
+            out = c.eqNullSafe(F.lit(True))
+        elif e.what == "FALSE":
+            out = c.eqNullSafe(F.lit(False))
+        elif e.what == "UNKNOWN":
+            out = c.isNull()
+        else:
+            raise CompileError(f"IS {e.what} unsupported")
+        return ~out if e.negated else out
+
+    def _c_Case(self, e: A.Case) -> Column:
+        out = None
+        for cond, res in e.whens:
+            c = (
+                (self.compile(e.operand) == self.compile(cond))
+                if e.operand is not None
+                else self.compile(cond)
+            )
+            out = F.when(c, self.compile(res)) if out is None else out.when(c, self.compile(res))
+        if out is None:
+            raise CompileError("CASE with no WHEN")
+        return out.otherwise(self.compile(e.else_)) if e.else_ is not None else out
+
+    def _c_Cast(self, e: A.Cast) -> Column:
+        return compile_cast(self.compile(e.operand), e.type_name)
+
+    def _c_Index(self, e: A.Index) -> Column:
+        c = self.compile(e.operand)
+        i = self.compile(e.index)
+        # GQL list indexing is 1-based in ISO GQL; element_at is 1-based.
+        return F.element_at(c, i.cast("int"))
+
+    def _c_CountStar(self, e: A.CountStar) -> Column:
+        if not self.allow_agg:
+            raise CompileError("COUNT(*) outside aggregation context")
+        return F.count(F.lit(1))
+
+    def _c_FuncCall(self, e: A.FuncCall) -> Column:
+        name = e.name.upper()
+        if name in AGGREGATES:
+            if not self.allow_agg:
+                raise CompileError(f"aggregate {name} outside aggregation context")
+            args = [self.compile(a) for a in e.args]
+            return AGGREGATES[name](args, e.distinct)
+        # graph introspection functions need binding info
+        if name in ("ID", "LABELS", "TYPE", "KEYS", "PROPERTIES") and e.args and isinstance(e.args[0], A.Var):
+            var = e.args[0].name
+            b = self.frame.bindings.get(var)
+            if b and b.kind in ("node", "edge"):
+                if name == "ID":
+                    return self.entity_id(var)
+                if name == "LABELS":
+                    return F.array(F.lit(b.label))
+                if name == "TYPE":
+                    return F.lit(b.label)
+                if name == "KEYS":
+                    return F.array(*[F.lit(p) for p in sorted(b.props)])
+                if name == "PROPERTIES":
+                    return self._c_Var(e.args[0])
+        args = [self.compile(a) for a in e.args]
+        return compile_function(name, args, e.args)
+
+
+def has_aggregate(e: A.Expr) -> bool:
+    if isinstance(e, A.CountStar):
+        return True
+    if isinstance(e, A.FuncCall):
+        if e.name.upper() in AGGREGATES:
+            return True
+        return any(has_aggregate(a) for a in e.args)
+    if isinstance(e, A.Binary):
+        return has_aggregate(e.left) or has_aggregate(e.right)
+    if isinstance(e, A.Unary):
+        return has_aggregate(e.operand)
+    if isinstance(e, A.Case):
+        return any(has_aggregate(c) or has_aggregate(r) for c, r in e.whens) or (
+            e.else_ is not None and has_aggregate(e.else_)
+        ) or (e.operand is not None and has_aggregate(e.operand))
+    if isinstance(e, A.Cast):
+        return has_aggregate(e.operand)
+    if isinstance(e, A.Index):
+        return has_aggregate(e.operand) or has_aggregate(e.index)
+    if isinstance(e, A.IsPredicate):
+        return has_aggregate(e.operand)
+    if isinstance(e, A.ListLiteral):
+        return any(has_aggregate(i) for i in e.items)
+    return False
+
+
+def _expr_name(e: A.Expr) -> str:
+    """Default output name for an unaliased item (GraphLite formats the
+    expression text; we keep it deterministic and SQL-safe)."""
+    if isinstance(e, A.Prop):
+        return e.key
+    if isinstance(e, A.Var):
+        return e.name
+    if isinstance(e, A.CountStar):
+        return "count"
+    if isinstance(e, A.FuncCall):
+        return e.name.lower()
+    return "expr"
+
+
+# ---------------------------------------------------------------------------
+# Pattern / query compilation
+
+
+class QueryCompiler:
+    def __init__(self, graph: PropertyGraph, params: dict[str, Any] | None = None):
+        self.graph = graph
+        self.params = params or {}
+
+    # ---- public -----------------------------------------------------------
+    def compile(self, node) -> DataFrame:
+        if isinstance(node, A.SetOp):
+            return self._compile_setop(node)
+        if isinstance(node, A.Query):
+            return self._compile_query(node)
+        raise CompileError(f"cannot compile {type(node).__name__}")
+
+    # ---- set operations -----------------------------------------------------
+    def _compile_setop(self, s: A.SetOp) -> DataFrame:
+        l = self.compile(s.left)
+        r = self.compile(s.right)
+        if sorted(l.columns) != sorted(r.columns):
+            raise CompileError(
+                f"set operation column mismatch: {l.columns} vs {r.columns}"
+            )
+        r = r.select(*l.columns)
+        if s.op == "UNION":
+            out = l.unionByName(r)
+            return out if s.all else out.dropDuplicates()
+        if s.op == "INTERSECT":
+            return l.intersectAll(r) if s.all else l.intersect(r)
+        if s.op == "EXCEPT":
+            return l.exceptAll(r) if s.all else l.subtract(r)
+        raise CompileError(f"unknown set op {s.op}")
+
+    # ---- pipeline -----------------------------------------------------------
+    def _compile_query(self, q: A.Query) -> DataFrame:
+        frame: Optional[Frame] = None
+        out: Optional[DataFrame] = None
+        for clause in q.clauses:
+            if isinstance(clause, A.MatchClause):
+                frame = self._compile_match(frame, clause)
+            elif isinstance(clause, A.WithClause):
+                frame = self._compile_with(frame, clause)
+            elif isinstance(clause, A.UnwindClause):
+                frame = self._compile_unwind(frame, clause)
+            elif isinstance(clause, A.ReturnClause):
+                out = self._compile_return(frame, clause)
+            else:
+                raise CompileError(f"unsupported clause {type(clause).__name__}")
+        if out is None:
+            raise CompileError("query has no RETURN")
+        return out
+
+    # ---- MATCH ---------------------------------------------------------------
+    def _compile_match(self, frame: Optional[Frame], m: A.MatchClause) -> Frame:
+        if m.patterns:
+            sub = None
+            for pat in m.patterns:
+                pf = self._compile_path(pat)
+                sub = pf if sub is None else self._join_frames(sub, pf, "inner")
+            if m.optional:
+                if m.where is not None:
+                    sub = Frame(
+                        sub.df.filter(ExprCompiler(sub, self.params).compile(m.where)),
+                        sub.bindings,
+                    )
+                frame = (
+                    self._join_frames(frame, sub, "left")
+                    if frame is not None
+                    else sub
+                )
+                return frame
+            frame = self._join_frames(frame, sub, "inner") if frame is not None else sub
+        if m.where is not None:
+            if frame is None:
+                raise CompileError("WHERE with no bound rows")
+            frame = self._apply_where(frame, m.where)
+        return frame
+
+    def _apply_where(self, frame: Frame, where: A.Expr) -> Frame:
+        """Split top-level conjuncts; EXISTS {...} → semi/anti join
+        (the reference unnests the same way, logical_optimizer.rs:285-599)."""
+        conjuncts = _split_and(where)
+        plain: list[A.Expr] = []
+        df = frame.df
+        for c in conjuncts:
+            neg = False
+            inner = c
+            while isinstance(inner, A.Unary) and inner.op == "NOT":
+                neg = not neg
+                inner = inner.operand
+            if isinstance(inner, A.ExistsSubquery):
+                negated = neg != inner.negated
+                sub = None
+                for pat in inner.patterns:
+                    pf = self._compile_path(pat)
+                    sub = pf if sub is None else self._join_frames(sub, pf, "inner")
+                if inner.where is not None:
+                    merged = Frame(sub.df, {**frame.bindings, **sub.bindings})
+                    # predicates referencing outer vars must be join keys;
+                    # only sub-local predicates supported inside EXISTS body
+                    sub = Frame(
+                        sub.df.filter(ExprCompiler(sub, self.params).compile(inner.where)),
+                        sub.bindings,
+                    )
+                fr = Frame(df, frame.bindings)
+                fr = self._join_frames(
+                    fr, sub, "left_anti" if negated else "left_semi"
+                )
+                df = fr.df
+            else:
+                plain.append(c)
+        frame = Frame(df, frame.bindings)
+        for p in plain:
+            frame = Frame(
+                frame.df.filter(ExprCompiler(frame, self.params).compile(p)),
+                frame.bindings,
+            )
+        return frame
+
+    # ---- path pattern → joins -------------------------------------------------
+    def _compile_path(self, pat: A.PathPattern) -> Frame:
+        elems = pat.elements
+        node0: A.NodePattern = elems[0]
+        frame = self._scan_node(node0)
+        prev_var = node0.var or self._last_anon
+        i = 1
+        while i < len(elems):
+            edge: A.EdgePattern = elems[i]
+            node: A.NodePattern = elems[i + 1]
+            if edge.quant is not None:
+                frame, prev_var = self._expand_varlen(frame, prev_var, edge, node)
+            else:
+                frame, prev_var = self._expand(frame, prev_var, edge, node)
+            i += 2
+        return frame
+
+    def _scan_node(self, np: A.NodePattern) -> Frame:
+        var = np.var or _anon()
+        self._last_anon = var
+        if np.labels:
+            dfs = []
+            labels = np.labels
+            for lbl in labels:
+                ndf = self.graph.nodes_for_label(lbl)
+                dfs.append((lbl, ndf))
+            if len(dfs) == 1:
+                lbl, ndf = dfs[0]
+                props = list(ndf.columns)
+                df = ndf.select(*[F.col(c).alias(_ncol(var, c)) for c in props])
+                b = Binding("node", lbl, props)
+            else:
+                # multi-label alternation: union on common columns
+                common = set(dfs[0][1].columns)
+                for _, d in dfs[1:]:
+                    common &= set(d.columns)
+                common = sorted(common)
+                df = None
+                for _, d in dfs:
+                    sel = d.select(*[F.col(c).alias(_ncol(var, c)) for c in common])
+                    df = sel if df is None else df.unionByName(sel)
+                b = Binding("node", None, list(common))
+        else:
+            adf = self.graph.all_nodes()
+            props = [c for c in adf.columns]
+            df = adf.select(*[F.col(c).alias(_ncol(var, c)) for c in props])
+            b = Binding("node", None, props)
+        frame = Frame(df, {var: b})
+        return self._inline_props(frame, var, np.props)
+
+    def _inline_props(self, frame: Frame, var: str, props: dict[str, A.Expr]) -> Frame:
+        for k, v in props.items():
+            c = ExprCompiler(frame, self.params).compile(v)
+            frame = Frame(frame.df.filter(F.col(_ncol(var, k)) == c), frame.bindings)
+        return frame
+
+    def _edge_candidates(self, edge: A.EdgePattern, src_label, dst_label):
+        if edge.types:
+            return [self.graph.edge_type(t) for t in edge.types]
+        ets = self.graph.edge_types_between(src_label, dst_label)
+        if not ets:
+            raise CompileError(
+                f"no edge type connects {src_label} -> {dst_label}"
+            )
+        return ets
+
+    def _expand(
+        self, frame: Frame, prev_var: str, edge: A.EdgePattern, node: A.NodePattern
+    ) -> tuple[Frame, str]:
+        """One-hop Expand (SURVEY §2.1 row 3) = join prev rows with the edge
+        table on the direction key, then join the target node table."""
+        evar = edge.var or _anon()
+        nvar = node.var or _anon()
+        self._last_anon = nvar
+        prev_b = frame.bindings[prev_var]
+
+        directions = [edge.direction] if edge.direction in ("out", "in") else ["out", "in"]
+        parts: list[DataFrame] = []
+        used_et: list = []
+        nprops_all: Optional[list[str]] = None
+        for dirn in directions:
+            src_lbl = prev_b.label if dirn == "out" else (node.labels[0] if node.labels else None)
+            dst_lbl = (node.labels[0] if node.labels else None) if dirn == "out" else prev_b.label
+            try:
+                ets = self._edge_candidates(edge, src_lbl, dst_lbl)
+            except CompileError:
+                continue
+            for et in ets:
+                # direction compatibility with typed endpoints
+                if dirn == "out" and prev_b.label and et.src_label != prev_b.label:
+                    continue
+                if dirn == "in" and prev_b.label and et.dst_label != prev_b.label:
+                    continue
+                tgt_label = et.dst_label if dirn == "out" else et.src_label
+                if node.labels and tgt_label not in node.labels:
+                    continue
+                eprops = et.properties
+                edf = et.df.select(
+                    F.col(SRC).alias(_ncol(evar, SRC)),
+                    F.col(DST).alias(_ncol(evar, DST)),
+                    *[F.col(p).alias(_ncol(evar, p)) for p in eprops],
+                )
+                join_key = _ncol(evar, SRC) if dirn == "out" else _ncol(evar, DST)
+                other_key = _ncol(evar, DST) if dirn == "out" else _ncol(evar, SRC)
+                joined = frame.df.join(
+                    edf, F.col(_ncol(prev_var, ID)) == F.col(join_key), "inner"
+                )
+                ndf = self.graph.nodes_for_label(tgt_label)
+                nprops = list(ndf.columns)
+                ndf2 = ndf.select(*[F.col(c).alias(_ncol(nvar, c)) for c in nprops])
+                joined = joined.join(
+                    ndf2, F.col(other_key) == F.col(_ncol(nvar, ID)), "inner"
+                )
+                parts.append(joined)
+                used_et.append(et)
+                nprops_all = nprops if nprops_all is None else sorted(
+                    set(nprops_all) & set(nprops)
+                )
+        if not parts:
+            raise CompileError(
+                f"pattern edge {edge.types or '(any)'} does not connect "
+                f"{prev_b.label} to {node.labels or '(any)'}"
+            )
+        if len(parts) == 1:
+            df = parts[0]
+            eb_label = used_et[0].name
+            eprops = used_et[0].properties
+            nb_label = (
+                used_et[0].dst_label if edge.direction != "in" else used_et[0].src_label
+            )
+            if node.labels:
+                nb_label = node.labels[0]
+        else:
+            # align columns across unioned alternatives
+            common_cols = set(parts[0].columns)
+            for p in parts[1:]:
+                common_cols &= set(p.columns)
+            cols = [c for c in parts[0].columns if c in common_cols]
+            df = parts[0].select(*cols)
+            for p in parts[1:]:
+                df = df.unionByName(p.select(*cols))
+            eb_label = None
+            eprops = sorted(
+                set.intersection(*[set(et.properties) for et in used_et])
+            )
+            nb_label = node.labels[0] if node.labels else None
+
+        bindings = dict(frame.bindings)
+        bindings[evar] = Binding("edge", eb_label, [SRC, DST, *eprops])
+        bindings[nvar] = Binding("node", nb_label, nprops_all or [])
+        out = Frame(df, bindings)
+        out = self._inline_props(out, evar, edge.props)
+        out = self._inline_props(out, nvar, node.props)
+        return out, nvar
+
+    # ---- variable-length paths (SURVEY §2.1 row 4) ---------------------------
+    def _expand_varlen(
+        self, frame: Frame, prev_var: str, edge: A.EdgePattern, node: A.NodePattern
+    ) -> tuple[Frame, str]:
+        """Bounded quantifier {lo,hi}: unrolled iterative joins, one union
+        branch per depth (reference does BFS frontier expansion,
+        executor.rs:6338-6664). Dedup per path mode on the visited-id array."""
+        lo, hi = edge.quant
+        if hi is None:
+            hi = MAX_PATH_HOPS
+        if hi > MAX_PATH_HOPS:
+            raise CompileError(f"path quantifier above cap {MAX_PATH_HOPS}")
+        if not edge.types or len(edge.types) != 1:
+            raise CompileError("variable-length edge requires a single edge type")
+        et = self.graph.edge_type(edge.types[0])
+        if edge.direction == "both":
+            raise CompileError("variable-length undirected edges unsupported")
+        nvar = node.var or _anon()
+        self._last_anon = nvar
+
+        fwd = edge.direction == "out"
+        key_in, key_out = (SRC, DST) if fwd else (DST, SRC)
+        edf = et.df.select(F.col(key_in).alias("__in"), F.col(key_out).alias("__out"))
+        tgt_label = (et.dst_label if fwd else et.src_label)
+        if node.labels:
+            tgt_label = node.labels[0]
+        ndf = self.graph.nodes_for_label(tgt_label)
+        nprops = list(ndf.columns)
+
+        base = frame.df.withColumn("__frontier", F.col(_ncol(prev_var, ID))).withColumn(
+            "__visited", F.array(F.col(_ncol(prev_var, ID)))
+        )
+        mode = edge.mode
+        depth_frames: list[DataFrame] = []
+        cur = base
+        for depth in range(1, hi + 1):
+            step = cur.join(edf, F.col("__frontier") == F.col("__in"), "inner")
+            if mode in ("SIMPLE", "ACYCLIC", "TRAIL"):
+                # no repeated vertices (TRAIL formally bans repeated edges;
+                # with no repeated vertices edges cannot repeat either —
+                # conservative approximation, documented divergence)
+                step = step.filter(~F.array_contains(F.col("__visited"), F.col("__out")))
+            step = (
+                step.withColumn("__frontier", F.col("__out"))
+                .withColumn("__visited", F.array_union(F.col("__visited"), F.array(F.col("__out"))))
+                .drop("__in", "__out")
+            )
+            cur = step
+            if depth >= lo:
+                depth_frames.append(step)
+        if lo == 0:
+            # zero-length path: target == source
+            zero = base
+            depth_frames.insert(0, zero)
+
+        out = depth_frames[0]
+        for d in depth_frames[1:]:
+            out = out.unionByName(d)
+        ndf2 = ndf.select(*[F.col(c).alias(_ncol(nvar, c)) for c in nprops])
+        joined = out.join(ndf2, F.col("__frontier") == F.col(_ncol(nvar, ID)), "inner")
+        joined = joined.drop("__frontier", "__visited")
+        bindings = dict(frame.bindings)
+        bindings[nvar] = Binding("node", tgt_label, nprops)
+        fr = Frame(joined, bindings)
+        fr = self._inline_props(fr, nvar, node.props)
+        return fr, nvar
+
+    # ---- joins between frames --------------------------------------------------
+    def _join_frames(self, left: Frame, right: Frame, how: str) -> Frame:
+        shared = [v for v in right.bindings if v in left.bindings]
+        if not shared:
+            if how in ("left_semi", "left_anti"):
+                raise CompileError("EXISTS subquery shares no variables with outer query")
+            df = left.df.crossJoin(right.df)
+            return Frame(df, {**left.bindings, **right.bindings})
+        # rename right columns to avoid collisions, join on shared entity ids
+        rdf = right.df
+        ren = {}
+        for c in rdf.columns:
+            ren[c] = f"__r_{c}"
+        rdf = rdf.select(*[F.col(c).alias(ren[c]) for c in rdf.columns])
+        cond = None
+        for v in shared:
+            b = left.bindings[v]
+            key = _ncol(v, ID) if b.kind in ("node", "edge") else v
+            c = F.col(key) == F.col(ren[key])
+            cond = c if cond is None else (cond & c)
+        df = left.df.join(rdf, cond, how)
+        if how in ("left_semi", "left_anti"):
+            return Frame(df, dict(left.bindings))
+        bindings = dict(left.bindings)
+        keep = []
+        for v, b in right.bindings.items():
+            if v in left.bindings:
+                continue
+            bindings[v] = b
+            cols = (
+                [_ncol(v, p) for p in ([ID] if b.kind in ("node", "edge") else [])]
+                if False
+                else None
+            )
+        # restore names for non-shared right columns
+        shared_cols = set()
+        for v in shared:
+            b = left.bindings[v]
+            if b.kind in ("node", "edge"):
+                shared_cols.update(_ncol(v, p) for p in b.props)
+                shared_cols.add(_ncol(v, ID))
+            else:
+                shared_cols.add(v)
+        out_cols = [F.col(c) for c in left.df.columns]
+        for c in right.df.columns:
+            if c not in shared_cols:
+                out_cols.append(F.col(ren[c]).alias(c))
+        df = df.select(*out_cols)
+        return Frame(df, bindings)
+
+    # ---- WITH / UNWIND / RETURN ---------------------------------------------
+    def _compile_with(self, frame: Optional[Frame], w: A.WithClause) -> Frame:
+        if frame is None:
+            frame = Frame(self.graph.spark.range(1).select(F.lit(1).alias("__one")), {})
+        items = list(w.items)
+        carry_all = getattr(w, "carry_all", False) or any(
+            isinstance(i.expr, A.Var) and i.expr.name == "*" for i in items
+        )
+        items = [i for i in items if not (isinstance(i.expr, A.Var) and i.expr.name == "*")]
+
+        agg = any(has_aggregate(i.expr) for i in items)
+        new_bindings: dict[str, Binding] = {}
+        sel: list[Column] = []
+        keys: list[Column] = []
+        aggs: list[Column] = []
+
+        def passthrough_entity(var: str, b: Binding, out_var: str):
+            cols = []
+            for p in b.props:
+                cols.append(F.col(_ncol(var, p)).alias(_ncol(out_var, p)))
+            new_bindings[out_var] = Binding(b.kind, b.label, list(b.props))
+            return cols
+
+        if carry_all:
+            for var, b in frame.bindings.items():
+                if b.kind in ("node", "edge"):
+                    sel.extend(passthrough_entity(var, b, var))
+                else:
+                    sel.append(F.col(var))
+                    new_bindings[var] = b
+
+        ec = ExprCompiler(frame, self.params, allow_agg=agg)
+        for it in items:
+            if isinstance(it.expr, A.Var) and it.expr.name in frame.bindings and frame.bindings[it.expr.name].kind in ("node", "edge"):
+                out_var = it.alias or it.expr.name
+                if agg:
+                    raise CompileError("cannot mix entity passthrough with aggregation in WITH")
+                sel.extend(passthrough_entity(it.expr.name, frame.bindings[it.expr.name], out_var))
+                continue
+            name = it.alias or _expr_name(it.expr)
+            col = ec.compile(it.expr).alias(name)
+            new_bindings[name] = Binding("value")
+            if agg and not has_aggregate(it.expr):
+                keys.append(col)
+            elif agg:
+                aggs.append(col)
+            else:
+                sel.append(col)
+
+        if agg:
+            df = frame.df.groupBy(*keys).agg(*aggs) if keys or aggs else frame.df
+        else:
+            df = frame.df.select(*sel)
+        out = Frame(df, new_bindings)
+        if w.where is not None:
+            out = self._apply_where(out, w.where)
+        if w.distinct:
+            out = Frame(out.df.dropDuplicates(), out.bindings)
+        if w.order_by:
+            out = Frame(self._order(out, w.order_by, {}), out.bindings)
+        if w.skip is not None:
+            out = Frame(out.df.offset(w.skip), out.bindings)
+        if w.limit is not None:
+            out = Frame(out.df.limit(w.limit), out.bindings)
+        return out
+
+    def _compile_unwind(self, frame: Optional[Frame], u: A.UnwindClause) -> Frame:
+        if frame is None:
+            frame = Frame(self.graph.spark.range(1).select(F.lit(1).alias("__one")), {})
+            col = ExprCompiler(frame, self.params).compile(u.expr)
+            df = frame.df.select(F.explode(col).alias(u.alias))
+            return Frame(df, {u.alias: Binding("value")})
+        col = ExprCompiler(frame, self.params).compile(u.expr)
+        df = frame.df.withColumn(u.alias, F.explode(col))
+        bindings = dict(frame.bindings)
+        bindings[u.alias] = Binding("value")
+        return Frame(df, bindings)
+
+    def _compile_return(self, frame: Optional[Frame], r: A.ReturnClause) -> DataFrame:
+        if frame is None:
+            frame = Frame(self.graph.spark.range(1).select(F.lit(1).alias("__one")), {})
+        where = getattr(r, "select_where", None)
+        if where is not None:
+            frame = self._apply_where(frame, where)
+        agg = any(has_aggregate(i.expr) for i in r.items) or bool(r.group_by) or (
+            r.having is not None
+        )
+        ec = ExprCompiler(frame, self.params, allow_agg=True)
+        names: list[str] = []
+        out_df: DataFrame
+
+        if agg:
+            key_cols: list[Column] = []
+            agg_cols: list[Column] = []
+            group_reprs = {repr(g) for g in r.group_by}
+            for it in r.items:
+                name = it.alias or _expr_name(it.expr)
+                names.append(name)
+                col = ec.compile(it.expr).alias(name)
+                if has_aggregate(it.expr):
+                    agg_cols.append(col)
+                elif group_reprs and repr(it.expr) not in group_reprs:
+                    # non-grouped scalar in SELECT form: take arbitrary (first)
+                    agg_cols.append(F.first(ec.compile(it.expr)).alias(name))
+                else:
+                    key_cols.append(col)
+            for g in r.group_by:
+                if not any(
+                    repr(g) == repr(it.expr) for it in r.items if not has_aggregate(it.expr)
+                ):
+                    key_cols.append(ec.compile(g).alias(f"__gk{len(key_cols)}"))
+            having_col = None
+            if r.having is not None:
+                having_col = ec.compile(r.having).alias("__having")
+                agg_cols.append(having_col)
+            out_df = frame.df.groupBy(*key_cols).agg(*agg_cols) if (key_cols or agg_cols) else frame.df
+            if r.having is not None:
+                out_df = out_df.filter(F.col("__having")).drop("__having")
+            out_df = out_df.select(*[c for c in out_df.columns if not c.startswith("__gk")])
+            post = Frame(out_df, {n: Binding("value") for n in names})
+        else:
+            sel = []
+            for it in r.items:
+                if isinstance(it.expr, A.Var) and it.expr.name == "*":
+                    for var, b in frame.bindings.items():
+                        if b.kind == "value":
+                            sel.append(F.col(var))
+                            names.append(var)
+                        else:
+                            sel.append(ExprCompiler(frame, self.params).compile(A.Var(var)).alias(var))
+                            names.append(var)
+                    continue
+                name = it.alias or _expr_name(it.expr)
+                names.append(name)
+                sel.append(ExprCompiler(frame, self.params).compile(it.expr).alias(name))
+            out_df = frame.df.select(*sel)
+            post = Frame(out_df, {n: Binding("value") for n in names})
+
+        if r.distinct:
+            out_df = out_df.dropDuplicates()
+            post = Frame(out_df, post.bindings)
+        if r.order_by:
+            alias_map = {}
+            for it, n in zip(r.items, names):
+                alias_map[repr(it.expr)] = n
+                if it.alias:
+                    alias_map[repr(A.Var(it.alias))] = n
+            out_df = self._order(post, r.order_by, alias_map, pre_frame=frame)
+        if r.skip is not None:
+            out_df = out_df.offset(r.skip)
+        if r.limit is not None:
+            out_df = out_df.limit(r.limit)
+        return out_df
+
+    def _order(
+        self,
+        post: Frame,
+        order_by: list[A.SortItem],
+        alias_map: dict[str, str],
+        pre_frame: Optional[Frame] = None,
+    ) -> DataFrame:
+        cols = []
+        ec_post = ExprCompiler(post, self.params, allow_agg=True)
+        for s in order_by:
+            key = repr(s.expr)
+            if key in alias_map:
+                c = F.col(alias_map[key])
+            else:
+                try:
+                    c = ec_post.compile(s.expr)
+                except CompileError:
+                    raise CompileError(
+                        "ORDER BY expression must reference returned columns"
+                    )
+            if s.asc:
+                c = c.asc_nulls_first() if s.nulls_first else (
+                    c.asc_nulls_last() if s.nulls_first is False else c.asc()
+                )
+            else:
+                c = c.desc_nulls_first() if s.nulls_first else (
+                    c.desc_nulls_last() if s.nulls_first is False else c.desc()
+                )
+            cols.append(c)
+        return post.df.orderBy(*cols)
+
+
+def _split_and(e: A.Expr) -> list[A.Expr]:
+    if isinstance(e, A.Binary) and e.op == "AND":
+        return _split_and(e.left) + _split_and(e.right)
+    return [e]
