@@ -32,6 +32,8 @@ _LABEL_NS = {
     "Supplier": 4,
     "Part": 5,
     "Order": 6,
+    "Event": 7,
+    "User": 8,
 }
 _NS = 10**12
 
@@ -151,5 +153,40 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         _nid("Region", F.col("n_regionkey")),
         "Nation",
         "Region",
+    )
+
+    # Event/User subgraph from the events table — gives the graph a
+    # self-referencing edge type (Event-FOLLOWS->Event: each user's events
+    # in ts order) so variable-length path operators have a real workload.
+    from pyspark.sql import Window
+
+    ev = t["events"]
+    nodes("Event", ev, "event_id")
+    users = ev.select(F.col("user_id").alias("user_id")).distinct()
+    nodes("User", users, "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    follows = (
+        ev.withColumn("_next", F.lead("event_id").over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(
+            _nid("Event", F.col("event_id")).alias("_src_raw"),
+            _nid("Event", F.col("_next")).alias("_dst_raw"),
+        )
+    )
+    g.add_edges(
+        "FOLLOWS",
+        follows.select(F.col("_src_raw").alias("_src"), F.col("_dst_raw").alias("_dst")),
+        "_src",
+        "_dst",
+        "Event",
+        "Event",
+    )
+    edge(
+        "PERFORMED",
+        ev,
+        _nid("User", F.col("user_id")),
+        _nid("Event", F.col("event_id")),
+        "User",
+        "Event",
     )
     return g

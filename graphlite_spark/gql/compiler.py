@@ -369,10 +369,11 @@ class QueryCompiler:
 
     # ---- MATCH ---------------------------------------------------------------
     def _compile_match(self, frame: Optional[Frame], m: A.MatchClause) -> Frame:
+        outer = frame.bindings if frame is not None else None
         if m.patterns:
             sub = None
             for pat in m.patterns:
-                pf = self._compile_path(pat)
+                pf = self._compile_path(pat, outer)
                 sub = pf if sub is None else self._join_frames(sub, pf, "inner")
             if m.optional:
                 if m.where is not None:
@@ -409,7 +410,7 @@ class QueryCompiler:
                 negated = neg != inner.negated
                 sub = None
                 for pat in inner.patterns:
-                    pf = self._compile_path(pat)
+                    pf = self._compile_path(pat, frame.bindings)
                     sub = pf if sub is None else self._join_frames(sub, pf, "inner")
                 if inner.where is not None:
                     merged = Frame(sub.df, {**frame.bindings, **sub.bindings})
@@ -435,10 +436,10 @@ class QueryCompiler:
         return frame
 
     # ---- path pattern → joins -------------------------------------------------
-    def _compile_path(self, pat: A.PathPattern) -> Frame:
+    def _compile_path(self, pat: A.PathPattern, outer: Optional[dict] = None) -> Frame:
         elems = pat.elements
         node0: A.NodePattern = elems[0]
-        frame = self._scan_node(node0)
+        frame = self._scan_node(node0, outer)
         prev_var = node0.var or self._last_anon
         i = 1
         while i < len(elems):
@@ -451,9 +452,15 @@ class QueryCompiler:
             i += 2
         return frame
 
-    def _scan_node(self, np: A.NodePattern) -> Frame:
+    def _scan_node(self, np: A.NodePattern, outer: Optional[dict] = None) -> Frame:
         var = np.var or _anon()
         self._last_anon = var
+        labels = list(np.labels)
+        if not labels and outer and np.var in outer and outer[np.var].label:
+            # var is bound outside this pattern: reuse its label so the
+            # rescan stays a single pruned table scan (joined on _id later)
+            labels = [outer[np.var].label]
+        np = A.NodePattern(np.var, labels, np.props)
         if np.labels:
             dfs = []
             labels = np.labels
@@ -742,7 +749,15 @@ class QueryCompiler:
             if isinstance(it.expr, A.Var) and it.expr.name in frame.bindings and frame.bindings[it.expr.name].kind in ("node", "edge"):
                 out_var = it.alias or it.expr.name
                 if agg:
-                    raise CompileError("cannot mix entity passthrough with aggregation in WITH")
+                    # WITH n, count(*) — entity is a grouping key: group on
+                    # all its columns (id functionally determines the rest)
+                    b = frame.bindings[it.expr.name]
+                    for p in b.props:
+                        keys.append(
+                            F.col(_ncol(it.expr.name, p)).alias(_ncol(out_var, p))
+                        )
+                    new_bindings[out_var] = Binding(b.kind, b.label, list(b.props))
+                    continue
                 sel.extend(passthrough_entity(it.expr.name, frame.bindings[it.expr.name], out_var))
                 continue
             name = it.alias or _expr_name(it.expr)

