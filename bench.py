@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop writer (runs the full plan on the
+cluster without driver-side collection), matching how a production job
+would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # engine path (GQL → compiler → Catalyst)
+    "agg_q1_pricing",      # full-table aggregate, 6 groups
+    "multi_hop_agg",       # 3-way graph join + agg
+    "expand_out",          # selective join
+    "having_filter",       # groupBy + having
+    "with_top_n",          # agg + top-k
+    "varlen_range13",      # 1..3-hop path union
+    "not_exists_anti",     # anti join
+    "union_all",           # set op
+    # pipeline operators
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "token_count",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from graphlite_spark.session import get_spark
+
+    spark = get_spark(app_name="graphlite-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: initialize codegen, shuffle machinery, and parquet footers
+    # once so per-query timings reflect steady-state throughput
+    from graphlite_spark.datasets.tpch import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -321,6 +321,25 @@ class QueryCompiler:
     def __init__(self, graph: PropertyGraph, params: dict[str, Any] | None = None):
         self.graph = graph
         self.params = params or {}
+        self._referenced: set[str] = {"*"}
+
+    def _is_referenced(self, var: Optional[str]) -> bool:
+        if var is None:
+            return False
+        return "*" in self._referenced or var in self._referenced
+
+    def _node_elidable(self, np: A.NodePattern, implied_label: Optional[str]) -> bool:
+        """True when the node-table join adds nothing: no props to check,
+        label already implied by the typed edge, var never read. The edge
+        tables are constructed with referential integrity (datasets/*.py),
+        so the join can only preserve cardinality — elide it."""
+        if np.props:
+            return False
+        if self._is_referenced(np.var):
+            return False
+        if np.labels and (implied_label is None or np.labels != [implied_label]):
+            return False
+        return True
 
     # ---- public -----------------------------------------------------------
     def compile(self, node) -> DataFrame:
@@ -350,6 +369,7 @@ class QueryCompiler:
 
     # ---- pipeline -----------------------------------------------------------
     def _compile_query(self, q: A.Query) -> DataFrame:
+        self._referenced = referenced_vars(q)
         frame: Optional[Frame] = None
         out: Optional[DataFrame] = None
         for clause in q.clauses:
@@ -439,6 +459,28 @@ class QueryCompiler:
     def _compile_path(self, pat: A.PathPattern, outer: Optional[dict] = None) -> Frame:
         elems = pat.elements
         node0: A.NodePattern = elems[0]
+        # anchor elision: when the first node is an unreferenced structural
+        # placeholder and the pattern continues with a typed edge, start the
+        # plan at the edge table (one scan instead of scan+join)
+        if (
+            len(elems) > 1
+            and elems[1].quant is None
+            and not (outer and node0.var in (outer or {}))
+            and self._node_elidable(node0, self._anchor_implied(elems[1], node0))
+        ):
+            frame, prev_var = self._expand(
+                None, node0.var or _anon(), elems[1], elems[2], prev_node=node0
+            )
+            i = 3
+            while i < len(elems):
+                edge: A.EdgePattern = elems[i]
+                node: A.NodePattern = elems[i + 1]
+                if edge.quant is not None:
+                    frame, prev_var = self._expand_varlen(frame, prev_var, edge, node)
+                else:
+                    frame, prev_var = self._expand(frame, prev_var, edge, node)
+                i += 2
+            return frame
         frame = self._scan_node(node0, outer)
         prev_var = node0.var or self._last_anon
         i = 1
@@ -507,15 +549,46 @@ class QueryCompiler:
             )
         return ets
 
+    def _anchor_implied(self, edge: A.EdgePattern, node0: A.NodePattern) -> Optional[str]:
+        """Anchor label implied by a single typed edge, for elidability."""
+        if len(edge.types) == 1 and edge.types[0] in self.graph.edges:
+            et = self.graph.edge_type(edge.types[0])
+            if edge.direction == "out":
+                return et.src_label
+            if edge.direction == "in":
+                return et.dst_label
+        return None
+
     def _expand(
-        self, frame: Frame, prev_var: str, edge: A.EdgePattern, node: A.NodePattern
+        self,
+        frame: Optional[Frame],
+        prev_var: str,
+        edge: A.EdgePattern,
+        node: A.NodePattern,
+        prev_node: Optional[A.NodePattern] = None,
     ) -> tuple[Frame, str]:
         """One-hop Expand (SURVEY §2.1 row 3) = join prev rows with the edge
-        table on the direction key, then join the target node table."""
+        table on the direction key, then join the target node table.
+
+        frame=None means the anchor node was elided: the edge table itself
+        is the row source (its src/dst provide the anchor's identity).
+        Target-node joins are likewise elided when the node variable is an
+        unreferenced placeholder — the graph invariant (edges reference
+        existing unique node ids) makes those joins cardinality-neutral.
+        """
         evar = edge.var or _anon()
         nvar = node.var or _anon()
         self._last_anon = nvar
-        prev_b = frame.bindings[prev_var]
+        if frame is not None:
+            prev_b = frame.bindings[prev_var]
+        else:
+            prev_b = Binding(
+                "node",
+                prev_node.labels[0]
+                if prev_node and prev_node.labels
+                else self._anchor_implied(edge, prev_node),
+                [ID],
+            )
 
         directions = [edge.direction] if edge.direction in ("out", "in") else ["out", "in"]
         parts: list[DataFrame] = []
@@ -545,15 +618,25 @@ class QueryCompiler:
                 )
                 join_key = _ncol(evar, SRC) if dirn == "out" else _ncol(evar, DST)
                 other_key = _ncol(evar, DST) if dirn == "out" else _ncol(evar, SRC)
-                joined = frame.df.join(
-                    edf, F.col(_ncol(prev_var, ID)) == F.col(join_key), "inner"
-                )
-                ndf = self.graph.nodes_for_label(tgt_label)
-                nprops = list(ndf.columns)
-                ndf2 = ndf.select(*[F.col(c).alias(_ncol(nvar, c)) for c in nprops])
-                joined = joined.join(
-                    ndf2, F.col(other_key) == F.col(_ncol(nvar, ID)), "inner"
-                )
+                if frame is None:
+                    # anchor elided: the edge table is the row source
+                    joined = edf.withColumn(_ncol(prev_var, ID), F.col(join_key))
+                else:
+                    joined = frame.df.join(
+                        edf, F.col(_ncol(prev_var, ID)) == F.col(join_key), "inner"
+                    )
+                if self._node_elidable(node, tgt_label):
+                    # skip the target node-table join; identity comes from
+                    # the edge's endpoint column
+                    joined = joined.withColumn(_ncol(nvar, ID), F.col(other_key))
+                    nprops = [ID]
+                else:
+                    ndf = self.graph.nodes_for_label(tgt_label)
+                    nprops = list(ndf.columns)
+                    ndf2 = ndf.select(*[F.col(c).alias(_ncol(nvar, c)) for c in nprops])
+                    joined = joined.join(
+                        ndf2, F.col(other_key) == F.col(_ncol(nvar, ID)), "inner"
+                    )
                 parts.append(joined)
                 used_et.append(et)
                 nprops_all = nprops if nprops_all is None else sorted(
@@ -588,7 +671,9 @@ class QueryCompiler:
             )
             nb_label = node.labels[0] if node.labels else None
 
-        bindings = dict(frame.bindings)
+        bindings = dict(frame.bindings) if frame is not None else {
+            prev_var: prev_b
+        }
         bindings[evar] = Binding("edge", eb_label, [SRC, DST, *eprops])
         bindings[nvar] = Binding("node", nb_label, nprops_all or [])
         out = Frame(df, bindings)
@@ -911,3 +996,91 @@ def _split_and(e: A.Expr) -> list[A.Expr]:
     if isinstance(e, A.Binary) and e.op == "AND":
         return _split_and(e.left) + _split_and(e.right)
     return [e]
+
+
+def _expr_vars(e, out: dict) -> None:
+    if e is None:
+        return
+    if isinstance(e, A.Var):
+        out[e.name] = out.get(e.name, 0) + 2
+    elif isinstance(e, A.Prop):
+        out[e.var.split(".")[0]] = out.get(e.var.split(".")[0], 0) + 2
+    elif isinstance(e, A.Binary):
+        _expr_vars(e.left, out)
+        _expr_vars(e.right, out)
+    elif isinstance(e, A.Unary):
+        _expr_vars(e.operand, out)
+    elif isinstance(e, A.IsPredicate):
+        _expr_vars(e.operand, out)
+    elif isinstance(e, A.Case):
+        _expr_vars(e.operand, out)
+        for c, r in e.whens:
+            _expr_vars(c, out)
+            _expr_vars(r, out)
+        _expr_vars(e.else_, out)
+    elif isinstance(e, A.Cast):
+        _expr_vars(e.operand, out)
+    elif isinstance(e, A.Index):
+        _expr_vars(e.operand, out)
+        _expr_vars(e.index, out)
+    elif isinstance(e, A.ListLiteral):
+        for i in e.items:
+            _expr_vars(i, out)
+    elif isinstance(e, A.FuncCall):
+        for a in e.args:
+            _expr_vars(a, out)
+    elif isinstance(e, A.ExistsSubquery):
+        for p in e.patterns:
+            _pattern_vars(p, out)
+        _expr_vars(e.where, out)
+
+
+def _pattern_vars(p: A.PathPattern, out: dict) -> None:
+    for el in p.elements:
+        var = getattr(el, "var", None)
+        if var:
+            out[var] = out.get(var, 0) + 1
+        for pe in getattr(el, "props", {}).values():
+            _expr_vars(pe, out)
+
+
+def referenced_vars(q: A.Query) -> set[str]:
+    """Variables that must be materialized: referenced by an expression,
+    returned, or used as a join key (>=2 pattern occurrences). Anything
+    else is a structural placeholder whose node-table join can be elided
+    (graph invariant: edges reference existing, unique node ids)."""
+    counts: dict[str, int] = {}
+    star = False
+    for cl in q.clauses:
+        if isinstance(cl, A.MatchClause):
+            for p in cl.patterns:
+                _pattern_vars(p, counts)
+            _expr_vars(cl.where, counts)
+        elif isinstance(cl, A.WithClause):
+            if getattr(cl, "carry_all", False):
+                star = True
+            for it in cl.items:
+                if isinstance(it.expr, A.Var) and it.expr.name == "*":
+                    star = True
+                else:
+                    _expr_vars(it.expr, counts)
+            _expr_vars(cl.where, counts)
+            for s_ in cl.order_by:
+                _expr_vars(s_.expr, counts)
+        elif isinstance(cl, A.UnwindClause):
+            _expr_vars(cl.expr, counts)
+        elif isinstance(cl, A.ReturnClause):
+            for it in cl.items:
+                if isinstance(it.expr, A.Var) and it.expr.name == "*":
+                    star = True
+                else:
+                    _expr_vars(it.expr, counts)
+            for g in cl.group_by:
+                _expr_vars(g, counts)
+            _expr_vars(cl.having, counts)
+            _expr_vars(getattr(cl, "select_where", None), counts)
+            for s_ in cl.order_by:
+                _expr_vars(s_.expr, counts)
+    if star:
+        return {"*"}
+    return {v for v, c in counts.items() if c >= 2}
