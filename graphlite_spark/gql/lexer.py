@@ -4,7 +4,7 @@ Token-based, mirroring the surface the reference accepts (hand-rolled
 lexer at GraphLite `graphlite/src/ast/lexer.rs`, ~1.9k LoC Rust): GQL
 keywords, identifiers (plain + backquoted), numeric/string literals,
 parameters ``$name``, multi-char operators (``<=`` ``>=`` ``<>`` ``=~``
-``~=`` ``||`` ``..``), and ``//`` / ``/* */`` / ``--`` comments.
+``~=`` ``||`` ``..``), and ``//`` and ``/* */`` comments (no ``--``: it collides with ``-->`` edges).
 """
 
 from __future__ import annotations
@@ -35,7 +35,7 @@ KEYWORDS = {
 _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+)
-  | (?P<LINE_COMMENT>//[^\n]*|--[^\n]*)
+  | (?P<LINE_COMMENT>//[^\n]*)
   | (?P<BLOCK_COMMENT>/\*.*?\*/)
   | (?P<NUMBER>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
   | (?P<STRING>'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.)*")

@@ -339,8 +339,12 @@ class Parser:
             ep.quant = (0, 1)
         # closing arrow
         if direction == "in":
-            self.eat_op("-")
-            ep.direction = "in"
+            if self.at_op(">"):  # '<->' lexes as '<-' '>'
+                self.advance()
+                ep.direction = "both"
+            else:
+                self.eat_op("-")
+                ep.direction = "in"
         else:
             if self.at_op("->"):
                 self.advance()

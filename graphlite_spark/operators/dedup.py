@@ -50,16 +50,20 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Pure expressions: sequence + transform + explode, all codegen'd.
     """
+    # NB: sequence(1, 0) is DESCENDING in Spark — guard short/empty texts
     if words:
-        toks = F.split(F.trim(F.col(text_col)), r"\s+")
         arr = F.expr(
-            f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0)),"
-            f" i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i, {n}), ' '))"
+            f"CASE WHEN size(split(trim({text_col}), '\\\\s+')) >= {n} THEN "
+            f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}),"
+            f" i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i, {n}), ' ')) "
+            f"ELSE array() END"
         )
     else:
         arr = F.expr(
-            f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
-            f" i -> substring({text_col}, i, {n}))"
+            f"CASE WHEN length({text_col}) >= {n} THEN "
+            f"transform(sequence(1, length({text_col}) - {n - 1}),"
+            f" i -> substring({text_col}, i, {n})) "
+            f"ELSE array() END"
         )
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle"))

@@ -1,0 +1,255 @@
+"""Behavior tests through the public API on the reference's fixture graphs.
+
+Ported from the reference's integration-test strategy
+(graphlite/tests/dql_tests.rs, aggregation_tests.rs,
+set_operations_tests.rs, match_with_tests.rs — driven via public API
+only, asserting on result rows)."""
+
+from __future__ import annotations
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def one(df):
+    r = rows(df)
+    assert len(r) == 1
+    return r[0]
+
+
+# --- MATCH / WHERE / RETURN (dql_tests.rs:14-145) --------------------------
+
+
+def test_match_all_nodes(simple_db):
+    assert one(simple_db.query("MATCH (n:TestNode) RETURN count(*) AS n")) == (20,)
+
+
+def test_match_where_comparison(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.value >= 150 RETURN n.name AS name ORDER BY name"
+    ))
+    assert got == [("node15",), ("node16",), ("node17",), ("node18",), ("node19",)]
+
+
+def test_match_inline_props(simple_db):
+    assert one(simple_db.query(
+        "MATCH (n:TestNode {name: 'node7'}) RETURN n.value AS v")) == (70,)
+
+
+def test_expand_with_edge_props(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (a:TestNode)-[e:CONNECTS_TO]->(b:TestNode) "
+        "WHERE e.weight > 6 RETURN a.id AS a, b.id AS b, e.weight AS w ORDER BY a"
+    ))
+    assert got == [(7, 8, 7.0), (8, 9, 8.0)]
+
+
+def test_expand_incoming(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (b:TestNode)<-[:CONNECTS_TO]-(a:TestNode) "
+        "WHERE b.id = 5 RETURN a.id AS a"
+    ))
+    assert got == [(4,)]
+
+
+def test_expand_undirected(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode {id: 5})-[:CONNECTS_TO]-(m) RETURN m.id AS m ORDER BY m"
+    ))
+    assert got == [(4,), (6,)]
+
+
+def test_missing_property_is_null(simple_db):
+    got = one(simple_db.query(
+        "MATCH (n:TestNode {id: 1}) RETURN n.nope IS NULL AS missing"))
+    assert got == (True,)
+
+
+def test_order_by_desc_limit_offset(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) RETURN n.id AS id ORDER BY id DESC LIMIT 3 OFFSET 2"))
+    assert got == [(17,), (16,), (15,)]
+
+
+# --- aggregates (aggregation_tests.rs) --------------------------------------
+
+
+def test_aggregates_basic(simple_db):
+    got = one(simple_db.query(
+        "MATCH (n:TestNode) RETURN count(*) AS c, SUM(n.value) AS s, "
+        "AVG(n.value) AS a, MIN(n.value) AS mn, MAX(n.value) AS mx"))
+    assert got == (20, 1900, 95.0, 0, 190)
+
+
+def test_group_by_having(fraud_db):
+    got = rows(fraud_db.query(
+        "MATCH (a:Account) RETURN a.account_type AS t, count(*) AS n "
+        "HAVING count(*) >= 25 ORDER BY t"))
+    assert got == [("checking", 25), ("savings", 25)]
+
+
+def test_count_distinct(fraud_db):
+    got = one(fraud_db.query(
+        "MATCH (a:Account)-[:Purchase]->(m:Merchant) "
+        "RETURN count(DISTINCT m.category) AS n"))
+    assert got == (4,)
+
+
+def test_collect(simple_db):
+    got = one(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.id < 3 "
+        "RETURN LIST_LENGTH(COLLECT(n.name)) AS n"))
+    assert got == (3,)
+
+
+# --- pipelines / UNWIND / set ops -------------------------------------------
+
+
+def test_with_aggregation_pipeline(fraud_db):
+    got = rows(fraud_db.query(
+        "MATCH (a:Account)-[t:Transaction]->(b:Account) "
+        "WITH a.account_id AS src, count(*) AS n WHERE n >= 2 "
+        "RETURN src AS src, n AS n ORDER BY n DESC, src LIMIT 5"))
+    assert all(n >= 2 for _, n in got)
+    assert got == sorted(got, key=lambda r: (-r[1], r[0]))
+
+
+def test_unwind(simple_db):
+    got = rows(simple_db.query("UNWIND [3, 1, 2] AS x RETURN x AS x ORDER BY x"))
+    assert got == [(1,), (2,), (3,)]
+
+
+def test_union_and_distinct(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.id < 3 RETURN n.id AS id "
+        "UNION MATCH (n:TestNode) WHERE n.id < 2 RETURN n.id AS id"))
+    assert sorted(got) == [(0,), (1,), (2,)]
+
+
+def test_except_all(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.id < 5 RETURN n.id AS id "
+        "EXCEPT MATCH (n:TestNode) WHERE n.id < 2 RETURN n.id AS id"))
+    assert sorted(got) == [(2,), (3,), (4,)]
+
+
+# --- subqueries / optional ---------------------------------------------------
+
+
+def test_exists_semi_join(simple_db):
+    # nodes with an outgoing edge: ids 0..8
+    got = one(simple_db.query(
+        "MATCH (n:TestNode) WHERE EXISTS {(n)-[:CONNECTS_TO]->(m:TestNode)} "
+        "RETURN count(*) AS n"))
+    assert got == (9,)
+
+
+def test_not_exists_anti_join(simple_db):
+    got = one(simple_db.query(
+        "MATCH (n:TestNode) WHERE NOT EXISTS {(n)-[:CONNECTS_TO]->(m:TestNode)} "
+        "RETURN count(*) AS n"))
+    assert got == (11,)
+
+
+def test_optional_match_null_padding(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) OPTIONAL MATCH (n)-[:CONNECTS_TO]->(m:TestNode) "
+        "RETURN n.id AS id, m.id AS next ORDER BY id"))
+    assert len(got) == 20
+    assert got[0] == (0, 1) and got[19] == (19, None)
+
+
+# --- variable-length paths ----------------------------------------------------
+
+
+def test_varlen_exact(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (a:TestNode {id: 0})-[:CONNECTS_TO]{3}->(b:TestNode) "
+        "RETURN b.id AS b"))
+    assert got == [(3,)]
+
+
+def test_varlen_range(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (a:TestNode {id: 2})-[:CONNECTS_TO]{1,3}->(b:TestNode) "
+        "RETURN b.id AS b ORDER BY b"))
+    assert got == [(3,), (4,), (5,)]
+
+
+def test_varlen_zero_allows_self(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (a:TestNode {id: 2})-[:CONNECTS_TO]{0,1}->(b:TestNode) "
+        "RETURN b.id AS b ORDER BY b"))
+    assert got == [(2,), (3,)]
+
+
+# --- expressions ---------------------------------------------------------------
+
+
+def test_case_and_cast(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.id < 4 "
+        "RETURN n.id AS id, CASE WHEN n.value >= 20 THEN 'hi' ELSE 'lo' END AS b, "
+        "CAST(n.id AS STRING) AS s ORDER BY id"))
+    assert got == [(0, "lo", "0"), (1, "lo", "1"), (2, "hi", "2"), (3, "hi", "3")]
+
+
+def test_string_predicates(simple_db):
+    got = one(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.name STARTS WITH 'node1' "
+        "AND n.name ENDS WITH '9' AND n.name CONTAINS 'de' RETURN count(*) AS n"))
+    assert got == (1,)  # node19
+
+
+def test_regex_and_like(simple_db):
+    got = one(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.name =~ 'node1[0-2]' RETURN count(*) AS n"))
+    assert got == (3,)
+    got = one(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.name LIKE 'node1_' RETURN count(*) AS n"))
+    assert got == (10,)
+
+
+def test_arith_and_mod(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.id % 7 = 0 AND n.id > 0 "
+        "RETURN n.id AS id, n.value / 2 AS half ORDER BY id"))
+    assert got == [(7, 35.0), (14, 70.0)]
+
+
+def test_entity_identity_comparison(fraud_db):
+    # self-transactions were excluded at fixture build: a <> b always holds
+    got = one(fraud_db.query(
+        "MATCH (a:Account)-[:Transaction]->(b:Account) "
+        "WHERE a = b RETURN count(*) AS n"))
+    assert got == (0,)
+
+
+def test_id_labels_type_functions(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (a:TestNode {id: 0})-[e:CONNECTS_TO]->(b) "
+        "RETURN ID(a) AS ida, TYPE(e) AS t, LABELS(a)[1] AS lbl"))
+    assert got == [(0, "CONNECTS_TO", "TestNode")]
+
+
+def test_three_valued_logic(simple_db):
+    # NULL comparisons propagate, IS NULL catches them
+    got = one(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.nope > 5 RETURN count(*) AS n"))
+    assert got == (0,)
+    got = one(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.nope IS NULL RETURN count(*) AS n"))
+    assert got == (20,)
+
+
+def test_multiple_patterns_shared_var(fraud_db):
+    got = one(fraud_db.query(
+        "MATCH (a:Account)-[:Transaction]->(b:Account), "
+        "(a)-[:Purchase]->(m:Merchant) "
+        "WHERE m.category = 'travel' RETURN count(*) AS n"))
+    exp = one(fraud_db.query(
+        "MATCH (a:Account)-[:Transaction]->(b:Account) "
+        "MATCH (a)-[:Purchase]->(m:Merchant) "
+        "WHERE m.category = 'travel' RETURN count(*) AS n"))
+    assert got == exp and got[0] > 0

@@ -1,0 +1,135 @@
+"""Pipeline-operator tests with hand-computable expectations."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "  THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG "),  # case/space dup of 1
+        (6, ""),
+    ]
+    return spark.createDataFrame(data, "doc_id: long, text: string")
+
+
+def test_exact_dedup(docs):
+    from graphlite_spark.operators.dedup import exact_dedup
+
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    # 1 survives (3 and 5 are normalized dups); 2, 4, 6 unique
+    assert kept == [1, 2, 4, 6]
+
+
+def test_exact_dedup_no_normalize(docs):
+    from graphlite_spark.operators.dedup import exact_dedup
+
+    kept = sorted(r.doc_id for r in exact_dedup(docs, normalize=False).collect())
+    assert kept == [1, 2, 4, 5, 6]
+
+
+def test_jaccard_pairs(docs):
+    from graphlite_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True).collect()
+    }
+    # docs 1/3 identical → J=1.0; 1/2 and 2/3 differ in last word (7 shared of 7+7 shingles... J=6/8)
+    assert pairs[(1, 3)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any({4, 6} & set(k) for k in pairs)
+
+
+def test_minhash_lsh_recall(docs):
+    from graphlite_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(docs, n=3, threshold=0.5, words=True).collect()}
+    assert lsh <= exact  # exact-verified: no false positives
+    assert (1, 3) in lsh  # identical docs always collide
+
+
+def test_simhash_identical(docs):
+    from graphlite_spark.operators.dedup import simhash_pairs
+
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           simhash_pairs(docs, max_hamming=10, n=3, words=True).collect()}
+    assert got.get((1, 3)) == 0
+
+
+def test_token_count(docs):
+    from graphlite_spark.operators.text import token_count
+
+    by_id = {r.doc_id: r for r in token_count(docs).collect()}
+    assert by_id[1].n_tokens == 9
+    assert by_id[6].n_tokens == 0
+    assert by_id[1].n_chars == len("the quick brown fox jumps over the lazy dog")
+    # subwords: ceil(len/4) per token: the=1 quick=2 brown=2 fox=1 jumps=2
+    # over=1 the=1 lazy=1 dog=1 → 12
+    assert by_id[1].n_subwords == 12
+
+
+def test_lang_id(docs, spark):
+    from graphlite_spark.operators.text import lang_id
+
+    extra = spark.createDataFrame(
+        [(10, "der hund und die katze und das haus"),
+         (11, "le chat et la maison et les arbres"),
+         (12, "xyzzy plugh")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.lang_guess for r in lang_id(extra).collect()}
+    assert got == {10: "de", 11: "fr", 12: "und"}
+
+
+def test_fingerprint_order_invariance(spark):
+    from graphlite_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: (r.content_hash, r.shingle_hash) for r in fingerprint(df).collect()}
+    assert got[1][0] != got[2][0]          # different exact content
+    assert got[1][1] == got[2][1]          # same word set
+    assert got[1][1] != got[3][1]
+
+
+def test_cosine_topk_exact(spark):
+    from graphlite_spark.operators.similarity import cosine_topk
+
+    items = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "query_id: long, embedding: array<double>")
+    got = [(r.item_id, r.score) for r in
+           cosine_topk(items, q, k=2).orderBy("score", ascending=False).collect()]
+    assert [i for i, _ in got] == [2, 3]
+    assert got[0][1] > 0.99
+
+
+def test_lsh_ann_subset_of_exact(spark):
+    import random
+
+    from graphlite_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    rng = random.Random(7)
+    items = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(100)],
+        "vec_id: long, embedding: array<double>",
+    )
+    q = items.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+    exact = [r.item_id for r in cosine_topk(items, q, k=5).collect()]
+    # few planes for tiny data: 2^4 buckets over 100 items keeps recall up
+    approx = [r.item_id for r in
+              lsh_ann_topk(items, q, k=5, dim=16, num_planes=4).collect()]
+    assert len(approx) <= 5 and len(set(approx) & set(exact)) >= 1
