@@ -435,6 +435,57 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries_df, k=10, dim=64)
 
 
+def _q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import shortest_path_lengths
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    sources = g.nodes_for_label("Event").filter(F.col("event_id") < 10).select("_id")
+    out = shortest_path_lengths(g, "FOLLOWS", sources, max_hops=4)
+    ns = 10**12
+    return out.select(
+        (F.col("root") % ns).alias("src"),
+        (F.col("node") % ns).alias("dst"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import connected_components
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    nodes = g.nodes_for_label("Event").select("_id")
+    out = connected_components(g.edge_type("FOLLOWS").df, nodes, max_iter=30)
+    ns = 10**12
+    return out.select(
+        (F.col("node") % ns).alias("event_id"),
+        (F.col("comp") % ns).alias("component"),
+    )
+
+
+def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphlite_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(_table(spark, sf_dir, "events"), window="5 minutes")
+
+
+def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.streaming.windows import session_windows
+
+    sw = session_windows(_table(spark, sf_dir, "events"), gap="5 minutes")
+    return sw.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, text in _GQL_QUERIES.items():
@@ -451,6 +502,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_fingerprint": _q_fingerprint,
             "cosine_topk": _q_cosine_topk,
             "ann_lsh_topk": _q_ann_lsh,
+            "shortest_paths_bfs": _q_shortest_paths,
+            "connected_components": _q_connected_components,
+            "events_tumbling_counts": _q_tumbling_counts,
+            "sessionization": _q_sessionization,
         }
     )
     return out
@@ -838,6 +893,44 @@ def oracle_sql() -> dict[str, str]:
                        + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END)
                        + 0.3 * least(CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0.0 END * 5, 1.0), 6) AS quality
             FROM m
+        """,
+        "shortest_paths_bfs": """
+            WITH RECURSIVE e AS (
+                SELECT event_id AS s,
+                       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+                FROM events QUALIFY d IS NOT NULL
+            ), walk(root, node, dist) AS (
+                SELECT event_id, event_id, 0 FROM events WHERE event_id < 10
+                UNION ALL
+                SELECT w.root, e.d, w.dist + 1
+                FROM walk w JOIN e ON e.s = w.node WHERE w.dist < 4
+            )
+            SELECT root AS src, node AS dst, CAST(min(dist) AS BIGINT) AS dist
+            FROM walk WHERE dist > 0 GROUP BY root, node
+        """,
+        "connected_components": """
+            SELECT event_id,
+                   min(event_id) OVER (PARTITION BY user_id) AS component
+            FROM events
+        """,
+        "events_tumbling_counts": """
+            SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
+                       AS window_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionization": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL '5 minutes'
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM gaps GROUP BY 1
         """,
         # minhash_lsh_pairs / simhash_pairs / ann_lsh_topk:
         # engine-specific hash/LSH internals — driver records rows-only checks.

@@ -1,0 +1,153 @@
+"""Graph-index operations: BFS shortest paths, reachability, components.
+
+Spark-first analogues of the reference's GraphIndexScan operations
+(FindNeighbors / ShortestPath / IsReachable / PatternMatch — GraphLite
+`graphlite/src/plan/operators/physical.rs:42-67`,
+`storage/indexes/manager.rs:16-130`; mostly roadmap-stubbed there).
+
+Implemented as iterative DataFrame joins: each hop is one equi-join on
+the edge table, frontier deduped per iteration, lineage cut with
+localCheckpoint so plans stay bounded at high iteration counts — the
+standard Pregel-without-Pregel pattern that scales with the shuffle
+machinery (AQE handles frontier skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, PropertyGraph
+
+_CHECKPOINT_EVERY = 4
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 10,
+    directed: bool = True,
+) -> DataFrame:
+    """(root, node, dist) for every node within max_hops of each source.
+
+    edges: (_src, _dst); sources: single-column id frame. dist is the
+    minimum hop count (BFS level). Self rows (root, root, 0) included.
+    """
+    id_col = sources.columns[0]
+    e = edges.select(F.col(SRC).alias("_a"), F.col(DST).alias("_b"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(DST).alias("_a"), F.col(SRC).alias("_b"))
+        ).distinct()
+    visited = sources.select(
+        F.col(id_col).alias("root"),
+        F.col(id_col).alias("node"),
+        F.lit(0).alias("dist"),
+    )
+    frontier = visited
+    for depth in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_a"], "inner")
+            .select(F.col("root"), F.col("_b").alias("node"), F.lit(depth).alias("dist"))
+            .dropDuplicates(["root", "node"])
+            .join(visited.select("root", "node"), ["root", "node"], "left_anti")
+        )
+        if depth % _CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def shortest_path_lengths(
+    graph: PropertyGraph,
+    edge_label: str,
+    sources: DataFrame,
+    max_hops: int = 10,
+    directed: bool = True,
+) -> DataFrame:
+    """ShortestPath over one edge type: (root, node, dist), dist >= 1."""
+    et = graph.edge_type(edge_label)
+    out = bfs_distances(et.df, sources, max_hops, directed)
+    return out.filter(F.col("dist") > 0)
+
+
+def is_reachable(
+    graph: PropertyGraph,
+    edge_label: str,
+    sources: DataFrame,
+    targets: DataFrame,
+    max_hops: int = 10,
+) -> DataFrame:
+    """IsReachable: (root, node) pairs where node (in targets) is reachable
+    from root within max_hops."""
+    t_col = targets.columns[0]
+    d = bfs_distances(graph.edge_type(edge_label).df, sources, max_hops)
+    return d.join(
+        targets.select(F.col(t_col).alias("node")), "node", "left_semi"
+    ).select("root", "node", "dist")
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component): hash-min label propagation over undirected edges.
+
+    component = min node id in the component. Each round combines
+    neighbor-min propagation with pointer jumping (comp := comp[comp]),
+    giving O(log diameter) convergence — the small-star/large-star trick
+    from the MapReduce CC literature, as DataFrame joins.
+    """
+    id_col = nodes.columns[0]
+    e = (
+        edges.select(F.col(SRC).alias("_a"), F.col(DST).alias("_b"))
+        .unionByName(edges.select(F.col(DST).alias("_a"), F.col(SRC).alias("_b")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
+    for it in range(max_iter):
+        nbr_min = (
+            labels.join(e, labels["node"] == e["_a"], "inner")
+            .select(F.col("_b").alias("node"), F.col("comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # pointer jumping: comp := comp[comp] (path compression)
+        m = new_labels.select(
+            F.col("node").alias("_mn"), F.col("comp").alias("_mc")
+        )
+        new_labels = (
+            new_labels.join(m, new_labels["comp"] == m["_mn"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_mc"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # checkpoint every round: the convergence probe below would
+        # otherwise re-execute the whole iterative lineage each time
+        new_labels = new_labels.localCheckpoint(eager=True)
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels

@@ -1,0 +1,103 @@
+"""Streaming (readStream end-to-end) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Copy the events table into a directory so the file stream source
+    can watch it (single-file parquet isn't a valid stream source root)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    from graphlite_spark.datasets.tpch import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(d / "parquet")
+    df.write.mode("overwrite").parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events_stream_dir):
+    from graphlite_spark.streaming.windows import run_stream_to_memory, tumbling_counts
+
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {
+        (r.window_start, r.event_type): r.n
+        for r in tumbling_counts(batch).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    )
+    assert stream.isStreaming
+    run_stream_to_memory(tumbling_counts(stream), "tumbling_test")
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.table("tumbling_test").collect()
+    }
+    assert got == expected and len(got) > 10
+
+
+def test_session_windows_batch(spark, events_stream_dir):
+    from graphlite_spark.streaming.windows import session_windows
+
+    batch = spark.read.parquet(events_stream_dir)
+    got = session_windows(batch, gap="10 minutes").collect()
+    assert len(got) > 0
+    assert all(r.session_end >= r.session_start and r.n_events >= 1 for r in got)
+
+
+def test_stream_dedup_batch_path(spark):
+    from graphlite_spark.streaming.windows import stream_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (1, "a", "2024-01-01 00:01:00"),
+         (2, "b", "2024-01-01 00:02:00")],
+        "id: long, k: string, ts_s: string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    assert stream_dedup(df, ["id"]).count() == 2
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def test_image_features_fake_decode(spark):
+    from graphlite_spark.operators.multimodal import image_features, make_fake_assets
+
+    assets = make_fake_assets(spark, n=6)
+    feats = image_features(assets, deterministic_fake=True).collect()
+    assert len(feats) == 6
+    by_id = {r.asset_id: r for r in feats}
+    assert all(len(r.embedding) == 8 for r in feats)
+    # deterministic: same content → same features on rerun
+    again = {r.asset_id: r for r in
+             image_features(make_fake_assets(spark, n=6),
+                            deterministic_fake=True).collect()}
+    assert by_id[0].embedding == again[0].embedding
+    assert by_id[0].width == again[0].width
+
+
+def test_image_decode_stub_raises(spark):
+    from py4j.protocol import Py4JJavaError
+
+    from graphlite_spark.operators.multimodal import image_features, make_fake_assets
+
+    with pytest.raises(Exception) as ei:
+        image_features(make_fake_assets(spark, n=1)).collect()
+    assert "NotImplementedError" in str(ei.value) or "imaging library" in str(ei.value)
+
+
+def test_sample_frames_expansion(spark):
+    from graphlite_spark.operators.multimodal import make_fake_assets, sample_frames
+
+    assets = make_fake_assets(spark, n=3, modality="video")
+    frames = sample_frames(assets, every_ms=1000, deterministic_fake=True)
+    got = frames.groupBy("asset_id").count().collect()
+    by_id = {r.asset_id: r["count"] for r in got}
+    # duration 5000+1000*i ms → 5, 6, 7 frames
+    assert by_id == {0: 5, 1: 6, 2: 7}
