@@ -4,19 +4,23 @@ Public API mirrors the reference Python SDK
 (`/root/reference/sdk-python/src/graphlite_sdk/connection.py:38-150`):
 
     from graphlite_spark import GraphLiteSpark
-    db = GraphLiteSpark(spark)           # or GraphLiteSpark.open(path)
-    db.register_graph(graph)             # a PropertyGraph
+    db = GraphLiteSpark(spark)                  # in-memory catalog
+    db = GraphLiteSpark.open(spark, "/path")    # parquet-persisted catalog
+    db.register_graph(graph)                    # a PropertyGraph
     df = db.query("MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN ...")
+    db.execute("INSERT (:Person {name: 'Ada'})")
+    db.execute("CREATE GRAPH /app/social")
 
 Queries compile to lazy DataFrames; Catalyst owns physical execution.
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .catalog import CatalogError, GraphCatalog
 from .graph import EdgeType, PropertyGraph
 from .session import get_spark
 
@@ -24,54 +28,180 @@ __all__ = [
     "GraphLiteSpark",
     "PropertyGraph",
     "EdgeType",
+    "GraphCatalog",
     "get_spark",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 class GraphLiteSpark:
-    """Engine facade: graph catalog + GQL entry point."""
+    """Engine facade: catalog + session state + GQL entry points.
 
-    def __init__(self, spark: SparkSession):
+    Statement routing mirrors the reference coordinator
+    (query_coordinator.rs / executor.rs:703-974): queries return
+    DataFrames; DML/DDL return a status dict.
+    """
+
+    def __init__(self, spark: SparkSession, catalog_root: Optional[str] = None):
         self.spark = spark
-        self._graphs: dict[str, PropertyGraph] = {}
-        self._current: str | None = None
+        self.catalog = GraphCatalog(spark, catalog_root)
+        self._current_graph: Optional[str] = None
+        self._txn_snapshot: Optional[dict] = None
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "GraphLiteSpark":
+        """Open (or create) a parquet-persisted catalog — the analogue of
+        GraphLite.open(db_path) in the reference SDK."""
+        return cls(spark, catalog_root=path)
 
     # -- catalog ----------------------------------------------------------
     def register_graph(self, graph: PropertyGraph, name: str | None = None,
                        set_current: bool = True) -> None:
-        name = name or graph.name
-        self._graphs[name] = graph
-        if set_current or self._current is None:
-            self._current = name
+        path = f"/default/{name or graph.name}"
+        if not self.catalog.has_graph(path):
+            self.catalog.create_graph(path, graph)
+        else:
+            schema, gname = self.catalog.split_path(path)
+            self.catalog.schemas[schema][gname] = graph
+        if set_current or self._current_graph is None:
+            self._current_graph = path
 
     def graph(self, name: str | None = None) -> PropertyGraph:
-        name = name or self._current
-        if name is None or name not in self._graphs:
-            raise KeyError(f"no graph {name!r}; registered: {sorted(self._graphs)}")
-        return self._graphs[name]
+        path = name or self._current_graph
+        if path is None:
+            raise CatalogError("no current graph; SESSION SET GRAPH first")
+        return self.catalog.get_graph(path)
 
     def list_graphs(self) -> list[str]:
-        return sorted(self._graphs)
+        return self.catalog.list_graphs()
 
     def use_graph(self, name: str) -> None:
-        if name not in self._graphs:
-            raise KeyError(name)
-        self._current = name
+        self.catalog.get_graph(name)  # validate
+        self._current_graph = name
 
     # -- queries ----------------------------------------------------------
     def query(self, gql: str, params: dict[str, Any] | None = None,
               graph: str | None = None) -> DataFrame:
-        """Compile a GQL query to a DataFrame (lazy)."""
+        """Compile a read query to a DataFrame (lazy)."""
         from .gql.compiler import QueryCompiler
         from .gql.parser import parse
 
         ast = parse(gql)
         return QueryCompiler(self.graph(graph), params).compile(ast)
 
+    def execute(self, gql: str, params: dict[str, Any] | None = None):
+        """Execute any statement. Queries/CALL return a DataFrame; DML/DDL
+        return {'status': ..., 'rows_affected': n}."""
+        from . import dml
+        from .gql import statements as S
+
+        stmt = S.parse_statement(gql)
+        if isinstance(stmt, S.QueryStmt):
+            from .gql.compiler import QueryCompiler
+
+            return QueryCompiler(self.graph(), params).compile(stmt.ast)
+        if isinstance(stmt, S.InsertStmt):
+            n = dml.execute_insert(self.graph(), stmt, params)
+            return {"status": "ok", "rows_affected": n}
+        if isinstance(stmt, S.MatchMutateStmt):
+            n = dml.execute_mutate(self.graph(), stmt, params)
+            return {"status": "ok", "rows_affected": n}
+        if isinstance(stmt, S.CreateSchemaStmt):
+            self.catalog.create_schema(stmt.name, stmt.if_not_exists)
+            return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.DropSchemaStmt):
+            self.catalog.drop_schema(stmt.name, stmt.if_exists)
+            return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.CreateGraphStmt):
+            if stmt.as_query is not None:
+                raise NotImplementedError("CREATE GRAPH AS <query> not supported yet")
+            self.catalog.create_graph(stmt.path, None, stmt.if_not_exists)
+            return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.DropGraphStmt):
+            self.catalog.drop_graph(stmt.path, stmt.if_exists)
+            if self._current_graph is not None:
+                s, g = self.catalog.split_path(stmt.path)
+                if self._current_graph in (stmt.path, f"/{s}/{g}"):
+                    self._current_graph = None
+            return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.SessionSetStmt):
+            if stmt.kind == "GRAPH":
+                self.use_graph(stmt.value if stmt.value.startswith("/")
+                               else f"/default/{stmt.value}")
+            return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.CallStmt):
+            return self._call(stmt, params)
+        if isinstance(stmt, S.TxnStmt):
+            return self._txn(stmt.kind)
+        raise NotImplementedError(type(stmt).__name__)
+
     def explain(self, gql: str, params: dict[str, Any] | None = None) -> str:
         df = self.query(gql, params)
-        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-            df._jdf.queryExecution(), "formatted"
+        return df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
+
+    # -- transactions (optimistic copy-on-write; see dml.py docstring) ------
+    def _txn(self, kind: str):
+        if kind == "START":
+            self._txn_snapshot = {
+                path: (
+                    dict(self.catalog.get_graph(path).nodes),
+                    {k: (v.df, v.src_label, v.dst_label) for k, v in
+                     self.catalog.get_graph(path).edges.items()},
+                )
+                for path in self.catalog.list_graphs()
+            }
+            return {"status": "transaction started", "rows_affected": 0}
+        if kind == "COMMIT":
+            self._txn_snapshot = None
+            return {"status": "committed", "rows_affected": 0}
+        if kind == "ROLLBACK":
+            if self._txn_snapshot is None:
+                return {"status": "no transaction", "rows_affected": 0}
+            from .graph import EdgeType as ET
+
+            for path, (nodes, edges) in self._txn_snapshot.items():
+                if not self.catalog.has_graph(path):
+                    continue
+                g = self.catalog.get_graph(path)
+                g.nodes = dict(nodes)
+                g.edges = {
+                    k: ET(k, df, s, d) for k, (df, s, d) in edges.items()
+                }
+            self._txn_snapshot = None
+            return {"status": "rolled back", "rows_affected": 0}
+        raise ValueError(kind)
+
+    # -- system procedures (catalog/system_procedures.rs:77-91) -------------
+    def _call(self, stmt, params) -> DataFrame:
+        from pyspark.sql import Row
+
+        name = stmt.proc.lower()
+        if name == "gql.list_schemas":
+            rows = [Row(schema=s) for s in self.catalog.list_schemas()]
+        elif name == "gql.list_graphs":
+            rows = [Row(graph=g) for g in self.catalog.list_graphs()]
+        elif name == "gql.list_functions":
+            from .functions.registry import _SCALARS, AGGREGATES
+
+            rows = [Row(name=n, kind="aggregate") for n in sorted(AGGREGATES)] + [
+                Row(name=n, kind="scalar") for n in sorted(_SCALARS) if not n.startswith("_")
+            ]
+        elif name == "gql.show_session":
+            rows = [Row(key="current_graph", value=str(self._current_graph)),
+                    Row(key="app", value=self.spark.sparkContext.appName)]
+        elif name == "gql.cache_stats":
+            rows = [Row(key="cached_rdds", value=str(len(self.spark.sparkContext._jsc.getPersistentRDDs())))]
+        else:
+            raise NotImplementedError(f"procedure {stmt.proc}")
+        df = self.spark.createDataFrame(rows)
+        if stmt.yield_cols:
+            df = df.select(*stmt.yield_cols)
+        if stmt.where is not None:
+            from .gql.compiler import Binding, ExprCompiler, Frame
+
+            frame = Frame(df, {c: Binding("value") for c in df.columns})
+            df = df.filter(ExprCompiler(frame).compile(stmt.where))
+        return df

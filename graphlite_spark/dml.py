@@ -1,0 +1,235 @@
+"""DML execution: INSERT / MATCH-SET / MATCH-REMOVE / MATCH-DELETE.
+
+Spark-first rendition of the reference write engine (GraphLite
+`graphlite/src/exec/write_engine/operations/{insert,match_set,
+match_delete,match_remove}.rs`): mutations compile to joins against the
+matched-id set and produce NEW node/edge DataFrames (copy-on-write),
+which is also what makes transactions cheap — START TRANSACTION simply
+snapshots the table dict, ROLLBACK restores it (optimistic, last-writer
+-wins; the reference's interactive isolation levels don't map 1:1 and
+this divergence is documented in README).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from .catalog import content_hash_id
+from .graph import DST, ID, SRC, PropertyGraph
+from .gql import ast as A
+from .gql.compiler import CompileError, ExprCompiler, QueryCompiler, _ncol
+from .gql.statements import InsertStmt, MatchMutateStmt
+
+
+class DmlError(ValueError):
+    pass
+
+
+def _literal_props(props: dict[str, A.Expr], params: dict) -> dict[str, Any]:
+    out = {}
+    for k, v in props.items():
+        if isinstance(v, A.Literal):
+            out[k] = v.value
+        elif isinstance(v, A.Param):
+            out[k] = params.get(v.name)
+        elif isinstance(v, A.Unary) and v.op == "-" and isinstance(v.operand, A.Literal):
+            out[k] = -v.operand.value
+        else:
+            raise DmlError("INSERT property values must be literals or parameters")
+    return out
+
+
+def execute_insert(graph: PropertyGraph, stmt: InsertStmt,
+                   params: dict | None = None) -> int:
+    """INSERT node/edge patterns. Entity ids are content hashes of
+    labels+props (insert.rs:87-135 recipe). Appends build new DataFrames
+    (unionByName with missing-column fill) — at scale these become Delta
+    appends; here copy-on-write frames."""
+    params = params or {}
+    spark = graph.spark
+    n_affected = 0
+    for pat in stmt.patterns:
+        elems = pat.elements
+        node_ids: list[str] = []
+        node_labels: list[str] = []
+        # nodes first
+        for el in elems[::2]:
+            if not el.labels:
+                raise DmlError("INSERT node needs a label")
+            label = el.labels[0]
+            props = _literal_props(el.props, params)
+            nid = content_hash_id(el.labels, props)
+            node_ids.append(nid)
+            node_labels.append(label)
+            row = {"_id": nid, **props}
+            new_df = spark.createDataFrame([row])
+            if label in graph.nodes:
+                old = graph.nodes[label]
+                graph.nodes[label] = _union_fill(old, new_df)
+            else:
+                graph.add_nodes(label, new_df, "_id")
+            n_affected += 1
+        # then edges
+        for i, el in enumerate(elems[1::2]):
+            etype = el.types[0] if el.types else None
+            if etype is None:
+                raise DmlError("INSERT edge needs a type")
+            props = _literal_props(el.props, params)
+            src_i, dst_i = (i, i + 1) if el.direction != "in" else (i + 1, i)
+            row = {"_src": node_ids[src_i], "_dst": node_ids[dst_i], **props}
+            new_df = spark.createDataFrame([row])
+            if etype in graph.edges:
+                et = graph.edges[etype]
+                et.df = _union_fill(et.df, new_df)
+            else:
+                graph.add_edges(
+                    etype, new_df, "_src", "_dst",
+                    node_labels[src_i], node_labels[dst_i],
+                )
+            n_affected += 1
+    return n_affected
+
+
+def _union_fill(old, new):
+    """unionByName with schema union (new props become NULL on old rows)."""
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+def _compile_matches(graph: PropertyGraph, matches, params):
+    qc = QueryCompiler(graph, params)
+    qc._referenced = {"*"}  # mutations touch entities: no join elision
+    frame = None
+    for m in matches:
+        frame = qc._compile_match(frame, m)
+    if frame is None:
+        raise DmlError("mutation requires a MATCH")
+    return qc, frame
+
+
+def execute_mutate(graph: PropertyGraph, stmt: MatchMutateStmt,
+                   params: dict | None = None) -> int:
+    params = params or {}
+    qc, frame = _compile_matches(graph, stmt.matches, params)
+
+    if stmt.action == "SET":
+        total = 0
+        for item in stmt.set_items:
+            total += _apply_set(graph, frame, item, params)
+        return total
+    if stmt.action == "REMOVE":
+        total = 0
+        for var, prop in stmt.remove_items:
+            total += _apply_remove(graph, frame, var, prop)
+        return total
+    if stmt.action in ("DELETE", "DETACH_DELETE"):
+        total = 0
+        for var in stmt.delete_vars:
+            total += _apply_delete(graph, frame, var, detach=stmt.action == "DETACH_DELETE")
+        return total
+    raise DmlError(f"unknown action {stmt.action}")
+
+
+def _binding(frame, var):
+    b = frame.bindings.get(var)
+    if b is None:
+        raise DmlError(f"unbound variable {var!r}")
+    return b
+
+
+def _apply_set(graph: PropertyGraph, frame, item, params) -> int:
+    b = _binding(frame, item.var)
+    if b.kind != "node":
+        raise DmlError("SET supports node properties (edge SET: planned)")
+    if item.label is not None:
+        raise DmlError("SET label is not supported yet")
+    label = b.label
+    if label is None:
+        raise DmlError("SET target must have a known label")
+    ec = ExprCompiler(frame, params)
+    new_vals = (
+        frame.df.select(
+            F.col(_ncol(item.var, ID)).alias("__tid"),
+            ec.compile(item.value).alias("__newval"),
+        )
+        .dropDuplicates(["__tid"])
+    )
+    nodes = graph.nodes[label]
+    joined = nodes.join(new_vals, nodes[ID] == F.col("__tid"), "left")
+    if item.prop in nodes.columns:
+        updated = joined.withColumn(
+            item.prop,
+            F.when(F.col("__tid").isNotNull(), F.col("__newval")).otherwise(
+                F.col(item.prop)
+            ),
+        )
+    else:
+        updated = joined.withColumn(
+            item.prop,
+            F.when(F.col("__tid").isNotNull(), F.col("__newval")),
+        )
+    graph.nodes[label] = updated.drop("__tid", "__newval")
+    return new_vals.count()
+
+
+def _apply_remove(graph: PropertyGraph, frame, var, prop) -> int:
+    b = _binding(frame, var)
+    if b.kind != "node" or b.label is None:
+        raise DmlError("REMOVE supports labeled node properties")
+    nodes = graph.nodes[b.label]
+    if prop not in nodes.columns:
+        return 0
+    ids = frame.df.select(F.col(_ncol(var, ID)).alias("__tid")).distinct()
+    joined = nodes.join(ids, nodes[ID] == F.col("__tid"), "left")
+    updated = joined.withColumn(
+        prop, F.when(F.col("__tid").isNotNull(), F.lit(None)).otherwise(F.col(prop))
+    )
+    graph.nodes[b.label] = updated.drop("__tid")
+    return ids.count()
+
+
+def _apply_delete(graph: PropertyGraph, frame, var, detach: bool) -> int:
+    b = _binding(frame, var)
+    if b.kind == "edge":
+        # delete matched edges of this type by (src,dst) pair
+        if b.label is None:
+            raise DmlError("DELETE edge requires a single edge type")
+        et = graph.edges[b.label]
+        pairs = frame.df.select(
+            F.col(_ncol(var, SRC)).alias("__s"), F.col(_ncol(var, DST)).alias("__d")
+        ).distinct()
+        n = pairs.count()
+        et.df = et.df.join(
+            pairs, (et.df[SRC] == F.col("__s")) & (et.df[DST] == F.col("__d")),
+            "left_anti",
+        )
+        return n
+    if b.label is None:
+        raise DmlError("DELETE target must have a known label")
+    ids = frame.df.select(F.col(_ncol(var, ID)).alias("__tid")).distinct()
+    n = ids.count()
+    label = b.label
+    incident = []
+    for ename, et in graph.edges.items():
+        if et.src_label == label or et.dst_label == label:
+            cond_cols = []
+            if et.src_label == label:
+                cond_cols.append(SRC)
+            if et.dst_label == label:
+                cond_cols.append(DST)
+            for c in cond_cols:
+                cnt = et.df.join(ids, et.df[c] == F.col("__tid"), "left_semi")
+                if not cnt.isEmpty():
+                    incident.append((ename, c))
+    if incident and not detach:
+        raise DmlError(
+            f"cannot DELETE {var}: incident edges exist "
+            f"({sorted(set(e for e, _ in incident))}); use DETACH DELETE"
+        )
+    for ename, c in incident:
+        et = graph.edges[ename]
+        et.df = et.df.join(ids, et.df[c] == F.col("__tid"), "left_anti")
+    nodes = graph.nodes[label]
+    graph.nodes[label] = nodes.join(ids, nodes[ID] == F.col("__tid"), "left_anti")
+    return n

@@ -30,6 +30,8 @@ KEYWORDS = {
     "GRAPH", "SCHEMA", "SESSION", "USE", "TYPE", "TYPED",
     # misc
     "BETWEEN", "DIRECTED", "SOURCE", "DESTINATION", "NORMALIZED", "OF",
+    # transactions
+    "START", "COMMIT", "ROLLBACK", "TRANSACTION",
 }
 
 _TOKEN_RE = re.compile(

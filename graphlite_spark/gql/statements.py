@@ -1,0 +1,288 @@
+"""Statement-level GQL: DML / DDL / session / CALL / transactions.
+
+Statement surface per the reference (GraphLite `graphlite/src/ast/
+ast.rs:625-1063`, executor dispatch `exec/executor.rs:703-974`):
+queries route to parser.parse(); everything else parses here into
+small statement objects executed by graphlite_spark.dml.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from .ast import Expr, MatchClause, PathPattern
+from .parser import ParseError, Parser
+
+# ---------------------------------------------------------------------------
+# Statement AST
+
+
+@dataclass
+class QueryStmt:
+    ast: Any  # Query | SetOp
+
+
+@dataclass
+class InsertStmt:
+    patterns: list[PathPattern]
+
+
+@dataclass
+class SetItem:
+    var: str
+    prop: Optional[str]  # None → label set (var:Label)
+    label: Optional[str]
+    value: Optional[Expr]
+
+
+@dataclass
+class MatchMutateStmt:
+    """MATCH ... SET/REMOVE/DELETE (write_engine match_* coordinators)."""
+
+    matches: list[MatchClause]
+    action: str  # SET | REMOVE | DELETE | DETACH_DELETE
+    set_items: list[SetItem] = field(default_factory=list)
+    remove_items: list[tuple[str, str]] = field(default_factory=list)
+    delete_vars: list[str] = field(default_factory=list)
+
+
+@dataclass
+class CreateSchemaStmt:
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class DropSchemaStmt:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class CreateGraphStmt:
+    path: str
+    if_not_exists: bool = False
+    as_query: Optional[Any] = None
+
+
+@dataclass
+class DropGraphStmt:
+    path: str
+    if_exists: bool = False
+
+
+@dataclass
+class SessionSetStmt:
+    kind: str  # GRAPH | SCHEMA | TIME_ZONE
+    value: str
+
+
+@dataclass
+class CallStmt:
+    proc: str
+    args: list[Expr]
+    yield_cols: list[str] = field(default_factory=list)
+    where: Optional[Expr] = None
+
+
+@dataclass
+class TxnStmt:
+    kind: str  # START | COMMIT | ROLLBACK
+
+
+class StatementParser(Parser):
+    def parse_statement(self):
+        t = self.cur
+        if t.kind != "KEYWORD":
+            raise ParseError(f"expected statement, got {t}")
+        k = t.value
+        if k in ("MATCH", "OPTIONAL"):
+            return self._match_or_mutate()
+        if k in ("SELECT", "RETURN", "WITH", "UNWIND", "LET", "FILTER", "FOR"):
+            return QueryStmt(self.parse())
+        if k == "INSERT":
+            self.advance()
+            pats = [self.parse_path_pattern()]
+            while self.at_op(","):
+                self.advance()
+                pats.append(self.parse_path_pattern())
+            self._end()
+            return InsertStmt(pats)
+        if k == "CREATE":
+            self.advance()
+            if self.try_kw("SCHEMA"):
+                ine = self._if_not_exists()
+                return self._done(CreateSchemaStmt(self._path(), ine))
+            if self.try_kw("GRAPH"):
+                ine = self._if_not_exists()
+                path = self._path()
+                as_query = None
+                if self.try_kw("AS"):
+                    as_query = self.parse_set_query()
+                return self._done(CreateGraphStmt(path, ine, as_query))
+            raise ParseError(f"unsupported CREATE target at {self.cur.pos}")
+        if k == "DROP":
+            self.advance()
+            if self.try_kw("SCHEMA"):
+                ie = self._if_exists()
+                return self._done(DropSchemaStmt(self._path(), ie))
+            if self.try_kw("GRAPH"):
+                ie = self._if_exists()
+                return self._done(DropGraphStmt(self._path(), ie))
+            raise ParseError(f"unsupported DROP target at {self.cur.pos}")
+        if k == "SESSION":
+            self.advance()
+            self.eat_kw("SET")
+            if self.try_kw("GRAPH"):
+                return self._done(SessionSetStmt("GRAPH", self._path()))
+            if self.try_kw("SCHEMA"):
+                return self._done(SessionSetStmt("SCHEMA", self._path()))
+            raise ParseError(f"unsupported SESSION SET at {self.cur.pos}")
+        if k == "USE":
+            self.advance()
+            self.try_kw("GRAPH")
+            return self._done(SessionSetStmt("GRAPH", self._path()))
+        if k == "CALL":
+            self.advance()
+            name_parts = [self.ident()]
+            while self.at_op("."):
+                self.advance()
+                name_parts.append(self.ident())
+            args: list[Expr] = []
+            if self.at_op("("):
+                self.advance()
+                while not self.at_op(")"):
+                    args.append(self.parse_expr())
+                    if self.at_op(","):
+                        self.advance()
+                self.eat_op(")")
+            ycols: list[str] = []
+            if self.try_kw("YIELD"):
+                ycols.append(self.ident())
+                while self.at_op(","):
+                    self.advance()
+                    ycols.append(self.ident())
+            where = self.parse_expr() if self.try_kw("WHERE") else None
+            return self._done(CallStmt(".".join(name_parts), args, ycols, where))
+        if k == "START":
+            self.advance()
+            self.try_kw("TRANSACTION")
+            return self._done(TxnStmt("START"))
+        if k == "COMMIT":
+            self.advance()
+            return self._done(TxnStmt("COMMIT"))
+        if k == "ROLLBACK":
+            self.advance()
+            return self._done(TxnStmt("ROLLBACK"))
+        raise ParseError(f"unsupported statement {k} at {t.pos}")
+
+    # -- helpers -----------------------------------------------------------
+    def _end(self):
+        if self.at_op(";"):
+            self.advance()
+        if self.cur.kind != "EOF":
+            raise ParseError(f"trailing input at {self.cur.pos}: {self.cur}")
+
+    def _done(self, stmt):
+        self._end()
+        return stmt
+
+    def _if_not_exists(self) -> bool:
+        if self.at_kw("IF"):  # IF isn't a keyword — identifier path
+            pass
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "IF":
+            self.advance()
+            self.eat_kw("NOT") if self.at_kw("NOT") else None
+            if self.cur.kind == "KEYWORD" and self.cur.value == "EXISTS":
+                self.advance()
+            return True
+        return False
+
+    def _if_exists(self) -> bool:
+        if self.cur.kind == "IDENT" and self.cur.value.upper() == "IF":
+            self.advance()
+            if self.cur.kind == "KEYWORD" and self.cur.value == "EXISTS":
+                self.advance()
+            return True
+        return False
+
+    def _path(self) -> str:
+        """Catalog path: /schema/graph or bare name (ast.rs:726-740)."""
+        parts = []
+        if self.at_op("/"):
+            self.advance()
+            parts.append("")
+        parts.append(self.ident())
+        while self.at_op("/"):
+            self.advance()
+            parts.append(self.ident())
+        return "/".join(parts)
+
+    def _match_or_mutate(self):
+        matches: list[MatchClause] = []
+        while self.at_kw("MATCH") or (self.at_kw("OPTIONAL") and self.peek().value == "MATCH"):
+            optional = self.try_kw("OPTIONAL")
+            self.eat_kw("MATCH")
+            pats = [self.parse_path_pattern()]
+            while self.at_op(","):
+                self.advance()
+                pats.append(self.parse_path_pattern())
+            where = self.parse_expr() if self.try_kw("WHERE") else None
+            matches.append(MatchClause(pats, where, optional))
+        if self.at_kw("SET"):
+            self.advance()
+            items = []
+            while True:
+                var = self.ident()
+                if self.at_op("."):
+                    self.advance()
+                    prop = self.ident()
+                    self.eat_op("=")
+                    items.append(SetItem(var, prop, None, self.parse_expr()))
+                elif self.at_op(":"):
+                    self.advance()
+                    items.append(SetItem(var, None, self.ident(), None))
+                else:
+                    raise ParseError(f"bad SET item at {self.cur.pos}")
+                if self.at_op(","):
+                    self.advance()
+                    continue
+                break
+            return self._done(MatchMutateStmt(matches, "SET", set_items=items))
+        if self.at_kw("REMOVE"):
+            self.advance()
+            items = []
+            while True:
+                var = self.ident()
+                self.eat_op(".")
+                items.append((var, self.ident()))
+                if self.at_op(","):
+                    self.advance()
+                    continue
+                break
+            return self._done(MatchMutateStmt(matches, "REMOVE", remove_items=items))
+        if self.at_kw("DELETE") or self.at_kw("DETACH"):
+            detach = self.try_kw("DETACH")
+            self.eat_kw("DELETE")
+            dvars = [self.ident()]
+            while self.at_op(","):
+                self.advance()
+                dvars.append(self.ident())
+            return self._done(
+                MatchMutateStmt(
+                    matches,
+                    "DETACH_DELETE" if detach else "DELETE",
+                    delete_vars=dvars,
+                )
+            )
+        if self.at_kw("INSERT"):
+            # MATCH ... INSERT pattern (match_insert.rs) — not yet supported
+            raise ParseError("MATCH ... INSERT is not supported yet")
+        # plain query: reparse from the top as a query
+        self.i = 0
+        return QueryStmt(self.parse())
+
+
+def parse_statement(text: str):
+    return StatementParser(text).parse_statement()

@@ -1,0 +1,148 @@
+"""DML / DDL / session / CALL / transaction tests (reference: dml_tests.rs,
+ddl_shared_tests.rs, transactional_set_test.rs, rollback_batch_test.rs)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def db(spark):
+    from graphlite_spark import GraphLiteSpark
+
+    d = GraphLiteSpark(spark)
+    d.execute("CREATE GRAPH /default/g")
+    d.execute("SESSION SET GRAPH /default/g")
+    return d
+
+
+def test_insert_and_match(db):
+    r = db.execute("INSERT (:Person {name: 'Ada', age: 36})")
+    assert r["rows_affected"] == 1
+    db.execute("INSERT (:Person {name: 'Bob', age: 41})")
+    got = db.query("MATCH (p:Person) RETURN p.name AS name ORDER BY name").collect()
+    assert [x.name for x in got] == ["Ada", "Bob"]
+
+
+def test_insert_edge_pattern(db):
+    db.execute(
+        "INSERT (:Person {name: 'Ada'})-[:KNOWS {since: 1840}]->(:Person {name: 'Bob'})"
+    )
+    got = db.query(
+        "MATCH (a:Person)-[k:KNOWS]->(b:Person) "
+        "RETURN a.name AS a, b.name AS b, k.since AS since"
+    ).collect()
+    assert [(r.a, r.b, r.since) for r in got] == [("Ada", "Bob", 1840)]
+
+
+def test_content_hash_ids_are_deterministic(db):
+    from graphlite_spark.catalog import content_hash_id
+
+    a = content_hash_id(["Person"], {"name": "Ada", "age": 36})
+    b = content_hash_id(["Person"], {"age": 36, "name": "Ada"})
+    assert a == b  # property order independent
+    assert a != content_hash_id(["Person"], {"name": "Bob"})
+
+
+def test_match_set_property(db):
+    db.execute("INSERT (:Person {name: 'Ada', age: 36})")
+    db.execute("INSERT (:Person {name: 'Bob', age: 41})")
+    n = db.execute("MATCH (p:Person) WHERE p.name = 'Ada' SET p.age = 37")
+    assert n["rows_affected"] == 1
+    got = {r.name: r.age for r in
+           db.query("MATCH (p:Person) RETURN p.name AS name, p.age AS age").collect()}
+    assert got == {"Ada": 37, "Bob": 41}
+
+
+def test_match_set_new_property(db):
+    db.execute("INSERT (:Person {name: 'Ada'})")
+    db.execute("MATCH (p:Person) SET p.title = 'Countess'")
+    got = db.query("MATCH (p:Person) RETURN p.title AS t").collect()
+    assert got[0].t == "Countess"
+
+
+def test_match_remove(db):
+    db.execute("INSERT (:Person {name: 'Ada', age: 36})")
+    db.execute("MATCH (p:Person) REMOVE p.age")
+    got = db.query("MATCH (p:Person) RETURN p.age IS NULL AS gone").collect()
+    assert got[0].gone is True
+
+
+def test_delete_requires_detach(db):
+    db.execute("INSERT (:Person {name: 'Ada'})-[:KNOWS]->(:Person {name: 'Bob'})")
+    with pytest.raises(Exception, match="DETACH"):
+        db.execute("MATCH (p:Person {name: 'Ada'}) DELETE p")
+    db.execute("MATCH (p:Person {name: 'Ada'}) DETACH DELETE p")
+    got = db.query("MATCH (p:Person) RETURN count(*) AS n").collect()
+    assert got[0].n == 1
+    got = db.query("MATCH (:Person)-[k:KNOWS]->(:Person) RETURN count(*) AS n").collect()
+    assert got[0].n == 0
+
+
+def test_delete_edges_only(db):
+    db.execute("INSERT (:Person {name: 'Ada'})-[:KNOWS]->(:Person {name: 'Bob'})")
+    db.execute("MATCH (:Person)-[k:KNOWS]->(:Person) DELETE k")
+    assert db.query("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 2
+    assert db.query(
+        "MATCH (:Person)-[k:KNOWS]->(:Person) RETURN count(*) AS n"
+    ).collect()[0].n == 0
+
+
+def test_schema_graph_ddl(spark):
+    from graphlite_spark import GraphLiteSpark
+
+    db = GraphLiteSpark(spark)
+    db.execute("CREATE SCHEMA app")
+    db.execute("CREATE GRAPH /app/social")
+    assert "/app/social" in db.list_graphs()
+    db.execute("SESSION SET GRAPH /app/social")
+    db.execute("INSERT (:User {handle: 'x'})")
+    assert db.query("MATCH (u:User) RETURN count(*) AS n").collect()[0].n == 1
+    db.execute("DROP GRAPH /app/social")
+    assert "/app/social" not in db.list_graphs()
+    db.execute("DROP SCHEMA app")
+
+
+def test_call_procedures(db):
+    schemas = [r.schema for r in db.execute("CALL gql.list_schemas()").collect()]
+    assert "default" in schemas
+    graphs = [r.graph for r in db.execute("CALL gql.list_graphs()").collect()]
+    assert "/default/g" in graphs
+    fns = db.execute("CALL gql.list_functions() YIELD name WHERE name = 'UPPER'")
+    assert fns.count() == 1
+    sess = {r.key: r.value for r in db.execute("CALL gql.show_session()").collect()}
+    assert sess["current_graph"] == "/default/g"
+
+
+def test_transaction_rollback(db):
+    db.execute("INSERT (:Person {name: 'Ada'})")
+    db.execute("START TRANSACTION")
+    db.execute("INSERT (:Person {name: 'Eve'})")
+    assert db.query("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 2
+    db.execute("ROLLBACK")
+    assert db.query("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 1
+
+
+def test_transaction_commit(db):
+    db.execute("START TRANSACTION")
+    db.execute("INSERT (:Person {name: 'Eve'})")
+    db.execute("COMMIT")
+    assert db.query("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 1
+
+
+def test_catalog_persistence(spark, tmp_path):
+    from graphlite_spark import GraphLiteSpark
+
+    root = str(tmp_path / "cat")
+    db = GraphLiteSpark.open(spark, root)
+    db.execute("CREATE GRAPH /default/people")
+    db.execute("SESSION SET GRAPH /default/people")
+    db.execute("INSERT (:Person {name: 'Ada'})-[:KNOWS]->(:Person {name: 'Bob'})")
+    db.catalog.save_graph("/default/people")
+
+    db2 = GraphLiteSpark.open(spark, root)
+    db2.execute("SESSION SET GRAPH /default/people")
+    got = db2.query(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS a, b.name AS b"
+    ).collect()
+    assert [(r.a, r.b) for r in got] == [("Ada", "Bob")]
