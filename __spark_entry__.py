@@ -344,6 +344,26 @@ _GQL_QUERIES: dict[str, str] = {
         RETURN ID(n) % 1000000000000 AS nid, TYPE(e) AS etype, LABELS(r)[1] AS rlabel
         ORDER BY nid
     """,
+    "path_variable": """
+        MATCH p = (c:Customer)-[:FROM_NATION]->(n:Nation)
+        WHERE c.c_custkey < 20
+        RETURN c.c_custkey AS custkey, p AS p, SIZE(p) AS path_nodes
+    """,
+    "select_statement_form": """
+        SELECT c.c_mktsegment AS seg, count(*) AS n
+        MATCH (c:Customer)
+        WHERE c.c_acctbal > 2000
+        GROUP BY c.c_mktsegment
+        HAVING count(*) > 10
+        ORDER BY seg
+    """,
+    "quantified_comparison": """
+        MATCH (c:Customer)
+        WHERE c.c_acctbal > ALL([1000.0, 2000.0, 3000.0])
+          AND c.c_nationkey = ANY([1, 2, 3])
+        RETURN c.c_custkey AS custkey
+        ORDER BY custkey
+    """,
 }
 
 _PARAMS: dict[str, dict] = {
@@ -912,6 +932,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    min(event_id) OVER (PARTITION BY user_id) AS component
             FROM events
+        """,
+        "path_variable": """
+            SELECT c_custkey AS custkey,
+                   [3000000000000 + c_custkey, 2000000000000 + c_nationkey] AS p,
+                   CAST(2 AS BIGINT) AS path_nodes
+            FROM customer WHERE c_custkey < 20
+        """,
+        "select_statement_form": """
+            SELECT c_mktsegment AS seg, count(*) AS n FROM customer
+            WHERE c_acctbal > 2000 GROUP BY 1 HAVING count(*) > 10 ORDER BY 1
+        """,
+        "quantified_comparison": """
+            SELECT c_custkey AS custkey FROM customer
+            WHERE c_acctbal > 3000.0 AND c_nationkey IN (1, 2, 3) ORDER BY 1
         """,
         "events_tumbling_counts": """
             SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)

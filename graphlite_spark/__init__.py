@@ -88,6 +88,10 @@ class GraphLiteSpark:
         from .gql.parser import parse
 
         ast = parse(gql)
+        # SELECT ... FROM <graph> overrides the session graph (ast.rs:42-80)
+        graph = getattr(ast, "from_graph", None) or graph
+        if graph is not None and not graph.startswith("/"):
+            graph = f"/default/{graph}"
         return QueryCompiler(self.graph(graph), params).compile(ast)
 
     def execute(self, gql: str, params: dict[str, Any] | None = None):

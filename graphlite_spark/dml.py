@@ -128,7 +128,62 @@ def execute_mutate(graph: PropertyGraph, stmt: MatchMutateStmt,
         for var in stmt.delete_vars:
             total += _apply_delete(graph, frame, var, detach=stmt.action == "DETACH_DELETE")
         return total
+    if stmt.action == "INSERT":
+        return _apply_match_insert(graph, frame, stmt.insert_patterns, params)
     raise DmlError(f"unknown action {stmt.action}")
+
+
+def _apply_match_insert(graph: PropertyGraph, frame, patterns, params) -> int:
+    """MATCH ... INSERT (a)-[:T {..}]->(b): connect matched nodes
+    (match_insert.rs). Node elements must be bound match variables or
+    literal-only new nodes; edges append per distinct endpoint pair."""
+    total = 0
+    for pat in patterns:
+        elems = pat.elements
+        id_exprs = []
+        labels = []
+        for el in elems[::2]:
+            if el.var and el.var in frame.bindings:
+                b = frame.bindings[el.var]
+                if b.kind != "node" or b.label is None:
+                    raise DmlError(f"{el.var!r} is not a labeled node variable")
+                id_exprs.append(F.col(_ncol(el.var, ID)))
+                labels.append(b.label)
+            else:
+                if not el.labels:
+                    raise DmlError("INSERT node needs a label or bound variable")
+                props = _literal_props(el.props, params)
+                nid = content_hash_id(el.labels, props)
+                row = {"_id": nid, **props}
+                new_df = graph.spark.createDataFrame([row])
+                label = el.labels[0]
+                if label in graph.nodes:
+                    graph.nodes[label] = _union_fill(graph.nodes[label], new_df)
+                else:
+                    graph.add_nodes(label, new_df, "_id")
+                id_exprs.append(F.lit(nid))
+                labels.append(label)
+                total += 1
+        for i, el in enumerate(elems[1::2]):
+            if not el.types:
+                raise DmlError("INSERT edge needs a type")
+            etype = el.types[0]
+            props = _literal_props(el.props, params)
+            src_i, dst_i = (i, i + 1) if el.direction != "in" else (i + 1, i)
+            new_edges = frame.df.select(
+                id_exprs[src_i].alias(SRC),
+                id_exprs[dst_i].alias(DST),
+                *[F.lit(v).alias(k) for k, v in props.items()],
+            ).dropDuplicates([SRC, DST])
+            total += new_edges.count()
+            if etype in graph.edges:
+                et = graph.edges[etype]
+                et.df = _union_fill(et.df, new_edges)
+            else:
+                graph.add_edges(
+                    etype, new_edges, SRC, DST, labels[src_i], labels[dst_i]
+                )
+    return total
 
 
 def _binding(frame, var):

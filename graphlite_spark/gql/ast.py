@@ -104,6 +104,18 @@ class Index(Expr):
 
 
 @dataclass
+class Quantified(Expr):
+    """x <op> ALL/ANY/SOME (list-expr) (ast.rs:1319-1334; the reference
+    quantifies over subqueries — we quantify over list values, which the
+    subquery form reduces to after COLLECT)."""
+
+    op: str
+    quant: str  # ALL | ANY | SOME
+    left: Expr
+    right: Expr
+
+
+@dataclass
 class ExistsSubquery(Expr):
     """EXISTS { <pattern> [WHERE ...] } (ast.rs:1249-1260)."""
 

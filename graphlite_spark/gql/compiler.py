@@ -242,6 +242,21 @@ class ExprCompiler:
         # GQL list indexing is 1-based in ISO GQL; element_at is 1-based.
         return F.element_at(c, i.cast("int"))
 
+    def _c_Quantified(self, e: A.Quantified) -> Column:
+        arr = self.compile(e.right)
+        lv = self.compile(e.left)
+        ops = {
+            "=": lambda a, b: a == b, "<>": lambda a, b: a != b,
+            "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+        }
+        if e.op not in ops:
+            raise CompileError(f"quantified comparison with {e.op}")
+        f = ops[e.op]
+        if e.quant == "ALL":
+            return F.forall(arr, lambda v: f(lv, v))
+        return F.exists(arr, lambda v: f(lv, v))
+
     def _c_CountStar(self, e: A.CountStar) -> Column:
         if not self.allow_agg:
             raise CompileError("COUNT(*) outside aggregation context")
@@ -459,6 +474,8 @@ class QueryCompiler:
     def _compile_path(self, pat: A.PathPattern, outer: Optional[dict] = None) -> Frame:
         elems = pat.elements
         node0: A.NodePattern = elems[0]
+        if pat.var is not None:
+            return self._compile_path_with_var(pat, outer)
         # anchor elision: when the first node is an unreferenced structural
         # placeholder and the pattern continues with a typed edge, start the
         # plan at the edge table (one scan instead of scan+join)
@@ -493,6 +510,48 @@ class QueryCompiler:
                 frame, prev_var = self._expand(frame, prev_var, edge, node)
             i += 2
         return frame
+
+    def _compile_path_with_var(
+        self, pat: A.PathPattern, outer: Optional[dict] = None
+    ) -> Frame:
+        """p = (a)-[:T]->(b): bind ``p`` to the ordered array of node ids
+        along the path (GraphLite PathValue is a (node_id, edge_id?) list,
+        value.rs:91-144; edge ids are synthetic here so we carry nodes).
+        Elision is disabled — a path value references every node."""
+        saved = self._referenced
+        self._referenced = {"*"}
+        try:
+            elems = pat.elements
+            node0: A.NodePattern = elems[0]
+            frame = self._scan_node(node0, outer)
+            prev_var = node0.var or self._last_anon
+            pcol = f"__path_{pat.var}"
+            df = frame.df.withColumn(pcol, F.array(F.col(_ncol(prev_var, ID))))
+            frame = Frame(df, frame.bindings)
+            i = 1
+            while i < len(elems):
+                edge: A.EdgePattern = elems[i]
+                node: A.NodePattern = elems[i + 1]
+                if edge.quant is not None:
+                    frame, prev_var = self._expand_varlen(
+                        frame, prev_var, edge, node, path_col=pcol
+                    )
+                else:
+                    frame, prev_var = self._expand(frame, prev_var, edge, node)
+                    frame = Frame(
+                        frame.df.withColumn(
+                            pcol,
+                            F.concat(F.col(pcol), F.array(F.col(_ncol(prev_var, ID)))),
+                        ),
+                        frame.bindings,
+                    )
+                i += 2
+            out_df = frame.df.withColumn(pat.var, F.col(pcol)).drop(pcol)
+            bindings = dict(frame.bindings)
+            bindings[pat.var] = Binding("value")
+            return Frame(out_df, bindings)
+        finally:
+            self._referenced = saved
 
     def _scan_node(self, np: A.NodePattern, outer: Optional[dict] = None) -> Frame:
         var = np.var or _anon()
@@ -683,7 +742,8 @@ class QueryCompiler:
 
     # ---- variable-length paths (SURVEY §2.1 row 4) ---------------------------
     def _expand_varlen(
-        self, frame: Frame, prev_var: str, edge: A.EdgePattern, node: A.NodePattern
+        self, frame: Frame, prev_var: str, edge: A.EdgePattern,
+        node: A.NodePattern, path_col: Optional[str] = None,
     ) -> tuple[Frame, str]:
         """Bounded quantifier {lo,hi}: unrolled iterative joins, one union
         branch per depth (reference does BFS frontier expansion,
@@ -713,6 +773,10 @@ class QueryCompiler:
         base = frame.df.withColumn("__frontier", F.col(_ncol(prev_var, ID))).withColumn(
             "__visited", F.array(F.col(_ncol(prev_var, ID)))
         )
+        if path_col is not None:
+            # ordered traversal (with revisits) for the bound path variable;
+            # __visited stays a set for mode enforcement
+            base = base
         mode = edge.mode
         depth_frames: list[DataFrame] = []
         cur = base
@@ -723,11 +787,15 @@ class QueryCompiler:
                 # with no repeated vertices edges cannot repeat either —
                 # conservative approximation, documented divergence)
                 step = step.filter(~F.array_contains(F.col("__visited"), F.col("__out")))
-            step = (
-                step.withColumn("__frontier", F.col("__out"))
-                .withColumn("__visited", F.array_union(F.col("__visited"), F.array(F.col("__out"))))
-                .drop("__in", "__out")
+            step = step.withColumn("__frontier", F.col("__out")).withColumn(
+                "__visited",
+                F.array_union(F.col("__visited"), F.array(F.col("__out"))),
             )
+            if path_col is not None:
+                step = step.withColumn(
+                    path_col, F.concat(F.col(path_col), F.array(F.col("__out")))
+                )
+            step = step.drop("__in", "__out")
             cur = step
             if depth >= lo:
                 depth_frames.append(step)

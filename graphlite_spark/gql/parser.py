@@ -13,8 +13,8 @@ from __future__ import annotations
 from .ast import (
     Binary, Case, Cast, CountStar, EdgePattern, ExistsSubquery, Expr,
     FuncCall, Index, IsPredicate, ListLiteral, Literal, MatchClause,
-    NodePattern, Param, PathPattern, Prop, Query, ReturnClause, ReturnItem,
-    SetOp, SortItem, Unary, UnwindClause, Var, WithClause,
+    NodePattern, Param, PathPattern, Prop, Quantified, Query, ReturnClause,
+    ReturnItem, SetOp, SortItem, Unary, UnwindClause, Var, WithClause,
 )
 from .lexer import Token, tokenize
 
@@ -78,11 +78,14 @@ class Parser:
 
     # -- entry -------------------------------------------------------------
     def parse(self):
+        self._from_graph = None
         q = self.parse_set_query()
         if self.at_op(";"):
             self.advance()
         if self.cur.kind != "EOF":
             raise ParseError(f"trailing input at {self.cur.pos}: {self.cur}")
+        if self._from_graph:
+            q.from_graph = self._from_graph  # type: ignore[attr-defined]
         return q
 
     def parse_set_query(self):
@@ -142,7 +145,12 @@ class Parser:
                 clauses.append(self._parse_return())
                 break
             elif self.at_kw("SELECT"):
-                clauses.append(self._parse_select())
+                mc, rc, from_graph = self._parse_select()
+                if mc is not None:
+                    clauses.append(mc)
+                clauses.append(rc)
+                if from_graph:
+                    self._from_graph = from_graph
                 break
             else:
                 raise ParseError(f"unexpected {self.cur} at {self.cur.pos}")
@@ -222,14 +230,51 @@ class Parser:
         order_by, skip, limit = self._parse_order_skip_limit()
         return ReturnClause(items, distinct, order_by, skip, limit, group_by, having)
 
-    def _parse_select(self) -> ReturnClause:
-        """SELECT [DISTINCT] items [WHERE] [GROUP BY] [HAVING] [ORDER BY]
-        [LIMIT] — SQL-flavored GQL (ast.rs:42-80). The FROM graph MATCH part
-        is handled by the statement layer; here SELECT acts over the current
-        pipeline frame like RETURN."""
+    def _parse_select(self):
+        """SELECT [DISTINCT] items [FROM graph [MATCH pattern]] [WHERE]
+        [GROUP BY] [HAVING] [ORDER BY] [LIMIT] — SQL-flavored GQL
+        (ast.rs:42-80; executed at executor.rs:3134-3285). Returns
+        (match_clause|None, return_clause, from_graph|None)."""
         self.eat_kw("SELECT")
-        rc = self._parse_return_like_select()
-        return rc
+        distinct = self.try_kw("DISTINCT")
+        items = self._parse_items()
+        from_graph = None
+        patterns = []
+        if self.try_kw("FROM"):
+            parts = []
+            if self.at_op("/"):
+                self.advance()
+                parts.append("")
+            parts.append(self.ident())
+            while self.at_op("/"):
+                self.advance()
+                parts.append(self.ident())
+            from_graph = "/".join(parts)
+        if self.try_kw("MATCH"):
+            patterns.append(self.parse_path_pattern())
+            while self.at_op(","):
+                self.advance()
+                patterns.append(self.parse_path_pattern())
+        where = self.parse_expr() if self.try_kw("WHERE") else None
+        group_by = []
+        having = None
+        if self.at_kw("GROUP"):
+            self.advance()
+            self.eat_kw("BY")
+            group_by.append(self.parse_expr())
+            while self.at_op(","):
+                self.advance()
+                group_by.append(self.parse_expr())
+        if self.try_kw("HAVING"):
+            having = self.parse_expr()
+        order_by, skip, limit = self._parse_order_skip_limit()
+        rc = ReturnClause(items, distinct, order_by, skip, limit, group_by, having)
+        mc = None
+        if patterns:
+            mc = MatchClause(patterns, where)
+        elif where is not None:
+            rc.select_where = where  # type: ignore[attr-defined]
+        return mc, rc, from_graph
 
     def _parse_return_like_select(self) -> ReturnClause:
         distinct = self.try_kw("DISTINCT")
@@ -438,7 +483,14 @@ class Parser:
                 op = self.advance().value
                 if op == "!=":
                     op = "<>"
-                left = Binary(op, left, self._parse_additive())
+                if self.at_kw("ALL", "ANY", "SOME"):
+                    quant = self.advance().value
+                    self.eat_op("(")
+                    right = self.parse_expr()
+                    self.eat_op(")")
+                    left = Quantified(op, quant, left, right)
+                else:
+                    left = Binary(op, left, self._parse_additive())
             elif self.at_kw("IS"):
                 self.advance()
                 negated = self.try_kw("NOT")

@@ -38,13 +38,14 @@ class SetItem:
 
 @dataclass
 class MatchMutateStmt:
-    """MATCH ... SET/REMOVE/DELETE (write_engine match_* coordinators)."""
+    """MATCH ... SET/REMOVE/DELETE/INSERT (write_engine match_* coordinators)."""
 
     matches: list[MatchClause]
-    action: str  # SET | REMOVE | DELETE | DETACH_DELETE
+    action: str  # SET | REMOVE | DELETE | DETACH_DELETE | INSERT
     set_items: list[SetItem] = field(default_factory=list)
     remove_items: list[tuple[str, str]] = field(default_factory=list)
     delete_vars: list[str] = field(default_factory=list)
+    insert_patterns: list[PathPattern] = field(default_factory=list)
 
 
 @dataclass
@@ -277,8 +278,16 @@ class StatementParser(Parser):
                 )
             )
         if self.at_kw("INSERT"):
-            # MATCH ... INSERT pattern (match_insert.rs) — not yet supported
-            raise ParseError("MATCH ... INSERT is not supported yet")
+            # MATCH ... INSERT pattern (match_insert.rs): connect matched
+            # nodes / create nodes per match
+            self.advance()
+            pats = [self.parse_path_pattern()]
+            while self.at_op(","):
+                self.advance()
+                pats.append(self.parse_path_pattern())
+            return self._done(
+                MatchMutateStmt(matches, "INSERT", insert_patterns=pats)
+            )
         # plain query: reparse from the top as a query
         self.i = 0
         return QueryStmt(self.parse())

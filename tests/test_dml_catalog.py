@@ -146,3 +146,45 @@ def test_catalog_persistence(spark, tmp_path):
         "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS a, b.name AS b"
     ).collect()
     assert [(r.a, r.b) for r in got] == [("Ada", "Bob")]
+
+
+def test_match_insert_connects_matched_nodes(db):
+    db.execute("INSERT (:Person {name: 'Ada'})")
+    db.execute("INSERT (:Person {name: 'Bob'})")
+    n = db.execute(
+        "MATCH (a:Person {name: 'Ada'}), (b:Person {name: 'Bob'}) "
+        "INSERT (a)-[:KNOWS {since: 1840}]->(b)"
+    )
+    assert n["rows_affected"] == 1
+    got = db.query(
+        "MATCH (a:Person)-[k:KNOWS]->(b:Person) "
+        "RETURN a.name AS a, b.name AS b, k.since AS s"
+    ).collect()
+    assert [(r.a, r.b, r.s) for r in got] == [("Ada", "Bob", 1840)]
+
+
+def test_select_from_graph(spark):
+    from graphlite_spark import GraphLiteSpark
+
+    db = GraphLiteSpark(spark)
+    db.execute("CREATE GRAPH /default/selftest")
+    db.execute("SESSION SET GRAPH /default/selftest")
+    db.execute("INSERT (:Item {sku: 'a', price: 10})")
+    db.execute("INSERT (:Item {sku: 'b', price: 20})")
+    db.execute("CREATE GRAPH /default/other")
+    db.execute("SESSION SET GRAPH /default/other")
+    # SELECT ... FROM overrides the session graph
+    got = db.query(
+        "SELECT i.sku AS sku, i.price AS price FROM /default/selftest "
+        "MATCH (i:Item) WHERE i.price > 5 ORDER BY sku"
+    ).collect()
+    assert [(r.sku, r.price) for r in got] == [("a", 10), ("b", 20)]
+
+
+def test_quantified_comparison(db):
+    got = db.query(
+        "UNWIND [[1,2,3],[4,5,6]] AS xs "
+        "RETURN xs[1] AS first, 0 < ALL(xs) AS all_pos, 5 = ANY(xs) AS has5"
+    ).collect()
+    rows = sorted([(r.first, r.all_pos, r.has5) for r in got])
+    assert rows == [(1, True, False), (4, True, True)]
