@@ -46,12 +46,16 @@ def main() -> None:
     spark = get_spark(app_name="graphlite-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: initialize codegen, shuffle machinery, and parquet footers
-    # once so per-query timings reflect steady-state throughput
+    # warm-up: initialize codegen, shuffle machinery, parquet footers, and
+    # the engine's graph catalog once so per-query timings reflect
+    # steady-state throughput (a deployment constructs its session once)
     from graphlite_spark.datasets.tpch import load_tables
 
     for df in load_tables(spark, sf_dir).values():
         df.count()
+    entrymod._db(spark, sf_dir).query(
+        "MATCH (r:Region) RETURN count(*) AS n"
+    ).collect()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -139,7 +139,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     band-bucket self-join; no O(n^2) stage anywhere.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, words=words)
+    sh = shingles(df, text_col, id_col, n, words=words).localCheckpoint(eager=False)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+        )
+    )
     band_rows = []
     for b in range(bands):
         band_rows.append(
@@ -167,8 +179,29 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold, words=words)
-    return cand.join(exact, on=["id_a", "id_b"], how="inner")
+    # exact-verify ONLY the candidates: join each side's shingle set and
+    # intersect arrays — O(|candidates| * shingles/doc), not a second
+    # corpus-wide inverted-index join
+    docsets = sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("_set"), F.count("*").alias("_sz")
+    )
+    a = docsets.select(
+        F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"), F.col("_sz").alias("_za")
+    )
+    b = docsets.select(
+        F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"), F.col("_sz").alias("_zb")
+    )
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("_za") + F.col("_zb") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
