@@ -364,6 +364,16 @@ _GQL_QUERIES: dict[str, str] = {
         RETURN c.c_custkey AS custkey
         ORDER BY custkey
     """,
+    "scan_all_labels": """
+        MATCH (x)
+        RETURN count(*) AS n
+    """,
+    "let_filter_pipeline": """
+        MATCH (c:Customer)
+        LET bal2 = c.c_acctbal * 2
+        FILTER bal2 > 9000
+        RETURN count(*) AS n
+    """,
 }
 
 _PARAMS: dict[str, dict] = {
@@ -946,6 +956,16 @@ def oracle_sql() -> dict[str, str]:
         "quantified_comparison": """
             SELECT c_custkey AS custkey FROM customer
             WHERE c_acctbal > 3000.0 AND c_nationkey IN (1, 2, 3) ORDER BY 1
+        """,
+        "scan_all_labels": """
+            SELECT (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+                 + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+                 + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
+                 + (SELECT count(*) FROM events)
+                 + (SELECT count(DISTINCT user_id) FROM events) AS n
+        """,
+        "let_filter_pipeline": """
+            SELECT count(*) AS n FROM customer WHERE c_acctbal * 2 > 9000
         """,
         "events_tumbling_counts": """
             SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)

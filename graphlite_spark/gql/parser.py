@@ -120,6 +120,12 @@ class Parser:
                 e = self.parse_expr()
                 self.eat_kw("AS")
                 clauses.append(UnwindClause(e, self.ident()))
+            elif self.at_kw("FOR"):
+                # FOR x IN <list> (ast.rs:228-265) — UNWIND equivalent
+                self.advance()
+                name = self.ident()
+                self.eat_kw("IN")
+                clauses.append(UnwindClause(self.parse_expr(), name))
             elif self.at_kw("FILTER"):
                 # FILTER <expr> statement (ast.rs:228-265) == WHERE on pipeline
                 self.advance()

@@ -253,3 +253,55 @@ def test_multiple_patterns_shared_var(fraud_db):
         "MATCH (a)-[:Purchase]->(m:Merchant) "
         "WHERE m.category = 'travel' RETURN count(*) AS n"))
     assert got == exp and got[0] > 0
+
+
+# --- path modes on a cyclic graph (ast.rs:276-287 WALK/TRAIL/SIMPLE/ACYCLIC) --
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cycle_db(spark):
+    from graphlite_spark import GraphLiteSpark, PropertyGraph
+
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "id: long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src: long, dst: long"
+    )
+    g = PropertyGraph(spark, name="cycle")
+    g.add_nodes("V", nodes, "id")
+    g.add_edges("E", edges, "src", "dst", "V", "V")
+    db = GraphLiteSpark(spark)
+    db.register_graph(g)
+    return db
+
+
+def test_walk_mode_revisits(cycle_db):
+    # 0→1→2→0→1: 4 hops revisit nodes; WALK allows it
+    got = cycle_db.query(
+        "MATCH (a:V {id: 0})-[:E]{4}->(b:V) RETURN b.id AS b"
+    ).collect()
+    assert [r.b for r in got] == [1]
+
+
+def test_acyclic_mode_stops_at_cycle(cycle_db):
+    got = cycle_db.query(
+        "MATCH ACYCLIC (a:V {id: 0})-[:E]{1,6}->(b:V) RETURN b.id AS b ORDER BY b"
+    ).collect()
+    # 0→1, 0→1→2 only; 0→1→2→0 revisits the start
+    assert [r.b for r in got] == [1, 2]
+
+
+def test_trail_mode(cycle_db):
+    got = cycle_db.query(
+        "MATCH TRAIL (a:V {id: 0})-[:E]{1,6}->(b:V) RETURN count(*) AS n"
+    ).collect()
+    assert got[0].n == 2
+
+
+def test_for_statement_as_unwind(simple_db):
+    got = simple_db.query(
+        "FOR x IN [5, 6, 7] RETURN x * 10 AS y ORDER BY y"
+    ).collect()
+    assert [r.y for r in got] == [50, 60, 70]
