@@ -80,6 +80,12 @@ class GraphLiteSpark:
         self.catalog.get_graph(name)  # validate
         self._current_graph = name
 
+    def session(self, user: str = "default"):
+        """SDK-style session (sdk-python connection.py:38-150 shape)."""
+        from .sdk import Session
+
+        return Session(self, user)
+
     # -- queries ----------------------------------------------------------
     def query(self, gql: str, params: dict[str, Any] | None = None,
               graph: str | None = None) -> DataFrame:

@@ -127,6 +127,30 @@ class GraphCatalog:
             out.extend(f"/{s}/{g}" for g in sorted(graphs))
         return out
 
+    def graph_union(self, paths: list[str], name: str = "union") -> PropertyGraph:
+        """Union graphs label-by-label (multi_graph.rs create_graph_union,
+        storage_manager.rs:400): same-label node tables union by name with
+        schema merge; same-type edge tables likewise."""
+        out = PropertyGraph(self.spark, name=name)
+        for path in paths:
+            g = self.get_graph(path)
+            for label, df in g.nodes.items():
+                if label in out.nodes:
+                    out.nodes[label] = out.nodes[label].unionByName(
+                        df, allowMissingColumns=True
+                    ).dropDuplicates(["_id"])
+                else:
+                    out.nodes[label] = df
+            for ename, et in g.edges.items():
+                if ename in out.edges:
+                    cur = out.edges[ename]
+                    cur.df = cur.df.unionByName(et.df, allowMissingColumns=True)
+                else:
+                    from .graph import EdgeType
+
+                    out.edges[ename] = EdgeType(ename, et.df, et.src_label, et.dst_label)
+        return out
+
     # -- persistence --------------------------------------------------------
     def _graph_dir(self, schema: str, gname: str) -> str:
         return os.path.join(self.root, schema, gname)

@@ -1,0 +1,79 @@
+"""SDK session / transaction / query-builder surface (sdk-python parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def db(spark):
+    from graphlite_spark import GraphLiteSpark
+
+    d = GraphLiteSpark(spark)
+    d.execute("CREATE GRAPH /default/sdk")
+    d.execute("SESSION SET GRAPH /default/sdk")
+    d.execute("INSERT (:City {name: 'Paris', pop: 2}), (:City {name: 'Rome', pop: 3})")
+    return d
+
+
+def test_session_query_and_params(db):
+    s = db.session("alice")
+    s.set_parameter("minpop", 2)
+    got = s.query(
+        "MATCH (c:City) WHERE c.pop > $minpop RETURN c.name AS name"
+    ).collect()
+    assert [r.name for r in got] == ["Rome"]
+
+
+def test_session_graph_isolation(db):
+    db.execute("CREATE GRAPH /default/other2")
+    s = db.session().use_graph("/default/other2")
+    s.execute("INSERT (:City {name: 'Oslo'})")
+    # session graph got the insert, db current graph did not
+    assert s.query("MATCH (c:City) RETURN count(*) AS n").collect()[0].n == 1
+    assert db.query("MATCH (c:City) RETURN count(*) AS n").collect()[0].n == 2
+
+
+def test_transaction_context_manager_rollback(db):
+    s = db.session()
+    with pytest.raises(RuntimeError):
+        with s.transaction():
+            s.execute("INSERT (:City {name: 'Berlin'})")
+            raise RuntimeError("boom")
+    assert s.query("MATCH (c:City) RETURN count(*) AS n").collect()[0].n == 2
+
+
+def test_transaction_context_manager_commit(db):
+    s = db.session()
+    with s.transaction():
+        s.execute("INSERT (:City {name: 'Berlin'})")
+    assert s.query("MATCH (c:City) RETURN count(*) AS n").collect()[0].n == 3
+
+
+def test_query_builder(db):
+    s = db.session()
+    q = (
+        s.query_builder()
+        .match_pattern("(c:City)")
+        .where_clause("c.pop >= 2")
+        .return_clause("c.name AS name, c.pop AS pop")
+        .order_by("pop DESC")
+        .limit(1)
+    )
+    text = q.build()
+    assert "MATCH (c:City)" in text and "LIMIT 1" in text
+    got = q.execute().collect()
+    assert [(r.name, r.pop) for r in got] == [("Rome", 3)]
+
+
+def test_graph_union(db):
+    db.execute("CREATE GRAPH /default/g2")
+    s = db.session().use_graph("/default/g2")
+    s.execute("INSERT (:City {name: 'Paris', pop: 2}), (:City {name: 'Lima', pop: 9})")
+    u = db.catalog.graph_union(["/default/sdk", "/default/g2"], name="u")
+    db.register_graph(u, "u")
+    got = db.query(
+        "MATCH (c:City) RETURN c.name AS name ORDER BY name", graph="/default/u"
+    ).collect()
+    # Paris dedups by content-hash identity
+    assert [r.name for r in got] == ["Lima", "Paris", "Rome"]

@@ -101,3 +101,32 @@ def test_sample_frames_expansion(spark):
     by_id = {r.asset_id: r["count"] for r in got}
     # duration 5000+1000*i ms → 5, 6, 7 frames
     assert by_id == {0: 5, 1: 6, 2: 7}
+
+
+def test_stateful_running_totals_stream_matches_batch(spark, events_stream_dir):
+    from graphlite_spark.streaming.stateful import running_totals
+
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {
+        r.key: (r.n_events, round(r.total_value, 4))
+        for r in running_totals(batch).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: take the last emitted row per key
+    rows = spark.sql(
+        "SELECT * FROM running_test"
+    ).collect()
+    last = {}
+    for r in rows:
+        last[r.key] = (r.n_events, round(r.total_value, 4))
+    assert last == expected and len(last) >= 3
