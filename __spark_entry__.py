@@ -498,6 +498,25 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphlite_spark.operators.similarity import cosine_dup_pairs
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(emb, threshold=0.4, exact=True)
+
+
+def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import ivf_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, k=10, n_lists=16, n_probe=4)
+
+
 def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphlite_spark.streaming.windows import tumbling_counts
 
@@ -534,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_lsh_topk": _q_ann_lsh,
             "shortest_paths_bfs": _q_shortest_paths,
             "connected_components": _q_connected_components,
+            "cosine_dup_pairs": _q_cosine_dup,
+            "ivf_ann_topk": _q_ivf_ann,
             "events_tumbling_counts": _q_tumbling_counts,
             "sessionization": _q_sessionization,
         }
@@ -966,6 +987,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "let_filter_pipeline": """
             SELECT count(*) AS n FROM customer WHERE c_acctbal * 2 > 9000
+        """,
+        "cosine_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "events_tumbling_counts": """
             SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)

@@ -16,6 +16,8 @@ We provide:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against globals
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -111,6 +113,145 @@ def hyperplane_signature(vec_col, dim: int, num_planes: int = 16):
         )
         acc = acc + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
     return acc
+
+
+def cosine_dup_pairs(
+    items: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    dim: int = 64,
+    num_planes: int = 12,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold).
+
+    exact=True: full pair join (the correctness baseline; O(n^2) — fine
+    for verification corpora). exact=False: hyperplane-LSH blocking with
+    multi-probe, then exact cosine verification on candidates only —
+    the 100 TB path (recall < 1 for pairs LSH never buckets together).
+    """
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
+    )
+    if exact:
+        a = it.select(F.col("_iid").alias("id_a"), F.col("_iv").alias("_va"))
+        b = it.select(F.col("_iid").alias("id_b"), F.col("_iv").alias("_vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = it.withColumn(
+            "_b0", hyperplane_signature(F.col("_iv"), dim, num_planes)
+        )
+        probes = F.array(
+            F.col("_b0"),
+            *[F.col("_b0").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+        )
+        x = bucketed.select(
+            F.col("_iid").alias("id_a"), F.col("_iv").alias("_va"),
+            F.explode(probes).alias("_bucket"),
+        )
+        y = bucketed.select(
+            F.col("_iid").alias("id_b"), F.col("_iv").alias("_vb"),
+            F.col("_b0").alias("_bucket"),
+        )
+        pairs = (
+            x.join(y, "_bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.withColumn("_score", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_score") >= threshold)
+        .select("id_a", "id_b", F.round("_score", 6).alias("score"))
+    )
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: n_lists centroids chosen deterministically (items
+    with the smallest xxhash64(id) — a uniform reproducible sample),
+    refined with one Lloyd step (mean of assigned vectors — a single
+    groupBy). Items live in their nearest centroid's list; a query scores
+    only its n_probe nearest lists. Assignment uses an Arrow-vectorized
+    pandas UDF (numpy matmul) — the one place built-ins can't express a
+    k-way argmin economically.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
+    )
+    seeds = (
+        it.withColumn("_h", F.xxhash64(F.col("_iid")))
+        .orderBy("_h")
+        .limit(n_lists)
+        .collect()
+    )
+    cents = np.array([r["_iv"] for r in seeds], dtype="float64")
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    def make_assign(centroids: np.ndarray, top: int):
+        c = centroids
+
+        @pandas_udf("array<int>")
+        def assign(vs: pd.Series) -> pd.Series:
+            m = np.stack(vs.to_numpy())
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ c.T
+            idx = np.argsort(-sims, axis=1)[:, :top]
+            return pd.Series([row.astype("int32").tolist() for row in idx])
+
+        return assign
+
+    # one Lloyd refinement: mean of vectors per list, renormalized
+    assigned = it.withColumn("_list", make_assign(cents, 1)(F.col("_iv"))[0])
+    means = (
+        assigned.groupBy("_list")
+        .agg(F.array(*[
+            F.avg(F.col("_iv")[i]) for i in range(len(cents[0]))
+        ]).alias("_mean"))
+        .collect()
+    )
+    for r in means:
+        v = np.array(r["_mean"], dtype="float64")
+        n = np.linalg.norm(v)
+        if n > 1e-12:
+            cents[r["_list"]] = v / n
+
+    items_assigned = it.withColumn(
+        "_list", make_assign(cents, 1)(F.col("_iv"))[0]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), _as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_probes", make_assign(cents, n_probe)(F.col("_qv")))
+    q = q.select("_qid", "_qv", F.explode("_probes").alias("_list"))
+    scored = (
+        items_assigned.join(q, "_list")
+        .filter(F.col("_iid") != F.col("_qid"))
+        .select("_qid", "_iid", cosine(F.col("_iv"), F.col("_qv")).alias("_score"))
+        .dropDuplicates(["_qid", "_iid"])
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col("_iid"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_iid").alias("item_id"),
+            F.round("_score", 6).alias("score"),
+        )
+    )
 
 
 def lsh_ann_topk(

@@ -133,3 +133,42 @@ def test_lsh_ann_subset_of_exact(spark):
     approx = [r.item_id for r in
               lsh_ann_topk(items, q, k=5, dim=16, num_planes=4).collect()]
     assert len(approx) <= 5 and len(set(approx) & set(exact)) >= 1
+
+
+def test_cosine_dup_pairs_exact_and_lsh(spark):
+    from graphlite_spark.operators.similarity import cosine_dup_pairs
+
+    items = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.0, 1.0, 0.0]),
+         (4, [1.0, 0.001, 0.0]), (5, [-1.0, 0.0, 0.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    exact = {(r.id_a, r.id_b) for r in
+             cosine_dup_pairs(items, threshold=0.99).collect()}
+    assert exact == {(1, 2), (1, 4), (2, 4)}
+    approx = {(r.id_a, r.id_b) for r in
+              cosine_dup_pairs(items, threshold=0.99, exact=False,
+                               dim=3, num_planes=4).collect()}
+    assert approx <= exact and (1, 4) in approx
+
+
+def test_ivf_topk_recall(spark):
+    import random
+
+    from graphlite_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = random.Random(11)
+    items = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id: long, embedding: array<double>",
+    )
+    q = items.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    exact = {}
+    for r in cosine_topk(items, q, k=5).collect():
+        exact.setdefault(r.query_id, []).append(r.item_id)
+    got = {}
+    for r in ivf_topk(items, q, k=5, n_lists=8, n_probe=4).collect():
+        got.setdefault(r.query_id, []).append(r.item_id)
+    # probing half the lists should recover most true neighbors
+    total_overlap = sum(len(set(got.get(k2, [])) & set(v)) for k2, v in exact.items())
+    assert total_overlap >= 8  # of 15
