@@ -364,6 +364,14 @@ _GQL_QUERIES: dict[str, str] = {
         RETURN c.c_custkey AS custkey
         ORDER BY custkey
     """,
+    "text_search_score": """
+        MATCH (d:Document)
+        WHERE d.text CONTAINS 'spark'
+        RETURN d.doc_id AS doc_id,
+               TEXT_SCORE(d.text, 'spark merge join') AS score,
+               HIGHLIGHT_SNIPPET(d.text, 'spark') IS NOT NULL AS has_snippet
+        ORDER BY score DESC, doc_id LIMIT 20
+    """,
     "scan_all_labels": """
         MATCH (x)
         RETURN count(*) AS n
@@ -978,12 +986,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS custkey FROM customer
             WHERE c_acctbal > 3000.0 AND c_nationkey IN (1, 2, 3) ORDER BY 1
         """,
+        "text_search_score": """
+            WITH scored AS (
+                SELECT doc_id,
+                       round((
+                           (length(text) - length(replace(text, 'spark', ''))) / 5.0
+                         + (length(text) - length(replace(text, 'merge', ''))) / 5.0
+                         + (length(text) - length(replace(text, 'join', ''))) / 4.0
+                       ) / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS score
+                FROM documents
+                WHERE contains(text, 'spark')
+            )
+            SELECT doc_id, score, TRUE AS has_snippet
+            FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        """,
         "scan_all_labels": """
             SELECT (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
                  + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
                  + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
                  + (SELECT count(*) FROM events)
-                 + (SELECT count(DISTINCT user_id) FROM events) AS n
+                 + (SELECT count(DISTINCT user_id) FROM events)
+                 + (SELECT count(*) FROM documents) AS n
         """,
         "let_filter_pipeline": """
             SELECT count(*) AS n FROM customer WHERE c_acctbal * 2 > 9000

@@ -48,6 +48,7 @@ class GraphLiteSpark:
         self.catalog = GraphCatalog(spark, catalog_root)
         self._current_graph: Optional[str] = None
         self._txn_snapshot: Optional[dict] = None
+        self._procedures: dict[str, str] = {}
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "GraphLiteSpark":
@@ -144,6 +145,14 @@ class GraphLiteSpark:
             return self._call(stmt, params)
         if isinstance(stmt, S.TxnStmt):
             return self._txn(stmt.kind)
+        if isinstance(stmt, S.CreateProcedureStmt):
+            self._procedures[stmt.name.lower()] = stmt.body
+            return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.DropProcedureStmt):
+            if stmt.name.lower() not in self._procedures and not stmt.if_exists:
+                raise KeyError(f"no procedure {stmt.name!r}")
+            self._procedures.pop(stmt.name.lower(), None)
+            return {"status": "ok", "rows_affected": 0}
         raise NotImplementedError(type(stmt).__name__)
 
     def explain(self, gql: str, params: dict[str, Any] | None = None) -> str:
@@ -189,6 +198,11 @@ class GraphLiteSpark:
         from pyspark.sql import Row
 
         name = stmt.proc.lower()
+        if name in self._procedures:
+            out = self.execute(self._procedures[name], params)
+            if stmt.yield_cols and hasattr(out, "select"):
+                out = out.select(*stmt.yield_cols)
+            return out
         if name == "gql.list_schemas":
             rows = [Row(schema=s) for s in self.catalog.list_schemas()]
         elif name == "gql.list_graphs":

@@ -34,6 +34,7 @@ _LABEL_NS = {
     "Order": 6,
     "Event": 7,
     "User": 8,
+    "Document": 9,
 }
 _NS = 10**12
 
@@ -181,6 +182,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         "Event",
         "Event",
     )
+    nodes("Document", t["documents"], "doc_id")
     edge(
         "PERFORMED",
         ev,

@@ -168,6 +168,10 @@ _SCALARS: dict[str, Callable] = {
     "SIZE": lambda a, r: F.when(a[0].isNull(), F.lit(None)).otherwise(
         F.coalesce(F.size(a[0]).cast("long"), F.length(a[0].cast("string")).cast("long"))
     ),
+    # text search (plan/optimizer.rs:510-751 text-search transform exposes
+    # TEXT_SCORE; here it's an explicit function: occurrence-count TF score)
+    "TEXT_SCORE": lambda a, r: _text_score(a, r),
+    "HIGHLIGHT_SNIPPET": lambda a, r: _highlight(a, r),
     # GQL predicates (special_functions.rs:29-232)
     "ALL_DIFFERENT": lambda a, r: _all_different(a),
     "SAME": lambda a, r: _same(a),
@@ -175,6 +179,37 @@ _SCALARS: dict[str, Callable] = {
     # struct field access helper (compiler internal)
     "_FIELD": lambda a, r: a[0].getField(r[1].value),
 }
+
+
+def _text_score(a, raw):
+    """TEXT_SCORE(text, 'term1 term2 ...'): sum of per-term occurrence
+    counts, normalized by token count. Query must be a string literal so
+    the expression stays JVM-side."""
+    from ..gql import ast as A
+
+    if len(raw) != 2 or not isinstance(raw[1], A.Literal):
+        raise UnknownFunction("TEXT_SCORE(text, 'query literal')")
+    text = a[0]
+    terms = [t for t in str(raw[1].value).split() if t]
+    if not terms:
+        return F.lit(0.0)
+    occ = None
+    for t in terms:
+        cnt = (F.length(text) - F.length(F.replace(text, F.lit(t), F.lit("")))) / F.lit(len(t))
+        occ = cnt if occ is None else occ + cnt
+    ntok = F.greatest(F.size(F.split(F.trim(text), r"\s+")), F.lit(1))
+    return F.round(occ / ntok, 6)
+
+
+def _highlight(a, raw):
+    """First match of the first query term with +/-20 chars of context."""
+    from ..gql import ast as A
+
+    if len(raw) != 2 or not isinstance(raw[1], A.Literal):
+        raise UnknownFunction("HIGHLIGHT_SNIPPET(text, 'query literal')")
+    term = str(raw[1].value).split()[0]
+    pos = F.instr(a[0], term)
+    return F.when(pos > 0, F.substring(a[0], F.greatest(pos - 20, F.lit(1)).cast("int"), 40 + len(term))).otherwise(F.lit(None))
 
 
 def _all_different(a: list[Column]) -> Column:

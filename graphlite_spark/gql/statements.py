@@ -92,6 +92,18 @@ class TxnStmt:
     kind: str  # START | COMMIT | ROLLBACK
 
 
+@dataclass
+class CreateProcedureStmt:
+    name: str
+    body: str  # raw statement text, executed on CALL
+
+
+@dataclass
+class DropProcedureStmt:
+    name: str
+    if_exists: bool = False
+
+
 class StatementParser(Parser):
     def parse_statement(self):
         t = self.cur
@@ -112,6 +124,21 @@ class StatementParser(Parser):
             return InsertStmt(pats)
         if k == "CREATE":
             self.advance()
+            if self.cur.kind == "IDENT" and self.cur.value.upper() == "PROCEDURE":
+                self.advance()
+                name_parts = [self.ident()]
+                while self.at_op("."):
+                    self.advance()
+                    name_parts.append(self.ident())
+                if self.at_op("("):
+                    self.advance()
+                    self.eat_op(")")
+                # body = rest of source text (NEXT-chained statements,
+                # ast.rs:1189-1217 — stored as text, executed on CALL)
+                body = self.text[self.cur.pos:].strip().rstrip(";")
+                if not body:
+                    raise ParseError("CREATE PROCEDURE needs a body")
+                return CreateProcedureStmt(".".join(name_parts), body)
             if self.try_kw("SCHEMA"):
                 ine = self._if_not_exists()
                 return self._done(CreateSchemaStmt(self._path(), ine))
@@ -125,6 +152,14 @@ class StatementParser(Parser):
             raise ParseError(f"unsupported CREATE target at {self.cur.pos}")
         if k == "DROP":
             self.advance()
+            if self.cur.kind == "IDENT" and self.cur.value.upper() == "PROCEDURE":
+                self.advance()
+                ie = self._if_exists()
+                name_parts = [self.ident()]
+                while self.at_op("."):
+                    self.advance()
+                    name_parts.append(self.ident())
+                return self._done(DropProcedureStmt(".".join(name_parts), ie))
             if self.try_kw("SCHEMA"):
                 ie = self._if_exists()
                 return self._done(DropSchemaStmt(self._path(), ie))

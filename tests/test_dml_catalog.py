@@ -188,3 +188,18 @@ def test_quantified_comparison(db):
     ).collect()
     rows = sorted([(r.first, r.all_pos, r.has5) for r in got])
     assert rows == [(1, True, False), (4, True, True)]
+
+
+def test_stored_procedure(db):
+    db.execute("INSERT (:Person {name: 'Ada'})")
+    db.execute(
+        "CREATE PROCEDURE top_people() "
+        "MATCH (p:Person) RETURN p.name AS name ORDER BY name LIMIT 5"
+    )
+    got = db.execute("CALL top_people()").collect()
+    assert [r.name for r in got] == ["Ada"]
+    db.execute("DROP PROCEDURE top_people")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        db.execute("CALL top_people()")
