@@ -49,6 +49,11 @@ class GraphLiteSpark:
         self._current_graph: Optional[str] = None
         self._txn_snapshot: Optional[dict] = None
         self._procedures: dict[str, str] = {}
+        self._graph_types: dict[str, object] = {}
+        # RBAC metadata (catalog-level, no enforcement on local mode —
+        # the reference's security/ module gates sessions the same way)
+        self._users: dict[str, dict] = {"admin": {"roles": ["admin"]}}
+        self._roles: dict[str, dict] = {"admin": {"grants": ["ALL"]}}
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "GraphLiteSpark":
@@ -127,7 +132,24 @@ class GraphLiteSpark:
         if isinstance(stmt, S.CreateGraphStmt):
             if stmt.as_query is not None:
                 raise NotImplementedError("CREATE GRAPH AS <query> not supported yet")
-            self.catalog.create_graph(stmt.path, None, stmt.if_not_exists)
+            g = self.catalog.create_graph(stmt.path, None, stmt.if_not_exists)
+            if stmt.typed:
+                gt = self._graph_types.get(stmt.typed.lower())
+                if gt is None:
+                    raise KeyError(f"no graph type {stmt.typed!r}")
+                g.graph_type = gt
+            return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.CreateGraphTypeStmt):
+            from .graphtypes import parse_graph_type_body
+
+            self._graph_types[stmt.name.lower()] = parse_graph_type_body(
+                stmt.body, stmt.name
+            )
+            return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.DropGraphTypeStmt):
+            if stmt.name.lower() not in self._graph_types and not stmt.if_exists:
+                raise KeyError(f"no graph type {stmt.name!r}")
+            self._graph_types.pop(stmt.name.lower(), None)
             return {"status": "ok", "rows_affected": 0}
         if isinstance(stmt, S.DropGraphStmt):
             self.catalog.drop_graph(stmt.path, stmt.if_exists)
@@ -213,6 +235,18 @@ class GraphLiteSpark:
             rows = [Row(name=n, kind="aggregate") for n in sorted(AGGREGATES)] + [
                 Row(name=n, kind="scalar") for n in sorted(_SCALARS) if not n.startswith("_")
             ]
+        elif name == "gql.list_graph_types":
+            rows = [Row(name=n) for n in sorted(self._graph_types)] or [Row(name=None)]
+            rows = [r for r in rows if r.name is not None]
+            if not rows:
+                return self.spark.createDataFrame([], "name string")
+        elif name == "gql.list_users":
+            rows = [Row(user=u, roles=",".join(d["roles"])) for u, d in sorted(self._users.items())]
+        elif name == "gql.list_roles":
+            rows = [Row(role=r, grants=",".join(d["grants"])) for r, d in sorted(self._roles.items())]
+        elif name == "gql.authenticate_user":
+            user = stmt.args[0].value if stmt.args else "default"
+            rows = [Row(user=user, authenticated=user in self._users)]
         elif name == "gql.show_session":
             rows = [Row(key="current_graph", value=str(self._current_graph)),
                     Row(key="app", value=self.spark.sparkContext.appName)]

@@ -50,6 +50,7 @@ def execute_insert(graph: PropertyGraph, stmt: InsertStmt,
     params = params or {}
     spark = graph.spark
     n_affected = 0
+    gt = graph.graph_type
     for pat in stmt.patterns:
         elems = pat.elements
         node_ids: list[str] = []
@@ -60,6 +61,8 @@ def execute_insert(graph: PropertyGraph, stmt: InsertStmt,
                 raise DmlError("INSERT node needs a label")
             label = el.labels[0]
             props = _literal_props(el.props, params)
+            if gt is not None:
+                gt.validate_node(el.labels, props)
             nid = content_hash_id(el.labels, props)
             node_ids.append(nid)
             node_labels.append(label)
@@ -78,6 +81,10 @@ def execute_insert(graph: PropertyGraph, stmt: InsertStmt,
                 raise DmlError("INSERT edge needs a type")
             props = _literal_props(el.props, params)
             src_i, dst_i = (i, i + 1) if el.direction != "in" else (i + 1, i)
+            if gt is not None:
+                gt.validate_edge(
+                    etype, node_labels[src_i], node_labels[dst_i], props
+                )
             row = {"_src": node_ids[src_i], "_dst": node_ids[dst_i], **props}
             new_df = spark.createDataFrame([row])
             if etype in graph.edges:

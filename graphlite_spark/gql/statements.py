@@ -65,6 +65,19 @@ class CreateGraphStmt:
     path: str
     if_not_exists: bool = False
     as_query: Optional[Any] = None
+    typed: Optional[str] = None  # graph type name
+
+
+@dataclass
+class CreateGraphTypeStmt:
+    name: str
+    body: str  # { (Label {p TYPE}), (A)-[T {p TYPE}]->(B) }
+
+
+@dataclass
+class DropGraphTypeStmt:
+    name: str
+    if_exists: bool = False
 
 
 @dataclass
@@ -143,12 +156,21 @@ class StatementParser(Parser):
                 ine = self._if_not_exists()
                 return self._done(CreateSchemaStmt(self._path(), ine))
             if self.try_kw("GRAPH"):
+                if self.try_kw("TYPE"):
+                    name = self.ident()
+                    body = self.text[self.cur.pos:].strip().rstrip(";")
+                    if not body.startswith("{"):
+                        raise ParseError("CREATE GRAPH TYPE needs a { ... } body")
+                    return CreateGraphTypeStmt(name, body)
                 ine = self._if_not_exists()
                 path = self._path()
+                typed = None
+                if self.try_kw("TYPED"):
+                    typed = self.ident()
                 as_query = None
                 if self.try_kw("AS"):
                     as_query = self.parse_set_query()
-                return self._done(CreateGraphStmt(path, ine, as_query))
+                return self._done(CreateGraphStmt(path, ine, as_query, typed))
             raise ParseError(f"unsupported CREATE target at {self.cur.pos}")
         if k == "DROP":
             self.advance()
@@ -164,6 +186,9 @@ class StatementParser(Parser):
                 ie = self._if_exists()
                 return self._done(DropSchemaStmt(self._path(), ie))
             if self.try_kw("GRAPH"):
+                if self.try_kw("TYPE"):
+                    ie = self._if_exists()
+                    return self._done(DropGraphTypeStmt(self.ident(), ie))
                 ie = self._if_exists()
                 return self._done(DropGraphStmt(self._path(), ie))
             raise ParseError(f"unsupported DROP target at {self.cur.pos}")

@@ -57,6 +57,7 @@ class PropertyGraph:
     nodes: dict[str, DataFrame] = field(default_factory=dict)
     edges: dict[str, EdgeType] = field(default_factory=dict)
     name: str = "graph"
+    graph_type: object | None = None  # GraphTypeSpec when typed (ast.rs:749-812)
 
     # -- construction -----------------------------------------------------
     def add_nodes(self, label: str, df: DataFrame, id_col: str) -> "PropertyGraph":

@@ -203,3 +203,41 @@ def test_stored_procedure(db):
 
     with _pytest.raises(Exception):
         db.execute("CALL top_people()")
+
+
+def test_graph_type_enforcement(spark):
+    from graphlite_spark import GraphLiteSpark
+
+    db = GraphLiteSpark(spark)
+    db.execute(
+        "CREATE GRAPH TYPE social_t { "
+        "(Person {name STRING, age INTEGER}), "
+        "(Person)-[KNOWS {since INTEGER}]->(Person) }"
+    )
+    db.execute("CREATE GRAPH /default/typed TYPED social_t")
+    db.execute("SESSION SET GRAPH /default/typed")
+    db.execute("INSERT (:Person {name: 'Ada', age: 36})")  # valid
+    with pytest.raises(Exception, match="not in graph type"):
+        db.execute("INSERT (:Robot {model: 'T800'})")
+    with pytest.raises(Exception, match="undeclared property"):
+        db.execute("INSERT (:Person {name: 'Bob', height: 180})")
+    with pytest.raises(Exception, match="expects INTEGER"):
+        db.execute("INSERT (:Person {name: 'Eve', age: 'old'})")
+    db.execute(
+        "MATCH (a:Person), (b:Person) INSERT (a)-[:KNOWS {since: 1840}]->(b)"
+    )
+    types = [r.name for r in db.execute("CALL gql.list_graph_types()").collect()]
+    assert types == ["social_t"]
+    db.execute("DROP GRAPH TYPE social_t")
+
+
+def test_rbac_procedures(spark):
+    from graphlite_spark import GraphLiteSpark
+
+    db = GraphLiteSpark(spark)
+    users = {r.user for r in db.execute("CALL gql.list_users()").collect()}
+    assert "admin" in users
+    roles = {r.role for r in db.execute("CALL gql.list_roles()").collect()}
+    assert "admin" in roles
+    auth = db.execute("CALL gql.authenticate_user('admin')").collect()[0]
+    assert auth.authenticated is True
