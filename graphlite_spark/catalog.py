@@ -193,6 +193,68 @@ class GraphCatalog:
         self.schemas.setdefault(schema, {})[gname] = g
         return g
 
+    # -- bucketed persistence (co-located joins at scale) --------------------
+    def save_graph_bucketed(self, path: str, buckets: int = 16) -> None:
+        """Persist via the table catalog with bucketing: node tables
+        bucketed by ``_id``, edge tables by ``_src``. An Expand join
+        (edges._src == nodes._id) over two tables bucketed into the same
+        count then needs NO shuffle on either side — this is the layout a
+        100 TB deployment wants (SURVEY §4.2 partitioning row).
+        """
+        schema, gname = self.split_path(path)
+        g = self.get_graph(path)
+        meta = {"name": gname, "buckets": buckets, "nodes": [], "edges": []}
+        for label, df in g.nodes.items():
+            t = self._bucket_table(schema, gname, "nodes", label)
+            (
+                df.write.mode("overwrite")
+                .bucketBy(buckets, "_id")
+                .sortBy("_id")
+                .saveAsTable(t)
+            )
+            meta["nodes"].append(label)
+        for ename, et in g.edges.items():
+            t = self._bucket_table(schema, gname, "edges", ename)
+            (
+                et.df.write.mode("overwrite")
+                .bucketBy(buckets, "_src")
+                .sortBy("_src")
+                .saveAsTable(t)
+            )
+            meta["edges"].append(
+                {"name": ename, "src": et.src_label, "dst": et.dst_label}
+            )
+        self._bucket_meta = getattr(self, "_bucket_meta", {})
+        self._bucket_meta[(schema, gname)] = meta
+
+    def load_graph_bucketed(self, path: str) -> PropertyGraph:
+        schema, gname = self.split_path(path)
+        meta = getattr(self, "_bucket_meta", {}).get((schema, gname))
+        if meta is None:
+            raise CatalogError(f"no bucketed graph {path!r} in this session")
+        g = PropertyGraph(self.spark, name=gname)
+        for label in meta["nodes"]:
+            g.add_nodes(
+                label,
+                self.spark.table(self._bucket_table(schema, gname, "nodes", label)),
+                "_id",
+            )
+        for e in meta["edges"]:
+            g.add_edges(
+                e["name"],
+                self.spark.table(self._bucket_table(schema, gname, "edges", e["name"])),
+                "_src",
+                "_dst",
+                e["src"],
+                e["dst"],
+            )
+        self.schemas.setdefault(schema, {})[gname] = g
+        return g
+
+    @staticmethod
+    def _bucket_table(schema: str, gname: str, kind: str, name: str) -> str:
+        return f"gl_{schema}_{gname}_{kind}_{name}".lower()
+
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "_catalog.json")
 

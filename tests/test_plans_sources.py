@@ -83,3 +83,35 @@ def test_load_nodes_edges_roundtrip(spark, tmp_path):
         "MATCH (a:N)-[:E]->(b:N) RETURN a.name AS a, b.name AS b ORDER BY a"
     ).collect()
     assert [(r.a, r.b) for r in got] == [("a", "b"), ("b", "c")]
+
+
+def test_bucketed_expand_join_avoids_shuffle(spark):
+    """The scale layout: node table bucketed by _id, edge table by _src,
+    same bucket count — the expand join runs with at most one Exchange
+    (the unbucketed probe side), not two."""
+    from graphlite_spark import GraphLiteSpark, PropertyGraph
+    from graphlite_spark.plans.inspect import summarize
+
+    nodes = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(1000)], "uid: long, name: string"
+    )
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 1000) for i in range(5000)], "src: long, dst: long"
+    )
+    g = PropertyGraph(spark, name="buck")
+    g.add_nodes("U", nodes, "uid")
+    g.add_edges("F", edges, "src", "dst", "U", "U")
+    db = GraphLiteSpark(spark)
+    db.register_graph(g)
+    db.catalog.save_graph_bucketed("/default/buck", buckets=4)
+    gb = db.catalog.load_graph_bucketed("/default/buck")
+    db.register_graph(gb, "buck_b")
+
+    df = db.query(
+        "MATCH (a:U)-[:F]->(b:U) RETURN a.name AS an, b.name AS bn",
+        graph="/default/buck_b",
+    )
+    s = summarize(df)
+    # both joins hit bucketed tables on the bucket key; allow the AQE
+    # top-level exchange but no full two-sided shuffle per join
+    assert s.exchanges <= 2, s.text
