@@ -364,6 +364,17 @@ _GQL_QUERIES: dict[str, str] = {
         RETURN c.c_custkey AS custkey
         ORDER BY custkey
     """,
+    "collect_sorted": """
+        MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        RETURN r.r_name AS region, LIST_SORT(COLLECT(n.n_name)) AS nations
+        ORDER BY region
+    """,
+    "optional_match_agg": """
+        MATCH (c:Customer)
+        OPTIONAL MATCH (c)-[:PLACED]->(o:Order {o_orderstatus: 'P'})
+        RETURN c.c_custkey AS custkey, count(o.o_orderkey) AS n_open
+        ORDER BY custkey
+    """,
     "text_search_score": """
         MATCH (d:Document)
         WHERE d.text CONTAINS 'spark'
@@ -985,6 +996,17 @@ def oracle_sql() -> dict[str, str]:
         "quantified_comparison": """
             SELECT c_custkey AS custkey FROM customer
             WHERE c_acctbal > 3000.0 AND c_nationkey IN (1, 2, 3) ORDER BY 1
+        """,
+        "collect_sorted": """
+            SELECT r.r_name AS region, list_sort(list(n.n_name)) AS nations
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "optional_match_agg": """
+            SELECT c.c_custkey AS custkey, count(o.o_orderkey) AS n_open
+            FROM customer c LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+            GROUP BY 1 ORDER BY 1
         """,
         "text_search_score": """
             WITH scored AS (

@@ -204,8 +204,21 @@ class GraphCatalog:
         schema, gname = self.split_path(path)
         g = self.get_graph(path)
         meta = {"name": gname, "buckets": buckets, "nodes": [], "edges": []}
+
+        def _prep(t: str) -> None:
+            # in-memory catalogs forget tables across sessions but leave the
+            # warehouse dir behind; clear both before (re)creating
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+            wh = self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            import shutil
+
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
         for label, df in g.nodes.items():
             t = self._bucket_table(schema, gname, "nodes", label)
+            _prep(t)
             (
                 df.write.mode("overwrite")
                 .bucketBy(buckets, "_id")
@@ -215,6 +228,7 @@ class GraphCatalog:
             meta["nodes"].append(label)
         for ename, et in g.edges.items():
             t = self._bucket_table(schema, gname, "edges", ename)
+            _prep(t)
             (
                 et.df.write.mode("overwrite")
                 .bucketBy(buckets, "_src")

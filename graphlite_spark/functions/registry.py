@@ -164,6 +164,7 @@ _SCALARS: dict[str, Callable] = {
     "LIST_PREPEND": lambda a, r: F.array_prepend(a[0], a[1]),
     "LIST_LENGTH": lambda a, r: F.size(a[0]).cast("long"),
     "LIST_REVERSE": lambda a, r: F.reverse(a[0]),
+    "LIST_SORT": lambda a, r: F.array_sort(a[0]),
     "RANGE": lambda a, r: F.sequence(a[0].cast("long"), a[1].cast("long"), a[2].cast("long") if len(a) > 2 else F.lit(1).cast("long")),
     "SIZE": lambda a, r: F.when(a[0].isNull(), F.lit(None)).otherwise(
         F.coalesce(F.size(a[0]).cast("long"), F.length(a[0].cast("string")).cast("long"))

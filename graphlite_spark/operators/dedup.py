@@ -73,27 +73,84 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.6, words: bool = True) -> DataFrame:
-    """Exact Jaccard-similar pairs via inverted-index self-join.
+                        threshold: float = 0.6, words: bool = True,
+                        prefix_filter: bool = False) -> DataFrame:
+    """Exact Jaccard-similar pairs (id_a < id_b, jaccard >= threshold).
 
-    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|); intersection counts come from a
-    shuffle on the shingle key (skew-prone on stop-shingles — AQE skew
-    join handles it; at 100 TB also drop ultra-frequent shingles first).
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    Two exact strategies, same results:
+    - prefix_filter=False (default): inverted-index self-join + count
+      grouping. Fewer stages; wins while sum-over-shingles of C(df,2)
+      stays modest.
+    - prefix_filter=True: AllPairs/PPJoin prefix filtering — J(A,B) >= t
+      implies sharing a shingle within each doc's first
+      |d| - ceil(t*|d|) + 1 shingles under a rarest-first global
+      ordering, so only prefixes are indexed and candidates are verified
+      by true set intersection. The candidate join shrinks by ~t and hot
+      stop-shingles land late in the ordering (kills index skew) — the
+      right strategy once the corpus (and per-shingle document
+      frequency) is large.
     """
-    sh = shingles(df, text_col, id_col, n, words=words).cache()
+    if not prefix_filter:
+        sh = shingles(df, text_col, id_col, n, words=words).localCheckpoint(eager=False)
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            a.join(b, on="shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+    from pyspark.sql import Window
+
+    sh = shingles(df, text_col, id_col, n, words=words).localCheckpoint(eager=False)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_df", "shingle")
+            ),
+        )
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(id_col, "shingle")
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    docsets = sh.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("_set"), F.count("*").alias("_sz")
     )
     out = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        cand.join(
+            docsets.select(F.col(id_col).alias("id_a"),
+                           F.col("_set").alias("_sa"), F.col("_sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            docsets.select(F.col(id_col).alias("id_b"),
+                           F.col("_set").alias("_sb"), F.col("_sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),

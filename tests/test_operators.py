@@ -172,3 +172,14 @@ def test_ivf_topk_recall(spark):
     # probing half the lists should recover most true neighbors
     total_overlap = sum(len(set(got.get(k2, [])) & set(v)) for k2, v in exact.items())
     assert total_overlap >= 8  # of 15
+
+
+def test_jaccard_prefix_filter_matches_naive(docs):
+    from graphlite_spark.operators.dedup import ngram_jaccard_pairs
+
+    naive = {(r.id_a, r.id_b, r.jaccard) for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True).collect()}
+    ppj = {(r.id_a, r.id_b, r.jaccard) for r in
+           ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True,
+                               prefix_filter=True).collect()}
+    assert ppj == naive and len(naive) >= 2
