@@ -364,6 +364,14 @@ _GQL_QUERIES: dict[str, str] = {
         RETURN c.c_custkey AS custkey
         ORDER BY custkey
     """,
+    "scalar_subquery": """
+        MATCH (c:Customer)
+        WHERE c.c_acctbal > VALUE {
+            MATCH (x:Customer)
+            RETURN CAST(SUM(CAST(x.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+        }
+        RETURN count(*) AS n
+    """,
     "collect_sorted": """
         MATCH (n:Nation)-[:IN_REGION]->(r:Region)
         RETURN r.r_name AS region, LIST_SORT(COLLECT(n.n_name)) AS nations
@@ -996,6 +1004,12 @@ def oracle_sql() -> dict[str, str]:
         "quantified_comparison": """
             SELECT c_custkey AS custkey FROM customer
             WHERE c_acctbal > 3000.0 AND c_nationkey IN (1, 2, 3) ORDER BY 1
+        """,
+        "scalar_subquery": """
+            SELECT count(*) AS n FROM customer
+            WHERE c_acctbal > (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                FROM customer)
         """,
         "collect_sorted": """
             SELECT r.r_name AS region, list_sort(list(n.n_name)) AS nations

@@ -116,6 +116,15 @@ class Quantified(Expr):
 
 
 @dataclass
+class ScalarSubquery(Expr):
+    """VALUE { <query> }: single-value subquery in an expression
+    (ast.rs ScalarSubquery; executor.rs:1100-1178). Compiled by hoisting:
+    the 1x1 result is broadcast-cross-joined into the frame."""
+
+    query: Any
+
+
+@dataclass
 class ExistsSubquery(Expr):
     """EXISTS { <pattern> [WHERE ...] } (ast.rs:1249-1260)."""
 

@@ -429,7 +429,39 @@ class QueryCompiler:
             frame = self._apply_where(frame, m.where)
         return frame
 
+    def _hoist_scalar_subqueries(self, frame: Frame, exprs):
+        """Replace VALUE { q } nodes with references to a broadcast 1x1
+        result cross-joined into the frame (ScalarSubquery, SURVEY §2.1
+        row 20) — stays fully distributed, no driver collect."""
+        df = frame.df
+        bindings = dict(frame.bindings)
+        changed = False
+
+        def fn(e):
+            nonlocal df, bindings, changed
+            if isinstance(e, A.ScalarSubquery):
+                name = _anon() + "_sc"
+                sub = QueryCompiler(self.graph, self.params).compile(e.query)
+                if len(sub.columns) != 1:
+                    raise CompileError(
+                        f"scalar subquery must return one column, got {sub.columns}"
+                    )
+                sdf = F.broadcast(
+                    sub.select(F.col(sub.columns[0]).alias(name)).limit(1)
+                )
+                df = df.crossJoin(sdf)
+                bindings[name] = Binding("value")
+                changed = True
+                return A.Var(name)
+            return e
+
+        out = [transform_expr(e, fn) for e in exprs]
+        if not changed:
+            return frame, exprs
+        return Frame(df, bindings), out
+
     def _apply_where(self, frame: Frame, where: A.Expr) -> Frame:
+        frame, (where,) = self._hoist_scalar_subqueries(frame, [where])
         """Split top-level conjuncts; EXISTS {...} → semi/anti join
         (the reference unnests the same way, logical_optimizer.rs:285-599)."""
         conjuncts = _split_and(where)
@@ -958,6 +990,13 @@ class QueryCompiler:
         where = getattr(r, "select_where", None)
         if where is not None:
             frame = self._apply_where(frame, where)
+        frame, new_exprs = self._hoist_scalar_subqueries(
+            frame, [i.expr for i in r.items]
+        )
+        r = A.ReturnClause(
+            [A.ReturnItem(e, i.alias) for e, i in zip(new_exprs, r.items)],
+            r.distinct, r.order_by, r.skip, r.limit, r.group_by, r.having,
+        )
         agg = any(has_aggregate(i.expr) for i in r.items) or bool(r.group_by) or (
             r.having is not None
         )
@@ -1058,6 +1097,35 @@ class QueryCompiler:
                 )
             cols.append(c)
         return post.df.orderBy(*cols)
+
+
+def transform_expr(e, fn):
+    """Bottom-up AST rewrite: fn applied to every node, may replace it."""
+    if e is None:
+        return None
+    if isinstance(e, A.Binary):
+        e = A.Binary(e.op, transform_expr(e.left, fn), transform_expr(e.right, fn))
+    elif isinstance(e, A.Unary):
+        e = A.Unary(e.op, transform_expr(e.operand, fn))
+    elif isinstance(e, A.IsPredicate):
+        e = A.IsPredicate(transform_expr(e.operand, fn), e.what, e.negated)
+    elif isinstance(e, A.Case):
+        e = A.Case(
+            transform_expr(e.operand, fn),
+            [(transform_expr(c, fn), transform_expr(r, fn)) for c, r in e.whens],
+            transform_expr(e.else_, fn),
+        )
+    elif isinstance(e, A.Cast):
+        e = A.Cast(transform_expr(e.operand, fn), e.type_name)
+    elif isinstance(e, A.Index):
+        e = A.Index(transform_expr(e.operand, fn), transform_expr(e.index, fn))
+    elif isinstance(e, A.ListLiteral):
+        e = A.ListLiteral([transform_expr(i, fn) for i in e.items])
+    elif isinstance(e, A.FuncCall):
+        e = A.FuncCall(e.name, [transform_expr(a, fn) for a in e.args], e.distinct)
+    elif isinstance(e, A.Quantified):
+        e = A.Quantified(e.op, e.quant, transform_expr(e.left, fn), transform_expr(e.right, fn))
+    return fn(e)
 
 
 def _split_and(e: A.Expr) -> list[A.Expr]:

@@ -678,6 +678,13 @@ class Parser:
             e = self.parse_expr()
             self.eat_op(")")
             return FuncCall("EXTRACT", [Literal(field_name), e])
+        if t.kind == "IDENT" and t.value.upper() == "VALUE" and self.peek().kind == "OP" and self.peek().value == "{":
+            self.advance()
+            self.eat_op("{")
+            sub = self.parse_set_query()
+            self.eat_op("}")
+            from .ast import ScalarSubquery
+            return ScalarSubquery(sub)
         if t.kind == "IDENT" or t.kind == "KEYWORD":
             # function call or bare variable
             name = self.advance().value

@@ -305,3 +305,11 @@ def test_for_statement_as_unwind(simple_db):
         "FOR x IN [5, 6, 7] RETURN x * 10 AS y ORDER BY y"
     ).collect()
     assert [r.y for r in got] == [50, 60, 70]
+
+
+def test_scalar_subquery(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) "
+        "WHERE n.value > VALUE { MATCH (m:TestNode) RETURN AVG(m.value) AS a } "
+        "RETURN count(*) AS n"))
+    assert got == [(10,)]  # values 100..190 above the mean 95
