@@ -372,6 +372,13 @@ _GQL_QUERIES: dict[str, str] = {
         }
         RETURN count(*) AS n
     """,
+    "in_subquery": """
+        MATCH (c:Customer)
+        WHERE c.c_nationkey IN VALUE {
+            MATCH (s:Supplier) RETURN COLLECT(s.s_nationkey) AS ks
+        }
+        RETURN count(*) AS n
+    """,
     "collect_sorted": """
         MATCH (n:Nation)-[:IN_REGION]->(r:Region)
         RETURN r.r_name AS region, LIST_SORT(COLLECT(n.n_name)) AS nations
@@ -1010,6 +1017,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_acctbal > (
                 SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
                 FROM customer)
+        """,
+        "in_subquery": """
+            SELECT count(*) AS n FROM customer
+            WHERE c_nationkey IN (SELECT s_nationkey FROM supplier)
         """,
         "collect_sorted": """
             SELECT r.r_name AS region, list_sort(list(n.n_name)) AS nations

@@ -183,3 +183,22 @@ def test_jaccard_prefix_filter_matches_naive(docs):
            ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True,
                                prefix_filter=True).collect()}
     assert ppj == naive and len(naive) >= 2
+
+
+def test_salted_join_equals_plain_join(spark):
+    from graphlite_spark.operators.skew import hybrid_skew_join, salted_join, top_keys
+
+    probe = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "k: long, v: long"
+    )
+    build = spark.createDataFrame(
+        [(0, "hot"), (1, "warm"), (2, "cold"), (5, "none")], "k: long, tag: string"
+    )
+    plain = {(r.k, r.v, r.tag) for r in probe.join(build, "k").collect()}
+    salted = {(r.k, r.v, r.tag) for r in salted_join(probe, build, "k", salt=8).collect()}
+    assert salted == plain and len(plain) == 300
+
+    hot = top_keys(probe, "k", min_count=100)  # all three keys are "hot" here
+    hybrid = {(r.k, r.v, r.tag) for r in
+              hybrid_skew_join(probe, build, "k", hot, salt=4).collect()}
+    assert hybrid == plain
