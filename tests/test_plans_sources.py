@@ -115,3 +115,26 @@ def test_bucketed_expand_join_avoids_shuffle(spark):
     # both joins hit bucketed tables on the bucket key; allow the AQE
     # top-level exchange but no full two-sided shuffle per join
     assert s.exchanges <= 2, s.text
+
+
+def test_result_formats(spark):
+    import json as _json
+
+    from graphlite_spark.sources.sinks import format_rows, write_results
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, name: string")
+    t = format_rows(df.orderBy("id"), "table")
+    assert "| id" in t and "| 1" in t.replace("  ", " ")
+    j = _json.loads(format_rows(df.orderBy("id"), "json"))
+    assert j == [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    c = format_rows(df.orderBy("id"), "csv")
+    assert c.splitlines()[0] == "id,name" and "1,a" in c
+
+
+def test_write_results_roundtrip(spark, tmp_path):
+    from graphlite_spark.sources.sinks import write_results
+
+    df = spark.createDataFrame([(1, "a")], "id: long, name: string")
+    out = str(tmp_path / "res")
+    write_results(df, out, fmt="parquet")
+    assert spark.read.parquet(out).count() == 1
