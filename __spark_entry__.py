@@ -33,6 +33,9 @@ def _db(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _DB_CACHE:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # temporal functions (year/date_trunc/collect) are session-tz
+        # dependent; the DuckDB oracle is tz-naive -> pin UTC
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         db = GraphLiteSpark(spark)
         db.register_graph(tpch_graph(spark, sf_dir))
         _DB_CACHE[key] = db
@@ -51,6 +54,7 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from graphlite_spark.datasets.tpch import load_table
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, name)
 
 

@@ -285,6 +285,19 @@ class ExprCompiler:
                 if name == "PROPERTIES":
                     return self._c_Var(e.args[0])
         args = [self.compile(a) for a in e.args]
+        if name == "SIZE" and args:
+            # GraphLite SIZE is polymorphic over lists and strings
+            # (graph_functions.rs:253); resolve the argument type against
+            # the frame schema to pick size() vs length()
+            from pyspark.sql.types import ArrayType, MapType
+
+            try:
+                dt = self.frame.df.select(args[0].alias("_t")).schema[0].dataType
+            except Exception:
+                dt = None
+            if isinstance(dt, (ArrayType, MapType)):
+                return F.size(args[0]).cast("long")
+            return F.length(args[0].cast("string")).cast("long")
         return compile_function(name, args, e.args)
 
 

@@ -313,3 +313,63 @@ def test_scalar_subquery(simple_db):
         "WHERE n.value > VALUE { MATCH (m:TestNode) RETURN AVG(m.value) AS a } "
         "RETURN count(*) AS n"))
     assert got == [(10,)]  # values 100..190 above the mean 95
+
+
+def test_function_registry_smoke(simple_db):
+    """Every registered scalar/aggregate is exercised through the engine
+    (execution, not just registration)."""
+    df = simple_db.query("""
+        MATCH (n:TestNode) WHERE n.id = 5
+        RETURN UPPER(n.name) AS f1, LOWER(n.name) AS f2, TRIM('  x ') AS f3,
+               LTRIM('  x') AS f4, RTRIM('x  ') AS f5,
+               SUBSTRING(n.name, 1, 4) AS f6, REPLACE(n.name, 'node', 'N') AS f7,
+               REVERSE(n.name) AS f8, LENGTH(n.name) AS f9,
+               CHAR_LENGTH(n.name) AS f10, CONCAT(n.name, '!') AS f11,
+               SPLIT(n.name, 'o')[1] AS f12, LEFT(n.name, 3) AS f13,
+               RIGHT(n.name, 2) AS f14,
+               ROUND(1.23456, 2) AS g1, ABS(-3) AS g2, CEIL(1.2) AS g3,
+               CEILING(1.2) AS g4, FLOOR(1.8) AS g5, SQRT(16.0) AS g6,
+               POWER(2, 10) AS g7, POW(3, 2) AS g8, LOG(2.718281828) AS g9,
+               LOG10(100.0) AS g10, LOG2(8.0) AS g11, EXP(0.0) AS g12,
+               SIN(0.0) AS g13, COS(0.0) AS g14, TAN(0.0) AS g15,
+               ASIN(0.0) AS g16, ACOS(1.0) AS g17, ATAN(0.0) AS g18,
+               PI() AS g19, SIGN(-5) AS g20, MOD(10, 3) AS g21,
+               DATETIME('2024-03-05 10:30:00') AS t1,
+               DATE('2024-03-05') AS t2,
+               YEAR(DATETIME('2024-03-05')) AS t3,
+               MONTH(DATETIME('2024-03-05')) AS t4,
+               DAY(DATETIME('2024-03-05')) AS t5,
+               EXTRACT(HOUR FROM DATETIME('2024-03-05 10:30:00')) AS t6,
+               DATE_ADD(DATE('2024-03-05'), 10) AS t7,
+               DATE_SUB(DATE('2024-03-05'), 10) AS t8,
+               DATE_TRUNC('month', DATETIME('2024-03-05')) AS t9,
+               AT_TIME_ZONE(DATETIME('2024-03-05 10:00:00'), 'UTC') AS t10,
+               COALESCE(NULL, 7) AS n1, NULLIF(3, 3) IS NULL AS n2,
+               IFNULL(NULL, 'd') AS n3,
+               LIST_CONTAINS([1,2,3], 2) AS l1, LIST_SLICE([1,2,3,4], 2, 2)[1] AS l2,
+               LIST_APPEND([1,2], 3)[3] AS l3, LIST_PREPEND([2,3], 1)[1] AS l4,
+               LIST_LENGTH([1,2,3]) AS l5, LIST_REVERSE([1,2,3])[1] AS l6,
+               LIST_SORT([3,1,2])[1] AS l7, RANGE(1, 3)[2] AS l8,
+               SIZE([1,2]) AS l9, SIZE('abc') AS l10,
+               ALL_DIFFERENT(1, 2, 3) AS p1, SAME(4, 4) AS p2,
+               PROPERTY_EXISTS(n.name) AS p3,
+               TIME_WINDOW(DATETIME('2024-01-01'), DATETIME('2024-02-01')).start AS w1,
+               TEXT_SCORE('a b a', 'a') AS x1
+    """)
+    row = df.collect()[0]
+    assert row.f1 == "NODE5" and row.g6 == 4.0 and row.g21 == 1
+    assert row.t3 == 2024 and row.n1 == 7 and row.n2 is True
+    assert row.l5 == 3 and row.l7 == 1 and row.l8 == 2
+    assert row.p1 is True and row.p2 is True and row.p3 is True
+    assert abs(row.g9 - 1.0) < 1e-6 and row.x1 > 0
+
+
+def test_aggregate_registry_smoke(simple_db):
+    df = simple_db.query("""
+        MATCH (n:TestNode)
+        RETURN STDDEV(n.value) AS sd, VARIANCE(n.value) AS vr,
+               PERCENTILE(n.value, 0.5) AS med,
+               COLLECT(DISTINCT n.id % 2)[1] AS cd
+    """)
+    row = df.collect()[0]
+    assert row.sd > 0 and row.vr > 0 and 80 <= row.med <= 110
