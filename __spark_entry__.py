@@ -406,6 +406,18 @@ _GQL_QUERIES: dict[str, str] = {
         MATCH (x)
         RETURN count(*) AS n
     """,
+    "within_time_window": """
+        MATCH (e:Event)
+        WHERE e.ts WITHIN TIME_WINDOW(DATETIME('2024-01-01 01:00:00'),
+                                      DATETIME('2024-01-01 03:00:00'))
+        RETURN e.event_type AS event_type, count(*) AS n
+        ORDER BY event_type
+    """,
+    "fuzzy_equal": """
+        MATCH (c:Customer)
+        WHERE c.c_mktsegment ~= '  building '
+        RETURN count(*) AS n
+    """,
     "let_filter_pipeline": """
         MATCH (c:Customer)
         LET bal2 = c.c_acctbal * 2
@@ -1061,6 +1073,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "let_filter_pipeline": """
             SELECT count(*) AS n FROM customer WHERE c_acctbal * 2 > 9000
+        """,
+        "within_time_window": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE ts BETWEEN TIMESTAMP '2024-01-01 01:00:00'
+                         AND TIMESTAMP '2024-01-01 03:00:00'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "fuzzy_equal": """
+            SELECT count(*) AS n FROM customer
+            WHERE lower(trim(c_mktsegment)) = lower(trim('  building '))
         """,
         "cosine_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -150,9 +150,23 @@ _SCALARS: dict[str, Callable] = {
     "DAY": lambda a, r: F.dayofmonth(a[0]).cast("long"),
     "TIME_WINDOW": lambda a, r: F.struct(a[0].alias("start"), a[1].alias("end")),
     "DURATION_NUMERIC": lambda a, r: (a[0].cast("double") - a[1].cast("double")) if len(a) == 2 else a[0].cast("double"),
-    # timezone (timezone_functions.rs) — names kept, UTC-normalized engine
+    # DURATION('PT1H30M') -> seconds (ISO-8601 time durations; JVM regex)
+    "DURATION": lambda a, r: (
+        F.coalesce(F.regexp_extract(a[0], r"(\d+(?:\.\d+)?)H", 1).try_cast("double"), F.lit(0.0)) * 3600
+        + F.coalesce(F.regexp_extract(a[0], r"(\d+(?:\.\d+)?)M", 1).try_cast("double"), F.lit(0.0)) * 60
+        + F.coalesce(F.regexp_extract(a[0], r"(\d+(?:\.\d+)?)S", 1).try_cast("double"), F.lit(0.0))
+    ),
+    # timezone (timezone_functions.rs:752 set) — engine normalizes to UTC
     "AT_TIME_ZONE": lambda a, r: F.from_utc_timestamp(a[0], a[1]),
     "CONVERT_TZ": lambda a, r: F.to_utc_timestamp(F.from_utc_timestamp(a[0], a[2]), a[1]),
+    "TIMEZONE": lambda a, r: F.lit("UTC"),
+    "EXTRACT_TIMEZONE": lambda a, r: F.lit("UTC"),
+    "GET_TIMEZONE_NAME": lambda a, r: a[0].cast("string"),
+    "GET_TIMEZONE_ABBREVIATION": lambda a, r: a[0].cast("string"),
+    "GET_TIMEZONE_OFFSET": lambda a, r: (
+        (F.unix_timestamp(F.from_utc_timestamp(a[1], a[0].cast("string")))
+         - F.unix_timestamp(a[1])) / F.lit(3600.0)
+    ),
     # null handling (null_functions.rs)
     "COALESCE": lambda a, r: F.coalesce(*a),
     "NULLIF": lambda a, r: F.nullif(a[0], a[1]) if hasattr(F, "nullif") else F.when(a[0] == a[1], F.lit(None)).otherwise(a[0]),
