@@ -113,6 +113,13 @@ class GraphLiteSpark:
         from .gql import statements as S
 
         stmt = S.parse_statement(gql)
+        if isinstance(stmt, S.ExplainStmt):
+            # the reference exposes its optimizer trace
+            # (plan/optimizer.rs:165-435); ours is the Catalyst plan
+            df = self.query(stmt.query_text, params)
+            return df._jdf.queryExecution().explainString(
+                df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(stmt.mode)
+            )
         if isinstance(stmt, S.QueryStmt):
             from .gql.compiler import QueryCompiler
 

@@ -117,9 +117,23 @@ class DropProcedureStmt:
     if_exists: bool = False
 
 
+@dataclass
+class ExplainStmt:
+    query_text: str
+    mode: str = "formatted"  # formatted | extended | simple
+
+
 class StatementParser(Parser):
     def parse_statement(self):
         t = self.cur
+        if t.kind == "IDENT" and t.value.upper() == "EXPLAIN":
+            self.advance()
+            mode = "formatted"
+            if self.cur.kind == "IDENT" and self.cur.value.upper() in (
+                "FORMATTED", "EXTENDED", "SIMPLE", "COST", "CODEGEN",
+            ):
+                mode = self.advance().value.lower()
+            return ExplainStmt(self.text[self.cur.pos:], mode)
         if t.kind != "KEYWORD":
             raise ParseError(f"expected statement, got {t}")
         k = t.value

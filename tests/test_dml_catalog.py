@@ -241,3 +241,9 @@ def test_rbac_procedures(spark):
     assert "admin" in roles
     auth = db.execute("CALL gql.authenticate_user('admin')").collect()[0]
     assert auth.authenticated is True
+
+
+def test_explain_statement(db):
+    db.execute("INSERT (:Person {name: 'Ada'})")
+    plan = db.execute("EXPLAIN MATCH (p:Person) RETURN p.name AS name")
+    assert isinstance(plan, str) and "Physical Plan" in plan
