@@ -113,6 +113,8 @@ class GraphLiteSpark:
         from .gql import statements as S
 
         stmt = S.parse_statement(gql)
+        if isinstance(stmt, S.IndexStmt):
+            return self._index(stmt)
         if isinstance(stmt, S.ExplainStmt):
             # the reference exposes its optimizer trace
             # (plan/optimizer.rs:165-435); ours is the Catalyst plan
@@ -190,6 +192,37 @@ class GraphLiteSpark:
             df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
 
+    def _index(self, stmt):
+        """Index DDL → physical-layout hints (SURVEY §2.9 index DDL):
+        AdjacencyList = repartition edge table by _src + cache (the
+        in-memory analogue of bucketing); ReachabilityIndex = materialize
+        + cache the bounded BFS closure. PathIndex/PatternIndex record
+        metadata only (roadmap-stubbed in the reference as well)."""
+        self._indexes = getattr(self, "_indexes", {})
+        if stmt.action == "DROP":
+            idx = self._indexes.pop(stmt.name.lower(), None)
+            if idx and idx.get("df") is not None:
+                idx["df"].unpersist()
+            return {"status": "ok", "rows_affected": 0}
+        g = self.graph()
+        kind = stmt.kind.replace("_", "")
+        entry = {"name": stmt.name, "kind": stmt.kind, "target": stmt.target, "df": None}
+        if stmt.target and stmt.target in g.edges:
+            et = g.edges[stmt.target]
+            if kind in ("ADJACENCYLIST", "ADJACENCY"):
+                et.df = et.df.repartition("_src").cache()
+                entry["df"] = et.df
+            elif kind in ("REACHABILITYINDEX", "REACHABILITY"):
+                from .operators.paths import bfs_distances
+                from pyspark.sql import functions as F
+
+                srcs = et.df.select(F.col("_src").alias("node")).distinct()
+                closure = bfs_distances(et.df, srcs, max_hops=8).cache()
+                closure.count()
+                entry["df"] = closure
+        self._indexes[stmt.name.lower()] = entry
+        return {"status": "ok", "rows_affected": 0}
+
     # -- transactions (optimistic copy-on-write; see dml.py docstring) ------
     def _txn(self, kind: str):
         if kind == "START":
@@ -242,6 +275,12 @@ class GraphLiteSpark:
             rows = [Row(name=n, kind="aggregate") for n in sorted(AGGREGATES)] + [
                 Row(name=n, kind="scalar") for n in sorted(_SCALARS) if not n.startswith("_")
             ]
+        elif name == "gql.list_indexes":
+            idx = getattr(self, "_indexes", {})
+            rows = [Row(name=d["name"], kind=d["kind"], target=str(d["target"]))
+                    for d in idx.values()]
+            if not rows:
+                return self.spark.createDataFrame([], "name string, kind string, target string")
         elif name == "gql.list_graph_types":
             rows = [Row(name=n) for n in sorted(self._graph_types)] or [Row(name=None)]
             rows = [r for r in rows if r.name is not None]

@@ -118,6 +118,18 @@ class DropProcedureStmt:
 
 
 @dataclass
+class IndexStmt:
+    """CREATE/DROP INDEX name ON <edge_label> TYPE <kind>
+    (ast.rs:1707-1787; kinds AdjacencyList/PathIndex/ReachabilityIndex/
+    PatternIndex, storage/indexes/types.rs:40-50)."""
+
+    action: str  # CREATE | DROP
+    name: str
+    target: Optional[str] = None  # edge label
+    kind: str = "ADJACENCYLIST"
+
+
+@dataclass
 class ExplainStmt:
     query_text: str
     mode: str = "formatted"  # formatted | extended | simple
@@ -151,6 +163,20 @@ class StatementParser(Parser):
             return InsertStmt(pats)
         if k == "CREATE":
             self.advance()
+            if self.cur.kind == "IDENT" and self.cur.value.upper() == "INDEX":
+                self.advance()
+                name = self.ident()
+                target = None
+                kind = "ADJACENCYLIST"
+                if self.cur.kind == "KEYWORD" and self.cur.value == "OF" or (
+                    self.cur.kind == "IDENT" and self.cur.value.upper() == "ON"
+                ):
+                    self.advance()
+                    target = self.ident()
+                if self.at_kw("TYPE"):
+                    self.advance()
+                    kind = self.ident().upper()
+                return self._done(IndexStmt("CREATE", name, target, kind))
             if self.cur.kind == "IDENT" and self.cur.value.upper() == "PROCEDURE":
                 self.advance()
                 name_parts = [self.ident()]
@@ -188,6 +214,10 @@ class StatementParser(Parser):
             raise ParseError(f"unsupported CREATE target at {self.cur.pos}")
         if k == "DROP":
             self.advance()
+            if self.cur.kind == "IDENT" and self.cur.value.upper() == "INDEX":
+                self.advance()
+                self._if_exists()
+                return self._done(IndexStmt("DROP", self.ident()))
             if self.cur.kind == "IDENT" and self.cur.value.upper() == "PROCEDURE":
                 self.advance()
                 ie = self._if_exists()

@@ -247,3 +247,19 @@ def test_explain_statement(db):
     db.execute("INSERT (:Person {name: 'Ada'})")
     plan = db.execute("EXPLAIN MATCH (p:Person) RETURN p.name AS name")
     assert isinstance(plan, str) and "Physical Plan" in plan
+
+
+def test_index_ddl(db):
+    db.execute("INSERT (:Person {name: 'Ada'})-[:KNOWS]->(:Person {name: 'Bob'})")
+    db.execute("CREATE INDEX adj1 ON KNOWS TYPE AdjacencyList")
+    idx = db.execute("CALL gql.list_indexes()").collect()
+    assert [(r.name, r.kind) for r in idx] == [("adj1", "ADJACENCYLIST")]
+    # queries still correct on the repartitioned+cached edge table
+    got = db.query(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS a, b.name AS b"
+    ).collect()
+    assert [(r.a, r.b) for r in got] == [("Ada", "Bob")]
+    db.execute("CREATE INDEX reach1 ON KNOWS TYPE ReachabilityIndex")
+    db.execute("DROP INDEX adj1")
+    db.execute("DROP INDEX reach1")
+    assert db.execute("CALL gql.list_indexes()").count() == 0
