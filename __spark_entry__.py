@@ -254,6 +254,32 @@ _GQL_QUERIES: dict[str, str] = {
         MATCH (a:Event)-[:FOLLOWS]{1,3}->(b:Event)
         RETURN count(*) AS n
     """,
+    "unbounded_reachability": """
+        MATCH (a:Event)-[:FOLLOWS]*->(b:Event)
+        WHERE a.event_id < 5
+        RETURN a.event_id AS src, b.event_id AS dst
+    """,
+    "q3_shipping_priority": """
+        MATCH (c:Customer {c_mktsegment: 'BUILDING'})-[:PLACED]->(o:Order),
+              (o)-[l:LINE]->(:Part)
+        WHERE o.o_orderdate < DATETIME('1998-01-01')
+          AND l.l_shipdate > DATETIME('1998-06-15')
+        RETURN o.o_orderkey AS orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               o.o_orderpriority AS pri
+        ORDER BY revenue DESC, orderkey LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region {r_name: 'ASIA'}),
+              (c)-[:PLACED]->(o:Order)-[l:LINE]->(:Part),
+              (s:Supplier)-[:IN_NATION]->(n)
+        WHERE l.l_suppkey = s.s_suppkey
+        RETURN n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        ORDER BY revenue DESC, nation
+    """,
     "varlen_project": """
         MATCH (a:Event)-[:FOLLOWS]{2,3}->(b:Event)
         WHERE a.event_type = 'signup'
@@ -814,6 +840,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n FROM (
                 SELECT * FROM h1 UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
             )
+        """,
+        "unbounded_reachability": """
+            WITH RECURSIVE e AS (
+                SELECT event_id AS s,
+                       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+                FROM events QUALIFY d IS NOT NULL
+            ), walk(root, node) AS (
+                SELECT s, d FROM e WHERE s IN (SELECT event_id FROM events WHERE event_id < 5)
+                UNION
+                SELECT w.root, e.d FROM walk w JOIN e ON e.s = w.node
+            )
+            SELECT DISTINCT root AS src, node AS dst FROM walk
+        """,
+        "q3_shipping_priority": """
+            SELECT o.o_orderkey AS orderkey,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                   o.o_orderpriority AS pri
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-15'
+            GROUP BY 1, 3 ORDER BY revenue DESC, orderkey LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n.n_name AS nation,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+                         AND s.s_nationkey = n.n_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY 1 ORDER BY revenue DESC, nation
         """,
         "varlen_project": """
             WITH f AS (

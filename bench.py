@@ -25,6 +25,8 @@ HEADLINE = [
     "having_filter",       # groupBy + having
     "with_top_n",          # agg + top-k
     "varlen_range13",      # 1..3-hop path union
+    "q3_shipping_priority",  # 3-way join + agg + top-k
+    "q5_local_supplier_volume",  # 6-way star join
     "not_exists_anti",     # anti join
     "union_all",           # set op
     # pipeline operators

@@ -416,19 +416,43 @@ class QueryCompiler:
         return out
 
     # ---- MATCH ---------------------------------------------------------------
+    @staticmethod
+    def _pushable(conj: A.Expr, bound: set) -> bool:
+        """A conjunct can be applied early iff every variable it touches is
+        already bound and it needs no join machinery (EXISTS / VALUE{})."""
+        used: dict = {}
+        _expr_vars(conj, used)
+        if not set(used) <= bound:
+            return False
+
+        found_sub = False
+
+        def probe(e):
+            nonlocal found_sub
+            if isinstance(e, (A.ExistsSubquery, A.ScalarSubquery)):
+                found_sub = True
+            return e
+
+        transform_expr(conj, probe)
+        return not found_sub
+
     def _compile_match(self, frame: Optional[Frame], m: A.MatchClause) -> Frame:
         outer = frame.bindings if frame is not None else None
+        # GQL-level predicate pushdown: split WHERE into conjuncts and apply
+        # each as soon as its variables are bound — critical before eager
+        # expansions (unbounded BFS) and it hands Catalyst filters it can
+        # push to the scans (the reference's logical_optimizer.rs:66-265
+        # pushdown, done at pattern-compile time here)
+        pending = _split_and(m.where) if m.where is not None else []
         if m.patterns:
             sub = None
             for pat in m.patterns:
-                pf = self._compile_path(pat, outer)
+                pf = self._compile_path(pat, outer, pending=pending)
                 sub = pf if sub is None else self._join_frames(sub, pf, "inner")
+                sub, pending = self._apply_pushable(sub, pending)
             if m.optional:
-                if m.where is not None:
-                    sub = Frame(
-                        sub.df.filter(ExprCompiler(sub, self.params).compile(m.where)),
-                        sub.bindings,
-                    )
+                for conj in pending:
+                    sub = self._apply_where(sub, conj)
                 frame = (
                     self._join_frames(frame, sub, "left")
                     if frame is not None
@@ -436,11 +460,23 @@ class QueryCompiler:
                 )
                 return frame
             frame = self._join_frames(frame, sub, "inner") if frame is not None else sub
-        if m.where is not None:
+        if pending:
             if frame is None:
                 raise CompileError("WHERE with no bound rows")
-            frame = self._apply_where(frame, m.where)
+            for conj in pending:
+                frame = self._apply_where(frame, conj)
         return frame
+
+    def _apply_pushable(self, frame: Frame, pending: list) -> tuple[Frame, list]:
+        bound = set(frame.bindings)
+        remaining = []
+        df = frame.df
+        for conj in pending:
+            if self._pushable(conj, bound):
+                df = df.filter(ExprCompiler(Frame(df, frame.bindings), self.params).compile(conj))
+            else:
+                remaining.append(conj)
+        return Frame(df, frame.bindings), remaining
 
     def _hoist_scalar_subqueries(self, frame: Frame, exprs):
         """Replace VALUE { q } nodes with references to a broadcast 1x1
@@ -516,11 +552,14 @@ class QueryCompiler:
         return frame
 
     # ---- path pattern → joins -------------------------------------------------
-    def _compile_path(self, pat: A.PathPattern, outer: Optional[dict] = None) -> Frame:
+    def _compile_path(self, pat: A.PathPattern, outer: Optional[dict] = None,
+                      pending: Optional[list] = None) -> Frame:
         elems = pat.elements
         node0: A.NodePattern = elems[0]
         if pat.var is not None:
             return self._compile_path_with_var(pat, outer)
+        if pending is None:
+            pending = []
         # anchor elision: when the first node is an unreferenced structural
         # placeholder and the pattern continues with a typed edge, start the
         # plan at the edge table (one scan instead of scan+join)
@@ -545,6 +584,7 @@ class QueryCompiler:
             return frame
         frame = self._scan_node(node0, outer)
         prev_var = node0.var or self._last_anon
+        frame, pending[:] = self._apply_pushable(frame, pending)
         i = 1
         while i < len(elems):
             edge: A.EdgePattern = elems[i]
@@ -553,6 +593,7 @@ class QueryCompiler:
                 frame, prev_var = self._expand_varlen(frame, prev_var, edge, node)
             else:
                 frame, prev_var = self._expand(frame, prev_var, edge, node)
+            frame, pending[:] = self._apply_pushable(frame, pending)
             i += 2
         return frame
 
@@ -794,12 +835,18 @@ class QueryCompiler:
         branch per depth (reference does BFS frontier expansion,
         executor.rs:6338-6664). Dedup per path mode on the visited-id array."""
         lo, hi = edge.quant
-        if hi is None:
-            hi = MAX_PATH_HOPS
-        if hi > MAX_PATH_HOPS:
-            raise CompileError(f"path quantifier above cap {MAX_PATH_HOPS}")
+        unbounded = hi is None
         if not edge.types or len(edge.types) != 1:
             raise CompileError("variable-length edge requires a single edge type")
+        if unbounded:
+            # (a)-[:T]*->(b): iterative BFS with empty-frontier termination
+            # (reachability semantics — each (row, target) pair once at its
+            # minimum depth; GraphIndexScan analogue, physical.rs:42-67)
+            if path_col is not None:
+                raise CompileError("path variables need a bounded quantifier")
+            return self._expand_unbounded(frame, prev_var, edge, node, lo)
+        if hi > MAX_PATH_HOPS:
+            raise CompileError(f"path quantifier above cap {MAX_PATH_HOPS}")
         et = self.graph.edge_type(edge.types[0])
         if edge.direction == "both":
             raise CompileError("variable-length undirected edges unsupported")
@@ -855,6 +902,51 @@ class QueryCompiler:
         ndf2 = ndf.select(*[F.col(c).alias(_ncol(nvar, c)) for c in nprops])
         joined = out.join(ndf2, F.col("__frontier") == F.col(_ncol(nvar, ID)), "inner")
         joined = joined.drop("__frontier", "__visited")
+        bindings = dict(frame.bindings)
+        bindings[nvar] = Binding("node", tgt_label, nprops)
+        fr = Frame(joined, bindings)
+        fr = self._inline_props(fr, nvar, node.props)
+        return fr, nvar
+
+    def _expand_unbounded(
+        self, frame: Frame, prev_var: str, edge: A.EdgePattern,
+        node: A.NodePattern, lo: int,
+    ) -> tuple[Frame, str]:
+        """Unbounded traversal: BFS over the edge table from the distinct
+        anchor ids, joined back to the input rows. One (root, node) pair
+        per minimum-depth reachable target; terminates when the frontier
+        empties (cycle-safe — visited set, not per-path arrays)."""
+        from ..operators.paths import bfs_distances
+
+        et = self.graph.edge_type(edge.types[0])
+        fwd = edge.direction == "out"
+        if edge.direction == "both":
+            raise CompileError("unbounded undirected traversal unsupported")
+        edf = et.df if fwd else et.df.select(
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST)
+        )
+        nvar = node.var or _anon()
+        self._last_anon = nvar
+        tgt_label = (et.dst_label if fwd else et.src_label)
+        if node.labels:
+            tgt_label = node.labels[0]
+
+        roots = frame.df.select(
+            F.col(_ncol(prev_var, ID)).alias("__root")
+        ).distinct()
+        reach = bfs_distances(edf, roots, max_hops=1000)
+        reach = reach.filter(F.col("dist") >= lo).select(
+            F.col("root").alias("__root"), F.col("node").alias("__tgt")
+        )
+        joined = frame.df.join(
+            reach, F.col(_ncol(prev_var, ID)) == F.col("__root"), "inner"
+        ).drop("__root")
+        ndf = self.graph.nodes_for_label(tgt_label)
+        nprops = list(ndf.columns)
+        ndf2 = ndf.select(*[F.col(c).alias(_ncol(nvar, c)) for c in nprops])
+        joined = joined.join(
+            ndf2, F.col("__tgt") == F.col(_ncol(nvar, ID)), "inner"
+        ).drop("__tgt")
         bindings = dict(frame.bindings)
         bindings[nvar] = Binding("node", tgt_label, nprops)
         fr = Frame(joined, bindings)

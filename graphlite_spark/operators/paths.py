@@ -52,8 +52,10 @@ def bfs_distances(
             .dropDuplicates(["root", "node"])
             .join(visited.select("root", "node"), ["root", "node"], "left_anti")
         )
-        if depth % _CHECKPOINT_EVERY == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+        # materialize each level once: the emptiness probe and the next
+        # level's joins then read the checkpoint instead of re-deriving
+        # the whole iterative lineage
+        nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt)
