@@ -254,6 +254,12 @@ _GQL_QUERIES: dict[str, str] = {
         MATCH (a:Event)-[:FOLLOWS]{1,3}->(b:Event)
         RETURN count(*) AS n
     """,
+    "json_extract_props": """
+        MATCH (e:Event)
+        WHERE e.event_id < 100
+        RETURN e.event_id AS id,
+               CAST(JSON_EXTRACT(e.props, '$.k') AS BIGINT) AS k
+    """,
     "unbounded_reachability": """
         MATCH (a:Event)-[:FOLLOWS]*->(b:Event)
         WHERE a.event_id < 5
@@ -840,6 +846,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n FROM (
                 SELECT * FROM h1 UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
             )
+        """,
+        "json_extract_props": """
+            SELECT event_id AS id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events WHERE event_id < 100
         """,
         "unbounded_reachability": """
             WITH RECURSIVE e AS (

@@ -183,6 +183,8 @@ _SCALARS: dict[str, Callable] = {
     "SIZE": lambda a, r: F.when(a[0].isNull(), F.lit(None)).otherwise(
         F.coalesce(F.size(a[0]).cast("long"), F.length(a[0].cast("string")).cast("long"))
     ),
+    # JSON (beyond-reference: events.props-style payload columns)
+    "JSON_EXTRACT": lambda a, r: F.get_json_object(a[0], r[1].value if hasattr(r[1], "value") else "$"),
     # text search (plan/optimizer.rs:510-751 text-search transform exposes
     # TEXT_SCORE; here it's an explicit function: occurrence-count TF score)
     "TEXT_SCORE": lambda a, r: _text_score(a, r),

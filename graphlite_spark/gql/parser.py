@@ -309,8 +309,11 @@ class Parser:
             pvar = self.advance().value
             self.eat_op("=")
         mode = "WALK"
-        if self.at_kw("WALK", "TRAIL", "SIMPLE", "ACYCLIC"):
+        if self.at_kw("WALK", "TRAIL", "SIMPLE", "ACYCLIC", "SHORTEST"):
             mode = self.advance().value
+            if mode == "SHORTEST":
+                self.try_kw("PATH") or self.try_kw("PATHS")
+                mode = "WALK"  # unbounded expansion is BFS = min-dist already
         elements: list = [self.parse_node_pattern()]
         while self.at_op("-", "<-", "->", "<"):
             edge = self.parse_edge_pattern()
