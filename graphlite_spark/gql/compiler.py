@@ -838,6 +838,11 @@ class QueryCompiler:
         unbounded = hi is None
         if not edge.types or len(edge.types) != 1:
             raise CompileError("variable-length edge requires a single edge type")
+        if edge.var is not None:
+            raise CompileError(
+                "variable-length edges cannot bind an edge variable "
+                "(per-step property access is undefined over a path)"
+            )
         if unbounded:
             # (a)-[:T]*->(b): iterative BFS with empty-frontier termination
             # (reachability semantics — each (row, target) pair once at its
@@ -855,7 +860,13 @@ class QueryCompiler:
 
         fwd = edge.direction == "out"
         key_in, key_out = (SRC, DST) if fwd else (DST, SRC)
-        edf = et.df.select(F.col(key_in).alias("__in"), F.col(key_out).alias("__out"))
+        base_edf = et.df
+        for k, v in edge.props.items():
+            # inline edge props constrain EVERY traversed step
+            tmp = Frame(base_edf, {"_e": Binding("edge", et.name, et.properties)})
+            val = ExprCompiler(tmp, self.params).compile(v)
+            base_edf = base_edf.filter(F.col(k) == val)
+        edf = base_edf.select(F.col(key_in).alias("__in"), F.col(key_out).alias("__out"))
         tgt_label = (et.dst_label if fwd else et.src_label)
         if node.labels:
             tgt_label = node.labels[0]

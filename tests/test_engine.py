@@ -373,3 +373,26 @@ def test_aggregate_registry_smoke(simple_db):
     """)
     row = df.collect()[0]
     assert row.sd > 0 and row.vr > 0 and 80 <= row.med <= 110
+
+
+def test_varlen_edge_props_constrain_steps(spark):
+    from graphlite_spark import GraphLiteSpark, PropertyGraph
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id: long")
+    edges = spark.createDataFrame(
+        [(0, 1, "ok"), (1, 2, "ok"), (2, 3, "bad"), (3, 4, "ok")],
+        "src: long, dst: long, kind: string",
+    )
+    g = PropertyGraph(spark, name="vp")
+    g.add_nodes("V", nodes, "id")
+    g.add_edges("E", edges, "src", "dst", "V", "V")
+    db = GraphLiteSpark(spark)
+    db.register_graph(g)
+    got = rows(db.query(
+        "MATCH (a:V {id: 0})-[:E {kind: 'ok'}]{1,4}->(b:V) RETURN b.id AS b ORDER BY b"
+    ))
+    assert got == [(1,), (2,)]  # chain breaks at the 'bad' edge
+    import pytest as _p
+
+    with _p.raises(Exception, match="edge variable"):
+        db.query("MATCH (a:V)-[e:E]{1,2}->(b:V) RETURN b.id AS b")
