@@ -445,11 +445,31 @@ class QueryCompiler:
         # pushdown, done at pattern-compile time here)
         pending = _split_and(m.where) if m.where is not None else []
         if m.patterns:
-            sub = None
+            # non-optional clauses continue from the prior frame when the
+            # anchor variable is already bound (no rescan + self-join)
+            sub = frame if (frame is not None and not m.optional) else None
+            started_from_frame = sub is not None
             for pat in m.patterns:
-                pf = self._compile_path(pat, outer, pending=pending)
-                sub = pf if sub is None else self._join_frames(sub, pf, "inner")
+                # sibling patterns in one MATCH see each other's bindings:
+                # a shared var re-anchors as a pruned single-label scan,
+                # not an all-labels union
+                ctx = dict(outer or {})
+                if sub is not None:
+                    ctx.update(sub.bindings)
+                if sub is not None and not self._can_continue(sub, pat):
+                    rev = self._reverse_pattern(pat)
+                    if rev is not None and self._can_continue(sub, rev):
+                        pat = rev
+                cont = sub is not None and self._can_continue(sub, pat)
+                if cont:
+                    sub = self._continue_path(sub, pat, pending)
+                else:
+                    pf = self._compile_path(pat, ctx or None, pending=pending)
+                    sub = pf if sub is None else self._join_frames(sub, pf, "inner")
                 sub, pending = self._apply_pushable(sub, pending)
+            if started_from_frame:
+                # frame was folded into sub — don't join it again below
+                frame = None
             if m.optional:
                 for conj in pending:
                     sub = self._apply_where(sub, conj)
@@ -465,6 +485,59 @@ class QueryCompiler:
                 raise CompileError("WHERE with no bound rows")
             for conj in pending:
                 frame = self._apply_where(frame, conj)
+        return frame
+
+    def _can_continue(self, sub: Frame, pat: A.PathPattern) -> bool:
+        """True when the pattern's anchor is an already-bound node var with
+        no new constraints and no later element re-binds an existing var —
+        then expansion continues on the current frame directly."""
+        if pat.var is not None or not pat.elements:
+            return False
+        node0 = pat.elements[0]
+        if not node0.var or node0.var not in sub.bindings or node0.props:
+            return False
+        b = sub.bindings[node0.var]
+        if b.kind != "node":
+            return False
+        if node0.labels and node0.labels != [b.label]:
+            return False
+        for el in pat.elements[1:]:
+            v = getattr(el, "var", None)
+            if v and v in sub.bindings:
+                return False
+        return True
+
+    @staticmethod
+    def _reverse_pattern(pat: A.PathPattern) -> Optional[A.PathPattern]:
+        """(a)-[:T]->(b) reversed to (b)<-[:T]-(a): lets a pattern whose
+        TAIL is the bound variable continue in place too."""
+        if pat.var is not None or len(pat.elements) < 3:
+            return None
+        flipped = {"out": "in", "in": "out", "both": "both"}
+        elems = []
+        for el in reversed(pat.elements):
+            if isinstance(el, A.EdgePattern):
+                elems.append(
+                    A.EdgePattern(el.var, el.types, el.props,
+                                  flipped[el.direction], el.quant, el.mode)
+                )
+            else:
+                elems.append(el)
+        return A.PathPattern(elems, None)
+
+    def _continue_path(self, sub: Frame, pat: A.PathPattern, pending: list) -> Frame:
+        frame = sub
+        prev_var = pat.elements[0].var
+        i = 1
+        while i < len(pat.elements):
+            edge: A.EdgePattern = pat.elements[i]
+            node: A.NodePattern = pat.elements[i + 1]
+            if edge.quant is not None:
+                frame, prev_var = self._expand_varlen(frame, prev_var, edge, node)
+            else:
+                frame, prev_var = self._expand(frame, prev_var, edge, node)
+            frame, pending[:] = self._apply_pushable(frame, pending)
+            i += 2
         return frame
 
     def _apply_pushable(self, frame: Frame, pending: list) -> tuple[Frame, list]:
@@ -582,6 +655,14 @@ class QueryCompiler:
                     frame, prev_var = self._expand(frame, prev_var, edge, node)
                 i += 2
             return frame
+        if (
+            not node0.labels
+            and not (outer and node0.var in (outer or {}))
+            and len(elems) > 1
+        ):
+            implied = self._anchor_implied(elems[1], node0)
+            if implied is not None:
+                node0 = A.NodePattern(node0.var, [implied], node0.props)
         frame = self._scan_node(node0, outer)
         prev_var = node0.var or self._last_anon
         frame, pending[:] = self._apply_pushable(frame, pending)
@@ -876,6 +957,13 @@ class QueryCompiler:
         base = frame.df.withColumn("__frontier", F.col(_ncol(prev_var, ID))).withColumn(
             "__visited", F.array(F.col(_ncol(prev_var, ID)))
         )
+        if edge.mode == "TRAIL":
+            # TRAIL bans repeated EDGES (vertices may repeat). Edge identity
+            # within the single traversed type is the (src, dst) pair
+            # (reference PathMode::Trail, executor.rs edge-dedup on edge ids).
+            base = base.withColumn(
+                "__visited_e", F.array().cast("array<string>")
+            )
         if path_col is not None:
             # ordered traversal (with revisits) for the bound path variable;
             # __visited stays a set for mode enforcement
@@ -885,10 +973,20 @@ class QueryCompiler:
         cur = base
         for depth in range(1, hi + 1):
             step = cur.join(edf, F.col("__frontier") == F.col("__in"), "inner")
-            if mode in ("SIMPLE", "ACYCLIC", "TRAIL"):
-                # no repeated vertices (TRAIL formally bans repeated edges;
-                # with no repeated vertices edges cannot repeat either —
-                # conservative approximation, documented divergence)
+            if mode == "TRAIL":
+                ekey = F.concat_ws(
+                    "\x01",  # unambiguous id separator
+                    F.col("__frontier").cast("string"),
+                    F.col("__out").cast("string"),
+                )
+                step = step.filter(
+                    ~F.array_contains(F.col("__visited_e"), ekey)
+                ).withColumn(
+                    "__visited_e",
+                    F.array_union(F.col("__visited_e"), F.array(ekey)),
+                )
+            elif mode in ("SIMPLE", "ACYCLIC"):
+                # no repeated vertices
                 step = step.filter(~F.array_contains(F.col("__visited"), F.col("__out")))
             step = step.withColumn("__frontier", F.col("__out")).withColumn(
                 "__visited",
@@ -912,7 +1010,7 @@ class QueryCompiler:
             out = out.unionByName(d)
         ndf2 = ndf.select(*[F.col(c).alias(_ncol(nvar, c)) for c in nprops])
         joined = out.join(ndf2, F.col("__frontier") == F.col(_ncol(nvar, ID)), "inner")
-        joined = joined.drop("__frontier", "__visited")
+        joined = joined.drop("__frontier", "__visited", "__visited_e")
         bindings = dict(frame.bindings)
         bindings[nvar] = Binding("node", tgt_label, nprops)
         fr = Frame(joined, bindings)

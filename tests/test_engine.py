@@ -293,11 +293,14 @@ def test_acyclic_mode_stops_at_cycle(cycle_db):
     assert [r.b for r in got] == [1, 2]
 
 
-def test_trail_mode(cycle_db):
+def test_trail_mode_edge_distinct(cycle_db):
+    # TRAIL bans repeated EDGES only: 0→1→2→0 closes the cycle (vertex 0
+    # repeats, no edge repeats) so it IS a trail — unlike ACYCLIC above.
+    # Length 4+ would reuse edge 0→1, so exactly three trails exist.
     got = cycle_db.query(
-        "MATCH TRAIL (a:V {id: 0})-[:E]{1,6}->(b:V) RETURN count(*) AS n"
+        "MATCH TRAIL (a:V {id: 0})-[:E]{1,6}->(b:V) RETURN b.id AS b ORDER BY b"
     ).collect()
-    assert got[0].n == 2
+    assert [r.b for r in got] == [0, 1, 2]
 
 
 def test_for_statement_as_unwind(simple_db):
