@@ -415,6 +415,25 @@ _GQL_QUERIES: dict[str, str] = {
         }
         RETURN count(*) AS n
     """,
+    "in_subquery_direct": """
+        MATCH (c:Customer)
+        WHERE c.c_nationkey IN (
+            MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+            WHERE r.r_name = 'AMERICA'
+            RETURN n.n_nationkey AS k
+        )
+        RETURN c.c_custkey AS custkey
+        ORDER BY custkey
+    """,
+    "not_in_subquery": """
+        MATCH (s:Supplier)
+        WHERE s.s_nationkey NOT IN (
+            MATCH (c:Customer) WHERE c.c_acctbal > 9900.0
+            RETURN c.c_nationkey AS k
+        )
+        RETURN s.s_suppkey AS suppkey
+        ORDER BY suppkey
+    """,
     "collect_sorted": """
         MATCH (n:Nation)-[:IN_REGION]->(r:Region)
         RETURN r.r_name AS region, LIST_SORT(COLLECT(n.n_name)) AS nations
@@ -970,6 +989,22 @@ def oracle_sql() -> dict[str, str]:
         "params_in_list": """
             SELECT n_name AS name FROM nation
             WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_7') ORDER BY 1
+        """,
+        "in_subquery_direct": """
+            SELECT c_custkey AS custkey FROM customer
+            WHERE c_nationkey IN (
+                SELECT n_nationkey FROM nation
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'AMERICA'
+            )
+            ORDER BY custkey
+        """,
+        "not_in_subquery": """
+            SELECT s_suppkey AS suppkey FROM supplier
+            WHERE s_nationkey NOT IN (
+                SELECT c_nationkey FROM customer WHERE c_acctbal > 9900.0
+            )
+            ORDER BY suppkey
         """,
         "xor_predicate": """
             SELECT count(*) AS n FROM customer

@@ -133,6 +133,18 @@ class ExistsSubquery(Expr):
     negated: bool = False
 
 
+@dataclass
+class InSubquery(Expr):
+    """``x [NOT] IN ( <query> )`` (ast.rs:1263-1276; parser.rs:1711-1830
+    parses the parenthesized basic-query form). Compiled as a distributed
+    left-semi / left-anti join on the subquery's single output column —
+    never a driver-side collected list."""
+
+    expr: Expr
+    query: Any
+    negated: bool = False
+
+
 # --------------------------------------------------------------------------
 # Patterns (reference: ast.rs:270-370)
 

@@ -429,7 +429,7 @@ class QueryCompiler:
 
         def probe(e):
             nonlocal found_sub
-            if isinstance(e, (A.ExistsSubquery, A.ScalarSubquery)):
+            if isinstance(e, (A.ExistsSubquery, A.ScalarSubquery, A.InSubquery)):
                 found_sub = True
             return e
 
@@ -595,6 +595,27 @@ class QueryCompiler:
             while isinstance(inner, A.Unary) and inner.op == "NOT":
                 neg = not neg
                 inner = inner.operand
+            if isinstance(inner, A.InSubquery):
+                # x [NOT] IN ( query ): distributed semi/anti join on the
+                # subquery's single column (reference executes the subquery
+                # then membership-tests, executor.rs:1100-1178 — the join
+                # form is the scale-out equivalent; NOT IN is anti-join,
+                # i.e. null-safe membership, not SQL tri-valued NOT IN)
+                negated = neg != inner.negated
+                sub = QueryCompiler(self.graph, self.params).compile(inner.query)
+                if len(sub.columns) != 1:
+                    raise CompileError(
+                        f"IN subquery must return one column, got {sub.columns}"
+                    )
+                key = _anon() + "_in"
+                sdf = sub.select(F.col(sub.columns[0]).alias(key))
+                val = ExprCompiler(
+                    Frame(df, frame.bindings), self.params
+                ).compile(inner.expr)
+                df = df.join(
+                    sdf, val == F.col(key), "left_anti" if negated else "left_semi"
+                )
+                continue
             if isinstance(inner, A.ExistsSubquery):
                 negated = neg != inner.negated
                 sub = None
@@ -1339,6 +1360,8 @@ def transform_expr(e, fn):
         e = A.FuncCall(e.name, [transform_expr(a, fn) for a in e.args], e.distinct)
     elif isinstance(e, A.Quantified):
         e = A.Quantified(e.op, e.quant, transform_expr(e.left, fn), transform_expr(e.right, fn))
+    elif isinstance(e, A.InSubquery):
+        e = A.InSubquery(transform_expr(e.expr, fn), e.query, e.negated)
     return fn(e)
 
 
@@ -1383,6 +1406,10 @@ def _expr_vars(e, out: dict) -> None:
         for p in e.patterns:
             _pattern_vars(p, out)
         _expr_vars(e.where, out)
+    elif isinstance(e, A.InSubquery):
+        # the subquery body is self-contained; only the probe expr uses
+        # outer bindings
+        _expr_vars(e.expr, out)
 
 
 def _pattern_vars(p: A.PathPattern, out: dict) -> None:

@@ -510,11 +510,21 @@ class Parser:
                     raise ParseError(f"unsupported IS predicate at {self.cur.pos}")
             elif self.at_kw("IN"):
                 self.advance()
-                left = Binary("IN", left, self._parse_additive())
+                sub = self._maybe_subquery_operand()
+                if sub is not None:
+                    from .ast import InSubquery
+                    left = InSubquery(left, sub, negated=False)
+                else:
+                    left = Binary("IN", left, self._parse_additive())
             elif self.at_kw("NOT") and self.peek().kind == "KEYWORD" and self.peek().value == "IN":
                 self.advance()
                 self.advance()
-                left = Unary("NOT", Binary("IN", left, self._parse_additive()))
+                sub = self._maybe_subquery_operand()
+                if sub is not None:
+                    from .ast import InSubquery
+                    left = InSubquery(left, sub, negated=True)
+                else:
+                    left = Unary("NOT", Binary("IN", left, self._parse_additive()))
             elif self.at_kw("CONTAINS"):
                 self.advance()
                 left = Binary("CONTAINS", left, self._parse_additive())
@@ -540,6 +550,21 @@ class Parser:
                 left = Binary("AND", Binary(">=", left, lo), Binary("<=", left, hi))
             else:
                 return left
+
+    def _maybe_subquery_operand(self):
+        """After IN / NOT IN: ``( MATCH ... )`` / ``( SELECT ... )`` is a
+        subquery operand (reference parser.rs:1711-1830 tries basic_query
+        inside the parens before an expression list)."""
+        if (
+            self.at_op("(")
+            and self.peek().kind == "KEYWORD"
+            and self.peek().value in ("MATCH", "SELECT", "OPTIONAL")
+        ):
+            self.advance()
+            sub = self.parse_set_query()
+            self.eat_op(")")
+            return sub
+        return None
 
     def _parse_additive(self) -> Expr:
         left = self._parse_multiplicative()

@@ -303,6 +303,27 @@ def test_trail_mode_edge_distinct(cycle_db):
     assert [r.b for r in got] == [0, 1, 2]
 
 
+def test_in_subquery_direct(simple_db):
+    # chain edges i->i+1 (i in 0..8); a.value >= 50 → a.id >= 5 → targets 6..9
+    got = simple_db.query(
+        "MATCH (n:TestNode) WHERE n.id IN ("
+        " MATCH (a:TestNode)-[:CONNECTS_TO]->(b:TestNode)"
+        " WHERE a.value >= 50 RETURN b.id AS t"
+        ") RETURN n.id AS i ORDER BY i"
+    ).collect()
+    assert [r.i for r in got] == [6, 7, 8, 9]
+
+
+def test_not_in_subquery_anti(simple_db):
+    # edge targets are 1..9; ids below 5 outside that set: just 0
+    got = simple_db.query(
+        "MATCH (n:TestNode) WHERE n.id < 5 AND n.id NOT IN ("
+        " MATCH (a:TestNode)-[:CONNECTS_TO]->(b:TestNode) RETURN b.id AS t"
+        ") RETURN n.id AS i ORDER BY i"
+    ).collect()
+    assert [r.i for r in got] == [0]
+
+
 def test_for_statement_as_unwind(simple_db):
     got = simple_db.query(
         "FOR x IN [5, 6, 7] RETURN x * 10 AS y ORDER BY y"
