@@ -434,6 +434,15 @@ _GQL_QUERIES: dict[str, str] = {
         RETURN s.s_suppkey AS suppkey
         ORDER BY suppkey
     """,
+    "quantified_subquery": """
+        MATCH (s:Supplier)
+        WHERE s.s_acctbal > ALL (
+            MATCH (c:Customer) WHERE c.c_nationkey = 3 AND c.c_acctbal < 6000.0
+            RETURN c.c_acctbal AS b
+        )
+        RETURN s.s_suppkey AS suppkey
+        ORDER BY suppkey
+    """,
     "collect_sorted": """
         MATCH (n:Nation)-[:IN_REGION]->(r:Region)
         RETURN r.r_name AS region, LIST_SORT(COLLECT(n.n_name)) AS nations
@@ -1003,6 +1012,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey AS suppkey FROM supplier
             WHERE s_nationkey NOT IN (
                 SELECT c_nationkey FROM customer WHERE c_acctbal > 9900.0
+            )
+            ORDER BY suppkey
+        """,
+        "quantified_subquery": """
+            SELECT s_suppkey AS suppkey FROM supplier
+            WHERE s_acctbal > ALL (
+                SELECT c_acctbal FROM customer WHERE c_nationkey = 3 AND c_acctbal < 6000.0
             )
             ORDER BY suppkey
         """,

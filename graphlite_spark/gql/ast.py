@@ -134,6 +134,20 @@ class ExistsSubquery(Expr):
 
 
 @dataclass
+class QuantifiedSubquery(Expr):
+    """``x <op> ALL/ANY/SOME ( <query> )`` (ast.rs:1328-1334; the
+    reference parses this but its executor rejects it at runtime,
+    executor.rs:4508-4518 — we implement it, beyond reference).
+    Ordered ops reduce to one broadcast min/max/count row; ``= ANY`` /
+    ``<> ALL`` rewrite to the semi/anti-join InSubquery form."""
+
+    op: str
+    quant: str  # ALL | ANY | SOME
+    left: Expr
+    query: Any
+
+
+@dataclass
 class InSubquery(Expr):
     """``x [NOT] IN ( <query> )`` (ast.rs:1263-1276; parser.rs:1711-1830
     parses the parenthesized basic-query form). Compiled as a distributed

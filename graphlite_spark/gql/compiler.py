@@ -429,7 +429,11 @@ class QueryCompiler:
 
         def probe(e):
             nonlocal found_sub
-            if isinstance(e, (A.ExistsSubquery, A.ScalarSubquery, A.InSubquery)):
+            if isinstance(
+                e,
+                (A.ExistsSubquery, A.ScalarSubquery, A.InSubquery,
+                 A.QuantifiedSubquery),
+            ):
                 found_sub = True
             return e
 
@@ -561,6 +565,55 @@ class QueryCompiler:
 
         def fn(e):
             nonlocal df, bindings, changed
+            if isinstance(e, A.QuantifiedSubquery):
+                # x <op> ALL/ANY ( query ): ordered ops need only the
+                # subquery's min/max/count — one broadcast row, no
+                # row-by-row membership test. Equality forms are
+                # membership and rewrite to the semi/anti-join node.
+                if e.quant in ("ANY", "SOME") and e.op == "=":
+                    changed = True
+                    return A.InSubquery(e.left, e.query, negated=False)
+                if e.quant == "ALL" and e.op == "<>":
+                    changed = True
+                    return A.InSubquery(e.left, e.query, negated=True)
+                sub = QueryCompiler(self.graph, self.params).compile(e.query)
+                if len(sub.columns) != 1:
+                    raise CompileError(
+                        f"quantified subquery must return one column, got {sub.columns}"
+                    )
+                c = sub.columns[0]
+                base = _anon() + "_q"
+                mn, mx, ct = base + "_mn", base + "_mx", base + "_ct"
+                agg = sub.agg(
+                    F.min(c).alias(mn), F.max(c).alias(mx), F.count(c).alias(ct)
+                )
+                df = df.crossJoin(F.broadcast(agg))
+                for nm in (mn, mx, ct):
+                    bindings[nm] = Binding("value")
+                changed = True
+                B, V, L = A.Binary, A.Var, A.Literal
+                if e.quant == "ALL":
+                    if e.op in (">", ">="):
+                        cmp = B(e.op, e.left, V(mx))
+                    elif e.op in ("<", "<="):
+                        cmp = B(e.op, e.left, V(mn))
+                    elif e.op == "=":
+                        cmp = B("AND", B("=", V(mn), V(mx)), B("=", e.left, V(mn)))
+                    else:
+                        raise CompileError(f"unsupported op {e.op} with ALL subquery")
+                    return B("OR", B("=", V(ct), L(0)), cmp)
+                if e.op in (">", ">="):
+                    cmp = B(e.op, e.left, V(mn))
+                elif e.op in ("<", "<="):
+                    cmp = B(e.op, e.left, V(mx))
+                elif e.op == "<>":
+                    cmp = A.Unary(
+                        "NOT",
+                        B("AND", B("=", V(mn), V(mx)), B("=", e.left, V(mn))),
+                    )
+                else:
+                    raise CompileError(f"unsupported op {e.op} with ANY subquery")
+                return B("AND", B(">", V(ct), L(0)), cmp)
             if isinstance(e, A.ScalarSubquery):
                 name = _anon() + "_sc"
                 sub = QueryCompiler(self.graph, self.params).compile(e.query)
@@ -1362,6 +1415,8 @@ def transform_expr(e, fn):
         e = A.Quantified(e.op, e.quant, transform_expr(e.left, fn), transform_expr(e.right, fn))
     elif isinstance(e, A.InSubquery):
         e = A.InSubquery(transform_expr(e.expr, fn), e.query, e.negated)
+    elif isinstance(e, A.QuantifiedSubquery):
+        e = A.QuantifiedSubquery(e.op, e.quant, transform_expr(e.left, fn), e.query)
     return fn(e)
 
 
@@ -1410,6 +1465,8 @@ def _expr_vars(e, out: dict) -> None:
         # the subquery body is self-contained; only the probe expr uses
         # outer bindings
         _expr_vars(e.expr, out)
+    elif isinstance(e, A.QuantifiedSubquery):
+        _expr_vars(e.left, out)
 
 
 def _pattern_vars(p: A.PathPattern, out: dict) -> None:

@@ -494,10 +494,15 @@ class Parser:
                     op = "<>"
                 if self.at_kw("ALL", "ANY", "SOME"):
                     quant = self.advance().value
-                    self.eat_op("(")
-                    right = self.parse_expr()
-                    self.eat_op(")")
-                    left = Quantified(op, quant, left, right)
+                    sub = self._maybe_subquery_operand()
+                    if sub is not None:
+                        from .ast import QuantifiedSubquery
+                        left = QuantifiedSubquery(op, quant, left, sub)
+                    else:
+                        self.eat_op("(")
+                        right = self.parse_expr()
+                        self.eat_op(")")
+                        left = Quantified(op, quant, left, right)
                 else:
                     left = Binary(op, left, self._parse_additive())
             elif self.at_kw("IS"):

@@ -324,6 +324,37 @@ def test_not_in_subquery_anti(simple_db):
     assert [r.i for r in got] == [0]
 
 
+def test_quantified_subquery_all(simple_db):
+    # value > ALL(targets' values): targets 1..9 have values 10..90
+    got = simple_db.query(
+        "MATCH (n:TestNode) WHERE n.value > ALL ("
+        " MATCH (a:TestNode)-[:CONNECTS_TO]->(b:TestNode) RETURN b.value AS v"
+        ") RETURN n.id AS i ORDER BY i"
+    ).collect()
+    assert [r.i for r in got] == [10, 11, 12, 13, 14, 15, 16, 17, 18, 19]
+
+
+def test_quantified_subquery_eq_any_is_semi_join(simple_db):
+    got = simple_db.query(
+        "MATCH (n:TestNode) WHERE n.id = ANY ("
+        " MATCH (a:TestNode)-[:CONNECTS_TO]->(b:TestNode)"
+        " WHERE a.id < 3 RETURN b.id AS t"
+        ") RETURN n.id AS i ORDER BY i"
+    ).collect()
+    assert [r.i for r in got] == [1, 2, 3]
+
+
+def test_quantified_subquery_in_return_position(simple_db):
+    got = simple_db.query(
+        "MATCH (n:TestNode) WHERE n.id < 3"
+        " RETURN n.id AS i, n.value <= ANY ("
+        " MATCH (m:TestNode) WHERE m.id < 2 RETURN m.value AS v"
+        ") AS ok ORDER BY i"
+    ).collect()
+    # max subquery value = 10; values 0,10,20 → True, True, False
+    assert [(r.i, r.ok) for r in got] == [(0, True), (1, True), (2, False)]
+
+
 def test_for_statement_as_unwind(simple_db):
     got = simple_db.query(
         "FOR x IN [5, 6, 7] RETURN x * 10 AS y ORDER BY y"
