@@ -484,6 +484,144 @@ _GQL_QUERIES: dict[str, str] = {
         FILTER bal2 > 9000
         RETURN count(*) AS n
     """,
+    # --- TPC-H-derived composite queries (adapted to testdata columns;
+    #     reference parity: graphlite supports the same shapes via GQL) ---
+    "q6_forecast_revenue": """
+        MATCH (:Order)-[l:LINE]->(:Part)
+        WHERE l.l_shipdate >= DATETIME('1997-01-01')
+          AND l.l_shipdate < DATETIME('1998-01-01')
+          AND l.l_discount >= 0.05 AND l.l_discount <= 0.07
+          AND l.l_quantity < 24
+        RETURN CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    """,
+    "q7_volume_shipping": """
+        MATCH (s:Supplier)-[:IN_NATION]->(n1:Nation),
+              (c:Customer)-[:FROM_NATION]->(n2:Nation),
+              (c)-[:PLACED]->(o:Order)-[l:LINE]->(:Part)
+        WHERE l.l_suppkey = s.s_suppkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+               OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+          AND l.l_shipdate >= DATETIME('1996-01-01')
+          AND l.l_shipdate < DATETIME('1999-01-01')
+        RETURN n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               YEAR(l.l_shipdate) AS l_year,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q8_market_share": """
+        MATCH (p:Part)<-[l:LINE]-(o:Order)<-[:PLACED]-(c:Customer),
+              (c)-[:FROM_NATION]->(n2:Nation)-[:IN_REGION]->(r:Region),
+              (s:Supplier)-[:IN_NATION]->(n1:Nation)
+        WHERE l.l_suppkey = s.s_suppkey
+          AND r.r_name = 'AMERICA'
+          AND p.p_type = 'STANDARD'
+          AND o.o_orderdate >= DATETIME('1996-01-01')
+          AND o.o_orderdate < DATETIME('1998-01-01')
+        WITH YEAR(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             n1.n_name AS nation
+        RETURN o_year AS o_year,
+               CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+               CAST(SUM(volume) AS DOUBLE) AS total_volume
+        ORDER BY o_year
+    """,
+    "q10_returned_items": """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:LINE]->(:Part),
+              (c)-[:FROM_NATION]->(n:Nation)
+        WHERE o.o_orderdate >= DATETIME('1997-10-01')
+          AND o.o_orderdate < DATETIME('1998-01-01')
+          AND l.l_returnflag = 'R'
+        RETURN c.c_custkey AS custkey, c.c_name AS name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               c.c_acctbal AS acctbal, n.n_name AS nation
+        ORDER BY revenue DESC, custkey LIMIT 20
+    """,
+    "q13_customer_distribution": """
+        MATCH (c:Customer)
+        OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+        WITH c, count(o) AS c_count
+        RETURN c_count AS c_count, count(*) AS custdist
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q14_promo_revenue": """
+        MATCH (:Order)-[l:LINE]->(p:Part)
+        WHERE l.l_shipdate >= DATETIME('1997-09-01')
+          AND l.l_shipdate < DATETIME('1997-10-01')
+        RETURN CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                                  (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+    """,
+    "q15_top_supplier": """
+        MATCH (s:Supplier)-[l:SUPPLIES]->(:Part)
+        WHERE l.l_shipdate >= DATETIME('1997-01-01')
+          AND l.l_shipdate < DATETIME('1997-04-01')
+        WITH s, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                         (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS total_revenue
+        WHERE total_revenue = VALUE {
+                MATCH (s2:Supplier)-[l2:SUPPLIES]->(:Part)
+                WHERE l2.l_shipdate >= DATETIME('1997-01-01')
+                  AND l2.l_shipdate < DATETIME('1997-04-01')
+                WITH s2, CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2)) *
+                               (1 - CAST(l2.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                        AS r
+                RETURN MAX(r) AS m
+              }
+        RETURN s.s_suppkey AS suppkey, s.s_name AS name,
+               total_revenue AS total_revenue
+        ORDER BY suppkey
+    """,
+    "q17_small_quantity_revenue": """
+        MATCH (:Order)-[l:LINE]->(p:Part {p_brand: 'Brand#23'})
+        WITH p, CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / count(*) AS avg_qty
+        MATCH (:Order)-[l2:LINE]->(p)
+        WHERE l2.l_quantity < 0.5 * avg_qty
+        RETURN CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    """,
+    "q18_large_volume_customer": """
+        MATCH (o:Order)-[l:LINE]->(:Part)
+        WITH o, CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        WHERE total_qty > 300
+        MATCH (c:Customer)-[:PLACED]->(o)
+        RETURN c.c_name AS name, c.c_custkey AS custkey,
+               o.o_orderkey AS orderkey, o.o_totalprice AS totalprice,
+               total_qty AS total_qty
+        ORDER BY totalprice DESC, orderkey LIMIT 100
+    """,
+    "q19_discounted_revenue": """
+        MATCH (:Order)-[l:LINE]->(p:Part)
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size >= 1 AND p.p_size <= 15
+               AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+           OR (p.p_brand = 'Brand#23' AND p.p_size >= 1 AND p.p_size <= 25
+               AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+           OR (p.p_brand = 'Brand#34' AND p.p_size >= 1 AND p.p_size <= 35
+               AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+        RETURN CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    """,
+    "q22_global_sales_opportunity": """
+        MATCH (c:Customer)
+        WHERE c.c_acctbal > VALUE {
+                MATCH (x:Customer)
+                WHERE x.c_acctbal > 0
+                RETURN CAST(SUM(CAST(x.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS a
+              }
+          AND NOT EXISTS {(c)-[:PLACED]->(:Order {o_orderstatus: 'P'})}
+        RETURN c.c_nationkey AS nationkey, count(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        ORDER BY nationkey
+    """,
 }
 
 _PARAMS: dict[str, dict] = {
@@ -1200,6 +1338,157 @@ def oracle_sql() -> dict[str, str]:
         """,
         "let_filter_pipeline": """
             SELECT count(*) AS n FROM customer WHERE c_acctbal * 2 > 9000
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM supplier s
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CASE WHEN n1.n_name = 'NATION_5'
+                                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                                      (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                       AS nation_volume,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                       AS total_volume
+            FROM part p
+            JOIN lineitem l ON l.l_partkey = p.p_partkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n2.n_regionkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            WHERE r.r_name = 'AMERICA'
+              AND p.p_type = 'STANDARD'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q10_returned_items": """
+            SELECT c.c_custkey AS custkey, c.c_name AS name,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                   c.c_acctbal AS acctbal, n.n_name AS nation
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-10-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1, 2, 4, 5
+            ORDER BY revenue DESC, custkey LIMIT 20
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count AS c_count, count(*) AS custdist
+            FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                  FROM customer c
+                  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                  GROUP BY 1)
+            GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+        """,
+        "q14_promo_revenue": """
+            SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                                      (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                       AS promo_revenue,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                       AS total_revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l.l_shipdate < TIMESTAMP '1997-10-01'
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY 1)
+            SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+                   r.total_revenue AS total_revenue
+            FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY suppkey
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN (SELECT l_partkey,
+                         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                             / count(*) AS avg_qty
+                  FROM lineitem GROUP BY 1) t
+              ON t.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#23'
+              AND l.l_quantity < 0.5 * t.avg_qty
+        """,
+        "q18_large_volume_customer": """
+            SELECT c.c_name AS name, c.c_custkey AS custkey,
+                   o.o_orderkey AS orderkey, o.o_totalprice AS totalprice,
+                   t.total_qty AS total_qty
+            FROM (SELECT l_orderkey,
+                         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                             AS total_qty
+                  FROM lineitem GROUP BY 1
+                  HAVING total_qty > 300) t
+            JOIN orders o ON o.o_orderkey = t.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY totalprice DESC, orderkey LIMIT 100
+        """,
+        "q19_discounted_revenue": """
+            SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 21)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 40)
+        """,
+        "q22_global_sales_opportunity": """
+            SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
+                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM customer c
+            WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                             AS DOUBLE) / count(*)
+                                 FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'P')
+            GROUP BY 1 ORDER BY 1
         """,
         "within_time_window": """
             SELECT event_type, count(*) AS n FROM events
