@@ -783,6 +783,58 @@ def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.temporal import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols={"value": "purchase_value"},
+        tolerance="1 hour",
+    )
+    return out.select("event_id", "purchase_value")
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.temporal import range_join
+
+    ev = _table(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("interval '1 hour'")).alias("end"),
+    )
+    points = ev.select("user_id", "ts", "event_id")
+    joined = range_join(points, intervals, point_ts="ts", by="user_id", bucket="15 minutes")
+    return joined.groupBy("signup_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def _q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.temporal import rollup
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("decimal(18,2)")
+    )
+    grains = rollup(ev, ts="ts", grains=("hour", "day"), aggs={"v": "sum"})
+    return grains["day"].select(
+        F.col("bucket").alias("day"),
+        F.col("n_rows").alias("n_events"),
+        F.col("sum_v").cast("double").alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, text in _GQL_QUERIES.items():
@@ -805,6 +857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ivf_ann_topk": _q_ivf_ann,
             "events_tumbling_counts": _q_tumbling_counts,
             "sessionization": _q_sessionization,
+            "asof_join_purchases": _q_asof_join,
+            "range_join_signup_hour": _q_range_join,
+            "rollup_daily_value": _q_rollup_daily,
         }
     )
     return out
@@ -1507,6 +1562,28 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "asof_join_purchases": """
+            SELECT l.event_id AS event_id,
+                   CASE WHEN r.ts IS NOT NULL AND l.ts <= r.ts + INTERVAL 1 HOUR
+                        THEN r.value END AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_signup_hour": """
+            SELECT s.event_id AS signup_id, count(*) AS n_events
+            FROM (SELECT * FROM events WHERE event_type = 'signup') s
+            JOIN events e ON e.user_id = s.user_id
+                         AND e.ts >= s.ts
+                         AND e.ts <= s.ts + INTERVAL 1 HOUR
+            GROUP BY 1
+        """,
+        "rollup_daily_value": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1
         """,
         "events_tumbling_counts": """
             SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
