@@ -61,9 +61,19 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
+        # first run pays one-time Catalyst planning + whole-stage codegen
+        # compilation (JVM javac/JIT); report it separately as cold_queries.
+        # The headline number is the steady-state second run — the regime a
+        # long-lived cluster job operates in, and the one comparable to the
+        # reference's persistent in-process engine.
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        cold[name] = round(time.time() - t0, 3)
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
@@ -77,6 +87,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
