@@ -140,7 +140,12 @@ class GraphLiteSpark:
             return {"status": "ok", "rows_affected": 0}
         if isinstance(stmt, S.CreateGraphStmt):
             if stmt.as_query is not None:
-                raise NotImplementedError("CREATE GRAPH AS <query> not supported yet")
+                g = self.catalog.create_graph(
+                    stmt.path,
+                    self._subgraph_from_query(stmt.as_query),
+                    stmt.if_not_exists,
+                )
+                return {"status": "ok", "rows_affected": 0}
             g = self.catalog.create_graph(stmt.path, None, stmt.if_not_exists)
             if stmt.typed:
                 gt = self._graph_types.get(stmt.typed.lower())
@@ -191,6 +196,42 @@ class GraphLiteSpark:
         return df._jdf.queryExecution().explainString(
             df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
+
+    def _subgraph_from_query(self, ast) -> PropertyGraph:
+        """Materialize the induced subgraph of a CREATE GRAPH AS query:
+        node tables restricted to the matched ids, edge tables restricted
+        to edges whose BOTH endpoints survive. Id sets are tiny relative
+        to the source tables, so the semi joins broadcast under AQE."""
+        from .gql.compiler import QueryCompiler
+
+        src = self.graph()
+        label_ids = QueryCompiler(src, None).compile_subgraph(ast)
+        sub = PropertyGraph(self.spark, name="subgraph")
+        for label, ids in label_ids.items():
+            sub.add_nodes(
+                label,
+                src.nodes_for_label(label).join(ids, on="_id", how="left_semi"),
+                "_id",
+            )
+        from pyspark.sql import functions as F
+
+        for et in src.edges.values():
+            if et.src_label not in label_ids or et.dst_label not in label_ids:
+                continue
+            edf = (
+                et.df.join(
+                    label_ids[et.src_label].select(F.col("_id").alias("_src")),
+                    on="_src",
+                    how="left_semi",
+                )
+                .join(
+                    label_ids[et.dst_label].select(F.col("_id").alias("_dst")),
+                    on="_dst",
+                    how="left_semi",
+                )
+            )
+            sub.add_edges(et.name, edf, "_src", "_dst", et.src_label, et.dst_label)
+        return sub
 
     def _index(self, stmt):
         """Index DDL → physical-layout hints (SURVEY §2.9 index DDL):

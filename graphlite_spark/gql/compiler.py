@@ -370,6 +370,57 @@ class QueryCompiler:
         return True
 
     # ---- public -----------------------------------------------------------
+    def compile_subgraph(self, q) -> dict[str, DataFrame]:
+        """CREATE GRAPH .. AS <query>: run the pipeline and return
+        {label: DataFrame['_id']} of every node entity bound to an
+        *explicit* variable in the final frame (anonymous pattern nodes
+        are filters, not captured content). The caller materializes the
+        induced subgraph from these id sets.
+
+        Parse-only in the reference (create_graph.rs ignores the AS body);
+        implemented here with full pipeline semantics — WHERE/WITH/LIMIT
+        shape the id sets like any query.
+        """
+        if isinstance(q, A.SetOp):
+            raise CompileError("CREATE GRAPH AS does not support set operations")
+        explicit: set[str] = set()
+        for clause in q.clauses:
+            if isinstance(clause, A.MatchClause):
+                for pat in clause.patterns:
+                    for el in pat.elements:
+                        if isinstance(el, A.NodePattern) and el.var:
+                            explicit.add(el.var)
+        # no RETURN-based join elision: every bound node is graph content
+        self._referenced = {"*"}
+        frame: Optional[Frame] = None
+        for clause in q.clauses:
+            if isinstance(clause, A.MatchClause):
+                frame = self._compile_match(frame, clause)
+            elif isinstance(clause, A.WithClause):
+                frame = self._compile_with(frame, clause)
+            elif isinstance(clause, A.UnwindClause):
+                frame = self._compile_unwind(frame, clause)
+            elif isinstance(clause, A.ReturnClause):
+                break  # projection does not change the matched entities
+            else:
+                raise CompileError(
+                    f"unsupported clause in CREATE GRAPH AS: {type(clause).__name__}"
+                )
+        if frame is None:
+            raise CompileError("CREATE GRAPH AS needs at least one MATCH")
+        out: dict[str, DataFrame] = {}
+        for var, b in frame.bindings.items():
+            if b.kind != "node" or not b.label or var not in explicit:
+                continue
+            idc = _ncol(var, "_id")
+            if idc not in frame.df.columns:
+                continue
+            ids = frame.df.select(F.col(idc).alias("_id"))
+            out[b.label] = out[b.label].unionByName(ids) if b.label in out else ids
+        if not out:
+            raise CompileError("CREATE GRAPH AS matched no named node variables")
+        return {lbl: df.distinct() for lbl, df in out.items()}
+
     def compile(self, node) -> DataFrame:
         if isinstance(node, A.SetOp):
             return self._compile_setop(node)

@@ -263,3 +263,62 @@ def test_index_ddl(db):
     db.execute("DROP INDEX adj1")
     db.execute("DROP INDEX reach1")
     assert db.execute("CALL gql.list_indexes()").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# CREATE GRAPH AS (induced subgraph; parse-only in the reference)
+
+
+def test_create_graph_as_induced_subgraph(db):
+    db.execute("INSERT (:Person {name: 'Ada', age: 36})-[:KNOWS {since: 1840}]->"
+               "(:Person {name: 'Bob', age: 41})")
+    db.execute("INSERT (:Person {name: 'Cat', age: 9})-[:KNOWS {since: 2020}]->"
+               "(:Person {name: 'Dan', age: 8})")
+    db.execute(
+        "CREATE GRAPH /default/adults AS "
+        "MATCH (p:Person) WHERE p.age > 18 RETURN p"
+    )
+    db.execute("SESSION SET GRAPH /default/adults")
+    names = [r.n for r in db.query(
+        "MATCH (p:Person) RETURN p.name AS n ORDER BY n").collect()]
+    assert names == ["Ada", "Bob"]
+    # induced edge survives (both endpoints kept)
+    pairs = [(r.a, r.b) for r in db.query(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN a.name AS a, b.name AS b"
+    ).collect()]
+    assert pairs == [("Ada", "Bob")]
+
+
+def test_create_graph_as_drops_cross_edges(db):
+    db.execute("INSERT (:Person {name: 'Ada', age: 36})-[:KNOWS {since: 1}]->"
+               "(:Person {name: 'Kid', age: 5})")
+    db.execute(
+        "CREATE GRAPH /default/adults2 AS "
+        "MATCH (p:Person) WHERE p.age > 18 RETURN p"
+    )
+    db.execute("SESSION SET GRAPH /default/adults2")
+    assert db.query("MATCH (:Person)-[k:KNOWS]->(:Person) RETURN count(*) AS n"
+                    ).first().n == 0
+
+
+def test_create_graph_as_pattern_and_anonymous(db):
+    db.execute("INSERT (:Person {name: 'Ada', age: 36})-[:KNOWS {since: 1}]->"
+               "(:Person {name: 'Bob', age: 41})")
+    db.execute("INSERT (:Person {name: 'Loner', age: 50})")
+    # only the named var p is captured; the anonymous endpoint is a filter
+    db.execute(
+        "CREATE GRAPH /default/connected AS "
+        "MATCH (p:Person)-[:KNOWS]->(:Person) RETURN p"
+    )
+    db.execute("SESSION SET GRAPH /default/connected")
+    names = [r.n for r in db.query(
+        "MATCH (p:Person) RETURN p.name AS n ORDER BY n").collect()]
+    assert names == ["Ada"]
+
+
+def test_create_graph_as_rejects_no_match(db):
+    import pytest as _pytest
+    from graphlite_spark.gql.compiler import CompileError
+
+    with _pytest.raises(CompileError):
+        db.execute("CREATE GRAPH /default/bad AS UNWIND [1,2] AS x RETURN x AS x")
