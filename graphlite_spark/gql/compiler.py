@@ -1521,19 +1521,25 @@ def _expr_vars(e, out: dict) -> None:
 
 
 def _pattern_vars(p: A.PathPattern, out: dict) -> None:
+    """Expression references made INSIDE a pattern (inline prop values).
+
+    Bare pattern occurrences of a variable — even shared across several
+    patterns — are deliberately NOT counted: a structural occurrence only
+    needs the element id, and edge endpoint columns already carry it, so
+    the node-table scan+join stays elidable. Only property/entity use in
+    an expression forces materialization."""
     for el in p.elements:
-        var = getattr(el, "var", None)
-        if var:
-            out[var] = out.get(var, 0) + 1
         for pe in getattr(el, "props", {}).values():
             _expr_vars(pe, out)
 
 
 def referenced_vars(q: A.Query) -> set[str]:
-    """Variables that must be materialized: referenced by an expression,
-    returned, or used as a join key (>=2 pattern occurrences). Anything
-    else is a structural placeholder whose node-table join can be elided
-    (graph invariant: edges reference existing, unique node ids)."""
+    """Variables that must materialize their node/edge table: referenced
+    by an expression anywhere (WHERE / WITH / RETURN / ORDER / HAVING /
+    inline prop values). Purely structural variables — including hub
+    nodes shared by multiple patterns — are join keys only; their ids
+    come from edge endpoints and the table join is elided (graph
+    invariant: edges reference existing, unique node ids)."""
     counts: dict[str, int] = {}
     star = False
     for cl in q.clauses:
@@ -1568,4 +1574,4 @@ def referenced_vars(q: A.Query) -> set[str]:
                 _expr_vars(s_.expr, counts)
     if star:
         return {"*"}
-    return {v for v, c in counts.items() if c >= 2}
+    return set(counts)
