@@ -141,6 +141,9 @@ _SCALARS: dict[str, Callable] = {
     "NOW": lambda a, r: F.current_timestamp(),
     "CURRENT_TIMESTAMP": lambda a, r: F.current_timestamp(),
     "CURRENT_DATE": lambda a, r: F.current_date(),
+    # CURRENT_TIME as HH:mm:ss string — Spark has no standalone time type
+    # (timezone_functions.rs CURRENT_TIME)
+    "CURRENT_TIME": lambda a, r: F.date_format(F.current_timestamp(), "HH:mm:ss"),
     "EXTRACT": _extract,
     "DATE_ADD": lambda a, r: F.date_add(a[0], a[1].cast("int")),
     "DATE_SUB": lambda a, r: F.date_sub(a[0], a[1].cast("int")),

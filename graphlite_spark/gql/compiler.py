@@ -270,13 +270,15 @@ class ExprCompiler:
             args = [self.compile(a) for a in e.args]
             return AGGREGATES[name](args, e.distinct)
         # graph introspection functions need binding info
-        if name in ("ID", "LABELS", "TYPE", "KEYS", "PROPERTIES") and e.args and isinstance(e.args[0], A.Var):
+        if name in ("ID", "LABELS", "INFERRED_LABELS", "TYPE", "KEYS", "PROPERTIES") and e.args and isinstance(e.args[0], A.Var):
             var = e.args[0].name
             b = self.frame.bindings.get(var)
             if b and b.kind in ("node", "edge"):
                 if name == "ID":
                     return self.entity_id(var)
-                if name == "LABELS":
+                if name in ("LABELS", "INFERRED_LABELS"):
+                    # single-label storage model: inferred == declared
+                    # (graph_functions.rs INFERRED_LABELS)
                     return F.array(F.lit(b.label))
                 if name == "TYPE":
                     return F.lit(b.label)

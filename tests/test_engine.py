@@ -233,6 +233,15 @@ def test_id_labels_type_functions(simple_db):
     assert got == [(0, "CONNECTS_TO", "TestNode")]
 
 
+def test_inferred_labels_and_current_time(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (a:TestNode {id: 0}) "
+        "RETURN INFERRED_LABELS(a)[1] AS lbl, CURRENT_TIME() AS t"))
+    assert got[0][0] == "TestNode"
+    import re
+    assert re.fullmatch(r"\d{2}:\d{2}:\d{2}", got[0][1])
+
+
 def test_three_valued_logic(simple_db):
     # NULL comparisons propagate, IS NULL catches them
     got = one(simple_db.query(
