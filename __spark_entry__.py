@@ -783,6 +783,22 @@ def _q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import pagerank
+
+    g = _db(spark, sf_dir).graph()
+    edges = g.edge_type("FOLLOWS").df
+    nodes = g.nodes_for_label("Event").select("_id")
+    ns = 10**12
+    out = pagerank(edges, nodes, num_iter=8)
+    return out.select(
+        (F.col("node") % ns).alias("event_id"),
+        F.round(F.col("rank") * 1e6, 3).alias("rank_ppm"),
+    ).orderBy(F.col("rank_ppm").desc(), "event_id").limit(20)
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -857,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ivf_ann_topk": _q_ivf_ann,
             "events_tumbling_counts": _q_tumbling_counts,
             "sessionization": _q_sessionization,
+            "pagerank_topk": _q_pagerank,
             "asof_join_purchases": _q_asof_join,
             "range_join_signup_hour": _q_range_join,
             "rollup_daily_value": _q_rollup_daily,

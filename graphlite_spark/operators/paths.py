@@ -153,3 +153,63 @@ def connected_components(
         if converged:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    num_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank): power-iteration PageRank over directed edges,
+    sum of ranks normalized to 1. Beyond the reference's operation set
+    (its GraphIndexScan stops at reachability); included because rank
+    is the standard companion to components in pipeline curation.
+
+    Each round is two shuffles (contribution groupBy + rank join);
+    dangling-node mass is redistributed uniformly via one scalar
+    aggregate, and lineage is cut with localCheckpoint so the plan
+    stays bounded at high iteration counts. Edge weights are uniform
+    (1/out-degree) — the GraphX convention.
+    """
+    id_col = nodes.columns[0]
+    n_total = nodes.count()
+    if n_total == 0:
+        return nodes.select(
+            F.col(id_col).alias("node"), F.lit(0.0).alias("rank")
+        )
+    e = edges.select(F.col(SRC).alias("_a"), F.col(DST).alias("_b"))
+    deg = e.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.select(
+        F.col(id_col).alias("node"), F.lit(1.0 / n_total).alias("rank")
+    )
+    base = (1.0 - damping) / n_total
+    for _ in range(num_iter):
+        with_deg = ranks.join(deg, ranks["node"] == deg["_a"], "left").drop("_a")
+        # dangling mass: ranks of nodes with no out-edges, spread uniformly
+        dangling = (
+            with_deg.filter(F.col("_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            with_deg.filter(F.col("_deg").isNotNull())
+            .join(e, with_deg["node"] == e["_a"], "inner")
+            .select(F.col("_b").alias("node"), (F.col("rank") / F.col("_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = (
+            nodes.select(F.col(id_col).alias("node"))
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.lit(dangling / n_total))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

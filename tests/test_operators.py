@@ -202,3 +202,30 @@ def test_salted_join_equals_plain_join(spark):
     hybrid = {(r.k, r.v, r.tag) for r in
               hybrid_skew_join(probe, build, "k", hot, salt=4).collect()}
     assert hybrid == plain
+
+
+def test_pagerank_matches_numpy(spark):
+    import numpy as np
+    from graphlite_spark.operators.paths import pagerank
+
+    # 5-node graph with a dangling node (4)
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    edges = spark.createDataFrame([(a, b) for a, b in E], "_src long, _dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    got = {r.node: r.rank for r in pagerank(edges, nodes, num_iter=25).collect()}
+
+    # numpy power iteration, same semantics (uniform dangling spread)
+    d, n = 0.85, 5
+    out = {0: [1, 2], 1: [2], 2: [0], 3: [2], 4: []}
+    r = np.full(n, 1.0 / n)
+    for _ in range(25):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[i] for i in range(n) if not out[i])
+        nxt += d * dangling / n
+        for i in range(n):
+            for j in out[i]:
+                nxt[j] += d * r[i] / len(out[i])
+        r = nxt
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
