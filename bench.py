@@ -35,6 +35,9 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "token_count",
     "cosine_topk",
+    # temporal operators
+    "asof_join_purchases",
+    "rollup_daily_value",
 ]
 
 
