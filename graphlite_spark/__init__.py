@@ -48,6 +48,8 @@ class GraphLiteSpark:
         self.catalog = GraphCatalog(spark, catalog_root)
         self._current_graph: Optional[str] = None
         self._txn_snapshot: Optional[dict] = None
+        self._txn_isolation: str = "READ COMMITTED"  # isolation.rs default
+        self._txn_readonly: bool = False
         self._procedures: dict[str, str] = {}
         self._graph_types: dict[str, object] = {}
         # RBAC metadata (catalog-level, no enforcement on local mode —
@@ -127,9 +129,11 @@ class GraphLiteSpark:
 
             return QueryCompiler(self.graph(), params).compile(stmt.ast)
         if isinstance(stmt, S.InsertStmt):
+            self._check_writable()
             n = dml.execute_insert(self.graph(), stmt, params)
             return {"status": "ok", "rows_affected": n}
         if isinstance(stmt, S.MatchMutateStmt):
+            self._check_writable()
             n = dml.execute_mutate(self.graph(), stmt, params)
             return {"status": "ok", "rows_affected": n}
         if isinstance(stmt, S.CreateSchemaStmt):
@@ -180,7 +184,7 @@ class GraphLiteSpark:
         if isinstance(stmt, S.CallStmt):
             return self._call(stmt, params)
         if isinstance(stmt, S.TxnStmt):
-            return self._txn(stmt.kind)
+            return self._txn(stmt)
         if isinstance(stmt, S.CreateProcedureStmt):
             self._procedures[stmt.name.lower()] = stmt.body
             return {"status": "ok", "rows_affected": 0}
@@ -264,9 +268,23 @@ class GraphLiteSpark:
         self._indexes[stmt.name.lower()] = entry
         return {"status": "ok", "rows_affected": 0}
 
+    def _check_writable(self) -> None:
+        if self._txn_readonly:
+            raise PermissionError(
+                "DML is not allowed in a READ ONLY transaction"
+            )
+
     # -- transactions (optimistic copy-on-write; see dml.py docstring) ------
-    def _txn(self, kind: str):
+    def _txn(self, stmt):
+        kind = stmt.kind
         if kind == "START":
+            # isolation levels (txn/isolation.rs): in this single-writer
+            # embedded engine there are no concurrent transactions, so
+            # every level ≥ READ COMMITTED is satisfied by the snapshot
+            # model; the level is recorded and surfaced, and READ ONLY
+            # access mode is enforced against DML.
+            self._txn_isolation = stmt.isolation or "READ COMMITTED"
+            self._txn_readonly = stmt.access_mode == "READ ONLY"
             self._txn_snapshot = {
                 path: (
                     dict(self.catalog.get_graph(path).nodes),
@@ -275,9 +293,14 @@ class GraphLiteSpark:
                 )
                 for path in self.catalog.list_graphs()
             }
-            return {"status": "transaction started", "rows_affected": 0}
+            return {
+                "status": f"transaction started ({self._txn_isolation}"
+                + (", READ ONLY)" if self._txn_readonly else ")"),
+                "rows_affected": 0,
+            }
         if kind == "COMMIT":
             self._txn_snapshot = None
+            self._txn_readonly = False
             return {"status": "committed", "rows_affected": 0}
         if kind == "ROLLBACK":
             if self._txn_snapshot is None:
@@ -293,6 +316,7 @@ class GraphLiteSpark:
                     k: ET(k, df, s, d) for k, (df, s, d) in edges.items()
                 }
             self._txn_snapshot = None
+            self._txn_readonly = False
             return {"status": "rolled back", "rows_affected": 0}
         raise ValueError(kind)
 

@@ -103,6 +103,9 @@ class CallStmt:
 @dataclass
 class TxnStmt:
     kind: str  # START | COMMIT | ROLLBACK
+    # START characteristics (parser.rs transaction_characteristics):
+    isolation: Optional[str] = None  # READ UNCOMMITTED .. SERIALIZABLE
+    access_mode: Optional[str] = None  # READ ONLY | READ WRITE
 
 
 @dataclass
@@ -273,7 +276,36 @@ class StatementParser(Parser):
         if k == "START":
             self.advance()
             self.try_kw("TRANSACTION")
-            return self._done(TxnStmt("START"))
+            isolation = None
+            access = None
+            if self._try_word("ISOLATION"):
+                if not self._try_word("LEVEL"):
+                    raise ParseError(f"expected LEVEL after ISOLATION at {self.cur.pos}")
+                if self._try_word("READ"):
+                    if self._try_word("UNCOMMITTED"):
+                        isolation = "READ UNCOMMITTED"
+                    elif self._try_word("COMMITTED"):
+                        isolation = "READ COMMITTED"
+                    else:
+                        raise ParseError(
+                            f"expected UNCOMMITTED|COMMITTED at {self.cur.pos}"
+                        )
+                elif self._try_word("REPEATABLE"):
+                    if not self._try_word("READ"):
+                        raise ParseError(f"expected READ at {self.cur.pos}")
+                    isolation = "REPEATABLE READ"
+                elif self._try_word("SERIALIZABLE"):
+                    isolation = "SERIALIZABLE"
+                else:
+                    raise ParseError(f"unknown isolation level at {self.cur.pos}")
+            if self._try_word("READ"):
+                if self._try_word("ONLY"):
+                    access = "READ ONLY"
+                elif self._try_word("WRITE"):
+                    access = "READ WRITE"
+                else:
+                    raise ParseError(f"expected ONLY|WRITE at {self.cur.pos}")
+            return self._done(TxnStmt("START", isolation, access))
         if k == "COMMIT":
             self.advance()
             return self._done(TxnStmt("COMMIT"))
@@ -283,6 +315,15 @@ class StatementParser(Parser):
         raise ParseError(f"unsupported statement {k} at {t.pos}")
 
     # -- helpers -----------------------------------------------------------
+    def _try_word(self, w: str) -> bool:
+        """Match a contextual word (keyword or identifier, case-insensitive)
+        — transaction characteristics aren't reserved words in the lexer."""
+        t = self.cur
+        if t.kind in ("KEYWORD", "IDENT") and str(t.value).upper() == w:
+            self.advance()
+            return True
+        return False
+
     def _end(self):
         if self.at_op(";"):
             self.advance()

@@ -322,3 +322,41 @@ def test_create_graph_as_rejects_no_match(db):
 
     with _pytest.raises(CompileError):
         db.execute("CREATE GRAPH /default/bad AS UNWIND [1,2] AS x RETURN x AS x")
+
+
+# ---------------------------------------------------------------------------
+# transaction characteristics (txn/isolation.rs)
+
+
+def test_txn_isolation_level_recorded(db):
+    r = db.execute("START TRANSACTION ISOLATION LEVEL SERIALIZABLE")
+    assert "SERIALIZABLE" in r["status"]
+    db.execute("COMMIT")
+    r = db.execute("START TRANSACTION ISOLATION LEVEL REPEATABLE READ READ WRITE")
+    assert "REPEATABLE READ" in r["status"]
+    db.execute("ROLLBACK")
+    r = db.execute("START TRANSACTION")
+    assert "READ COMMITTED" in r["status"]  # default, isolation.rs::default
+    db.execute("COMMIT")
+
+
+def test_txn_read_only_blocks_dml(db):
+    import pytest as _pytest
+
+    db.execute("START TRANSACTION READ ONLY")
+    with _pytest.raises(PermissionError):
+        db.execute("INSERT (:Person {name: 'X'})")
+    db.execute("ROLLBACK")
+    # writable again after rollback
+    assert db.execute("INSERT (:Person {name: 'Y'})")["rows_affected"] == 1
+
+
+def test_txn_isolation_parse_errors(db):
+    from graphlite_spark.gql.statements import ParseError
+
+    import pytest as _pytest
+
+    with _pytest.raises(ParseError):
+        db.execute("START TRANSACTION ISOLATION SERIALIZABLE")
+    with _pytest.raises(ParseError):
+        db.execute("START TRANSACTION ISOLATION LEVEL READ SOMETIMES")
