@@ -363,6 +363,37 @@ class GraphLiteSpark:
                     Row(key="app", value=self.spark.sparkContext.appName)]
         elif name == "gql.cache_stats":
             rows = [Row(key="cached_rdds", value=str(len(self.spark.sparkContext._jsc.getPersistentRDDs())))]
+        elif name in ("gql.pagerank", "gql.connected_components"):
+            # distributed graph analytics over the session graph's full
+            # edge union (GraphIndexScan companions, operators/paths.py)
+            from .operators import paths as P
+
+            g = self.graph()
+            e = None
+            for et in g.edges.values():
+                part = et.df.select("_src", "_dst")
+                e = part if e is None else e.unionByName(part)
+            n = None
+            for lbl in g.node_labels():
+                part = g.nodes_for_label(lbl).select("_id")
+                n = part if n is None else n.unionByName(part)
+            if e is None:
+                e = self.spark.createDataFrame([], "_src long, _dst long")
+            if n is None:
+                n = self.spark.createDataFrame([], "_id long")
+            if name == "gql.pagerank":
+                iters = int(stmt.args[0].value) if stmt.args else 10
+                df = P.pagerank(e, n, num_iter=iters)
+            else:
+                df = P.connected_components(e, n)
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            if stmt.where is not None:
+                from .gql.compiler import Binding, ExprCompiler, Frame
+
+                frame = Frame(df, {c: Binding("value") for c in df.columns})
+                df = df.filter(ExprCompiler(frame).compile(stmt.where))
+            return df
         else:
             raise NotImplementedError(f"procedure {stmt.proc}")
         df = self.spark.createDataFrame(rows)

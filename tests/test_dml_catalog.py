@@ -360,3 +360,21 @@ def test_txn_isolation_parse_errors(db):
         db.execute("START TRANSACTION ISOLATION SERIALIZABLE")
     with _pytest.raises(ParseError):
         db.execute("START TRANSACTION ISOLATION LEVEL READ SOMETIMES")
+
+
+def test_call_graph_analytics(db):
+    db.execute("INSERT (:Person {name: 'A'})-[:KNOWS]->(:Person {name: 'B'})")
+    db.execute("INSERT (:Person {name: 'C'})")
+    cc = db.execute("CALL gql.connected_components()").collect()
+    comps = {}
+    for r in cc:
+        comps.setdefault(r.comp, set()).add(r.node)
+    sizes = sorted(len(v) for v in comps.values())
+    assert sizes == [1, 2]
+    pr = db.execute("CALL gql.pagerank()").collect()
+    assert len(pr) == 3
+    assert abs(sum(r.rank for r in pr) - 1.0) < 1e-9
+    # B receives A's rank: strictly higher than the isolated node
+    by_node = {r.node: r.rank for r in pr}
+    ranks = sorted(by_node.values())
+    assert ranks[-1] > ranks[0]
