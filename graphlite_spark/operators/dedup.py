@@ -44,30 +44,53 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, words: bool = False) -> DataFrame:
+    """(id, _shingles array<string>) — the distinct n-gram set, per row.
+
+    Entirely map-side (sequence + transform + array_distinct, all
+    codegen'd): shingling is per-document work and must never shuffle.
+    Per-doc signatures / sizes / verification sets all derive from this
+    frame without a groupBy, so at 100 TB the first shuffle in a dedup
+    pipeline is the candidate join itself.
+    """
+    # NB: sequence(1, 0) is DESCENDING in Spark — guard short/empty texts.
+    # Word n-grams fold n-1 zip_withs over shifted slices of the word
+    # array — O(L) per level. (transform(sequence, i -> slice(...)) is
+    # ~9x slower: the per-element slice makes it O(L*n) with interpreted
+    # lambda dispatch per output shingle.)
+    if words:
+        base = df.select(
+            F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws")
+        )
+        expr = f"slice(_ws, 1, size(_ws) - {n - 1})"
+        for k in range(1, n):
+            expr = (
+                f"zip_with({expr}, slice(_ws, {k + 1}, size(_ws) - {n - 1}),"
+                f" (a, b) -> a || ' ' || b)"
+            )
+        arr = F.expr(f"CASE WHEN size(_ws) >= {n} THEN {expr} ELSE array() END")
+        return base.select(F.col(id_col), F.array_distinct(arr).alias("_shingles"))
+    arr = F.expr(
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"transform(sequence(1, length({text_col}) - {n - 1}),"
+        f" i -> substring({text_col}, i, {n})) "
+        f"ELSE array() END"
+    )
+    return df.select(F.col(id_col), F.array_distinct(arr).alias("_shingles"))
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3, words: bool = False) -> DataFrame:
-    """(id, shingle) pairs, distinct — character n-grams (or word n-grams).
+    """(id, shingle) exploded pairs — the inverted-index view.
 
-    Pure expressions: sequence + transform + explode, all codegen'd.
+    Pairs are distinct per document because the source array is
+    array_distinct'd map-side; ids are assumed unique per input row (the
+    dedup entry points all operate on keyed document tables), so no
+    corpus-wide DISTINCT shuffle is needed.
     """
-    # NB: sequence(1, 0) is DESCENDING in Spark — guard short/empty texts
-    if words:
-        arr = F.expr(
-            f"CASE WHEN size(split(trim({text_col}), '\\\\s+')) >= {n} THEN "
-            f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}),"
-            f" i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i, {n}), ' ')) "
-            f"ELSE array() END"
-        )
-    else:
-        arr = F.expr(
-            f"CASE WHEN length({text_col}) >= {n} THEN "
-            f"transform(sequence(1, length({text_col}) - {n - 1}),"
-            f" i -> substring({text_col}, i, {n})) "
-            f"ELSE array() END"
-        )
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle"))
-        .distinct()
+    return shingle_array(df, text_col, id_col, n, words=words).select(
+        F.col(id_col), F.explode("_shingles").alias("shingle")
     )
 
 
@@ -90,9 +113,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
       right strategy once the corpus (and per-shingle document
       frequency) is large.
     """
+    # checkpoint the compact array form once: the inverted-index
+    # self-join and the size/docset lookups all reuse it
+    base = shingle_array(df, text_col, id_col, n, words=words).localCheckpoint(
+        eager=False
+    )
     if not prefix_filter:
-        sh = shingles(df, text_col, id_col, n, words=words).localCheckpoint(eager=False)
-        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+        sh = base.select(F.col(id_col), F.explode("_shingles").alias("shingle"))
+        # per-doc sizes come from the array map-side — no groupBy shuffle
+        sizes = base.select(F.col(id_col), F.size("_shingles").alias("sz"))
         a = sh.select(F.col(id_col).alias("id_a"), "shingle")
         b = sh.select(F.col(id_col).alias("id_b"), "shingle")
         inter = (
@@ -113,19 +142,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         )
     from pyspark.sql import Window
 
-    sh = shingles(df, text_col, id_col, n, words=words).localCheckpoint(eager=False)
+    sh = base.select(F.col(id_col), F.explode("_shingles").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("_df", "shingle")
-            ),
-        )
-        .join(sizes, id_col)
-    )
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "shingle")),
+    ).join(base.select(F.col(id_col), F.size("_shingles").alias("sz")), id_col)
     prefix = ranked.filter(
         F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).select(id_col, "shingle")
@@ -136,8 +158,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select("id_a", "id_b")
         .distinct()
     )
-    docsets = sh.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("_set"), F.count("*").alias("_sz")
+    docsets = base.select(
+        F.col(id_col), F.col("_shingles").alias("_set"), F.size("_shingles").alias("_sz")
     )
     out = (
         cand.join(
@@ -161,22 +183,40 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return out
 
 
+def _minhash_sig(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, signature) from exploded (id, shingle) rows.
+
+    min(xxhash64(shingle, seed=i)) per doc as num_hashes hash-aggregate
+    columns: whole-stage-codegen'd with map-side partial aggregation, so
+    the shuffle carries one 8*num_hashes-byte row per doc per mapper —
+    not the shingle set. (An aggregate() fold over a per-row shingle
+    array avoids the shuffle entirely but runs interpreted lambdas,
+    measured ~5x slower end-to-end; codegen wins.)
+    """
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+        )
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
                        num_hashes: int = 64, words: bool = True) -> DataFrame:
     """(id, array<long> signature): sig[i] = min over shingles of h_i(s).
 
-    h_i(s) = xxhash64(s, seed=i) — no UDF, one explode + groupBy.
+    h_i(s) = xxhash64(s, seed=i) — no UDF. Docs with no shingles (text
+    shorter than n) carry no signature.
     """
     sh = shingles(df, text_col, id_col, n, words=words)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
-    )
+    return _minhash_sig(sh, id_col, num_hashes)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -196,19 +236,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     band-bucket self-join; no O(n^2) stage anywhere.
     """
     r = num_hashes // bands
-    sh = shingles(df, text_col, id_col, n, words=words).localCheckpoint(eager=False)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = (
-        sh.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            id_col,
-            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
-        )
+    # checkpoint the compact array form: shingling runs once, and both
+    # the signature explode and the verification docsets reuse it
+    base = shingle_array(df, text_col, id_col, n, words=words).localCheckpoint(
+        eager=False
     )
+    sh = base.select(F.col(id_col), F.explode("_shingles").alias("shingle"))
+    sig = _minhash_sig(sh, id_col, num_hashes)
     band_rows = []
     for b in range(bands):
         band_rows.append(
@@ -238,9 +272,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         return cand
     # exact-verify ONLY the candidates: join each side's shingle set and
     # intersect arrays — O(|candidates| * shingles/doc), not a second
-    # corpus-wide inverted-index join
-    docsets = sh.groupBy(id_col).agg(
-        F.collect_list("shingle").alias("_set"), F.count("*").alias("_sz")
+    # corpus-wide inverted-index join; the sets come straight from the
+    # map-side shingle arrays (no collect_list shuffle)
+    docsets = base.select(
+        F.col(id_col), F.col("_shingles").alias("_set"), F.size("_shingles").alias("_sz")
     )
     a = docsets.select(
         F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"), F.col("_sz").alias("_za")
@@ -266,9 +301,12 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """(id, simhash bigint): sign-sum of per-shingle 64-bit hashes.
 
     bit_j(doc) = 1 if sum over shingles of sign(bit_j(h(s))) > 0.
-    Implemented as 64 conditional sums in one groupBy — JVM-side only.
+    Implemented as 63 conditional sums in one groupBy — JVM-side only.
     """
     sh = shingles(df, text_col, id_col, n, words=words)
+    # 63 conditional sums in one hash aggregate — codegen'd with
+    # map-side partial agg (an aggregate() fold over the per-row array
+    # would skip the shuffle but run interpreted lambdas; codegen wins)
     h = F.xxhash64("shingle")
     aggs = [
         F.sum(
