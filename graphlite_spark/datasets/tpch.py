@@ -88,6 +88,14 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
 
     def nodes(label: str, df: DataFrame, key: str) -> None:
         g.add_nodes(label, df.withColumn("_id", _nid(label, F.col(key))), "_id")
+        # the namespaced id is invertible: key = _id - ns. Declaring that
+        # lets the compiler answer `n.<key>` straight from edge endpoints
+        # (cast back so derived values keep the source column's type)
+        ns = _LABEL_NS[label] * _NS
+        ktype = dict(df.dtypes)[key]
+        g.set_key_derivation(
+            label, key, lambda c, _ns=ns, _kt=ktype: (c - F.lit(_ns)).cast(_kt)
+        )
 
     nodes("Region", t["region"], "r_regionkey")
     nodes("Nation", t["nation"], "n_nationkey")

@@ -352,6 +352,7 @@ class QueryCompiler:
         self.graph = graph
         self.params = params or {}
         self._referenced: set[str] = {"*"}
+        self._refprops: dict[str, set | None] | None = None
 
     def _is_referenced(self, var: Optional[str]) -> bool:
         if var is None:
@@ -370,6 +371,36 @@ class QueryCompiler:
         if np.labels and (implied_label is None or np.labels != [implied_label]):
             return False
         return True
+
+    def _derivable(self, np: A.NodePattern, implied_label: Optional[str],
+                   allow_inline: bool = True):
+        """Key-derivation elision (beyond _node_elidable): the variable IS
+        referenced, but only via ``_id`` and/or the label's declared natural
+        key — which ``PropertyGraph.set_key_derivation`` says is computable
+        from the graph id. The edge endpoint already carries the id, so the
+        node-table scan+join contributes nothing; returns (key_prop, decode)
+        when elidable this way, else None."""
+        if self._refprops is None or np.var is None:
+            return None
+        label = implied_label
+        if np.labels:
+            if len(np.labels) != 1 or (implied_label and np.labels[0] != implied_label):
+                return None
+            label = np.labels[0]
+        if label is None or (np.labels and implied_label is None):
+            return None
+        der = self.graph.key_derivations.get(label)
+        if der is None:
+            return None
+        key_prop, _decode = der
+        footprint = self._refprops.get(np.var, set())
+        if footprint is None or not footprint <= {key_prop, ID}:
+            return None
+        if np.props and (
+            not allow_inline or any(k not in (key_prop, ID) for k in np.props)
+        ):
+            return None
+        return der
 
     # ---- public -----------------------------------------------------------
     def compile_subgraph(self, q) -> dict[str, DataFrame]:
@@ -394,6 +425,7 @@ class QueryCompiler:
                             explicit.add(el.var)
         # no RETURN-based join elision: every bound node is graph content
         self._referenced = {"*"}
+        self._refprops = None
         frame: Optional[Frame] = None
         for clause in q.clauses:
             if isinstance(clause, A.MatchClause):
@@ -451,6 +483,7 @@ class QueryCompiler:
     # ---- pipeline -----------------------------------------------------------
     def _compile_query(self, q: A.Query) -> DataFrame:
         self._referenced = referenced_vars(q)
+        self._refprops = referenced_props(q)
         frame: Optional[Frame] = None
         out: Optional[DataFrame] = None
         for clause in q.clauses:
@@ -767,7 +800,13 @@ class QueryCompiler:
             len(elems) > 1
             and elems[1].quant is None
             and not (outer and node0.var in (outer or {}))
-            and self._node_elidable(node0, self._anchor_implied(elems[1], node0))
+            and (
+                self._node_elidable(node0, self._anchor_implied(elems[1], node0))
+                or self._derivable(
+                    node0, self._anchor_implied(elems[1], node0), allow_inline=False
+                )
+                is not None
+            )
         ):
             frame, prev_var = self._expand(
                 None, node0.var or _anon(), elems[1], elems[2], prev_node=node0
@@ -813,7 +852,9 @@ class QueryCompiler:
         value.rs:91-144; edge ids are synthetic here so we carry nodes).
         Elision is disabled — a path value references every node."""
         saved = self._referenced
+        saved_props = self._refprops
         self._referenced = {"*"}
+        self._refprops = None
         try:
             elems = pat.elements
             node0: A.NodePattern = elems[0]
@@ -846,6 +887,7 @@ class QueryCompiler:
             return Frame(out_df, bindings)
         finally:
             self._referenced = saved
+            self._refprops = saved_props
 
     def _scan_node(self, np: A.NodePattern, outer: Optional[dict] = None) -> Frame:
         var = np.var or _anon()
@@ -974,15 +1016,35 @@ class QueryCompiler:
                 if frame is None:
                     # anchor elided: the edge table is the row source
                     joined = edf.withColumn(_ncol(prev_var, ID), F.col(join_key))
+                    anchor_lbl = et.src_label if dirn == "out" else et.dst_label
+                    d0 = (
+                        self._derivable(prev_node, anchor_lbl, allow_inline=False)
+                        if prev_node is not None
+                        else None
+                    )
+                    if d0 is not None and not self._node_elidable(prev_node, anchor_lbl):
+                        # anchor referenced only via its derivable key:
+                        # compute it from the edge endpoint id
+                        joined = joined.withColumn(
+                            _ncol(prev_var, d0[0]), d0[1](F.col(join_key))
+                        )
                 else:
                     joined = frame.df.join(
                         edf, F.col(_ncol(prev_var, ID)) == F.col(join_key), "inner"
                     )
+                d = self._derivable(node, tgt_label)
                 if self._node_elidable(node, tgt_label):
                     # skip the target node-table join; identity comes from
                     # the edge's endpoint column
                     joined = joined.withColumn(_ncol(nvar, ID), F.col(other_key))
                     nprops = [ID]
+                elif d is not None:
+                    # target referenced only via _id / derivable key: skip
+                    # the node-table join, decode the key from the endpoint
+                    joined = joined.withColumn(
+                        _ncol(nvar, ID), F.col(other_key)
+                    ).withColumn(_ncol(nvar, d[0]), d[1](F.col(other_key)))
+                    nprops = [ID, d[0]]
                 else:
                     ndf = self.graph.nodes_for_label(tgt_label)
                     nprops = list(ndf.columns)
@@ -1024,9 +1086,19 @@ class QueryCompiler:
             )
             nb_label = node.labels[0] if node.labels else None
 
-        bindings = dict(frame.bindings) if frame is not None else {
-            prev_var: prev_b
-        }
+        if frame is None:
+            # anchor derivation: expose whichever derived-key columns
+            # survived the union (column intersection may drop them)
+            extra = [
+                c[len(prev_var) + 2:]
+                for c in df.columns
+                if c.startswith(f"{prev_var}__") and c != _ncol(prev_var, ID)
+            ]
+            if extra:
+                prev_b = Binding(prev_b.kind, prev_b.label, [*prev_b.props, *extra])
+            bindings = {prev_var: prev_b}
+        else:
+            bindings = dict(frame.bindings)
         bindings[evar] = Binding("edge", eb_label, [SRC, DST, *eprops])
         bindings[nvar] = Binding("node", nb_label, nprops_all or [])
         out = Frame(df, bindings)
@@ -1479,50 +1551,62 @@ def _split_and(e: A.Expr) -> list[A.Expr]:
     return [e]
 
 
-def _expr_vars(e, out: dict) -> None:
+def _expr_vars(e, out: dict, props: dict | None = None) -> None:
+    """Count variable references; when ``props`` is given, also record HOW
+    each variable is referenced: ``props[var]`` is the set of property
+    names accessed, or None once the variable is used as a whole entity
+    (which forces full materialization)."""
     if e is None:
         return
     if isinstance(e, A.Var):
         out[e.name] = out.get(e.name, 0) + 2
+        if props is not None:
+            props[e.name] = None  # entity-level use
     elif isinstance(e, A.Prop):
-        out[e.var.split(".")[0]] = out.get(e.var.split(".")[0], 0) + 2
+        base = e.var.split(".")[0]
+        out[base] = out.get(base, 0) + 2
+        if props is not None:
+            if "." in e.var:
+                props[base] = None  # nested access: treat as entity use
+            elif props.get(base, set()) is not None:
+                props.setdefault(base, set()).add(e.key)
     elif isinstance(e, A.Binary):
-        _expr_vars(e.left, out)
-        _expr_vars(e.right, out)
+        _expr_vars(e.left, out, props)
+        _expr_vars(e.right, out, props)
     elif isinstance(e, A.Unary):
-        _expr_vars(e.operand, out)
+        _expr_vars(e.operand, out, props)
     elif isinstance(e, A.IsPredicate):
-        _expr_vars(e.operand, out)
+        _expr_vars(e.operand, out, props)
     elif isinstance(e, A.Case):
-        _expr_vars(e.operand, out)
+        _expr_vars(e.operand, out, props)
         for c, r in e.whens:
-            _expr_vars(c, out)
-            _expr_vars(r, out)
-        _expr_vars(e.else_, out)
+            _expr_vars(c, out, props)
+            _expr_vars(r, out, props)
+        _expr_vars(e.else_, out, props)
     elif isinstance(e, A.Cast):
-        _expr_vars(e.operand, out)
+        _expr_vars(e.operand, out, props)
     elif isinstance(e, A.Index):
-        _expr_vars(e.operand, out)
-        _expr_vars(e.index, out)
+        _expr_vars(e.operand, out, props)
+        _expr_vars(e.index, out, props)
     elif isinstance(e, A.ListLiteral):
         for i in e.items:
-            _expr_vars(i, out)
+            _expr_vars(i, out, props)
     elif isinstance(e, A.FuncCall):
         for a in e.args:
-            _expr_vars(a, out)
+            _expr_vars(a, out, props)
     elif isinstance(e, A.ExistsSubquery):
         for p in e.patterns:
-            _pattern_vars(p, out)
-        _expr_vars(e.where, out)
+            _pattern_vars(p, out, props)
+        _expr_vars(e.where, out, props)
     elif isinstance(e, A.InSubquery):
         # the subquery body is self-contained; only the probe expr uses
         # outer bindings
-        _expr_vars(e.expr, out)
+        _expr_vars(e.expr, out, props)
     elif isinstance(e, A.QuantifiedSubquery):
-        _expr_vars(e.left, out)
+        _expr_vars(e.left, out, props)
 
 
-def _pattern_vars(p: A.PathPattern, out: dict) -> None:
+def _pattern_vars(p: A.PathPattern, out: dict, props: dict | None = None) -> None:
     """Expression references made INSIDE a pattern (inline prop values).
 
     Bare pattern occurrences of a variable — even shared across several
@@ -1532,7 +1616,7 @@ def _pattern_vars(p: A.PathPattern, out: dict) -> None:
     an expression forces materialization."""
     for el in p.elements:
         for pe in getattr(el, "props", {}).values():
-            _expr_vars(pe, out)
+            _expr_vars(pe, out, props)
 
 
 def referenced_vars(q: A.Query) -> set[str]:
@@ -1542,13 +1626,32 @@ def referenced_vars(q: A.Query) -> set[str]:
     nodes shared by multiple patterns — are join keys only; their ids
     come from edge endpoints and the table join is elided (graph
     invariant: edges reference existing, unique node ids)."""
+    counts, _props, star = _walk_refs(q)
+    if star:
+        return {"*"}
+    return set(counts)
+
+
+def referenced_props(q: A.Query) -> dict[str, set | None] | None:
+    """Per-variable property footprint: {var: {prop, ...}} for variables
+    referenced only through property access, or None as the value when a
+    variable is used as a whole entity. Returns None (no information)
+    when the query projects * — everything must materialize then. Feeds
+    key-derivation elision: a var whose footprint is within the label's
+    derivable key needs no node-table join at all."""
+    _counts, props, star = _walk_refs(q)
+    return None if star else props
+
+
+def _walk_refs(q: A.Query):
     counts: dict[str, int] = {}
+    props: dict[str, set | None] = {}
     star = False
     for cl in q.clauses:
         if isinstance(cl, A.MatchClause):
             for p in cl.patterns:
-                _pattern_vars(p, counts)
-            _expr_vars(cl.where, counts)
+                _pattern_vars(p, counts, props)
+            _expr_vars(cl.where, counts, props)
         elif isinstance(cl, A.WithClause):
             if getattr(cl, "carry_all", False):
                 star = True
@@ -1556,24 +1659,22 @@ def referenced_vars(q: A.Query) -> set[str]:
                 if isinstance(it.expr, A.Var) and it.expr.name == "*":
                     star = True
                 else:
-                    _expr_vars(it.expr, counts)
-            _expr_vars(cl.where, counts)
+                    _expr_vars(it.expr, counts, props)
+            _expr_vars(cl.where, counts, props)
             for s_ in cl.order_by:
-                _expr_vars(s_.expr, counts)
+                _expr_vars(s_.expr, counts, props)
         elif isinstance(cl, A.UnwindClause):
-            _expr_vars(cl.expr, counts)
+            _expr_vars(cl.expr, counts, props)
         elif isinstance(cl, A.ReturnClause):
             for it in cl.items:
                 if isinstance(it.expr, A.Var) and it.expr.name == "*":
                     star = True
                 else:
-                    _expr_vars(it.expr, counts)
+                    _expr_vars(it.expr, counts, props)
             for g in cl.group_by:
-                _expr_vars(g, counts)
-            _expr_vars(cl.having, counts)
-            _expr_vars(getattr(cl, "select_where", None), counts)
+                _expr_vars(g, counts, props)
+            _expr_vars(cl.having, counts, props)
+            _expr_vars(getattr(cl, "select_where", None), counts, props)
             for s_ in cl.order_by:
-                _expr_vars(s_.expr, counts)
-    if star:
-        return {"*"}
-    return set(counts)
+                _expr_vars(s_.expr, counts, props)
+    return counts, props, star

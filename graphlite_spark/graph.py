@@ -58,6 +58,11 @@ class PropertyGraph:
     edges: dict[str, EdgeType] = field(default_factory=dict)
     name: str = "graph"
     graph_type: object | None = None  # GraphTypeSpec when typed (ast.rs:749-812)
+    # {label: (key_prop, decode)} where decode(Column[_id]) -> Column[key]:
+    # declares that a label's natural key is recoverable from its graph id
+    # (e.g. namespaced ids). Lets the compiler answer `n.key` from an edge
+    # endpoint without scanning/joining the node table at all.
+    key_derivations: dict[str, tuple] = field(default_factory=dict)
 
     # -- construction -----------------------------------------------------
     def add_nodes(self, label: str, df: DataFrame, id_col: str) -> "PropertyGraph":
@@ -82,6 +87,19 @@ class PropertyGraph:
         if dst_col != DST:
             df = df.withColumn(DST, F.col(dst_col))
         self.edges[name] = EdgeType(name, df, src_label, dst_label)
+        return self
+
+    def set_key_derivation(self, label: str, key_prop: str, decode) -> "PropertyGraph":
+        """Declare that ``label``'s ``key_prop`` equals ``decode(_id)``.
+
+        ``decode`` is Column -> Column and must be exact on every id of the
+        label (the datasets here use ``_id = label_ns + key``, so the
+        inverse is a subtraction). The compiler then elides node-table
+        joins for variables whose only referenced properties are the key
+        and/or ``_id`` — at scale that removes a full table scan plus a
+        shuffle join per such variable.
+        """
+        self.key_derivations[label] = (key_prop, decode)
         return self
 
     # -- lookups used by the compiler -------------------------------------

@@ -40,6 +40,54 @@ def test_expand_pushes_node_filter_to_scan(spark):
     assert cust and any("c_acctbal" in f for f in cust[0]["pushed_filters"]), s.text
 
 
+def test_key_derivation_elides_node_scan(spark):
+    """A var referenced only via its natural key joins no node table: the
+    key decodes from the edge endpoint id (graph.set_key_derivation)."""
+    from graphlite_spark import GraphLiteSpark
+    from graphlite_spark.datasets.tpch import tpch_graph
+    from graphlite_spark.plans.inspect import summarize
+
+    db = GraphLiteSpark(spark)
+    db.register_graph(tpch_graph(spark, "/root/testdata/sf0.001"))
+    # s only via s.s_suppkey -> the supplier NODE table must not be
+    # scanned; the IN_NATION edge (built from supplier.parquet) reads
+    # only the two endpoint-key columns
+    df = db.query(
+        "MATCH (s:Supplier)-[:IN_NATION]->(n:Nation) "
+        "RETURN s.s_suppkey AS sk, n.n_name AS nation ORDER BY sk LIMIT 5"
+    )
+    s = summarize(df)
+    # formatted plans list each join node twice (tree + detail section):
+    # one physical join -> 2 matches. Only the Nation join remains.
+    assert s.joins == 2, s.text
+    sup = [x for x in s.scans if "supplier" in (x["location"] or "")]
+    assert len(sup) == 1, s.text
+    assert set(sup[0]["columns"]) <= {"s_suppkey", "s_nationkey"}, sup
+    rows = df.collect()
+    assert [r.sk for r in rows] == [0, 1, 2, 3, 4]
+    # derived key keeps the source column type (int64 here)
+    assert dict(df.dtypes)["sk"] == "bigint"
+
+
+def test_key_derivation_entity_use_still_materializes(spark):
+    """RETURN s (entity) must keep the node-table join — derivation only
+    applies to key/_id property footprints."""
+    from graphlite_spark import GraphLiteSpark
+    from graphlite_spark.datasets.tpch import tpch_graph
+    from graphlite_spark.plans.inspect import summarize
+
+    db = GraphLiteSpark(spark)
+    db.register_graph(tpch_graph(spark, "/root/testdata/sf0.001"))
+    df = db.query(
+        "MATCH (s:Supplier)-[:IN_NATION]->(n:Nation) "
+        "WHERE n.n_name IS NOT NULL RETURN s.s_name AS name ORDER BY name LIMIT 3"
+    )
+    s = summarize(df)
+    # two physical joins (supplier + nation), each listed twice
+    assert s.joins == 4, s.text
+    assert df.count() > 0
+
+
 def test_edge_list_reader(spark, tmp_path):
     from graphlite_spark.sources.readers import edge_list
 
