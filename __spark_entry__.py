@@ -835,6 +835,24 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("signup_id").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def _q_streaming_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained-window rollup cascade (minute -> hour); same code path runs
+    on readStream frames (streaming/windows.py streaming_rollup)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.streaming.windows import streaming_rollup
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("decimal(18,2)")
+    )
+    grains = streaming_rollup(ev, grains=("minute", "hour"), aggs={"v": "sum"})
+    return grains["hour"].select(
+        F.col("bucket").alias("hour"),
+        F.col("n_rows").alias("n_events"),
+        F.col("sum_v").cast("double").alias("sum_value"),
+    )
+
+
 def _q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -873,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ivf_ann_topk": _q_ivf_ann,
             "events_tumbling_counts": _q_tumbling_counts,
             "sessionization": _q_sessionization,
+            "streaming_rollup_hourly": _q_streaming_rollup_hourly,
             "pagerank_topk": _q_pagerank,
             "asof_join_purchases": _q_asof_join,
             "range_join_signup_hour": _q_range_join,
@@ -1607,6 +1626,12 @@ def oracle_sql() -> dict[str, str]:
                        AS window_start,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_rollup_hourly": """
+            SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS hour,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1
         """,
         "sessionization": """
             WITH gaps AS (

@@ -97,6 +97,74 @@ def stream_dedup(
     return df.dropDuplicates(keys)
 
 
+_GRAIN_DURATION = {
+    "second": "1 second",
+    "minute": "1 minute",
+    "hour": "1 hour",
+    "day": "1 day",
+}
+
+
+def streaming_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    grains: tuple[str, ...] = ("hour", "day"),
+    aggs: dict[str, str] | None = None,
+    by: str | list[str] | None = None,
+    watermark: str | None = "10 minutes",
+) -> dict[str, DataFrame]:
+    """Continuous multi-grain aggregation — the streaming analogue of
+    ``operators.temporal.rollup``: the finest grain aggregates raw events;
+    each coarser grain RE-WINDOWS the finer grain's output via
+    ``window(window_col, duration)`` (chained streaming aggregation —
+    Spark's multiple-stateful-operators support, append mode). The raw
+    stream is read once per query; coarse grains aggregate pre-reduced
+    rows, so state and shuffle volume shrink at every level, exactly like
+    the batch cascade.
+
+    ``grains`` are epoch-aligned fixed-width units ordered finest ->
+    coarsest (each must evenly divide the next); weeks/months are
+    calendar-dependent and unsupported. Returns {grain: DataFrame} with
+    columns (bucket, *by, n_rows, <aggs>); each frame is independently
+    sinkable. Works identically on a batch frame (watermark skipped) —
+    that is how the oracle checks it.
+    """
+    aggs = aggs or {}
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    for g in grains:
+        if g not in _GRAIN_DURATION:
+            raise ValueError(
+                f"unsupported grain {g!r}; use {sorted(_GRAIN_DURATION)}"
+            )
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for grain in grains:
+        dur = _GRAIN_DURATION[grain]
+        if prev is None:
+            grouped = df.groupBy(F.window(F.col(ts_col), dur).alias("w"), *by_cols)
+            exprs = [F.count(F.lit(1)).alias("n_rows")]
+            for col, how in aggs.items():
+                fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[how]
+                exprs.append(fn(F.col(col)).alias(f"{how}_{col}"))
+        else:
+            grouped = prev.groupBy(F.window(F.col("w"), dur).alias("w"), *by_cols)
+            exprs = [F.sum("n_rows").alias("n_rows")]
+            for col, how in aggs.items():
+                name = f"{how}_{col}"
+                fn = F.sum if how in ("sum", "count") else {"min": F.min, "max": F.max}[how]
+                exprs.append(fn(F.col(name)).alias(name))
+        cur = grouped.agg(*exprs)
+        names = ["n_rows", *[f"{how}_{c}" for c, how in aggs.items()]]
+        out[grain] = cur.select(
+            F.col("w.start").alias("bucket"), *by_cols, *names
+        )
+        prev = cur
+    return out
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drain a bounded stream into an in-memory table (test/debug sink)."""
     q = (

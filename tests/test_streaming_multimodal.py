@@ -63,6 +63,74 @@ def test_stream_dedup_batch_path(spark):
     assert stream_dedup(df, ["id"]).count() == 2
 
 
+def test_streaming_rollup_cascade_matches_batch(spark, events_stream_dir):
+    """Chained window aggregation (minute -> hour) on a real stream: in
+    append mode only watermark-finalized windows emit, so the stream
+    output must equal the batch cascade minus the unfinalized tail."""
+    from graphlite_spark.streaming.windows import streaming_rollup
+
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {
+        g: {
+            (r.bucket, r.n_rows, round(r.sum_value, 4)): True
+            for r in frames.collect()
+        }
+        for g, frames in streaming_rollup(
+            batch, grains=("minute", "hour"), aggs={"value": "sum"}
+        ).items()
+    }
+    max_ts = batch.agg(F.max("ts")).first()[0]
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    got = {}
+    rolled = streaming_rollup(
+        stream, grains=("minute", "hour"), aggs={"value": "sum"},
+        watermark="0 seconds",
+    )
+    for g, frame in rolled.items():
+        q = (
+            frame.writeStream.format("memory")
+            .queryName(f"roll_{g}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got[g] = {
+            (r.bucket, r.n_rows, round(r.sum_value, 4)): True
+            for r in spark.table(f"roll_{g}").collect()
+        }
+    for g, dur_s in (("minute", 60), ("hour", 3600)):
+        # every emitted window must match batch exactly
+        assert set(got[g]) <= set(expected[g]), g
+        # and everything strictly before the last (unfinalized) window emits
+        finalized = {
+            k for k in expected[g]
+            if k[0].timestamp() + dur_s <= max_ts.timestamp()
+        }
+        assert finalized <= set(got[g]), g
+        assert len(got[g]) > 0, g
+
+
+def test_streaming_rollup_batch_cascade_consistency(spark, events_stream_dir):
+    """Coarser grains must re-aggregate finer ones exactly (sum of minute
+    n_rows per hour == hour n_rows)."""
+    from graphlite_spark.streaming.windows import streaming_rollup
+
+    batch = spark.read.parquet(events_stream_dir)
+    r = streaming_rollup(batch, grains=("minute", "hour"), aggs={"value": "sum"})
+    per_hour = {
+        row.b: (row.n, round(row.s, 4))
+        for row in r["minute"]
+        .groupBy(F.date_trunc("hour", "bucket").alias("b"))
+        .agg(F.sum("n_rows").alias("n"), F.sum("sum_value").alias("s"))
+        .collect()
+    }
+    hours = {row.bucket: (row.n_rows, round(row.sum_value, 4))
+             for row in r["hour"].collect()}
+    assert per_hour == hours and len(hours) > 0
+
+
 # --- multimodal --------------------------------------------------------------
 
 
