@@ -125,6 +125,12 @@ _GQL_QUERIES: dict[str, str] = {
         WHERE n.n_nationkey % 5 = r.r_regionkey
         RETURN count(*) AS n
     """,
+    "multi_pattern_hub_split": """
+        MATCH (c:Customer)-[:FROM_NATION]->(n:Nation),
+              (s:Supplier)-[:IN_NATION]->(n)-[:IN_REGION]->(r:Region)
+        RETURN r.r_name AS region, count(*) AS n_pairs
+        ORDER BY region
+    """,
     # --- aggregates (row 11) ---
     "agg_q1_pricing": """
         MATCH (o:Order)-[l:LINE]->(p:Part)
@@ -981,6 +987,14 @@ def oracle_sql() -> dict[str, str]:
         "disconnected_cross": """
             SELECT count(*) AS n FROM region r, nation n
             WHERE n.n_nationkey % 5 = r.r_regionkey
+        """,
+        "multi_pattern_hub_split": """
+            SELECT r.r_name AS region, count(*) AS n_pairs
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN supplier s ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1 ORDER BY 1
         """,
         "agg_q1_pricing": """
             SELECT l_returnflag AS rf, l_linestatus AS ls,

@@ -554,8 +554,22 @@ class QueryCompiler:
                 if cont:
                     sub = self._continue_path(sub, pat, pending)
                 else:
-                    pf = self._compile_path(pat, ctx or None, pending=pending)
-                    sub = pf if sub is None else self._join_frames(sub, pf, "inner")
+                    halves = (
+                        self._split_at_bound(sub, pat) if sub is not None else None
+                    )
+                    if halves is not None:
+                        # rescan elision: the shared var sits mid-pattern;
+                        # expand both directions from it on the current
+                        # frame instead of recompiling the pattern (which
+                        # would rescan the shared node table and join back)
+                        left_rev, right = halves
+                        if right is not None:
+                            sub = self._continue_path(sub, right, pending)
+                        if left_rev is not None:
+                            sub = self._continue_path(sub, left_rev, pending)
+                    else:
+                        pf = self._compile_path(pat, ctx or None, pending=pending)
+                        sub = pf if sub is None else self._join_frames(sub, pf, "inner")
                 sub, pending = self._apply_pushable(sub, pending)
             if started_from_frame:
                 # frame was folded into sub — don't join it again below
@@ -591,11 +605,59 @@ class QueryCompiler:
             return False
         if node0.labels and node0.labels != [b.label]:
             return False
-        for el in pat.elements[1:]:
-            v = getattr(el, "var", None)
+        for i in range(1, len(pat.elements)):
+            v = getattr(pat.elements[i], "var", None)
             if v and v in sub.bindings:
-                return False
+                # re-bound NODE vars are fine: expansion enforces identity
+                # with an id-equality filter instead of rebinding. Edge
+                # (or value) bindings would still clobber — bail.
+                if i % 2 == 1 or sub.bindings[v].kind != "node":
+                    return False
         return True
+
+    def _split_at_bound(
+        self, sub: Frame, pat: A.PathPattern
+    ) -> Optional[tuple[Optional[A.PathPattern], Optional[A.PathPattern]]]:
+        """When exactly one pattern variable is already bound and it sits at
+        an interior (or either end) node position, split the pattern there:
+        the right half continues forward from the bound var, the left half
+        continues as its reversal. Both halves expand on the current frame —
+        no node-table rescan, no frame-to-frame join. Returns
+        (reversed_left | None, right | None), or None when ineligible."""
+        if pat.var is not None or len(pat.elements) < 3:
+            return None
+        bound_idx: Optional[int] = None
+        seen: set[str] = set()
+        for i, el in enumerate(pat.elements):
+            v = getattr(el, "var", None)
+            if not v:
+                continue
+            if v in seen:
+                return None  # pattern-internal reuse: needs a real join
+            seen.add(v)
+            b = sub.bindings.get(v)
+            if b is None:
+                continue
+            if i % 2 == 1 or b.kind != "node":
+                return None  # bound edge var (or non-node) can't anchor
+            if bound_idx is not None:
+                return None  # two bound vars: join semantics required
+            node = pat.elements[i]
+            if node.props or (node.labels and node.labels != [b.label]):
+                return None
+            bound_idx = i
+        if bound_idx is None or bound_idx == 0:
+            return None  # unbound (fresh pattern) or plain continuation
+        left = A.PathPattern(pat.elements[: bound_idx + 1], None)
+        left_rev = self._reverse_pattern(left)
+        if left_rev is None:
+            return None
+        right = (
+            A.PathPattern(pat.elements[bound_idx:], None)
+            if bound_idx < len(pat.elements) - 1
+            else None
+        )
+        return left_rev, right
 
     @staticmethod
     def _reverse_pattern(pat: A.PathPattern) -> Optional[A.PathPattern]:
@@ -1032,6 +1094,47 @@ class QueryCompiler:
                     joined = frame.df.join(
                         edf, F.col(_ncol(prev_var, ID)) == F.col(join_key), "inner"
                     )
+                if node.var is not None and (
+                    (frame is not None and node.var in frame.bindings
+                     and frame.bindings[node.var].kind == "node")
+                    or (frame is None and node.var == prev_var)
+                ):
+                    # target var already bound (cycle / self-loop /
+                    # within-pattern reuse): enforce identity with an
+                    # id-equality filter — rebinding would silently drop
+                    # the constraint
+                    exist_b = (
+                        frame.bindings[node.var] if frame is not None else prev_b
+                    )
+                    joined = joined.filter(
+                        F.col(_ncol(nvar, ID)) == F.col(other_key)
+                    )
+                    missing = [
+                        k for k in node.props
+                        if _ncol(nvar, k) not in joined.columns
+                    ]
+                    if missing:
+                        lbl = exist_b.label or tgt_label
+                        if lbl is None:
+                            raise CompileError(
+                                f"property constraint on re-bound variable "
+                                f"{nvar!r} needs a label"
+                            )
+                        re_id = f"__rebind_{nvar}_id"
+                        ndf = self.graph.nodes_for_label(lbl).select(
+                            F.col(ID).alias(re_id),
+                            *[F.col(k).alias(_ncol(nvar, k)) for k in missing],
+                        )
+                        joined = joined.join(
+                            ndf, F.col(other_key) == F.col(re_id), "inner"
+                        ).drop(re_id)
+                    nprops = sorted(set(exist_b.props) | set(missing))
+                    parts.append(joined)
+                    used_et.append(et)
+                    nprops_all = nprops if nprops_all is None else sorted(
+                        set(nprops_all) & set(nprops)
+                    )
+                    continue
                 d = self._derivable(node, tgt_label)
                 if self._node_elidable(node, tgt_label):
                     # skip the target node-table join; identity comes from
@@ -1100,7 +1203,19 @@ class QueryCompiler:
         else:
             bindings = dict(frame.bindings)
         bindings[evar] = Binding("edge", eb_label, [SRC, DST, *eprops])
-        bindings[nvar] = Binding("node", nb_label, nprops_all or [])
+        pre_b = None
+        if frame is not None and nvar in frame.bindings and frame.bindings[nvar].kind == "node":
+            pre_b = frame.bindings[nvar]
+        elif frame is None and nvar == prev_var:
+            pre_b = bindings[prev_var]
+        if pre_b is not None:
+            # pre-bound target kept its binding; only widen the props with
+            # any re-bind columns fetched above
+            bindings[nvar] = Binding(
+                pre_b.kind, pre_b.label, sorted(set(pre_b.props) | set(nprops_all or []))
+            )
+        else:
+            bindings[nvar] = Binding("node", nb_label, nprops_all or [])
         out = Frame(df, bindings)
         out = self._inline_props(out, evar, edge.props)
         out = self._inline_props(out, nvar, node.props)
@@ -1207,6 +1322,15 @@ class QueryCompiler:
         out = depth_frames[0]
         for d in depth_frames[1:]:
             out = out.unionByName(d)
+        if node.var is not None and node.var in frame.bindings and \
+                frame.bindings[node.var].kind == "node":
+            # target var already bound (cycle): enforce identity instead
+            # of rebinding — see the same rule in _expand
+            joined = out.filter(F.col("__frontier") == F.col(_ncol(nvar, ID)))
+            joined = joined.drop("__frontier", "__visited", "__visited_e")
+            fr = Frame(joined, dict(frame.bindings))
+            fr = self._inline_props(fr, nvar, node.props)
+            return fr, nvar
         ndf2 = ndf.select(*[F.col(c).alias(_ncol(nvar, c)) for c in nprops])
         joined = out.join(ndf2, F.col("__frontier") == F.col(_ncol(nvar, ID)), "inner")
         joined = joined.drop("__frontier", "__visited", "__visited_e")
@@ -1249,6 +1373,15 @@ class QueryCompiler:
         joined = frame.df.join(
             reach, F.col(_ncol(prev_var, ID)) == F.col("__root"), "inner"
         ).drop("__root")
+        if node.var is not None and node.var in frame.bindings and \
+                frame.bindings[node.var].kind == "node":
+            # target var already bound (cycle): identity filter, no rebind
+            joined = joined.filter(
+                F.col("__tgt") == F.col(_ncol(nvar, ID))
+            ).drop("__tgt")
+            fr = Frame(joined, dict(frame.bindings))
+            fr = self._inline_props(fr, nvar, node.props)
+            return fr, nvar
         ndf = self.graph.nodes_for_label(tgt_label)
         nprops = list(ndf.columns)
         ndf2 = ndf.select(*[F.col(c).alias(_ncol(nvar, c)) for c in nprops])

@@ -312,6 +312,44 @@ def test_trail_mode_edge_distinct(cycle_db):
     assert [r.b for r in got] == [0, 1, 2]
 
 
+def test_rebound_var_enforces_identity(cycle_db):
+    """A repeated node variable means the SAME node (id-equality filter),
+    not a silent rebind. The 3-cycle closes at every rotation."""
+    got = cycle_db.query(
+        "MATCH (a:V)-[:E]->(b:V)-[:E]->(c:V)-[:E]->(a) "
+        "RETURN a.id AS a ORDER BY a"
+    ).collect()
+    assert [r.a for r in got] == [0, 1, 2]
+    # 2-cycles don't exist in a 3-cycle graph
+    assert cycle_db.query(
+        "MATCH (a:V)-[:E]->(b:V)-[:E]->(a) RETURN count(*) AS n"
+    ).first().n == 0
+    # neither do self-loops (elided-anchor path)
+    assert cycle_db.query(
+        "MATCH (a:V)-[:E]->(a) RETURN count(*) AS n"
+    ).first().n == 0
+
+
+def test_rebound_var_across_patterns(cycle_db):
+    # second pattern closes the cycle through already-bound a and b
+    got = cycle_db.query(
+        "MATCH (a:V)-[:E]->(b:V), (b)-[:E]->(c:V)-[:E]->(a) "
+        "RETURN a.id AS a, c.id AS c ORDER BY a"
+    ).collect()
+    assert [(r.a, r.c) for r in got] == [(0, 2), (1, 0), (2, 1)]
+
+
+def test_rebound_var_varlen_cycle(cycle_db):
+    # exactly length-3 walks return to the start in a 3-cycle
+    got = cycle_db.query(
+        "MATCH (a:V)-[:E]->(b:V), (b)-[:E]{2,2}->(a) RETURN a.id AS a ORDER BY a"
+    ).collect()
+    assert [r.a for r in got] == [0, 1, 2]
+    assert cycle_db.query(
+        "MATCH (a:V)-[:E]->(b:V), (b)-[:E]{1,1}->(a) RETURN count(*) AS n"
+    ).first().n == 0
+
+
 def test_in_subquery_direct(simple_db):
     # chain edges i->i+1 (i in 0..8); a.value >= 50 → a.id >= 5 → targets 6..9
     got = simple_db.query(

@@ -88,6 +88,33 @@ def test_key_derivation_entity_use_still_materializes(spark):
     assert df.count() > 0
 
 
+def test_interior_shared_var_avoids_rescan(spark):
+    """A var shared mid-pattern splits the pattern at the bound node and
+    expands both directions on the current frame — no second nation
+    scan, no frame-to-frame join (_split_at_bound)."""
+    from graphlite_spark import GraphLiteSpark
+    from graphlite_spark.datasets.tpch import tpch_graph
+    from graphlite_spark.plans.inspect import summarize
+
+    db = GraphLiteSpark(spark)
+    db.register_graph(tpch_graph(spark, "/root/testdata/sf0.001"))
+    df = db.query(
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation), "
+        "(s:Supplier)-[:IN_NATION]->(n)-[:IN_REGION]->(r:Region) "
+        "RETURN r.r_name AS region, count(*) AS n_pairs ORDER BY region"
+    )
+    s = summarize(df)
+    # n is structural: its node table is elided entirely; the single
+    # nation.parquet scan is the IN_REGION edge table
+    nation_scans = [x for x in s.scans if "nation" in (x["location"] or "")]
+    assert len(nation_scans) == 1, s.text
+    got = [(r.region, r.n_pairs) for r in df.collect()]
+    assert got == [
+        ("AFRICA", 14), ("AMERICA", 5), ("ASIA", 4),
+        ("EUROPE", 21), ("MIDDLE EAST", 18),
+    ]
+
+
 def test_edge_list_reader(spark, tmp_path):
     from graphlite_spark.sources.readers import edge_list
 
