@@ -243,24 +243,33 @@ class Parser:
         (match_clause|None, return_clause, from_graph|None)."""
         self.eat_kw("SELECT")
         distinct = self.try_kw("DISTINCT")
+        if not distinct:
+            self.try_kw("ALL")  # explicit bag semantics — the default
         items = self._parse_items()
         from_graph = None
         patterns = []
         if self.try_kw("FROM"):
-            parts = []
-            if self.at_op("/"):
-                self.advance()
-                parts.append("")
-            parts.append(self.ident())
-            while self.at_op("/"):
-                self.advance()
+            # "FROM MATCH ..." (reference extension, parser.rs:1024-1032)
+            # keeps the session graph; otherwise FROM names a graph path
+            if not self.at_kw("MATCH"):
+                parts = []
+                if self.at_op("/"):
+                    self.advance()
+                    parts.append("")
                 parts.append(self.ident())
-            from_graph = "/".join(parts)
+                while self.at_op("/"):
+                    self.advance()
+                    parts.append(self.ident())
+                from_graph = "/".join(parts)
         if self.try_kw("MATCH"):
             patterns.append(self.parse_path_pattern())
             while self.at_op(","):
                 self.advance()
                 patterns.append(self.parse_path_pattern())
+        else:
+            # reference behavior (executor.rs:3161-3177): SELECT without a
+            # MATCH clause implicitly matches every node as ``n``
+            patterns.append(PathPattern([NodePattern("n", [], {})], None))
         where = self.parse_expr() if self.try_kw("WHERE") else None
         group_by = []
         having = None

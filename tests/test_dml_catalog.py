@@ -181,6 +181,26 @@ def test_select_from_graph(spark):
     assert [(r.sku, r.price) for r in got] == [("a", 10), ("b", 20)]
 
 
+def test_select_from_match_extension(db):
+    """Reference extension (parser.rs:1024-1032, dql_tests.rs:236):
+    FROM MATCH ... runs against the session graph; SELECT without any
+    MATCH implicitly matches every node as n (executor.rs:3161-3177)."""
+    db.execute("CREATE GRAPH IF NOT EXISTS /default/selmatch")
+    db.execute("SESSION SET GRAPH /default/selmatch")
+    db.execute("INSERT (:Item {sku: 'a', price: 10})")
+    db.execute("INSERT (:Item {sku: 'b', price: 20})")
+    got = db.query(
+        "SELECT i.sku AS sku FROM MATCH (i:Item) WHERE i.price > 15"
+    ).collect()
+    assert [r.sku for r in got] == ["b"]
+    # implicit MATCH (n): one row per node in the graph
+    assert db.query("SELECT count(*) AS n").first().n == 2
+    # SELECT ALL parses as the (default) bag semantics
+    assert db.query(
+        "SELECT ALL i.price AS p FROM MATCH (i:Item) ORDER BY p"
+    ).count() == 2
+
+
 def test_quantified_comparison(db):
     got = db.query(
         "UNWIND [[1,2,3],[4,5,6]] AS xs "
