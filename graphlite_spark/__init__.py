@@ -56,6 +56,10 @@ class GraphLiteSpark:
         # the reference's security/ module gates sessions the same way)
         self._users: dict[str, dict] = {"admin": {"roles": ["admin"]}}
         self._roles: dict[str, dict] = {"admin": {"grants": ["ALL"]}}
+        # model registry metadata (the reference routes gql.*_model
+        # procedures but ships no model runtime; here models are catalog
+        # entries a pipeline can resolve to UDFs/embedding tables)
+        self._models: dict[str, dict] = {}
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "GraphLiteSpark":
@@ -363,6 +367,122 @@ class GraphLiteSpark:
                     Row(key="app", value=self.spark.sparkContext.appName)]
         elif name == "gql.cache_stats":
             rows = [Row(key="cached_rdds", value=str(len(self.spark.sparkContext._jsc.getPersistentRDDs())))]
+        elif name == "gql.clear_cache":
+            # system_procedures.rs:901-966: returns (status, cleared_caches)
+            n = len(self.spark.sparkContext._jsc.getPersistentRDDs())
+            self.spark.catalog.clearCache()
+            rows = [Row(status="ok", cleared_caches=n)]
+        elif name == "gql.current_graph":
+            rows = [Row(graph=str(self._current_graph))]
+        elif name == "gql.current_schema":
+            cur = self._current_graph or "/default/"
+            rows = [Row(schema=self.catalog.split_path(cur)[0])]
+        elif name == "gql.describe_schema":
+            target = (stmt.args[0].value if stmt.args
+                      else self.catalog.split_path(self._current_graph or "/default/")[0])
+            rows = [
+                Row(schema=target, graph=g.split("/")[-1])
+                for g in self.catalog.list_graphs()
+                if self.catalog.split_path(g)[0] == target
+            ] or [Row(schema=target, graph=None)]
+        elif name == "gql.get_schema_statistics":
+            from collections import Counter
+
+            c = Counter(self.catalog.split_path(g)[0] for g in self.catalog.list_graphs())
+            rows = [Row(schema=s, n_graphs=n) for s, n in sorted(c.items())]
+        elif name == "gql.describe_graph":
+            g = self.graph(stmt.args[0].value if stmt.args else None)
+            rows = [
+                Row(kind="node", label=lbl, properties=",".join(
+                    c for c in g.nodes_for_label(lbl).columns if c != "_id"))
+                for lbl in g.node_labels()
+            ] + [
+                Row(kind="edge", label=et.name,
+                    properties=f"{et.src_label}->{et.dst_label}")
+                for et in g.edges.values()
+            ]
+            if not rows:
+                return self.spark.createDataFrame(
+                    [], "kind string, label string, properties string")
+        elif name == "gql.list_node_types":
+            g = self.graph()
+            rows = [Row(node_type=lbl) for lbl in g.node_labels()]
+            if not rows:
+                return self.spark.createDataFrame([], "node_type string")
+        elif name == "gql.describe_node_type":
+            g = self.graph()
+            lbl = stmt.args[0].value if stmt.args else ""
+            ndf = g.nodes_for_label(lbl)
+            rows = [Row(node_type=lbl, property=c, dtype=t)
+                    for c, t in ndf.dtypes if c != "_id"]
+            if not rows:
+                return self.spark.createDataFrame(
+                    [], "node_type string, property string, dtype string")
+        elif name == "gql.graph_stats":
+            g = self.graph(stmt.args[0].value if stmt.args else None)
+            rows = [
+                Row(kind="node", label=lbl, n=g.nodes_for_label(lbl).count())
+                for lbl in g.node_labels()
+            ] + [
+                Row(kind="edge", label=et.name, n=et.df.count())
+                for et in g.edges.values()
+            ]
+            if not rows:
+                return self.spark.createDataFrame(
+                    [], "kind string, label string, n long")
+        elif name == "gql.sample_data":
+            g = self.graph()
+            lbl = stmt.args[0].value if stmt.args else g.node_labels()[0]
+            k = int(stmt.args[1].value) if len(stmt.args) > 1 else 5
+            df = g.nodes_for_label(lbl).limit(k)
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            return df
+        elif name == "gql.get_version_history":
+            rows = [Row(version=__version__, note="graphlite-spark engine")]
+        elif name == "gql.list_text_indexes":
+            idx = getattr(self, "_indexes", {})
+            rows = [Row(name=d["name"], target=str(d["target"]))
+                    for d in idx.values() if d["kind"] == "TEXT"]
+            if not rows:
+                return self.spark.createDataFrame([], "name string, target string")
+        elif name == "gql.describe_text_index":
+            idx = getattr(self, "_indexes", {})
+            tgt = stmt.args[0].value if stmt.args else None
+            rows = [Row(name=d["name"], kind=d["kind"], target=str(d["target"]))
+                    for d in idx.values()
+                    if d["kind"] == "TEXT" and (tgt is None or d["name"] == tgt)]
+            if not rows:
+                return self.spark.createDataFrame(
+                    [], "name string, kind string, target string")
+        elif name == "gql.register_model":
+            mname = stmt.args[0].value
+            uri = stmt.args[1].value if len(stmt.args) > 1 else ""
+            self._models[mname] = {"uri": uri, "loaded": False}
+            rows = [Row(model=mname, status="registered")]
+        elif name == "gql.delete_model":
+            mname = stmt.args[0].value
+            existed = self._models.pop(mname, None) is not None
+            rows = [Row(model=mname, status="deleted" if existed else "not found")]
+        elif name in ("gql.load_model", "gql.unload_model"):
+            mname = stmt.args[0].value
+            if mname not in self._models:
+                raise KeyError(f"no model {mname!r}; register it first")
+            self._models[mname]["loaded"] = name == "gql.load_model"
+            rows = [Row(model=mname,
+                        status="loaded" if name == "gql.load_model" else "unloaded")]
+        elif name == "gql.list_models":
+            rows = [Row(model=m, uri=d["uri"], loaded=d["loaded"])
+                    for m, d in sorted(self._models.items())]
+            if not rows:
+                return self.spark.createDataFrame(
+                    [], "model string, uri string, loaded boolean")
+        elif name in ("gql.describe_model", "gql.model_stats"):
+            mname = stmt.args[0].value if stmt.args else ""
+            if mname not in self._models:
+                raise KeyError(f"no model {mname!r}; have {sorted(self._models)}")
+            d = self._models[mname]
+            rows = [Row(model=mname, uri=d["uri"], loaded=d["loaded"])]
         elif name in ("gql.pagerank", "gql.connected_components"):
             # distributed graph analytics over the session graph's full
             # edge union (GraphIndexScan companions, operators/paths.py)

@@ -114,6 +114,38 @@ def test_call_procedures(db):
     assert sess["current_graph"] == "/default/g"
 
 
+def test_call_catalog_and_model_procedures(db):
+    """The full gql.* procedure namespace (executor.rs:2799-2846 routes
+    these; describe/stats/model procedures have no reference runtime and
+    are implemented here for real)."""
+    db.execute("INSERT (:Person {name: 'Ada', age: 36})")
+    assert db.execute("CALL gql.current_graph()").first().graph == "/default/g"
+    assert db.execute("CALL gql.current_schema()").first().schema == "default"
+    assert db.execute("CALL gql.get_schema_statistics()").count() >= 1
+    desc = db.execute("CALL gql.describe_graph()").collect()
+    assert any(r.kind == "node" and r.label == "Person" for r in desc)
+    nt = [r.node_type for r in db.execute("CALL gql.list_node_types()").collect()]
+    assert nt == ["Person"]
+    props = db.execute("CALL gql.describe_node_type('Person')").collect()
+    assert {r.property for r in props} >= {"name", "age"}
+    stats = db.execute("CALL gql.graph_stats()").collect()
+    assert [(r.kind, r.label, r.n) for r in stats] == [("node", "Person", 1)]
+    assert db.execute("CALL gql.sample_data('Person', 1)").count() == 1
+    cc = db.execute("CALL gql.clear_cache()").first()
+    assert cc.status == "ok"
+    assert db.execute("CALL gql.get_version_history()").count() == 1
+    # model registry lifecycle
+    db.execute("CALL gql.register_model('m1', 'file:///models/m1')")
+    assert db.execute("CALL gql.list_models()").first().loaded is False
+    db.execute("CALL gql.load_model('m1')")
+    assert db.execute("CALL gql.describe_model('m1')").first().loaded is True
+    db.execute("CALL gql.unload_model('m1')")
+    assert db.execute("CALL gql.model_stats('m1')").first().loaded is False
+    db.execute("CALL gql.delete_model('m1')")
+    assert db.execute("CALL gql.list_models()").count() == 0
+    assert db.execute("CALL gql.list_text_indexes()").count() == 0
+
+
 def test_transaction_rollback(db):
     db.execute("INSERT (:Person {name: 'Ada'})")
     db.execute("START TRANSACTION")
