@@ -628,6 +628,56 @@ _GQL_QUERIES: dict[str, str] = {
                CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         ORDER BY nationkey
     """,
+    # Q4 adaptation (order priority checking; the driver's lineitem subset
+    # has no commit/receipt dates, so the EXISTS predicate is a discount
+    # condition instead — same correlated-EXISTS plan shape)
+    "q4_order_priority": """
+        MATCH (o:Order)
+        WHERE o.o_orderdate >= DATETIME('1996-01-01')
+          AND o.o_orderdate < DATETIME('1996-06-01')
+          AND EXISTS {(o)-[l:LINE]->(:Part) WHERE l.l_discount > 0.05}
+        RETURN o.o_orderpriority AS priority, count(*) AS order_count
+        ORDER BY priority
+    """,
+    # Q9 adaptation (product-type profit by nation and year; no partsupp
+    # table, so profit is revenue without supply cost)
+    "q9_product_type_profit": """
+        MATCH (o:Order)-[l:LINE]->(p:Part),
+              (s:Supplier)-[:IN_NATION]->(n:Nation)
+        WHERE l.l_suppkey = s.s_suppkey AND p.p_type = 'PROMO'
+        RETURN n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+        ORDER BY nation, o_year DESC
+    """,
+    # Q12 adaptation (shipping priority classes; no l_shipmode column, so
+    # lines group by return flag instead — same join + conditional-agg shape)
+    "q12_priority_lines": """
+        MATCH (o:Order)-[l:LINE]->(:Part)
+        WHERE l.l_shipdate >= DATETIME('1996-01-01')
+          AND l.l_shipdate < DATETIME('1997-01-01')
+        RETURN l.l_returnflag AS rf,
+               SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                          OR o.o_orderpriority = '2-HIGH'
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                         AND o.o_orderpriority <> '2-HIGH'
+                        THEN 1 ELSE 0 END) AS low_line_count
+        ORDER BY rf
+    """,
+    # Q21 adaptation (suppliers who were the sole supplier on some order:
+    # correlated NOT EXISTS referencing the OUTER edge's properties)
+    "q21_sole_supplier": """
+        MATCH (s:Supplier)-[l:SUPPLIES]->(:Part)
+        WHERE NOT EXISTS {
+                (s2:Supplier)-[l2:SUPPLIES]->(:Part)
+                WHERE l2.l_orderkey = l.l_orderkey
+                  AND s2.s_suppkey <> s.s_suppkey
+              }
+        RETURN s.s_name AS s_name, count(*) AS numwait
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
 }
 
 _PARAMS: dict[str, dict] = {
@@ -1594,6 +1644,47 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderstatus = 'P')
             GROUP BY 1 ORDER BY 1
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority AS priority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-06-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q9_product_type_profit": """
+            SELECT n.n_name AS nation,
+                   CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE p.p_type = 'PROMO'
+            GROUP BY 1, 2 ORDER BY 1, 2 DESC
+        """,
+        "q12_priority_lines": """
+            SELECT l.l_returnflag AS rf,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q21_sole_supplier": """
+            SELECT s.s_name AS s_name, count(*) AS numwait
+            FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> s.s_suppkey)
+            GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20
         """,
         "within_time_window": """
             SELECT event_type, count(*) AS n FROM events

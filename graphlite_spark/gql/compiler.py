@@ -823,17 +823,28 @@ class QueryCompiler:
                 for pat in inner.patterns:
                     pf = self._compile_path(pat, frame.bindings)
                     sub = pf if sub is None else self._join_frames(sub, pf, "inner")
+                correlated: list[A.Expr] = []
                 if inner.where is not None:
-                    merged = Frame(sub.df, {**frame.bindings, **sub.bindings})
-                    # predicates referencing outer vars must be join keys;
-                    # only sub-local predicates supported inside EXISTS body
-                    sub = Frame(
-                        sub.df.filter(ExprCompiler(sub, self.params).compile(inner.where)),
-                        sub.bindings,
-                    )
+                    # sub-local conjuncts filter the subquery before the
+                    # semi-join; conjuncts referencing outer vars become
+                    # join conditions (decorrelation, the same unnesting
+                    # the reference does in logical_optimizer.rs:285-599)
+                    for cj in _split_and(inner.where):
+                        used: dict = {}
+                        _expr_vars(cj, used)
+                        if set(used) <= set(sub.bindings):
+                            sub = Frame(
+                                sub.df.filter(
+                                    ExprCompiler(sub, self.params).compile(cj)
+                                ),
+                                sub.bindings,
+                            )
+                        else:
+                            correlated.append(cj)
                 fr = Frame(df, frame.bindings)
                 fr = self._join_frames(
-                    fr, sub, "left_anti" if negated else "left_semi"
+                    fr, sub, "left_anti" if negated else "left_semi",
+                    correlated=correlated or None,
                 )
                 df = fr.df
             else:
@@ -1395,9 +1406,10 @@ class QueryCompiler:
         return fr, nvar
 
     # ---- joins between frames --------------------------------------------------
-    def _join_frames(self, left: Frame, right: Frame, how: str) -> Frame:
+    def _join_frames(self, left: Frame, right: Frame, how: str,
+                     correlated: Optional[list] = None) -> Frame:
         shared = [v for v in right.bindings if v in left.bindings]
-        if not shared:
+        if not shared and not correlated:
             if how in ("left_semi", "left_anti"):
                 raise CompileError("EXISTS subquery shares no variables with outer query")
             df = left.df.crossJoin(right.df)
@@ -1414,6 +1426,21 @@ class QueryCompiler:
             key = _ncol(v, ID) if b.kind in ("node", "edge") else v
             c = F.col(key) == F.col(ren[key])
             cond = c if cond is None else (cond & c)
+        if correlated:
+            # predicates spanning both sides become join conditions: the
+            # right-only variables are rewritten onto their renamed columns
+            # (__r_ prefixes compose: __r_<var>__<prop> == _ncol(__r_var, p))
+            mapping = {v: f"__r_{v}" for v in right.bindings if v not in left.bindings}
+            mbind = dict(left.bindings)
+            for v, b in right.bindings.items():
+                if v not in left.bindings:
+                    mbind[f"__r_{v}"] = b
+            mframe = Frame(left.df, mbind)
+            for cexpr in correlated:
+                col = ExprCompiler(mframe, self.params).compile(
+                    _rewrite_vars(cexpr, mapping)
+                )
+                cond = col if cond is None else (cond & col)
         df = left.df.join(rdf, cond, how)
         if how in ("left_semi", "left_anti"):
             return Frame(df, dict(left.bindings))
@@ -1682,6 +1709,44 @@ def _split_and(e: A.Expr) -> list[A.Expr]:
     if isinstance(e, A.Binary) and e.op == "AND":
         return _split_and(e.left) + _split_and(e.right)
     return [e]
+
+
+def _rewrite_vars(e, mapping: dict):
+    """Clone an expression with variable names substituted (used to point
+    EXISTS-subquery variables at the renamed right side of a semi-join).
+    Subquery nodes are left untouched — their bodies bind their own scope."""
+    if e is None:
+        return None
+    if isinstance(e, A.Var):
+        return A.Var(mapping.get(e.name, e.name))
+    if isinstance(e, A.Prop):
+        base = e.var.split(".")[0]
+        if base in mapping:
+            rest = e.var[len(base):]
+            return A.Prop(mapping[base] + rest, e.key)
+        return e
+    if isinstance(e, A.Binary):
+        return A.Binary(e.op, _rewrite_vars(e.left, mapping), _rewrite_vars(e.right, mapping))
+    if isinstance(e, A.Unary):
+        return A.Unary(e.op, _rewrite_vars(e.operand, mapping))
+    if isinstance(e, A.IsPredicate):
+        return A.IsPredicate(_rewrite_vars(e.operand, mapping), e.what, e.negated)
+    if isinstance(e, A.Case):
+        return A.Case(
+            _rewrite_vars(e.operand, mapping),
+            [(_rewrite_vars(c, mapping), _rewrite_vars(r, mapping)) for c, r in e.whens],
+            _rewrite_vars(e.else_, mapping),
+        )
+    if isinstance(e, A.Cast):
+        return A.Cast(_rewrite_vars(e.operand, mapping), e.type_name)
+    if isinstance(e, A.Index):
+        return A.Index(_rewrite_vars(e.operand, mapping), _rewrite_vars(e.index, mapping))
+    if isinstance(e, A.ListLiteral):
+        return A.ListLiteral([_rewrite_vars(x, mapping) for x in e.items])
+    if isinstance(e, A.FuncCall):
+        return A.FuncCall(e.name, [_rewrite_vars(a, mapping) for a in e.args],
+                          getattr(e, "distinct", False))
+    return e
 
 
 def _expr_vars(e, out: dict, props: dict | None = None) -> None:

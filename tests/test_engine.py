@@ -152,6 +152,34 @@ def test_not_exists_anti_join(simple_db):
     assert got == (11,)
 
 
+def test_correlated_exists(simple_db):
+    # EXISTS body references the OUTER edge's property (decorrelated into
+    # a semi-join condition): edges with some strictly-heavier edge.
+    # Weights are 0..8 -> all but the heaviest qualify.
+    got = one(simple_db.query(
+        "MATCH (a:TestNode)-[e:CONNECTS_TO]->(b:TestNode) "
+        "WHERE EXISTS {(x:TestNode)-[e2:CONNECTS_TO]->(y:TestNode) "
+        "WHERE e2.weight > e.weight} "
+        "RETURN count(*) AS n"))
+    assert got == (8,)
+
+
+def test_correlated_not_exists(simple_db):
+    # NOT EXISTS with a mixed body: one sub-local conjunct (pre-filter)
+    # and one correlated conjunct (anti-join condition). Nodes with no
+    # lighter-weighted outgoing edge than their id: edge i->i+1 has
+    # weight i, so "exists e2.weight < n.id from n" only for... none
+    # (each node has exactly one outgoing edge, weight == id). With the
+    # sub-local filter weight >= 5, nodes 0..4 have no qualifying edge.
+    got = one(simple_db.query(
+        "MATCH (n:TestNode) "
+        "WHERE NOT EXISTS {(m:TestNode)-[e2:CONNECTS_TO]->(y:TestNode) "
+        "WHERE e2.weight >= 5 AND m.id = n.id} "
+        "RETURN count(*) AS n"))
+    # nodes 5..8 have an outgoing edge with weight>=5 -> excluded; 16 remain
+    assert got == (16,)
+
+
 def test_optional_match_null_padding(simple_db):
     got = rows(simple_db.query(
         "MATCH (n:TestNode) OPTIONAL MATCH (n)-[:CONNECTS_TO]->(m:TestNode) "
