@@ -678,6 +678,79 @@ _GQL_QUERIES: dict[str, str] = {
         ORDER BY numwait DESC, s_name
         LIMIT 20
     """,
+    # Q2 adaptation (min-cost supplier; no partsupp table, so the supply
+    # cost is the line price: suppliers in a region offering a sized part
+    # at that part's regional minimum price — correlated-argmin via WITH
+    # aggregation + chained MATCH join-back)
+    "q2_min_cost_supplier": """
+        MATCH (s:Supplier)-[l:SUPPLIES]->(p:Part),
+              (s)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        WHERE p.p_size = 30 AND r.r_name = 'ASIA'
+        WITH p.p_partkey AS pk, MIN(l.l_extendedprice) AS min_price
+        MATCH (s2:Supplier)-[l2:SUPPLIES]->(p2:Part),
+              (s2)-[:IN_NATION]->(n2:Nation)-[:IN_REGION]->(r2:Region)
+        WHERE p2.p_partkey = pk AND r2.r_name = 'ASIA'
+          AND l2.l_extendedprice = min_price
+        RETURN DISTINCT s2.s_acctbal AS s_acctbal, s2.s_name AS s_name,
+               n2.n_name AS n_name, pk AS p_partkey
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    # Q11 adaptation (important stock: parts whose inventory value from one
+    # nation's suppliers exceeds a fraction of that nation's total — scalar
+    # subquery threshold on a post-aggregation WHERE)
+    "q11_important_stock": """
+        MATCH (s:Supplier)-[l:SUPPLIES]->(p:Part), (s)-[:IN_NATION]->(n:Nation)
+        WHERE n.n_name = 'NATION_7'
+        WITH p.p_partkey AS pk,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        WHERE part_value > VALUE {
+                MATCH (s2:Supplier)-[l2:SUPPLIES]->(:Part),
+                      (s2)-[:IN_NATION]->(n2:Nation)
+                WHERE n2.n_name = 'NATION_7'
+                RETURN CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2)) *
+                                CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       * 0.002 AS t
+              }
+        RETURN pk AS p_partkey, part_value AS part_value
+        ORDER BY part_value DESC, p_partkey
+    """,
+    # Q16 adaptation (parts/supplier relationship: distinct supplier count
+    # per part attribute combo, excluding a NOT-IN-subquery supplier set;
+    # complaint filter becomes negative account balance)
+    "q16_parts_supplier_relationship": """
+        MATCH (s:Supplier)-[:SUPPLIES]->(p:Part)
+        WHERE p.p_brand <> 'Brand#13'
+          AND p.p_size IN [9, 14, 19, 23, 36, 45, 49, 3]
+          AND s.s_suppkey NOT IN (
+                MATCH (s2:Supplier) WHERE s2.s_acctbal < 0.0
+                RETURN s2.s_suppkey AS k
+              )
+        RETURN p.p_brand AS brand, p.p_type AS p_type, p.p_size AS p_size,
+               COUNT(DISTINCT s.s_suppkey) AS supplier_cnt
+        ORDER BY supplier_cnt DESC, brand, p_type, p_size
+    """,
+    # Q20 adaptation (potential part promotion: suppliers of a nation whose
+    # 1996 shipments of some part exceed a share of that part's total 1996
+    # volume — per-part aggregate joined back at a finer grain)
+    "q20_potential_promotion": """
+        MATCH (s:Supplier)-[l:SUPPLIES]->(p:Part)
+        WHERE l.l_shipdate >= DATETIME('1996-01-01')
+          AND l.l_shipdate < DATETIME('1997-01-01')
+        WITH p.p_partkey AS pk,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        MATCH (s2:Supplier)-[l2:SUPPLIES]->(p2:Part),
+              (s2)-[:IN_NATION]->(n:Nation)
+        WHERE p2.p_partkey = pk AND n.n_name = 'NATION_3'
+          AND l2.l_shipdate >= DATETIME('1996-01-01')
+          AND l2.l_shipdate < DATETIME('1997-01-01')
+        WITH pk AS pk, total_qty AS total_qty, s2.s_name AS s_name,
+             CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_qty
+        WHERE supp_qty > 0.2 * total_qty
+        RETURN DISTINCT s_name AS s_name
+        ORDER BY s_name
+    """,
 }
 
 _PARAMS: dict[str, dict] = {
@@ -925,6 +998,35 @@ def _q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part type through an explicitly salted join: the part
+    build side is replicated SALT ways and lineitem probes scatter across
+    (key, salt), splitting any hot part's shuffle partition. Result is
+    identical to the plain equi-join (the oracle), which is the point —
+    salting changes the physical distribution, never the answer."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.skew import salted_join
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey"), F.col("l_extendedprice")
+    )
+    part = _table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_type")
+    )
+    j = salted_join(li, part, "l_partkey", salt=8)
+    return (
+        j.groupBy("p_type")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, text in _GQL_QUERIES.items():
@@ -952,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "asof_join_purchases": _q_asof_join,
             "range_join_signup_hour": _q_range_join,
             "rollup_daily_value": _q_rollup_daily,
+            "skew_salted_join": _q_skew_salted_join,
         }
     )
     return out
@@ -1686,6 +1789,75 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> s.s_suppkey)
             GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20
         """,
+        "q2_min_cost_supplier": """
+            SELECT DISTINCT s.s_acctbal AS s_acctbal, s.s_name AS s_name,
+                   n.n_name AS n_name, p.p_partkey AS p_partkey
+            FROM supplier s
+            JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE p.p_size = 30 AND r.r_name = 'ASIA'
+              AND l.l_extendedprice = (
+                SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q11_important_stock": """
+            SELECT l.l_partkey AS p_partkey,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_7'
+            GROUP BY 1
+            HAVING CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) > (
+                SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2)) *
+                                CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.002
+                FROM lineitem l2
+                JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                WHERE n2.n_name = 'NATION_7')
+            ORDER BY part_value DESC, p_partkey
+        """,
+        "q16_parts_supplier_relationship": """
+            SELECT p.p_brand AS brand, p.p_type AS p_type, p.p_size AS p_size,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#13'
+              AND p.p_size IN (9, 14, 19, 23, 36, 45, 49, 3)
+              AND l.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, brand, p_type, p_size
+        """,
+        "q20_potential_promotion": """
+            WITH totals AS (
+                SELECT l_partkey AS pk,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY 1)
+            SELECT DISTINCT s.s_name AS s_name
+            FROM totals t
+            JOIN lineitem l2 ON l2.l_partkey = t.pk
+            JOIN supplier s ON s.s_suppkey = l2.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_3'
+              AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l2.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY t.pk, t.total_qty, s.s_name
+            HAVING CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     > 0.2 * t.total_qty
+            ORDER BY s_name
+        """,
         "within_time_window": """
             SELECT event_type, count(*) AS n FROM events
             WHERE ts BETWEEN TIMESTAMP '2024-01-01 01:00:00'
@@ -1725,6 +1897,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "skew_salted_join": """
+            SELECT p.p_type AS p_type,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1 ORDER BY 1
         """,
         "events_tumbling_counts": """
             SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
