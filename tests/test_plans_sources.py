@@ -115,6 +115,31 @@ def test_interior_shared_var_avoids_rescan(spark):
     ]
 
 
+def test_correlated_not_exists_is_single_anti_join(spark):
+    """Decorrelation contract: a NOT EXISTS whose body references outer
+    variables compiles to ONE anti-join with the correlated predicate as
+    the join condition — no nested-loop join, no per-row re-execution."""
+    from graphlite_spark import GraphLiteSpark
+    from graphlite_spark.datasets.tpch import tpch_graph
+    from graphlite_spark.plans.inspect import summarize
+
+    db = GraphLiteSpark(spark)
+    db.register_graph(tpch_graph(spark, "/root/testdata/sf0.001"))
+    df = db.query(
+        "MATCH (s:Supplier)-[l:SUPPLIES]->(:Part) "
+        "WHERE NOT EXISTS {(s2:Supplier)-[l2:SUPPLIES]->(:Part) "
+        "WHERE l2.l_orderkey = l.l_orderkey AND s2.s_suppkey <> s.s_suppkey} "
+        "RETURN s.s_name AS s_name, count(*) AS n"
+    )
+    s = summarize(df)
+    assert s.nested_loop_joins == 0, s.text
+    assert "LeftAnti" in s.text, s.text
+    # both pattern scans elide their part/supplier node tables: only the
+    # lineitem edge table (and the supplier node for s_name) is read
+    li = [x for x in s.scans if "lineitem" in (x["location"] or "")]
+    assert len(li) == 2, s.text
+
+
 def test_edge_list_reader(spark, tmp_path):
     from graphlite_spark.sources.readers import edge_list
 
