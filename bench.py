@@ -27,8 +27,11 @@ HEADLINE = [
     "varlen_range13",      # 1..3-hop path union
     "q3_shipping_priority",  # 3-way join + agg + top-k
     "q5_local_supplier_volume",  # 6-way star join
+    "q18_large_volume_customer",  # agg-filtered IN-subquery + 3-way join
+    "q21_sole_supplier",   # decorrelated correlated NOT EXISTS (self anti-join)
     "not_exists_anti",     # anti join
     "union_all",           # set op
+    "skew_salted_join",    # explicit salted join (hot-key splitting)
     # pipeline operators
     "dedup_exact",
     "ngram_jaccard_pairs",
