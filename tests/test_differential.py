@@ -1,0 +1,169 @@
+"""Differential expression testing: random typed expression trees run
+through the GQL engine (RETURN items over a node table) and through
+DuckDB (SELECT over the same rows), values compared row by row.
+
+This generalizes the curated oracle suite in __spark_entry__: instead of
+hand-picked queries, hypothesis searches the expression grammar for
+disagreements between our compiler/function registry and a reference SQL
+engine. Mirrors the reference's expression-evaluation unit tests
+(graphlite/src/exec/executor.rs:5172-5446 operator semantics,
+functions/*.rs) but checks against an independent implementation.
+
+Grammar notes (deliberate exclusions):
+- no division by data-dependent values (ANSI mode raises; denominators
+  are ABS(x)+1 by construction)
+- literal magnitudes and tree depth are capped so int64 arithmetic
+  cannot overflow under ANSI
+- no ROUND (banker's vs half-away on exact .5 ties), no LOG (log10 vs
+  ln naming divergence across engines)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+ROWS = [
+    # (id, i, d, s)
+    (0, 0, 0.0, ""),
+    (1, 7, 2.5, "hello"),
+    (2, -3, -1.25, "Spark SQL"),
+    (3, 50, 123.456, "  padded  "),
+    (4, -50, -0.001, "MiXeD CaSe"),
+    (5, 11, 3.14159, "a,b,c"),
+    (6, 2, -42.0, "hello"),
+    (7, 29, 1e6, "x"),
+]
+
+
+@pytest.fixture(scope="module")
+def diff_env(spark):
+    import duckdb
+
+    from graphlite_spark import GraphLiteSpark, PropertyGraph
+
+    nodes = spark.createDataFrame(ROWS, "id: long, i: long, d: double, s: string")
+    g = PropertyGraph(spark, name="diff")
+    g.add_nodes("T", nodes, "id")
+    db = GraphLiteSpark(spark)
+    db.register_graph(g)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, i BIGINT, d DOUBLE, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", ROWS)
+    return db, con
+
+
+# --- expression grammar ------------------------------------------------------
+# every strategy yields a template string with {p} where the GQL variable
+# prefix goes: "({p}i + 3)" -> GQL "(n.i + 3)" / SQL "(i + 3)"
+
+_int_leaf = st.sampled_from(["{p}i", "{p}id", "0", "1", "2", "7", "-3", "11", "-12"])
+_str_leaf = st.sampled_from(["{p}s", "'abc'", "''", "'Hello World'", "','"])
+
+_int_expr = st.recursive(
+    _int_leaf,
+    lambda kids: st.one_of(
+        st.tuples(kids, st.sampled_from(["+", "-", "*"]), kids).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        kids.map(lambda a: f"ABS({a})"),
+        kids.map(lambda a: f"SIGN({a})"),
+        st.tuples(kids, kids).map(lambda t: f"MOD({t[0]}, (ABS({t[1]}) + 1))"),
+    ),
+    max_leaves=4,
+)
+
+_float_expr = st.one_of(
+    st.sampled_from(["{p}d", "1.5", "-0.25"]),
+    st.tuples(_int_expr, _int_expr).map(
+        lambda t: f"({t[0]} / (ABS({t[1]}) + 1.0))"
+    ),
+    st.sampled_from(["{p}d", "{p}i"]).map(lambda a: f"SQRT(ABS({a}))"),
+    st.tuples(st.sampled_from(["{p}d"]), _int_expr).map(
+        lambda t: f"({t[0]} * {t[1]})"
+    ),
+    st.sampled_from(["{p}d", "{p}i"]).map(lambda a: f"FLOOR({a})"),
+    st.sampled_from(["{p}d", "{p}i"]).map(lambda a: f"CEIL({a})"),
+)
+
+_str_expr = st.recursive(
+    _str_leaf,
+    lambda kids: st.one_of(
+        kids.map(lambda a: f"UPPER({a})"),
+        kids.map(lambda a: f"LOWER({a})"),
+        kids.map(lambda a: f"REVERSE({a})"),
+        kids.map(lambda a: f"TRIM({a})"),
+        st.tuples(kids, kids).map(lambda t: f"({t[0]} || {t[1]})"),
+        st.tuples(kids, st.integers(1, 5), st.integers(0, 6)).map(
+            lambda t: f"SUBSTRING({t[0]}, {t[1]}, {t[2]})"
+        ),
+        kids.map(lambda a: f"REPLACE({a}, 'l', 'L')"),
+    ),
+    max_leaves=3,
+)
+
+_bool_expr = st.one_of(
+    st.tuples(_int_expr, st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]), _int_expr).map(
+        lambda t: f"({t[0]} {t[1]} {t[2]})"
+    ),
+    st.tuples(_str_expr, st.sampled_from(["=", "<>", "<", ">"]), _str_expr).map(
+        lambda t: f"({t[0]} {t[1]} {t[2]})"
+    ),
+    st.tuples(_str_expr, st.sampled_from(["%l%", "h%", "%o", "%a%e%", "x_"])).map(
+        lambda t: f"({t[0]} LIKE '{t[1]}')"
+    ),
+)
+
+_case_expr = st.tuples(_bool_expr, _int_expr, _int_expr).map(
+    lambda t: f"(CASE WHEN {t[0]} THEN {t[1]} ELSE {t[2]} END)"
+)
+
+_any_expr = st.one_of(_int_expr, _float_expr, _str_expr, _case_expr, _bool_expr)
+
+
+def _eq(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, bool) or isinstance(b, bool):
+        return bool(a) == bool(b)
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_any_expr, min_size=1, max_size=8, unique=True))
+def test_expressions_match_duckdb(diff_env, exprs):
+    db, con = diff_env
+    items = ", ".join(
+        f"{e.format(p='n.')} AS v{k}" for k, e in enumerate(exprs)
+    )
+    gql = f"MATCH (n:T) RETURN n.id AS id, {items} ORDER BY id"
+    sql_items = ", ".join(f"{e.format(p='')} AS v{k}" for k, e in enumerate(exprs))
+    sql = f"SELECT id, {sql_items} FROM t ORDER BY id"
+
+    ours = [tuple(r) for r in db.query(gql).collect()]
+    theirs = con.execute(sql).fetchall()
+    assert len(ours) == len(theirs)
+    for ro, rt in zip(ours, theirs):
+        for e, vo, vt in zip(["id"] + exprs, ro, rt):
+            assert _eq(vo, vt), (
+                f"expression {e!r} diverged: spark={vo!r} duckdb={vt!r}\n"
+                f"spark row={ro}\nduck row={rt}"
+            )
