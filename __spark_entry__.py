@@ -998,6 +998,28 @@ def _q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the part co-purchase projection: parts that share
+    an order form an (undirected) edge; triangles are closed co-purchase
+    triples. The projection is one self-join on the order key; the count
+    is the two-join wedge closure in operators/paths.py."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import triangle_count
+
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_count(pairs, "src", "dst")
+
+
 def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by part type through an explicitly salted join: the part
     build side is replicated SALT ways and lineitem probes scatter across
@@ -1055,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "range_join_signup_hour": _q_range_join,
             "rollup_daily_value": _q_rollup_daily,
             "skew_salted_join": _q_skew_salted_join,
+            "copurchase_triangles": _q_copurchase_triangles,
         }
     )
     return out
@@ -1905,6 +1928,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lines
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "copurchase_triangles": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+                FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey < b.l_partkey)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e1.hi = e2.lo
+            JOIN pairs e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
         """,
         "events_tumbling_counts": """
             SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)

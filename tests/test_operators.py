@@ -229,3 +229,16 @@ def test_pagerank_matches_numpy(spark):
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_triangle_count(spark):
+    from graphlite_spark.operators.paths import triangle_count, triangles_per_vertex
+
+    # K4 minus edge (2,3): triangles {0,1,2} and {0,1,3}. Edges given in
+    # mixed directions + a duplicate + a self-loop to exercise
+    # canonicalization.
+    E = [(0, 1), (1, 2), (2, 0), (3, 0), (1, 3), (2, 1), (0, 0)]
+    edges = spark.createDataFrame(E, "_src long, _dst long")
+    assert triangle_count(edges).collect()[0].n_triangles == 2
+    per = {r.node: r.n_triangles for r in triangles_per_vertex(edges).collect()}
+    assert per == {0: 2, 1: 2, 2: 1, 3: 1}
