@@ -998,6 +998,30 @@ def _q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_click_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch path of the stream-stream interval join (streaming/joins.py):
+    clicks joined to same-user views in the preceding hour. The identical
+    expression runs watermarked on readStream (proven stream==batch in
+    tests/test_streaming_multimodal.py); here the batch plan is checked
+    against the DuckDB range-join oracle."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.streaming.joins import interval_join
+
+    ev = _table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    j = interval_join(clicks, views, key="user_id", lookback="1 hour")
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        F.col("r_event_id").alias("view_id"),
+    ).orderBy("click_id", "view_id")
+
+
 def _q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the part co-purchase projection: parts that share
     an order form an (undirected) edge; triangles are closed co-purchase
@@ -1078,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rollup_daily_value": _q_rollup_daily,
             "skew_salted_join": _q_skew_salted_join,
             "copurchase_triangles": _q_copurchase_triangles,
+            "click_view_interval_join": _q_click_view_interval_join,
         }
     )
     return out
@@ -1938,6 +1963,13 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs e1
             JOIN pairs e2 ON e1.hi = e2.lo
             JOIN pairs e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        """,
+        "click_view_interval_join": """
+            SELECT c.event_id AS click_id, v.event_id AS view_id
+            FROM events c JOIN events v ON c.user_id = v.user_id
+            WHERE c.event_type = 'click' AND v.event_type = 'view'
+              AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+            ORDER BY click_id, view_id
         """,
         "events_tumbling_counts": """
             SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)

@@ -165,12 +165,17 @@ def streaming_rollup(
     return out
 
 
-def run_stream_to_memory(stream_df: DataFrame, name: str) -> None:
-    """Drain a bounded stream into an in-memory table (test/debug sink)."""
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a bounded stream into an in-memory table (test/debug sink).
+
+    Aggregating queries use the default complete mode; stream-stream
+    joins only support append."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

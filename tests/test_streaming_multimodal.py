@@ -198,3 +198,51 @@ def test_stateful_running_totals_stream_matches_batch(spark, events_stream_dir):
     for r in rows:
         last[r.key] = (r.n_events, round(r.total_value, 4))
     assert last == expected and len(last) >= 3
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    from graphlite_spark.streaming.joins import interval_join
+    from graphlite_spark.streaming.windows import run_stream_to_memory
+
+    batch = spark.read.parquet(events_stream_dir)
+    clicks_b = batch.filter(F.col("event_type") == "click")
+    views_b = batch.filter(F.col("event_type") == "view")
+    joined_b = interval_join(
+        clicks_b.select("event_id", "user_id", "ts"),
+        views_b.select("event_id", "user_id", "ts"),
+        key="user_id", lookback="1 hour",
+    )
+    expected = {(r.event_id, r.r_event_id) for r in joined_b.collect()}
+    assert expected, "fixture should produce at least one pair"
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    views_s = stream.filter(F.col("event_type") == "view")
+    joined_s = interval_join(
+        clicks_s.select("event_id", "user_id", "ts"),
+        views_s.select("event_id", "user_id", "ts"),
+        key="user_id", lookback="1 hour",
+    )
+    run_stream_to_memory(joined_s, "ssj_test", output_mode="append")
+    got = {(r.event_id, r.r_event_id) for r in spark.table("ssj_test").collect()}
+    assert got == expected
+
+
+def test_stream_enrich_broadcasts_dim(spark, events_stream_dir):
+    from graphlite_spark.streaming.joins import enrich
+    from graphlite_spark.streaming.windows import run_stream_to_memory
+
+    batch = spark.read.parquet(events_stream_dir)
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    expected = (
+        batch.join(dim, "event_type")
+        .groupBy("category").count().rdd.map(tuple).collect()
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    out = enrich(stream, dim, on="event_type", how="inner")
+    run_stream_to_memory(out.groupBy("category").count(), "enrich_test")
+    got = [tuple(r) for r in spark.table("enrich_test").collect()]
+    assert sorted(got) == sorted(expected)
