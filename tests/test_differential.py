@@ -167,3 +167,48 @@ def test_expressions_match_duckdb(diff_env, exprs):
                 f"expression {e!r} diverged: spark={vo!r} duckdb={vt!r}\n"
                 f"spark row={ro}\nduck row={rt}"
             )
+
+
+# --- aggregation differential -------------------------------------------------
+
+_group_key = st.sampled_from(
+    ["MOD(ABS({p}i), 3)", "MOD(ABS({p}i), 2)", "SIGN({p}i)", "SUBSTRING({p}s, 1, 1)"]
+)
+
+_agg_item = st.one_of(
+    st.just("COUNT(*)"),
+    _int_expr.map(lambda a: f"SUM({a})"),
+    _int_expr.map(lambda a: f"MIN({a})"),
+    _int_expr.map(lambda a: f"MAX({a})"),
+    _int_expr.map(lambda a: f"COUNT(DISTINCT {a})"),
+    _int_expr.map(lambda a: f"AVG({a})"),
+    _str_expr.map(lambda a: f"MIN({a})"),
+    _str_expr.map(lambda a: f"MAX({a})"),
+)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_group_key, st.lists(_agg_item, min_size=1, max_size=5, unique=True))
+def test_aggregations_match_duckdb(diff_env, key, aggs):
+    db, con = diff_env
+    gql_items = ", ".join(f"{a.format(p='n.')} AS v{k}" for k, a in enumerate(aggs))
+    gql = (
+        f"MATCH (n:T) RETURN {key.format(p='n.')} AS g, {gql_items} ORDER BY g"
+    )
+    sql_items = ", ".join(f"{a.format(p='')} AS v{k}" for k, a in enumerate(aggs))
+    sql = f"SELECT {key.format(p='')} AS g, {sql_items} FROM t GROUP BY g ORDER BY g"
+
+    ours = [tuple(r) for r in db.query(gql).collect()]
+    theirs = con.execute(sql).fetchall()
+    assert len(ours) == len(theirs), f"{gql}\n{ours}\n{theirs}"
+    for ro, rt in zip(ours, theirs):
+        for e, vo, vt in zip(["g"] + aggs, ro, rt):
+            assert _eq(vo, vt), (
+                f"aggregate {e!r} diverged: spark={vo!r} duckdb={vt!r}\n"
+                f"group row spark={ro} duck={rt}\nquery: {gql}"
+            )
