@@ -678,6 +678,23 @@ _GQL_QUERIES: dict[str, str] = {
         ORDER BY numwait DESC, s_name
         LIMIT 20
     """,
+    # ROLLUP/CUBE grouping sets (beyond-reference: the reference's GROUP BY
+    # is plain; Spark expands subtotal grains in one pass via Expand)
+    "rollup_region_segment": """
+        MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        RETURN r.r_name AS region, c.c_mktsegment AS seg, count(*) AS n,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        GROUP BY ROLLUP (r.r_name, c.c_mktsegment)
+        ORDER BY region NULLS FIRST, seg NULLS FIRST
+    """,
+    "cube_status_priority": """
+        MATCH (o:Order)
+        RETURN o.o_orderstatus AS st, o.o_orderpriority AS pri,
+               count(*) AS n,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        GROUP BY CUBE (o.o_orderstatus, o.o_orderpriority)
+        ORDER BY st NULLS FIRST, pri NULLS FIRST
+    """,
     # Q2 adaptation (min-cost supplier; no partsupp table, so the supply
     # cost is the line price: suppliers in a region offering a sized part
     # at that part's regional minimum price — correlated-argmin via WITH
@@ -1836,6 +1853,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM lineitem l2
                 WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> s.s_suppkey)
             GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20
+        """,
+        "rollup_region_segment": """
+            SELECT r.r_name AS region, c.c_mktsegment AS seg, count(*) AS n,
+                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY ROLLUP (r.r_name, c.c_mktsegment)
+            ORDER BY region NULLS FIRST, seg NULLS FIRST
+        """,
+        "cube_status_priority": """
+            SELECT o_orderstatus AS st, o_orderpriority AS pri, count(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY st NULLS FIRST, pri NULLS FIRST
         """,
         "q2_min_cost_supplier": """
             SELECT DISTINCT s.s_acctbal AS s_acctbal, s.s_name AS s_name,

@@ -237,6 +237,9 @@ class ReturnClause:
     limit: Optional[int] = None
     group_by: list[Expr] = field(default_factory=list)  # SELECT form
     having: Optional[Expr] = None
+    # None = plain GROUP BY; "rollup"/"cube" = multi-dimensional subtotals
+    # (beyond-reference: SURVEY §2.4 notes the reference lacks these)
+    group_mode: Optional[str] = None
 
 
 @dataclass

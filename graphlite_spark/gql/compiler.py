@@ -1569,6 +1569,7 @@ class QueryCompiler:
         r = A.ReturnClause(
             [A.ReturnItem(e, i.alias) for e, i in zip(new_exprs, r.items)],
             r.distinct, r.order_by, r.skip, r.limit, r.group_by, r.having,
+            getattr(r, "group_mode", None),
         )
         agg = any(has_aggregate(i.expr) for i in r.items) or bool(r.group_by) or (
             r.having is not None
@@ -1601,7 +1602,21 @@ class QueryCompiler:
             if r.having is not None:
                 having_col = ec.compile(r.having).alias("__having")
                 agg_cols.append(having_col)
-            out_df = frame.df.groupBy(*key_cols).agg(*agg_cols) if (key_cols or agg_cols) else frame.df
+            if not (key_cols or agg_cols):
+                out_df = frame.df
+            else:
+                mode = getattr(r, "group_mode", None)
+                # ROLLUP/CUBE lower straight onto Dataset.rollup/cube —
+                # Spark expands the grouping sets with one Expand node
+                # feeding the same partial/final aggregation, so subtotals
+                # cost one pass, not one job per grain
+                if mode == "rollup":
+                    grouped = frame.df.rollup(*key_cols)
+                elif mode == "cube":
+                    grouped = frame.df.cube(*key_cols)
+                else:
+                    grouped = frame.df.groupBy(*key_cols)
+                out_df = grouped.agg(*agg_cols)
             if r.having is not None:
                 out_df = out_df.filter(F.col("__having")).drop("__having")
             out_df = out_df.select(*[c for c in out_df.columns if not c.startswith("__gk")])

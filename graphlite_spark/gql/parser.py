@@ -219,22 +219,43 @@ class Parser:
         # WHERE may follow ORDER BY in some dialects; keep simple order.
         return WithClause(items, distinct, where, order_by, skip, limit)
 
-    def _parse_return(self) -> ReturnClause:
-        distinct = self.try_kw("DISTINCT")
-        items = self._parse_items()
+    def _parse_group_by(self) -> tuple[list[Expr], Optional[str]]:
+        """[GROUP BY [ROLLUP|CUBE (] e, ... [)]] — ROLLUP/CUBE are a
+        beyond-reference extension (the reference's GROUP BY is plain,
+        with_clause_processor.rs:411-916; Spark gives subtotal grouping
+        sets natively via Dataset.rollup/cube)."""
         group_by: list[Expr] = []
-        having = None
-        if self.at_kw("GROUP"):
-            self.advance()
-            self.eat_kw("BY")
+        mode: Optional[str] = None
+        if not self.at_kw("GROUP"):
+            return group_by, mode
+        self.advance()
+        self.eat_kw("BY")
+        if self.cur.kind == "IDENT" and self.cur.value.upper() in ("ROLLUP", "CUBE"):
+            mode = self.advance().value.lower()
+            self.eat_op("(")
             group_by.append(self.parse_expr())
             while self.at_op(","):
                 self.advance()
                 group_by.append(self.parse_expr())
+            self.eat_op(")")
+            return group_by, mode
+        group_by.append(self.parse_expr())
+        while self.at_op(","):
+            self.advance()
+            group_by.append(self.parse_expr())
+        return group_by, mode
+
+    def _parse_return(self) -> ReturnClause:
+        distinct = self.try_kw("DISTINCT")
+        items = self._parse_items()
+        group_by, group_mode = self._parse_group_by()
+        having = None
         if self.try_kw("HAVING"):
             having = self.parse_expr()
         order_by, skip, limit = self._parse_order_skip_limit()
-        return ReturnClause(items, distinct, order_by, skip, limit, group_by, having)
+        return ReturnClause(
+            items, distinct, order_by, skip, limit, group_by, having, group_mode
+        )
 
     def _parse_select(self):
         """SELECT [DISTINCT] items [FROM graph [MATCH pattern]] [WHERE]
@@ -271,19 +292,14 @@ class Parser:
             # MATCH clause implicitly matches every node as ``n``
             patterns.append(PathPattern([NodePattern("n", [], {})], None))
         where = self.parse_expr() if self.try_kw("WHERE") else None
-        group_by = []
+        group_by, group_mode = self._parse_group_by()
         having = None
-        if self.at_kw("GROUP"):
-            self.advance()
-            self.eat_kw("BY")
-            group_by.append(self.parse_expr())
-            while self.at_op(","):
-                self.advance()
-                group_by.append(self.parse_expr())
         if self.try_kw("HAVING"):
             having = self.parse_expr()
         order_by, skip, limit = self._parse_order_skip_limit()
-        rc = ReturnClause(items, distinct, order_by, skip, limit, group_by, having)
+        rc = ReturnClause(
+            items, distinct, order_by, skip, limit, group_by, having, group_mode
+        )
         mc = None
         if patterns:
             mc = MatchClause(patterns, where)
@@ -295,19 +311,14 @@ class Parser:
         distinct = self.try_kw("DISTINCT")
         items = self._parse_items()
         where = self.parse_expr() if self.try_kw("WHERE") else None
-        group_by: list[Expr] = []
+        group_by, group_mode = self._parse_group_by()
         having = None
-        if self.at_kw("GROUP"):
-            self.advance()
-            self.eat_kw("BY")
-            group_by.append(self.parse_expr())
-            while self.at_op(","):
-                self.advance()
-                group_by.append(self.parse_expr())
         if self.try_kw("HAVING"):
             having = self.parse_expr()
         order_by, skip, limit = self._parse_order_skip_limit()
-        rc = ReturnClause(items, distinct, order_by, skip, limit, group_by, having)
+        rc = ReturnClause(
+            items, distinct, order_by, skip, limit, group_by, having, group_mode
+        )
         rc.select_where = where  # type: ignore[attr-defined]
         return rc
 
