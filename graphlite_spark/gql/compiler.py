@@ -267,7 +267,21 @@ class ExprCompiler:
         if name in AGGREGATES:
             if not self.allow_agg:
                 raise CompileError(f"aggregate {name} outside aggregation context")
-            args = [self.compile(a) for a in e.args]
+            args = []
+            for a in e.args:
+                b = (
+                    self.frame.bindings.get(a.name)
+                    if isinstance(a, A.Var)
+                    else None
+                )
+                if name == "COUNT" and b is not None and b.kind in ("node", "edge"):
+                    # COUNT(entity) counts MATCHED entities: an OPTIONAL
+                    # MATCH miss must not count (executor.rs count skips
+                    # null rows). The entity-as-struct encoding is never
+                    # null (struct of nulls != null), so count the id.
+                    args.append(self.entity_id(a.name))
+                else:
+                    args.append(self.compile(a))
             return AGGREGATES[name](args, e.distinct)
         # graph introspection functions need binding info
         if name in ("ID", "LABELS", "INFERRED_LABELS", "TYPE", "KEYS", "PROPERTIES") and e.args and isinstance(e.args[0], A.Var):

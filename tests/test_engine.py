@@ -188,6 +188,17 @@ def test_optional_match_null_padding(simple_db):
     assert got[0] == (0, 1) and got[19] == (19, None)
 
 
+def test_count_entity_skips_optional_miss(simple_db):
+    # count(m) over an OPTIONAL MATCH miss must be 0, not 1 (the struct
+    # encoding of an entity is non-null even when unmatched — regression
+    # caught by the sf0.1 oracle run on q13_customer_distribution)
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) OPTIONAL MATCH (n)-[:CONNECTS_TO]->(m:TestNode) "
+        "WITH n.id AS id, count(m) AS c "
+        "RETURN c AS c, count(*) AS cnt ORDER BY c"))
+    assert got == [(0, 11), (1, 9)]
+
+
 # --- variable-length paths ----------------------------------------------------
 
 
@@ -526,3 +537,24 @@ def test_varlen_edge_props_constrain_steps(spark):
 
     with _p.raises(Exception, match="edge variable"):
         db.query("MATCH (a:V)-[e:E]{1,2}->(b:V) RETURN b.id AS b")
+
+
+# --- grouping sets (beyond-reference) ---------------------------------------
+
+
+def test_group_by_rollup(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) RETURN MOD(n.id, 2) AS par, count(*) AS c "
+        "GROUP BY ROLLUP (MOD(n.id, 2)) ORDER BY par NULLS FIRST"))
+    assert got == [(None, 20), (0, 10), (1, 10)]
+
+
+def test_group_by_cube(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) "
+        "RETURN MOD(n.id, 2) AS par, n.id < 10 AS low, count(*) AS c "
+        "GROUP BY CUBE (MOD(n.id, 2), n.id < 10) "
+        "ORDER BY par NULLS FIRST, low NULLS FIRST"))
+    # 4 base cells + 2 par subtotals + 2 low subtotals + grand total
+    assert len(got) == 9
+    assert (None, None, 20) in got and (0, True, 5) in got
