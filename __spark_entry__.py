@@ -768,6 +768,23 @@ _GQL_QUERIES: dict[str, str] = {
         RETURN DISTINCT s_name AS s_name
         ORDER BY s_name
     """,
+    # Statistical aggregates (beyond-reference: the reference registry,
+    # functions/mod.rs:39-51, stops at COUNT/SUM/AVG/MIN/MAX/COLLECT).
+    # STDDEV/VARIANCE/CORR/COVAR/MEDIAN/PERCENTILE_CONT compile to Spark's
+    # single-pass moment/percentile aggregates (partial+merge, no extra
+    # shuffle beyond the groupBy). ROUND(.,6) absorbs partition-order
+    # float noise in the moment merges.
+    "stats_quantity_by_flag": """
+        MATCH (:Order)-[l:LINE]->(:Part)
+        RETURN l.l_returnflag AS flag,
+               ROUND(STDDEV(l.l_quantity), 6) AS qty_stddev,
+               ROUND(VARIANCE(l.l_quantity), 6) AS qty_var,
+               ROUND(CORR(l.l_quantity, l.l_extendedprice), 6) AS qty_price_corr,
+               MEDIAN(l.l_quantity) AS qty_median,
+               PERCENTILE_CONT(l.l_quantity, 0.9) AS qty_p90,
+               ROUND(COVAR(l.l_quantity, l.l_discount), 6) AS qty_disc_covar
+        ORDER BY flag
+    """,
 }
 
 _PARAMS: dict[str, dict] = {
@@ -1090,6 +1107,140 @@ def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer: row_number window + filter — ONE
+    shuffle on the customer key. The reference's only top-k is global
+    ORDER BY+LIMIT (streaming_topk.rs:58-226); the per-group variant
+    would be a correlated ORDER BY..LIMIT subquery re-scanned per outer
+    row (executor.rs:3864-3877 nested loop)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.analytics import top_n_per_group
+
+    o = _table(spark, sf_dir, "orders")
+    top = top_n_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 2
+    )
+    return top.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+def _q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month running total of daily revenue. Decimal sums keep the
+    running frame exact (order-independent); the window shuffles once on
+    the month key and streams the cumulative frame with O(1) state."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.analytics import running_total
+
+    o = _table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    run = running_total(daily, ["month"], ["day"], "rev", out_col="running_rev")
+    return run.select(
+        "month",
+        "day",
+        F.col("rev").cast("double").alias("rev"),
+        F.col("running_rev").cast("double").alias("running_rev"),
+    )
+
+
+def _q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price delta vs the customer's previous order (lag window).
+    (o_orderdate, o_orderkey) is a total order per partition, so prev/
+    delta are deterministic; decimal subtraction is exact."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.analytics import lag_delta
+
+    o = _table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    d = lag_delta(o, ["o_custkey"], ["o_orderdate", "o_orderkey"], "price")
+    return d.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("prev_value").cast("double").alias("prev_price"),
+        F.col("delta").cast("double").alias("delta"),
+    )
+
+
+def _q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing average of daily revenue. The global ordering is
+    over the *daily* grain (rows = #days — thousands even at 100 TB of
+    raw orders), so the single-partition window is a non-issue; the
+    heavy lifting is the map-side-combined groupBy underneath. Sum/count
+    computed separately so both engines divide identical exact values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = _table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("rev"),
+        F.round(
+            F.sum("rev").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("ma7"),
+    )
+
+
+def _q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartiles per market segment (ntile) summarized
+    per bucket. (c_acctbal, c_custkey) is a total order, so bucket
+    assignment — and therefore the aggregate — is deterministic."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.analytics import ntile_buckets
+
+    c = _table(spark, sf_dir, "customer")
+    b = ntile_buckets(c, ["c_mktsegment"], [F.col("c_acctbal"), F.col("c_custkey")], 4)
+    return (
+        b.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("segment", "bucket")
+    )
+
+
+def _q_window_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense rank of suppliers per nation by balance tier (1000-wide
+    bands). Ties share a rank, so the output is deterministic even
+    though the band ordering alone is not a total order."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.analytics import rank_in_group
+
+    s = _table(spark, sf_dir, "supplier").withColumn(
+        "tier", F.floor(F.col("s_acctbal") / 1000)
+    )
+    r = rank_in_group(s, ["s_nationkey"], [F.col("tier").desc()], method="dense_rank")
+    return r.select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.col("tier").cast("long").alias("tier"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, text in _GQL_QUERIES.items():
@@ -1120,6 +1271,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "skew_salted_join": _q_skew_salted_join,
             "copurchase_triangles": _q_copurchase_triangles,
             "click_view_interval_join": _q_click_view_interval_join,
+            "window_top_orders": _q_window_top_orders,
+            "window_running_revenue": _q_window_running_revenue,
+            "window_lag_delta": _q_window_lag_delta,
+            "window_moving_avg": _q_window_moving_avg,
+            "window_ntile_quartiles": _q_window_ntile,
+            "window_dense_rank": _q_window_dense_rank,
         }
     )
     return out
@@ -2028,6 +2185,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM gaps GROUP BY 1
+        """,
+        "stats_quantity_by_flag": """
+            SELECT l_returnflag AS flag,
+                   round(stddev_samp(l_quantity), 6) AS qty_stddev,
+                   round(var_samp(l_quantity), 6) AS qty_var,
+                   round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                   median(l_quantity) AS qty_median,
+                   quantile_cont(l_quantity, 0.9) AS qty_p90,
+                   round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "window_top_orders": """
+            SELECT custkey, orderkey, totalprice, rn FROM (
+                SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                       o_totalprice AS totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders)
+            WHERE rn <= 2
+        """,
+        "window_running_revenue": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                       CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1, 2)
+            SELECT month, day, CAST(rev AS DOUBLE) AS rev,
+                   CAST(SUM(rev) OVER (PARTITION BY month ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_rev
+            FROM daily
+        """,
+        "window_lag_delta": """
+            SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                   CAST(lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                        AS DOUBLE) AS prev_price,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        - lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                        AS DOUBLE) AS delta
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "window_moving_avg": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1)
+            SELECT day, CAST(rev AS DOUBLE) AS rev,
+                   round(CAST(SUM(rev) OVER w AS DOUBLE)
+                         / count(*) OVER w, 6) AS ma7
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "window_ntile_quartiles": """
+            WITH b AS (
+                SELECT c_mktsegment AS segment, c_acctbal,
+                       ntile(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey) AS bucket
+                FROM customer)
+            SELECT segment, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+                   min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "window_dense_rank": """
+            SELECT s_suppkey AS suppkey, CAST(s_nationkey AS BIGINT) AS nationkey,
+                   CAST(floor(s_acctbal / 1000) AS BIGINT) AS tier,
+                   CAST(dense_rank() OVER (PARTITION BY s_nationkey
+                        ORDER BY floor(s_acctbal / 1000) DESC) AS BIGINT) AS rnk
+            FROM supplier
         """,
         # minhash_lsh_pairs / simhash_pairs / ann_lsh_topk:
         # engine-specific hash/LSH internals — driver records rows-only checks.

@@ -39,8 +39,21 @@ AGGREGATES: dict[str, Callable] = {
     "COLLECT": _collect,
     "COLLECT_LIST": _collect,
     "STDDEV": lambda a, d: F.stddev(a[0]),
+    "STDDEV_POP": lambda a, d: F.stddev_pop(a[0]),
     "VARIANCE": lambda a, d: F.variance(a[0]),
+    "VAR_POP": lambda a, d: F.var_pop(a[0]),
     "PERCENTILE": lambda a, d: F.percentile_approx(a[0], a[1]),
+    # exact interpolated percentile / median (beyond-reference statistical
+    # aggregates; single-pass partial aggregation, oracle-matched against
+    # DuckDB quantile_cont/median)
+    "PERCENTILE_CONT": lambda a, d: F.percentile(a[0], a[1]),
+    "MEDIAN": lambda a, d: F.median(a[0]),
+    "CORR": lambda a, d: F.corr(a[0], a[1]),
+    "COVAR": lambda a, d: F.covar_samp(a[0], a[1]),
+    "COVAR_POP": lambda a, d: F.covar_pop(a[0], a[1]),
+    # HLL sketch count (approximate; rows-only check — not exactly
+    # reproducible in the oracle)
+    "APPROX_COUNT_DISTINCT": lambda a, d: F.approx_count_distinct(a[0]),
 }
 
 # ---------------------------------------------------------------------------

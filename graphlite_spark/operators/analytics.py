@@ -1,0 +1,151 @@
+"""Window / analytic operators (beyond-reference surface).
+
+The reference has **no** window functions (SURVEY.md §2.5: nothing in
+`graphlite/src/functions/mod.rs:39-259` or the AST; its closest shape is
+ORDER BY + LIMIT top-k, `graphlite/src/exec/streaming_topk.rs:58-226`,
+which is global-only). A training-data pipeline needs the partitioned
+variants constantly — "latest N per key", "running totals", "deltas vs
+previous event" — so they are first-class here, built directly on
+`pyspark.sql.Window` so Catalyst plans them as a single WindowExec over
+one shuffle per partitioning key.
+
+Scale notes (100 TB):
+- Every function here shuffles **once** on the partition keys and sorts
+  within partitions — the minimum possible for windowed semantics. No
+  self-joins, no per-row subqueries (the reference answers "top order
+  per customer" with a correlated ORDER BY..LIMIT 1 subquery — a
+  nested-loop re-scan per outer row, executor.rs:3864-3877).
+- ``top_n_per_group`` uses `row_number` + filter; AQE can coalesce the
+  post-filter partitions. For tiny n and huge groups this is the
+  standard plan (Spark rewrites no further, but the window's sort is
+  spillable Tungsten sort, so skewed hot keys degrade gracefully).
+- Running frames (`running_total`, `moving_average`) use explicit
+  `rowsBetween` frames, which stream within a partition — O(1) state
+  for sums, O(k) for a k-row moving window — instead of materializing
+  per-row arrays.
+- Tie-breaking: every ordering takes an explicit full ordering (caller
+  supplies unique tiebreak columns) so results are deterministic and
+  oracle-checkable — a window over a non-total order is a
+  nondeterminism bug at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+__all__ = [
+    "top_n_per_group",
+    "running_total",
+    "lag_delta",
+    "moving_average",
+    "rank_in_group",
+    "ntile_buckets",
+]
+
+
+def _spec(partition_by: list[str], order_by: list) -> WindowSpec:
+    cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
+    return Window.partitionBy(*partition_by).orderBy(*cols)
+
+
+def top_n_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list,
+    n: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-n rows per group by a total order (`row_number` + filter).
+
+    `order_by` must be a total order within each partition (pass a
+    unique key last) or results are nondeterministic.
+    """
+    w = _spec(partition_by, order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n
+    )
+
+
+def rank_in_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list,
+    method: str = "rank",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """rank / dense_rank / percent_rank within each partition."""
+    fns = {
+        "rank": F.rank,
+        "dense_rank": F.dense_rank,
+        "percent_rank": F.percent_rank,
+        "row_number": F.row_number,
+    }
+    if method not in fns:
+        raise ValueError(f"unknown rank method {method!r}; use {sorted(fns)}")
+    return df.withColumn(rank_col, fns[method]().over(_spec(partition_by, order_by)))
+
+
+def running_total(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list,
+    value: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Cumulative sum of `value` in `order_by` order within each group.
+
+    Explicit unbounded-preceding..current frame: WindowExec keeps a
+    single accumulator per partition (no buffering of prior rows).
+    """
+    w = _spec(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out_col, F.sum(value).over(w))
+
+
+def lag_delta(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list,
+    value: str,
+    offset: int = 1,
+    out_col: str = "delta",
+    prev_col: str = "prev_value",
+) -> DataFrame:
+    """Previous value and difference vs `offset` rows back (NULL first row)."""
+    w = _spec(partition_by, order_by)
+    prev = F.lag(value, offset).over(w)
+    return df.withColumn(prev_col, prev).withColumn(
+        out_col, F.col(value) - prev
+    )
+
+
+def moving_average(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list,
+    value: str,
+    window_rows: int,
+    out_col: str = "moving_avg",
+) -> DataFrame:
+    """Trailing average over the last `window_rows` rows (inclusive)."""
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    w = _spec(partition_by, order_by).rowsBetween(
+        -(window_rows - 1), Window.currentRow
+    )
+    return df.withColumn(out_col, F.avg(value).over(w))
+
+
+def ntile_buckets(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list,
+    buckets: int,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Equi-depth bucketing (quantile assignment) within each group."""
+    return df.withColumn(
+        out_col, F.ntile(buckets).over(_spec(partition_by, order_by))
+    )

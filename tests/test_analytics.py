@@ -1,0 +1,110 @@
+"""Window/analytic operators (operators/analytics.py).
+
+Beyond-reference surface: the reference has no window functions
+(SURVEY.md §2.5 — nothing in functions/mod.rs:39-259); these are the
+partitioned analytics a training-data pipeline leans on. Each test pins
+exact expected rows on a small frame; the sf0.01 oracle equivalents
+live in __spark_entry__ (window_* keys).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphlite_spark.operators.analytics import (
+    lag_delta,
+    moving_average,
+    ntile_buckets,
+    rank_in_group,
+    running_total,
+    top_n_per_group,
+)
+
+
+@pytest.fixture(scope="module")
+def sales(spark):
+    # (key, seq, amount) — two groups, deterministic total order on seq
+    return spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("a", 2, 30.0),
+            ("a", 3, 20.0),
+            ("b", 1, 5.0),
+            ("b", 2, 5.0),
+        ],
+        "k string, seq int, amt double",
+    )
+
+
+def test_top_n_per_group(sales):
+    rows = top_n_per_group(sales, ["k"], [F.col("amt").desc(), "seq"], 1).collect()
+    got = {(r.k, r.seq, r.rn) for r in rows}
+    assert got == {("a", 2, 1), ("b", 1, 1)}  # b ties on amt -> seq breaks
+
+
+def test_rank_in_group_dense(sales):
+    rows = rank_in_group(sales, ["k"], [F.col("amt").desc()], method="dense_rank").collect()
+    got = {(r.k, r.seq): r.rnk for r in rows}
+    assert got[("a", 2)] == 1 and got[("a", 3)] == 2 and got[("a", 1)] == 3
+    assert got[("b", 1)] == 1 and got[("b", 2)] == 1  # tie shares dense rank
+
+
+def test_rank_method_validated(sales):
+    with pytest.raises(ValueError, match="unknown rank method"):
+        rank_in_group(sales, ["k"], ["seq"], method="nope")
+
+
+def test_running_total(sales):
+    rows = running_total(sales, ["k"], ["seq"], "amt").collect()
+    got = {(r.k, r.seq): r.running_total for r in rows}
+    assert got == {
+        ("a", 1): 10.0, ("a", 2): 40.0, ("a", 3): 60.0,
+        ("b", 1): 5.0, ("b", 2): 10.0,
+    }
+
+
+def test_lag_delta(sales):
+    rows = lag_delta(sales, ["k"], ["seq"], "amt").collect()
+    got = {(r.k, r.seq): (r.prev_value, r.delta) for r in rows}
+    assert got[("a", 1)] == (None, None)  # no predecessor
+    assert got[("a", 2)] == (10.0, 20.0)
+    assert got[("a", 3)] == (30.0, -10.0)
+
+
+def test_moving_average(sales):
+    rows = moving_average(sales, ["k"], ["seq"], "amt", window_rows=2).collect()
+    got = {(r.k, r.seq): r.moving_avg for r in rows}
+    assert got[("a", 1)] == 10.0  # partial frame at the start
+    assert got[("a", 2)] == 20.0
+    assert got[("a", 3)] == 25.0
+    with pytest.raises(ValueError, match="window_rows"):
+        moving_average(sales, ["k"], ["seq"], "amt", window_rows=0)
+
+
+def test_ntile(spark):
+    df = spark.createDataFrame([("g", i) for i in range(1, 8)], "k string, v int")
+    rows = ntile_buckets(df, ["k"], ["v"], 3).collect()
+    got = {r.v: r.bucket for r in rows}
+    # 7 rows / 3 buckets -> sizes 3,2,2 (SQL-standard: leading buckets larger)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+
+
+def test_stats_aggregates_gql(simple_db):
+    """STDDEV/VARIANCE/MEDIAN/PERCENTILE_CONT/CORR through the engine
+    path (functions/registry.py AGGREGATES, beyond-reference)."""
+    rows = simple_db.query(
+        """
+        MATCH (n:TestNode)
+        RETURN ROUND(STDDEV(n.value), 6) AS sd,
+               MEDIAN(n.value) AS med,
+               PERCENTILE_CONT(n.value, 0.5) AS p50,
+               ROUND(CORR(n.value, n.id), 6) AS c
+        """
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # values = 0,10,...,190: median 95, perfectly correlated with id
+    assert r.med == 95.0 and r.p50 == 95.0
+    assert r.c == 1.0
+    assert r.sd == pytest.approx(59.160798, abs=1e-6)
