@@ -1107,6 +1107,16 @@ def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 docs by Robertson BM25 for a 3-term query. The reference
+    parses text search but its index is a stub (storage/indexes/
+    manager.rs:104-112); this is the real scoring path, UDF-free."""
+    from graphlite_spark.operators.text import bm25_search
+
+    docs = _table(spark, sf_dir, "documents")
+    return bm25_search(docs, ["hash", "join", "spark"], k=20)
+
+
 def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 orders per customer: row_number window + filter — ONE
     shuffle on the customer key. The reference's only top-k is global
@@ -1271,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "skew_salted_join": _q_skew_salted_join,
             "copurchase_triangles": _q_copurchase_triangles,
             "click_view_interval_join": _q_click_view_interval_join,
+            "bm25_search_topk": _q_bm25_search,
             "window_top_orders": _q_window_top_orders,
             "window_running_revenue": _q_window_running_revenue,
             "window_lag_delta": _q_window_lag_delta,
@@ -2185,6 +2196,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM gaps GROUP BY 1
+        """,
+        "bm25_search_topk": """
+            WITH base AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS toks
+                FROM documents),
+            d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+            hits AS (
+                SELECT b.doc_id, t.term, CAST(count(*) AS DOUBLE) AS tf
+                FROM base b, unnest(b.toks) AS t(term)
+                WHERE t.term IN ('hash', 'join', 'spark')
+                GROUP BY 1, 2),
+            stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+                FROM d),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS df
+                FROM hits GROUP BY 1),
+            scored AS (
+                SELECT h.doc_id,
+                       ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                           * h.tf * (1.2 + 1.0)
+                           / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl))
+                           AS tscore
+                FROM hits h
+                JOIN dfreq f USING (term)
+                JOIN d USING (doc_id)
+                CROSS JOIN stats s)
+            SELECT doc_id, round(sum(tscore), 6) AS score,
+                   count(*) AS n_terms_hit
+            FROM scored GROUP BY 1
+            ORDER BY score DESC, doc_id LIMIT 20
         """,
         "stats_quantity_by_flag": """
             SELECT l_returnflag AS flag,

@@ -7,6 +7,8 @@ exact ANSI-SQL oracle:
 - quality_score:    length / punctuation / stopword-ratio heuristics
 - lang_id:          n-gram/stopword-hit heuristic over a tiny lexicon
 - fingerprint:      order-invariant document fingerprint (content hash)
+- bm25_search:      Robertson BM25 top-k scored retrieval (postings via
+                    explode, broadcast corpus stats, one score shuffle)
 """
 
 from __future__ import annotations
@@ -102,6 +104,90 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.col(id_col),
         best.alias("lang_guess"),
         best_score.cast("long").alias("lang_hits"),
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-scored full-text search, fully distributed and UDF-free.
+
+    The reference's text-search path (plan/optimizer.rs:510-751 rewrites
+    CONTAINS predicates to a text-index scan with TEXT_SCORE metadata)
+    bottoms out in a stub index ("Text search not supported",
+    storage/indexes/manager.rs:104-112). Here scoring is real Robertson
+    BM25: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    score(d) = Σ_t idf·tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+
+    Distributed shape (100 TB): the postings list (doc, term, tf) is one
+    explode + map-side-combined groupBy; corpus stats (N, avgdl) and the
+    per-term document frequencies are |query|-sized aggregates that
+    BROADCAST back — the only real shuffle is the per-doc score groupBy,
+    and the final top-k is TakeOrderedAndProject (no global sort).
+    Returns (id, score, n_hits) for the top k docs, score desc, id asc.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("double").alias("_dl"),
+    )
+    # postings restricted to query terms before the explode: the filter
+    # prunes inside the generator, so the shuffle carries only hits
+    hits = (
+        base.select(
+            "_id",
+            "_dl",
+            F.explode(
+                F.filter(F.col("_toks"), lambda t: t.isin(*terms))
+            ).alias("term"),
+        )
+        .groupBy("_id", "_dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("_dl").alias("avgdl"),
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        hits.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "tscore",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.round(F.sum("tscore"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+        .select(F.col("_id").alias(id_col), "score", "n_terms_hit")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
     )
 
 

@@ -242,3 +242,34 @@ def test_triangle_count(spark):
     assert triangle_count(edges).collect()[0].n_triangles == 2
     per = {r.node: r.n_triangles for r in triangles_per_vertex(edges).collect()}
     assert per == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_bm25_search(docs):
+    """Hand-computed Robertson BM25 on the 6-doc fixture."""
+    import math
+
+    from graphlite_spark.operators.text import bm25_search
+
+    rows = bm25_search(docs, ["fox", "spark"], k=3).collect()
+    # replicate: N=6 (empty doc counts, dl=1 after split('')->['']),
+    # dls: docs 1,2,3,5 -> 9 tokens; doc 4 -> 6; doc 6 -> 1
+    dls = {1: 9.0, 2: 9.0, 3: 9.0, 4: 6.0, 5: 9.0, 6: 1.0}
+    n, avgdl = 6.0, sum(dls.values()) / 6.0
+    k1, b = 1.2, 0.75
+
+    def idf(df_):
+        return math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+
+    def tscore(tf, dl, df_):
+        return idf(df_) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    # 'fox' in docs 1,2,3,5 (tf=1, df=4); 'spark' only in doc 4 (tf=1, df=1)
+    exp4 = round(tscore(1, 6.0, 1.0), 6)
+    exp_fox = round(tscore(1, 9.0, 4.0), 6)
+    assert [r.doc_id for r in rows] == [4, 1, 2]  # spark idf >> fox; id ties
+    got = {r.doc_id: r.score for r in rows}
+    assert got[4] == pytest.approx(exp4, abs=1e-6)
+    assert got[1] == pytest.approx(exp_fox, abs=1e-6)
+    assert {r.doc_id: r.n_terms_hit for r in rows} == {4: 1, 1: 1, 2: 1}
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_search(docs, [])
