@@ -60,6 +60,10 @@ class GraphLiteSpark:
         # procedures but ships no model runtime; here models are catalog
         # entries a pipeline can resolve to UDFs/embedding tables)
         self._models: dict[str, dict] = {}
+        # session state (ast.rs:991-1063 SESSION SET/RESET/CLOSE)
+        self._session_params: dict[str, Any] = {}
+        self._default_tz: str = spark.conf.get("spark.sql.session.timeZone")
+        self._closed: bool = False
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "GraphLiteSpark":
@@ -105,11 +109,13 @@ class GraphLiteSpark:
         from .gql.compiler import QueryCompiler
         from .gql.parser import parse
 
+        self._check_open()
         ast = parse(gql)
         # SELECT ... FROM <graph> overrides the session graph (ast.rs:42-80)
         graph = getattr(ast, "from_graph", None) or graph
         if graph is not None and not graph.startswith("/"):
             graph = f"/default/{graph}"
+        params = {**self._session_params, **(params or {})}
         return QueryCompiler(self.graph(graph), params).compile(ast)
 
     def execute(self, gql: str, params: dict[str, Any] | None = None):
@@ -119,6 +125,11 @@ class GraphLiteSpark:
         from .gql import statements as S
 
         stmt = S.parse_statement(gql)
+        if isinstance(stmt, S.SessionCloseStmt):
+            self._closed = True
+            return {"status": "session closed", "rows_affected": 0}
+        self._check_open()
+        params = {**self._session_params, **(params or {})}
         if isinstance(stmt, S.IndexStmt):
             return self._index(stmt)
         if isinstance(stmt, S.ExplainStmt):
@@ -180,10 +191,39 @@ class GraphLiteSpark:
                 if self._current_graph in (stmt.path, f"/{s}/{g}"):
                     self._current_graph = None
             return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.TruncateGraphStmt):
+            path = stmt.path if stmt.path.startswith("/") else f"/default/{stmt.path}"
+            g = self.catalog.get_graph(path)
+            # keep every label/edge-type schema, drop the rows: limit(0)
+            # is a metadata-only plan, no scan of the old data
+            g.nodes = {lbl: df.limit(0) for lbl, df in g.nodes.items()}
+            from .graph import EdgeType as ET
+
+            g.edges = {
+                k: ET(k, v.df.limit(0), v.src_label, v.dst_label)
+                for k, v in g.edges.items()
+            }
+            status = "truncated" if stmt.kind == "TRUNCATE" else "cleared"
+            return {"status": status, "rows_affected": 0}
         if isinstance(stmt, S.SessionSetStmt):
             if stmt.kind == "GRAPH":
                 self.use_graph(stmt.value if stmt.value.startswith("/")
                                else f"/default/{stmt.value}")
+            elif stmt.kind == "TIME_ZONE":
+                self.spark.conf.set("spark.sql.session.timeZone", stmt.value)
+            elif stmt.kind == "PARAM":
+                self._session_params[stmt.name] = stmt.value
+            return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.SessionResetStmt):
+            if stmt.what in ("ALL", "PARAMETERS"):
+                self._session_params.clear()
+            if stmt.what in ("ALL", "TIME_ZONE"):
+                self.spark.conf.set("spark.sql.session.timeZone", self._default_tz)
+            if stmt.what in ("GRAPH", "SCHEMA"):
+                # back to the no-current-graph state a fresh session has
+                # (RESET ALL keeps the graph: parameters/tz are session
+                # state, the graph binding is the working context)
+                self._current_graph = None
             return {"status": "ok", "rows_affected": 0}
         if isinstance(stmt, S.CallStmt):
             return self._call(stmt, params)
@@ -271,6 +311,10 @@ class GraphLiteSpark:
                 entry["df"] = closure
         self._indexes[stmt.name.lower()] = entry
         return {"status": "ok", "rows_affected": 0}
+
+    def _check_open(self) -> None:
+        if self._closed:
+            raise RuntimeError("session is closed (SESSION CLOSE was executed)")
 
     def _check_writable(self) -> None:
         if self._txn_readonly:

@@ -87,9 +87,32 @@ class DropGraphStmt:
 
 
 @dataclass
+class TruncateGraphStmt:
+    """TRUNCATE GRAPH / CLEAR GRAPH (ast.rs:625-644): drop all data,
+    keep the graph (and its registered label/edge-type schemas)."""
+
+    path: str
+    kind: str = "TRUNCATE"  # TRUNCATE | CLEAR (synonymous data-clears)
+
+
+@dataclass
 class SessionSetStmt:
-    kind: str  # GRAPH | SCHEMA | TIME_ZONE
-    value: str
+    kind: str  # GRAPH | SCHEMA | TIME_ZONE | PARAM
+    value: Any
+    name: Optional[str] = None  # parameter name for kind == PARAM
+
+
+@dataclass
+class SessionResetStmt:
+    """SESSION RESET [ALL | PARAMETERS | TIME ZONE | GRAPH | SCHEMA]
+    (ast.rs:991-1063)."""
+
+    what: str = "ALL"
+
+
+@dataclass
+class SessionCloseStmt:
+    pass
 
 
 @dataclass
@@ -149,6 +172,11 @@ class StatementParser(Parser):
             ):
                 mode = self.advance().value.lower()
             return ExplainStmt(self.text[self.cur.pos:], mode)
+        if t.kind == "IDENT" and t.value.upper() in ("TRUNCATE", "CLEAR"):
+            kind = t.value.upper()
+            self.advance()
+            self.eat_kw("GRAPH")
+            return self._done(TruncateGraphStmt(self._path(), kind))
         if t.kind != "KEYWORD":
             raise ParseError(f"expected statement, got {t}")
         k = t.value
@@ -241,11 +269,51 @@ class StatementParser(Parser):
             raise ParseError(f"unsupported DROP target at {self.cur.pos}")
         if k == "SESSION":
             self.advance()
+            if self._try_word("RESET"):
+                what = "ALL"
+                if self._try_word("ALL"):
+                    what = "ALL"
+                elif self._try_word("PARAMETERS"):
+                    what = "PARAMETERS"
+                elif self._try_word("TIME"):
+                    if not self._try_word("ZONE"):
+                        raise ParseError(f"expected ZONE at {self.cur.pos}")
+                    what = "TIME_ZONE"
+                elif self.try_kw("GRAPH"):
+                    what = "GRAPH"
+                elif self.try_kw("SCHEMA"):
+                    what = "SCHEMA"
+                return self._done(SessionResetStmt(what))
+            if self._try_word("CLOSE"):
+                return self._done(SessionCloseStmt())
             self.eat_kw("SET")
             if self.try_kw("GRAPH"):
                 return self._done(SessionSetStmt("GRAPH", self._path()))
             if self.try_kw("SCHEMA"):
                 return self._done(SessionSetStmt("SCHEMA", self._path()))
+            if self._try_word("TIME"):
+                if not self._try_word("ZONE"):
+                    raise ParseError(f"expected ZONE at {self.cur.pos}")
+                if self.cur.kind != "STRING":
+                    raise ParseError(
+                        f"expected time zone string literal at {self.cur.pos}"
+                    )
+                return self._done(SessionSetStmt("TIME_ZONE", self.advance().value))
+            if self.cur.kind == "PARAM":
+                pname = self.advance().value
+                self.eat_op("=")
+                from .ast import ListLiteral, Literal, Unary
+
+                val = self.parse_expr()
+                if isinstance(val, Unary) and val.op == "-" and isinstance(val.operand, Literal):
+                    val = Literal(-val.operand.value)
+                if isinstance(val, ListLiteral) and all(
+                    isinstance(i, Literal) for i in val.items
+                ):
+                    val = Literal([i.value for i in val.items])
+                if not isinstance(val, Literal):
+                    raise ParseError("SESSION SET $param takes a literal value")
+                return self._done(SessionSetStmt("PARAM", val.value, name=pname))
             raise ParseError(f"unsupported SESSION SET at {self.cur.pos}")
         if k == "USE":
             self.advance()

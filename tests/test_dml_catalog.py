@@ -430,3 +430,62 @@ def test_call_graph_analytics(db):
     by_node = {r.node: r.rank for r in pr}
     ranks = sorted(by_node.values())
     assert ranks[-1] > ranks[0]
+
+
+def test_truncate_and_clear_graph(db):
+    """TRUNCATE/CLEAR GRAPH (ast.rs:625-644): data gone, schema kept."""
+    db.execute("INSERT (:Person {name: 'Ada'})-[:KNOWS]->(:Person {name: 'Bob'})")
+    assert db.query("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 2
+    r = db.execute("TRUNCATE GRAPH /default/g")
+    assert r["status"] == "truncated"
+    # label/edge-type schemas survive -> queries still compile, zero rows
+    assert db.query("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 0
+    assert (
+        db.query("MATCH (:Person)-[:KNOWS]->(:Person) RETURN count(*) AS n")
+        .collect()[0].n == 0
+    )
+    db.execute("INSERT (:Person {name: 'Eve'})")
+    db.execute("CLEAR GRAPH /default/g")
+    assert db.query("MATCH (p:Person) RETURN count(*) AS n").collect()[0].n == 0
+
+
+def test_session_parameters(db):
+    """SESSION SET $param persists across queries; explicit params win."""
+    db.execute("INSERT (:Item {v: 1}), (:Item {v: 5}), (:Item {v: 9})")
+    db.execute("SESSION SET $cut = 4")
+    got = db.query("MATCH (i:Item) WHERE i.v > $cut RETURN i.v AS v ORDER BY v").collect()
+    assert [r.v for r in got] == [5, 9]
+    # per-call params override the session value
+    got = db.query(
+        "MATCH (i:Item) WHERE i.v > $cut RETURN i.v AS v ORDER BY v",
+        params={"cut": 8},
+    ).collect()
+    assert [r.v for r in got] == [9]
+    db.execute("SESSION RESET PARAMETERS")
+    with pytest.raises(Exception):
+        db.query("MATCH (i:Item) WHERE i.v > $cut RETURN i.v AS v").collect()
+
+
+def test_session_time_zone(db, spark):
+    old = spark.conf.get("spark.sql.session.timeZone")
+    db.execute("SESSION SET TIME ZONE 'America/New_York'")
+    assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    db.execute("SESSION RESET TIME ZONE")
+    assert spark.conf.get("spark.sql.session.timeZone") == old
+
+
+def test_session_reset_graph_and_close(spark):
+    from graphlite_spark import GraphLiteSpark
+
+    d = GraphLiteSpark(spark)
+    d.execute("CREATE GRAPH /default/h")
+    d.execute("SESSION SET GRAPH /default/h")
+    d.execute("INSERT (:X {a: 1})")
+    d.execute("SESSION RESET GRAPH")
+    with pytest.raises(Exception, match="no current graph"):
+        d.query("MATCH (x:X) RETURN count(*) AS n")
+    d.execute("SESSION SET GRAPH /default/h")
+    assert d.query("MATCH (x:X) RETURN count(*) AS n").collect()[0].n == 1
+    d.execute("SESSION CLOSE")
+    with pytest.raises(RuntimeError, match="closed"):
+        d.query("MATCH (x:X) RETURN count(*) AS n")
