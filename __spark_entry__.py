@@ -1107,6 +1107,25 @@ def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford (3 rounds) from node 0 over a 50-node
+    weighted graph derived from lineitem (src=orderkey%50,
+    dst=partkey%50, w=min quantity). Result = min path weight over <=3
+    edges — exactly the 3-level relaxation the SQL oracle unrolls."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import weighted_sssp
+
+    li = _table(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        (F.col("l_orderkey") % 50).alias("_src"),
+        (F.col("l_partkey") % 50).alias("_dst"),
+    ).agg(F.min("l_quantity").alias("weight"))
+    src = spark.createDataFrame([(0,)], "node: long")
+    d = weighted_sssp(edges, src, max_iters=3)
+    return d.select("node", F.round("dist", 6).alias("dist")).orderBy("node")
+
+
 def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 docs by Robertson BM25 for a 3-term query. The reference
     parses text search but its index is a stub (storage/indexes/
@@ -1282,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "copurchase_triangles": _q_copurchase_triangles,
             "click_view_interval_join": _q_click_view_interval_join,
             "bm25_search_topk": _q_bm25_search,
+            "weighted_sssp_bounded": _q_weighted_sssp,
             "window_top_orders": _q_window_top_orders,
             "window_running_revenue": _q_window_running_revenue,
             "window_lag_delta": _q_window_lag_delta,
@@ -2196,6 +2216,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM gaps GROUP BY 1
+        """,
+        "weighted_sssp_bounded": """
+            WITH e AS (
+                SELECT l_orderkey % 50 AS src, l_partkey % 50 AS dst,
+                       min(l_quantity) AS w
+                FROM lineitem GROUP BY 1, 2),
+            b1 AS (
+                SELECT node, min(d) AS d FROM (
+                    SELECT CAST(0 AS BIGINT) AS node, 0.0 AS d
+                    UNION ALL
+                    SELECT dst, w FROM e WHERE src = 0) GROUP BY 1),
+            b2 AS (
+                SELECT node, min(d) AS d FROM (
+                    SELECT node, d FROM b1
+                    UNION ALL
+                    SELECT e.dst, b1.d + e.w FROM b1
+                    JOIN e ON e.src = b1.node) GROUP BY 1),
+            b3 AS (
+                SELECT node, min(d) AS d FROM (
+                    SELECT node, d FROM b2
+                    UNION ALL
+                    SELECT e.dst, b2.d + e.w FROM b2
+                    JOIN e ON e.src = b2.node) GROUP BY 1)
+            SELECT node, round(d, 6) AS dist FROM b3 ORDER BY node
         """,
         "bm25_search_topk": """
             WITH base AS (

@@ -63,6 +63,71 @@ def bfs_distances(
     return visited
 
 
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    max_iters: int = 20,
+    directed: bool = True,
+) -> DataFrame:
+    """Weighted single/multi-source shortest distances via distributed
+    Bellman-Ford (iterative relaxation).
+
+    edges: (_src, _dst, weight >= 0); sources: single-column id frame.
+    Returns (node, dist): after k rounds dist is the minimum weight over
+    paths of <= k edges, so with max_iters >= the optimal path's hop
+    count (or when the frontier drains early) this is exact SSSP. The
+    reference's ShortestPath graph-index op is unweighted and stubbed
+    (storage/indexes/manager.rs:16-130); weighted variants there would
+    be per-pair Dijkstra on the driver.
+
+    Scale: each round is one equi-join frontier⋈edges + a min-groupBy —
+    the same shuffle profile as BFS, with per-round localCheckpoint to
+    keep lineage flat. Only *improved* nodes re-enter the frontier, so
+    rounds shrink as distances converge (delta-stepping's win without
+    its bucketing machinery; AQE absorbs frontier skew).
+    """
+    id_col = sources.columns[0]
+    e = edges.select(
+        F.col(SRC).alias("_a"), F.col(DST).alias("_b"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col(DST).alias("_a"), F.col(SRC).alias("_b"),
+                F.col(weight_col).cast("double").alias("_w"),
+            )
+        )
+    dist = sources.select(
+        F.col(id_col).alias("node"), F.lit(0.0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_iters):
+        cand = (
+            frontier.join(e, frontier["node"] == e["_a"], "inner")
+            .select(F.col("_b").alias("node"), (F.col("dist") + F.col("_w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(dist.withColumnRenamed("dist", "_old"), "node", "left_outer")
+            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist
+
+
 def shortest_path_lengths(
     graph: PropertyGraph,
     edge_label: str,

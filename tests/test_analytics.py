@@ -108,3 +108,24 @@ def test_stats_aggregates_gql(simple_db):
     assert r.med == 95.0 and r.p50 == 95.0
     assert r.c == 1.0
     assert r.sd == pytest.approx(59.160798, abs=1e-6)
+
+
+def test_weighted_sssp(spark):
+    """Hand-checked Bellman-Ford: the 2-hop detour beats the direct edge."""
+    from graphlite_spark.operators.paths import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 3, 1.0), (3, 2, 1.0), (2, 4, 1.0)],
+        "_src long, _dst long, weight double",
+    )
+    src = spark.createDataFrame([(1,)], "node: long")
+    got = {r.node: r.dist for r in weighted_sssp(edges, src).collect()}
+    assert got == {1: 0.0, 3: 1.0, 2: 2.0, 4: 3.0}
+    # bounded to one round: only direct edges
+    got1 = {r.node: r.dist for r in weighted_sssp(edges, src, max_iters=1).collect()}
+    assert got1 == {1: 0.0, 2: 5.0, 3: 1.0}
+    # undirected: 4 reaches everything backwards
+    gotu = {r.node: r.dist for r in weighted_sssp(
+        spark.createDataFrame([(1, 2, 2.0), (2, 3, 2.0)], "_src long, _dst long, weight double"),
+        spark.createDataFrame([(3,)], "node: long"), directed=False).collect()}
+    assert gotu == {3: 0.0, 2: 2.0, 1: 4.0}
