@@ -80,10 +80,15 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        dt = time.time() - t0
+        # steady state = best of two warm runs (smooths GC/JIT jitter,
+        # which at these sub-second timings is a 2x noise source)
+        warm = []
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            warm.append(time.time() - t0)
+        dt = min(warm)
         timings[name] = round(dt, 3)
         total += dt
     print(

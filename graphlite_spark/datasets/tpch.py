@@ -58,11 +58,39 @@ def _ns_timestamp_cols(path: str) -> list[str]:
     return out
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+_DISTRIBUTE_MIN_ROWS = 100_000
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, distribute: bool = False
+) -> DataFrame:
+    """Read one table; optionally redistribute an under-parallel file.
+
+    Parquet splits at row-group granularity and the driver's testdata is
+    one row group per file, so every scan starts as a single task.
+    ``distribute=True`` inserts one round-robin repartition to the
+    session's core count (gated on table size so small tables keep their
+    bare pruned-scan plans). Measured A/B at sf0.1 (600k-row lineitem):
+    the extra exchange LOSES for scan→aggregate shapes (agg_q1 0.91s →
+    1.21s; q5 star join 0.97s → 1.59s) because Catalyst's map-side
+    partial aggregation inside the scan stage already collapses the data
+    before any shuffle — so the default stays False. Turn it on only
+    when the per-row downstream work is heavy enough to dwarf an
+    exchange (e.g. Pandas-UDF feature extraction over a single-file
+    input); a real 100 TB table arrives as thousands of row groups and
+    never needs it.
+    """
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _ns_timestamp_cols(path):
         df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    if distribute:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path.removeprefix("file:")).metadata
+        para = spark.sparkContext.defaultParallelism
+        if meta.num_rows >= _DISTRIBUTE_MIN_ROWS and meta.num_row_groups < para:
+            df = df.repartition(para)
     return df
 
 

@@ -212,3 +212,100 @@ def test_aggregations_match_duckdb(diff_env, key, aggs):
                 f"aggregate {e!r} diverged: spark={vo!r} duckdb={vt!r}\n"
                 f"group row spark={ro} duck={rt}\nquery: {gql}"
             )
+
+
+# --- pattern/join differential -----------------------------------------------
+# random chain patterns (1-3 hops, random per-hop direction, random node/
+# edge predicates) through the pattern compiler vs the mechanically
+# derived DuckDB join. This searches the join-DAG compiler (SURVEY §2.1
+# rows 1-3, 7) the way the suites above search expressions/aggregation.
+
+PERSONS = [(i, i % 3, float((i * i) % 7)) for i in range(12)]
+# deterministic edge soup with cycles, fan-in/fan-out; no self loops
+KNOWS = [
+    (s, d, float((s * 3 + d) % 5))
+    for s in range(12)
+    for d in range(12)
+    if s != d and (s * 7 + d * 5) % 11 < 2
+]
+
+
+@pytest.fixture(scope="module")
+def pattern_env(spark):
+    import duckdb
+
+    from graphlite_spark import GraphLiteSpark, PropertyGraph
+
+    nodes = spark.createDataFrame(PERSONS, "id: long, grp: long, val: double")
+    edges = spark.createDataFrame(KNOWS, "src: long, dst: long, w: double")
+    g = PropertyGraph(spark, name="patterns")
+    g.add_nodes("Person", nodes, "id")
+    g.add_edges("KNOWS", edges, "src", "dst", "Person", "Person")
+    db = GraphLiteSpark(spark)
+    db.register_graph(g)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE person (id BIGINT, grp BIGINT, val DOUBLE)")
+    con.executemany("INSERT INTO person VALUES (?, ?, ?)", PERSONS)
+    con.execute("CREATE TABLE knows (src BIGINT, dst BIGINT, w DOUBLE)")
+    con.executemany("INSERT INTO knows VALUES (?, ?, ?)", KNOWS)
+    return db, con
+
+
+_hop_dir = st.sampled_from(["->", "<-", "-"])
+_node_pred = st.sampled_from(
+    ["{v}.val > 2", "{v}.val <= 4", "{v}.grp = 1", "{v}.grp <> 0", "{v}.id < 9"]
+)
+_edge_pred = st.sampled_from(["{v}.w >= 1", "{v}.w < 3", "{v}.w <> 2"])
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_hop_dir, min_size=1, max_size=3),
+    st.lists(st.tuples(st.integers(0, 3), _node_pred), max_size=2),
+    st.lists(st.tuples(st.integers(0, 2), _edge_pred), max_size=1),
+)
+def test_patterns_match_duckdb(pattern_env, dirs, npreds, epreds):
+    db, con = pattern_env
+    k = len(dirs)
+
+    pat = "(n0:Person)"
+    for i, d in enumerate(dirs):
+        arrow = {"->": f"-[e{i}:KNOWS]->", "<-": f"<-[e{i}:KNOWS]-", "-": f"-[e{i}:KNOWS]-"}[d]
+        pat += f"{arrow}(n{i + 1}:Person)"
+    conds_gql = [p.format(v=f"n{min(i, k)}") for i, p in npreds]
+    conds_gql += [p.format(v=f"e{min(i, k - 1)}") for i, p in epreds]
+    where = f" WHERE {' AND '.join(conds_gql)}" if conds_gql else ""
+    gql = (
+        f"MATCH {pat}{where} "
+        f"RETURN n0.id AS a, n{k}.id AS b ORDER BY a, b"
+    )
+
+    frm = ["person p0"]
+    conds_sql = []
+    for i, d in enumerate(dirs):
+        frm += [f"knows k{i}", f"person p{i + 1}"]
+        if d == "->":
+            conds_sql.append(f"k{i}.src = p{i}.id AND k{i}.dst = p{i + 1}.id")
+        elif d == "<-":
+            conds_sql.append(f"k{i}.dst = p{i}.id AND k{i}.src = p{i + 1}.id")
+        else:
+            conds_sql.append(
+                f"((k{i}.src = p{i}.id AND k{i}.dst = p{i + 1}.id)"
+                f" OR (k{i}.dst = p{i}.id AND k{i}.src = p{i + 1}.id))"
+            )
+    conds_sql += [p.format(v=f"p{min(i, k)}") for i, p in npreds]
+    conds_sql += [p.format(v=f"k{min(i, k - 1)}") for i, p in epreds]
+    sql = (
+        f"SELECT p0.id AS a, p{k}.id AS b FROM {', '.join(frm)} "
+        f"WHERE {' AND '.join(conds_sql)} ORDER BY a, b"
+    )
+
+    ours = sorted((r.a, r.b) for r in db.query(gql).collect())
+    theirs = sorted((a, b) for a, b in con.execute(sql).fetchall())
+    assert ours == theirs, f"pattern diverged\nGQL: {gql}\nSQL: {sql}\nspark={ours[:20]}\nduck={theirs[:20]}"
