@@ -191,6 +191,40 @@ class GraphLiteSpark:
                 if self._current_graph in (stmt.path, f"/{s}/{g}"):
                     self._current_graph = None
             return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.UserRoleStmt):
+            store = self._users if stmt.kind == "USER" else self._roles
+            if stmt.action == "CREATE":
+                if stmt.name in store:
+                    raise KeyError(f"{stmt.kind.lower()} {stmt.name!r} exists")
+                store[stmt.name] = (
+                    {"roles": [], "password": stmt.password}
+                    if stmt.kind == "USER"
+                    else {"grants": []}
+                )
+            else:
+                if stmt.name not in store and not stmt.if_exists:
+                    raise KeyError(f"no {stmt.kind.lower()} {stmt.name!r}")
+                store.pop(stmt.name, None)
+            return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.GrantRevokeStmt):
+            grant = stmt.what + (f" ON {stmt.target}" if stmt.target else "")
+            if stmt.to in self._roles:
+                seq = self._roles[stmt.to]["grants"]
+            elif stmt.to in self._users:
+                # GRANT <role> TO <user> is role membership; privileges
+                # (with or without ON target) collect under "grants"
+                if stmt.what in self._roles and not stmt.target:
+                    seq = self._users[stmt.to]["roles"]
+                else:
+                    seq = self._users[stmt.to].setdefault("grants", [])
+            else:
+                raise KeyError(f"no user or role {stmt.to!r}")
+            if stmt.action == "GRANT":
+                if grant not in seq:
+                    seq.append(grant)
+            elif grant in seq:
+                seq.remove(grant)
+            return {"status": "ok", "rows_affected": 0}
         if isinstance(stmt, S.TruncateGraphStmt):
             path = stmt.path if stmt.path.startswith("/") else f"/default/{stmt.path}"
             g = self.catalog.get_graph(path)

@@ -116,6 +116,28 @@ class SessionCloseStmt:
 
 
 @dataclass
+class UserRoleStmt:
+    """CREATE/DROP USER/ROLE (ast.rs:625-644; security metadata —
+    enforcement is deployment-level, as in the reference's security/)."""
+
+    action: str  # CREATE | DROP
+    kind: str  # USER | ROLE
+    name: str
+    password: Optional[str] = None
+    if_exists: bool = False
+
+
+@dataclass
+class GrantRevokeStmt:
+    """GRANT <role|privilege ON target> TO name / REVOKE ... FROM name."""
+
+    action: str  # GRANT | REVOKE
+    what: str  # role name or privilege
+    target: Optional[str]  # ON target (graph/schema path), if any
+    to: str  # user or role name
+
+
+@dataclass
 class CallStmt:
     proc: str
     args: list[Expr]
@@ -172,6 +194,21 @@ class StatementParser(Parser):
             ):
                 mode = self.advance().value.lower()
             return ExplainStmt(self.text[self.cur.pos:], mode)
+        if t.kind == "IDENT" and t.value.upper() in ("GRANT", "REVOKE"):
+            action = t.value.upper()
+            self.advance()
+            # privilege keywords (ALL, SELECT, INSERT, ...) or a role name
+            what = (
+                self.advance().value if self.cur.kind == "KEYWORD" else self.ident()
+            )
+            target = None
+            if self._try_word("ON"):
+                _ = self.try_kw("GRAPH") or self.try_kw("SCHEMA")
+                target = self._path()
+            kw = "TO" if action == "GRANT" else "FROM"
+            if not self._try_word(kw):
+                raise ParseError(f"expected {kw} at {self.cur.pos}")
+            return self._done(GrantRevokeStmt(action, what, target, self.ident()))
         if t.kind == "IDENT" and t.value.upper() in ("TRUNCATE", "CLEAR"):
             kind = t.value.upper()
             self.advance()
@@ -223,6 +260,15 @@ class StatementParser(Parser):
                 if not body:
                     raise ParseError("CREATE PROCEDURE needs a body")
                 return CreateProcedureStmt(".".join(name_parts), body)
+            if self.cur.kind == "IDENT" and self.cur.value.upper() in ("USER", "ROLE"):
+                kind = self.advance().value.upper()
+                name = self.ident()
+                password = None
+                if self._try_word("PASSWORD"):
+                    if self.cur.kind != "STRING":
+                        raise ParseError(f"expected password string at {self.cur.pos}")
+                    password = self.advance().value
+                return self._done(UserRoleStmt("CREATE", kind, name, password))
             if self.try_kw("SCHEMA"):
                 ine = self._if_not_exists()
                 return self._done(CreateSchemaStmt(self._path(), ine))
@@ -257,6 +303,10 @@ class StatementParser(Parser):
                     self.advance()
                     name_parts.append(self.ident())
                 return self._done(DropProcedureStmt(".".join(name_parts), ie))
+            if self.cur.kind == "IDENT" and self.cur.value.upper() in ("USER", "ROLE"):
+                kind = self.advance().value.upper()
+                ie = self._if_exists()
+                return self._done(UserRoleStmt("DROP", kind, self.ident(), if_exists=ie))
             if self.try_kw("SCHEMA"):
                 ie = self._if_exists()
                 return self._done(DropSchemaStmt(self._path(), ie))

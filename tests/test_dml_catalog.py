@@ -489,3 +489,29 @@ def test_session_reset_graph_and_close(spark):
     d.execute("SESSION CLOSE")
     with pytest.raises(RuntimeError, match="closed"):
         d.query("MATCH (x:X) RETURN count(*) AS n")
+
+
+def test_user_role_grant_revoke(spark):
+    """CREATE/DROP USER/ROLE + GRANT/REVOKE (ast.rs:625-644 security DDL;
+    metadata-level like the reference's security/ module)."""
+    from graphlite_spark import GraphLiteSpark
+
+    d = GraphLiteSpark(spark)
+    d.execute("CREATE USER ada PASSWORD 'lovelace'")
+    d.execute("CREATE ROLE analyst")
+    d.execute("GRANT SELECT ON GRAPH /default/g TO analyst")
+    d.execute("GRANT analyst TO ada")
+    users = {r.user: r.roles for r in d.execute("CALL gql.list_users()").collect()}
+    assert users["ada"] == "analyst"
+    roles = {r.role: r.grants for r in d.execute("CALL gql.list_roles()").collect()}
+    assert roles["analyst"] == "SELECT ON /default/g"
+    d.execute("REVOKE analyst FROM ada")
+    users = {r.user: r.roles for r in d.execute("CALL gql.list_users()").collect()}
+    assert users["ada"] == ""
+    with pytest.raises(KeyError):
+        d.execute("CREATE ROLE analyst")
+    d.execute("DROP ROLE analyst")
+    d.execute("DROP USER ada")
+    with pytest.raises(KeyError):
+        d.execute("DROP USER ada")
+    d.execute("DROP USER IF EXISTS ada")
