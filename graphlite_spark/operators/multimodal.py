@@ -121,6 +121,61 @@ def image_features(
     return pruned.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("mfcc", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def _fake_audio_features(content: Optional[bytes], n_mfcc: int):
+    import hashlib
+
+    h = hashlib.sha256(b"audio:" + (content or b"")).digest()
+    rate = 8000 * (1 + h[0] % 6)  # 8/16/24/32/40/48 kHz
+    mfcc = [((h[i % 32] / 255.0) * 40 - 20) for i in range(n_mfcc)]
+    return rate, mfcc
+
+
+def audio_features(
+    assets: DataFrame,
+    deterministic_fake: bool = False,
+    n_mfcc: int = 13,
+) -> DataFrame:
+    """Decode + feature-extract audio assets (MFCC-shaped vector) via
+    Arrow-batched mapInPandas — same plumbing contract as
+    image_features: column-pruned input, partition-parallel, swap the
+    stub kernel for librosa/torchaudio without touching the plan."""
+    pruned = assets.select(
+        "asset_id", "content", F.col("meta.duration_ms").alias("duration_ms")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "sample_rate": [], "duration_ms": [], "mfcc": []}
+            for aid, content, dur in zip(
+                pdf["asset_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "audio decode requires an audio library; "
+                        "pass deterministic_fake=True"
+                    )  # pragma: no cover
+                rate, mfcc = _fake_audio_features(content, n_mfcc)
+                out["asset_id"].append(aid)
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append(dur)
+                out["mfcc"].append(mfcc)
+            yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(
     assets: DataFrame,
     every_ms: int = 1000,

@@ -246,3 +246,41 @@ def test_stream_enrich_broadcasts_dim(spark, events_stream_dir):
     run_stream_to_memory(out.groupBy("category").count(), "enrich_test")
     got = [tuple(r) for r in spark.table("enrich_test").collect()]
     assert sorted(got) == sorted(expected)
+
+
+def test_audio_features_fake_decode(spark):
+    from graphlite_spark.operators.multimodal import audio_features, make_fake_assets
+
+    assets = make_fake_assets(spark, n=6, modality="audio")
+    rows = audio_features(assets, deterministic_fake=True).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.sample_rate in (8000, 16000, 24000, 32000, 40000, 48000)
+        assert len(r.mfcc) == 13
+        assert all(-20.0 <= v <= 20.0 for v in r.mfcc)
+    # content-derived determinism: same asset -> same features across runs
+    again = audio_features(assets, deterministic_fake=True).collect()
+    assert {r.asset_id: r.mfcc for r in rows} == {r.asset_id: r.mfcc for r in again}
+
+
+def test_multimodal_to_similarity_pipeline(spark):
+    """End-to-end composition: decode-stub embeddings feed the ANN
+    operator unchanged — the multimodal output schema IS the similarity
+    input schema (asset embeddings as array<double>)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.multimodal import image_features, make_fake_assets
+    from graphlite_spark.operators.similarity import cosine_topk
+
+    assets = make_fake_assets(spark, n=10)
+    emb = image_features(assets, deterministic_fake=True).select(
+        F.col("asset_id").alias("vec_id"), "embedding"
+    )
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    # 2 nearest neighbors per asset (self-matches excluded by the op)
+    top = cosine_topk(emb, queries, k=2)
+    rows = top.collect()
+    assert len(rows) == 20  # 10 queries x k=2
+    for r in rows:
+        assert r.query_id != r.item_id
+        assert -1.0 - 1e-9 <= r.score <= 1.0 + 1e-9
