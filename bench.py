@@ -38,9 +38,13 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "token_count",
     "cosine_topk",
+    "bm25_search_topk",     # scored retrieval (postings + broadcast stats)
     # temporal operators
     "asof_join_purchases",
     "rollup_daily_value",
+    # window / graph analytics
+    "window_top_orders",    # row_number window + filter
+    "weighted_sssp_bounded",  # iterative frontier Bellman-Ford
 ]
 
 

@@ -62,6 +62,7 @@ class GraphLiteSpark:
         self._models: dict[str, dict] = {}
         # session state (ast.rs:991-1063 SESSION SET/RESET/CLOSE)
         self._session_params: dict[str, Any] = {}
+        self._schema_default: str = "default"  # AT statement overrides
         self._default_tz: str = spark.conf.get("spark.sql.session.timeZone")
         self._closed: bool = False
 
@@ -113,8 +114,8 @@ class GraphLiteSpark:
         ast = parse(gql)
         # SELECT ... FROM <graph> overrides the session graph (ast.rs:42-80)
         graph = getattr(ast, "from_graph", None) or graph
-        if graph is not None and not graph.startswith("/"):
-            graph = f"/default/{graph}"
+        if graph is not None:
+            graph = self._qualify(graph)
         params = {**self._session_params, **(params or {})}
         return QueryCompiler(self.graph(graph), params).compile(ast)
 
@@ -124,6 +125,14 @@ class GraphLiteSpark:
         from . import dml
         from .gql import statements as S
 
+        parts = S.split_next_chain(gql)
+        if len(parts) > 1:
+            # NEXT chaining (ast.rs:1082-1105): run each statement in
+            # order, surface the last result
+            out = None
+            for p in parts:
+                out = self.execute(p, params)
+            return out
         stmt = S.parse_statement(gql)
         if isinstance(stmt, S.SessionCloseStmt):
             self._closed = True
@@ -160,12 +169,12 @@ class GraphLiteSpark:
         if isinstance(stmt, S.CreateGraphStmt):
             if stmt.as_query is not None:
                 g = self.catalog.create_graph(
-                    stmt.path,
+                    self._qualify(stmt.path),
                     self._subgraph_from_query(stmt.as_query),
                     stmt.if_not_exists,
                 )
                 return {"status": "ok", "rows_affected": 0}
-            g = self.catalog.create_graph(stmt.path, None, stmt.if_not_exists)
+            g = self.catalog.create_graph(self._qualify(stmt.path), None, stmt.if_not_exists)
             if stmt.typed:
                 gt = self._graph_types.get(stmt.typed.lower())
                 if gt is None:
@@ -185,12 +194,23 @@ class GraphLiteSpark:
             self._graph_types.pop(stmt.name.lower(), None)
             return {"status": "ok", "rows_affected": 0}
         if isinstance(stmt, S.DropGraphStmt):
-            self.catalog.drop_graph(stmt.path, stmt.if_exists)
+            dpath = self._qualify(stmt.path)
+            self.catalog.drop_graph(dpath, stmt.if_exists)
             if self._current_graph is not None:
-                s, g = self.catalog.split_path(stmt.path)
-                if self._current_graph in (stmt.path, f"/{s}/{g}"):
+                s, g = self.catalog.split_path(dpath)
+                if self._current_graph in (dpath, f"/{s}/{g}"):
                     self._current_graph = None
             return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.DeclareStmt):
+            self._session_params[stmt.name] = stmt.value
+            return {"status": "ok", "rows_affected": 0}
+        if isinstance(stmt, S.AtStmt):
+            saved = self._schema_default
+            self._schema_default = stmt.path.strip("/").split("/")[0]
+            try:
+                return self.execute(stmt.body, params)
+            finally:
+                self._schema_default = saved
         if isinstance(stmt, S.UserRoleStmt):
             store = self._users if stmt.kind == "USER" else self._roles
             if stmt.action == "CREATE":
@@ -226,7 +246,7 @@ class GraphLiteSpark:
                 seq.remove(grant)
             return {"status": "ok", "rows_affected": 0}
         if isinstance(stmt, S.TruncateGraphStmt):
-            path = stmt.path if stmt.path.startswith("/") else f"/default/{stmt.path}"
+            path = self._qualify(stmt.path)
             g = self.catalog.get_graph(path)
             # keep every label/edge-type schema, drop the rows: limit(0)
             # is a metadata-only plan, no scan of the old data
@@ -241,8 +261,7 @@ class GraphLiteSpark:
             return {"status": status, "rows_affected": 0}
         if isinstance(stmt, S.SessionSetStmt):
             if stmt.kind == "GRAPH":
-                self.use_graph(stmt.value if stmt.value.startswith("/")
-                               else f"/default/{stmt.value}")
+                self.use_graph(self._qualify(stmt.value))
             elif stmt.kind == "TIME_ZONE":
                 self.spark.conf.set("spark.sql.session.timeZone", stmt.value)
             elif stmt.kind == "PARAM":
@@ -345,6 +364,11 @@ class GraphLiteSpark:
                 entry["df"] = closure
         self._indexes[stmt.name.lower()] = entry
         return {"status": "ok", "rows_affected": 0}
+
+    def _qualify(self, name: str) -> str:
+        """Bare graph names resolve under the current default schema
+        (AT statements swap it for one nested statement)."""
+        return name if name.startswith("/") else f"/{self._schema_default}/{name}"
 
     def _check_open(self) -> None:
         if self._closed:

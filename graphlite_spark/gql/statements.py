@@ -116,6 +116,26 @@ class SessionCloseStmt:
 
 
 @dataclass
+class DeclareStmt:
+    """DECLARE name = <literal> (ast.rs:228-265): a session-scoped value
+    binding, referenced as ``$name`` in later statements. (The reference
+    also allows binding-table declarations; values cover the tested
+    surface.)"""
+
+    name: str
+    value: Any
+
+
+@dataclass
+class AtStmt:
+    """AT /schema <statement> (ast.rs:228-265): run one statement with a
+    different default schema for bare graph names."""
+
+    path: str
+    body: str  # remaining statement text
+
+
+@dataclass
 class UserRoleStmt:
     """CREATE/DROP USER/ROLE (ast.rs:625-644; security metadata —
     enforcement is deployment-level, as in the reference's security/)."""
@@ -194,6 +214,29 @@ class StatementParser(Parser):
             ):
                 mode = self.advance().value.lower()
             return ExplainStmt(self.text[self.cur.pos:], mode)
+        if t.kind == "IDENT" and t.value.upper() == "DECLARE":
+            self.advance()
+            name = self.ident()
+            self.eat_op("=")
+            from .ast import ListLiteral, Literal, Unary
+
+            val = self.parse_expr()
+            if isinstance(val, Unary) and val.op == "-" and isinstance(val.operand, Literal):
+                val = Literal(-val.operand.value)
+            if isinstance(val, ListLiteral) and all(
+                isinstance(i, Literal) for i in val.items
+            ):
+                val = Literal([i.value for i in val.items])
+            if not isinstance(val, Literal):
+                raise ParseError("DECLARE takes a literal value")
+            return self._done(DeclareStmt(name, val.value))
+        if t.kind == "KEYWORD" and t.value == "AT":
+            self.advance()
+            path = self._path()
+            body = self.text[self.cur.pos:].strip().rstrip(";")
+            if not body:
+                raise ParseError("AT needs a statement to run")
+            return AtStmt(path, body)
         if t.kind == "IDENT" and t.value.upper() in ("GRANT", "REVOKE"):
             action = t.value.upper()
             self.advance()
@@ -558,3 +601,33 @@ class StatementParser(Parser):
 
 def parse_statement(text: str):
     return StatementParser(text).parse_statement()
+
+
+def split_next_chain(text: str) -> list[str]:
+    """Split a top-level NEXT-chained statement into its parts
+    (ast.rs:1082-1105 NEXT statement chaining; procedures use the same
+    form). Only depth-0 NEXT keywords split; CREATE statements never do
+    (their stored bodies own any NEXT chains inside)."""
+    from .lexer import tokenize
+
+    toks = tokenize(text)
+    if toks and toks[0].kind == "KEYWORD" and toks[0].value == "CREATE":
+        return [text]
+    depth = 0
+    cuts: list[int] = []
+    for t in toks:
+        if t.kind == "OP" and t.value in "([{":
+            depth += 1
+        elif t.kind == "OP" and t.value in ")]}":
+            depth -= 1
+        elif t.kind == "KEYWORD" and t.value == "NEXT" and depth == 0:
+            cuts.append(t.pos)
+    if not cuts:
+        return [text]
+    parts = []
+    prev = 0
+    for c in cuts:
+        parts.append(text[prev:c])
+        prev = c + len("NEXT")
+    parts.append(text[prev:])
+    return [p.strip() for p in parts if p.strip()]

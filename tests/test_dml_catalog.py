@@ -515,3 +515,41 @@ def test_user_role_grant_revoke(spark):
     with pytest.raises(KeyError):
         d.execute("DROP USER ada")
     d.execute("DROP USER IF EXISTS ada")
+
+
+def test_declare_statement(db):
+    """DECLARE name = literal (ast.rs:228-265): session value binding."""
+    db.execute("INSERT (:N {v: 2}), (:N {v: 6})")
+    db.execute("DECLARE lo = 3")
+    got = db.query("MATCH (n:N) WHERE n.v > $lo RETURN n.v AS v").collect()
+    assert [r.v for r in got] == [6]
+
+
+def test_at_statement_schema_context(spark):
+    """AT /schema <stmt>: bare graph names resolve in that schema."""
+    from graphlite_spark import GraphLiteSpark
+
+    d = GraphLiteSpark(spark)
+    d.execute("CREATE SCHEMA /app")
+    d.execute("AT /app CREATE GRAPH social")
+    assert "/app/social" in d.list_graphs()
+    d.execute("SESSION SET GRAPH /app/social")
+    d.execute("INSERT (:P {name: 'Ada'})")
+    # the same bare name outside AT would land in /default
+    d.execute("AT /app TRUNCATE GRAPH social")
+    assert d.query("MATCH (p:P) RETURN count(*) AS n").collect()[0].n == 0
+
+
+def test_next_chained_statements(db):
+    """Top-level NEXT chaining (ast.rs:1082-1105): sequential execution,
+    last result surfaces; also the CREATE PROCEDURE body path."""
+    out = db.execute(
+        "INSERT (:Ch {v: 1}) NEXT INSERT (:Ch {v: 2}) "
+        "NEXT MATCH (c:Ch) RETURN count(*) AS n"
+    )
+    assert out.collect()[0].n == 2
+    db.execute(
+        "CREATE PROCEDURE app.add_and_count() "
+        "INSERT (:Ch {v: 3}) NEXT MATCH (c:Ch) RETURN count(*) AS n"
+    )
+    assert db.execute("CALL app.add_and_count()").collect()[0].n == 3
