@@ -1126,6 +1126,30 @@ def _q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("node", F.round("dist", 6).alias("dist")).orderBy("node")
 
 
+def _q_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank algebra proof: 2 power iterations (incl. dangling-mass
+    redistribution) over a 100-node graph derived from lineitem,
+    hash-matched against the same recursion unrolled in SQL. The
+    10-iteration pagerank_topk stays rows-only; this pins the per-round
+    update rule exactly."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import pagerank
+
+    li = _table(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") % 100).alias("_src"),
+        (F.col("l_suppkey") % 100).alias("_dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    r = pagerank(e, nodes, num_iter=2)
+    return r.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
 def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 docs by Robertson BM25 for a 3-term query. The reference
     parses text search but its index is a stub (storage/indexes/
@@ -1302,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "click_view_interval_join": _q_click_view_interval_join,
             "bm25_search_topk": _q_bm25_search,
             "weighted_sssp_bounded": _q_weighted_sssp,
+            "pagerank_2iter": _q_pagerank_2iter,
             "window_top_orders": _q_window_top_orders,
             "window_running_revenue": _q_window_running_revenue,
             "window_lag_delta": _q_window_lag_delta,
@@ -2216,6 +2241,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM gaps GROUP BY 1
+        """,
+        "pagerank_2iter": """
+            WITH e AS (
+                SELECT DISTINCT l_partkey % 100 AS a, l_suppkey % 100 AS b
+                FROM lineitem),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT a, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+            r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+            d1 AS (
+                SELECT coalesce(sum(r0.rank), 0.0) AS dang
+                FROM r0 LEFT JOIN deg ON r0.node = deg.a WHERE deg.a IS NULL),
+            c1 AS (
+                SELECT e.b AS node, sum(r0.rank / deg.deg) AS in_rank
+                FROM r0 JOIN deg ON r0.node = deg.a JOIN e ON e.a = r0.node
+                GROUP BY 1),
+            r1 AS (
+                SELECT nodes.node,
+                       ((1.0 - 0.85) / nn.n)
+                       + 0.85 * (coalesce(c1.in_rank, 0.0) + d1.dang / nn.n)
+                           AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d1
+                LEFT JOIN c1 ON c1.node = nodes.node),
+            d2 AS (
+                SELECT coalesce(sum(r1.rank), 0.0) AS dang
+                FROM r1 LEFT JOIN deg ON r1.node = deg.a WHERE deg.a IS NULL),
+            c2 AS (
+                SELECT e.b AS node, sum(r1.rank / deg.deg) AS in_rank
+                FROM r1 JOIN deg ON r1.node = deg.a JOIN e ON e.a = r1.node
+                GROUP BY 1),
+            r2 AS (
+                SELECT nodes.node,
+                       ((1.0 - 0.85) / nn.n)
+                       + 0.85 * (coalesce(c2.in_rank, 0.0) + d2.dang / nn.n)
+                           AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d2
+                LEFT JOIN c2 ON c2.node = nodes.node)
+            SELECT node, round(rank, 6) AS rank FROM r2 ORDER BY node
         """,
         "weighted_sssp_bounded": """
             WITH e AS (
