@@ -585,6 +585,34 @@ class GraphLiteSpark:
                 raise KeyError(f"no model {mname!r}; have {sorted(self._models)}")
             d = self._models[mname]
             rows = [Row(model=mname, uri=d["uri"], loaded=d["loaded"])]
+        elif name == "gql.bm25_search":
+            # text search over a node label's string property — the CALL
+            # surface the reference's text-index path gestures at
+            # (plan/optimizer.rs:510-751) with real BM25 scoring
+            from .operators.text import bm25_search
+
+            label = stmt.args[0].value
+            prop = stmt.args[1].value
+            terms = str(stmt.args[2].value).split()
+            k = int(stmt.args[3].value) if len(stmt.args) > 3 else 10
+            ndf = self.graph().nodes_for_label(label)
+            df = bm25_search(ndf, terms, text_col=prop, id_col="_id", k=k)
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            return df
+        elif name == "gql.weighted_shortest_path":
+            # weighted SSSP over one edge type's weight property
+            from .operators.paths import weighted_sssp
+
+            edge_label = stmt.args[0].value
+            weight_prop = stmt.args[1].value
+            source = stmt.args[2].value
+            et = self.graph().edge_type(edge_label)
+            src_df = self.spark.createDataFrame([(int(source),)], "node: long")
+            df = weighted_sssp(et.df, src_df, weight_col=weight_prop)
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            return df
         elif name in ("gql.pagerank", "gql.connected_components"):
             # distributed graph analytics over the session graph's full
             # edge union (GraphIndexScan companions, operators/paths.py)

@@ -553,3 +553,42 @@ def test_next_chained_statements(db):
         "INSERT (:Ch {v: 3}) NEXT MATCH (c:Ch) RETURN count(*) AS n"
     )
     assert db.execute("CALL app.add_and_count()").collect()[0].n == 3
+
+
+def test_call_weighted_shortest_path(db):
+    db.execute("INSERT (:W {id: 1})")  # graph exists; edges drive the walk
+    # build a weighted chain via the python surface for precision
+    import pyspark.sql.functions as F
+
+    spark = db.spark
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id: long")
+    edges = spark.createDataFrame(
+        [(0, 1, 4.0), (0, 2, 1.0), (2, 1, 1.0), (1, 3, 2.0)],
+        "src long, dst long, cost double",
+    )
+    from graphlite_spark import GraphLiteSpark, PropertyGraph
+
+    g = PropertyGraph(spark, name="wg")
+    g.add_nodes("N", nodes, "id")
+    g.add_edges("ROAD", edges, "src", "dst", "N", "N")
+    d = GraphLiteSpark(spark)
+    d.register_graph(g)
+    got = {r.node: r.dist for r in
+           d.execute("CALL gql.weighted_shortest_path('ROAD', 'cost', 0)").collect()}
+    assert got == {0: 0.0, 2: 1.0, 1: 2.0, 3: 4.0}
+
+
+def test_call_bm25_search(spark):
+    from graphlite_spark import GraphLiteSpark, PropertyGraph
+
+    docs = spark.createDataFrame(
+        [(1, "spark joins fast"), (2, "slow scans"), (3, "spark spark spark")],
+        "id: long, body: string",
+    )
+    g = PropertyGraph(spark, name="lib")
+    g.add_nodes("Doc", docs, "id")
+    d = GraphLiteSpark(spark)
+    d.register_graph(g)
+    rows = d.execute("CALL gql.bm25_search('Doc', 'body', 'spark', 2)").collect()
+    assert [r._id for r in rows] == [3, 1]  # tf=3 doc first
+    assert rows[0].score > rows[1].score
