@@ -284,3 +284,33 @@ def test_multimodal_to_similarity_pipeline(spark):
     for r in rows:
         assert r.query_id != r.item_id
         assert -1.0 - 1e-9 <= r.score <= 1.0 + 1e-9
+
+
+def test_idempotent_parquet_sink(spark, events_stream_dir, tmp_path):
+    """foreachBatch exactly-once: draining the stream twice over the
+    same checkpoint adds nothing; replaying one epoch by hand overwrites
+    its partition instead of duplicating rows."""
+    from graphlite_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+        run_stream_to_parquet,
+    )
+
+    batch = spark.read.parquet(events_stream_dir)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    run_stream_to_parquet(stream.select("event_id", "event_type"), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == batch.count()
+
+    # same checkpoint -> no new epochs -> unchanged output
+    stream2 = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    run_stream_to_parquet(stream2.select("event_id", "event_type"), out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+    # simulate an epoch replay: re-invoking the writer for batch 0
+    # overwrites _batch_id=0 (dynamic partition overwrite), never appends
+    writer = idempotent_parquet_sink(out)
+    writer(batch.select("event_id", "event_type"), 0)
+    assert spark.read.parquet(out).count() == n1
