@@ -309,3 +309,64 @@ def test_patterns_match_duckdb(pattern_env, dirs, npreds, epreds):
     ours = sorted((r.a, r.b) for r in db.query(gql).collect())
     theirs = sorted((a, b) for a, b in con.execute(sql).fetchall())
     assert ours == theirs, f"pattern diverged\nGQL: {gql}\nSQL: {sql}\nspark={ours[:20]}\nduck={theirs[:20]}"
+
+
+# --- WITH-pipeline differential ----------------------------------------------
+# random MATCH → WITH(group+agg) → WHERE → RETURN pipelines vs the
+# mechanically equivalent DuckDB subquery. The reference runs WITH
+# segments through a dedicated interpreter (with_clause_processor.rs,
+# 1,366 LoC); here each segment is DataFrame chaining — this suite
+# searches that translation the way the pattern suite searches joins.
+
+_num_agg = st.one_of(
+    st.just("COUNT(*)"),
+    _int_expr.map(lambda a: f"SUM({a})"),
+    _int_expr.map(lambda a: f"MIN({a})"),
+    _int_expr.map(lambda a: f"MAX({a})"),
+    _int_expr.map(lambda a: f"COUNT(DISTINCT {a})"),
+)
+
+_post_cond = st.sampled_from(
+    ["a >= 2", "a < 100", "a <> 3", "a > -50", "a <= 25"]
+)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(_group_key, _num_agg, st.one_of(st.none(), _post_cond), st.booleans())
+def test_with_pipelines_match_duckdb(diff_env, key, agg, cond, reagg):
+    db, con = diff_env
+    gql_where = f" WHERE {cond}" if cond else ""
+    if reagg:
+        # second aggregation stage over the filtered groups
+        gql = (
+            f"MATCH (n:T) WITH {key.format(p='n.')} AS g, {agg.format(p='n.')} AS a"
+            f"{gql_where} RETURN COUNT(*) AS c, SUM(a) AS s"
+        )
+        sql = (
+            f"SELECT COUNT(*) AS c, SUM(a) AS s FROM ("
+            f"SELECT {key.format(p='')} AS g, {agg.format(p='')} AS a "
+            f"FROM t GROUP BY g) sub"
+            + (f" WHERE {cond}" if cond else "")
+        )
+    else:
+        gql = (
+            f"MATCH (n:T) WITH {key.format(p='n.')} AS g, {agg.format(p='n.')} AS a"
+            f"{gql_where} RETURN g AS g, a AS a ORDER BY g"
+        )
+        sql = (
+            f"SELECT g, a FROM (SELECT {key.format(p='')} AS g, "
+            f"{agg.format(p='')} AS a FROM t GROUP BY g) sub"
+            + (f" WHERE {cond}" if cond else "")
+            + " ORDER BY g"
+        )
+    ours = [tuple(r) for r in db.query(gql).collect()]
+    theirs = con.execute(sql).fetchall()
+    assert len(ours) == len(theirs), f"{gql}\n{sql}\n{ours}\n{theirs}"
+    for ro, rt in zip(ours, theirs):
+        for vo, vt in zip(ro, rt):
+            assert _eq(vo, vt), f"pipeline diverged\nGQL: {gql}\nSQL: {sql}\nspark={ro} duck={rt}"
