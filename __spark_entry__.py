@@ -1126,6 +1126,22 @@ def _q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("node", F.round("dist", 6).alias("dist")).orderBy("node")
 
 
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (2 bounded rounds, k=30) on a 500-node undirected
+    graph derived from lineitem — each round drops sub-k-degree nodes;
+    the oracle unrolls the same two peel rounds in SQL."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import k_core
+
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    e = li.select(
+        (F.col("l_orderkey") % 500).alias("_src"),
+        (F.col("l_partkey") % 500).alias("_dst"),
+    )
+    return k_core(e, k=30, max_iters=2).orderBy("node")
+
+
 def _q_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank algebra proof: 2 power iterations (incl. dangling-mass
     redistribution) over a 100-node graph derived from lineitem,
@@ -1327,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_search_topk": _q_bm25_search,
             "weighted_sssp_bounded": _q_weighted_sssp,
             "pagerank_2iter": _q_pagerank_2iter,
+            "kcore_bounded": _q_kcore,
             "window_top_orders": _q_window_top_orders,
             "window_running_revenue": _q_window_running_revenue,
             "window_lag_delta": _q_window_lag_delta,
@@ -2241,6 +2258,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM gaps GROUP BY 1
+        """,
+        "kcore_bounded": """
+            WITH canon AS (
+                SELECT DISTINCT least(l_orderkey % 500, l_partkey % 500) AS lo,
+                       greatest(l_orderkey % 500, l_partkey % 500) AS hi
+                FROM lineitem
+                WHERE l_linenumber = 1
+                  AND l_orderkey % 500 <> l_partkey % 500),
+            e0 AS (SELECT lo AS a, hi AS b FROM canon
+                   UNION ALL SELECT hi, lo FROM canon),
+            d0 AS (SELECT a, count(*) AS deg FROM e0 GROUP BY 1),
+            k1 AS (SELECT a FROM d0 WHERE deg >= 30),
+            e1 AS (SELECT e0.a, e0.b FROM e0
+                   JOIN k1 x ON e0.a = x.a JOIN k1 y ON e0.b = y.a),
+            d1 AS (SELECT a, count(*) AS deg FROM e1 GROUP BY 1),
+            k2 AS (SELECT a FROM d1 WHERE deg >= 30),
+            e2 AS (SELECT e1.a, e1.b FROM e1
+                   JOIN k2 x ON e1.a = x.a JOIN k2 y ON e1.b = y.a)
+            SELECT a AS node, count(*) AS degree FROM e2
+            GROUP BY 1 ORDER BY 1
         """,
         "pagerank_2iter": """
             WITH e AS (

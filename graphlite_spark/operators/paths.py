@@ -280,6 +280,51 @@ def pagerank(
     return ranks
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, degree) after k-core peeling (bounded to max_iters rounds).
+
+    Treats `edges` (_src, _dst) as an undirected simple graph
+    (canonicalized + deduped, self-loops dropped). Each round removes
+    nodes of degree < k and their incident edges; with max_iters >= the
+    peel depth (or when a round removes nothing) this is the exact
+    k-core. Beyond the reference's operation set — degeneracy pruning is
+    a standard curation step before clique/community mining.
+
+    Scale: a round is one degree groupBy + two semi-joins; each round's
+    edge set shrinks monotonically and is checkpointed, so lineage stays
+    flat and later rounds touch only the surviving subgraph.
+    """
+    lo, hi = F.least(F.col(SRC), F.col(DST)), F.greatest(F.col(SRC), F.col(DST))
+    canon = (
+        edges.select(lo.alias("_lo"), hi.alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+    )
+    und = canon.select(F.col("_lo").alias("_a"), F.col("_hi").alias("_b")).unionByName(
+        canon.select(F.col("_hi").alias("_a"), F.col("_lo").alias("_b"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        deg = und.groupBy("_a").agg(F.count(F.lit(1)).alias("deg"))
+        removed = deg.filter(F.col("deg") < k)
+        if removed.isEmpty():
+            break
+        keep = deg.filter(F.col("deg") >= k).select("_a")
+        und = (
+            und.join(keep, "_a", "left_semi")
+            .join(keep.withColumnRenamed("_a", "_b"), "_b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.groupBy("_a")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("_a").alias("node"), "degree")
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str = SRC, dst: str = DST
 ) -> DataFrame:

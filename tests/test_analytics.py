@@ -129,3 +129,22 @@ def test_weighted_sssp(spark):
         spark.createDataFrame([(1, 2, 2.0), (2, 3, 2.0)], "_src long, _dst long, weight double"),
         spark.createDataFrame([(3,)], "node: long"), directed=False).collect()}
     assert gotu == {3: 0.0, 2: 2.0, 1: 4.0}
+
+
+def test_k_core(spark):
+    """Hand-checked peel: triangle+tail graph, 2-core drops the tail."""
+    from graphlite_spark.operators.paths import k_core
+
+    edges = spark.createDataFrame(
+        # triangle 1-2-3 plus a tail 3-4-5
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],
+        "_src long, _dst long",
+    )
+    got = {r.node: r.degree for r in k_core(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}  # tail peeled (5 first, then 4)
+    # k=1 keeps everything with an edge
+    got1 = {r.node: r.degree for r in k_core(edges, k=1).collect()}
+    assert got1 == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+    # bounded to a single round: only node 5 (deg 1) is gone; 4 survives
+    gotb = {r.node: r.degree for r in k_core(edges, k=2, max_iters=1).collect()}
+    assert gotb == {1: 2, 2: 2, 3: 3, 4: 1}
