@@ -19,6 +19,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _event_time(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    """Watermarks require TIMESTAMP; cast NTZ event-time columns first
+    (batch frames too, so stream and batch plans stay identical)."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df
 
 
 def enrich(
@@ -58,10 +69,8 @@ def interval_join(
     join that AQE/Catalyst handle as an equi-join on the key with a
     residual time filter."""
     r = right.select([F.col(c).alias(right_prefix + c) for c in right.columns])
-    if left.isStreaming:
-        left = left.withWatermark(left_ts, watermark)
-    if r.isStreaming:
-        r = r.withWatermark(right_prefix + right_ts, watermark)
+    left = _event_time(left, left_ts, watermark)
+    r = _event_time(r, right_prefix + right_ts, watermark)
     rts = F.col(right_prefix + right_ts)
     cond = (
         (F.col(key) == F.col(right_prefix + key))

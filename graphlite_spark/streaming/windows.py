@@ -12,6 +12,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _prep(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    """Event-time prep shared by every window operator: watermarks require
+    TIMESTAMP (not TIMESTAMP_NTZ), so NTZ event-time columns are cast —
+    on batch frames too, keeping stream and batch plans byte-identical."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df
 
 
 def tumbling_counts(
@@ -23,9 +35,7 @@ def tumbling_counts(
 ) -> DataFrame:
     """Count events per (tumbling window, key). Watermark bounds state on
     streams; on batch frames it is a no-op and is skipped."""
-    df = events
-    if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+    df = _prep(events, ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
         .agg(F.count("*").alias("n"))
@@ -45,9 +55,7 @@ def sliding_mean(
     value_col: str = "value",
     watermark: str | None = "10 minutes",
 ) -> DataFrame:
-    df = events
-    if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+    df = _prep(events, ts_col, watermark)
     return (
         df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"))
         .agg(
@@ -67,9 +75,7 @@ def session_windows(
 ) -> DataFrame:
     """Session windows per key (gap-based); Spark's session_window handles
     merge-on-late-data on streams."""
-    df = events
-    if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+    df = _prep(events, ts_col, watermark)
     return (
         df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
         .agg(F.count("*").alias("n_events"))
@@ -90,9 +96,8 @@ def stream_dedup(
 ) -> DataFrame:
     """Exactly-once-style dedup on a stream: dropDuplicates bounded by a
     watermark (state eviction); identical call works on batch frames."""
-    df = events
+    df = _prep(events, ts_col, watermark)
     if df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
 
@@ -136,9 +141,7 @@ def streaming_rollup(
             raise ValueError(
                 f"unsupported grain {g!r}; use {sorted(_GRAIN_DURATION)}"
             )
-    df = events
-    if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+    df = _prep(events, ts_col, watermark)
     out: dict[str, DataFrame] = {}
     prev: DataFrame | None = None
     for grain in grains:
