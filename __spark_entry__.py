@@ -484,6 +484,18 @@ _GQL_QUERIES: dict[str, str] = {
         WHERE c.c_mktsegment ~= '  building '
         RETURN count(*) AS n
     """,
+    "is_source_destination": """
+        MATCH (c:Customer)-[p:PLACED]->(o:Order)
+        WHERE c IS SOURCE OF p AND o IS DESTINATION OF p
+          AND NOT o IS SOURCE OF p AND p IS DIRECTED
+          AND o.o_totalprice IS TYPED DOUBLE AND c.c_name IS NORMALIZED
+        RETURN count(*) AS n
+    """,
+    "is_label_alternation": """
+        MATCH (n:Customer|Supplier)
+        WHERE n IS :Supplier AND n IS :% AND n IS NOT :Region
+        RETURN TYPE(n) AS label, count(*) AS n
+    """,
     "let_filter_pipeline": """
         MATCH (c:Customer)
         LET bal2 = c.c_acctbal * 2
@@ -2178,6 +2190,12 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_equal": """
             SELECT count(*) AS n FROM customer
             WHERE lower(trim(c_mktsegment)) = lower(trim('  building '))
+        """,
+        "is_source_destination": """
+            SELECT count(*) AS n FROM orders
+        """,
+        "is_label_alternation": """
+            SELECT 'Supplier' AS label, count(*) AS n FROM supplier
         """,
         "cosine_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

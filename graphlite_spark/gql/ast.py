@@ -65,11 +65,20 @@ class Binary(Expr):
 
 @dataclass
 class IsPredicate(Expr):
-    """IS [NOT] NULL/TRUE/FALSE/UNKNOWN (ast.rs:1580-1611 subset)."""
+    """IS [NOT] predicate (ast.rs:1580-1611, IsPredicateType).
+
+    ``what`` is one of NULL | TRUE | FALSE | UNKNOWN | NORMALIZED |
+    DIRECTED | SOURCE | DESTINATION | TYPED | LABEL. SOURCE/DESTINATION
+    carry an optional ``target`` edge expression (`n IS SOURCE OF e`);
+    TYPED carries ``type_name``; LABEL carries ``labels`` (the `|`/`:`
+    alternation terms, '%' = wildcard)."""
 
     operand: Expr
-    what: str  # NULL | TRUE | FALSE | UNKNOWN
+    what: str
     negated: bool = False
+    target: "Expr | None" = None
+    type_name: "str | None" = None
+    labels: "tuple[str, ...] | None" = None
 
 
 @dataclass

@@ -66,6 +66,34 @@ def _anon() -> str:
     return f"_a{next(_anon_counter)}"
 
 
+_NFC_UDF = None
+
+
+def _nfc_normalized():
+    """Arrow-vectorized Unicode NFC check for IS NORMALIZED (the
+    reference's check_normalized, executor.rs:8871-8881, is a stub that
+    trusts all strings). Cached so the UDF is built once per process;
+    nulls are not normalized (non-string rule)."""
+    global _NFC_UDF
+    if _NFC_UDF is None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def nfc(s):
+            import unicodedata
+
+            return s.map(
+                lambda x: False if x is None
+                else unicodedata.is_normalized("NFC", x)
+            )
+
+        # bind real objects: `from __future__ import annotations` would
+        # stringify inline hints and break pandas_udf type inference
+        nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _NFC_UDF = pandas_udf(nfc, "boolean")
+    return _NFC_UDF
+
+
 # ---------------------------------------------------------------------------
 # Expression compilation
 
@@ -206,16 +234,104 @@ class ExprCompiler:
             return (l >= r.getField("start")) & (l <= r.getField("end"))
         raise CompileError(f"unsupported binary operator {op}")
 
+    def _var_binding(self, e: A.Expr) -> Optional[Binding]:
+        if isinstance(e, A.Var):
+            return self.frame.bindings.get(e.name)
+        return None
+
+    def _static_type(self, c: Column):
+        """Resolve a compiled column's Spark type against the frame schema
+        (None when the expression can't be projected, e.g. agg context)."""
+        try:
+            return self.frame.df.select(c.alias("_t")).schema[0].dataType
+        except Exception:
+            return None
+
     def _c_IsPredicate(self, e: A.IsPredicate) -> Column:
-        c = self.compile(e.operand)
-        if e.what == "NULL":
-            out = c.isNull()
-        elif e.what == "TRUE":
-            out = c.eqNullSafe(F.lit(True))
-        elif e.what == "FALSE":
-            out = c.eqNullSafe(F.lit(False))
-        elif e.what == "UNKNOWN":
-            out = c.isNull()
+        # semantics: executor.rs:8781-8898 (evaluate_is_predicate); where
+        # the reference stubs topology checks to `false` (DIRECTED/SOURCE/
+        # DESTINATION, executor.rs:8808-8822) we implement the real check —
+        # our edge tables carry _src/_dst — and document the divergence.
+        what = e.what
+        if what in ("NULL", "TRUE", "FALSE", "UNKNOWN"):
+            c = self.compile(e.operand)
+            if what == "NULL" or what == "UNKNOWN":
+                out = c.isNull()
+            elif what == "TRUE":
+                out = c.eqNullSafe(F.lit(True))
+            else:
+                out = c.eqNullSafe(F.lit(False))
+        elif what == "NORMALIZED":
+            # check_normalized (executor.rs:8871-8881) trusts all strings;
+            # we do the real Unicode NFC check, vectorized via Arrow.
+            from pyspark.sql.types import StringType
+
+            c = self.compile(e.operand)
+            if not isinstance(self._static_type(c), StringType):
+                out = F.lit(False)
+            else:
+                out = _nfc_normalized()(c)
+        elif what == "DIRECTED":
+            # every stored edge is directed (storage/types.rs:128-134);
+            # reference stubs this to false — we answer from the model.
+            b = self._var_binding(e.operand)
+            out = F.lit(b is not None and b.kind == "edge")
+        elif what in ("SOURCE", "DESTINATION"):
+            # n IS SOURCE OF e  <=>  id(n) == e._src  (real topology; the
+            # reference returns false pending "full topology support")
+            nb = self._var_binding(e.operand)
+            tb = self._var_binding(e.target) if e.target is not None else None
+            if (
+                nb is None or nb.kind != "node"
+                or tb is None or tb.kind != "edge"
+            ):
+                out = F.lit(False)
+            else:
+                end = SRC if what == "SOURCE" else DST
+                out = self.entity_id(e.operand.name) == F.col(
+                    _ncol(e.target.name, end)
+                )
+        elif what == "TYPED":
+            # check_type_match (executor.rs:8884-8898): runtime numbers
+            # match INTEGER/FLOAT/DOUBLE, strings STRING, booleans BOOLEAN;
+            # everything else is false. Resolved statically from the plan
+            # schema; null values are not typed (Value::Null arm -> false).
+            from pyspark.sql.types import (
+                BooleanType, ByteType, DecimalType, DoubleType, FloatType,
+                IntegerType, LongType, ShortType, StringType,
+            )
+
+            c = self.compile(e.operand)
+            dt = self._static_type(c)
+            tn = (e.type_name or "").rstrip("0123456789")
+            numeric = (ByteType, ShortType, IntegerType, LongType,
+                       FloatType, DoubleType, DecimalType)
+            matched = (
+                (isinstance(dt, numeric)
+                 and tn in ("INTEGER", "INT", "BIGINT", "SMALLINT",
+                            "FLOAT", "DOUBLE", "REAL", "DECIMAL", "NUMERIC"))
+                or (isinstance(dt, StringType) and tn in ("STRING", "VARCHAR", "CHAR"))
+                or (isinstance(dt, BooleanType) and tn in ("BOOLEAN", "BOOL"))
+            )
+            out = (c.isNotNull() & F.lit(True)) if matched else F.lit(False)
+        elif what == "LABEL":
+            # label membership (executor.rs:8832-8862): '%' matches any
+            # labeled entity; our storage matches per-row via the binding's
+            # label (single-label row instances, see graph.py docstring) or
+            # the _label column a label-free/alternation scan carries.
+            b = self._var_binding(e.operand)
+            wanted = [l for l in (e.labels or ()) if l != "%"]
+            wild = "%" in (e.labels or ())
+            if b is None or b.kind not in ("node", "edge"):
+                out = F.lit(False)
+            elif wild:
+                out = F.lit(True)
+            elif b.label is not None:
+                out = F.lit(b.label in wanted)
+            elif "_label" in b.props:
+                out = F.col(_ncol(e.operand.name, "_label")).isin(wanted)
+            else:
+                out = F.lit(False)
         else:
             raise CompileError(f"IS {e.what} unsupported")
         return ~out if e.negated else out
@@ -292,9 +408,14 @@ class ExprCompiler:
                     return self.entity_id(var)
                 if name in ("LABELS", "INFERRED_LABELS"):
                     # single-label storage model: inferred == declared
-                    # (graph_functions.rs INFERRED_LABELS)
+                    # (graph_functions.rs INFERRED_LABELS); label-free and
+                    # alternation scans carry the label per row (_label)
+                    if b.label is None and "_label" in b.props:
+                        return F.array(F.col(_ncol(var, "_label")))
                     return F.array(F.lit(b.label))
                 if name == "TYPE":
+                    if b.label is None and "_label" in b.props:
+                        return F.col(_ncol(var, "_label"))
                     return F.lit(b.label)
                 if name == "KEYS":
                     return F.array(*[F.lit(p) for p in sorted(b.props)])
@@ -337,7 +458,9 @@ def has_aggregate(e: A.Expr) -> bool:
     if isinstance(e, A.Index):
         return has_aggregate(e.operand) or has_aggregate(e.index)
     if isinstance(e, A.IsPredicate):
-        return has_aggregate(e.operand)
+        return has_aggregate(e.operand) or (
+            e.target is not None and has_aggregate(e.target)
+        )
     if isinstance(e, A.ListLiteral):
         return any(has_aggregate(i) for i in e.items)
     return False
@@ -997,16 +1120,21 @@ class QueryCompiler:
                 df = ndf.select(*[F.col(c).alias(_ncol(var, c)) for c in props])
                 b = Binding("node", lbl, props)
             else:
-                # multi-label alternation: union on common columns
+                # multi-label alternation: union on common columns; each
+                # part carries its source label so LABELS()/IS :Label
+                # resolve per row after the union
                 common = set(dfs[0][1].columns)
                 for _, d in dfs[1:]:
                     common &= set(d.columns)
                 common = sorted(common)
                 df = None
-                for _, d in dfs:
-                    sel = d.select(*[F.col(c).alias(_ncol(var, c)) for c in common])
+                for lbl, d in dfs:
+                    sel = d.select(
+                        *[F.col(c).alias(_ncol(var, c)) for c in common],
+                        F.lit(lbl).alias(_ncol(var, "_label")),
+                    )
                     df = sel if df is None else df.unionByName(sel)
-                b = Binding("node", None, list(common))
+                b = Binding("node", None, [*common, "_label"])
         else:
             adf = self.graph.all_nodes()
             props = [c for c in adf.columns]
@@ -1710,7 +1838,8 @@ def transform_expr(e, fn):
     elif isinstance(e, A.Unary):
         e = A.Unary(e.op, transform_expr(e.operand, fn))
     elif isinstance(e, A.IsPredicate):
-        e = A.IsPredicate(transform_expr(e.operand, fn), e.what, e.negated)
+        e = A.IsPredicate(transform_expr(e.operand, fn), e.what, e.negated,
+                          transform_expr(e.target, fn), e.type_name, e.labels)
     elif isinstance(e, A.Case):
         e = A.Case(
             transform_expr(e.operand, fn),
@@ -1759,7 +1888,8 @@ def _rewrite_vars(e, mapping: dict):
     if isinstance(e, A.Unary):
         return A.Unary(e.op, _rewrite_vars(e.operand, mapping))
     if isinstance(e, A.IsPredicate):
-        return A.IsPredicate(_rewrite_vars(e.operand, mapping), e.what, e.negated)
+        return A.IsPredicate(_rewrite_vars(e.operand, mapping), e.what, e.negated,
+                             _rewrite_vars(e.target, mapping), e.type_name, e.labels)
     if isinstance(e, A.Case):
         return A.Case(
             _rewrite_vars(e.operand, mapping),
@@ -1804,6 +1934,7 @@ def _expr_vars(e, out: dict, props: dict | None = None) -> None:
         _expr_vars(e.operand, out, props)
     elif isinstance(e, A.IsPredicate):
         _expr_vars(e.operand, out, props)
+        _expr_vars(e.target, out, props)
     elif isinstance(e, A.Case):
         _expr_vars(e.operand, out, props)
         for c, r in e.whens:

@@ -528,9 +528,39 @@ class Parser:
             elif self.at_kw("IS"):
                 self.advance()
                 negated = self.try_kw("NOT")
-                if self.at_kw("NULL", "TRUE", "FALSE", "UNKNOWN"):
+                if self.at_kw("NULL", "TRUE", "FALSE", "UNKNOWN", "NORMALIZED",
+                              "DIRECTED"):
                     what = self.advance().value
                     left = IsPredicate(left, what, negated)
+                elif self.at_kw("SOURCE", "DESTINATION"):
+                    # topology predicates: n IS SOURCE OF e (parser.rs:3765-3790)
+                    what = self.advance().value
+                    target = None
+                    if self.try_kw("OF"):
+                        target = self._parse_additive()
+                    left = IsPredicate(left, what, negated, target=target)
+                elif self.at_kw("TYPED"):
+                    # IS TYPED type_spec (parser.rs:3792-3793)
+                    self.advance()
+                    tn = self.ident().upper()
+                    if self.at_op("("):  # STRING(30), FLOAT(53): params ignored
+                        while not self.at_op(")"):
+                            self.advance()
+                        self.advance()
+                    left = IsPredicate(left, "TYPED", negated, type_name=tn)
+                elif self.at_op(":"):
+                    # label predicate: n IS :L1|L2 or :L1:L2 (parser.rs:3797,
+                    # label_expression:3008-3040; '%' wildcard = any label)
+                    labels = []
+                    while self.at_op(":", "|"):
+                        self.advance()
+                        if self.at_op("%"):
+                            self.advance()
+                            labels.append("%")
+                        else:
+                            labels.append(self.ident())
+                    left = IsPredicate(left, "LABEL", negated,
+                                       labels=tuple(labels))
                 else:
                     raise ParseError(f"unsupported IS predicate at {self.cur.pos}")
             elif self.at_kw("IN"):

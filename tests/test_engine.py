@@ -558,3 +558,71 @@ def test_group_by_cube(simple_db):
     # 4 base cells + 2 par subtotals + 2 low subtotals + grand total
     assert len(got) == 9
     assert (None, None, 20) in got and (0, True, 5) in got
+
+
+# --- extended IS predicates (ast.rs:1599-1611; executor.rs:8781-8898) -------
+
+
+def test_is_source_destination_of(fraud_db):
+    # every matched (a)-[t]->(b) has a as source and b as destination
+    # fixture has 96 transactions (self-loops excluded at synthesis)
+    got = rows(fraud_db.query(
+        "MATCH (a:Account)-[t:Transaction]->(b:Account) "
+        "WHERE a IS SOURCE OF t AND b IS DESTINATION OF t "
+        "RETURN count(*) AS n"))
+    assert got == [(96,)]
+    # a IS DESTINATION OF t while bound as source <=> self-loop edges
+    got = rows(fraud_db.query(
+        "MATCH (a:Account)-[t:Transaction]->(b:Account) "
+        "WHERE a IS DESTINATION OF t RETURN count(*) AS n"))
+    assert got == [(0,)]
+
+
+def test_is_directed(fraud_db):
+    got = rows(fraud_db.query(
+        "MATCH (a:Account)-[t:Transaction]->(b:Account) "
+        "WHERE t IS DIRECTED AND a IS NOT DIRECTED RETURN count(*) AS n"))
+    assert got == [(96,)]
+
+
+def test_is_label_predicate(fraud_db):
+    got = rows(fraud_db.query(
+        "MATCH (x:Account|Merchant) WHERE x IS :Merchant "
+        "RETURN count(*) AS n"))
+    assert got == [(20,)]
+    got = rows(fraud_db.query(
+        "MATCH (x:Account|Merchant) WHERE x IS :% "
+        "RETURN count(*) AS n"))
+    assert got == [(70,)]
+    got = rows(fraud_db.query(
+        "MATCH (x:Account) WHERE x IS NOT :Merchant|Account "
+        "RETURN count(*) AS n"))
+    assert got == [(0,)]
+
+
+def test_is_typed_and_normalized(simple_db):
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.value IS TYPED INTEGER "
+        "AND n.name IS TYPED STRING AND NOT n.value IS TYPED BOOLEAN "
+        "RETURN count(*) AS n"))
+    assert got == [(20,)]
+    # all fixture names are NFC; numbers are never normalized
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.name IS NORMALIZED "
+        "AND n.value IS NOT NORMALIZED RETURN count(*) AS n"))
+    assert got == [(20,)]
+
+
+def test_is_normalized_non_nfc(spark):
+    from graphlite_spark import GraphLiteSpark, PropertyGraph
+
+    # NFD "é" (e + combining acute) is not NFC-normalized; NFC "é" is
+    nodes = spark.createDataFrame(
+        [(1, "café"), (2, "café")], "id: long, name: string")
+    g = PropertyGraph(spark, name="nfc")
+    g.add_nodes("Doc", nodes, "id")
+    db = GraphLiteSpark(spark)
+    db.register_graph(g)
+    got = rows(db.query(
+        "MATCH (d:Doc) WHERE d.name IS NORMALIZED RETURN d.id AS id"))
+    assert got == [(1,)]

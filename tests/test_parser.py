@@ -126,3 +126,31 @@ def test_parse_optional_and_params():
     q = parse("MATCH (a:L) OPTIONAL MATCH (a)-[:T]->(b:M) "
               "WHERE b.x IN $xs RETURN b.x AS x")
     assert q.clauses[1].optional
+
+
+def test_parse_extended_is_predicates():
+    q = parse(
+        "MATCH (a:L)-[e:T]->(b:M) WHERE a IS SOURCE OF e "
+        "AND b IS NOT DESTINATION OF e AND e IS DIRECTED "
+        "AND a.s IS NORMALIZED AND a.x IS TYPED INTEGER "
+        "AND a IS :L|M AND b IS NOT :X RETURN count(*) AS n")
+    w = q.clauses[0].where
+    found = []
+
+    def walk(e):
+        if isinstance(e, A.IsPredicate):
+            found.append(e)
+        if isinstance(e, A.Binary):
+            walk(e.left)
+            walk(e.right)
+
+    walk(w)
+    whats = sorted(p.what for p in found)
+    assert whats == ["DESTINATION", "DIRECTED", "LABEL", "LABEL",
+                     "NORMALIZED", "SOURCE", "TYPED"]
+    by = {p.what: p for p in found}
+    assert by["SOURCE"].target is not None
+    assert by["TYPED"].type_name == "INTEGER"
+    lbls = sorted(tuple(p.labels) for p in found if p.what == "LABEL")
+    assert lbls == [("L", "M"), ("X",)]
+    assert by["DESTINATION"].negated
