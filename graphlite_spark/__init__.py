@@ -65,6 +65,13 @@ class GraphLiteSpark:
         self._schema_default: str = "default"  # AT statement overrides
         self._default_tz: str = spark.conf.get("spark.sql.session.timeZone")
         self._closed: bool = False
+        # plan cache: query-text-keyed compiled DataFrames, the analogue
+        # of the reference's PlanCache (cache/plan_cache.rs:111) with
+        # write-triggered invalidation (cache/invalidation.rs). Safe
+        # because DataFrames are immutable plans; anything that can swap
+        # a graph's tables (DML/DDL through execute(), register_graph)
+        # clears it.
+        self._plan_cache: "dict[tuple, DataFrame]" = {}
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "GraphLiteSpark":
@@ -75,6 +82,7 @@ class GraphLiteSpark:
     # -- catalog ----------------------------------------------------------
     def register_graph(self, graph: PropertyGraph, name: str | None = None,
                        set_current: bool = True) -> None:
+        self.clear_plan_cache()
         path = f"/default/{name or graph.name}"
         if not self.catalog.has_graph(path):
             self.catalog.create_graph(path, graph)
@@ -111,13 +119,31 @@ class GraphLiteSpark:
         from .gql.parser import parse
 
         self._check_open()
+        params = {**self._session_params, **(params or {})}
+        try:
+            key = (gql, graph, self._current_graph, self._schema_default,
+                   tuple(sorted((k, repr(v)) for k, v in params.items())))
+        except Exception:
+            key = None
+        if key is not None and key in self._plan_cache:
+            return self._plan_cache[key]
         ast = parse(gql)
         # SELECT ... FROM <graph> overrides the session graph (ast.rs:42-80)
         graph = getattr(ast, "from_graph", None) or graph
         if graph is not None:
             graph = self._qualify(graph)
-        params = {**self._session_params, **(params or {})}
-        return QueryCompiler(self.graph(graph), params).compile(ast)
+        df = QueryCompiler(self.graph(graph), params).compile(ast)
+        if key is not None:
+            if len(self._plan_cache) >= 256:  # bounded, drop oldest
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[key] = df
+        return df
+
+    def clear_plan_cache(self) -> None:
+        """Drop cached compiled plans (gql.clear_cache analogue). Called
+        automatically on any write-path statement; call manually after
+        mutating a registered PropertyGraph directly."""
+        self._plan_cache.clear()
 
     def execute(self, gql: str, params: dict[str, Any] | None = None):
         """Execute any statement. Queries/CALL return a DataFrame; DML/DDL
@@ -138,6 +164,17 @@ class GraphLiteSpark:
             self._closed = True
             return {"status": "session closed", "rows_affected": 0}
         self._check_open()
+        # write-triggered plan-cache invalidation (cache/invalidation.rs):
+        # anything that can change graph tables or catalog bindings drops
+        # the cache; pure reads and session/param statements keep it (the
+        # cache key carries current graph, schema default, and params)
+        if not isinstance(
+            stmt,
+            (S.QueryStmt, S.ExplainStmt, S.CallStmt, S.DeclareStmt, S.AtStmt),
+        ):
+            # (SESSION SET stays out of the keep-list: TIME ZONE changes
+            # execution semantics the cache key doesn't carry)
+            self.clear_plan_cache()
         params = {**self._session_params, **(params or {})}
         if isinstance(stmt, S.IndexStmt):
             return self._index(stmt)

@@ -172,15 +172,25 @@ def range_join(
     by_cols = [by] if isinstance(by, str) else list(by or [])
     sec = F.lit(float(_interval_seconds(bucket)))
     b = "__rj_bucket"
+
+    from pyspark.sql.types import TimestampNTZType
+
+    def _epoch(df: DataFrame, name: str) -> Column:
+        # TIMESTAMP_NTZ rejects the direct double cast; go via TIMESTAMP
+        c = F.col(name)
+        if isinstance(df.schema[name].dataType, TimestampNTZType):
+            c = c.cast("timestamp")
+        return c.cast("double")
+
     pts = points.withColumn(
-        b, F.floor(F.col(point_ts).cast("double") / sec).cast("long")
+        b, F.floor(_epoch(points, point_ts) / sec).cast("long")
     )
     ivs = intervals.withColumn(
         b,
         F.explode(
             F.sequence(
-                F.floor(F.col(start).cast("double") / sec).cast("long"),
-                F.floor(F.col(end).cast("double") / sec).cast("long"),
+                F.floor(_epoch(intervals, start) / sec).cast("long"),
+                F.floor(_epoch(intervals, end) / sec).cast("long"),
             )
         ),
     )

@@ -77,3 +77,30 @@ def test_graph_union(db):
     ).collect()
     # Paris dedups by content-hash identity
     assert [r.name for r in got] == ["Lima", "Paris", "Rome"]
+
+
+def test_plan_cache_hit_and_invalidation(spark):
+    from graphlite_spark import GraphLiteSpark, PropertyGraph
+
+    nodes = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, name: string")
+    g = PropertyGraph(spark, name="pc")
+    g.add_nodes("N", nodes, "id")
+    db = GraphLiteSpark(spark)
+    db.register_graph(g)
+
+    q = "MATCH (n:N) RETURN count(*) AS n"
+    d1 = db.query(q)
+    d2 = db.query(q)
+    assert d1 is d2  # plan-cache hit returns the identical DataFrame
+    assert d1.collect()[0][0] == 2
+
+    # params are part of the key
+    p1 = db.query("MATCH (n:N) WHERE n.id = $i RETURN count(*) AS n", {"i": 1})
+    p2 = db.query("MATCH (n:N) WHERE n.id = $i RETURN count(*) AS n", {"i": 2})
+    assert p1 is not p2
+
+    # a write invalidates: the recompiled plan sees the new row
+    db.execute("INSERT (:N {id: 3, name: 'c'})")
+    d3 = db.query(q)
+    assert d3 is not d1
+    assert d3.collect()[0][0] == 3
