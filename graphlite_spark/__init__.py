@@ -505,10 +505,15 @@ class GraphLiteSpark:
             rows = [Row(key="current_graph", value=str(self._current_graph)),
                     Row(key="app", value=self.spark.sparkContext.appName)]
         elif name == "gql.cache_stats":
-            rows = [Row(key="cached_rdds", value=str(len(self.spark.sparkContext._jsc.getPersistentRDDs())))]
+            rows = [
+                Row(key="cached_plans", value=str(len(self._plan_cache))),
+                Row(key="cached_rdds", value=str(len(self.spark.sparkContext._jsc.getPersistentRDDs()))),
+            ]
         elif name == "gql.clear_cache":
             # system_procedures.rs:901-966: returns (status, cleared_caches)
             n = len(self.spark.sparkContext._jsc.getPersistentRDDs())
+            n += 1 if self._plan_cache else 0
+            self.clear_plan_cache()
             self.spark.catalog.clearCache()
             rows = [Row(status="ok", cleared_caches=n)]
         elif name == "gql.current_graph":
