@@ -191,8 +191,12 @@ class GraphLiteSpark:
             return QueryCompiler(self.graph(), params).compile(stmt.ast)
         if isinstance(stmt, S.InsertStmt):
             self._check_writable()
-            n = dml.execute_insert(self.graph(), stmt, params)
-            return {"status": "ok", "rows_affected": n}
+            warnings: list[str] = []
+            n = dml.execute_insert(self.graph(), stmt, params, warnings)
+            out = {"status": "ok", "rows_affected": n}
+            if warnings:
+                out["warnings"] = warnings
+            return out
         if isinstance(stmt, S.MatchMutateStmt):
             self._check_writable()
             n = dml.execute_mutate(self.graph(), stmt, params)

@@ -42,11 +42,15 @@ def _literal_props(props: dict[str, A.Expr], params: dict) -> dict[str, Any]:
 
 
 def execute_insert(graph: PropertyGraph, stmt: InsertStmt,
-                   params: dict | None = None) -> int:
+                   params: dict | None = None,
+                   warnings: list | None = None) -> int:
     """INSERT node/edge patterns. Entity ids are content hashes of
-    labels+props (insert.rs:87-135 recipe). Appends build new DataFrames
-    (unionByName with missing-column fill) — at scale these become Delta
-    appends; here copy-on-write frames."""
+    labels+props (insert.rs:87-135 recipe), which makes identical-content
+    inserts idempotent: a duplicate node/edge is skipped with a warning
+    and rows_affected 0, the behavior pinned by the reference's
+    duplicate_insert_test.rs / duplicate_edge_warning_test.rs. Appends
+    build new DataFrames (unionByName with missing-column fill) — at
+    scale these become Delta appends; here copy-on-write frames."""
     params = params or {}
     spark = graph.spark
     n_affected = 0
@@ -67,12 +71,18 @@ def execute_insert(graph: PropertyGraph, stmt: InsertStmt,
             node_ids.append(nid)
             node_labels.append(label)
             row = {"_id": nid, **props}
-            new_df = spark.createDataFrame([row])
             if label in graph.nodes:
                 old = graph.nodes[label]
-                graph.nodes[label] = _union_fill(old, new_df)
+                if old.filter(F.col("_id") == nid).limit(1).count() > 0:
+                    if warnings is not None:
+                        warnings.append(
+                            f"Duplicate node detected (content hash {nid}); "
+                            "insert skipped"
+                        )
+                    continue
+                graph.nodes[label] = _union_fill(old, spark.createDataFrame([row]))
             else:
-                graph.add_nodes(label, new_df, "_id")
+                graph.add_nodes(label, spark.createDataFrame([row]), "_id")
             n_affected += 1
         # then edges
         for i, el in enumerate(elems[1::2]):
@@ -86,17 +96,36 @@ def execute_insert(graph: PropertyGraph, stmt: InsertStmt,
                     etype, node_labels[src_i], node_labels[dst_i], props
                 )
             row = {"_src": node_ids[src_i], "_dst": node_ids[dst_i], **props}
-            new_df = spark.createDataFrame([row])
             if etype in graph.edges:
                 et = graph.edges[etype]
-                et.df = _union_fill(et.df, new_df)
+                if _row_exists(et.df, row):
+                    if warnings is not None:
+                        warnings.append(
+                            f"Duplicate edge detected "
+                            f"({node_ids[src_i]})-[:{etype}]->"
+                            f"({node_ids[dst_i]}); insert skipped"
+                        )
+                    continue
+                et.df = _union_fill(et.df, spark.createDataFrame([row]))
             else:
                 graph.add_edges(
-                    etype, new_df, "_src", "_dst",
+                    etype, spark.createDataFrame([row]), "_src", "_dst",
                     node_labels[src_i], node_labels[dst_i],
                 )
             n_affected += 1
     return n_affected
+
+
+def _row_exists(df, row: dict) -> bool:
+    """Content-equality probe: a stored row matches iff every column
+    null-safe-equals the inserted value (columns absent from the insert
+    must be NULL — extra non-null props make a different edge)."""
+    cond = None
+    for c in df.columns:
+        v = row.get(c)
+        cc = F.col(c).eqNullSafe(F.lit(v)) if v is not None else F.col(c).isNull()
+        cond = cc if cond is None else cond & cc
+    return df.filter(cond).limit(1).count() > 0
 
 
 def _union_fill(old, new):

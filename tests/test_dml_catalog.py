@@ -592,3 +592,31 @@ def test_call_bm25_search(spark):
     rows = d.execute("CALL gql.bm25_search('Doc', 'body', 'spark', 2)").collect()
     assert [r._id for r in rows] == [3, 1]  # tf=3 doc first
     assert rows[0].score > rows[1].score
+
+
+def test_duplicate_insert_dedup_and_warning(spark):
+    # duplicate_insert_test.rs / duplicate_edge_warning_test.rs: identical
+    # content re-INSERT is skipped (content-hash identity), warns, and
+    # reports rows_affected 0
+    from graphlite_spark import GraphLiteSpark
+
+    db = GraphLiteSpark(spark)
+    db.execute("CREATE GRAPH /default/dupwarn")
+    db.execute("SESSION SET GRAPH /default/dupwarn")
+    r1 = db.execute("INSERT (:Person {name: 'Charlie', age: 35})")
+    assert r1 == {"status": "ok", "rows_affected": 1}
+    r2 = db.execute("INSERT (:Person {name: 'Charlie', age: 35})")
+    assert r2["rows_affected"] == 0
+    assert "Duplicate node detected" in r2["warnings"][0]
+    assert db.query("MATCH (p:Person) RETURN count(*) AS n").collect()[0][0] == 1
+
+    e1 = db.execute("INSERT (:A {k: 1})-[:R {w: 2}]->(:A {k: 2})")
+    assert e1["rows_affected"] == 3
+    e2 = db.execute("INSERT (:A {k: 1})-[:R {w: 2}]->(:A {k: 2})")
+    assert e2["rows_affected"] == 0
+    assert any("Duplicate edge detected" in w for w in e2["warnings"])
+    # same endpoints, different props = a different edge
+    e3 = db.execute("INSERT (:A {k: 1})-[:R {w: 9}]->(:A {k: 2})")
+    assert e3["rows_affected"] == 1
+    assert db.query(
+        "MATCH (:A)-[r:R]->(:A) RETURN count(*) AS n").collect()[0][0] == 2
