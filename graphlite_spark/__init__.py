@@ -72,6 +72,8 @@ class GraphLiteSpark:
         # a graph's tables (DML/DDL through execute(), register_graph)
         # clears it.
         self._plan_cache: "dict[tuple, DataFrame]" = {}
+        self._plan_cache_hits = 0
+        self._plan_cache_misses = 0
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "GraphLiteSpark":
@@ -126,7 +128,9 @@ class GraphLiteSpark:
         except Exception:
             key = None
         if key is not None and key in self._plan_cache:
+            self._plan_cache_hits += 1
             return self._plan_cache[key]
+        self._plan_cache_misses += 1
         ast = parse(gql)
         # SELECT ... FROM <graph> overrides the session graph (ast.rs:42-80)
         graph = getattr(ast, "from_graph", None) or graph
@@ -478,9 +482,21 @@ class GraphLiteSpark:
                 out = out.select(*stmt.yield_cols)
             return out
         if name == "gql.list_schemas":
-            rows = [Row(schema=s) for s in self.catalog.list_schemas()]
+            # YIELD columns per system_procedures.rs:7 (schema_name,
+            # schema_path, created_at, modified_at)
+            rows = [
+                Row(schema_name=s, schema_path=f"/{s}",
+                    created_at=self.catalog.schema_meta(s)["created_at"],
+                    modified_at=self.catalog.schema_meta(s)["modified_at"])
+                for s in self.catalog.list_schemas()
+            ]
         elif name == "gql.list_graphs":
-            rows = [Row(graph=g) for g in self.catalog.list_graphs()]
+            rows = [
+                Row(graph_name=g.rstrip("/").split("/")[-1],
+                    schema_name=self.catalog.split_path(g)[0],
+                    graph_path=g)
+                for g in self.catalog.list_graphs()
+            ]
         elif name == "gql.list_functions":
             from .functions.registry import _SCALARS, AGGREGATES
 
@@ -494,24 +510,41 @@ class GraphLiteSpark:
             if not rows:
                 return self.spark.createDataFrame([], "name string, kind string, target string")
         elif name == "gql.list_graph_types":
-            rows = [Row(name=n) for n in sorted(self._graph_types)] or [Row(name=None)]
-            rows = [r for r in rows if r.name is not None]
+            rows = [Row(graph_type_name=n, schema_name="default")
+                    for n in sorted(self._graph_types)]
             if not rows:
-                return self.spark.createDataFrame([], "name string")
+                return self.spark.createDataFrame(
+                    [], "graph_type_name string, schema_name string")
         elif name == "gql.list_users":
-            rows = [Row(user=u, roles=",".join(d["roles"])) for u, d in sorted(self._users.items())]
+            rows = [Row(user_name=u, roles=",".join(d["roles"]))
+                    for u, d in sorted(self._users.items())]
         elif name == "gql.list_roles":
-            rows = [Row(role=r, grants=",".join(d["grants"])) for r, d in sorted(self._roles.items())]
+            rows = [Row(role_name=r, grants=",".join(d["grants"]))
+                    for r, d in sorted(self._roles.items())]
         elif name == "gql.authenticate_user":
             user = stmt.args[0].value if stmt.args else "default"
-            rows = [Row(user=user, authenticated=user in self._users)]
+            rows = [Row(user_name=user, authenticated=user in self._users)]
         elif name == "gql.show_session":
-            rows = [Row(key="current_graph", value=str(self._current_graph)),
-                    Row(key="app", value=self.spark.sparkContext.appName)]
+            # YIELD session_id, user_name, schema_name, graph_name
+            # (system_procedures.rs:13)
+            rows = [Row(
+                session_id=self.spark.sparkContext.applicationId,
+                user_name="default",
+                schema_name=self._schema_default,
+                graph_name=str(self._current_graph),
+            )]
         elif name == "gql.cache_stats":
+            # YIELD cache_type, entries, hit_rate, memory_bytes
+            # (system_procedures.rs:14); hit_rate tracked for the plan
+            # cache, RDD cache entries from the Spark context
+            total = self._plan_cache_hits + self._plan_cache_misses
             rows = [
-                Row(key="cached_plans", value=str(len(self._plan_cache))),
-                Row(key="cached_rdds", value=str(len(self.spark.sparkContext._jsc.getPersistentRDDs()))),
+                Row(cache_type="plan_cache", entries=len(self._plan_cache),
+                    hit_rate=(self._plan_cache_hits / total) if total else 0.0,
+                    memory_bytes=0),
+                Row(cache_type="rdd_cache",
+                    entries=len(self.spark.sparkContext._jsc.getPersistentRDDs()),
+                    hit_rate=0.0, memory_bytes=0),
             ]
         elif name == "gql.clear_cache":
             # system_procedures.rs:901-966: returns (status, cleared_caches)

@@ -44,6 +44,7 @@ class GraphCatalog:
         self.spark = spark
         self.root = root
         self.schemas: dict[str, dict[str, PropertyGraph]] = {"default": {}}
+        self._schema_meta: dict[str, dict] = {"default": self._now_meta()}
         if root:
             os.makedirs(root, exist_ok=True)
             self._load_manifest()
@@ -67,7 +68,28 @@ class GraphCatalog:
                 return
             raise CatalogError(f"schema {name!r} exists")
         self.schemas[name] = {}
+        self._schema_meta[name] = self._now_meta()
         self._save_manifest()
+
+    @staticmethod
+    def _now_meta() -> dict:
+        import datetime
+
+        ts = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        return {"created_at": ts, "modified_at": ts}
+
+    def schema_meta(self, name: str) -> dict:
+        """created_at/modified_at for gql.list_schemas YIELD columns
+        (system_procedures.rs:7); modified_at bumps on graph DDL."""
+        return self._schema_meta.setdefault(name.strip("/"), self._now_meta())
+
+    def _touch_schema(self, name: str) -> None:
+        import datetime
+
+        meta = self.schema_meta(name)
+        meta["modified_at"] = datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat()
 
     def drop_schema(self, name: str, if_exists: bool = False) -> None:
         name = name.strip("/")
@@ -93,6 +115,7 @@ class GraphCatalog:
             raise CatalogError(f"graph {path!r} exists")
         g = graph or PropertyGraph(self.spark, name=gname)
         self.schemas[schema][gname] = g
+        self._touch_schema(schema)
         self._save_manifest()
         return g
 
@@ -103,6 +126,7 @@ class GraphCatalog:
                 return
             raise CatalogError(f"no graph {path!r}")
         del self.schemas[schema][gname]
+        self._touch_schema(schema)
         self._save_manifest()
 
     def get_graph(self, path: str) -> PropertyGraph:

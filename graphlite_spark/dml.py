@@ -27,8 +27,15 @@ class DmlError(ValueError):
     pass
 
 
-def _literal_props(props: dict[str, A.Expr], params: dict) -> dict[str, Any]:
+def _literal_props(props: dict[str, A.Expr], params: dict,
+                   spark=None) -> dict[str, Any]:
+    """Evaluate INSERT/SET property values: literals and parameters
+    directly; any other *constant* expression (function calls, arithmetic
+    — function_expression_insert_test.rs allows e.g. upper('x'),
+    abs(-5)) through the expression compiler over a single row. Variable
+    references are rejected (nothing is bound in INSERT patterns)."""
     out = {}
+    pending: dict[str, A.Expr] = {}
     for k, v in props.items():
         if isinstance(v, A.Literal):
             out[k] = v.value
@@ -36,8 +43,25 @@ def _literal_props(props: dict[str, A.Expr], params: dict) -> dict[str, Any]:
             out[k] = params.get(v.name)
         elif isinstance(v, A.Unary) and v.op == "-" and isinstance(v.operand, A.Literal):
             out[k] = -v.operand.value
+        elif spark is not None:
+            pending[k] = v
         else:
             raise DmlError("INSERT property values must be literals or parameters")
+    if pending:
+        from .gql.compiler import Frame
+
+        frame = Frame(spark.range(1))
+        cols = []
+        for k, v in pending.items():
+            try:
+                cols.append(ExprCompiler(frame, params).compile(v).alias(k))
+            except CompileError as e:
+                raise DmlError(
+                    f"INSERT property {k!r} must be a constant expression: {e}"
+                ) from e
+        row = frame.df.select(*cols).collect()[0]
+        for k in pending:
+            out[k] = row[k]
     return out
 
 
@@ -64,16 +88,20 @@ def execute_insert(graph: PropertyGraph, stmt: InsertStmt,
             if not el.labels:
                 raise DmlError("INSERT node needs a label")
             label = el.labels[0]
-            props = _literal_props(el.props, params)
+            props = _literal_props(el.props, params, graph.spark)
             if gt is not None:
                 gt.validate_node(el.labels, props)
             nid = content_hash_id(el.labels, props)
+            if label in graph.nodes:
+                nid = _fit_id(graph.nodes[label], nid)
             node_ids.append(nid)
             node_labels.append(label)
             row = {"_id": nid, **props}
             if label in graph.nodes:
                 old = graph.nodes[label]
-                if old.filter(F.col("_id") == nid).limit(1).count() > 0:
+                if old.filter(
+                    F.col("_id") == F.lit(nid)
+                ).limit(1).count() > 0:
                     if warnings is not None:
                         warnings.append(
                             f"Duplicate node detected (content hash {nid}); "
@@ -89,7 +117,7 @@ def execute_insert(graph: PropertyGraph, stmt: InsertStmt,
             etype = el.types[0] if el.types else None
             if etype is None:
                 raise DmlError("INSERT edge needs a type")
-            props = _literal_props(el.props, params)
+            props = _literal_props(el.props, params, graph.spark)
             src_i, dst_i = (i, i + 1) if el.direction != "in" else (i + 1, i)
             if gt is not None:
                 gt.validate_edge(
@@ -116,14 +144,43 @@ def execute_insert(graph: PropertyGraph, stmt: InsertStmt,
     return n_affected
 
 
+def _fit_id(existing_df, nid: str):
+    """Fit a content-hash id to the target table's _id type: tables
+    registered with a natural numeric key (graphs built from parquet
+    facts) get the hash folded into a positive long (first 60 bits) so
+    the id column stays one type — appending a string hash to a long
+    column is a latent ANSI cast failure at first execution."""
+    if dict(existing_df.dtypes).get("_id") == "string":
+        return nid
+    return int(nid[:15], 16)
+
+
 def _row_exists(df, row: dict) -> bool:
     """Content-equality probe: a stored row matches iff every column
     null-safe-equals the inserted value (columns absent from the insert
-    must be NULL — extra non-null props make a different edge)."""
+    must be NULL — extra non-null props make a different edge). A value
+    whose Python type can't live in the column's Spark type (string hash
+    vs long endpoint column) means no duplicate is possible — comparing
+    would be an ANSI cast error, not a match."""
+    from pyspark.sql.types import BooleanType, NumericType, StringType
+
+    types = {f.name: f.dataType for f in df.schema.fields}
     cond = None
     for c in df.columns:
         v = row.get(c)
-        cc = F.col(c).eqNullSafe(F.lit(v)) if v is not None else F.col(c).isNull()
+        if v is None:
+            cc = F.col(c).isNull()
+        else:
+            dt = types[c]
+            ok = (
+                isinstance(dt, StringType) if isinstance(v, str)
+                else isinstance(dt, BooleanType) if isinstance(v, bool)
+                else isinstance(dt, NumericType) if isinstance(v, (int, float))
+                else True
+            )
+            if not ok:
+                return False
+            cc = F.col(c).eqNullSafe(F.lit(v))
         cond = cc if cond is None else cond & cc
     return df.filter(cond).limit(1).count() > 0
 
@@ -188,11 +245,13 @@ def _apply_match_insert(graph: PropertyGraph, frame, patterns, params) -> int:
             else:
                 if not el.labels:
                     raise DmlError("INSERT node needs a label or bound variable")
-                props = _literal_props(el.props, params)
+                props = _literal_props(el.props, params, graph.spark)
                 nid = content_hash_id(el.labels, props)
+                label = el.labels[0]
+                if label in graph.nodes:
+                    nid = _fit_id(graph.nodes[label], nid)
                 row = {"_id": nid, **props}
                 new_df = graph.spark.createDataFrame([row])
-                label = el.labels[0]
                 if label in graph.nodes:
                     graph.nodes[label] = _union_fill(graph.nodes[label], new_df)
                 else:
@@ -204,7 +263,7 @@ def _apply_match_insert(graph: PropertyGraph, frame, patterns, params) -> int:
             if not el.types:
                 raise DmlError("INSERT edge needs a type")
             etype = el.types[0]
-            props = _literal_props(el.props, params)
+            props = _literal_props(el.props, params, graph.spark)
             src_i, dst_i = (i, i + 1) if el.direction != "in" else (i + 1, i)
             new_edges = frame.df.select(
                 id_exprs[src_i].alias(SRC),

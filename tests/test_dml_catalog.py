@@ -104,14 +104,14 @@ def test_schema_graph_ddl(spark):
 
 
 def test_call_procedures(db):
-    schemas = [r.schema for r in db.execute("CALL gql.list_schemas()").collect()]
+    schemas = [r.schema_name for r in db.execute("CALL gql.list_schemas()").collect()]
     assert "default" in schemas
-    graphs = [r.graph for r in db.execute("CALL gql.list_graphs()").collect()]
+    graphs = [r.graph_path for r in db.execute("CALL gql.list_graphs()").collect()]
     assert "/default/g" in graphs
     fns = db.execute("CALL gql.list_functions() YIELD name WHERE name = 'UPPER'")
     assert fns.count() == 1
-    sess = {r.key: r.value for r in db.execute("CALL gql.show_session()").collect()}
-    assert sess["current_graph"] == "/default/g"
+    sess = db.execute("CALL gql.show_session()").collect()[0]
+    assert sess.graph_name == "/default/g"
 
 
 def test_call_catalog_and_model_procedures(db):
@@ -278,7 +278,7 @@ def test_graph_type_enforcement(spark):
     db.execute(
         "MATCH (a:Person), (b:Person) INSERT (a)-[:KNOWS {since: 1840}]->(b)"
     )
-    types = [r.name for r in db.execute("CALL gql.list_graph_types()").collect()]
+    types = [r.graph_type_name for r in db.execute("CALL gql.list_graph_types()").collect()]
     assert types == ["social_t"]
     db.execute("DROP GRAPH TYPE social_t")
 
@@ -287,9 +287,9 @@ def test_rbac_procedures(spark):
     from graphlite_spark import GraphLiteSpark
 
     db = GraphLiteSpark(spark)
-    users = {r.user for r in db.execute("CALL gql.list_users()").collect()}
+    users = {r.user_name for r in db.execute("CALL gql.list_users()").collect()}
     assert "admin" in users
-    roles = {r.role for r in db.execute("CALL gql.list_roles()").collect()}
+    roles = {r.role_name for r in db.execute("CALL gql.list_roles()").collect()}
     assert "admin" in roles
     auth = db.execute("CALL gql.authenticate_user('admin')").collect()[0]
     assert auth.authenticated is True
@@ -501,12 +501,12 @@ def test_user_role_grant_revoke(spark):
     d.execute("CREATE ROLE analyst")
     d.execute("GRANT SELECT ON GRAPH /default/g TO analyst")
     d.execute("GRANT analyst TO ada")
-    users = {r.user: r.roles for r in d.execute("CALL gql.list_users()").collect()}
+    users = {r.user_name: r.roles for r in d.execute("CALL gql.list_users()").collect()}
     assert users["ada"] == "analyst"
-    roles = {r.role: r.grants for r in d.execute("CALL gql.list_roles()").collect()}
+    roles = {r.role_name: r.grants for r in d.execute("CALL gql.list_roles()").collect()}
     assert roles["analyst"] == "SELECT ON /default/g"
     d.execute("REVOKE analyst FROM ada")
-    users = {r.user: r.roles for r in d.execute("CALL gql.list_users()").collect()}
+    users = {r.user_name: r.roles for r in d.execute("CALL gql.list_users()").collect()}
     assert users["ada"] == ""
     with pytest.raises(KeyError):
         d.execute("CREATE ROLE analyst")
