@@ -146,6 +146,13 @@ class ExprCompiler:
     def _c_Prop(self, e: A.Prop) -> Column:
         b = self.frame.bindings.get(e.var)
         if b is None:
+            # `p.name` after a projection that emitted an unaliased
+            # dotted column of that name (reference rows are keyed by
+            # the formatted expression text)
+            dotted = f"{e.var}.{e.key}"
+            db_ = self.frame.bindings.get(dotted)
+            if db_ is not None and db_.kind == "value":
+                return F.col(f"`{dotted}`")
             raise CompileError(f"unbound variable {e.var!r}")
         if b.kind == "value":
             # struct field access on a value column
@@ -467,10 +474,12 @@ def has_aggregate(e: A.Expr) -> bool:
 
 
 def _expr_name(e: A.Expr) -> str:
-    """Default output name for an unaliased item (GraphLite formats the
-    expression text; we keep it deterministic and SQL-safe)."""
+    """Default output name for an unaliased item. Property access keeps
+    the reference's dotted form — `RETURN p.name` yields a column named
+    `p.name` (json_format_tests.rs pins result.variables[0] ==
+    "p.name"); _c_Prop resolves later references to such columns."""
     if isinstance(e, A.Prop):
-        return e.key
+        return f"{e.var}.{e.key}"
     if isinstance(e, A.Var):
         return e.name
     if isinstance(e, A.CountStar):
@@ -1641,7 +1650,8 @@ class QueryCompiler:
                 if b.kind in ("node", "edge"):
                     sel.extend(passthrough_entity(var, b, var))
                 else:
-                    sel.append(F.col(var))
+                    # dotted value names need backtick quoting
+                    sel.append(F.col(f"`{var}`" if "." in var else var))
                     new_bindings[var] = b
 
         ec = ExprCompiler(frame, self.params, allow_agg=agg)
@@ -1769,7 +1779,7 @@ class QueryCompiler:
                 if isinstance(it.expr, A.Var) and it.expr.name == "*":
                     for var, b in frame.bindings.items():
                         if b.kind == "value":
-                            sel.append(F.col(var))
+                            sel.append(F.col(f"`{var}`" if "." in var else var))
                             names.append(var)
                         else:
                             sel.append(ExprCompiler(frame, self.params).compile(A.Var(var)).alias(var))
@@ -1809,7 +1819,10 @@ class QueryCompiler:
         for s in order_by:
             key = repr(s.expr)
             if key in alias_map:
-                c = F.col(alias_map[key])
+                name = alias_map[key]
+                # dotted output names (`p.age`) must be backtick-quoted
+                # or col() reads them as struct access
+                c = F.col(f"`{name}`" if "." in name else name)
             else:
                 try:
                     c = ec_post.compile(s.expr)

@@ -626,3 +626,17 @@ def test_is_normalized_non_nfc(spark):
     got = rows(db.query(
         "MATCH (d:Doc) WHERE d.name IS NORMALIZED RETURN d.id AS id"))
     assert got == [(1,)]
+
+
+def test_unaliased_projection_dotted_names(simple_db):
+    # json_format_tests.rs: result.variables are the formatted expression
+    # texts — RETURN p.name yields column "p.name"
+    df = simple_db.query(
+        "MATCH (n:TestNode) RETURN n.name, n.value ORDER BY n.value DESC LIMIT 2")
+    assert df.columns == ["n.name", "n.value"]
+    assert [tuple(r) for r in df.collect()] == [("node19", 190), ("node18", 180)]
+    # dotted outputs stay referenceable through WITH pipelines
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) WITH n.value WHERE n.value >= 150 "
+        "RETURN count(*) AS c"))
+    assert got == [(5,)]
