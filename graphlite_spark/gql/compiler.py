@@ -429,6 +429,41 @@ class ExprCompiler:
                 if name == "PROPERTIES":
                     return self._c_Var(e.args[0])
         args = [self.compile(a) for a in e.args]
+        if name == "TYPE" and args:
+            # TYPE over a plain value returns the value-type name
+            # (graph_functions.rs:208-224: STRING/NUMBER/BOOLEAN/LIST/
+            # VECTOR/DATETIME/TIMEWINDOW; runtime NULL -> "NULL"). For
+            # entity vars the branch above returned the label instead —
+            # the useful Cypher-style semantics; the reference returns
+            # the constant "NODE"/"EDGE" there (documented divergence).
+            from pyspark.sql.types import (
+                ArrayType, BooleanType, DateType, FloatType, NullType,
+                NumericType, StringType, StructType, TimestampNTZType,
+                TimestampType,
+            )
+
+            try:
+                dt = self.frame.df.select(args[0].alias("_t")).schema[0].dataType
+            except Exception:
+                dt = None
+            if isinstance(dt, NullType):
+                return F.lit("NULL")
+            if isinstance(dt, StringType):
+                tn = "STRING"
+            elif isinstance(dt, BooleanType):
+                tn = "BOOLEAN"
+            elif isinstance(dt, NumericType):
+                tn = "NUMBER"
+            elif isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
+                tn = "DATETIME"
+            elif isinstance(dt, ArrayType):
+                tn = "VECTOR" if isinstance(dt.elementType, FloatType) else "LIST"
+            elif isinstance(dt, StructType):
+                names = {f.name for f in dt.fields}
+                tn = "TIMEWINDOW" if names == {"start", "end"} else "RECORD"
+            else:
+                tn = "UNKNOWN"
+            return F.when(args[0].isNull(), F.lit("NULL")).otherwise(F.lit(tn))
         if name == "SIZE" and args:
             # GraphLite SIZE is polymorphic over lists and strings
             # (graph_functions.rs:253); resolve the argument type against

@@ -103,3 +103,19 @@ def test_predicate_parity(engine, pred):
     ).collect()[0].n
     want = con.execute(f"SELECT count(*) FROM customer WHERE {sql_pred}").fetchone()[0]
     assert got == want, f"GQL [{gql_pred}] -> {got}, SQL [{sql_pred}] -> {want}"
+
+
+def test_type_function_on_values(simple_db):
+    # graph_functions.rs:208-224 value-type names; runtime NULL -> "NULL"
+    got = [tuple(r) for r in simple_db.query(
+        "MATCH (n:TestNode {id: 1}) RETURN TYPE(n.name) AS t_str, "
+        "TYPE(n.value) AS t_num, TYPE(n.value > 1) AS t_bool, "
+        "TYPE(n.nope) AS t_null, TYPE([1, 2]) AS t_list").collect()]
+    assert got == [("STRING", "NUMBER", "BOOLEAN", "NULL", "LIST")]
+
+
+def test_type_function_through_with(simple_db):
+    got = [tuple(r) for r in simple_db.query(
+        "MATCH (n:TestNode {id: 1}) WITH n.name AS s, n.value AS v "
+        "RETURN TYPE(s) AS ts, TYPE(v) AS tv").collect()]
+    assert got == [("STRING", "NUMBER")]
