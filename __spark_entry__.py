@@ -850,6 +850,26 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_table(spark, sf_dir, "documents"))
 
 
+def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bin packing per language: whitespace token counts -> 512-
+    token bins, summarized per (lang, bin)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import pack_documents, token_count
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = token_count(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    packed = pack_documents(toks, token_col="n_tokens", capacity=512,
+                            order_col="doc_id", by="lang")
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+        .select("lang", F.col("bin").cast("long").alias("bin"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("bin_tokens").cast("long").alias("bin_tokens"))
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphlite_spark.operators.text import lang_id
 
@@ -1334,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "simhash_pairs": _q_simhash,
             "token_count": _q_token_count,
             "quality_score": _q_quality,
+            "pack_documents_bins": _q_pack_documents,
             "lang_id": _q_lang_id,
             "doc_fingerprint": _q_fingerprint,
             "cosine_topk": _q_cosine_topk,
@@ -2193,6 +2214,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "is_source_destination": """
             SELECT count(*) AS n FROM orders
+        """,
+        "pack_documents_bins": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       END AS n_tokens
+                FROM documents
+            ), packed AS (
+                SELECT lang,
+                       CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                                   - n_tokens) / 512.0) AS BIGINT) AS bin,
+                       n_tokens
+                FROM toks
+            )
+            SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+            FROM packed GROUP BY lang, bin
         """,
         "is_label_alternation": """
             SELECT 'Supplier' AS label, count(*) AS n FROM supplier

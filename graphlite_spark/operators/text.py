@@ -204,3 +204,40 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.sha2(norm, 256).alias("content_hash"),
         F.xxhash64(wordset).alias("shingle_hash"),
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    capacity: int = 2048,
+    order_col: str = "doc_id",
+    by: str | list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-capacity token bins — the packing step a
+    training-data pipeline runs before batching sequences.
+
+    Offset-based packing: documents are laid out in a deterministic
+    order (``order_col``) and a document starting at running offset ``o``
+    lands in bin ``floor(o / capacity)``. One window cumsum, one pass; a
+    document may straddle a boundary (its bin is where it STARTS), the
+    standard streaming-packing approximation that keeps the operator a
+    single shuffle instead of an inherently sequential best-fit loop.
+
+    Scale: pass ``by`` (e.g. a shard or language column) so the sort
+    window partitions — an unpartitioned window is a single-reducer
+    total order, fine for one shard, wrong for 100 TB. Bin ids are then
+    per-group. Returns (id, *by, bin, bin_offset, n_tokens).
+    """
+    from pyspark.sql import Window
+
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    w = Window.partitionBy(*by_cols).orderBy(order_col)
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in by_cols],
+        (F.floor(start / F.lit(capacity))).cast("long").alias("bin"),
+        (start % F.lit(capacity)).alias("bin_offset"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )

@@ -273,3 +273,20 @@ def test_bm25_search(docs):
     assert {r.doc_id: r.n_terms_hit for r in rows} == {4: 1, 1: 1, 2: 1}
     with pytest.raises(ValueError, match="non-empty"):
         bm25_search(docs, [])
+
+
+def test_pack_documents_bins(spark):
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, 300) for i in range(10)], "doc_id: long, n_tokens: long")
+    out = pack_documents(df, capacity=1000).orderBy("doc_id").collect()
+    # offsets 0,300,...,2700 -> bins 0,0,0,0(900? no): floor(offset/1000)
+    assert [r.bin for r in out] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert out[4].bin_offset == 200  # doc 4 starts at 1200 -> offset 200
+    # per-group packing restarts offsets
+    df2 = df.withColumn("g", (F.col("doc_id") % 2))
+    out2 = pack_documents(df2, capacity=1000, by="g").collect()
+    assert {(r.g, r.bin) for r in out2} == {(0, 0), (0, 1), (1, 0), (1, 1)}
