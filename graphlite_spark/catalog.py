@@ -299,7 +299,12 @@ class GraphCatalog:
     def _save_manifest(self) -> None:
         if not self.root:
             return
-        data = {s: sorted(gs) for s, gs in self.schemas.items()}
+        # schema created_at/modified_at ride along so gql.list_schemas
+        # timestamps survive a catalog reload instead of resetting to now
+        data = {
+            "schemas": {s: sorted(gs) for s, gs in self.schemas.items()},
+            "schema_meta": self._schema_meta,
+        }
         with open(self._manifest_path(), "w") as f:
             json.dump(data, f)
 
@@ -309,6 +314,10 @@ class GraphCatalog:
             return
         with open(p) as f:
             data = json.load(f)
+        if "schemas" in data and isinstance(data.get("schemas"), dict):
+            for name, meta in (data.get("schema_meta") or {}).items():
+                self._schema_meta[name] = meta
+            data = data["schemas"]
         for schema, graphs in data.items():
             self.schemas.setdefault(schema, {})
             for gname in graphs:

@@ -164,6 +164,12 @@ def _row_exists(df, row: dict) -> bool:
     would be an ANSI cast error, not a match."""
     from pyspark.sql.types import BooleanType, NumericType, StringType
 
+    # An insert carrying a property column the table has never seen can't
+    # equal any stored row — its content hash differs even if every shared
+    # column matches (value.rs content identity covers all properties).
+    if set(row) - set(df.columns):
+        return False
+
     types = {f.name: f.dataType for f in df.schema.fields}
     cond = None
     for c in df.columns:

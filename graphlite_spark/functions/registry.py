@@ -82,6 +82,24 @@ def _lit_int(node):
     raise ValueError("expected integer literal argument")
 
 
+def _lit_str(node):
+    from ..gql import ast as A
+
+    if isinstance(node, A.Literal) and isinstance(node.value, str):
+        return node.value
+    raise ValueError("expected string literal argument")
+
+
+def _list_join(a, raw):
+    # Beyond-reference convenience (the reference has no list->string
+    # builtin): LIST_JOIN(list, sep) casts each element to string and
+    # joins. Delimiter must be a string literal (array_join is a JVM
+    # builtin that takes a Python-side delimiter). Primary use: project
+    # path variables in a canonicalizable scalar form.
+    sep = _lit_str(raw[1]) if raw is not None and len(raw) > 1 else ","
+    return F.array_join(F.transform(a[0], lambda x: x.cast("string")), sep)
+
+
 def _extract(a, raw):
     from ..gql import ast as A
 
@@ -195,6 +213,7 @@ _SCALARS: dict[str, Callable] = {
     "LIST_LENGTH": lambda a, r: F.size(a[0]).cast("long"),
     "LIST_REVERSE": lambda a, r: F.reverse(a[0]),
     "LIST_SORT": lambda a, r: F.array_sort(a[0]),
+    "LIST_JOIN": _list_join,
     "RANGE": lambda a, r: F.sequence(a[0].cast("long"), a[1].cast("long"), a[2].cast("long") if len(a) > 2 else F.lit(1).cast("long")),
     "SIZE": lambda a, r: F.when(a[0].isNull(), F.lit(None)).otherwise(
         F.coalesce(F.size(a[0]).cast("long"), F.length(a[0].cast("string")).cast("long"))

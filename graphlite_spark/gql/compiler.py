@@ -143,6 +143,20 @@ class ExprCompiler:
             raise CompileError(f"{var!r} is not a bound entity")
         return F.col(_ncol(var, ID))
 
+    def _entity_notnull(self, var: str) -> Column:
+        """True when the bound entity is present on this row (false on an
+        OPTIONAL MATCH miss). Nodes probe _id; edges probe _src — edge
+        bindings don't always materialize an _id column."""
+        b = self.frame.bindings.get(var)
+        if b is None or b.kind not in ("node", "edge"):
+            raise CompileError(f"{var!r} is not a bound entity")
+        if b.kind == "node":
+            return F.col(_ncol(var, ID)).isNotNull()
+        for probe in (SRC, DST, ID):
+            if probe in b.props:
+                return F.col(_ncol(var, probe)).isNotNull()
+        return F.lit(True)
+
     def _c_Prop(self, e: A.Prop) -> Column:
         b = self.frame.bindings.get(e.var)
         if b is None:
@@ -281,11 +295,19 @@ class ExprCompiler:
         elif what == "DIRECTED":
             # every stored edge is directed (storage/types.rs:128-134);
             # reference stubs this to false — we answer from the model.
+            # Null subjects (OPTIONAL MATCH miss) are not directed: the
+            # reference evaluates the base result false for Value::Null
+            # (exec/executor.rs:8808-8811), negation flips it after.
             b = self._var_binding(e.operand)
-            out = F.lit(b is not None and b.kind == "edge")
+            if b is not None and b.kind == "edge":
+                out = self._entity_notnull(e.operand.name)
+            else:
+                out = F.lit(False)
         elif what in ("SOURCE", "DESTINATION"):
             # n IS SOURCE OF e  <=>  id(n) == e._src  (real topology; the
-            # reference returns false pending "full topology support")
+            # reference returns false pending "full topology support").
+            # coalesce: a null endpoint (OPTIONAL miss) is base-false, not
+            # UNKNOWN, so NOT still yields true per the reference.
             nb = self._var_binding(e.operand)
             tb = self._var_binding(e.target) if e.target is not None else None
             if (
@@ -295,8 +317,10 @@ class ExprCompiler:
                 out = F.lit(False)
             else:
                 end = SRC if what == "SOURCE" else DST
-                out = self.entity_id(e.operand.name) == F.col(
-                    _ncol(e.target.name, end)
+                out = F.coalesce(
+                    self.entity_id(e.operand.name)
+                    == F.col(_ncol(e.target.name, end)),
+                    F.lit(False),
                 )
         elif what == "TYPED":
             # check_type_match (executor.rs:8884-8898): runtime numbers
@@ -326,19 +350,29 @@ class ExprCompiler:
             # labeled entity; our storage matches per-row via the binding's
             # label (single-label row instances, see graph.py docstring) or
             # the _label column a label-free/alternation scan carries.
+            # Divergence vs reference: the reference's Label arm accepts
+            # only nodes (as_node(), executor.rs:8833); we also answer
+            # `edge IS :Type` from the edge binding (SURVEY §8). Null
+            # subjects are base-false (reference returns false for
+            # Value::Null; the trailing negation then flips it).
             b = self._var_binding(e.operand)
             wanted = [l for l in (e.labels or ()) if l != "%"]
             wild = "%" in (e.labels or ())
             if b is None or b.kind not in ("node", "edge"):
                 out = F.lit(False)
-            elif wild:
-                out = F.lit(True)
-            elif b.label is not None:
-                out = F.lit(b.label in wanted)
-            elif "_label" in b.props:
-                out = F.col(_ncol(e.operand.name, "_label")).isin(wanted)
             else:
-                out = F.lit(False)
+                nn = self._entity_notnull(e.operand.name)
+                if wild:
+                    out = nn
+                elif b.label is not None:
+                    out = nn & F.lit(b.label in wanted)
+                elif "_label" in b.props:
+                    out = nn & F.coalesce(
+                        F.col(_ncol(e.operand.name, "_label")).isin(wanted),
+                        F.lit(False),
+                    )
+                else:
+                    out = F.lit(False)
         else:
             raise CompileError(f"IS {e.what} unsupported")
         return ~out if e.negated else out

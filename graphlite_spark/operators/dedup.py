@@ -97,14 +97,16 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.6, words: bool = True,
-                        prefix_filter: bool = False) -> DataFrame:
+                        prefix_filter: bool = True) -> DataFrame:
     """Exact Jaccard-similar pairs (id_a < id_b, jaccard >= threshold).
 
     Two exact strategies, same results:
-    - prefix_filter=False (default): inverted-index self-join + count
+    - prefix_filter=False: inverted-index self-join + count
       grouping. Fewer stages; wins while sum-over-shingles of C(df,2)
-      stays modest.
-    - prefix_filter=True: AllPairs/PPJoin prefix filtering — J(A,B) >= t
+      stays modest — but that candidate join is unbounded on hot
+      shingles, so it is NOT the default.
+    - prefix_filter=True (default — the 100 TB strategy): AllPairs/PPJoin
+      prefix filtering — J(A,B) >= t
       implies sharing a shingle within each doc's first
       |d| - ceil(t*|d|) + 1 shingles under a rarest-first global
       ordering, so only prefixes are indexed and candidates are verified
@@ -142,25 +144,51 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         )
     from pyspark.sql import Window
 
-    sh = base.select(F.col(id_col), F.explode("_shingles").alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    ranked = sh.join(dfreq, "shingle").withColumn(
+    # Every shuffle stage (document frequency, ranking, prefix join,
+    # verification sets) runs on xxhash64(shingle) — 8-byte keys instead
+    # of n-word strings, which at corpus scale is the difference between
+    # shuffling hashes and shuffling the corpus. Verification intersects
+    # hash sets; a 64-bit collision could overstate one intersection by
+    # 1 (vanishingly unlikely, and the same trade minhash_lsh_pairs
+    # makes for its signatures).
+    hbase = base.select(
+        F.col(id_col),
+        F.transform("_shingles", lambda s: F.xxhash64(s)).alias("_hs"),
+        F.size("_shingles").alias("sz"),
+    ).localCheckpoint(eager=False)
+    sh = hbase.select(F.col(id_col), "sz", F.explode("_hs").alias("_sh"))
+    # document frequency via an unordered count window: one shuffle of
+    # the postings by shingle (a groupBy + join-back would shuffle them
+    # twice). Rarest-first global order (df, hash) then ranks per doc:
+    # hot stop-shingles sort last and fall out of every prefix — the
+    # index skew killer.
+    ranked = sh.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("_sh"))
+    ).withColumn(
         "_rn",
-        F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "shingle")),
-    ).join(base.select(F.col(id_col), F.size("_shingles").alias("sz")), id_col)
+        F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "_sh")),
+    )
     prefix = ranked.filter(
         F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select(id_col, "shingle")
+    ).select(id_col, "sz", "_sh")
     cand = (
-        prefix.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        prefix.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "_sh")
+        .join(
+            prefix.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "_sh"),
+            "_sh",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|;
+            # prunes candidates before the dedup + verify shuffles
+            & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a")))
+            & (F.col("sz_a") >= F.ceil(F.lit(threshold) * F.col("sz_b")))
+        )
         .select("id_a", "id_b")
         .distinct()
     )
-    docsets = base.select(
-        F.col(id_col), F.col("_shingles").alias("_set"), F.size("_shingles").alias("_sz")
-    )
+    docsets = hbase.select(F.col(id_col), F.col("_hs").alias("_set"),
+                           F.col("sz").alias("_sz"))
     out = (
         cand.join(
             docsets.select(F.col(id_col).alias("id_a"),

@@ -231,31 +231,34 @@ def pagerank(
     (its GraphIndexScan stops at reachability); included because rank
     is the standard companion to components in pipeline curation.
 
-    Each round is two shuffles (contribution groupBy + rank join);
-    dangling-node mass is redistributed uniformly via one scalar
-    aggregate, and lineage is cut with localCheckpoint so the plan
-    stays bounded at high iteration counts. Edge weights are uniform
-    (1/out-degree) — the GraphX convention.
+    Each round is two shuffles (contribution groupBy + rank join).
+    No driver barrier anywhere in the loop: node count and per-round
+    dangling mass are 1x1 aggregate frames broadcast-crossJoined into
+    the rank update (the same hoist the compiler applies to scalar
+    subqueries), and lineage is cut with LAZY localCheckpoint — each
+    round materializes exactly once when the final action runs, not as
+    10 sequential driver jobs. Edge weights are uniform (1/out-degree)
+    — the GraphX convention.
     """
+    from pyspark.sql.functions import broadcast
+
     id_col = nodes.columns[0]
-    n_total = nodes.count()
-    if n_total == 0:
-        return nodes.select(
-            F.col(id_col).alias("node"), F.lit(0.0).alias("rank")
-        )
     e = edges.select(F.col(SRC).alias("_a"), F.col(DST).alias("_b"))
     deg = e.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
-    ranks = nodes.select(
-        F.col(id_col).alias("node"), F.lit(1.0 / n_total).alias("rank")
+    # 1x1 node-count frame (replaces a driver-side nodes.count())
+    n_tot = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    ranks = (
+        nodes.select(F.col(id_col).alias("node"))
+        .crossJoin(broadcast(n_tot))
+        .select("node", (F.lit(1.0) / F.col("_n")).alias("rank"))
     )
-    base = (1.0 - damping) / n_total
     for _ in range(num_iter):
         with_deg = ranks.join(deg, ranks["node"] == deg["_a"], "left").drop("_a")
-        # dangling mass: ranks of nodes with no out-edges, spread uniformly
+        # dangling mass: ranks of nodes with no out-edges, spread uniformly.
+        # Stays distributed as a broadcast 1x1 frame.
         dangling = (
             with_deg.filter(F.col("_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contribs = (
             with_deg.filter(F.col("_deg").isNotNull())
@@ -267,15 +270,20 @@ def pagerank(
         ranks = (
             nodes.select(F.col(id_col).alias("node"))
             .join(contribs, "node", "left")
+            .crossJoin(broadcast(dangling))
+            .crossJoin(broadcast(n_tot))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    (F.lit(1.0) - F.lit(damping)) / F.col("_n")
                     + F.lit(damping)
-                    * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.lit(dangling / n_total))
+                    * (
+                        F.coalesce(F.col("in_rank"), F.lit(0.0))
+                        + F.col("_dang") / F.col("_n")
+                    )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks
 

@@ -120,16 +120,18 @@ def cosine_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    exact: bool = True,
+    exact: bool = False,
     dim: int = 64,
     num_planes: int = 12,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score >= threshold).
 
-    exact=True: full pair join (the correctness baseline; O(n^2) — fine
-    for verification corpora). exact=False: hyperplane-LSH blocking with
-    multi-probe, then exact cosine verification on candidates only —
-    the 100 TB path (recall < 1 for pairs LSH never buckets together).
+    exact=False (default — the 100 TB path): hyperplane-LSH blocking
+    with multi-probe, then exact cosine verification on candidates only;
+    every emitted pair is truly >= threshold (no false positives), but
+    recall < 1 for pairs LSH never buckets together. exact=True: full
+    pair join — the O(n^2) correctness baseline, verification-corpora
+    only; never the path to run at scale.
     """
     it = items.select(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")

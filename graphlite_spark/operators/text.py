@@ -232,7 +232,15 @@ def pack_documents(
     from pyspark.sql import Window
 
     by_cols = [by] if isinstance(by, str) else list(by or [])
-    w = Window.partitionBy(*by_cols).orderBy(order_col)
+    # ROWS frame, not the default RANGE: rows tied on order_col must each
+    # get their own running offset (RANGE would hand ties one shared
+    # cumsum). order_col should still be a unique key per group so the
+    # layout order — and therefore bin assignment — is deterministic.
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
     return df.select(
         F.col(id_col),

@@ -620,3 +620,10 @@ def test_duplicate_insert_dedup_and_warning(spark):
     assert e3["rows_affected"] == 1
     assert db.query(
         "MATCH (:A)-[r:R]->(:A) RETURN count(*) AS n").collect()[0][0] == 2
+    # an edge matching all STORED columns but carrying a brand-new property
+    # is NOT a duplicate — its content hash differs (value.rs identity
+    # covers every property, including ones the table hasn't seen yet)
+    e4 = db.execute("INSERT (:A {k: 1})-[:R {w: 2, tag: 'x'}]->(:A {k: 2})")
+    assert e4["rows_affected"] == 1
+    assert db.query(
+        "MATCH (:A)-[r:R]->(:A) RETURN count(*) AS n").collect()[0][0] == 3

@@ -216,6 +216,21 @@ def test_varlen_range(simple_db):
     assert got == [(3,), (4,), (5,)]
 
 
+def test_path_variable_array_and_join(simple_db):
+    # p projects as the raw array-of-ids (engine-native form) …
+    got = rows(simple_db.query(
+        "MATCH p = (a:TestNode {id: 0})-[:CONNECTS_TO]->(b:TestNode) "
+        "RETURN p AS p, SIZE(p) AS n"))
+    assert len(got) == 1
+    ids, n = got[0]
+    assert n == 2 and len(list(ids)) == 2
+    # … and LIST_JOIN(p, sep) yields the driver-canonicalizable scalar form
+    joined = rows(simple_db.query(
+        "MATCH p = (a:TestNode {id: 0})-[:CONNECTS_TO]->(b:TestNode) "
+        "RETURN LIST_JOIN(p, ',') AS p"))
+    assert joined[0][0] == ",".join(str(i) for i in ids)
+
+
 def test_varlen_zero_allows_self(simple_db):
     got = rows(simple_db.query(
         "MATCH (a:TestNode {id: 2})-[:CONNECTS_TO]{0,1}->(b:TestNode) "
@@ -289,6 +304,20 @@ def test_three_valued_logic(simple_db):
     got = one(simple_db.query(
         "MATCH (n:TestNode) WHERE n.nope IS NULL RETURN count(*) AS n"))
     assert got == (20,)
+
+
+def test_is_predicate_null_subject(simple_db):
+    # executor.rs:8781-8868: a null subject (OPTIONAL MATCH miss) makes the
+    # base result false; the negated form therefore holds. The chain
+    # fixture has 9 CONNECTS_TO edges over 20 nodes -> 11 miss rows.
+    got = one(simple_db.query(
+        "MATCH (n:TestNode) OPTIONAL MATCH (n)-[:CONNECTS_TO]->(m:TestNode) "
+        "FILTER m IS :TestNode RETURN count(*) AS c"))
+    assert got == (9,)
+    got = one(simple_db.query(
+        "MATCH (n:TestNode) OPTIONAL MATCH (n)-[:CONNECTS_TO]->(m:TestNode) "
+        "FILTER m IS NOT :TestNode RETURN count(*) AS c"))
+    assert got == (11,)
 
 
 def test_multiple_patterns_shared_var(fraud_db):

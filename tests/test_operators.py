@@ -144,7 +144,7 @@ def test_cosine_dup_pairs_exact_and_lsh(spark):
         "vec_id: long, embedding: array<double>",
     )
     exact = {(r.id_a, r.id_b) for r in
-             cosine_dup_pairs(items, threshold=0.99).collect()}
+             cosine_dup_pairs(items, threshold=0.99, exact=True).collect()}
     assert exact == {(1, 2), (1, 4), (2, 4)}
     approx = {(r.id_a, r.id_b) for r in
               cosine_dup_pairs(items, threshold=0.99, exact=False,
@@ -178,7 +178,8 @@ def test_jaccard_prefix_filter_matches_naive(docs):
     from graphlite_spark.operators.dedup import ngram_jaccard_pairs
 
     naive = {(r.id_a, r.id_b, r.jaccard) for r in
-             ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True).collect()}
+             ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True,
+                                 prefix_filter=False).collect()}
     ppj = {(r.id_a, r.id_b, r.jaccard) for r in
            ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True,
                                prefix_filter=True).collect()}
