@@ -391,6 +391,13 @@ _GQL_QUERIES: dict[str, str] = {
         WHERE c.c_custkey < 20
         RETURN c.c_custkey AS custkey, LIST_JOIN(p, ',') AS p, SIZE(p) AS path_nodes
     """,
+    "path_constructor": """
+        MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        WHERE c.c_custkey < 20
+        RETURN c.c_custkey AS custkey,
+               LIST_JOIN(PATH [ID(c), 0, ID(n)], ',') AS p,
+               SIZE(PATH [ID(c), 0, ID(n)]) AS path_nodes
+    """,
     "select_statement_form": """
         SELECT c.c_mktsegment AS seg, count(*) AS n
         MATCH (c:Customer)
@@ -478,6 +485,14 @@ _GQL_QUERIES: dict[str, str] = {
                                       DATETIME('2024-01-01 03:00:00'))
         RETURN e.event_type AS event_type, count(*) AS n
         ORDER BY event_type
+    """,
+    "bitemporal_valid_at": """
+        MATCH (e:Event)
+        LET tv = TEMPORAL(e.value, e.ts, DATETIME('2024-02-15 00:00:00'),
+                          DATETIME('2024-06-01 00:00:00'))
+        FILTER IS_VALID_AT(tv, DATETIME('2024-01-10 00:00:00'))
+          AND TRANSACTION_TIME(tv) = DATETIME('2024-06-01 00:00:00')
+        RETURN count(*) AS n, ROUND(SUM(VALUE_OF(tv)), 3) AS total
     """,
     "fuzzy_equal": """
         MATCH (c:Customer)
@@ -834,6 +849,16 @@ def _q_jaccard_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True,
                                prefix_filter=False)
+
+
+def _q_streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_exact_dedup's batch fallback (same operator object a
+    readStream pipeline uses; the stream path is covered by
+    tests/test_streaming_multimodal.py stream==batch parity)."""
+    from graphlite_spark.streaming.stateful import streaming_exact_dedup
+
+    docs = _table(spark, sf_dir, "documents")
+    return streaming_exact_dedup(docs).select("doc_id")
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1392,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact": _q_dedup_exact,
             "ngram_jaccard_pairs": _q_jaccard_pairs,
             "ngram_jaccard_inverted": _q_jaccard_inverted,
+            "streaming_dedup_batch": _q_streaming_dedup_batch,
             "minhash_lsh_pairs": _q_minhash_lsh,
             "simhash_pairs": _q_simhash,
             "token_count": _q_token_count,
@@ -1809,6 +1835,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": shingle_cte,
         "ngram_jaccard_inverted": shingle_cte,
+        "streaming_dedup_batch": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY lower(trim(text))
+        """,
         "token_count": """
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1910,6 +1940,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "path_variable": """
+            SELECT c_custkey AS custkey,
+                   CAST(3000000000000 + c_custkey AS VARCHAR)
+                     || ',' || CAST(2000000000000 + c_nationkey AS VARCHAR) AS p,
+                   CAST(2 AS BIGINT) AS path_nodes
+            FROM customer WHERE c_custkey < 20
+        """,
+        "path_constructor": """
             SELECT c_custkey AS custkey,
                    CAST(3000000000000 + c_custkey AS VARCHAR)
                      || ',' || CAST(2000000000000 + c_nationkey AS VARCHAR) AS p,
@@ -2252,6 +2289,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts BETWEEN TIMESTAMP '2024-01-01 01:00:00'
                          AND TIMESTAMP '2024-01-01 03:00:00'
             GROUP BY 1 ORDER BY 1
+        """,
+        "bitemporal_valid_at": """
+            -- TEMPORAL(value, ts, 2024-02-15, tx=2024-06-01): valid at
+            -- 2024-01-10 iff ts <= probe (probe < valid_to is constant-true)
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 3) AS total
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
         """,
         "fuzzy_equal": """
             SELECT count(*) AS n FROM customer

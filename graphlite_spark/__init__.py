@@ -74,6 +74,13 @@ class GraphLiteSpark:
         self._plan_cache: "dict[tuple, DataFrame]" = {}
         self._plan_cache_hits = 0
         self._plan_cache_misses = 0
+        # result cache (cache/result_cache.rs QueryCacheKey: query hash +
+        # params + graph version): Spark-first, a cached plan is
+        # .persist()ed so re-execution serves materialized blocks from
+        # the block manager instead of recomputing — same invalidation
+        # path as the plan cache (any write clears + unpersists).
+        self._result_cache_on = False
+        self._persisted: "list[DataFrame]" = []
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "GraphLiteSpark":
@@ -137,6 +144,9 @@ class GraphLiteSpark:
         if graph is not None:
             graph = self._qualify(graph)
         df = QueryCompiler(self.graph(graph), params).compile(ast)
+        if self._result_cache_on:
+            df = df.persist()
+            self._persisted.append(df)
         if key is not None:
             if len(self._plan_cache) >= 256:  # bounded, drop oldest
                 self._plan_cache.pop(next(iter(self._plan_cache)))
@@ -144,10 +154,17 @@ class GraphLiteSpark:
         return df
 
     def clear_plan_cache(self) -> None:
-        """Drop cached compiled plans (gql.clear_cache analogue). Called
-        automatically on any write-path statement; call manually after
-        mutating a registered PropertyGraph directly."""
+        """Drop cached compiled plans (gql.clear_cache analogue) and
+        unpersist result-cache materializations. Called automatically on
+        any write-path statement; call manually after mutating a
+        registered PropertyGraph directly."""
         self._plan_cache.clear()
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted.clear()
 
     def execute(self, gql: str, params: dict[str, Any] | None = None):
         """Execute any statement. Queries/CALL return a DataFrame; DML/DDL
@@ -311,6 +328,15 @@ class GraphLiteSpark:
                 self.spark.conf.set("spark.sql.session.timeZone", stmt.value)
             elif stmt.kind == "PARAM":
                 self._session_params[stmt.name] = stmt.value
+            elif stmt.kind == "RESULT_CACHE":
+                self._result_cache_on = bool(stmt.value)
+                if not stmt.value:
+                    for df in self._persisted:
+                        try:
+                            df.unpersist()
+                        except Exception:
+                            pass
+                    self._persisted.clear()
             return {"status": "ok", "rows_affected": 0}
         if isinstance(stmt, S.SessionResetStmt):
             if stmt.what in ("ALL", "PARAMETERS"):
@@ -541,6 +567,10 @@ class GraphLiteSpark:
             rows = [
                 Row(cache_type="plan_cache", entries=len(self._plan_cache),
                     hit_rate=(self._plan_cache_hits / total) if total else 0.0,
+                    memory_bytes=0),
+                Row(cache_type="result_cache",
+                    entries=len(self._persisted),
+                    hit_rate=1.0 if self._result_cache_on else 0.0,
                     memory_bytes=0),
                 Row(cache_type="rdd_cache",
                     entries=len(self.spark.sparkContext._jsc.getPersistentRDDs()),

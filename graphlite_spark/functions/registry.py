@@ -183,6 +183,35 @@ _SCALARS: dict[str, Callable] = {
     "MONTH": lambda a, r: F.month(a[0]).cast("long"),
     "DAY": lambda a, r: F.dayofmonth(a[0]).cast("long"),
     "TIME_WINDOW": lambda a, r: F.struct(a[0].alias("start"), a[1].alias("end")),
+    # bitemporal Temporal wrapper (value.rs:19-62 TemporalValue): a value
+    # plus valid-time bounds and transaction time, mapped to a struct
+    # column. TEMPORAL(v, valid_from[, valid_to[, tx_time]]); omitted
+    # valid_to = open interval, omitted tx_time = now.
+    "TEMPORAL": lambda a, r: F.struct(
+        a[0].alias("value"),
+        a[1].cast("timestamp").alias("valid_from"),
+        (a[2] if len(a) > 2 else F.lit(None)).cast("timestamp").alias("valid_to"),
+        (a[3].cast("timestamp") if len(a) > 3 else F.current_timestamp()).alias(
+            "transaction_time"
+        ),
+    ),
+    "VALUE_OF": lambda a, r: a[0].getField("value"),
+    "VALID_FROM": lambda a, r: a[0].getField("valid_from"),
+    "VALID_TO": lambda a, r: a[0].getField("valid_to"),
+    "TRANSACTION_TIME": lambda a, r: a[0].getField("transaction_time"),
+    # is_valid_at (value.rs:53-55): from <= t < to, open-ended when to IS NULL
+    "IS_VALID_AT": lambda a, r: (
+        (a[1].cast("timestamp") >= a[0].getField("valid_from"))
+        & (
+            a[0].getField("valid_to").isNull()
+            | (a[1].cast("timestamp") < a[0].getField("valid_to"))
+        )
+    ),
+    # is_current (value.rs:58-60)
+    "IS_CURRENT": lambda a, r: (
+        a[0].getField("valid_to").isNull()
+        | (a[0].getField("valid_to") > F.current_timestamp())
+    ),
     "DURATION_NUMERIC": lambda a, r: (a[0].cast("double") - a[1].cast("double")) if len(a) == 2 else a[0].cast("double"),
     # DURATION('PT1H30M') -> seconds (ISO-8601 time durations; JVM regex)
     "DURATION": lambda a, r: (

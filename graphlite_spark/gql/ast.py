@@ -30,6 +30,16 @@ class ListLiteral(Expr):
 
 
 @dataclass
+class PathLit(Expr):
+    """``PATH [n1, e1, n2, ...]`` literal path constructor
+    (reference ast.rs:1227-1231 PathConstructor; executed at
+    exec/executor.rs:4900-4954: even indices are node ids, odd indices
+    edge ids, each a string or number)."""
+
+    items: list[Expr]
+
+
+@dataclass
 class Var(Expr):
     name: str
 

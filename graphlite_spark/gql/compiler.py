@@ -118,6 +118,22 @@ class ExprCompiler:
     def _c_ListLiteral(self, e: A.ListLiteral) -> Column:
         return F.array(*[self.compile(x) for x in e.items])
 
+    def _c_PathLit(self, e: A.PathLit) -> Column:
+        """PATH [n1, e1, n2, ...] -> this engine's path value: the
+        array<long> of NODE ids (even-index elements). The reference
+        (exec/executor.rs:4900-4954) attaches odd-index edge ids to a
+        PathElement; our path representation — the same one `MATCH p =`
+        binds — carries node ids only, so edge elements are validated
+        (compiled) and then elided. Documented divergence, SURVEY §8."""
+        nodes = [self.compile(x) for i, x in enumerate(e.items) if i % 2 == 0]
+        # compile odd elements too: a bad edge expression should still error
+        for i, x in enumerate(e.items):
+            if i % 2 == 1:
+                self.compile(x)
+        if not nodes:
+            return F.array().cast("array<long>")
+        return F.array(*[c.cast("long") for c in nodes])
+
     def _c_Param(self, e: A.Param) -> Column:
         if e.name not in self.params:
             raise CompileError(f"missing parameter ${e.name}")

@@ -707,6 +707,19 @@ class Parser:
                     self.advance()
             self.eat_op("]")
             return ListLiteral(items)
+        if self.at_kw("PATH") and self.peek().kind == "OP" and self.peek().value == "[":
+            # PATH [n1, e1, n2, ...] literal constructor (ast.rs:1227-1231)
+            from .ast import PathLit
+
+            self.advance()
+            self.eat_op("[")
+            items = []
+            while not self.at_op("]"):
+                items.append(self.parse_expr())
+                if self.at_op(","):
+                    self.advance()
+            self.eat_op("]")
+            return PathLit(items)
         if self.at_kw("COUNT"):
             self.advance()
             self.eat_op("(")

@@ -392,6 +392,14 @@ class StatementParser(Parser):
                         f"expected time zone string literal at {self.cur.pos}"
                     )
                 return self._done(SessionSetStmt("TIME_ZONE", self.advance().value))
+            if self._try_word("RESULT_CACHE"):
+                # cache/result_cache.rs analogue: materialized results,
+                # invalidated on graph writes
+                if self._try_word("ON"):
+                    return self._done(SessionSetStmt("RESULT_CACHE", True))
+                if self._try_word("OFF"):
+                    return self._done(SessionSetStmt("RESULT_CACHE", False))
+                raise ParseError(f"expected ON|OFF at {self.cur.pos}")
             if self.cur.kind == "PARAM":
                 pname = self.advance().value
                 self.eat_op("=")

@@ -91,3 +91,69 @@ def running_totals(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEDUP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("content_hash", LongType(), False),
+    ]
+)
+
+_SEEN_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact content dedup over a document STREAM: the first document per
+    content hash is emitted, every later duplicate (same batch or any
+    later micro-batch) is dropped. The ingestion-side companion to
+    operators.dedup.exact_dedup — dedupe-on-arrival instead of
+    dedupe-after-landing.
+
+    State per content hash is one row ("seen") in Spark's checkpointed
+    state store, so the operator shuffles only (hash, id) pairs — 16
+    bytes/doc — and survives restarts exactly-once. First-arrival wins
+    (min id within the first micro-batch that carries the hash); the
+    batch fallback keeps min(id) globally, identical when ids arrive in
+    order or in one batch.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.lower(F.trim(F.col(text_col))) if normalize else F.col(text_col)
+    hashed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.xxhash64(key).alias("content_hash"),
+    )
+    if not docs.isStreaming:
+        return (
+            hashed.groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "content_hash")
+        )
+
+    def update(key_, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                first = m if first is None else min(first, m)
+        already = state.exists
+        state.update((1,))
+        if already or first is None:
+            return
+        yield pd.DataFrame({"doc_id": [first], "content_hash": [key_[0]]})
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        update,
+        DEDUP_SCHEMA,
+        _SEEN_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

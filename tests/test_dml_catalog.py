@@ -594,6 +594,30 @@ def test_call_bm25_search(spark):
     assert rows[0].score > rows[1].score
 
 
+def test_result_cache_toggle_and_invalidation(spark):
+    # cache/result_cache.rs analogue: SESSION SET RESULT_CACHE ON
+    # persists compiled plans; any write unpersists + invalidates
+    from graphlite_spark import GraphLiteSpark
+
+    db = GraphLiteSpark(spark)
+    db.execute("CREATE GRAPH /default/rcache")
+    db.execute("SESSION SET GRAPH /default/rcache")
+    db.execute("INSERT (:P {k: 1})")
+    db.execute("SESSION SET RESULT_CACHE ON")
+    df = db.query("MATCH (p:P) RETURN count(*) AS n")
+    assert df.storageLevel.useMemory
+    assert df.collect()[0][0] == 1
+    stats = {r.cache_type: r.entries
+             for r in db.execute("CALL gql.cache_stats()").collect()}
+    assert stats["result_cache"] >= 1
+    db.execute("INSERT (:P {k: 2})")  # write -> invalidate + unpersist
+    assert not df.storageLevel.useMemory
+    assert db.query("MATCH (p:P) RETURN count(*) AS n").collect()[0][0] == 2
+    db.execute("SESSION SET RESULT_CACHE OFF")
+    df3 = db.query("MATCH (p:P) RETURN count(*) AS n2")
+    assert not df3.storageLevel.useMemory
+
+
 def test_duplicate_insert_dedup_and_warning(spark):
     # duplicate_insert_test.rs / duplicate_edge_warning_test.rs: identical
     # content re-INSERT is skipped (content-hash identity), warns, and

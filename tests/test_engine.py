@@ -320,6 +320,30 @@ def test_is_predicate_null_subject(simple_db):
     assert got == (11,)
 
 
+def test_bitemporal_temporal_value(simple_db):
+    # value.rs:19-62 TemporalValue mapped to a struct column: accessors,
+    # half-open validity interval, open-ended valid_to, is_current
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.id = 3 "
+        "LET tv = TEMPORAL(n.value, DATETIME('2024-01-01 00:00:00')) "
+        "RETURN VALUE_OF(tv) AS v, VALID_TO(tv) IS NULL AS open_ended, "
+        "IS_VALID_AT(tv, DATETIME('2025-01-01 00:00:00')) AS valid_later, "
+        "IS_VALID_AT(tv, DATETIME('2023-01-01 00:00:00')) AS valid_before, "
+        "IS_CURRENT(tv) AS cur"))
+    assert len(got) == 1
+    v, open_ended, valid_later, valid_before, cur = got[0]
+    assert int(v) == 30 and open_ended and valid_later and not valid_before and cur
+    # bounded interval: valid_to is exclusive; transaction time round-trips
+    got = rows(simple_db.query(
+        "MATCH (n:TestNode) WHERE n.id = 3 "
+        "LET tv = TEMPORAL(n.value, DATETIME('2024-01-01 00:00:00'),"
+        " DATETIME('2024-02-01 00:00:00'), DATETIME('2024-03-01 00:00:00')) "
+        "RETURN IS_VALID_AT(tv, DATETIME('2024-02-01 00:00:00')) AS at_end, "
+        "IS_VALID_AT(tv, DATETIME('2024-01-15 00:00:00')) AS inside, "
+        "TRANSACTION_TIME(tv) = DATETIME('2024-03-01 00:00:00') AS tx_ok"))
+    assert got == [(False, True, True)]
+
+
 def test_multiple_patterns_shared_var(fraud_db):
     got = one(fraud_db.query(
         "MATCH (a:Account)-[:Transaction]->(b:Account), "

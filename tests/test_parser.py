@@ -114,6 +114,20 @@ def test_parse_errors():
             parse(bad)
 
 
+def test_parse_path_constructor():
+    # PATH [n, e, n] literal (reference ast.rs:1227-1231)
+    q = parse("MATCH (a:L)-[e:T]->(b:M) "
+              "RETURN PATH [ID(a), ID(e), ID(b)] AS p, PATH [] AS empty")
+    items = q.clauses[-1].items
+    p = items[0].expr
+    assert isinstance(p, A.PathLit) and len(p.items) == 3
+    assert isinstance(p.items[0], A.FuncCall) and p.items[0].name == "ID"
+    empty = items[1].expr
+    assert isinstance(empty, A.PathLit) and empty.items == []
+    # bare SHORTEST PATH keyword use must still parse (no regression)
+    parse("MATCH SHORTEST PATH (a:L)-[:T]{1,3}->(b:M) RETURN count(*) AS n")
+
+
 def test_parse_is_predicates_and_between():
     q = parse("MATCH (a:L) WHERE a.x IS NOT NULL AND a.y BETWEEN 1 AND 5 "
               "RETURN a.x AS x")

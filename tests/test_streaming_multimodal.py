@@ -200,6 +200,47 @@ def test_stateful_running_totals_stream_matches_batch(spark, events_stream_dir):
     assert last == expected and len(last) >= 3
 
 
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    from graphlite_spark.streaming.stateful import streaming_exact_dedup
+
+    d = str(tmp_path / "docs_stream")
+    # file 0: ids 0-3 with one in-batch dup (0/1 same text);
+    # file 1: ids 10-12 — 10 duplicates text "a" from batch 0, 11/12 new
+    spark.createDataFrame(
+        [(0, "a a a"), (1, "A A A  "), (2, "b"), (3, "c")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(d + "/f0")
+    spark.createDataFrame(
+        [(10, "a a a"), (11, "d"), (12, "e")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(d + "/f1")
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(d)
+
+    # batch fallback: min-id per content hash
+    kept_b = sorted(r.doc_id for r in streaming_exact_dedup(batch).collect())
+    assert kept_b == [0, 2, 3, 11, 12]
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(d)
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_stream_test").collect()
+    kept_s = sorted(r.doc_id for r in rows)
+    # cross-batch dup (10) and in-batch dup (1) both dropped; ids arrive
+    # in order, so first-arrival == min-id and stream matches batch
+    assert kept_s == kept_b
+    assert len({r.content_hash for r in rows}) == len(rows)
+
+
 def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
     from graphlite_spark.streaming.joins import interval_join
     from graphlite_spark.streaming.windows import run_stream_to_memory
