@@ -851,6 +851,21 @@ def _q_jaccard_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
                                prefix_filter=False)
 
 
+def _q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled hourly series with LOCF (dense bucket
+    domain generated map-side from per-key min/max; one co-keyed join)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.temporal import gapfill
+
+    ev = _table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    out = gapfill(ev, ts="ts", every="1 hour", by="event_type",
+                  value_col="value", agg="sum", fill="locf")
+    return out.select("bucket", "event_type", F.round("value", 3).alias("value"))
+
+
 def _q_streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming_exact_dedup's batch fallback (same operator object a
     readStream pipeline uses; the stream path is covered by
@@ -975,6 +990,24 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         (F.col("node") % ns).alias("event_id"),
         (F.col("comp") % ns).alias("component"),
+    )
+
+
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous LPA rounds over FOLLOWS, hash-matched against an
+    unrolled-SQL twin (deterministic: min-label tiebreak)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import label_propagation
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    nodes = g.nodes_for_label("Event").select("_id")
+    out = label_propagation(g.edge_type("FOLLOWS").df, nodes, num_iter=2)
+    ns = 10**12
+    return out.select(
+        (F.col("node") % ns).alias("event_id"),
+        (F.col("label") % ns).alias("label"),
     )
 
 
@@ -1418,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ngram_jaccard_pairs": _q_jaccard_pairs,
             "ngram_jaccard_inverted": _q_jaccard_inverted,
             "streaming_dedup_batch": _q_streaming_dedup_batch,
+            "gapfill_hourly_locf": _q_gapfill_hourly,
+            "label_propagation_2iter": _q_label_propagation,
             "minhash_lsh_pairs": _q_minhash_lsh,
             "simhash_pairs": _q_simhash,
             "token_count": _q_token_count,
@@ -1839,6 +1874,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY lower(trim(text))
         """,
+        "gapfill_hourly_locf": """
+            WITH per AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS b,
+                       sum(CAST(value AS DECIMAL(18,6))) AS v
+                FROM events WHERE event_type IN ('purchase', 'signup')
+                GROUP BY 1, 2
+            ), rng AS (
+                SELECT event_type, min(b) AS lo, max(b) AS hi FROM per GROUP BY 1
+            ), dom AS (
+                SELECT r.event_type, t.b
+                FROM rng r, unnest(generate_series(r.lo, r.hi, 3600)) AS t(b)
+            )
+            SELECT CAST(make_timestamp(d.b*1000000) AS TIMESTAMP) AS bucket,
+                   d.event_type,
+                   round(CAST(coalesce(
+                       p.v,
+                       last_value(p.v IGNORE NULLS) OVER (
+                           PARTITION BY d.event_type ORDER BY d.b
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ) AS DOUBLE), 3) AS value
+            FROM dom d LEFT JOIN per p
+              ON p.event_type = d.event_type AND p.b = d.b
+        """,
         "token_count": """
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1933,6 +1992,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT root AS src, node AS dst, CAST(min(dist) AS BIGINT) AS dist
             FROM walk WHERE dist > 0 GROUP BY root, node
+        """,
+        "label_propagation_2iter": """
+            WITH e0 AS (
+                SELECT event_id AS s,
+                       lead(event_id) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS d
+                FROM events QUALIFY d IS NOT NULL
+            ), canon AS (
+                SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+                FROM e0 WHERE s <> d
+            ), e AS (
+                SELECT lo AS a, hi AS b FROM canon
+                UNION ALL SELECT hi, lo FROM canon
+            ), l0 AS (
+                SELECT event_id AS node, event_id AS label FROM events
+            ), v1 AS (
+                SELECT e.a, l.label, count(*) AS n
+                FROM e JOIN l0 l ON l.node = e.b GROUP BY 1, 2
+            ), b1 AS (
+                SELECT a AS node, label FROM (
+                    SELECT a, label, row_number() OVER (
+                        PARTITION BY a ORDER BY n DESC, label) AS rn
+                    FROM v1) WHERE rn = 1
+            ), l1 AS (
+                SELECT l0.node, coalesce(b1.label, l0.label) AS label
+                FROM l0 LEFT JOIN b1 ON b1.node = l0.node
+            ), v2 AS (
+                SELECT e.a, l.label, count(*) AS n
+                FROM e JOIN l1 l ON l.node = e.b GROUP BY 1, 2
+            ), b2 AS (
+                SELECT a AS node, label FROM (
+                    SELECT a, label, row_number() OVER (
+                        PARTITION BY a ORDER BY n DESC, label) AS rn
+                    FROM v2) WHERE rn = 1
+            ), l2 AS (
+                SELECT l1.node, coalesce(b2.label, l1.label) AS label
+                FROM l1 LEFT JOIN b2 ON b2.node = l1.node
+            )
+            SELECT node AS event_id, CAST(label AS BIGINT) AS label FROM l2
         """,
         "connected_components": """
             SELECT event_id,

@@ -392,3 +392,58 @@ def triangles_per_vertex(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    num_iter: int = 5,
+) -> DataFrame:
+    """(node, label) after `num_iter` rounds of synchronous label
+    propagation over the undirected simple view of `edges` — community
+    detection, the curation companion to connected_components (which it
+    refines: LPA splits weakly-joined components that CC merges).
+
+    Deterministic: labels initialize to node id; each round every node
+    adopts the most frequent neighbor label, ties broken by smallest
+    label; isolated nodes keep their label. Beyond the reference's
+    operation set.
+
+    Scale shape per round: one vote groupBy on (node, label) with
+    map-side partial counts, one row_number window for the argmax, one
+    left join back — all keyed on node id, lineage cut with lazy
+    localCheckpoint. No driver barriers.
+    """
+    from pyspark.sql import Window
+
+    id_col = nodes.columns[0]
+    lo, hi = F.least(F.col(SRC), F.col(DST)), F.greatest(F.col(SRC), F.col(DST))
+    canon = (
+        edges.select(lo.alias("_lo"), hi.alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+    )
+    und = canon.select(F.col("_lo").alias("_a"), F.col("_hi").alias("_b")).unionByName(
+        canon.select(F.col("_hi").alias("_a"), F.col("_lo").alias("_b"))
+    ).localCheckpoint(eager=False)
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
+    )
+    w = Window.partitionBy("_a").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(num_iter):
+        votes = (
+            und.join(labels, und["_b"] == labels["node"], "inner")
+            .groupBy("_a", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_a").alias("node"), F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("_new", "label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "rollup"]
+__all__ = ["asof_join", "gapfill", "range_join", "rollup"]
 
 _UNIT_SECONDS = {
     "second": 1,
@@ -240,3 +240,91 @@ def rollup(
         out[grain] = cur
         prev = cur
     return out
+
+
+def gapfill(
+    df: DataFrame,
+    ts: str = "ts",
+    every: str = "1 hour",
+    by: str | list[str] | None = None,
+    value_col: str = "value",
+    agg: str = "sum",
+    fill: str = "locf",
+) -> DataFrame:
+    """Hypertable-style gap-filled time series: bucket + aggregate, then
+    densify each key's bucket range and fill empty buckets.
+
+    fill strategies:
+    - 'null'   keep missing buckets NULL
+    - 'zero'   0.0
+    - 'locf'   last observation carried forward (classic gapfill)
+    - 'interp' linear interpolation between surrounding observations
+               (edges fall back to the nearest observation)
+
+    Scale shape: one groupBy on (key, bucket) over raw rows (map-side
+    partial agg), one tiny per-key (min,max) aggregate whose
+    sequence+explode generates the dense domain map-side — the dense
+    frame is #keys * #buckets rows, never a function of raw row count —
+    one co-keyed left join (AQE-coalesced), and the fills are single
+    ordered windows per key. No driver-side loops, nothing collected.
+    Returns (bucket timestamp, *by, value).
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    step = _interval_seconds(every)
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    if fill not in ("null", "zero", "locf", "interp"):
+        raise ValueError(f"unknown fill strategy {fill!r}")
+    c = F.col(ts)
+    if isinstance(df.schema[ts].dataType, TimestampNTZType):
+        c = c.cast("timestamp")
+    bucket = (F.floor(c.cast("long") / step) * step).alias("_b")
+    agg_fn = {"sum": F.sum, "count": F.count, "min": F.min,
+              "max": F.max, "avg": F.avg}[agg]
+    per = (
+        df.select(*by_cols, bucket, F.col(value_col).cast("double").alias("_v"))
+        .groupBy(*by_cols, "_b")
+        .agg(agg_fn("_v").alias("_v"))
+    )
+    dom = (
+        per.groupBy(*by_cols)
+        .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+        .select(
+            *by_cols,
+            F.explode(F.sequence("_lo", "_hi", F.lit(step).cast("long"))).alias("_b"),
+        )
+    )
+    out = dom.join(per, [*by_cols, "_b"], "left")
+    w = Window.partitionBy(*by_cols).orderBy("_b")
+    if fill == "zero":
+        v = F.coalesce(F.col("_v"), F.lit(0.0))
+    elif fill == "locf":
+        v = F.coalesce(
+            F.col("_v"),
+            F.last("_v", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    elif fill == "interp":
+        prev_v = F.last("_v", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        next_v = F.first("_v", ignorenulls=True).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        )
+        prev_b = F.last(F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        next_b = F.first(F.when(F.col("_v").isNotNull(), F.col("_b")), ignorenulls=True).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        )
+        frac = (F.col("_b") - prev_b).cast("double") / (next_b - prev_b).cast("double")
+        interp = prev_v + (next_v - prev_v) * frac
+        v = F.coalesce(F.col("_v"), interp, prev_v, next_v)
+    else:
+        v = F.col("_v")
+    return out.select(
+        F.timestamp_seconds(F.col("_b")).alias("bucket"),
+        *by_cols,
+        v.alias("value"),
+    )

@@ -148,3 +148,22 @@ def test_k_core(spark):
     # bounded to a single round: only node 5 (deg 1) is gone; 4 survives
     gotb = {r.node: r.degree for r in k_core(edges, k=2, max_iters=1).collect()}
     assert gotb == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    from graphlite_spark.operators.paths import label_propagation
+
+    # two triangles bridged by one edge: LPA keeps them as two
+    # communities (labeled by each clique's min id) where CC would merge
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)],
+        "src: long, dst: long",
+    ).selectExpr("src AS _src", "dst AS _dst")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 10, 11, 12)], "id: long"
+    )
+    got = {r.node: r.label for r in
+           label_propagation(edges, nodes, num_iter=5).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[0]

@@ -142,3 +142,33 @@ def test_asof_plan_single_shuffle(quotes_trades):
     out = asof_join(trades, quotes, on="ts", by="sym", right_cols={"px": "px"})
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
+
+
+def test_gapfill_locf_zero_interp(spark):
+    from graphlite_spark.operators.temporal import gapfill
+
+    df = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:30:00"), 10.0),
+            ("a", _ts("2024-01-01 03:10:00"), 40.0),
+            ("b", _ts("2024-01-01 01:15:00"), 5.0),
+        ],
+        "k string, ts timestamp, value double",
+    )
+    locf = {(r.k, r.bucket): r.value
+            for r in gapfill(df, every="1 hour", by="k", fill="locf").collect()}
+    # key a spans 00..03 -> 4 dense buckets; key b one bucket
+    assert len(locf) == 5
+    assert locf[("a", _ts("2024-01-01 01:00:00"))] == 10.0  # carried forward
+    assert locf[("a", _ts("2024-01-01 03:00:00"))] == 40.0
+    zero = {(r.k, r.bucket): r.value
+            for r in gapfill(df, every="1 hour", by="k", fill="zero").collect()}
+    assert zero[("a", _ts("2024-01-01 02:00:00"))] == 0.0
+    interp = {(r.k, r.bucket): r.value
+              for r in gapfill(df, every="1 hour", by="k", fill="interp").collect()}
+    # 10 at 00h, 40 at 03h -> 20 at 01h, 30 at 02h
+    assert interp[("a", _ts("2024-01-01 01:00:00"))] == 20.0
+    assert interp[("a", _ts("2024-01-01 02:00:00"))] == 30.0
+    null = {(r.k, r.bucket): r.value
+            for r in gapfill(df, every="1 hour", by="k", fill="null").collect()}
+    assert null[("a", _ts("2024-01-01 02:00:00"))] is None
