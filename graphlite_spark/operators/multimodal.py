@@ -5,12 +5,16 @@ columns (or object-store URIs) beside typed metadata structs; all
 decode / feature-extraction runs in Arrow-batched ``mapInPandas`` so
 bytes never round-trip through row-at-a-time Python.
 
-The decode kernels themselves are STUBBED in this container (no
-image/audio libs): each raises NotImplementedError unless
-``deterministic_fake=True``, which produces seeded, content-derived
-fake outputs so the Spark-side plumbing (schemas, batching,
-partitioning) is fully testable. Swapping a real decoder in is a
-one-function change — the Spark plan is identical.
+Decode kernels, by format:
+- REAL (stdlib-only, no external libs): BMP (24/32bpp uncompressed,
+  struct parse) and PNG (zlib inflate + scanline unfilter, 8-bit
+  gray/RGB/RGBA) images; WAV PCM audio (stdlib ``wave`` + numpy rfft
+  log-band spectral features).
+- STUBBED (codec libraries aren't in this container): JPEG/GIF pixels,
+  video frames — NotImplementedError names the gap; pass
+  ``deterministic_fake=True`` for seeded content-derived fakes so the
+  Spark-side plumbing stays testable on arbitrary bytes. Swapping in
+  PIL/librosa/ffmpeg is a one-function change — the plan is identical.
 """
 
 from __future__ import annotations
@@ -71,10 +75,108 @@ FRAME_SAMPLE_SCHEMA = StructType(
 )
 
 
-def _decode_image(content: bytes) -> tuple[int, int, list[float]]:
-    """STUB: real impl would use PIL/opencv (not in this container)."""
+def _unfilter_png(raw: bytes, width: int, height: int, ch: int) -> bytearray:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)."""
+    stride = width * ch
+    out = bytearray(stride * height)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos:pos + stride])
+        pos += stride
+        base = y * stride
+        prev = out[base - stride:base] if y else bytes(stride)
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                b_ = prev[i]
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        out[base:base + stride] = line
+    return out
+
+
+def _gray_embedding(gray: list[float], width: int, height: int, dim: int) -> list[float]:
+    """dim-cell mean-luminance embedding in [0, 1]: the flattened
+    row-major pixel sequence split into dim contiguous chunks."""
+    emb = []
+    n = width * height
+    for k in range(dim):
+        lo, hi = (k * n) // dim, ((k + 1) * n) // dim
+        cells = gray[lo:hi] or [0.0]
+        emb.append(sum(cells) / len(cells))
+    return emb
+
+
+def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
+    """REAL stdlib decode for BMP (24/32bpp uncompressed) and PNG
+    (8-bit gray/RGB/RGBA). JPEG/GIF pixel decode needs external codecs
+    -> NotImplementedError (honest stub)."""
+    import struct
+    import zlib
+
+    content = bytes(content or b"")
+    if content[:2] == b"BM" and len(content) >= 54:
+        off, = struct.unpack_from("<I", content, 10)
+        width, height = struct.unpack_from("<ii", content, 18)
+        bpp, = struct.unpack_from("<H", content, 28)
+        comp, = struct.unpack_from("<I", content, 30)
+        if comp != 0 or bpp not in (24, 32):
+            raise NotImplementedError(f"BMP compression={comp} bpp={bpp} unsupported")
+        top_down = height < 0
+        height = abs(height)
+        nch = bpp // 8
+        stride = ((width * nch + 3) // 4) * 4
+        gray = [0.0] * (width * height)
+        for y in range(height):
+            row = content[off + y * stride: off + y * stride + width * nch]
+            oy = y if top_down else height - 1 - y
+            for x in range(width):
+                b_, g, r = row[x * nch], row[x * nch + 1], row[x * nch + 2]
+                gray[oy * width + x] = (0.299 * r + 0.587 * g + 0.114 * b_) / 255.0
+        return width, height, _gray_embedding(gray, width, height, dim)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        width, height = struct.unpack_from(">II", content, 16)
+        depth, ctype = content[24], content[25]
+        if depth != 8 or ctype not in (0, 2, 6):
+            raise NotImplementedError(f"PNG depth={depth} colortype={ctype} unsupported")
+        ch = {0: 1, 2: 3, 6: 4}[ctype]
+        idat = bytearray()
+        pos = 8
+        while pos + 8 <= len(content):
+            ln, = struct.unpack_from(">I", content, pos)
+            tag = content[pos + 4:pos + 8]
+            if tag == b"IDAT":
+                idat += content[pos + 8:pos + 8 + ln]
+            if tag == b"IEND":
+                break
+            pos += 12 + ln
+        px = _unfilter_png(zlib.decompress(bytes(idat)), width, height, ch)
+        gray = [0.0] * (width * height)
+        for i in range(width * height):
+            if ch == 1:
+                gray[i] = px[i] / 255.0
+            else:
+                r, g, b_ = px[i * ch], px[i * ch + 1], px[i * ch + 2]
+                gray[i] = (0.299 * r + 0.587 * g + 0.114 * b_) / 255.0
+        return width, height, _gray_embedding(gray, width, height, dim)
     raise NotImplementedError(
-        "image decode requires an imaging library; pass deterministic_fake=True"
+        "only BMP/PNG decode without external codecs; JPEG/GIF need an "
+        "imaging library — pass deterministic_fake=True for plumbing tests"
     )
 
 
@@ -111,7 +213,7 @@ def image_features(
                 if deterministic_fake:
                     w, h, emb = _fake_image_features(content, embedding_dim)
                 else:
-                    w, h, emb = _decode_image(content)  # pragma: no cover
+                    w, h, emb = _decode_image(content, embedding_dim)
                 out["asset_id"].append(aid)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -131,6 +233,111 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
+def _decode_audio(content: bytes, n_bands: int) -> tuple[int, int, list[float]]:
+    """REAL stdlib WAV decode: 16-bit PCM via ``wave``, then an
+    n_bands log-energy spectrum over the mono signal (numpy rfft) —
+    MFCC-shaped band energies (true MFCC's mel filterbank + DCT needs
+    librosa; documented divergence). Non-WAV content ->
+    NotImplementedError."""
+    import io
+    import struct
+    import wave
+
+    content = bytes(content or b"")
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only WAV PCM decodes without an audio library; pass "
+            "deterministic_fake=True for plumbing tests"
+        )
+    with wave.open(io.BytesIO(content)) as w:
+        rate, nch, sw, nframes = (
+            w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()
+        )
+        if sw != 2:
+            raise NotImplementedError(f"WAV sample width {sw} unsupported (16-bit only)")
+        pcm = w.readframes(nframes)
+    import numpy as np
+
+    sig = np.frombuffer(pcm, dtype="<i2").astype("float64")
+    if nch > 1:
+        sig = sig.reshape(-1, nch).mean(axis=1)
+    duration_ms = int(round(len(sig) / rate * 1000))
+    if len(sig) == 0:
+        return rate, 0, [0.0] * n_bands
+    spec = np.abs(np.fft.rfft(sig)) ** 2
+    bands = []
+    n = len(spec)
+    for k in range(n_bands):
+        lo, hi = (k * n) // n_bands, max(((k + 1) * n) // n_bands, (k * n) // n_bands + 1)
+        bands.append(float(np.log10(spec[lo:hi].mean() + 1.0)))
+    return rate, duration_ms, bands
+
+
+def synth_bmp(width: int, height: int, pixel) -> bytes:
+    """Tiny 24bpp BMP writer for tests: pixel(x, y) -> (r, g, b)."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    px = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            row += bytes((b, g, r))
+        row += bytes(stride - len(row))
+        px += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(px), 0, 0, 0, 0)
+    return bytes(header + dib + px)
+
+
+def synth_png(width: int, height: int, pixel) -> bytes:
+    """Tiny 8-bit RGB PNG writer for tests: pixel(x, y) -> (r, g, b)."""
+    import struct
+    import zlib
+
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter None
+        for x in range(width):
+            raw += bytes(pixel(x, y))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_wav(rate: int = 16000, freq: float = 440.0, ms: int = 250) -> bytes:
+    """Tiny 16-bit mono PCM sine-wave WAV for tests."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(rate * ms / 1000)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(20000 * math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
 def _fake_audio_features(content: Optional[bytes], n_mfcc: int):
     import hashlib
 
@@ -145,10 +352,12 @@ def audio_features(
     deterministic_fake: bool = False,
     n_mfcc: int = 13,
 ) -> DataFrame:
-    """Decode + feature-extract audio assets (MFCC-shaped vector) via
-    Arrow-batched mapInPandas — same plumbing contract as
-    image_features: column-pruned input, partition-parallel, swap the
-    stub kernel for librosa/torchaudio without touching the plan."""
+    """Decode + feature-extract audio assets (MFCC-shaped band-energy
+    vector) via Arrow-batched mapInPandas — same plumbing contract as
+    image_features: column-pruned input, partition-parallel. WAV PCM
+    decodes for REAL (stdlib wave + numpy rfft; sample rate and
+    duration come from the container, not metadata); other codecs need
+    librosa/torchaudio and raise unless deterministic_fake=True."""
     pruned = assets.select(
         "asset_id", "content", F.col("meta.duration_ms").alias("duration_ms")
     )
@@ -161,12 +370,10 @@ def audio_features(
             for aid, content, dur in zip(
                 pdf["asset_id"], pdf["content"], pdf["duration_ms"]
             ):
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "audio decode requires an audio library; "
-                        "pass deterministic_fake=True"
-                    )  # pragma: no cover
-                rate, mfcc = _fake_audio_features(content, n_mfcc)
+                if deterministic_fake:
+                    rate, mfcc = _fake_audio_features(content, n_mfcc)
+                else:
+                    rate, dur, mfcc = _decode_audio(content, n_mfcc)
                 out["asset_id"].append(aid)
                 out["sample_rate"].append(rate)
                 out["duration_ms"].append(dur)

@@ -355,3 +355,51 @@ def test_idempotent_parquet_sink(spark, events_stream_dir, tmp_path):
     writer = idempotent_parquet_sink(out)
     writer(batch.select("event_id", "event_type"), 0)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_real_bmp_png_decode(spark):
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, image_features, synth_bmp, synth_png,
+    )
+
+    # left half black, right half white -> embedding ramps 0 -> 1
+    def pixel(x, y):
+        v = 255 if x >= 4 else 0
+        return (v, v, v)
+
+    rows = [
+        (0, "image", bytearray(synth_bmp(8, 4, pixel)), None, (8, 4, None, "bmp")),
+        (1, "image", bytearray(synth_png(8, 4, pixel)), None, (8, 4, None, "png")),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r.asset_id: r for r in image_features(assets).collect()}
+    for aid in (0, 1):
+        r = got[aid]
+        assert (r.width, r.height) == (8, 4)
+        assert len(r.embedding) == 8
+        # flattened row-major chunks: each chunk is half a row, so the
+        # black left / white right halves alternate exactly
+        assert r.embedding == pytest.approx([0, 1, 0, 1, 0, 1, 0, 1], abs=0.01)
+    # BMP and PNG decode to the SAME pixels -> identical embeddings
+    assert got[0].embedding == pytest.approx(got[1].embedding)
+
+
+def test_real_wav_decode(spark):
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, audio_features, synth_wav,
+    )
+
+    # 440 Hz sine at 16 kHz for 250 ms
+    wav = synth_wav(rate=16000, freq=440.0, ms=250)
+    assets = spark.createDataFrame(
+        [(0, "audio", bytearray(wav), None, (None, None, None, "wav"))],
+        ASSET_SCHEMA,
+    )
+    r = audio_features(assets, n_mfcc=13).collect()[0]
+    assert r.sample_rate == 16000
+    assert r.duration_ms == 250
+    assert len(r.mfcc) == 13
+    # 440 Hz of an 8 kHz spectrum lands in the lowest of 13 bands —
+    # the fundamental must dominate every other band's energy
+    assert r.mfcc[0] == max(r.mfcc)
+    assert r.mfcc[0] > r.mfcc[6] + 2  # orders of magnitude in log10
