@@ -153,6 +153,43 @@ class GraphLiteSpark:
             self._plan_cache[key] = df
         return df
 
+    # -- validation / analysis (query_coordinator.rs:604-781) -------------
+    def validate(self, gql: str) -> None:
+        """Parse-only validation: raises ParseError without executing
+        (query_coordinator.rs:604 validate_query)."""
+        from .gql import statements as S
+
+        for part in S.split_next_chain(gql):
+            S.parse_statement(part)
+
+    def is_valid(self, gql: str) -> bool:
+        """query_coordinator.rs:634 is_valid_query."""
+        try:
+            self.validate(gql)
+            return True
+        except Exception:
+            return False
+
+    def analyze(self, gql: str) -> dict:
+        """Statement-type classification without execution
+        (query_coordinator.rs:660 analyze_query). Returns
+        {'query_type': ..., 'read_only': bool, 'statements': n}."""
+        from .gql import statements as S
+
+        parts = S.split_next_chain(gql)
+        stmt = S.parse_statement(parts[0])
+        cls = type(stmt).__name__
+        name = cls[:-4] if cls.endswith("Stmt") else cls
+        if isinstance(stmt, S.MatchMutateStmt):
+            name = "Match" + stmt.action.replace("_", " ").title().replace(" ", "")
+        elif isinstance(stmt, S.UserRoleStmt):
+            name = f"{stmt.action.capitalize()}{stmt.kind.capitalize()}"
+        read_only = isinstance(
+            stmt, (S.QueryStmt, S.CallStmt, S.ExplainStmt)
+        )
+        return {"query_type": name, "read_only": read_only,
+                "statements": len(parts)}
+
     def clear_plan_cache(self) -> None:
         """Drop cached compiled plans (gql.clear_cache analogue) and
         unpersist result-cache materializations. Called automatically on
@@ -629,6 +666,49 @@ class GraphLiteSpark:
             if not rows:
                 return self.spark.createDataFrame(
                     [], "node_type string, property string, dtype string")
+        elif name == "gql.list_edge_types":
+            # introspection/queries.rs:94 ListEdgeTypes (roadmap-stubbed
+            # there; answered from the live graph here)
+            g = self.graph()
+            rows = [
+                Row(edge_type=t, src_label=g.edge_type(t).src_label,
+                    dst_label=g.edge_type(t).dst_label)
+                for t in g.edge_labels()
+            ]
+            if not rows:
+                return self.spark.createDataFrame(
+                    [], "edge_type string, src_label string, dst_label string")
+        elif name == "gql.describe_edge_type":
+            g = self.graph()
+            t = stmt.args[0].value if stmt.args else ""
+            et = g.edge_type(t)
+            rows = [Row(edge_type=t, property=c, dtype=ty)
+                    for c, ty in et.df.dtypes if c not in ("_src", "_dst")]
+            if not rows:
+                return self.spark.createDataFrame(
+                    [], "edge_type string, property string, dtype string")
+        elif name == "gql.describe_graph_type":
+            # introspection/queries.rs:89 DescribeGraphType: one row per
+            # declared element with its endpoint labels and property list
+            tname = stmt.args[0].value if stmt.args else ""
+            spec = self._graph_types.get(tname)
+            if spec is None:
+                raise CatalogError(f"unknown graph type {tname!r}")
+            rows = [
+                Row(graph_type=tname, kind="node", label=lbl,
+                    src_label=None, dst_label=None,
+                    properties=", ".join(f"{k} {v}" for k, v in sorted(ns.properties.items())))
+                for lbl, ns in sorted(spec.nodes.items())
+            ] + [
+                Row(graph_type=tname, kind="edge", label=t,
+                    src_label=es.src_label, dst_label=es.dst_label,
+                    properties=", ".join(f"{k} {v}" for k, v in sorted(es.properties.items())))
+                for t, es in sorted(spec.edges.items())
+            ]
+            if not rows:
+                return self.spark.createDataFrame(
+                    [], "graph_type string, kind string, label string, "
+                        "src_label string, dst_label string, properties string")
         elif name == "gql.graph_stats":
             g = self.graph(stmt.args[0].value if stmt.args else None)
             rows = [

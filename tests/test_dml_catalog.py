@@ -280,6 +280,17 @@ def test_graph_type_enforcement(spark):
     )
     types = [r.graph_type_name for r in db.execute("CALL gql.list_graph_types()").collect()]
     assert types == ["social_t"]
+    # introspection over the declared type and the live graph
+    desc = {(r.kind, r.label): r for r in
+            db.execute("CALL gql.describe_graph_type('social_t')").collect()}
+    assert desc[("node", "Person")].properties == "age INTEGER, name STRING"
+    assert desc[("edge", "KNOWS")].src_label == "Person"
+    ets = {r.edge_type: (r.src_label, r.dst_label) for r in
+           db.execute("CALL gql.list_edge_types()").collect()}
+    assert ets["KNOWS"] == ("Person", "Person")
+    props = {r.property for r in
+             db.execute("CALL gql.describe_edge_type('KNOWS')").collect()}
+    assert "since" in props
     db.execute("DROP GRAPH TYPE social_t")
 
 

@@ -104,3 +104,26 @@ def test_plan_cache_hit_and_invalidation(spark):
     d3 = db.query(q)
     assert d3 is not d1
     assert d3.collect()[0][0] == 3
+
+
+def test_validate_is_valid_analyze(spark):
+    # query_coordinator.rs:604-781 validate/is_valid/analyze surface
+    from graphlite_spark import GraphLiteSpark
+    from graphlite_spark.gql.parser import ParseError
+
+    db = GraphLiteSpark(spark)
+    db.validate("MATCH (n:X) RETURN n.a AS a")  # no graph needed
+    assert db.is_valid("MATCH (n:X) RETURN count(*) AS n")
+    assert not db.is_valid("MATCH (n:X RETURN 1")
+    with pytest.raises(ParseError):
+        db.validate("MATCH (n:X RETURN 1")
+    a = db.analyze("MATCH (n:X) RETURN n.a AS a")
+    assert a == {"query_type": "Query", "read_only": True, "statements": 1}
+    a = db.analyze("INSERT (:P {k: 1})")
+    assert a["query_type"] == "Insert" and not a["read_only"]
+    a = db.analyze("MATCH (p:P) SET p.k = 2")
+    assert a["query_type"] == "MatchSet" and not a["read_only"]
+    a = db.analyze("CREATE USER bob")
+    assert a["query_type"] == "CreateUser"
+    a = db.analyze("MATCH (p:P) RETURN p.k AS k NEXT MATCH (q:P) RETURN q.k AS k")
+    assert a["statements"] == 2
