@@ -157,14 +157,38 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.size("_shingles").alias("sz"),
     ).localCheckpoint(eager=False)
     sh = hbase.select(F.col(id_col), "sz", F.explode("_hs").alias("_sh"))
-    # document frequency via an unordered count window: one shuffle of
-    # the postings by shingle (a groupBy + join-back would shuffle them
-    # twice). Rarest-first global order (df, hash) then ranks per doc:
-    # hot stop-shingles sort last and fall out of every prefix — the
-    # index skew killer.
-    ranked = sh.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("_sh"))
-    ).withColumn(
+    # The prefix filter is EXACT under any consistent global shingle
+    # order — rarest-first is purely a performance heuristic — so the
+    # frequency source is a size-based physical choice, the same way the
+    # reference picks IndexedExpand vs HashExpand by input size
+    # (plan/operators/physical.rs:543-567):
+    # - small corpus: unordered count window — ONE shuffle of the
+    #   postings, and a hot shingle's window partition is trivially
+    #   sized at this scale.
+    # - large corpus: a BROADCAST top-K hot-shingle list from a
+    #   deterministic sample — the sampled groupBy partial-aggregates
+    #   map-side (skew-immune), the broadcast is K rows, cost is
+    #   independent of corpus size, and no stage gathers a hot
+    #   shingle's postings into one un-splittable window partition
+    #   (AQE can split the skewed candidate JOIN; it cannot split a
+    #   window). The K hottest stop-shingles still sort last and fall
+    #   out of every prefix — the index skew killer.
+    if df.rdd.getNumPartitions() <= 64:  # ~<=8 GB at 128 MB splits
+        ranked = sh.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("_sh"))
+        )
+    else:
+        hot = (
+            sh.sample(fraction=0.01, seed=7)
+            .groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .orderBy(F.desc("_df"), "_sh")
+            .limit(4096)
+        )
+        ranked = sh.join(F.broadcast(hot), "_sh", "left").withColumn(
+            "_df", F.coalesce("_df", F.lit(0))
+        )
+    ranked = ranked.withColumn(
         "_rn",
         F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "_sh")),
     )

@@ -186,6 +186,21 @@ def test_jaccard_prefix_filter_matches_naive(docs):
     assert ppj == naive and len(naive) >= 2
 
 
+def test_jaccard_ppjoin_rank_branches_agree(docs):
+    # the size-based frequency-source choice (count window vs sampled
+    # broadcast hot-list) must not change results: prefix filtering is
+    # exact under any consistent global order. Repartitioning wide
+    # forces the broadcast-hot branch (>64 input partitions).
+    from graphlite_spark.operators.dedup import ngram_jaccard_pairs
+
+    small = {(r.id_a, r.id_b, r.jaccard) for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True).collect()}
+    wide = {(r.id_a, r.id_b, r.jaccard) for r in
+            ngram_jaccard_pairs(docs.repartition(100), n=3, threshold=0.5,
+                                words=True).collect()}
+    assert wide == small and len(small) >= 2
+
+
 def test_salted_join_equals_plain_join(spark):
     from graphlite_spark.operators.skew import hybrid_skew_join, salted_join, top_keys
 
