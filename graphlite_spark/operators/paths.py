@@ -410,12 +410,12 @@ def label_propagation(
     operation set.
 
     Scale shape per round: one vote groupBy on (node, label) with
-    map-side partial counts, one row_number window for the argmax, one
-    left join back — all keyed on node id, lineage cut with lazy
-    localCheckpoint. No driver barriers.
+    map-side partial counts, then a max_by AGGREGATE for the argmax —
+    partial-aggregated map-side, so a celebrity node's votes never
+    gather into one un-splittable window partition — and one left join
+    back, all keyed on node id, lineage cut with lazy localCheckpoint.
+    No driver barriers.
     """
-    from pyspark.sql import Window
-
     id_col = nodes.columns[0]
     lo, hi = F.least(F.col(SRC), F.col(DST)), F.greatest(F.col(SRC), F.col(DST))
     canon = (
@@ -429,17 +429,23 @@ def label_propagation(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
     )
-    w = Window.partitionBy("_a").orderBy(F.desc("n"), F.asc("label"))
     for _ in range(num_iter):
         votes = (
             und.join(labels, und["_b"] == labels["node"], "inner")
             .groupBy("_a", "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
+        # argmax by (n desc, label asc) as one combinable aggregate:
+        # max of struct(n, -label) picks the highest count, ties to the
+        # smallest label (ids are positive longs, so -label is safe)
         best = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("_a").alias("node"), F.col("label").alias("_new"))
+            votes.groupBy("_a")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("n"), (-F.col("label")).alias("_t"))
+                ).alias("_new")
+            )
+            .select(F.col("_a").alias("node"), "_new")
         )
         labels = (
             labels.join(best, "node", "left")
