@@ -866,6 +866,17 @@ def _q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("bucket", "event_type", F.round("value", 3).alias("value"))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair finder -> transitive closure -> canonical representative:
+    the full near-dup curation pipeline as one composition (pairs from
+    exact PPJoin Jaccard, clusters via hash-min connected components)."""
+    from graphlite_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True)
+    return dedup_clusters(docs, pairs)
+
+
 def _q_streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming_exact_dedup's batch fallback (same operator object a
     readStream pipeline uses; the stream path is covered by
@@ -1453,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ngram_jaccard_pairs": _q_jaccard_pairs,
             "ngram_jaccard_inverted": _q_jaccard_inverted,
             "streaming_dedup_batch": _q_streaming_dedup_batch,
+            "dedup_clusters_canonical": _q_dedup_clusters,
             "gapfill_hourly_locf": _q_gapfill_hourly,
             "label_propagation_2iter": _q_label_propagation,
             "minhash_lsh_pairs": _q_minhash_lsh,
@@ -1875,6 +1887,41 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_batch": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY lower(trim(text))
+        """,
+        "dedup_clusters_canonical": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                                             i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT i.id_a, i.id_b FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+            ), e AS (
+                SELECT id_a AS a, id_b AS b FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), reach(a, b) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+            ), comp AS (
+                SELECT a AS node, least(a, min(b)) AS canonical
+                FROM reach GROUP BY a
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(c.canonical, d.doc_id) AS BIGINT) AS canonical_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         "gapfill_hourly_locf": """
             WITH per AS (

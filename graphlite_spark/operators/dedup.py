@@ -414,3 +414,41 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, canonical_id): collapse near-duplicate PAIRS into
+    CLUSTERS — the step a curation pipeline runs after any pair finder
+    (ngram_jaccard_pairs / minhash_lsh_pairs / simhash_pairs /
+    cosine_dup_pairs): near-dup similarity is not transitive, so "keep
+    one per pair" under-deletes; the canonical representative must come
+    from the transitive closure.
+
+    canonical_id = min doc id in each pair-connected component
+    (operators.paths.connected_components: hash-min + pointer jumping,
+    O(log diameter) rounds); documents in no pair are their own
+    canonical. ``pairs`` needs columns (id_a, id_b). Keep the corpus:
+    ``df.filter(doc_id == canonical_id)``; count survivors:
+    ``out.select('canonical_id').distinct()``.
+    """
+    from .paths import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
+    nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    comp = connected_components(edges, nodes)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("comp", F.col(id_col)).alias("canonical_id"),
+        )
+    )

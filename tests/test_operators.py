@@ -306,3 +306,16 @@ def test_pack_documents_bins(spark):
     df2 = df.withColumn("g", (F.col("doc_id") % 2))
     out2 = pack_documents(df2, capacity=1000, by="g").collect()
     assert {(r.g, r.bin) for r in out2} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_dedup_clusters_transitive(spark):
+    # near-dup similarity is not transitive: A~B, B~C but A!~C must
+    # still collapse into ONE cluster with canonical = min id
+    from graphlite_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id: long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (0, 4)], "id_a: long, id_b: long"
+    )
+    got = {r.doc_id: r.canonical_id for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0, 5: 1}
