@@ -866,6 +866,23 @@ def _q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("bucket", "event_type", F.round("value", 3).alias("value"))
 
 
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization audit: per-vector element-sum/max of
+    the quantized codes plus the scale — fully deterministic (explicit
+    half-up rounding), so the oracle reproduces it bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_max("qvec").cast("long").alias("q_max"),
+        F.round("scale", 9).alias("scale"),
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair finder -> transitive closure -> canonical representative:
     the full near-dup curation pipeline as one composition (pairs from
@@ -1465,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ngram_jaccard_inverted": _q_jaccard_inverted,
             "streaming_dedup_batch": _q_streaming_dedup_batch,
             "dedup_clusters_canonical": _q_dedup_clusters,
+            "quantize_embeddings_audit": _q_quantize_embeddings,
             "gapfill_hourly_locf": _q_gapfill_hourly,
             "label_propagation_2iter": _q_label_propagation,
             "minhash_lsh_pairs": _q_minhash_lsh,
@@ -1887,6 +1905,25 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_batch": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY lower(trim(text))
+        """,
+        "quantize_embeddings_audit": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings
+            ), s AS (
+                SELECT vec_id, emb,
+                       CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+                            THEN list_max(list_transform(emb, x -> abs(x))) / 127.0
+                            ELSE 1.0 END AS scale
+                FROM v
+            )
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(emb,
+                        x -> CAST(floor(x / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+                   CAST(list_max(list_transform(emb,
+                        x -> CAST(floor(x / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_max,
+                   round(scale, 9) AS scale
+            FROM s
         """,
         "dedup_clusters_canonical": """
             WITH RECURSIVE toks AS (

@@ -300,3 +300,29 @@ def lsh_ann_topk(
             F.round("_score", 6).alias("score"),
         )
     )
+
+
+def quantize_embeddings(
+    items: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, qvec array<int> in [-127, 127], scale double): symmetric
+    int8 quantization — the 4x embedding-storage compression step a
+    training/retrieval pipeline applies before indexing. Entirely
+    map-side (transform lambdas, whole-stage codegen; no shuffle).
+
+    scale = max|v| / 127; elements round via floor(x/scale + 0.5)
+    (explicit half-up — F.round's and other engines' tie-breaking
+    differ, this form is deterministic everywhere). Cosine is
+    scale-invariant, so quantized cosine = cosine over qvec directly —
+    no dequantization pass; see dequantized_cosine_error test for the
+    accuracy envelope.
+    """
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    return items.select(
+        F.col(id_col), q.alias("qvec"), scale.alias("scale")
+    )

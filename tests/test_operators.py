@@ -319,3 +319,40 @@ def test_dedup_clusters_transitive(spark):
     )
     got = {r.doc_id: r.canonical_id for r in dedup_clusters(docs, pairs).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
+def test_quantize_embeddings_cosine_preserved(spark):
+    import math
+    import random
+
+    from graphlite_spark.operators.similarity import cosine, quantize_embeddings
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    items = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(20)],
+        "vec_id: long, embedding: array<double>",
+    )
+    q = quantize_embeddings(items)
+    rows = {r.vec_id: r for r in q.collect()}
+    orig = {r.vec_id: r.embedding for r in items.collect()}
+    for i, r in rows.items():
+        assert all(-127 <= x <= 127 for x in r.qvec)
+        # round-trip error bounded by scale/2 per element
+        for x, qx in zip(orig[i], r.qvec):
+            assert abs(x - qx * r.scale) <= r.scale / 2 + 1e-12
+    # cosine is scale-invariant: quantized cosine tracks exact cosine
+    a = items.selectExpr("vec_id AS id_a", "embedding AS va")
+    b = items.selectExpr("vec_id AS id_b", "embedding AS vb")
+    exact = {(r.id_a, r.id_b): r.c for r in
+             a.crossJoin(b).filter("id_a < id_b")
+             .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("c"))
+             .collect()}
+    qa = q.selectExpr("vec_id AS id_a", "CAST(qvec AS array<double>) AS va")
+    qb = q.selectExpr("vec_id AS id_b", "CAST(qvec AS array<double>) AS vb")
+    approx = {(r.id_a, r.id_b): r.c for r in
+              qa.crossJoin(qb).filter("id_a < id_b")
+              .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("c"))
+              .collect()}
+    worst = max(abs(exact[k] - approx[k]) for k in exact)
+    assert worst < 0.02
