@@ -43,6 +43,11 @@ class GraphLiteSpark:
     DataFrames; DML/DDL return a status dict.
     """
 
+    # plan-cache capacity (reference PlanCache max_entries,
+    # cache/plan_cache.rs:111); result-cache persists ride plan-cache
+    # entries and are unpersisted on eviction
+    PLAN_CACHE_MAX = 256
+
     def __init__(self, spark: SparkSession, catalog_root: Optional[str] = None):
         self.spark = spark
         self.catalog = GraphCatalog(spark, catalog_root)
@@ -80,7 +85,11 @@ class GraphLiteSpark:
         # the block manager instead of recomputing — same invalidation
         # path as the plan cache (any write clears + unpersists).
         self._result_cache_on = False
-        self._persisted: "list[DataFrame]" = []
+        # plan-cache-key -> persisted DataFrame; unpersisted on plan-
+        # cache eviction (LRU) so evicted plans don't leak storage-
+        # memory blocks — the analogue of the reference result cache's
+        # max_entries LRU eviction (cache/result_cache.rs:151-164)
+        self._persisted: "dict[tuple, DataFrame]" = {}
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "GraphLiteSpark":
@@ -144,12 +153,22 @@ class GraphLiteSpark:
         if graph is not None:
             graph = self._qualify(graph)
         df = QueryCompiler(self.graph(graph), params).compile(ast)
-        if self._result_cache_on:
-            df = df.persist()
-            self._persisted.append(df)
         if key is not None:
-            if len(self._plan_cache) >= 256:  # bounded, drop oldest
-                self._plan_cache.pop(next(iter(self._plan_cache)))
+            # result cache only materializes plan-cache-able queries:
+            # an unhashable-params query can never be served from the
+            # cache, so persisting it would only pin dead blocks
+            if self._result_cache_on:
+                df = df.persist()
+                self._persisted[key] = df
+            if len(self._plan_cache) >= self.PLAN_CACHE_MAX:  # drop oldest
+                evicted = next(iter(self._plan_cache))
+                self._plan_cache.pop(evicted)
+                ev_df = self._persisted.pop(evicted, None)
+                if ev_df is not None:
+                    try:
+                        ev_df.unpersist()
+                    except Exception:
+                        pass
             self._plan_cache[key] = df
         return df
 
@@ -184,8 +203,12 @@ class GraphLiteSpark:
             name = "Match" + stmt.action.replace("_", " ").title().replace(" ", "")
         elif isinstance(stmt, S.UserRoleStmt):
             name = f"{stmt.action.capitalize()}{stmt.kind.capitalize()}"
+        # the reference's analyze_query also treats SESSION SET / RESET
+        # as read-only (query_coordinator.rs:745-753) — session state
+        # changes are not graph writes
         read_only = isinstance(
-            stmt, (S.QueryStmt, S.CallStmt, S.ExplainStmt)
+            stmt, (S.QueryStmt, S.CallStmt, S.ExplainStmt,
+                   S.SessionSetStmt, S.SessionResetStmt),
         )
         return {"query_type": name, "read_only": read_only,
                 "statements": len(parts)}
@@ -196,7 +219,7 @@ class GraphLiteSpark:
         any write-path statement; call manually after mutating a
         registered PropertyGraph directly."""
         self._plan_cache.clear()
-        for df in self._persisted:
+        for df in self._persisted.values():
             try:
                 df.unpersist()
             except Exception:
@@ -368,7 +391,7 @@ class GraphLiteSpark:
             elif stmt.kind == "RESULT_CACHE":
                 self._result_cache_on = bool(stmt.value)
                 if not stmt.value:
-                    for df in self._persisted:
+                    for df in self._persisted.values():
                         try:
                             df.unpersist()
                         except Exception:
@@ -710,17 +733,34 @@ class GraphLiteSpark:
                     [], "graph_type string, kind string, label string, "
                         "src_label string, dst_label string, properties string")
         elif name == "gql.graph_stats":
+            # ONE Spark job: union every label table projected to two
+            # literal columns (the scans are column-pruned to nothing),
+            # then a single partial-aggregating groupBy — instead of N
+            # serial driver-launched .count() jobs on an N-label graph.
+            from pyspark.sql import functions as F
+
             g = self.graph(stmt.args[0].value if stmt.args else None)
-            rows = [
-                Row(kind="node", label=lbl, n=g.nodes_for_label(lbl).count())
-                for lbl in g.node_labels()
+            parts = [
+                df.select(F.lit("node").alias("kind"), F.lit(lbl).alias("label"))
+                for lbl, df in sorted(g.nodes.items())
             ] + [
-                Row(kind="edge", label=et.name, n=et.df.count())
-                for et in g.edges.values()
+                et.df.select(F.lit("edge").alias("kind"), F.lit(t).alias("label"))
+                for t, et in sorted(g.edges.items())
             ]
-            if not rows:
+            if not parts:
                 return self.spark.createDataFrame(
                     [], "kind string, label string, n long")
+            u = parts[0]
+            for part in parts[1:]:
+                u = u.unionByName(part)
+            return (
+                u.groupBy("kind", "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+                # node rows before edge rows, labels alphabetical — the
+                # same presentation order the reference's introspection
+                # queries emit
+                .orderBy(F.desc("kind"), "label")
+            )
         elif name == "gql.sample_data":
             g = self.graph()
             lbl = stmt.args[0].value if stmt.args else g.node_labels()[0]

@@ -144,8 +144,9 @@ def main(argv=None) -> int:
     p.add_argument("--ast", action="store_true", help="print the parsed AST and exit")
     p.add_argument("--explain", action="store_true",
                    help="print the execution plan instead of rows")
-    p.add_argument("--limit", type=int, default=0,
-                   help="cap rows collected to the driver (0 = no cap)")
+    p.add_argument("--limit", type=int, default=1000,
+                   help="cap rows collected to the driver "
+                        "(default 1000; 0 = no cap)")
     args = p.parse_args(argv)
 
     db = _build_db(args)

@@ -94,10 +94,23 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate for ``df`` — derived from
+    input-file sizes for file scans (and actual bytes for local
+    relations), so it is repartition-insensitive and launches no job.
+    Falls back to "huge" when the JVM handle is unavailable, which
+    selects the scale-safe physical strategy."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 60
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.6, words: bool = True,
-                        prefix_filter: bool = True) -> DataFrame:
+                        prefix_filter: bool = True,
+                        frequency_strategy: str | None = None) -> DataFrame:
     """Exact Jaccard-similar pairs (id_a < id_b, jaccard >= threshold).
 
     Two exact strategies, same results:
@@ -173,7 +186,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     #   (AQE can split the skewed candidate JOIN; it cannot split a
     #   window). The K hottest stop-shingles still sort last and fall
     #   out of every prefix — the index skew killer.
-    if df.rdd.getNumPartitions() <= 64:  # ~<=8 GB at 128 MB splits
+    # Physical choice by estimated INPUT BYTES (Catalyst plan stats —
+    # file sizes for scans), not partition count: a repartition() must
+    # not flip the strategy, and the estimate costs no job. Explicit
+    # override via frequency_strategy='window'|'broadcast'.
+    if frequency_strategy is None:
+        frequency_strategy = (
+            "window" if _plan_size_bytes(df) <= 8 << 30 else "broadcast"
+        )
+    if frequency_strategy not in ("window", "broadcast"):
+        raise ValueError(
+            f"frequency_strategy must be 'window' or 'broadcast', "
+            f"got {frequency_strategy!r}"
+        )
+    if frequency_strategy == "window":
         ranked = sh.withColumn(
             "_df", F.count("*").over(Window.partitionBy("_sh"))
         )

@@ -32,6 +32,16 @@ def test_cli_one_shot_formats(spark, capsys):
         assert probe in out and "AMERICA" in out
 
 
+def test_cli_default_collect_cap(spark, capsys):
+    # driver-safety: an un-LIMITed query collects at most the default
+    # --limit 1000 rows; --limit 0 is the explicit no-cap escape hatch
+    q = "MATCH (o:Order) RETURN o.o_orderkey AS k"
+    assert main([q, "--data", DATA, "--format", "csv"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 1 + 1000
+    assert main([q, "--data", DATA, "--format", "csv", "--limit", "0"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) > 1 + 1000
+
+
 def test_cli_ast_and_status(spark, capsys):
     assert main([Q, "--data", DATA, "--ast"]) == 0
     assert "MatchClause" in capsys.readouterr().out

@@ -629,6 +629,31 @@ def test_result_cache_toggle_and_invalidation(spark):
     assert not df3.storageLevel.useMemory
 
 
+def test_result_cache_unpersists_on_plan_cache_eviction(spark, monkeypatch):
+    # cache/result_cache.rs:151-164 LRU analogue: when the plan cache
+    # evicts an entry, its persisted blocks must leave the block manager
+    # (a long read-only session must not grow storage memory unbounded)
+    from graphlite_spark import GraphLiteSpark
+
+    monkeypatch.setattr(GraphLiteSpark, "PLAN_CACHE_MAX", 2)
+    db = GraphLiteSpark(spark)
+    db.execute("CREATE GRAPH /default/rcevict")
+    db.execute("SESSION SET GRAPH /default/rcevict")
+    db.execute("INSERT (:P {k: 1})")
+    db.execute("SESSION SET RESULT_CACHE ON")
+    # NB: the three queries must not be same-result plans — Spark's
+    # cache manager canonicalizes away aliases, so alias-only variants
+    # would share one cache entry
+    d1 = db.query("MATCH (p:P) WHERE p.k > 0 RETURN count(*) AS n1")
+    d2 = db.query("MATCH (p:P) WHERE p.k > -1 RETURN count(*) AS n2")
+    assert d1.storageLevel.useMemory and d2.storageLevel.useMemory
+    d3 = db.query("MATCH (p:P) WHERE p.k > -2 RETURN count(*) AS n3")  # evicts d1
+    assert not d1.storageLevel.useMemory  # unpersisted on eviction
+    assert d2.storageLevel.useMemory and d3.storageLevel.useMemory
+    assert len(db._persisted) == 2
+    db.execute("SESSION SET RESULT_CACHE OFF")
+
+
 def test_duplicate_insert_dedup_and_warning(spark):
     # duplicate_insert_test.rs / duplicate_edge_warning_test.rs: identical
     # content re-INSERT is skipped (content-hash identity), warns, and

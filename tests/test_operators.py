@@ -189,16 +189,26 @@ def test_jaccard_prefix_filter_matches_naive(docs):
 def test_jaccard_ppjoin_rank_branches_agree(docs):
     # the size-based frequency-source choice (count window vs sampled
     # broadcast hot-list) must not change results: prefix filtering is
-    # exact under any consistent global order. Repartitioning wide
-    # forces the broadcast-hot branch (>64 input partitions).
+    # exact under any consistent global order. Both branches are pinned
+    # explicitly on the SAME data via frequency_strategy; auto mode is
+    # bytes-based (Catalyst plan stats), so a repartition() must NOT
+    # flip the physical strategy or the results.
+    import pytest
+
     from graphlite_spark.operators.dedup import ngram_jaccard_pairs
 
-    small = {(r.id_a, r.id_b, r.jaccard) for r in
-             ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True).collect()}
-    wide = {(r.id_a, r.id_b, r.jaccard) for r in
-            ngram_jaccard_pairs(docs.repartition(100), n=3, threshold=0.5,
-                                words=True).collect()}
-    assert wide == small and len(small) >= 2
+    win = {(r.id_a, r.id_b, r.jaccard) for r in
+           ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True,
+                               frequency_strategy="window").collect()}
+    bc = {(r.id_a, r.id_b, r.jaccard) for r in
+          ngram_jaccard_pairs(docs, n=3, threshold=0.5, words=True,
+                              frequency_strategy="broadcast").collect()}
+    auto_wide = {(r.id_a, r.id_b, r.jaccard) for r in
+                 ngram_jaccard_pairs(docs.repartition(100), n=3, threshold=0.5,
+                                     words=True).collect()}
+    assert bc == win and auto_wide == win and len(win) >= 2
+    with pytest.raises(ValueError, match="frequency_strategy"):
+        ngram_jaccard_pairs(docs, frequency_strategy="bogus")
 
 
 def test_salted_join_equals_plain_join(spark):

@@ -127,3 +127,6 @@ def test_validate_is_valid_analyze(spark):
     assert a["query_type"] == "CreateUser"
     a = db.analyze("MATCH (p:P) RETURN p.k AS k NEXT MATCH (q:P) RETURN q.k AS k")
     assert a["statements"] == 2
+    # session statements are read-only (query_coordinator.rs:745-753)
+    assert db.analyze("SESSION SET GRAPH /default/g")["read_only"]
+    assert db.analyze("SESSION RESET ALL")["read_only"]
