@@ -75,59 +75,107 @@ FRAME_SAMPLE_SCHEMA = StructType(
 )
 
 
-def _unfilter_png(raw: bytes, width: int, height: int, ch: int) -> bytearray:
-    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)."""
+def _unfilter_png(raw: bytes, width: int, height: int, ch: int):
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth).
+
+    Vectorized with numpy per scanline: None/Up are whole-row ops, Sub
+    is a per-channel-lane cumulative sum (mod 256); Average and Paeth
+    predict from the reconstructed left neighbor, so they are
+    inherently sequential along the row — those rows iterate per PIXEL
+    GROUP but stay numpy-vectorized across the ``ch`` channel lanes.
+    Returns a (height, width*ch) uint8 array.
+    """
+    import numpy as np
+
     stride = width * ch
-    out = bytearray(stride * height)
-    pos = 0
+    arr = np.frombuffer(raw, dtype=np.uint8, count=height * (stride + 1))
+    arr = arr.reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ftype = raw[pos]
-        pos += 1
-        line = bytearray(raw[pos:pos + stride])
-        pos += stride
-        base = y * stride
-        prev = out[base - stride:base] if y else bytes(stride)
-        if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                b_ = prev[i]
-                p = a + b_ - c
-                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        out[base:base + stride] = line
+        f = int(ftypes[y])
+        line = arr[y, 1:].copy()
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub: line[i] += line[i-ch] -> lane-wise cumsum mod 256
+            line = np.cumsum(line.reshape(-1, ch), axis=0,
+                             dtype=np.int64).astype(np.uint8).ravel()
+        elif f == 2:  # Up: uint8 addition wraps mod 256
+            line = line + prev
+        elif f == 3:  # Average: sequential on reconstructed left neighbor
+            rec = line.reshape(-1, ch).astype(np.int32)
+            pr = prev.reshape(-1, ch).astype(np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(width):
+                left = (rec[x] + ((left + pr[x]) >> 1)) & 0xFF
+                rec[x] = left
+            line = rec.astype(np.uint8).ravel()
+        elif f == 4:  # Paeth: sequential on reconstructed left neighbor
+            rec = line.reshape(-1, ch).astype(np.int32)
+            pr = prev.reshape(-1, ch).astype(np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(width):
+                up = pr[x]
+                p = left + up - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc = np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, up, upleft))
+                left = (rec[x] + pred) & 0xFF
+                rec[x] = left
+                upleft = up
+            line = rec.astype(np.uint8).ravel()
+        else:
+            raise NotImplementedError(f"PNG filter type {f} invalid")
+        out[y] = line
+        prev = line
     return out
 
 
-def _gray_embedding(gray: list[float], width: int, height: int, dim: int) -> list[float]:
+def _luminance(px, ch: int):
+    """(n_pixels, ch) uint8 -> per-pixel luminance float64 in [0, 1]
+    (ITU-R BT.601 weights, matching the reference-free BMP/PNG/JPEG
+    kernels). Alpha (ch=4) is ignored; ch=1 is already gray."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    if ch == 1:
+        return px.ravel() / 255.0
+    return (0.299 * px[:, 0] + 0.587 * px[:, 1] + 0.114 * px[:, 2]) / 255.0
+
+
+def _gray_embedding(gray, width: int, height: int, dim: int) -> list[float]:
     """dim-cell mean-luminance embedding in [0, 1]: the flattened
-    row-major pixel sequence split into dim contiguous chunks."""
-    emb = []
+    row-major pixel sequence split into dim contiguous chunks.
+    Vectorized: one reduceat over the chunk boundaries."""
+    import numpy as np
+
+    gray = np.asarray(gray, dtype=np.float64).ravel()
     n = width * height
-    for k in range(dim):
-        lo, hi = (k * n) // dim, ((k + 1) * n) // dim
-        cells = gray[lo:hi] or [0.0]
-        emb.append(sum(cells) / len(cells))
-    return emb
+    lo = (np.arange(dim, dtype=np.int64) * n) // dim
+    hi = (np.arange(1, dim + 1, dtype=np.int64) * n) // dim
+    counts = hi - lo
+    if n == 0:
+        return [0.0] * dim
+    sums = np.add.reduceat(gray, lo)
+    # reduceat returns gray[lo[k]] when lo[k] == hi[k] (empty chunk) —
+    # mask those to 0 to keep the chunked-mean contract
+    emb = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+    return [float(v) for v in emb]
 
 
 def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
-    """REAL stdlib decode for BMP (24/32bpp uncompressed) and PNG
-    (8-bit gray/RGB/RGBA). JPEG/GIF pixel decode needs external codecs
+    """REAL stdlib+numpy decode for BMP (24/32bpp uncompressed), PNG
+    (8-bit gray/RGB/RGBA, non-interlaced) and baseline JPEG (see
+    _decode_jpeg). GIF/video pixel decode needs external codecs
     -> NotImplementedError (honest stub)."""
     import struct
     import zlib
+
+    import numpy as np
 
     content = bytes(content or b"")
     if content[:2] == b"BM" and len(content) >= 54:
@@ -141,19 +189,28 @@ def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
         height = abs(height)
         nch = bpp // 8
         stride = ((width * nch + 3) // 4) * 4
-        gray = [0.0] * (width * height)
-        for y in range(height):
-            row = content[off + y * stride: off + y * stride + width * nch]
-            oy = y if top_down else height - 1 - y
-            for x in range(width):
-                b_, g, r = row[x * nch], row[x * nch + 1], row[x * nch + 2]
-                gray[oy * width + x] = (0.299 * r + 0.587 * g + 0.114 * b_) / 255.0
+        rows = np.frombuffer(content, dtype=np.uint8, count=stride * height,
+                             offset=off).reshape(height, stride)
+        if not top_down:
+            rows = rows[::-1]
+        # BGR(A) row-major -> (n_pixels, nch), then flip channel order
+        px = rows[:, : width * nch].reshape(-1, nch)[:, [2, 1, 0] + ([3] if nch == 4 else [])]
+        gray = _luminance(px, 3)
         return width, height, _gray_embedding(gray, width, height, dim)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         width, height = struct.unpack_from(">II", content, 16)
         depth, ctype = content[24], content[25]
+        compression, filt, interlace = content[26], content[27], content[28]
         if depth != 8 or ctype not in (0, 2, 6):
             raise NotImplementedError(f"PNG depth={depth} colortype={ctype} unsupported")
+        if compression != 0 or filt != 0:
+            raise NotImplementedError(
+                f"PNG compression={compression} filter_method={filt} unsupported")
+        if interlace != 0:
+            # Adam7 streams carry seven interleaved sub-images; reading
+            # them as sequential scanlines would silently produce
+            # garbage — honest-stub instead (same policy as GIF/video)
+            raise NotImplementedError("PNG Adam7 interlacing unsupported")
         ch = {0: 1, 2: 3, 6: 4}[ctype]
         idat = bytearray()
         pos = 8
@@ -166,18 +223,422 @@ def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
                 break
             pos += 12 + ln
         px = _unfilter_png(zlib.decompress(bytes(idat)), width, height, ch)
-        gray = [0.0] * (width * height)
-        for i in range(width * height):
-            if ch == 1:
-                gray[i] = px[i] / 255.0
-            else:
-                r, g, b_ = px[i * ch], px[i * ch + 1], px[i * ch + 2]
-                gray[i] = (0.299 * r + 0.587 * g + 0.114 * b_) / 255.0
+        gray = _luminance(px.reshape(-1, ch), ch)
+        return width, height, _gray_embedding(gray, width, height, dim)
+    if content[:2] == b"\xff\xd8":
+        width, height, gray = _decode_jpeg(content)
         return width, height, _gray_embedding(gray, width, height, dim)
     raise NotImplementedError(
-        "only BMP/PNG decode without external codecs; JPEG/GIF need an "
-        "imaging library — pass deterministic_fake=True for plumbing tests"
+        "only BMP/PNG/baseline-JPEG decode without external codecs; GIF "
+        "needs an imaging library — pass deterministic_fake=True for "
+        "plumbing tests"
     )
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81): stdlib+numpy decoder and a minimal test
+# encoder. The decoder reads DQT/DHT/SOF0/SOS/DRI, Huffman-decodes the
+# entropy stream (the only inherently sequential part), then runs
+# dequantize + inverse-zigzag + IDCT + upsample + YCbCr->RGB as batched
+# numpy over all blocks at once.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8.0)
+    u = x.reshape(8, 1)
+    c = np.full(8, 0.5)
+    c[0] = 0.5 / np.sqrt(2.0)
+    return (c.reshape(8, 1) * np.cos((2 * x + 1) * u * np.pi / 16.0))
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the destuffed entropy segment.
+
+    The next-16-bit window at every bit offset is precomputed
+    vectorized (numpy sliding window dot powers-of-two), so Huffman
+    decoding is a single flat-LUT lookup per symbol and magnitude
+    reads are one shift — no per-bit Python loop.
+    """
+
+    def __init__(self, data: bytes):
+        import numpy as np
+
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        padded = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
+        win = np.lib.stride_tricks.sliding_window_view(padded, 16)
+        pows = (1 << np.arange(15, -1, -1)).astype(np.uint32)
+        # plain list: scalar indexing in the symbol loop is ~5x faster
+        # than numpy item access
+        self.peek16 = (win[: len(bits) + 1].astype(np.uint32) @ pows).tolist()
+        self.pos = 0
+
+    def get_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos if self.pos < len(self.peek16) else len(self.peek16) - 1
+        v = self.peek16[p] >> (16 - n)
+        self.pos += n
+        return v
+
+    def read_code(self, lut) -> int:
+        lut_sym, lut_len = lut
+        p = self.pos if self.pos < len(self.peek16) else len(self.peek16) - 1
+        v = self.peek16[p]
+        length = lut_len[v]
+        if length == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.pos += length
+        return lut_sym[v]
+
+
+def _huffman_table(counts: list[int], symbols: bytes):
+    """Canonical DHT -> flat 2^16 lookup: (sym[peek16], len[peek16])."""
+    import numpy as np
+
+    lut_sym = np.zeros(1 << 16, dtype=np.uint8)
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            lut_sym[start:start + span] = symbols[k]
+            lut_len[start:start + span] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return lut_sym.tolist(), lut_len.tolist()
+
+
+def _extend(bits: int, s: int) -> int:
+    return bits - (1 << s) + 1 if s and bits < (1 << (s - 1)) else bits
+
+
+def _decode_jpeg(content: bytes):
+    """Baseline-JPEG decode -> (width, height, gray float64 array).
+
+    Supports SOF0 (baseline sequential), 1 or 3 components, sampling
+    factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers.
+    Progressive (SOF2) / arithmetic coding raise NotImplementedError.
+    Luminance uses the same BT.601-over-decoded-RGB formula as the
+    BMP/PNG kernels (for JPEG the round trip is Y itself when no RGB
+    clamping occurs).
+    """
+    import struct
+
+    import numpy as np
+
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    width = height = 0
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = content[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen, = struct.unpack_from(">H", content, pos + 2)
+        seg = content[pos + 4: pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq:  # 16-bit table
+                    tbl = np.frombuffer(seg, dtype=">u2", count=64, offset=i + 1)
+                    i += 129
+                else:
+                    tbl = np.frombuffer(seg, dtype=np.uint8, count=64, offset=i + 1)
+                    i += 65
+                qt[tq] = tbl.astype(np.float64)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1: i + 17])
+                n = sum(counts)
+                huff[(tc, th)] = _huffman_table(counts, seg[i + 17: i + 17 + n])
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            height, width = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c: 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (non-baseline) unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval, = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ncomp = seg[0]
+            scan = []
+            for c in range(ncomp):
+                cid, tt = seg[1 + 2 * c: 3 + 2 * c]
+                comp = next(cc for cc in comps if cc["id"] == cid)
+                scan.append((comp, tt >> 4, tt & 15))
+            data_start = pos + 2 + seglen
+            return _decode_jpeg_scan(
+                content, data_start, width, height, scan, qt, huff,
+                restart_interval)
+        elif marker == 0xD9:  # EOI before SOS
+            break
+        pos += 2 + seglen
+    raise NotImplementedError("JPEG stream has no baseline scan")
+
+
+def _decode_jpeg_scan(content, start, width, height, scan, qt, huff,
+                      restart_interval):
+    import numpy as np
+
+    # destuff: FF00 -> FF; stop at any non-RST marker
+    data = bytearray()
+    rst_bounds = []  # destuffed offsets where restarts occur
+    i = start
+    while i < len(content):
+        b = content[i]
+        if b == 0xFF:
+            nxt = content[i + 1] if i + 1 < len(content) else 0xD9
+            if nxt == 0x00:
+                data.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                rst_bounds.append(len(data))
+                i += 2
+                continue
+            break  # EOI or next segment
+        data.append(b)
+        i += 1
+    data = bytes(data)
+
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # per-component coefficient block grids
+    for c, _, _ in scan:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
+        c["pred"] = 0
+
+    reader = _JpegBitReader(data)
+    n_mcu = mcux * mcuy
+    mcu_since_rst = 0
+    rst_idx = 0
+    for m in range(n_mcu):
+        if restart_interval and mcu_since_rst == restart_interval:
+            # resync to the recorded restart boundary
+            if rst_idx < len(rst_bounds):
+                reader = _JpegBitReader(data[rst_bounds[rst_idx]:])
+                rst_idx += 1
+            for c, _, _ in scan:
+                c["pred"] = 0
+            mcu_since_rst = 0
+        my, mx = divmod(m, mcux)
+        for c, td, ta in scan:
+            dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = [0.0] * 64  # python list: ~3x faster fill loop
+                    s = reader.read_code(dc_tbl)
+                    diff = _extend(reader.get_bits(s), s) if s else 0
+                    c["pred"] += diff
+                    blk[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = reader.read_code(ac_tbl)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        blk[k] = _extend(reader.get_bits(sz), sz)
+                        k += 1
+                    row = my * c["v"] + by
+                    col = mx * c["h"] + bx
+                    c["coef"][row * c["bw"] + col] = blk
+        mcu_since_rst += 1
+
+    # batched dequantize + inverse zigzag + IDCT over every block at once
+    C = _dct_matrix()
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[np.array(_ZIGZAG)] = np.arange(64)
+    planes = []
+    for c, _, _ in scan:
+        coef = c["coef"] * qt[c["tq"]][np.newaxis, :]
+        blocks = coef[:, inv_zz].reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", C, blocks, C) + 128.0
+        grid = spatial.reshape(c["bh"], c["bw"], 8, 8).transpose(0, 2, 1, 3)
+        plane = grid.reshape(c["bh"] * 8, c["bw"] * 8)
+        # chroma upsample by pixel replication to the luma grid
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        rgb = np.clip(np.round(planes[0]), 0, 255)
+        gray = rgb.ravel() / 255.0
+    else:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+        flat = rgb.reshape(-1, 3)
+        gray = (0.299 * flat[:, 0] + 0.587 * flat[:, 1]
+                + 0.114 * flat[:, 2]) / 255.0
+    return width, height, gray
+
+
+def synth_jpeg(width: int, height: int, pixel, quality_qtable=None,
+               subsample: bool = False) -> bytes:
+    """Minimal baseline-JPEG encoder for tests: 4:4:4 (or 4:2:0 with
+    ``subsample=True``), one shared quant table (default all-ones =
+    highest quality; a gray-uniform image round-trips bit-exactly), one
+    shared DC and AC Huffman table (a simple canonical fixed-width code
+    — the decoder reads whatever DHT declares, so Annex-K parity is
+    unnecessary). ``pixel`` is either a callable (x, y) -> (r, g, b) or
+    an (h, w, 3) uint8 numpy array.
+    """
+    import struct
+
+    import numpy as np
+
+    if callable(pixel):
+        img = np.empty((height, width, 3), dtype=np.float64)
+        for yy in range(height):
+            for xx in range(width):
+                img[yy, xx] = pixel(xx, yy)
+    else:
+        img = np.asarray(pixel, dtype=np.float64)
+    q = (np.ones(64) if quality_qtable is None
+         else np.asarray(quality_qtable, dtype=np.float64).ravel())
+
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    fh, fw = mcuy * 8 * vmax, mcux * 8 * hmax  # full-res padded grid
+    C = _dct_matrix()
+    zz = np.array(_ZIGZAG)
+
+    def encode_plane(plane, hh, vv):
+        padded = np.pad(plane, ((0, fh - height), (0, fw - width)), mode="edge")
+        ry, rx = vmax // vv, hmax // hh
+        if ry > 1 or rx > 1:  # chroma box-mean downsample
+            padded = padded.reshape(fh // ry, ry, fw // rx, rx).mean(axis=(1, 3))
+        bh, bw = mcuy * vv, mcux * hh
+        blocks = (padded.reshape(bh, 8, bw, 8)
+                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8)) - 128.0
+        freq = np.einsum("ux,nxy,vy->nuv", C, blocks, C)
+        quant = np.round(freq.reshape(-1, 64) / q[np.newaxis, :])
+        return quant[:, zz].astype(np.int64).reshape(bh, bw, 64)  # zigzag
+
+    planes = [encode_plane(p, hh, vv)
+              for p, (hh, vv) in zip((y, cb, cr), samp)]
+
+    # canonical code: symbols 0,1 get 8-bit codes 0,1; symbols 2..255
+    # get 9-bit codes 4..257 (never all-ones)
+    def code_of(sym):
+        return (8, sym) if sym < 2 else (9, sym + 2)
+
+    counts = [0] * 16
+    counts[7], counts[8] = 2, 254
+    symbols = bytes(range(256))
+
+    out_bits: list[int] = []
+
+    def put(nbits, value):
+        for i in range(nbits - 1, -1, -1):
+            out_bits.append((value >> i) & 1)
+
+    def put_code(sym):
+        n, v = code_of(sym)
+        put(n, v)
+
+    def put_block(blk, ci):
+        diff = int(blk[0]) - preds[ci]
+        preds[ci] = int(blk[0])
+        s = int(abs(diff)).bit_length()
+        put_code(s)
+        if s:
+            put(s, diff if diff >= 0 else diff + (1 << s) - 1)
+        run = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put_code(0xF0)  # ZRL
+                run -= 16
+            s = abs(v).bit_length()
+            put_code((run << 4) | s)
+            put(s, v if v >= 0 else v + (1 << s) - 1)
+            run = 0
+        if run:
+            put_code(0x00)  # EOB
+
+    preds = [0, 0, 0]
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (plane, (hh, vv)) in enumerate(zip(planes, samp)):
+            for by in range(vv):
+                for bx in range(hh):
+                    put_block(plane[my * vv + by, mx * hh + bx], ci)
+
+    # pack bits -> bytes (pad with 1s), stuff 0x00 after 0xFF
+    while len(out_bits) % 8:
+        out_bits.append(1)
+    arr = np.array(out_bits, dtype=np.uint8).reshape(-1, 8)
+    byts = np.packbits(arr, axis=1).ravel()
+    entropy = bytearray()
+    for bt in byts.tolist():
+        entropy.append(bt)
+        if bt == 0xFF:
+            entropy.append(0x00)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in q))
+    sof_comps = b"".join(
+        bytes([cid, (hh << 4) | vv, 0])
+        for cid, (hh, vv) in zip((1, 2, 3), samp)
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 3) + sof_comps)
+    dht = (seg(0xC4, bytes([0x00]) + bytes(counts) + symbols)
+           + seg(0xC4, bytes([0x10]) + bytes(counts) + symbols))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(entropy)
+            + b"\xff\xd9")
 
 
 def _fake_image_features(content: Optional[bytes], dim: int = 8):
@@ -292,15 +753,25 @@ def synth_bmp(width: int, height: int, pixel) -> bytes:
 
 
 def synth_png(width: int, height: int, pixel) -> bytes:
-    """Tiny 8-bit RGB PNG writer for tests: pixel(x, y) -> (r, g, b)."""
+    """Tiny 8-bit RGB PNG writer for tests: ``pixel`` is a callable
+    (x, y) -> (r, g, b) or an (h, w, 3) uint8 numpy array."""
     import struct
     import zlib
 
-    raw = bytearray()
-    for y in range(height):
-        raw.append(0)  # filter None
-        for x in range(width):
-            raw += bytes(pixel(x, y))
+    if callable(pixel):
+        raw = bytearray()
+        for y in range(height):
+            raw.append(0)  # filter None
+            for x in range(width):
+                raw += bytes(pixel(x, y))
+    else:
+        import numpy as np
+
+        img = np.asarray(pixel, dtype=np.uint8).reshape(height, width * 3)
+        rows = np.concatenate(
+            [np.zeros((height, 1), dtype=np.uint8), img], axis=1
+        )
+        raw = rows.tobytes()
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (

@@ -384,6 +384,145 @@ def test_real_bmp_png_decode(spark):
     assert got[0].embedding == pytest.approx(got[1].embedding)
 
 
+def _png_with_filters(img, ftypes):
+    """Hand-filtered 8-bit RGB PNG: row y uses filter ftypes[y % len]."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        f = ftypes[y % len(ftypes)]
+        raw.append(f)
+        enc = line.copy()
+        for i in range(len(line)):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            else:
+                pred = 0
+            enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes(int(v) for v in enc)
+        prev = line
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_all_filter_types_and_interlace_guard():
+    # spec §9 filters None/Sub/Up/Average/Paeth all reconstruct the
+    # same pixels; Adam7 interlacing is an honest stub (a sequential
+    # read would silently mis-decode — ADVICE r2)
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from graphlite_spark.operators.multimodal import _decode_image, synth_png
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    _, _, base = _decode_image(synth_png(9, 12, img))
+    for fts in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        _, _, emb = _decode_image(_png_with_filters(img, fts))
+        assert emb == _pytest.approx(base, abs=1e-12), fts
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 9, 12, 8, 2, 0, 0, 1)  # interlace=1
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * ((9 * 3 + 1) * 12)))
+           + chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError, match="interlac"):
+        _decode_image(bad)
+
+
+def test_real_jpeg_decode(spark):
+    # baseline JPEG through the Spark pipeline: 4:4:4 all-ones qtable is
+    # bit-exact on gray-uniform content; 4:2:0 and a real luminance
+    # qtable stay within lossy tolerance
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, image_features, synth_jpeg,
+    )
+
+    def pixel(x, y):
+        return ((x * 3) % 256, (y * 5) % 256, (x + y) % 256)
+
+    img = np.array([[pixel(x, y) for x in range(24)] for y in range(16)],
+                   dtype=np.uint8)
+    lum = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+           + 0.114 * img[..., 2]).ravel() / 255.0
+    n = lum.size
+    expected = [float(lum[(k * n) // 8:((k + 1) * n) // 8].mean())
+                for k in range(8)]
+    QL = [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+          14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+          18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+          49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
+    rows = [
+        (0, "image", bytearray(synth_jpeg(24, 16, img)), None,
+         (24, 16, None, "jpeg")),
+        (1, "image", bytearray(synth_jpeg(24, 16, img, subsample=True)), None,
+         (24, 16, None, "jpeg420")),
+        (2, "image", bytearray(synth_jpeg(24, 16, img, quality_qtable=QL)),
+         None, (24, 16, None, "jpegq50")),
+        (3, "image", bytearray(synth_jpeg(20, 12, lambda x, y: (130, 130, 130))),
+         None, (20, 12, None, "uniform")),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r.asset_id: r for r in image_features(assets).collect()}
+    assert (got[0].width, got[0].height) == (24, 16)
+    assert got[0].embedding == pytest.approx(expected, abs=1e-12)  # lossless
+    assert got[1].embedding == pytest.approx(expected, abs=0.02)   # 4:2:0
+    assert got[2].embedding == pytest.approx(expected, abs=0.05)   # q50
+    assert (got[3].width, got[3].height) == (20, 12)
+    assert got[3].embedding == pytest.approx([130 / 255.0] * 8, abs=1e-9)
+
+
+def test_png_decode_wall_time():
+    # the decode kernels are numpy-vectorized — a 1024x1024 RGB PNG
+    # (≈3.1M pixel-channels) must decode in well under a second of
+    # kernel time; the old per-pixel Python loops took ~20s+
+    import time
+
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import _decode_image, synth_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(1024, 1024, 3), dtype=np.uint8)
+    content = synth_png(1024, 1024, img)
+    t0 = time.monotonic()
+    w, h, emb = _decode_image(content)
+    dt = time.monotonic() - t0
+    assert (w, h) == (1024, 1024) and len(emb) == 8
+    assert dt < 3.0, f"vectorized PNG decode took {dt:.2f}s"
+
+
 def test_real_wav_decode(spark):
     from graphlite_spark.operators.multimodal import (
         ASSET_SCHEMA, audio_features, synth_wav,
