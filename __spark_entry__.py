@@ -988,6 +988,53 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries_df, k=10, dim=64)
 
 
+def _ring_db(spark: SparkSession, sf_dir: str):
+    """Register a cyclic ring graph (one directed ring of nations per
+    region, 5-cycles in TPC-H) beside the main graph — the workload the
+    TRAIL/SIMPLE/ACYCLIC path modes need; the FOLLOWS chains are
+    acyclic so modes don't differ there. Reference semantics:
+    ast.rs:276-287, executor.rs:6624-6641."""
+    db = _db(spark, sf_dir)
+    if "/default/ring" not in db.list_graphs():
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from graphlite_spark import PropertyGraph
+
+        nat = _table(spark, sf_dir, "nation")
+        w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+        ordered = nat.select(
+            F.col("n_nationkey").alias("k"),
+            F.col("n_regionkey").alias("r"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("n_regionkey")).alias("cnt"),
+        )
+        a, b = ordered.alias("a"), ordered.alias("b")
+        ring = a.join(
+            b,
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("b.rn") == (F.col("a.rn") % F.col("a.cnt")) + 1),
+        ).select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
+        g = PropertyGraph(spark, name="ring")
+        g.add_nodes("N", nat.select(F.col("n_nationkey").alias("id")), "id")
+        g.add_edges("R", ring, "src", "dst", "N", "N")
+        db.register_graph(g, name="ring", set_current=False)
+    return db
+
+
+def _q_path_mode(mode: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        db = _ring_db(spark, sf_dir)
+        return db.query(
+            f"MATCH {mode} (a:N)-[:R]{{1,6}}->(b:N) "
+            "RETURN a.id AS src, b.id AS dst, count(*) AS n",
+            graph="ring",
+        )
+
+    run.__doc__ = f"{mode} path mode over per-region nation rings"
+    return run
+
+
 def _q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1085,6 +1132,99 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(emb, queries_df, k=10, n_lists=16, n_probe=4)
+
+
+def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
+    """REAL in-engine image decode (BMP/PNG/baseline-JPEG, stdlib+numpy
+    kernels in operators/multimodal.py). Assets are synthesized
+    executor-side (mapInPandas) as gray-uniform 20x12 images whose
+    level derives from doc_id, so the decoded luminance has a closed
+    form the DuckDB oracle can compute: both sides evaluate the same
+    (0.299v + 0.587v + 0.114v)/255 expression."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from graphlite_spark.operators.multimodal import (
+            ASSET_SCHEMA, image_features, synth_bmp, synth_jpeg, synth_png,
+        )
+
+        docs = _table(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") < 64
+        )
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                out = {"asset_id": [], "modality": [], "content": [],
+                       "uri": [], "meta": []}
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    v = (did * 37) % 256
+                    img = np.full((12, 20, 3), v, dtype=np.uint8)
+                    if fmt == "jpeg":
+                        # alternate 4:4:4 / 4:2:0 to cover both layouts
+                        content = synth_jpeg(20, 12, img,
+                                             subsample=bool(did % 2))
+                    elif fmt == "png":
+                        content = synth_png(20, 12, img)
+                    else:
+                        content = synth_bmp(20, 12,
+                                            lambda x, y, v=v: (v, v, v))
+                    out["asset_id"].append(did)
+                    out["modality"].append("image")
+                    out["content"].append(bytearray(content))
+                    out["uri"].append(None)
+                    out["meta"].append(None)
+                yield pd.DataFrame(out)
+
+        assets = docs.mapInPandas(gen, ASSET_SCHEMA)
+        return image_features(assets).select(
+            "asset_id", "width", "height",
+            F.round(F.element_at("embedding", 1), 6).alias("lum0"),
+            F.round(F.element_at("embedding", 8), 6).alias("lum7"),
+        )
+
+    run.__doc__ = f"decode synthetic {fmt} assets (real kernel, exact oracle)"
+    return run
+
+
+def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM decode: sample rate and duration come from the
+    container bytes (stdlib wave), deterministic from doc_id."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, audio_features, synth_wav,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "content": [],
+                   "uri": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ms = 50 + did % 20
+                wav = synth_wav(rate=8000, freq=200.0 + did, ms=ms)
+                out["asset_id"].append(did)
+                out["modality"].append("audio")
+                out["content"].append(bytearray(wav))
+                out["uri"].append(None)
+                out["meta"].append(None)
+            yield pd.DataFrame(out)
+
+    assets = docs.mapInPandas(gen, ASSET_SCHEMA)
+    return audio_features(assets).select(
+        "asset_id", "sample_rate", "duration_ms"
+    )
 
 
 def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1519,6 +1659,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_moving_avg": _q_window_moving_avg,
             "window_ntile_quartiles": _q_window_ntile,
             "window_dense_rank": _q_window_dense_rank,
+            "path_mode_trail": _q_path_mode("TRAIL"),
+            "path_mode_simple": _q_path_mode("SIMPLE"),
+            "path_mode_acyclic": _q_path_mode("ACYCLIC"),
+            "image_features_jpeg": _q_image_decode("jpeg"),
+            "image_features_png": _q_image_decode("png"),
+            "image_features_bmp": _q_image_decode("bmp"),
+            "audio_features_wav": _q_audio_decode,
         }
     )
     return out
@@ -2795,6 +2942,122 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dense_rank() OVER (PARTITION BY s_nationkey
                         ORDER BY floor(s_acctbal / 1000) DESC) AS BIGINT) AS rnk
             FROM supplier
+        """,
+        # --- path modes over per-region nation rings (ast.rs:276-287;
+        # executor.rs:6624-6641: TRAIL = no repeated edges, SIMPLE and
+        # ACYCLIC = no repeated vertices). Recursive-CTE twins track the
+        # visited edge/vertex list exactly like the Spark plan's
+        # __visited arrays.
+        "path_mode_trail": """
+            WITH RECURSIVE ordered AS (
+                SELECT n_nationkey AS k, n_regionkey AS r,
+                       row_number() OVER (PARTITION BY n_regionkey
+                                          ORDER BY n_nationkey) AS rn,
+                       count(*) OVER (PARTITION BY n_regionkey) AS cnt
+                FROM nation
+            ), ring AS (
+                SELECT a.k AS src, b.k AS dst
+                FROM ordered a JOIN ordered b
+                  ON a.r = b.r AND b.rn = (a.rn % a.cnt) + 1
+            ), paths AS (
+                SELECT src AS s, dst AS cur,
+                       [src * 100 + dst] AS used, 1 AS depth
+                FROM ring
+                UNION ALL
+                SELECT p.s, r.dst,
+                       list_append(p.used, r.src * 100 + r.dst), p.depth + 1
+                FROM paths p JOIN ring r ON r.src = p.cur
+                WHERE p.depth < 6
+                  AND NOT list_contains(p.used, r.src * 100 + r.dst)
+            )
+            SELECT s AS src, cur AS dst, count(*) AS n
+            FROM paths GROUP BY 1, 2
+        """,
+        "path_mode_simple": """
+            WITH RECURSIVE ordered AS (
+                SELECT n_nationkey AS k, n_regionkey AS r,
+                       row_number() OVER (PARTITION BY n_regionkey
+                                          ORDER BY n_nationkey) AS rn,
+                       count(*) OVER (PARTITION BY n_regionkey) AS cnt
+                FROM nation
+            ), ring AS (
+                SELECT a.k AS src, b.k AS dst
+                FROM ordered a JOIN ordered b
+                  ON a.r = b.r AND b.rn = (a.rn % a.cnt) + 1
+            ), paths AS (
+                SELECT src AS s, dst AS cur, [src, dst] AS vis, 1 AS depth
+                FROM ring
+                UNION ALL
+                SELECT p.s, r.dst, list_append(p.vis, r.dst), p.depth + 1
+                FROM paths p JOIN ring r ON r.src = p.cur
+                WHERE p.depth < 6 AND NOT list_contains(p.vis, r.dst)
+            )
+            SELECT s AS src, cur AS dst, count(*) AS n
+            FROM paths GROUP BY 1, 2
+        """,
+        "path_mode_acyclic": """
+            WITH RECURSIVE ordered AS (
+                SELECT n_nationkey AS k, n_regionkey AS r,
+                       row_number() OVER (PARTITION BY n_regionkey
+                                          ORDER BY n_nationkey) AS rn,
+                       count(*) OVER (PARTITION BY n_regionkey) AS cnt
+                FROM nation
+            ), ring AS (
+                SELECT a.k AS src, b.k AS dst
+                FROM ordered a JOIN ordered b
+                  ON a.r = b.r AND b.rn = (a.rn % a.cnt) + 1
+            ), paths AS (
+                SELECT src AS s, dst AS cur, [src, dst] AS vis, 1 AS depth
+                FROM ring
+                UNION ALL
+                SELECT p.s, r.dst, list_append(p.vis, r.dst), p.depth + 1
+                FROM paths p JOIN ring r ON r.src = p.cur
+                WHERE p.depth < 6 AND NOT list_contains(p.vis, r.dst)
+            )
+            SELECT s AS src, cur AS dst, count(*) AS n
+            FROM paths GROUP BY 1, 2
+        """,
+        # --- real media decode: gray-uniform synth assets make the
+        # decoded luminance a closed form of doc_id; both sides compute
+        # the identical (0.299v + 0.587v + 0.114v)/255 expression
+        "image_features_jpeg": """
+            SELECT doc_id AS asset_id,
+                   CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum0,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum7
+            FROM documents WHERE doc_id < 64
+        """,
+        "image_features_png": """
+            SELECT doc_id AS asset_id,
+                   CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum0,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum7
+            FROM documents WHERE doc_id < 64
+        """,
+        "image_features_bmp": """
+            SELECT doc_id AS asset_id,
+                   CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum0,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum7
+            FROM documents WHERE doc_id < 64
+        """,
+        "audio_features_wav": """
+            SELECT doc_id AS asset_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(50 + doc_id % 20 AS BIGINT) AS duration_ms
+            FROM documents WHERE doc_id < 64
         """,
         # minhash_lsh_pairs / simhash_pairs / ann_lsh_topk:
         # engine-specific hash/LSH internals — driver records rows-only checks.

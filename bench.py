@@ -45,6 +45,12 @@ HEADLINE = [
     # window / graph analytics
     "window_top_orders",    # row_number window + filter
     "weighted_sssp_bounded",  # iterative frontier Bellman-Ford
+    # round-3 additions (VERDICT r2 ask #8): operators added after the
+    # round-1 bench list, so perf is tracked round-over-round
+    "gapfill_hourly_locf",        # dense-domain gapfill + LOCF windows
+    "dedup_clusters_canonical",   # near-dup pairs -> pointer-jumping CC
+    "quantize_embeddings_audit",  # int8 quantization (pure codegen)
+    "image_features_png",         # real media decode via mapInPandas
 ]
 
 

@@ -5,16 +5,19 @@ columns (or object-store URIs) beside typed metadata structs; all
 decode / feature-extraction runs in Arrow-batched ``mapInPandas`` so
 bytes never round-trip through row-at-a-time Python.
 
-Decode kernels, by format:
-- REAL (stdlib-only, no external libs): BMP (24/32bpp uncompressed,
-  struct parse) and PNG (zlib inflate + scanline unfilter, 8-bit
-  gray/RGB/RGBA) images; WAV PCM audio (stdlib ``wave`` + numpy rfft
-  log-band spectral features).
-- STUBBED (codec libraries aren't in this container): JPEG/GIF pixels,
-  video frames — NotImplementedError names the gap; pass
-  ``deterministic_fake=True`` for seeded content-derived fakes so the
-  Spark-side plumbing stays testable on arbitrary bytes. Swapping in
-  PIL/librosa/ffmpeg is a one-function change — the plan is identical.
+Decode kernels, by format (all REAL, stdlib+numpy, no external libs):
+- BMP: 24/32bpp uncompressed, struct parse + strided numpy.
+- PNG: zlib inflate + vectorized scanline unfilter, 8-bit
+  gray/RGB/RGBA (Adam7 interlacing is an honest stub).
+- JPEG: baseline sequential (T.81) — LUT Huffman + batched numpy
+  IDCT, 1/3 components, sampling up to 2x2 (4:4:4/4:2:2/4:2:0),
+  restart markers; progressive/arithmetic raise.
+- GIF: 87a/89a LZW first frame, global/local palettes, interlacing.
+- WAV PCM audio: stdlib ``wave`` + true MFCC (mel filterbank + DCT-II).
+STUBBED: video frame decode (needs ffmpeg-class codecs) —
+NotImplementedError names the gap; pass ``deterministic_fake=True``
+for seeded content-derived fakes so the Spark-side plumbing stays
+testable on arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -228,11 +231,176 @@ def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     if content[:2] == b"\xff\xd8":
         width, height, gray = _decode_jpeg(content)
         return width, height, _gray_embedding(gray, width, height, dim)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        width, height, gray = _decode_gif(content)
+        return width, height, _gray_embedding(gray, width, height, dim)
     raise NotImplementedError(
-        "only BMP/PNG/baseline-JPEG decode without external codecs; GIF "
-        "needs an imaging library — pass deterministic_fake=True for "
+        "unrecognized image container (BMP/PNG/baseline-JPEG/GIF decode "
+        "without external codecs) — pass deterministic_fake=True for "
         "plumbing tests"
     )
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int]:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/END codes,
+    code width grows to 12 bits). Inherently sequential — same class
+    as JPEG's Huffman stage."""
+    clear = 1 << min_code
+    end = clear + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    code_size = min_code + 1
+    out: list[int] = []
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < max_pixels:
+        if bitpos + code_size > total_bits:
+            break
+        # read code_size bits LSB-first
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+            out.extend(entry)
+            prev = entry
+            continue
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("invalid GIF LZW code")
+        table.append(prev + (entry[0],))
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _decode_gif(content: bytes):
+    """GIF87a/89a first-frame decode: palette + LZW index stream ->
+    luminance plane. Animated GIFs use frame 1 only (documented)."""
+    import struct
+
+    import numpy as np
+
+    width, height = struct.unpack_from("<HH", content, 6)
+    flags = content[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        sz = 2 << (flags & 7)
+        gct = np.frombuffer(content, np.uint8, sz * 3, pos).reshape(sz, 3)
+        pos += sz * 3
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while content[pos]:
+                pos += content[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _, _, iw, ih = struct.unpack_from("<HHHH", content, pos + 1)
+            iflags = content[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                sz = 2 << (iflags & 7)
+                pal = np.frombuffer(content, np.uint8, sz * 3, pos).reshape(sz, 3)
+                pos += sz * 3
+            if pal is None:
+                raise NotImplementedError("GIF without a color table")
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while content[pos]:
+                n = content[pos]
+                data += content[pos + 1: pos + 1 + n]
+                pos += n + 1
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            arr = np.asarray(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+            if iflags & 0x40:  # GIF interlacing: rows arrive in 4 passes
+                order = []
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    order.extend(range(start, ih, step))
+                out = np.empty_like(arr)
+                out[np.asarray(order)] = arr
+                arr = out
+            rgb = pal[arr].astype(np.float64)
+            gray = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                    + 0.114 * rgb[..., 2]).ravel() / 255.0
+            return iw, ih, gray
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            pos += 1
+    raise NotImplementedError("GIF stream has no image data")
+
+
+def synth_gif(width: int, height: int, pixel) -> bytes:
+    """Tiny GIF89a writer for tests: 256-gray global palette;
+    ``pixel`` is a callable (x, y) -> gray level 0-255 or an (h, w)
+    uint8 numpy array of palette indexes. Uses the classic
+    'uncompressed LZW' technique (literal codes + periodic CLEAR so
+    the code width stays 9 bits)."""
+    import struct
+
+    import numpy as np
+
+    if callable(pixel):
+        idx = np.array([[pixel(x, y) for x in range(width)]
+                        for y in range(height)], dtype=np.uint8)
+    else:
+        idx = np.asarray(pixel, dtype=np.uint8).reshape(height, width)
+
+    clear, end = 256, 257
+    codes: list[int] = [clear]
+    count = 0
+    for p in idx.ravel().tolist():
+        codes.append(p)
+        count += 1
+        if count == 250:  # stay inside 9-bit code space
+            codes.append(clear)
+            count = 0
+    codes.append(end)
+    val = nbits = 0
+    buf = bytearray()
+    for c in codes:  # LSB-first packing, fixed 9-bit codes
+        val |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            buf.append(val & 0xFF)
+            val >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(val & 0xFF)
+
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # global color table, 256 entries
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(8)  # LZW min code size
+    for i in range(0, len(buf), 255):
+        chunk = buf[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------
@@ -694,14 +862,40 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def _decode_audio(content: bytes, n_bands: int) -> tuple[int, int, list[float]]:
-    """REAL stdlib WAV decode: 16-bit PCM via ``wave``, then an
-    n_bands log-energy spectrum over the mono signal (numpy rfft) —
-    MFCC-shaped band energies (true MFCC's mel filterbank + DCT needs
-    librosa; documented divergence). Non-WAV content ->
-    NotImplementedError."""
+def _mel_filterbank(n_mels: int, n_fft_bins: int, rate: int):
+    """Triangular mel filterbank (HTK mel scale), rows L1-normalized —
+    the standard construction, pure numpy (no librosa needed)."""
+    import numpy as np
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    mel_pts = np.linspace(hz_to_mel(0.0), hz_to_mel(rate / 2.0), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    bin_f = np.linspace(0.0, rate / 2.0, n_fft_bins)
+    fb = np.zeros((n_mels, n_fft_bins))
+    for m in range(n_mels):
+        lo, mid, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (bin_f - lo) / max(mid - lo, 1e-12)
+        down = (hi - bin_f) / max(hi - mid, 1e-12)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+        s = fb[m].sum()
+        if s > 0:
+            fb[m] /= s
+    return fb
+
+
+def _decode_audio(content: bytes, n_mfcc: int) -> tuple[int, int, list[float]]:
+    """REAL stdlib WAV decode: 16-bit PCM via ``wave``, then true MFCC
+    over the mono signal — power spectrum (numpy rfft) -> 26-band
+    triangular mel filterbank (HTK scale) -> log -> orthonormal DCT-II,
+    first n_mfcc coefficients. Whole-signal (single-frame) analysis —
+    framing/hop windows are a parameterization, not a dependency.
+    Non-WAV content -> NotImplementedError."""
     import io
-    import struct
     import wave
 
     content = bytes(content or b"")
@@ -724,14 +918,18 @@ def _decode_audio(content: bytes, n_bands: int) -> tuple[int, int, list[float]]:
         sig = sig.reshape(-1, nch).mean(axis=1)
     duration_ms = int(round(len(sig) / rate * 1000))
     if len(sig) == 0:
-        return rate, 0, [0.0] * n_bands
+        return rate, 0, [0.0] * n_mfcc
     spec = np.abs(np.fft.rfft(sig)) ** 2
-    bands = []
-    n = len(spec)
-    for k in range(n_bands):
-        lo, hi = (k * n) // n_bands, max(((k + 1) * n) // n_bands, (k * n) // n_bands + 1)
-        bands.append(float(np.log10(spec[lo:hi].mean() + 1.0)))
-    return rate, duration_ms, bands
+    n_mels = max(26, n_mfcc + 1)
+    fb = _mel_filterbank(n_mels, len(spec), rate)
+    log_mel = np.log10(fb @ spec + 1.0)
+    # orthonormal DCT-II of the log mel energies
+    k = np.arange(n_mels)
+    basis = np.cos(np.pi * np.outer(np.arange(n_mfcc), 2 * k + 1) / (2 * n_mels))
+    scale = np.full(n_mfcc, np.sqrt(2.0 / n_mels))
+    scale[0] = np.sqrt(1.0 / n_mels)
+    mfcc = scale * (basis @ log_mel)
+    return rate, duration_ms, [float(v) for v in mfcc]
 
 
 def synth_bmp(width: int, height: int, pixel) -> bytes:
@@ -823,12 +1021,13 @@ def audio_features(
     deterministic_fake: bool = False,
     n_mfcc: int = 13,
 ) -> DataFrame:
-    """Decode + feature-extract audio assets (MFCC-shaped band-energy
-    vector) via Arrow-batched mapInPandas — same plumbing contract as
-    image_features: column-pruned input, partition-parallel. WAV PCM
-    decodes for REAL (stdlib wave + numpy rfft; sample rate and
-    duration come from the container, not metadata); other codecs need
-    librosa/torchaudio and raise unless deterministic_fake=True."""
+    """Decode + feature-extract audio assets (true MFCC: mel
+    filterbank + log + DCT-II, see _decode_audio) via Arrow-batched
+    mapInPandas — same plumbing contract as image_features:
+    column-pruned input, partition-parallel. WAV PCM decodes for REAL
+    (stdlib wave + numpy; sample rate and duration come from the
+    container, not metadata); other codecs need librosa/torchaudio and
+    raise unless deterministic_fake=True."""
     pruned = assets.select(
         "asset_id", "content", F.col("meta.duration_ms").alias("duration_ms")
     )

@@ -503,6 +503,115 @@ def test_real_jpeg_decode(spark):
     assert got[3].embedding == pytest.approx([130 / 255.0] * 8, abs=1e-9)
 
 
+def test_real_gif_decode(spark):
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, image_features, synth_gif,
+    )
+
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 256, size=(30, 40), dtype=np.uint8)
+    lum = (0.299 * idx + 0.587 * idx + 0.114 * idx).astype(float).ravel() / 255.0
+    n = lum.size
+    expected = [float(lum[(k * n) // 8:((k + 1) * n) // 8].mean())
+                for k in range(8)]
+    rows = [
+        (0, "image", bytearray(synth_gif(40, 30, idx)), None,
+         (40, 30, None, "gif")),
+        (1, "image", bytearray(synth_gif(20, 12, lambda x, y: 130)), None,
+         (20, 12, None, "gif")),
+    ]
+    got = {r.asset_id: r for r in
+           image_features(spark.createDataFrame(rows, ASSET_SCHEMA)).collect()}
+    assert (got[0].width, got[0].height) == (40, 30)
+    assert got[0].embedding == pytest.approx(expected, abs=1e-12)
+    v = (0.299 * 130 + 0.587 * 130 + 0.114 * 130) / 255.0
+    assert got[1].embedding == pytest.approx([v] * 8, abs=1e-12)
+
+
+def test_gif_lzw_dictionary_growth():
+    # synth_gif emits literal-only codes; a REAL LZW compressor here
+    # exercises the decoder's dictionary branches (multi-symbol
+    # entries, the code==len(table) KwKwK case, code-width growth)
+    import struct
+
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import _decode_image
+
+    def lzw_compress(indexes, min_code=8):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        dict_ = {(i,): i for i in range(clear)}
+        next_code = end + 1
+        code_size = min_code + 1
+        codes = [clear]
+        w = ()
+        for p in indexes:
+            wk = w + (p,)
+            if wk in dict_:
+                w = wk
+                continue
+            codes.append(dict_[w])
+            dict_[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+            if next_code >= 4096:
+                codes.append(clear)
+                dict_ = {(i,): i for i in range(clear)}
+                next_code = end + 1
+                code_size = min_code + 1
+            w = (p,)
+        if w:
+            codes.append(dict_[w])
+        codes.append(end)
+        # pack with the same growing code width the decoder will use
+        out = bytearray()
+        val = nbits = 0
+        size = min_code + 1
+        next_c = end + 1
+        for c in codes:
+            val |= c << nbits
+            nbits += size
+            while nbits >= 8:
+                out.append(val & 0xFF)
+                val >>= 8
+                nbits -= 8
+            if c == clear:
+                size = min_code + 1
+                next_c = end + 1
+            elif c != end:
+                next_c += 1
+                if next_c - 1 == (1 << size) and size < 12:
+                    size += 1
+        if nbits:
+            out.append(val & 0xFF)
+        return bytes(out)
+
+    # repetitive content -> real dictionary reuse
+    idx = np.tile(np.arange(16, dtype=np.uint8).repeat(4), 64)[:40 * 30]
+    data = lzw_compress(idx.tolist())
+    gif = bytearray()
+    gif += b"GIF89a" + struct.pack("<HH", 40, 30) + bytes([0xF7, 0, 0])
+    gif += bytes(v for i in range(256) for v in (i, i, i))
+    gif += b"\x2C" + struct.pack("<HHHH", 0, 0, 40, 30) + b"\x00"
+    gif.append(8)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        gif.append(len(chunk))
+        gif += chunk
+    gif += b"\x00\x3B"
+    assert len(data) < idx.size  # actually compressed
+    w, h, emb = _decode_image(bytes(gif))
+    lum = (0.299 * idx + 0.587 * idx + 0.114 * idx).astype(float) / 255.0
+    n = lum.size
+    expected = [float(lum[(k * n) // 8:((k + 1) * n) // 8].mean())
+                for k in range(8)]
+    assert (w, h) == (40, 30)
+    assert emb == pytest.approx(expected, abs=1e-12)
+
+
 def test_png_decode_wall_time():
     # the decode kernels are numpy-vectorized — a 1024x1024 RGB PNG
     # (≈3.1M pixel-channels) must decode in well under a second of
@@ -538,7 +647,19 @@ def test_real_wav_decode(spark):
     assert r.sample_rate == 16000
     assert r.duration_ms == 250
     assert len(r.mfcc) == 13
-    # 440 Hz of an 8 kHz spectrum lands in the lowest of 13 bands —
-    # the fundamental must dominate every other band's energy
-    assert r.mfcc[0] == max(r.mfcc)
-    assert r.mfcc[0] > r.mfcc[6] + 2  # orders of magnitude in log10
+    # true MFCC: c0 is the (scaled) total log-mel energy — the largest
+    # coefficient for any real signal
+    assert r.mfcc[0] == max(r.mfcc) and r.mfcc[0] > 0
+    # MFCCs are discriminative and deterministic: a different pitch
+    # yields a different vector, the same pitch an identical one
+    assets2 = spark.createDataFrame(
+        [(0, "audio", bytearray(synth_wav(rate=16000, freq=880.0, ms=250)),
+          None, (None, None, None, "wav")),
+         (1, "audio", bytearray(synth_wav(rate=16000, freq=440.0, ms=250)),
+          None, (None, None, None, "wav"))],
+        ASSET_SCHEMA,
+    )
+    got = {x.asset_id: x.mfcc for x in
+           audio_features(assets2, n_mfcc=13).collect()}
+    assert got[1] == pytest.approx(list(r.mfcc), abs=1e-12)
+    assert max(abs(a - b) for a, b in zip(got[0], got[1])) > 0.01
