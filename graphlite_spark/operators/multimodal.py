@@ -288,30 +288,48 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int]:
     return out
 
 
-def _decode_gif(content: bytes):
-    """GIF87a/89a first-frame decode: palette + LZW index stream ->
-    luminance plane. Animated GIFs use frame 1 only (documented)."""
+def _gif_frames(content: bytes):
+    """Iterate composited full-canvas frames of a GIF87a/89a stream.
+
+    Yields (canvas_rgb uint8 (H, W, 3), delay_ms) per frame with
+    Graphics Control Extension handling: per-frame delay, transparency
+    index, and disposal methods 0/1 (leave), 2 (restore background),
+    3 (restore previous). Frames may be sub-rectangles at (left, top).
+    """
     import struct
 
     import numpy as np
 
     width, height = struct.unpack_from("<HH", content, 6)
     flags = content[10]
+    bg_idx = content[11]
     pos = 13
     gct = None
     if flags & 0x80:
         sz = 2 << (flags & 7)
         gct = np.frombuffer(content, np.uint8, sz * 3, pos).reshape(sz, 3)
         pos += sz * 3
+    bg_rgb = gct[bg_idx] if gct is not None and bg_idx < len(gct) else \
+        np.zeros(3, dtype=np.uint8)
+    canvas = np.tile(bg_rgb, (height, width, 1)).astype(np.uint8)
+    delay_ms, disposal, transparent = 0, 0, None
+    saw_frame = False
     while pos < len(content):
         b = content[pos]
-        if b == 0x21:  # extension: skip sub-blocks
+        if b == 0x21:  # extension
+            label = content[pos + 1]
             pos += 2
+            if label == 0xF9 and content[pos] >= 4:  # GCE
+                gflags = content[pos + 1]
+                delay_cs, = struct.unpack_from("<H", content, pos + 2)
+                delay_ms = delay_cs * 10
+                disposal = (gflags >> 2) & 7
+                transparent = content[pos + 4] if gflags & 1 else None
             while content[pos]:
                 pos += content[pos] + 1
             pos += 1
         elif b == 0x2C:  # image descriptor
-            _, _, iw, ih = struct.unpack_from("<HHHH", content, pos + 1)
+            left, top, iw, ih = struct.unpack_from("<HHHH", content, pos + 1)
             iflags = content[pos + 9]
             pos += 10
             pal = gct
@@ -340,15 +358,37 @@ def _decode_gif(content: bytes):
                 out = np.empty_like(arr)
                 out[np.asarray(order)] = arr
                 arr = out
-            rgb = pal[arr].astype(np.float64)
-            gray = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
-                    + 0.114 * rgb[..., 2]).ravel() / 255.0
-            return iw, ih, gray
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[top:top + ih, left:left + iw]
+            frame_rgb = pal[arr].astype(np.uint8)
+            if transparent is not None:
+                mask = arr != transparent
+                region[mask] = frame_rgb[mask]
+            else:
+                region[:] = frame_rgb
+            yield canvas.copy(), delay_ms
+            saw_frame = True
+            if disposal == 2:
+                region[:] = bg_rgb
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            delay_ms, disposal, transparent = 0, 0, None
         elif b == 0x3B:  # trailer
             break
         else:
             pos += 1
-    raise NotImplementedError("GIF stream has no image data")
+    if not saw_frame:
+        raise NotImplementedError("GIF stream has no image data")
+
+
+def _decode_gif(content: bytes):
+    """First composited frame -> (width, height, luminance array)."""
+    canvas, _ = next(iter(_gif_frames(content)))
+    h, w, _c = canvas.shape
+    rgb = canvas.astype("float64")
+    gray = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+            + 0.114 * rgb[..., 2]).ravel() / 255.0
+    return w, h, gray
 
 
 def synth_gif(width: int, height: int, pixel) -> bytes:
@@ -366,40 +406,58 @@ def synth_gif(width: int, height: int, pixel) -> bytes:
                         for y in range(height)], dtype=np.uint8)
     else:
         idx = np.asarray(pixel, dtype=np.uint8).reshape(height, width)
+    return synth_animated_gif(width, height, [idx], delay_ms=0)
 
-    clear, end = 256, 257
-    codes: list[int] = [clear]
-    count = 0
-    for p in idx.ravel().tolist():
-        codes.append(p)
-        count += 1
-        if count == 250:  # stay inside 9-bit code space
-            codes.append(clear)
-            count = 0
-    codes.append(end)
-    val = nbits = 0
-    buf = bytearray()
-    for c in codes:  # LSB-first packing, fixed 9-bit codes
-        val |= c << nbits
-        nbits += 9
-        while nbits >= 8:
+
+def synth_animated_gif(width: int, height: int, frames,
+                       delay_ms: int = 100) -> bytes:
+    """GIF89a writer for N full-canvas frames ((h, w) uint8 index
+    arrays over the 256-gray palette) with a per-frame GCE delay."""
+    import struct
+
+    import numpy as np
+
+    def lzw_literal(idx) -> bytearray:
+        clear, end = 256, 257
+        codes: list[int] = [clear]
+        count = 0
+        for p in np.asarray(idx, dtype=np.uint8).ravel().tolist():
+            codes.append(p)
+            count += 1
+            if count == 250:  # stay inside 9-bit code space
+                codes.append(clear)
+                count = 0
+        codes.append(end)
+        val = nbits = 0
+        buf = bytearray()
+        for c in codes:  # LSB-first packing, fixed 9-bit codes
+            val |= c << nbits
+            nbits += 9
+            while nbits >= 8:
+                buf.append(val & 0xFF)
+                val >>= 8
+                nbits -= 8
+        if nbits:
             buf.append(val & 0xFF)
-            val >>= 8
-            nbits -= 8
-    if nbits:
-        buf.append(val & 0xFF)
+        return buf
 
     out = bytearray()
     out += b"GIF89a" + struct.pack("<HH", width, height)
     out += bytes([0xF7, 0, 0])  # global color table, 256 entries
     out += bytes(v for i in range(256) for v in (i, i, i))
-    out += b"\x2C" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
-    out.append(8)  # LZW min code size
-    for i in range(0, len(buf), 255):
-        chunk = buf[i:i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3B"
+    for frame in frames:
+        if delay_ms:
+            out += bytes([0x21, 0xF9, 4, 0])  # GCE: disposal 0, no transp
+            out += struct.pack("<H", delay_ms // 10) + bytes([0, 0])
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out.append(8)  # LZW min code size
+        buf = lzw_literal(frame)
+        for i in range(0, len(buf), 255):
+            chunk = buf[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3B"
     return bytes(out)
 
 
@@ -824,13 +882,22 @@ def image_features(
     deterministic_fake: bool = False,
     embedding_dim: int = 8,
     batch_hint: int = 256,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Decode + embed image assets via Arrow-batched mapInPandas.
 
     Partition-parallel; each Python worker sees pandas batches of
     (asset_id, content) only — column pruning keeps bytes out of rows
     that don't need them.
+
+    ``on_error``: 'fail' (default — any undecodable asset raises, the
+    correctness-first mode), 'null' (emit the row with null
+    width/height/embedding — at corpus scale one corrupt or
+    unsupported file must not kill a 10^9-asset job; count the nulls
+    downstream), or 'skip' (drop the row).
     """
+    if on_error not in ("fail", "null", "skip"):
+        raise ValueError(f"on_error must be fail|null|skip, got {on_error!r}")
     pruned = assets.select("asset_id", "content")
 
     def run(batches: Iterator) -> Iterator:
@@ -839,15 +906,26 @@ def image_features(
         for pdf in batches:
             out = {"asset_id": [], "width": [], "height": [], "embedding": []}
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                if deterministic_fake:
-                    w, h, emb = _fake_image_features(content, embedding_dim)
-                else:
-                    w, h, emb = _decode_image(content, embedding_dim)
+                try:
+                    if deterministic_fake:
+                        w, h, emb = _fake_image_features(content, embedding_dim)
+                    else:
+                        w, h, emb = _decode_image(content, embedding_dim)
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    w = h = emb = None
                 out["asset_id"].append(aid)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["embedding"].append(emb)
-            yield pd.DataFrame(out)
+            if out["asset_id"]:
+                # an all-skipped batch must not yield: an empty pandas
+                # frame defaults columns to float64, which Arrow can't
+                # cast to list<double>
+                yield pd.DataFrame(out)
 
     return pruned.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
@@ -1020,14 +1098,18 @@ def audio_features(
     assets: DataFrame,
     deterministic_fake: bool = False,
     n_mfcc: int = 13,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Decode + feature-extract audio assets (true MFCC: mel
     filterbank + log + DCT-II, see _decode_audio) via Arrow-batched
     mapInPandas — same plumbing contract as image_features:
-    column-pruned input, partition-parallel. WAV PCM decodes for REAL
-    (stdlib wave + numpy; sample rate and duration come from the
-    container, not metadata); other codecs need librosa/torchaudio and
-    raise unless deterministic_fake=True."""
+    column-pruned input, partition-parallel, same on_error
+    fail|null|skip policy. WAV PCM decodes for REAL (stdlib wave +
+    numpy; sample rate and duration come from the container, not
+    metadata); other codecs need librosa/torchaudio and raise unless
+    deterministic_fake=True."""
+    if on_error not in ("fail", "null", "skip"):
+        raise ValueError(f"on_error must be fail|null|skip, got {on_error!r}")
     pruned = assets.select(
         "asset_id", "content", F.col("meta.duration_ms").alias("duration_ms")
     )
@@ -1040,17 +1122,51 @@ def audio_features(
             for aid, content, dur in zip(
                 pdf["asset_id"], pdf["content"], pdf["duration_ms"]
             ):
-                if deterministic_fake:
-                    rate, mfcc = _fake_audio_features(content, n_mfcc)
-                else:
-                    rate, dur, mfcc = _decode_audio(content, n_mfcc)
+                try:
+                    if deterministic_fake:
+                        rate, mfcc = _fake_audio_features(content, n_mfcc)
+                    else:
+                        rate, dur, mfcc = _decode_audio(content, n_mfcc)
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    rate = dur = mfcc = None
                 out["asset_id"].append(aid)
                 out["sample_rate"].append(rate)
                 out["duration_ms"].append(dur)
                 out["mfcc"].append(mfcc)
-            yield pd.DataFrame(out)
+            if out["asset_id"]:  # see image_features: no empty yields
+                yield pd.DataFrame(out)
 
     return pruned.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def _sample_gif_frames(content: bytes, every_ms: int):
+    """REAL animated-GIF frame sampling: walk composited frames with
+    their GCE delays, emit the frame on display at each multiple of
+    ``every_ms`` (timestamp grid sampling — the same contract a video
+    container would use). Frames are returned as PNG bytes."""
+    frames = []
+    t = 0
+    for canvas, delay_ms in _gif_frames(content):
+        frames.append((t, canvas))
+        t += max(delay_ms, 10)  # browsers clamp 0-delay to ~10 ms
+    duration = t
+    out = []
+    i = 0
+    ts = 0
+    while ts < max(duration, 1):
+        # frame on display at ts = last frame with start <= ts
+        while i + 1 < len(frames) and frames[i + 1][0] <= ts:
+            i += 1
+        h, w, _ = frames[i][1].shape
+        out.append((ts, synth_png(w, h, frames[i][1])))
+        ts += every_ms
+        if len(frames) == 1:
+            break  # static image: one frame regardless of grid
+    return out
 
 
 def sample_frames(
@@ -1059,7 +1175,14 @@ def sample_frames(
     deterministic_fake: bool = False,
 ) -> DataFrame:
     """Sample video frames every `every_ms` — expands one asset row into
-    N frame rows (mapInPandas so output cardinality is free-form)."""
+    N frame rows (mapInPandas so output cardinality is free-form).
+
+    REAL for animated GIF (the one video-ish container decodable
+    without ffmpeg-class codecs): frames composited per the GIF
+    disposal/delay model, sampled on the every_ms timestamp grid,
+    emitted as PNG bytes. Other containers (mp4/webm/...) raise unless
+    deterministic_fake=True (seeded stand-in frames, plumbing intact).
+    """
     pruned = assets.select("asset_id", "content", F.col("meta.duration_ms").alias("duration_ms"))
 
     def run(batches: Iterator) -> Iterator:
@@ -1072,15 +1195,25 @@ def sample_frames(
             for aid, content, dur in zip(
                 pdf["asset_id"], pdf["content"], pdf["duration_ms"]
             ):
+                raw = bytes(content or b"")
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    for i, (ts, png) in enumerate(
+                        _sample_gif_frames(raw, every_ms)
+                    ):
+                        rows["asset_id"].append(aid)
+                        rows["frame_idx"].append(i)
+                        rows["ts_ms"].append(ts)
+                        rows["frame"].append(png)
+                    continue
                 if not deterministic_fake:
                     raise NotImplementedError(
-                        "video decode requires a media library; "
-                        "pass deterministic_fake=True"
+                        "only animated GIF samples without a media "
+                        "library; pass deterministic_fake=True"
                     )
                 n = max(int((dur or 0) // every_ms), 0)
                 for i in range(n):
                     seed = hashlib.sha256(
-                        (content or b"") + i.to_bytes(4, "little")
+                        raw + i.to_bytes(4, "little")
                     ).digest()
                     rows["asset_id"].append(aid)
                     rows["frame_idx"].append(i)

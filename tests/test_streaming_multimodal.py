@@ -530,6 +530,58 @@ def test_real_gif_decode(spark):
     assert got[1].embedding == pytest.approx([v] * 8, abs=1e-12)
 
 
+def test_decode_on_error_modes(spark):
+    # corpus-scale tolerance: one corrupt asset must not kill the job
+    # when on_error='null'/'skip'; default 'fail' keeps strictness
+    import pytest as _pytest
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, image_features, synth_bmp,
+    )
+
+    rows = [
+        (0, "image", bytearray(synth_bmp(8, 4, lambda x, y: (10, 10, 10))),
+         None, (8, 4, None, "bmp")),
+        (1, "image", bytearray(b"\x00garbage"), None, (None, None, None, "?")),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    with _pytest.raises(Exception):
+        image_features(assets).collect()  # default fail
+    got = {r.asset_id: r for r in
+           image_features(assets, on_error="null").collect()}
+    assert got[0].width == 8 and got[1].width is None
+    assert got[1].embedding is None
+    kept = image_features(assets, on_error="skip").collect()
+    assert [r.asset_id for r in kept] == [0]
+    with _pytest.raises(ValueError, match="on_error"):
+        image_features(assets, on_error="bogus")
+
+
+def test_sample_frames_real_animated_gif(spark):
+    # video-ish REAL path: animated GIF frames composited per the GCE
+    # delay/disposal model, sampled on the every_ms grid, PNG-encoded
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, _decode_image, sample_frames, synth_animated_gif,
+    )
+
+    frames = [np.full((12, 20), v, dtype=np.uint8) for v in (50, 100, 150)]
+    gif = synth_animated_gif(20, 12, frames, delay_ms=100)
+    assets = spark.createDataFrame(
+        [(7, "video", bytearray(gif), None, (20, 12, 300, "gif"))],
+        ASSET_SCHEMA,
+    )
+    got = sorted(sample_frames(assets, every_ms=100).collect(),
+                 key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.ts_ms) for r in got] == [(0, 0), (1, 100), (2, 200)]
+    for r, v in zip(got, (50, 100, 150)):
+        w, h, emb = _decode_image(bytes(r.frame))
+        assert (w, h) == (20, 12)
+        lum = (0.299 * v + 0.587 * v + 0.114 * v) / 255.0
+        assert emb == pytest.approx([lum] * 8, abs=1e-12)
+
+
 def test_gif_lzw_dictionary_growth():
     # synth_gif emits literal-only codes; a REAL LZW compressor here
     # exercises the decoder's dictionary branches (multi-symbol
