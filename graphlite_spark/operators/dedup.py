@@ -463,6 +463,9 @@ def dedup_clusters(
     """
     from .paths import connected_components
 
+    # checkpoint the pair finder ONCE: edges and nodes both derive from
+    # it, and without this the (expensive) pair plan executes twice
+    pairs = pairs.localCheckpoint(eager=False)
     edges = pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
     nodes = (
         pairs.select(F.col("id_a").alias("node"))

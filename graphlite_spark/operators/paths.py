@@ -170,12 +170,18 @@ def connected_components(
     from the MapReduce CC literature, as DataFrame joins.
     """
     id_col = nodes.columns[0]
+    # checkpoint the INPUTS once: edges/nodes may carry an expensive
+    # derived lineage (e.g. dedup_clusters feeds PPJoin pair output) —
+    # without this every round's join re-executes that upstream plan
     e = (
         edges.select(F.col(SRC).alias("_a"), F.col(DST).alias("_b"))
         .unionByName(edges.select(F.col(DST).alias("_a"), F.col(SRC).alias("_b")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=False)
     for it in range(max_iter):
         nbr_min = (
             labels.join(e, labels["node"] == e["_a"], "inner")
