@@ -1134,6 +1134,64 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=10, n_lists=16, n_probe=4)
 
 
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Knuth-hash sampling — reproducible, partition-
+    insensitive (unlike df.sample), nested across fractions."""
+    from graphlite_spark.operators.sampling import hash_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2, salt=7).select("doc_id", "n_chars")
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: a doc never migrates."""
+    from graphlite_spark.operators.sampling import split_assign
+
+    docs = _table(spark, sf_dir, "documents")
+    return split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=3
+    ).select("doc_id", "split")
+
+
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over synthesized doc-derived text (the parquet
+    corpus has no PII, so both sides append deterministic spans)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import scrub_pii
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    withpii = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" mail u"), F.col("doc_id").cast("string"),
+            F.lit("@ex.com from 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    return scrub_pii(withpii).select("doc_id", F.col("text").alias("scrubbed"))
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphlite_spark.operators.text import repetition_score
+
+    return repetition_score(_table(spark, sf_dir, "documents"))
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs vs a probe set (docs
+    0-19 standing in for an eval suite); broadcast probe shingles."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import ngram_contamination
+
+    docs = _table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") < 20)
+    return ngram_contamination(docs, probe, n=3, words=True)
+
+
 def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
     """REAL in-engine image decode (BMP/PNG/baseline-JPEG, stdlib+numpy
     kernels in operators/multimodal.py). Assets are synthesized
@@ -1662,6 +1720,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "path_mode_trail": _q_path_mode("TRAIL"),
             "path_mode_simple": _q_path_mode("SIMPLE"),
             "path_mode_acyclic": _q_path_mode("ACYCLIC"),
+            "hash_sample_fraction": _q_hash_sample,
+            "split_assign_weights": _q_split_assign,
+            "scrub_pii_text": _q_scrub_pii,
+            "repetition_score": _q_repetition,
+            "ngram_contamination": _q_contamination,
             "image_features_jpeg": _q_image_decode("jpeg"),
             "image_features_png": _q_image_decode("png"),
             "image_features_bmp": _q_image_decode("bmp"),
@@ -3016,6 +3079,79 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS src, cur AS dst, count(*) AS n
             FROM paths GROUP BY 1, 2
+        """,
+        # --- sampling / curation operators (Knuth-hash bucket =
+        # ((doc_id + salt) * 2654435761) mod 2^32, exact in BIGINT)
+        "hash_sample_fraction": """
+            SELECT doc_id, n_chars
+            FROM documents
+            WHERE ((doc_id + 7) * 2654435761) % 4294967296 < 858993459
+        """,
+        "split_assign_weights": """
+            SELECT doc_id,
+                   CASE WHEN ((doc_id + 3) * 2654435761) % 4294967296
+                             < 3435973836 THEN 'train'
+                        WHEN ((doc_id + 3) * 2654435761) % 4294967296
+                             < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "scrub_pii_text": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       concat(substring(text, 1, 40), ' mail u', CAST(doc_id AS VARCHAR),
+                              '@ex.com from 10.0.0.', CAST(doc_id % 200 AS VARCHAR),
+                              ' ssn 123-45-6789'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS scrubbed
+            FROM documents WHERE doc_id < 200
+        """,
+        "repetition_score": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0.0
+                            ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+                                 AS DOUBLE) END AS n_tok,
+                       CASE WHEN length(trim(text)) = 0 THEN 0.0
+                            ELSE CAST(len(list_distinct(
+                                 string_split_regex(trim(text), '\\s+')))
+                                 AS DOUBLE) END AS n_dis
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_tok AS BIGINT) AS n_tokens,
+                   CAST(n_dis AS BIGINT) AS n_distinct,
+                   round(CASE WHEN n_tok > 0 THEN 1.0 - n_dis / n_tok
+                              ELSE 0.0 END, 6) AS repetition
+            FROM t
+        """,
+        "ngram_contamination": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                                             i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+                FROM toks
+            ), probe AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id < 20
+            ), agg AS (
+                SELECT s.doc_id,
+                       count(*) AS n_shingles,
+                       count(p.shingle) AS n_cont
+                FROM sh s LEFT JOIN probe p ON s.shingle = p.shingle
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(a.n_cont, 0) AS BIGINT) AS n_contaminated,
+                   round(CASE WHEN COALESCE(a.n_shingles, 0) > 0
+                              THEN a.n_cont * 1.0 / a.n_shingles
+                              ELSE 0.0 END, 6) AS contamination
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # --- real media decode: gray-uniform synth assets make the
         # decoded luminance a closed form of doc_id; both sides compute

@@ -94,6 +94,66 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    words: bool = True,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """(doc_id, n_shingles, n_contaminated, contamination): per corpus
+    document, the fraction of its distinct n-gram shingles that appear
+    anywhere in the ``probe`` set — benchmark DECONTAMINATION, the
+    check an LLM training pipeline runs against its eval suites before
+    training. Rows with contamination < ``threshold`` are dropped
+    (default 0 keeps all, including zero-overlap docs).
+
+    Scale: probe sets (benchmarks) are tiny next to the corpus, so the
+    probe's distinct shingle hashes are BROADCAST; the corpus side is
+    one map-side shingle pass + broadcast hash join + one groupBy on
+    doc_id (8-byte keys). Same xxhash64 trade as ngram_jaccard_pairs:
+    a 64-bit collision could overstate one count (vanishingly rare).
+    """
+    probe_hashes = (
+        shingle_array(probe, text_col, id_col, n, words=words)
+        .select(F.explode("_shingles").alias("_s"))
+        .select(F.xxhash64("_s").alias("_ph"))
+        .distinct()
+    )
+    corp = shingle_array(corpus, text_col, id_col, n, words=words)
+    ex = corp.select(
+        F.col(id_col),
+        F.size("_shingles").alias("n_shingles"),
+        F.explode_outer(
+            F.transform("_shingles", lambda s: F.xxhash64(s))
+        ).alias("_h"),
+    )
+    hits = ex.join(
+        F.broadcast(probe_hashes), ex["_h"] == probe_hashes["_ph"], "left"
+    )
+    out = (
+        hits.groupBy(id_col, "n_shingles")
+        .agg(F.count("_ph").alias("n_contaminated"))
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_contaminated"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_contaminated") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contamination"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("contamination") >= threshold)
+    return out
+
+
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's optimized-plan size estimate for ``df`` — derived from
     input-file sizes for file scans (and actual bytes for local

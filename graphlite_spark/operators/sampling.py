@@ -1,0 +1,81 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+Beyond-reference surface (the reference engine has no sampling
+operators; the driver brief's LLM-pipeline family). Reproducible
+selection is a hard requirement for training corpora: the same document
+must land in the same split on every run, on any cluster, under any
+partitioning — so none of this uses Spark's ``df.sample`` (whose RNG is
+seeded per partition and therefore repartition-SENSITIVE).
+
+Selection key = Knuth multiplicative hash of a numeric id:
+``(key * 2654435761 + salt) mod 2^32`` — map-side, codegen'd, and
+exactly expressible in ANSI SQL, so every operator here has a
+cross-engine oracle. For non-numeric keys pre-hash with
+``F.xxhash64(col)`` (then the oracle is rows-only, like the LSH
+family).
+
+At 100 TB: all operators are single-pass projections/filters with NO
+shuffle — sampling must never cost more than the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, Knuth §6.4
+_M32 = 1 << 32
+
+
+def _bucket(key: Column, salt: int) -> Column:
+    """Deterministic uniform bucket in [0, 2^32) from a numeric key.
+
+    Salt is mixed into the multiplicand (``(key + salt) * KNUTH``), not
+    added afterward — a post-add would only rotate bucket values, so
+    every salt would select nearly the same rows. Multiplication stays
+    in BIGINT (ids up to ~2^31 are safe); pmod keeps it non-negative.
+    """
+    return F.pmod((key.cast("long") + F.lit(salt)) * F.lit(_KNUTH), F.lit(_M32))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                salt: int = 0) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, selected by key hash.
+
+    Properties Spark's ``sample()`` does not give:
+    - reproducible across runs/partitionings (pure function of the key)
+    - consistent across tables: the same (key, salt) always selects the
+      same rows, so sampled fact/dim tables still join
+    - nested: hash_sample(.., 0.01) is a subset of hash_sample(.., 0.1)
+      at the same salt (threshold on the same bucket value)
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thresh = int(fraction * _M32)
+    return df.filter(_bucket(F.col(key_col), salt) < F.lit(thresh))
+
+
+def split_assign(df: DataFrame, key_col: str,
+                 weights: dict[str, float] | None = None,
+                 salt: int = 0, split_col: str = "split") -> DataFrame:
+    """Add a deterministic train/val/test split label column.
+
+    ``weights`` maps label -> fraction (must sum to <= 1; any remainder
+    falls into the last label). Assignment is a pure function of
+    (key, salt): stable under reruns, repartitions, and incremental
+    ingestion — a document never migrates between splits.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) > 1.0 + 1e-9:
+        raise ValueError(f"weights must be >=0 and sum <=1: {weights}")
+    bucket = _bucket(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        acc += w
+        cond = bucket < F.lit(int(acc * _M32))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)

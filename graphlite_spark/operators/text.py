@@ -84,6 +84,50 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# PII patterns shared with the oracle: Java-regex AND RE2 compatible
+# (no lookaround/backrefs), so the same pattern string runs in Spark's
+# regexp_replace and DuckDB's (with the 'g' flag there).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              kinds: tuple[str, ...] = ("email", "ssn", "ip", "phone"),
+              out_col: str | None = None) -> DataFrame:
+    """Replace PII spans with typed placeholder tokens — the scrubbing
+    pass every published-corpus pipeline runs. Chained regexp_replace:
+    pure codegen, map-side, no shuffle; order matters (SSN/IP before
+    the broader phone pattern) and follows ``kinds``."""
+    col = F.col(text_col)
+    for k in kinds:
+        pat, repl = PII_PATTERNS[k]
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col or text_col, col)
+
+
+def repetition_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_distinct, repetition): word-level repetition
+    ratio 1 - distinct/total — the cheap boilerplate/spam signal
+    (high = template or keyword-stuffed text). Map-side only."""
+    toks = _tokens(F.col(text_col))
+    empty = F.length(F.trim(F.col(text_col))) == 0  # split('') -> ['']
+    n_tok = F.when(empty, F.lit(0.0)).otherwise(F.size(toks).cast("double"))
+    n_dis = F.when(empty, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)).cast("double"))
+    rep = F.when(n_tok > 0, F.lit(1.0) - n_dis / n_tok).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_dis.cast("long").alias("n_distinct"),
+        F.round(rep, 6).alias("repetition"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit language guess over LANG_LEXICON; 'und' (undetermined)
     when no lexicon scores > 0. Deterministic ties: lexicon order."""

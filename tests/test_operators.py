@@ -366,3 +366,90 @@ def test_quantize_embeddings_cosine_preserved(spark):
               .collect()}
     worst = max(abs(exact[k] - approx[k]) for k in exact)
     assert worst < 0.02
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from graphlite_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k: long")
+    a = {r.k for r in hash_sample(df, "k", 0.2, salt=7).collect()}
+    b = {r.k for r in hash_sample(df.repartition(13), "k", 0.2, salt=7).collect()}
+    assert a == b  # partitioning-insensitive (unlike df.sample)
+    small = {r.k for r in hash_sample(df, "k", 0.05, salt=7).collect()}
+    assert small <= a  # nested: smaller fraction is a subset
+    # approximately uniform: 20% +- a few points on 2000 keys
+    assert 0.15 < len(a) / 2000 < 0.25
+    assert 0.02 < len(small) / 2000 < 0.08
+    # a different salt draws a different sample
+    c = {r.k for r in hash_sample(df, "k", 0.2, salt=8).collect()}
+    assert c != a
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, "k", 1.5)
+
+
+def test_split_assign_stable_and_complete(spark):
+    from graphlite_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "k: long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.k: r.split for r in split_assign(df, "k", w, salt=3).collect()}
+    again = {r.k: r.split
+             for r in split_assign(df.repartition(7), "k", w, salt=3).collect()}
+    assert got == again  # a doc never migrates between splits
+    from collections import Counter
+
+    counts = Counter(got.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 3000 < 0.85
+    assert 0.05 < counts["val"] / 3000 < 0.15
+    with pytest.raises(ValueError, match="weights"):
+        split_assign(df, "k", {"a": 0.9, "b": 0.3})
+
+
+def test_scrub_pii(spark):
+    from graphlite_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com or call +1 555-123-4567; ssn 123-45-6789 ip 10.0.0.1")],
+        "doc_id: long, text: string",
+    )
+    out = scrub_pii(df).first().text
+    assert "<EMAIL>" in out and "<SSN>" in out and "<IP>" in out and "<PHONE>" in out
+    assert "a@b.com" not in out and "123-45-6789" not in out
+    # untouched text passes through
+    clean = spark.createDataFrame([(2, "no pii here")], "doc_id: long, text: string")
+    assert scrub_pii(clean).first().text == "no pii here"
+
+
+def test_repetition_score(spark, docs):
+    from graphlite_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words are different"), (3, "")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in repetition_score(df).collect()}
+    assert got[1].repetition == pytest.approx(0.75)  # 1 distinct of 4
+    assert got[2].repetition == 0.0
+    assert got[3].repetition == 0.0 and got[3].n_tokens == 0
+
+
+def test_ngram_contamination(spark, docs):
+    from graphlite_spark.operators.dedup import ngram_contamination
+
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in
+           ngram_contamination(docs, probe, n=3, words=True).collect()}
+    assert got[1].contamination == 1.0  # identical text
+    assert got[3].contamination == 1.0
+    assert got[4].contamination == 0.0  # disjoint content
+    assert 0.0 < got[2].contamination < 1.0  # near-dup: partial overlap
+    assert got[6].n_shingles == 0 and got[6].contamination == 0.0
+    # doc 5 is the UPPERCASE variant: shingling is case-sensitive, so
+    # it does not overlap the probe — decontamination pipelines
+    # normalize first if they want case-folding
+    hot = ngram_contamination(docs, probe, n=3, words=True, threshold=0.9)
+    assert sorted(r.doc_id for r in hot.collect()) == [1, 3]
