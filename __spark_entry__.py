@@ -1153,6 +1153,18 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: downsample languages to a 40/20/40 en/de/zh
+    char-weighted mixture (largest corpus achieving it, zh binding)."""
+    from graphlite_spark.operators.sampling import mixture_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "lang", {"en": 0.4, "de": 0.2, "zh": 0.4},
+        "doc_id", salt=11, weight_col="n_chars",
+    ).select("doc_id", "lang", "n_chars")
+
+
 def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over synthesized doc-derived text (the parquet
     corpus has no PII, so both sides append deterministic spans)."""
@@ -1722,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "path_mode_acyclic": _q_path_mode("ACYCLIC"),
             "hash_sample_fraction": _q_hash_sample,
             "split_assign_weights": _q_split_assign,
+            "mixture_sample_langs": _q_mixture_sample,
             "scrub_pii_text": _q_scrub_pii,
             "repetition_score": _q_repetition,
             "ngram_contamination": _q_contamination,
@@ -3095,6 +3108,26 @@ def oracle_sql() -> dict[str, str]:
                              < 3865470566 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "mixture_sample_langs": """
+            WITH stats AS (
+                SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS w
+                FROM documents GROUP BY 1
+            ), tgt AS (
+                SELECT lang, w,
+                       CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+                                 WHEN 'zh' THEN 0.4 END AS target
+                FROM stats
+            ), rates AS (
+                SELECT lang,
+                       least(1.0, target * (SELECT min(w / target) FROM tgt
+                                            WHERE target IS NOT NULL) / w) AS rate
+                FROM tgt WHERE target IS NOT NULL
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE ((d.doc_id + 11) * 2654435761) % 4294967296
+                  < r.rate * 4294967296.0
         """,
         "scrub_pii_text": """
             SELECT doc_id,

@@ -55,6 +55,55 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float,
     return df.filter(_bucket(F.col(key_col), salt) < F.lit(thresh))
 
 
+def mixture_sample(df: DataFrame, group_col: str, targets: dict[str, float],
+                   key_col: str, salt: int = 0,
+                   weight_col: str | None = None) -> DataFrame:
+    """Downsample groups to a TARGET MIXTURE — the data-mixing step of
+    a training pipeline ("50% en / 30% code / 20% the rest").
+
+    ``targets`` maps group value -> desired weight share of the output
+    (weights measured by ``weight_col``, e.g. token counts; rows if
+    None). Groups absent from ``targets`` are dropped. The output is
+    the LARGEST corpus achieving the target proportions without
+    upsampling: T = min_g(weight_g / target_g); each group keeps
+    rate_g = target_g * T / weight_g of its weight (the binding group
+    keeps everything). Selection uses the deterministic key hash, so
+    the mix is reproducible and nested like hash_sample.
+
+    Scale: one partial-aggregated groupBy for the per-group weights
+    (|groups| rows), a 1-row min, broadcast rate join, map-side filter
+    — cost is the scan plus one tiny shuffle regardless of corpus
+    size. Entirely plan-side: no driver collect.
+    """
+    if not targets or any(t <= 0 for t in targets.values()):
+        raise ValueError(f"targets must be positive shares: {targets}")
+    tmap = F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])
+    # aggregate weights in their native (integer-exact) type and cast
+    # AFTER the sum: a double-typed partial sum would be partition-
+    # order-dependent in its last bit, breaking reproducibility
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    stats = (
+        df.groupBy(group_col).agg(F.sum(w).alias("_ws"))
+        .select(
+            F.col(group_col),
+            F.col("_ws").cast("double").alias("_w"),
+            tmap[F.col(group_col)].alias("_target"),
+        )
+        .filter(F.col("_target").isNotNull())
+    )
+    tmin = stats.select(F.min(F.col("_w") / F.col("_target")).alias("_T"))
+    rates = stats.crossJoin(F.broadcast(tmin)).select(
+        F.col(group_col),
+        F.least(
+            F.lit(1.0), F.col("_target") * F.col("_T") / F.col("_w")
+        ).alias("_rate"),
+    )
+    out = df.join(F.broadcast(rates), group_col, "inner")
+    return out.filter(
+        _bucket(F.col(key_col), salt) < F.col("_rate") * F.lit(float(_M32))
+    ).drop("_rate")
+
+
 def split_assign(df: DataFrame, key_col: str,
                  weights: dict[str, float] | None = None,
                  salt: int = 0, split_col: str = "split") -> DataFrame:

@@ -453,3 +453,29 @@ def test_ngram_contamination(spark, docs):
     # normalize first if they want case-folding
     hot = ngram_contamination(docs, probe, n=3, words=True, threshold=0.9)
     assert sorted(r.doc_id for r in hot.collect()) == [1, 3]
+
+
+def test_mixture_sample_hits_targets(spark):
+    from graphlite_spark.operators.sampling import mixture_sample
+
+    # 600 'a' rows, 300 'b', 100 'c'; target mix 1:1 over a/b, drop c
+    rows = [(i, "a" if i < 600 else ("b" if i < 900 else "c"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "k: long, g: string")
+    out = mixture_sample(df, "g", {"a": 0.5, "b": 0.5}, "k", salt=1)
+    from collections import Counter
+
+    got = Counter(r.g for r in out.collect())
+    assert "c" not in got  # untargeted group dropped
+    # b is binding (300 rows kept); a downsampled to ~300
+    assert got["b"] == 300
+    assert 240 < got["a"] < 360
+    # deterministic + partition-insensitive
+    again = Counter(r.g for r in
+                    mixture_sample(df.repartition(17), "g",
+                                   {"a": 0.5, "b": 0.5}, "k", salt=1).collect())
+    assert again == got
+    import pytest as _p
+
+    with _p.raises(ValueError, match="targets"):
+        mixture_sample(df, "g", {"a": -1.0}, "k")
