@@ -406,9 +406,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 ).alias("bucket"),
             )
         )
+    # checkpoint: both sides of the band-bucket self-join read this
+    # frame, and the signature aggregation upstream is the expensive
+    # stage — without the cut it executes twice (no ReusedExchange in
+    # the static plan)
     buckets = sig.select(
         id_col, F.explode(F.array(*band_rows)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).localCheckpoint(eager=False)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), on=["band", "bucket"])
