@@ -278,9 +278,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         "_rn",
         F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "_sh")),
     )
+    # checkpoint: both sides of the candidate self-join read the prefix
+    # index, and its lineage holds the ranking window / hot-list join —
+    # without the cut that stage executes twice
     prefix = ranked.filter(
         F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select(id_col, "sz", "_sh")
+    ).select(id_col, "sz", "_sh").localCheckpoint(eager=False)
     cand = (
         prefix.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "_sh")
         .join(
@@ -491,7 +494,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
         for c in range(4)
     ]
-    s = sim.select(id_col, "simhash", *chunks)
+    # checkpoint: the fingerprint frame feeds 4 chunk blocks x 2 join
+    # sides — without the cut the simhash aggregation executes 8 times
+    s = sim.select(id_col, "simhash", *chunks).localCheckpoint(eager=False)
     pairs = None
     for c in range(4):
         x = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c{c}").alias("blk"))
