@@ -357,18 +357,52 @@ def triangle_count(
     Returns a 1-row DataFrame: (n_triangles BIGINT).
     """
     a, b = F.col(src), F.col(dst)
+    # checkpoint: the canonical edge set feeds three join sides, and
+    # its lineage may hold an expensive upstream projection (e.g. the
+    # co-purchase self-join) — without the cut it executes 3x
     und = (
         edges.select(
             F.least(a, b).alias("_lo"), F.greatest(a, b).alias("_hi")
         )
         .filter(F.col("_lo") != F.col("_hi"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    e1 = und.select(F.col("_lo").alias("a"), F.col("_hi").alias("b"))
-    e2 = und.select(F.col("_lo").alias("b"), F.col("_hi").alias("c"))
-    e3 = und.select(F.col("_lo").alias("a"), F.col("_hi").alias("c"))
-    wedges = e1.join(e2, "b")
-    tris = wedges.join(e3, ["a", "c"])
+    # degree orientation (the power-law refinement, now actually done):
+    # orient every edge from its lower-(degree, id) endpoint to the
+    # higher one. Wedges then open only at a triangle's MINIMUM-degree
+    # corner, so per-vertex join fan-out is bounded by out-degree in
+    # the orientation (<= sqrt(2m) for any graph) instead of raw degree
+    # — the difference between a hub exploding the wedge join and not.
+    deg = (
+        und.select(F.col("_lo").alias("_n"))
+        .unionByName(und.select(F.col("_hi").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    dl = deg.select(F.col("_n").alias("_lo"), F.col("_d").alias("_dlo"))
+    dh = deg.select(F.col("_n").alias("_hi"), F.col("_d").alias("_dhi"))
+    keyed = und.join(dl, "_lo").join(dh, "_hi")
+    klo = F.struct(F.col("_dlo").alias("d"), F.col("_lo").alias("n"))
+    khi = F.struct(F.col("_dhi").alias("d"), F.col("_hi").alias("n"))
+    oriented = keyed.select(
+        F.when(klo < khi, F.col("_lo")).otherwise(F.col("_hi")).alias("u"),
+        F.when(klo < khi, F.col("_hi")).otherwise(F.col("_lo")).alias("v"),
+        F.when(klo < khi, khi).otherwise(klo).alias("kv"),
+    ).localCheckpoint(eager=False)
+    e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"),
+                         F.col("kv").alias("kb"))
+    e2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"),
+                         F.col("kv").alias("kc"))
+    # wedge at the min corner a; order the two tips so the closing edge
+    # (b -> c) matches its stored orientation exactly once
+    wedges = (
+        e1.join(e2, "a")
+        .filter(F.col("kb") < F.col("kc"))
+        .select("b", "c")
+    )
+    e3 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tris = wedges.join(e3, ["b", "c"])
     return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
@@ -386,6 +420,7 @@ def triangles_per_vertex(
         )
         .filter(F.col("_lo") != F.col("_hi"))
         .distinct()
+        .localCheckpoint(eager=False)  # feeds 3 join sides (see triangle_count)
     )
     e1 = und.select(F.col("_lo").alias("a"), F.col("_hi").alias("b"))
     e2 = und.select(F.col("_lo").alias("b"), F.col("_hi").alias("c"))
