@@ -278,12 +278,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         "_rn",
         F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "_sh")),
     )
-    # checkpoint: both sides of the candidate self-join read the prefix
-    # index, and its lineage holds the ranking window / hot-list join —
-    # without the cut that stage executes twice
+    # NOT checkpointed (measured): although both candidate-join sides
+    # read the prefix index, materializing it costs more than the
+    # second window computation — the filter prunes most postings, so
+    # the duplicated stage is small while the checkpoint stores and
+    # rereads the whole frame (A/B at sf0.1: 1.8s vs 2.7s warm)
     prefix = ranked.filter(
         F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select(id_col, "sz", "_sh").localCheckpoint(eager=False)
+    ).select(id_col, "sz", "_sh")
     cand = (
         prefix.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "_sh")
         .join(
