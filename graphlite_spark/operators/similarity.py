@@ -94,25 +94,29 @@ def hyperplane_signature(vec_col, dim: int, num_planes: int = 16):
     Plane p's coefficient for dimension d is a pseudo-random value in
     [-1, 1) derived from xxhash64(p, d) — reproducible on any cluster,
     no RNG state to ship. All JVM expressions.
+
+    Built as ONE ``F.expr`` SQL string: the Column-API equivalent
+    creates num_planes*dim Column objects (~2300 py4j round trips at
+    64x12), which costs ~9s of DRIVER time per call before any row is
+    processed. The SQL text folds to the identical constant arrays
+    JVM-side (same xxhash64), so results are bit-identical.
     """
-    acc = F.lit(0).cast("long")
+    name = vec_col if isinstance(vec_col, str) else vec_col._jc.toString()
+    terms = []
     for p in range(num_planes):
-        coeffs = F.array(
-            *[
-                (
-                    F.xxhash64(F.lit(p * 1_000_003 + d)).cast("double")
-                    / F.lit(float(2**63))
-                )
-                for d in range(dim)
-            ]
+        coeffs = ", ".join(
+            f"CAST(xxhash64({p * 1_000_003 + d}) AS DOUBLE) / {float(2 ** 63)!r}"
+            for d in range(dim)
         )
-        proj = F.aggregate(
-            F.zip_with(vec_col, coeffs, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda a, v: a + v,
+        proj = (
+            f"aggregate(zip_with({name}, array({coeffs}), (x, c) -> x * c), "
+            f"CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
         )
-        acc = acc + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
-    return acc
+        terms.append(
+            f"(CASE WHEN {proj} > 0 THEN CAST({1 << p} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
 def cosine_dup_pairs(

@@ -664,6 +664,46 @@ def test_gif_lzw_dictionary_growth():
     assert emb == pytest.approx(expected, abs=1e-12)
 
 
+def test_decoder_truncation_robustness():
+    # corpus reality: truncated containers must fail CLEANLY (raise) or
+    # decode the valid prefix — never hang or segfault the worker
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import (
+        _decode_audio, _decode_image, synth_bmp, synth_gif, synth_jpeg,
+        synth_png, synth_wav,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (12, 20, 3), np.uint8)
+    samples = {
+        "bmp": synth_bmp(20, 12, lambda x, y: (1, 2, 3)),
+        "png": synth_png(20, 12, img),
+        "jpeg": synth_jpeg(20, 12, img),
+        "gif": synth_gif(20, 12, img[:, :, 0]),
+    }
+    for name, blob in samples.items():
+        for cut in (4, 10, 20, 50, len(blob) // 2):
+            try:
+                w, h, emb = _decode_image(blob[:cut])
+                assert len(emb) == 8  # decoded a valid prefix
+            except Exception:
+                pass  # clean failure is the expected outcome
+        for pos in range(10, min(len(blob), 200), 17):
+            mutated = bytearray(blob)
+            mutated[pos] ^= 0xFF
+            try:
+                _decode_image(bytes(mutated))
+            except Exception:
+                pass
+    wav = synth_wav()
+    for cut in (4, 12, 30, len(wav) // 2):
+        try:
+            _decode_audio(wav[:cut], 13)
+        except Exception:
+            pass
+
+
 def test_png_decode_wall_time():
     # the decode kernels are numpy-vectorized — a 1024x1024 RGB PNG
     # (≈3.1M pixel-channels) must decode in well under a second of
