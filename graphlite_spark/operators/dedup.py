@@ -348,16 +348,19 @@ def _minhash_sig(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
         F.shiftrightunsigned(F.xxhash64(F.col("shingle"), F.lit(1)), 32)
         * F.lit(2) + F.lit(1),
     )
+    # SQL-string expressions: the Column-tree loop cost ~1s+ of driver
+    # py4j time per construction (same lesson as hyperplane_signature)
     aggs = [
-        F.min(F.col("_ha") + F.lit(i) * F.col("_hb")).alias(f"h{i}")
+        F.expr(f"min(_ha + {i} * _hb)").alias(f"h{i}")
         for i in range(num_hashes)
     ]
+    sig = "array(" + ", ".join(f"h{i}" for i in range(num_hashes)) + ")"
     return (
         sh.groupBy(id_col)
         .agg(*aggs)
         .select(
             id_col,
-            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+            F.expr(sig).alias("signature"),
         )
     )
 
@@ -467,19 +470,25 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sh = shingles(df, text_col, id_col, n, words=words)
     # 63 conditional sums in one hash aggregate — codegen'd with
     # map-side partial agg (an aggregate() fold over the per-row array
-    # would skip the shuffle but run interpreted lambdas; codegen wins)
-    h = F.xxhash64("shingle")
+    # would skip the shuffle but run interpreted lambdas; codegen wins).
+    # Expressions are SQL strings, not Column trees: the loop-built
+    # Column version spent ~4s of driver time in py4j round trips per
+    # construction (same lesson as hyperplane_signature).
     aggs = [
-        F.sum(
-            F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        F.expr(
+            f"sum(CASE WHEN (xxhash64(shingle) & {1 << j}) != 0 "
+            f"THEN 1 ELSE -1 END)"
         ).alias(f"b{j}")
         for j in range(63)  # bit 63 would overflow signed long literals
     ]
     bits = sh.groupBy(id_col).agg(*aggs)
-    acc = F.lit(0).cast("long")
-    for j in range(63):  # keep the sign bit clear to stay in bigint range
-        acc = acc + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-    return bits.select(id_col, acc.alias("simhash"))
+    # keep the sign bit clear to stay in bigint range
+    acc = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(63)
+    )
+    return bits.select(id_col, F.expr(acc).alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
