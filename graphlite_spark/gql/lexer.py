@@ -61,7 +61,14 @@ class Token:
         return f"{self.kind}({self.value!r})"
 
 
-class LexError(ValueError):
+class ParseError(ValueError):
+    """Base syntax-error type for the whole GQL front end — defined
+    here (the lowest layer) so lexing failures are catchable as parse
+    errors, matching the reference's unified
+    GraphLiteError::ParseError surface (ast/parser.rs)."""
+
+
+class LexError(ParseError):
     pass
 
 

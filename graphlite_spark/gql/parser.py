@@ -16,11 +16,9 @@ from .ast import (
     NodePattern, Param, PathPattern, Prop, Quantified, Query, ReturnClause,
     ReturnItem, SetOp, SortItem, Unary, UnwindClause, Var, WithClause,
 )
-from .lexer import Token, tokenize
+from .lexer import ParseError, Token, tokenize
 
-
-class ParseError(ValueError):
-    pass
+__all__ = ["ParseError", "Parser", "parse"]
 
 
 class Parser:
@@ -203,13 +201,27 @@ class Parser:
                 break
         if self.at_kw("SKIP") or self.at_kw("OFFSET"):
             self.advance()
-            skip = int(self.advance().value)
+            skip = self._int_token("SKIP/OFFSET")
         if self.try_kw("LIMIT"):
-            limit = int(self.advance().value)
+            limit = self._int_token("LIMIT")
             if self.at_kw("OFFSET") or self.at_kw("SKIP"):
                 self.advance()
-                skip = int(self.advance().value)
+                skip = self._int_token("SKIP/OFFSET")
         return order_by, skip, limit
+
+    def _int_token(self, what: str) -> int:
+        """Consume an integer NUMBER token or raise ParseError (a bare
+        int() here would leak ValueError on garbage/float input)."""
+        t = self.cur
+        if t.kind != "NUMBER":
+            raise ParseError(f"expected integer for {what} at {t.pos}, got {t.value!r}")
+        self.advance()
+        try:
+            return int(t.value)
+        except ValueError:
+            raise ParseError(
+                f"expected integer for {what} at {t.pos}, got {t.value!r}"
+            ) from None
 
     def _parse_with(self) -> WithClause:
         distinct = self.try_kw("DISTINCT")
@@ -433,15 +445,15 @@ class Parser:
     def _parse_star_quant(self):
         lo, hi = 1, None
         if self.cur.kind == "NUMBER":
-            lo = int(self.advance().value)
+            lo = self._int_token("path quantifier")
             hi = lo
             if self.at_op(".."):
                 self.advance()
-                hi = int(self.advance().value) if self.cur.kind == "NUMBER" else None
+                hi = self._int_token("path quantifier") if self.cur.kind == "NUMBER" else None
         elif self.at_op(".."):
             self.advance()
             lo = 1
-            hi = int(self.advance().value) if self.cur.kind == "NUMBER" else None
+            hi = self._int_token("path quantifier") if self.cur.kind == "NUMBER" else None
         return (lo, hi)
 
     def _try_quantifier_brace(self):
@@ -454,11 +466,11 @@ class Parser:
         lo = 0
         hi = None
         if self.cur.kind == "NUMBER":
-            lo = int(self.advance().value)
+            lo = self._int_token("path quantifier")
             hi = lo
         if self.at_op(","):
             self.advance()
-            hi = int(self.advance().value) if self.cur.kind == "NUMBER" else None
+            hi = self._int_token("path quantifier") if self.cur.kind == "NUMBER" else None
         self.eat_op("}")
         return (lo, hi)
 

@@ -168,3 +168,54 @@ def test_parse_extended_is_predicates():
     lbls = sorted(tuple(p.labels) for p in found if p.what == "LABEL")
     assert lbls == [("L", "M"), ("X",)]
     assert by["DESTINATION"].negated
+
+
+def test_parser_error_contract_fuzz():
+    """Any input either parses or raises ParseError (LexError included
+    via subclassing) — never a bare ValueError/IndexError. Mirrors the
+    reference's unified GraphLiteError::ParseError surface."""
+    import random
+    import string
+
+    from graphlite_spark.gql import statements as S
+    from graphlite_spark.gql.lexer import LexError
+    from graphlite_spark.gql.parser import ParseError
+
+    assert issubclass(LexError, ParseError)
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + " (){}[]<>-=.,:;'\"$*+/\\|@#%^&!?\n\t"
+    bases = [
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) WHERE c.c_acctbal > 100 "
+        "RETURN c.c_name AS n ORDER BY n LIMIT 5",
+        "MATCH (a:E)-[:F]{1,3}->(b:E) RETURN count(*) AS n",
+        "INSERT (:Person {name: 'x', age: 3})",
+        "SESSION SET GRAPH /default/g",
+    ]
+    for i in range(800):
+        if i % 2:
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 60)))
+        else:
+            chars = list(rng.choice(bases))
+            for _ in range(rng.randint(1, 5)):
+                pos = rng.randrange(len(chars))
+                op = rng.random()
+                if op < 0.4:
+                    chars[pos] = rng.choice(alphabet)
+                elif op < 0.7:
+                    del chars[pos]
+                else:
+                    chars.insert(pos, rng.choice(alphabet))
+            s = "".join(chars)
+        try:
+            S.parse_statement(s)
+        except ParseError:
+            pass
+    # explicit regressions: non-integer LIMIT/SKIP/quantifier
+    import pytest as _p
+
+    for bad in ("MATCH (n:V) RETURN n.x AS x LIMIT 1.5",
+                "MATCH (n:V) RETURN n.x AS x LIMIT foo",
+                "MATCH (n:V) RETURN n.x AS x SKIP (",
+                "MATCH (a:V)-[:E]{1.5}->(b:V) RETURN 1 AS x"):
+        with _p.raises(ParseError):
+            S.parse_statement(bad)
