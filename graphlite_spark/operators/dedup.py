@@ -401,25 +401,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
     sh = base.select(F.col(id_col), F.explode("_shingles").alias("shingle"))
     sig = _minhash_sig(sh, id_col, num_hashes)
-    band_rows = []
-    for b in range(bands):
-        band_rows.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(",", *[
-                        F.element_at("signature", b * r + j + 1).cast("string")
-                        for j in range(r)
-                    ])
-                ).alias("bucket"),
-            )
+    # one SQL string (not a Column-tree loop — see _minhash_sig note)
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', "
+        "xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(element_at(signature, {b * r + j + 1}) AS STRING)"
+                for j in range(r)
+            ),
         )
+        for b in range(bands)
+    )
     # checkpoint: both sides of the band-bucket self-join read this
     # frame, and the signature aggregation upstream is the expensive
     # stage — without the cut it executes twice (no ReusedExchange in
     # the static plan)
     buckets = sig.select(
-        id_col, F.explode(F.array(*band_rows)).alias("bb")
+        id_col, F.expr(f"explode(array({band_structs}))").alias("bb")
     ).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     ).localCheckpoint(eager=False)
