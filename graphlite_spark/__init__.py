@@ -753,9 +753,18 @@ class GraphLiteSpark:
             u = parts[0]
             for part in parts[1:]:
                 u = u.unionByName(part)
+            counts = u.groupBy("kind", "label").agg(F.count(F.lit(1)).alias("n"))
+            # left-join against the catalog's label list so EMPTY tables
+            # still report n=0 (a groupBy emits no group for them)
+            labels = self.spark.createDataFrame(
+                [("node", lbl) for lbl in sorted(g.nodes)]
+                + [("edge", t) for t in sorted(g.edges)],
+                "kind string, label string",
+            )
             return (
-                u.groupBy("kind", "label")
-                .agg(F.count(F.lit(1)).alias("n"))
+                labels.join(counts, ["kind", "label"], "left")
+                .select("kind", "label",
+                        F.coalesce("n", F.lit(0)).alias("n"))
                 # node rows before edge rows, labels alphabetical — the
                 # same presentation order the reference's introspection
                 # queries emit

@@ -97,7 +97,18 @@ def run_one(db, text: str, args, out=None) -> int:
         if args.explain:
             print(res._jdf.queryExecution().toString(), file=out)
             return 0
-        rows = res.limit(args.limit).collect() if args.limit else res.collect()
+        if args.limit:
+            # fetch cap+1 so a hit is detectable without a count job
+            rows = res.limit(args.limit + 1).collect()
+            if len(rows) > args.limit:
+                rows = rows[: args.limit]
+                print(
+                    f"note: output truncated at {args.limit} rows "
+                    "(use --limit 0 for no cap)",
+                    file=sys.stderr,
+                )
+        else:
+            rows = res.collect()
         print(format_rows(res.columns, rows, args.format), file=out)
     else:
         print(json.dumps(_fmt_value(res)), file=out)

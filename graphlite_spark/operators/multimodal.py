@@ -489,36 +489,39 @@ def _dct_matrix():
 class _JpegBitReader:
     """MSB-first bit reader over the destuffed entropy segment.
 
-    The next-16-bit window at every bit offset is precomputed
-    vectorized (numpy sliding window dot powers-of-two), so Huffman
-    decoding is a single flat-LUT lookup per symbol and magnitude
-    reads are one shift — no per-bit Python loop.
+    The next-16-bit window is computed ON DEMAND from the byte buffer
+    (one 4-byte slice + shift per symbol), so Huffman decoding is a
+    single flat-LUT lookup per symbol with O(1) extra memory — an
+    earlier precomputed-per-bit-offset table cost ~300 bytes of Python
+    list per input BYTE, which OOMs workers on real multi-MB JPEGs.
+    Restart-marker resync is a seek (``seek_byte``), not a reader
+    rebuild, so DRI streams stay linear.
     """
 
     def __init__(self, data: bytes):
-        import numpy as np
-
-        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        padded = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
-        win = np.lib.stride_tricks.sliding_window_view(padded, 16)
-        pows = (1 << np.arange(15, -1, -1)).astype(np.uint32)
-        # plain list: scalar indexing in the symbol loop is ~5x faster
-        # than numpy item access
-        self.peek16 = (win[: len(bits) + 1].astype(np.uint32) @ pows).tolist()
+        self.data = data + b"\x00\x00\x00"  # window padding past EOF
+        self.nbits = len(data) * 8
         self.pos = 0
+
+    def seek_byte(self, byte_offset: int) -> None:
+        self.pos = byte_offset * 8
+
+    def _peek16(self) -> int:
+        p = self.pos if self.pos < self.nbits else self.nbits
+        byte_i = p >> 3
+        window = int.from_bytes(self.data[byte_i:byte_i + 4], "big")
+        return (window >> (16 - (p & 7))) & 0xFFFF
 
     def get_bits(self, n: int) -> int:
         if n == 0:
             return 0
-        p = self.pos if self.pos < len(self.peek16) else len(self.peek16) - 1
-        v = self.peek16[p] >> (16 - n)
+        v = self._peek16() >> (16 - n)
         self.pos += n
         return v
 
     def read_code(self, lut) -> int:
         lut_sym, lut_len = lut
-        p = self.pos if self.pos < len(self.peek16) else len(self.peek16) - 1
-        v = self.peek16[p]
+        v = self._peek16()
         length = lut_len[v]
         if length == 0:
             raise ValueError("invalid JPEG Huffman code")
@@ -671,7 +674,7 @@ def _decode_jpeg_scan(content, start, width, height, scan, qt, huff,
         if restart_interval and mcu_since_rst == restart_interval:
             # resync to the recorded restart boundary
             if rst_idx < len(rst_bounds):
-                reader = _JpegBitReader(data[rst_bounds[rst_idx]:])
+                reader.seek_byte(rst_bounds[rst_idx])  # O(1) resync
                 rst_idx += 1
             for c, _, _ in scan:
                 c["pred"] = 0
@@ -1181,8 +1184,12 @@ def sample_frames(
     without ffmpeg-class codecs): frames composited per the GIF
     disposal/delay model, sampled on the every_ms timestamp grid,
     emitted as PNG bytes. Other containers (mp4/webm/...) raise unless
-    deterministic_fake=True (seeded stand-in frames, plumbing intact).
+    deterministic_fake=True (seeded stand-in frames for ANY bytes —
+    the fake path never touches real decoders, so corrupt content
+    cannot break a plumbing test).
     """
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     pruned = assets.select("asset_id", "content", F.col("meta.duration_ms").alias("duration_ms"))
 
     def run(batches: Iterator) -> Iterator:
@@ -1196,7 +1203,7 @@ def sample_frames(
                 pdf["asset_id"], pdf["content"], pdf["duration_ms"]
             ):
                 raw = bytes(content or b"")
-                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                if not deterministic_fake and raw[:6] in (b"GIF87a", b"GIF89a"):
                     for i, (ts, png) in enumerate(
                         _sample_gif_frames(raw, every_ms)
                     ):

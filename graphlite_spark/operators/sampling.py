@@ -8,11 +8,12 @@ partitioning — so none of this uses Spark's ``df.sample`` (whose RNG is
 seeded per partition and therefore repartition-SENSITIVE).
 
 Selection key = Knuth multiplicative hash of a numeric id:
-``(key * 2654435761 + salt) mod 2^32`` — map-side, codegen'd, and
+``((key + salt) * 2654435761) mod 2^32`` — map-side, codegen'd, and
 exactly expressible in ANSI SQL, so every operator here has a
-cross-engine oracle. For non-numeric keys pre-hash with
-``F.xxhash64(col)`` (then the oracle is rows-only, like the LSH
-family).
+cross-engine oracle. Safe for FULL 64-bit keys (snowflake ids,
+``F.xxhash64(col)`` pre-hashes of string keys — then the oracle is
+rows-only, like the LSH family): the multiply is split 16/16 so no
+intermediate overflows BIGINT under ANSI mode.
 
 At 100 TB: all operators are single-pass projections/filters with NO
 shuffle — sampling must never cost more than the scan.
@@ -32,10 +33,24 @@ def _bucket(key: Column, salt: int) -> Column:
 
     Salt is mixed into the multiplicand (``(key + salt) * KNUTH``), not
     added afterward — a post-add would only rotate bucket values, so
-    every salt would select nearly the same rows. Multiplication stays
-    in BIGINT (ids up to ~2^31 are safe); pmod keeps it non-negative.
+    every salt would select nearly the same rows.
+
+    The product is computed mod 2^32 with a 16/16 split so NO
+    intermediate exceeds 2^48: a naive ``(key + salt) * KNUTH`` throws
+    ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode for keys
+    above ~3.47e9 (any 64-bit id or xxhash64 pre-hash). Congruence
+    keeps the value identical to the plain formula for small keys, so
+    the DuckDB oracles (which use small doc_ids) are unchanged.
     """
-    return F.pmod((key.cast("long") + F.lit(salt)) * F.lit(_KNUTH), F.lit(_M32))
+    k32 = F.pmod(F.pmod(key.cast("long"), F.lit(_M32)) + F.lit(salt), F.lit(_M32))
+    lo = k32.bitwiseAND(F.lit(0xFFFF))
+    hi = F.shiftright(k32, 16)
+    # (k32*K) mod 2^32 == (K*lo + ((K*hi mod 2^16) << 16)) mod 2^32
+    return F.pmod(
+        F.lit(_KNUTH) * lo
+        + F.pmod(F.lit(_KNUTH) * hi, F.lit(1 << 16)) * F.lit(1 << 16),
+        F.lit(_M32),
+    )
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float,

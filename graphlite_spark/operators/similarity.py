@@ -166,7 +166,11 @@ def cosine_dup_pairs(
     )
     return (
         pairs.withColumn("_score", cosine(F.col("_va"), F.col("_vb")))
-        .filter(F.col("_score") >= threshold)
+        # NaN guard: Spark orders NaN above every double, so a zero-norm
+        # vector's NaN cosine would pass `>= threshold` here while the
+        # GEMM exact baseline (numpy: NaN compares False) drops it —
+        # exclude NaN so both paths agree that undefined cosine ≠ a dup
+        .filter((F.col("_score") >= threshold) & ~F.isnan(F.col("_score")))
         .select("id_a", "id_b", F.round("_score", 6).alias("score"))
     )
 

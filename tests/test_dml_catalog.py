@@ -687,3 +687,18 @@ def test_duplicate_insert_dedup_and_warning(spark):
     assert e4["rows_affected"] == 1
     assert db.query(
         "MATCH (:A)-[r:R]->(:A) RETURN count(*) AS n").collect()[0][0] == 3
+
+
+def test_graph_stats_reports_empty_labels(spark):
+    # the single-job union+groupBy emits no group for an empty table;
+    # the label list left-join must restore the n=0 row
+    from graphlite_spark import GraphLiteSpark, PropertyGraph
+
+    g = PropertyGraph(spark, name="gstat")
+    g.add_nodes("Full", spark.createDataFrame([(1,), (2,)], "id: long"), "id")
+    g.add_nodes("Empty", spark.createDataFrame([], "id: long"), "id")
+    db = GraphLiteSpark(spark)
+    db.register_graph(g)
+    rows = db.execute("CALL gql.graph_stats()").collect()
+    assert [(r.kind, r.label, r.n) for r in rows] == [
+        ("node", "Empty", 0), ("node", "Full", 2)]

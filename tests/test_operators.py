@@ -479,3 +479,26 @@ def test_mixture_sample_hits_targets(spark):
 
     with _p.raises(ValueError, match="targets"):
         mixture_sample(df, "g", {"a": -1.0}, "k")
+
+
+def test_hash_sample_64bit_keys_no_overflow(spark):
+    # ANSI-mode regression: (key+salt)*KNUTH overflows BIGINT for keys
+    # above ~3.47e9; the 16/16 split multiply must handle full 64-bit
+    # keys (xxhash64 pre-hashes, snowflake ids) and stay congruent to
+    # the plain formula for small keys
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sampling import _KNUTH, _M32, _bucket, hash_sample
+
+    big = spark.createDataFrame(
+        [("a",), ("b",), ("zzz",)], "s: string"
+    ).withColumn("k", F.xxhash64("s"))
+    rows = big.select("k", _bucket(F.col("k"), 3).alias("b")).collect()
+    for r in rows:
+        expect = ((((r.k % _M32) + _M32) % _M32 + 3) % _M32 * _KNUTH) % _M32
+        assert r.b == expect and 0 <= r.b < _M32
+    hash_sample(big, "k", 0.5, salt=1).count()  # must not raise
+    small = spark.createDataFrame([(i,) for i in range(100)], "k: long")
+    got = small.select("k", _bucket(F.col("k"), 7).alias("b")).collect()
+    for r in got:
+        assert r.b == ((r.k + 7) * _KNUTH) % _M32
