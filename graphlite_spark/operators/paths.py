@@ -27,11 +27,21 @@ def bfs_distances(
     sources: DataFrame,
     max_hops: int = 10,
     directed: bool = True,
+    batch_hops: int = 8,
 ) -> DataFrame:
     """(root, node, dist) for every node within max_hops of each source.
 
     edges: (_src, _dst); sources: single-column id frame. dist is the
     minimum hop count (BFS level). Self rows (root, root, 0) included.
+
+    ``batch_hops`` levels expand between materialization rounds: on
+    high-diameter graphs (long chains) per-round fixed cost — job
+    scheduling, checkpoint, emptiness probe — dominates wall time, so
+    probing every level makes BFS latency-bound. Within a batch levels
+    chain lazily with dist+1 arithmetic; the batch end takes the
+    per-(root, node) MIN dist, anti-joins the visited set, checkpoints
+    and probes once. A node first reached mid-batch may be re-expanded
+    once in the next batch — bounded redundancy, exact min-dist.
     """
     id_col = sources.columns[0]
     e = edges.select(F.col(SRC).alias("_a"), F.col(DST).alias("_b"))
@@ -45,15 +55,31 @@ def bfs_distances(
         F.lit(0).alias("dist"),
     )
     frontier = visited
-    for depth in range(1, max_hops + 1):
+    depth = 0
+    while depth < max_hops:
+        lvl = frontier
+        levels = []
+        for _ in range(min(batch_hops, max_hops - depth)):
+            depth += 1
+            lvl = (
+                lvl.join(e, lvl["node"] == e["_a"], "inner")
+                .select(
+                    F.col("root"), F.col("_b").alias("node"),
+                    (F.col("dist") + 1).alias("dist"),
+                )
+                .dropDuplicates(["root", "node"])
+            )
+            levels.append(lvl)
+        block = levels[0]
+        for extra in levels[1:]:
+            block = block.unionByName(extra)
         nxt = (
-            frontier.join(e, frontier["node"] == e["_a"], "inner")
-            .select(F.col("root"), F.col("_b").alias("node"), F.lit(depth).alias("dist"))
-            .dropDuplicates(["root", "node"])
+            block.groupBy("root", "node")
+            .agg(F.min("dist").alias("dist"))
             .join(visited.select("root", "node"), ["root", "node"], "left_anti")
         )
-        # materialize each level once: the emptiness probe and the next
-        # level's joins then read the checkpoint instead of re-deriving
+        # materialize each batch once: the emptiness probe and the next
+        # batch's joins then read the checkpoint instead of re-deriving
         # the whole iterative lineage
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
