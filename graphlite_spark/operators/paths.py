@@ -129,15 +129,38 @@ def weighted_sssp(
         F.col(id_col).alias("node"), F.lit(0.0).alias("dist")
     ).localCheckpoint(eager=True)
     frontier = dist
-    for _ in range(max_iters):
-        cand = (
-            frontier.join(e, frontier["node"] == e["_a"], "inner")
-            .select(F.col("_b").alias("node"), (F.col("dist") + F.col("_w")).alias("dist"))
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
+    # relaxation rounds batch (same rationale as bfs_distances
+    # batch_hops): inner rounds chain lazily against the batch-start
+    # dist snapshot — extra relaxations are harmless in Bellman-Ford —
+    # and each batch pays ONE checkpoint + probe + dist merge. dist
+    # after it inner rounds is still exactly min over <= it edges.
+    batch = 4
+    it = 0
+    while it < max_iters:
+        fr = frontier
+        rounds = []
+        for _ in range(min(batch, max_iters - it)):
+            it += 1
+            cand = (
+                fr.join(e, fr["node"] == e["_a"], "inner")
+                .select(F.col("_b").alias("node"),
+                        (F.col("dist") + F.col("_w")).alias("dist"))
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            fr = (
+                cand.join(dist.withColumnRenamed("dist", "_old"),
+                          "node", "left_outer")
+                .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+                .select("node", "dist")
+            )
+            rounds.append(fr)
+        allimp = rounds[0]
+        for r in rounds[1:]:
+            allimp = allimp.unionByName(r)
         improved = (
-            cand.join(dist.withColumnRenamed("dist", "_old"), "node", "left_outer")
+            allimp.groupBy("node").agg(F.min("dist").alias("dist"))
+            .join(dist.withColumnRenamed("dist", "_old"), "node", "left_outer")
             .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
             .select("node", "dist")
             .localCheckpoint(eager=True)
