@@ -167,3 +167,46 @@ def test_label_propagation_two_cliques(spark):
     assert got[0] == got[1] == got[2] == 0
     assert got[10] == got[11] == got[12]
     assert got[10] != got[0]
+
+
+def test_is_reachable_and_building_blocks(spark):
+    # direct coverage for the public helpers used transitively elsewhere
+    from pyspark.sql import functions as F
+
+    from graphlite_spark import PropertyGraph
+    from graphlite_spark.operators.dedup import (
+        minhash_signatures, shingle_array, simhash64,
+    )
+    from graphlite_spark.operators.paths import is_reachable
+    from graphlite_spark.operators.similarity import hyperplane_signature
+
+    g = PropertyGraph(spark, name="reach")
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id: long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "s: long, d: long")
+    g.add_nodes("V", nodes, "id")
+    g.add_edges("E", edges, "s", "d", "V", "V")
+    src = spark.createDataFrame([(0,), (3,)], "id: long")
+    tgt = spark.createDataFrame([(2,), (4,), (5,)], "id: long")
+    got = {(r.root, r.node): r.dist
+           for r in is_reachable(g, "E", src, tgt, max_hops=5).collect()}
+    assert got == {(0, 2): 2, (3, 4): 1}  # 5 unreachable, 1 not a target
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        "doc_id: long, text: string")
+    sh = {r.doc_id: sorted(r._shingles)
+          for r in shingle_array(docs, n=2, words=True).collect()}
+    assert sh[1] == ["a b", "b c", "c d"] and sh[1] == sh[2] != sh[3]
+    sig = {r.doc_id: list(r.signature)
+           for r in minhash_signatures(docs, n=2, words=True).collect()}
+    assert sig[1] == sig[2] != sig[3] and len(sig[1]) == 64
+    sims = {r.doc_id: r.simhash for r in simhash64(docs, n=2, words=True).collect()}
+    assert sims[1] == sims[2] != sims[3]
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [-1.0, 0.0])],
+        "vec_id: long, embedding: array<double>")
+    b = {r.vec_id: r.b for r in vecs.select(
+        "vec_id", hyperplane_signature(F.col("embedding"), 2, 8).alias("b")
+    ).collect()}
+    assert b[1] == b[2]            # near-identical vectors share buckets
+    assert b[1] == b[3] ^ 0xFF     # opposite vector flips every plane
