@@ -492,23 +492,37 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 8, n: int = 3, words: bool = True) -> DataFrame:
-    """Pairs within a hamming radius of each other's simhash.
+    """Pairs within a hamming radius of each other's simhash —
+    EXACT-recall blocking: the 63 fingerprint bits split into
+    ``max_hamming + 1`` chunks, so by pigeonhole any pair within the
+    radius agrees on at least one whole chunk and meets in that
+    chunk's equality block. Verified hamming distance is returned, so
+    there are no false positives either.
 
-    Blocks on 4 x 16-bit chunks (pigeonhole: hamming<=8 over 63 bits →
-    at least one 16-bit chunk differs in <=2 bits; we use equality
-    blocking which is exact for max_hamming <= 3 chunks-1... for small
-    radii). For strictness this returns the *verified* hamming distance.
+    Tradeoff the radius controls: more chunks → narrower chunk keys →
+    bigger equality blocks (the candidate join grows). Small radii
+    (<= 3-4, the near-dup regime) keep 12+-bit keys; very large radii
+    degrade toward all-pairs, which is inherent to simhash blocking,
+    not this implementation.
     """
+    n_chunks = min(max_hamming + 1, 16)
+    base_w = 63 // n_chunks
+    extras = 63 % n_chunks  # first `extras` chunks get one more bit
+    chunks = []
+    off = 0
+    for c in range(n_chunks):
+        w = base_w + (1 if c < extras else 0)
+        chunks.append(
+            F.shiftrightunsigned(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << w) - 1)).alias(f"c{c}")
+        )
+        off += w
     sim = simhash64(df, text_col, id_col, n, words=words)
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
-        for c in range(4)
-    ]
-    # checkpoint: the fingerprint frame feeds 4 chunk blocks x 2 join
-    # sides — without the cut the simhash aggregation executes 8 times
+    # checkpoint: the fingerprint frame feeds n_chunks blocks x 2 join
+    # sides — without the cut the simhash aggregation executes 2*n times
     s = sim.select(id_col, "simhash", *chunks).localCheckpoint(eager=False)
     pairs = None
-    for c in range(4):
+    for c in range(n_chunks):
         x = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c{c}").alias("blk"))
         y = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c{c}").alias("blk"))
         p = x.join(y, "blk").filter(F.col("id_a") < F.col("id_b")).drop("blk")

@@ -502,3 +502,20 @@ def test_hash_sample_64bit_keys_no_overflow(spark):
     got = small.select("k", _bucket(F.col("k"), 7).alias("b")).collect()
     for r in got:
         assert r.b == ((r.k + 7) * _KNUTH) % _M32
+
+
+def test_simhash_blocking_exact_recall(spark, docs):
+    # pigeonhole guarantee: with max_hamming+1 chunks, blocking finds
+    # EVERY pair within the radius — verify against brute force
+    from graphlite_spark.operators.dedup import simhash64, simhash_pairs
+
+    sims = {r.doc_id: r.simhash
+            for r in simhash64(docs, n=3, words=True).collect()}
+    ids = sorted(sims)
+    for h in (2, 6):
+        brute = {(ids[i], ids[j])
+                 for i in range(len(ids)) for j in range(i + 1, len(ids))
+                 if bin(sims[ids[i]] ^ sims[ids[j]]).count("1") <= h}
+        got = {(r.id_a, r.id_b) for r in
+               simhash_pairs(docs, max_hamming=h, n=3, words=True).collect()}
+        assert got == brute, (h, got ^ brute)
