@@ -89,6 +89,29 @@ SHOWCASE = [
         "groupBy with applyInPandasWithState over the same key — state "
         "rows are 16 bytes/doc.",
     ),
+    (
+        "mixture_sample_langs",
+        "Target-mixture resampling (round 3): ONE partial-aggregated "
+        "groupBy for per-group weights, a 1-row min, then the per-group "
+        "rates come back as BROADCAST joins onto the scan — the "
+        "selection filter itself is a map-side Knuth-hash comparison. "
+        "Corpus-size-independent overhead beyond the scan.",
+    ),
+    (
+        "ngram_contamination",
+        "Benchmark decontamination (round 3): the probe set's distinct "
+        "shingle hashes BROADCAST to a left join against the map-side "
+        "exploded corpus shingles; one groupBy on doc_id (8-byte key) "
+        "finishes the overlap fractions. The corpus is scanned once; "
+        "no corpus-side self-join exists.",
+    ),
+    (
+        "hash_sample_fraction",
+        "Deterministic sampling (round 3): pure map-side filter over "
+        "the scan — the 16/16-split modular multiply is whole-stage "
+        "codegen, no shuffle, no RNG state; sampling never costs more "
+        "than the scan.",
+    ),
 ]
 
 
