@@ -988,6 +988,30 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries_df, k=10, dim=64)
 
 
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality over the FOLLOWS chains (multi-source
+    hop-batched BFS). Chains make the oracle CLOSED FORM: an event at
+    position rn of an L-event chain reaches L-rn successors at
+    distances 1..L-rn, so closeness = (L-rn) / ((L-rn)(L-rn+1)/2)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import closeness_centrality
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    sources = g.nodes_for_label("Event").filter(
+        F.col("event_id") < 500
+    ).select("_id")
+    out = closeness_centrality(
+        g.edge_type("FOLLOWS").df.select("_src", "_dst"),
+        sources, max_hops=1000,
+    )
+    ns = 10**12
+    return out.select(
+        (F.col("node") % ns).alias("event_id"), "n_reachable", "closeness"
+    )
+
+
 def _ring_db(spark: SparkSession, sf_dir: str):
     """Register a cyclic ring graph (one directed ring of nations per
     region, 5-cycles in TPC-H) beside the main graph — the workload the
@@ -1729,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_moving_avg": _q_window_moving_avg,
             "window_ntile_quartiles": _q_window_ntile,
             "window_dense_rank": _q_window_dense_rank,
+            "closeness_centrality": _q_closeness,
             "path_mode_trail": _q_path_mode("TRAIL"),
             "path_mode_simple": _q_path_mode("SIMPLE"),
             "path_mode_acyclic": _q_path_mode("ACYCLIC"),
@@ -3018,6 +3043,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dense_rank() OVER (PARTITION BY s_nationkey
                         ORDER BY floor(s_acctbal / 1000) DESC) AS BIGINT) AS rnk
             FROM supplier
+        """,
+        "closeness_centrality": """
+            WITH pos AS (
+                SELECT event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS L
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(L - rn + 1 AS BIGINT) AS n_reachable,
+                   round(CASE WHEN L > rn
+                              THEN (L - rn) * 1.0
+                                   / (((L - rn) * (L - rn + 1)) // 2)
+                              ELSE 0.0 END, 6) AS closeness
+            FROM pos WHERE event_id < 500
         """,
         # --- path modes over per-region nation rings (ast.rs:276-287;
         # executor.rs:6624-6641: TRAIL = no repeated edges, SIMPLE and

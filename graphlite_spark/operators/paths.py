@@ -89,6 +89,40 @@ def bfs_distances(
     return visited
 
 
+def closeness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 50,
+    directed: bool = True,
+) -> DataFrame:
+    """(node, n_reachable, closeness) with closeness = (reachable - 1)
+    / sum(dist) over each source's reachable set (the standard
+    Wasserman-Faust numerator without the disconnected-graph rescale;
+    nodes reaching nothing score 0.0).
+
+    Runs one hop-batched multi-source BFS (bfs_distances) from
+    ``sources`` — pass every node for exact centrality on
+    analysis-sized graphs, or a hash_sample of nodes for the standard
+    sampled approximation at corpus scale (cost scales with
+    |sources| x reachable set, never all-pairs materialization beyond
+    the per-source reach).
+    """
+    d = bfs_distances(edges, sources, max_hops=max_hops, directed=directed)
+    per = d.groupBy("root").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dist").alias("_sum"),
+    )
+    return per.select(
+        F.col("root").alias("node"),
+        F.col("_n").cast("long").alias("n_reachable"),
+        F.round(
+            F.when(F.col("_sum") > 0,
+                   (F.col("_n") - 1) / F.col("_sum")).otherwise(F.lit(0.0)),
+            6,
+        ).alias("closeness"),
+    )
+
+
 def weighted_sssp(
     edges: DataFrame,
     sources: DataFrame,

@@ -210,3 +210,18 @@ def test_is_reachable_and_building_blocks(spark):
     ).collect()}
     assert b[1] == b[2]            # near-identical vectors share buckets
     assert b[1] == b[3] ^ 0xFF     # opposite vector flips every plane
+
+
+def test_closeness_centrality_chain(spark):
+    # chain 0->1->2->3: closeness(v) = reach/(sum dist); isolated tail = 0
+    from graphlite_spark.operators.paths import closeness_centrality
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "_src: long, _dst: long")
+    src = spark.createDataFrame([(i,) for i in range(4)], "id: long")
+    got = {r.node: (r.n_reachable, r.closeness)
+           for r in closeness_centrality(edges, src, max_hops=10).collect()}
+    assert got[0] == (4, round(3 / 6, 6))   # dists 0+1+2+3
+    assert got[1] == (3, round(2 / 3, 6))
+    assert got[2] == (2, 1.0)
+    assert got[3] == (1, 0.0)               # reaches nothing
