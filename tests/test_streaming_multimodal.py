@@ -779,3 +779,44 @@ def test_sample_frames_guards(spark):
           (None, None, 2000, "?"))], ASSET_SCHEMA)
     got = sample_frames(bad, every_ms=1000, deterministic_fake=True).collect()
     assert [r.frame_idx for r in got] == [0, 1]
+
+
+def test_streaming_image_decode_matches_batch(spark, tmp_path):
+    # multimodal ingestion as a STREAM: binaryFile source -> the same
+    # Arrow-batched decode operator -> memory sink; stream == batch.
+    # (image_features is a plain transformation, so it composes with
+    # readStream unchanged — the 100 TB ingest shape.)
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import image_features, synth_png
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(4)
+    for i in range(6):
+        img = rng.integers(0, 256, (10, 12, 3), np.uint8)
+        (d / f"asset_{i:03d}.png").write_bytes(synth_png(12, 10, img))
+
+    def to_assets(df):
+        return df.select(
+            F.regexp_extract("path", r"asset_(\d+)\.png", 1)
+            .cast("long").alias("asset_id"),
+            "content",
+        )
+
+    batch = image_features(to_assets(spark.read.format("binaryFile").load(str(d))))
+    expected = {r.asset_id: (r.width, r.height, tuple(r.embedding))
+                for r in batch.collect()}
+
+    static = spark.read.format("binaryFile").load(str(d))
+    stream = (spark.readStream.format("binaryFile")
+              .schema(static.schema).load(str(d)))
+    q = (
+        image_features(to_assets(stream))
+        .writeStream.format("memory").queryName("img_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r.asset_id: (r.width, r.height, tuple(r.embedding))
+           for r in spark.table("img_stream").collect()}
+    assert got == expected and len(got) == 6
