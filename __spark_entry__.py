@@ -883,6 +883,25 @@ def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quantize_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed int4 quantization audit: per-vector sum/max of the packed
+    BYTES (each carrying two biased nibbles) plus scale — the packing
+    arithmetic is pure integer math, so the oracle reproduces it
+    bit-for-bit from the same half-up rounding."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import quantize_embeddings_int4
+
+    q = quantize_embeddings_int4(_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.aggregate("packed", F.lit(0).cast("long"), lambda a, x: a + x).alias("b_sum"),
+        F.array_max("packed").cast("long").alias("b_max"),
+        F.round("scale", 9).alias("scale"),
+        "dim",
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair finder -> transitive closure -> canonical representative:
     the full near-dup curation pipeline as one composition (pairs from
@@ -1717,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "streaming_dedup_batch": _q_streaming_dedup_batch,
             "dedup_clusters_canonical": _q_dedup_clusters,
             "quantize_embeddings_audit": _q_quantize_embeddings,
+            "quantize_int4_audit": _q_quantize_int4,
             "gapfill_hourly_locf": _q_gapfill_hourly,
             "label_propagation_2iter": _q_label_propagation,
             "minhash_lsh_pairs": _q_minhash_lsh,
@@ -2172,6 +2192,36 @@ def oracle_sql() -> dict[str, str]:
                         x -> CAST(floor(x / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_max,
                    round(scale, 9) AS scale
             FROM s
+        """,
+        "quantize_int4_audit": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings
+            ), s AS (
+                SELECT vec_id, emb, len(emb) AS dim,
+                       CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+                            THEN list_max(list_transform(emb, x -> abs(x))) / 7.0
+                            ELSE 1.0 END AS scale
+                FROM v
+            ), q AS (
+                SELECT vec_id, dim, scale,
+                       list_transform(emb,
+                            x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+                FROM s
+            ), p AS (
+                SELECT vec_id, dim, scale,
+                       list_transform(range(1, CAST(ceil(dim / 2.0) AS BIGINT) + 1),
+                            j -> (qv[2*j-1] + 8)
+                                 + CASE WHEN 2*j <= dim THEN (qv[2*j] + 8) * 16
+                                        ELSE 128 END) AS packed
+                FROM q
+            )
+            SELECT vec_id,
+                   CAST(COALESCE(list_sum(packed), 0) AS BIGINT) AS b_sum,
+                   CAST(list_max(packed) AS BIGINT) AS b_max,
+                   round(scale, 9) AS scale,
+                   CAST(dim AS BIGINT) AS dim
+            FROM p
         """,
         "dedup_clusters_canonical": """
             WITH RECURSIVE toks AS (

@@ -94,11 +94,15 @@ def closeness_centrality(
     sources: DataFrame,
     max_hops: int = 50,
     directed: bool = True,
+    harmonic: bool = False,
 ) -> DataFrame:
     """(node, n_reachable, closeness) with closeness = (reachable - 1)
     / sum(dist) over each source's reachable set (the standard
     Wasserman-Faust numerator without the disconnected-graph rescale;
-    nodes reaching nothing score 0.0).
+    nodes reaching nothing score 0.0). ``harmonic=True`` returns
+    harmonic centrality sum(1/dist) instead — well-defined on
+    disconnected graphs (unreachable nodes contribute 0, not a skewed
+    denominator).
 
     Runs one hop-batched multi-source BFS (bfs_distances) from
     ``sources`` — pass every node for exact centrality on
@@ -108,6 +112,19 @@ def closeness_centrality(
     the per-source reach).
     """
     d = bfs_distances(edges, sources, max_hops=max_hops, directed=directed)
+    if harmonic:
+        per = d.groupBy("root").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist"))
+                .otherwise(F.lit(0.0))
+            ).alias("_h"),
+        )
+        return per.select(
+            F.col("root").alias("node"),
+            F.col("_n").cast("long").alias("n_reachable"),
+            F.round(F.col("_h"), 6).alias("closeness"),
+        )
     per = d.groupBy("root").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("dist").alias("_sum"),

@@ -403,3 +403,46 @@ def quantize_embeddings(
     return items.select(
         F.col(id_col), q.alias("qvec"), scale.alias("scale")
     )
+
+
+def quantize_embeddings_int4(
+    items: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, packed array<int> of bytes, scale, dim): symmetric int4
+    quantization PACKED two nibbles per byte — 8x embedding-storage
+    compression for cold retrieval tiers. Same deterministic half-up
+    rounding convention as quantize_embeddings; q in [-7, 7], stored
+    biased (+8) so packed[j] = (q_2j+8) | ((q_2j+1+8) << 4); odd
+    lengths pad the high nibble with the bias value (q=0). ``dim``
+    carries the original length so unpack is exact. Entirely map-side
+    (transform over index pairs, whole-stage codegen; no shuffle).
+
+    Unpack: q_2j = (packed[j] & 15) - 8; q_2j+1 = (packed[j] >> 4) - 8;
+    v ≈ q * scale.
+    """
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(7.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    dim = F.size(v)
+    n_bytes = F.ceil(dim / F.lit(2)).cast("int")
+    # NB: sequence(0, -1) DESCENDS in Spark — guard the empty vector
+    packed = F.when(
+        dim > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_bytes - 1),
+            lambda j: (
+                (F.element_at(q, j * 2 + 1) + F.lit(8))
+                + F.when(
+                    j * 2 + 2 <= dim,
+                    (F.element_at(q, j * 2 + 2) + F.lit(8)) * F.lit(16),
+                ).otherwise(F.lit(8 * 16))
+            ).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return items.select(
+        F.col(id_col), packed.alias("packed"),
+        scale.alias("scale"), dim.cast("long").alias("dim"),
+    )

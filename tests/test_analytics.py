@@ -225,3 +225,8 @@ def test_closeness_centrality_chain(spark):
     assert got[1] == (3, round(2 / 3, 6))
     assert got[2] == (2, 1.0)
     assert got[3] == (1, 0.0)               # reaches nothing
+    harm = {r.node: r.closeness
+            for r in closeness_centrality(edges, src, max_hops=10,
+                                          harmonic=True).collect()}
+    assert harm[0] == round(1 + 1 / 2 + 1 / 3, 6)
+    assert harm[3] == 0.0

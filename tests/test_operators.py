@@ -519,3 +519,34 @@ def test_simhash_blocking_exact_recall(spark, docs):
         got = {(r.id_a, r.id_b) for r in
                simhash_pairs(docs, max_hamming=h, n=3, words=True).collect()}
         assert got == brute, (h, got ^ brute)
+
+
+def test_quantize_int4_roundtrip(spark):
+    # pack two nibbles per byte; unpack must recover q in [-7,7] and
+    # v within scale/2 per element
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import quantize_embeddings_int4
+
+    items = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0, 0.99]),   # odd length -> padded nibble
+         (2, [0.0, 0.0]),                       # all-zero vector
+         (3, [])],                              # empty vector
+        "vec_id: long, embedding: array<double>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings_int4(items).collect()}
+    r = out[1]
+    assert r.dim == 5 and len(r.packed) == 3
+    q = []
+    for b in r.packed:
+        q.append((b & 15) - 8)
+        q.append((b >> 4) - 8)
+    q = q[: r.dim]
+    assert all(-7 <= x <= 7 for x in q)
+    vec = [1.0, -0.5, 0.25, 0.0, 0.99]
+    for orig, qi in zip(vec, q):
+        assert abs(orig - qi * r.scale) <= r.scale / 2 + 1e-12, (orig, qi)
+    # padded high nibble of the last byte carries the bias value (q=0)
+    assert (r.packed[2] >> 4) == 8
+    assert out[2].packed == [8 + 8 * 16] and out[2].scale == 1.0
+    assert out[3].packed == [] and out[3].dim == 0
