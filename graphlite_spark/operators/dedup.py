@@ -102,6 +102,7 @@ def ngram_contamination(
     n: int = 3,
     words: bool = True,
     threshold: float = 0.0,
+    normalize: bool = False,
 ) -> DataFrame:
     """(doc_id, n_shingles, n_contaminated, contamination): per corpus
     document, the fraction of its distinct n-gram shingles that appear
@@ -109,6 +110,9 @@ def ngram_contamination(
     check an LLM training pipeline runs against its eval suites before
     training. Rows with contamination < ``threshold`` are dropped
     (default 0 keeps all, including zero-overlap docs).
+    ``normalize=True`` casefolds + trims both sides before shingling
+    (the usual decontamination preprocessing — shingling itself is
+    case-sensitive).
 
     Scale: probe sets (benchmarks) are tiny next to the corpus, so the
     probe's distinct shingle hashes are BROADCAST; the corpus side is
@@ -116,6 +120,11 @@ def ngram_contamination(
     doc_id (8-byte keys). Same xxhash64 trade as ngram_jaccard_pairs:
     a 64-bit collision could overstate one count (vanishingly rare).
     """
+    if normalize:
+        norm = F.lower(F.trim(F.col(text_col))).alias(text_col)
+        other = [c for c in corpus.columns if c != text_col]
+        corpus = corpus.select(*other, norm)
+        probe = probe.select(*[c for c in probe.columns if c != text_col], norm)
     probe_hashes = (
         shingle_array(probe, text_col, id_col, n, words=words)
         .select(F.explode("_shingles").alias("_s"))

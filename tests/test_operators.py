@@ -453,6 +453,10 @@ def test_ngram_contamination(spark, docs):
     # normalize first if they want case-folding
     hot = ngram_contamination(docs, probe, n=3, words=True, threshold=0.9)
     assert sorted(r.doc_id for r in hot.collect()) == [1, 3]
+    # normalize=True casefolds first: the uppercase variant now matches
+    hot2 = ngram_contamination(docs, probe, n=3, words=True, threshold=0.9,
+                               normalize=True)
+    assert sorted(r.doc_id for r in hot2.collect()) == [1, 3, 5]
 
 
 def test_mixture_sample_hits_targets(spark):
