@@ -634,26 +634,30 @@ def _decode_jpeg_scan(content, start, width, height, scan, qt, huff,
                       restart_interval):
     import numpy as np
 
-    # destuff: FF00 -> FF; stop at any non-RST marker
-    data = bytearray()
-    rst_bounds = []  # destuffed offsets where restarts occur
-    i = start
-    while i < len(content):
-        b = content[i]
-        if b == 0xFF:
-            nxt = content[i + 1] if i + 1 < len(content) else 0xD9
-            if nxt == 0x00:
-                data.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                rst_bounds.append(len(data))
-                i += 2
-                continue
-            break  # EOI or next segment
-        data.append(b)
-        i += 1
-    data = bytes(data)
+    # destuff vectorized (FF00 -> FF, RSTn removed with boundary
+    # offsets recorded, stop at any other marker): one np.where pass +
+    # one np.delete instead of a per-byte Python loop — multi-MB
+    # entropy segments destuff at memory bandwidth
+    arr = np.frombuffer(content, np.uint8)[start:]
+    ffpos = np.where(arr[:-1] == 0xFF)[0] if len(arr) > 1 else np.empty(0, np.int64)
+    nxt = arr[ffpos + 1]
+    is_stuff = nxt == 0x00
+    is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    is_term = ~(is_stuff | is_rst)
+    if is_term.any():
+        end = int(ffpos[is_term][0])
+    elif len(arr) and arr[-1] == 0xFF:  # dangling FF at EOF
+        end = len(arr) - 1
+    else:
+        end = len(arr)
+    sel = ffpos < end
+    ffp, st, rs = ffpos[sel], is_stuff[sel], is_rst[sel]
+    delete = np.concatenate([ffp[st] + 1, ffp[rs], ffp[rs] + 1])
+    delete = np.sort(delete[delete < end])
+    data = np.delete(arr[:end], delete).tobytes()
+    # destuffed offset of the byte after each RST marker
+    rst_orig = ffp[rs] + 2
+    rst_bounds = (rst_orig - np.searchsorted(delete, rst_orig)).tolist()
 
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
@@ -741,7 +745,7 @@ def _decode_jpeg_scan(content, start, width, height, scan, qt, huff,
 
 
 def synth_jpeg(width: int, height: int, pixel, quality_qtable=None,
-               subsample: bool = False) -> bytes:
+               subsample: bool = False, restart_interval: int = 0) -> bytes:
     """Minimal baseline-JPEG encoder for tests: 4:4:4 (or 4:2:0 with
     ``subsample=True``), one shared quant table (default all-ones =
     highest quality; a gray-uniform image round-trips bit-exactly), one
@@ -835,29 +839,45 @@ def synth_jpeg(width: int, height: int, pixel, quality_qtable=None,
         if run:
             put_code(0x00)  # EOB
 
+    def pack_segment(bits) -> bytearray:
+        # pad with 1s to a byte, stuff 0x00 after 0xFF
+        while len(bits) % 8:
+            bits.append(1)
+        seg = bytearray()
+        if bits:
+            byts = np.packbits(
+                np.array(bits, dtype=np.uint8).reshape(-1, 8), axis=1
+            ).ravel()
+            for bt in byts.tolist():
+                seg.append(bt)
+                if bt == 0xFF:
+                    seg.append(0x00)
+        return seg
+
     preds = [0, 0, 0]
+    entropy = bytearray()
+    rst_n = 0
     for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            # byte-align the interval, emit RSTn (not stuffed), reset DC
+            entropy += pack_segment(out_bits)
+            entropy += bytes([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) % 8
+            out_bits.clear()
+            preds = [0, 0, 0]
         my, mx = divmod(m, mcux)
         for ci, (plane, (hh, vv)) in enumerate(zip(planes, samp)):
             for by in range(vv):
                 for bx in range(hh):
                     put_block(plane[my * vv + by, mx * hh + bx], ci)
-
-    # pack bits -> bytes (pad with 1s), stuff 0x00 after 0xFF
-    while len(out_bits) % 8:
-        out_bits.append(1)
-    arr = np.array(out_bits, dtype=np.uint8).reshape(-1, 8)
-    byts = np.packbits(arr, axis=1).ravel()
-    entropy = bytearray()
-    for bt in byts.tolist():
-        entropy.append(bt)
-        if bt == 0xFF:
-            entropy.append(0x00)
+    entropy += pack_segment(out_bits)
 
     def seg(marker, payload):
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
     dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in q))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sof_comps = b"".join(
         bytes([cid, (hh << 4) | vv, 0])
         for cid, (hh, vv) in zip((1, 2, 3), samp)
@@ -866,7 +886,7 @@ def synth_jpeg(width: int, height: int, pixel, quality_qtable=None,
     dht = (seg(0xC4, bytes([0x00]) + bytes(counts) + symbols)
            + seg(0xC4, bytes([0x10]) + bytes(counts) + symbols))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(entropy)
+    return (b"\xff\xd8" + dqt + dri + sof + dht + sos + bytes(entropy)
             + b"\xff\xd9")
 
 

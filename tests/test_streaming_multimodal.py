@@ -820,3 +820,29 @@ def test_streaming_image_decode_matches_batch(spark, tmp_path):
     got = {r.asset_id: (r.width, r.height, tuple(r.embedding))
            for r in spark.table("img_stream").collect()}
     assert got == expected and len(got) == 6
+
+
+def test_jpeg_restart_markers_roundtrip():
+    # DRI/RSTn path: vectorized destuffer records boundaries, reader
+    # reseeks, DC predictors reset — bit-exact at every interval
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import _decode_image, synth_jpeg
+
+    def pix(x, y):
+        return ((x * 3) % 256, (y * 5) % 256, (x + y) % 256)
+
+    img = np.array([[pix(x, y) for x in range(32)] for y in range(24)],
+                   dtype=np.uint8)
+    lum = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+           + 0.114 * img[..., 2]).ravel() / 255.0
+    n = lum.size
+    expected = [float(lum[(k * n) // 8:((k + 1) * n) // 8].mean())
+                for k in range(8)]
+    for ri in (0, 1, 3, 5):
+        w, h, emb = _decode_image(synth_jpeg(32, 24, img, restart_interval=ri))
+        assert (w, h) == (32, 24)
+        assert emb == pytest.approx(expected, abs=1e-12), ri
+    w, h, emb = _decode_image(
+        synth_jpeg(32, 24, img, subsample=True, restart_interval=2))
+    assert emb == pytest.approx(expected, abs=0.02)
