@@ -145,6 +145,12 @@ class GraphLiteSpark:
             key = None
         if key is not None and key in self._plan_cache:
             self._plan_cache_hits += 1
+            # true LRU: a hit refreshes recency (dicts evict in insertion
+            # order, so without this a hot persisted result could be
+            # unpersisted while a stale one stays pinned)
+            self._plan_cache[key] = self._plan_cache.pop(key)
+            if key in self._persisted:
+                self._persisted[key] = self._persisted.pop(key)
             return self._plan_cache[key]
         self._plan_cache_misses += 1
         ast = parse(gql)

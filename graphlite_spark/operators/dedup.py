@@ -512,9 +512,20 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bigger equality blocks (the candidate join grows). Small radii
     (<= 3-4, the near-dup regime) keep 12+-bit keys; very large radii
     degrade toward all-pairs, which is inherent to simhash blocking,
-    not this implementation.
+    not this implementation. ``max_hamming`` is capped at 15: beyond
+    that the chunk keys get too narrow (< 4 bits over a 63-bit
+    fingerprint) for pigeonhole blocking to beat all-pairs, and a
+    silent cap would void the exact-recall guarantee — so it raises.
     """
-    n_chunks = min(max_hamming + 1, 16)
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            "simhash_pairs: max_hamming must be in [0, 15] "
+            f"(got {max_hamming}); the pigeonhole exact-recall argument "
+            "needs max_hamming + 1 chunks over 63 bits, and radii > 15 "
+            "degrade to near-all-pairs — use minhash_lsh_pairs or "
+            "cosine_dup_pairs for loose similarity instead"
+        )
+    n_chunks = max_hamming + 1
     base_w = 63 // n_chunks
     extras = 63 % n_chunks  # first `extras` chunks get one more bit
     chunks = []

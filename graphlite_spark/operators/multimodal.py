@@ -37,6 +37,22 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Exceptions that mean "this asset's bytes are corrupt/truncated/
+# unsupported" — the ONLY kinds on_error='null'/'skip' may swallow.
+# IndexError/KeyError/OverflowError arise from the hand-rolled bit
+# readers and table lookups hitting truncated or bit-flipped input
+# (see test_decoder_truncation_robustness). Anything else
+# (MemoryError, numpy internal errors, kernel bugs) propagates and
+# fails the job — a silent "corrupt asset" record would hide it.
+import struct as _struct
+import wave as _wave
+import zlib as _zlib
+
+DECODE_ERRORS = (
+    ValueError, NotImplementedError, EOFError, IndexError, KeyError,
+    OverflowError, _struct.error, _zlib.error, _wave.Error,
+)
+
 # canonical schema for a multimodal asset row
 ASSET_SCHEMA = StructType(
     [
@@ -934,7 +950,7 @@ def image_features(
                         w, h, emb = _fake_image_features(content, embedding_dim)
                     else:
                         w, h, emb = _decode_image(content, embedding_dim)
-                except Exception:
+                except DECODE_ERRORS:
                     if on_error == "fail":
                         raise
                     if on_error == "skip":
@@ -1150,7 +1166,7 @@ def audio_features(
                         rate, mfcc = _fake_audio_features(content, n_mfcc)
                     else:
                         rate, dur, mfcc = _decode_audio(content, n_mfcc)
-                except Exception:
+                except DECODE_ERRORS:
                     if on_error == "fail":
                         raise
                     if on_error == "skip":

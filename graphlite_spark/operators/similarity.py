@@ -187,10 +187,18 @@ def _exact_cosine_pairs_gemm(it: DataFrame, threshold: float,
     throughput, and the n_blocks^2/2 block tasks spread across the
     cluster. Block payloads are ~ (n/n_blocks) * dim doubles — size
     n_blocks so a block pair fits executor memory.
+
+    Ids are carried positionally (index into the block's id list after
+    the GEMM), so the input id type — long, string, UUID — is preserved
+    and the output schema matches the LSH path's for any id type.
     """
     from pyspark.sql.types import (
-        DoubleType, LongType, StructField, StructType,
+        DoubleType, IntegerType, LongType, ShortType, StructField,
+        StructType,
     )
+
+    id_type = it.schema["_iid"].dataType
+    id_is_int = isinstance(id_type, (ShortType, IntegerType, LongType))
 
     blk = it.withColumn("_blk", F.pmod(F.xxhash64(F.col("_iid")), F.lit(n_blocks)))
     grouped = blk.groupBy("_blk").agg(
@@ -210,9 +218,13 @@ def _exact_cosine_pairs_gemm(it: DataFrame, threshold: float,
             out = {"id_a": [], "id_b": [], "_score": []}
             for bx, by, ix, iy in zip(pdf["_bx"], pdf["_by"],
                                       pdf["_ix"], pdf["_iy"]):
-                ids_a = np.array([int(r["_iid"]) for r in ix], dtype=np.int64)
+                # ids positional: int64 fast path for integral ids,
+                # object dtype otherwise (string/UUID) — elementwise
+                # <, minimum, maximum all defer to the id's own compare
+                id_dt = np.int64 if id_is_int else object
+                ids_a = np.array([r["_iid"] for r in ix], dtype=id_dt)
                 A = np.array([r["_iv"] for r in ix], dtype=np.float64)
-                ids_b = np.array([int(r["_iid"]) for r in iy], dtype=np.int64)
+                ids_b = np.array([r["_iid"] for r in iy], dtype=id_dt)
                 Bm = np.array([r["_iv"] for r in iy], dtype=np.float64)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     An = A / np.linalg.norm(A, axis=1, keepdims=True)
@@ -229,15 +241,19 @@ def _exact_cosine_pairs_gemm(it: DataFrame, threshold: float,
                 lo = np.minimum(ia[keep], ib[keep])
                 hi = np.maximum(ia[keep], ib[keep])
                 mask = lo < hi  # drop id self-collisions across blocks
-                out["id_a"].extend(int(v) for v in lo[mask])
-                out["id_b"].extend(int(v) for v in hi[mask])
+                if id_is_int:
+                    out["id_a"].extend(int(v) for v in lo[mask])
+                    out["id_b"].extend(int(v) for v in hi[mask])
+                else:
+                    out["id_a"].extend(lo[mask])
+                    out["id_b"].extend(hi[mask])
                 out["_score"].extend(float(v) for v in s[keep][mask])
             if out["id_a"]:
                 yield pd.DataFrame(out)
 
     schema = StructType([
-        StructField("id_a", LongType(), False),
-        StructField("id_b", LongType(), False),
+        StructField("id_a", id_type, False),
+        StructField("id_b", id_type, False),
         StructField("_score", DoubleType(), False),
     ])
     return blocks.mapInPandas(score, schema).select(
