@@ -1281,6 +1281,11 @@ def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
                         # alternate 4:4:4 / 4:2:0 to cover both layouts
                         content = synth_jpeg(20, 12, img,
                                              subsample=bool(did % 2))
+                    elif fmt == "jpeg_progressive":
+                        # SOF2 multi-scan (DC/AC first + refinement)
+                        content = synth_jpeg(20, 12, img,
+                                             subsample=bool(did % 2),
+                                             progressive=True)
                     elif fmt == "png":
                         content = synth_png(20, 12, img)
                     else:
@@ -1784,6 +1789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "repetition_score": _q_repetition,
             "ngram_contamination": _q_contamination,
             "image_features_jpeg": _q_image_decode("jpeg"),
+            "image_features_jpeg_progressive": _q_image_decode(
+                "jpeg_progressive"),
             "image_features_png": _q_image_decode("png"),
             "image_features_bmp": _q_image_decode("bmp"),
             "audio_features_wav": _q_audio_decode,
@@ -3281,6 +3288,17 @@ def oracle_sql() -> dict[str, str]:
         # decoded luminance a closed form of doc_id; both sides compute
         # the identical (0.299v + 0.587v + 0.114v)/255 expression
         "image_features_jpeg": """
+            SELECT doc_id AS asset_id,
+                   CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum0,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum7
+            FROM documents WHERE doc_id < 64
+        """,
+        "image_features_jpeg_progressive": """
             SELECT doc_id AS asset_id,
                    CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
                    round((0.299 * ((doc_id * 37) % 256)

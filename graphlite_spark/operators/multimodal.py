@@ -571,12 +571,14 @@ def _extend(bits: int, s: int) -> int:
 def _decode_jpeg(content: bytes):
     """Baseline-JPEG decode -> (width, height, gray float64 array).
 
-    Supports SOF0 (baseline sequential), 1 or 3 components, sampling
-    factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers.
-    Progressive (SOF2) / arithmetic coding raise NotImplementedError.
-    Luminance uses the same BT.601-over-decoded-RGB formula as the
-    BMP/PNG kernels (for JPEG the round trip is Y itself when no RGB
-    clamping occurs).
+    Supports SOF0 (baseline sequential) AND SOF2 (progressive:
+    spectral selection + successive approximation, DC/AC first and
+    refinement scans, EOB runs — ITU T.81 Annex G), 1 or 3 components,
+    sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart
+    markers. Lossless/hierarchical/arithmetic SOFs raise
+    NotImplementedError. Luminance uses the same
+    BT.601-over-decoded-RGB formula as the BMP/PNG kernels (for JPEG
+    the round trip is Y itself when no RGB clamping occurs).
     """
     import struct
 
@@ -587,6 +589,9 @@ def _decode_jpeg(content: bytes):
     comps = None
     width = height = 0
     restart_interval = 0
+    progressive = False
+    hmax = vmax = mcux = mcuy = 0
+    got_scan = False
     pos = 2
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
@@ -617,16 +622,31 @@ def _decode_jpeg(content: bytes):
                 n = sum(counts)
                 huff[(tc, th)] = _huffman_table(counts, seg[i + 17: i + 17 + n])
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             height, width = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c: 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            if progressive:
+                # coefficient grids accumulate across scans (int: the
+                # successive-approximation bit ops need exact integers)
+                for c in comps:
+                    c["bw"] = mcux * c["h"]
+                    c["bh"] = mcuy * c["v"]
+                    c["coef"] = np.zeros((c["bh"] * c["bw"], 64),
+                                         dtype=np.int32)
+                    c["pred"] = 0
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (non-baseline) unsupported")
+                f"JPEG SOF{marker - 0xC0} "
+                "(lossless/hierarchical/arithmetic) unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval, = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -637,23 +657,189 @@ def _decode_jpeg(content: bytes):
                 comp = next(cc for cc in comps if cc["id"] == cid)
                 scan.append((comp, tt >> 4, tt & 15))
             data_start = pos + 2 + seglen
-            return _decode_jpeg_scan(
-                content, data_start, width, height, scan, qt, huff,
-                restart_interval)
-        elif marker == 0xD9:  # EOI before SOS
+            if not progressive:
+                return _decode_jpeg_scan(
+                    content, data_start, width, height, scan, qt, huff,
+                    restart_interval)
+            ss = seg[1 + 2 * ncomp]
+            se = seg[2 + 2 * ncomp]
+            ahal = seg[3 + 2 * ncomp]
+            data, rst_bounds, end = _destuff_entropy(content, data_start)
+            _decode_progressive_scan(
+                data, rst_bounds, scan, ss, se, ahal >> 4, ahal & 15,
+                huff, restart_interval, mcux, mcuy, hmax, vmax,
+                width, height)
+            got_scan = True
+            pos = data_start + end
+            continue
+        elif marker == 0xD9:  # EOI
             break
         pos += 2 + seglen
-    raise NotImplementedError("JPEG stream has no baseline scan")
+    if progressive and got_scan:
+        return _jpeg_reconstruct(comps, qt, width, height, hmax, vmax)
+    raise NotImplementedError("JPEG stream has no decodable scan")
 
 
-def _decode_jpeg_scan(content, start, width, height, scan, qt, huff,
-                      restart_interval):
+def _decode_progressive_scan(data, rst_bounds, scan, ss, se, ah, al,
+                             huff, restart_interval, mcux, mcuy,
+                             hmax, vmax, width, height):
+    """One progressive (SOF2) scan, accumulated into the components'
+    integer coefficient grids — ITU T.81 Annex G semantics:
+
+    - DC first (Ss=0, Ah=0): baseline-style DC-diff coding of the
+      point-transformed value, stored ``<< Al``; may be interleaved.
+    - DC refinement (Ss=0, Ah>0): one raw bit per block, OR'd at Al.
+    - AC first (Ss>0, Ah=0): single component, band Ss..Se, EOB-run
+      coding across blocks; coefficients stored ``<< Al``.
+    - AC refinement (Ss>0, Ah>0): per T.81 G.2 — newly-nonzero
+      coefficients arrive as ±1<<Al; every already-nonzero coefficient
+      traversed (including inside EOB runs) consumes one correction
+      bit that may set its next-lower magnitude bit.
+
+    Non-interleaved scans iterate the component's OWN block grid
+    (ceil(comp_width/8) x ceil(comp_height/8)) — narrower than the
+    MCU-padded grid the coefficients live in.
+    """
+    reader = _JpegBitReader(data)
+    eobrun = 0
+    rst_idx = 0
+    mcu_since_rst = 0
+    for c, _, _ in scan:
+        c["pred"] = 0  # every scan restarts DC prediction
+    p1, m1 = 1 << al, -(1 << al)
+
+    def dc_block(c, td, idx):
+        tbl = huff[(0, td)]
+        if ah == 0:  # first scan: diff-coded point-transformed DC
+            s = reader.read_code(tbl)
+            diff = _extend(reader.get_bits(s), s) if s else 0
+            c["pred"] += diff
+            c["coef"][idx, 0] = c["pred"] << al
+        else:  # refinement: one raw bit
+            if reader.get_bits(1):
+                c["coef"][idx, 0] |= p1
+
+    def ac_first_block(blk):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        ac_tbl = huff[(1, scan[0][2])]
+        k = ss
+        while k <= se:
+            rs = reader.read_code(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.get_bits(r)
+                    return
+                k += 16  # ZRL
+            else:
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC run past band end")
+                blk[k] = _extend(reader.get_bits(s), s) << al
+                k += 1
+
+    def ac_refine_block(blk):
+        nonlocal eobrun
+        ac_tbl = huff[(1, scan[0][2])]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.read_code(ac_tbl)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.get_bits(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad AC refinement magnitude")
+                    val = p1 if reader.get_bits(1) else m1
+                # advance over zero-history positions, spending one
+                # correction bit on each nonzero-history coefficient
+                while k <= se:
+                    cv = int(blk[k])
+                    if cv != 0:
+                        if reader.get_bits(1) and (cv & p1) == 0:
+                            blk[k] = cv + (p1 if cv >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            # blocks inside an EOB run still carry correction bits for
+            # their nonzero-history coefficients in the band
+            while k <= se:
+                cv = int(blk[k])
+                if cv != 0:
+                    if reader.get_bits(1) and (cv & p1) == 0:
+                        blk[k] = cv + (p1 if cv >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        c = scan[0][0]
+        cw = -(-(width * c["h"]) // hmax)   # component pixel dims
+        chh = -(-(height * c["v"]) // vmax)
+        cwb, chb = -(-cw // 8), -(-chh // 8)
+        n_units = cwb * chb
+
+    for u in range(n_units):
+        if restart_interval and mcu_since_rst == restart_interval:
+            if rst_idx < len(rst_bounds):
+                reader.seek_byte(rst_bounds[rst_idx])
+                rst_idx += 1
+            for c, _, _ in scan:
+                c["pred"] = 0
+            eobrun = 0
+            mcu_since_rst = 0
+        if interleaved:  # DC scans only (AC must be single-component)
+            my, mx = divmod(u, mcux)
+            for c, td, _ in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        dc_block(c, td, row * c["bw"] + col)
+        else:
+            c, td, _ = scan[0]
+            row, col = divmod(u, cwb)
+            idx = row * c["bw"] + col
+            if ss == 0:
+                dc_block(c, td, idx)
+            elif ah == 0:
+                ac_first_block(c["coef"][idx])
+            else:
+                ac_refine_block(c["coef"][idx])
+        mcu_since_rst += 1
+
+
+def _destuff_entropy(content: bytes, start: int):
+    """Vectorized entropy-segment destuff (FF00 -> FF, RSTn removed
+    with boundary offsets recorded, stop at any other marker): one
+    np.where pass + one np.delete instead of a per-byte Python loop —
+    multi-MB entropy segments destuff at memory bandwidth.
+
+    Returns (data, rst_bounds, end): destuffed bytes, destuffed byte
+    offsets just past each RSTn, and the offset (relative to ``start``)
+    of the terminating marker's FF (== segment length if none found).
+    """
     import numpy as np
 
-    # destuff vectorized (FF00 -> FF, RSTn removed with boundary
-    # offsets recorded, stop at any other marker): one np.where pass +
-    # one np.delete instead of a per-byte Python loop — multi-MB
-    # entropy segments destuff at memory bandwidth
     arr = np.frombuffer(content, np.uint8)[start:]
     ffpos = np.where(arr[:-1] == 0xFF)[0] if len(arr) > 1 else np.empty(0, np.int64)
     nxt = arr[ffpos + 1]
@@ -674,6 +860,53 @@ def _decode_jpeg_scan(content, start, width, height, scan, qt, huff,
     # destuffed offset of the byte after each RST marker
     rst_orig = ffp[rs] + 2
     rst_bounds = (rst_orig - np.searchsorted(delete, rst_orig)).tolist()
+    return data, rst_bounds, end
+
+
+def _jpeg_reconstruct(comps, qt, width, height, hmax, vmax):
+    """Shared tail of baseline AND progressive decode: batched
+    dequantize + inverse zigzag + einsum IDCT over every block of every
+    component at once, chroma upsample, YCbCr->gray. ``comps`` is the
+    frame-ordered component list carrying coef (n_blocks, 64) arrays in
+    zigzag order."""
+    import numpy as np
+
+    C = _dct_matrix()
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[np.array(_ZIGZAG)] = np.arange(64)
+    planes = []
+    for c in comps:
+        coef = c["coef"].astype(np.float64) * qt[c["tq"]][np.newaxis, :]
+        blocks = coef[:, inv_zz].reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", C, blocks, C) + 128.0
+        grid = spatial.reshape(c["bh"], c["bw"], 8, 8).transpose(0, 2, 1, 3)
+        plane = grid.reshape(c["bh"] * 8, c["bw"] * 8)
+        # chroma upsample by pixel replication to the luma grid
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        rgb = np.clip(np.round(planes[0]), 0, 255)
+        gray = rgb.ravel() / 255.0
+    else:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+        flat = rgb.reshape(-1, 3)
+        gray = (0.299 * flat[:, 0] + 0.587 * flat[:, 1]
+                + 0.114 * flat[:, 2]) / 255.0
+    return width, height, gray
+
+
+def _decode_jpeg_scan(content, start, width, height, scan, qt, huff,
+                      restart_interval):
+    import numpy as np
+
+    data, rst_bounds, _ = _destuff_entropy(content, start)
 
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
@@ -728,47 +961,30 @@ def _decode_jpeg_scan(content, start, width, height, scan, qt, huff,
                     c["coef"][row * c["bw"] + col] = blk
         mcu_since_rst += 1
 
-    # batched dequantize + inverse zigzag + IDCT over every block at once
-    C = _dct_matrix()
-    inv_zz = np.empty(64, dtype=np.int64)
-    inv_zz[np.array(_ZIGZAG)] = np.arange(64)
-    planes = []
-    for c, _, _ in scan:
-        coef = c["coef"] * qt[c["tq"]][np.newaxis, :]
-        blocks = coef[:, inv_zz].reshape(-1, 8, 8)
-        spatial = np.einsum("ux,nuv,vy->nxy", C, blocks, C) + 128.0
-        grid = spatial.reshape(c["bh"], c["bw"], 8, 8).transpose(0, 2, 1, 3)
-        plane = grid.reshape(c["bh"] * 8, c["bw"] * 8)
-        # chroma upsample by pixel replication to the luma grid
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        planes.append(plane[:height, :width])
-
-    if len(planes) == 1:
-        rgb = np.clip(np.round(planes[0]), 0, 255)
-        gray = rgb.ravel() / 255.0
-    else:
-        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-        r = y + 1.402 * cr
-        g = y - 0.344136 * cb - 0.714136 * cr
-        b = y + 1.772 * cb
-        rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
-        flat = rgb.reshape(-1, 3)
-        gray = (0.299 * flat[:, 0] + 0.587 * flat[:, 1]
-                + 0.114 * flat[:, 2]) / 255.0
-    return width, height, gray
+    return _jpeg_reconstruct([c for c, _, _ in scan], qt, width, height,
+                             hmax, vmax)
 
 
 def synth_jpeg(width: int, height: int, pixel, quality_qtable=None,
-               subsample: bool = False, restart_interval: int = 0) -> bytes:
-    """Minimal baseline-JPEG encoder for tests: 4:4:4 (or 4:2:0 with
+               subsample: bool = False, restart_interval: int = 0,
+               progressive: bool = False) -> bytes:
+    """Minimal JPEG encoder for tests: 4:4:4 (or 4:2:0 with
     ``subsample=True``), one shared quant table (default all-ones =
     highest quality; a gray-uniform image round-trips bit-exactly), one
     shared DC and AC Huffman table (a simple canonical fixed-width code
     — the decoder reads whatever DHT declares, so Annex-K parity is
     unnecessary). ``pixel`` is either a callable (x, y) -> (r, g, b) or
     an (h, w, 3) uint8 numpy array.
+
+    ``progressive=True`` emits an SOF2 stream with a 10-scan script
+    exercising every progressive scan type: interleaved DC first
+    (Al=1) + DC refinement, per-component AC first scans with split
+    spectral bands and Al in {1, 2}, and AC refinement passes
+    (including a two-step Al 2->1->0 chain on luma) with cross-block
+    EOB runs, buffered correction bits, and ZRL. All scans together
+    transmit every coefficient bit, so progressive and baseline
+    encodings of the same image decode identically (over the visible
+    region). ``restart_interval`` applies to baseline mode only.
     """
     import struct
 
@@ -870,6 +1086,24 @@ def synth_jpeg(width: int, height: int, pixel, quality_qtable=None,
                     seg.append(0x00)
         return seg
 
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in q))
+    sof_comps = b"".join(
+        bytes([cid, (hh << 4) | vv, 0])
+        for cid, (hh, vv) in zip((1, 2, 3), samp)
+    )
+    dht = (seg(0xC4, bytes([0x00]) + bytes(counts) + symbols)
+           + seg(0xC4, bytes([0x10]) + bytes(counts) + symbols))
+
+    if progressive:
+        body = _synth_jpeg_progressive_scans(
+            planes, samp, mcux, mcuy, hmax, vmax, width, height,
+            put, put_code, out_bits, pack_segment, seg)
+        sof = seg(0xC2, struct.pack(">BHHB", 8, height, width, 3) + sof_comps)
+        return b"\xff\xd8" + dqt + sof + dht + body + b"\xff\xd9"
+
     preds = [0, 0, 0]
     entropy = bytearray()
     rst_n = 0
@@ -888,22 +1122,190 @@ def synth_jpeg(width: int, height: int, pixel, quality_qtable=None,
                     put_block(plane[my * vv + by, mx * hh + bx], ci)
     entropy += pack_segment(out_bits)
 
-    def seg(marker, payload):
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
-
-    dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in q))
     dri = (seg(0xDD, struct.pack(">H", restart_interval))
            if restart_interval else b"")
-    sof_comps = b"".join(
-        bytes([cid, (hh << 4) | vv, 0])
-        for cid, (hh, vv) in zip((1, 2, 3), samp)
-    )
     sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 3) + sof_comps)
-    dht = (seg(0xC4, bytes([0x00]) + bytes(counts) + symbols)
-           + seg(0xC4, bytes([0x10]) + bytes(counts) + symbols))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + dqt + dri + sof + dht + sos + bytes(entropy)
             + b"\xff\xd9")
+
+
+def _synth_jpeg_progressive_scans(planes, samp, mcux, mcuy, hmax, vmax,
+                                  width, height, put, put_code, out_bits,
+                                  pack_segment, seg):
+    """Entropy-code the 10-scan progressive script (see synth_jpeg).
+    Returns the concatenated SOS+entropy segments. Encoder-side T.81
+    Annex G: EOB runs accumulate across blocks and are flushed before
+    any ZRL / newly-nonzero code; refinement scans buffer correction
+    bits for already-nonzero coefficients and append them after the
+    Huffman code (or EOB) that skips over them."""
+    # (kind, comp index or None=interleaved, Ss, Se, Ah, Al)
+    script = [
+        ("dc_first", None, 0, 0, 0, 1),
+        ("ac_first", 0, 1, 5, 0, 2),
+        ("ac_first", 0, 6, 63, 0, 2),
+        ("ac_first", 1, 1, 63, 0, 1),
+        ("ac_first", 2, 1, 63, 0, 1),
+        ("ac_refine", 0, 1, 63, 2, 1),
+        ("dc_refine", None, 0, 0, 1, 0),
+        ("ac_refine", 0, 1, 63, 1, 0),
+        ("ac_refine", 1, 1, 63, 1, 0),
+        ("ac_refine", 2, 1, 63, 1, 0),
+    ]
+
+    def comp_blocks(ci):
+        hh, vv = samp[ci]
+        cw = -(-(width * hh) // hmax)
+        chh = -(-(height * vv) // vmax)
+        return -(-cw // 8), -(-chh // 8)
+
+    def mcu_blocks():  # interleaved DC order: MCU, component, v, h
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for cj, (plane, (hh, vv)) in enumerate(zip(planes, samp)):
+                for by in range(vv):
+                    for bx in range(hh):
+                        yield plane[my * vv + by, mx * hh + bx]
+
+    body = b""
+    for kind, ci, sss, sse, sah, sal in script:
+        out_bits.clear()
+        if kind == "dc_first":
+            preds = [0, 0, 0]
+            mi = 0
+            nblk = sum(hh * vv for hh, vv in samp)
+            for bi, blk in enumerate(mcu_blocks()):
+                cj = 0  # recover component from interleave position
+                pos_in_mcu = bi % nblk
+                acc = 0
+                for j, (hh, vv) in enumerate(samp):
+                    if pos_in_mcu < acc + hh * vv:
+                        cj = j
+                        break
+                    acc += hh * vv
+                dc = int(blk[0]) >> sal  # arithmetic shift: DC point transform
+                diff = dc - preds[cj]
+                preds[cj] = dc
+                s = abs(diff).bit_length()
+                put_code(s)
+                if s:
+                    put(s, diff if diff >= 0 else diff + (1 << s) - 1)
+                mi += 1
+        elif kind == "dc_refine":
+            for blk in mcu_blocks():
+                put(1, (int(blk[0]) >> sal) & 1)
+        elif kind == "ac_first":
+            plane = planes[ci]
+            cwb, chb = comp_blocks(ci)
+            eob_n = 0
+
+            def emit_eob():
+                nonlocal eob_n
+                if eob_n == 0:
+                    return
+                nb = eob_n.bit_length() - 1
+                put_code(nb << 4)
+                if nb:
+                    put(nb, eob_n - (1 << nb))
+                eob_n = 0
+
+            for u in range(cwb * chb):
+                row, col = divmod(u, cwb)
+                blk = plane[row, col]
+                r = 0
+                for k in range(sss, sse + 1):
+                    v = int(blk[k])
+                    v = (v >> sal) if v >= 0 else -((-v) >> sal)  # toward 0
+                    if v == 0:
+                        r += 1
+                        continue
+                    emit_eob()
+                    while r > 15:
+                        put_code(0xF0)
+                        r -= 16
+                    s = abs(v).bit_length()
+                    put_code((r << 4) | s)
+                    put(s, v if v >= 0 else v + (1 << s) - 1)
+                    r = 0
+                if r:
+                    eob_n += 1
+                    if eob_n == 0x7FFF:
+                        emit_eob()
+            emit_eob()
+        else:  # ac_refine
+            plane = planes[ci]
+            cwb, chb = comp_blocks(ci)
+            eob_n = 0
+            be_bits: list[int] = []
+
+            def emit_eob_r():
+                nonlocal eob_n, be_bits
+                if eob_n > 0:
+                    nb = eob_n.bit_length() - 1
+                    put_code(nb << 4)
+                    if nb:
+                        put(nb, eob_n - (1 << nb))
+                    eob_n = 0
+                for bb in be_bits:
+                    put(1, bb)
+                be_bits = []
+
+            for u in range(cwb * chb):
+                row, col = divmod(u, cwb)
+                blk = plane[row, col]
+                absv = [abs(int(blk[k])) >> sal for k in range(sss, sse + 1)]
+
+                def t(k):
+                    return absv[k - sss]
+
+                # Mirror the decoder's advance loops exactly: each
+                # ZRL / newly-nonzero code is followed by correction
+                # bits for ONLY the already-nonzero coefficients its
+                # own advance span passes over.
+                pos = sss
+                while pos <= sse:
+                    nz = next((k for k in range(pos, sse + 1)
+                               if t(k) == 1), None)
+                    if nz is None:
+                        break  # no more newly-nonzero: EOB territory
+                    z = sum(1 for k in range(pos, nz) if t(k) == 0)
+                    while z > 15:
+                        emit_eob_r()
+                        put_code(0xF0)
+                        consumed = 0  # ZRL span: exactly 16 zeros
+                        while consumed < 16:
+                            tv = t(pos)
+                            if tv == 0:
+                                consumed += 1
+                            elif tv > 1:
+                                put(1, tv & 1)
+                            pos += 1
+                        z -= 16
+                    emit_eob_r()
+                    put_code((z << 4) | 1)
+                    put(1, 1 if int(blk[nz]) > 0 else 0)
+                    while pos < nz:  # code's advance span corrections
+                        if t(pos) > 1:
+                            put(1, t(pos) & 1)
+                        pos += 1
+                    pos = nz + 1
+                if pos <= sse:  # trailing band folds into the EOB run,
+                    eob_n += 1  # carrying its correction bits
+                    be_bits.extend(t(k) & 1 for k in range(pos, sse + 1)
+                                   if t(k) > 1)
+                    if eob_n == 0x7FFF:
+                        emit_eob_r()
+            emit_eob_r()
+
+        entropy = pack_segment(out_bits)
+        if ci is None:
+            comps_hdr = bytes([3]) + b"".join(
+                bytes([cid, 0x00]) for cid in (1, 2, 3))
+        else:
+            comps_hdr = bytes([1, ci + 1, 0x00])
+        sos_payload = comps_hdr + bytes([sss, sse, (sah << 4) | sal])
+        body += seg(0xDA, sos_payload) + bytes(entropy)
+    return body
 
 
 def _fake_image_features(content: Optional[bytes], dim: int = 8):

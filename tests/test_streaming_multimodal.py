@@ -664,6 +664,65 @@ def test_gif_lzw_dictionary_growth():
     assert emb == pytest.approx(expected, abs=1e-12)
 
 
+def test_jpeg_progressive_matches_baseline():
+    # SOF2 spectral-selection + successive-approximation scans must
+    # reconstruct the identical coefficients as the baseline encoding
+    # of the same image (the 10-scan script transmits every bit):
+    # pixel-exact gray parity, all layouts, quantized and not
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import _decode_jpeg, synth_jpeg
+
+    rng = np.random.default_rng(7)
+    for (w, h) in [(8, 8), (17, 9), (33, 21)]:
+        for sub in (False, True):
+            img = rng.integers(0, 256, (h, w, 3), np.uint8)
+            gb = _decode_jpeg(synth_jpeg(w, h, img, subsample=sub))
+            gp = _decode_jpeg(
+                synth_jpeg(w, h, img, subsample=sub, progressive=True))
+            assert gb[:2] == gp[:2] == (w, h)
+            assert np.array_equal(np.asarray(gb[2]), np.asarray(gp[2]))
+    # non-trivial quant table: EOB runs + ZRL + refinement corrections
+    qt = np.arange(1, 65).astype(float)
+    img = rng.integers(0, 256, (24, 40, 3), np.uint8)
+    gb = _decode_jpeg(synth_jpeg(40, 24, img, quality_qtable=qt))
+    gp = _decode_jpeg(
+        synth_jpeg(40, 24, img, quality_qtable=qt, progressive=True))
+    assert np.array_equal(np.asarray(gb[2]), np.asarray(gp[2]))
+    # gray-uniform closed form (the oracle gate's construction)
+    for v in (0, 130, 255):
+        uni = np.full((12, 20, 3), v, np.uint8)
+        _, _, g = _decode_jpeg(synth_jpeg(20, 12, uni, progressive=True))
+        assert np.allclose(g, v / 255.0, atol=1e-12)
+
+
+def test_jpeg_progressive_truncation_fuzz():
+    # truncated / bit-flipped progressive streams must fail cleanly or
+    # decode a valid prefix of scans — never hang the worker
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import (
+        DECODE_ERRORS, _decode_jpeg, synth_jpeg,
+    )
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (12, 20, 3), np.uint8)
+    blob = synth_jpeg(20, 12, img, progressive=True)
+    for cut in (4, 10, 50, len(blob) // 4, len(blob) // 2, len(blob) - 3):
+        try:
+            w, h, g = _decode_jpeg(blob[:cut])
+            assert (w, h) == (20, 12)  # decoded a valid scan prefix
+        except DECODE_ERRORS:
+            pass
+    for pos in range(10, min(len(blob), 400), 23):
+        mutated = bytearray(blob)
+        mutated[pos] ^= 0xFF
+        try:
+            _decode_jpeg(bytes(mutated))
+        except DECODE_ERRORS:
+            pass
+
+
 def test_decoder_truncation_robustness():
     # corpus reality: truncated containers must fail CLEANLY (raise) or
     # decode the valid prefix — never hang or segfault the worker
