@@ -1610,6 +1610,105 @@ def _sample_gif_frames(content: bytes, every_ms: int):
     return out
 
 
+def _avi_mjpeg_frames(content: bytes):
+    """Walk a RIFF/AVI container and return (frame_ms, [jpeg, ...])
+    for an MJPEG video stream: 'avih' gives the frame period, 'strh'
+    (fccType='vids') is checked for an MJPG handler, and the frames
+    are the '##dc'/'##db' chunks inside the 'movi' list — each one a
+    complete baseline-or-progressive JPEG our own decoder handles.
+    Non-AVI raises ValueError; a vids stream with a non-MJPG handler
+    raises NotImplementedError (H.264-class codecs are out of scope
+    for a stdlib-only decoder)."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    frame_us = 0
+    handler = None
+    frames: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal frame_us, handler
+        while off + 8 <= end:
+            fourcc = content[off:off + 4]
+            size, = struct.unpack_from("<I", content, off + 4)
+            data_off = off + 8
+            data_end = min(data_off + size, end)
+            if fourcc == b"LIST":
+                walk(data_off + 4, data_end)  # skip the list subtype
+            elif fourcc == b"avih" and size >= 4:
+                frame_us, = struct.unpack_from("<I", content, data_off)
+            elif fourcc == b"strh" and size >= 8:
+                if content[data_off:data_off + 4] == b"vids":
+                    handler = content[data_off + 4:data_off + 8]
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                frames.append(content[data_off:data_end])
+            off = data_off + size + (size & 1)  # chunks pad to even
+
+    walk(12, len(content))
+    if handler is not None and handler.upper() not in (b"MJPG", b"JPEG"):
+        raise NotImplementedError(
+            f"AVI video handler {handler!r} unsupported (MJPEG only)")
+    if not frames:
+        raise ValueError("AVI container has no video frame chunks")
+    # fall back to verifying the frames really are JPEG when no strh
+    if handler is None and frames[0][:2] != b"\xff\xd8":
+        raise NotImplementedError("AVI frames are not MJPEG")
+    frame_ms = max(int(round((frame_us or 40000) / 1000.0)), 1)
+    return frame_ms, frames
+
+
+def _sample_avi_frames(content: bytes, every_ms: int):
+    """MJPEG-in-AVI frame sampling on the every_ms timestamp grid —
+    same contract as _sample_gif_frames, but the emitted frame bytes
+    are the stream's own JPEGs (no transcode: at corpus scale frame
+    extraction must not re-encode; downstream image_features decodes
+    JPEG directly)."""
+    frame_ms, frames = _avi_mjpeg_frames(content)
+    duration = frame_ms * len(frames)
+    out = []
+    ts = 0
+    while ts < max(duration, 1):
+        idx = min(ts // frame_ms, len(frames) - 1)
+        out.append((ts, frames[idx]))
+        ts += every_ms
+        if len(frames) == 1:
+            break
+    return out
+
+
+def synth_avi_mjpeg(width: int, height: int, frames, frame_ms: int = 40,
+                    progressive: bool = False) -> bytes:
+    """Minimal MJPEG-in-AVI writer for tests: RIFF('AVI ') with an
+    hdrl list (avih + one vids strl whose handler is 'MJPG') and a
+    movi list of '00dc' JPEG chunks (each frame encoded with
+    synth_jpeg). ``frames`` is a list of (h, w, 3) uint8 arrays."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(subtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", subtype + data)
+
+    jpegs = [synth_jpeg(width, height, f, progressive=progressive)
+             for f in frames]
+    avih = struct.pack(
+        "<14I", frame_ms * 1000, 0, 0, 0, len(jpegs), 0, 1, 0,
+        width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, frame_ms, 1000,
+                          0, len(jpegs), 0, 0, 0, 0))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def sample_frames(
     assets: DataFrame,
     every_ms: int = 1000,
@@ -1618,10 +1717,12 @@ def sample_frames(
     """Sample video frames every `every_ms` — expands one asset row into
     N frame rows (mapInPandas so output cardinality is free-form).
 
-    REAL for animated GIF (the one video-ish container decodable
-    without ffmpeg-class codecs): frames composited per the GIF
-    disposal/delay model, sampled on the every_ms timestamp grid,
-    emitted as PNG bytes. Other containers (mp4/webm/...) raise unless
+    REAL for animated GIF (frames composited per the GIF
+    disposal/delay model, emitted as PNG bytes) and for MJPEG-in-AVI
+    (RIFF 'movi' chunk walk; sampled frames are the stream's own JPEG
+    bytes — no transcode — which image_features decodes directly).
+    Both sample on the every_ms timestamp grid. Other containers
+    (mp4/webm/... — H.264-class codecs) raise unless
     deterministic_fake=True (seeded stand-in frames for ANY bytes —
     the fake path never touches real decoders, so corrupt content
     cannot break a plumbing test).
@@ -1650,10 +1751,20 @@ def sample_frames(
                         rows["ts_ms"].append(ts)
                         rows["frame"].append(png)
                     continue
+                if (not deterministic_fake and raw[:4] == b"RIFF"
+                        and raw[8:12] == b"AVI "):
+                    for i, (ts, jpg) in enumerate(
+                        _sample_avi_frames(raw, every_ms)
+                    ):
+                        rows["asset_id"].append(aid)
+                        rows["frame_idx"].append(i)
+                        rows["ts_ms"].append(ts)
+                        rows["frame"].append(jpg)
+                    continue
                 if not deterministic_fake:
                     raise NotImplementedError(
-                        "only animated GIF samples without a media "
-                        "library; pass deterministic_fake=True"
+                        "only animated GIF and MJPEG-AVI sample without "
+                        "a media library; pass deterministic_fake=True"
                     )
                 n = max(int((dur or 0) // every_ms), 0)
                 for i in range(n):

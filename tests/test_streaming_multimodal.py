@@ -582,6 +582,87 @@ def test_sample_frames_real_animated_gif(spark):
         assert emb == pytest.approx([lum] * 8, abs=1e-12)
 
 
+def test_sample_frames_real_mjpeg_avi(spark):
+    # video REAL path #2: MJPEG-in-AVI — RIFF 'movi' chunk walk, frame
+    # period from avih, sampled frames are the stream's own JPEGs
+    # (no transcode) which the JPEG decoder then reads
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, _decode_image, sample_frames, synth_avi_mjpeg,
+    )
+
+    vals = (40, 90, 140, 190)
+    frames = [np.full((12, 20, 3), v, dtype=np.uint8) for v in vals]
+    avi = synth_avi_mjpeg(20, 12, frames, frame_ms=100)
+    assets = spark.createDataFrame(
+        [(9, "video", bytearray(avi), None, (20, 12, 400, "mjpeg"))],
+        ASSET_SCHEMA,
+    )
+    got = sorted(sample_frames(assets, every_ms=150).collect(),
+                 key=lambda r: r.frame_idx)
+    # 400 ms total on a 150 ms grid -> ts 0/150/300 -> source frames 0/1/3
+    assert [(r.frame_idx, r.ts_ms) for r in got] == [(0, 0), (1, 150), (2, 300)]
+    for r, src in zip(got, (0, 1, 3)):
+        w, h, emb = _decode_image(bytes(r.frame))
+        assert (w, h) == (20, 12)
+        v = vals[src]
+        lum = (0.299 * v + 0.587 * v + 0.114 * v) / 255.0
+        assert emb == pytest.approx([lum] * 8, abs=1e-12)
+
+
+def test_streaming_mjpeg_avi_sampling_matches_batch(spark, tmp_path):
+    # video ingestion as a STREAM: binaryFile -> sample_frames; the
+    # operator is a plain transformation so stream == batch
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.multimodal import (
+        sample_frames, synth_avi_mjpeg,
+    )
+
+    d = tmp_path / "vids"
+    d.mkdir()
+    for i in range(4):
+        frames = [np.full((8, 8, 3), (i * 50 + k * 10) % 256, np.uint8)
+                  for k in range(3)]
+        (d / f"vid_{i:03d}.avi").write_bytes(
+            synth_avi_mjpeg(8, 8, frames, frame_ms=40))
+
+    def to_assets(df):
+        return df.select(
+            F.regexp_extract("path", r"vid_(\d+)\.avi", 1)
+            .cast("long").alias("asset_id"),
+            "content",
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).withColumn("meta", F.struct(
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            F.col("duration_ms"),
+            F.lit("mjpeg").alias("codec"),
+        ))
+
+    batch = sample_frames(
+        to_assets(spark.read.format("binaryFile").load(str(d))), every_ms=40)
+    expected = {(r.asset_id, r.frame_idx, r.ts_ms, bytes(r.frame))
+                for r in batch.collect()}
+    assert len(expected) == 12  # 4 assets x 3 frames on a 40 ms grid
+
+    static = spark.read.format("binaryFile").load(str(d))
+    stream = (spark.readStream.format("binaryFile")
+              .schema(static.schema).load(str(d)))
+    q = (
+        sample_frames(to_assets(stream), every_ms=40)
+        .writeStream.format("memory").queryName("avi_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.asset_id, r.frame_idx, r.ts_ms, bytes(r.frame))
+           for r in spark.table("avi_stream").collect()}
+    assert got == expected
+
+
 def test_gif_lzw_dictionary_growth():
     # synth_gif emits literal-only codes; a REAL LZW compressor here
     # exercises the decoder's dictionary branches (multi-symbol
