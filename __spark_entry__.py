@@ -1287,7 +1287,9 @@ def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
                                              subsample=bool(did % 2),
                                              progressive=True)
                     elif fmt == "png":
-                        content = synth_png(20, 12, img)
+                        # alternate sequential / Adam7-interlaced
+                        content = synth_png(20, 12, img,
+                                            interlace=bool(did % 2))
                     else:
                         content = synth_bmp(20, 12,
                                             lambda x, y, v=v: (v, v, v))

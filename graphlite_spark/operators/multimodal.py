@@ -94,6 +94,14 @@ FRAME_SAMPLE_SCHEMA = StructType(
 )
 
 
+# Adam7 interlace pass origins and strides: (x0, y0, dx, dy) — PNG
+# spec §8.2. Each pass is an independently-filtered sub-image.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def _unfilter_png(raw: bytes, width: int, height: int, ch: int):
     """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth).
 
@@ -188,9 +196,9 @@ def _gray_embedding(gray, width: int, height: int, dim: int) -> list[float]:
 
 def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     """REAL stdlib+numpy decode for BMP (24/32bpp uncompressed), PNG
-    (8-bit gray/RGB/RGBA, non-interlaced) and baseline JPEG (see
-    _decode_jpeg). GIF/video pixel decode needs external codecs
-    -> NotImplementedError (honest stub)."""
+    (8-bit gray/RGB/RGBA, sequential or Adam7-interlaced), JPEG
+    (baseline + progressive, see _decode_jpeg) and GIF. Unsupported
+    variants raise NotImplementedError (honest guard)."""
     import struct
     import zlib
 
@@ -225,11 +233,8 @@ def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
         if compression != 0 or filt != 0:
             raise NotImplementedError(
                 f"PNG compression={compression} filter_method={filt} unsupported")
-        if interlace != 0:
-            # Adam7 streams carry seven interleaved sub-images; reading
-            # them as sequential scanlines would silently produce
-            # garbage — honest-stub instead (same policy as GIF/video)
-            raise NotImplementedError("PNG Adam7 interlacing unsupported")
+        if interlace not in (0, 1):
+            raise NotImplementedError(f"PNG interlace={interlace} invalid")
         ch = {0: 1, 2: 3, 6: 4}[ctype]
         idat = bytearray()
         pos = 8
@@ -241,8 +246,26 @@ def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
             if tag == b"IEND":
                 break
             pos += 12 + ln
-        px = _unfilter_png(zlib.decompress(bytes(idat)), width, height, ch)
-        gray = _luminance(px.reshape(-1, ch), ch)
+        raw = zlib.decompress(bytes(idat))
+        if interlace == 1:
+            # Adam7: seven independently-filtered sub-images, each
+            # through the same vectorized unfilter, scattered into the
+            # output grid by the pass's (x0, y0, dx, dy) lattice
+            img = np.zeros((height, width, ch), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue  # empty pass contributes zero bytes
+                nbytes = ph * (pw * ch + 1)
+                sub = _unfilter_png(raw[off:off + nbytes], pw, ph, ch)
+                off += nbytes
+                img[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+            px = img.reshape(-1, ch)
+        else:
+            px = _unfilter_png(raw, width, height, ch).reshape(-1, ch)
+        gray = _luminance(px, ch)
         return width, height, _gray_embedding(gray, width, height, dim)
     if content[:2] == b"\xff\xd8":
         width, height, gray = _decode_jpeg(content)
@@ -1469,24 +1492,40 @@ def synth_bmp(width: int, height: int, pixel) -> bytes:
     return bytes(header + dib + px)
 
 
-def synth_png(width: int, height: int, pixel) -> bytes:
+def synth_png(width: int, height: int, pixel, interlace: bool = False) -> bytes:
     """Tiny 8-bit RGB PNG writer for tests: ``pixel`` is a callable
-    (x, y) -> (r, g, b) or an (h, w, 3) uint8 numpy array."""
+    (x, y) -> (r, g, b) or an (h, w, 3) uint8 numpy array.
+    ``interlace=True`` writes an Adam7 stream (seven filtered
+    sub-images in pass order)."""
     import struct
     import zlib
 
-    if callable(pixel):
-        raw = bytearray()
-        for y in range(height):
-            raw.append(0)  # filter None
-            for x in range(width):
-                raw += bytes(pixel(x, y))
-    else:
-        import numpy as np
+    import numpy as np
 
-        img = np.asarray(pixel, dtype=np.uint8).reshape(height, width * 3)
+    if callable(pixel):
+        img = np.empty((height, width, 3), dtype=np.uint8)
+        for y in range(height):
+            for x in range(width):
+                img[y, x] = pixel(x, y)
+    else:
+        img = np.asarray(pixel, dtype=np.uint8).reshape(height, width, 3)
+
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx, :]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            rows = np.concatenate(
+                [np.zeros((ph, 1), dtype=np.uint8),
+                 sub.reshape(ph, pw * 3)], axis=1)
+            parts.append(rows.tobytes())
+        raw = b"".join(parts)
+    else:
         rows = np.concatenate(
-            [np.zeros((height, 1), dtype=np.uint8), img], axis=1
+            [np.zeros((height, 1), dtype=np.uint8),
+             img.reshape(height, width * 3)], axis=1
         )
         raw = rows.tobytes()
 
@@ -1496,7 +1535,8 @@ def synth_png(width: int, height: int, pixel) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0,
+                       1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

@@ -428,13 +428,11 @@ def _png_with_filters(img, ftypes):
             + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
 
 
-def test_png_all_filter_types_and_interlace_guard():
+def test_png_all_filter_types_and_adam7():
     # spec §9 filters None/Sub/Up/Average/Paeth all reconstruct the
-    # same pixels; Adam7 interlacing is an honest stub (a sequential
-    # read would silently mis-decode — ADVICE r2)
-    import struct
-    import zlib
-
+    # same pixels; Adam7 interlacing (spec §8.2: seven independently
+    # filtered sub-images) decodes identically to the sequential
+    # encoding of the same image, including sizes with empty passes
     import numpy as np
     import pytest as _pytest
 
@@ -447,16 +445,12 @@ def test_png_all_filter_types_and_interlace_guard():
         _, _, emb = _decode_image(_png_with_filters(img, fts))
         assert emb == _pytest.approx(base, abs=1e-12), fts
 
-    def chunk(tag, data):
-        return (struct.pack(">I", len(data)) + tag + data
-                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
-
-    ihdr = struct.pack(">IIBBBBB", 9, 12, 8, 2, 0, 0, 1)  # interlace=1
-    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(b"\x00" * ((9 * 3 + 1) * 12)))
-           + chunk(b"IEND", b""))
-    with _pytest.raises(NotImplementedError, match="interlac"):
-        _decode_image(bad)
+    for (w, h) in [(9, 12), (1, 1), (3, 2), (8, 8), (33, 21)]:
+        im = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        seq = _decode_image(synth_png(w, h, im))
+        inter = _decode_image(synth_png(w, h, im, interlace=True))
+        assert seq[:2] == inter[:2] == (w, h)
+        assert inter[2] == _pytest.approx(seq[2], abs=0), (w, h)
 
 
 def test_real_jpeg_decode(spark):
