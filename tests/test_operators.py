@@ -135,6 +135,49 @@ def test_lsh_ann_subset_of_exact(spark):
     assert len(approx) <= 5 and len(set(approx) & set(exact)) >= 1
 
 
+def test_lsh_topk_recall_floor_on_clusters(spark):
+    # Where LSH's guarantee actually applies — clustered corpora whose
+    # true neighbors are genuinely near (cosine >= ~0.95) — the
+    # multi-table path must recover nearly all of them. 20 clusters of
+    # 10 tightly-perturbed copies; each query's top-5 are its own
+    # cluster mates.
+    import random
+
+    from graphlite_spark.operators.similarity import (
+        ann_recall_audit, cosine_topk, lsh_ann_topk,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for c in range(20):
+        center = [rng.uniform(-1, 1) for _ in range(16)]
+        for j in range(10):
+            rows.append((c * 10 + j,
+                         [v + rng.uniform(-0.02, 0.02) for v in center]))
+    items = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>")
+    q = items.filter("vec_id % 10 = 0 AND vec_id < 50").selectExpr(
+        "vec_id AS query_id", "embedding")
+    exact = cosine_topk(items, q, k=5)
+    ann = lsh_ann_topk(items, q, k=5, dim=16, num_planes=8, n_tables=8)
+    audit = ann_recall_audit(exact, ann).collect()[0]
+    assert audit.n_exact_rows == 25
+    assert audit.recall_at_k >= 0.9, audit.asDict()
+
+
+def test_ann_recall_audit_counts(spark):
+    # the audit itself: hits = |ann ∩ exact| per construction
+    from graphlite_spark.operators.similarity import ann_recall_audit
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12)], "query_id: long, item_id: long")
+    ann = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 12), (2, 10)], "query_id: long, item_id: long")
+    row = ann_recall_audit(exact, ann).collect()[0]
+    assert (row.n_exact_rows, row.n_ann_rows, row.n_hits) == (4, 4, 3)
+    assert row.recall_at_k == 0.75
+
+
 def test_cosine_dup_pairs_exact_and_lsh(spark):
     from graphlite_spark.operators.similarity import cosine_dup_pairs
 
