@@ -1062,6 +1062,30 @@ def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon Brandes betweenness over the FOLLOWS chains,
+    every event a source, horizon 8. Chains make the oracle CLOSED
+    FORM: sigma = 1 everywhere, so a node at position rn of an L-chain
+    accumulates, from each source at position q in [rn-7, rn-1], one
+    unit per target t in (rn, min(L, q+8)] —
+    bc(v) = sum_q (min(L, q+8) - rn)+."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import betweenness_centrality
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    sources = g.nodes_for_label("Event").select("_id")
+    out = betweenness_centrality(
+        g.edge_type("FOLLOWS").df.select("_src", "_dst"),
+        sources, max_hops=8,
+    )
+    ns = 10**12
+    return out.filter(F.col("betweenness") > 0).select(
+        (F.col("node") % ns).alias("event_id"), "betweenness"
+    )
+
+
 def _ring_db(spark: SparkSession, sf_dir: str):
     """Register a cyclic ring graph (one directed ring of nations per
     region, 5-cycles in TPC-H) beside the main graph — the workload the
@@ -1868,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_ntile_quartiles": _q_window_ntile,
             "window_dense_rank": _q_window_dense_rank,
             "closeness_centrality": _q_closeness,
+            "betweenness_chains": _q_betweenness,
             "path_mode_trail": _q_path_mode("TRAIL"),
             "path_mode_simple": _q_path_mode("SIMPLE"),
             "path_mode_acyclic": _q_path_mode("ACYCLIC"),
@@ -3250,6 +3275,24 @@ def oracle_sql() -> dict[str, str]:
                                    / (((L - rn) * (L - rn + 1)) // 2)
                               ELSE 0.0 END, 6) AS closeness
             FROM pos WHERE event_id < 500
+        """,
+        "betweenness_chains": """
+            WITH pos AS (
+                SELECT event_id, user_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS L
+                FROM events
+            )
+            SELECT v.event_id AS event_id,
+                   round(CAST(SUM(LEAST(v.L, s.rn + 8) - v.rn) AS DOUBLE), 6)
+                       AS betweenness
+            FROM pos v JOIN pos s
+              ON s.user_id = v.user_id
+             AND s.rn < v.rn
+             AND v.rn - s.rn <= 8
+             AND LEAST(v.L, s.rn + 8) > v.rn
+            GROUP BY v.event_id
         """,
         # --- path modes over per-region nation rings (ast.rs:276-287;
         # executor.rs:6624-6641: TRAIL = no repeated edges, SIMPLE and

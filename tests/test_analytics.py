@@ -230,3 +230,70 @@ def test_closeness_centrality_chain(spark):
                                           harmonic=True).collect()}
     assert harm[0] == round(1 + 1 / 2 + 1 / 3, 6)
     assert harm[3] == 0.0
+
+
+def test_betweenness_brute_force_parity(spark):
+    # Brandes via two hop-batched passes must equal a per-source
+    # python BFS + dependency accumulation on every structural shape:
+    # chains, a multi-shortest-path diamond (sigma=2), directed
+    # cycles, and a random dense graph; bounded horizons and sampled
+    # sources included.
+    from collections import defaultdict, deque
+
+    from graphlite_spark.operators.paths import betweenness_centrality
+
+    def brute(edges, sources, max_hops):
+        adj = defaultdict(list)
+        for a, b in edges:
+            adj[a].append(b)
+        bc = defaultdict(float)
+        for s in sources:
+            dist = {s: 0}
+            sigma = {s: 1.0}
+            order = [s]
+            preds = defaultdict(list)
+            dq = deque([s])
+            while dq:
+                v = dq.popleft()
+                if dist[v] >= max_hops:
+                    continue
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        sigma[w] = 0.0
+                        dq.append(w)
+                        order.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+                        preds[w].append(v)
+            delta = defaultdict(float)
+            for w in reversed(order):
+                for v in preds[w]:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+                if w != s:
+                    bc[w] += delta[w]
+        return dict(bc)
+
+    import random
+
+    rng = random.Random(5)
+    rnd = [(a, b) for a, b in
+           {(rng.randrange(12), rng.randrange(12)) for _ in range(30)}
+           if a != b]
+    cases = [
+        ([(i, i + 1) for i in range(6)], list(range(7)), 10),
+        ([(i, i + 1) for i in range(6)], [0, 2], 3),
+        ([(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], list(range(5)), 10),
+        ([(i, (i + 1) % 6) for i in range(6)], list(range(6)), 10),
+        ([(i, (i + 1) % 6) for i in range(6)], [0, 3], 4),
+        (rnd, list(range(12)), 5),
+    ]
+    for edges, sources, h in cases:
+        edf = spark.createDataFrame(edges, "_src long, _dst long")
+        sdf = spark.createDataFrame([(s,) for s in sources], "id long")
+        got = {r.node: r.betweenness for r in
+               betweenness_centrality(edf, sdf, max_hops=h).collect()}
+        exp = brute(edges, sources, h)
+        for k in set(got) | set(exp):
+            assert abs(got.get(k, 0.0) - exp.get(k, 0.0)) < 1e-6, (
+                edges, sources, h, k)
