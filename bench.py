@@ -51,6 +51,10 @@ HEADLINE = [
     "dedup_clusters_canonical",   # near-dup pairs -> pointer-jumping CC
     "quantize_embeddings_audit",  # int8 quantization (pure codegen)
     "image_features_png",         # real media decode via mapInPandas
+    # round-4 additions (VERDICT r3 ask #6): the two heaviest operators
+    # not previously tracked
+    "image_features_jpeg",        # JPEG entropy decode (perf-weak watch)
+    "simhash_pairs",              # pigeonhole-exact hamming blocking
 ]
 
 
@@ -90,10 +94,12 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         cold[name] = round(time.time() - t0, 3)
-        # steady state = best of two warm runs (smooths GC/JIT jitter,
-        # which at these sub-second timings is a 2x noise source)
+        # steady state = best of three warm runs (smooths GC/JIT jitter,
+        # which at these sub-second timings is a 2x noise source;
+        # best-of-2 failed to absorb machine contention in the round-3
+        # driver run — VERDICT r3 "measurement hygiene")
         warm = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
@@ -101,6 +107,13 @@ def main() -> None:
         dt = min(warm)
         timings[name] = round(dt, 3)
         total += dt
+    # record machine load so round-over-round comparisons can detect
+    # contention-polluted runs (uniform inflation across untouched
+    # queries + high loadavg => rerun, don't conclude regression)
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = -1.0
     print(
         json.dumps(
             {
@@ -109,6 +122,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_queries": cold,
+                "loadavg": [round(load1, 2), round(load5, 2),
+                            round(load15, 2)],
+                "ncpus": os.cpu_count(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
