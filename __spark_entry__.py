@@ -1302,6 +1302,22 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, probe, n=3, words=True)
 
 
+def _q_probe_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-item containment report: fraction of each probe doc's
+    shingles present in the rest of the corpus (probe excluded so the
+    numbers are non-trivial)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import probe_containment
+
+    docs = _table(spark, sf_dir, "documents")
+    return probe_containment(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n=3, words=True,
+    )
+
+
 def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
     """REAL in-engine image decode (BMP/PNG/baseline-JPEG, stdlib+numpy
     kernels in operators/multimodal.py). Assets are synthesized
@@ -1364,6 +1380,16 @@ def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
 
     run.__doc__ = f"decode synthetic {fmt} assets (real kernel, exact oracle)"
     return run
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (training/RAG context
+    slicing): 64-token windows, 16-token overlap, map-side explode."""
+    from graphlite_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _table(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    )
 
 
 def _q_sample_frames_mjpeg_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1858,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "minhash_lsh_pairs": _q_minhash_lsh,
             "simhash_pairs": _q_simhash,
             "token_count": _q_token_count,
+            "chunk_documents_overlap": _q_chunk_documents,
             "quality_score": _q_quality,
             "pack_documents_bins": _q_pack_documents,
             "lang_id": _q_lang_id,
@@ -1902,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "scrub_pii_text": _q_scrub_pii,
             "repetition_score": _q_repetition,
             "ngram_contamination": _q_contamination,
+            "probe_containment": _q_probe_containment,
             "image_features_jpeg": _q_image_decode("jpeg"),
             "image_features_jpeg_progressive": _q_image_decode(
                 "jpeg_progressive"),
@@ -2403,6 +2431,26 @@ def oracle_sql() -> dict[str, str]:
                    ) AS DOUBLE), 3) AS value
             FROM dom d LEFT JOIN per p
               ON p.event_type = d.event_type AND p.b = d.b
+        """,
+        "chunk_documents_overlap": """
+            -- 64-token windows, stride 48 (overlap 16); chunk i covers
+            -- tokens [i*48, i*48+64); final chunk keeps the tail
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), c AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CASE WHEN len(toks) <= 64 THEN 1
+                            ELSE 1 + CAST(CEIL((len(toks) - 64) / 48.0)
+                                          AS BIGINT) END AS nch
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS text,
+                   CAST(LEAST(n - i*48, 64) AS BIGINT) AS n_tokens
+            FROM (SELECT *, unnest(range(nch)) AS i FROM c)
         """,
         "token_count": """
             SELECT doc_id,
@@ -3460,6 +3508,34 @@ def oracle_sql() -> dict[str, str]:
                               THEN a.n_cont * 1.0 / a.n_shingles
                               ELSE 0.0 END, 6) AS contamination
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "probe_containment": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                                             i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+                FROM toks
+            ), corpus AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id >= 20
+            ), agg AS (
+                SELECT s.doc_id,
+                       count(*) AS n_shingles,
+                       count(c.shingle) AS n_hit
+                FROM sh s LEFT JOIN corpus c ON s.shingle = c.shingle
+                WHERE s.doc_id < 20
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(a.n_hit, 0) AS BIGINT) AS n_in_corpus,
+                   round(CASE WHEN COALESCE(a.n_shingles, 0) > 0
+                              THEN a.n_hit * 1.0 / a.n_shingles
+                              ELSE 0.0 END, 6) AS containment
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 20) d
+            LEFT JOIN agg a USING (doc_id)
         """,
         # --- real media decode: gray-uniform synth assets make the
         # decoded luminance a closed form of doc_id; both sides compute

@@ -163,6 +163,81 @@ def ngram_contamination(
     return out
 
 
+def probe_containment(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    words: bool = True,
+    normalize: bool = False,
+) -> DataFrame:
+    """(probe doc_id, n_shingles, n_in_corpus, containment): per PROBE
+    document, the fraction of its distinct n-gram shingles that appear
+    anywhere in the corpus — the complementary direction of
+    ngram_contamination, and the number a decontamination REPORT
+    actually quotes ("eval item X is Y% contained in the training
+    set"). Exclude the probe rows from ``corpus`` when both come from
+    the same table, or every containment is trivially 1.
+
+    Scale: the probe (benchmark) side is tiny — its distinct shingle
+    hashes broadcast; the corpus side is one map-side shingle pass
+    whose matches (bounded by the probe's shingle count, not the
+    corpus) are distinct-ed and broadcast back. No corpus-wide
+    distinct, no big shuffle.
+    """
+    if normalize:
+        nrm = F.lower(F.trim(F.col(text_col))).alias(text_col)
+        corpus = corpus.select(
+            *[c for c in corpus.columns if c != text_col], nrm)
+        probe = probe.select(
+            *[c for c in probe.columns if c != text_col], nrm)
+    p = (
+        shingle_array(probe, text_col, id_col, n, words=words)
+        .select(
+            F.col(id_col),
+            F.size("_shingles").alias("n_shingles"),
+            F.explode_outer(
+                F.transform("_shingles", lambda s: F.xxhash64(s))
+            ).alias("_ph"),
+        )
+    )
+    probe_hashes = p.select(F.col("_ph")).distinct()
+    corpus_stream = (
+        shingle_array(corpus, text_col, id_col, n, words=words)
+        .select(F.explode("_shingles").alias("_s"))
+        .select(F.xxhash64("_s").alias("_ch"))
+    )
+    # matched = probe shingles that occur in the corpus: semi join the
+    # corpus stream against the broadcast probe set, then distinct the
+    # (tiny, probe-bounded) survivors
+    matched = (
+        corpus_stream.join(
+            F.broadcast(probe_hashes),
+            corpus_stream["_ch"] == probe_hashes["_ph"], "left_semi",
+        )
+        .distinct()
+        .select(F.col("_ch").alias("_mh"))
+    )
+    hits = p.join(F.broadcast(matched), p["_ph"] == matched["_mh"], "left")
+    return (
+        hits.groupBy(id_col, "n_shingles")
+        .agg(F.count("_mh").alias("n_in_corpus"))
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_in_corpus"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_in_corpus") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's optimized-plan size estimate for ``df`` — derived from
     input-file sizes for file scans (and actual bytes for local

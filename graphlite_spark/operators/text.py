@@ -293,3 +293,56 @@ def pack_documents(
         (start % F.lit(capacity)).alias("bin_offset"),
         F.col(token_col).cast("long").alias("n_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into token-bounded (optionally overlapping)
+    chunks — the context-window slicing step every training / RAG
+    pipeline runs before embedding or packing. Beyond-reference
+    surface (the reference has no text pipeline ops).
+
+    Whitespace tokens; chunk i covers tokens [i*stride, i*stride +
+    max_tokens) with stride = max_tokens - overlap, the final chunk
+    keeping the (possibly shorter) tail. Empty documents produce no
+    chunks. Entirely map-side: sequence + transform + explode inside
+    whole-stage codegen, no shuffle, no Python — the row-expansion
+    shape that scales to any corpus size. Returns
+    (id, chunk_idx, text, n_tokens).
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}")
+    stride = max_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.when(n <= max_tokens, F.lit(1)).otherwise(
+            F.lit(1) + F.ceil((n - F.lit(max_tokens)) / F.lit(float(stride)))
+        )
+    ).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.array_join(
+                    F.slice(toks, i * stride + 1, max_tokens), " "
+                ).alias("text"),
+                F.least(n - i * stride, F.lit(max_tokens))
+                .cast("long").alias("n_tokens"),
+            ),
+        )
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), chunk.alias("_c"))
+        .select(id_col, "_c.chunk_idx", "_c.text", "_c.n_tokens")
+    )

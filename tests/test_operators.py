@@ -597,3 +597,60 @@ def test_quantize_int4_roundtrip(spark):
     assert (r.packed[2] >> 4) == 8
     assert out[2].packed == [8 + 8 * 16] and out[2].scale == 1.0
     assert out[3].packed == [] and out[3].dim == 0
+
+
+def test_chunk_documents_windows(spark):
+    from graphlite_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   "), (4, "solo")],
+        "doc_id: long, text: string",
+    )
+    got = {(r.doc_id, r.chunk_idx): (r.text, r.n_tokens) for r in
+           chunk_documents(docs, max_tokens=3, overlap=1).collect()}
+    # doc 1: 7 tokens, window 3, stride 2 -> starts 0,2,4; the last
+    # window reaches token 6, so no extra tail chunk
+    assert got[(1, 0)] == ("a b c", 3)
+    assert got[(1, 1)] == ("c d e", 3)
+    assert got[(1, 2)] == ("e f g", 3)
+    assert (1, 3) not in got
+    assert got[(2, 0)] == ("x y", 2)
+    # genuine short tail: 8 tokens -> starts 0,2,4,6, tail of 2
+    eight = spark.createDataFrame(
+        [(8, "a b c d e f g h")], "doc_id: long, text: string")
+    tail = {r.chunk_idx: (r.text, r.n_tokens) for r in
+            chunk_documents(eight, max_tokens=3, overlap=1).collect()}
+    assert tail[3] == ("g h", 2)
+    assert got[(4, 0)] == ("solo", 1)
+    assert not any(k[0] == 3 for k in got)  # empty doc -> no chunks
+    # no overlap: exact partition
+    flat = {(r.doc_id, r.chunk_idx): r.text for r in
+            chunk_documents(docs, max_tokens=4, overlap=0).collect()}
+    assert flat[(1, 0)] == "a b c d" and flat[(1, 1)] == "e f g"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
+
+
+def test_probe_containment_directions(spark):
+    from graphlite_spark.operators.dedup import probe_containment
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "entirely unrelated corpus material here today")],
+        "doc_id: long, text: string",
+    )
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),  # fully leaked
+         (2, "the quick brown fox went somewhere else entirely"),  # partial
+         (3, "no overlap with anything whatsoever at all")],  # clean
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in probe_containment(corpus, probe, n=3).collect()}
+    assert got[1].containment == 1.0
+    assert 0.0 < got[2].containment < 1.0
+    # doc 2: 6 shingles, "the quick brown"/"quick brown fox" present -> 2/6
+    assert got[2].n_in_corpus == 2 and got[2].n_shingles == 6
+    assert got[3].containment == 0.0
