@@ -112,6 +112,40 @@ SHOWCASE = [
         "codegen, no shuffle, no RNG state; sampling never costs more "
         "than the scan.",
     ),
+    (
+        "chunk_documents_overlap",
+        "Token-window chunking (round 4): sequence + transform + "
+        "explode entirely inside the scan stage's Generate — row "
+        "expansion with ZERO shuffles and no Python; the 100 TB shape "
+        "for context-window slicing.",
+    ),
+    (
+        "probe_containment",
+        "Per-eval-item containment (round 4): probe shingle hashes "
+        "BROADCAST against the map-side corpus shingle stream (semi "
+        "join), survivors distinct-ed at probe-bounded size and "
+        "broadcast back — the corpus is scanned once and never "
+        "shuffled.",
+    ),
+    (
+        "ann_lsh_recall_audit",
+        "ANN recall audit (round 4): the multi-table signatures are "
+        "per-table projected columns evaluated once per row (NOT "
+        "inlined per probe — a Catalyst-tree-size trap), probes "
+        "explode map-side, and the candidate join runs on (table, "
+        "bucket) structs; the exact side is one broadcast of 5 query "
+        "rows. Hits via left-semi join; three 1-row aggregates "
+        "cross-joined.",
+    ),
+    (
+        "betweenness_chains",
+        "Bounded Brandes (round 4): forward sigma-BFS batches levels "
+        "between checkpoints (dedup cadence decoupled from batch "
+        "size), the shortest-path DAG materializes ONCE "
+        "(localCheckpoint) and every backward level filters it by "
+        "dist — the sweep is join + groupBy per level with no "
+        "re-derivation of the forward lineage.",
+    ),
 ]
 
 
