@@ -988,6 +988,48 @@ def _decode_jpeg_scan(content, start, width, height, scan, qt, huff,
                              hmax, vmax)
 
 
+def _accelerated_image_decoder():
+    """Import-try a native codec library for the accelerated decode
+    path. Per-asset entropy decode (JPEG Huffman, GIF LZW) is
+    inherently bit-serial, so the pure-Python decoders top out around
+    1-5 MB/s/core — correct, and the ONLY per-asset-sequential stage
+    in the pipeline, but a throughput ceiling on a 100 TB image
+    corpus. When Pillow is installed on the executors (it is NOT in
+    this build environment — the pure decoders are the tested,
+    deterministic default), ``image_features(decoder='auto'|'accel')``
+    routes decode through it at native-codec speed while the
+    luminance/embedding math stays OURS (identical downstream
+    numerics; only the DCT rounding of lossy JPEG may differ by ±1
+    LSB between IDCT implementations, which is why 'builtin' stays
+    the default for oracle-exact runs).
+
+    Returns the PIL.Image module or None.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_image_accel(content: bytes, dim: int, pil_image) -> tuple:
+    """Decode via Pillow, then the same _luminance/_gray_embedding
+    tail as the builtin decoders (identical embedding math)."""
+    import io
+
+    import numpy as np
+
+    try:
+        img = pil_image.open(io.BytesIO(bytes(content or b"")))
+        img = img.convert("RGB")
+    except Exception as e:  # PIL's own error types -> decode failure
+        raise ValueError(f"accelerated decode failed: {e}") from e
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    gray = _luminance(arr.reshape(-1, 3), 3)
+    return w, h, _gray_embedding(gray, w, h, dim)
+
+
 def synth_jpeg(width: int, height: int, pixel, quality_qtable=None,
                subsample: bool = False, restart_interval: int = 0,
                progressive: bool = False) -> bytes:
@@ -1347,6 +1389,7 @@ def image_features(
     embedding_dim: int = 8,
     batch_hint: int = 256,
     on_error: str = "fail",
+    decoder: str = "builtin",
 ) -> DataFrame:
     """Decode + embed image assets via Arrow-batched mapInPandas.
 
@@ -1359,13 +1402,30 @@ def image_features(
     width/height/embedding — at corpus scale one corrupt or
     unsupported file must not kill a 10^9-asset job; count the nulls
     downstream), or 'skip' (drop the row).
+
+    ``decoder``: 'builtin' (default — the tested pure stdlib+numpy
+    decoders, bit-deterministic everywhere), 'auto' (use a native
+    codec library when importable on the executor, else builtin — the
+    100 TB throughput knob; see _accelerated_image_decoder), or
+    'accel' (require the library; the task fails at start if it is
+    absent).
     """
     if on_error not in ("fail", "null", "skip"):
         raise ValueError(f"on_error must be fail|null|skip, got {on_error!r}")
+    if decoder not in ("builtin", "auto", "accel"):
+        raise ValueError(
+            f"decoder must be builtin|auto|accel, got {decoder!r}")
     pruned = assets.select("asset_id", "content")
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        pil = (_accelerated_image_decoder()
+               if decoder in ("auto", "accel") else None)
+        if decoder == "accel" and pil is None:
+            raise NotImplementedError(
+                "decoder='accel' requires Pillow on the executors; "
+                "use 'auto' to fall back to the builtin decoders")
 
         for pdf in batches:
             out = {"asset_id": [], "width": [], "height": [], "embedding": []}
@@ -1373,6 +1433,9 @@ def image_features(
                 try:
                     if deterministic_fake:
                         w, h, emb = _fake_image_features(content, embedding_dim)
+                    elif pil is not None:
+                        w, h, emb = _decode_image_accel(
+                            content, embedding_dim, pil)
                     else:
                         w, h, emb = _decode_image(content, embedding_dim)
                 except DECODE_ERRORS:

@@ -980,3 +980,66 @@ def test_jpeg_restart_markers_roundtrip():
     w, h, emb = _decode_image(
         synth_jpeg(32, 24, img, subsample=True, restart_interval=2))
     assert emb == pytest.approx(expected, abs=0.02)
+
+
+def test_accelerated_decoder_dispatch(spark, monkeypatch):
+    # the accel hook: no Pillow in this environment -> 'auto' falls back
+    # to builtin, 'accel' fails the task; with a stand-in module
+    # injected, 'auto' routes decode through it and the downstream
+    # embedding math is the shared _luminance/_gray_embedding tail
+    import sys
+    import types
+
+    import numpy as np
+
+    from graphlite_spark.operators import multimodal as mm
+
+    assert mm._accelerated_image_decoder() is None  # not in this env
+
+    img = np.full((12, 20, 3), 77, dtype=np.uint8)
+    png = mm.synth_png(20, 12, img)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png), None, None)], mm.ASSET_SCHEMA)
+
+    # auto without the library == builtin
+    base = mm.image_features(assets, decoder="auto").collect()[0]
+    assert (base.width, base.height) == (20, 12)
+
+    # stand-in "PIL": decodes our PNG via the builtin kernel but tags
+    # dimensions so the dispatch is observable
+    class _FakeImg:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self._arr
+
+    class _FakeImageModule(types.ModuleType):
+        @staticmethod
+        def open(buf):
+            data = buf.read()
+            w, h, _ = mm._decode_image(data)
+            arr = np.full((h + 1, w, 3), 77, dtype=np.uint8)  # h+1 tag
+            return _FakeImg(arr)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _FakeImageModule("PIL.Image")
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+    assert mm._accelerated_image_decoder() is fake_pil.Image
+    w, h, emb = mm._decode_image_accel(png, 8, fake_pil.Image)
+    assert (w, h) == (20, 13)  # the tag proves the accel path ran
+    lum = (0.299 * 77 + 0.587 * 77 + 0.114 * 77) / 255.0
+    assert emb == pytest.approx([lum] * 8, abs=1e-12)
+
+    # corrupt bytes through the accel path surface as decode failures
+    with pytest.raises(ValueError, match="accelerated decode failed"):
+        class _Boom(types.ModuleType):
+            @staticmethod
+            def open(buf):
+                raise OSError("cannot identify image file")
+        mm._decode_image_accel(b"\x00\x01", 8, _Boom("PIL.Image"))
