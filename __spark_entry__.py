@@ -1302,6 +1302,42 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, probe, n=3, words=True)
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline — the composability proof: exact
+    dedup -> token-length quality floor -> deterministic train/val/
+    test split -> overlapping chunking, aggregated per split. Every
+    stage is an already-oracle-proven operator; this entry pins that
+    they compose (column contracts, determinism, no stage breaking
+    another's semantics)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import exact_dedup
+    from graphlite_spark.operators.sampling import split_assign
+    from graphlite_spark.operators.text import chunk_documents, token_count
+
+    docs = _table(spark, sf_dir, "documents")
+    kept = exact_dedup(docs)  # normalized, min-doc_id survivor
+    counted = kept.join(token_count(kept), "doc_id").filter(
+        F.col("n_tokens") >= 20
+    )
+    split = split_assign(
+        counted, "doc_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1}, salt=3,
+    )
+    chunks = chunk_documents(
+        split.select("doc_id", "text"), max_tokens=64, overlap=16
+    ).join(split.select("doc_id", "split"), "doc_id")
+    return (
+        chunks.groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("sum_chunk_tokens"),
+        )
+        .select("split", "n_docs", "n_chunks", "sum_chunk_tokens")
+    )
+
+
 def _q_probe_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-eval-item containment report: fraction of each probe doc's
     shingles present in the rest of the corpus (probe excluded so the
@@ -1930,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "repetition_score": _q_repetition,
             "ngram_contamination": _q_contamination,
             "probe_containment": _q_probe_containment,
+            "curation_pipeline_e2e": _q_curation_pipeline,
             "image_features_jpeg": _q_image_decode("jpeg"),
             "image_features_jpeg_progressive": _q_image_decode(
                 "jpeg_progressive"),
@@ -3508,6 +3545,48 @@ def oracle_sql() -> dict[str, str]:
                               THEN a.n_cont * 1.0 / a.n_shingles
                               ELSE 0.0 END, 6) AS contamination
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "curation_pipeline_e2e": """
+            -- dedup -> token floor -> split -> chunk, per-split rollup:
+            -- each CTE is the verbatim oracle fragment of its stage
+            WITH kept AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (PARTITION BY lower(trim(text))
+                                              ORDER BY doc_id) AS rn
+                    FROM documents
+                ) WHERE rn = 1
+            ), qual AS (
+                SELECT doc_id, text,
+                       CAST(len(string_split_regex(trim(text), '\\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM kept
+                WHERE length(trim(text)) > 0
+                  AND len(string_split_regex(trim(text), '\\s+')) >= 20
+            ), sp AS (
+                SELECT doc_id, text, n_tokens,
+                       CASE WHEN ((doc_id + 3) * 2654435761) % 4294967296
+                                 < 3435973836 THEN 'train'
+                            WHEN ((doc_id + 3) * 2654435761) % 4294967296
+                                 < 3865470566 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM qual
+            ), c AS (
+                SELECT doc_id, split, n_tokens AS n,
+                       CASE WHEN n_tokens <= 64 THEN 1
+                            ELSE 1 + CAST(CEIL((n_tokens - 64) / 48.0)
+                                          AS BIGINT) END AS nch
+                FROM sp
+            ), ch AS (
+                SELECT doc_id, split,
+                       CAST(LEAST(n - i*48, 64) AS BIGINT) AS ct
+                FROM (SELECT *, unnest(range(nch)) AS i FROM c)
+            )
+            SELECT split,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   count(*) AS n_chunks,
+                   CAST(sum(ct) AS BIGINT) AS sum_chunk_tokens
+            FROM ch GROUP BY split
         """,
         "probe_containment": """
             WITH toks AS (
