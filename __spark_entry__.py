@@ -1302,6 +1302,33 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, probe, n=3, words=True)
 
 
+def _q_quantized_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-retrieval fidelity: overlap@10 between float cosine
+    top-k and int8-quantized cosine top-k on the same queries —
+    pins how much retrieval quality symmetric int8 quantization
+    costs. Unlike the LSH/IVF audits this is FULLY SQL-expressible
+    (the quantization formula is deterministic arithmetic), so the
+    oracle recomputes both sides."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import (
+        ann_recall_audit, cosine_topk, quantize_embeddings,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qv = quantize_embeddings(emb).select(
+        "vec_id",
+        F.transform("qvec", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    qq = qv.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, qf, k=10)
+    quant = cosine_topk(qv, qq, k=10)
+    return ann_recall_audit(exact, quant)
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation pipeline — the composability proof: exact
     dedup -> token-length quality floor -> deterministic train/val/
@@ -1967,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ngram_contamination": _q_contamination,
             "probe_containment": _q_probe_containment,
             "curation_pipeline_e2e": _q_curation_pipeline,
+            "quantized_topk_fidelity": _q_quantized_fidelity,
             "image_features_jpeg": _q_image_decode("jpeg"),
             "image_features_jpeg_progressive": _q_image_decode(
                 "jpeg_progressive"),
@@ -3545,6 +3573,58 @@ def oracle_sql() -> dict[str, str]:
                               THEN a.n_cont * 1.0 / a.n_shingles
                               ELSE 0.0 END, 6) AS contamination
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "quantized_topk_fidelity": """
+            -- float top-10 vs symmetric-int8-quantized top-10 overlap;
+            -- the quantization (scale = max|v|/127, half-up rounding)
+            -- is deterministic arithmetic, so the oracle recomputes
+            -- BOTH retrieval sides exactly
+            WITH qv AS (
+                SELECT vec_id,
+                       CASE WHEN list_max(list_transform(
+                                CAST(embedding AS DOUBLE[]), x -> abs(x))) > 0
+                            THEN list_max(list_transform(
+                                CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0
+                            ELSE 1.0 END AS scale,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), qvec AS (
+                SELECT vec_id,
+                       list_transform(v, x -> CAST(floor(x / scale + 0.5)
+                                                   AS DOUBLE)) AS qe
+                FROM qv
+            ), fq AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id < 5
+            ), ftop AS (
+                SELECT query_id, item_id FROM (
+                    SELECT q.query_id, e.vec_id AS item_id,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(e.embedding AS DOUBLE[]), q.e) DESC,
+                               e.vec_id) AS rk
+                    FROM embeddings e, fq q WHERE e.vec_id <> q.query_id
+                ) WHERE rk <= 10
+            ), qq AS (
+                SELECT vec_id AS query_id, qe FROM qvec WHERE vec_id < 5
+            ), qtop AS (
+                SELECT query_id, item_id FROM (
+                    SELECT q.query_id, i.vec_id AS item_id,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY list_cosine_similarity(i.qe, q.qe)
+                                   DESC, i.vec_id) AS rk
+                    FROM qvec i, qq q WHERE i.vec_id <> q.query_id
+                ) WHERE rk <= 10
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM ftop) AS n_exact_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM qtop) AS n_ann_rows,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM qtop t JOIN ftop f USING (query_id, item_id)) AS n_hits,
+                   round((SELECT count(*) FROM qtop t
+                          JOIN ftop f USING (query_id, item_id)) * 1.0
+                         / (SELECT count(*) FROM ftop), 6) AS recall_at_k
         """,
         "curation_pipeline_e2e": """
             -- dedup -> token floor -> split -> chunk, per-split rollup:
