@@ -1043,3 +1043,35 @@ def test_accelerated_decoder_dispatch(spark, monkeypatch):
             def open(buf):
                 raise OSError("cannot identify image file")
         mm._decode_image_accel(b"\x00\x01", 8, _Boom("PIL.Image"))
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    # text curation as a STREAM: documents file-stream -> chunk_documents
+    # (stateless transformation) -> memory sink; stream == batch — the
+    # same composability the multimodal decode proof pins, on the text
+    # path
+    from graphlite_spark.operators.text import chunk_documents
+
+    d = str(tmp_path / "docs_stream")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(5 + i * 7)))
+         for i in range(8)],
+        "doc_id: long, text: string",
+    )
+    docs.write.mode("overwrite").parquet(d)
+
+    batch = spark.read.parquet(d)
+    expected = {(r.doc_id, r.chunk_idx, r.text, r.n_tokens) for r in
+                chunk_documents(batch, max_tokens=6, overlap=2).collect()}
+    assert len(expected) > 8  # several docs split into multiple chunks
+
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    q = (
+        chunk_documents(stream, max_tokens=6, overlap=2)
+        .writeStream.format("memory").queryName("chunk_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.doc_id, r.chunk_idx, r.text, r.n_tokens) for r in
+           spark.table("chunk_stream").collect()}
+    assert got == expected
