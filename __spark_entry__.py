@@ -1302,6 +1302,25 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, probe, n=3, words=True)
 
 
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization (NFC + casefold + control strip +
+    whitespace collapse) — DuckDB mirrors each step (nfc_normalize /
+    lower / regexp_replace 'g')."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import normalize_text
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return normalize_text(docs).select("doc_id", "text")
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus report: one partial-aggregated groupBy."""
+    from graphlite_spark.operators.text import corpus_stats
+
+    return corpus_stats(_table(spark, sf_dir, "documents"))
+
+
 def _q_quantized_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized-retrieval fidelity: overlap@10 between float cosine
     top-k and int8-quantized cosine top-k on the same queries —
@@ -1995,6 +2014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "probe_containment": _q_probe_containment,
             "curation_pipeline_e2e": _q_curation_pipeline,
             "quantized_topk_fidelity": _q_quantized_fidelity,
+            "normalize_text_canon": _q_normalize_text,
+            "corpus_stats_by_lang": _q_corpus_stats,
             "image_features_jpeg": _q_image_decode("jpeg"),
             "image_features_jpeg_progressive": _q_image_decode(
                 "jpeg_progressive"),
@@ -3573,6 +3594,34 @@ def oracle_sql() -> dict[str, str]:
                               THEN a.n_cont * 1.0 / a.n_shingles
                               ELSE 0.0 END, 6) AS contamination
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "normalize_text_canon": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       lower(regexp_replace(
+                           nfc_normalize(text),
+                           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+                           '', 'g')),
+                       '\\s+', ' ', 'g')) AS text
+            FROM documents WHERE doc_id < 500
+        """,
+        "corpus_stats_by_lang": """
+            WITH t AS (
+                SELECT lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE CAST(len(string_split_regex(trim(text),
+                                                             '\\s+'))
+                                 AS BIGINT) END AS nt,
+                       CAST(length(text) AS BIGINT) AS nc
+                FROM documents
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   round(avg(nt), 6) AS avg_tokens,
+                   CAST(max(nt) AS BIGINT) AS max_tokens,
+                   CAST(sum(nc) AS BIGINT) AS total_chars
+            FROM t GROUP BY lang
         """,
         "quantized_topk_fidelity": """
             -- float top-10 vs symmetric-int8-quantized top-10 overlap;

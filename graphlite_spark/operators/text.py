@@ -346,3 +346,80 @@ def chunk_documents(
         .select(F.col(id_col), chunk.alias("_c"))
         .select(id_col, "_c.chunk_idx", "_c.text", "_c.n_tokens")
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    nfc: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+) -> DataFrame:
+    """Canonicalize a text column — the normalization pass a curation
+    pipeline runs BEFORE hashing/dedup/shingling so that byte-level
+    variants of the same content collide: Unicode NFC composition,
+    casefold, control-character strip, whitespace collapse + trim.
+    Replaces ``text_col`` in place; other columns pass through.
+
+    Everything except NFC is JVM-side regexp/lower (whole-stage
+    codegen). NFC needs Python's unicodedata — applied as ONE
+    Arrow-vectorized pandas UDF (the repo's UDF policy: batch
+    transfer, never per-row) and skippable (``nfc=False``) for
+    ASCII-known corpora where it is the only non-codegen stage.
+    """
+    col = F.col(text_col)
+    if nfc:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _nfc(s):
+            import unicodedata
+
+            return s.map(
+                lambda x: None if x is None
+                else unicodedata.normalize("NFC", x)
+            )
+
+        # bind real objects: `from __future__ import annotations`
+        # stringifies inline hints and breaks pandas_udf inference
+        # (same pattern as the compiler's IS NFC NORMALIZED check)
+        _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        col = pandas_udf(_nfc, "string")(col)
+    if strip_control:
+        # exclude \t\n\r (0x09/0x0A/0x0D): those are WHITESPACE and
+        # must collapse to a space, not vanish
+        col = F.regexp_replace(
+            col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if lowercase:
+        col = F.lower(col)
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    others = [c for c in df.columns if c != text_col]
+    return df.select(*others, col.alias(text_col))
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "lang",
+) -> DataFrame:
+    """Per-group corpus report (the sanity table a dataset card
+    quotes): document count, total/mean/max whitespace tokens, total
+    chars. One partial-aggregated groupBy — map-side combined,
+    corpus-scan-bound at any scale."""
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(_tokens(F.col(text_col)))).cast("long")
+    return (
+        df.select(F.col(by), toks.alias("_t"),
+                  F.length(text_col).cast("long").alias("_c"))
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_t").alias("total_tokens"),
+            F.round(F.avg("_t"), 6).alias("avg_tokens"),
+            F.max("_t").alias("max_tokens"),
+            F.sum("_c").alias("total_chars"),
+        )
+    )

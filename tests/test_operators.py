@@ -654,3 +654,44 @@ def test_probe_containment_directions(spark):
     # doc 2: 6 shingles, "the quick brown"/"quick brown fox" present -> 2/6
     assert got[2].n_in_corpus == 2 and got[2].n_shingles == 6
     assert got[3].containment == 0.0
+
+
+def test_normalize_text_unicode(spark):
+    # NFC composition (e + combining acute -> é), casefold, control
+    # strip, whitespace collapse — the byte-variant collisions dedup
+    # needs; the sf corpus is ASCII so THIS test carries the NFC proof
+    from graphlite_spark.operators.dedup import exact_dedup
+    from graphlite_spark.operators.text import normalize_text
+
+    decomposed = "Café  du\tMonde"      # NFD é + messy whitespace
+    composed = "café du monde"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, "Café\x00 du Monde\x1f"),
+         (4, None)],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.text for r in normalize_text(df).collect()}
+    assert got[1] == got[2] == got[3] == composed
+    assert got[4] is None
+    # normalized variants now collapse under exact dedup
+    kept = sorted(r.doc_id for r in
+                  exact_dedup(normalize_text(df).filter("text IS NOT NULL"),
+                              normalize=False).collect())
+    assert kept == [1]
+    # nfc=False path stays pure-JVM and differs on the decomposed form
+    raw = {r.doc_id: r.text for r in normalize_text(df, nfc=False).collect()}
+    assert raw[1] != composed and raw[2] == composed
+
+
+def test_corpus_stats_exact(spark):
+    from graphlite_spark.operators.text import corpus_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e", "en"), (3, "", "fr")],
+        "doc_id: long, text: string, lang: string",
+    )
+    got = {r.lang: r for r in corpus_stats(df).collect()}
+    assert (got["en"].n_docs, got["en"].total_tokens,
+            got["en"].max_tokens) == (2, 5, 3)
+    assert got["en"].avg_tokens == 2.5
+    assert (got["fr"].n_docs, got["fr"].total_tokens) == (1, 0)
