@@ -104,15 +104,27 @@ def bfs_distances(
             .agg(F.min("dist").alias("dist"))
             .join(visited.select("root", "node"), ["root", "node"], "left_anti")
         )
-        # materialize each batch once: the count probe and the next
+        # materialize each batch once: the stats probe and the next
         # batch's joins then read the checkpoint instead of re-deriving
-        # the whole iterative lineage (count doubles as the emptiness
-        # probe AND the adaptive-growth signal — one job, not two)
+        # the whole iterative lineage (ONE job yields the emptiness
+        # probe, the adaptive-growth signal AND the mid-batch-death
+        # signal)
         nxt = nxt.localCheckpoint(eager=True)
-        n_new = nxt.count()
+        stats = nxt.agg(
+            F.count("*").alias("n"), F.max("dist").alias("md")
+        ).collect()[0]
+        n_new = int(stats["n"])
         if n_new == 0:
             break
         visited = visited.unionByName(nxt)
+        # BFS level property: a node at level L+1 needs a predecessor
+        # at level L, so if the batch's FINAL level discovered nothing
+        # the frontier died mid-batch and every deeper level is empty —
+        # stop now instead of running one more (possibly 64-level)
+        # all-empty round. Matters after growth: overshoot past a
+        # chain's end was the dominant cost of small-source BFS.
+        if int(stats["md"]) < depth:
+            break
         frontier = nxt
         if n_new < grow_threshold and cur_batch < max_batch_hops:
             cur_batch = min(cur_batch * 2, max_batch_hops)
@@ -232,9 +244,14 @@ def _bfs_sigma(
                   "left_anti")
         )
         nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        stats = nxt.agg(
+            F.count("*").alias("n"), F.max("dist").alias("md")
+        ).collect()[0]
+        if int(stats["n"] or 0) == 0:
             break
         visited = visited.unionByName(nxt)
+        if int(stats["md"]) < depth:
+            break  # frontier died mid-batch (see bfs_distances)
         frontier = nxt
     return visited
 
