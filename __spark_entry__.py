@@ -1564,6 +1564,49 @@ def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL native FLAC decode (rice residuals, fixed predictor,
+    frame CRCs): sample rate and duration come from the container
+    bytes; per-doc sine parameters give a closed-form oracle.
+    Alternates mono / mid-side stereo to cover decorrelation in the
+    engine path."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, audio_features, synth_flac,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "content": [],
+                   "uri": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ms = 50 + did % 20
+                flac = synth_flac(
+                    rate=8000, freq=200.0 + did, ms=ms,
+                    channels=2 if did % 2 else 1,
+                    stereo_mode="mid_side" if did % 2 else "independent",
+                )
+                out["asset_id"].append(did)
+                out["modality"].append("audio")
+                out["content"].append(bytearray(flac))
+                out["uri"].append(None)
+                out["meta"].append(None)
+            yield pd.DataFrame(out)
+
+    assets = docs.mapInPandas(gen, ASSET_SCHEMA)
+    return audio_features(assets).select(
+        "asset_id", "sample_rate", "duration_ms"
+    )
+
+
 def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphlite_spark.streaming.windows import tumbling_counts
 
@@ -2023,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_features_png": _q_image_decode("png"),
             "image_features_bmp": _q_image_decode("bmp"),
             "audio_features_wav": _q_audio_decode,
+            "audio_features_flac": _q_audio_decode_flac,
         }
     )
     return out
@@ -3803,6 +3847,12 @@ def oracle_sql() -> dict[str, str]:
                    round((0.299 * ((doc_id * 37) % 256)
                         + 0.587 * ((doc_id * 37) % 256)
                         + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum7
+            FROM documents WHERE doc_id < 64
+        """,
+        "audio_features_flac": """
+            SELECT doc_id AS asset_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(50 + doc_id % 20 AS BIGINT) AS duration_ms
             FROM documents WHERE doc_id < 64
         """,
         "audio_features_wav": """

@@ -8,16 +8,21 @@ bytes never round-trip through row-at-a-time Python.
 Decode kernels, by format (all REAL, stdlib+numpy, no external libs):
 - BMP: 24/32bpp uncompressed, struct parse + strided numpy.
 - PNG: zlib inflate + vectorized scanline unfilter, 8-bit
-  gray/RGB/RGBA (Adam7 interlacing is an honest stub).
-- JPEG: baseline sequential (T.81) — LUT Huffman + batched numpy
-  IDCT, 1/3 components, sampling up to 2x2 (4:4:4/4:2:2/4:2:0),
-  restart markers; progressive/arithmetic raise.
-- GIF: 87a/89a LZW first frame, global/local palettes, interlacing.
-- WAV PCM audio: stdlib ``wave`` + true MFCC (mel filterbank + DCT-II).
-STUBBED: video frame decode (needs ffmpeg-class codecs) —
-NotImplementedError names the gap; pass ``deterministic_fake=True``
-for seeded content-derived fakes so the Spark-side plumbing stays
-testable on arbitrary bytes.
+  gray/RGB/RGBA, sequential AND Adam7-interlaced.
+- JPEG: baseline sequential AND progressive (T.81 / SOF0+SOF2) — LUT
+  Huffman + batched numpy IDCT, 1/3 components, sampling up to 2x2
+  (4:4:4/4:2:2/4:2:0), restart markers, spectral selection +
+  successive approximation; lossless/arithmetic raise.
+- GIF: 87a/89a LZW first frame, global/local palettes, interlacing,
+  animated-frame compositing with real frame sampling.
+- Video: MJPEG-in-AVI (RIFF walk, frames are the stream's JPEGs) and
+  animated GIF; H.264-class containers raise.
+- WAV PCM + native FLAC audio (rice residuals, fixed/LPC predictors,
+  stereo decorrelation) + true MFCC (mel filterbank + DCT-II).
+STUBBED: MP4/WebM video and MP3/AAC audio (need ffmpeg-class
+codecs) — NotImplementedError names the gap; pass
+``deterministic_fake=True`` for seeded content-derived fakes so the
+Spark-side plumbing stays testable on arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -1493,21 +1498,302 @@ def _mel_filterbank(n_mels: int, n_fft_bins: int, rate: int):
     return fb
 
 
+class _FlacBitReader:
+    """MSB-first bit reader for FLAC streams: n-bit reads (composed
+    from the JPEG reader's on-demand 16-bit window trick), signed
+    two's-complement reads, unary (rice quotient) via leading-zero
+    count on the window, and byte alignment. Raises past EOF."""
+
+    def __init__(self, data: bytes, bit_pos: int = 0):
+        self.data = data + b"\x00\x00\x00"
+        self.nbits = len(data) * 8
+        self.pos = bit_pos
+
+    def _peek16(self) -> int:
+        byte_i = self.pos >> 3
+        window = int.from_bytes(self.data[byte_i:byte_i + 4], "big")
+        return (window >> (16 - (self.pos & 7))) & 0xFFFF
+
+    def bits(self, n: int) -> int:
+        if self.pos + n > self.nbits:
+            raise ValueError("FLAC: read past end of stream")
+        v = 0
+        while n > 16:
+            v = (v << 16) | (self._peek16())
+            self.pos += 16
+            n -= 16
+        if n:
+            v = (v << n) | (self._peek16() >> (16 - n))
+            self.pos += n
+        return v
+
+    def sbits(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if n and v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        n = 0
+        while True:
+            if self.pos >= self.nbits:
+                raise ValueError("FLAC: unary read past end of stream")
+            w = self._peek16()
+            if w == 0:
+                self.pos += 16
+                n += 16
+                continue
+            lead = 16 - w.bit_length()
+            self.pos += lead + 1
+            return n + lead
+
+    def align_byte(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+_FLAC_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                    4: [4, -6, 4, -1]}
+
+
+def _flac_residual(r: "_FlacBitReader", bsz: int, order: int) -> list[int]:
+    """Partitioned rice-coded residual (FLAC spec 9.2.7): 2-bit method
+    selects 4- or 5-bit rice parameters, 2^partition_order partitions,
+    all-ones parameter escapes to fixed-width verbatim residuals.
+    Unsigned rice values unmap via zigzag."""
+    method = r.bits(2)
+    if method > 1:
+        raise ValueError(f"FLAC: reserved residual method {method}")
+    pbits = 4 + method
+    esc = (1 << pbits) - 1
+    porder = r.bits(4)
+    nparts = 1 << porder
+    if bsz % nparts:
+        raise ValueError("FLAC: partition order does not divide block")
+    out: list[int] = []
+    for p in range(nparts):
+        n = (bsz >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC: negative partition sample count")
+        param = r.bits(pbits)
+        if param == esc:
+            raw = r.bits(5)
+            out.extend(r.sbits(raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = r.unary()
+                u = (q << param) | (r.bits(param) if param else 0)
+                out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _flac_subframe(r: "_FlacBitReader", bsz: int, bps: int):
+    """One subframe (FLAC spec 9.2.5-9.2.6): CONSTANT / VERBATIM /
+    FIXED order 0-4 / LPC order 1-32, optional wasted-bits shift."""
+    import numpy as np
+
+    if r.bits(1):
+        raise ValueError("FLAC: subframe padding bit set")
+    t = r.bits(6)
+    wasted = 0
+    if r.bits(1):
+        wasted = r.unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC: wasted bits exceed sample size")
+    if t == 0:  # CONSTANT
+        vals = np.full(bsz, r.sbits(eff), dtype=np.int64)
+    elif t == 1:  # VERBATIM
+        vals = np.array([r.sbits(eff) for _ in range(bsz)], dtype=np.int64)
+    elif 8 <= t <= 12:  # FIXED
+        order = t - 8
+        warm = [r.sbits(eff) for _ in range(order)]
+        res = _flac_residual(r, bsz, order)
+        coef = _FLAC_FIXED_COEF[order]
+        s = list(warm)
+        for i in range(order, bsz):
+            pred = sum(c * s[i - 1 - j] for j, c in enumerate(coef))
+            s.append(pred + res[i - order])
+        vals = np.array(s, dtype=np.int64)
+    elif t >= 32:  # LPC
+        order = t - 31
+        warm = [r.sbits(eff) for _ in range(order)]
+        prec = r.bits(4) + 1
+        if prec == 16:
+            raise ValueError("FLAC: invalid LPC precision escape")
+        shift = r.sbits(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
+        coefs = [r.sbits(prec) for _ in range(order)]
+        res = _flac_residual(r, bsz, order)
+        s = list(warm)
+        for i in range(order, bsz):
+            pred = sum(c * s[i - 1 - j] for j, c in enumerate(coefs)) >> shift
+            s.append(pred + res[i - order])
+        vals = np.array(s, dtype=np.int64)
+    else:
+        raise ValueError(f"FLAC: reserved subframe type {t}")
+    if wasted:
+        vals = vals << wasted
+    return vals
+
+
+_FLAC_BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                     8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                     13: 8192, 14: 16384, 15: 32768}
+
+
+def _decode_flac(content: bytes):
+    """Native FLAC decode -> (sample_rate, mono float64 signal).
+
+    Implements the xiph FLAC format (RFC 9639): STREAMINFO metadata,
+    frame headers (UTF-8 coded ordinals, tabled/explicit block sizes,
+    CRC fields consumed, not verified), CONSTANT/VERBATIM/FIXED/LPC
+    subframes with partitioned rice residuals (escape partitions
+    included), wasted-bits, and left/right/mid-side stereo
+    decorrelation. Multi-channel mixes to mono by mean, matching the
+    WAV path. Lossless: decoded samples are bit-exact, so round-trips
+    against synth_flac verify sample equality, not a tolerance.
+    """
+    import numpy as np
+
+    if content[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    rate = channels = bps = None
+    total = 0
+    while True:
+        if pos + 4 > len(content):
+            raise ValueError("FLAC: truncated metadata")
+        hdr = content[pos]
+        length = int.from_bytes(content[pos + 1:pos + 4], "big")
+        body = content[pos + 4:pos + 4 + length]
+        if hdr & 0x7F == 0:  # STREAMINFO
+            if len(body) < 18:
+                raise ValueError("FLAC: short STREAMINFO")
+            b = int.from_bytes(body[10:18], "big")
+            rate = b >> 44
+            channels = ((b >> 41) & 0x7) + 1
+            bps = ((b >> 36) & 0x1F) + 1
+            total = b & ((1 << 36) - 1)
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    if not rate:
+        raise ValueError("FLAC: missing or zero-rate STREAMINFO")
+
+    chans = [[] for _ in range(channels)]
+    while pos + 4 <= len(content):
+        r = _FlacBitReader(content, bit_pos=pos * 8)
+        if r.bits(14) != 0x3FFE:
+            raise ValueError("FLAC: lost frame sync")
+        r.bits(1)  # reserved
+        r.bits(1)  # blocking strategy
+        bs_code = r.bits(4)
+        sr_code = r.bits(4)
+        ch_asgn = r.bits(4)
+        r.bits(3)  # sample size code (STREAMINFO's bps governs here)
+        r.bits(1)  # reserved
+        first = r.bits(8)  # UTF-8 coded frame/sample ordinal
+        n_cont, probe = 0, first
+        while probe & 0x80 and probe & 0x40 and n_cont < 6:
+            n_cont += 1
+            probe = (probe << 1) & 0xFF
+        if first & 0x80:
+            for _ in range(n_cont):
+                r.bits(8)
+        if bs_code == 0:
+            raise ValueError("FLAC: reserved block size code")
+        elif bs_code == 6:
+            bsz = r.bits(8) + 1
+        elif bs_code == 7:
+            bsz = r.bits(16) + 1
+        else:
+            bsz = _FLAC_BLOCK_SIZES[bs_code]
+        if sr_code == 12:
+            r.bits(8)
+        elif sr_code in (13, 14):
+            r.bits(16)
+        elif sr_code == 15:
+            raise ValueError("FLAC: invalid sample rate code")
+        r.bits(8)  # CRC-8
+        if ch_asgn <= 7:
+            if ch_asgn + 1 != channels:
+                raise ValueError("FLAC: frame/stream channel mismatch")
+            sub = [_flac_subframe(r, bsz, bps) for _ in range(channels)]
+            frame_ch = sub
+        elif ch_asgn in (8, 9, 10):
+            if channels != 2:
+                raise ValueError("FLAC: stereo decorrelation on non-stereo")
+            a = _flac_subframe(r, bsz, bps + (1 if ch_asgn in (9,) else 0))
+            b2 = _flac_subframe(r, bsz, bps + (1 if ch_asgn in (8, 10) else 0))
+            if ch_asgn == 8:  # left/side
+                frame_ch = [a, a - b2]
+            elif ch_asgn == 9:  # side/right
+                frame_ch = [a + b2, b2]
+            else:  # mid/side
+                side = b2
+                left = a + ((side + (side & 1)) >> 1)
+                frame_ch = [left, left - side]
+        else:
+            raise ValueError(f"FLAC: reserved channel assignment {ch_asgn}")
+        r.align_byte()
+        r.bits(16)  # CRC-16
+        pos = r.pos >> 3
+        for c in range(channels):
+            chans[c].append(frame_ch[c])
+
+    if not chans[0]:
+        raise ValueError("FLAC: no audio frames")
+    sig = np.stack(
+        [np.concatenate(c).astype(np.float64) for c in chans]
+    ).mean(axis=0)
+    if total:
+        sig = sig[:total]
+    return rate, sig
+
+
+def _mfcc_from_signal(sig, rate: int, n_mfcc: int) -> tuple[int, list[float]]:
+    """Shared MFCC tail for every audio container: power spectrum
+    (numpy rfft) -> 26-band triangular mel filterbank (HTK scale) ->
+    log -> orthonormal DCT-II, first n_mfcc coefficients.
+    Whole-signal (single-frame) analysis — framing/hop windows are a
+    parameterization, not a dependency. Returns (duration_ms, mfcc)."""
+    import numpy as np
+
+    sig = np.asarray(sig, dtype=np.float64)
+    duration_ms = int(round(len(sig) / rate * 1000))
+    if len(sig) == 0:
+        return 0, [0.0] * n_mfcc
+    spec = np.abs(np.fft.rfft(sig)) ** 2
+    n_mels = max(26, n_mfcc + 1)
+    fb = _mel_filterbank(n_mels, len(spec), rate)
+    log_mel = np.log10(fb @ spec + 1.0)
+    k = np.arange(n_mels)
+    basis = np.cos(np.pi * np.outer(np.arange(n_mfcc), 2 * k + 1) / (2 * n_mels))
+    scale = np.full(n_mfcc, np.sqrt(2.0 / n_mels))
+    scale[0] = np.sqrt(1.0 / n_mels)
+    mfcc = scale * (basis @ log_mel)
+    return duration_ms, [float(v) for v in mfcc]
+
+
 def _decode_audio(content: bytes, n_mfcc: int) -> tuple[int, int, list[float]]:
-    """REAL stdlib WAV decode: 16-bit PCM via ``wave``, then true MFCC
-    over the mono signal — power spectrum (numpy rfft) -> 26-band
-    triangular mel filterbank (HTK scale) -> log -> orthonormal DCT-II,
-    first n_mfcc coefficients. Whole-signal (single-frame) analysis —
-    framing/hop windows are a parameterization, not a dependency.
-    Non-WAV content -> NotImplementedError."""
+    """REAL audio decode: 16-bit PCM WAV (stdlib ``wave``) and native
+    FLAC (_decode_flac — rice-coded residuals, constant/verbatim/
+    fixed/LPC subframes, stereo decorrelation), then the shared true
+    MFCC tail (_mfcc_from_signal). Other codecs (MP3/AAC/OGG)
+    -> NotImplementedError."""
     import io
     import wave
 
+    import numpy as np
+
     content = bytes(content or b"")
+    if content[:4] == b"fLaC":
+        rate, sig = _decode_flac(content)
+        duration_ms, mfcc = _mfcc_from_signal(sig, rate, n_mfcc)
+        return rate, duration_ms, mfcc
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise NotImplementedError(
-            "only WAV PCM decodes without an audio library; pass "
-            "deterministic_fake=True for plumbing tests"
+            "only WAV PCM and FLAC decode without an audio library; "
+            "pass deterministic_fake=True for plumbing tests"
         )
     with wave.open(io.BytesIO(content)) as w:
         rate, nch, sw, nframes = (
@@ -1516,25 +1802,201 @@ def _decode_audio(content: bytes, n_mfcc: int) -> tuple[int, int, list[float]]:
         if sw != 2:
             raise NotImplementedError(f"WAV sample width {sw} unsupported (16-bit only)")
         pcm = w.readframes(nframes)
-    import numpy as np
-
     sig = np.frombuffer(pcm, dtype="<i2").astype("float64")
     if nch > 1:
         sig = sig.reshape(-1, nch).mean(axis=1)
-    duration_ms = int(round(len(sig) / rate * 1000))
-    if len(sig) == 0:
-        return rate, 0, [0.0] * n_mfcc
-    spec = np.abs(np.fft.rfft(sig)) ** 2
-    n_mels = max(26, n_mfcc + 1)
-    fb = _mel_filterbank(n_mels, len(spec), rate)
-    log_mel = np.log10(fb @ spec + 1.0)
-    # orthonormal DCT-II of the log mel energies
-    k = np.arange(n_mels)
-    basis = np.cos(np.pi * np.outer(np.arange(n_mfcc), 2 * k + 1) / (2 * n_mels))
-    scale = np.full(n_mfcc, np.sqrt(2.0 / n_mels))
-    scale[0] = np.sqrt(1.0 / n_mels)
-    mfcc = scale * (basis @ log_mel)
-    return rate, duration_ms, [float(v) for v in mfcc]
+    duration_ms, mfcc = _mfcc_from_signal(sig, rate, n_mfcc)
+    return rate, duration_ms, mfcc
+
+
+def _crc8_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, n: int, v: int) -> None:
+        v &= (1 << n) - 1 if n else 0
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def align(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def to_bytes(self) -> bytes:
+        assert len(self.bits) % 8 == 0
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def synth_flac(rate: int = 8000, freq: float = 440.0, ms: int = 250,
+               channels: int = 1, block_size: int = 1024,
+               stereo_mode: str = "independent",
+               subframe: str = "fixed2", samples=None) -> bytes:
+    """Minimal REAL FLAC encoder for tests (RFC 9639 subset the
+    decoder round-trips bit-exactly): 16-bit sine (or caller-provided
+    ``samples``), explicit 16-bit block sizes, one subframe strategy —
+    'fixed2' (order-2 fixed predictor + rice residual, escape
+    partitions when residuals are wide), 'lpc2' (the same predictor
+    expressed as an order-2 LPC subframe), 'constant' where a block is
+    flat, or 'verbatim'. ``stereo_mode`` for channels=2:
+    independent / left_side / right_side / mid_side. Real CRC-8/CRC-16
+    frame checksums."""
+    import math
+
+    import numpy as np
+
+    if samples is None:
+        n = int(rate * ms / 1000)
+        base = np.array(
+            [int(20000 * math.sin(2 * math.pi * freq * i / rate))
+             for i in range(n)], dtype=np.int64)
+        if channels == 2:
+            second = np.array(
+                [int(15000 * math.sin(2 * math.pi * (freq * 1.5) * i / rate))
+                 for i in range(n)], dtype=np.int64)
+            sig = np.stack([base, second], axis=1)
+        else:
+            sig = base.reshape(-1, 1)
+    else:
+        sig = np.asarray(samples, dtype=np.int64)
+        if sig.ndim == 1:
+            sig = sig.reshape(-1, 1)
+        channels = sig.shape[1]
+    n = sig.shape[0]
+    bps = 16
+
+    def put_rice(w: "_FlacBitWriter", res, order_used: int) -> None:
+        # method 0 (4-bit params), partition order 0
+        w.put(2, 0)
+        w.put(4, 0)
+        u = (res.astype(np.int64) << 1) ^ (res.astype(np.int64) >> 63)  # zigzag
+        umax = int(u.max()) if len(u) else 0
+        param = max(0, umax.bit_length() - 3)
+        if param > 14:  # escape partition: fixed-width verbatim residuals
+            w.put(4, 15)
+            width = max(int(np.abs(res).max()).bit_length() + 1, 1)
+            w.put(5, width)
+            for v in res:
+                w.put(width, int(v))
+            return
+        w.put(4, param)
+        for uv in u:
+            uv = int(uv)
+            q = uv >> param
+            for _ in range(q):
+                w.put(1, 0)
+            w.put(1, 1)
+            if param:
+                w.put(param, uv & ((1 << param) - 1))
+
+    def put_subframe(w: "_FlacBitWriter", ch, sbps: int) -> None:
+        w.put(1, 0)
+        if np.all(ch == ch[0]):
+            w.put(6, 0)  # CONSTANT
+            w.put(1, 0)
+            w.put(sbps, int(ch[0]))
+            return
+        if subframe == "verbatim":
+            w.put(6, 1)
+            w.put(1, 0)
+            for v in ch:
+                w.put(sbps, int(v))
+            return
+        order = 2 if len(ch) > 2 else 0
+        res = (ch[2:] - 2 * ch[1:-1] + ch[:-2]) if order == 2 else ch
+        if subframe == "lpc2" and order == 2:
+            w.put(6, 32 + order - 1)  # LPC, order 2
+            w.put(1, 0)
+            for v in ch[:order]:
+                w.put(sbps, int(v))
+            w.put(4, 4)   # precision-1 -> 5-bit coefficients
+            w.put(5, 0)   # shift 0
+            w.put(5, 2 & 0x1F)   # c1 = 2
+            w.put(5, -1 & 0x1F)  # c2 = -1
+            put_rice(w, res, order)
+            return
+        w.put(6, 8 + order)  # FIXED
+        w.put(1, 0)
+        for v in ch[:order]:
+            w.put(sbps, int(v))
+        put_rice(w, res, order)
+
+    # STREAMINFO
+    info = _FlacBitWriter()
+    info.put(16, block_size)
+    info.put(16, block_size)
+    info.put(24, 0)
+    info.put(24, 0)
+    info.put(20, rate)
+    info.put(3, channels - 1)
+    info.put(5, bps - 1)
+    info.put(36, n)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80, 0, 0, 34])
+    out += info.to_bytes() + b"\x00" * 16  # md5 unset (all zero)
+
+    for fi, start in enumerate(range(0, n, block_size)):
+        blk = sig[start:start + block_size]
+        bsz = blk.shape[0]
+        w = _FlacBitWriter()
+        w.put(14, 0x3FFE)
+        w.put(1, 0)
+        w.put(1, 0)  # fixed blocking
+        w.put(4, 7)  # explicit 16-bit block size
+        w.put(4, 0)  # sample rate from STREAMINFO
+        if channels == 2 and stereo_mode != "independent":
+            ch_asgn = {"left_side": 8, "right_side": 9, "mid_side": 10}[
+                stereo_mode]
+        else:
+            ch_asgn = channels - 1
+        w.put(4, ch_asgn)
+        w.put(3, 4)  # 16 bps
+        w.put(1, 0)
+        w.put(8, fi & 0x7F)  # UTF-8 ordinal (single byte: < 128 frames)
+        w.put(16, bsz - 1)
+        hdr = w.to_bytes()
+        w.put(8, _crc8_flac(hdr))
+        if ch_asgn <= 7:
+            for c in range(channels):
+                put_subframe(w, blk[:, c], bps)
+        elif ch_asgn == 8:  # left/side
+            put_subframe(w, blk[:, 0], bps)
+            put_subframe(w, blk[:, 0] - blk[:, 1], bps + 1)
+        elif ch_asgn == 9:  # side/right
+            put_subframe(w, blk[:, 0] - blk[:, 1], bps + 1)
+            put_subframe(w, blk[:, 1], bps)
+        else:  # mid/side
+            put_subframe(w, (blk[:, 0] + blk[:, 1]) >> 1, bps)
+            put_subframe(w, blk[:, 0] - blk[:, 1], bps + 1)
+        w.align()
+        frame = w.to_bytes()
+        w.put(16, _crc16_flac(frame))
+        out += w.to_bytes()
+    return bytes(out)
 
 
 def synth_bmp(width: int, height: int, pixel) -> bytes:
@@ -1648,9 +2110,10 @@ def audio_features(
     filterbank + log + DCT-II, see _decode_audio) via Arrow-batched
     mapInPandas — same plumbing contract as image_features:
     column-pruned input, partition-parallel, same on_error
-    fail|null|skip policy. WAV PCM decodes for REAL (stdlib wave +
-    numpy; sample rate and duration come from the container, not
-    metadata); other codecs need librosa/torchaudio and raise unless
+    fail|null|skip policy. WAV PCM AND native FLAC decode for REAL
+    (stdlib wave / _decode_flac + numpy; sample rate and duration come
+    from the container, not metadata); lossy codecs (MP3/AAC/OGG)
+    need librosa/torchaudio and raise unless
     deterministic_fake=True."""
     if on_error not in ("fail", "null", "skip"):
         raise ValueError(f"on_error must be fail|null|skip, got {on_error!r}")

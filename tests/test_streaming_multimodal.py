@@ -1075,3 +1075,64 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
     got = {(r.doc_id, r.chunk_idx, r.text, r.n_tokens) for r in
            spark.table("chunk_stream").collect()}
     assert got == expected
+
+
+def test_flac_decode_lossless_roundtrip():
+    # native FLAC (RFC 9639 subset): every subframe strategy and
+    # stereo decorrelation mode must round-trip SAMPLE-EXACT (lossless
+    # means equality, not tolerance); MFCC through the shared tail must
+    # equal the WAV of the same signal
+    import math
+
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import (
+        DECODE_ERRORS, _decode_audio, _decode_flac, synth_flac, synth_wav,
+    )
+
+    rate, freq, ms = 8000, 440.0, 250
+    n = int(rate * ms / 1000)
+    expected = np.array(
+        [int(20000 * math.sin(2 * math.pi * freq * i / rate))
+         for i in range(n)], dtype=np.float64)
+    for sf in ("fixed2", "lpc2", "verbatim"):
+        r, sig = _decode_flac(synth_flac(rate, freq, ms, subframe=sf))
+        assert r == rate and np.array_equal(sig, expected), sf
+    # compression sanity: the predictor+rice path beats verbatim
+    assert len(synth_flac(rate, freq, ms)) < len(
+        synth_flac(rate, freq, ms, subframe="verbatim"))
+
+    base = np.array([int(20000 * math.sin(2 * math.pi * 440 * i / rate))
+                     for i in range(n)])
+    second = np.array([int(15000 * math.sin(2 * math.pi * 660 * i / rate))
+                       for i in range(n)])
+    mix = (base + second) / 2.0
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        r, sig = _decode_flac(
+            synth_flac(rate, 440.0, ms, channels=2, stereo_mode=mode))
+        assert np.array_equal(sig, mix), mode
+
+    # FLAC and WAV of the same signal produce identical MFCC
+    assert (_decode_audio(synth_wav(rate, freq, ms), 13)
+            == _decode_audio(synth_flac(rate, freq, ms), 13))
+
+    # rice escape partitions: random 16-bit noise round-trips exactly
+    rng = np.random.default_rng(0)
+    wild = rng.integers(-32768, 32767, 5000, dtype=np.int64)
+    r, sig = _decode_flac(synth_flac(rate, samples=wild, block_size=512))
+    assert np.array_equal(sig, wild.astype(np.float64))
+
+    # truncation / bit-flip robustness: clean failure or valid prefix
+    blob = synth_flac(rate, freq, ms)
+    for cut in (3, 10, 40, len(blob) // 2, len(blob) - 5):
+        try:
+            _decode_flac(blob[:cut])
+        except DECODE_ERRORS:
+            pass
+    for posn in range(8, min(len(blob), 300), 13):
+        m = bytearray(blob)
+        m[posn] ^= 0xFF
+        try:
+            _decode_flac(bytes(m))
+        except DECODE_ERRORS:
+            pass
