@@ -1607,6 +1607,63 @@ def _q_audio_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_probe_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ffprobe-lite corpus triage: per doc one synthetic asset cycling
+    all 8 container families (incl. MP4, whose metadata parses even
+    though frame decode is out of scope); every output column has a
+    closed form of doc_id % 8."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, probe_media, synth_animated_gif, synth_avi_mjpeg,
+        synth_flac, synth_jpeg, synth_mp4, synth_png, synth_wav,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "content": [],
+                   "uri": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = (did * 37) % 256
+                img = np.full((12, 20, 3), v, dtype=np.uint8)
+                k = did % 8
+                if k == 0:
+                    blob = synth_png(20, 12, img, interlace=True)
+                elif k == 1:
+                    blob = synth_jpeg(20, 12, img, progressive=True)
+                elif k == 2:
+                    blob = synth_animated_gif(
+                        20, 12, [img[:, :, 0]] * 3, delay_ms=100)
+                elif k == 3:
+                    blob = synth_wav(8000, 200.0 + did, 50 + did % 20)
+                elif k == 4:
+                    blob = synth_flac(8000, 200.0 + did, 50 + did % 20,
+                                      channels=2, stereo_mode="mid_side")
+                elif k == 5:
+                    blob = synth_avi_mjpeg(20, 12, [img] * 4, frame_ms=100)
+                elif k == 6:
+                    blob = synth_mp4(640, 360, 1000 + did * 10)
+                else:
+                    blob = b"\x00\x01 unrecognized payload"
+                out["asset_id"].append(did)
+                out["modality"].append("mixed")
+                out["content"].append(bytearray(blob))
+                out["uri"].append(None)
+                out["meta"].append(None)
+            yield pd.DataFrame(out)
+
+    assets = docs.mapInPandas(gen, ASSET_SCHEMA)
+    return probe_media(assets)
+
+
 def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphlite_spark.streaming.windows import tumbling_counts
 
@@ -2067,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_features_bmp": _q_image_decode("bmp"),
             "audio_features_wav": _q_audio_decode,
             "audio_features_flac": _q_audio_decode_flac,
+            "probe_media_mixed": _q_probe_media,
         }
     )
     return out
@@ -3847,6 +3905,36 @@ def oracle_sql() -> dict[str, str]:
                    round((0.299 * ((doc_id * 37) % 256)
                         + 0.587 * ((doc_id * 37) % 256)
                         + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum7
+            FROM documents WHERE doc_id < 64
+        """,
+        "probe_media_mixed": """
+            SELECT doc_id AS asset_id,
+                   CASE doc_id % 8
+                        WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                        WHEN 4 THEN 'flac' WHEN 5 THEN 'avi'
+                        WHEN 6 THEN 'mp4' ELSE 'unknown' END AS container,
+                   CASE doc_id % 8
+                        WHEN 0 THEN 20 WHEN 1 THEN 20 WHEN 2 THEN 20
+                        WHEN 5 THEN 20 WHEN 6 THEN 640 END AS width,
+                   CASE doc_id % 8
+                        WHEN 0 THEN 12 WHEN 1 THEN 12 WHEN 2 THEN 12
+                        WHEN 5 THEN 12 WHEN 6 THEN 360 END AS height,
+                   CASE doc_id % 8
+                        WHEN 2 THEN 300
+                        WHEN 3 THEN 50 + doc_id % 20
+                        WHEN 4 THEN 50 + doc_id % 20
+                        WHEN 5 THEN 400
+                        WHEN 6 THEN 1000 + doc_id * 10 END AS duration_ms,
+                   CASE doc_id % 8
+                        WHEN 3 THEN 8000 WHEN 4 THEN 8000 END AS sample_rate,
+                   CASE doc_id % 8
+                        WHEN 3 THEN 1 WHEN 4 THEN 2 END AS channels,
+                   CASE doc_id % 8
+                        WHEN 0 THEN 'interlaced' WHEN 1 THEN 'progressive'
+                        WHEN 2 THEN 'lzw' WHEN 3 THEN 'pcm'
+                        WHEN 4 THEN 'flac' WHEN 5 THEN 'MJPG'
+                        WHEN 6 THEN 'avc1' END AS codec
             FROM documents WHERE doc_id < 64
         """,
         "audio_features_flac": """

@@ -1136,3 +1136,46 @@ def test_flac_decode_lossless_roundtrip():
             _decode_flac(bytes(m))
         except DECODE_ERRORS:
             pass
+
+
+def test_probe_media_all_containers(spark):
+    # ffprobe-lite triage: container + header metadata for every
+    # supported format WITHOUT decode — including MP4 (ISO-BMFF box
+    # walk), whose frame decode is out of scope but whose metadata is
+    # fully parseable; junk bytes probe as 'unknown' instead of failing
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, probe_media, synth_animated_gif, synth_avi_mjpeg,
+        synth_flac, synth_jpeg, synth_mp4, synth_png, synth_wav,
+    )
+
+    img = np.full((12, 20, 3), 99, np.uint8)
+    blobs = [
+        (0, synth_png(20, 12, img, interlace=True)),
+        (1, synth_jpeg(20, 12, img, progressive=True)),
+        (2, synth_animated_gif(20, 12, [img[:, :, 0]] * 3, delay_ms=100)),
+        (3, synth_wav(8000, 440, 250)),
+        (4, synth_flac(8000, 440, 250, channels=2, stereo_mode="mid_side")),
+        (5, synth_avi_mjpeg(20, 12, [img] * 4, frame_ms=100)),
+        (6, synth_mp4(640, 360, 5000)),
+        (7, b"\x00\x01 not a media file"),
+    ]
+    assets = spark.createDataFrame(
+        [(i, "mixed", bytearray(b), None, None) for i, b in blobs],
+        ASSET_SCHEMA)
+    got = {r.asset_id: r for r in probe_media(assets).collect()}
+    assert (got[0].container, got[0].width, got[0].codec) == \
+        ("png", 20, "interlaced")
+    assert (got[1].container, got[1].codec) == ("jpeg", "progressive")
+    assert (got[2].container, got[2].duration_ms) == ("gif", 300)
+    assert (got[3].container, got[3].sample_rate, got[3].duration_ms) == \
+        ("wav", 8000, 250)
+    assert (got[4].container, got[4].channels, got[4].duration_ms) == \
+        ("flac", 2, 250)
+    assert (got[5].container, got[5].codec, got[5].duration_ms) == \
+        ("avi", "MJPG", 400)
+    assert (got[6].container, got[6].width, got[6].height,
+            got[6].duration_ms, got[6].codec) == \
+        ("mp4", 640, 360, 5000, "avc1")
+    assert got[7].container == "unknown" and got[7].width is None
