@@ -695,3 +695,46 @@ def test_corpus_stats_exact(spark):
             got["en"].max_tokens) == (2, 5, 3)
     assert got["en"].avg_tokens == 2.5
     assert (got["fr"].n_docs, got["fr"].total_tokens) == (1, 0)
+
+
+def test_chunk_documents_properties(spark):
+    # property test over random documents and window/overlap choices:
+    # one Spark job per config, invariants checked in python —
+    # (1) full coverage: concatenating each chunk's fresh tokens
+    #     (skipping the overlap prefix) reconstructs the document
+    # (2) every chunk except the last has exactly max_tokens tokens
+    # (3) chunk_idx is dense from 0
+    import random
+
+    from graphlite_spark.operators.text import chunk_documents
+
+    rng = random.Random(11)
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(rng.randrange(1, 40))))
+            for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    for w, o in [(1, 0), (3, 1), (5, 4), (7, 0), (8, 3), (64, 16)]:
+        rows = chunk_documents(df, max_tokens=w, overlap=o).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+        for i, text in docs:
+            toks = text.split()
+            chunks = by_doc[i]
+            assert sorted(chunks) == list(range(len(chunks))), (w, o, i)
+            rebuilt = []
+            for ci in range(len(chunks)):
+                ctoks = chunks[ci].text.split()
+                assert chunks[ci].n_tokens == len(ctoks)
+                if ci < len(chunks) - 1:
+                    assert len(ctoks) == w, (w, o, i, ci)
+                rebuilt.extend(ctoks if ci == 0 else ctoks[o:])
+            # overlapped reconstruction covers the doc exactly, except
+            # that the final window may re-cover already-seen tokens
+            assert rebuilt[:len(toks)] == toks or \
+                " ".join(rebuilt).find(" ".join(toks[-w:])) != -1
+            covered = set()
+            for ci in range(len(chunks)):
+                stride = w - o
+                start = ci * stride
+                covered.update(range(start, min(start + w, len(toks))))
+            assert covered == set(range(len(toks))), (w, o, i)

@@ -1179,3 +1179,45 @@ def test_probe_media_all_containers(spark):
             got[6].duration_ms, got[6].codec) == \
         ("mp4", 640, 360, 5000, "avc1")
     assert got[7].container == "unknown" and got[7].width is None
+
+
+def test_streaming_probe_matches_batch(spark, tmp_path):
+    # corpus triage as a STREAM: binaryFile -> probe_media; stateless,
+    # so stream == batch (the ingest-time routing shape: probe first,
+    # fan out decode by container)
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.multimodal import (
+        probe_media, synth_flac, synth_jpeg, synth_mp4, synth_png,
+    )
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    img = np.full((8, 8, 3), 40, np.uint8)
+    blobs = [synth_png(8, 8, img), synth_jpeg(8, 8, img, progressive=True),
+             synth_flac(8000, 300, 100), synth_mp4(320, 240, 2000),
+             b"junk bytes here"]
+    for i, b in enumerate(blobs):
+        (d / f"asset_{i:03d}.bin").write_bytes(b)
+
+    def to_assets(df):
+        return df.select(
+            F.regexp_extract("path", r"asset_(\d+)\.bin", 1)
+            .cast("long").alias("asset_id"), "content")
+
+    batch = probe_media(to_assets(spark.read.format("binaryFile").load(str(d))))
+    expected = {tuple(r) for r in batch.collect()}
+    containers = {r.container for r in batch.collect()}
+    assert containers == {"png", "jpeg", "flac", "mp4", "unknown"}
+
+    static = spark.read.format("binaryFile").load(str(d))
+    stream = (spark.readStream.format("binaryFile")
+              .schema(static.schema).load(str(d)))
+    q = (probe_media(to_assets(stream))
+         .writeStream.format("memory").queryName("probe_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("probe_stream").collect()}
+    assert got == expected
