@@ -1617,6 +1617,7 @@ def _q_probe_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphlite_spark.operators.multimodal import (
         ASSET_SCHEMA, probe_media, synth_animated_gif, synth_avi_mjpeg,
         synth_flac, synth_jpeg, synth_mp4, synth_png, synth_wav,
+        synth_webm,
     )
 
     docs = _table(spark, sf_dir, "documents").select("doc_id").filter(
@@ -1634,7 +1635,7 @@ def _q_probe_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did = int(did)
                 v = (did * 37) % 256
                 img = np.full((12, 20, 3), v, dtype=np.uint8)
-                k = did % 8
+                k = did % 9
                 if k == 0:
                     blob = synth_png(20, 12, img, interlace=True)
                 elif k == 1:
@@ -1651,6 +1652,8 @@ def _q_probe_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blob = synth_avi_mjpeg(20, 12, [img] * 4, frame_ms=100)
                 elif k == 6:
                     blob = synth_mp4(640, 360, 1000 + did * 10)
+                elif k == 7:
+                    blob = synth_webm(1280, 720, 2000 + did * 10, "V_VP9")
                 else:
                     blob = b"\x00\x01 unrecognized payload"
                 out["asset_id"].append(did)
@@ -3909,32 +3912,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "probe_media_mixed": """
             SELECT doc_id AS asset_id,
-                   CASE doc_id % 8
+                   CASE doc_id % 9
                         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                         WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
                         WHEN 4 THEN 'flac' WHEN 5 THEN 'avi'
-                        WHEN 6 THEN 'mp4' ELSE 'unknown' END AS container,
-                   CASE doc_id % 8
+                        WHEN 6 THEN 'mp4' WHEN 7 THEN 'webm'
+                        ELSE 'unknown' END AS container,
+                   CASE doc_id % 9
                         WHEN 0 THEN 20 WHEN 1 THEN 20 WHEN 2 THEN 20
-                        WHEN 5 THEN 20 WHEN 6 THEN 640 END AS width,
-                   CASE doc_id % 8
+                        WHEN 5 THEN 20 WHEN 6 THEN 640
+                        WHEN 7 THEN 1280 END AS width,
+                   CASE doc_id % 9
                         WHEN 0 THEN 12 WHEN 1 THEN 12 WHEN 2 THEN 12
-                        WHEN 5 THEN 12 WHEN 6 THEN 360 END AS height,
-                   CASE doc_id % 8
+                        WHEN 5 THEN 12 WHEN 6 THEN 360
+                        WHEN 7 THEN 720 END AS height,
+                   CASE doc_id % 9
                         WHEN 2 THEN 300
                         WHEN 3 THEN 50 + doc_id % 20
                         WHEN 4 THEN 50 + doc_id % 20
                         WHEN 5 THEN 400
-                        WHEN 6 THEN 1000 + doc_id * 10 END AS duration_ms,
-                   CASE doc_id % 8
+                        WHEN 6 THEN 1000 + doc_id * 10
+                        WHEN 7 THEN 2000 + doc_id * 10 END AS duration_ms,
+                   CASE doc_id % 9
                         WHEN 3 THEN 8000 WHEN 4 THEN 8000 END AS sample_rate,
-                   CASE doc_id % 8
+                   CASE doc_id % 9
                         WHEN 3 THEN 1 WHEN 4 THEN 2 END AS channels,
-                   CASE doc_id % 8
+                   CASE doc_id % 9
                         WHEN 0 THEN 'interlaced' WHEN 1 THEN 'progressive'
                         WHEN 2 THEN 'lzw' WHEN 3 THEN 'pcm'
                         WHEN 4 THEN 'flac' WHEN 5 THEN 'MJPG'
-                        WHEN 6 THEN 'avc1' END AS codec
+                        WHEN 6 THEN 'avc1' WHEN 7 THEN 'V_VP9' END AS codec
             FROM documents WHERE doc_id < 64
         """,
         "audio_features_flac": """

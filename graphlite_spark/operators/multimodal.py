@@ -2555,6 +2555,8 @@ def probe_bytes(content: bytes) -> dict:
         )
     elif len(c) >= 12 and c[4:8] == b"ftyp":
         out.update(_probe_mp4(c))
+    elif c[:4] == b"\x1a\x45\xdf\xa3":  # EBML (Matroska/WebM)
+        out.update(_probe_webm(c))
     return out
 
 
@@ -2631,3 +2633,94 @@ def synth_mp4(width: int = 640, height: int = 360,
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + moov
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """EBML variable-length integer at ``pos`` -> (value, next_pos).
+    Element IDs keep their length-marker bit (matroska convention);
+    sizes clear it."""
+    if pos >= len(data):
+        raise ValueError("EBML: truncated vint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("EBML: invalid vint")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(data):
+        raise ValueError("EBML: truncated vint body")
+    v = int.from_bytes(data[pos:pos + length], "big")
+    if not keep_marker:
+        v &= (1 << (7 * length)) - 1
+    return v, pos + length
+
+
+def _probe_webm(content: bytes) -> dict:
+    """Matroska/WebM EBML walk: Segment > Info(TimestampScale,
+    Duration) and Tracks > TrackEntry(CodecID, Video(PixelWidth,
+    PixelHeight)) — container metadata without any codec decode."""
+    import struct
+
+    out = {"container": "webm", "codec": None, "width": None,
+           "height": None, "duration_ms": None}
+    scale = 1_000_000  # default TimestampScale: 1 ms in ns
+    duration_ticks = None
+    containers = {0x18538067, 0x1549A966, 0x1654AE6B, 0xAE, 0xE0}
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal scale, duration_ticks
+        while pos < end:
+            eid, pos = _ebml_vint(content, pos, keep_marker=True)
+            size, pos = _ebml_vint(content, pos, keep_marker=False)
+            body_end = min(pos + size, end)
+            body = content[pos:body_end]
+            if eid in containers:
+                walk(pos, body_end)
+            elif eid == 0x2AD7B1:  # TimestampScale (ns per tick)
+                scale = int.from_bytes(body, "big") or scale
+            elif eid == 0x4489:  # Duration (float ticks)
+                if len(body) == 4:
+                    duration_ticks = struct.unpack(">f", body)[0]
+                elif len(body) == 8:
+                    duration_ticks = struct.unpack(">d", body)[0]
+            elif eid == 0x86:  # CodecID
+                out["codec"] = body.decode("ascii", "replace").rstrip("\x00")
+            elif eid == 0xB0:  # PixelWidth
+                out["width"] = int.from_bytes(body, "big")
+            elif eid == 0xBA:  # PixelHeight
+                out["height"] = int.from_bytes(body, "big")
+            pos = body_end
+
+    walk(0, len(content))
+    if duration_ticks is not None:
+        out["duration_ms"] = int(round(duration_ticks * scale / 1e6))
+    return out
+
+
+def synth_webm(width: int = 640, height: int = 360,
+               duration_ms: int = 4000, codec: str = "V_VP8") -> bytes:
+    """Minimal Matroska/WebM writer for probe tests: EBML header +
+    Segment(Info(TimestampScale, Duration), Tracks(TrackEntry(CodecID,
+    Video(PixelWidth, PixelHeight)))), no clusters."""
+    import struct
+
+    def vint_size(n: int) -> bytes:
+        # 1-byte size for < 127, else 8-byte form
+        if n < 0x7F:
+            return bytes([0x80 | n])
+        return bytes([0x01]) + n.to_bytes(7, "big")
+
+    def elem(eid: int, payload: bytes) -> bytes:
+        eid_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        return eid_bytes + vint_size(len(payload)) + payload
+
+    def uint(v: int) -> bytes:
+        return v.to_bytes(max((v.bit_length() + 7) // 8, 1), "big")
+
+    ebml = elem(0x1A45DFA3, elem(0x4282, b"webm"))  # DocType
+    info = elem(0x1549A966,
+                elem(0x2AD7B1, uint(1_000_000))
+                + elem(0x4489, struct.pack(">d", float(duration_ms))))
+    video = elem(0xE0, elem(0xB0, uint(width)) + elem(0xBA, uint(height)))
+    track = elem(0xAE, elem(0x86, codec.encode()) + video)
+    tracks = elem(0x1654AE6B, track)
+    segment = elem(0x18538067, info + tracks)
+    return ebml + segment

@@ -1148,6 +1148,7 @@ def test_probe_media_all_containers(spark):
     from graphlite_spark.operators.multimodal import (
         ASSET_SCHEMA, probe_media, synth_animated_gif, synth_avi_mjpeg,
         synth_flac, synth_jpeg, synth_mp4, synth_png, synth_wav,
+        synth_webm,
     )
 
     img = np.full((12, 20, 3), 99, np.uint8)
@@ -1159,7 +1160,8 @@ def test_probe_media_all_containers(spark):
         (4, synth_flac(8000, 440, 250, channels=2, stereo_mode="mid_side")),
         (5, synth_avi_mjpeg(20, 12, [img] * 4, frame_ms=100)),
         (6, synth_mp4(640, 360, 5000)),
-        (7, b"\x00\x01 not a media file"),
+        (7, synth_webm(1280, 720, 12345, "V_VP9")),
+        (8, b"\x00\x01 not a media file"),
     ]
     assets = spark.createDataFrame(
         [(i, "mixed", bytearray(b), None, None) for i, b in blobs],
@@ -1178,7 +1180,10 @@ def test_probe_media_all_containers(spark):
     assert (got[6].container, got[6].width, got[6].height,
             got[6].duration_ms, got[6].codec) == \
         ("mp4", 640, 360, 5000, "avc1")
-    assert got[7].container == "unknown" and got[7].width is None
+    assert (got[7].container, got[7].width, got[7].height,
+            got[7].duration_ms, got[7].codec) == \
+        ("webm", 1280, 720, 12345, "V_VP9")
+    assert got[8].container == "unknown" and got[8].width is None
 
 
 def test_streaming_probe_matches_batch(spark, tmp_path):
