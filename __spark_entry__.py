@@ -1607,15 +1607,14 @@ def _q_audio_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_probe_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ffprobe-lite corpus triage: per doc one synthetic asset cycling
-    all 8 container families (incl. MP4, whose metadata parses even
-    though frame decode is out of scope); every output column has a
-    closed form of doc_id % 8."""
+def _mixed_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic mixed-container asset table (one asset per doc_id < 64
+    cycling all 9 container families, parameters closed-form in
+    doc_id) — shared by the probe and media-pipeline entries."""
     from pyspark.sql import functions as F
 
     from graphlite_spark.operators.multimodal import (
-        ASSET_SCHEMA, probe_media, synth_animated_gif, synth_avi_mjpeg,
+        ASSET_SCHEMA, synth_animated_gif, synth_avi_mjpeg,
         synth_flac, synth_jpeg, synth_mp4, synth_png, synth_wav,
         synth_webm,
     )
@@ -1663,8 +1662,44 @@ def _q_probe_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["meta"].append(None)
             yield pd.DataFrame(out)
 
-    assets = docs.mapInPandas(gen, ASSET_SCHEMA)
-    return probe_media(assets)
+    return docs.mapInPandas(gen, ASSET_SCHEMA)
+
+
+def _q_probe_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ffprobe-lite corpus triage over the 9-container mixed asset
+    table; every output column has a closed form of doc_id % 9."""
+    from graphlite_spark.operators.multimodal import probe_media
+
+    return probe_media(_mixed_assets(spark, sf_dir))
+
+
+def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END media pipeline — the multimodal composability proof
+    (the media twin of curation_pipeline_e2e): probe the mixed corpus,
+    ROUTE by container (images only), decode the routed assets with
+    the real kernels, and report per-asset luminance — probe feeding
+    decode is exactly the triage-then-spend shape a 100 TB ingest
+    runs."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.multimodal import (
+        image_features, probe_media,
+    )
+
+    assets = _mixed_assets(spark, sf_dir)
+    probed = probe_media(assets)
+    routed = assets.join(
+        probed.filter(F.col("container").isin("png", "jpeg"))
+        .select("asset_id", "container"),
+        "asset_id",
+    )
+    feats = image_features(routed.select("asset_id", "content"))
+    return feats.join(
+        probed.select("asset_id", "container"), "asset_id"
+    ).select(
+        "asset_id", "container", "width", "height",
+        F.round(F.element_at("embedding", 1), 6).alias("lum"),
+    )
 
 
 def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2128,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "audio_features_wav": _q_audio_decode,
             "audio_features_flac": _q_audio_decode_flac,
             "probe_media_mixed": _q_probe_media,
+            "media_pipeline_e2e": _q_media_pipeline,
         }
     )
     return out
@@ -3909,6 +3945,19 @@ def oracle_sql() -> dict[str, str]:
                         + 0.587 * ((doc_id * 37) % 256)
                         + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum7
             FROM documents WHERE doc_id < 64
+        """,
+        "media_pipeline_e2e": """
+            -- probe routes doc_id %% 9 in (0, 1) to the image decoders
+            -- (Adam7 PNG and progressive JPEG); gray-uniform assets
+            -- make the decoded luminance a closed form of doc_id
+            SELECT doc_id AS asset_id,
+                   CASE doc_id % 9 WHEN 0 THEN 'png'
+                                   ELSE 'jpeg' END AS container,
+                   CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum
+            FROM documents WHERE doc_id < 64 AND doc_id % 9 IN (0, 1)
         """,
         "probe_media_mixed": """
             SELECT doc_id AS asset_id,
