@@ -58,6 +58,24 @@ DECODE_ERRORS = (
     OverflowError, _struct.error, _zlib.error, _wave.Error,
 )
 
+# Corrupt headers can claim absurd dimensions (a fuzzed 4-byte width
+# field reads as ~4e9), driving a huge np.zeros BEFORE any pixel data
+# is touched — an allocation that OOM-kills the executor rather than
+# raising cleanly, defeating on_error='null' at corpus scale. Cap
+# header-declared pixel counts with a sanity bound (default 2^26 px =
+# 8192x8192 RGBA ≈ 256 MiB, far above any sane training asset) and
+# reject beyond it as a decode error.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_dims(width: int, height: int, what: str) -> None:
+    if width <= 0 or height <= 0:
+        raise ValueError(f"{what}: invalid dimensions {width}x{height}")
+    if width * height > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{what}: header dimensions {width}x{height} exceed the "
+            f"decode sanity bound of {MAX_DECODE_PIXELS} pixels")
+
 # canonical schema for a multimodal asset row
 ASSET_SCHEMA = StructType(
     [
@@ -219,6 +237,7 @@ def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
             raise NotImplementedError(f"BMP compression={comp} bpp={bpp} unsupported")
         top_down = height < 0
         height = abs(height)
+        _check_dims(width, height, "BMP")
         nch = bpp // 8
         stride = ((width * nch + 3) // 4) * 4
         rows = np.frombuffer(content, dtype=np.uint8, count=stride * height,
@@ -231,6 +250,7 @@ def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
         return width, height, _gray_embedding(gray, width, height, dim)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         width, height = struct.unpack_from(">II", content, 16)
+        _check_dims(width, height, "PNG")
         depth, ctype = content[24], content[25]
         compression, filt, interlace = content[26], content[27], content[28]
         if depth != 8 or ctype not in (0, 2, 6):
@@ -345,6 +365,7 @@ def _gif_frames(content: bytes):
     import numpy as np
 
     width, height = struct.unpack_from("<HH", content, 6)
+    _check_dims(width, height, "GIF")
     flags = content[10]
     bg_idx = content[11]
     pos = 13
@@ -653,6 +674,7 @@ def _decode_jpeg(content: bytes):
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
             height, width = struct.unpack_from(">HH", seg, 1)
+            _check_dims(width, height, "JPEG")
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
@@ -680,9 +702,14 @@ def _decode_jpeg(content: bytes):
         elif marker == 0xDA:  # SOS
             ncomp = seg[0]
             scan = []
+            if comps is None:
+                raise ValueError("JPEG: SOS before SOF")
             for c in range(ncomp):
                 cid, tt = seg[1 + 2 * c: 3 + 2 * c]
-                comp = next(cc for cc in comps if cc["id"] == cid)
+                comp = next((cc for cc in comps if cc["id"] == cid), None)
+                if comp is None:
+                    raise ValueError(
+                        f"JPEG: SOS references undeclared component {cid}")
                 scan.append((comp, tt >> 4, tt & 15))
             data_start = pos + 2 + seglen
             if not progressive:
@@ -1795,13 +1822,23 @@ def _decode_audio(content: bytes, n_mfcc: int) -> tuple[int, int, list[float]]:
             "only WAV PCM and FLAC decode without an audio library; "
             "pass deterministic_fake=True for plumbing tests"
         )
-    with wave.open(io.BytesIO(content)) as w:
-        rate, nch, sw, nframes = (
-            w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()
-        )
-        if sw != 2:
-            raise NotImplementedError(f"WAV sample width {sw} unsupported (16-bit only)")
-        pcm = w.readframes(nframes)
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            rate, nch, sw, nframes = (
+                w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()
+            )
+            if sw != 2:
+                raise NotImplementedError(f"WAV sample width {sw} unsupported (16-bit only)")
+            pcm = w.readframes(nframes)
+    except NotImplementedError:
+        raise
+    except RuntimeError as e:
+        # wave's Chunk helper raises bare RuntimeError on truncated
+        # streams — translate so on_error='null'/'skip' can treat it
+        # as the corrupt-asset it is instead of crashing the job
+        raise ValueError(f"WAV: corrupt/truncated stream ({e})") from e
+    if rate <= 0:
+        raise ValueError(f"WAV: invalid sample rate {rate}")
     sig = np.frombuffer(pcm, dtype="<i2").astype("float64")
     if nch > 1:
         sig = sig.reshape(-1, nch).mean(axis=1)
@@ -2509,13 +2546,18 @@ def probe_bytes(content: bytes) -> dict:
         out.update(container="gif", width=w, height=h, codec="lzw",
                    duration_ms=_probe_gif_duration(c) or None)
     elif c[:4] == b"RIFF" and c[8:12] == b"WAVE":
-        with wave.open(io.BytesIO(c)) as wv:
-            out.update(
-                container="wav", codec="pcm",
-                sample_rate=wv.getframerate(), channels=wv.getnchannels(),
-                duration_ms=int(round(
-                    wv.getnframes() * 1000.0 / wv.getframerate())),
-            )
+        try:
+            with wave.open(io.BytesIO(c)) as wv:
+                rate = wv.getframerate()
+                out.update(
+                    container="wav", codec="pcm",
+                    sample_rate=rate, channels=wv.getnchannels(),
+                    duration_ms=int(round(
+                        wv.getnframes() * 1000.0 / rate)) if rate > 0
+                    else None,
+                )
+        except RuntimeError as e:  # wave's Chunk on truncated streams
+            raise ValueError(f"WAV: corrupt/truncated stream ({e})") from e
     elif c[:4] == b"fLaC" and len(c) >= 22:
         b = int.from_bytes(c[18:26], "big")
         rate = b >> 44

@@ -321,12 +321,21 @@ def chunk_documents(
         raise ValueError(
             f"overlap must be in [0, max_tokens), got {overlap}")
     stride = max_tokens - overlap
-    toks = _tokens(F.col(text_col))
+    # Hoist the tokenization into ONE projected column before the
+    # Generate: referencing the raw split() expression inside the
+    # generator repeats it in n_chunks/slice/least and Catalyst's
+    # subexpression elimination does not reliably fire inside Generate
+    # — the document would be re-split ~3x per row. A Project under
+    # Generate evaluates split() once and the generator references the
+    # attribute (see docs/PLANS.md chunk_documents_overlap).
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
-    n_chunks = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
-        F.when(n <= max_tokens, F.lit(1)).otherwise(
-            F.lit(1) + F.ceil((n - F.lit(max_tokens)) / F.lit(float(stride)))
-        )
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(max_tokens)) / F.lit(float(stride)))
     ).cast("int")
     chunk = F.explode(
         F.transform(
@@ -342,8 +351,7 @@ def chunk_documents(
         )
     )
     return (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col), chunk.alias("_c"))
+        base.select(F.col(id_col), chunk.alias("_c"))
         .select(id_col, "_c.chunk_idx", "_c.text", "_c.n_tokens")
     )
 
@@ -359,7 +367,10 @@ def normalize_text(
     """Canonicalize a text column — the normalization pass a curation
     pipeline runs BEFORE hashing/dedup/shingling so that byte-level
     variants of the same content collide: Unicode NFC composition,
-    casefold, control-character strip, whitespace collapse + trim.
+    lowercasing (JVM ``lower()`` — NOT full Unicode casefold, so
+    casefold-only-distinct variants like ß/ss or dotted/dotless I do
+    not collide; the DuckDB oracle mirrors lower() exactly),
+    control-character strip, whitespace collapse + trim.
     Replaces ``text_col`` in place; other columns pass through.
 
     Everything except NFC is JVM-side regexp/lower (whole-stage

@@ -1226,3 +1226,110 @@ def test_streaming_probe_matches_batch(spark, tmp_path):
     q.awaitTermination()
     got = {tuple(r) for r in spark.table("probe_stream").collect()}
     assert got == expected
+
+
+def test_corrupt_assets_raise_decode_errors_only():
+    # ADVICE r4 (medium): fuzzed corrupt assets raised exception types
+    # OUTSIDE DECODE_ERRORS (ZeroDivisionError, bare RuntimeError,
+    # StopIteration, TypeError), so on_error='null'/'skip' crashed the
+    # whole job instead of nulling the one bad asset. Each named case
+    # must now raise a DECODE_ERRORS member.
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.multimodal import (
+        DECODE_ERRORS, _decode_audio, _decode_image, probe_bytes,
+        synth_jpeg, synth_wav,
+    )
+
+    # 1) WAV fmt chunk with sample rate 0: was ZeroDivisionError in
+    #    probe_bytes' duration math and the MFCC tail
+    wav = bytearray(synth_wav(ms=20))
+    i = wav.find(b"fmt ")
+    assert i > 0
+    struct.pack_into("<I", wav, i + 12, 0)  # nSamplesPerSec := 0
+    with pytest.raises(DECODE_ERRORS):
+        _decode_audio(bytes(wav), 13)
+    info = probe_bytes(bytes(wav))  # probe stays informative: rate 0,
+    assert info["container"] == "wav" and info["duration_ms"] is None
+
+    # 2) truncated WAV: wave.Chunk.skip raises bare RuntimeError —
+    #    must surface as a DECODE_ERRORS member (or decode a prefix)
+    full = synth_wav(ms=20)
+    for cut in range(4, len(full), 7):
+        try:
+            _decode_audio(full[:cut], 13)
+        except DECODE_ERRORS:
+            pass
+        try:
+            probe_bytes(full[:cut])
+        except DECODE_ERRORS:
+            pass
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (12, 20, 3), np.uint8)
+    jpg = synth_jpeg(20, 12, img)
+
+    # 3) SOS naming an undeclared component id: was StopIteration
+    mutated = bytearray(jpg)
+    sos = mutated.find(b"\xff\xda")
+    assert sos > 0
+    mutated[sos + 5] = 0x99  # first scan component id
+    with pytest.raises(DECODE_ERRORS):
+        _decode_image(bytes(mutated))
+
+    # 4) SOS before any SOF (SOF segment excised): was TypeError
+    sof = jpg.find(b"\xff\xc0")
+    assert sof > 0
+    seglen, = struct.unpack_from(">H", jpg, sof + 2)
+    no_sof = jpg[:sof] + jpg[sof + 2 + seglen:]
+    with pytest.raises(DECODE_ERRORS):
+        _decode_image(no_sof)
+
+
+def test_decode_dimension_sanity_cap():
+    # ADVICE r4 (low): corrupt header dimension fields drove ~GiB-scale
+    # np.zeros allocations BEFORE any sanity check — the cap must
+    # reject them with ValueError before allocating.
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.multimodal import (
+        MAX_DECODE_PIXELS, _decode_image, synth_bmp, synth_gif,
+        synth_jpeg, synth_png,
+    )
+
+    assert MAX_DECODE_PIXELS <= 1 << 27  # keep the bound sane
+
+    img = np.full((12, 20, 3), 99, np.uint8)
+
+    png = bytearray(synth_png(20, 12, img))
+    struct.pack_into(">II", png, 16, 1 << 16, 1 << 16)  # 4.3e9 px
+    with pytest.raises(ValueError):
+        _decode_image(bytes(png))
+
+    bmp = bytearray(synth_bmp(20, 12, lambda x, y: (1, 2, 3)))
+    struct.pack_into("<ii", bmp, 18, 1 << 16, 1 << 16)
+    with pytest.raises(ValueError):
+        _decode_image(bytes(bmp))
+
+    jpg = bytearray(synth_jpeg(20, 12, img))
+    sof = jpg.find(b"\xff\xc0")
+    struct.pack_into(">HH", jpg, sof + 5, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError):
+        _decode_image(bytes(jpg))
+
+    gif = bytearray(synth_gif(20, 12, img[:, :, 0]))
+    struct.pack_into("<HH", gif, 6, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError):
+        _decode_image(bytes(gif))
+
+    # zero/negative dimensions are equally corrupt
+    png0 = bytearray(synth_png(20, 12, img))
+    struct.pack_into(">II", png0, 16, 0, 12)
+    with pytest.raises(ValueError):
+        _decode_image(bytes(png0))
