@@ -1440,9 +1440,21 @@ def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
                                              subsample=bool(did % 2),
                                              progressive=True)
                     elif fmt == "png":
-                        # alternate sequential / Adam7-interlaced
-                        content = synth_png(20, 12, img,
-                                            interlace=bool(did % 2))
+                        # cycle sequential / Adam7 / palette (ctype 3,
+                        # gray-identity PLTE so luminance keeps the
+                        # same closed form) / 16-bit RGB
+                        variant = did % 4
+                        if variant == 2:
+                            pal = np.stack([np.arange(256, dtype=np.uint8)]
+                                           * 3, axis=1)
+                            content = synth_png(
+                                20, 12, np.full((12, 20), v, np.uint8),
+                                palette=pal)
+                        elif variant == 3:
+                            content = synth_png(20, 12, img, depth=16)
+                        else:
+                            content = synth_png(20, 12, img,
+                                                interlace=bool(variant))
                     else:
                         content = synth_bmp(20, 12,
                                             lambda x, y, v=v: (v, v, v))

@@ -185,6 +185,46 @@ def _unfilter_png(raw: bytes, width: int, height: int, ch: int):
     return out
 
 
+def _png_rowlen(pw: int, depth: int, ch: int) -> int:
+    """Filtered-scanline byte length (filter byte + packed samples)."""
+    if depth == 16:
+        return pw * ch * 2 + 1
+    if depth == 8:
+        return pw * ch + 1
+    return (pw * depth + 7) // 8 + 1
+
+
+def _png_decode_pass(raw: bytes, off: int, pw: int, ph: int,
+                     depth: int, ch: int):
+    """Decode one (sub-)image of ``ph`` filtered scanlines starting at
+    ``off`` -> ((ph, pw, ch) uint8 samples, bytes consumed).
+
+    16-bit samples are downsampled to the high byte (the standard
+    8-bit reduction); sub-byte depths (palette indexes, MSB-first bit
+    packing) are unpacked to one index byte per pixel. Filtering for
+    depth<8 operates on whole bytes with bpp=1 per the PNG spec, so
+    the existing byte-level unfilter applies unchanged.
+    """
+    import numpy as np
+
+    if depth == 8:
+        nbytes = ph * (pw * ch + 1)
+        sub = _unfilter_png(raw[off:off + nbytes], pw, ph, ch)
+        return sub.reshape(ph, pw, ch), nbytes
+    if depth == 16:
+        nbytes = ph * (pw * ch * 2 + 1)
+        sub = _unfilter_png(raw[off:off + nbytes], pw, ph, ch * 2)
+        return sub.reshape(ph, pw, ch, 2)[..., 0].copy(), nbytes
+    rowbytes = (pw * depth + 7) // 8
+    nbytes = ph * (rowbytes + 1)
+    sub = _unfilter_png(raw[off:off + nbytes], rowbytes, ph, 1)
+    bits = np.unpackbits(sub.reshape(ph, rowbytes), axis=1)
+    vals = bits.reshape(ph, rowbytes * 8 // depth, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    idx = (vals * weights).sum(axis=2).astype(np.uint8)[:, :pw]
+    return idx[..., None], nbytes
+
+
 def _luminance(px, ch: int):
     """(n_pixels, ch) uint8 -> per-pixel luminance float64 in [0, 1]
     (ITU-R BT.601 weights, matching the reference-free BMP/PNG/JPEG
@@ -253,25 +293,53 @@ def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
         _check_dims(width, height, "PNG")
         depth, ctype = content[24], content[25]
         compression, filt, interlace = content[26], content[27], content[28]
-        if depth != 8 or ctype not in (0, 2, 6):
-            raise NotImplementedError(f"PNG depth={depth} colortype={ctype} unsupported")
+        ch_map = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+        if ctype not in ch_map:
+            raise NotImplementedError(f"PNG colortype={ctype} unsupported")
+        if ctype == 3:
+            if depth not in (1, 2, 4, 8):
+                raise NotImplementedError(
+                    f"PNG palette depth={depth} invalid")
+        elif depth not in (8, 16):
+            raise NotImplementedError(
+                f"PNG depth={depth} colortype={ctype} unsupported")
         if compression != 0 or filt != 0:
             raise NotImplementedError(
                 f"PNG compression={compression} filter_method={filt} unsupported")
         if interlace not in (0, 1):
             raise NotImplementedError(f"PNG interlace={interlace} invalid")
-        ch = {0: 1, 2: 3, 6: 4}[ctype]
+        ch = ch_map[ctype]
         idat = bytearray()
+        plte = None
         pos = 8
         while pos + 8 <= len(content):
             ln, = struct.unpack_from(">I", content, pos)
             tag = content[pos + 4:pos + 8]
             if tag == b"IDAT":
                 idat += content[pos + 8:pos + 8 + ln]
+            elif tag == b"PLTE":
+                plte = content[pos + 8:pos + 8 + ln]
             if tag == b"IEND":
                 break
             pos += 12 + ln
-        raw = zlib.decompress(bytes(idat))
+        # Bound the inflate by the filtered-stream size the declared
+        # dims imply — a zlib bomb in IDAT must not expand past the
+        # (already-capped) dimensions into a multi-GiB allocation.
+        if interlace == 1:
+            expected = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw > 0 and ph > 0:
+                    expected += ph * _png_rowlen(pw, depth, ch)
+        else:
+            expected = height * _png_rowlen(width, depth, ch)
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(bytes(idat), expected + 1)
+        if len(raw) > expected:
+            raise ValueError(
+                "PNG: IDAT inflates past the size implied by the header "
+                "dimensions")
         if interlace == 1:
             # Adam7: seven independently-filtered sub-images, each
             # through the same vectorized unfilter, scattered into the
@@ -283,14 +351,27 @@ def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
                 ph = (height - y0 + dy - 1) // dy
                 if pw <= 0 or ph <= 0:
                     continue  # empty pass contributes zero bytes
-                nbytes = ph * (pw * ch + 1)
-                sub = _unfilter_png(raw[off:off + nbytes], pw, ph, ch)
+                sub, nbytes = _png_decode_pass(raw, off, pw, ph, depth, ch)
                 off += nbytes
-                img[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+                img[y0::dy, x0::dx, :] = sub
             px = img.reshape(-1, ch)
         else:
-            px = _unfilter_png(raw, width, height, ch).reshape(-1, ch)
-        gray = _luminance(px, ch)
+            sub, _ = _png_decode_pass(raw, 0, width, height, depth, ch)
+            px = sub.reshape(-1, ch)
+        if ctype == 3:  # palette LUT after unfilter/unpack
+            if plte is None or len(plte) < 3:
+                raise ValueError("PNG: palette image without PLTE")
+            pal = np.frombuffer(plte, np.uint8,
+                                (len(plte) // 3) * 3).reshape(-1, 3)
+            idx = px[:, 0]
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("PNG: palette index out of range")
+            px, ch_eff = pal[idx.astype(np.int64)], 3
+        elif ctype == 4:  # gray+alpha: luminance is the gray channel
+            px, ch_eff = px[:, :1], 1
+        else:
+            ch_eff = ch
+        gray = _luminance(px, ch_eff)
         return width, height, _gray_embedding(gray, width, height, dim)
     if content[:2] == b"\xff\xd8":
         width, height, gray = _decode_jpeg(content)
@@ -395,6 +476,11 @@ def _gif_frames(content: bytes):
             pos += 1
         elif b == 0x2C:  # image descriptor
             left, top, iw, ih = struct.unpack_from("<HHHH", content, pos + 1)
+            _check_dims(iw, ih, "GIF frame")
+            if left + iw > width or top + ih > height:
+                raise ValueError(
+                    f"GIF frame rect {left},{top}+{iw}x{ih} exceeds "
+                    f"canvas {width}x{height}")
             iflags = content[pos + 9]
             pos += 10
             pal = gct
@@ -679,7 +765,12 @@ def _decode_jpeg(content: bytes):
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c: 9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                h, v = hv >> 4, hv & 15
+                if h < 1 or v < 1 or h > 4 or v > 4:
+                    raise ValueError(
+                        f"JPEG: invalid sampling factor {h}x{v} "
+                        f"for component {cid}")
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             mcux = -(-width // (8 * hmax))
@@ -2054,42 +2145,76 @@ def synth_bmp(width: int, height: int, pixel) -> bytes:
     return bytes(header + dib + px)
 
 
-def synth_png(width: int, height: int, pixel, interlace: bool = False) -> bytes:
-    """Tiny 8-bit RGB PNG writer for tests: ``pixel`` is a callable
-    (x, y) -> (r, g, b) or an (h, w, 3) uint8 numpy array.
-    ``interlace=True`` writes an Adam7 stream (seven filtered
-    sub-images in pass order)."""
+def synth_png(width: int, height: int, pixel, interlace: bool = False,
+              palette=None, depth: int = 8) -> bytes:
+    """Tiny PNG writer for tests. Default: 8-bit RGB (colortype 2);
+    ``pixel`` is a callable (x, y) -> (r, g, b) or an (h, w, 3) uint8
+    numpy array. ``interlace=True`` writes an Adam7 stream (seven
+    filtered sub-images in pass order). ``palette`` (an (n, 3) uint8
+    array) switches to colortype 3: ``pixel`` then yields palette
+    indexes and ``depth`` may be 1/2/4/8 (MSB-first bit packing).
+    ``depth=16`` without a palette writes 16-bit RGB with each sample
+    v replicated to (v<<8)|v, so the high-byte reduction round-trips.
+    """
     import struct
     import zlib
 
     import numpy as np
 
-    if callable(pixel):
-        img = np.empty((height, width, 3), dtype=np.uint8)
-        for y in range(height):
-            for x in range(width):
-                img[y, x] = pixel(x, y)
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+        if callable(pixel):
+            img = np.array([[pixel(x, y) for x in range(width)]
+                            for y in range(height)], dtype=np.uint8)
+        else:
+            img = np.asarray(pixel, dtype=np.uint8).reshape(height, width)
+        ctype = 3
     else:
-        img = np.asarray(pixel, dtype=np.uint8).reshape(height, width, 3)
+        if callable(pixel):
+            img = np.empty((height, width, 3), dtype=np.uint8)
+            for y in range(height):
+                for x in range(width):
+                    img[y, x] = pixel(x, y)
+        else:
+            img = np.asarray(pixel, dtype=np.uint8).reshape(height, width, 3)
+        ctype = 2
+
+    def pack_rows(sub) -> bytes:
+        """Filtered scanlines (filter byte 0) for one (sub-)image."""
+        ph = sub.shape[0]
+        if ctype == 3:
+            pw = sub.shape[1]
+            if depth == 8:
+                body = sub.reshape(ph, pw)
+            else:
+                per = 8 // depth
+                pad = (-pw) % per
+                padded = np.pad(sub, ((0, 0), (0, pad)))
+                # MSB-first: expand each index to its depth bits
+                shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+                bits = (padded[:, :, None] >> shifts) & 1
+                body = np.packbits(bits.reshape(ph, -1), axis=1)
+        elif depth == 16:
+            pw = sub.shape[1]
+            wide = sub.astype(">u2") * 257  # (v<<8)|v
+            body = wide.reshape(ph, pw * 3).view(np.uint8).reshape(ph, -1)
+        else:
+            pw = sub.shape[1]
+            body = sub.reshape(ph, pw * 3)
+        rows = np.concatenate(
+            [np.zeros((ph, 1), dtype=np.uint8), body], axis=1)
+        return rows.tobytes()
 
     if interlace:
         parts = []
         for x0, y0, dx, dy in _ADAM7:
-            sub = img[y0::dy, x0::dx, :]
+            sub = img[y0::dy, x0::dx]
             if sub.size == 0:
                 continue
-            ph, pw = sub.shape[:2]
-            rows = np.concatenate(
-                [np.zeros((ph, 1), dtype=np.uint8),
-                 sub.reshape(ph, pw * 3)], axis=1)
-            parts.append(rows.tobytes())
+            parts.append(pack_rows(sub))
         raw = b"".join(parts)
     else:
-        rows = np.concatenate(
-            [np.zeros((height, 1), dtype=np.uint8),
-             img.reshape(height, width * 3)], axis=1
-        )
-        raw = rows.tobytes()
+        raw = pack_rows(img)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -2097,14 +2222,12 @@ def synth_png(width: int, height: int, pixel, interlace: bool = False) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0,
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0,
                        1 if interlace else 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
-    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", pal.tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
 def synth_wav(rate: int = 16000, freq: float = 440.0, ms: int = 250) -> bytes:

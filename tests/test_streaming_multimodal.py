@@ -1333,3 +1333,113 @@ def test_decode_dimension_sanity_cap():
     struct.pack_into(">II", png0, 16, 0, 12)
     with pytest.raises(ValueError):
         _decode_image(bytes(png0))
+
+
+def test_corrupt_assets_r5_advice_cases():
+    # ADVICE r5: three residual corrupt-asset vectors.
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.multimodal import (
+        DECODE_ERRORS, _decode_image, synth_animated_gif, synth_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (12, 20, 3), np.uint8)
+
+    # 1) JPEG SOF with zero sampling-factor nibbles: was
+    #    ZeroDivisionError in the MCU math / upsample divisions
+    for hv in (0x00, 0x10, 0x01):  # both zero, v=0, h=0
+        jpg = bytearray(synth_jpeg(20, 12, img))
+        sof = jpg.find(b"\xff\xc0")
+        assert sof > 0
+        jpg[sof + 11] = hv  # first component's h/v byte (after len,
+        # precision, height, width, ncomp, comp-id)
+        with pytest.raises(DECODE_ERRORS):
+            _decode_image(bytes(jpg))
+
+    # 2) GIF per-frame image descriptor dims uncapped: a crafted frame
+    #    rect could demand ~4.3e9-px LZW output + ~13 GiB palette LUT
+    def image_descriptor_pos(buf):
+        # walk header -> GCT -> extension blocks to the 0x2C separator
+        # (a bare .find() can hit a palette byte that happens to be 44)
+        pos = 13
+        if buf[10] & 0x80:
+            pos += 3 * (2 << (buf[10] & 7))
+        while buf[pos] == 0x21:
+            pos += 2
+            while buf[pos]:
+                pos += buf[pos] + 1
+            pos += 1
+        assert buf[pos] == 0x2C
+        return pos
+
+    frame = np.zeros((12, 20), np.uint8)
+    gif = bytearray(synth_animated_gif(20, 12, [frame]))
+    desc = image_descriptor_pos(gif)
+    struct.pack_into("<HH", gif, desc + 5, 0xFFFF, 0xFFFF)  # iw, ih
+    with pytest.raises(ValueError):
+        _decode_image(bytes(gif))
+    # ...and a frame rect that escapes the canvas
+    gif2 = bytearray(synth_animated_gif(20, 12, [frame]))
+    desc2 = image_descriptor_pos(gif2)
+    struct.pack_into("<HH", gif2, desc2 + 1, 10, 10)  # left, top: 10+20>20
+    with pytest.raises(ValueError):
+        _decode_image(bytes(gif2))
+
+    # 3) PNG zlib bomb: small IDAT inflating far past the size the
+    #    (capped) header dims imply must fail BEFORE the allocation
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 50_000_000))
+            + chunk(b"IEND", b""))
+    assert len(bomb) < 100_000  # the bomb itself is tiny
+    with pytest.raises(ValueError):
+        _decode_image(bomb)
+
+
+def test_png_palette_and_16bit_decode():
+    # r4 ask #3: palette PNGs (colortype 3, PLTE, depths 1/2/4/8) and
+    # 16-bit RGB are common in web crawls; decode must match the
+    # equivalent truecolor luminance embedding exactly.
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.multimodal import (
+        _decode_image, _gray_embedding, _luminance, synth_png,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (13, 17, 3), np.uint8)
+    _, _, emb8 = _decode_image(synth_png(17, 13, img))
+
+    # 16-bit RGB with (v<<8)|v samples reduces to the 8-bit embedding
+    _, _, emb16 = _decode_image(synth_png(17, 13, img, depth=16))
+    assert emb16 == emb8
+
+    # palette depths 1/2/4/8, sequential and Adam7-interlaced
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3), np.uint8)
+        idx = rng.integers(0, n, (13, 17), np.uint8)
+        expected = _gray_embedding(
+            _luminance(pal[idx.reshape(-1)], 3), 17, 13, 8)
+        for interlace in (False, True):
+            w, h, emb = _decode_image(
+                synth_png(17, 13, idx, palette=pal, depth=depth,
+                          interlace=interlace))
+            assert (w, h) == (17, 13)
+            assert emb == expected, (depth, interlace)
+
+    # palette index past PLTE length is a decode error, not an IndexError
+    pal4 = rng.integers(0, 256, (4, 3), np.uint8)  # only 4 entries
+    idx_oob = np.full((13, 17), 9, np.uint8)  # depth-8 indexes -> 9 > 3
+    with pytest.raises(ValueError):
+        _decode_image(synth_png(17, 13, idx_oob, palette=pal4))
