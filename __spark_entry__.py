@@ -1486,6 +1486,39 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-TRUE token accounting: the real byte-level BPE
+    encoder (operators/tokenize.py — broadcast merge table,
+    Arrow-vectorized, per-executor word cache) run with the
+    disjoint-digraph vocabulary {th, er, in, as}, whose pairwise-
+    disjoint character sets make merges non-interacting so the count
+    has the closed SQL form bytes - digraph_occurrences the DuckDB
+    oracle computes. The engine still executes the full general BPE
+    merge loop; only the vocabulary is specially chosen."""
+    from graphlite_spark.operators.text import token_count
+    from graphlite_spark.operators.tokenize import disjoint_digraph_tokenizer
+
+    return token_count(
+        _table(spark, sf_dir, "documents"),
+        tokenizer=disjoint_digraph_tokenizer(),
+    )
+
+
+def _q_chunk_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-mode sibling of chunk_documents_overlap: 64-BPE-token
+    windows with 16-token overlap under the disjoint-digraph
+    vocabulary. Chunk counts/sizes derive from the closed-form total
+    (oracle-checked); exact chunk-text byte slices are pinned by
+    pytest (test_tokenize.py reconstructs documents from chunks)."""
+    from graphlite_spark.operators.text import chunk_documents
+    from graphlite_spark.operators.tokenize import disjoint_digraph_tokenizer
+
+    return chunk_documents(
+        _table(spark, sf_dir, "documents"), max_tokens=64, overlap=16,
+        tokenizer=disjoint_digraph_tokenizer(),
+    ).select("doc_id", "chunk_idx", "n_tokens")
+
+
 def _q_sample_frames_mjpeg_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MJPEG-in-AVI video frame sampling: per doc a 4-frame AVI
     (100 ms/frame, gray-uniform frames (doc_id*37+k)%256) is walked
@@ -2116,7 +2149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "minhash_lsh_pairs": _q_minhash_lsh,
             "simhash_pairs": _q_simhash,
             "token_count": _q_token_count,
+            "token_count_bpe": _q_token_count_bpe,
             "chunk_documents_overlap": _q_chunk_documents,
+            "chunk_documents_bpe": _q_chunk_documents_bpe,
             "quality_score": _q_quality,
             "pack_documents_bins": _q_pack_documents,
             "lang_id": _q_lang_id,
@@ -2689,6 +2724,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i AS BIGINT) AS chunk_idx,
                    array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS text,
                    CAST(LEAST(n - i*48, 64) AS BIGINT) AS n_tokens
+            FROM (SELECT *, unnest(range(nch)) AS i FROM c)
+        """,
+        "token_count_bpe": """
+            -- byte-level BPE with the disjoint-digraph vocabulary
+            -- {th,er,in,as}: charsets are pairwise disjoint, so merges
+            -- neither overlap nor cascade and the token count is
+            -- bytes - sum(non-overlapping digraph occurrences), with
+            -- occurrences(d) = (len - len(replace(text,d,'')))/2
+            SELECT doc_id,
+                   CAST(octet_length(encode(text))
+                        - (length(text) - length(replace(text,'th','')))//2
+                        - (length(text) - length(replace(text,'er','')))//2
+                        - (length(text) - length(replace(text,'in','')))//2
+                        - (length(text) - length(replace(text,'as','')))//2
+                        AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(octet_length(encode(text))
+                        - (length(text) - length(replace(text,'th','')))//2
+                        - (length(text) - length(replace(text,'er','')))//2
+                        - (length(text) - length(replace(text,'in','')))//2
+                        - (length(text) - length(replace(text,'as','')))//2
+                        AS BIGINT) AS n_subwords
+            FROM documents
+        """,
+        "chunk_documents_bpe": """
+            -- 64-BPE-token windows, stride 48: chunk i has
+            -- least(64, T - i*48) tokens where T is the closed-form
+            -- BPE total (see token_count_bpe)
+            WITH t AS (
+                SELECT doc_id,
+                       octet_length(encode(text))
+                       - (length(text) - length(replace(text,'th','')))//2
+                       - (length(text) - length(replace(text,'er','')))//2
+                       - (length(text) - length(replace(text,'in','')))//2
+                       - (length(text) - length(replace(text,'as','')))//2
+                       AS T
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+            ), c AS (
+                SELECT doc_id, T,
+                       CASE WHEN T <= 64 THEN 1
+                            ELSE 1 + CAST(CEIL((T - 64) / 48.0)
+                                          AS BIGINT) END AS nch
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(LEAST(64, T - i*48) AS BIGINT) AS n_tokens
             FROM (SELECT *, unnest(range(nch)) AS i FROM c)
         """,
         "token_count": """

@@ -72,7 +72,8 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float,
 
 def mixture_sample(df: DataFrame, group_col: str, targets: dict[str, float],
                    key_col: str, salt: int = 0,
-                   weight_col: str | None = None) -> DataFrame:
+                   weight_col: str | None = None,
+                   tokenizer=None, text_col: str = "text") -> DataFrame:
     """Downsample groups to a TARGET MIXTURE — the data-mixing step of
     a training pipeline ("50% en / 30% code / 20% the rest").
 
@@ -89,9 +90,19 @@ def mixture_sample(df: DataFrame, group_col: str, targets: dict[str, float],
     (|groups| rows), a 1-row min, broadcast rate join, map-side filter
     — cost is the scan plus one tiny shuffle regardless of corpus
     size. Entirely plan-side: no driver collect.
+
+    Pass ``tokenizer`` (a tokenize.BPETokenizer) to measure the
+    mixture in real BPE tokens of ``text_col`` — the denomination a
+    training run actually budgets — instead of rows / ``weight_col``.
     """
     if not targets or any(t <= 0 for t in targets.values()):
         raise ValueError(f"targets must be positive shares: {targets}")
+    if tokenizer is not None:
+        from .tokenize import bpe_token_count_col
+
+        weight_col = "_bpe_tokens"
+        df = df.withColumn(
+            weight_col, bpe_token_count_col(df, tokenizer, text_col))
     tmap = F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])
     # aggregate weights in their native (integer-exact) type and cast
     # AFTER the sum: a double-typed partial sum would be partition-
@@ -116,7 +127,7 @@ def mixture_sample(df: DataFrame, group_col: str, targets: dict[str, float],
     out = df.join(F.broadcast(rates), group_col, "inner")
     return out.filter(
         _bucket(F.col(key_col), salt) < F.col("_rate") * F.lit(float(_M32))
-    ).drop("_rate")
+    ).drop("_rate", "_bpe_tokens")
 
 
 def split_assign(df: DataFrame, key_col: str,

@@ -31,10 +31,25 @@ def _tokens(text_col):
     return F.split(F.trim(text_col), _WS)
 
 
-def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                tokenizer=None) -> DataFrame:
     """(id, n_tokens, n_chars, n_subwords): whitespace tokens plus a
     BPE-ish estimate (ceil(chars/4) per token, the common ~4 chars/token
-    rule) — both exactly expressible in SQL for the oracle."""
+    rule) — both exactly expressible in SQL for the oracle.
+
+    Pass ``tokenizer`` (a tokenize.BPETokenizer) for tokenizer-TRUE
+    accounting: n_tokens and n_subwords both become the real BPE token
+    count (broadcast merge table, Arrow-vectorized, map-side)."""
+    if tokenizer is not None:
+        from .tokenize import bpe_token_count_col
+
+        cnt = bpe_token_count_col(df, tokenizer, text_col)
+        return df.select(
+            F.col(id_col),
+            cnt.alias("n_tokens"),
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+            cnt.alias("n_subwords"),
+        )
     toks = _tokens(F.col(text_col))
     n_tokens = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
         F.size(toks)
@@ -257,6 +272,8 @@ def pack_documents(
     order_col: str = "doc_id",
     by: str | list[str] | None = None,
     id_col: str = "doc_id",
+    tokenizer=None,
+    text_col: str = "text",
 ) -> DataFrame:
     """Assign documents to fixed-capacity token bins — the packing step a
     training-data pipeline runs before batching sequences.
@@ -272,9 +289,19 @@ def pack_documents(
     window partitions — an unpartitioned window is a single-reducer
     total order, fine for one shard, wrong for 100 TB. Bin ids are then
     per-group. Returns (id, *by, bin, bin_offset, n_tokens).
+
+    Pass ``tokenizer`` (a tokenize.BPETokenizer) to budget bins in
+    real BPE tokens computed from ``text_col`` instead of reading a
+    precomputed ``token_col``.
     """
     from pyspark.sql import Window
 
+    if tokenizer is not None:
+        from .tokenize import bpe_token_count_col
+
+        token_col = "_bpe_tokens"
+        df = df.withColumn(
+            token_col, bpe_token_count_col(df, tokenizer, text_col))
     by_cols = [by] if isinstance(by, str) else list(by or [])
     # ROWS frame, not the default RANGE: rows tied on order_col must each
     # get their own running offset (RANGE would hand ties one shared
@@ -301,6 +328,7 @@ def chunk_documents(
     overlap: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer=None,
 ) -> DataFrame:
     """Split documents into token-bounded (optionally overlapping)
     chunks — the context-window slicing step every training / RAG
@@ -314,7 +342,17 @@ def chunk_documents(
     whole-stage codegen, no shuffle, no Python — the row-expansion
     shape that scales to any corpus size. Returns
     (id, chunk_idx, text, n_tokens).
+
+    Pass ``tokenizer`` (a tokenize.BPETokenizer) to measure windows in
+    real BPE tokens instead (delegates to tokenize.chunk_documents_bpe;
+    chunk text is then the exact byte slice — lossless).
     """
+    if tokenizer is not None:
+        from .tokenize import chunk_documents_bpe
+
+        return chunk_documents_bpe(
+            df, tokenizer, max_tokens=max_tokens, overlap=overlap,
+            text_col=text_col, id_col=id_col)
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     if not 0 <= overlap < max_tokens:

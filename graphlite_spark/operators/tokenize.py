@@ -1,0 +1,337 @@
+"""Byte-level BPE tokenization for training-data pipelines.
+
+Training pipelines budget text in SUBWORD tokens, not whitespace
+words — lengths differ 1.3-2x non-uniformly by language, which shifts
+mixture weights, chunk boundaries, and packing bins. This module
+provides the tokenizer-true accounting the rest of the text family
+(token_count / chunk_documents / pack_documents / mixture_sample)
+threads through via ``tokenizer=``.
+
+Design (beyond-reference surface; the reference engine has no text
+pipeline — see graphlite/src layout, which stops at the query layer):
+
+- ``BPETokenizer``: byte-level BPE in the GPT-2 style — a pre-token
+  regex splits text into words, each word's UTF-8 bytes are merged by
+  a ranked pair table (lowest rank first, all occurrences of the
+  winning pair left-to-right per round). Ids: 0-255 are raw bytes,
+  256+i is merge i. Encoding is LOSSLESS: decode(encode(s)) == s.
+  The pre-tokenizer is GPT-2's pattern minus English contraction
+  splitting, so maximal letter runs always stay in one pre-token (a
+  property the closed-form oracle below relies on).
+- ``tokenize_bpe`` / ``token_count_bpe``: Spark operators. The merge
+  table is broadcast once per executor (sc.broadcast), encoding runs
+  in an Arrow-vectorized pandas UDF with a per-executor word->pieces
+  LRU cache — natural-language word frequency is Zipfian, so the
+  cache turns the per-word merge loop into a dict hit for the bulk of
+  the corpus. Map-side only: no shuffle at any corpus size.
+- ``chunk_documents_bpe``: token-window chunking where windows are
+  measured in BPE tokens and chunk text is the exact byte slice
+  (byte-level BPE is lossless, so chunks reassemble to the document).
+- ``learn_bpe`` / ``train_bpe``: merge-table training. The word
+  histogram is computed DISTRIBUTED (one map-side-combined groupBy —
+  the only corpus-sized stage, scan-bound at 100 TB); the sequential
+  merge-learning loop then runs on the compact capped histogram on
+  the driver, which is how production tokenizer trainers work (the
+  pair-count loop is inherently sequential in num_merges).
+
+Oracle strategy: for a merge table of single-byte pairs whose
+character sets are PAIRWISE DISJOINT (e.g. th/er/in/as), merges can
+neither overlap nor cascade, so
+    n_tokens = octet_length(text) - sum_d occurrences(d, text)
+and occurrences(d) = (length(text) - length(replace(text, d, '')))/2
+— exactly computable by DuckDB. The engine still runs the full
+general BPE algorithm; only the vocabulary is specially chosen.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# GPT-2's pre-token pattern with \p{L}->[^\W\d_], \p{N}->\d, and the
+# English contraction alternatives ('s|'t|...) REMOVED: contraction
+# splitting cuts letter runs ("'there" -> "'t","here"), which would
+# break the adjacent-letter-pair invariant the closed-form oracle
+# needs. Coverage is total: every char is a letter, digit, whitespace,
+# or other (incl. '_'), and each class has an arm.
+PRETOKEN_PATTERN = r" ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+_PRETOKEN_RE = re.compile(PRETOKEN_PATTERN)
+
+_INF = float("inf")
+
+
+class BPETokenizer:
+    """Byte-level BPE: ranked merge table over UTF-8 bytes.
+
+    ``merges`` is an ordered list of (left, right) pieces (str or
+    bytes); rank = list position (lower merges first). Each side must
+    be a piece already in the vocabulary when its rule is added (bytes
+    0-255 are always present), matching how BPE training emits rules.
+    """
+
+    def __init__(self, merges):
+        self.merges: list[tuple[bytes, bytes]] = []
+        self.vocab: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+        for a, b in merges:
+            a = a.encode("utf-8") if isinstance(a, str) else bytes(a)
+            b = b.encode("utf-8") if isinstance(b, str) else bytes(b)
+            if a not in self.vocab or b not in self.vocab:
+                raise ValueError(
+                    f"merge ({a!r}, {b!r}) references a piece not yet in "
+                    "the vocabulary (merges must build bottom-up)")
+            self.merges.append((a, b))
+            self.vocab.setdefault(a + b, 256 + len(self.merges) - 1)
+        self.ranks: dict[tuple[bytes, bytes], int] = {
+            pair: i for i, pair in enumerate(self.merges)
+        }
+        self.id_to_piece: dict[int, bytes] = {}
+        for piece, pid in self.vocab.items():
+            self.id_to_piece.setdefault(pid, piece)
+        # per-instance word cache (Zipfian reuse); bounded so a
+        # long-running executor cannot grow it without limit
+        self._word_cache = lru_cache(maxsize=65536)(self._bpe_word)
+
+    def __getstate__(self):
+        return {"merges": self.merges}
+
+    def __setstate__(self, state):
+        self.__init__(state["merges"])
+
+    def __reduce__(self):
+        return (BPETokenizer, (self.merges,))
+
+    def _bpe_word(self, word: bytes) -> tuple[bytes, ...]:
+        """Canonical BPE: repeatedly merge ALL occurrences (left to
+        right) of the lowest-ranked adjacent pair present."""
+        parts = [bytes([b]) for b in word]
+        ranks = self.ranks
+        while len(parts) > 1:
+            best_rank = _INF
+            best = None
+            for pair in zip(parts, parts[1:]):
+                r = ranks.get(pair, _INF)
+                if r < best_rank:
+                    best_rank, best = r, pair
+            if best is None:
+                break
+            a, b = best
+            out = []
+            i = 0
+            n = len(parts)
+            while i < n:
+                if i < n - 1 and parts[i] == a and parts[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            parts = out
+        return tuple(parts)
+
+    def encode_pieces(self, text: str) -> list[bytes]:
+        pieces: list[bytes] = []
+        for word in _PRETOKEN_RE.findall(text):
+            pieces.extend(self._word_cache(word.encode("utf-8")))
+        return pieces
+
+    def encode(self, text: str) -> list[int]:
+        return [self.vocab[p] for p in self.encode_pieces(text)]
+
+    def decode(self, ids) -> str:
+        return b"".join(self.id_to_piece[int(i)] for i in ids).decode(
+            "utf-8", errors="replace")
+
+    def count(self, text: str) -> int:
+        return len(self.encode_pieces(text))
+
+
+# The closed-form demo vocabulary: four single-byte merges whose
+# character sets {t,h},{e,r},{i,n},{a,s} are pairwise disjoint, so the
+# token count has the exact SQL form documented in the module header.
+DISJOINT_DIGRAPH_MERGES = [("t", "h"), ("e", "r"), ("i", "n"), ("a", "s")]
+
+
+def disjoint_digraph_tokenizer() -> BPETokenizer:
+    return BPETokenizer(DISJOINT_DIGRAPH_MERGES)
+
+
+def learn_bpe(word_counts: dict[bytes, int], num_merges: int,
+              min_count: int = 2) -> list[tuple[bytes, bytes]]:
+    """Learn a merge table from a word histogram (pure Python, the
+    inherently-sequential part of BPE training). Greedy: each round
+    merges the globally most frequent adjacent pair; ties break on
+    lexicographic pair order for determinism."""
+    words: list[tuple[list[bytes], int]] = [
+        ([bytes([b]) for b in w], c) for w, c in word_counts.items()
+    ]
+    merges: list[tuple[bytes, bytes]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[bytes, bytes], int] = {}
+        for parts, c in words:
+            for pair in zip(parts, parts[1:]):
+                counts[pair] = counts.get(pair, 0) + c
+        if not counts:
+            break
+        # deterministic: highest count, then lexicographically smallest
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        if counts[best] < min_count:
+            break
+        merges.append(best)
+        a, b = best
+        for parts, _c in words:
+            i = 0
+            while i < len(parts) - 1:
+                if parts[i] == a and parts[i + 1] == b:
+                    parts[i: i + 2] = [a + b]
+                else:
+                    i += 1
+    return merges
+
+
+def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
+              max_words: int = 1_000_000) -> BPETokenizer:
+    """Train a BPE merge table on a corpus. The word histogram is one
+    distributed map-side-combined groupBy (scan-bound at any scale);
+    the top ``max_words`` rows by count come to the driver for the
+    sequential merge loop — capping the histogram is the standard
+    trainer posture (coverage loss is in the Zipf tail)."""
+    hist = (
+        df.select(F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN),
+                                 F.lit(0))
+        ).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(max_words)
+    )
+    counts = {r["w"].encode("utf-8"): int(r["c"]) for r in hist.collect()}
+    return BPETokenizer(learn_bpe(counts, num_merges))
+
+
+def _broadcast_tokenizer(df: DataFrame, tokenizer: BPETokenizer):
+    sc = df.sparkSession.sparkContext
+    return sc.broadcast(tokenizer.merges)
+
+
+def tokenize_bpe(df: DataFrame, tokenizer: BPETokenizer,
+                 text_col: str = "text",
+                 out_col: str = "token_ids") -> DataFrame:
+    """Add an array<int> column of BPE token ids. Broadcast merge
+    table + Arrow-vectorized pandas UDF; map-side, zero shuffle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = _broadcast_tokenizer(df, tokenizer)
+
+    def _enc(s):
+        tok = BPETokenizer(bc.value)
+        return s.map(lambda x: None if x is None else tok.encode(x))
+
+    _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, pandas_udf(_enc, "array<int>")(F.col(text_col)))
+
+
+def token_count_bpe(df: DataFrame, tokenizer: BPETokenizer,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens) under the given BPE tokenizer. Same distributed
+    shape as tokenize_bpe but never materializes the id arrays."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = _broadcast_tokenizer(df, tokenizer)
+
+    def _cnt(s):
+        tok = BPETokenizer(bc.value)
+        return s.map(lambda x: 0 if x is None else tok.count(x))
+
+    _cnt.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return df.select(
+        F.col(id_col),
+        pandas_udf(_cnt, "long")(F.col(text_col)).alias("n_tokens"),
+    )
+
+
+def bpe_token_count_col(df: DataFrame, tokenizer: BPETokenizer,
+                        text_col: str):
+    """The counting expression alone, for threading into operators
+    that take a token/weight column (pack_documents, mixture_sample)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bc = _broadcast_tokenizer(df, tokenizer)
+
+    def _cnt(s):
+        tok = BPETokenizer(bc.value)
+        return s.map(lambda x: 0 if x is None else tok.count(x))
+
+    _cnt.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_cnt, "long")(F.col(text_col))
+
+
+def chunk_documents_bpe(
+    df: DataFrame,
+    tokenizer: BPETokenizer,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-true sibling of text.chunk_documents: chunk i covers
+    BPE tokens [i*stride, i*stride + max_tokens); chunk text is the
+    exact byte slice those tokens decode to (byte-level BPE is
+    lossless, so concatenating chunks at overlap=0 reconstructs the
+    document). Empty documents produce no chunks. One Arrow-vectorized
+    mapInPandas — encode once per document, emit all chunks from the
+    same id list; map-side, no shuffle. Returns
+    (id, chunk_idx, text, n_tokens).
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"overlap must be in [0, max_tokens), got {overlap}")
+    stride = max_tokens - overlap
+    bc = _broadcast_tokenizer(df, tokenizer)
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+
+    def gen(batches):
+        import pandas as pd
+
+        tok = BPETokenizer(bc.value)
+        for pdf in batches:
+            ids, idxs, texts, ntoks = [], [], [], []
+            for did, text in zip(pdf["_id"], pdf["_text"]):
+                if text is None:
+                    continue
+                pieces = tok.encode_pieces(text)
+                n = len(pieces)
+                if n == 0:
+                    continue
+                start = 0
+                ci = 0
+                while True:
+                    window = pieces[start:start + max_tokens]
+                    ids.append(did)
+                    idxs.append(ci)
+                    texts.append(b"".join(window).decode("utf-8",
+                                                         errors="replace"))
+                    ntoks.append(len(window))
+                    if start + max_tokens >= n:
+                        break
+                    start += stride
+                    ci += 1
+            yield pd.DataFrame({
+                "_id": pd.Series(ids, dtype=pdf["_id"].dtype),
+                "chunk_idx": pd.Series(idxs, dtype="int64"),
+                "text": pd.Series(texts, dtype="object"),
+                "n_tokens": pd.Series(ntoks, dtype="int64"),
+            })
+
+    schema = "_id long, chunk_idx long, text string, n_tokens long"
+    out = src.mapInPandas(gen, schema)
+    return out.select(F.col("_id").alias(id_col), "chunk_idx", "text",
+                      "n_tokens")
