@@ -1007,6 +1007,45 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries_df, k=10, dim=64)
 
 
+def _q_ann_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-scan + exact-rescore ANN (the ann_topk 'auto' route):
+    int8 integer-GEMM coarse pass over all items, exact cosine only on
+    the top 15% per query. On this corpus the true top-10 always
+    survives the 15% cut (pinned by ann_rescore_recall_audit), so the
+    result is bit-identical to exact cosine_topk and the oracle is the
+    FULL exact top-k SQL — a hash-matched ANN entry, unlike the
+    rows-only bucketing paths."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import ann_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk(emb, queries_df, k=10, candidate_fraction=0.15)
+
+
+def _q_ann_rescore_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of rescore_topk vs exact cosine_topk: measured
+    1.0 at 15% exactly-scored candidate fraction on the random
+    corpus — the operating point the bucketing families cannot reach
+    there (docs/ANN.md sweep: LSH <=0.54@27%, IVF ~0.3@13%)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import (
+        ann_recall_audit, cosine_topk, rescore_topk,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries_df, k=10)
+    ann = rescore_topk(emb, queries_df, k=10, candidate_fraction=0.15)
+    return ann_recall_audit(exact, ann)
+
+
 def _q_ann_recall(which: str) -> Callable[[SparkSession, str], DataFrame]:
     """Recall@10 audit of the approximate top-k paths against exact
     cosine_topk on the same 5 queries — the verification sibling the
@@ -2165,6 +2204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ivf_ann_topk": _q_ivf_ann,
             "ann_lsh_recall_audit": _q_ann_recall("lsh"),
             "ivf_ann_recall_audit": _q_ann_recall("ivf"),
+            "ann_rescore_topk": _q_ann_rescore,
+            "ann_rescore_recall_audit": _q_ann_rescore_recall,
             "events_tumbling_counts": _q_tumbling_counts,
             "sessionization": _q_sessionization,
             "streaming_rollup_hourly": _q_streaming_rollup_hourly,
@@ -3328,6 +3369,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_false_pos,
                    CAST(0 AS BIGINT) AS n_missed_high
             FROM p
+        """,
+        "ann_rescore_topk": """
+            -- rescore_topk reproduces exact cosine_topk bit-for-bit on
+            -- this corpus (the true top-10 survives the int8 coarse
+            -- pass's 15% cut; ann_rescore_recall_audit pins recall=1),
+            -- so the oracle is the full exact top-k
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS item_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])) AS score
+                FROM embeddings e, q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, item_id, round(score, 6) AS score
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, item_id) AS rk
+                FROM scored
+            ) WHERE rk <= 10
+        """,
+        "ann_rescore_recall_audit": """
+            -- n_exact_rows recomputed from the corpus; the rescore path
+            -- is quantization-deterministic (int8 max-abs + integer
+            -- GEMM): measured recall@10 = 50/50 at candidate_fraction
+            -- 0.15 on the random corpus (also 1.0 at sf0.1)
+            WITH ranked AS (
+                SELECT row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(
+                        CAST(q.embedding AS DOUBLE[]),
+                        CAST(i.embedding AS DOUBLE[])) DESC,
+                    i.vec_id) AS rk
+                FROM embeddings q JOIN embeddings i ON i.vec_id != q.vec_id
+                WHERE q.vec_id < 5
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_exact_rows,
+                   CAST(50 AS BIGINT) AS n_ann_rows,
+                   CAST(50 AS BIGINT) AS n_hits,
+                   CAST(1.0 AS DOUBLE) AS recall_at_k
+            FROM ranked WHERE rk <= 10
         """,
         "ann_lsh_recall_audit": """
             -- n_exact_rows is recomputed from the corpus (5 queries x

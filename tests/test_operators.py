@@ -738,3 +738,61 @@ def test_chunk_documents_properties(spark):
                 start = ci * stride
                 covered.update(range(start, min(start + w, len(toks))))
             assert covered == set(range(len(toks))), (w, o, i)
+
+
+def test_rescore_topk_matches_exact_on_random(spark):
+    # the ann_topk 'auto' route: int8 coarse scan + exact rescore of the
+    # top 15% must reproduce exact cosine_topk bit-for-bit on a random
+    # corpus (the regime where bucketing ANN measures recall ~= fraction
+    # — docs/ANN.md)
+    import random
+
+    from graphlite_spark.operators.similarity import (
+        ann_topk, cosine_topk, rescore_topk)
+
+    rng = random.Random(11)
+    items = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(300)],
+        "vec_id: long, embedding: array<double>",
+    )
+    q = items.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding")
+    exact = sorted(map(tuple, cosine_topk(items, q, k=10).collect()))
+    got = sorted(map(tuple, rescore_topk(
+        items, q, k=10, candidate_fraction=0.15).collect()))
+    assert got == exact
+    # dispatcher: auto == rescore; unknown strategy rejected
+    auto = sorted(map(tuple, ann_topk(
+        items, q, k=10, candidate_fraction=0.15).collect()))
+    assert auto == exact
+    import pytest
+
+    with pytest.raises(ValueError):
+        ann_topk(items, q, strategy="bogus")
+
+
+def test_rescore_topk_candidate_budget(spark):
+    # stage 2 (exact scoring) must touch at most
+    # max(k, ceil(fraction*n)) items per query, and tiny fractions
+    # clamp to k so the result always fills
+    import random
+
+    from graphlite_spark.operators.similarity import rescore_topk
+
+    rng = random.Random(3)
+    items = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)],
+        "vec_id: long, embedding: array<double>",
+    )
+    q = items.filter("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding")
+    out = rescore_topk(items, q, k=7, candidate_fraction=0.001)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["item_id"])
+    assert all(len(v) == 7 for v in per_q.values())  # clamp C >= k
+    import pytest
+
+    with pytest.raises(ValueError):
+        rescore_topk(items, q, candidate_fraction=0.0)
