@@ -1612,6 +1612,58 @@ def _q_sample_frames_mjpeg_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_frames_rawvideo_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-AVI (DIB/rawvideo) frame sampling: per doc a
+    4-frame 'DIB '-handler AVI (100 ms/frame, gray-uniform frames
+    (doc_id*53+k)%256) is walked via the RIFF 'movi' chunks, each
+    sampled raw frame is emitted as a BMP (header prepend, no pixel
+    transcode) and decoded by the in-engine BMP kernel — DIB decode is
+    exact, so luminance has the same closed form as the MJPEG twin."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, image_features, sample_frames, synth_avi_raw,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 32
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "content": [],
+                   "uri": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [np.full((12, 20, 3), (did * 53 + k) % 256,
+                                  dtype=np.uint8) for k in range(4)]
+                avi = synth_avi_raw(20, 12, frames, frame_ms=100)
+                out["asset_id"].append(did)
+                out["modality"].append("video")
+                out["content"].append(bytearray(avi))
+                out["uri"].append(None)
+                out["meta"].append(None)
+            yield pd.DataFrame(out)
+
+    assets = docs.mapInPandas(gen, ASSET_SCHEMA)
+    sampled = sample_frames(assets, every_ms=150)
+    frame_assets = sampled.select(
+        (F.col("asset_id") * 10 + F.col("frame_idx")).alias("asset_id"),
+        F.col("frame").alias("content"),
+    )
+    feats = image_features(frame_assets)
+    return feats.select(
+        (F.col("asset_id") / 10).cast("long").alias("asset_id"),
+        F.pmod(F.col("asset_id"), F.lit(10)).cast("long").alias("frame_idx"),
+        (F.pmod(F.col("asset_id"), F.lit(10)) * 150).cast("long").alias("ts_ms"),
+        "width", "height",
+        F.round(F.element_at("embedding", 1), 6).alias("lum"),
+    )
+
+
 def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV PCM decode: sample rate and duration come from the
     container bytes (stdlib wave), deterministic from doc_id."""
@@ -2246,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_features_jpeg_progressive": _q_image_decode(
                 "jpeg_progressive"),
             "sample_frames_mjpeg_avi": _q_sample_frames_mjpeg_avi,
+            "sample_frames_rawvideo_avi": _q_sample_frames_rawvideo_avi,
             "image_features_png": _q_image_decode("png"),
             "image_features_bmp": _q_image_decode("bmp"),
             "audio_features_wav": _q_audio_decode,
@@ -4098,6 +4151,19 @@ def oracle_sql() -> dict[str, str]:
                    round((0.299 * ((d.doc_id * 37 + (g.k * 150) // 100) % 256)
                         + 0.587 * ((d.doc_id * 37 + (g.k * 150) // 100) % 256)
                         + 0.114 * ((d.doc_id * 37 + (g.k * 150) // 100) % 256))
+                        / 255.0, 6) AS lum
+            FROM documents d
+            CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) g
+            WHERE d.doc_id < 32
+        """,
+        "sample_frames_rawvideo_avi": """
+            SELECT d.doc_id AS asset_id,
+                   CAST(g.k AS BIGINT) AS frame_idx,
+                   CAST(g.k * 150 AS BIGINT) AS ts_ms,
+                   CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+                   round((0.299 * ((d.doc_id * 53 + (g.k * 150) // 100) % 256)
+                        + 0.587 * ((d.doc_id * 53 + (g.k * 150) // 100) % 256)
+                        + 0.114 * ((d.doc_id * 53 + (g.k * 150) // 100) % 256))
                         / 255.0, 6) AS lum
             FROM documents d
             CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) g

@@ -2336,25 +2336,36 @@ def _sample_gif_frames(content: bytes, every_ms: int):
     return out
 
 
-def _avi_mjpeg_frames(content: bytes):
-    """Walk a RIFF/AVI container and return (frame_ms, [jpeg, ...])
-    for an MJPEG video stream: 'avih' gives the frame period, 'strh'
-    (fccType='vids') is checked for an MJPG handler, and the frames
-    are the '##dc'/'##db' chunks inside the 'movi' list — each one a
-    complete baseline-or-progressive JPEG our own decoder handles.
-    Non-AVI raises ValueError; a vids stream with a non-MJPG handler
-    raises NotImplementedError (H.264-class codecs are out of scope
-    for a stdlib-only decoder)."""
+def _avi_video_frames(content: bytes):
+    """Walk a RIFF/AVI container and return (frame_ms, [frame, ...])
+    for the video stream. Two stream kinds decode without external
+    codecs:
+
+    - MJPEG ('MJPG'/'JPEG' handler): frames are the '##dc'/'##db'
+      chunks — complete baseline-or-progressive JPEGs our own decoder
+      handles; emitted as-is (no transcode).
+    - uncompressed DIB / rawvideo ('DIB ', 'RGB ', or a zero handler
+      with strf biCompression == BI_RGB): each '##db'/'##dc' chunk is
+      a raw bottom-up BGR(A) DIB; emitted wrapped as a BMP by
+      prepending a 14-byte BITMAPFILEHEADER to the stream's own
+      BITMAPINFOHEADER (strf) + pixel bytes — a header prepend, not a
+      pixel transcode, which the existing BMP kernel decodes.
+
+    'avih' gives the frame period; a vids stream with any other
+    handler raises NotImplementedError (H.264-class codecs are out of
+    scope for a stdlib-only decoder)."""
     import struct
 
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI container")
     frame_us = 0
     handler = None
+    strf = None
+    in_vids = False
     frames: list[bytes] = []
 
     def walk(off: int, end: int) -> None:
-        nonlocal frame_us, handler
+        nonlocal frame_us, handler, strf, in_vids
         while off + 8 <= end:
             fourcc = content[off:off + 4]
             size, = struct.unpack_from("<I", content, off + 4)
@@ -2365,32 +2376,61 @@ def _avi_mjpeg_frames(content: bytes):
             elif fourcc == b"avih" and size >= 4:
                 frame_us, = struct.unpack_from("<I", content, data_off)
             elif fourcc == b"strh" and size >= 8:
-                if content[data_off:data_off + 4] == b"vids":
+                in_vids = content[data_off:data_off + 4] == b"vids"
+                if in_vids:
                     handler = content[data_off + 4:data_off + 8]
+            elif fourcc == b"strf" and in_vids and size >= 40:
+                strf = content[data_off:data_off + size]
             elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
                 frames.append(content[data_off:data_end])
             off = data_off + size + (size & 1)  # chunks pad to even
 
     walk(12, len(content))
-    if handler is not None and handler.upper() not in (b"MJPG", b"JPEG"):
-        raise NotImplementedError(
-            f"AVI video handler {handler!r} unsupported (MJPEG only)")
     if not frames:
         raise ValueError("AVI container has no video frame chunks")
+    frame_ms = max(int(round((frame_us or 40000) / 1000.0)), 1)
+    hu = (handler or b"").upper()
+    is_raw = handler is not None and (
+        hu in (b"DIB ", b"RGB ") or handler == b"\x00\x00\x00\x00")
+    if is_raw:
+        if strf is None:
+            raise ValueError("rawvideo AVI without a strf format header")
+        compression, = struct.unpack_from("<I", strf, 16)
+        bpp, = struct.unpack_from("<H", strf, 14)
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError(
+                f"rawvideo AVI biCompression={compression} bpp={bpp} "
+                "unsupported (BI_RGB 24/32 only)")
+        bw, bh = struct.unpack_from("<ii", strf, 4)
+        stride = ((bw * (bpp // 8) + 3) // 4) * 4
+        expected = stride * abs(bh)
+        hdr40 = strf[:40]
+        wrapped = []
+        for fr in frames:
+            if len(fr) < expected:
+                raise ValueError(
+                    f"rawvideo AVI frame truncated: {len(fr)} < {expected}")
+            filehdr = struct.pack("<2sIHHI", b"BM", 54 + len(fr), 0, 0, 54)
+            wrapped.append(filehdr + hdr40 + fr)
+        return frame_ms, wrapped
+    if handler is not None and hu not in (b"MJPG", b"JPEG"):
+        raise NotImplementedError(
+            f"AVI video handler {handler!r} unsupported (MJPEG/rawvideo "
+            "only)")
     # fall back to verifying the frames really are JPEG when no strh
     if handler is None and frames[0][:2] != b"\xff\xd8":
         raise NotImplementedError("AVI frames are not MJPEG")
-    frame_ms = max(int(round((frame_us or 40000) / 1000.0)), 1)
     return frame_ms, frames
 
 
 def _sample_avi_frames(content: bytes, every_ms: int):
-    """MJPEG-in-AVI frame sampling on the every_ms timestamp grid —
-    same contract as _sample_gif_frames, but the emitted frame bytes
-    are the stream's own JPEGs (no transcode: at corpus scale frame
-    extraction must not re-encode; downstream image_features decodes
-    JPEG directly)."""
-    frame_ms, frames = _avi_mjpeg_frames(content)
+    """AVI frame sampling on the every_ms timestamp grid — same
+    contract as _sample_gif_frames. MJPEG streams emit the stream's
+    own JPEGs; rawvideo (DIB) streams emit BMP-wrapped frames — in
+    both cases no pixel transcode (at corpus scale frame extraction
+    must not re-encode; downstream image_features decodes the emitted
+    container directly)."""
+    frame_ms, frames = _avi_video_frames(content)
     duration = frame_ms * len(frames)
     out = []
     ts = 0
@@ -2435,6 +2475,47 @@ def synth_avi_mjpeg(width: int, height: int, frames, frame_ms: int = 40,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def synth_avi_raw(width: int, height: int, frames,
+                  frame_ms: int = 40) -> bytes:
+    """Minimal uncompressed (rawvideo/DIB) AVI writer for tests:
+    RIFF('AVI ') with an hdrl list (avih + one vids strl with handler
+    'DIB ' and a BI_RGB 24bpp strf) and a movi list of '00db' chunks,
+    each a bottom-up 4-byte-aligned BGR DIB. ``frames`` is a list of
+    (h, w, 3) uint8 RGB arrays."""
+    import struct
+
+    import numpy as np
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(subtype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", subtype + data)
+
+    stride = ((width * 3 + 3) // 4) * 4
+    dibs = []
+    for f in frames:
+        img = np.asarray(f, dtype=np.uint8).reshape(height, width, 3)
+        bgr = img[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rows[:, : width * 3] = bgr.reshape(height, width * 3)
+        dibs.append(rows.tobytes())
+    avih = struct.pack(
+        "<14I", frame_ms * 1000, 0, 0, 0, len(dibs), 0, 1, 0,
+        width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB "
+            + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, frame_ms, 1000,
+                          0, len(dibs), 0, 0, 0, 0))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                       0, stride * height, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def sample_frames(
     assets: DataFrame,
     every_ms: int = 1000,
@@ -2444,11 +2525,12 @@ def sample_frames(
     N frame rows (mapInPandas so output cardinality is free-form).
 
     REAL for animated GIF (frames composited per the GIF
-    disposal/delay model, emitted as PNG bytes) and for MJPEG-in-AVI
+    disposal/delay model, emitted as PNG bytes), for MJPEG-in-AVI
     (RIFF 'movi' chunk walk; sampled frames are the stream's own JPEG
-    bytes — no transcode — which image_features decodes directly).
-    Both sample on the every_ms timestamp grid. Other containers
-    (mp4/webm/... — H.264-class codecs) raise unless
+    bytes — no transcode — which image_features decodes directly),
+    and for uncompressed DIB/rawvideo AVI (raw frames emitted as BMP
+    via a header prepend). All sample on the every_ms timestamp grid.
+    Other containers (mp4/webm/... — H.264-class codecs) raise unless
     deterministic_fake=True (seeded stand-in frames for ANY bytes —
     the fake path never touches real decoders, so corrupt content
     cannot break a plumbing test).
@@ -2489,8 +2571,9 @@ def sample_frames(
                     continue
                 if not deterministic_fake:
                     raise NotImplementedError(
-                        "only animated GIF and MJPEG-AVI sample without "
-                        "a media library; pass deterministic_fake=True"
+                        "only animated GIF, MJPEG-AVI and rawvideo-AVI "
+                        "sample without a media library; pass "
+                        "deterministic_fake=True"
                     )
                 n = max(int((dur or 0) // every_ms), 0)
                 for i in range(n):
