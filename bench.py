@@ -55,6 +55,15 @@ HEADLINE = [
     # not previously tracked
     "image_features_jpeg",        # JPEG entropy decode (perf-weak watch)
     "simhash_pairs",              # pigeonhole-exact hamming blocking
+    # round-6 additions (VERDICT r5 ask #6): the heaviest round-4/5
+    # operators plus the round-6 surface, so they get a regression watch
+    "betweenness_chains",         # sampled-source Brandes (heaviest graph op)
+    "chunk_documents_overlap",    # token-window explode (zero-exchange)
+    "probe_media_mixed",          # 9-container probe triage
+    "curation_pipeline_e2e",      # normalize->scrub->dedup->mix chain
+    "token_count_bpe",            # byte-level BPE accounting (r6)
+    "ann_rescore_topk",           # int8-scan + exact-rescore ANN (r6)
+    "sample_frames_rawvideo_avi",  # DIB frame sampling + BMP decode (r6)
 ]
 
 
