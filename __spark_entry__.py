@@ -1302,6 +1302,43 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def _q_pack_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-true packing: 512-BPE-token bins per language under
+    the disjoint-digraph vocabulary (closed-form counts, so the
+    window-cumsum bin assignment is fully SQL-checkable)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import pack_documents
+    from graphlite_spark.operators.tokenize import disjoint_digraph_tokenizer
+
+    docs = _table(spark, sf_dir, "documents")
+    packed = pack_documents(
+        docs, capacity=512, order_col="doc_id", by="lang",
+        tokenizer=disjoint_digraph_tokenizer(),
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+        .select("lang", F.col("bin").cast("long").alias("bin"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("bin_tokens").cast("long").alias("bin_tokens"))
+    )
+
+
+def _q_mixture_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing measured in REAL BPE tokens (the denomination a
+    training run budgets): 40/20/40 en/de/zh token-weighted mixture
+    under the disjoint-digraph vocabulary."""
+    from graphlite_spark.operators.sampling import mixture_sample
+    from graphlite_spark.operators.tokenize import disjoint_digraph_tokenizer
+
+    docs = _table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "lang", {"en": 0.4, "de": 0.2, "zh": 0.4},
+        "doc_id", salt=11, tokenizer=disjoint_digraph_tokenizer(),
+    ).select("doc_id", "lang")
+
+
 def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over synthesized doc-derived text (the parquet
     corpus has no PII, so both sides append deterministic spans)."""
@@ -2286,6 +2323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hash_sample_fraction": _q_hash_sample,
             "split_assign_weights": _q_split_assign,
             "mixture_sample_langs": _q_mixture_sample,
+            "mixture_sample_bpe": _q_mixture_sample_bpe,
+            "pack_documents_bpe": _q_pack_documents_bpe,
             "scrub_pii_text": _q_scrub_pii,
             "repetition_score": _q_repetition,
             "ngram_contamination": _q_contamination,
@@ -3890,6 +3929,57 @@ def oracle_sql() -> dict[str, str]:
                              < 3865470566 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "pack_documents_bpe": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       octet_length(encode(text))
+                       - (length(text) - length(replace(text,'th','')))//2
+                       - (length(text) - length(replace(text,'er','')))//2
+                       - (length(text) - length(replace(text,'in','')))//2
+                       - (length(text) - length(replace(text,'as','')))//2
+                           AS n_tokens
+                FROM documents
+            ), packed AS (
+                SELECT lang,
+                       CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                   - n_tokens) / 512.0) AS BIGINT) AS bin,
+                       n_tokens
+                FROM toks
+            )
+            SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+            FROM packed GROUP BY lang, bin
+        """,
+        "mixture_sample_bpe": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       octet_length(encode(text))
+                       - (length(text) - length(replace(text,'th','')))//2
+                       - (length(text) - length(replace(text,'er','')))//2
+                       - (length(text) - length(replace(text,'in','')))//2
+                       - (length(text) - length(replace(text,'as','')))//2
+                           AS n_tok
+                FROM documents
+            ), stats AS (
+                SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS w
+                FROM toks GROUP BY 1
+            ), tgt AS (
+                SELECT lang, w,
+                       CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.2
+                                 WHEN 'zh' THEN 0.4 END AS target
+                FROM stats
+            ), rates AS (
+                SELECT lang,
+                       least(1.0, target * (SELECT min(w / target) FROM tgt
+                                            WHERE target IS NOT NULL) / w) AS rate
+                FROM tgt WHERE target IS NOT NULL
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE ((d.doc_id + 11) * 2654435761) % 4294967296
+                  < r.rate * 4294967296.0
         """,
         "mixture_sample_langs": """
             WITH stats AS (

@@ -225,3 +225,41 @@ def test_spark_pack_and_mixture_tokenizer_threading(spark):
     for r in kept:
         w[r["lang"]] += counts[r["doc_id"]]
     assert w["en"] > 0 and w["de"] > 0
+
+
+def test_streaming_chunk_documents_bpe_matches_batch(spark, tmp_path):
+    # chunk_documents_bpe is a plain mapInPandas transformation, so it
+    # runs unchanged on a streaming frame: stream == batch
+    import json
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import chunk_documents
+
+    tok = disjoint_digraph_tokenizer()
+    d = tmp_path / "docs"
+    d.mkdir()
+    texts = ["the fast customer joins the window erin has a basin",
+             "as the merger ordered further other gather more still",
+             "tiny"]
+    with open(d / "part.json", "w") as f:
+        for i, t in enumerate(texts):
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    schema = "doc_id long, text string"
+    batch_df = spark.read.schema(schema).json(str(d))
+    batch = chunk_documents(batch_df, max_tokens=6, overlap=2, tokenizer=tok)
+    expected = {(r.doc_id, r.chunk_idx, r.text, r.n_tokens)
+                for r in batch.collect()}
+    assert expected
+
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        chunk_documents(stream, max_tokens=6, overlap=2, tokenizer=tok)
+        .writeStream.format("memory").queryName("bpe_chunks")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.doc_id, r.chunk_idx, r.text, r.n_tokens)
+           for r in spark.table("bpe_chunks").collect()}
+    assert got == expected
