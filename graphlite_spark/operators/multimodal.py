@@ -757,8 +757,16 @@ def _decode_jpeg(content: bytes):
                 n = sum(counts)
                 huff[(tc, th)] = _huffman_table(counts, seg[i + 17: i + 17 + n])
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive. SOF1 at 8-bit precision is bit-identical to
+            # baseline decoding (it only LIFTS limits: 12-bit samples,
+            # 4 Huffman tables) — so it rides the SOF0 path; 12-bit
+            # precision stays an honest guard.
             progressive = marker == 0xC2
+            if seg[0] != 8:
+                raise NotImplementedError(
+                    f"JPEG {seg[0]}-bit sample precision unsupported")
             height, width = struct.unpack_from(">HH", seg, 1)
             _check_dims(width, height, "JPEG")
             ncomp = seg[5]
@@ -784,7 +792,7 @@ def _decode_jpeg(content: bytes):
                     c["coef"] = np.zeros((c["bh"] * c["bw"], 64),
                                          dtype=np.int32)
                     c["pred"] = 0
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} "
                 "(lossless/hierarchical/arithmetic) unsupported")
@@ -2738,11 +2746,12 @@ def probe_bytes(content: bytes) -> dict:
                 pos += 2
                 continue
             seglen, = struct.unpack_from(">H", c, pos + 2)
-            if marker in (0xC0, 0xC2):
+            if marker in (0xC0, 0xC1, 0xC2):
                 h, w = struct.unpack_from(">HH", c, pos + 5)
                 out.update(width=w, height=h,
-                           codec="progressive" if marker == 0xC2
-                           else "baseline")
+                           codec={0xC0: "baseline",
+                                  0xC1: "extended-sequential",
+                                  0xC2: "progressive"}[marker])
                 break
             if marker in (0xDA, 0xD9):
                 break

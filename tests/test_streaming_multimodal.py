@@ -1549,3 +1549,36 @@ def test_rawvideo_avi_corrupt_guards():
     struct.pack_into("<H", avi2, strf + 8 + 14, 8)  # biBitCount := 8
     with pytest.raises(DECODE_ERRORS):
         _avi_video_frames(bytes(avi2))
+
+
+def test_jpeg_sof1_extended_sequential():
+    # SOF1 (extended sequential, Huffman) at 8-bit precision is
+    # bit-identical to baseline decoding — flipping the SOF marker on a
+    # baseline stream must not change a single output value; 12-bit
+    # precision stays an honest NotImplementedError guard
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.multimodal import (
+        _decode_image, probe_bytes, synth_jpeg,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (12, 20, 3), np.uint8)
+    jpg = synth_jpeg(20, 12, img, subsample=True)
+    base = _decode_image(jpg)
+
+    sof = jpg.find(b"\xff\xc0")
+    as_sof1 = bytearray(jpg)
+    as_sof1[sof + 1] = 0xC1
+    assert _decode_image(bytes(as_sof1)) == base
+    info = probe_bytes(bytes(as_sof1))
+    assert info["codec"] == "extended-sequential"
+    assert (info["width"], info["height"]) == (20, 12)
+
+    twelve_bit = bytearray(as_sof1)
+    twelve_bit[sof + 4] = 12  # sample precision byte
+    with pytest.raises(NotImplementedError):
+        _decode_image(bytes(twelve_bit))
