@@ -146,6 +146,38 @@ SHOWCASE = [
         "dist — the sweep is join + groupBy per level with no "
         "re-derivation of the forward lineage.",
     ),
+    (
+        "token_count_bpe",
+        "Tokenizer-true accounting (round 6): ONE Arrow-vectorized "
+        "pandas UDF over the scan — the merge table ships by "
+        "broadcast, encoding is per-executor-cached, and the plan is "
+        "scan -> ArrowEvalPython -> project with zero exchanges: "
+        "token counting must never cost more than the scan.",
+    ),
+    (
+        "chunk_documents_bpe",
+        "BPE chunking (round 6): a single mapInPandas stage does "
+        "encode-once-emit-all-chunks per document — row expansion "
+        "with no shuffle, the streaming-compatible shape "
+        "(stream==batch pytest).",
+    ),
+    (
+        "ann_rescore_topk",
+        "Quantized-scan + exact-rescore ANN (round 6): stage 1 is "
+        "mapInPandas (int8 integer GEMM vs broadcast quantized "
+        "queries) emitting per-partition top-C rows only; the "
+        "exchanges are the C-sized top-C window and the candidate "
+        "re-join against items for full-precision vectors — 85% of "
+        "the corpus's fp vectors never move.",
+    ),
+    (
+        "quantize_embeddings_audit",
+        "int8 quantization (round 6 fix): scale is a PROJECTED "
+        "attribute, not inlined into the element lambda — inlined, "
+        "the O(d) array_max re-evaluates per element (O(d^2)/row, "
+        "measured 50.6s -> 1.6s at 200k x 64). Map-side only, no "
+        "exchange before the audit aggregate.",
+    ),
 ]
 
 
