@@ -796,3 +796,56 @@ def test_rescore_topk_candidate_budget(spark):
 
     with pytest.raises(ValueError):
         rescore_topk(items, q, candidate_fraction=0.0)
+
+
+def test_rescore_topk_int4_mode(spark):
+    # bits=4: int4 coarse codes (8x lighter than fp32 at the storage
+    # tier); on the random corpus the 15% cut still recovers the exact
+    # top-k despite the coarser first-pass ranking
+    import random
+
+    from graphlite_spark.operators.similarity import (
+        cosine_topk, rescore_topk)
+
+    rng = random.Random(29)
+    items = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(300)],
+        "vec_id: long, embedding: array<double>",
+    )
+    q = items.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding")
+    exact = sorted(map(tuple, cosine_topk(items, q, k=10).collect()))
+    got = sorted(map(tuple, rescore_topk(
+        items, q, k=10, candidate_fraction=0.15, bits=4).collect()))
+    assert got == exact
+    import pytest
+
+    with pytest.raises(ValueError):
+        rescore_topk(items, q, bits=2)
+
+
+def test_train_bpe_distributed_histogram(spark):
+    # train_bpe: the word histogram is a distributed groupBy; the
+    # sequential merge loop runs on the collected capped histogram —
+    # learned merges must match pure-local learn_bpe on the same counts
+    from collections import Counter
+
+    from graphlite_spark.operators.tokenize import (
+        _PRETOKEN_RE, BPETokenizer, learn_bpe, train_bpe)
+
+    texts = ["the fast the fast customer", "the window the window",
+             "fast customer fast the", "erin has a basin the fast"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string")
+    tok = train_bpe(df, num_merges=6)
+    assert isinstance(tok, BPETokenizer) and len(tok.merges) > 0
+
+    local_counts = Counter()
+    for t in texts:
+        for w in _PRETOKEN_RE.findall(t):
+            local_counts[w.encode("utf-8")] += 1
+    expected = learn_bpe(dict(local_counts), 6)
+    assert tok.merges == expected
+    # the trained tokenizer still round-trips losslessly
+    for t in texts:
+        assert tok.decode(tok.encode(t)) == t
