@@ -1339,6 +1339,15 @@ def _q_mixture_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality ranking: per-doc mean token log-prob under
+    the corpus model (broadcast |V|-row model + one postings shuffle)
+    — the likelihood filter of a curation pipeline."""
+    from graphlite_spark.operators.text import lm_quality_score
+
+    return lm_quality_score(_table(spark, sf_dir, "documents"))
+
+
 def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over synthesized doc-derived text (the parquet
     corpus has no PII, so both sides append deterministic spans)."""
@@ -2326,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mixture_sample_bpe": _q_mixture_sample_bpe,
             "pack_documents_bpe": _q_pack_documents_bpe,
             "scrub_pii_text": _q_scrub_pii,
+            "lm_quality_score": _q_lm_quality_score,
             "repetition_score": _q_repetition,
             "ngram_contamination": _q_contamination,
             "probe_containment": _q_probe_containment,
@@ -4000,6 +4010,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rates r ON d.lang = r.lang
             WHERE ((d.doc_id + 11) * 2654435761) % 4294967296
                   < r.rate * 4294967296.0
+        """,
+        "lm_quality_score": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS w
+                FROM documents WHERE length(trim(text)) > 0
+            ), tk AS (
+                SELECT doc_id, w FROM toks WHERE length(w) > 0
+            ), model AS (
+                SELECT w, count(*) AS c FROM tk GROUP BY 1
+            ), tot AS (
+                SELECT sum(c) AS total, count(*) AS vocab FROM model
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(ln((c + 0.5) / (total + 0.5 * vocab))), 6)
+                       AS avg_logprob,
+                   round(exp(-avg(ln((c + 0.5) / (total + 0.5 * vocab)))), 6)
+                       AS perplexity
+            FROM tk JOIN model USING (w) CROSS JOIN tot
+            GROUP BY doc_id
         """,
         "scrub_pii_text": """
             SELECT doc_id,

@@ -448,6 +448,68 @@ def normalize_text(
     return df.select(*others, col.alias(text_col))
 
 
+def lm_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Unigram language-model quality score — the LM-likelihood filter
+    a curation pipeline runs to rank documents by how typical their
+    token distribution is of the corpus (atypical = boilerplate,
+    garbled encodings, wrong-language shards score low).
+
+    Per doc: mean token log-probability under the corpus unigram model
+    with add-``smoothing`` (Lidstone) smoothing over the corpus
+    vocabulary:
+        p(w) = (count(w) + s) / (total + s*|V|)
+        avg_logprob(d) = mean_{w in d} ln p(w)
+    and perplexity = exp(-avg_logprob). Deterministic and fully
+    SQL-expressible (the oracle recomputes the model), whitespace
+    tokens — a BPE-denominated variant follows from tokenize_bpe +
+    explode, same shape.
+
+    Distributed shape (100 TB): the model is ONE map-side-combined
+    groupBy over exploded tokens (|V| rows out) joined back BROADCAST
+    — the corpus shuffles only its (doc, token-hash) postings once for
+    the per-doc aggregate; totals ride as a broadcast 1x1 frame.
+    Returns (id, n_tokens, avg_logprob, perplexity) for non-empty docs.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_tokens(F.col(text_col))).alias("_w"),
+    ).filter(F.length("_w") > 0)
+    model = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    totals = model.agg(
+        F.sum("_c").alias("_total"),
+        F.count(F.lit(1)).alias("_vocab"),
+    )
+    scored = (
+        toks.join(F.broadcast(model), "_w")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("_c") + F.lit(smoothing))
+                / (F.col("_total") + F.lit(smoothing) * F.col("_vocab"))
+            ).alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("_lp").alias("_alp"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("_alp", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_alp")), 6).alias("perplexity"),
+        )
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     text_col: str = "text",

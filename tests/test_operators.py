@@ -849,3 +849,27 @@ def test_train_bpe_distributed_histogram(spark):
     # the trained tokenizer still round-trips losslessly
     for t in texts:
         assert tok.decode(tok.encode(t)) == t
+
+
+def test_lm_quality_score_hand_computed(spark):
+    # unigram LM with add-0.5 smoothing: hand-computed on a 3-doc corpus
+    import math
+
+    from graphlite_spark.operators.text import lm_quality_score
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "   "), (3, "b")],
+        "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in lm_quality_score(df).collect()}
+    # corpus: a=3, b=2, c=1; total=6, |V|=3 -> denom = 6 + 0.5*3 = 7.5
+    p = {"a": 3.5 / 7.5, "b": 2.5 / 7.5, "c": 1.5 / 7.5}
+    assert 2 not in got  # whitespace-only doc drops out
+    exp0 = (2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    assert got[0]["n_tokens"] == 3
+    assert abs(got[0]["avg_logprob"] - round(exp0, 6)) < 1e-9
+    assert abs(got[0]["perplexity"] - round(math.exp(-exp0), 6)) < 1e-9
+    exp3 = math.log(p["b"])
+    assert got[3]["n_tokens"] == 1
+    assert abs(got[3]["avg_logprob"] - round(exp3, 6)) < 1e-9
+    # rarer tokens -> lower avg logprob: doc1 (a,c) below doc0 (a,a,b)
+    assert got[1]["avg_logprob"] < got[0]["avg_logprob"]
