@@ -448,11 +448,39 @@ def normalize_text(
     return df.select(*others, col.alias(text_col))
 
 
+def lm_unigram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(word, logprob): the corpus unigram model lm_quality_score
+    scores against — one map-side-combined groupBy, |V| rows.
+    Split out so a model trained OFFLINE on a reference corpus can be
+    applied to a different (or streaming) corpus, the standard
+    quality-filter deployment."""
+    toks = df.select(
+        F.explode(_tokens(F.col(text_col))).alias("_w")
+    ).filter(F.length("_w") > 0)
+    model = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    totals = model.agg(
+        F.sum("_c").alias("_total"),
+        F.count(F.lit(1)).alias("_vocab"),
+    )
+    return model.crossJoin(F.broadcast(totals)).select(
+        F.col("_w").alias("word"),
+        F.log(
+            (F.col("_c") + F.lit(smoothing))
+            / (F.col("_total") + F.lit(smoothing) * F.col("_vocab"))
+        ).alias("logprob"),
+    )
+
+
 def lm_quality_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     smoothing: float = 0.5,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """Unigram language-model quality score — the LM-likelihood filter
     a curation pipeline runs to rank documents by how typical their
@@ -474,27 +502,25 @@ def lm_quality_score(
     — the corpus shuffles only its (doc, token-hash) postings once for
     the per-doc aggregate; totals ride as a broadcast 1x1 frame.
     Returns (id, n_tokens, avg_logprob, perplexity) for non-empty docs.
+
+    Pass ``model`` (a (word, logprob) frame from lm_unigram_model,
+    typically trained offline on a reference corpus) to score a
+    DIFFERENT corpus — including a STREAMING one: scoring is then a
+    stream-static broadcast join + per-doc aggregate, so the same call
+    runs on a readStream frame (stream==batch pytest). Out-of-model
+    tokens are dropped from the average in that mode (self-model
+    scoring has none).
     """
     toks = df.select(
         F.col(id_col),
         F.explode(_tokens(F.col(text_col))).alias("_w"),
     ).filter(F.length("_w") > 0)
-    model = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
-    totals = model.agg(
-        F.sum("_c").alias("_total"),
-        F.count(F.lit(1)).alias("_vocab"),
-    )
-    scored = (
-        toks.join(F.broadcast(model), "_w")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            F.col(id_col),
-            F.log(
-                (F.col("_c") + F.lit(smoothing))
-                / (F.col("_total") + F.lit(smoothing) * F.col("_vocab"))
-            ).alias("_lp"),
-        )
-    )
+    if model is None:
+        model = lm_unigram_model(df, text_col, smoothing)
+    scored = toks.join(
+        F.broadcast(model.select(F.col("word").alias("_w"), "logprob")),
+        "_w",
+    ).select(F.col(id_col), F.col("logprob").alias("_lp"))
     return (
         scored.groupBy(id_col)
         .agg(

@@ -873,3 +873,41 @@ def test_lm_quality_score_hand_computed(spark):
     assert abs(got[3]["avg_logprob"] - round(exp3, 6)) < 1e-9
     # rarer tokens -> lower avg logprob: doc1 (a,c) below doc0 (a,a,b)
     assert got[1]["avg_logprob"] < got[0]["avg_logprob"]
+
+
+def test_lm_quality_score_streaming_with_offline_model(spark, tmp_path):
+    # the deployment shape: model trained offline (batch), scoring
+    # applied to a stream — stream-static broadcast join, stream==batch
+    import json
+
+    from graphlite_spark.operators.text import (
+        lm_quality_score, lm_unigram_model)
+
+    train = spark.createDataFrame(
+        [(0, "a a b c"), (1, "a b b")], "doc_id: long, text: string")
+    model = lm_unigram_model(train)
+
+    d = tmp_path / "stream_docs"
+    d.mkdir()
+    with open(d / "batch.json", "w") as f:
+        for i, t in enumerate(["a b", "c c a", "zzz a"]):  # zzz is OOV
+            f.write(json.dumps({"doc_id": 100 + i, "text": t}) + "\n")
+    schema = "doc_id long, text string"
+
+    batch_df = spark.read.schema(schema).json(str(d))
+    expected = sorted(map(tuple,
+                          lm_quality_score(batch_df, model=model).collect()))
+    # OOV token dropped from the average: doc 102 has 1 scored token
+    by_id = {t[0]: t for t in expected}
+    assert by_id[102][1] == 1
+
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = (
+        lm_quality_score(stream, model=model)
+        .writeStream.format("memory").queryName("lm_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("lm_stream").collect()))
+    assert got == expected
