@@ -1469,6 +1469,45 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_pipeline_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-true twin of curation_pipeline_e2e: the same
+    dedup -> quality floor -> split -> chunk chain, but every token
+    budget measured by the REAL BPE encoder (digraph vocabulary) —
+    floors, chunk windows, and the per-split rollup all shift to
+    subword denomination, and the closed form keeps the whole chain
+    hash-checkable."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import exact_dedup
+    from graphlite_spark.operators.sampling import split_assign
+    from graphlite_spark.operators.text import chunk_documents, token_count
+    from graphlite_spark.operators.tokenize import disjoint_digraph_tokenizer
+
+    tok = disjoint_digraph_tokenizer()
+    docs = _table(spark, sf_dir, "documents")
+    kept = exact_dedup(docs)
+    counted = kept.join(token_count(kept, tokenizer=tok), "doc_id").filter(
+        F.col("n_tokens") >= 150
+    )
+    split = split_assign(
+        counted, "doc_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1}, salt=3,
+    )
+    chunks = chunk_documents(
+        split.select("doc_id", "text"), max_tokens=64, overlap=16,
+        tokenizer=tok,
+    ).join(split.select("doc_id", "split"), "doc_id")
+    return (
+        chunks.groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("sum_chunk_tokens"),
+        )
+        .select("split", "n_docs", "n_chunks", "sum_chunk_tokens")
+    )
+
+
 def _q_probe_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-eval-item containment report: fraction of each probe doc's
     shingles present in the rest of the corpus (probe excluded so the
@@ -2391,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ngram_contamination": _q_contamination,
             "probe_containment": _q_probe_containment,
             "curation_pipeline_e2e": _q_curation_pipeline,
+            "curation_pipeline_bpe": _q_curation_pipeline_bpe,
             "quantized_topk_fidelity": _q_quantized_fidelity,
             "normalize_text_canon": _q_normalize_text,
             "corpus_stats_by_lang": _q_corpus_stats,
@@ -4278,6 +4318,52 @@ def oracle_sql() -> dict[str, str]:
                                  < 3865470566 THEN 'val'
                             ELSE 'test' END AS split
                 FROM qual
+            ), c AS (
+                SELECT doc_id, split, n_tokens AS n,
+                       CASE WHEN n_tokens <= 64 THEN 1
+                            ELSE 1 + CAST(CEIL((n_tokens - 64) / 48.0)
+                                          AS BIGINT) END AS nch
+                FROM sp
+            ), ch AS (
+                SELECT doc_id, split,
+                       CAST(LEAST(n - i*48, 64) AS BIGINT) AS ct
+                FROM (SELECT *, unnest(range(nch)) AS i FROM c)
+            )
+            SELECT split,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   count(*) AS n_chunks,
+                   CAST(sum(ct) AS BIGINT) AS sum_chunk_tokens
+            FROM ch GROUP BY split
+        """,
+        "curation_pipeline_bpe": """
+            -- BPE-denominated twin: identical chain with the digraph
+            -- closed form replacing whitespace counts everywhere
+            WITH kept AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (PARTITION BY lower(trim(text))
+                                              ORDER BY doc_id) AS rn
+                    FROM documents
+                ) WHERE rn = 1
+            ), qual AS (
+                SELECT doc_id, text,
+                       octet_length(encode(text))
+                       - (length(text) - length(replace(text,'th','')))//2
+                       - (length(text) - length(replace(text,'er','')))//2
+                       - (length(text) - length(replace(text,'in','')))//2
+                       - (length(text) - length(replace(text,'as','')))//2
+                           AS n_tokens
+                FROM kept
+            ), q2 AS (
+                SELECT * FROM qual WHERE n_tokens >= 150
+            ), sp AS (
+                SELECT doc_id, n_tokens,
+                       CASE WHEN ((doc_id + 3) * 2654435761) % 4294967296
+                                 < 3435973836 THEN 'train'
+                            WHEN ((doc_id + 3) * 2654435761) % 4294967296
+                                 < 3865470566 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM q2
             ), c AS (
                 SELECT doc_id, split, n_tokens AS n,
                        CASE WHEN n_tokens <= 64 THEN 1
