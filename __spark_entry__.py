@@ -1406,6 +1406,16 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(_table(spark, sf_dir, "documents"))
 
 
+def _q_corpus_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-denominated dataset-card report: corpus_stats measured
+    in real BPE tokens (digraph vocabulary, closed-form oracle)."""
+    from graphlite_spark.operators.text import corpus_stats
+    from graphlite_spark.operators.tokenize import disjoint_digraph_tokenizer
+
+    return corpus_stats(_table(spark, sf_dir, "documents"),
+                        tokenizer=disjoint_digraph_tokenizer())
+
+
 def _q_quantized_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized-retrieval fidelity: overlap@10 between float cosine
     top-k and int8-quantized cosine top-k on the same queries —
@@ -2434,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quantized_topk_fidelity": _q_quantized_fidelity,
             "normalize_text_canon": _q_normalize_text,
             "corpus_stats_by_lang": _q_corpus_stats,
+            "corpus_stats_bpe": _q_corpus_stats_bpe,
             "image_features_jpeg": _q_image_decode("jpeg"),
             "image_features_jpeg_progressive": _q_image_decode(
                 "jpeg_progressive"),
@@ -4230,6 +4241,26 @@ def oracle_sql() -> dict[str, str]:
                             ELSE CAST(len(string_split_regex(trim(text),
                                                              '\\s+'))
                                  AS BIGINT) END AS nt,
+                       CAST(length(text) AS BIGINT) AS nc
+                FROM documents
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   round(avg(nt), 6) AS avg_tokens,
+                   CAST(max(nt) AS BIGINT) AS max_tokens,
+                   CAST(sum(nc) AS BIGINT) AS total_chars
+            FROM t GROUP BY lang
+        """,
+        "corpus_stats_bpe": """
+            WITH t AS (
+                SELECT lang,
+                       octet_length(encode(text))
+                       - (length(text) - length(replace(text,'th','')))//2
+                       - (length(text) - length(replace(text,'er','')))//2
+                       - (length(text) - length(replace(text,'in','')))//2
+                       - (length(text) - length(replace(text,'as','')))//2
+                           AS nt,
                        CAST(length(text) AS BIGINT) AS nc
                 FROM documents
             )

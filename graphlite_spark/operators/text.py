@@ -540,14 +540,22 @@ def corpus_stats(
     df: DataFrame,
     text_col: str = "text",
     by: str = "lang",
+    tokenizer=None,
 ) -> DataFrame:
     """Per-group corpus report (the sanity table a dataset card
     quotes): document count, total/mean/max whitespace tokens, total
     chars. One partial-aggregated groupBy — map-side combined,
-    corpus-scan-bound at any scale."""
-    toks = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-    ).otherwise(F.size(_tokens(F.col(text_col)))).cast("long")
+    corpus-scan-bound at any scale. Pass ``tokenizer`` (a
+    tokenize.BPETokenizer) for subword-denominated totals — the
+    numbers a training run actually reports."""
+    if tokenizer is not None:
+        from .tokenize import bpe_token_count_col
+
+        toks = bpe_token_count_col(df, tokenizer, text_col)
+    else:
+        toks = F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+        ).otherwise(F.size(_tokens(F.col(text_col)))).cast("long")
     return (
         df.select(F.col(by), toks.alias("_t"),
                   F.length(text_col).cast("long").alias("_c"))
