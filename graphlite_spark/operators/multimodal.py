@@ -2524,10 +2524,66 @@ def synth_avi_raw(width: int, height: int, frames,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _accelerated_video_decoder():
+    """Import-try PyAV (ffmpeg bindings) for the accelerated video
+    path — the exact twin of _accelerated_image_decoder: H.264/VP8/
+    VP9-class entropy decode is out of stdlib scope, so MP4/WebM frame
+    EXTRACTION needs a native codec. When ``av`` is installed on the
+    executors (it is NOT in this build environment — the builtin
+    GIF/MJPEG/rawvideo samplers stay the tested default),
+    ``sample_frames(decoder='auto'|'accel')`` routes any container
+    ffmpeg can open; sampled frames are emitted as lossless BMP wraps
+    of the decoded RGB planes so the downstream image kernels decode
+    them exactly. Returns the ``av`` module or None."""
+    try:
+        import av  # noqa: F401
+        return av
+    except ImportError:
+        return None
+
+
+def _sample_frames_accel(raw: bytes, every_ms: int, av_mod):
+    """Decode via PyAV and sample on the every_ms grid -> [(ts, bmp)].
+    Frames become BMPs (54-byte header + bottom-up BGR rows) — a
+    deterministic, compression-free wrap the builtin BMP kernel reads.
+    """
+    import io
+    import struct
+
+    import numpy as np
+
+    out = []
+    with av_mod.open(io.BytesIO(raw)) as container:
+        stream = next((s for s in container.streams if s.type == "video"),
+                      None)
+        if stream is None:
+            raise ValueError("accelerated decode: no video stream")
+        next_ts = 0
+        for frame in container.decode(stream):
+            ts_ms = int((frame.pts or 0) * float(stream.time_base) * 1000)
+            if ts_ms < next_ts:
+                continue
+            arr = frame.to_ndarray(format="rgb24")
+            h, w = arr.shape[:2]
+            stride = ((w * 3 + 3) // 4) * 4
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+            px = rows.tobytes()
+            hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+            dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(px), 0, 0, 0, 0)
+            out.append((ts_ms, hdr + dib + px))
+            next_ts = ts_ms + every_ms
+    if not out:
+        raise ValueError("accelerated decode: no frames decoded")
+    return out
+
+
 def sample_frames(
     assets: DataFrame,
     every_ms: int = 1000,
     deterministic_fake: bool = False,
+    decoder: str = "builtin",
 ) -> DataFrame:
     """Sample video frames every `every_ms` — expands one asset row into
     N frame rows (mapInPandas so output cardinality is free-form).
@@ -2542,9 +2598,20 @@ def sample_frames(
     deterministic_fake=True (seeded stand-in frames for ANY bytes —
     the fake path never touches real decoders, so corrupt content
     cannot break a plumbing test).
+
+    ``decoder``: 'builtin' (default — the tested stdlib samplers),
+    'auto' (PyAV/ffmpeg when installed, builtin fallback per asset
+    family — the 100 TB knob for H.264-class corpora; see
+    _accelerated_video_decoder), or 'accel' (PyAV required; raises
+    RuntimeError if absent).
     """
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive, got {every_ms}")
+    if decoder not in ("builtin", "auto", "accel"):
+        raise ValueError(f"decoder must be builtin|auto|accel, got {decoder!r}")
+    if decoder == "accel" and _accelerated_video_decoder() is None:
+        raise RuntimeError(
+            "decoder='accel' requires PyAV (av) on driver and executors")
     pruned = assets.select("asset_id", "content", F.col("meta.duration_ms").alias("duration_ms"))
 
     def run(batches: Iterator) -> Iterator:
@@ -2552,12 +2619,28 @@ def sample_frames(
 
         import pandas as pd
 
+        av_mod = (_accelerated_video_decoder()
+                  if decoder in ("auto", "accel") else None)
         for pdf in batches:
             rows = {"asset_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
             for aid, content, dur in zip(
                 pdf["asset_id"], pdf["content"], pdf["duration_ms"]
             ):
                 raw = bytes(content or b"")
+                if av_mod is not None and not deterministic_fake:
+                    try:
+                        for i, (ts, bmp) in enumerate(
+                            _sample_frames_accel(raw, every_ms, av_mod)
+                        ):
+                            rows["asset_id"].append(aid)
+                            rows["frame_idx"].append(i)
+                            rows["ts_ms"].append(ts)
+                            rows["frame"].append(bmp)
+                        continue
+                    except DECODE_ERRORS:
+                        if decoder == "accel":
+                            raise
+                        # 'auto': fall through to the builtin samplers
                 if not deterministic_fake and raw[:6] in (b"GIF87a", b"GIF89a"):
                     for i, (ts, png) in enumerate(
                         _sample_gif_frames(raw, every_ms)

@@ -1582,3 +1582,37 @@ def test_jpeg_sof1_extended_sequential():
     twelve_bit[sof + 4] = 12  # sample precision byte
     with pytest.raises(NotImplementedError):
         _decode_image(bytes(twelve_bit))
+
+
+def test_sample_frames_accel_hook_gating(spark):
+    # the video decoder='auto'|'accel' hook (PyAV twin of the image
+    # hook): av is absent in this environment, so 'accel' must raise a
+    # clear RuntimeError, 'auto' must fall back to the builtin
+    # samplers with identical output, and bad values must reject
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, _accelerated_video_decoder, sample_frames,
+        synth_avi_raw,
+    )
+
+    assert _accelerated_video_decoder() is None  # env precondition
+
+    frames = [np.full((8, 8, 3), 60 + 10 * k, np.uint8) for k in range(3)]
+    avi = synth_avi_raw(8, 8, frames, frame_ms=40)
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(avi), None, (8, 8, 120, "rawvideo"))],
+        ASSET_SCHEMA,
+    )
+    base = {(r.asset_id, r.frame_idx, r.ts_ms, bytes(r.frame))
+            for r in sample_frames(assets, every_ms=40).collect()}
+    auto = {(r.asset_id, r.frame_idx, r.ts_ms, bytes(r.frame))
+            for r in sample_frames(assets, every_ms=40,
+                                   decoder="auto").collect()}
+    assert auto == base
+
+    with pytest.raises(RuntimeError):
+        sample_frames(assets, every_ms=40, decoder="accel")
+    with pytest.raises(ValueError):
+        sample_frames(assets, every_ms=40, decoder="bogus")
