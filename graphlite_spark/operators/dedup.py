@@ -369,11 +369,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # rereads the whole frame (A/B at sf0.1: 1.8s vs 2.7s warm)
     prefix = ranked.filter(
         F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select(id_col, "sz", "_sh")
+    ).select(id_col, "sz", "_sh", "_rn")
     cand = (
-        prefix.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "_sh")
+        prefix.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"),
+                      "_sh", F.col("_rn").alias("_rna"))
         .join(
-            prefix.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "_sh"),
+            prefix.select(F.col(id_col).alias("id_b"),
+                          F.col("sz").alias("sz_b"), "_sh",
+                          F.col("_rn").alias("_rnb")),
             "_sh",
         )
         .filter(
@@ -382,6 +385,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             # prunes candidates before the dedup + verify shuffles
             & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a")))
             & (F.col("sz_a") >= F.ceil(F.lit(threshold) * F.col("sz_b")))
+            # POSITIONAL filter (PPJoin proper): a prefix match at ranks
+            # (i, j) caps the total overlap at 1 + min(|A|-i, |B|-j)
+            # (everything before the matched rank on either side is
+            # disjoint under the shared global order); J >= t needs
+            # overlap >= ceil(t/(1+t) * (|A|+|B|)). Exactness preserved
+            # — candidates pruned here cannot reach the threshold —
+            # and on dense corpora (hot shingles matched deep into both
+            # prefixes) it is the filter that actually bites.
+            & (
+                F.lit(1)
+                + F.least(F.col("sz_a") - F.col("_rna"),
+                          F.col("sz_b") - F.col("_rnb"))
+                >= F.ceil(
+                    F.lit(threshold / (1.0 + threshold))
+                    * (F.col("sz_a") + F.col("sz_b")))
+            )
         )
         .select("id_a", "id_b")
         .distinct()
