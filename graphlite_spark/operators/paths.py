@@ -661,23 +661,12 @@ def k_core(
     )
 
 
-def triangle_count(
+def _oriented_triangle_triples(
     edges: DataFrame, src: str = SRC, dst: str = DST
 ) -> DataFrame:
-    """Global triangle count over an undirected view of `edges`.
-
-    Classic distributed formulation (the reference has no triangle
-    operator; this is beyond-reference analytics): canonicalize each
-    edge to (lo, hi) with lo < hi, dedupe, then close the wedge with two
-    equi-joins — (a,b),(b,c) ⋈ (a,c) with a < b < c, so every triangle
-    is counted exactly once. Both joins shuffle on a single vertex key;
-    no vertex ever compares against more than its own neighborhood. For
-    power-law graphs the standard refinement (order vertices by degree
-    before canonicalizing) drops straight in — at TPC-H-ish fanouts the
-    id ordering is already well-balanced.
-
-    Returns a 1-row DataFrame: (n_triangles BIGINT).
-    """
+    """(a, b, c) — every triangle of the undirected simple view
+    exactly once, found via the degree-oriented wedge closure (shared
+    by triangle_count and triangles_per_vertex)."""
     a, b = F.col(src), F.col(dst)
     # checkpoint: the canonical edge set feeds three join sides, and
     # its lineage may hold an expensive upstream projection (e.g. the
@@ -721,11 +710,29 @@ def triangle_count(
     wedges = (
         e1.join(e2, "a")
         .filter(F.col("kb") < F.col("kc"))
-        .select("b", "c")
+        .select("a", "b", "c")
     )
     e3 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    tris = wedges.join(e3, ["b", "c"])
-    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return wedges.join(e3, ["b", "c"])
+
+
+def triangle_count(
+    edges: DataFrame, src: str = SRC, dst: str = DST
+) -> DataFrame:
+    """Global triangle count over an undirected view of `edges`.
+
+    Classic distributed formulation (the reference has no triangle
+    operator; this is beyond-reference analytics): canonicalize each
+    edge to (lo, hi), dedupe, DEGREE-ORIENT (wedges open only at a
+    triangle's minimum-degree corner — fan-out bounded by sqrt(2m)
+    instead of raw hub degree), then close the wedge with two
+    equi-joins so every triangle is counted exactly once. Both joins
+    shuffle on a single vertex key.
+
+    Returns a 1-row DataFrame: (n_triangles BIGINT).
+    """
+    return _oriented_triangle_triples(edges, src, dst).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
 
 
 def triangles_per_vertex(
@@ -733,21 +740,15 @@ def triangles_per_vertex(
 ) -> DataFrame:
     """Per-vertex triangle participation counts: (node, n_triangles).
 
-    Same wedge-closing join as triangle_count; each (a,b,c) triangle
-    credits all three corners (one explode, one groupBy)."""
-    a, b = F.col(src), F.col(dst)
-    und = (
-        edges.select(
-            F.least(a, b).alias("_lo"), F.greatest(a, b).alias("_hi")
-        )
-        .filter(F.col("_lo") != F.col("_hi"))
-        .distinct()
-        .localCheckpoint(eager=False)  # feeds 3 join sides (see triangle_count)
-    )
-    e1 = und.select(F.col("_lo").alias("a"), F.col("_hi").alias("b"))
-    e2 = und.select(F.col("_lo").alias("b"), F.col("_hi").alias("c"))
-    e3 = und.select(F.col("_lo").alias("a"), F.col("_hi").alias("c"))
-    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    r6: now rides triangle_count's DEGREE-ORIENTED wedge pipeline
+    (previously id-oriented — a low-id hub's wedge fan-out was its raw
+    degree squared; degree orientation bounds it by sqrt(2m)). Each
+    (a, b, c) triangle is found exactly once and credits all three
+    corners (one explode, one map-side-combined groupBy)."""
+    # reuse the oriented pipeline by rebuilding it through
+    # triangle_count's body up to the triple set: call the internal
+    # plan via a small duplication-free trampoline
+    tris = _oriented_triangle_triples(edges, src, dst)
     return (
         tris.select(
             F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
