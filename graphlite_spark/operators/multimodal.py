@@ -2553,27 +2553,37 @@ def _sample_frames_accel(raw: bytes, every_ms: int, av_mod):
     import numpy as np
 
     out = []
-    with av_mod.open(io.BytesIO(raw)) as container:
-        stream = next((s for s in container.streams if s.type == "video"),
-                      None)
-        if stream is None:
-            raise ValueError("accelerated decode: no video stream")
-        next_ts = 0
-        for frame in container.decode(stream):
-            ts_ms = int((frame.pts or 0) * float(stream.time_base) * 1000)
-            if ts_ms < next_ts:
-                continue
-            arr = frame.to_ndarray(format="rgb24")
-            h, w = arr.shape[:2]
-            stride = ((w * 3 + 3) // 4) * 4
-            rows = np.zeros((h, stride), dtype=np.uint8)
-            rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
-            px = rows.tobytes()
-            hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
-            dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                              len(px), 0, 0, 0, 0)
-            out.append((ts_ms, hdr + dib + px))
-            next_ts = ts_ms + every_ms
+    try:
+        with av_mod.open(io.BytesIO(raw)) as container:
+            stream = next((s for s in container.streams
+                           if s.type == "video"), None)
+            if stream is None:
+                raise ValueError("accelerated decode: no video stream")
+            next_ts = 0
+            for frame in container.decode(stream):
+                ts_ms = int((frame.pts or 0) * float(stream.time_base)
+                            * 1000)
+                if ts_ms < next_ts:
+                    continue
+                arr = frame.to_ndarray(format="rgb24")
+                h, w = arr.shape[:2]
+                stride = ((w * 3 + 3) // 4) * 4
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+                px = rows.tobytes()
+                hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+                dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                  len(px), 0, 0, 0, 0)
+                out.append((ts_ms, hdr + dib + px))
+                next_ts = ts_ms + every_ms
+    except ValueError:
+        raise
+    except Exception as e:
+        # PyAV raises FFmpegError subclasses that are NOT all
+        # ValueError/OSError-derived — normalize so the caller's
+        # DECODE_ERRORS policy (and 'auto' fallback) applies, the same
+        # wrap _decode_image_accel does for Pillow
+        raise ValueError(f"accelerated decode failed: {e}") from e
     if not out:
         raise ValueError("accelerated decode: no frames decoded")
     return out
@@ -2621,6 +2631,12 @@ def sample_frames(
 
         av_mod = (_accelerated_video_decoder()
                   if decoder in ("auto", "accel") else None)
+        if decoder == "accel" and av_mod is None:
+            # executor-side guard: driver may have av while an
+            # executor does not — silent builtin fallback would mix
+            # output formats nondeterministically across the cluster
+            raise RuntimeError(
+                "decoder='accel' requires PyAV (av) on the executors")
         for pdf in batches:
             rows = {"asset_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
             for aid, content, dur in zip(

@@ -97,10 +97,12 @@ def mixture_sample(df: DataFrame, group_col: str, targets: dict[str, float],
     """
     if not targets or any(t <= 0 for t in targets.values()):
         raise ValueError(f"targets must be positive shares: {targets}")
+    drop_weight = ()
     if tokenizer is not None:
         from .tokenize import bpe_token_count_col
 
         weight_col = "_bpe_tokens"
+        drop_weight = (weight_col,)  # temp column must not leak out
         df = df.withColumn(
             weight_col, bpe_token_count_col(df, tokenizer, text_col))
     tmap = F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])
@@ -127,7 +129,7 @@ def mixture_sample(df: DataFrame, group_col: str, targets: dict[str, float],
     out = df.join(F.broadcast(rates), group_col, "inner")
     return out.filter(
         _bucket(F.col(key_col), salt) < F.col("_rate") * F.lit(float(_M32))
-    ).drop("_rate", "_bpe_tokens")
+    ).drop("_rate", *drop_weight)
 
 
 def split_assign(df: DataFrame, key_col: str,

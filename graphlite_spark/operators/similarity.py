@@ -491,7 +491,12 @@ def rescore_topk(
         raise ValueError(f"bits must be 8 or 4, got {bits}")
     qmax = 127.0 if bits == 8 else 7.0
     if n_items is None:
-        n_items = items.count()
+        # sizing pass for C: pruned to the id column so it reads one
+        # column's pages, not the vectors. At corpus scale pass
+        # n_items explicitly (a catalog rowcount) to skip it entirely
+        # — especially when `items` carries expensive upstream lineage,
+        # which would otherwise execute twice.
+        n_items = items.select(id_col).count()
     c_cut = max(k, int(-(-candidate_fraction * n_items // 1)))
 
     qrows = queries.select(

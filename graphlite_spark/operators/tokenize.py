@@ -199,10 +199,21 @@ def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
     the top ``max_words`` rows by count come to the driver for the
     sequential merge loop — capping the histogram is the standard
     trainer posture (coverage loss is in the Zipf tail)."""
+    # Pre-tokenize in PYTHON (Arrow-vectorized), not Java regex:
+    # java.util.regex reads \w/\d/\s as ASCII-only without
+    # UNICODE_CHARACTER_CLASS, so regexp_extract_all would split
+    # 'café' differently than the encoder's _PRETOKEN_RE — the
+    # histogram must see exactly the encoder's pre-tokens.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _pretok(s):
+        return s.map(lambda x: [] if x is None else _PRETOKEN_RE.findall(x))
+
+    _pretok.__annotations__ = {"s": pd.Series, "return": pd.Series}
     hist = (
         df.select(F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN),
-                                 F.lit(0))
+            pandas_udf(_pretok, "array<string>")(F.col(text_col))
         ).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), F.col("w"))
@@ -217,43 +228,43 @@ def _broadcast_tokenizer(df: DataFrame, tokenizer: BPETokenizer):
     return sc.broadcast(tokenizer.merges)
 
 
+# Executor-side tokenizer instances, keyed by broadcast id: rebuilt
+# vocab/rank dicts and a COLD word cache per Arrow batch would bound
+# the Zipfian cache benefit by batch size instead of executor
+# lifetime. The dict lives for the Python worker process.
+_TOKENIZER_CACHE: dict = {}
+
+
+def _tokenizer_from_broadcast(bc) -> BPETokenizer:
+    # worker-side Broadcast has no .id; its spill _path is the unique
+    # per-broadcast key there (fall back to object identity)
+    key = getattr(bc, "_path", None) or id(bc)
+    tok = _TOKENIZER_CACHE.get(key)
+    if tok is None:
+        tok = BPETokenizer(bc.value)
+        if len(_TOKENIZER_CACHE) > 8:  # bound worker memory
+            _TOKENIZER_CACHE.clear()
+        _TOKENIZER_CACHE[key] = tok
+    return tok
+
+
 def tokenize_bpe(df: DataFrame, tokenizer: BPETokenizer,
                  text_col: str = "text",
                  out_col: str = "token_ids") -> DataFrame:
     """Add an array<int> column of BPE token ids. Broadcast merge
-    table + Arrow-vectorized pandas UDF; map-side, zero shuffle."""
+    table + Arrow-vectorized pandas UDF (per-executor cached
+    tokenizer instance); map-side, zero shuffle."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     bc = _broadcast_tokenizer(df, tokenizer)
 
     def _enc(s):
-        tok = BPETokenizer(bc.value)
+        tok = _tokenizer_from_broadcast(bc)
         return s.map(lambda x: None if x is None else tok.encode(x))
 
     _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return df.withColumn(out_col, pandas_udf(_enc, "array<int>")(F.col(text_col)))
-
-
-def token_count_bpe(df: DataFrame, tokenizer: BPETokenizer,
-                    text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
-    """(id, n_tokens) under the given BPE tokenizer. Same distributed
-    shape as tokenize_bpe but never materializes the id arrays."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    bc = _broadcast_tokenizer(df, tokenizer)
-
-    def _cnt(s):
-        tok = BPETokenizer(bc.value)
-        return s.map(lambda x: 0 if x is None else tok.count(x))
-
-    _cnt.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    return df.select(
-        F.col(id_col),
-        pandas_udf(_cnt, "long")(F.col(text_col)).alias("n_tokens"),
-    )
 
 
 def bpe_token_count_col(df: DataFrame, tokenizer: BPETokenizer,
@@ -266,11 +277,22 @@ def bpe_token_count_col(df: DataFrame, tokenizer: BPETokenizer,
     bc = _broadcast_tokenizer(df, tokenizer)
 
     def _cnt(s):
-        tok = BPETokenizer(bc.value)
+        tok = _tokenizer_from_broadcast(bc)
         return s.map(lambda x: 0 if x is None else tok.count(x))
 
     _cnt.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_cnt, "long")(F.col(text_col))
+
+
+def token_count_bpe(df: DataFrame, tokenizer: BPETokenizer,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens) under the given BPE tokenizer. Same distributed
+    shape as tokenize_bpe but never materializes the id arrays."""
+    return df.select(
+        F.col(id_col),
+        bpe_token_count_col(df, tokenizer, text_col).alias("n_tokens"),
+    )
 
 
 def chunk_documents_bpe(
@@ -282,13 +304,19 @@ def chunk_documents_bpe(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Tokenizer-true sibling of text.chunk_documents: chunk i covers
-    BPE tokens [i*stride, i*stride + max_tokens); chunk text is the
-    exact byte slice those tokens decode to (byte-level BPE is
-    lossless, so concatenating chunks at overlap=0 reconstructs the
-    document). Empty documents produce no chunks. One Arrow-vectorized
-    mapInPandas — encode once per document, emit all chunks from the
-    same id list; map-side, no shuffle. Returns
-    (id, chunk_idx, text, n_tokens).
+    BPE tokens [i*stride, i*stride + max_tokens); n_tokens is exactly
+    the window size. Chunk TEXT is the window's byte span with its
+    ends snapped to UTF-8 character boundaries (a token boundary can
+    fall inside a multi-byte character — byte-level BPE tokens are
+    sub-character there; the snap moves <= 3 bytes, the start skips
+    forward past continuation bytes and the end extends forward to
+    complete the character, so adjacent snapped boundaries COINCIDE
+    and concatenating chunks at overlap=0 still reconstructs the
+    document exactly — pinned by the CJK pytest). Empty documents
+    produce no chunks. One Arrow-vectorized mapInPandas — encode once
+    per document, emit all chunks from the same piece list; map-side,
+    no shuffle. Returns (id, chunk_idx, text, n_tokens); the id
+    column keeps the input's type.
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
@@ -301,7 +329,15 @@ def chunk_documents_bpe(
     def gen(batches):
         import pandas as pd
 
-        tok = BPETokenizer(bc.value)
+        tok = _tokenizer_from_broadcast(bc)
+
+        def snap(full: bytes, pos: int) -> int:
+            # forward to the next UTF-8 character boundary (skip
+            # continuation bytes 0b10xxxxxx); <= 3 steps by encoding
+            while pos < len(full) and (full[pos] & 0xC0) == 0x80:
+                pos += 1
+            return pos
+
         for pdf in batches:
             ids, idxs, texts, ntoks = [], [], [], []
             for did, text in zip(pdf["_id"], pdf["_text"]):
@@ -311,15 +347,21 @@ def chunk_documents_bpe(
                 n = len(pieces)
                 if n == 0:
                     continue
+                full = b"".join(pieces)
+                # byte offset of each token boundary
+                offs = [0]
+                for p in pieces:
+                    offs.append(offs[-1] + len(p))
                 start = 0
                 ci = 0
                 while True:
-                    window = pieces[start:start + max_tokens]
+                    end = min(start + max_tokens, n)
+                    bs = snap(full, offs[start])
+                    be = snap(full, offs[end])
                     ids.append(did)
                     idxs.append(ci)
-                    texts.append(b"".join(window).decode("utf-8",
-                                                         errors="replace"))
-                    ntoks.append(len(window))
+                    texts.append(full[bs:be].decode("utf-8"))
+                    ntoks.append(end - start)
                     if start + max_tokens >= n:
                         break
                     start += stride
@@ -331,7 +373,15 @@ def chunk_documents_bpe(
                 "n_tokens": pd.Series(ntoks, dtype="int64"),
             })
 
-    schema = "_id long, chunk_idx long, text string, n_tokens long"
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType)
+
+    schema = StructType([
+        StructField("_id", df.schema[id_col].dataType, True),
+        StructField("chunk_idx", LongType(), False),
+        StructField("text", StringType(), False),
+        StructField("n_tokens", LongType(), False),
+    ])
     out = src.mapInPandas(gen, schema)
     return out.select(F.col("_id").alias(id_col), "chunk_idx", "text",
                       "n_tokens")

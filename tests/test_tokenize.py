@@ -263,3 +263,80 @@ def test_streaming_chunk_documents_bpe_matches_batch(spark, tmp_path):
     got = {(r.doc_id, r.chunk_idx, r.text, r.n_tokens)
            for r in spark.table("bpe_chunks").collect()}
     assert got == expected
+
+
+def test_chunk_documents_bpe_multibyte_boundaries(spark):
+    # a token window can end mid-character (byte-level BPE tokens are
+    # sub-character on multi-byte text): chunk text must snap to UTF-8
+    # character boundaries, never emit U+FFFD, and still reassemble the
+    # document exactly at overlap=0
+    from graphlite_spark.operators.text import chunk_documents
+
+    tok = disjoint_digraph_tokenizer()
+    texts = ["中文字符测试", "naïve café ßer — 中the文",
+             "aé" * 10, "the fast 中 erin"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string")
+    for max_toks, overlap in ((4, 0), (5, 2), (3, 1)):
+        out = chunk_documents(df, max_tokens=max_toks, overlap=overlap,
+                              tokenizer=tok)
+        rows = out.collect()
+        for r in rows:
+            assert "�" not in r["text"], (max_toks, overlap, r)
+            assert r["n_tokens"] <= max_toks
+        if overlap == 0:
+            recon: dict[int, list] = {}
+            for r in rows:
+                recon.setdefault(r["doc_id"], []).append(
+                    (r["chunk_idx"], r["text"]))
+            for did, parts in recon.items():
+                assert "".join(t for _, t in sorted(parts)) == texts[did]
+
+
+def test_chunk_documents_bpe_string_ids(spark):
+    # the id column keeps its input type (was hardcoded long)
+    from graphlite_spark.operators.text import chunk_documents
+
+    tok = disjoint_digraph_tokenizer()
+    df = spark.createDataFrame(
+        [("doc-a", "the fast customer joins"), ("doc-b", "erin has a basin")],
+        "doc_id: string, text: string")
+    out = chunk_documents(df, max_tokens=4, overlap=0, tokenizer=tok)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {"doc-a", "doc-b"}
+
+
+def test_mixture_sample_weight_col_not_dropped(spark):
+    # regression: an explicit weight_col named like the internal temp
+    # column must survive in the output
+    from graphlite_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", 10 + i) for i in range(20)],
+        "doc_id: long, lang: string, _bpe_tokens: long")
+    out = mixture_sample(df, "lang", {"en": 0.5, "de": 0.5}, "doc_id",
+                         weight_col="_bpe_tokens")
+    assert "_bpe_tokens" in out.columns
+
+
+def test_train_bpe_unicode_pretokens(spark):
+    # the distributed histogram must pre-tokenize exactly like the
+    # Python encoder — 'café' stays one pre-token (Java \\w is
+    # ASCII-only; the histogram now runs the Python regex)
+    from collections import Counter
+
+    from graphlite_spark.operators.tokenize import (
+        _PRETOKEN_RE, learn_bpe, train_bpe)
+
+    texts = ["café café naïve", "café au lait", "中文 中文 café"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string")
+    tok = train_bpe(df, num_merges=5)
+    counts = Counter()
+    for t in texts:
+        for w in _PRETOKEN_RE.findall(t):
+            counts[w.encode("utf-8")] += 1
+    assert tok.merges == learn_bpe(dict(counts), 5)
+    for t in texts:
+        assert tok.decode(tok.encode(t)) == t
