@@ -2913,7 +2913,106 @@ def probe_bytes(content: bytes) -> dict:
         out.update(_probe_mp4(c))
     elif c[:4] == b"\x1a\x45\xdf\xa3":  # EBML (Matroska/WebM)
         out.update(_probe_webm(c))
+    elif c[:3] == b"ID3" or (len(c) >= 4 and c[0] == 0xFF
+                             and (c[1] & 0xE0) == 0xE0):
+        probed = _probe_mp3(c)
+        if probed is not None:
+            out.update(probed)
     return out
+
+
+# MPEG-1 Layer III bitrates (kbps) by header index; index 0 = free,
+# 15 = invalid. Layer II/I and MPEG-2/2.5 use different tables — the
+# probe reports those combinations via the codec string and version-
+# scaled sample rate but estimates duration only for the common
+# MPEG-1 Layer III case.
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                      160, 192, 224, 256, 320, 0]
+_MP3_RATES_V1 = [44100, 48000, 32000, 0]
+
+
+def _probe_mp3(content: bytes):
+    """MPEG audio (MP3) header probe: skip an ID3v2 tag, find the
+    first frame sync, parse version/layer/bitrate/samplerate/mode,
+    and estimate duration from the CBR byte budget (the quick path
+    ffprobe takes) — no audio decode. Returns a probe dict or None
+    when no valid frame header is found (caller keeps 'unknown')."""
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        tag = ((content[6] & 0x7F) << 21) | ((content[7] & 0x7F) << 14) \
+            | ((content[8] & 0x7F) << 7) | (content[9] & 0x7F)
+        pos = 10 + tag
+    end = min(len(content) - 3, pos + 65536)  # bounded sync scan
+    while pos < end:
+        if content[pos] == 0xFF and (content[pos + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = content[pos + 1], content[pos + 2], content[pos + 3]
+            ver_bits = (b1 >> 3) & 3     # 0=2.5, 2=MPEG2, 3=MPEG1
+            layer_bits = (b1 >> 1) & 3   # 1=III, 2=II, 3=I
+            br_idx = b2 >> 4
+            sr_idx = (b2 >> 2) & 3
+            mode = (b3 >> 6) & 3
+            if ver_bits == 1 or layer_bits == 0 or br_idx in (0, 15) \
+                    or sr_idx == 3:
+                pos += 1
+                continue
+            version = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
+            layer = {1: 3, 2: 2, 3: 1}[layer_bits]
+            sr = _MP3_RATES_V1[sr_idx]
+            if ver_bits == 2:
+                sr //= 2
+            elif ver_bits == 0:
+                sr //= 4
+            duration = None
+            if ver_bits == 3 and layer_bits == 1:
+                kbps = _MP3_BITRATES_V1L3[br_idx]
+                padding = (b2 >> 1) & 1
+                flen = (144 * kbps * 1000) // sr + padding
+                # false-sync guard (a 0xFF byte in arbitrary data can
+                # parse as a header): when a whole frame fits, require
+                # the NEXT frame to start with sync too
+                nxt = pos + flen
+                if nxt + 1 < len(content) and not (
+                    content[nxt] == 0xFF
+                    and (content[nxt + 1] & 0xE0) == 0xE0
+                ):
+                    pos += 1
+                    continue
+                audio_bytes = len(content) - pos
+                duration = int(round(audio_bytes * 8 / kbps))
+            return {
+                "container": "mp3",
+                "codec": f"mpeg{version}-layer{layer}",
+                "sample_rate": sr,
+                "channels": 1 if mode == 3 else 2,
+                "duration_ms": duration,
+            }
+        pos += 1
+    return None
+
+
+def synth_mp3(n_frames: int, bitrate_kbps: int = 128,
+              sample_rate: int = 44100, mono: bool = False,
+              id3_bytes: int = 0) -> bytes:
+    """Minimal MPEG-1 Layer III stream for probe tests: valid frame
+    headers (no CRC) with zeroed payloads, optionally preceded by an
+    ID3v2 tag of ``id3_bytes`` body bytes. Not decodable audio — the
+    probe only reads headers."""
+    br_idx = _MP3_BITRATES_V1L3.index(bitrate_kbps)
+    sr_idx = _MP3_RATES_V1.index(sample_rate)
+    frame_len = (144 * bitrate_kbps * 1000) // sample_rate
+    hdr = bytes([
+        0xFF, 0xFB,  # sync + MPEG1 + Layer III + no CRC
+        (br_idx << 4) | (sr_idx << 2),
+        (0x03 if mono else 0x00) << 6,
+    ])
+    out = b""
+    if id3_bytes:
+        sz = id3_bytes
+        out += (b"ID3\x04\x00\x00"
+                + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                         (sz >> 7) & 0x7F, sz & 0x7F])
+                + b"\x00" * sz)
+    return out + (hdr + b"\x00" * (frame_len - 4)) * n_frames
 
 
 def probe_media(assets: DataFrame, on_error: str = "null") -> DataFrame:

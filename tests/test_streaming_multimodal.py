@@ -1616,3 +1616,27 @@ def test_sample_frames_accel_hook_gating(spark):
         sample_frames(assets, every_ms=40, decoder="accel")
     with pytest.raises(ValueError):
         sample_frames(assets, every_ms=40, decoder="bogus")
+
+
+def test_probe_mp3():
+    # 10th probe container: MPEG-1 Layer III header parse + ID3v2 skip,
+    # CBR duration estimate; second-sync confirm rejects false syncs
+    from graphlite_spark.operators.multimodal import probe_bytes, synth_mp3
+
+    info = probe_bytes(synth_mp3(10))
+    assert info["container"] == "mp3"
+    assert info["codec"] == "mpeg1-layer3"
+    assert info["sample_rate"] == 44100 and info["channels"] == 2
+    assert info["duration_ms"] == round(10 * 417 * 8 / 128)
+
+    tagged = probe_bytes(synth_mp3(5, bitrate_kbps=64, sample_rate=32000,
+                                   mono=True, id3_bytes=123))
+    assert tagged["container"] == "mp3" and tagged["channels"] == 1
+    assert tagged["sample_rate"] == 32000
+    flen = (144 * 64 * 1000) // 32000
+    assert tagged["duration_ms"] == round(5 * flen * 8 / 64)
+
+    # a V1L3-shaped false sync inside plain text must NOT probe as mp3
+    # (the next-frame confirm fails)
+    noise = b"some text \xff\xfa\x90\x00 more plain text follows here" * 3
+    assert probe_bytes(noise)["container"] == "unknown"
