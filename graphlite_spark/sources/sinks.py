@@ -71,3 +71,59 @@ def write_results(df: DataFrame, path: str, fmt: str = "parquet",
         w.json(path)
     else:
         raise ValueError(f"unknown format {fmt!r}")
+
+
+def write_parquet_sized(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 256,
+    mode: str = "overwrite",
+    partition_by: Optional[list[str]] = None,
+    sort_by: Optional[list[str]] = None,
+    compression_ratio: float = 3.0,
+) -> int:
+    """Write parquet with a TARGET OUTPUT FILE SIZE — the small-files
+    killer for pipeline sinks. A curation job that ends on the default
+    shuffle partitioning writes however many files its last exchange
+    had (thousands of KB-sized files at scale: metadata pressure on
+    every later scan, and object-store request amplification);
+    conversely one giant file serializes downstream parallelism.
+
+    Sizing: Catalyst's optimized-plan size estimate (input-file bytes;
+    no job launched) divided by an assumed parquet ``compression_ratio``
+    (in-plan bytes are decompressed-ish; ~3x is a conservative default
+    for columnar re-encoding) picks
+        n_files = clamp(ceil(est_bytes / ratio / target_mb), 1, 100k).
+    The repartition is a round-robin exchange — the one shuffle this
+    writer adds — or hash-partitioned by ``partition_by`` when hive
+    partitioning is requested so each output partition's files stay
+    few. ``sort_by`` applies sortWithinPartitions before the write
+    (row-group locality for the columns later scans filter on: parquet
+    min/max page stats then actually prune).
+
+    Returns the file count it targeted. For exactly-once streaming
+    epochs use streaming/sinks.py; this is the batch sink.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be positive, got {target_mb}")
+    from graphlite_spark.operators.dedup import _plan_size_bytes
+
+    est = _plan_size_bytes(df)
+    if est >= 1 << 59:  # estimate unavailable — keep current layout
+        n_files = max(df.rdd.getNumPartitions(), 1)
+    else:
+        n_files = int(-(-est / compression_ratio // (target_mb << 20)))
+        n_files = min(max(n_files, 1), 100_000)
+    if partition_by:
+        out = df.repartition(n_files, *partition_by)
+    else:
+        out = df.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    w = out.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return n_files

@@ -238,3 +238,31 @@ def test_write_results_roundtrip(spark, tmp_path):
     out = str(tmp_path / "res")
     write_results(df, out, fmt="parquet")
     assert spark.read.parquet(out).count() == 1
+
+
+def test_write_parquet_sized(spark, tmp_path):
+    import glob
+
+    from graphlite_spark.sources.sinks import write_parquet_sized
+
+    df = spark.range(0, 10000).selectExpr(
+        "id", "id % 7 AS k", "repeat('x', 100) AS pad")
+    out = str(tmp_path / "sized")
+    n = write_parquet_sized(df, out, target_mb=1)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n >= 1
+    back = spark.read.parquet(out)
+    assert back.count() == 10000
+
+    # hive partitioning + in-partition sort still round-trips
+    out2 = str(tmp_path / "sized2")
+    write_parquet_sized(df, out2, target_mb=1, partition_by=["k"],
+                        sort_by=["id"])
+    back2 = spark.read.parquet(out2)
+    assert back2.count() == 10000
+    assert set(back2.select("k").distinct().toPandas()["k"]) == set(range(7))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_parquet_sized(df, out, target_mb=0)
