@@ -911,3 +911,31 @@ def test_lm_quality_score_streaming_with_offline_model(spark, tmp_path):
     q.awaitTermination()
     got = sorted(map(tuple, spark.table("lm_stream").collect()))
     assert got == expected
+
+
+def test_jaccard_ppjoin_positional_parity_fuzz(spark):
+    # the r6 POSITIONAL filter must not drop any true pair: PPJoin
+    # (prefix + length + positional) vs the inverted-index variant on
+    # random corpora across thresholds — results must be identical
+    import random
+
+    from graphlite_spark.operators.dedup import ngram_jaccard_pairs
+
+    for trial, threshold in ((0, 0.5), (1, 0.6), (2, 0.8)):
+        r = random.Random(100 + trial)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dense overlap
+        docs = []
+        for i in range(60):
+            base = [r.choice(vocab) for _ in range(r.randrange(5, 25))]
+            docs.append((i, " ".join(base)))
+            if r.random() < 0.4:  # planted near-dups: light edits
+                mut = list(base)
+                for _ in range(r.randrange(0, 3)):
+                    mut[r.randrange(len(mut))] = r.choice(vocab)
+                docs.append((1000 + i, " ".join(mut)))
+        df = spark.createDataFrame(docs, "doc_id: long, text: string")
+        exact = sorted(map(tuple, ngram_jaccard_pairs(
+            df, threshold=threshold, prefix_filter=False).collect()))
+        pp = sorted(map(tuple, ngram_jaccard_pairs(
+            df, threshold=threshold, prefix_filter=True).collect()))
+        assert pp == exact, (trial, threshold)
