@@ -1889,14 +1889,14 @@ def _q_audio_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mixed_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic mixed-container asset table (one asset per doc_id < 64
-    cycling all 10 container families, parameters closed-form in
+    cycling all 12 container families, parameters closed-form in
     doc_id) — shared by the probe and media-pipeline entries."""
     from pyspark.sql import functions as F
 
     from graphlite_spark.operators.multimodal import (
         ASSET_SCHEMA, synth_animated_gif, synth_avi_mjpeg,
-        synth_flac, synth_jpeg, synth_mp3, synth_mp4, synth_png,
-        synth_wav, synth_webm,
+        synth_flac, synth_jpeg, synth_mp3, synth_mp4, synth_ogg_opus,
+        synth_png, synth_tiff, synth_wav, synth_webm,
     )
 
     docs = _table(spark, sf_dir, "documents").select("doc_id").filter(
@@ -1914,7 +1914,7 @@ def _mixed_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did = int(did)
                 v = (did * 37) % 256
                 img = np.full((12, 20, 3), v, dtype=np.uint8)
-                k = did % 10
+                k = did % 12
                 if k == 0:
                     blob = synth_png(20, 12, img, interlace=True)
                 elif k == 1:
@@ -1935,6 +1935,12 @@ def _mixed_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blob = synth_webm(1280, 720, 2000 + did * 10, "V_VP9")
                 elif k == 8:
                     blob = synth_mp3(4 + did % 4, id3_bytes=did)
+                elif k == 9:
+                    blob = synth_tiff(20 + did % 5, 12,
+                                      little_endian=bool(did % 2))
+                elif k == 10:
+                    blob = synth_ogg_opus(700 + did * 10,
+                                          channels=1 + did % 2)
                 else:
                     blob = b"\x00\x01 unrecognized payload"
                 out["asset_id"].append(did)
@@ -4516,39 +4522,41 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 64
         """,
         "media_pipeline_e2e": """
-            -- probe routes doc_id %% 10 in (0, 1) to the image decoders
+            -- probe routes doc_id %% 12 in (0, 1) to the image decoders
             -- (Adam7 PNG and progressive JPEG); gray-uniform assets
             -- make the decoded luminance a closed form of doc_id
             SELECT doc_id AS asset_id,
-                   CASE doc_id % 10 WHEN 0 THEN 'png'
+                   CASE doc_id % 12 WHEN 0 THEN 'png'
                                     ELSE 'jpeg' END AS container,
                    CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
                    round((0.299 * ((doc_id * 37) % 256)
                         + 0.587 * ((doc_id * 37) % 256)
                         + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum
-            FROM documents WHERE doc_id < 64 AND doc_id % 10 IN (0, 1)
+            FROM documents WHERE doc_id < 64 AND doc_id % 12 IN (0, 1)
         """,
         "probe_media_mixed": """
             -- mp3 (k=8): 4 + doc_id%4 frames of 417 bytes at 128 kbps
             -- 44.1 kHz behind a (10 + doc_id)-byte ID3v2 tag; duration
             -- is the CBR estimate bytes*8/kbps the probe computes
             SELECT doc_id AS asset_id,
-                   CASE doc_id % 10
+                   CASE doc_id % 12
                         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                         WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
                         WHEN 4 THEN 'flac' WHEN 5 THEN 'avi'
                         WHEN 6 THEN 'mp4' WHEN 7 THEN 'webm'
-                        WHEN 8 THEN 'mp3'
+                        WHEN 8 THEN 'mp3' WHEN 9 THEN 'tiff'
+                        WHEN 10 THEN 'ogg'
                         ELSE 'unknown' END AS container,
-                   CASE doc_id % 10
+                   CASE doc_id % 12
                         WHEN 0 THEN 20 WHEN 1 THEN 20 WHEN 2 THEN 20
                         WHEN 5 THEN 20 WHEN 6 THEN 640
-                        WHEN 7 THEN 1280 END AS width,
-                   CASE doc_id % 10
+                        WHEN 7 THEN 1280
+                        WHEN 9 THEN 20 + doc_id % 5 END AS width,
+                   CASE doc_id % 12
                         WHEN 0 THEN 12 WHEN 1 THEN 12 WHEN 2 THEN 12
                         WHEN 5 THEN 12 WHEN 6 THEN 360
-                        WHEN 7 THEN 720 END AS height,
-                   CASE doc_id % 10
+                        WHEN 7 THEN 720 WHEN 9 THEN 12 END AS height,
+                   CASE doc_id % 12
                         WHEN 2 THEN 300
                         WHEN 3 THEN 50 + doc_id % 20
                         WHEN 4 THEN 50 + doc_id % 20
@@ -4557,19 +4565,24 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 7 THEN 2000 + doc_id * 10
                         WHEN 8 THEN CAST(round((4 + doc_id % 4) * 417
                                               * 8 / 128.0) AS BIGINT)
+                        WHEN 10 THEN 700 + doc_id * 10
                         END AS duration_ms,
-                   CASE doc_id % 10
+                   CASE doc_id % 12
                         WHEN 3 THEN 8000 WHEN 4 THEN 8000
-                        WHEN 8 THEN 44100 END AS sample_rate,
-                   CASE doc_id % 10
+                        WHEN 8 THEN 44100
+                        WHEN 10 THEN 48000 END AS sample_rate,
+                   CASE doc_id % 12
                         WHEN 3 THEN 1 WHEN 4 THEN 2
-                        WHEN 8 THEN 2 END AS channels,
-                   CASE doc_id % 10
+                        WHEN 8 THEN 2
+                        WHEN 10 THEN 1 + doc_id % 2 END AS channels,
+                   CASE doc_id % 12
                         WHEN 0 THEN 'interlaced' WHEN 1 THEN 'progressive'
                         WHEN 2 THEN 'lzw' WHEN 3 THEN 'pcm'
                         WHEN 4 THEN 'flac' WHEN 5 THEN 'MJPG'
                         WHEN 6 THEN 'avc1' WHEN 7 THEN 'V_VP9'
-                        WHEN 8 THEN 'mpeg1-layer3' END AS codec
+                        WHEN 8 THEN 'mpeg1-layer3'
+                        WHEN 9 THEN 'uncompressed'
+                        WHEN 10 THEN 'opus' END AS codec
             FROM documents WHERE doc_id < 64
         """,
         "audio_features_flac": """

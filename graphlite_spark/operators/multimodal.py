@@ -2913,12 +2913,143 @@ def probe_bytes(content: bytes) -> dict:
         out.update(_probe_mp4(c))
     elif c[:4] == b"\x1a\x45\xdf\xa3":  # EBML (Matroska/WebM)
         out.update(_probe_webm(c))
+    elif c[:2] in (b"II", b"MM") and len(c) >= 8 and (
+            struct.unpack_from("<H" if c[:2] == b"II" else ">H", c, 2)[0]
+            == 42):
+        out.update(_probe_tiff(c))
+    elif c[:4] == b"OggS":
+        out.update(_probe_ogg(c))
     elif c[:3] == b"ID3" or (len(c) >= 4 and c[0] == 0xFF
                              and (c[1] & 0xE0) == 0xE0):
         probed = _probe_mp3(c)
         if probed is not None:
             out.update(probed)
     return out
+
+
+def _probe_tiff(content: bytes):
+    """TIFF header + first-IFD walk: byte order, ImageWidth (256),
+    ImageLength (257), BitsPerSample (258, first value), Compression
+    (259) — scan/dataset corpora carry TIFF heavily; no pixel decode."""
+    import struct
+
+    bo = "<" if content[:2] == b"II" else ">"
+    ifd_off, = struct.unpack_from(bo + "I", content, 4)
+    out = {"container": "tiff", "codec": None, "width": None,
+           "height": None}
+    if ifd_off + 2 > len(content):
+        return out
+    n_entries, = struct.unpack_from(bo + "H", content, ifd_off)
+    comp = None
+    for i in range(min(n_entries, 256)):
+        ent = ifd_off + 2 + i * 12
+        if ent + 12 > len(content):
+            break
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", content, ent)
+        # SHORT(3) inline values sit in the first 2 bytes of the value
+        # field; LONG(4) uses all 4
+        if typ == 3:
+            val, = struct.unpack_from(bo + "H", content, ent + 8)
+        elif typ == 4:
+            val, = struct.unpack_from(bo + "I", content, ent + 8)
+        else:
+            continue
+        if tag == 256:
+            out["width"] = val
+        elif tag == 257:
+            out["height"] = val
+        elif tag == 259:
+            comp = val
+    out["codec"] = {1: "uncompressed", 5: "lzw", 6: "jpeg", 7: "jpeg",
+                    8: "deflate", 32773: "packbits"}.get(comp)
+    return out
+
+
+def synth_tiff(width: int, height: int, little_endian: bool = True) -> bytes:
+    """Header-only TIFF for probe tests: one IFD with width/height/
+    bits/compression tags (no strip data — the probe reads headers)."""
+    import struct
+
+    bo = "<" if little_endian else ">"
+    entries = [
+        (256, 3, 1, width), (257, 3, 1, height),
+        (258, 3, 1, 8), (259, 3, 1, 1),
+    ]
+    ifd = struct.pack(bo + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack(bo + "HHI", tag, typ, cnt)
+        ifd += struct.pack(bo + "H", val) + b"\x00\x00"
+    ifd += struct.pack(bo + "I", 0)  # next-IFD = none
+    hdr = (b"II" if little_endian else b"MM") + struct.pack(bo + "H", 42) \
+        + struct.pack(bo + "I", 8)
+    return hdr + ifd
+
+
+def _probe_ogg(content: bytes):
+    """Ogg container: first page's packet identifies the codec
+    (OpusHead / vorbis / theora); channels + rates from the id header;
+    duration from the LAST page's granule position (Opus granules run
+    at 48 kHz, Vorbis at the stream sample rate) via a bounded tail
+    scan — the same trick ffprobe uses for quick Ogg durations."""
+    import struct
+
+    out = {"container": "ogg", "codec": None, "sample_rate": None,
+           "channels": None, "duration_ms": None}
+    # first page: header 27 bytes + seg table; packet follows
+    if len(content) < 28:
+        return out
+    nseg = content[26]
+    body = 27 + nseg
+    pkt = content[body:body + 64]
+    gran_rate = None
+    if pkt[:8] == b"OpusHead":
+        out["codec"] = "opus"
+        if len(pkt) >= 14:
+            out["channels"] = pkt[9]
+            out["sample_rate"], = struct.unpack_from("<I", pkt, 12)
+        gran_rate = 48000  # Opus granules are always 48 kHz
+    elif pkt[:7] == b"\x01vorbis":
+        out["codec"] = "vorbis"
+        if len(pkt) >= 16:
+            out["channels"] = pkt[11]
+            out["sample_rate"], = struct.unpack_from("<I", pkt, 12)
+        gran_rate = out["sample_rate"]
+    elif pkt[:7] == b"\x80theora":
+        out["codec"] = "theora"
+    if gran_rate:
+        tail = content[-65536:]
+        pos = tail.rfind(b"OggS")
+        if pos >= 0 and pos + 14 <= len(tail):
+            granule, = struct.unpack_from("<q", tail, pos + 6)
+            if granule > 0:
+                out["duration_ms"] = int(round(granule * 1000 / gran_rate))
+    return out
+
+
+def synth_ogg_opus(duration_ms: int, channels: int = 2,
+                   input_rate: int = 48000) -> bytes:
+    """Two-page Ogg/Opus skeleton for probe tests: an OpusHead id page
+    and a final page whose granule position encodes ``duration_ms``
+    (48 kHz granules). No audio packets — the probe reads headers."""
+    import struct
+
+    def page(granule: int, seq: int, payload: bytes,
+             header_type: int) -> bytes:
+        seg = bytes([len(payload)]) if payload else b"\x00"
+        nseg = 1
+        hdr = (b"OggS" + b"\x00" + bytes([header_type])
+               + struct.pack("<q", granule)
+               + struct.pack("<I", 1)  # serial
+               + struct.pack("<I", seq)
+               + struct.pack("<I", 0)  # crc (unchecked by the probe)
+               + bytes([nseg]) + seg)
+        return hdr + payload
+    opus_head = (b"OpusHead" + bytes([1, channels]) +
+                 struct.pack("<H", 312) + struct.pack("<I", input_rate)
+                 + struct.pack("<h", 0) + b"\x00")
+    granule = (duration_ms * 48000) // 1000
+    return (page(0, 0, opus_head, 0x02)       # BOS
+            + page(granule, 1, b"", 0x04))    # EOS
 
 
 # MPEG-1 Layer III bitrates (kbps) by header index; index 0 = free,

@@ -1640,3 +1640,26 @@ def test_probe_mp3():
     # (the next-frame confirm fails)
     noise = b"some text \xff\xfa\x90\x00 more plain text follows here" * 3
     assert probe_bytes(noise)["container"] == "unknown"
+
+
+def test_probe_tiff_and_ogg():
+    # 11th/12th probe containers: TIFF IFD walk (both byte orders) and
+    # Ogg (Opus id header + last-page granule duration)
+    from graphlite_spark.operators.multimodal import (
+        probe_bytes, synth_ogg_opus, synth_tiff)
+
+    for le in (True, False):
+        t = probe_bytes(synth_tiff(320, 200, little_endian=le))
+        assert t["container"] == "tiff"
+        assert (t["width"], t["height"]) == (320, 200)
+        assert t["codec"] == "uncompressed"
+
+    o = probe_bytes(synth_ogg_opus(1500, channels=1))
+    assert o["container"] == "ogg" and o["codec"] == "opus"
+    assert o["channels"] == 1 and o["sample_rate"] == 48000
+    assert o["duration_ms"] == 1500
+
+    # truncated TIFF header: container identified, fields stay null
+    frag = synth_tiff(10, 10)[:8]
+    t2 = probe_bytes(frag)
+    assert t2["container"] == "tiff" and t2["width"] is None
