@@ -1547,6 +1547,7 @@ def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
 
         from graphlite_spark.operators.multimodal import (
             ASSET_SCHEMA, image_features, synth_bmp, synth_jpeg, synth_png,
+            synth_tiff,
         )
 
         docs = _table(spark, sf_dir, "documents").select("doc_id").filter(
@@ -1589,6 +1590,17 @@ def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
                         else:
                             content = synth_png(20, 12, img,
                                                 interlace=bool(variant))
+                    elif fmt == "tiff":
+                        # cycle byte order / strip split / gray-vs-RGB
+                        if did % 3 == 2:
+                            content = synth_tiff(
+                                20, 12, pixel=np.full((12, 20), v, np.uint8),
+                                little_endian=bool(did % 2))
+                        else:
+                            content = synth_tiff(
+                                20, 12, pixel=img,
+                                little_endian=bool(did % 2),
+                                rows_per_strip=4 if did % 4 == 1 else None)
                     else:
                         content = synth_bmp(20, 12,
                                             lambda x, y, v=v: (v, v, v))
@@ -2460,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sample_frames_rawvideo_avi": _q_sample_frames_rawvideo_avi,
             "image_features_png": _q_image_decode("png"),
             "image_features_bmp": _q_image_decode("bmp"),
+            "image_features_tiff": _q_image_decode("tiff"),
             "audio_features_wav": _q_audio_decode,
             "audio_features_flac": _q_audio_decode_flac,
             "probe_media_mixed": _q_probe_media,
@@ -4500,6 +4513,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id < 32
         """,
         "image_features_png": """
+            SELECT doc_id AS asset_id,
+                   CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum0,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum7
+            FROM documents WHERE doc_id < 64
+        """,
+        "image_features_tiff": """
             SELECT doc_id AS asset_id,
                    CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
                    round((0.299 * ((doc_id * 37) % 256)

@@ -379,6 +379,12 @@ def _decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     if content[:6] in (b"GIF87a", b"GIF89a"):
         width, height, gray = _decode_gif(content)
         return width, height, _gray_embedding(gray, width, height, dim)
+    if content[:2] in (b"II", b"MM") and len(content) >= 8 and \
+            struct.unpack_from(
+                "<H" if content[:2] == b"II" else ">H", content, 2
+            )[0] == 42:
+        width, height, gray = _decode_tiff(content)
+        return width, height, _gray_embedding(gray, width, height, dim)
     raise NotImplementedError(
         "unrecognized image container (BMP/PNG/baseline-JPEG/GIF decode "
         "without external codecs) — pass deterministic_fake=True for "
@@ -2927,6 +2933,72 @@ def probe_bytes(content: bytes) -> dict:
     return out
 
 
+def _tiff_ifd_entries(content: bytes, bo: str):
+    """First-IFD entries as {tag: (type, count, value_or_offset_field)}
+    plus resolved small values; shared by probe and decode."""
+    import struct
+
+    ifd_off, = struct.unpack_from(bo + "I", content, 4)
+    n_entries, = struct.unpack_from(bo + "H", content, ifd_off)
+    out = {}
+    for i in range(min(n_entries, 256)):
+        ent = ifd_off + 2 + i * 12
+        if ent + 12 > len(content):
+            break
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", content, ent)
+        out[tag] = (typ, cnt, ent + 8)
+    return out
+
+
+def _tiff_values(content: bytes, bo: str, entry) -> list[int]:
+    """Resolve a SHORT(3)/LONG(4) entry's value list (inline when it
+    fits in the 4-byte field, else at the stored offset)."""
+    import struct
+
+    typ, cnt, vfield = entry
+    size = 2 if typ == 3 else 4
+    fmt = "H" if typ == 3 else "I"
+    if cnt * size <= 4:
+        off = vfield
+    else:
+        off, = struct.unpack_from(bo + "I", content, vfield)
+    return list(struct.unpack_from(bo + str(cnt) + fmt, content, off))
+
+
+def _decode_tiff(content: bytes):
+    """Uncompressed (Compression=1) strip TIFF decode: 8-bit gray or
+    RGB, strips concatenated in order -> (width, height, luminance).
+    Other compressions/depths raise NotImplementedError (honest
+    guard); the probe still reports their metadata."""
+    import numpy as np
+
+    bo = "<" if content[:2] == b"II" else ">"
+    ent = _tiff_ifd_entries(content, bo)
+    need = (256, 257, 273, 279)
+    if any(t not in ent for t in need):
+        raise ValueError("TIFF: missing required IFD tags")
+    width = _tiff_values(content, bo, ent[256])[0]
+    height = _tiff_values(content, bo, ent[257])[0]
+    _check_dims(width, height, "TIFF")
+    comp = _tiff_values(content, bo, ent[259])[0] if 259 in ent else 1
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression={comp} unsupported")
+    spp = _tiff_values(content, bo, ent[277])[0] if 277 in ent else 1
+    bits = _tiff_values(content, bo, ent[258]) if 258 in ent else [8]
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise NotImplementedError(
+            f"TIFF bits={bits} samples={spp} unsupported")
+    offs = _tiff_values(content, bo, ent[273])
+    counts = _tiff_values(content, bo, ent[279])
+    raw = b"".join(content[o:o + n] for o, n in zip(offs, counts))
+    expected = width * height * spp
+    if len(raw) < expected:
+        raise ValueError("TIFF: strip data truncated")
+    px = np.frombuffer(raw, np.uint8, expected).reshape(-1, spp)
+    gray = _luminance(px, spp)
+    return width, height, gray
+
+
 def _probe_tiff(content: bytes):
     """TIFF header + first-IFD walk: byte order, ImageWidth (256),
     ImageLength (257), BitsPerSample (258, first value), Compression
@@ -2965,24 +3037,76 @@ def _probe_tiff(content: bytes):
     return out
 
 
-def synth_tiff(width: int, height: int, little_endian: bool = True) -> bytes:
-    """Header-only TIFF for probe tests: one IFD with width/height/
-    bits/compression tags (no strip data — the probe reads headers)."""
+def synth_tiff(width: int, height: int, little_endian: bool = True,
+               pixel=None, rows_per_strip: int | None = None) -> bytes:
+    """TIFF writer for tests: header + one IFD; with ``pixel`` (an
+    (h, w, 3) RGB or (h, w) gray uint8 array) it also writes real
+    uncompressed strips split every ``rows_per_strip`` rows (default:
+    one strip), which the decoder reads back exactly. Without pixels
+    it is header-only (probe tests)."""
     import struct
 
+    import numpy as np
+
     bo = "<" if little_endian else ">"
-    entries = [
-        (256, 3, 1, width), (257, 3, 1, height),
-        (258, 3, 1, 8), (259, 3, 1, 1),
-    ]
-    ifd = struct.pack(bo + "H", len(entries))
-    for tag, typ, cnt, val in entries:
-        ifd += struct.pack(bo + "HHI", tag, typ, cnt)
-        ifd += struct.pack(bo + "H", val) + b"\x00\x00"
-    ifd += struct.pack(bo + "I", 0)  # next-IFD = none
+    if pixel is None:
+        entries = [
+            (256, 3, [width]), (257, 3, [height]),
+            (258, 3, [8]), (259, 3, [1]),
+        ]
+        strips = []
+    else:
+        arr = np.asarray(pixel, dtype=np.uint8)
+        spp = 1 if arr.ndim == 2 else arr.shape[2]
+        rps = rows_per_strip or height
+        strips = [arr[r:r + rps].tobytes()
+                  for r in range(0, height, rps)]
+        entries = [
+            (256, 3, [width]), (257, 3, [height]),
+            (258, 3, [8] * spp), (259, 3, [1]),
+            (262, 3, [1 if spp == 1 else 2]),
+            (273, 4, [0] * len(strips)),   # offsets patched below
+            (277, 3, [spp]),
+            (278, 3, [rps]),
+            (279, 4, [len(s) for s in strips]),
+        ]
+
+    def ifd_size(ents):
+        extra = 0
+        for _t, typ, vals in ents:
+            sz = (2 if typ == 3 else 4) * len(vals)
+            if sz > 4:
+                extra += sz
+        return 2 + 12 * len(ents) + 4 + extra
+
+    hdr_len = 8
+    data_start = hdr_len + ifd_size(entries)
+    # patch strip offsets now that layout is known
+    if strips:
+        offs, acc = [], data_start
+        for s in strips:
+            offs.append(acc)
+            acc += len(s)
+        entries = [(t, ty, offs if t == 273 else v)
+                   for t, ty, v in entries]
+
+    body = struct.pack(bo + "H", len(entries))
+    extra_blob = b""
+    extra_off = hdr_len + 2 + 12 * len(entries) + 4
+    for tag, typ, vals in entries:
+        fmt = "H" if typ == 3 else "I"
+        size = (2 if typ == 3 else 4) * len(vals)
+        body += struct.pack(bo + "HHI", tag, typ, len(vals))
+        if size <= 4:
+            packed = struct.pack(bo + str(len(vals)) + fmt, *vals)
+            body += packed + b"\x00" * (4 - size)
+        else:
+            body += struct.pack(bo + "I", extra_off + len(extra_blob))
+            extra_blob += struct.pack(bo + str(len(vals)) + fmt, *vals)
+    body += struct.pack(bo + "I", 0)  # next-IFD = none
     hdr = (b"II" if little_endian else b"MM") + struct.pack(bo + "H", 42) \
         + struct.pack(bo + "I", 8)
-    return hdr + ifd
+    return hdr + body + extra_blob + b"".join(strips)
 
 
 def _probe_ogg(content: bytes):

@@ -1663,3 +1663,36 @@ def test_probe_tiff_and_ogg():
     frag = synth_tiff(10, 10)[:8]
     t2 = probe_bytes(frag)
     assert t2["container"] == "tiff" and t2["width"] is None
+
+
+def test_tiff_decode_roundtrip():
+    # uncompressed-strip TIFF decode: both byte orders, multi-strip,
+    # gray + RGB — exact pixel round-trip through the luminance tail
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.multimodal import (
+        _decode_image, _gray_embedding, _luminance, synth_tiff)
+
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, (13, 17, 3), np.uint8)
+    exp = _gray_embedding(_luminance(img.reshape(-1, 3), 3), 17, 13, 8)
+    for le in (True, False):
+        for rps in (None, 4):
+            w, h, emb = _decode_image(
+                synth_tiff(17, 13, little_endian=le, pixel=img,
+                           rows_per_strip=rps))
+            assert (w, h) == (17, 13) and emb == exp, (le, rps)
+
+    gray = rng.integers(0, 256, (13, 17), np.uint8)
+    _, _, gemb = _decode_image(synth_tiff(17, 13, pixel=gray))
+    assert gemb == _gray_embedding(
+        _luminance(gray.reshape(-1, 1), 1), 17, 13, 8)
+
+    # header-only TIFF (no strips): clean ValueError, not a crash
+    with pytest.raises(ValueError):
+        _decode_image(synth_tiff(17, 13))
+    # truncated strip data: clean ValueError
+    full = synth_tiff(17, 13, pixel=gray)
+    with pytest.raises(ValueError):
+        _decode_image(full[:-40])
