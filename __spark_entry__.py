@@ -1948,7 +1948,7 @@ def _mixed_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif k == 8:
                     blob = synth_mp3(4 + did % 4, id3_bytes=did)
                 elif k == 9:
-                    blob = synth_tiff(20 + did % 5, 12,
+                    blob = synth_tiff(20, 12, pixel=img,
                                       little_endian=bool(did % 2))
                 elif k == 10:
                     blob = synth_ogg_opus(700 + did * 10,
@@ -1989,7 +1989,7 @@ def _q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _mixed_assets(spark, sf_dir)
     probed = probe_media(assets)
     routed = assets.join(
-        probed.filter(F.col("container").isin("png", "jpeg"))
+        probed.filter(F.col("container").isin("png", "jpeg", "tiff"))
         .select("asset_id", "container"),
         "asset_id",
     )
@@ -4546,17 +4546,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 64
         """,
         "media_pipeline_e2e": """
-            -- probe routes doc_id %% 12 in (0, 1) to the image decoders
-            -- (Adam7 PNG and progressive JPEG); gray-uniform assets
-            -- make the decoded luminance a closed form of doc_id
+            -- probe routes doc_id %% 12 in (0, 1, 9) to the image
+            -- decoders (Adam7 PNG, progressive JPEG, strip TIFF);
+            -- gray-uniform assets give luminance a closed form
             SELECT doc_id AS asset_id,
                    CASE doc_id % 12 WHEN 0 THEN 'png'
-                                    ELSE 'jpeg' END AS container,
+                                    WHEN 1 THEN 'jpeg'
+                                    ELSE 'tiff' END AS container,
                    CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
                    round((0.299 * ((doc_id * 37) % 256)
                         + 0.587 * ((doc_id * 37) % 256)
                         + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum
-            FROM documents WHERE doc_id < 64 AND doc_id % 12 IN (0, 1)
+            FROM documents WHERE doc_id < 64 AND doc_id % 12 IN (0, 1, 9)
         """,
         "probe_media_mixed": """
             -- mp3 (k=8): 4 + doc_id%4 frames of 417 bytes at 128 kbps
@@ -4575,7 +4576,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 0 THEN 20 WHEN 1 THEN 20 WHEN 2 THEN 20
                         WHEN 5 THEN 20 WHEN 6 THEN 640
                         WHEN 7 THEN 1280
-                        WHEN 9 THEN 20 + doc_id % 5 END AS width,
+                        WHEN 9 THEN 20 END AS width,
                    CASE doc_id % 12
                         WHEN 0 THEN 12 WHEN 1 THEN 12 WHEN 2 THEN 12
                         WHEN 5 THEN 12 WHEN 6 THEN 360
