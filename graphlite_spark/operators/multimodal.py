@@ -2988,6 +2988,16 @@ def _decode_tiff(content: bytes):
     if any(b != 8 for b in bits) or spp not in (1, 3):
         raise NotImplementedError(
             f"TIFF bits={bits} samples={spp} unsupported")
+    # honest guards: planar (per-plane strips) and WhiteIsZero would
+    # decode to silently WRONG luminance through the chunky path
+    planar = _tiff_values(content, bo, ent[284])[0] if 284 in ent else 1
+    if planar != 1:
+        raise NotImplementedError(
+            f"TIFF PlanarConfiguration={planar} unsupported (chunky only)")
+    photo = _tiff_values(content, bo, ent[262])[0] if 262 in ent else 1
+    if photo not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF PhotometricInterpretation={photo} unsupported")
     offs = _tiff_values(content, bo, ent[273])
     counts = _tiff_values(content, bo, ent[279])
     raw = b"".join(content[o:o + n] for o, n in zip(offs, counts))
@@ -3000,38 +3010,28 @@ def _decode_tiff(content: bytes):
 
 
 def _probe_tiff(content: bytes):
-    """TIFF header + first-IFD walk: byte order, ImageWidth (256),
-    ImageLength (257), BitsPerSample (258, first value), Compression
-    (259) — scan/dataset corpora carry TIFF heavily; no pixel decode."""
+    """TIFF header + first-IFD walk (shared _tiff_ifd_entries /
+    _tiff_values helpers): ImageWidth (256), ImageLength (257),
+    Compression (259) — scan/dataset corpora carry TIFF heavily; no
+    pixel decode."""
     import struct
 
     bo = "<" if content[:2] == b"II" else ">"
-    ifd_off, = struct.unpack_from(bo + "I", content, 4)
     out = {"container": "tiff", "codec": None, "width": None,
            "height": None}
-    if ifd_off + 2 > len(content):
+    try:
+        ifd_off, = struct.unpack_from(bo + "I", content, 4)
+        if ifd_off + 2 > len(content):
+            return out
+        ent = _tiff_ifd_entries(content, bo)
+        if 256 in ent:
+            out["width"] = _tiff_values(content, bo, ent[256])[0]
+        if 257 in ent:
+            out["height"] = _tiff_values(content, bo, ent[257])[0]
+        comp = (_tiff_values(content, bo, ent[259])[0]
+                if 259 in ent else None)
+    except (struct.error, IndexError):
         return out
-    n_entries, = struct.unpack_from(bo + "H", content, ifd_off)
-    comp = None
-    for i in range(min(n_entries, 256)):
-        ent = ifd_off + 2 + i * 12
-        if ent + 12 > len(content):
-            break
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", content, ent)
-        # SHORT(3) inline values sit in the first 2 bytes of the value
-        # field; LONG(4) uses all 4
-        if typ == 3:
-            val, = struct.unpack_from(bo + "H", content, ent + 8)
-        elif typ == 4:
-            val, = struct.unpack_from(bo + "I", content, ent + 8)
-        else:
-            continue
-        if tag == 256:
-            out["width"] = val
-        elif tag == 257:
-            out["height"] = val
-        elif tag == 259:
-            comp = val
     out["codec"] = {1: "uncompressed", 5: "lzw", 6: "jpeg", 7: "jpeg",
                     8: "deflate", 32773: "packbits"}.get(comp)
     return out
@@ -3128,7 +3128,7 @@ def _probe_ogg(content: bytes):
     gran_rate = None
     if pkt[:8] == b"OpusHead":
         out["codec"] = "opus"
-        if len(pkt) >= 14:
+        if len(pkt) >= 16:  # unpack reads bytes 12..15
             out["channels"] = pkt[9]
             out["sample_rate"], = struct.unpack_from("<I", pkt, 12)
         gran_rate = 48000  # Opus granules are always 48 kHz
@@ -3176,14 +3176,34 @@ def synth_ogg_opus(duration_ms: int, channels: int = 2,
             + page(granule, 1, b"", 0x04))    # EOS
 
 
-# MPEG-1 Layer III bitrates (kbps) by header index; index 0 = free,
-# 15 = invalid. Layer II/I and MPEG-2/2.5 use different tables — the
-# probe reports those combinations via the codec string and version-
-# scaled sample rate but estimates duration only for the common
-# MPEG-1 Layer III case.
-_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
-                      160, 192, 224, 256, 320, 0]
+# MPEG audio bitrate tables (kbps) by header index (index 0 = free,
+# 15 = invalid), keyed by (is_mpeg1, layer). MPEG-2 and 2.5 share
+# tables; Layers II and III share the MPEG-2 table.
+_MP3_BITRATES = {
+    (True, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
+                352, 384, 416, 448, 0],
+    (True, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                256, 320, 384, 0],
+    (True, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                224, 256, 320, 0],
+    (False, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+                 192, 224, 256, 0],
+    (False, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 144, 160, 0],
+}
+_MP3_BITRATES[(False, 3)] = _MP3_BITRATES[(False, 2)]
+_MP3_BITRATES_V1L3 = _MP3_BITRATES[(True, 3)]  # synth_mp3 uses this
 _MP3_RATES_V1 = [44100, 48000, 32000, 0]
+
+
+def _mp3_frame_len(is_mpeg1: bool, layer: int, kbps: int, sr: int,
+                   padding: int) -> int:
+    """Frame byte length per ISO 11172-3 / 13818-3: Layer I counts in
+    4-byte slots; Layer III halves the samples-per-frame for MPEG-2."""
+    if layer == 1:
+        return ((12 * kbps * 1000) // sr + padding) * 4
+    spf = 1152 if (is_mpeg1 or layer == 2) else 576
+    return (spf // 8 * kbps * 1000) // sr + padding
 
 
 def _probe_mp3(content: bytes):
@@ -3217,23 +3237,22 @@ def _probe_mp3(content: bytes):
                 sr //= 2
             elif ver_bits == 0:
                 sr //= 4
-            duration = None
-            if ver_bits == 3 and layer_bits == 1:
-                kbps = _MP3_BITRATES_V1L3[br_idx]
-                padding = (b2 >> 1) & 1
-                flen = (144 * kbps * 1000) // sr + padding
-                # false-sync guard (a 0xFF byte in arbitrary data can
-                # parse as a header): when a whole frame fits, require
-                # the NEXT frame to start with sync too
-                nxt = pos + flen
-                if nxt + 1 < len(content) and not (
-                    content[nxt] == 0xFF
-                    and (content[nxt + 1] & 0xE0) == 0xE0
-                ):
-                    pos += 1
-                    continue
-                audio_bytes = len(content) - pos
-                duration = int(round(audio_bytes * 8 / kbps))
+            kbps = _MP3_BITRATES[(ver_bits == 3, layer)][br_idx]
+            padding = (b2 >> 1) & 1
+            flen = _mp3_frame_len(ver_bits == 3, layer, kbps, sr, padding)
+            # false-sync guard (a 0xFF byte in arbitrary data can
+            # parse as a header): when a whole frame fits, require the
+            # NEXT frame to start with sync too — applied to EVERY
+            # version/layer combination via the full bitrate tables
+            nxt = pos + flen
+            if nxt + 1 < len(content) and not (
+                content[nxt] == 0xFF
+                and (content[nxt + 1] & 0xE0) == 0xE0
+            ):
+                pos += 1
+                continue
+            audio_bytes = len(content) - pos
+            duration = int(round(audio_bytes * 8 / kbps))
             return {
                 "container": "mp3",
                 "codec": f"mpeg{version}-layer{layer}",
@@ -3277,10 +3296,13 @@ def probe_media(assets: DataFrame, on_error: str = "null") -> DataFrame:
     100 TB multimodal corpus runs before spending decode cycles
     (route by codec, drop corrupt/unsupported assets, budget work by
     duration). Supports PNG/BMP/JPEG (incl. progressive) / GIF
-    (animated duration by block walk, no LZW decode) / WAV / FLAC /
-    AVI (handler fourcc) / MP4 (ISO-BMFF mvhd/tkhd/stsd — container
-    metadata is fully parseable even though H.264-class FRAME decode
-    is not). Unrecognized bytes probe as container='unknown' rather
+    (animated duration by block walk, no LZW decode) / TIFF (IFD
+    walk) / WAV / FLAC / MP3 (frame header + ID3v2 skip, next-frame
+    sync confirm) / Ogg (Opus/Vorbis/Theora id headers, granule
+    duration) / AVI (handler fourcc) / MP4 (ISO-BMFF mvhd/tkhd/stsd)
+    / WebM (EBML walk) — container metadata is fully parseable even
+    where frame/sample decode is not. Unrecognized bytes probe as
+    container='unknown' rather
     than failing — a probe that throws on weird files defeats its
     purpose (on_error='fail' restores strictness).
 

@@ -104,22 +104,28 @@ def write_parquet_sized(
     Returns the file count it targeted. For exactly-once streaming
     epochs use streaming/sinks.py; this is the batch sink.
     """
-    from pyspark.sql import functions as F  # noqa: F401
-
     if target_mb <= 0:
         raise ValueError(f"target_mb must be positive, got {target_mb}")
+    if compression_ratio <= 0:
+        raise ValueError(
+            f"compression_ratio must be positive, got {compression_ratio}")
     from graphlite_spark.operators.dedup import _plan_size_bytes
 
     est = _plan_size_bytes(df)
-    if est >= 1 << 59:  # estimate unavailable — keep current layout
+    if est >= 1 << 59:
+        # estimate unavailable — genuinely keep the current layout:
+        # no repartition (a round-robin shuffle to the SAME partition
+        # count would move every row for nothing and destroy upstream
+        # ordering)
         n_files = max(df.rdd.getNumPartitions(), 1)
+        out = df
     else:
         n_files = int(-(-est / compression_ratio // (target_mb << 20)))
         n_files = min(max(n_files, 1), 100_000)
-    if partition_by:
-        out = df.repartition(n_files, *partition_by)
-    else:
-        out = df.repartition(n_files)
+        if partition_by:
+            out = df.repartition(n_files, *partition_by)
+        else:
+            out = df.repartition(n_files)
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     w = out.write.mode(mode)

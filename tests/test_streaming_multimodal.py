@@ -1636,10 +1636,15 @@ def test_probe_mp3():
     flen = (144 * 64 * 1000) // 32000
     assert tagged["duration_ms"] == round(5 * flen * 8 / 64)
 
-    # a V1L3-shaped false sync inside plain text must NOT probe as mp3
-    # (the next-frame confirm fails)
-    noise = b"some text \xff\xfa\x90\x00 more plain text follows here" * 3
-    assert probe_bytes(noise)["container"] == "unknown"
+    # a false sync AT THE STREAM HEAD (so the probe's dispatch gate
+    # actually routes to _probe_mp3) must be rejected by the
+    # next-frame confirm — for V1L3 and for other version/layer
+    # combos alike (full bitrate tables)
+    for head in (b"\xff\xfa\x90\x00",    # MPEG1 Layer III
+                 b"\xff\xf3\x44\x00",    # MPEG2 Layer III
+                 b"\xff\xe6\x44\x00"):   # MPEG2.5 Layer I
+        noise = head + b" just some plain text follows here" * 40
+        assert probe_bytes(noise)["container"] == "unknown", head
 
 
 def test_probe_tiff_and_ogg():
