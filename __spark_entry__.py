@@ -1856,6 +1856,45 @@ def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 WAV decode (telephony corpora): mu-law / A-law
+    alternating by doc_id, LUT-expanded by the manual RIFF walk —
+    rate and duration deterministic from doc_id."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, audio_features, synth_wav_g711,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "content": [],
+                   "uri": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ms = 50 + did % 20
+                wav = synth_wav_g711(
+                    rate=8000, freq=200.0 + did, ms=ms,
+                    law="mulaw" if did % 2 == 0 else "alaw")
+                out["asset_id"].append(did)
+                out["modality"].append("audio")
+                out["content"].append(bytearray(wav))
+                out["uri"].append(None)
+                out["meta"].append(None)
+            yield pd.DataFrame(out)
+
+    assets = docs.mapInPandas(gen, ASSET_SCHEMA)
+    return audio_features(assets).select(
+        "asset_id", "sample_rate", "duration_ms"
+    )
+
+
 def _q_audio_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL native FLAC decode (rice residuals, fixed predictor,
     frame CRCs): sample rate and duration come from the container
@@ -2474,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_features_bmp": _q_image_decode("bmp"),
             "image_features_tiff": _q_image_decode("tiff"),
             "audio_features_wav": _q_audio_decode,
+            "audio_features_g711": _q_audio_decode_g711,
             "audio_features_flac": _q_audio_decode_flac,
             "probe_media_mixed": _q_probe_media,
             "media_pipeline_e2e": _q_media_pipeline,
@@ -4611,6 +4651,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 64
         """,
         "audio_features_flac": """
+            SELECT doc_id AS asset_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(50 + doc_id % 20 AS BIGINT) AS duration_ms
+            FROM documents WHERE doc_id < 64
+        """,
+        "audio_features_g711": """
             SELECT doc_id AS asset_id,
                    CAST(8000 AS BIGINT) AS sample_rate,
                    CAST(50 + doc_id % 20 AS BIGINT) AS duration_ms

@@ -1906,13 +1906,72 @@ def _mfcc_from_signal(sig, rate: int, n_mfcc: int) -> tuple[int, list[float]]:
     return duration_ms, [float(v) for v in mfcc]
 
 
+def _g711_tables():
+    """(mulaw, alaw) int16 decode LUTs — ITU-T G.711 expansion."""
+    import numpy as np
+
+    u = np.arange(256, dtype=np.int64) ^ 0xFF  # mu-law stores inverted
+    sign = np.where(u & 0x80, -1, 1)
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mulaw = sign * ((((mant << 3) + 0x84) << exp) - 0x84)
+
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    asign = np.where(a & 0x80, 1, -1)  # A-law: SET sign bit = positive
+    aexp = (a >> 4) & 7
+    amant = a & 0x0F
+    mag = np.where(aexp > 0,
+                   ((amant << 4) + 0x108) << (np.maximum(aexp, 1) - 1),
+                   (amant << 4) + 8)
+    alaw = asign * mag
+    return mulaw.astype(np.int16), alaw.astype(np.int16)
+
+
+def _decode_wav_g711(content: bytes):
+    """RIFF walk for G.711 mu-law (format 7) / A-law (format 6) WAV —
+    telephony corpora; stdlib ``wave`` only opens PCM. Returns
+    (rate, signal float64 mono) after LUT expansion."""
+    import struct
+
+    import numpy as np
+
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        tag = content[pos:pos + 4]
+        size, = struct.unpack_from("<I", content, pos + 4)
+        body = pos + 8
+        if tag == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", content, body)
+        elif tag == b"data":
+            data = content[body:body + size]
+        pos = body + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    audio_format, nch, rate, _br, _ba, bits = fmt
+    if audio_format not in (6, 7):
+        raise NotImplementedError(
+            f"WAV format {audio_format} unsupported on the G.711 path")
+    if rate <= 0 or nch < 1:
+        raise ValueError(f"WAV: invalid fmt (rate={rate}, channels={nch})")
+    mulaw, alaw = _g711_tables()
+    lut = mulaw if audio_format == 7 else alaw
+    sig = lut[np.frombuffer(data, dtype=np.uint8)].astype("float64")
+    if nch > 1:
+        sig = sig[: len(sig) - len(sig) % nch].reshape(-1, nch).mean(axis=1)
+    return rate, sig
+
+
 def _decode_audio(content: bytes, n_mfcc: int) -> tuple[int, int, list[float]]:
-    """REAL audio decode: 16-bit PCM WAV (stdlib ``wave``) and native
-    FLAC (_decode_flac — rice-coded residuals, constant/verbatim/
-    fixed/LPC subframes, stereo decorrelation), then the shared true
-    MFCC tail (_mfcc_from_signal). Other codecs (MP3/AAC/OGG)
+    """REAL audio decode: 16-bit PCM WAV (stdlib ``wave``), G.711
+    mu-law/A-law WAV (LUT expansion), and native FLAC (_decode_flac —
+    rice-coded residuals, constant/verbatim/fixed/LPC subframes,
+    stereo decorrelation), then the shared true MFCC tail
+    (_mfcc_from_signal). Other codecs (MP3/AAC/OGG)
     -> NotImplementedError."""
     import io
+    import struct
     import wave
 
     import numpy as np
@@ -1924,9 +1983,18 @@ def _decode_audio(content: bytes, n_mfcc: int) -> tuple[int, int, list[float]]:
         return rate, duration_ms, mfcc
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise NotImplementedError(
-            "only WAV PCM and FLAC decode without an audio library; "
-            "pass deterministic_fake=True for plumbing tests"
+            "only WAV PCM/G.711 and FLAC decode without an audio "
+            "library; pass deterministic_fake=True for plumbing tests"
         )
+    # peek the fmt tag: G.711 takes the manual RIFF path (stdlib wave
+    # rejects non-PCM with a generic Error)
+    fpos = content.find(b"fmt ", 12, 4096)
+    if fpos > 0 and fpos + 10 <= len(content):
+        afmt, = struct.unpack_from("<H", content, fpos + 8)
+        if afmt in (6, 7):
+            rate, sig = _decode_wav_g711(content)
+            duration_ms, mfcc = _mfcc_from_signal(sig, rate, n_mfcc)
+            return rate, duration_ms, mfcc
     try:
         with wave.open(io.BytesIO(content)) as w:
             rate, nch, sw, nframes = (
@@ -2263,6 +2331,29 @@ def synth_wav(rate: int = 16000, freq: float = 440.0, ms: int = 250) -> bytes:
         )
         w.writeframes(frames)
     return buf.getvalue()
+
+
+def synth_wav_g711(rate: int = 8000, freq: float = 440.0, ms: int = 250,
+                   law: str = "mulaw") -> bytes:
+    """G.711 mu-law/A-law WAV sine for tests: encodes by nearest-LUT
+    search against the same expansion tables the decoder uses, so the
+    companding round-trip is exact by construction."""
+    import struct
+
+    import numpy as np
+
+    mulaw, alaw = _g711_tables()
+    lut = mulaw if law == "mulaw" else alaw
+    n = rate * ms // 1000
+    sig = (20000 * np.sin(2 * np.pi * freq * np.arange(n) / rate))
+    codes = np.abs(sig[:, None] - lut[None, :].astype("float64")).argmin(
+        axis=1).astype(np.uint8)
+    payload = codes.tobytes()
+    fmt_tag = 7 if law == "mulaw" else 6
+    fmt = struct.pack("<HHIIHH", fmt_tag, 1, rate, rate, 1, 8)
+    return (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
 
 
 def _fake_audio_features(content: Optional[bytes], n_mfcc: int):

