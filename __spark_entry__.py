@@ -1159,6 +1159,37 @@ def _ring_db(spark: SparkSession, sf_dir: str):
     return db
 
 
+def _q_scc_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed strongly connected components over the per-region
+    nation rings PLUS a cross-region DAG edge set (region k's max
+    nation -> region k+1's min nation): the rings stay separate SCCs
+    because the bridges are one-way — exactly the structure an
+    undirected CC merges into one blob and only SCC separates.
+    scc = max nationkey in the region (closed form for the oracle);
+    the DAG bridges also exercise the TRIM + coloring rounds."""
+    from pyspark.sql import functions as F
+
+    db = _ring_db(spark, sf_dir)
+    g = db.graph("ring")
+    ring_edges = g.edge_type("R").df.select("_src", "_dst")
+    nat = _table(spark, sf_dir, "nation")
+    per_region = nat.groupBy("n_regionkey").agg(
+        F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
+    a, b = per_region.alias("a"), per_region.alias("b")
+    bridges = a.join(
+        b, F.col("b.n_regionkey") == F.col("a.n_regionkey") + 1
+    ).select(F.col("a.mx").alias("_src"), F.col("b.mn").alias("_dst"))
+    edges = ring_edges.unionByName(bridges)
+    nodes = nat.select(F.col("n_nationkey").alias("id"))
+
+    from graphlite_spark.operators.paths import (
+        strongly_connected_components)
+
+    out = strongly_connected_components(edges, nodes)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("scc").cast("long").alias("scc"))
+
+
 def _q_path_mode(mode: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         db = _ring_db(spark, sf_dir)
@@ -2456,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_lsh_topk": _q_ann_lsh,
             "shortest_paths_bfs": _q_shortest_paths,
             "connected_components": _q_connected_components,
+            "scc_nation_rings": _q_scc_rings,
             "cosine_dup_pairs": _q_cosine_dup,
             "cosine_dup_lsh_audit": _q_cosine_dup_lsh,
             "ivf_ann_topk": _q_ivf_ann,
@@ -4655,6 +4687,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8000 AS BIGINT) AS sample_rate,
                    CAST(50 + doc_id % 20 AS BIGINT) AS duration_ms
             FROM documents WHERE doc_id < 64
+        """,
+        "scc_nation_rings": """
+            -- each region's directed ring is one SCC (scc = max
+            -- nationkey in the region); the one-way cross-region
+            -- bridges do not merge them
+            SELECT n_nationkey AS node,
+                   max(n_nationkey) OVER (PARTITION BY n_regionkey) AS scc
+            FROM nation
         """,
         "audio_features_g711": """
             SELECT doc_id AS asset_id,

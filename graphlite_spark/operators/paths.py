@@ -817,3 +817,137 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 20,
+    max_color_iter: int = 30,
+) -> DataFrame:
+    """(node, scc): DIRECTED strongly connected components — the
+    directed sibling connected_components (undirected hash-min)
+    cannot express. Beyond-reference analytics (the reference has no
+    SCC operator). scc = max node id in the component.
+
+    Distributed coloring algorithm (Orzan's FB-coloring shape):
+    each outer round
+      1. TRIM: iteratively peel nodes with no remaining in-edges or
+         no remaining out-edges — each is its own singleton SCC (this
+         disposes of DAG tails/chains cheaply before any coloring);
+      2. COLOR: propagate color[v] = max(color of any predecessor,
+         own) to fixpoint — color(v) = max id that reaches v;
+      3. CONFIRM: backward-propagate a marker from each color root c
+         along REVERSED edges restricted to same-color nodes; marked
+         nodes of color c are exactly SCC(c). All color classes
+         resolve one SCC each, simultaneously.
+    Resolved nodes leave the edge set; repeat. Every stage is
+    joins/aggregates on node ids with lazy localCheckpoints and O(1)
+    convergence counters — no driver-side data.
+
+    Scale posture (honest): cycle-rich graphs resolve in a few outer
+    rounds; adversarial DAG-of-SCCs chains need up to one round per
+    chain link beyond what TRIM removes, so rounds are BOUNDED by
+    ``max_rounds`` and the operator raises if structure remains —
+    the caller chooses a bigger bound, like kcore/bfs bounds.
+    """
+    id_col = nodes.columns[0]
+    remaining = nodes.select(F.col(id_col).alias("node")).distinct() \
+        .localCheckpoint(eager=False)
+    e = edges.select(F.col(SRC).alias("src"), F.col(DST).alias("dst")) \
+        .filter(F.col("src") != F.col("dst")).distinct() \
+        .localCheckpoint(eager=False)
+    out_parts = []
+    for _round in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        # --- TRIM: peel no-in / no-out nodes (their SCC is themselves)
+        while True:
+            srcs = e.select(F.col("src").alias("node")).distinct()
+            dsts = e.select(F.col("dst").alias("node")).distinct()
+            interior = srcs.join(dsts, "node", "inner")
+            trimmed = remaining.join(interior, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            out_parts.append(trimmed.select(
+                "node", F.col("node").alias("scc")))
+            remaining = remaining.join(interior, "node", "left_semi") \
+                .localCheckpoint(eager=False)
+            e = (
+                e.join(remaining.select(F.col("node").alias("src")),
+                       "src", "left_semi")
+                .join(remaining.select(F.col("node").alias("dst")),
+                      "dst", "left_semi")
+                .localCheckpoint(eager=False)
+            )
+        if remaining.isEmpty():
+            break
+        # --- COLOR: forward max propagation to fixpoint
+        colors = remaining.select("node", F.col("node").alias("color"))
+        for _it in range(max_color_iter):
+            incoming = (
+                e.join(colors.select(F.col("node").alias("src"),
+                                     F.col("color").alias("_pc")), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.max("_pc").alias("_mx"))
+            )
+            updated = (
+                colors.join(incoming, "node", "left")
+                .select(
+                    "node",
+                    F.greatest(
+                        F.col("color"), F.coalesce("_mx", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = (
+                updated.alias("u")
+                .join(colors.alias("c"), "node")
+                .filter(F.col("u.color") != F.col("c.color"))
+                .isEmpty()
+            )
+            colors = updated
+            if changed:
+                break
+        # --- CONFIRM: backward marker from each color root within its
+        # color class; marked nodes form SCC(color)
+        marked = colors.filter(F.col("node") == F.col("color")) \
+            .select("node", "color")
+        frontier = marked
+        while True:
+            # predecessors in the SAME color class, not yet marked
+            preds = (
+                e.join(frontier.select(F.col("node").alias("dst"),
+                                       F.col("color").alias("_fc")), "dst")
+                .select(F.col("src").alias("node"), F.col("_fc"))
+                .join(colors, "node")
+                .filter(F.col("color") == F.col("_fc"))
+                .select("node", F.col("_fc").alias("color"))
+                .distinct()
+                .join(marked, ["node", "color"], "left_anti")
+                .localCheckpoint(eager=False)
+            )
+            if preds.isEmpty():
+                break
+            marked = marked.unionByName(preds).localCheckpoint(eager=False)
+            frontier = preds
+        out_parts.append(marked.select("node", F.col("color").alias("scc")))
+        remaining = remaining.join(marked.select("node"), "node",
+                                   "left_anti").localCheckpoint(eager=False)
+        e = (
+            e.join(remaining.select(F.col("node").alias("src")),
+                   "src", "left_semi")
+            .join(remaining.select(F.col("node").alias("dst")),
+                  "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"strongly_connected_components: structure remains after "
+                f"max_rounds={max_rounds}; raise the bound")
+    result = out_parts[0]
+    for p in out_parts[1:]:
+        result = result.unionByName(p)
+    return result

@@ -939,3 +939,41 @@ def test_jaccard_ppjoin_positional_parity_fuzz(spark):
         pp = sorted(map(tuple, ngram_jaccard_pairs(
             df, threshold=threshold, prefix_filter=True).collect()))
         assert pp == exact, (trial, threshold)
+
+
+def test_strongly_connected_components(spark):
+    # directed SCC (trim + forward-max coloring + backward confirm):
+    # two 3-cycles joined by DAG edges, a pure chain (all-singleton via
+    # trim), a full ring, and a bound-exceeded error path
+    import pytest
+
+    from graphlite_spark.operators.paths import (
+        strongly_connected_components)
+
+    def run(edge_list, node_ids, **kw):
+        nodes = spark.createDataFrame([(n,) for n in node_ids], "id: long")
+        edges = spark.createDataFrame(edge_list, "_src: long, _dst: long")
+        out = strongly_connected_components(edges, nodes, **kw)
+        return sorted((r["node"], r["scc"]) for r in out.collect())
+
+    r = run([(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
+             (6, 7)], range(1, 8))
+    assert r == [(1, 3), (2, 3), (3, 3), (4, 6), (5, 6), (6, 6), (7, 7)]
+
+    assert run([(1, 2), (2, 3), (3, 4)], range(1, 5)) == [
+        (1, 1), (2, 2), (3, 3), (4, 4)]
+
+    assert run([(1, 2), (2, 3), (3, 4), (4, 1)], range(1, 5)) == [
+        (1, 4), (2, 4), (3, 4), (4, 4)]
+
+    # isolated nodes are their own SCCs (trimmed instantly)
+    assert run([(1, 2), (2, 1)], [1, 2, 9]) == [(1, 2), (2, 2), (9, 9)]
+
+    # bound respected: when the downstream cycle shares the upstream
+    # cycle's color (max id upstream), only the root's SCC resolves per
+    # round — two rounds needed, so max_rounds=1 must raise
+    two_round = [(5, 6), (6, 5), (5, 1), (1, 2), (2, 1)]
+    with pytest.raises(RuntimeError):
+        run(two_round, [1, 2, 5, 6], max_rounds=1)
+    assert run(two_round, [1, 2, 5, 6]) == [
+        (1, 2), (2, 2), (5, 6), (6, 6)]
