@@ -1906,8 +1906,14 @@ def _mfcc_from_signal(sig, rate: int, n_mfcc: int) -> tuple[int, list[float]]:
     return duration_ms, [float(v) for v in mfcc]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
 def _g711_tables():
-    """(mulaw, alaw) int16 decode LUTs — ITU-T G.711 expansion."""
+    """(mulaw, alaw) int16 decode LUTs — ITU-T G.711 expansion.
+    Cached: _decode_wav_g711 runs once per asset in the mapInPandas
+    hot path and must not rebuild constant tables per row."""
     import numpy as np
 
     u = np.arange(256, dtype=np.int64) ^ 0xFF  # mu-law stores inverted
@@ -1986,15 +1992,24 @@ def _decode_audio(content: bytes, n_mfcc: int) -> tuple[int, int, list[float]]:
             "only WAV PCM/G.711 and FLAC decode without an audio "
             "library; pass deterministic_fake=True for plumbing tests"
         )
-    # peek the fmt tag: G.711 takes the manual RIFF path (stdlib wave
-    # rejects non-PCM with a generic Error)
-    fpos = content.find(b"fmt ", 12, 4096)
-    if fpos > 0 and fpos + 10 <= len(content):
-        afmt, = struct.unpack_from("<H", content, fpos + 8)
-        if afmt in (6, 7):
-            rate, sig = _decode_wav_g711(content)
-            duration_ms, mfcc = _mfcc_from_signal(sig, rate, n_mfcc)
-            return rate, duration_ms, mfcc
+    # peek the fmt tag by WALKING chunk headers (a raw byte search
+    # could hit 'fmt ' inside LIST/INFO text or PCM sample data and
+    # misroute a decodable file): G.711 takes the manual RIFF path
+    # (stdlib wave rejects non-PCM with a generic Error)
+    peek = 12
+    while peek + 8 <= len(content):
+        tag = content[peek:peek + 4]
+        size, = struct.unpack_from("<I", content, peek + 4)
+        if tag == b"fmt ":
+            if size >= 2 and peek + 10 <= len(content):
+                afmt, = struct.unpack_from("<H", content, peek + 8)
+                if afmt in (6, 7):
+                    rate, sig = _decode_wav_g711(content)
+                    duration_ms, mfcc = _mfcc_from_signal(
+                        sig, rate, n_mfcc)
+                    return rate, duration_ms, mfcc
+            break
+        peek += 8 + size + (size & 1)
     try:
         with wave.open(io.BytesIO(content)) as w:
             rate, nch, sw, nframes = (

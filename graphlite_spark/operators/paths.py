@@ -882,7 +882,10 @@ def strongly_connected_components(
             )
         if remaining.isEmpty():
             break
-        # --- COLOR: forward max propagation to fixpoint
+        # --- COLOR: forward max propagation to fixpoint. MUST reach
+        # the fixpoint: stopping early would leave interior nodes as
+        # spurious roots and silently fragment long cycles into fake
+        # singleton SCCs — so non-convergence RAISES like max_rounds.
         colors = remaining.select("node", F.col("node").alias("color"))
         for _it in range(max_color_iter):
             incoming = (
@@ -901,15 +904,21 @@ def strongly_connected_components(
                 )
                 .localCheckpoint(eager=False)
             )
-            changed = (
+            converged = (
                 updated.alias("u")
                 .join(colors.alias("c"), "node")
                 .filter(F.col("u.color") != F.col("c.color"))
                 .isEmpty()
             )
             colors = updated
-            if changed:
+            if converged:
                 break
+        else:
+            raise RuntimeError(
+                f"strongly_connected_components: coloring did not "
+                f"converge within max_color_iter={max_color_iter} "
+                f"(graph has reachability chains longer than the bound "
+                f"— raise it)")
         # --- CONFIRM: backward marker from each color root within its
         # color class; marked nodes form SCC(color)
         marked = colors.filter(F.col("node") == F.col("color")) \
@@ -947,6 +956,9 @@ def strongly_connected_components(
             raise RuntimeError(
                 f"strongly_connected_components: structure remains after "
                 f"max_rounds={max_rounds}; raise the bound")
+    if not out_parts:  # empty node set -> empty result frame
+        return nodes.select(
+            F.col(id_col).alias("node"), F.col(id_col).alias("scc"))
     result = out_parts[0]
     for p in out_parts[1:]:
         result = result.unionByName(p)

@@ -977,3 +977,30 @@ def test_strongly_connected_components(spark):
         run(two_round, [1, 2, 5, 6], max_rounds=1)
     assert run(two_round, [1, 2, 5, 6]) == [
         (1, 2), (2, 2), (5, 6), (6, 6)]
+
+
+def test_scc_long_cycle_color_bound(spark):
+    # silent-wrong-answer guard: a cycle longer than max_color_iter
+    # must RAISE (stopping the color loop early would fragment it into
+    # fake singletons); with an adequate bound it is one SCC
+    import pytest
+
+    from graphlite_spark.operators.paths import (
+        strongly_connected_components)
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i % n + 1) for i in range(1, n + 1)], "_src: long, _dst: long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id: long")
+    with pytest.raises(RuntimeError):
+        strongly_connected_components(
+            edges, nodes, max_color_iter=3).collect()
+    out = strongly_connected_components(edges, nodes, max_color_iter=n + 2)
+    assert sorted((r["node"], r["scc"]) for r in out.collect()) == [
+        (i, n) for i in range(1, n + 1)]
+
+    # empty node set -> empty frame, not a crash
+    empty_nodes = spark.createDataFrame([], "id: long")
+    empty_edges = spark.createDataFrame([], "_src: long, _dst: long")
+    assert strongly_connected_components(
+        empty_edges, empty_nodes).count() == 0

@@ -1767,7 +1767,9 @@ def test_wav_g711_decode():
     # are symmetric and never zero (minimum is +-8)
     assert mulaw[0xFF] == 0
     assert np.array_equal(np.sort(np.abs(alaw))[:2], [8, 8])
-    assert mulaw.min() == -alaw.max() or True  # ranges sane
+    # known G.711 extrema
+    assert int(mulaw.min()) == -32124 and int(mulaw.max()) == 32124
+    assert int(alaw.min()) == -32256 and int(alaw.max()) == 32256
     try:
         import audioop
 
@@ -1797,3 +1799,25 @@ def test_wav_g711_decode():
     broken = synth_wav_g711()[:20]
     with pytest.raises((ValueError, NotImplementedError, EOFError)):
         _decode_audio(broken, 13)
+
+
+def test_wav_pcm_with_list_chunk_not_misrouted():
+    # a PCM WAV with a LIST/INFO chunk whose TEXT contains 'fmt '
+    # before the real fmt chunk must still take the PCM path (the
+    # G.711 peek walks chunk headers, it does not grep bytes)
+    import struct
+
+    from graphlite_spark.operators.multimodal import (
+        _decode_audio, synth_wav)
+
+    base = synth_wav(rate=8000, ms=50)
+    assert base[:4] == b"RIFF" and base[12:16] == b"fmt "
+    # splice a LIST chunk containing the bytes 'fmt \x06\x00' ahead of
+    # the real fmt chunk — a raw find() would read format 6 (A-law)
+    info = b"INFO" + b"fmt " + b"\x06\x00" + b"decoy!"
+    lst = b"LIST" + struct.pack("<I", len(info)) + info
+    spliced = base[:12] + lst + base[12:]
+    spliced = (spliced[:4]
+               + struct.pack("<I", len(spliced) - 8) + spliced[8:])
+    rate, dur, _mfcc = _decode_audio(spliced, 13)
+    assert (rate, dur) == (8000, 50)
