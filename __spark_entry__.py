@@ -1190,6 +1190,26 @@ def _q_scc_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("scc").cast("long").alias("scc"))
 
 
+def _q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path topological layering over the acyclic FOLLOWS
+    chains: each user's events are a simple chain, so layer = position
+    in the chain — the closed form the oracle computes with one
+    window. Cycle inputs RAISE (pinned in pytest)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import dag_layers
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    nodes = g.nodes_for_label("Event").select("_id")
+    out = dag_layers(g.edge_type("FOLLOWS").df, nodes)
+    ns = 10**12
+    return out.select(
+        (F.col("node") % ns).alias("event_id"),
+        F.col("layer").cast("long").alias("layer"),
+    )
+
+
 def _q_path_mode(mode: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         db = _ring_db(spark, sf_dir)
@@ -2488,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "shortest_paths_bfs": _q_shortest_paths,
             "connected_components": _q_connected_components,
             "scc_nation_rings": _q_scc_rings,
+            "dag_layers_follows": _q_dag_layers,
             "cosine_dup_pairs": _q_cosine_dup,
             "cosine_dup_lsh_audit": _q_cosine_dup_lsh,
             "ivf_ann_topk": _q_ivf_ann,
@@ -4687,6 +4708,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8000 AS BIGINT) AS sample_rate,
                    CAST(50 + doc_id % 20 AS BIGINT) AS duration_ms
             FROM documents WHERE doc_id < 64
+        """,
+        "dag_layers_follows": """
+            -- FOLLOWS chains are per-user event sequences, so the
+            -- longest-path layer is the chain position
+            SELECT event_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) - 1
+                        AS BIGINT) AS layer
+            FROM events
         """,
         "scc_nation_rings": """
             -- each region's directed ring is one SCC (scc = max

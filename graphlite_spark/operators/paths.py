@@ -963,3 +963,72 @@ def strongly_connected_components(
     for p in out_parts[1:]:
         result = result.unionByName(p)
     return result
+
+
+def dag_layers(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 2048,
+    batch: int = 8,
+    max_batch: int = 64,
+) -> DataFrame:
+    """(node, layer): longest-path topological layering of a DAG —
+    layer(v) = 0 for roots (no in-edges), else 1 + max(layer(pred)).
+    The level-scheduling primitive (dependency waves a pipeline/build
+    DAG executes in; also the longest-chain depth report for lineage
+    graphs). Beyond-reference analytics.
+
+    Forward max-propagation with BFS-style HOP BATCHING: deep chains
+    make per-level convergence probes latency-bound (a depth-700
+    lineage chain would block 700 times), so ``batch`` propagation
+    steps chain lazily (lineage cut every few levels) before ONE
+    convergence count, and the batch doubles (capped at
+    ``max_batch``) while the fixpoint is far — probes scale with
+    log(depth), not depth. The update is monotone (layers only grow)
+    so batching cannot change the fixpoint. A CYCLE never converges —
+    total steps are bounded by ``max_iter`` and the operator RAISES
+    (never returns wrong layers).
+    """
+    layers = nodes.select(
+        F.col(nodes.columns[0]).alias("node"), F.lit(0).alias("layer"))
+    e = edges.select(F.col(SRC).alias("src"), F.col(DST).alias("dst")) \
+        .filter(F.col("src") != F.col("dst")).distinct() \
+        .localCheckpoint(eager=False)
+    steps = 0
+    cur_batch = batch
+    while steps < max_iter:
+        updated = layers
+        for i in range(min(cur_batch, max_iter - steps)):
+            steps += 1
+            incoming = (
+                e.join(updated.select(F.col("node").alias("src"),
+                                      F.col("layer").alias("_pl")), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg((F.max("_pl") + 1).alias("_nl"))
+            )
+            updated = (
+                updated.join(incoming, "node", "left")
+                .select(
+                    "node",
+                    F.greatest(
+                        F.col("layer"), F.coalesce("_nl", F.col("layer"))
+                    ).alias("layer"),
+                )
+            )
+            if (i + 1) % _CHECKPOINT_EVERY == 0:
+                updated = updated.localCheckpoint(eager=False)
+        updated = updated.localCheckpoint(eager=True)
+        n_changed = (
+            updated.alias("u").join(layers.alias("l"), "node")
+            .filter(F.col("u.layer") != F.col("l.layer"))
+            .count()
+        )
+        layers = updated
+        if n_changed == 0:
+            return layers
+        if cur_batch < max_batch:
+            cur_batch = min(cur_batch * 2, max_batch)
+    raise RuntimeError(
+        f"dag_layers: no fixpoint within max_iter={max_iter} steps — the "
+        f"graph has a cycle or a path longer than the bound "
+        f"({n_changed} nodes still changing); raise max_iter for deep DAGs")

@@ -1004,3 +1004,29 @@ def test_scc_long_cycle_color_bound(spark):
     empty_edges = spark.createDataFrame([], "_src: long, _dst: long")
     assert strongly_connected_components(
         empty_edges, empty_nodes).count() == 0
+
+
+def test_dag_layers(spark):
+    # longest-path layering: diamond + long arm, isolated node, cycle
+    # raises, deep chain exceeds one batch (batching still exact)
+    import pytest
+
+    from graphlite_spark.operators.paths import dag_layers
+
+    def run(edge_list, node_ids, **kw):
+        nodes = spark.createDataFrame([(n,) for n in node_ids], "id: long")
+        edges = spark.createDataFrame(edge_list, "_src: long, _dst: long")
+        return sorted((r["node"], r["layer"])
+                      for r in dag_layers(edges, nodes, **kw).collect())
+
+    r = run([(1, 2), (1, 3), (2, 4), (3, 4), (3, 5), (5, 6), (6, 4)],
+            range(1, 8))
+    assert r == [(1, 0), (2, 1), (3, 1), (4, 4), (5, 2), (6, 3), (7, 0)]
+
+    # a 30-deep chain crosses several adaptive batches; layers exact
+    chain = [(i, i + 1) for i in range(1, 30)]
+    assert run(chain, range(1, 31), batch=4, max_batch=8) == [
+        (i, i - 1) for i in range(1, 31)]
+
+    with pytest.raises(RuntimeError):
+        run([(1, 2), (2, 1)], [1, 2], max_iter=16)
