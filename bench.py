@@ -123,6 +123,30 @@ def main() -> None:
         load1, load5, load15 = os.getloadavg()
     except OSError:
         load1 = load5 = load15 = -1.0
+    loadavg = [round(load1, 2), round(load5, 2), round(load15, 2)]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full dump first (human/archive record)...
+    print(
+        json.dumps(
+            {
+                "metric": "headline_detail",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "cold_queries": cold,
+                "loadavg": loadavg,
+                "ncpus": os.cpu_count(),
+                "sf": sf_val,
+            }
+        )
+    )
+    # ...then a compact summary as the FINAL line. The driver captures a
+    # byte-bounded tail of stdout; the full dump (warm + cold dicts) grew
+    # past that bound in round 6 and truncated mid-dict BEFORE the
+    # headline value, making BENCH_r06 unparseable. The last line keeps
+    # the warm per-query dict (~25 bytes/query) but drops cold_queries,
+    # so it stays well under the tail bound and is always captured whole
+    # (VERDICT r6 "What's wrong #3").
     print(
         json.dumps(
             {
@@ -130,11 +154,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "cold_queries": cold,
-                "loadavg": [round(load1, 2), round(load5, 2),
-                            round(load15, 2)],
+                "loadavg": loadavg,
                 "ncpus": os.cpu_count(),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

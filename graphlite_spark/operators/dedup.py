@@ -367,8 +367,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # second window computation — the filter prunes most postings, so
     # the duplicated stage is small while the checkpoint stores and
     # rereads the whole frame (A/B at sf0.1: 1.8s vs 2.7s warm)
+    # All prefix/length/positional bounds below use epsilon-slack float
+    # comparisons against an INTEGER left side instead of F.ceil: the
+    # required bound is ceil of a rational in the user's threshold, and
+    # the float quotient can round ABOVE the true rational, making ceil
+    # over-tight by 1 and pruning a pair whose Jaccard equals the
+    # threshold exactly (ADVICE r6). The slack only loosens (extra
+    # candidates are re-verified exactly), never tightens.
+    _EPS = 1e-9
     prefix = ranked.filter(
-        F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        F.col("_rn")
+        <= F.col("sz") - F.lit(threshold) * F.col("sz") + F.lit(1.0 + _EPS)
     ).select(id_col, "sz", "_sh", "_rn")
     cand = (
         prefix.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"),
@@ -383,8 +392,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             (F.col("id_a") < F.col("id_b"))
             # length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|;
             # prunes candidates before the dedup + verify shuffles
-            & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a")))
-            & (F.col("sz_a") >= F.ceil(F.lit(threshold) * F.col("sz_b")))
+            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - F.lit(_EPS))
+            & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b") - F.lit(_EPS))
             # POSITIONAL filter (PPJoin proper): a prefix match at ranks
             # (i, j) caps the total overlap at 1 + min(|A|-i, |B|-j)
             # (everything before the matched rank on either side is
@@ -397,9 +406,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 F.lit(1)
                 + F.least(F.col("sz_a") - F.col("_rna"),
                           F.col("sz_b") - F.col("_rnb"))
-                >= F.ceil(
-                    F.lit(threshold / (1.0 + threshold))
-                    * (F.col("sz_a") + F.col("sz_b")))
+                >= F.lit(threshold / (1.0 + threshold))
+                * (F.col("sz_a") + F.col("sz_b")) - F.lit(_EPS)
             )
         )
         .select("id_a", "id_b")

@@ -2722,10 +2722,18 @@ def sample_frames(
     cannot break a plumbing test).
 
     ``decoder``: 'builtin' (default — the tested stdlib samplers),
-    'auto' (PyAV/ffmpeg when installed, builtin fallback per asset
-    family — the 100 TB knob for H.264-class corpora; see
-    _accelerated_video_decoder), or 'accel' (PyAV required; raises
-    RuntimeError if absent).
+    'auto' (route decided ONCE driver-side: PyAV for every asset when
+    the driver can import av, builtin otherwise — the 100 TB knob for
+    H.264-class corpora; see _accelerated_video_decoder), or 'accel'
+    (PyAV required; raises RuntimeError if absent).
+
+    The 'auto' route is resolved on the DRIVER and captured in the
+    task closure, never re-probed per executor: with heterogeneous av
+    installs, per-executor probing would emit BMP frames from some
+    tasks and PNG/JPEG from others depending on scheduling (ADVICE
+    r6). Once the driver picks the accel route, an executor without
+    av RAISES (same guard as 'accel') instead of silently switching
+    formats; if the driver lacks av, every executor uses builtin.
     """
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive, got {every_ms}")
@@ -2734,6 +2742,9 @@ def sample_frames(
     if decoder == "accel" and _accelerated_video_decoder() is None:
         raise RuntimeError(
             "decoder='accel' requires PyAV (av) on driver and executors")
+    # driver-side route decision, shipped in the closure (see docstring)
+    use_accel = decoder == "accel" or (
+        decoder == "auto" and _accelerated_video_decoder() is not None)
     pruned = assets.select("asset_id", "content", F.col("meta.duration_ms").alias("duration_ms"))
 
     def run(batches: Iterator) -> Iterator:
@@ -2741,14 +2752,16 @@ def sample_frames(
 
         import pandas as pd
 
-        av_mod = (_accelerated_video_decoder()
-                  if decoder in ("auto", "accel") else None)
-        if decoder == "accel" and av_mod is None:
-            # executor-side guard: driver may have av while an
-            # executor does not — silent builtin fallback would mix
-            # output formats nondeterministically across the cluster
+        av_mod = _accelerated_video_decoder() if use_accel else None
+        if use_accel and av_mod is None:
+            # executor-side guard: driver decided the accel route but
+            # this executor lacks av — silent builtin fallback would
+            # mix output formats nondeterministically across the
+            # cluster
             raise RuntimeError(
-                "decoder='accel' requires PyAV (av) on the executors")
+                f"decoder={decoder!r} resolved to PyAV on the driver "
+                "but av is not importable on an executor; install av "
+                "cluster-wide or pass decoder='builtin'")
         for pdf in batches:
             rows = {"asset_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
             for aid, content, dur in zip(
@@ -3232,10 +3245,14 @@ def _probe_ogg(content: bytes):
     body = 27 + nseg
     pkt = content[body:body + 64]
     gran_rate = None
+    pre_skip = 0
     if pkt[:8] == b"OpusHead":
         out["codec"] = "opus"
         if len(pkt) >= 16:  # unpack reads bytes 12..15
             out["channels"] = pkt[9]
+            # granule positions INCLUDE the encoder pre-skip samples
+            # (RFC 7845 §4.2); ffprobe subtracts it, so must we
+            pre_skip, = struct.unpack_from("<H", pkt, 10)
             out["sample_rate"], = struct.unpack_from("<I", pkt, 12)
         gran_rate = 48000  # Opus granules are always 48 kHz
     elif pkt[:7] == b"\x01vorbis":
@@ -3252,7 +3269,8 @@ def _probe_ogg(content: bytes):
         if pos >= 0 and pos + 14 <= len(tail):
             granule, = struct.unpack_from("<q", tail, pos + 6)
             if granule > 0:
-                out["duration_ms"] = int(round(granule * 1000 / gran_rate))
+                samples = max(granule - pre_skip, 0)
+                out["duration_ms"] = int(round(samples * 1000 / gran_rate))
     return out
 
 
@@ -3274,10 +3292,14 @@ def synth_ogg_opus(duration_ms: int, channels: int = 2,
                + struct.pack("<I", 0)  # crc (unchecked by the probe)
                + bytes([nseg]) + seg)
         return hdr + payload
+    pre_skip = 312
     opus_head = (b"OpusHead" + bytes([1, channels]) +
-                 struct.pack("<H", 312) + struct.pack("<I", input_rate)
+                 struct.pack("<H", pre_skip) + struct.pack("<I", input_rate)
                  + struct.pack("<h", 0) + b"\x00")
-    granule = (duration_ms * 48000) // 1000
+    # granule positions include pre-skip (RFC 7845 §4.2): the playable
+    # duration is (granule - pre_skip) / 48k, so encode it that way —
+    # the probe subtracts pre_skip back out (ADVICE r6)
+    granule = (duration_ms * 48000) // 1000 + pre_skip
     return (page(0, 0, opus_head, 0x02)       # BOS
             + page(granule, 1, b"", 0x04))    # EOS
 

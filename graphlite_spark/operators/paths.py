@@ -989,6 +989,8 @@ def dag_layers(
     total steps are bounded by ``max_iter`` and the operator RAISES
     (never returns wrong layers).
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     layers = nodes.select(
         F.col(nodes.columns[0]).alias("node"), F.lit(0).alias("layer"))
     e = edges.select(F.col(SRC).alias("src"), F.col(DST).alias("dst")) \

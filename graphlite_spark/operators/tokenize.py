@@ -224,21 +224,30 @@ def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
 
 
 def _broadcast_tokenizer(df: DataFrame, tokenizer: BPETokenizer):
+    """Broadcast the merge table; returns (broadcast, content_key).
+
+    The content key is a driver-side hash of the merge list itself —
+    worker-side Broadcast objects expose no stable id, and keying the
+    executor cache on id(bc) can silently alias two different
+    tokenizers if the first broadcast is garbage-collected and a later
+    one reuses the same CPython id (ADVICE r6). Content-keying makes
+    aliasing harmless: equal keys imply equal merge tables.
+    """
+    import hashlib
+
     sc = df.sparkSession.sparkContext
-    return sc.broadcast(tokenizer.merges)
+    key = hashlib.sha256(repr(tokenizer.merges).encode()).hexdigest()
+    return sc.broadcast(tokenizer.merges), key
 
 
-# Executor-side tokenizer instances, keyed by broadcast id: rebuilt
-# vocab/rank dicts and a COLD word cache per Arrow batch would bound
-# the Zipfian cache benefit by batch size instead of executor
-# lifetime. The dict lives for the Python worker process.
+# Executor-side tokenizer instances, keyed by merge-table content
+# hash: rebuilt vocab/rank dicts and a COLD word cache per Arrow
+# batch would bound the Zipfian cache benefit by batch size instead
+# of executor lifetime. The dict lives for the Python worker process.
 _TOKENIZER_CACHE: dict = {}
 
 
-def _tokenizer_from_broadcast(bc) -> BPETokenizer:
-    # worker-side Broadcast has no .id; its spill _path is the unique
-    # per-broadcast key there (fall back to object identity)
-    key = getattr(bc, "_path", None) or id(bc)
+def _tokenizer_from_broadcast(bc, key: str) -> BPETokenizer:
     tok = _TOKENIZER_CACHE.get(key)
     if tok is None:
         tok = BPETokenizer(bc.value)
@@ -257,10 +266,10 @@ def tokenize_bpe(df: DataFrame, tokenizer: BPETokenizer,
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bc = _broadcast_tokenizer(df, tokenizer)
+    bc, tkey = _broadcast_tokenizer(df, tokenizer)
 
     def _enc(s):
-        tok = _tokenizer_from_broadcast(bc)
+        tok = _tokenizer_from_broadcast(bc, tkey)
         return s.map(lambda x: None if x is None else tok.encode(x))
 
     _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
@@ -274,10 +283,10 @@ def bpe_token_count_col(df: DataFrame, tokenizer: BPETokenizer,
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bc = _broadcast_tokenizer(df, tokenizer)
+    bc, tkey = _broadcast_tokenizer(df, tokenizer)
 
     def _cnt(s):
-        tok = _tokenizer_from_broadcast(bc)
+        tok = _tokenizer_from_broadcast(bc, tkey)
         return s.map(lambda x: 0 if x is None else tok.count(x))
 
     _cnt.__annotations__ = {"s": pd.Series, "return": pd.Series}
@@ -323,13 +332,13 @@ def chunk_documents_bpe(
     if not 0 <= overlap < max_tokens:
         raise ValueError(f"overlap must be in [0, max_tokens), got {overlap}")
     stride = max_tokens - overlap
-    bc = _broadcast_tokenizer(df, tokenizer)
+    bc, tkey = _broadcast_tokenizer(df, tokenizer)
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
 
     def gen(batches):
         import pandas as pd
 
-        tok = _tokenizer_from_broadcast(bc)
+        tok = _tokenizer_from_broadcast(bc, tkey)
 
         def snap(full: bytes, pos: int) -> int:
             # forward to the next UTF-8 character boundary (skip

@@ -941,6 +941,34 @@ def test_jaccard_ppjoin_positional_parity_fuzz(spark):
         assert pp == exact, (trial, threshold)
 
 
+def test_jaccard_threshold_boundary_equality(spark):
+    # A pair whose Jaccard EQUALS the threshold must be returned: the
+    # prefix/length/positional bounds use epsilon-slack comparisons
+    # instead of F.ceil so a float quotient rounding above the true
+    # rational t/(1+t) cannot over-tighten the bound by 1 and prune a
+    # boundary pair (ADVICE r6).
+    from graphlite_spark.operators.dedup import ngram_jaccard_pairs
+
+    # word 3-grams: "a b c d e f" -> {abc,bcd,cde,def};
+    # "a b c d e g" -> {abc,bcd,cde,deg}; inter=3, union=5 -> J=0.6
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")],
+        "doc_id: long, text: string")
+    for pf in (True, False):
+        rows = ngram_jaccard_pairs(
+            df, threshold=0.6, prefix_filter=pf).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 0.6)], pf
+
+    # J = 0.5 exactly: "a b c d e" -> {abc,bcd,cde};
+    # "b c d e f" -> {bcd,cde,def}; inter=2, union=4
+    df2 = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "b c d e f")], "doc_id: long, text: string")
+    for pf in (True, False):
+        rows = ngram_jaccard_pairs(
+            df2, threshold=0.5, prefix_filter=pf).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 2, 0.5)], pf
+
+
 def test_strongly_connected_components(spark):
     # directed SCC (trim + forward-max coloring + backward confirm):
     # two 3-cycles joined by DAG edges, a pure chain (all-singleton via
@@ -1030,3 +1058,8 @@ def test_dag_layers(spark):
 
     with pytest.raises(RuntimeError):
         run([(1, 2), (2, 1)], [1, 2], max_iter=16)
+
+    # non-positive max_iter is rejected up front (ADVICE r6: used to
+    # NameError out of the final raise's message formatting)
+    with pytest.raises(ValueError, match="max_iter"):
+        run([(1, 2)], [1, 2], max_iter=0)
