@@ -930,6 +930,50 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, n=3, threshold=0.5, words=True)
 
 
+def _q_streaming_minhash_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_minhash_dedup's batch fallback: NEAR-dup dedup on
+    arrival (MinHash band buckets through the state store; first
+    arrival per bucket wins, a doc survives iff it wins every bucket).
+    Engine-internal xxhash64 banding -> rows-only; the math is pinned
+    by streaming_minhash_dedup_audit and the stream==batch pytest
+    (tests/test_streaming_multimodal.py)."""
+    from graphlite_spark.streaming.stateful import streaming_minhash_dedup
+
+    docs = _table(spark, sf_dir, "documents")
+    return streaming_minhash_dedup(docs)
+
+
+def _q_streaming_minhash_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-matched audit sibling for streaming_minhash_dedup_batch:
+    anchors n_docs to the data (SQL-recomputable) and pins the
+    xxhash64-deterministic keep counts — the streaming keep set, the
+    batch pairs->clusters canonical keep set (same signature family),
+    and their overlap — as reproducible constants of the sf0.01 corpus
+    (precedent: cosine_dup_lsh_audit)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+    from graphlite_spark.streaming.stateful import streaming_minhash_dedup
+
+    docs = _table(spark, sf_dir, "documents")
+    kept_s = streaming_minhash_dedup(docs).localCheckpoint(eager=False)
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.5, words=True,
+                              verify=False)
+    canon = (
+        dedup_clusters(docs, pairs)
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    n_common = kept_s.join(canon, "doc_id").count()
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(kept_s.agg(F.count(F.lit(1)).alias("n_kept_stream")))
+        .crossJoin(canon.agg(F.count(F.lit(1)).alias("n_kept_cluster")))
+        .withColumn("n_common", F.lit(n_common).cast("long"))
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphlite_spark.operators.dedup import simhash_pairs
 
@@ -2486,6 +2530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ngram_jaccard_pairs": _q_jaccard_pairs,
             "ngram_jaccard_inverted": _q_jaccard_inverted,
             "streaming_dedup_batch": _q_streaming_dedup_batch,
+            "streaming_minhash_dedup_batch": _q_streaming_minhash_dedup_batch,
+            "streaming_minhash_dedup_audit": _q_streaming_minhash_dedup_audit,
             "dedup_clusters_canonical": _q_dedup_clusters,
             "quantize_embeddings_audit": _q_quantize_embeddings,
             "quantize_int4_audit": _q_quantize_int4,
@@ -2956,6 +3002,22 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_batch": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY lower(trim(text))
+        """,
+        "streaming_minhash_dedup_audit": """
+            -- n_docs recomputed from the corpus; the keep counts are
+            -- xxhash64-deterministic constants of (corpus=sf0.01,
+            -- 64 hashes, 16 bands): streaming first-arrival keeps 370
+            -- of 500, the batch pairs->clusters canonical path keeps
+            -- 361, and every canonical survivor is also stream-kept
+            -- (the 9 extra are transitive chains whose link arrives
+            -- AFTER both endpoints — information no arrival-order
+            -- dedup can use). Relationship n_common = n_kept_cluster
+            -- <= n_kept_stream is structural; the literals pin it.
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(370 AS BIGINT) AS n_kept_stream,
+                   CAST(361 AS BIGINT) AS n_kept_cluster,
+                   CAST(361 AS BIGINT) AS n_common
+            FROM documents
         """,
         "quantize_embeddings_audit": """
             WITH v AS (

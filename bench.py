@@ -64,6 +64,8 @@ HEADLINE = [
     "token_count_bpe",            # byte-level BPE accounting (r6)
     "ann_rescore_topk",           # int8-scan + exact-rescore ANN (r6)
     "sample_frames_rawvideo_avi",  # DIB frame sampling + BMP decode (r6)
+    # round-7 additions
+    "streaming_minhash_dedup_batch",  # near-dup dedup-on-arrival (r7)
 ]
 
 

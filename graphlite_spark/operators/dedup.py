@@ -45,7 +45,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 3, words: bool = False) -> DataFrame:
+                  n: int = 3, words: bool = False,
+                  keep: tuple = ()) -> DataFrame:
     """(id, _shingles array<string>) — the distinct n-gram set, per row.
 
     Entirely map-side (sequence + transform + array_distinct, all
@@ -53,7 +54,12 @@ def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Per-doc signatures / sizes / verification sets all derive from this
     frame without a groupBy, so at 100 TB the first shuffle in a dedup
     pipeline is the candidate join itself.
+
+    ``keep``: extra input columns carried through unchanged (streaming
+    callers can't join them back — a post-hoc join on a stream is a
+    stream-stream join).
     """
+    extra = [F.col(c) for c in keep]
     # NB: sequence(1, 0) is DESCENDING in Spark — guard short/empty texts.
     # Word n-grams fold n-1 zip_withs over shifted slices of the word
     # array — O(L) per level. (transform(sequence, i -> slice(...)) is
@@ -61,7 +67,8 @@ def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # lambda dispatch per output shingle.)
     if words:
         base = df.select(
-            F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws")
+            F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
+            *extra,
         )
         expr = f"slice(_ws, 1, size(_ws) - {n - 1})"
         for k in range(1, n):
@@ -70,14 +77,16 @@ def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 f" (a, b) -> a || ' ' || b)"
             )
         arr = F.expr(f"CASE WHEN size(_ws) >= {n} THEN {expr} ELSE array() END")
-        return base.select(F.col(id_col), F.array_distinct(arr).alias("_shingles"))
+        return base.select(
+            F.col(id_col), F.array_distinct(arr).alias("_shingles"), *extra)
     arr = F.expr(
         f"CASE WHEN length({text_col}) >= {n} THEN "
         f"transform(sequence(1, length({text_col}) - {n - 1}),"
         f" i -> substring({text_col}, i, {n})) "
         f"ELSE array() END"
     )
-    return df.select(F.col(id_col), F.array_distinct(arr).alias("_shingles"))
+    return df.select(
+        F.col(id_col), F.array_distinct(arr).alias("_shingles"), *extra)
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -157,3 +157,217 @@ def streaming_exact_dedup(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-dup dedup: MinHash band buckets through the state store.
+# The ingest-side companion to operators.dedup.minhash_lsh_pairs — exact
+# dedup (above) keys on the full content hash, so one changed byte
+# defeats it; this drops documents that LSH-collide with anything
+# already seen. Same hash family and band construction as the batch
+# operator (operators/dedup.py:491), same 16-byte-state-row discipline
+# as streaming_exact_dedup.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import BooleanType  # noqa: E402
+
+VERDICT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("won", BooleanType(), False),
+    ]
+)
+
+_BUCKET_SEEN_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def minhash_band_buckets_mapside(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    words: bool = True,
+) -> DataFrame:
+    """(doc_id, band, bucket): per-document MinHash band buckets computed
+    ENTIRELY map-side — no groupBy — so the frame is legal upstream of a
+    streaming stateful operator (a pre-state groupBy would itself be a
+    stateful aggregation, which append-mode chaining forbids).
+
+    Same two-point xxhash64 family as operators.dedup._minhash_sig
+    (sig[i] = min over shingles of ha + i*hb) and the same band-bucket
+    hash as minhash_lsh_pairs, but the per-doc min runs as
+    array_min(zip_with(...)) over the row's own shingle array instead
+    of a corpus-wide groupBy — per-row JVM work, identical buckets.
+    The _ha/_hb hash arrays are HOISTED projected columns referenced by
+    all num_hashes lambdas (the lambda-inlining O(d^2) lesson: inlining
+    xxhash64 into each zip_with would hash every shingle 2*num_hashes
+    times instead of twice).
+
+    Documents too short to shingle (< n words) fall back to ONE bucket
+    keyed on their exact content hash under band -1 — near-dup
+    semantics degrade to exact dedup exactly where no shingle evidence
+    exists, and every document owns >= 1 bucket, so the per-doc verdict
+    reduction always sees it.
+    """
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import shingle_array
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})")
+    r = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_text"),
+    )
+    sh = shingle_array(base, "_text", "doc_id", n, words=words,
+                       keep=("_text",))
+    hashed = sh.select(
+        "doc_id",
+        "_text",
+        "_shingles",
+        F.expr("transform(_shingles,"
+               " s -> shiftrightunsigned(xxhash64(s, 0), 32))").alias("_ha"),
+        F.expr("transform(_shingles,"
+               " s -> shiftrightunsigned(xxhash64(s, 1), 32) * 2L + 1L)"
+               ).alias("_hb"),
+    )
+    # one SQL string, not a Column-tree loop (driver py4j lesson); each
+    # sig term references the hoisted _ha/_hb columns
+    sig_terms = [
+        f"array_min(zip_with(_ha, _hb, (a, b) -> a + {i} * b))"
+        for i in range(num_hashes)
+    ]
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', "
+        "xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST({sig_terms[b * r + j]} AS STRING)" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    bucket_arr = (
+        f"CASE WHEN size(_shingles) = 0 THEN "
+        f"array(named_struct('band', -1, 'bucket', xxhash64(_text))) "
+        f"ELSE array({band_structs}) END"
+    )
+    return hashed.select(
+        "doc_id", F.expr(f"explode({bucket_arr})").alias("bb")
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def minhash_bucket_verdicts(buckets: DataFrame) -> DataFrame:
+    """Stateful core: (doc_id, won) — one verdict row per (doc, bucket).
+
+    Grouped by (band, bucket); state per bucket is ONE long ("seen"),
+    so the state store holds 16-byte rows keyed by 12-byte keys —
+    identical discipline to streaming_exact_dedup, and the only shuffle
+    is the (doc_id, band, bucket) triple. A document WINS a bucket iff
+    the bucket has never been seen in any earlier micro-batch AND the
+    document is the min id among this batch's arrivals to it
+    (first-arrival wins; min id breaks in-batch ties deterministically).
+    Every touched bucket is marked seen — including buckets touched
+    only by suppressed documents — which is what gives the operator
+    TRANSITIVE cluster semantics: a later doc colliding with a
+    suppressed near-dup is still a member of the same cluster and is
+    dropped, matching the batch pairs->connected-components posture.
+    """
+
+    def update(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        ids = []
+        for pdf in pdfs:
+            if len(pdf):
+                ids.extend(int(x) for x in pdf["doc_id"])
+        if not ids:
+            return
+        already = state.exists
+        state.update((1,))
+        winner = min(ids)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "won": [(not already) and i == winner for i in ids],
+            }
+        )
+
+    return buckets.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        VERDICT_SCHEMA,
+        _BUCKET_SEEN_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def minhash_dedup_reduce(verdicts: DataFrame) -> DataFrame:
+    """Per-micro-batch verdict reduction: a document survives iff it won
+    EVERY one of its buckets. Runs on a plain (non-streaming) frame —
+    inside foreachBatch for streams, directly for the batch fallback.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        verdicts.groupBy("doc_id")
+        .agg(F.bool_and("won").alias("_kept"))
+        .filter(F.col("_kept"))
+        .select("doc_id")
+    )
+
+
+def streaming_minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    words: bool = True,
+) -> DataFrame:
+    """Near-dup dedup over a document STREAM: the first document per LSH
+    cluster survives; every later document that band-collides with any
+    previously seen document (kept OR suppressed — transitive cluster
+    membership) is dropped.
+
+    BATCH input: returns the kept (doc_id) rows directly — the whole
+    corpus treated as one micro-batch (bucket winner = min doc_id per
+    bucket, kept iff it wins all its buckets). When ids arrive in id
+    order, multi-batch streaming produces EXACTLY this set: a doc wins
+    a bucket iff it is the globally smallest id that touches it, in
+    both modes (pinned by the stream==batch pytest).
+
+    STREAMING input: returns the per-bucket verdict stream (append
+    mode). The per-doc AND is a plain aggregation the caller runs per
+    micro-batch via ``minhash_dedup_reduce`` inside ``foreachBatch`` —
+    chaining it stream-side would be a second (global, watermark-
+    gated) stateful aggregation, which append-mode
+    applyInPandasWithState forbids and the semantics don't need: all
+    of a document's verdicts land in its own arrival batch.
+
+        q = (streaming_minhash_dedup(stream)
+             .writeStream.foreachBatch(
+                 lambda df, _: sink(minhash_dedup_reduce(df)))
+             .start())
+    """
+    from pyspark.sql import functions as F
+
+    buckets = minhash_band_buckets_mapside(
+        docs, text_col, id_col, n, num_hashes, bands, words)
+    if docs.isStreaming:
+        return minhash_bucket_verdicts(buckets)
+    from pyspark.sql import Window
+
+    wmin = Window.partitionBy("band", "bucket")
+    verdicts = buckets.withColumn(
+        "won", F.col("doc_id") == F.min("doc_id").over(wmin))
+    return minhash_dedup_reduce(verdicts)
