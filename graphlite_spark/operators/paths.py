@@ -858,89 +858,170 @@ def strongly_connected_components(
         .filter(F.col("src") != F.col("dst")).distinct() \
         .localCheckpoint(eager=False)
     out_parts = []
+    tbatch = 2
     for _round in range(max_rounds):
         if remaining.isEmpty():
             break
-        # --- TRIM: peel no-in / no-out nodes (their SCC is themselves)
-        while True:
+        # --- TRIM: peel no-in / no-out nodes — each is its own
+        # singleton SCC. ONE hop-batched peel per outer round (r6
+        # probed isEmpty after every single peel AND ran trim to its
+        # own fixpoint, which made deep DAG tails trim-bound: a
+        # depth-5000 chain blocked 2500 times and serialized ~5000
+        # shuffle stages before coloring ever ran): `tbatch` peels
+        # chain lazily, ONE emptiness probe, and the batch doubles
+        # across rounds while peeling stays productive. Trim no longer
+        # owns a fixpoint — COLOR+CONFIRM resolve whatever it leaves
+        # (a DAG region whose ids increase along edges resolves in one
+        # coloring round: every node is its own color root), so trim
+        # is purely the cheap disposal path and never the bottleneck.
+        # Peeling an already-stable edge set is a no-op, so the fixed
+        # batch size can't change results.
+        rem_before = remaining
+        for t in range(tbatch):
             srcs = e.select(F.col("src").alias("node")).distinct()
             dsts = e.select(F.col("dst").alias("node")).distinct()
             interior = srcs.join(dsts, "node", "inner")
-            trimmed = remaining.join(interior, "node", "left_anti")
-            if trimmed.isEmpty():
-                break
-            out_parts.append(trimmed.select(
-                "node", F.col("node").alias("scc")))
-            remaining = remaining.join(interior, "node", "left_semi") \
-                .localCheckpoint(eager=False)
+            remaining = remaining.join(interior, "node", "left_semi")
             e = (
                 e.join(remaining.select(F.col("node").alias("src")),
                        "src", "left_semi")
                 .join(remaining.select(F.col("node").alias("dst")),
                       "dst", "left_semi")
-                .localCheckpoint(eager=False)
             )
+            if (t + 1) % _CHECKPOINT_EVERY == 0 or t == tbatch - 1:
+                remaining = remaining.localCheckpoint(eager=False)
+                e = e.localCheckpoint(eager=False)
+        trimmed = rem_before.join(remaining.select("node"), "node",
+                                  "left_anti")
+        if not trimmed.isEmpty():
+            out_parts.append(trimmed.select(
+                "node", F.col("node").alias("scc")))
+            tbatch = min(tbatch * 2, 64)
         if remaining.isEmpty():
             break
-        # --- COLOR: forward max propagation to fixpoint. MUST reach
-        # the fixpoint: stopping early would leave interior nodes as
-        # spurious roots and silently fragment long cycles into fake
-        # singleton SCCs — so non-convergence RAISES like max_rounds.
+        # --- COLOR: forward max propagation to fixpoint, HOP-BATCHED
+        # (same adaptive shape as bfs_distances/dag_layers — r6 ran one
+        # hop per blocking probe, so a depth-D condensation chain paid
+        # D full Spark jobs whose only yield was one hop + an O(1)
+        # probe; now `cbatch` propagation steps chain lazily before ONE
+        # convergence count and the batch doubles while the fixpoint is
+        # far, so blocking rounds scale with log(depth)). The update is
+        # monotone (colors only grow) so batching cannot change the
+        # fixpoint. MUST reach the fixpoint: stopping early would leave
+        # interior nodes as spurious roots and silently fragment long
+        # cycles into fake singleton SCCs — so non-convergence RAISES
+        # like max_rounds; max_color_iter bounds TOTAL steps.
         colors = remaining.select("node", F.col("node").alias("color"))
-        for _it in range(max_color_iter):
-            incoming = (
-                e.join(colors.select(F.col("node").alias("src"),
-                                     F.col("color").alias("_pc")), "src")
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.max("_pc").alias("_mx"))
-            )
-            updated = (
-                colors.join(incoming, "node", "left")
-                .select(
-                    "node",
-                    F.greatest(
-                        F.col("color"), F.coalesce("_mx", F.col("color"))
-                    ).alias("color"),
+        steps = 0
+        cbatch = 2
+        converged = False
+        while steps < max_color_iter and not converged:
+            # _lc = the global step at which this node's color LAST
+            # changed. Monotone propagation means a step that changes
+            # nothing is the fixpoint — so if max(_lc) over the batch
+            # is below the batch's final step, convergence is
+            # certified WITHIN the batch (no extra all-quiet batch
+            # needed, and a fixpoint at true depth D certifies within
+            # a max_color_iter barely above D).
+            updated = colors.select(
+                "node", "color", F.lit(steps).alias("_lc"))
+            for i in range(min(cbatch, max_color_iter - steps)):
+                steps += 1
+                incoming = (
+                    e.join(updated.select(F.col("node").alias("src"),
+                                          F.col("color").alias("_pc")),
+                           "src")
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.max("_pc").alias("_mx"))
                 )
-                .localCheckpoint(eager=False)
-            )
-            converged = (
-                updated.alias("u")
-                .join(colors.alias("c"), "node")
-                .filter(F.col("u.color") != F.col("c.color"))
-                .isEmpty()
-            )
-            colors = updated
-            if converged:
-                break
-        else:
+                updated = (
+                    updated.join(incoming, "node", "left")
+                    .select(
+                        "node",
+                        F.greatest(
+                            F.col("color"), F.coalesce("_mx", F.col("color"))
+                        ).alias("color"),
+                        F.when(
+                            F.coalesce("_mx", F.col("color"))
+                            > F.col("color"),
+                            F.lit(steps),
+                        ).otherwise(F.col("_lc")).alias("_lc"),
+                    )
+                )
+                if (i + 1) % _CHECKPOINT_EVERY == 0:
+                    updated = updated.localCheckpoint(eager=False)
+            updated = updated.localCheckpoint(eager=True)
+            last_change = updated.agg(F.max("_lc")).collect()[0][0]
+            colors = updated.select("node", "color")
+            converged = last_change is None or int(last_change) < steps
+            if not converged:
+                cbatch = min(cbatch * 2, 64)
+        if not converged:
             raise RuntimeError(
                 f"strongly_connected_components: coloring did not "
                 f"converge within max_color_iter={max_color_iter} "
                 f"(graph has reachability chains longer than the bound "
                 f"— raise it)")
         # --- CONFIRM: backward marker from each color root within its
-        # color class; marked nodes form SCC(color)
+        # color class; marked nodes form SCC(color). HOP-BATCHED like
+        # COLOR: `kbatch` backward hops chain lazily (anti-joins see
+        # the in-flight marks), then ONE eager cut + stats probe per
+        # batch. Expanding an already-empty frontier yields empty, so
+        # batching cannot over- or under-mark; the mid-batch-death
+        # signal (max hop index seen < last hop) stops the overshoot
+        # round, same as bfs_distances.
         marked = colors.filter(F.col("node") == F.col("color")) \
-            .select("node", "color")
+            .select("node", "color").localCheckpoint(eager=False)
         frontier = marked
+        kbatch = 2
         while True:
-            # predecessors in the SAME color class, not yet marked
-            preds = (
-                e.join(frontier.select(F.col("node").alias("dst"),
-                                       F.col("color").alias("_fc")), "dst")
-                .select(F.col("src").alias("node"), F.col("_fc"))
-                .join(colors, "node")
-                .filter(F.col("color") == F.col("_fc"))
-                .select("node", F.col("_fc").alias("color"))
-                .distinct()
+            parts = []
+            for i in range(kbatch):
+                # predecessors in the SAME color class. No per-hop
+                # anti-join against `marked` — that would make hop i's
+                # plan reference an i-piece union (O(batch^2) plan
+                # nodes, the blowup bfs_distances avoids); already-
+                # marked nodes get re-expanded within the batch
+                # (bounded redundancy) and are dropped once at the
+                # batch-end anti-join.
+                preds = (
+                    e.join(frontier.select(F.col("node").alias("dst"),
+                                           F.col("color").alias("_fc")),
+                           "dst")
+                    .select(F.col("src").alias("node"), F.col("_fc"))
+                    .join(colors, "node")
+                    .filter(F.col("color") == F.col("_fc"))
+                    .select("node", F.col("_fc").alias("color"))
+                )
+                if (i + 1) % _CHECKPOINT_EVERY == 0:
+                    preds = preds.dropDuplicates(["node", "color"]) \
+                                 .localCheckpoint(eager=False)
+                parts.append(
+                    preds.select("node", "color", F.lit(i).alias("_hop")))
+                frontier = preds
+            block = parts[0]
+            for p in parts[1:]:
+                block = block.unionByName(p)
+            nxt = (
+                block.groupBy("node", "color")
+                .agg(F.min("_hop").alias("_hop"))
                 .join(marked, ["node", "color"], "left_anti")
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
-            if preds.isEmpty():
+            stats = nxt.agg(
+                F.count("*").alias("n"), F.max("_hop").alias("mh")
+            ).collect()[0]
+            n_new = int(stats["n"])
+            if n_new == 0:
                 break
-            marked = marked.unionByName(preds).localCheckpoint(eager=False)
-            frontier = preds
+            marked = marked.unionByName(nxt.select("node", "color")) \
+                .localCheckpoint(eager=False)
+            # mid-batch death: nothing newly marked by the batch's
+            # final hop means deeper hops are provably empty
+            if int(stats["mh"]) < kbatch - 1:
+                break
+            frontier = nxt.select("node", "color")
+            kbatch = min(kbatch * 2, 64)
         out_parts.append(marked.select("node", F.col("color").alias("scc")))
         remaining = remaining.join(marked.select("node"), "node",
                                    "left_anti").localCheckpoint(eager=False)
@@ -999,7 +1080,12 @@ def dag_layers(
     steps = 0
     cur_batch = batch
     while steps < max_iter:
-        updated = layers
+        # _lc = global step of this node's LAST layer change: monotone
+        # propagation means a step that changes nothing is the
+        # fixpoint, so max(_lc) < the batch's final step certifies
+        # convergence WITHIN the batch (no extra all-quiet batch, and
+        # no join-against-previous-state probe — one 1-row agg)
+        updated = layers.select("node", "layer", F.lit(steps).alias("_lc"))
         for i in range(min(cur_batch, max_iter - steps)):
             steps += 1
             incoming = (
@@ -1015,22 +1101,22 @@ def dag_layers(
                     F.greatest(
                         F.col("layer"), F.coalesce("_nl", F.col("layer"))
                     ).alias("layer"),
+                    F.when(
+                        F.coalesce("_nl", F.col("layer")) > F.col("layer"),
+                        F.lit(steps),
+                    ).otherwise(F.col("_lc")).alias("_lc"),
                 )
             )
             if (i + 1) % _CHECKPOINT_EVERY == 0:
                 updated = updated.localCheckpoint(eager=False)
         updated = updated.localCheckpoint(eager=True)
-        n_changed = (
-            updated.alias("u").join(layers.alias("l"), "node")
-            .filter(F.col("u.layer") != F.col("l.layer"))
-            .count()
-        )
-        layers = updated
-        if n_changed == 0:
+        last_change = updated.agg(F.max("_lc")).collect()[0][0]
+        layers = updated.select("node", "layer")
+        if last_change is None or int(last_change) < steps:
             return layers
         if cur_batch < max_batch:
             cur_batch = min(cur_batch * 2, max_batch)
     raise RuntimeError(
         f"dag_layers: no fixpoint within max_iter={max_iter} steps — the "
-        f"graph has a cycle or a path longer than the bound "
-        f"({n_changed} nodes still changing); raise max_iter for deep DAGs")
+        f"graph has a cycle or a path longer than the bound; raise "
+        f"max_iter for deep DAGs")

@@ -1063,3 +1063,42 @@ def test_dag_layers(spark):
     # NameError out of the final raise's message formatting)
     with pytest.raises(ValueError, match="max_iter"):
         run([(1, 2)], [1, 2], max_iter=0)
+
+
+def test_scc_deep_cycle_hop_batched_probes(spark):
+    # r7: COLOR and CONFIRM are hop-batched (adaptive growth like
+    # bfs_distances) — a depth-100 cycle needs ~99 propagation hops
+    # each way but must resolve in O(log depth) BLOCKING probes, not
+    # one probe per hop. Count every driver-blocking call (isEmpty /
+    # collect / count) during the run; the r6 one-hop-per-probe shape
+    # spent ~200 on this graph.
+    from pyspark.sql import DataFrame
+
+    from graphlite_spark.operators.paths import (
+        strongly_connected_components)
+
+    n = 100
+    edges = spark.createDataFrame(
+        [(i, i % n + 1) for i in range(1, n + 1)], "_src: long, _dst: long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id: long")
+
+    counts = {"blocking": 0}
+    orig = {m: getattr(DataFrame, m) for m in ("isEmpty", "collect", "count")}
+
+    def wrap(name):
+        def inner(self, *a, **kw):
+            counts["blocking"] += 1
+            return orig[name](self, *a, **kw)
+        return inner
+
+    for m in orig:
+        setattr(DataFrame, m, wrap(m))
+    try:
+        out = strongly_connected_components(
+            edges, nodes, max_color_iter=150)
+        rows = sorted((r["node"], r["scc"]) for r in out.collect())
+    finally:
+        for m, fn in orig.items():
+            setattr(DataFrame, m, fn)
+    assert rows == [(i, n) for i in range(1, n + 1)]
+    assert counts["blocking"] <= 25, counts["blocking"]
