@@ -66,6 +66,7 @@ HEADLINE = [
     "sample_frames_rawvideo_avi",  # DIB frame sampling + BMP decode (r6)
     # round-7 additions
     "streaming_minhash_dedup_batch",  # near-dup dedup-on-arrival (r7)
+    "copurchase_triangles_approx",    # DOULION sampled triangles (r7)
 ]
 
 

@@ -758,6 +758,65 @@ def triangles_per_vertex(
     )
 
 
+def triangle_count_approx(
+    edges: DataFrame,
+    p: float = 0.25,
+    salt: int = 0,
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """DOULION-style approximate triangle count (Tsourakakis et al.,
+    KDD'09): keep each undirected edge with probability ``p``, count
+    triangles on the sparsified graph with the same degree-oriented
+    wedge closure as triangle_count, scale by 1/p^3. Unbiased
+    (E[est] = true count); variance falls as triangles survive with
+    p^3, so p = 0.1-0.5 gives low single-digit-% error on graphs with
+    millions of triangles while cutting the wedge join's work by
+    ~1/p^2 — exact enumeration's m^1.5 is the wrong tool at 100 TB
+    (copurchase exact DNF'd at sf10; this is its scale path).
+
+    Edge selection is the DETERMINISTIC Knuth double-bucket of the
+    canonical (lo, hi) pair — the same repartition-insensitive
+    ``sampling._bucket`` family, chained so both endpoints mix — so
+    the estimate is reproducible across runs/partitionings AND the
+    whole operator (sampling included) is closed-form in ANSI SQL for
+    cross-engine oracles.
+
+    Returns one row: (n_sampled_triangles BIGINT, n_triangles_est
+    DOUBLE, p DOUBLE).
+    """
+    from .sampling import _M32, _bucket
+
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a, b).alias("_lo"), F.greatest(a, b).alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+    )
+    # chain two Knuth buckets so BOTH endpoints drive the decision:
+    # key2 = (bucket(lo) + hi) mod 2^32 stays ANSI-overflow-safe
+    # (bucket < 2^32, hi reduced mod 2^32 inside _bucket's own pmod)
+    key2 = F.pmod(
+        _bucket(F.col("_lo"), salt)
+        + F.pmod(F.col("_hi").cast("long"), F.lit(_M32)),
+        F.lit(_M32),
+    )
+    kept = und.filter(_bucket(key2, salt) < F.lit(int(p * _M32)))
+    return (
+        _oriented_triangle_triples(kept, "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("n_sampled_triangles"))
+        .select(
+            "n_sampled_triangles",
+            F.round(F.col("n_sampled_triangles") / F.lit(p ** 3), 6)
+            .alias("n_triangles_est"),
+            F.lit(float(p)).alias("p"),
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     nodes: DataFrame,

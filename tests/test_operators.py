@@ -1102,3 +1102,39 @@ def test_scc_deep_cycle_hop_batched_probes(spark):
             setattr(DataFrame, m, fn)
     assert rows == [(i, n) for i in range(1, n + 1)]
     assert counts["blocking"] <= 25, counts["blocking"]
+
+
+def test_triangle_count_approx(spark):
+    import pytest
+
+    from graphlite_spark.operators.paths import (
+        triangle_count,
+        triangle_count_approx,
+    )
+
+    # dense-ish deterministic graph: K8 plus a pendant chain
+    edges = [(i, j) for i in range(1, 9) for j in range(i + 1, 9)]
+    edges += [(8, 20), (20, 21)]
+    e = spark.createDataFrame(edges, "_src: long, _dst: long")
+
+    exact = triangle_count(e).collect()[0].n_triangles
+    assert exact == 56  # C(8,3)
+
+    # p = 1 keeps every edge: estimate == exact, scale factor 1
+    full = triangle_count_approx(e, p=1.0).collect()[0]
+    assert full.n_sampled_triangles == exact
+    assert full.n_triangles_est == float(exact)
+
+    # deterministic: same (graph, p, salt) -> identical estimate,
+    # regardless of input partitioning
+    r1 = triangle_count_approx(e, p=0.5).collect()[0]
+    r2 = triangle_count_approx(e.repartition(7), p=0.5).collect()[0]
+    assert (r1.n_sampled_triangles, r1.n_triangles_est) == (
+        r2.n_sampled_triangles, r2.n_triangles_est)
+    # estimate = sampled / p^3 exactly
+    assert r1.n_triangles_est == round(r1.n_sampled_triangles / 0.125, 6)
+
+    with pytest.raises(ValueError, match="p must be"):
+        triangle_count_approx(e, p=0.0)
+    with pytest.raises(ValueError, match="p must be"):
+        triangle_count_approx(e, p=1.5)
