@@ -1070,6 +1070,39 @@ def _q_ann_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, queries_df, k=10, candidate_fraction=0.15)
 
 
+def _q_ann_rescore_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rescore ANN over a PERSISTED int8 index (build_rescore_index ->
+    size-targeted parquet of codes+scales+norms): the deployment shape
+    — quantize the corpus once per version, every query batch scans
+    only the stored codes. Bit-identical to ann_rescore_topk (same
+    rint arithmetic at build, same approx/rescore float expressions),
+    so the oracle is the SAME full exact-top-k SQL. The index is built
+    on first call and reused after (content is a pure deterministic
+    function of the corpus), which is the point: the second batch's
+    plan contains no quantization pass."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import (
+        build_rescore_index,
+        rescore_topk_indexed,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    idx = os.path.join(
+        "/tmp/graphlite_ann_index",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    if not os.path.exists(os.path.join(idx, "meta")):
+        build_rescore_index(emb, idx, bits=8)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rescore_topk_indexed(
+        emb, queries_df, idx, k=10, candidate_fraction=0.15)
+
+
 def _q_ann_rescore_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 audit of rescore_topk vs exact cosine_topk: measured
     1.0 at 15% exactly-scored candidate fraction on the random
@@ -2622,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_lsh_recall_audit": _q_ann_recall("lsh"),
             "ivf_ann_recall_audit": _q_ann_recall("ivf"),
             "ann_rescore_topk": _q_ann_rescore,
+            "ann_rescore_persisted": _q_ann_rescore_persisted,
             "ann_rescore_recall_audit": _q_ann_rescore_recall,
             "events_tumbling_counts": _q_tumbling_counts,
             "sessionization": _q_sessionization,
@@ -3847,6 +3881,28 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "ann_rescore_topk": """
+            -- rescore_topk reproduces exact cosine_topk bit-for-bit on
+            -- this corpus (the true top-10 survives the int8 coarse
+            -- pass's 15% cut; ann_rescore_recall_audit pins recall=1),
+            -- so the oracle is the full exact top-k
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS item_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])) AS score
+                FROM embeddings e, q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, item_id, round(score, 6) AS score
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, item_id) AS rk
+                FROM scored
+            ) WHERE rk <= 10
+        """,
+        "ann_rescore_persisted": """
             -- rescore_topk reproduces exact cosine_topk bit-for-bit on
             -- this corpus (the true top-10 survives the int8 coarse
             -- pass's 15% cut; ann_rescore_recall_audit pins recall=1),

@@ -67,6 +67,11 @@ HEADLINE = [
     # round-7 additions
     "streaming_minhash_dedup_batch",  # near-dup dedup-on-arrival (r7)
     "copurchase_triangles_approx",    # DOULION sampled triangles (r7)
+    "ann_rescore_persisted",          # ANN over persisted int8 index (r7):
+                                      # cold builds the index once, warm
+                                      # runs scan stored codes only — the
+                                      # vs-ann_rescore_topk delta is the
+                                      # per-query quantization cost saved
 ]
 
 

@@ -589,6 +589,197 @@ def rescore_topk(
     )
 
 
+def build_rescore_index(
+    items: DataFrame,
+    path: str,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_mb: int = 256,
+) -> int:
+    """Materialize rescore_topk's coarse representation ONCE: int8/int4
+    codes + per-vector scale + precomputed code norm, written as
+    size-targeted parquet (``{path}/codes``) with a 1-row
+    ``{path}/meta`` (bits, dim, n_items). rescore_topk re-quantizes
+    the whole corpus on every call — correct, but at 100 TB the int8
+    copy is the thing you build once and scan per query batch; this is
+    that build. Quantization uses EXACTLY rescore_topk's arithmetic
+    (np.rint half-even, float64 scales), so rescore_topk_indexed over
+    this index is bit-identical to the direct operator. Returns
+    n_items (persisted in meta so queries skip the sizing count).
+    """
+    import numpy as np
+
+    from graphlite_spark.sources.sinks import write_parquet_sized
+
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    qmax = 127.0 if bits == 8 else 7.0
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv"))
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["_iv"].to_numpy()).astype(np.float64)
+            iscale = np.maximum(np.abs(m).max(axis=1), 1e-12) / qmax
+            i8 = np.rint(m / iscale[:, None]).astype(np.int32)
+            inorm = np.sqrt((i8 * i8).sum(axis=1)) * iscale
+            yield pd.DataFrame({
+                "_iid": pdf["_iid"].to_numpy(),
+                "_codes": [r.astype(np.int8) for r in i8],
+                "_scale": iscale,
+                "_inorm": inorm,
+            })
+
+    from pyspark.sql.types import (
+        ArrayType,
+        ByteType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    id_type = items.schema[id_col].dataType
+    schema = StructType([
+        StructField("_iid", id_type, False),
+        StructField("_codes", ArrayType(ByteType()), False),
+        StructField("_scale", DoubleType(), False),
+        StructField("_inorm", DoubleType(), False),
+    ])
+    codes = it.mapInPandas(encode, schema)
+    write_parquet_sized(codes, path + "/codes", target_mb=target_mb)
+    spark = items.sparkSession
+    meta = spark.read.parquet(path + "/codes")
+    n_items = meta.count()
+    dim = meta.select(F.size("_codes").alias("d")).limit(1).collect()[0]["d"]
+    spark.createDataFrame(
+        [(int(bits), int(dim), int(n_items))],
+        "bits: int, dim: int, n_items: long",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    return n_items
+
+
+def rescore_topk_indexed(
+    items: DataFrame,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    candidate_fraction: float = 0.15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """rescore_topk over a PERSISTED coarse index (build_rescore_index):
+    stage 1 scans the stored int codes — no re-quantization, no
+    full-precision read of the corpus — and stage 2 exact-rescores the
+    top candidate_fraction against ``items``'s fp vectors exactly like
+    the direct operator. Bit-identical to rescore_topk(items, queries)
+    at the same (bits, candidate_fraction): same codes (same rint
+    arithmetic at build), same approx-score float expression, same
+    exact rescore. At scale this is the deployment shape: quantize
+    once per corpus version, then every query batch pays only the
+    int8 scan + C exact fetches.
+    """
+    import numpy as np
+
+    if not 0.0 < candidate_fraction <= 1.0:
+        raise ValueError(
+            f"candidate_fraction must be in (0, 1], got {candidate_fraction}")
+    spark = items.sparkSession
+    meta = spark.read.parquet(index_path + "/meta").collect()[0]
+    bits, n_items = int(meta["bits"]), int(meta["n_items"])
+    qmax = 127.0 if bits == 8 else 7.0
+    c_cut = max(k, int(-(-candidate_fraction * n_items // 1)))
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    ).collect()
+    qids = [r["_qid"] for r in qrows]
+    qmat = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    qscale = np.maximum(np.abs(qmat).max(axis=1), 1e-12) / qmax
+    q_i8 = np.rint(qmat / qscale[:, None]).astype(np.int8)
+    sc = spark.sparkContext
+    bq = sc.broadcast((qids, q_i8, qscale))
+
+    codes = spark.read.parquet(index_path + "/codes")
+
+    def coarse(batches):
+        import pandas as pd
+
+        q_ids, qq, qs = bq.value
+        qi32 = qq.astype(np.int32)
+        qnorm = np.sqrt((qi32 * qi32).sum(axis=1)) * qs
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            i8 = np.stack(pdf["_codes"].to_numpy()).astype(np.int32)
+            iscale = pdf["_scale"].to_numpy()
+            inorm = pdf["_inorm"].to_numpy()
+            dots = i8 @ qi32.T
+            approx = (dots * iscale[:, None] * qs[None, :]) / np.maximum(
+                inorm[:, None] * qnorm[None, :], 1e-300)
+            ids = pdf["_iid"].to_numpy()
+            out_q, out_i, out_s = [], [], []
+            top = min(c_cut, len(ids))
+            for j, qid in enumerate(q_ids):
+                col = approx[:, j]
+                sel = np.argpartition(-col, top - 1)[:top] \
+                    if top < len(ids) else np.arange(len(ids))
+                out_q.extend([qid] * len(sel))
+                out_i.extend(ids[sel].tolist())
+                out_s.extend(col[sel].tolist())
+            yield pd.DataFrame({
+                "_qid": out_q, "_iid": out_i,
+                "_approx": pd.Series(out_s, dtype="float64"),
+            })
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qid_type = queries.schema[query_id_col].dataType
+    iid_type = codes.schema["_iid"].dataType
+    schema = StructType([
+        StructField("_qid", qid_type, False),
+        StructField("_iid", iid_type, False),
+        StructField("_approx", DoubleType(), False),
+    ])
+    coarse_rows = codes.select("_iid", "_codes", "_scale", "_inorm") \
+        .mapInPandas(coarse, schema).filter(F.col("_iid") != F.col("_qid"))
+    wc = Window.partitionBy("_qid").orderBy(
+        F.col("_approx").desc(), F.col("_iid"))
+    cands = (
+        coarse_rows.withColumn("_rk", F.row_number().over(wc))
+        .filter(F.col("_rk") <= c_cut)
+        .select("_qid", "_iid")
+    )
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv"))
+    qfp = F.broadcast(queries.select(
+        F.col(query_id_col).alias("_qid"),
+        _as_double(F.col(vec_col)).alias("_qv"),
+    ))
+    scored = (
+        cands.join(it, "_iid")
+        .join(qfp, "_qid")
+        .select("_qid", "_iid",
+                cosine(F.col("_iv"), F.col("_qv")).alias("_score"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_score").desc(), F.col("_iid"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_iid").alias("item_id"),
+            F.round("_score", 6).alias("score"),
+        )
+    )
+
+
 def ann_topk(
     items: DataFrame,
     queries: DataFrame,

@@ -1138,3 +1138,37 @@ def test_triangle_count_approx(spark):
         triangle_count_approx(e, p=0.0)
     with pytest.raises(ValueError, match="p must be"):
         triangle_count_approx(e, p=1.5)
+
+
+def test_rescore_index_persisted_bit_identical(spark, tmp_path):
+    # build once -> query path over stored codes is bit-identical to
+    # the direct operator for both bit widths; meta carries n_items so
+    # the query skips the sizing count
+    from graphlite_spark.operators.similarity import (
+        build_rescore_index,
+        rescore_topk,
+        rescore_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding")
+    for bits in (8, 4):
+        idx = str(tmp_path / f"idx{bits}")
+        n = build_rescore_index(emb, idx, bits=bits)
+        assert n == emb.count()
+        meta = spark.read.parquet(idx + "/meta").collect()[0]
+        assert (meta["bits"], meta["n_items"]) == (bits, n)
+        direct = sorted(map(tuple, rescore_topk(
+            emb, queries, bits=bits).collect()))
+        indexed = sorted(map(tuple, rescore_topk_indexed(
+            emb, queries, idx).collect()))
+        assert direct == indexed and len(direct) == 30
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bits"):
+        build_rescore_index(emb, str(tmp_path / "bad"), bits=2)
+    with pytest.raises(ValueError, match="candidate_fraction"):
+        rescore_topk_indexed(emb, queries, str(tmp_path / "idx8"),
+                             candidate_fraction=0.0)
