@@ -1267,6 +1267,40 @@ def _q_scc_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("scc").cast("long").alias("scc"))
 
 
+def _q_modularity_nation_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain-style modularity communities over planted clique
+    communities: each region's nations form a CLIQUE, adjacent regions
+    joined by ONE bridge (min nation to min nation). The local-moving
+    phase recovers exactly the regions — community = min nationkey of
+    the region, the closed form the oracle computes with one window.
+    (Cliques, not rings: a sparse ring can legitimately split at one
+    Louvain level, so its converged labels have no clean closed form;
+    cliques are the structure the modularity gain pins uniquely.)"""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import modularity_communities
+
+    nat = _table(spark, sf_dir, "nation")
+    a, b = nat.alias("a"), nat.alias("b")
+    clique = (
+        a.join(b, F.expr("a.n_regionkey = b.n_regionkey "
+                         "AND a.n_nationkey < b.n_nationkey"))
+        .select(F.col("a.n_nationkey").alias("_src"),
+                F.col("b.n_nationkey").alias("_dst"))
+    )
+    per_region = nat.groupBy("n_regionkey").agg(
+        F.min("n_nationkey").alias("mn"))
+    x, y = per_region.alias("x"), per_region.alias("y")
+    bridges = x.join(
+        y, F.col("y.n_regionkey") == F.col("x.n_regionkey") + 1
+    ).select(F.col("x.mn").alias("_src"), F.col("y.mn").alias("_dst"))
+    edges = clique.unionByName(bridges)
+    nodes = nat.select(F.col("n_nationkey").alias("id"))
+    out = modularity_communities(edges, nodes)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("community").cast("long").alias("community"))
+
+
 def _q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest-path topological layering over the acyclic FOLLOWS
     chains: each user's events are a simple chain, so layer = position
@@ -2648,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "shortest_paths_bfs": _q_shortest_paths,
             "connected_components": _q_connected_components,
             "scc_nation_rings": _q_scc_rings,
+            "modularity_nation_cliques": _q_modularity_nation_cliques,
             "dag_layers_follows": _q_dag_layers,
             "cosine_dup_pairs": _q_cosine_dup,
             "cosine_dup_lsh_audit": _q_cosine_dup_lsh,
@@ -4972,6 +5007,15 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id) - 1
                         AS BIGINT) AS layer
             FROM events
+        """,
+        "modularity_nation_cliques": """
+            -- planted clique communities: the modularity local-moving
+            -- phase recovers the regions exactly, so community =
+            -- min nationkey of the nation's region (closed form)
+            SELECT CAST(n_nationkey AS BIGINT) AS node,
+                   CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey)
+                        AS BIGINT) AS community
+            FROM nation
         """,
         "scc_nation_rings": """
             -- each region's directed ring is one SCC (scc = max

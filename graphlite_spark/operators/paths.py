@@ -935,6 +935,166 @@ def label_propagation(
     return labels
 
 
+def modularity_communities(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node, community): quality-function community detection — one
+    Louvain level of synchronous modularity-gain moves over the
+    undirected simple view (Blondel et al. 2008's local-moving phase,
+    made deterministic and distributed). Complements LPA: LPA's
+    majority vote has no objective and oscillates on chain graphs;
+    these moves maximize modularity, so bridged cliques/rings settle
+    into their planted communities. Beyond-reference analytics.
+
+    Each round every node i simultaneously evaluates its neighboring
+    communities c (and staying put) by the standard gain criterion
+    ΔQ(i→c) ∝ e_{i,c} - k_i·Σtot(c\\i)/(2m) — e_{i,c} edges from i
+    into c, k_i degree, Σtot community degree sum (own degree removed
+    when c is i's current community), m total edges — and adopts the
+    argmax, ties broken to the SMALLEST community id (deterministic;
+    a strictly-positive epsilon guard keeps equal-value moves from
+    churning). Communities are node-id labels; the result relabels
+    each to its minimum member id.
+
+    Fully synchronous moves oscillate structurally (two mutually-
+    attracted nodes swap communities forever — measured immediately on
+    a bridged-triangle pair), so each round applies only the movers
+    that are a LOCAL MINIMUM among intending movers: a node's move
+    lands iff its id is smaller than every neighboring mover's id
+    (Luby-style independent set, the standard symmetric-parallelism
+    breaker). Adjacent swap partners therefore never move in the same
+    round; the smaller one moves, the larger re-evaluates against the
+    new configuration. Deterministic, and the global-minimum mover
+    always applies, so every round with any mover makes progress.
+
+    Per round: one (node, neighbor-community) count aggregate, one
+    community degree-sum aggregate, a mover-neighborhood min join and
+    one argmax — all keyed on node/community ids, map-side partial
+    aggregation everywhere, lineage cut per round, one O(1) mover
+    count as the convergence probe. Pathological cases can still
+    cycle, so rounds are BOUNDED: non-convergence within
+    ``max_rounds`` RAISES like strongly_connected_components rather
+    than returning an unconverged partition.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    id_col = nodes.columns[0]
+    lo = F.least(F.col(SRC), F.col(DST))
+    hi = F.greatest(F.col(SRC), F.col(DST))
+    canon = (
+        edges.select(lo.alias("_lo"), hi.alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = canon.select(F.col("_lo").alias("_a"), F.col("_hi").alias("_b")) \
+        .unionByName(
+            canon.select(F.col("_hi").alias("_a"), F.col("_lo").alias("_b"))
+        ).localCheckpoint(eager=False)
+    m = canon.count()
+    deg = und.groupBy(F.col("_a").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("k"))
+    comm = nodes.select(
+        F.col(id_col).alias("node"),
+        F.col(id_col).cast("long").alias("c"),
+    ).localCheckpoint(eager=False)
+    if m == 0:
+        return comm.select("node", F.col("c").alias("community"))
+    two_m = float(2 * m)
+    for _round in range(max_rounds):
+        tot = (
+            comm.join(deg, "node", "left")
+            .groupBy("c")
+            .agg(F.sum(F.coalesce("k", F.lit(0))).alias("tot"))
+        )
+        # edges from i into each neighboring community, under the
+        # PREVIOUS round's assignment (synchronous)
+        e_ic = (
+            und.join(comm.select(F.col("node").alias("_b"),
+                                 F.col("c").alias("_cb")), "_b")
+            .groupBy(F.col("_a").alias("node"), F.col("_cb").alias("cand"))
+            .agg(F.count(F.lit(1)).alias("e"))
+        )
+        stay = comm.select("node", F.col("c").alias("cand"),
+                           F.lit(0).alias("e"))
+        cands = (
+            e_ic.unionByName(stay)
+            .groupBy("node", "cand")
+            .agg(F.max("e").alias("e"))
+        )
+        cur = comm.select("node", F.col("c").alias("_cur"))
+        scored = (
+            cands.join(deg, "node", "left")
+            .join(cur, "node")
+            .join(tot.select(F.col("c").alias("cand"), "tot"), "cand")
+            .select(
+                "node", "cand", "_cur",
+                (
+                    F.col("e").cast("double")
+                    - F.coalesce("k", F.lit(0)).cast("double")
+                    * (F.col("tot")
+                       - F.when(F.col("cand") == F.col("_cur"),
+                                F.coalesce("k", F.lit(0)))
+                       .otherwise(F.lit(0))).cast("double")
+                    / F.lit(two_m)
+                ).alias("val"),
+            )
+        )
+        # argmax with epsilon preference for the CURRENT community:
+        # a move must beat staying by > 1e-12, and equal-gain
+        # alternatives resolve to the smallest community id
+        best = (
+            scored.groupBy("node")
+            .agg(
+                F.max_by(
+                    "cand",
+                    F.struct(
+                        (F.col("val")
+                         + F.when(F.col("cand") == F.col("_cur"),
+                                  F.lit(1e-12)).otherwise(F.lit(0.0))
+                         ).alias("v"),
+                        (-F.col("cand")).alias("t"),
+                    ),
+                ).alias("_new")
+            )
+        )
+        movers = (
+            comm.join(best, "node")
+            .filter(F.col("_new") != F.col("c"))
+            .select("node", "_new")
+            .localCheckpoint(eager=True)
+        )
+        if movers.isEmpty():
+            canonical = comm.groupBy("c").agg(F.min("node").alias("community"))
+            return comm.join(canonical, "c").select("node", "community")
+        # Luby restriction: apply only movers smaller than every
+        # neighboring mover (see docstring)
+        nbr_min = (
+            und.join(movers.select(F.col("node").alias("_b")), "_b",
+                     "left_semi")
+            .join(movers.select(F.col("node").alias("_a")), "_a",
+                  "left_semi")
+            .groupBy(F.col("_a").alias("node"))
+            .agg(F.min("_b").alias("_nm"))
+        )
+        applied = (
+            movers.join(nbr_min, "node", "left")
+            .filter(F.col("_nm").isNull() | (F.col("node") < F.col("_nm")))
+            .select("node", "_new")
+        )
+        comm = (
+            comm.join(applied, "node", "left")
+            .select("node", F.coalesce("_new", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"modularity_communities: no stable partition within "
+        f"max_rounds={max_rounds} (synchronous moves are oscillating); "
+        f"raise the bound")
+
+
 def strongly_connected_components(
     edges: DataFrame,
     nodes: DataFrame,

@@ -1172,3 +1172,107 @@ def test_rescore_index_persisted_bit_identical(spark, tmp_path):
     with pytest.raises(ValueError, match="candidate_fraction"):
         rescore_topk_indexed(emb, queries, str(tmp_path / "idx8"),
                              candidate_fraction=0.0)
+
+
+def test_modularity_communities(spark):
+    import pytest
+
+    from graphlite_spark.operators.paths import modularity_communities
+
+    def run(edge_list, node_ids, **kw):
+        nodes = spark.createDataFrame([(n,) for n in node_ids], "id: long")
+        edges = spark.createDataFrame(edge_list, "_src: long, _dst: long")
+        return sorted(
+            (r["node"], r["community"])
+            for r in modularity_communities(edges, nodes, **kw).collect())
+
+    # bridged triangles resolve to the planted communities
+    e = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    assert run(e, range(1, 7)) == [
+        (1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)]
+
+    # isolated node stays its own community
+    assert run([(1, 2)], [1, 2, 9]) == [(1, 1), (2, 1), (9, 9)]
+
+    # empty edge set: all singletons
+    assert run([], [1, 2]) == [(1, 1), (2, 2)]
+
+    # bound respected: bridged triangles need several rounds
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        run(e, range(1, 7), max_rounds=1)
+    with pytest.raises(ValueError, match="max_rounds"):
+        run(e, range(1, 7), max_rounds=0)
+
+
+def test_modularity_communities_brute_force_parity(spark):
+    # pure-Python simulator with the IDENTICAL rules (same float gain
+    # expression, same epsilon stay-preference, same smallest-id
+    # tiebreak, same Luby local-minimum mover restriction) must agree
+    # with the distributed operator on random graphs
+    import random
+
+    from graphlite_spark.operators.paths import modularity_communities
+
+    def simulate(edge_set, node_ids, max_rounds=20):
+        und = {}
+        for a, b in edge_set:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+        m = len(edge_set)
+        k = {n: len(und.get(n, ())) for n in node_ids}
+        comm = {n: n for n in node_ids}
+        if m == 0:
+            return {n: n for n in node_ids}
+        two_m = float(2 * m)
+        for _ in range(max_rounds):
+            tot = {}
+            for n in node_ids:
+                tot[comm[n]] = tot.get(comm[n], 0) + k[n]
+            movers = {}
+            for n in node_ids:
+                e_ic = {comm[n]: 0}
+                for nb in und.get(n, ()):
+                    e_ic[comm[nb]] = e_ic.get(comm[nb], 0) + 1
+                best, best_key = None, None
+                for c, e in e_ic.items():
+                    adj = tot.get(c, 0) - (k[n] if c == comm[n] else 0)
+                    val = float(e) - float(k[n]) * float(adj) / two_m
+                    if c == comm[n]:
+                        val += 1e-12
+                    key = (val, -c)
+                    if best_key is None or key > best_key:
+                        best, best_key = c, key
+                if best != comm[n]:
+                    movers[n] = best
+            if not movers:
+                mins = {}
+                for n in node_ids:
+                    c = comm[n]
+                    mins[c] = min(mins.get(c, n), n)
+                return {n: mins[comm[n]] for n in node_ids}
+            for n, tgt in movers.items():
+                nbr_movers = [nb for nb in und.get(n, ()) if nb in movers]
+                if not nbr_movers or n < min(nbr_movers):
+                    comm[n] = tgt
+        raise RuntimeError("sim: no convergence")
+
+    for trial in range(4):
+        r = random.Random(42 + trial)
+        n = 14
+        node_ids = list(range(1, n + 1))
+        edge_set = set()
+        # planted: two cliques + random noise edges
+        for grp in ([1, 2, 3, 4, 5], [8, 9, 10, 11]):
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    edge_set.add((grp[i], grp[j]))
+        for _ in range(6):
+            a, b = r.sample(node_ids, 2)
+            edge_set.add((min(a, b), max(a, b)))
+        expected = simulate(sorted(edge_set), node_ids)
+        nodes = spark.createDataFrame([(x,) for x in node_ids], "id: long")
+        edges = spark.createDataFrame(sorted(edge_set),
+                                      "_src: long, _dst: long")
+        got = {r2["node"]: r2["community"]
+               for r2 in modularity_communities(edges, nodes).collect()}
+        assert got == expected, (trial, got, expected)
