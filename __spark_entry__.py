@@ -1501,6 +1501,16 @@ def _q_mixture_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency ranking: per-doc mean log p(w2|w1) under the
+    corpus bigram model — the transition-typicality signal unigram
+    scoring can't give (shuffled/templated text keeps its unigram
+    score but collapses here)."""
+    from graphlite_spark.operators.text import lm_bigram_score
+
+    return lm_bigram_score(_table(spark, sf_dir, "documents"))
+
+
 def _q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality ranking: per-doc mean token log-prob under
     the corpus model (broadcast |V|-row model + one postings shuffle)
@@ -2726,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pack_documents_bpe": _q_pack_documents_bpe,
             "scrub_pii_text": _q_scrub_pii,
             "lm_quality_score": _q_lm_quality_score,
+            "lm_bigram_score": _q_lm_bigram_score,
             "repetition_score": _q_repetition,
             "ngram_contamination": _q_contamination,
             "probe_containment": _q_probe_containment,
@@ -4549,6 +4560,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rates r ON d.lang = r.lang
             WHERE ((d.doc_id + 11) * 2654435761) % 4294967296
                   < r.rate * 4294967296.0
+        """,
+        "lm_bigram_score": """
+            WITH lists AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   w -> length(w) > 0) AS ws
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                FROM lists, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 2
+            ), model AS (
+                SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2
+            ), lefts AS (
+                SELECT w1, sum(c) AS c1 FROM model GROUP BY 1
+            ), vocab AS (
+                SELECT count(DISTINCT w) AS v FROM (
+                    SELECT unnest(ws) AS w FROM lists
+                ) WHERE length(w) > 0
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(ln((c + 0.5) / (c1 + 0.5 * v))), 6)
+                       AS avg_logprob,
+                   round(exp(-avg(ln((c + 0.5) / (c1 + 0.5 * v)))), 6)
+                       AS perplexity
+            FROM pairs JOIN model USING (w1, w2)
+            JOIN lefts USING (w1) CROSS JOIN vocab
+            GROUP BY doc_id
         """,
         "lm_quality_score": """
             WITH toks AS (

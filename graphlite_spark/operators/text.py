@@ -536,6 +536,103 @@ def lm_quality_score(
     )
 
 
+def _bigram_pairs(df: DataFrame, text_col: str, keep=()):
+    """(w1, w2) rows per adjacent token pair — empties filtered before
+    pairing so 'a  b' still yields (a, b). Map-side."""
+    ws = F.filter(_tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    base = df.select(ws.alias("_ws"), *[F.col(c) for c in keep]) \
+        .filter(F.size("_ws") >= 2)
+    pair = F.explode(F.expr(
+        "zip_with(slice(_ws, 1, size(_ws) - 1), slice(_ws, 2, size(_ws) - 1),"
+        " (a, b) -> struct(a AS w1, b AS w2))"))
+    return base.select(pair.alias("_p"), *[F.col(c) for c in keep]) \
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"),
+                *[F.col(c) for c in keep])
+
+
+def lm_bigram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(w1, w2, logprob): corpus BIGRAM model with add-``smoothing``
+    (Lidstone) smoothing over the unigram vocabulary as the
+    continuation space:
+        p(w2 | w1) = (c(w1,w2) + s) / (c(w1·) + s·|V|)
+    where c(w1·) sums w1's observed bigram continuations and |V| is
+    the corpus unigram vocabulary. Only OBSERVED bigrams materialize
+    (|model| = distinct-bigram count, never |V|²). The order-2 sibling
+    of lm_unigram_model: contextual fluency instead of bag-of-words
+    typicality — shuffled or templated text keeps its unigram score
+    but collapses under the bigram model.
+
+    Shape at scale: one map-side-combined groupBy over exploded
+    bigram pairs, a w1-marginal aggregate and a 1x1 vocab frame —
+    model size is data-bounded, broadcastable for natural vocabularies
+    (fall back to a shuffle join in lm_bigram_score for pathological
+    vocabularies).
+    """
+    pairs = _bigram_pairs(df, text_col)
+    model = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
+    lefts = model.groupBy("w1").agg(F.sum("_c").alias("_c1"))
+    toks = df.select(F.explode(_tokens(F.col(text_col))).alias("_w")) \
+        .filter(F.length("_w") > 0)
+    vocab = toks.agg(F.count_distinct("_w").alias("_vocab"))
+    return (
+        model.join(lefts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.log(
+                (F.col("_c") + F.lit(smoothing))
+                / (F.col("_c1") + F.lit(smoothing) * F.col("_vocab"))
+            ).alias("logprob"),
+        )
+    )
+
+
+def lm_bigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Bigram language-model fluency score: per doc, the mean log
+    p(w2|w1) over its adjacent token pairs under the corpus bigram
+    model (lm_bigram_model), plus perplexity = exp(-mean). The
+    curation signal unigram scoring cannot give: token-shuffled /
+    template-stuffed text has normal unigram statistics but atypical
+    transitions. Docs with < 2 tokens produce no row (no bigram
+    evidence). Same deployment contract as lm_quality_score: pass a
+    ``model`` trained offline to score a different or STREAMING
+    corpus (stream-static broadcast join; unseen bigrams drop from
+    the average), or omit it for self-model scoring.
+
+    Returns (id, n_bigrams, avg_logprob, perplexity); fully
+    SQL-expressible for the oracle (the oracle recomputes the model).
+    """
+    pairs = _bigram_pairs(df, text_col, keep=(id_col,))
+    if model is None:
+        model = lm_bigram_model(df, text_col, smoothing)
+    scored = pairs.join(
+        F.broadcast(model), ["w1", "w2"]
+    ).select(F.col(id_col), F.col("logprob").alias("_lp"))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("_lp").alias("_alp"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round("_alp", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_alp")), 6).alias("perplexity"),
+        )
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     text_col: str = "text",

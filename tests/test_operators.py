@@ -1276,3 +1276,46 @@ def test_modularity_communities_brute_force_parity(spark):
         got = {r2["node"]: r2["community"]
                for r2 in modularity_communities(edges, nodes).collect()}
         assert got == expected, (trial, got, expected)
+
+
+def test_lm_bigram_score(spark):
+    import math
+
+    from graphlite_spark.operators.text import (
+        lm_bigram_model,
+        lm_bigram_score,
+        lm_quality_score,
+    )
+
+    # hand-computed: corpus of two docs
+    #   d1: "a b a b"  -> bigrams (a,b),(b,a),(a,b)
+    #   d2: "a b"      -> bigram  (a,b)
+    # c(a,b)=3, c(b,a)=1; c(a·)=3, c(b·)=1; |V|=3 (a, b, solo); s=0.5
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id: long, text: string")
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 3)
+    model = {(r.w1, r.w2): r.logprob for r in lm_bigram_model(docs).collect()}
+    assert model.keys() == {("a", "b"), ("b", "a")}
+    assert abs(model[("a", "b")] - math.log(p_ab)) < 1e-12
+    assert abs(model[("b", "a")] - math.log(p_ba)) < 1e-12
+
+    rows = {r.doc_id: r for r in lm_bigram_score(docs).collect()}
+    # doc 3 has one token -> no bigram evidence -> no row
+    assert set(rows) == {1, 2}
+    exp1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert abs(rows[1].avg_logprob - round(exp1, 6)) < 1e-9
+    assert rows[1].n_bigrams == 3 and rows[2].n_bigrams == 1
+    assert abs(rows[2].perplexity - round(math.exp(-math.log(p_ab)), 6)) < 1e-9
+
+    # the signal unigram scoring can't give: a token-shuffled doc keeps
+    # its unigram score but collapses under the bigram model
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat the rug cat the and on sat the"
+    corpus = [(i, fluent) for i in range(20)] + [(99, shuffled)]
+    df = spark.createDataFrame(corpus, "doc_id: long, text: string")
+    uni = {r.doc_id: r.avg_logprob for r in lm_quality_score(df).collect()}
+    bi = {r.doc_id: r.avg_logprob for r in lm_bigram_score(df).collect()}
+    assert abs(uni[99] - uni[0]) < 0.1          # same bag of words
+    assert bi[99] < bi[0] - 0.5                 # transitions collapse
