@@ -1706,6 +1706,46 @@ def _q_probe_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-average image resize (20x12 -> 8x5) over synthesized
+    gray-uniform PNGs: resized mean luminance keeps the per-asset
+    closed form (area-averaging a constant image is the constant),
+    which the DuckDB oracle computes directly. The emitted PNG frame
+    bytes are exercised by the round-trip pytest; here the comparable
+    columns are the dims + luminance."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA, resize_images, synth_png,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "content": [],
+                   "uri": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = (did * 37) % 256
+                img = np.full((12, 20, 3), v, dtype=np.uint8)
+                out["asset_id"].append(did)
+                out["modality"].append("image")
+                out["content"].append(synth_png(20, 12, img))
+                out["uri"].append(f"synth://png/{did}")
+                out["meta"].append((20, 12, None, "png"))
+            yield pd.DataFrame(out)
+
+    assets = docs.mapInPandas(gen, ASSET_SCHEMA)
+    return resize_images(assets, out_w=8, out_h=5).select(
+        "asset_id", "src_width", "src_height", "width", "height",
+        "mean_luma")
+
+
 def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
     """REAL in-engine image decode (BMP/PNG/baseline-JPEG, stdlib+numpy
     kernels in operators/multimodal.py). Assets are synthesized
@@ -2752,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sample_frames_mjpeg_avi": _q_sample_frames_mjpeg_avi,
             "sample_frames_rawvideo_avi": _q_sample_frames_rawvideo_avi,
             "image_features_png": _q_image_decode("png"),
+            "resize_images_png": _q_resize_images,
             "image_features_bmp": _q_image_decode("bmp"),
             "image_features_tiff": _q_image_decode("tiff"),
             "audio_features_wav": _q_audio_decode,
@@ -4934,6 +4975,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) g
             WHERE d.doc_id < 32
+        """,
+        "resize_images_png": """
+            SELECT doc_id AS asset_id,
+                   CAST(20 AS BIGINT) AS src_width,
+                   CAST(12 AS BIGINT) AS src_height,
+                   CAST(8 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6)
+                       AS mean_luma
+            FROM documents WHERE doc_id < 64
         """,
         "image_features_png": """
             SELECT doc_id AS asset_id,

@@ -240,9 +240,14 @@ def _luminance(px, ch: int):
 def _gray_embedding(gray, width: int, height: int, dim: int) -> list[float]:
     """dim-cell mean-luminance embedding in [0, 1]: the flattened
     row-major pixel sequence split into dim contiguous chunks.
-    Vectorized: one reduceat over the chunk boundaries."""
+    Vectorized: one reduceat over the chunk boundaries.
+
+    ``dim=None`` returns the FULL row-major luminance array instead
+    (resize_images needs the pixels, not the pooled embedding)."""
     import numpy as np
 
+    if dim is None:
+        return np.asarray(gray, dtype=np.float64).ravel()
     gray = np.asarray(gray, dtype=np.float64).ravel()
     n = width * height
     lo = (np.arange(dim, dtype=np.int64) * n) // dim
@@ -1592,6 +1597,131 @@ def image_features(
                 yield pd.DataFrame(out)
 
     return pruned.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("src_width", LongType(), True),
+        StructField("src_height", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("frame", BinaryType(), True),
+        StructField("mean_luma", DoubleType(), True),
+    ]
+)
+
+
+def _encode_png_gray(px8) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (colortype 0, filter 0 rows,
+    one zlib IDAT) — the emit side of resize_images; round-trips
+    exactly through _decode_image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px8 = np.asarray(px8, dtype=np.uint8)
+    h, w = px8.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    raw = b"".join(b"\x00" + px8[r].tobytes() for r in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _box_resize(g, out_h: int, out_w: int):
+    """Exact box-average (area) resample of a 2-D float array: output
+    cell (i, j) is the mean of input box [i·h/oh, (i+1)·h/oh) x
+    [j·w/ow, (j+1)·w/ow); upscaled axes degrade to nearest-pixel
+    (every box clamps to >= 1 input cell). Two cumsums — O(h·w),
+    deterministic float64 summation order."""
+    import numpy as np
+
+    g = np.asarray(g, dtype=np.float64)
+    h, w = g.shape
+
+    def bounds(n_in, n_out):
+        lo = (np.arange(n_out, dtype=np.int64) * n_in) // n_out
+        hi = np.maximum(
+            (np.arange(1, n_out + 1, dtype=np.int64) * n_in) // n_out,
+            lo + 1)
+        return lo, hi
+
+    lr, hr = bounds(h, out_h)
+    lc, hc = bounds(w, out_w)
+    cr = np.zeros((h + 1, w), dtype=np.float64)
+    np.cumsum(g, axis=0, out=cr[1:])
+    rows = (cr[hr] - cr[lr]) / (hr - lr)[:, None]
+    cc = np.zeros((out_h, w + 1), dtype=np.float64)
+    np.cumsum(rows, axis=1, out=cc[:, 1:])
+    return (cc[:, hc] - cc[:, lc]) / (hc - lc)[None, :]
+
+
+def resize_images(
+    assets: DataFrame,
+    out_w: int,
+    out_h: int,
+    on_error: str = "fail",
+) -> DataFrame:
+    """Resize image assets to (out_w, out_h) — the standardize-and-
+    thumbnail step of a multimodal training pipeline (driver brief's
+    decode / feature-extract / RESIZE / frame-sample set). Decodes via
+    the builtin stdlib+numpy decoders (BMP/PNG/JPEG/GIF/TIFF),
+    box-average (area) resamples the luminance plane — the exact,
+    deterministic kernel; upscaled axes degrade to nearest-pixel — and
+    emits each result as an 8-bit grayscale PNG (round-trips exactly
+    through _decode_image; pinned by pytest) plus the resized mean
+    luminance in [0, 1].
+
+    Arrow-batched mapInPandas over (asset_id, content) only —
+    per-asset work, zero shuffle, same ``on_error`` fail|null|skip
+    corpus-tolerance contract as image_features.
+    """
+    import numpy as np
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(
+            f"output dims must be positive, got {out_w}x{out_h}")
+    if on_error not in ("fail", "null", "skip"):
+        raise ValueError(f"on_error must be fail|null|skip, got {on_error!r}")
+    pruned = assets.select("asset_id", "content")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "src_width": [], "src_height": [],
+                   "width": [], "height": [], "frame": [], "mean_luma": []}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                try:
+                    w, h, gray = _decode_image(bytes(content or b""),
+                                               dim=None)
+                    resized = _box_resize(gray.reshape(h, w), out_h, out_w)
+                    px8 = np.clip(np.rint(resized * 255.0), 0, 255) \
+                        .astype(np.uint8)
+                    frame = _encode_png_gray(px8)
+                    vals = (int(w), int(h), int(out_w), int(out_h), frame,
+                            round(float(resized.mean()), 6))
+                except DECODE_ERRORS:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    vals = (None, None, None, None, None, None)
+                out["asset_id"].append(aid)
+                for key, v in zip(("src_width", "src_height", "width",
+                                   "height", "frame", "mean_luma"), vals):
+                    out[key].append(v)
+            if out["asset_id"]:
+                yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(run, RESIZE_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = StructType(

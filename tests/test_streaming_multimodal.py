@@ -1925,3 +1925,57 @@ def test_streaming_minhash_dedup_matches_batch_cluster_path(spark):
     # every cluster's first arrival survives; dedup actually bit
     assert {0, 10, 20, 30, 40, 50} <= set(kept_stream)
     assert len(kept_stream) < len(rows)
+
+
+def test_resize_images(spark):
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        _decode_image,
+        resize_images,
+        synth_png,
+    )
+
+    # 4x4 gray gradient (values 0..240 step 16) -> 2x2 box means
+    vals = (np.arange(16, dtype=np.uint8) * 16).reshape(4, 4)
+    img = np.stack([vals] * 3, axis=2)
+    grad_png = synth_png(4, 4, img)
+    uni_png = synth_png(6, 6, np.full((6, 6, 3), 100, np.uint8))
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(grad_png), "synth://g", (4, 4, None, "png")),
+         (2, "image", bytearray(uni_png), "synth://u", (6, 6, None, "png")),
+         (3, "image", bytearray(b"not an image"), "synth://bad",
+          (0, 0, None, "raw"))],
+        ASSET_SCHEMA)
+
+    rows = {r.asset_id: r for r in
+            resize_images(assets.filter("asset_id < 3"), 2, 2).collect()}
+    g = rows[1]
+    assert (g.src_width, g.src_height, g.width, g.height) == (4, 4, 2, 2)
+    # box means of the gradient quadrants: (0+16+64+80)/4 etc., /255
+    exp = np.array([[40.0, 72.0], [168.0, 200.0]]) / 255.0
+    w, h, gray = _decode_image(bytes(g.frame), dim=None)
+    assert (w, h) == (2, 2)
+    assert np.allclose(gray.reshape(2, 2),
+                       np.rint(exp * 255.0) / 255.0, atol=1e-9)
+    assert abs(g.mean_luma - round(float(exp.mean()), 6)) < 1e-9
+    assert abs(rows[2].mean_luma - round(100 / 255.0, 6)) < 2e-6
+
+    # upscale: nearest-pixel; emitted PNG round-trips
+    up = resize_images(assets.filter("asset_id = 2"), 12, 12).collect()[0]
+    w, h, gray = _decode_image(bytes(up.frame), dim=None)
+    assert (w, h) == (12, 12) and np.allclose(gray, 100 / 255.0, atol=1e-9)
+
+    # corpus-tolerance contract
+    with pytest.raises(Exception):
+        resize_images(assets, 2, 2).collect()
+    nulls = {r.asset_id: r.width for r in
+             resize_images(assets, 2, 2, on_error="null").collect()}
+    assert nulls[3] is None and nulls[1] == 2
+    skipped = sorted(r.asset_id for r in
+                     resize_images(assets, 2, 2, on_error="skip").collect())
+    assert skipped == [1, 2]
+    with pytest.raises(ValueError, match="dims"):
+        resize_images(assets, 0, 2)
