@@ -1090,9 +1090,25 @@ def _q_ann_rescore_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _table(spark, sf_dir, "embeddings")
+    # cache key = fingerprint of the SOURCE FILES (path, size, mtime),
+    # not just the sf-dir basename: /tmp persists across runs, and a
+    # regenerated corpus under the same name must not silently reuse
+    # codes built from the old one (r7 review fix)
+    import hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    for root, _dirs, files in os.walk(src):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    if os.path.isfile(src):
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
     idx = os.path.join(
         "/tmp/graphlite_ann_index",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{fp}",
     )
     if not os.path.exists(os.path.join(idx, "meta")):
         build_rescore_index(emb, idx, bits=8)

@@ -1699,21 +1699,27 @@ def resize_images(
             out = {"asset_id": [], "src_width": [], "src_height": [],
                    "width": [], "height": [], "frame": [], "mean_luma": []}
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                # only the DECODE sits inside the policy guard: a
+                # failure in the resize/encode kernels is an engine
+                # bug, and under on_error='null'/'skip' it must fail
+                # the job, not masquerade as a corrupt asset
+                # (module policy, see DECODE_ERRORS note above)
                 try:
                     w, h, gray = _decode_image(bytes(content or b""),
                                                dim=None)
-                    resized = _box_resize(gray.reshape(h, w), out_h, out_w)
-                    px8 = np.clip(np.rint(resized * 255.0), 0, 255) \
-                        .astype(np.uint8)
-                    frame = _encode_png_gray(px8)
-                    vals = (int(w), int(h), int(out_w), int(out_h), frame,
-                            round(float(resized.mean()), 6))
                 except DECODE_ERRORS:
                     if on_error == "fail":
                         raise
                     if on_error == "skip":
                         continue
                     vals = (None, None, None, None, None, None)
+                else:
+                    resized = _box_resize(gray.reshape(h, w), out_h, out_w)
+                    px8 = np.clip(np.rint(resized * 255.0), 0, 255) \
+                        .astype(np.uint8)
+                    frame = _encode_png_gray(px8)
+                    vals = (int(w), int(h), int(out_w), int(out_h), frame,
+                            round(float(resized.mean()), 6))
                 out["asset_id"].append(aid)
                 for key, v in zip(("src_width", "src_height", "width",
                                    "height", "frame", "mean_luma"), vals):

@@ -794,11 +794,16 @@ def triangle_count_approx(
         edges.select(
             F.least(a, b).alias("_lo"), F.greatest(a, b).alias("_hi"))
         .filter(F.col("_lo") != F.col("_hi"))
-        .distinct()
     )
     # chain two Knuth buckets so BOTH endpoints drive the decision:
     # key2 = (bucket(lo) + hi) mod 2^32 stays ANSI-overflow-safe
-    # (bucket < 2^32, hi reduced mod 2^32 inside _bucket's own pmod)
+    # (bucket < 2^32, hi reduced mod 2^32 inside _bucket's own pmod).
+    # The filter runs BEFORE any dedup (the bucket is a pure function
+    # of (lo, hi), so it commutes with distinct): the heaviest shuffle
+    # — _oriented_triangle_triples' canonical distinct — then runs on
+    # the 1/p-sparser stream instead of the full edge multiset
+    # (r7 review fix: a pre-filter distinct here was redundant full-
+    # size work the sampler exists to avoid).
     key2 = F.pmod(
         _bucket(F.col("_lo"), salt)
         + F.pmod(F.col("_hi").cast("long"), F.lit(_M32)),
@@ -879,17 +884,32 @@ def label_propagation(
             # plain semi-join here would shuffle the full edge table
             # by _b each round — O(E) exchange work that erases the
             # delta win (measured: the shuffle variant was SLOWER
-            # than full recompute even at delta ~ 0)
+            # than full recompute even at delta ~ 0). The changed SET
+            # is capped, but its NEIGHBORHOOD is not — one celebrity
+            # in the delta inflates cand/needed to its follower count
+            # — so each broadcast frame is size-CHECKED first and the
+            # round falls back to the full vote when the neighborhood
+            # outgrows broadcastability (r7 review fix).
             cand = (
                 und.join(F.broadcast(
                     changed.select(F.col("node").alias("_b"))),
                     "_b", "left_semi")
                 .select("_a").distinct()
+                .localCheckpoint(eager=True)
             )
-            cand_edges = und.join(F.broadcast(cand), "_a", "left_semi")
-            needed = cand_edges.select(F.col("_b").alias("node")).distinct()
-            vote_labels = labels.join(F.broadcast(needed), "node",
-                                      "left_semi")
+            if cand.count() > 2_000_000:
+                cand_edges = und
+                vote_labels = labels
+            else:
+                cand_edges = und.join(F.broadcast(cand), "_a", "left_semi")
+                needed = cand_edges.select(F.col("_b").alias("node")) \
+                    .distinct().localCheckpoint(eager=True)
+                if needed.count() > 2_000_000:
+                    cand_edges = und
+                    vote_labels = labels
+                else:
+                    vote_labels = labels.join(F.broadcast(needed), "node",
+                                              "left_semi")
         votes = (
             cand_edges.join(vote_labels,
                             cand_edges["_b"] == vote_labels["node"],
@@ -1100,6 +1120,7 @@ def strongly_connected_components(
     nodes: DataFrame,
     max_rounds: int = 20,
     max_color_iter: int = 30,
+    confirm_dedup_every: int = 4,
 ) -> DataFrame:
     """(node, scc): DIRECTED strongly connected components — the
     directed sibling connected_components (undirected hash-min)
@@ -1126,6 +1147,20 @@ def strongly_connected_components(
     chain link beyond what TRIM removes, so rounds are BOUNDED by
     ``max_rounds`` and the operator raises if structure remains —
     the caller chooses a bigger bound, like kcore/bfs bounds.
+
+    When COLOR exhausts ``max_color_iter`` while TRIM is still
+    peeling, the round falls back to MORE TRIMMING instead of raising
+    (r7 review fix): a deep DAG chain whose ids DESCEND along edges
+    is color-deep (the max-id head floods the whole chain) but
+    trim-shallow, and r6's trim-to-fixpoint handled it; the raise is
+    reserved for structure that neither trim nor the color bound can
+    resolve (true long cycles — same contract as r6).
+
+    ``confirm_dedup_every``: dedup cadence of CONFIRM's backward
+    frontier (mirrors bfs_distances' dedup_every): each dedup is a
+    full shuffle stage, so sparse graphs want the default 4; a DENSE
+    SCC (high in-degree community) multiplies frontier duplicates by
+    ~in-degree per un-deduped hop — pass 1 there.
     """
     id_col = nodes.columns[0]
     remaining = nodes.select(F.col(id_col).alias("node")).distinct() \
@@ -1169,10 +1204,11 @@ def strongly_connected_components(
                 e = e.localCheckpoint(eager=False)
         trimmed = rem_before.join(remaining.select("node"), "node",
                                   "left_anti")
-        if not trimmed.isEmpty():
+        trim_productive = not trimmed.isEmpty()
+        if trim_productive:
             out_parts.append(trimmed.select(
                 "node", F.col("node").alias("scc")))
-            tbatch = min(tbatch * 2, 64)
+            tbatch = min(tbatch * 2, 512)
         if remaining.isEmpty():
             break
         # --- COLOR: forward max propagation to fixpoint, HOP-BATCHED
@@ -1233,6 +1269,12 @@ def strongly_connected_components(
             if not converged:
                 cbatch = min(cbatch * 2, 64)
         if not converged:
+            if trim_productive:
+                # the region is color-deep but trim is still peeling
+                # (descending-id DAG chains): spend the round on more
+                # trimming instead of failing — tbatch keeps growing,
+                # so chain disposal accelerates geometrically
+                continue
             raise RuntimeError(
                 f"strongly_connected_components: coloring did not "
                 f"converge within max_color_iter={max_color_iter} "
@@ -1269,7 +1311,7 @@ def strongly_connected_components(
                     .filter(F.col("color") == F.col("_fc"))
                     .select("node", F.col("_fc").alias("color"))
                 )
-                if (i + 1) % _CHECKPOINT_EVERY == 0:
+                if (i + 1) % confirm_dedup_every == 0:
                     preds = preds.dropDuplicates(["node", "color"]) \
                                  .localCheckpoint(eager=False)
                 parts.append(

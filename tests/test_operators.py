@@ -1319,3 +1319,22 @@ def test_lm_bigram_score(spark):
     bi = {r.doc_id: r.avg_logprob for r in lm_bigram_score(df).collect()}
     assert abs(uni[99] - uni[0]) < 0.1          # same bag of words
     assert bi[99] < bi[0] - 0.5                 # transitions collapse
+
+
+def test_scc_descending_id_chain_trims_across_rounds(spark):
+    # r7 review regression guard: a DAG chain whose ids DESCEND along
+    # edges is color-deep (the max-id head floods the whole chain, so
+    # COLOR alone would exhaust max_color_iter) but trim-shallow; when
+    # coloring hits its bound while trim is still peeling, the round
+    # must fall back to more trimming instead of raising
+    from graphlite_spark.operators.paths import (
+        strongly_connected_components)
+
+    n = 40
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(1, n)], "_src: long, _dst: long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)],
+                                  "id: long")
+    out = strongly_connected_components(edges, nodes)  # defaults
+    assert sorted((r["node"], r["scc"]) for r in out.collect()) == [
+        (i, i) for i in range(1, n + 1)]

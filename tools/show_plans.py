@@ -178,6 +178,42 @@ SHOWCASE = [
         "measured 50.6s -> 1.6s at 200k x 64). Map-side only, no "
         "exchange before the audit aggregate.",
     ),
+    (
+        "streaming_minhash_dedup_batch",
+        "Streaming near-dup dedup, batch twin (round 7): the MinHash "
+        "signature is computed PER ROW (hoisted _ha/_hb hash-array "
+        "projections + 64 array_min(zip_with) terms referencing them "
+        "— no per-term re-hash) so band buckets exist before any "
+        "exchange; the only shuffles are the (doc, band, bucket) "
+        "triples into the bucket-winner aggregate and the per-doc "
+        "bool_and. In streaming mode the identical map-side frame "
+        "feeds applyInPandasWithState.",
+    ),
+    (
+        "copurchase_triangles_approx",
+        "DOULION sampled triangles (round 7): the deterministic Knuth "
+        "double-bucket edge filter is a map-side predicate applied "
+        "BEFORE the degree computation and both wedge joins, so the "
+        "entire closure runs on the 1/p-sparser graph (~1/p^2 less "
+        "join work); estimate = one final projection. No RNG state, "
+        "repartition-insensitive.",
+    ),
+    (
+        "ann_rescore_persisted",
+        "Persisted-index ANN (round 7): stage 1 scans the stored "
+        "int8 codes parquet — the plan contains NO quantization "
+        "expressions and never reads the corpus's fp vectors until "
+        "the C-candidate rescore join; the meta sidecar supplies "
+        "n_items so there is no sizing pass either.",
+    ),
+    (
+        "lm_bigram_score",
+        "Bigram LM fluency (round 7): adjacent-pair extraction is a "
+        "zip_with over the token split inside the scan's Generate; "
+        "the observed-bigram model aggregates map-side-combined and "
+        "ships back BROADCAST, so the corpus shuffles only once for "
+        "the per-doc average.",
+    ),
 ]
 
 
