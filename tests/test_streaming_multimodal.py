@@ -1979,3 +1979,26 @@ def test_resize_images(spark):
     assert skipped == [1, 2]
     with pytest.raises(ValueError, match="dims"):
         resize_images(assets, 0, 2)
+
+
+def test_minhash_buckets_mapside_grouped_bit_identical(spark):
+    # the streaming (map-side) and batch (groupBy-signature) bucket
+    # constructions must produce EXACTLY the same (doc, band, bucket)
+    # rows — this is what makes stream==batch possible at all
+    from graphlite_spark.streaming.stateful import (
+        minhash_band_buckets_grouped,
+        minhash_band_buckets_mapside,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200)
+    docs = docs.unionByName(
+        spark.createDataFrame([(90001, "zz"), (90002, "")],
+                              "doc_id long, text string")
+        .withColumns({c: __import__("pyspark.sql.functions",
+                                    fromlist=["lit"]).lit(None)
+                      for c in docs.columns if c not in ("doc_id", "text")})
+        .select(docs.columns))
+    a = sorted(map(tuple, minhash_band_buckets_mapside(docs).collect()))
+    b = sorted(map(tuple, minhash_band_buckets_grouped(docs).collect()))
+    assert a == b and len(a) > 0
