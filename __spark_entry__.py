@@ -1317,6 +1317,55 @@ def _q_modularity_nation_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("community").cast("long").alias("community"))
 
 
+def _q_louvain_two_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL multi-level Louvain over a planted TWO-SCALE structure the
+    one-level local-moving phase cannot resolve: suppliers are laid out
+    as groups of 12 = three 4-cliques per group, 4 bridges per clique
+    pair inside a group (offset i -> i+1 so level 1 keeps the cliques
+    separate), and ONE weak bridge between adjacent groups. Level 1
+    converges to the individual 4-cliques; the aggregation level
+    folds each group's three cliques into one
+    community (merge gain ~ +3.2 at sf0.01's 2m) while the single
+    inter-group bridges stay unmerged at every level (gain < 0).
+    Closed form: community = min member id = 12 * (s_suppkey / 12).
+    Partial trailing groups are excluded (cap = 12 * floor(n/12)) so
+    the closed form holds at every scale factor."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import louvain_communities
+
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg((12 * (F.count(F.lit(1)) / 12).cast("long"))
+                  .alias("_cap"))
+    base = (
+        sup.crossJoin(F.broadcast(cap))
+        .filter(F.col("k") < F.col("_cap"))
+        .select(
+            "k",
+            (F.col("k") / 12).cast("long").alias("g"),
+            ((F.col("k") % 12) / 4).cast("long").alias("c"),
+            (F.col("k") % 4).alias("i"),
+        )
+    )
+    a, b = base.alias("a"), base.alias("b")
+    intra = a.join(b, F.expr(
+        "a.g = b.g AND a.c = b.c AND a.i < b.i"))
+    bridges = a.join(b, F.expr(
+        "a.g = b.g AND a.c < b.c AND b.i = (a.i + 1) % 4"))
+    inter = a.join(b, F.expr(
+        "a.g + 1 = b.g AND a.c = 0 AND a.i = 0 AND b.c = 0 AND b.i = 0"))
+    def ends(df):
+        return df.select(F.col("a.k").alias("_src"),
+                         F.col("b.k").alias("_dst"))
+
+    edges = ends(intra).unionByName(ends(bridges)).unionByName(ends(inter))
+    nodes = base.select(F.col("k").alias("id"))
+    out = louvain_communities(edges, nodes, max_levels=4, max_rounds=30)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("community").cast("long").alias("community"))
+
+
 def _q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest-path topological layering over the acyclic FOLLOWS
     chains: each user's events are a simple chain, so layer = position
@@ -2749,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "connected_components": _q_connected_components,
             "scc_nation_rings": _q_scc_rings,
             "modularity_nation_cliques": _q_modularity_nation_cliques,
+            "louvain_two_scale": _q_louvain_two_scale,
             "dag_layers_follows": _q_dag_layers,
             "cosine_dup_pairs": _q_cosine_dup,
             "cosine_dup_lsh_audit": _q_cosine_dup_lsh,
@@ -5124,6 +5174,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey)
                         AS BIGINT) AS community
             FROM nation
+        """,
+        "louvain_two_scale": """
+            -- planted two-scale structure: full Louvain folds each
+            -- group's three bridged 4-cliques into one community and
+            -- keeps the weakly-bridged groups apart, so community =
+            -- min member id = 12 * (k / 12) (closed form); partial
+            -- trailing groups excluded
+            SELECT CAST(s_suppkey AS BIGINT) AS node,
+                   CAST((s_suppkey // 12) * 12 AS BIGINT) AS community
+            FROM supplier
+            WHERE s_suppkey < 12 * ((SELECT count(*) FROM supplier) // 12)
         """,
         "scc_nation_rings": """
             -- each region's directed ring is one SCC (scc = max

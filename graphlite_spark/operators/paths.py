@@ -22,6 +22,38 @@ from ..graph import DST, SRC, PropertyGraph
 _CHECKPOINT_EVERY = 4
 
 
+def _ck_cut_stats(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that also RESETS Catalyst's size stats.
+
+    ``localCheckpoint`` truncates lineage but PRESERVES the optimized
+    plan's statistics on the new ``LogicalRDD`` leaf (``originStats``).
+    The default (non-CBO) stats visitor estimates every non-semi join
+    as the PRODUCT of its children's sizeInBytes, so an iterative
+    round whose plan references the previous round's frame through k
+    multiplicative joins inflates the estimate to ``prev^k`` — the
+    BigInt's digit count multiplies by k per round, and after a few
+    dozen rounds the driver spends its entire time in million-digit
+    BigInteger multiplication inside stats visits (measured: louvain
+    level-2 rounds 1.0s -> 1.9 -> 7.2 -> 28.1s with constant plan
+    size, jobs, and data; thread dump pinned in BigInteger.multiply).
+    Re-wrapping the checkpointed RDD in a fresh LogicalRDD WITHOUT
+    originStats resets the leaf to the scalar default, keeping stats
+    arithmetic O(1) per round. AQE still picks broadcast/skew
+    strategies from runtime shuffle sizes, so plan quality at scale is
+    unaffected. Falls back to the plain checkpoint on non-classic
+    sessions where the internal constructor is unavailable.
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        spark = ck.sparkSession
+        jdf = ck._jdf
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(new_jdf, spark)
+    except Exception:  # pragma: no cover - non-classic sessions
+        return ck
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,
@@ -1007,38 +1039,73 @@ def modularity_communities(
         edges.select(lo.alias("_lo"), hi.alias("_hi"))
         .filter(F.col("_lo") != F.col("_hi"))
         .distinct()
+        .select("_lo", "_hi", F.lit(1.0).alias("w"))
         .localCheckpoint(eager=False)
     )
-    und = canon.select(F.col("_lo").alias("_a"), F.col("_hi").alias("_b")) \
+    node_ids = nodes.select(
+        F.col(id_col).cast("long").alias("node")).distinct()
+    m = canon.agg(F.sum("w")).collect()[0][0]
+    if m is None:
+        return node_ids.select("node", F.col("node").alias("community"))
+    selfw = node_ids.select("node", F.lit(0.0).alias("sw")).limit(0)
+    comm, _moved = _modularity_local_moves(
+        canon, selfw, node_ids, float(2 * m), max_rounds,
+        "modularity_communities")
+    canonical = comm.groupBy("c").agg(F.min("node").alias("community"))
+    return comm.join(canonical, "c").select("node", "community")
+
+
+def _modularity_local_moves(
+    canon: DataFrame,
+    selfw: DataFrame,
+    node_ids: DataFrame,
+    two_m: float,
+    max_rounds: int,
+    opname: str,
+):
+    """The WEIGHTED local-moving core shared by modularity_communities
+    (level 1, w=1, no self-loops) and louvain_communities (aggregated
+    levels: inter-community weights + intra-community self-loops).
+    canon: (_lo, _hi, w) canonical undirected edges (no self rows);
+    selfw: (node, sw) self-loop weights; k_i = sum_j w_ij + 2*sw_i.
+    Returns (comm (node, c), any_moved). Raises on oscillation past
+    ``max_rounds`` (see modularity_communities docstring).
+    """
+    und = canon.select(F.col("_lo").alias("_a"), F.col("_hi").alias("_b"),
+                       "w") \
         .unionByName(
-            canon.select(F.col("_hi").alias("_a"), F.col("_lo").alias("_b"))
+            canon.select(F.col("_hi").alias("_a"),
+                         F.col("_lo").alias("_b"), "w")
         ).localCheckpoint(eager=False)
-    m = canon.count()
-    deg = und.groupBy(F.col("_a").alias("node")) \
-        .agg(F.count(F.lit(1)).alias("k"))
-    comm = nodes.select(
-        F.col(id_col).alias("node"),
-        F.col(id_col).cast("long").alias("c"),
-    ).localCheckpoint(eager=False)
-    if m == 0:
-        return comm.select("node", F.col("c").alias("community"))
-    two_m = float(2 * m)
+    deg = (
+        und.groupBy(F.col("_a").alias("node"))
+        .agg(F.sum("w").alias("_kw"))
+        .join(selfw, "node", "outer")
+        .select(
+            "node",
+            (F.coalesce("_kw", F.lit(0.0))
+             + 2.0 * F.coalesce("sw", F.lit(0.0))).alias("k"),
+        )
+    )
+    comm = node_ids.select("node", F.col("node").alias("c")) \
+        .localCheckpoint(eager=False)
+    any_moved = False
     for _round in range(max_rounds):
         tot = (
             comm.join(deg, "node", "left")
             .groupBy("c")
-            .agg(F.sum(F.coalesce("k", F.lit(0))).alias("tot"))
+            .agg(F.sum(F.coalesce("k", F.lit(0.0))).alias("tot"))
         )
-        # edges from i into each neighboring community, under the
+        # weight from i into each neighboring community, under the
         # PREVIOUS round's assignment (synchronous)
         e_ic = (
             und.join(comm.select(F.col("node").alias("_b"),
                                  F.col("c").alias("_cb")), "_b")
             .groupBy(F.col("_a").alias("node"), F.col("_cb").alias("cand"))
-            .agg(F.count(F.lit(1)).alias("e"))
+            .agg(F.sum("w").alias("e"))
         )
         stay = comm.select("node", F.col("c").alias("cand"),
-                           F.lit(0).alias("e"))
+                           F.lit(0.0).alias("e"))
         cands = (
             e_ic.unionByName(stay)
             .groupBy("node", "cand")
@@ -1052,12 +1119,12 @@ def modularity_communities(
             .select(
                 "node", "cand", "_cur",
                 (
-                    F.col("e").cast("double")
-                    - F.coalesce("k", F.lit(0)).cast("double")
+                    F.col("e")
+                    - F.coalesce("k", F.lit(0.0))
                     * (F.col("tot")
                        - F.when(F.col("cand") == F.col("_cur"),
-                                F.coalesce("k", F.lit(0)))
-                       .otherwise(F.lit(0))).cast("double")
+                                F.coalesce("k", F.lit(0.0)))
+                       .otherwise(F.lit(0.0)))
                     / F.lit(two_m)
                 ).alias("val"),
             )
@@ -1080,15 +1147,14 @@ def modularity_communities(
                 ).alias("_new")
             )
         )
-        movers = (
+        movers = _ck_cut_stats(
             comm.join(best, "node")
             .filter(F.col("_new") != F.col("c"))
             .select("node", "_new")
-            .localCheckpoint(eager=True)
         )
         if movers.isEmpty():
-            canonical = comm.groupBy("c").agg(F.min("node").alias("community"))
-            return comm.join(canonical, "c").select("node", "community")
+            return comm, any_moved
+        any_moved = True
         # Luby restriction: apply only movers smaller than every
         # neighboring mover (see docstring)
         nbr_min = (
@@ -1104,15 +1170,113 @@ def modularity_communities(
             .filter(F.col("_nm").isNull() | (F.col("node") < F.col("_nm")))
             .select("node", "_new")
         )
-        comm = (
+        comm = _ck_cut_stats(
             comm.join(applied, "node", "left")
             .select("node", F.coalesce("_new", "c").alias("c"))
-            .localCheckpoint(eager=True)
         )
     raise RuntimeError(
-        f"modularity_communities: no stable partition within "
+        f"{opname}: no stable partition within "
         f"max_rounds={max_rounds} (synchronous moves are oscillating); "
         f"raise the bound")
+
+
+def louvain_communities(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_levels: int = 3,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node, community): FULL multi-level Louvain — repeat [weighted
+    local moves -> aggregate communities into supernodes] until a
+    level makes no move or ``max_levels`` is reached. Level 1 equals
+    modularity_communities; aggregation sums inter-community edge
+    weights and folds intra-community weight into supernode SELF-LOOPS
+    (which feed k_i = sum_j w_ij + 2*sw_i — the standard weighted-
+    modularity bookkeeping), so later levels merge whole communities
+    where the gain criterion supports it. Two-scale structure
+    (cliques-of-cliques) resolves to the COARSE partition, which one
+    level cannot see. Labels are the minimum ORIGINAL member id.
+
+    Aggregation is two groupBys on community ids (graph shrinks
+    per level); determinism, the Luby mover restriction and the
+    bounded-rounds RAISE are inherited from the shared core.
+    """
+    if max_levels < 1:
+        raise ValueError(f"max_levels must be >= 1, got {max_levels}")
+    id_col = nodes.columns[0]
+    lo = F.least(F.col(SRC), F.col(DST))
+    hi = F.greatest(F.col(SRC), F.col(DST))
+    canon = (
+        edges.select(lo.alias("_lo"), hi.alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+        .select("_lo", "_hi", F.lit(1.0).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    orig = nodes.select(F.col(id_col).cast("long").alias("node")).distinct()
+    mapping = orig.select("node", F.col("node").alias("cur")) \
+        .localCheckpoint(eager=False)
+    selfw = orig.select("node", F.lit(0.0).alias("sw")).limit(0)
+    totals = canon.agg(F.sum("w")).collect()[0][0]
+    if totals is None:
+        return orig.select("node", F.col("node").alias("community"))
+    node_ids = orig
+    for _level in range(max_levels):
+        sw_sum = selfw.agg(F.sum("sw")).collect()[0][0] or 0.0
+        w_sum = canon.agg(F.sum("w")).collect()[0][0] or 0.0
+        two_m = float(2 * (w_sum + sw_sum))
+        comm, moved = _modularity_local_moves(
+            canon, selfw, node_ids, two_m, max_rounds,
+            "louvain_communities")
+        if not moved:
+            break
+        mapping = _ck_cut_stats(
+            mapping.join(comm.select(F.col("node").alias("cur"),
+                                     F.col("c").alias("_nc")), "cur")
+            .select("node", F.col("_nc").alias("cur"))
+        )
+        # aggregate: intra-community weight -> self-loops, inter ->
+        # canonical supernode edges
+        lab = comm.select(F.col("node").alias("_n"), F.col("c").alias("_c"))
+        tagged = (
+            canon.join(lab.select(F.col("_n").alias("_lo"),
+                                  F.col("_c").alias("_c1")), "_lo")
+            .join(lab.select(F.col("_n").alias("_hi"),
+                             F.col("_c").alias("_c2")), "_hi")
+        )
+        intra = (
+            tagged.filter(F.col("_c1") == F.col("_c2"))
+            .groupBy(F.col("_c1").alias("node"))
+            .agg(F.sum("w").alias("sw"))
+        )
+        # EAGER stats-cutting level-boundary checkpoints: these frames
+        # seed every plan of the next level; lazy checkpoints embed the
+        # whole multi-level lineage into each plan build, and plain
+        # eager ones carry the compounded sizeInBytes estimate across
+        # levels (see _ck_cut_stats)
+        selfw = _ck_cut_stats(
+            selfw.join(lab.select(F.col("_n").alias("node"),
+                                  F.col("_c").alias("_c")), "node")
+            .groupBy(F.col("_c").alias("node"))
+            .agg(F.sum("sw").alias("sw"))
+            .unionByName(intra)
+            .groupBy("node")
+            .agg(F.sum("sw").alias("sw"))
+        )
+        canon = _ck_cut_stats(
+            tagged.filter(F.col("_c1") != F.col("_c2"))
+            .select(
+                F.least("_c1", "_c2").alias("_lo"),
+                F.greatest("_c1", "_c2").alias("_hi"),
+                "w",
+            )
+            .groupBy("_lo", "_hi")
+            .agg(F.sum("w").alias("w"))
+        )
+        node_ids = _ck_cut_stats(
+            comm.select(F.col("c").alias("node")).distinct())
+    canonical = mapping.groupBy("cur").agg(F.min("node").alias("community"))
+    return mapping.join(canonical, "cur").select("node", "community")
 
 
 def strongly_connected_components(

@@ -1278,6 +1278,70 @@ def test_modularity_communities_brute_force_parity(spark):
         assert got == expected, (trial, got, expected)
 
 
+def test_louvain_communities_two_scale(spark):
+    # two groups x 3 triangles x 3 nodes; 3 bridges per triangle pair
+    # inside a group (one per node, offset so level 1 keeps triangles
+    # separate), one weak inter-group edge. modularity_communities
+    # (one level) must find the 6 triangles; full Louvain must fold
+    # them into the 2 groups (the coarse scale one level cannot see).
+    import pytest
+
+    from graphlite_spark.operators.paths import (
+        louvain_communities,
+        modularity_communities,
+    )
+
+    def nid(g, c, i):
+        return g * 100 + c * 10 + i
+
+    edge_list = []
+    for g in range(2):
+        for c in range(3):
+            ids = [nid(g, c, i) for i in range(3)]
+            edge_list += [(ids[0], ids[1]), (ids[1], ids[2]),
+                          (ids[0], ids[2])]
+        for c1 in range(3):
+            for c2 in range(c1 + 1, 3):
+                for i in range(3):
+                    edge_list.append((nid(g, c1, i), nid(g, c2,
+                                                         (i + 1) % 3)))
+    edge_list.append((nid(0, 0, 0), nid(1, 0, 0)))
+    node_ids = sorted({x for e in edge_list for x in e})
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id: long")
+    edges = spark.createDataFrame(edge_list, "_src: long, _dst: long")
+
+    fine = {r["node"]: r["community"]
+            for r in modularity_communities(edges, nodes,
+                                            max_rounds=30).collect()}
+    assert len(set(fine.values())) == 6
+    for g in range(2):
+        for c in range(3):
+            assert {fine[nid(g, c, i)] for i in range(3)} == {nid(g, c, 0)}
+
+    coarse = {r["node"]: r["community"]
+              for r in louvain_communities(edges, nodes, max_levels=4,
+                                           max_rounds=30).collect()}
+    assert len(set(coarse.values())) == 2
+    for g in range(2):
+        members = {n for n in node_ids if n // 100 == g}
+        assert {coarse[n] for n in members} == {nid(g, 0, 0)}
+
+    # one level of louvain == modularity_communities exactly
+    one = sorted((r["node"], r["community"])
+                 for r in louvain_communities(edges, nodes, max_levels=1,
+                                              max_rounds=30).collect())
+    assert one == sorted(fine.items())
+
+    # empty edge set: singletons; validation
+    empty = spark.createDataFrame([], "_src: long, _dst: long")
+    two = spark.createDataFrame([(7,), (8,)], "id: long")
+    assert sorted((r["node"], r["community"])
+                  for r in louvain_communities(empty, two).collect()) \
+        == [(7, 7), (8, 8)]
+    with pytest.raises(ValueError, match="max_levels"):
+        louvain_communities(edges, nodes, max_levels=0)
+
+
 def test_lm_bigram_score(spark):
     import math
 
