@@ -141,7 +141,7 @@ def bfs_distances(
         # the whole iterative lineage (ONE job yields the emptiness
         # probe, the adaptive-growth signal AND the mid-batch-death
         # signal)
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = _ck_cut_stats(nxt)
         stats = nxt.agg(
             F.count("*").alias("n"), F.max("dist").alias("md")
         ).collect()[0]
@@ -275,7 +275,7 @@ def _bfs_sigma(
             .join(visited.select("root", "node"), ["root", "node"],
                   "left_anti")
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = _ck_cut_stats(nxt)
         stats = nxt.agg(
             F.count("*").alias("n"), F.max("dist").alias("md")
         ).collect()[0]
@@ -463,20 +463,18 @@ def weighted_sssp(
         allimp = rounds[0]
         for r in rounds[1:]:
             allimp = allimp.unionByName(r)
-        improved = (
+        improved = _ck_cut_stats(
             allimp.groupBy("node").agg(F.min("dist").alias("dist"))
             .join(dist.withColumnRenamed("dist", "_old"), "node", "left_outer")
             .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
             .select("node", "dist")
-            .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
             break
-        dist = (
+        dist = _ck_cut_stats(
             dist.unionByName(improved)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
         frontier = improved
     return dist
@@ -567,7 +565,11 @@ def connected_components(
         )
         # checkpoint every round: the convergence probe below would
         # otherwise re-execute the whole iterative lineage each time
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # (_ck_cut_stats: the round references labels through THREE
+        # multiplicative joins, so the preserved originStats estimate
+        # compounds as prev^3 per round — 529k-digit BigInts measured
+        # after ~15 pointer-jumping rounds on a 30k chain)
+        new_labels = _ck_cut_stats(new_labels)
         converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -681,10 +683,9 @@ def k_core(
         if removed.isEmpty():
             break
         keep = deg.filter(F.col("deg") >= k).select("_a")
-        und = (
+        und = _ck_cut_stats(
             und.join(keep, "_a", "left_semi")
             .join(keep.withColumnRenamed("_a", "_b"), "_b", "left_semi")
-            .localCheckpoint(eager=True)
         )
     return (
         und.groupBy("_a")
@@ -922,20 +923,19 @@ def label_propagation(
             # — so each broadcast frame is size-CHECKED first and the
             # round falls back to the full vote when the neighborhood
             # outgrows broadcastability (r7 review fix).
-            cand = (
+            cand = _ck_cut_stats(
                 und.join(F.broadcast(
                     changed.select(F.col("node").alias("_b"))),
                     "_b", "left_semi")
                 .select("_a").distinct()
-                .localCheckpoint(eager=True)
             )
             if cand.count() > 2_000_000:
                 cand_edges = und
                 vote_labels = labels
             else:
                 cand_edges = und.join(F.broadcast(cand), "_a", "left_semi")
-                needed = cand_edges.select(F.col("_b").alias("node")) \
-                    .distinct().localCheckpoint(eager=True)
+                needed = _ck_cut_stats(
+                    cand_edges.select(F.col("_b").alias("node")).distinct())
                 if needed.count() > 2_000_000:
                     cand_edges = und
                     vote_labels = labels
@@ -961,7 +961,7 @@ def label_propagation(
             )
             .select(F.col("_a").alias("node"), "_new")
         )
-        upd = (
+        upd = _ck_cut_stats(
             labels.join(best, "node", "left")
             .select(
                 "node",
@@ -969,7 +969,6 @@ def label_propagation(
                 (F.col("_new").isNotNull()
                  & (F.col("_new") != F.col("label"))).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
         )
         labels = upd.select("node", "label")
         if it == num_iter - 1:
@@ -1426,7 +1425,7 @@ def strongly_connected_components(
                 )
                 if (i + 1) % _CHECKPOINT_EVERY == 0:
                     updated = updated.localCheckpoint(eager=False)
-            updated = updated.localCheckpoint(eager=True)
+            updated = _ck_cut_stats(updated)
             last_change = updated.agg(F.max("_lc")).collect()[0][0]
             colors = updated.select("node", "color")
             converged = last_change is None or int(last_change) < steps
@@ -1484,11 +1483,10 @@ def strongly_connected_components(
             block = parts[0]
             for p in parts[1:]:
                 block = block.unionByName(p)
-            nxt = (
+            nxt = _ck_cut_stats(
                 block.groupBy("node", "color")
                 .agg(F.min("_hop").alias("_hop"))
                 .join(marked, ["node", "color"], "left_anti")
-                .localCheckpoint(eager=True)
             )
             stats = nxt.agg(
                 F.count("*").alias("n"), F.max("_hop").alias("mh")
@@ -1591,7 +1589,7 @@ def dag_layers(
             )
             if (i + 1) % _CHECKPOINT_EVERY == 0:
                 updated = updated.localCheckpoint(eager=False)
-        updated = updated.localCheckpoint(eager=True)
+        updated = _ck_cut_stats(updated)
         last_change = updated.agg(F.max("_lc")).collect()[0][0]
         layers = updated.select("node", "layer")
         if last_change is None or int(last_change) < steps:
