@@ -1636,6 +1636,42 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs).select("doc_id", "text")
 
 
+def _q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set quality flags (Rae et al. 2021 A1.1) — pure
+    codegen projection, no shuffle. min_words/min_stop_words adapted
+    to the synthetic corpus's short docs so both pass and fail rows
+    exist (published thresholds kept for the other rules)."""
+    from graphlite_spark.operators.text import gopher_quality_filters
+
+    return gopher_quality_filters(
+        _table(spark, sf_dir, "documents"),
+        min_words=50, min_stop_words=1)
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (passage) dedup, Lee et al. 2021 style: drop
+    every 8-token window occurring more than once in the corpus and
+    rebuild the text from surviving tokens. The planted near-dup pairs
+    give real coverage (47/500 docs carry duplicated spans at sf0.01).
+    """
+    from graphlite_spark.operators.dedup import span_dedup
+
+    return span_dedup(_table(spark, sf_dir, "documents"), k=8)
+
+
+def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb-style host cap): keep the
+    5 lowest-id docs per source. The row_number+filter plan compiles
+    to WindowGroupLimit with a PARTIAL pre-shuffle pass, so a hot
+    domain ships executors*k rows instead of its whole group."""
+    from graphlite_spark.operators.sampling import cap_per_key
+
+    return cap_per_key(
+        _table(spark, sf_dir, "documents"), "source", 5,
+        order_col="doc_id",
+    ).select("doc_id", "source")
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus report: one partial-aggregated groupBy."""
     from graphlite_spark.operators.text import corpus_stats
@@ -2789,6 +2825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "chunk_documents_overlap": _q_chunk_documents,
             "chunk_documents_bpe": _q_chunk_documents_bpe,
             "quality_score": _q_quality,
+            "gopher_quality_filters": _q_gopher_filters,
+            "span_dedup_exact": _q_span_dedup,
+            "cap_per_source": _q_cap_per_source,
             "pack_documents_bins": _q_pack_documents,
             "lang_id": _q_lang_id,
             "doc_fingerprint": _q_fingerprint,
@@ -3558,6 +3597,137 @@ def oracle_sql() -> dict[str, str]:
                        + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END)
                        + 0.3 * least(CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0.0 END * 5, 1.0), 6) AS quality
             FROM m
+        """,
+        "gopher_quality_filters": """
+            -- Gopher rule set (Rae et al. 2021 A1.1), thresholds as in
+            -- the Spark entry (min_words=50, min_stop_words=1, others
+            -- published). Every ratio is an int/int double division in
+            -- the same order as the Spark expressions.
+            WITH t AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS ws,
+                       string_split(text, chr(10)) AS lns
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(ws) AS BIGINT) AS n_words,
+                       CAST(list_sum(list_transform(ws, w -> length(w)))
+                            AS BIGINT) AS sum_wl,
+                       CAST(length(text)
+                            - length(replace(text, '#', ''))
+                            AS BIGINT) AS n_hash,
+                       CASE WHEN length(text) > 0 THEN
+                           CAST((length(text)
+                                 - length(regexp_replace(text, '\\.\\.\\.',
+                                                         '', 'g'))) / 3
+                                AS BIGINT)
+                       ELSE 0 END AS n_ell,
+                       CAST(greatest(len(lns), 1) AS DOUBLE) AS n_lines,
+                       CAST(len(list_filter(lns, l ->
+                            regexp_matches(trim(l), '^[-*•‣◦]')))
+                            AS BIGINT) AS bullet_lines,
+                       CAST(len(list_filter(lns, l ->
+                            regexp_matches(trim(l), '\\.\\.\\.$')))
+                            AS BIGINT) AS ell_lines,
+                       CAST(len(list_filter(ws, w ->
+                            regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+                            AS alpha_words,
+                       CAST(len(list_distinct(list_filter(ws, w ->
+                            lower(w) IN ('the','be','to','of','and',
+                                         'that','have','with'))))
+                            AS BIGINT) AS stop_hits
+                FROM t
+            ), f AS (
+                SELECT doc_id, n_words,
+                       CASE WHEN n_words > 0
+                            THEN CAST(sum_wl AS DOUBLE) / n_words
+                            ELSE 0.0 END AS mwl,
+                       (n_words >= 50 AND n_words <= 100000)
+                           AS word_count_ok,
+                       (CASE WHEN n_words > 0
+                             THEN CAST(sum_wl AS DOUBLE) / n_words
+                             ELSE 0.0 END) >= 3.0
+                       AND (CASE WHEN n_words > 0
+                                 THEN CAST(sum_wl AS DOUBLE) / n_words
+                                 ELSE 0.0 END) <= 10.0
+                           AS mean_word_len_ok,
+                       (CASE WHEN n_words > 0
+                             THEN CAST(n_hash + n_ell AS DOUBLE) / n_words
+                             ELSE 0.0 END) <= 0.1 AS symbol_ratio_ok,
+                       CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
+                           AS bullet_lines_ok,
+                       CAST(ell_lines AS DOUBLE) / n_lines <= 0.3
+                           AS ellipsis_lines_ok,
+                       (CASE WHEN n_words > 0
+                             THEN CAST(alpha_words AS DOUBLE) / n_words
+                             ELSE 0.0 END) >= 0.8 AS alpha_words_ok,
+                       stop_hits >= 1 AS stop_words_ok
+                FROM m
+            )
+            SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+                   word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+                   bullet_lines_ok, ellipsis_lines_ok, alpha_words_ok,
+                   stop_words_ok,
+                   (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+                    AND bullet_lines_ok AND ellipsis_lines_ok
+                    AND alpha_words_ok AND stop_words_ok) AS gopher_pass
+            FROM f
+        """,
+        "span_dedup_exact": """
+            -- exact substring dedup: any 8-token window occurring more
+            -- than once in the corpus is removed; text rebuilt from
+            -- surviving tokens (whitespace-normalized on both sides)
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, t[u.i] AS w, u.i - 1 AS p
+                FROM base, unnest(generate_series(1, len(t))) AS u(i)
+            ), grams AS (
+                SELECT doc_id, p,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win
+                         || ' ' || lead(w, 3) OVER win
+                         || ' ' || lead(w, 4) OVER win
+                         || ' ' || lead(w, 5) OVER win
+                         || ' ' || lead(w, 6) OVER win
+                         || ' ' || lead(w, 7) OVER win AS gram
+                FROM pos
+                WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+                QUALIFY lead(w, 7) OVER win IS NOT NULL
+            ), dups AS (
+                SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1
+            ), cov AS (
+                SELECT DISTINCT doc_id, cp FROM (
+                    SELECT g.doc_id,
+                           unnest(generate_series(g.p, g.p + 7)) AS cp
+                    FROM grams g JOIN dups USING (gram)
+                )
+            ), kept AS (
+                SELECT pos.doc_id, pos.p, pos.w
+                FROM pos LEFT JOIN cov
+                  ON pos.doc_id = cov.doc_id AND pos.p = cov.cp
+                WHERE cov.cp IS NULL
+            ), reb AS (
+                SELECT doc_id,
+                       string_agg(w, ' ' ORDER BY p) AS cleaned_text,
+                       count(*) AS nk
+                FROM kept GROUP BY doc_id
+            )
+            SELECT b.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(t) - coalesce(nk, 0) AS BIGINT) AS n_removed,
+                   coalesce(cleaned_text, '') AS cleaned_text
+            FROM base b LEFT JOIN reb USING (doc_id)
+        """,
+        "cap_per_source": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY doc_id) <= 5
         """,
         "shortest_paths_bfs": """
             WITH RECURSIVE e AS (

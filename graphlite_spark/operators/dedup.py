@@ -707,3 +707,101 @@ def dedup_clusters(
             F.coalesce("comp", F.col(id_col)).alias("canonical_id"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    hashed_keys: bool = False,
+) -> DataFrame:
+    """EXACT substring (span) deduplication — remove every k-token
+    window that occurs more than once anywhere in the corpus, the
+    ExactSubstr pass of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better") re-expressed as DataFrame ops
+    instead of a suffix array. Near-dup operators (minhash/simhash)
+    drop whole documents; this removes the REPEATED PASSAGES inside
+    otherwise-unique documents (licenses, boilerplate headers, quoted
+    chain letters) that whole-doc dedup can't see.
+
+    Per document returns (id, n_tokens, n_removed, cleaned_text):
+    tokens covered by ANY duplicated k-gram are dropped and the text is
+    rebuilt from the survivors (whitespace-normalized on both the
+    operator and oracle side, so reconstruction is exact).
+
+    Shape, stage by stage — each is a standard shuffle, no n^2 stage:
+    1. tokenize + slide: transform() builds the per-doc k-gram array
+       in one codegen'd projection (no explode-then-window).
+    2. duplicated grams: posexplode -> groupBy(gram) count>1. With
+       ``hashed_keys`` the shuffle key is xxhash64(gram) (8 bytes vs
+       the gram string — the 100 TB setting; collisions at p ~ n^2/2^64
+       can only OVER-remove, never miss a dup). Default keys on the
+       gram string itself: exact, and what the SQL oracle can express.
+    3. covered positions: occurrences of duplicated grams explode into
+       their k token indices (bounded k-times blowup of DUP grams only)
+       -> distinct.
+    4. rebuild: anti-join survivors, array_sort(collect_list) per doc.
+    Skew: a gram duplicated millions of times (a viral license block)
+    hot-keys stage 2's count — partial aggregation absorbs it map-side;
+    stage 3 joins on (gram) AFTER reducing to the duplicated-gram set.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0,
+               F.array().cast("array<string>")).otherwise(toks).alias("_t"),
+    )
+    # per-doc gram array: gram[p] = words p..p+k-1 (0-based p)
+    grams = base.select(
+        "_id", "_t",
+        F.when(
+            F.size("_t") >= k,
+            F.expr(f"transform(sequence(0, size(_t) - {k}), "
+                   f"p -> concat_ws(' ', slice(_t, p + 1, {k})))"),
+        ).otherwise(F.array().cast("array<string>")).alias("_g"),
+    )
+    occ = grams.select(
+        "_id", F.posexplode("_g").alias("_p", "_gram"))
+    key = F.xxhash64("_gram") if hashed_keys else F.col("_gram")
+    occ = occ.select("_id", "_p", key.alias("_k"))
+    dup_keys = (
+        occ.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_k")
+    )
+    covered = (
+        occ.join(dup_keys, "_k", "left_semi")
+        .select("_id", F.explode(
+            F.sequence(F.col("_p"), F.col("_p") + F.lit(k - 1))).alias("_cp"))
+        .distinct()
+    )
+    pos = base.select("_id", F.posexplode("_t").alias("_cp", "_w"))
+    kept = pos.join(covered, ["_id", "_cp"], "left_anti")
+    rebuilt = (
+        kept.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_cp", "_w"))),
+                    lambda s: s.getField("_w"),
+                ),
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).alias("_nk"),
+        )
+    )
+    return (
+        base.select("_id", F.size("_t").cast("long").alias("n_tokens"))
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens")
+             - F.coalesce(F.col("_nk"), F.lit(0))).cast("long")
+            .alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

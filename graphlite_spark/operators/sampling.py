@@ -156,3 +156,37 @@ def split_assign(df: DataFrame, key_col: str,
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(split_col, expr)
+
+
+def cap_per_key(df: DataFrame, key_col: str, k: int,
+                order_col: str | None = None,
+                descending: bool = False) -> DataFrame:
+    """Keep at most ``k`` rows per ``key_col`` value — the per-domain
+    document cap of crawl-curation pipelines (RefinedWeb/C4 keep <= N
+    pages per host so megasites can't dominate the corpus). Rows are
+    ranked by ``order_col`` (default: the first non-key column;
+    ``descending`` for "keep the best k" when the order is a score),
+    ties broken by the order value itself being unique per key — pass
+    a unique id/score column for deterministic output.
+
+    Plan: one shuffle on key + rank<=k filter. Catalyst rewrites the
+    row_number + filter into WindowGroupLimit, which applies the limit
+    PARTIALLY BEFORE the exchange — each map task forwards at most k
+    rows per key it sees, so a hot key (the skew case the operator
+    exists for) ships executors*k rows instead of its full multi-
+    million-row group. That pre-shuffle truncation is what makes the
+    cap safe at 100 TB.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    if order_col is None:
+        order_col = next(c for c in df.columns if c != key_col)
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(key_col).orderBy(oc)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

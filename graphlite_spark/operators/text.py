@@ -665,3 +665,96 @@ def corpus_stats(
             F.sum("_c").alias("total_chars"),
         )
     )
+
+
+# the stop words of the Gopher rule (Rae et al. 2021, A1.1): a document
+# must contain at least two of these to pass the "stop word" filter
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality-filter flags (Rae et al. 2021 A1.1)
+    — the rule set most published curation pipelines start from. One
+    row per doc with each rule's boolean plus ``gopher_pass`` (AND of
+    all); keeping the flags instead of filtering lets a pipeline audit
+    WHY documents were dropped (the usual requirement before committing
+    a 100 TB filter pass).
+
+    Rules (defaults are the published thresholds):
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+    - symbol-to-word ratio (# or ...) <= max_symbol_ratio
+    - fraction of lines starting with a bullet <= max_bullet_line_ratio
+    - fraction of lines ending with ... <= max_ellipsis_line_ratio
+    - fraction of words with >= 1 alphabetic char >= min_alpha_word_ratio
+    - >= min_stop_words distinct Gopher stop words present
+
+    All pure builtins (split / filter / size / regexp), map-side, no
+    shuffle — the whole pass is one codegen'd projection over the scan,
+    which is the only shape that survives 100 TB.
+    """
+    txt = F.col(text_col)
+    toks = _tokens(txt)
+    n_words = F.when(F.length(F.trim(txt)) == 0, F.lit(0)) \
+        .otherwise(F.size(toks)).cast("long")
+    sum_word_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    mean_word_len = F.when(n_words > 0,
+                           sum_word_len.cast("double") / n_words) \
+        .otherwise(F.lit(0.0))
+    # symbols: '#' occurrences + '...' occurrences (each counted once)
+    n_hash = (F.length(txt) - F.length(F.regexp_replace(txt, r"#", ""))) \
+        .cast("long")
+    n_ellipsis = F.when(
+        F.length(txt) > 0,
+        (F.length(txt) - F.length(F.regexp_replace(txt, r"\.\.\.", "")))
+        / F.lit(3),
+    ).otherwise(F.lit(0)).cast("long")
+    symbol_ratio = F.when(n_words > 0,
+                          (n_hash + n_ellipsis).cast("double") / n_words) \
+        .otherwise(F.lit(0.0))
+    lines = F.split(txt, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•‣◦]")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, alpha_words.cast("double") / n_words) \
+        .otherwise(F.lit(0.0))
+    stop_hits = F.size(F.array_distinct(F.filter(
+        toks, lambda t: F.lower(t).isin(*GOPHER_STOP_WORDS))))
+    flags = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "symbol_ratio_ok": symbol_ratio <= max_symbol_ratio,
+        "bullet_lines_ok":
+            bullet_lines.cast("double") / n_lines <= max_bullet_line_ratio,
+        "ellipsis_lines_ok":
+            ellipsis_lines.cast("double") / n_lines
+            <= max_ellipsis_line_ratio,
+        "alpha_words_ok": alpha_ratio >= min_alpha_word_ratio,
+        "stop_words_ok": stop_hits >= min_stop_words,
+    }
+    out = [F.col(id_col), n_words.alias("n_words"),
+           F.round(mean_word_len, 6).alias("mean_word_len")]
+    passed = None
+    for name, flag in flags.items():
+        out.append(flag.alias(name))
+        passed = flag if passed is None else (passed & flag)
+    out.append(passed.alias("gopher_pass"))
+    return df.select(*out)

@@ -1402,3 +1402,106 @@ def test_scc_descending_id_chain_trims_across_rounds(spark):
     out = strongly_connected_components(edges, nodes)  # defaults
     assert sorted((r["node"], r["scc"]) for r in out.collect()) == [
         (i, i) for i in range(1, n + 1)]
+
+
+def test_gopher_quality_filters(spark):
+    from graphlite_spark.operators.text import gopher_quality_filters
+
+    long_good = " ".join(["the quick brown fox jumps over lazy dogs"] * 8)
+    df = spark.createDataFrame(
+        [
+            (1, long_good),                      # 64 words, passes all
+            (2, "too short to pass"),            # word count
+            (3, " ".join(["a"] * 60)),           # mean word len < 3
+            (4, " ".join(["###"] * 30 + ["the quick brown fox jumps"] * 6)),
+            (5, " ".join(["12 34"] * 30) + " the of"),  # alpha ratio
+            (6, "\n".join(["- bullet line"] * 10)),     # bullets + count
+            (7, ""),                             # empty
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_filters(
+        df, min_words=20, min_stop_words=1).collect()}
+    assert got[1].gopher_pass
+    assert got[1].n_words == 64
+    assert not got[2].word_count_ok and not got[2].gopher_pass
+    assert not got[3].mean_word_len_ok
+    assert not got[4].symbol_ratio_ok          # 30 '#' / 60 words = 0.5
+    assert got[4].word_count_ok
+    assert not got[5].alpha_words_ok           # 60 numeric of 62
+    assert not got[6].bullet_lines_ok          # 10/10 bullet lines
+    assert got[7].n_words == 0 and not got[7].gopher_pass
+    # stop-word rule: published threshold needs >= 2 distinct stop words
+    one_stop = " ".join(["the zz yy xx ww vv uu tt"] * 4)
+    r = gopher_quality_filters(
+        spark.createDataFrame([(8, one_stop)], "doc_id: long, text: string"),
+        min_words=20, min_stop_words=2).first()
+    assert not r.stop_words_ok
+
+
+def test_span_dedup(spark):
+    from graphlite_spark.operators.dedup import span_dedup
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"          # one duplicated 8-gram
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"delta {shared} epsilon zeta"),
+            (3, "totally unique words only here nothing repeats at all"),
+            (4, "short doc"),                   # < k tokens
+            (5, ""),                            # empty
+            (6, f"{shared} {shared}"),          # intra-doc repeat
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in span_dedup(df, k=8).collect()}
+    # docs 1/2: exactly the 8 shared tokens removed, order preserved
+    assert got[1].n_removed == 8
+    assert got[1].cleaned_text == "alpha beta gamma"
+    assert got[2].cleaned_text == "delta epsilon zeta"
+    assert got[3].n_removed == 0
+    assert got[3].cleaned_text.startswith("totally unique")
+    assert got[4].n_removed == 0 and got[4].n_tokens == 2
+    assert got[5].n_tokens == 0 and got[5].cleaned_text == ""
+    # intra-doc: "w8 w1" bridge grams are unique, but every position is
+    # covered by an occurrence of some duplicated 8-gram
+    assert got[6].n_removed == 16 and got[6].cleaned_text == ""
+
+    # hashed_keys produces identical output on a collision-free corpus
+    hashed = {r.doc_id: r for r in span_dedup(df, k=8,
+                                              hashed_keys=True).collect()}
+    assert {d: (r.n_removed, r.cleaned_text) for d, r in got.items()} == \
+        {d: (r.n_removed, r.cleaned_text) for d, r in hashed.items()}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        span_dedup(df, k=1)
+
+
+def test_cap_per_key(spark):
+    import pytest
+
+    from graphlite_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(30)],
+        "doc_id: long, source: string, score: double",
+    )
+    kept = cap_per_key(df, "source", 4, order_col="doc_id").collect()
+    assert len(kept) == 12
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # lowest 4 ids per source, deterministic
+    assert sorted(by_src["s0"]) == [0, 3, 6, 9]
+    # descending keeps the TOP-k by score
+    best = cap_per_key(df, "source", 2, order_col="score",
+                       descending=True).collect()
+    assert sorted(r.doc_id for r in best if r.source == "s1") == [25, 28]
+    # partition-insensitive
+    again = cap_per_key(df.repartition(7), "source", 4,
+                        order_col="doc_id").collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
+    with pytest.raises(ValueError, match="k must be"):
+        cap_per_key(df, "source", 0)
