@@ -1366,6 +1366,47 @@ def _q_louvain_two_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("community").cast("long").alias("community"))
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (kmeans-confined cosine dedup -> CC canonical ids) on
+    a planted closed-form corpus: groups of 4 IDENTICAL basis-vector
+    embeddings (cos 1 within, 0 across — dedup MUST fold each group to
+    its min id regardless of how kmeans distributes groups over lists)
+    plus one decoy per group at exactly cos 0.6 to it (0.6*e_g +
+    0.8*e_63) — co-clustered or not, the 0.9 threshold must reject it,
+    proving the threshold path, and decoy-decoy pairs sit at 0.64.
+    Suppliers capped at 240 so group directions fit dim 64 at every
+    scale factor. Near-identical (cos 0.999) grouping is pinned by
+    pytest, where the corpus is fully controlled."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import semantic_dedup
+
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg(F.least(F.count(F.lit(1)), F.lit(240)).alias("_cap"))
+    base = sup.crossJoin(F.broadcast(cap)).filter(F.col("k") < F.col("_cap"))
+    members = base.select(
+        F.col("k").alias("vec_id"),
+        F.expr("transform(sequence(0, 63), i -> "
+               "CASE WHEN i = CAST(k / 4 AS INT) THEN CAST(1.0 AS DOUBLE) "
+               "ELSE CAST(0.0 AS DOUBLE) END)").alias("embedding"),
+    )
+    decoys = (
+        base.select((F.col("k") / 4).cast("long").alias("g")).distinct()
+        .select(
+            (F.lit(100000) + F.col("g")).alias("vec_id"),
+            F.expr("transform(sequence(0, 63), i -> "
+                   "CASE WHEN i = CAST(g AS INT) THEN CAST(0.6 AS DOUBLE) "
+                   "WHEN i = 63 THEN CAST(0.8 AS DOUBLE) "
+                   "ELSE CAST(0.0 AS DOUBLE) END)").alias("embedding"),
+        )
+    )
+    out = semantic_dedup(members.unionByName(decoys),
+                         threshold=0.9, n_lists=16)
+    return out.select(F.col("vec_id").cast("long"),
+                      F.col("canonical_id").cast("long"))
+
+
 def _q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest-path topological layering over the acyclic FOLLOWS
     chains: each user's events are a simple chain, so layer = position
@@ -2838,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "scc_nation_rings": _q_scc_rings,
             "modularity_nation_cliques": _q_modularity_nation_cliques,
             "louvain_two_scale": _q_louvain_two_scale,
+            "semantic_dedup_planted": _q_semantic_dedup,
             "dag_layers_follows": _q_dag_layers,
             "cosine_dup_pairs": _q_cosine_dup,
             "cosine_dup_lsh_audit": _q_cosine_dup_lsh,
@@ -5344,6 +5386,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey)
                         AS BIGINT) AS community
             FROM nation
+        """,
+        "semantic_dedup_planted": """
+            -- groups of 4 identical embeddings fold to the min member
+            -- id; the cos-0.6 decoys (one per group, ids 100000+g)
+            -- stay singletons under the 0.9 threshold
+            WITH cap AS (SELECT least(count(*), 240) AS c FROM supplier),
+            members AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS k
+                FROM supplier, cap WHERE s_suppkey < c
+            )
+            SELECT k AS vec_id,
+                   CAST((k // 4) * 4 AS BIGINT) AS canonical_id
+            FROM members
+            UNION ALL
+            SELECT CAST(100000 + g AS BIGINT) AS vec_id,
+                   CAST(100000 + g AS BIGINT) AS canonical_id
+            FROM (SELECT DISTINCT k // 4 AS g FROM members)
         """,
         "louvain_two_scale": """
             -- planted two-scale structure: full Louvain folds each

@@ -266,32 +266,16 @@ def _exact_cosine_pairs_gemm(it: DataFrame, threshold: float,
     )
 
 
-def ivf_topk(
-    items: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_lists: int = 16,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k.
-
-    Coarse quantizer: n_lists centroids chosen deterministically (items
-    with the smallest xxhash64(id) — a uniform reproducible sample),
-    refined with one Lloyd step (mean of assigned vectors — a single
-    groupBy). Items live in their nearest centroid's list; a query scores
-    only its n_probe nearest lists. Assignment uses an Arrow-vectorized
-    pandas UDF (numpy matmul) — the one place built-ins can't express a
-    k-way argmin economically.
-    """
+def _coarse_kmeans(it: DataFrame, n_lists: int):
+    """The deterministic coarse quantizer shared by ivf_topk and
+    semantic_dedup: seeds = items with the smallest xxhash64(id) (a
+    uniform reproducible sample), refined with ONE Lloyd step (mean of
+    assigned vectors, one groupBy). Returns (centroids ndarray,
+    make_assign(centroids, top) -> Arrow-vectorized argmax-top UDF).
+    ``it`` must have columns (_iid, _iv double[])."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    it = items.select(
-        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
-    )
     seeds = (
         it.withColumn("_h", F.xxhash64(F.col("_iid")))
         .orderBy("_h")
@@ -328,7 +312,102 @@ def ivf_topk(
         n = np.linalg.norm(v)
         if n > 1e-12:
             cents[r["_list"]] = v / n
+    return cents, make_assign
 
+
+def semantic_dedup(
+    items: DataFrame,
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, canonical_id): SemDeDup (Abbas et al. 2023) — semantic
+    near-duplicate pruning over an embedding column. Text-level dedup
+    (exact/minhash/simhash) can't see paraphrases and re-encodings;
+    this catches "same meaning, different words" by deduping in
+    embedding space.
+
+    1. coarse kmeans (the ivf_topk quantizer: hash-sampled seeds + one
+       Lloyd step — deterministic, no RNG state) assigns each vector
+       to one of ``n_lists`` lists;
+    2. per-list exact cosine pairs >= threshold: the O(n^2) pairwise
+       pass is CONFINED to n/k-sized lists (the SemDeDup trick —
+       n^2/k work instead of n^2, and each list's block join is an
+       equi-join on _list so lists process in parallel);
+    3. connected components (hash-min + pointer jumping, O(log d)
+       rounds) over the pair graph; canonical_id = min id per
+       component. Deterministic keep-lowest-id policy, same as
+       exact_dedup / dedup_clusters.
+
+    A near-dup pair split across two lists is missed — that is
+    SemDeDup's documented approximation (recall depends on cluster
+    quality). Singletons map to themselves.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
+    )
+    cents, make_assign = _coarse_kmeans(it, n_lists)
+    assigned = it.withColumn(
+        "_list", make_assign(cents, 1)(F.col("_iv"))[0]
+    ).localCheckpoint(eager=False)
+    a = assigned.select(F.col("_list"), F.col("_iid").alias("_ia"),
+                        F.col("_iv").alias("_va"))
+    b = assigned.select(F.col("_list"), F.col("_iid").alias("_ib"),
+                        F.col("_iv").alias("_vb"))
+    pairs = (
+        a.join(b, "_list")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_ia").alias("_src"), F.col("_ib").alias("_dst"))
+    )
+    from .paths import connected_components
+
+    # CC runs only on the (sparse) paired vertices; everything else is
+    # a singleton handled by the coalesce — same shape as dedup_clusters
+    touched = (
+        pairs.select(F.col("_src").alias("_iid"))
+        .unionByName(pairs.select(F.col("_dst").alias("_iid")))
+        .distinct()
+    )
+    comp = connected_components(pairs, touched, max_iter=max_iter)
+    return (
+        it.select("_iid")
+        .join(comp.withColumnRenamed("node", "_iid"), "_iid", "left")
+        .select(
+            F.col("_iid").alias(id_col),
+            F.coalesce("comp", F.col("_iid")).alias("canonical_id"),
+        )
+    )
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: n_lists centroids chosen deterministically (items
+    with the smallest xxhash64(id) — a uniform reproducible sample),
+    refined with one Lloyd step (mean of assigned vectors — a single
+    groupBy). Items live in their nearest centroid's list; a query scores
+    only its n_probe nearest lists. Assignment uses an Arrow-vectorized
+    pandas UDF (numpy matmul) — the one place built-ins can't express a
+    k-way argmin economically.
+    """
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
+    )
+    cents, make_assign = _coarse_kmeans(it, n_lists)
     items_assigned = it.withColumn(
         "_list", make_assign(cents, 1)(F.col("_iv"))[0]
     )

@@ -1505,3 +1505,38 @@ def test_cap_per_key(spark):
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
     with pytest.raises(ValueError, match="k must be"):
         cap_per_key(df, "source", 0)
+
+
+def test_semantic_dedup(spark):
+    import pytest
+
+    from graphlite_spark.operators.similarity import semantic_dedup
+
+    # 5 groups x 3 NEAR-identical vectors (cos ~0.99995 via a tiny
+    # shared-axis perturbation) + one decoy per group at exactly 0.6
+    rows = []
+    for g in range(5):
+        for i in range(3):
+            v = [0.0] * 16
+            v[g] = 1.0
+            v[15] = 0.01 * i
+            rows.append((g * 10 + i, v))
+        w = [0.0] * 16
+        w[g] = 0.6
+        w[14] = 0.8
+        rows.append((g * 10 + 9, w))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {r.vec_id: r.canonical_id
+           for r in semantic_dedup(df, threshold=0.9, n_lists=4).collect()}
+    for g in range(5):
+        # near-identical members fold to min id; decoy stays itself
+        assert {got[g * 10 + i] for i in range(3)} == {g * 10}
+        assert got[g * 10 + 9] == g * 10 + 9
+    # threshold semantics: with ONE list every pair is evaluated, and
+    # at 0.5 the decoys (0.6 to their group, 0.64 to each other)
+    # bridge all groups into a single component rooted at id 0
+    loose = {r.vec_id: r.canonical_id
+             for r in semantic_dedup(df, threshold=0.5, n_lists=1).collect()}
+    assert set(loose.values()) == {0}
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(df, threshold=0.0)
