@@ -1328,16 +1328,20 @@ def _q_louvain_two_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     community (merge gain ~ +3.2 at sf0.01's 2m) while the single
     inter-group bridges stay unmerged at every level (gain < 0).
     Closed form: community = min member id = 12 * (s_suppkey / 12).
-    Partial trailing groups are excluded (cap = 12 * floor(n/12)) so
-    the closed form holds at every scale factor."""
+    Partial trailing groups are excluded and the corpus is CAPPED at
+    240 suppliers (cap = 12 * floor(least(n, 240) / 12)): modularity's
+    resolution limit makes single-bridge group merges FAVORABLE once
+    2m outgrows tot_g^2/e (~60 groups here), so the planted closed
+    form only exists below that scale — the cap keeps the oracle
+    exact at every scale factor, same device as semantic_dedup's."""
     from pyspark.sql import functions as F
 
     from graphlite_spark.operators.paths import louvain_communities
 
     sup = _table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("k"))
-    cap = sup.agg((12 * (F.count(F.lit(1)) / 12).cast("long"))
-                  .alias("_cap"))
+    cap = sup.agg((12 * (F.least(F.count(F.lit(1)), F.lit(240)) / 12)
+                   .cast("long")).alias("_cap"))
     base = (
         sup.crossJoin(F.broadcast(cap))
         .filter(F.col("k") < F.col("_cap"))
@@ -5409,11 +5413,14 @@ def oracle_sql() -> dict[str, str]:
             -- group's three bridged 4-cliques into one community and
             -- keeps the weakly-bridged groups apart, so community =
             -- min member id = 12 * (k / 12) (closed form); partial
-            -- trailing groups excluded
+            -- trailing groups excluded, corpus capped at 240 suppliers
+            -- (past ~60 groups the resolution limit merges groups and
+            -- the closed form stops existing)
             SELECT CAST(s_suppkey AS BIGINT) AS node,
                    CAST((s_suppkey // 12) * 12 AS BIGINT) AS community
             FROM supplier
-            WHERE s_suppkey < 12 * ((SELECT count(*) FROM supplier) // 12)
+            WHERE s_suppkey < 12 * (least((SELECT count(*) FROM supplier),
+                                          240) // 12)
         """,
         "scc_nation_rings": """
             -- each region's directed ring is one SCC (scc = max

@@ -1011,14 +1011,20 @@ def modularity_communities(
 
     Fully synchronous moves oscillate structurally (two mutually-
     attracted nodes swap communities forever — measured immediately on
-    a bridged-triangle pair), so each round applies only the movers
-    that are a LOCAL MINIMUM among intending movers: a node's move
-    lands iff its id is smaller than every neighboring mover's id
-    (Luby-style independent set, the standard symmetric-parallelism
-    breaker). Adjacent swap partners therefore never move in the same
-    round; the smaller one moves, the larger re-evaluates against the
-    new configuration. Deterministic, and the global-minimum mover
-    always applies, so every round with any mover makes progress.
+    a bridged-triangle pair), so each round applies a cycle-free
+    SUBSET of intending movers, DOWNHILL-FIRST: every move whose
+    target label is smaller than its current one applies in parallel
+    (a synchronous swap cycle would need a strictly decreasing label
+    loop — impossible — and ties already resolve to the smallest
+    community id, so this is nearly all movers: whole cliques fold in
+    one round). Only when no downhill mover exists does the round fall
+    back to the Luby local-minimum independent set (a mover lands iff
+    its id is smaller than every neighboring mover's), which breaks
+    uphill re-balancing symmetries; the earlier always-Luby schedule
+    serialized id-ordered planted graphs to O(1) applied moves per
+    round (measured: 10/round on a 10k-node graph with 9.9k intending
+    movers). Deterministic, and every round with any mover applies at
+    least one, so progress is guaranteed while the bound holds.
 
     Per round: one (node, neighbor-community) count aggregate, one
     community degree-sum aggregate, a mover-neighborhood min join and
@@ -1149,26 +1155,46 @@ def _modularity_local_moves(
         movers = _ck_cut_stats(
             comm.join(best, "node")
             .filter(F.col("_new") != F.col("c"))
-            .select("node", "_new")
+            .select("node", "_new", "c")
         )
-        if movers.isEmpty():
+        st = movers.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_new") < F.col("c")).cast("int")).alias("nd"),
+        ).collect()[0]
+        if int(st["n"]) == 0:
             return comm, any_moved
         any_moved = True
-        # Luby restriction: apply only movers smaller than every
-        # neighboring mover (see docstring)
-        nbr_min = (
-            und.join(movers.select(F.col("node").alias("_b")), "_b",
-                     "left_semi")
-            .join(movers.select(F.col("node").alias("_a")), "_a",
-                  "left_semi")
-            .groupBy(F.col("_a").alias("node"))
-            .agg(F.min("_b").alias("_nm"))
-        )
-        applied = (
-            movers.join(nbr_min, "node", "left")
-            .filter(F.col("_nm").isNull() | (F.col("node") < F.col("_nm")))
-            .select("node", "_new")
-        )
+        # DOWNHILL-FIRST schedule: every move whose target label is
+        # SMALLER than the current one applies in parallel — a
+        # synchronous oscillation needs a cycle u1->c(u2)->...->c(u1),
+        # which under tgt < cur would require a strictly decreasing
+        # label loop, impossible. This is the common case (equal-gain
+        # ties already resolve to the smallest community id), so whole
+        # cliques fold in one round; the previous neighbor-minimum
+        # (Luby) restriction serialized to O(1) applied moves per
+        # round on id-ordered planted graphs (measured: 10 moves/round
+        # on a 10k-node graph where 9.9k wanted to move). Only when NO
+        # downhill mover exists (pure uphill re-balancing) do we fall
+        # back to the Luby local-minimum set, whose independence keeps
+        # liveness without cycles.
+        if int(st["nd"] or 0) > 0:
+            applied = movers.filter(F.col("_new") < F.col("c")) \
+                .select("node", "_new")
+        else:
+            nbr_min = (
+                und.join(movers.select(F.col("node").alias("_b")), "_b",
+                         "left_semi")
+                .join(movers.select(F.col("node").alias("_a")), "_a",
+                      "left_semi")
+                .groupBy(F.col("_a").alias("node"))
+                .agg(F.min("_b").alias("_nm"))
+            )
+            applied = (
+                movers.join(nbr_min, "node", "left")
+                .filter(F.col("_nm").isNull()
+                        | (F.col("node") < F.col("_nm")))
+                .select("node", "_new")
+            )
         comm = _ck_cut_stats(
             comm.join(applied, "node", "left")
             .select("node", F.coalesce("_new", "c").alias("c"))

@@ -1207,8 +1207,8 @@ def test_modularity_communities(spark):
 def test_modularity_communities_brute_force_parity(spark):
     # pure-Python simulator with the IDENTICAL rules (same float gain
     # expression, same epsilon stay-preference, same smallest-id
-    # tiebreak, same Luby local-minimum mover restriction) must agree
-    # with the distributed operator on random graphs
+    # tiebreak, same downhill-first/Luby-fallback apply schedule) must
+    # agree with the distributed operator on random graphs
     import random
 
     from graphlite_spark.operators.paths import modularity_communities
@@ -1250,10 +1250,18 @@ def test_modularity_communities_brute_force_parity(spark):
                     c = comm[n]
                     mins[c] = min(mins.get(c, n), n)
                 return {n: mins[comm[n]] for n in node_ids}
-            for n, tgt in movers.items():
-                nbr_movers = [nb for nb in und.get(n, ()) if nb in movers]
-                if not nbr_movers or n < min(nbr_movers):
+            down = {n: tgt for n, tgt in movers.items() if tgt < comm[n]}
+            if down:
+                # downhill-first: all label-decreasing moves in parallel
+                for n, tgt in down.items():
                     comm[n] = tgt
+            else:
+                # Luby local-minimum fallback
+                for n, tgt in movers.items():
+                    nbr_movers = [nb for nb in und.get(n, ())
+                                  if nb in movers]
+                    if not nbr_movers or n < min(nbr_movers):
+                        comm[n] = tgt
         raise RuntimeError("sim: no convergence")
 
     for trial in range(4):
@@ -1279,11 +1287,14 @@ def test_modularity_communities_brute_force_parity(spark):
 
 
 def test_louvain_communities_two_scale(spark):
-    # two groups x 3 triangles x 3 nodes; 3 bridges per triangle pair
-    # inside a group (one per node, offset so level 1 keeps triangles
-    # separate), one weak inter-group edge. modularity_communities
-    # (one level) must find the 6 triangles; full Louvain must fold
-    # them into the 2 groups (the coarse scale one level cannot see).
+    # two groups x 3 triangles x 3 nodes; 2 bridges per triangle pair
+    # inside a group, attached ONLY to the i=1/i=2 members so every
+    # node's best round-0 target is its (lowest-degree) intra-triangle
+    # neighborhood and level 1 provably settles at the 6 triangles
+    # even under the downhill-parallel schedule; one weak inter-group
+    # edge on the i=1 hubs. Full Louvain must then fold the triangles
+    # into the 2 groups (supernode bridge weight 2 makes the merge
+    # gain positive at level 2) — the coarse scale level 1 cannot see.
     import pytest
 
     from graphlite_spark.operators.paths import (
@@ -1302,10 +1313,9 @@ def test_louvain_communities_two_scale(spark):
                           (ids[0], ids[2])]
         for c1 in range(3):
             for c2 in range(c1 + 1, 3):
-                for i in range(3):
-                    edge_list.append((nid(g, c1, i), nid(g, c2,
-                                                         (i + 1) % 3)))
-    edge_list.append((nid(0, 0, 0), nid(1, 0, 0)))
+                for i in (1, 2):
+                    edge_list.append((nid(g, c1, i), nid(g, c2, i)))
+    edge_list.append((nid(0, 0, 1), nid(1, 0, 1)))
     node_ids = sorted({x for e in edge_list for x in e})
     nodes = spark.createDataFrame([(n,) for n in node_ids], "id: long")
     edges = spark.createDataFrame(edge_list, "_src: long, _dst: long")
