@@ -754,6 +754,23 @@ def span_dedup(
         F.when(F.length(F.trim(F.col(text_col))) == 0,
                F.array().cast("array<string>")).otherwise(toks).alias("_t"),
     )
+    # the gram build + explode is a NARROW map, so its parallelism is
+    # the scan's split count; a compact parquet corpus (few splits)
+    # would serialize the most expensive stage onto a couple of cores
+    # (measured: 2 tasks carrying the whole sf1 corpus). Spread the
+    # cheap doc-level rows BEFORE exploding when the scan is narrower
+    # than the shuffle width — at 100 TB the scan already has
+    # thousands of splits and this no-ops.
+    shuffle_n = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    if base.rdd.getNumPartitions() < shuffle_n:
+        base = base.repartition(shuffle_n, "_id")
+    # base feeds the gram pipeline AND the final join; occ (below)
+    # feeds the frequency count AND the coverage join. LAZY lineage
+    # cuts materialize each once inside the job — without them the
+    # scan+split+gram subtree re-executes per consumer (measured 62s
+    # vs ~8s at sf1 for identical stages)
+    base = base.localCheckpoint(eager=False)
     # per-doc gram array: gram[p] = words p..p+k-1 (0-based p)
     grams = base.select(
         "_id", "_t",
@@ -766,42 +783,41 @@ def span_dedup(
     occ = grams.select(
         "_id", F.posexplode("_g").alias("_p", "_gram"))
     key = F.xxhash64("_gram") if hashed_keys else F.col("_gram")
-    occ = occ.select("_id", "_p", key.alias("_k"))
+    occ = occ.select("_id", "_p", key.alias("_k")) \
+        .localCheckpoint(eager=False)
     dup_keys = (
         occ.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > 1)
         .select("_k")
     )
-    covered = (
+    # per-doc covered-position SETS (collect_set dedups, so no extra
+    # distinct shuffle) — only docs that actually carry duplicated
+    # grams appear; the rebuild then stays ARRAY-SIDE: filter the
+    # token array by an index lambda in one codegen'd projection.
+    # (The first cut posexploded every token of every doc and
+    # re-grouped with collect_list — two corpus-sized shuffles that
+    # dominated the sf1 measurement at 123s; covered sets touch only
+    # the duplicated slice.)
+    covered_sets = (
         occ.join(dup_keys, "_k", "left_semi")
         .select("_id", F.explode(
             F.sequence(F.col("_p"), F.col("_p") + F.lit(k - 1))).alias("_cp"))
-        .distinct()
-    )
-    pos = base.select("_id", F.posexplode("_t").alias("_cp", "_w"))
-    kept = pos.join(covered, ["_id", "_cp"], "left_anti")
-    rebuilt = (
-        kept.groupBy("_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_cp", "_w"))),
-                    lambda s: s.getField("_w"),
-                ),
-            ).alias("cleaned_text"),
-            F.count(F.lit(1)).alias("_nk"),
-        )
+        .groupBy("_id")
+        .agg(F.collect_set("_cp").alias("_cps"))
     )
     return (
-        base.select("_id", F.size("_t").cast("long").alias("n_tokens"))
-        .join(rebuilt, "_id", "left")
+        base.join(covered_sets, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            "n_tokens",
-            (F.col("n_tokens")
-             - F.coalesce(F.col("_nk"), F.lit(0))).cast("long")
+            F.size("_t").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("_cps"), F.lit(0)).cast("long")
             .alias("n_removed"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.when(
+                F.col("_cps").isNull(), F.concat_ws(" ", F.col("_t"))
+            ).otherwise(
+                F.concat_ws(" ", F.filter(
+                    F.col("_t"),
+                    lambda w, i: ~F.array_contains(F.col("_cps"), i)))
+            ).alias("cleaned_text"),
         )
     )
