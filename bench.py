@@ -72,6 +72,10 @@ HEADLINE = [
                                       # runs scan stored codes only — the
                                       # vs-ann_rescore_topk delta is the
                                       # per-query quantization cost saved
+    "gopher_quality_filters",         # zero-shuffle rule projection (r7)
+    "span_dedup_exact",               # cross-doc substring dedup (r7)
+    "cap_per_source",                 # partial WindowGroupLimit cap (r7)
+    "semantic_dedup_planted",         # kmeans-confined cosine dedup (r7)
 ]
 
 

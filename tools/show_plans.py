@@ -214,6 +214,33 @@ SHOWCASE = [
         "ships back BROADCAST, so the corpus shuffles only once for "
         "the per-doc average.",
     ),
+    (
+        "gopher_quality_filters",
+        "Gopher rule set (round 7): every rule — word count, mean "
+        "word length, symbol/bullet/ellipsis ratios, alpha-word "
+        "ratio, stop-word floor — is ONE codegen'd projection over "
+        "the scan; the plan has no Exchange at all. The only shape "
+        "that survives a 100 TB filter pass.",
+    ),
+    (
+        "cap_per_source",
+        "Per-domain cap (round 7): row_number<=k compiles to "
+        "WindowGroupLimit with a PARTIAL pass under the Exchange — "
+        "each map task forwards at most k rows per key it sees, so a "
+        "hot domain ships executors*k rows instead of its whole "
+        "group. Look for 'WindowGroupLimit ... Partial' BELOW the "
+        "Exchange and 'Final' above it.",
+    ),
+    (
+        "span_dedup_exact",
+        "Exact substring dedup (round 7): the k-gram array is built "
+        "by one transform() inside the scan projection (no "
+        "explode-then-window); duplicated grams come from a single "
+        "map-side-combined count; the rebuild is ARRAY-SIDE — "
+        "covered-position sets collect only for affected docs and a "
+        "filter lambda drops their tokens in one projection, so no "
+        "corpus-sized regroup exists anywhere.",
+    ),
 ]
 
 
