@@ -1681,6 +1681,27 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs).select("doc_id", "text")
 
 
+def _q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate-removal round trip: documents are wrapped in a
+    deterministic page (title/script/style noise, all-anchor nav and
+    footer, <h1>Doc {id}</h1>, text as 1-2 escaped <p> blocks), then
+    extract_html_text must drop every boilerplate block by link
+    density and recover exactly 'Doc {id}\\n{first half}\\n{second
+    half}' with the closed-form block counts. The corpus vocabulary
+    has no &/</> so the escape path is a no-op here (covered by
+    pytest with hostile inputs instead)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.html import extract_html_text, synth_html
+
+    docs = _table(spark, sf_dir, "documents")
+    out = extract_html_text(synth_html(docs))
+    return out.select(
+        F.col("doc_id").cast("long"), "text",
+        F.col("n_blocks").cast("long"),
+        F.col("n_dropped_blocks").cast("long"))
+
+
 def _q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-set quality flags (Rae et al. 2021 A1.1) — pure
     codegen projection, no shuffle. min_words/min_stop_words adapted
@@ -2871,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "chunk_documents_bpe": _q_chunk_documents_bpe,
             "quality_score": _q_quality,
             "gopher_quality_filters": _q_gopher_filters,
+            "extract_html_roundtrip": _q_extract_html,
             "span_dedup_exact": _q_span_dedup,
             "cap_per_source": _q_cap_per_source,
             "pack_documents_bins": _q_pack_documents,
@@ -3642,6 +3664,35 @@ def oracle_sql() -> dict[str, str]:
                    round(0.4 * least(n_tok / 100.0, 1.0)
                        + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END)
                        + 0.3 * least(CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0.0 END * 5, 1.0), 6) AS quality
+            FROM m
+        """,
+        "extract_html_roundtrip": """
+            -- closed-form round trip of synth_html -> extract:
+            -- 'Doc {id}\\n{first ceil(n/2) words}[\\n{rest}]';
+            -- nav + footer are all-anchor blocks, always dropped;
+            -- blocks = h1 + 1-2 paragraphs + the 2 dropped
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS ws
+                FROM documents
+            ), m AS (
+                SELECT doc_id, ws, len(ws) AS n,
+                       CAST(ceil(len(ws) / 2.0) AS INT) AS h
+                FROM t
+            )
+            SELECT doc_id,
+                   'Doc ' || doc_id
+                   || CASE WHEN n >= 1
+                           THEN chr(10) || array_to_string(ws[1:h], ' ')
+                           ELSE '' END
+                   || CASE WHEN n >= 2
+                           THEN chr(10) || array_to_string(ws[h+1:n], ' ')
+                           ELSE '' END AS text,
+                   CAST(CASE WHEN n >= 2 THEN 5 WHEN n = 1 THEN 4
+                             ELSE 3 END AS BIGINT) AS n_blocks,
+                   CAST(2 AS BIGINT) AS n_dropped_blocks
             FROM m
         """,
         "gopher_quality_filters": """

@@ -76,6 +76,7 @@ HEADLINE = [
     "span_dedup_exact",               # cross-doc substring dedup (r7)
     "cap_per_source",                 # partial WindowGroupLimit cap (r7)
     "semantic_dedup_planted",         # kmeans-confined cosine dedup (r7)
+    "extract_html_roundtrip",         # boilerplate removal, mapInPandas (r7)
 ]
 
 

@@ -1550,3 +1550,61 @@ def test_semantic_dedup(spark):
     assert set(loose.values()) == {0}
     with pytest.raises(ValueError, match="threshold"):
         semantic_dedup(df, threshold=0.0)
+
+
+def test_extract_html_text(spark):
+    import pytest
+
+    from graphlite_spark.operators.html import (
+        _extract_blocks,
+        extract_html_text,
+        synth_html,
+    )
+
+    # parser unit behavior on hostile input: entities, comments,
+    # script containing fake tags, nested inline tags, link density,
+    # malformed trailing markup
+    html = ("<html><head><title>T</title>"
+            "<script>if (a<b) { document.write('<p>fake</p>'); }</script>"
+            "<style>.x{content:'<div>'}</style></head><body>"
+            "<!-- comment <p>also fake</p> -->"
+            "<nav><a>Home</a> <a>About</a></nav>"
+            "<h1>Head &amp; line</h1>"
+            "<p>body &lt;one&gt;</p>"
+            "<div>body <b>two</b> with a <a href='x'>small link</a> in"
+            "side</div>"
+            "<footer><a>Terms</a> <a>Privacy</a></footer>"
+            "<p>unclosed trailing")
+    blocks = _extract_blocks(html)
+    assert ("Home About", 1.0) in blocks
+    assert ("Head & line", 0.0) in blocks
+    assert ("body <one>", 0.0) in blocks
+    assert ("unclosed trailing", 0.0) in blocks
+    link_block = next(b for b in blocks if b[0].startswith("body two"))
+    assert 0.0 < link_block[1] < 0.5
+    # distributed extraction honors the density threshold
+    df = spark.createDataFrame([(1, html)], "doc_id: long, html: string")
+    row = extract_html_text(df, max_link_density=0.5).first()
+    assert row.text.splitlines() == [
+        "Head & line", "body <one>",
+        "body two with a small link inside", "unclosed trailing"]
+    assert row.n_dropped_blocks == 2
+    strict = extract_html_text(df, max_link_density=0.0).first()
+    assert "small link" not in strict.text
+
+    # synth round trip including the ESCAPE path (text with & < >)
+    docs = spark.createDataFrame(
+        [(7, "alpha & <beta> gamma delta"), (8, "solo"), (9, "")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in
+           extract_html_text(synth_html(docs)).collect()}
+    assert got[7].text == "Doc 7\nalpha & <beta>\ngamma delta"
+    assert got[7].n_blocks == 5 and got[7].n_dropped_blocks == 2
+    assert got[8].text == "Doc 8\nsolo" and got[8].n_blocks == 4
+    assert got[9].text == "Doc 9" and got[9].n_blocks == 3
+
+    with pytest.raises(ValueError, match="max_link_density"):
+        extract_html_text(df, max_link_density=1.5)
+    with pytest.raises(ValueError, match="on_error"):
+        extract_html_text(df, on_error="ignore")
