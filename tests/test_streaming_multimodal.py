@@ -2002,3 +2002,43 @@ def test_minhash_buckets_mapside_grouped_bit_identical(spark):
     a = sorted(map(tuple, minhash_band_buckets_mapside(docs).collect()))
     b = sorted(map(tuple, minhash_band_buckets_grouped(docs).collect()))
     assert a == b and len(a) > 0
+
+
+def test_gopher_and_html_extract_stream_match_batch(spark, tmp_path):
+    # both operators are stateless maps (one projection / one
+    # mapInPandas), so they are stream-legal verbatim: run them over a
+    # file stream and require bit-identical output to the batch path
+    from graphlite_spark.operators.html import extract_html_text, synth_html
+    from graphlite_spark.operators.text import gopher_quality_filters
+    from graphlite_spark.streaming.windows import run_stream_to_memory
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox " * (2 + i % 5)).strip())
+         for i in range(40)],
+        "doc_id: long, text: string",
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    assert stream.isStreaming
+
+    exp_g = {r.doc_id: r for r in gopher_quality_filters(
+        batch, min_words=10, min_stop_words=1).collect()}
+    run_stream_to_memory(
+        gopher_quality_filters(stream, min_words=10, min_stop_words=1),
+        "gopher_stream", output_mode="append")
+    got_g = {r.doc_id: r for r in spark.table("gopher_stream").collect()}
+    assert {d: tuple(r) for d, r in got_g.items()} == \
+        {d: tuple(r) for d, r in exp_g.items()}
+    assert any(r.gopher_pass for r in exp_g.values())
+    assert any(not r.gopher_pass for r in exp_g.values())
+
+    exp_h = {r.doc_id: r.text
+             for r in extract_html_text(synth_html(batch)).collect()}
+    run_stream_to_memory(
+        extract_html_text(synth_html(stream)), "html_stream",
+        output_mode="append")
+    got_h = {r.doc_id: r.text
+             for r in spark.table("html_stream").collect()}
+    assert got_h == exp_h and len(got_h) == 40
