@@ -1702,6 +1702,42 @@ def _q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dropped_blocks").cast("long"))
 
 
+def _q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 end-to-end curation chain over the NEW operator family —
+    every stage feeds the next, so a wrong answer anywhere breaks the
+    compound oracle: synth_html -> extract_html_text (boilerplate
+    dropped, closed-form recovery) -> gopher_quality_filters (keep
+    gopher_pass at min_words=40) -> span_dedup (k=8, over the KEPT
+    docs only — dedup after filtering, the production order) ->
+    per-source report joined back to the documents table. Columns:
+    docs kept, docs carrying duplicated spans, token totals before/
+    after span removal."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import span_dedup
+    from graphlite_spark.operators.html import extract_html_text, synth_html
+    from graphlite_spark.operators.text import gopher_quality_filters
+
+    docs = _table(spark, sf_dir, "documents")
+    ext = extract_html_text(synth_html(docs)).select("doc_id", "text")
+    flags = gopher_quality_filters(ext, min_words=40, min_stop_words=1)
+    kept = ext.join(
+        flags.filter(F.col("gopher_pass")).select("doc_id"), "doc_id")
+    sd = span_dedup(kept, k=8)
+    return (
+        sd.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias("n_docs_hit"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_removed").alias("total_removed"),
+        )
+        .select("source", "n_docs_kept", "n_docs_hit",
+                "total_tokens", "total_removed")
+    )
+
+
 def _q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-set quality flags (Rae et al. 2021 A1.1) — pure
     codegen projection, no shuffle. min_words/min_stop_words adapted
@@ -2893,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_score": _q_quality,
             "gopher_quality_filters": _q_gopher_filters,
             "extract_html_roundtrip": _q_extract_html,
+            "curation_pipeline_v2": _q_curation_pipeline_v2,
             "span_dedup_exact": _q_span_dedup,
             "cap_per_source": _q_cap_per_source,
             "pack_documents_bins": _q_pack_documents,
@@ -3665,6 +3702,89 @@ def oracle_sql() -> dict[str, str]:
                        + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END)
                        + 0.3 * least(CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0.0 END * 5, 1.0), 6) AS quality
             FROM m
+        """,
+        "curation_pipeline_v2": """
+            -- compound oracle for the r7 chain: html-extract recovery
+            -- -> gopher keep -> span dedup over kept docs -> per-source
+            -- report. symbol/bullet/ellipsis gopher rules pass
+            -- identically for every row here (the corpus vocabulary
+            -- has no '#' or '...' and extracted lines start with
+            -- letters), so only the four data-dependent rules appear.
+            WITH t AS (
+                SELECT doc_id, source,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+')
+                       END AS ws0
+                FROM documents
+            ), ext AS (
+                SELECT doc_id, source,
+                       'Doc ' || doc_id
+                       || CASE WHEN len(ws0) >= 1
+                               THEN chr(10) || array_to_string(
+                                   ws0[1:CAST(ceil(len(ws0)/2.0) AS INT)],
+                                   ' ')
+                               ELSE '' END
+                       || CASE WHEN len(ws0) >= 2
+                               THEN chr(10) || array_to_string(
+                                   ws0[CAST(ceil(len(ws0)/2.0) AS INT)+1
+                                       :len(ws0)], ' ')
+                               ELSE '' END AS text
+                FROM t
+            ), ew AS (
+                SELECT doc_id, source,
+                       string_split_regex(trim(text), '\\s+') AS ws
+                FROM ext
+            ), g AS (
+                SELECT doc_id, source, ws, len(ws) AS n,
+                       list_sum(list_transform(ws, w -> length(w))) AS swl,
+                       len(list_filter(ws, w ->
+                           regexp_matches(w, '[A-Za-z]'))) AS alpha,
+                       len(list_distinct(list_filter(ws, w ->
+                           lower(w) IN ('the','be','to','of','and','that',
+                                        'have','with')))) AS stops
+                FROM ew
+            ), kept AS (
+                SELECT doc_id, source, ws
+                FROM g
+                WHERE n >= 40 AND n <= 100000
+                  AND (CAST(swl AS DOUBLE) / n) >= 3.0
+                  AND (CAST(swl AS DOUBLE) / n) <= 10.0
+                  AND (CAST(alpha AS DOUBLE) / n) >= 0.8
+                  AND stops >= 1
+            ), pos AS (
+                SELECT doc_id, ws[u.i] AS w, u.i - 1 AS p
+                FROM kept, unnest(generate_series(1, len(ws))) AS u(i)
+            ), grams AS (
+                SELECT doc_id, p,
+                       w || ' ' || lead(w, 1) OVER win
+                         || ' ' || lead(w, 2) OVER win
+                         || ' ' || lead(w, 3) OVER win
+                         || ' ' || lead(w, 4) OVER win
+                         || ' ' || lead(w, 5) OVER win
+                         || ' ' || lead(w, 6) OVER win
+                         || ' ' || lead(w, 7) OVER win AS gram
+                FROM pos
+                WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+                QUALIFY lead(w, 7) OVER win IS NOT NULL
+            ), dups AS (
+                SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1
+            ), cov AS (
+                SELECT DISTINCT doc_id, cp FROM (
+                    SELECT g2.doc_id,
+                           unnest(generate_series(g2.p, g2.p + 7)) AS cp
+                    FROM grams g2 JOIN dups USING (gram)
+                )
+            ), percov AS (
+                SELECT doc_id, count(*) AS nrem FROM cov GROUP BY doc_id
+            )
+            SELECT k.source,
+                   CAST(count(*) AS BIGINT) AS n_docs_kept,
+                   CAST(sum(CASE WHEN coalesce(nrem, 0) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+                   CAST(sum(len(k.ws)) AS BIGINT) AS total_tokens,
+                   CAST(sum(coalesce(nrem, 0)) AS BIGINT) AS total_removed
+            FROM kept k LEFT JOIN percov USING (doc_id)
+            GROUP BY k.source
         """,
         "extract_html_roundtrip": """
             -- closed-form round trip of synth_html -> extract:

@@ -77,6 +77,7 @@ HEADLINE = [
     "cap_per_source",                 # partial WindowGroupLimit cap (r7)
     "semantic_dedup_planted",         # kmeans-confined cosine dedup (r7)
     "extract_html_roundtrip",         # boilerplate removal, mapInPandas (r7)
+    "curation_pipeline_v2",           # extract->gopher->span chain (r7)
 ]
 
 
