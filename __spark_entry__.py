@@ -1702,6 +1702,17 @@ def _q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dropped_blocks").cast("long"))
 
 
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition half of the Gopher rule set at the published
+    thresholds: duplicate-line fractions, top {2,3,4}-gram character
+    fractions, duplicate {5..10}-gram coverage fractions — all
+    int/int doubles, so every fraction AND flag hash-matches the
+    DuckDB list-lambda mirror (380 pass / 120 fail at sf0.01)."""
+    from graphlite_spark.operators.text import gopher_repetition_filters
+
+    return gopher_repetition_filters(_table(spark, sf_dir, "documents"))
+
+
 def _q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-7 end-to-end curation chain over the NEW operator family —
     every stage feeds the next, so a wrong answer anywhere breaks the
@@ -2930,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_quality_filters": _q_gopher_filters,
             "extract_html_roundtrip": _q_extract_html,
             "curation_pipeline_v2": _q_curation_pipeline_v2,
+            "gopher_repetition_filters": _q_gopher_repetition,
             "span_dedup_exact": _q_span_dedup,
             "cap_per_source": _q_cap_per_source,
             "pack_documents_bins": _q_pack_documents,
@@ -3017,6 +3029,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------------------
 # DuckDB oracles
+
+
+def _gopher_repetition_oracle() -> str:
+    """DuckDB list-lambda mirror of gopher_repetition_filters at the
+    published thresholds — generated per n so the Spark expression
+    builder and this SQL stay structurally parallel. 1-based indexing:
+    word i is covered by a duplicated n-gram iff some gram starting in
+    [i-n+1, i] (clamped) has count > 1."""
+    top_t = {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_t = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    ns = sorted(set(top_t) | set(dup_t))
+    g_cols = ",\n".join(
+        f"CASE WHEN len(ws) >= {n} THEN "
+        f"list_transform(generate_series(0, len(ws) - {n}), "
+        f"p -> array_to_string(ws[p+1:p+{n}], ' ')) "
+        f"ELSE []::VARCHAR[] END AS g{n}" for n in ns)
+    c_cols = ",\n".join(
+        f"list_transform(g{n}, g -> len(list_filter(g{n}, x -> x = g))) "
+        f"AS c{n}" for n in ns)
+    frac_exprs = [
+        ("dup_line_frac", 0.30,
+         "CASE WHEN len(lines) > 0 THEN "
+         "CAST(len(list_filter(lcnt, c -> c > 1)) AS DOUBLE) / len(lines) "
+         "ELSE 0.0 END"),
+        ("dup_line_char_frac", 0.20,
+         "CASE WHEN list_sum(list_transform(lines, l -> length(l))) > 0 "
+         "THEN CAST(list_sum(list_transform(generate_series(1, len(lines)),"
+         " i -> CASE WHEN lcnt[i] > 1 THEN length(lines[i]) ELSE 0 END)) "
+         "AS DOUBLE) / list_sum(list_transform(lines, l -> length(l))) "
+         "ELSE 0.0 END"),
+    ]
+    for n, t in sorted(top_t.items()):
+        frac_exprs.append((
+            f"top{n}_gram_char_frac", t,
+            f"CASE WHEN swl > 0 AND len(g{n}) > 0 THEN "
+            f"CAST(list_max(list_transform(generate_series(1, len(g{n})), "
+            f"i -> c{n}[i] * (length(g{n}[i]) - {n - 1}))) AS DOUBLE) / swl "
+            f"ELSE 0.0 END"))
+    for n, t in sorted(dup_t.items()):
+        frac_exprs.append((
+            f"dup{n}_gram_char_frac", t,
+            f"CASE WHEN swl > 0 AND len(ws) >= {n} THEN "
+            f"CAST(list_sum(list_transform(generate_series(1, len(ws)), "
+            f"i -> CASE WHEN len(c{n}) > 0 AND len(list_filter("
+            f"c{n}[greatest(1, i - {n - 1}):least(i, len(c{n}))], "
+            f"c -> c > 1)) > 0 THEN length(ws[i]) ELSE 0 END)) AS DOUBLE) "
+            f"/ swl ELSE 0.0 END"))
+    fr_cols = ",\n".join(f"{expr} AS f_{name}"
+                         for name, _, expr in frac_exprs)
+    out_cols = []
+    pass_parts = []
+    for name, t, _ in frac_exprs:
+        out_cols.append(f"round(f_{name}, 6) AS {name}")
+        out_cols.append(f"(f_{name} <= {t}) AS {name}_ok")
+        pass_parts.append(f"f_{name} <= {t}")
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(text), '\\s+')
+                   END AS ws,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ), s2 AS (
+            SELECT doc_id, ws, lines,
+                   CAST(coalesce(list_sum(list_transform(ws,
+                        w -> length(w))), 0) AS BIGINT) AS swl,
+                   list_transform(lines, l ->
+                        len(list_filter(lines, x -> x = l))) AS lcnt,
+                   {g_cols}
+            FROM t
+        ), s3 AS (
+            SELECT doc_id, ws, lines, swl, lcnt,
+                   {c_cols},
+                   {", ".join(f"g{n}" for n in sorted(top_t))}
+            FROM s2
+        ), fr AS (
+            SELECT doc_id,
+                   {fr_cols}
+            FROM s3
+        )
+        SELECT doc_id,
+               {", ".join(out_cols)},
+               ({" AND ".join(pass_parts)}) AS repetition_pass
+        FROM fr
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3703,6 +3801,7 @@ def oracle_sql() -> dict[str, str]:
                        + 0.3 * least(CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0.0 END * 5, 1.0), 6) AS quality
             FROM m
         """,
+        "gopher_repetition_filters": _gopher_repetition_oracle(),
         "curation_pipeline_v2": """
             -- compound oracle for the r7 chain: html-extract recovery
             -- -> gopher keep -> span dedup over kept docs -> per-source

@@ -758,3 +758,130 @@ def gopher_quality_filters(
         passed = flag if passed is None else (passed & flag)
     out.append(passed.alias("gopher_pass"))
     return df.select(*out)
+
+
+# published thresholds (Rae et al. 2021, Table A1): a doc FAILS a rule
+# when its measured fraction exceeds the threshold
+GOPHER_TOP_GRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_GRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13,
+                              8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    top_gram_thresholds: dict[int, float] | None = None,
+    dup_gram_thresholds: dict[int, float] | None = None,
+) -> DataFrame:
+    """The REPETITION half of the Gopher rule set (Rae et al. 2021
+    A1.1; gopher_quality_filters is the quality half): per document,
+
+    - duplicate LINE fraction (lines occurring more than once / lines)
+      and duplicate-line CHARACTER fraction;
+    - top n-gram character fraction for n in {2,3,4}: chars inside all
+      occurrences of the single most frequent word n-gram / word chars;
+    - duplicate n-gram character fraction for n in {5..10}: chars at
+      word positions covered by ANY n-gram that occurs more than once
+      within the document / word chars.
+
+    Entirely per-doc array expressions (split + hoisted gram/count
+    columns + zip_with/aggregate lambdas): map-side, zero shuffle —
+    the occurrence counting is O(G²) per doc in the gram count G,
+    which is the right trade below ~10^4-word documents (the regime
+    the published thresholds target); book-length inputs should chunk
+    first (chunk_documents). Every fraction is an int/int double, so
+    the flags are exactly reproducible in the SQL oracle.
+
+    Returns the measured fractions (rounded 6 for display), one ok
+    flag per rule (computed on the unrounded values), and
+    ``repetition_pass`` = AND of all flags.
+    """
+    top_t = dict(GOPHER_TOP_GRAM_THRESHOLDS if top_gram_thresholds is None
+                 else top_gram_thresholds)
+    dup_t = dict(GOPHER_DUP_GRAM_THRESHOLDS if dup_gram_thresholds is None
+                 else dup_gram_thresholds)
+    txt = F.col(text_col)
+    stage1 = df.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(txt)) == 0,
+               F.array().cast("array<string>"))
+        .otherwise(F.split(F.trim(txt), r"\s+")).alias("_ws"),
+        F.split(txt, r"\n").alias("_lines"),
+    )
+    stage2 = stage1.select(
+        id_col, "_ws", "_lines",
+        F.expr("aggregate(_ws, 0L, (a, w) -> a + length(w))").alias("_swl"),
+        F.expr("transform(_lines, l -> "
+               "size(filter(_lines, x -> x = l)))").alias("_lcnt"),
+        *[
+            F.expr(
+                f"CASE WHEN size(_ws) >= {n} THEN "
+                f"transform(sequence(0, size(_ws) - {n}), "
+                f"p -> concat_ws(' ', slice(_ws, p + 1, {n}))) "
+                f"ELSE array() END"
+            ).alias(f"_g{n}")
+            for n in sorted(set(top_t) | set(dup_t))
+        ],
+    )
+    stage3 = stage2.select(
+        id_col, "_ws", "_lines", "_swl", "_lcnt",
+        *[
+            F.expr(f"transform(_g{n}, g -> "
+                   f"size(filter(_g{n}, x -> x = g)))").alias(f"_c{n}")
+            for n in sorted(set(top_t) | set(dup_t))
+        ],
+        *[F.col(f"_g{n}") for n in sorted(top_t)],
+    )
+    # measured fractions, all guarded for empty denominators
+    line_chars = "aggregate(_lines, 0L, (a, l) -> a + length(l))"
+    dup_line_chars = (
+        "aggregate(zip_with(_lines, _lcnt, (l, c) -> "
+        "IF(c > 1, length(l), 0L)), 0L, (a, x) -> a + x)")
+    frac_cols = {
+        "dup_line_frac": F.expr(
+            "CASE WHEN size(_lines) > 0 THEN "
+            "CAST(size(filter(_lcnt, c -> c > 1)) AS DOUBLE) / size(_lines) "
+            "ELSE 0.0 END"),
+        "dup_line_char_frac": F.expr(
+            f"CASE WHEN {line_chars} > 0 THEN "
+            f"CAST({dup_line_chars} AS DOUBLE) / {line_chars} "
+            f"ELSE 0.0 END"),
+    }
+    for n in sorted(top_t):
+        frac_cols[f"top{n}_gram_char_frac"] = F.expr(
+            f"CASE WHEN _swl > 0 AND size(_g{n}) > 0 THEN "
+            f"CAST(array_max(zip_with(_g{n}, _c{n}, "
+            f"(g, c) -> c * (length(g) - {n - 1}))) AS DOUBLE) / _swl "
+            f"ELSE 0.0 END")
+    for n in sorted(dup_t):
+        # word position i is covered iff some duplicated n-gram starts
+        # in [i-n+1, i] (clamped); sum covered word chars
+        covered = (
+            f"aggregate(sequence(0, size(_ws) - 1), 0L, (a, i) -> a + "
+            f"IF(size(_c{n}) > 0 AND exists(slice(_c{n}, "
+            f"greatest(0, i - {n - 1}) + 1, "
+            f"least(i, size(_c{n}) - 1) - greatest(0, i - {n - 1}) + 1), "
+            f"c -> c > 1), length(element_at(_ws, i + 1)), 0L))")
+        frac_cols[f"dup{n}_gram_char_frac"] = F.expr(
+            f"CASE WHEN _swl > 0 AND size(_ws) >= {n} THEN "
+            f"CAST({covered} AS DOUBLE) / _swl ELSE 0.0 END")
+    stage4 = stage3.select(
+        id_col, *[c.alias(f"_f_{name}") for name, c in frac_cols.items()])
+    thresholds = {"dup_line_frac": max_dup_line_frac,
+                  "dup_line_char_frac": max_dup_line_char_frac}
+    for n, t in top_t.items():
+        thresholds[f"top{n}_gram_char_frac"] = t
+    for n, t in dup_t.items():
+        thresholds[f"dup{n}_gram_char_frac"] = t
+    out = [F.col(id_col)]
+    passed = None
+    for name in frac_cols:
+        flag = F.col(f"_f_{name}") <= F.lit(thresholds[name])
+        out.append(F.round(F.col(f"_f_{name}"), 6).alias(name))
+        out.append(flag.alias(f"{name}_ok"))
+        passed = flag if passed is None else (passed & flag)
+    out.append(passed.alias("repetition_pass"))
+    return stage4.select(*out)

@@ -1608,3 +1608,33 @@ def test_extract_html_text(spark):
         extract_html_text(df, max_link_density=1.5)
     with pytest.raises(ValueError, match="on_error"):
         extract_html_text(df, on_error="ignore")
+
+
+def test_gopher_repetition_filters(spark):
+    from graphlite_spark.operators.text import gopher_repetition_filters
+
+    df = spark.createDataFrame([
+        (1, "spam spam spam spam spam spam"),
+        (2, "a b c d e f g h a b c d e f g h x y z"),
+        (3, "line one\nline one\nline two"),
+        (4, ""),
+        (5, " ".join(f"w{i}" for i in range(40))),   # all-distinct
+    ], "doc_id: long, text: string")
+    rows = {r.doc_id: r for r in gopher_repetition_filters(df).collect()}
+    # "spam spam" occurs 5x, 8 word-chars per occurrence, 24 total
+    assert rows[1].top2_gram_char_frac == pytest.approx(5 * 8 / 24, abs=1e-6)
+    assert not rows[1].top2_gram_char_frac_ok
+    assert not rows[1].repetition_pass
+    # duplicated 8-gram at positions 0 and 8 covers words 0..15 (16 of
+    # 19 single-char words)
+    assert rows[2].dup8_gram_char_frac == pytest.approx(16 / 19, abs=1e-6)
+    assert not rows[2].dup8_gram_char_frac_ok
+    # 2 of 3 lines duplicated; 16 of 24 line chars
+    assert rows[3].dup_line_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[3].dup_line_char_frac == pytest.approx(16 / 24, abs=1e-6)
+    assert not rows[3].repetition_pass
+    # empty doc passes everything
+    assert rows[4].repetition_pass
+    # long all-distinct doc: every dup rule 0, top-gram share tiny
+    assert rows[5].repetition_pass
+    assert rows[5].dup5_gram_char_frac == 0.0
