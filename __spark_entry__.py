@@ -3048,6 +3048,8 @@ def _gopher_repetition_oracle() -> str:
     c_cols = ",\n".join(
         f"list_transform(g{n}, g -> len(list_filter(g{n}, x -> x = g))) "
         f"AS c{n}" for n in ns)
+    m_cols = ",\n".join(
+        f"list_max(c{n}) AS m{n}" for n in sorted(top_t))
     frac_exprs = [
         ("dup_line_frac", 0.30,
          "CASE WHEN len(lines) > 0 THEN "
@@ -3061,11 +3063,16 @@ def _gopher_repetition_oracle() -> str:
          "ELSE 0.0 END"),
     ]
     for n, t in sorted(top_t.items()):
+        # char share of the MOST FREQUENT gram only (frequency ties
+        # break to the largest char footprint), mirroring the Spark
+        # _m{n} restriction
         frac_exprs.append((
             f"top{n}_gram_char_frac", t,
             f"CASE WHEN swl > 0 AND len(g{n}) > 0 THEN "
             f"CAST(list_max(list_transform(generate_series(1, len(g{n})), "
-            f"i -> c{n}[i] * (length(g{n}[i]) - {n - 1}))) AS DOUBLE) / swl "
+            f"i -> CASE WHEN c{n}[i] = m{n} THEN "
+            f"c{n}[i] * (length(g{n}[i]) - {n - 1}) ELSE 0 END)) "
+            f"AS DOUBLE) / swl "
             f"ELSE 0.0 END"))
     for n, t in sorted(dup_t.items()):
         frac_exprs.append((
@@ -3105,10 +3112,14 @@ def _gopher_repetition_oracle() -> str:
                    {c_cols},
                    {", ".join(f"g{n}" for n in sorted(top_t))}
             FROM s2
+        ), s4 AS (
+            SELECT *,
+                   {m_cols}
+            FROM s3
         ), fr AS (
             SELECT doc_id,
                    {fr_cols}
-            FROM s3
+            FROM s4
         )
         SELECT doc_id,
                {", ".join(out_cols)},

@@ -282,6 +282,8 @@ def _coarse_kmeans(it: DataFrame, n_lists: int):
         .limit(n_lists)
         .collect()
     )
+    if not seeds:
+        return None, None
     cents = np.array([r["_iv"] for r in seeds], dtype="float64")
     cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
@@ -351,6 +353,12 @@ def semantic_dedup(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
     )
     cents, make_assign = _coarse_kmeans(it, n_lists)
+    if cents is None:
+        # empty corpus: the identity mapping on zero rows, not a
+        # numpy shape error from the seed sample
+        return items.select(
+            F.col(id_col).alias(id_col),
+            F.col(id_col).alias("canonical_id"))
     assigned = it.withColumn(
         "_list", make_assign(cents, 1)(F.col("_iv"))[0]
     ).localCheckpoint(eager=False)
@@ -358,11 +366,16 @@ def semantic_dedup(
                         F.col("_iv").alias("_va"))
     b = assigned.select(F.col("_list"), F.col("_iid").alias("_ib"),
                         F.col("_iv").alias("_vb"))
+    # the per-list block join is the heaviest stage and feeds BOTH
+    # sides of the touched union plus connected_components' internal
+    # checkpoints — lazy-cut it once (the span_dedup multiple-consumer
+    # lesson: identical stages re-execute per consumer otherwise)
     pairs = (
         a.join(b, "_list")
         .filter(F.col("_ia") < F.col("_ib"))
         .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
         .select(F.col("_ia").alias("_src"), F.col("_ib").alias("_dst"))
+        .localCheckpoint(eager=False)
     )
     from .paths import connected_components
 
@@ -408,6 +421,8 @@ def ivf_topk(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
     )
     cents, make_assign = _coarse_kmeans(it, n_lists)
+    if cents is None:
+        raise ValueError("ivf_topk: items frame is empty — nothing to index")
     items_assigned = it.withColumn(
         "_list", make_assign(cents, 1)(F.col("_iv"))[0]
     )

@@ -782,7 +782,10 @@ def gopher_repetition_filters(
     - duplicate LINE fraction (lines occurring more than once / lines)
       and duplicate-line CHARACTER fraction;
     - top n-gram character fraction for n in {2,3,4}: chars inside all
-      occurrences of the single most frequent word n-gram / word chars;
+      occurrences of the single MOST FREQUENT word n-gram / word chars
+      (ties on frequency break to the gram with the largest char
+      footprint — deterministic, and a rarer-but-longer gram never
+      wins over the most frequent one);
     - duplicate n-gram character fraction for n in {5..10}: chars at
       word positions covered by ANY n-gram that occurs more than once
       within the document / word chars.
@@ -835,6 +838,14 @@ def gopher_repetition_filters(
         ],
         *[F.col(f"_g{n}") for n in sorted(top_t)],
     )
+    # hoist each top-n max count to a column: referencing
+    # array_max(_c{n}) inside the zip_with lambda below would
+    # re-evaluate it per element (the recurring lambda-inlining trap)
+    stage3 = stage3.select(
+        "*",
+        *[F.expr(f"array_max(_c{n})").alias(f"_m{n}")
+          for n in sorted(top_t)],
+    )
     # measured fractions, all guarded for empty denominators
     line_chars = "aggregate(_lines, 0L, (a, l) -> a + length(l))"
     dup_line_chars = (
@@ -851,10 +862,15 @@ def gopher_repetition_filters(
             f"ELSE 0.0 END"),
     }
     for n in sorted(top_t):
+        # the rule is the char share of the MOST FREQUENT n-gram —
+        # restrict to grams at the max count, THEN take the largest
+        # char footprint (deterministic tiebreak among equally-
+        # frequent grams; a rarer-but-longer gram must not win)
         frac_cols[f"top{n}_gram_char_frac"] = F.expr(
             f"CASE WHEN _swl > 0 AND size(_g{n}) > 0 THEN "
             f"CAST(array_max(zip_with(_g{n}, _c{n}, "
-            f"(g, c) -> c * (length(g) - {n - 1}))) AS DOUBLE) / _swl "
+            f"(g, c) -> IF(c = _m{n}, c * (length(g) - {n - 1}), 0L))) "
+            f"AS DOUBLE) / _swl "
             f"ELSE 0.0 END")
     for n in sorted(dup_t):
         # word position i is covered iff some duplicated n-gram starts

@@ -1638,3 +1638,27 @@ def test_gopher_repetition_filters(spark):
     # long all-distinct doc: every dup rule 0, top-gram share tiny
     assert rows[5].repetition_pass
     assert rows[5].dup5_gram_char_frac == 0.0
+
+
+def test_gopher_top_gram_is_most_frequent(spark):
+    # a rarer-but-longer 2-gram must NOT beat the most frequent one:
+    # 'of the' x4 (4*5=20 chars) vs 'internationalization considerations'
+    # x2 (2*34=68 chars) — the rule takes the most frequent gram's share
+    from graphlite_spark.operators.text import gopher_repetition_filters
+
+    text = ("of the x1 of the x2 of the x3 of the "
+            "internationalization considerations y "
+            "internationalization considerations")
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    r = gopher_repetition_filters(df).first()
+    swl = sum(len(w) for w in text.split())
+    assert r.top2_gram_char_frac == pytest.approx(4 * 5 / swl, abs=1e-6)
+
+
+def test_semantic_dedup_empty_input(spark):
+    from graphlite_spark.operators.similarity import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id: long, embedding: array<double>")
+    out = semantic_dedup(empty, threshold=0.9)
+    assert out.columns == ["vec_id", "canonical_id"]
+    assert out.count() == 0
