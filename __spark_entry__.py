@@ -1411,6 +1411,37 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("canonical_id").cast("long"))
 
 
+def _q_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED Louvain on a planted chain of supplier triples:
+    within-triple edges w=10, triple-to-triple links w=0.1 — the
+    weak links separate communities only because the gain criterion
+    sees weights (unweighted, the graph is one path). Closed form:
+    community = 3 * (k / 3). Capped at 240 suppliers: past ~400
+    triples the resolution limit would merge across the weak links
+    (gain = 0.1 - tot^2/2m turns positive), same device as the
+    unweighted louvain cap."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import louvain_communities
+
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg((3 * (F.least(F.count(F.lit(1)), F.lit(240)) / 3)
+                   .cast("long")).alias("_cap"))
+    base = sup.crossJoin(F.broadcast(cap)).filter(F.col("k") < F.col("_cap"))
+    edges = base.filter(F.col("k") + 1 < F.col("_cap")).select(
+        F.col("k").alias("_src"),
+        (F.col("k") + 1).alias("_dst"),
+        F.when(F.col("k") % 3 < 2, F.lit(10.0))
+        .otherwise(F.lit(0.1)).alias("weight"),
+    )
+    nodes = base.select(F.col("k").alias("id"))
+    out = louvain_communities(edges, nodes, max_levels=3, max_rounds=30,
+                              weight_col="weight")
+    return out.select(F.col("node").cast("long"),
+                      F.col("community").cast("long"))
+
+
 def _q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest-path topological layering over the acyclic FOLLOWS
     chains: each user's events are a simple chain, so layer = position
@@ -2955,6 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "modularity_nation_cliques": _q_modularity_nation_cliques,
             "louvain_two_scale": _q_louvain_two_scale,
             "semantic_dedup_planted": _q_semantic_dedup,
+            "louvain_weighted_triples": _q_louvain_weighted,
             "dag_layers_follows": _q_dag_layers,
             "cosine_dup_pairs": _q_cosine_dup,
             "cosine_dup_lsh_audit": _q_cosine_dup_lsh,
@@ -5688,6 +5720,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(100000 + g AS BIGINT) AS vec_id,
                    CAST(100000 + g AS BIGINT) AS canonical_id
             FROM (SELECT DISTINCT k // 4 AS g FROM members)
+        """,
+        "louvain_weighted_triples": """
+            -- weighted chain of triples (10/10 within, 0.1 between):
+            -- community = first member of the triple; capped at 240
+            SELECT CAST(s_suppkey AS BIGINT) AS node,
+                   CAST((s_suppkey // 3) * 3 AS BIGINT) AS community
+            FROM supplier
+            WHERE s_suppkey < 3 * (least((SELECT count(*) FROM supplier),
+                                         240) // 3)
         """,
         "louvain_two_scale": """
             -- planted two-scale structure: full Louvain folds each

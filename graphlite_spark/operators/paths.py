@@ -986,10 +986,38 @@ def label_propagation(
     return labels
 
 
+def _canon_undirected_weighted(edges: DataFrame,
+                               weight_col: str | None) -> DataFrame:
+    """Canonical undirected (_lo, _hi, w) view shared by the
+    modularity family: self-loops dropped; unweighted edges dedupe to
+    w=1 simple edges, weighted ones SUM parallel-edge weights
+    (multigraph semantics — an edge listed twice counts double, the
+    standard weighted-modularity reading)."""
+    lo = F.least(F.col(SRC), F.col(DST))
+    hi = F.greatest(F.col(SRC), F.col(DST))
+    if weight_col is None:
+        return (
+            edges.select(lo.alias("_lo"), hi.alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .distinct()
+            .select("_lo", "_hi", F.lit(1.0).alias("w"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.select(lo.alias("_lo"), hi.alias("_hi"),
+                     F.col(weight_col).cast("double").alias("w"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .groupBy("_lo", "_hi")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def modularity_communities(
     edges: DataFrame,
     nodes: DataFrame,
     max_rounds: int = 20,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, community): quality-function community detection — one
     Louvain level of synchronous modularity-gain moves over the
@@ -1038,15 +1066,7 @@ def modularity_communities(
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     id_col = nodes.columns[0]
-    lo = F.least(F.col(SRC), F.col(DST))
-    hi = F.greatest(F.col(SRC), F.col(DST))
-    canon = (
-        edges.select(lo.alias("_lo"), hi.alias("_hi"))
-        .filter(F.col("_lo") != F.col("_hi"))
-        .distinct()
-        .select("_lo", "_hi", F.lit(1.0).alias("w"))
-        .localCheckpoint(eager=False)
-    )
+    canon = _canon_undirected_weighted(edges, weight_col)
     node_ids = nodes.select(
         F.col(id_col).cast("long").alias("node")).distinct()
     m = canon.agg(F.sum("w")).collect()[0][0]
@@ -1210,6 +1230,7 @@ def louvain_communities(
     nodes: DataFrame,
     max_levels: int = 3,
     max_rounds: int = 20,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, community): FULL multi-level Louvain — repeat [weighted
     local moves -> aggregate communities into supernodes] until a
@@ -1229,15 +1250,7 @@ def louvain_communities(
     if max_levels < 1:
         raise ValueError(f"max_levels must be >= 1, got {max_levels}")
     id_col = nodes.columns[0]
-    lo = F.least(F.col(SRC), F.col(DST))
-    hi = F.greatest(F.col(SRC), F.col(DST))
-    canon = (
-        edges.select(lo.alias("_lo"), hi.alias("_hi"))
-        .filter(F.col("_lo") != F.col("_hi"))
-        .distinct()
-        .select("_lo", "_hi", F.lit(1.0).alias("w"))
-        .localCheckpoint(eager=False)
-    )
+    canon = _canon_undirected_weighted(edges, weight_col)
     orig = nodes.select(F.col(id_col).cast("long").alias("node")).distinct()
     mapping = orig.select("node", F.col("node").alias("cur")) \
         .localCheckpoint(eager=False)

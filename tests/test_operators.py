@@ -1662,3 +1662,47 @@ def test_semantic_dedup_empty_input(spark):
     out = semantic_dedup(empty, threshold=0.9)
     assert out.columns == ["vec_id", "canonical_id"]
     assert out.count() == 0
+
+
+def test_modularity_weighted_edges(spark):
+    from graphlite_spark.operators.paths import (
+        louvain_communities,
+        modularity_communities,
+    )
+
+    # weighted path a-b (10), b-c (0.1), c-d (10): the weak middle
+    # edge separates {a,b} from {c,d}; unweighted the same 3-edge path
+    # has no such signal
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id: long")
+    edges = spark.createDataFrame(
+        [(0, 1, 10.0), (1, 2, 0.1), (2, 3, 10.0)],
+        "_src: long, _dst: long, weight: double",
+    )
+    got = {r.node: r.community for r in modularity_communities(
+        edges, nodes, weight_col="weight").collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2}
+    lv = {r.node: r.community for r in louvain_communities(
+        edges, nodes, weight_col="weight").collect()}
+    assert lv == {0: 0, 1: 0, 2: 2, 3: 2}
+
+    # weight-scale invariance: gains scale linearly, partition is
+    # identical under w -> 1000*w
+    from pyspark.sql import functions as F
+
+    scaled = edges.withColumn("weight", F.col("weight") * 1000.0)
+    got2 = {r.node: r.community for r in modularity_communities(
+        scaled, nodes, weight_col="weight").collect()}
+    assert got2 == got
+
+    # parallel edges SUM: edge (1,2) listed 100x at w=0.1 == one edge
+    # at w=10, which flips the weak link into a strong one
+    many = edges.unionByName(spark.createDataFrame(
+        [(1, 2, 0.1)] * 99, "_src: long, _dst: long, weight: double"))
+    one = spark.createDataFrame(
+        [(0, 1, 10.0), (1, 2, 10.0), (2, 3, 10.0)],
+        "_src: long, _dst: long, weight: double")
+    got_many = {r.node: r.community for r in modularity_communities(
+        many, nodes, weight_col="weight").collect()}
+    got_one = {r.node: r.community for r in modularity_communities(
+        one, nodes, weight_col="weight").collect()}
+    assert got_many == got_one
