@@ -78,6 +78,7 @@ HEADLINE = [
     "semantic_dedup_planted",         # kmeans-confined cosine dedup (r7)
     "extract_html_roundtrip",         # boilerplate removal, mapInPandas (r7)
     "curation_pipeline_v2",           # extract->gopher->span chain (r7)
+    "gopher_repetition_filters",      # O(G^2)-per-doc array lambdas (r7)
 ]
 
 
