@@ -1411,6 +1411,54 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("canonical_id").cast("long"))
 
 
+def _q_pagerank_weighted_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank algebra proof: out-neighbor shares are w/Σw
+    (weights = min l_quantity per edge), 2 iterations unrolled in the
+    oracle. Pins the weighted update rule exactly."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import pagerank
+
+    li = _table(spark, sf_dir, "lineitem")
+    e = li.groupBy(
+        (F.col("l_partkey") % 100).alias("_src"),
+        (F.col("l_suppkey") % 100).alias("_dst"),
+    ).agg(F.min("l_quantity").cast("double").alias("w"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    r = pagerank(e, nodes, num_iter=2, weight_col="w")
+    return r.select(F.col("node").cast("long"),
+                    F.round("rank", 4).alias("rank"))
+
+
+def _q_pagerank_personalized_2iter(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart to a seed set):
+    teleport AND dangling mass go to seeds (nodes < 10) uniformly,
+    init = the teleport vector; 2 iterations unrolled in the oracle."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import pagerank
+
+    li = _table(spark, sf_dir, "lineitem")
+    e = li.select(
+        (F.col("l_partkey") % 100).alias("_src"),
+        (F.col("l_suppkey") % 100).alias("_dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") < 10)
+    r = pagerank(e, nodes, num_iter=2, reset=seeds)
+    return r.select(F.col("node").cast("long"),
+                    F.round("rank", 4).alias("rank"))
+
+
 def _q_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED Louvain on a planted chain of supplier triples:
     within-triple edges w=10, triple-to-triple links w=0.1 — the
@@ -2987,6 +3035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "louvain_two_scale": _q_louvain_two_scale,
             "semantic_dedup_planted": _q_semantic_dedup,
             "louvain_weighted_triples": _q_louvain_weighted,
+            "pagerank_weighted_2iter": _q_pagerank_weighted_2iter,
+            "pagerank_personalized_2iter": _q_pagerank_personalized_2iter,
             "dag_layers_follows": _q_dag_layers,
             "cosine_dup_pairs": _q_cosine_dup,
             "cosine_dup_lsh_audit": _q_cosine_dup_lsh,
@@ -4875,6 +4925,98 @@ def oracle_sql() -> dict[str, str]:
                            AS rank
                 FROM nodes CROSS JOIN nn CROSS JOIN d2
                 LEFT JOIN c2 ON c2.node = nodes.node)
+            SELECT node, round(rank, 4) AS rank FROM r2 ORDER BY node
+        """,
+        "pagerank_weighted_2iter": """
+            -- weighted shares w/sum(w); same unrolled recursion as
+            -- pagerank_2iter otherwise
+            WITH e AS (
+                SELECT l_partkey % 100 AS a, l_suppkey % 100 AS b,
+                       CAST(min(l_quantity) AS DOUBLE) AS w
+                FROM lineitem GROUP BY 1, 2),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT a, sum(w) AS deg FROM e GROUP BY 1),
+            r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+            d1 AS (
+                SELECT coalesce(sum(r0.rank), 0.0) AS dang
+                FROM r0 LEFT JOIN deg ON r0.node = deg.a WHERE deg.a IS NULL),
+            c1 AS (
+                SELECT e.b AS node, sum(r0.rank * e.w / deg.deg) AS in_rank
+                FROM r0 JOIN deg ON r0.node = deg.a JOIN e ON e.a = r0.node
+                GROUP BY 1),
+            r1 AS (
+                SELECT nodes.node,
+                       (1.0 - 0.85) * (1.0 / nn.n)
+                       + 0.85 * (coalesce(c1.in_rank, 0.0)
+                                 + d1.dang * (1.0 / nn.n)) AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d1
+                LEFT JOIN c1 ON c1.node = nodes.node),
+            d2 AS (
+                SELECT coalesce(sum(r1.rank), 0.0) AS dang
+                FROM r1 LEFT JOIN deg ON r1.node = deg.a WHERE deg.a IS NULL),
+            c2 AS (
+                SELECT e.b AS node, sum(r1.rank * e.w / deg.deg) AS in_rank
+                FROM r1 JOIN deg ON r1.node = deg.a JOIN e ON e.a = r1.node
+                GROUP BY 1),
+            r2 AS (
+                SELECT nodes.node,
+                       (1.0 - 0.85) * (1.0 / nn.n)
+                       + 0.85 * (coalesce(c2.in_rank, 0.0)
+                                 + d2.dang * (1.0 / nn.n)) AS rank
+                FROM nodes CROSS JOIN nn CROSS JOIN d2
+                LEFT JOIN c2 ON c2.node = nodes.node)
+            SELECT node, round(rank, 4) AS rank FROM r2 ORDER BY node
+        """,
+        "pagerank_personalized_2iter": """
+            -- random walk with restart: teleport vector t = 1/|S| on
+            -- seeds (node < 10), 0 elsewhere; init = t; dangling mass
+            -- redistributes over t
+            WITH e AS (
+                SELECT DISTINCT l_partkey % 100 AS a, l_suppkey % 100 AS b
+                FROM lineitem),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+            ss AS (SELECT CAST(count(*) AS DOUBLE) AS s
+                   FROM nodes WHERE node < 10),
+            t AS (SELECT node,
+                         CASE WHEN node < 10 THEN 1.0 / ss.s
+                              ELSE 0.0 END AS t
+                  FROM nodes, ss),
+            deg AS (SELECT a, CAST(count(*) AS DOUBLE) AS deg
+                    FROM e GROUP BY 1),
+            r0 AS (SELECT node, t AS rank FROM t),
+            d1 AS (
+                SELECT coalesce(sum(r0.rank), 0.0) AS dang
+                FROM r0 LEFT JOIN deg ON r0.node = deg.a WHERE deg.a IS NULL),
+            c1 AS (
+                SELECT e.b AS node, sum(r0.rank / deg.deg) AS in_rank
+                FROM r0 JOIN deg ON r0.node = deg.a JOIN e ON e.a = r0.node
+                GROUP BY 1),
+            r1 AS (
+                SELECT t.node,
+                       (1.0 - 0.85) * t.t
+                       + 0.85 * (coalesce(c1.in_rank, 0.0)
+                                 + d1.dang * t.t) AS rank
+                FROM t CROSS JOIN d1
+                LEFT JOIN c1 ON c1.node = t.node),
+            d2 AS (
+                SELECT coalesce(sum(r1.rank), 0.0) AS dang
+                FROM r1 LEFT JOIN deg ON r1.node = deg.a WHERE deg.a IS NULL),
+            c2 AS (
+                SELECT e.b AS node, sum(r1.rank / deg.deg) AS in_rank
+                FROM r1 JOIN deg ON r1.node = deg.a JOIN e ON e.a = r1.node
+                GROUP BY 1),
+            r2 AS (
+                SELECT t.node,
+                       (1.0 - 0.85) * t.t
+                       + 0.85 * (coalesce(c2.in_rank, 0.0)
+                                 + d2.dang * t.t) AS rank
+                FROM t CROSS JOIN d2
+                LEFT JOIN c2 ON c2.node = t.node)
             SELECT node, round(rank, 4) AS rank FROM r2 ORDER BY node
         """,
         "weighted_sssp_bounded": """

@@ -587,37 +587,65 @@ def pagerank(
     nodes: DataFrame,
     num_iter: int = 10,
     damping: float = 0.85,
+    weight_col: str | None = None,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank): power-iteration PageRank over directed edges,
     sum of ranks normalized to 1. Beyond the reference's operation set
     (its GraphIndexScan stops at reachability); included because rank
     is the standard companion to components in pipeline curation.
 
+    ``weight_col``: out-neighbor shares become w/Σw instead of
+    1/out-degree (weights must be positive; non-positive edges are
+    dropped). ``reset``: a single-column seed frame switches to
+    PERSONALIZED PageRank — teleport AND dangling mass go to the seed
+    set uniformly (t(v) = 1/|S| on seeds, 0 elsewhere; init = t), the
+    random-walk-with-restart used for seed-centric recommendation.
+
     Each round is two shuffles (contribution groupBy + rank join).
-    No driver barrier anywhere in the loop: node count and per-round
-    dangling mass are 1x1 aggregate frames broadcast-crossJoined into
-    the rank update (the same hoist the compiler applies to scalar
-    subqueries), and lineage is cut with LAZY localCheckpoint — each
-    round materializes exactly once when the final action runs, not as
-    10 sequential driver jobs. Edge weights are uniform (1/out-degree)
-    — the GraphX convention.
+    No driver barrier anywhere in the loop: node count / seed count
+    and per-round dangling mass are 1x1 aggregate frames
+    broadcast-crossJoined into the rank update (the same hoist the
+    compiler applies to scalar subqueries), and lineage is cut with
+    LAZY localCheckpoint — each round materializes exactly once when
+    the final action runs, not as 10 sequential driver jobs.
     """
     from pyspark.sql.functions import broadcast
 
     id_col = nodes.columns[0]
-    e = edges.select(F.col(SRC).alias("_a"), F.col(DST).alias("_b"))
-    deg = e.groupBy("_a").agg(F.count(F.lit(1)).alias("_deg"))
+    if weight_col is None:
+        e = edges.select(F.col(SRC).alias("_a"), F.col(DST).alias("_b"),
+                         F.lit(1.0).alias("_w"))
+    else:
+        e = edges.select(
+            F.col(SRC).alias("_a"), F.col(DST).alias("_b"),
+            F.col(weight_col).cast("double").alias("_w"),
+        ).filter(F.col("_w") > 0)
+    deg = e.groupBy("_a").agg(F.sum("_w").alias("_deg"))
     # 1x1 node-count frame (replaces a driver-side nodes.count())
     n_tot = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    ranks = (
-        nodes.select(F.col(id_col).alias("node"))
-        .crossJoin(broadcast(n_tot))
-        .select("node", (F.lit(1.0) / F.col("_n")).alias("rank"))
-    )
+    base = nodes.select(F.col(id_col).alias("node"))
+    if reset is None:
+        # uniform teleport: t(v) = 1/n for every node
+        tvec = base.crossJoin(broadcast(n_tot)) \
+            .select("node", (F.lit(1.0) / F.col("_n")).alias("_t"))
+    else:
+        seeds = reset.select(
+            F.col(reset.columns[0]).alias("node")).distinct()
+        s_tot = seeds.agg(F.count(F.lit(1)).cast("double").alias("_s"))
+        tvec = (
+            base.join(seeds.withColumn("_is", F.lit(1)), "node", "left")
+            .crossJoin(broadcast(s_tot))
+            .select("node", F.when(F.col("_is").isNotNull(),
+                                   F.lit(1.0) / F.col("_s"))
+                    .otherwise(F.lit(0.0)).alias("_t"))
+        )
+    tvec = tvec.localCheckpoint(eager=False)
+    ranks = tvec.select("node", F.col("_t").alias("rank"))
     for _ in range(num_iter):
         with_deg = ranks.join(deg, ranks["node"] == deg["_a"], "left").drop("_a")
-        # dangling mass: ranks of nodes with no out-edges, spread uniformly.
-        # Stays distributed as a broadcast 1x1 frame.
+        # dangling mass: ranks of nodes with no out-edges, spread over
+        # the teleport vector. Stays distributed as a broadcast 1x1.
         dangling = (
             with_deg.filter(F.col("_deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
@@ -625,23 +653,22 @@ def pagerank(
         contribs = (
             with_deg.filter(F.col("_deg").isNotNull())
             .join(e, with_deg["node"] == e["_a"], "inner")
-            .select(F.col("_b").alias("node"), (F.col("rank") / F.col("_deg")).alias("c"))
+            .select(F.col("_b").alias("node"),
+                    (F.col("rank") * F.col("_w") / F.col("_deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_rank"))
         )
         ranks = (
-            nodes.select(F.col(id_col).alias("node"))
-            .join(contribs, "node", "left")
+            tvec.join(contribs, "node", "left")
             .crossJoin(broadcast(dangling))
-            .crossJoin(broadcast(n_tot))
             .select(
                 "node",
                 (
-                    (F.lit(1.0) - F.lit(damping)) / F.col("_n")
+                    (F.lit(1.0) - F.lit(damping)) * F.col("_t")
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("in_rank"), F.lit(0.0))
-                        + F.col("_dang") / F.col("_n")
+                        + F.col("_dang") * F.col("_t")
                     )
                 ).alias("rank"),
             )

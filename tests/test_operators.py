@@ -1706,3 +1706,73 @@ def test_modularity_weighted_edges(spark):
     got_one = {r.node: r.community for r in modularity_communities(
         one, nodes, weight_col="weight").collect()}
     assert got_many == got_one
+
+
+def test_pagerank_weighted_personalized_numpy_parity(spark):
+    import numpy as np
+
+    from graphlite_spark.operators.paths import pagerank
+
+    rng = np.random.RandomState(11)
+    n = 25
+    seen = {}
+    for _ in range(80):
+        a, b = rng.randint(0, n, 2)
+        if a != b and (int(a), int(b)) not in seen:
+            seen[(int(a), int(b))] = float(rng.randint(1, 6))
+    edge_list = sorted((a, b, w) for (a, b), w in seen.items())
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id: long")
+    edges = spark.createDataFrame(edge_list,
+                                  "_src: long, _dst: long, w: double")
+    d, iters = 0.85, 6
+
+    def np_pr(weighted, seeds=None):
+        W = np.zeros((n, n))
+        for a, b, w in edge_list:
+            W[a, b] += w if weighted else (1.0 if W[a, b] == 0 else 0.0)
+        if not weighted:
+            W = np.zeros((n, n))
+            for a, b, _ in edge_list:
+                W[a, b] = 1.0
+        out = W.sum(axis=1)
+        t = np.zeros(n)
+        if seeds is None:
+            t[:] = 1.0 / n
+        else:
+            t[list(seeds)] = 1.0 / len(seeds)
+        r = t.copy()
+        for _ in range(iters):
+            contrib = np.zeros(n)
+            dang = 0.0
+            for a in range(n):
+                if out[a] > 0:
+                    contrib += r[a] * W[a] / out[a]
+                else:
+                    dang += r[a]
+            r = (1 - d) * t + d * (contrib + dang * t)
+        return r
+
+    got_w = {r.node: r.rank for r in pagerank(
+        edges, nodes, num_iter=iters, weight_col="w").collect()}
+    exp_w = np_pr(weighted=True)
+    for i in range(n):
+        assert abs(got_w[i] - exp_w[i]) < 1e-9, (i, got_w[i], exp_w[i])
+
+    seeds = spark.createDataFrame([(0,), (3,), (7,)], "id: long")
+    got_p = {r.node: r.rank for r in pagerank(
+        edges, nodes, num_iter=iters, reset=seeds).collect()}
+    exp_p = np_pr(weighted=False, seeds=[0, 3, 7])
+    for i in range(n):
+        assert abs(got_p[i] - exp_p[i]) < 1e-9, (i, got_p[i], exp_p[i])
+    # PPR mass stays normalized and concentrates relative to uniform
+    assert abs(sum(got_p.values()) - 1.0) < 1e-9
+    assert got_p[0] > 1.0 / n
+
+    # uniform weights == unweighted
+    ones = edges.withColumn("w", edges.w * 0 + 1.0)
+    got_u = {r.node: r.rank for r in pagerank(
+        ones, nodes, num_iter=iters, weight_col="w").collect()}
+    got_plain = {r.node: r.rank for r in pagerank(
+        edges, nodes, num_iter=iters).collect()}
+    for i in range(n):
+        assert abs(got_u[i] - got_plain[i]) < 1e-12
