@@ -814,6 +814,16 @@ def gopher_repetition_filters(
         .otherwise(F.split(F.trim(txt), r"\s+")).alias("_ws"),
         F.split(txt, r"\n").alias("_lines"),
     )
+    # the O(G^2) per-doc lambdas are a NARROW projection, so their
+    # parallelism is the scan's split count — spread doc rows to
+    # shuffle width first when the scan is narrower (the span_dedup
+    # lesson: a compact parquet serialized 50k docs onto 2 cores,
+    # 141s -> one shuffle of doc rows buys 32-way lambdas; no-op on a
+    # many-split 100 TB scan)
+    shuffle_n = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    if stage1.rdd.getNumPartitions() < shuffle_n:
+        stage1 = stage1.repartition(shuffle_n, id_col)
     stage2 = stage1.select(
         id_col, "_ws", "_lines",
         F.expr("aggregate(_ws, 0L, (a, w) -> a + length(w))").alias("_swl"),
