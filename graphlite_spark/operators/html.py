@@ -145,6 +145,13 @@ def extract_html_text(
             f"max_link_density must be in [0, 1], got {max_link_density}")
     pruned = df.select(F.col(id_col).alias("doc_id"),
                        F.col(html_col).alias("_html"))
+    # the Python parse is a narrow mapInPandas — spread doc rows to
+    # shuffle width when the scan has fewer splits, so a compact
+    # corpus doesn't serialize parsing onto 2 cores (no-op at 100 TB)
+    shuffle_n = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    if pruned.rdd.getNumPartitions() < shuffle_n:
+        pruned = pruned.repartition(shuffle_n, "doc_id")
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
