@@ -763,7 +763,7 @@ def span_dedup(
     # thousands of splits and this no-ops.
     shuffle_n = int(df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
-    if base.rdd.getNumPartitions() < shuffle_n:
+    if not base.isStreaming and base.rdd.getNumPartitions() < shuffle_n:
         base = base.repartition(shuffle_n, "_id")
     # base feeds the gram pipeline AND the final join; occ (below)
     # feeds the frequency count AND the coverage join. LAZY lineage

@@ -150,7 +150,8 @@ def extract_html_text(
     # corpus doesn't serialize parsing onto 2 cores (no-op at 100 TB)
     shuffle_n = int(df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
-    if pruned.rdd.getNumPartitions() < shuffle_n:
+    if not pruned.isStreaming and \
+            pruned.rdd.getNumPartitions() < shuffle_n:
         pruned = pruned.repartition(shuffle_n, "doc_id")
 
     def run(batches: Iterator) -> Iterator:

@@ -68,6 +68,25 @@ DECODE_ERRORS = (
 MAX_DECODE_PIXELS = 1 << 26
 
 
+def _spread_narrow(df: DataFrame, key: str = "asset_id") -> DataFrame:
+    """Decode kernels are narrow mapInPandas stages, so their
+    parallelism is the SCAN's split count — a compact asset corpus
+    (few parquet splits) would serialize the most expensive work in
+    the module onto a couple of cores. Spread rows to shuffle width
+    first when the scan is narrower; no-op on a many-split 100 TB
+    scan. The shuffle moves the asset bytes once, which the 1-5
+    MB/s/core entropy decode dwarfs. Streaming frames pass through
+    untouched (micro-batch parallelism is the source's concern, and
+    .rdd is illegal on a streaming DataFrame)."""
+    if df.isStreaming:
+        return df
+    shuffle_n = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    if df.rdd.getNumPartitions() < shuffle_n:
+        return df.repartition(shuffle_n, key)
+    return df
+
+
 def _check_dims(width: int, height: int, what: str) -> None:
     if width <= 0 or height <= 0:
         raise ValueError(f"{what}: invalid dimensions {width}x{height}")
@@ -1557,7 +1576,7 @@ def image_features(
     if decoder not in ("builtin", "auto", "accel"):
         raise ValueError(
             f"decoder must be builtin|auto|accel, got {decoder!r}")
-    pruned = assets.select("asset_id", "content")
+    pruned = _spread_narrow(assets.select("asset_id", "content"))
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1690,7 +1709,7 @@ def resize_images(
             f"output dims must be positive, got {out_w}x{out_h}")
     if on_error not in ("fail", "null", "skip"):
         raise ValueError(f"on_error must be fail|null|skip, got {on_error!r}")
-    pruned = assets.select("asset_id", "content")
+    pruned = _spread_narrow(assets.select("asset_id", "content"))
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -2533,9 +2552,9 @@ def audio_features(
     deterministic_fake=True."""
     if on_error not in ("fail", "null", "skip"):
         raise ValueError(f"on_error must be fail|null|skip, got {on_error!r}")
-    pruned = assets.select(
+    pruned = _spread_narrow(assets.select(
         "asset_id", "content", F.col("meta.duration_ms").alias("duration_ms")
-    )
+    ))
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -2881,7 +2900,7 @@ def sample_frames(
     # driver-side route decision, shipped in the closure (see docstring)
     use_accel = decoder == "accel" or (
         decoder == "auto" and _accelerated_video_decoder() is not None)
-    pruned = assets.select("asset_id", "content", F.col("meta.duration_ms").alias("duration_ms"))
+    pruned = _spread_narrow(assets.select("asset_id", "content", F.col("meta.duration_ms").alias("duration_ms")))
 
     def run(batches: Iterator) -> Iterator:
         import hashlib
@@ -3575,7 +3594,7 @@ def probe_media(assets: DataFrame, on_error: str = "null") -> DataFrame:
     """
     if on_error not in ("fail", "null"):
         raise ValueError(f"on_error must be fail|null, got {on_error!r}")
-    pruned = assets.select("asset_id", "content")
+    pruned = _spread_narrow(assets.select("asset_id", "content"))
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

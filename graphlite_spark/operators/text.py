@@ -822,7 +822,8 @@ def gopher_repetition_filters(
     # many-split 100 TB scan)
     shuffle_n = int(df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
-    if stage1.rdd.getNumPartitions() < shuffle_n:
+    if not stage1.isStreaming and \
+            stage1.rdd.getNumPartitions() < shuffle_n:
         stage1 = stage1.repartition(shuffle_n, id_col)
     stage2 = stage1.select(
         id_col, "_ws", "_lines",
