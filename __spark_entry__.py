@@ -1781,6 +1781,28 @@ def _q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dropped_blocks").cast("long"))
 
 
+def _q_dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-dedup rule over a 2-line synthetic corpus: every doc is
+    its text plus a CONSTANT boilerplate footer line. The footer
+    occurs |corpus| times -> removed everywhere (all occurrences, C4
+    semantics); the text line survives unless its text repeats more
+    than twice corpus-wide (the planted dup groups). Closed-form
+    oracle from the per-text counts."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import dedup_lines
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"),
+            F.lit("copyright footer - all rights reserved")).alias("text"),
+    )
+    out = dedup_lines(docs, max_occurrences=2, scope="corpus")
+    return out.select(F.col("doc_id").cast("long"), "n_lines",
+                      "n_removed", "cleaned_text")
+
+
 def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The repetition half of the Gopher rule set at the published
     thresholds: duplicate-line fractions, top {2,3,4}-gram character
@@ -3021,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_html_roundtrip": _q_extract_html,
             "curation_pipeline_v2": _q_curation_pipeline_v2,
             "gopher_repetition_filters": _q_gopher_repetition,
+            "dedup_lines_c4": _q_dedup_lines_c4,
             "span_dedup_exact": _q_span_dedup,
             "cap_per_source": _q_cap_per_source,
             "pack_documents_bins": _q_pack_documents,
@@ -3893,6 +3916,20 @@ def oracle_sql() -> dict[str, str]:
                        + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END)
                        + 0.3 * least(CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0.0 END * 5, 1.0), 6) AS quality
             FROM m
+        """,
+        "dedup_lines_c4": """
+            -- the constant footer line occurs |corpus| times and is
+            -- always removed; the text line survives iff its text
+            -- occurs at most twice corpus-wide
+            WITH c AS (SELECT text, count(*) AS n
+                       FROM documents GROUP BY text)
+            SELECT d.doc_id,
+                   CAST(2 AS BIGINT) AS n_lines,
+                   CAST(CASE WHEN c.n > 2 THEN 2 ELSE 1 END AS BIGINT)
+                       AS n_removed,
+                   CASE WHEN c.n > 2 THEN '' ELSE d.text END
+                       AS cleaned_text
+            FROM documents d JOIN c USING (text)
         """,
         "gopher_repetition_filters": _gopher_repetition_oracle(),
         "curation_pipeline_v2": """

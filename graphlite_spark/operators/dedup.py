@@ -821,3 +821,85 @@ def span_dedup(
             ).alias("cleaned_text"),
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occurrences: int = 2,
+    scope: str = "corpus",
+) -> DataFrame:
+    """Line-level deduplication — C4's rule (Raffel et al. 2020:
+    "we discarded any line that occurred more than twice in the data
+    set"), the pass that strips cookie banners, nav crumbs and
+    boilerplate footers that repeat across a crawl.
+
+    scope='corpus' (default): count each line's occurrences across the
+    WHOLE corpus; every occurrence of a line seen more than
+    ``max_occurrences`` times is removed (C4 semantics — the line is
+    boilerplate everywhere, including its first sighting).
+    scope='document': keep only the FIRST occurrence of each distinct
+    line within a document (intra-doc paragraph dedup) — a per-row
+    array expression, zero shuffle.
+
+    Returns (id, n_lines, n_removed, cleaned_text) with surviving
+    lines rejoined by newlines in original order.
+
+    Scale (corpus scope): one map-side-combined count over line
+    strings + a semi-join back — the same two-shuffle shape as
+    span_dedup's gram stage with lines instead of k-grams; the rebuild
+    stays array-side (covered-position sets for affected docs only).
+    """
+    if max_occurrences < 1:
+        raise ValueError(
+            f"max_occurrences must be >= 1, got {max_occurrences}")
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"scope must be corpus|document, got {scope!r}")
+    lines = F.split(F.col(text_col), r"\n")
+    base = df.select(F.col(id_col).alias("_id"), lines.alias("_l"))
+    if scope == "document":
+        # first occurrence survives: line i stays iff no identical
+        # line precedes it (1-based array_position over the prefix)
+        kept = ("filter(_l, (l, i) -> i = 0 OR "
+                "array_position(slice(_l, 1, i), l) = 0)")
+        return base.select(
+            F.col("_id").alias(id_col),
+            F.size("_l").cast("long").alias("n_lines"),
+            (F.size("_l") - F.size(F.expr(kept))).cast("long")
+            .alias("n_removed"),
+            F.concat_ws("\n", F.expr(kept)).alias("cleaned_text"),
+        )
+    shuffle_n = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    if not base.isStreaming and base.rdd.getNumPartitions() < shuffle_n:
+        base = base.repartition(shuffle_n, "_id")
+    base = base.localCheckpoint(eager=False)
+    occ = base.select("_id", F.posexplode("_l").alias("_p", "_line")) \
+        .localCheckpoint(eager=False)
+    bad = (
+        occ.groupBy("_line").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_occurrences)
+        .select("_line")
+    )
+    covered_sets = (
+        occ.join(bad, "_line", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_set("_p").alias("_cps"))
+    )
+    return (
+        base.join(covered_sets, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_l").cast("long").alias("n_lines"),
+            F.coalesce(F.size("_cps"), F.lit(0)).cast("long")
+            .alias("n_removed"),
+            F.when(
+                F.col("_cps").isNull(), F.concat_ws("\n", F.col("_l"))
+            ).otherwise(
+                F.concat_ws("\n", F.filter(
+                    F.col("_l"),
+                    lambda line, i: ~F.array_contains(F.col("_cps"), i)))
+            ).alias("cleaned_text"),
+        )
+    )

@@ -1776,3 +1776,40 @@ def test_pagerank_weighted_personalized_numpy_parity(spark):
         edges, nodes, num_iter=iters).collect()}
     for i in range(n):
         assert abs(got_u[i] - got_plain[i]) < 1e-12
+
+
+def test_dedup_lines(spark):
+    import pytest
+
+    from graphlite_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame([
+        (1, "unique alpha\nSHARED FOOTER\nunique beta"),
+        (2, "unique gamma\nSHARED FOOTER"),
+        (3, "SHARED FOOTER\nunique delta\nrepeated inline\nrepeated inline"),
+    ], "doc_id: long, text: string")
+    # corpus scope, C4 semantics: SHARED FOOTER occurs 3x > 2 -> every
+    # occurrence removed; 'repeated inline' occurs 2x total -> kept
+    got = {r.doc_id: r for r in dedup_lines(
+        df, max_occurrences=2, scope="corpus").collect()}
+    assert got[1].cleaned_text == "unique alpha\nunique beta"
+    assert got[1].n_removed == 1 and got[1].n_lines == 3
+    assert got[2].cleaned_text == "unique gamma"
+    assert got[3].cleaned_text == \
+        "unique delta\nrepeated inline\nrepeated inline"
+    # tighter budget removes the intra-doc repeats too
+    tight = {r.doc_id: r for r in dedup_lines(
+        df, max_occurrences=1, scope="corpus").collect()}
+    assert tight[3].cleaned_text == "unique delta"
+    # document scope: first occurrence survives, corpus-wide counts
+    # are irrelevant
+    docsc = {r.doc_id: r for r in dedup_lines(
+        df, scope="document").collect()}
+    assert docsc[3].cleaned_text == \
+        "SHARED FOOTER\nunique delta\nrepeated inline"
+    assert docsc[3].n_removed == 1
+    assert docsc[1].n_removed == 0
+    with pytest.raises(ValueError, match="scope"):
+        dedup_lines(df, scope="both")
+    with pytest.raises(ValueError, match="max_occurrences"):
+        dedup_lines(df, max_occurrences=0)
