@@ -79,6 +79,7 @@ HEADLINE = [
     "extract_html_roundtrip",         # boilerplate removal, mapInPandas (r7)
     "curation_pipeline_v2",           # extract->gopher->span chain (r7)
     "gopher_repetition_filters",      # O(G^2)-per-doc array lambdas (r7)
+    "dedup_lines_c4",                 # C4 corpus-wide line dedup (r7)
 ]
 
 
