@@ -761,10 +761,9 @@ def span_dedup(
     # cheap doc-level rows BEFORE exploding when the scan is narrower
     # than the shuffle width — at 100 TB the scan already has
     # thousands of splits and this no-ops.
-    shuffle_n = int(df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    if not base.isStreaming and base.rdd.getNumPartitions() < shuffle_n:
-        base = base.repartition(shuffle_n, "_id")
+    from .common import spread_narrow
+
+    base = spread_narrow(base, "_id")
     # base feeds the gram pipeline AND the final join; occ (below)
     # feeds the frequency count AND the coverage join. LAZY lineage
     # cuts materialize each once inside the job — without them the
@@ -870,10 +869,9 @@ def dedup_lines(
             .alias("n_removed"),
             F.concat_ws("\n", F.expr(kept)).alias("cleaned_text"),
         )
-    shuffle_n = int(df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    if not base.isStreaming and base.rdd.getNumPartitions() < shuffle_n:
-        base = base.repartition(shuffle_n, "_id")
+    from .common import spread_narrow
+
+    base = spread_narrow(base, "_id")
     base = base.localCheckpoint(eager=False)
     occ = base.select("_id", F.posexplode("_l").alias("_p", "_line")) \
         .localCheckpoint(eager=False)

@@ -148,11 +148,9 @@ def extract_html_text(
     # the Python parse is a narrow mapInPandas — spread doc rows to
     # shuffle width when the scan has fewer splits, so a compact
     # corpus doesn't serialize parsing onto 2 cores (no-op at 100 TB)
-    shuffle_n = int(df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    if not pruned.isStreaming and \
-            pruned.rdd.getNumPartitions() < shuffle_n:
-        pruned = pruned.repartition(shuffle_n, "doc_id")
+    from .common import spread_narrow
+
+    pruned = spread_narrow(pruned, "doc_id")
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

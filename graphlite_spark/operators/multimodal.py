@@ -69,22 +69,15 @@ MAX_DECODE_PIXELS = 1 << 26
 
 
 def _spread_narrow(df: DataFrame, key: str = "asset_id") -> DataFrame:
-    """Decode kernels are narrow mapInPandas stages, so their
-    parallelism is the SCAN's split count — a compact asset corpus
-    (few parquet splits) would serialize the most expensive work in
-    the module onto a couple of cores. Spread rows to shuffle width
-    first when the scan is narrower; no-op on a many-split 100 TB
-    scan. The shuffle moves the asset bytes once, which the 1-5
-    MB/s/core entropy decode dwarfs. Streaming frames pass through
-    untouched (micro-batch parallelism is the source's concern, and
-    .rdd is illegal on a streaming DataFrame)."""
-    if df.isStreaming:
-        return df
-    shuffle_n = int(df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    if df.rdd.getNumPartitions() < shuffle_n:
-        return df.repartition(shuffle_n, key)
-    return df
+    """Decode kernels are narrow mapInPandas stages whose per-asset
+    work (1-5 MB/s/core entropy decode) dwarfs one shuffle of the
+    bytes — see operators/common.spread_narrow. probe_media does NOT
+    spread: its work is header-only triage, so shipping full asset
+    bytes to parallelize KB-per-asset parsing would cost more than it
+    buys."""
+    from .common import spread_narrow
+
+    return spread_narrow(df, key)
 
 
 def _check_dims(width: int, height: int, what: str) -> None:
@@ -3594,7 +3587,9 @@ def probe_media(assets: DataFrame, on_error: str = "null") -> DataFrame:
     """
     if on_error not in ("fail", "null"):
         raise ValueError(f"on_error must be fail|null, got {on_error!r}")
-    pruned = _spread_narrow(assets.select("asset_id", "content"))
+    # header-only triage: no spread — shuffling full asset bytes to
+    # parallelize KB-per-asset header parsing is a net loss
+    pruned = assets.select("asset_id", "content")
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

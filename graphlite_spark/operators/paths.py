@@ -630,14 +630,23 @@ def pagerank(
         tvec = base.crossJoin(broadcast(n_tot)) \
             .select("node", (F.lit(1.0) / F.col("_n")).alias("_t"))
     else:
+        # normalize over the seeds that EXIST in nodes: counting raw
+        # seeds while only node-joined rows get mass would silently
+        # break the sum-to-1 invariant (all-zero ranks when no seed
+        # matches). Seeds are small by contract, so the intersection
+        # count is a cheap fail-fast job.
         seeds = reset.select(
-            F.col(reset.columns[0]).alias("node")).distinct()
-        s_tot = seeds.agg(F.count(F.lit(1)).cast("double").alias("_s"))
+            F.col(reset.columns[0]).alias("node")).distinct() \
+            .join(base, "node", "left_semi")
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError(
+                "pagerank: reset seed set shares no ids with nodes — "
+                "personalized teleport would be all-zero")
         tvec = (
             base.join(seeds.withColumn("_is", F.lit(1)), "node", "left")
-            .crossJoin(broadcast(s_tot))
             .select("node", F.when(F.col("_is").isNotNull(),
-                                   F.lit(1.0) / F.col("_s"))
+                                   F.lit(1.0) / F.lit(float(n_seeds)))
                     .otherwise(F.lit(0.0)).alias("_t"))
         )
     tvec = tvec.localCheckpoint(eager=False)

@@ -820,11 +820,9 @@ def gopher_repetition_filters(
     # lesson: a compact parquet serialized 50k docs onto 2 cores,
     # 141s -> one shuffle of doc rows buys 32-way lambdas; no-op on a
     # many-split 100 TB scan)
-    shuffle_n = int(df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
-    if not stage1.isStreaming and \
-            stage1.rdd.getNumPartitions() < shuffle_n:
-        stage1 = stage1.repartition(shuffle_n, id_col)
+    from .common import spread_narrow
+
+    stage1 = spread_narrow(stage1, id_col)
     stage2 = stage1.select(
         id_col, "_ws", "_lines",
         F.expr("aggregate(_ws, 0L, (a, w) -> a + length(w))").alias("_swl"),

@@ -1729,11 +1729,7 @@ def test_pagerank_weighted_personalized_numpy_parity(spark):
     def np_pr(weighted, seeds=None):
         W = np.zeros((n, n))
         for a, b, w in edge_list:
-            W[a, b] += w if weighted else (1.0 if W[a, b] == 0 else 0.0)
-        if not weighted:
-            W = np.zeros((n, n))
-            for a, b, _ in edge_list:
-                W[a, b] = 1.0
+            W[a, b] = w if weighted else 1.0
         out = W.sum(axis=1)
         t = np.zeros(n)
         if seeds is None:
@@ -1813,3 +1809,22 @@ def test_dedup_lines(spark):
         dedup_lines(df, scope="both")
     with pytest.raises(ValueError, match="max_occurrences"):
         dedup_lines(df, max_occurrences=0)
+
+
+def test_pagerank_reset_validation(spark):
+    import pytest
+
+    from graphlite_spark.operators.paths import pagerank
+
+    nodes = spark.createDataFrame([(0,), (1,)], "id: long")
+    edges = spark.createDataFrame([(0, 1)], "_src: long, _dst: long")
+    # seeds partially outside the node set: mass normalizes over the
+    # INTERSECTION, so ranks still sum to 1
+    seeds = spark.createDataFrame([(0,), (999,)], "id: long")
+    got = {r.node: r.rank for r in pagerank(
+        edges, nodes, num_iter=3, reset=seeds).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # fully disjoint seeds fail fast instead of returning zeros
+    bad = spark.createDataFrame([(999,)], "id: long")
+    with pytest.raises(ValueError, match="no ids"):
+        pagerank(edges, nodes, reset=bad)
