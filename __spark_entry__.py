@@ -1459,6 +1459,30 @@ def _q_pagerank_personalized_2iter(spark: SparkSession,
                     F.round("rank", 4).alias("rank"))
 
 
+def _q_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core decomposition on planted VARIABLE-SIZE supplier
+    cliques: 6-blocks keep their first 3 + (block % 4) members as a
+    clique, so coreness = clique_size - 1 = 2 + (block % 4), varying
+    2..5 across blocks (closed form; coreness is a local property, no
+    resolution-limit cap needed)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import core_decomposition
+
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    base = sup.select(
+        "k", (F.col("k") / 6).cast("long").alias("g"),
+        (F.col("k") % 6).alias("i"),
+    ).filter(F.col("i") < 3 + (F.col("g") % 4))
+    a, b = base.alias("a"), base.alias("b")
+    edges = a.join(b, F.expr("a.g = b.g AND a.i < b.i")).select(
+        F.col("a.k").alias("_src"), F.col("b.k").alias("_dst"))
+    out = core_decomposition(edges)
+    return out.select(F.col("node").cast("long"),
+                      F.col("coreness").cast("long"))
+
+
 def _q_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED Louvain on a planted chain of supplier triples:
     within-triple edges w=10, triple-to-triple links w=0.1 — the
@@ -3058,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "louvain_two_scale": _q_louvain_two_scale,
             "semantic_dedup_planted": _q_semantic_dedup,
             "louvain_weighted_triples": _q_louvain_weighted,
+            "core_decomposition_cliques": _q_core_decomposition,
             "pagerank_weighted_2iter": _q_pagerank_weighted_2iter,
             "pagerank_personalized_2iter": _q_pagerank_personalized_2iter,
             "dag_layers_follows": _q_dag_layers,
@@ -5899,6 +5924,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(100000 + g AS BIGINT) AS vec_id,
                    CAST(100000 + g AS BIGINT) AS canonical_id
             FROM (SELECT DISTINCT k // 4 AS g FROM members)
+        """,
+        "core_decomposition_cliques": """
+            -- variable-size planted cliques: the first 3 + (g % 4)
+            -- members of each 6-block form a clique, coreness =
+            -- size - 1
+            SELECT CAST(s_suppkey AS BIGINT) AS node,
+                   CAST(2 + ((s_suppkey // 6) % 4) AS BIGINT) AS coreness
+            FROM supplier
+            WHERE s_suppkey % 6 < 3 + ((s_suppkey // 6) % 4)
         """,
         "louvain_weighted_triples": """
             -- weighted chain of triples (10/10 within, 0.1 between):

@@ -730,6 +730,86 @@ def k_core(
     )
 
 
+def core_decomposition(
+    edges: DataFrame,
+    max_coreness: int = 64,
+    max_iters: int = 64,
+) -> DataFrame:
+    """(node, coreness): FULL core decomposition — every node's
+    degeneracy (the largest k for which it survives k-core peeling),
+    the standard per-node density signal k_core's boolean membership
+    can't give. Isolated-in-simple-view nodes (only self-loops) get
+    coreness 0.
+
+    Batagelj-Zaversnik as distributed peeling: for k = 1, 2, ... peel
+    the current subgraph to its k-core (the same degree-groupBy +
+    two-semi-join round as k_core, monotone shrinking, stats-cut
+    checkpoints); nodes removed while peeling at k have coreness k-1.
+    The outer loop runs max-coreness times — bounded by sqrt(2m) and
+    in practice tiny next to the peel rounds; RAISES past
+    ``max_coreness``/``max_iters`` like the other iterative operators
+    rather than returning a wrong partial answer.
+    """
+    if max_coreness < 1:
+        raise ValueError(f"max_coreness must be >= 1, got {max_coreness}")
+    lo = F.least(F.col(SRC), F.col(DST))
+    hi = F.greatest(F.col(SRC), F.col(DST))
+    canon = (
+        edges.select(lo.alias("_lo"), hi.alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+    )
+    all_nodes = (
+        edges.select(F.col(SRC).alias("node"))
+        .unionByName(edges.select(F.col(DST).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = canon.select(F.col("_lo").alias("_a"), F.col("_hi").alias("_b")) \
+        .unionByName(canon.select(F.col("_hi").alias("_a"),
+                                  F.col("_lo").alias("_b"))) \
+        .localCheckpoint(eager=True)
+    # nodes with no simple-view edge at all: coreness 0
+    out_parts = [
+        all_nodes.join(und.select(F.col("_a").alias("node")), "node",
+                       "left_anti")
+        .select("node", F.lit(0).alias("coreness"))
+    ]
+    survivors = und.select(F.col("_a").alias("node")).distinct() \
+        .localCheckpoint(eager=False)
+    for k in range(1, max_coreness + 2):
+        if k == max_coreness + 1:
+            raise RuntimeError(
+                f"core_decomposition: graph still non-empty past "
+                f"max_coreness={max_coreness}; raise the bound")
+        for _ in range(max_iters):
+            deg = und.groupBy("_a").agg(F.count(F.lit(1)).alias("deg"))
+            removed = deg.filter(F.col("deg") < k)
+            if removed.isEmpty():
+                break
+            keep = deg.filter(F.col("deg") >= k).select("_a")
+            und = _ck_cut_stats(
+                und.join(keep, "_a", "left_semi")
+                .join(keep.withColumnRenamed("_a", "_b"), "_b", "left_semi")
+            )
+        else:
+            raise RuntimeError(
+                f"core_decomposition: k={k} peel did not drain within "
+                f"max_iters={max_iters}; raise the bound")
+        kcore_nodes = und.select(F.col("_a").alias("node")).distinct() \
+            .localCheckpoint(eager=False)
+        peeled = survivors.join(kcore_nodes, "node", "left_anti")
+        out_parts.append(
+            peeled.select("node", F.lit(k - 1).alias("coreness")))
+        survivors = kcore_nodes
+        if und.isEmpty():
+            break
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _oriented_triangle_triples(
     edges: DataFrame, src: str = SRC, dst: str = DST
 ) -> DataFrame:

@@ -1828,3 +1828,62 @@ def test_pagerank_reset_validation(spark):
     bad = spark.createDataFrame([(999,)], "id: long")
     with pytest.raises(ValueError, match="no ids"):
         pagerank(edges, nodes, reset=bad)
+
+
+def test_core_decomposition(spark):
+    import random
+
+    import pytest
+
+    from graphlite_spark.operators.paths import core_decomposition
+
+    # clique(5) bridged to a chain, plus a self-loop-only node
+    edges = []
+    cl = [10, 11, 12, 13, 14]
+    for i in range(5):
+        for j in range(i + 1, 5):
+            edges.append((cl[i], cl[j]))
+    edges += [(14, 20), (20, 21), (21, 22), (30, 30)]
+    df = spark.createDataFrame(edges, "_src: long, _dst: long")
+    got = {r.node: r.coreness for r in core_decomposition(df).collect()}
+    assert got == {10: 4, 11: 4, 12: 4, 13: 4, 14: 4,
+                   20: 1, 21: 1, 22: 1, 30: 0}
+
+    # brute-force Batagelj-Zaversnik parity on random graphs
+    def bz(edge_set, nodes):
+        adj = {n: set() for n in nodes}
+        for a, b in edge_set:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        core = {n: len(adj[n]) for n in nodes}
+        order = sorted(nodes, key=lambda n: core[n])
+        seen = set()
+        while order:
+            v = min((n for n in nodes if n not in seen),
+                    key=lambda n: core[n])
+            seen.add(v)
+            for u in adj[v]:
+                if u not in seen and core[u] > core[v]:
+                    core[u] -= 1
+            if len(seen) == len(nodes):
+                break
+        return core
+
+    for trial in range(3):
+        r = random.Random(5 + trial)
+        nodes = list(range(18))
+        es = set()
+        for _ in range(30):
+            a, b = r.sample(nodes, 2)
+            es.add((min(a, b), max(a, b)))
+        df2 = spark.createDataFrame(sorted(es), "_src: long, _dst: long")
+        got2 = {x.node: x.coreness
+                for x in core_decomposition(df2).collect()}
+        exp = bz(es, sorted({n for e in es for n in e}))
+        assert got2 == exp, (trial, got2, exp)
+
+    with pytest.raises(ValueError, match="max_coreness"):
+        core_decomposition(df, max_coreness=0)
+    with pytest.raises(RuntimeError, match="max_coreness"):
+        core_decomposition(df, max_coreness=2)
