@@ -1464,14 +1464,19 @@ def _q_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     cliques: 6-blocks keep their first 3 + (block % 4) members as a
     clique, so coreness = clique_size - 1 = 2 + (block % 4), varying
     2..5 across blocks (closed form; coreness is a local property, no
-    resolution-limit cap needed)."""
+    resolution-limit cap needed — but the trailing PARTIAL block is
+    excluded, since a truncated clique's coreness is its truncated
+    size minus 1, not the closed form's; caught by the sf1 check,
+    where 10000 % 6 != 0 truncated the last 5-clique to 4 members)."""
     from pyspark.sql import functions as F
 
     from graphlite_spark.operators.paths import core_decomposition
 
     sup = _table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("k"))
-    base = sup.select(
+    cap = sup.agg((6 * (F.count(F.lit(1)) / 6).cast("long")).alias("_cap"))
+    base = sup.crossJoin(F.broadcast(cap)).filter(
+        F.col("k") < F.col("_cap")).select(
         "k", (F.col("k") / 6).cast("long").alias("g"),
         (F.col("k") % 6).alias("i"),
     ).filter(F.col("i") < 3 + (F.col("g") % 4))
@@ -5928,11 +5933,13 @@ def oracle_sql() -> dict[str, str]:
         "core_decomposition_cliques": """
             -- variable-size planted cliques: the first 3 + (g % 4)
             -- members of each 6-block form a clique, coreness =
-            -- size - 1
+            -- size - 1; the trailing partial block is excluded (a
+            -- truncated clique breaks the closed form)
             SELECT CAST(s_suppkey AS BIGINT) AS node,
                    CAST(2 + ((s_suppkey // 6) % 4) AS BIGINT) AS coreness
             FROM supplier
             WHERE s_suppkey % 6 < 3 + ((s_suppkey // 6) % 4)
+              AND s_suppkey < 6 * ((SELECT count(*) FROM supplier) // 6)
         """,
         "louvain_weighted_triples": """
             -- weighted chain of triples (10/10 within, 0.1 between):
