@@ -1370,20 +1370,13 @@ def _q_louvain_two_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("community").cast("long").alias("community"))
 
 
-def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (kmeans-confined cosine dedup -> CC canonical ids) on
-    a planted closed-form corpus: groups of 4 IDENTICAL basis-vector
-    embeddings (cos 1 within, 0 across — dedup MUST fold each group to
-    its min id regardless of how kmeans distributes groups over lists)
-    plus one decoy per group at exactly cos 0.6 to it (0.6*e_g +
-    0.8*e_63) — co-clustered or not, the 0.9 threshold must reject it,
-    proving the threshold path, and decoy-decoy pairs sit at 0.64.
-    Suppliers capped at 240 so group directions fit dim 64 at every
-    scale factor. Near-identical (cos 0.999) grouping is pinned by
-    pytest, where the corpus is fully controlled."""
+def _planted_semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared SemDeDup planted corpus: groups of 4 IDENTICAL
+    basis-vector embeddings (cos 1 within, 0 across) plus one decoy
+    per group at exactly cos 0.6 to it (0.6*e_g + 0.8*e_63);
+    decoy-decoy pairs sit at 0.64. Suppliers capped at 240 so group
+    directions fit dim 64 at every scale factor."""
     from pyspark.sql import functions as F
-
-    from graphlite_spark.operators.similarity import semantic_dedup
 
     sup = _table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("k"))
@@ -1405,10 +1398,64 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "ELSE CAST(0.0 AS DOUBLE) END)").alias("embedding"),
         )
     )
-    out = semantic_dedup(members.unionByName(decoys),
+    return members.unionByName(decoys)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (kmeans-confined cosine dedup -> CC canonical ids) on
+    the planted closed-form corpus (_planted_semdedup_corpus): identical
+    groups MUST fold to their min id regardless of how kmeans
+    distributes groups over lists; the exactly-cos-0.6 decoys —
+    co-clustered or not — must be rejected by the 0.9 threshold,
+    proving the threshold path. Near-identical (cos 0.999) grouping is
+    pinned by pytest, where the corpus is fully controlled."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(_planted_semdedup_corpus(spark, sf_dir),
                          threshold=0.9, n_lists=16)
     return out.select(F.col("vec_id").cast("long"),
                       F.col("canonical_id").cast("long"))
+
+
+def _q_semantic_dedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup_int8 on the SAME planted corpus and oracle as
+    the fp entry: the within-list pairwise pass runs on int8 codes
+    with the provable |cos - approx| <= sqrt(d)*(s_a/|a^| + s_b/|b^|)
+    band, exact-rescoring ONLY band-straddling pairs against fp
+    vectors — components must be identical to semantic_dedup's, so a
+    wrong bound, a wrong code, or a wrong band edge all break the
+    hash. On this corpus identical-member pairs (approx 1.0, eps
+    ~0.126) straddle 0.9 and exercise the fp rescore; decoy pairs
+    (approx ~0.60/0.64) are auto-rejected on codes alone."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import semantic_dedup_int8
+
+    out = semantic_dedup_int8(_planted_semdedup_corpus(spark, sf_dir),
+                              threshold=0.9, n_lists=16)
+    return out.select(F.col("vec_id").cast("long"),
+                      F.col("canonical_id").cast("long"))
+
+
+def _q_semantic_dedup_band_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Closed-form audit of semantic_dedup_int8's fp-read confinement:
+    with n_lists=1 every pair is a candidate, and on the planted
+    corpus the int8 classification is exactly derivable — identical
+    member pairs land in the band (approx 1.0 - eps 16/127 < 0.9 <
+    1.0 + eps), every decoy-bearing and cross-group pair is
+    auto-rejected on codes alone (approx+eps <= 0.755 < 0.9), none
+    auto-accepts. So n_band = sum over groups of C(size,2) and
+    band_fraction = n_band / C(total,2) — the fraction of the
+    pairwise stage that ever reads full-precision vectors."""
+    from graphlite_spark.operators.similarity import (
+        semantic_dedup_band_audit,
+    )
+
+    return semantic_dedup_band_audit(
+        _planted_semdedup_corpus(spark, sf_dir), threshold=0.9, n_lists=1)
 
 
 def _q_pagerank_weighted_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3086,6 +3133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "modularity_nation_cliques": _q_modularity_nation_cliques,
             "louvain_two_scale": _q_louvain_two_scale,
             "semantic_dedup_planted": _q_semantic_dedup,
+            "semantic_dedup_int8_planted": _q_semantic_dedup_int8,
+            "semantic_dedup_band_audit": _q_semantic_dedup_band_audit,
             "louvain_weighted_triples": _q_louvain_weighted,
             "core_decomposition_cliques": _q_core_decomposition,
             "pagerank_weighted_2iter": _q_pagerank_weighted_2iter,
@@ -5929,6 +5978,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(100000 + g AS BIGINT) AS vec_id,
                    CAST(100000 + g AS BIGINT) AS canonical_id
             FROM (SELECT DISTINCT k // 4 AS g FROM members)
+        """,
+        "semantic_dedup_int8_planted": """
+            -- identical oracle to semantic_dedup_planted: the int8
+            -- banded path must produce the same components
+            WITH cap AS (SELECT least(count(*), 240) AS c FROM supplier),
+            members AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS k
+                FROM supplier, cap WHERE s_suppkey < c
+            )
+            SELECT k AS vec_id,
+                   CAST((k // 4) * 4 AS BIGINT) AS canonical_id
+            FROM members
+            UNION ALL
+            SELECT CAST(100000 + g AS BIGINT) AS vec_id,
+                   CAST(100000 + g AS BIGINT) AS canonical_id
+            FROM (SELECT DISTINCT k // 4 AS g FROM members)
+        """,
+        "semantic_dedup_band_audit": """
+            -- closed-form int8 band classification on the planted
+            -- corpus (n_lists=1, threshold 0.9): identical member
+            -- pairs are band (approx 1 within eps 16/127 of 0.9),
+            -- everything else auto-rejects, nothing auto-accepts;
+            -- total vectors = cap members + ceil(cap/4) decoys
+            WITH cap AS (SELECT least(count(*), 240) AS c FROM supplier),
+            n AS (
+                SELECT c + (c + 3) // 4 AS total,
+                       (c // 4) * 6 + ((c % 4) * ((c % 4) - 1)) // 2
+                           AS band
+                FROM cap
+            )
+            SELECT CAST(total * (total - 1) / 2 AS BIGINT) AS n_pairs,
+                   CAST(0 AS BIGINT) AS n_auto_accept,
+                   CAST(total * (total - 1) / 2 - band AS BIGINT)
+                       AS n_auto_reject,
+                   CAST(band AS BIGINT) AS n_band,
+                   ROUND(band / (total * (total - 1) / 2.0), 6)
+                       AS band_fraction
+            FROM n
         """,
         "core_decomposition_cliques": """
             -- variable-size planted cliques: the first 3 + (g % 4)

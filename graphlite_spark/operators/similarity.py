@@ -266,11 +266,13 @@ def _exact_cosine_pairs_gemm(it: DataFrame, threshold: float,
     )
 
 
-def _coarse_kmeans(it: DataFrame, n_lists: int):
+def _coarse_kmeans(it: DataFrame, n_lists: int, n_iters: int = 1):
     """The deterministic coarse quantizer shared by ivf_topk and
     semantic_dedup: seeds = items with the smallest xxhash64(id) (a
-    uniform reproducible sample), refined with ONE Lloyd step (mean of
-    assigned vectors, one groupBy). Returns (centroids ndarray,
+    uniform reproducible sample), refined with ``n_iters`` spherical
+    Lloyd steps (mean of assigned vectors renormalized, one groupBy
+    per step; default 1 — the historical behavior, so existing
+    results are unchanged). Returns (centroids ndarray,
     make_assign(centroids, top) -> Arrow-vectorized argmax-top UDF).
     ``it`` must have columns (_iid, _iv double[])."""
     import numpy as np
@@ -300,6 +302,13 @@ def _coarse_kmeans(it: DataFrame, n_lists: int):
 
         return assign
 
+    if n_iters > 1:
+        # multiple refinements ride the full operator (shared arithmetic,
+        # no convergence requirement at the coarse-quantizer tier)
+        cents = _lloyd_iterate(it, cents, make_assign, n_iters,
+                               metric="cosine", tol=None)[0]
+        return cents, make_assign
+
     # one Lloyd refinement: mean of vectors per list, renormalized
     assigned = it.withColumn("_list", make_assign(cents, 1)(F.col("_iv"))[0])
     means = (
@@ -315,6 +324,167 @@ def _coarse_kmeans(it: DataFrame, n_lists: int):
         if n > 1e-12:
             cents[r["_list"]] = v / n
     return cents, make_assign
+
+
+def _lloyd_iterate(it: DataFrame, cents, make_assign, max_iters: int,
+                   metric: str, tol: float | None):
+    """Shared distributed Lloyd loop: per round, assign every vector to
+    its nearest broadcast centroid (Arrow-vectorized argmax/argmin),
+    recompute centroids as the per-cluster per-dimension mean (ONE
+    groupBy per round collecting k rows — k is small by contract, the
+    corpus never leaves the cluster), and measure the max centroid
+    shift. Empty clusters keep their previous centroid (the standard
+    Lloyd convention — no re-seeding, which would break determinism).
+    Returns (centroids, n_rounds_run, last_shift, converged).
+
+    metric='cosine': spherical k-means — rows and centroids unit-
+    normalized, similarity = dot, means renormalized each round.
+    metric='l2': plain Euclidean Lloyd on raw vectors.
+    tol=None runs exactly max_iters rounds with no convergence check.
+    """
+    import numpy as np
+
+    dim = len(cents[0])
+    shift = float("inf")
+    rounds = 0
+    for _ in range(max_iters):
+        if metric == "cosine":
+            assigned = it.withColumn(
+                "_list", make_assign(cents, 1)(F.col("_iv"))[0])
+        else:
+            assigned = it.withColumn(
+                "_list", _make_assign_l2(cents)(F.col("_iv")))
+        means = (
+            assigned.groupBy("_list")
+            .agg(F.array(*[
+                F.avg(F.col("_iv")[i]) for i in range(dim)
+            ]).alias("_mean"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in means:
+            v = np.array(r["_mean"], dtype="float64")
+            if metric == "cosine":
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    new[r["_list"]] = v / n
+            else:
+                new[r["_list"]] = v
+        shift = float(np.sqrt(((new - cents) ** 2).sum(axis=1)).max())
+        cents = new
+        rounds += 1
+        if tol is not None and shift <= tol:
+            return cents, rounds, shift, True
+    return cents, rounds, shift, tol is None
+
+
+def _make_assign_l2(centroids):
+    """Arrow-vectorized nearest-centroid (squared Euclidean) — ties
+    break to the lowest centroid index (np.argmin convention)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids
+    c_sq = (c * c).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        # ||x-c||^2 = ||x||^2 - 2<x,c> + ||c||^2; ||x||^2 constant per row
+        d2 = c_sq[None, :] - 2.0 * (m @ c.T)
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return assign
+
+
+def kmeans(
+    items: DataFrame,
+    k: int,
+    max_iters: int = 20,
+    tol: float | None = 1e-4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """First-class distributed k-means over an embedding column:
+    (id, cluster int) — Lloyd's algorithm with broadcast centroids,
+    deterministic init, and bounded rounds that RAISE on
+    non-convergence (the house iterative-operator contract).
+
+    - init: the k items with the smallest xxhash64(id) — a uniform
+      reproducible sample, no RNG state (the _coarse_kmeans seed rule,
+      promoted). k must be <= |items|.
+    - per round: ONE distributed assignment pass (centroids broadcast
+      to an Arrow-vectorized argmax — the corpus is scanned, never
+      collected) + ONE k-row groupBy for the new means; the max
+      centroid L2 shift is the convergence measure.
+    - metric='cosine' (default): spherical k-means — the geometry
+      SemDeDup/IVF assume; 'l2' for plain Euclidean.
+    - tol: converged when max shift <= tol; RAISES RuntimeError if
+      max_iters rounds don't reach it. tol=None runs exactly
+      max_iters rounds (the fixed-budget mode ivf/semantic_dedup use).
+
+    Cluster ids are centroid indices (seed-order — deterministic but
+    engine-specific); callers needing engine-independent labels should
+    canonicalize, e.g. min member id per cluster (what the gate entry
+    does). At 100 TB each round is one corpus scan + a k-row shuffle:
+    no quadratic stage, no driver-side data path.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    import numpy as np
+
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
+    ).localCheckpoint(eager=False)  # scanned once per round — cut lineage
+    seeds = (
+        it.withColumn("_h", F.xxhash64(F.col("_iid")))
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans: k={k} exceeds corpus size {len(seeds)}")
+    cents = np.array([r["_iv"] for r in seeds], dtype="float64")
+    if metric == "cosine":
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    from pyspark.sql.functions import pandas_udf
+
+    def make_assign(centroids, top):
+        c = centroids
+
+        @pandas_udf("array<int>")
+        def assign(vs: pd.Series) -> pd.Series:
+            m = np.stack(vs.to_numpy())
+            m = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ c.T
+            idx = np.argsort(-sims, axis=1)[:, :top]
+            return pd.Series([row.astype("int32").tolist() for row in idx])
+
+        return assign
+
+    cents, rounds, shift, converged = _lloyd_iterate(
+        it, cents, make_assign, max_iters, metric, tol)
+    if not converged:
+        raise RuntimeError(
+            f"kmeans did not converge (last max centroid shift {shift:.3g} "
+            f"> tol {tol:.3g}) within max_iters={max_iters}; raise the "
+            "bound, loosen tol, or pass tol=None for a fixed budget")
+    if metric == "cosine":
+        final = it.withColumn(
+            "_list", make_assign(cents, 1)(F.col("_iv"))[0])
+    else:
+        final = it.withColumn("_list", _make_assign_l2(cents)(F.col("_iv")))
+    return final.select(
+        F.col("_iid").alias(id_col), F.col("_list").alias("cluster"))
 
 
 def semantic_dedup(
@@ -1028,4 +1198,301 @@ def quantize_embeddings_int4(
     return base.select(
         F.col(id_col), packed.alias("packed"),
         F.col("scale"), dim.cast("long").alias("dim"),
+    )
+
+
+def semantic_dedup_int8(
+    items: DataFrame,
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+    index_path: str | None = None,
+    eps_slack: float = 1e-9,
+) -> DataFrame:
+    """semantic_dedup whose within-list pairwise pass runs on INT8
+    codes with a PROVABLE per-pair error band — full-precision vectors
+    are fetched only for pairs whose approximate cosine straddles the
+    threshold, so the O(n^2/k) stage (the dominant cost at corpus
+    scale) shuffles 4x fewer bytes and the fp corpus is re-read only
+    for the band. Components are IDENTICAL to semantic_dedup's, by
+    construction, not empirically:
+
+    error bound (and why it is sound): with per-vector max-abs
+    quantization q = rint(v / s), s = max|v|/127, the dequantized
+    vector v̂ = s*q satisfies ||v - v̂||_2 <= s*sqrt(d)/2 (each element
+    errs <= s/2, half-even ties included). For unit-normalized u, û:
+    ||u - û|| <= 2*||v - v̂|| / max(||v||, ||v̂||) <= s*sqrt(d)/||v̂||,
+    and |cos(a,b) - cos(â,b̂)| = |<u_a,u_b> - <û_a,û_b>|
+                              <= ||u_a - û_a|| + ||u_b - û_b||
+    so eps_pair = sqrt(d) * (s_a/||â|| + s_b/||b̂||), every term of
+    which rides the code rows (scale + precomputed code norm — the
+    build_rescore_index columns). Pairs with approx - eps >= threshold
+    are accepted without an fp read (exact cosine is certainly >=
+    threshold); approx + eps < threshold rejected likewise; only the
+    band is exact-rescored with semantic_dedup's own Catalyst cosine
+    expression. ``eps_slack`` (default 1e-9) absorbs float rounding in
+    the band arithmetic itself; the bound is otherwise exact in real
+    arithmetic. Zero-norm vectors get a huge eps -> band -> the shared
+    cosine expression raises ANSI DIVIDE_BY_ZERO exactly as the fp
+    path does on the same input.
+
+    ``index_path``: reuse a persisted build_rescore_index (bits=8) —
+    the deployment shape: quantize once, dedup per corpus version
+    without re-encoding. Inline (default) encodes in the SAME single
+    map-side pass as the kmeans list assignment, so the fp corpus is
+    read exactly once before the band fetches.
+
+    List assignment replicates _coarse_kmeans's make_assign numpy
+    sequence bit-for-bit (np.stack -> normalize -> @cents.T ->
+    argsort), so the confinement structure matches the fp operator's.
+    """
+    import numpy as np
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    spark = items.sparkSession
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
+    )
+    cents, make_assign = _coarse_kmeans(it, n_lists)
+    if cents is None:
+        return items.select(
+            F.col(id_col).alias(id_col),
+            F.col(id_col).alias("canonical_id"))
+
+    if index_path is not None:
+        meta = spark.read.parquet(index_path + "/meta").collect()[0]
+        if int(meta["bits"]) != 8:
+            raise ValueError(
+                "semantic_dedup_int8 requires a bits=8 index, got "
+                f"bits={int(meta['bits'])}")
+        assigned = it.withColumn(
+            "_list", make_assign(cents, 1)(F.col("_iv"))[0]
+        ).select("_iid", "_list")
+        codes = spark.read.parquet(index_path + "/codes")
+        qdf = assigned.join(codes, "_iid")
+    else:
+        bc = spark.sparkContext.broadcast(cents)
+
+        def assign_encode(batches):
+            import pandas as pd
+
+            c = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["_iv"].to_numpy())
+                # assignment: EXACTLY make_assign's sequence
+                mn = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                sims = mn @ c.T
+                lists = np.argsort(-sims, axis=1)[:, :1][:, 0]
+                # codes: EXACTLY build_rescore_index's arithmetic
+                m64 = m.astype(np.float64)
+                iscale = np.maximum(np.abs(m64).max(axis=1), 1e-12) / 127.0
+                i8 = np.rint(m64 / iscale[:, None]).astype(np.int32)
+                inorm = np.sqrt((i8 * i8).sum(axis=1)) * iscale
+                yield pd.DataFrame({
+                    "_iid": pdf["_iid"].to_numpy(),
+                    "_list": lists.astype(np.int32),
+                    "_codes": [r.astype(np.int8) for r in i8],
+                    "_scale": iscale,
+                    "_inorm": inorm,
+                })
+
+        from pyspark.sql.types import (
+            ArrayType, ByteType, DoubleType, IntegerType, StructField,
+            StructType,
+        )
+
+        schema = StructType([
+            StructField("_iid", items.schema[id_col].dataType, False),
+            StructField("_list", IntegerType(), False),
+            StructField("_codes", ArrayType(ByteType()), False),
+            StructField("_scale", DoubleType(), False),
+            StructField("_inorm", DoubleType(), False),
+        ])
+        qdf = it.mapInPandas(assign_encode, schema)
+
+    # the encoded+assigned frame feeds both join sides — cut it once
+    qdf = qdf.localCheckpoint(eager=False)
+    a = qdf.select(
+        "_list", F.col("_iid").alias("_ia"), F.col("_codes").alias("_ca"),
+        F.col("_scale").alias("_sa"), F.col("_inorm").alias("_na"))
+    b = qdf.select(
+        "_list", F.col("_iid").alias("_ib"), F.col("_codes").alias("_cb"),
+        F.col("_scale").alias("_sb"), F.col("_inorm").alias("_nb"))
+    # integer dot JVM-side: bytes widened per element (tinyint*tinyint
+    # would overflow), accumulated in long (d*127^2 outgrows int past
+    # d ~ 130k)
+    dot = F.aggregate(
+        F.zip_with(F.col("_ca"), F.col("_cb"),
+                   lambda x, y: (x.cast("int") * y.cast("int")).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    approx = (dot * F.col("_sa") * F.col("_sb")
+              / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-300)))
+    # greatest(., 1e-300): a zero code norm (<=> all-zero vector) must
+    # reach the band rescore — where the shared cosine expression
+    # raises ANSI DIVIDE_BY_ZERO exactly like the fp path — instead of
+    # erroring here in the classification arithmetic
+    eps = (F.sqrt(F.size("_ca").cast("double"))
+           * (F.col("_sa") / F.greatest(F.col("_na"), F.lit(1e-300))
+              + F.col("_sb") / F.greatest(F.col("_nb"), F.lit(1e-300)))
+           + F.lit(float(eps_slack)))
+    scored = (
+        a.join(b, "_list")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(F.col("_ia"), F.col("_ib"),
+                approx.alias("_ap"), eps.alias("_eps"))
+        .localCheckpoint(eager=False)  # feeds both accept and band
+    )
+    auto = (
+        scored.filter(F.col("_ap") - F.col("_eps") >= F.lit(threshold))
+        .select(F.col("_ia").alias("_src"), F.col("_ib").alias("_dst"))
+    )
+    band = (
+        scored.filter(
+            (F.col("_ap") - F.col("_eps") < F.lit(threshold))
+            & (F.col("_ap") + F.col("_eps") >= F.lit(threshold)))
+        .select("_ia", "_ib")
+    )
+    # fp fetch CONFINED to band pairs — the same >= filter expression
+    # as semantic_dedup so NaN/tie behavior is identical
+    va = it.select(F.col("_iid").alias("_ia"), F.col("_iv").alias("_va"))
+    vb = it.select(F.col("_iid").alias("_ib"), F.col("_iv").alias("_vb"))
+    rescored = (
+        band.join(va, "_ia").join(vb, "_ib")
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_ia").alias("_src"), F.col("_ib").alias("_dst"))
+    )
+    pairs = auto.unionByName(rescored).localCheckpoint(eager=False)
+
+    from .paths import connected_components
+
+    touched = (
+        pairs.select(F.col("_src").alias("_iid"))
+        .unionByName(pairs.select(F.col("_dst").alias("_iid")))
+        .distinct()
+    )
+    comp = connected_components(pairs, touched, max_iter=max_iter)
+    return (
+        it.select("_iid")
+        .join(comp.withColumnRenamed("node", "_iid"), "_iid", "left")
+        .select(
+            F.col("_iid").alias(id_col),
+            F.coalesce("comp", F.col("_iid")).alias("canonical_id"),
+        )
+    )
+
+
+def semantic_dedup_band_audit(
+    items: DataFrame,
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps_slack: float = 1e-9,
+) -> DataFrame:
+    """One row quantifying semantic_dedup_int8's fp-read confinement on
+    a given corpus: of all within-list candidate pairs, how many were
+    auto-accepted / auto-rejected on int8 codes alone vs sent to the
+    fp band rescore. band_fraction is THE 100 TB claim — it is the
+    fraction of the pairwise stage that ever touches full-precision
+    vectors. Deterministic (hash-seeded kmeans, rint codes), so the
+    audited fractions are a reproducible constant of (corpus, params).
+    """
+    import numpy as np
+
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
+    )
+    cents, make_assign = _coarse_kmeans(it, n_lists)
+    if cents is None:
+        return items.sparkSession.createDataFrame(
+            [(0, 0, 0, 0, 0.0)],
+            "n_pairs: long, n_auto_accept: long, n_auto_reject: long, "
+            "n_band: long, band_fraction: double")
+    bc = items.sparkSession.sparkContext.broadcast(cents)
+
+    def assign_encode(batches):
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["_iv"].to_numpy())
+            mn = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            lists = np.argsort(-(mn @ c.T), axis=1)[:, :1][:, 0]
+            m64 = m.astype(np.float64)
+            iscale = np.maximum(np.abs(m64).max(axis=1), 1e-12) / 127.0
+            i8 = np.rint(m64 / iscale[:, None]).astype(np.int32)
+            inorm = np.sqrt((i8 * i8).sum(axis=1)) * iscale
+            yield pd.DataFrame({
+                "_iid": pdf["_iid"].to_numpy(),
+                "_list": lists.astype(np.int32),
+                "_codes": [r.astype(np.int8) for r in i8],
+                "_scale": iscale,
+                "_inorm": inorm,
+            })
+
+    from pyspark.sql.types import (
+        ArrayType, ByteType, DoubleType, IntegerType, StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("_iid", items.schema[id_col].dataType, False),
+        StructField("_list", IntegerType(), False),
+        StructField("_codes", ArrayType(ByteType()), False),
+        StructField("_scale", DoubleType(), False),
+        StructField("_inorm", DoubleType(), False),
+    ])
+    qdf = it.mapInPandas(assign_encode, schema).localCheckpoint(eager=False)
+    a = qdf.select(
+        "_list", F.col("_iid").alias("_ia"), F.col("_codes").alias("_ca"),
+        F.col("_scale").alias("_sa"), F.col("_inorm").alias("_na"))
+    b = qdf.select(
+        "_list", F.col("_iid").alias("_ib"), F.col("_codes").alias("_cb"),
+        F.col("_scale").alias("_sb"), F.col("_inorm").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_ca"), F.col("_cb"),
+                   lambda x, y: (x.cast("int") * y.cast("int")).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    approx = (dot * F.col("_sa") * F.col("_sb")
+              / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-300)))
+    # greatest(., 1e-300): a zero code norm (<=> all-zero vector) must
+    # reach the band rescore — where the shared cosine expression
+    # raises ANSI DIVIDE_BY_ZERO exactly like the fp path — instead of
+    # erroring here in the classification arithmetic
+    eps = (F.sqrt(F.size("_ca").cast("double"))
+           * (F.col("_sa") / F.greatest(F.col("_na"), F.lit(1e-300))
+              + F.col("_sb") / F.greatest(F.col("_nb"), F.lit(1e-300)))
+           + F.lit(float(eps_slack)))
+    t = F.lit(threshold)
+    cls = (
+        a.join(b, "_list")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.when(approx - eps >= t, F.lit("accept"))
+            .when(approx + eps < t, F.lit("reject"))
+            .otherwise(F.lit("band")).alias("_cls"))
+    )
+    return cls.agg(
+        F.count("*").alias("n_pairs"),
+        F.count_if(F.col("_cls") == "accept").alias("n_auto_accept"),
+        F.count_if(F.col("_cls") == "reject").alias("n_auto_reject"),
+        F.count_if(F.col("_cls") == "band").alias("n_band"),
+    ).select(
+        "n_pairs", "n_auto_accept", "n_auto_reject", "n_band",
+        F.round(F.col("n_band")
+                / F.greatest(F.col("n_pairs"), F.lit(1)), 6)
+        .alias("band_fraction"),
     )

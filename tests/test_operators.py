@@ -1552,6 +1552,88 @@ def test_semantic_dedup(spark):
         semantic_dedup(df, threshold=0.0)
 
 
+def test_semantic_dedup_int8_identical_to_fp(spark, tmp_path):
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.similarity import (
+        build_rescore_index,
+        semantic_dedup,
+        semantic_dedup_band_audit,
+        semantic_dedup_int8,
+    )
+
+    # (a) planted corpus with decoys at EXACTLY the threshold — the
+    # band is load-bearing: int8 approx of a cos-0.6 pair lands within
+    # eps of 0.6, so only the exact rescore can classify it, and it
+    # must agree with the fp path's >= (decoys join at t=0.6)
+    rows = []
+    for g in range(5):
+        for i in range(3):
+            v = [0.0] * 16
+            v[g] = 1.0
+            v[15] = 0.01 * i
+            rows.append((g * 10 + i, v))
+        w = [0.0] * 16
+        w[g] = 0.6
+        w[14] = 0.8
+        rows.append((g * 10 + 9, w))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    for t, lists in ((0.9, 4), (0.6, 1), (0.5, 1)):
+        fp = sorted((r.vec_id, r.canonical_id) for r in
+                    semantic_dedup(df, threshold=t, n_lists=lists).collect())
+        i8 = sorted((r.vec_id, r.canonical_id) for r in
+                    semantic_dedup_int8(df, threshold=t,
+                                        n_lists=lists).collect())
+        assert fp == i8, f"divergence at threshold={t}"
+
+    # (b) random vectors: parity where nothing is axis-aligned
+    rng = np.random.default_rng(7)
+    rnd = spark.createDataFrame(
+        [(int(i), rng.standard_normal(24).tolist()) for i in range(120)],
+        "vec_id: long, embedding: array<double>")
+    fp = sorted((r.vec_id, r.canonical_id) for r in
+                semantic_dedup(rnd, threshold=0.4, n_lists=4).collect())
+    i8 = sorted((r.vec_id, r.canonical_id) for r in
+                semantic_dedup_int8(rnd, threshold=0.4, n_lists=4).collect())
+    assert fp == i8
+
+    # (c) persisted-index mode: identical again, and bits=4 rejected
+    idx = str(tmp_path / "sd_idx")
+    build_rescore_index(rnd, idx, bits=8)
+    viaidx = sorted((r.vec_id, r.canonical_id) for r in
+                    semantic_dedup_int8(rnd, threshold=0.4, n_lists=4,
+                                        index_path=idx).collect())
+    assert viaidx == fp
+    idx4 = str(tmp_path / "sd_idx4")
+    build_rescore_index(rnd, idx4, bits=4)
+    with pytest.raises(ValueError, match="bits=8"):
+        semantic_dedup_int8(rnd, threshold=0.4, index_path=idx4).collect()
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup_int8(rnd, threshold=0.0)
+
+    # (d) the audit partitions every candidate pair, and the band —
+    # the only fp-read fraction — is a small minority on random data
+    aud = semantic_dedup_band_audit(rnd, threshold=0.4, n_lists=4).collect()[0]
+    assert aud.n_auto_accept + aud.n_auto_reject + aud.n_band == aud.n_pairs
+    assert aud.band_fraction < 0.25
+
+    # (e) zero-norm vector: under ANSI the fp path's cosine raises
+    # DIVIDE_BY_ZERO; the int8 path routes the pair to the band (huge
+    # eps, never a division error in the classification itself) where
+    # the SAME cosine expression raises the same error — identical
+    # behavior including the failure mode
+    from pyspark.errors import ArithmeticException
+
+    zdf = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [0.0] * 8), (2, [1.0] + [0.0] * 7)],
+        "vec_id: long, embedding: array<double>")
+    with pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
+        semantic_dedup(zdf, threshold=0.9, n_lists=1).collect()
+    with pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
+        semantic_dedup_int8(zdf, threshold=0.9, n_lists=1).collect()
+
+
 def test_extract_html_text(spark):
     import pytest
 
