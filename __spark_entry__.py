@@ -1439,6 +1439,42 @@ def _q_semantic_dedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("canonical_id").cast("long"))
 
 
+def _q_kmeans_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class distributed k-means on planted well-separated
+    clusters: supplier k (capped 240) gets vector e_(k%8) + 0.3 *
+    e_(8 + (k//8)%56) — 8 dominant cluster axes, per-member jitter on
+    disjoint high axes. Warm-started from init_ids=[0..7] (one known
+    member per cluster — the engine-independent labeling device), so
+    spherical Lloyd assigns every member to its dominant axis in round
+    1 (cos >= 0.917 to its own centroid vs <= 0.09 cross), means
+    stabilize in round 2, and convergence (tol 1e-4) is certain.
+    Closed form: cluster = k % 8. A wrong assignment rule, a broken
+    mean update, or a non-converging loop all break the hash."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import kmeans
+
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg(F.least(F.count(F.lit(1)), F.lit(240)).alias("_cap"))
+    corpus = (
+        sup.crossJoin(F.broadcast(cap))
+        .filter(F.col("k") < F.col("_cap"))
+        .select(
+            F.col("k").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), i -> "
+                "CASE WHEN i = CAST(k % 8 AS INT) THEN CAST(1.0 AS DOUBLE) "
+                "WHEN i = CAST(8 + (k DIV 8) % 56 AS INT) "
+                "THEN CAST(0.3 AS DOUBLE) "
+                "ELSE CAST(0.0 AS DOUBLE) END)").alias("embedding"),
+        )
+    )
+    out = kmeans(corpus, init_ids=list(range(8)), max_iters=10, tol=1e-4)
+    return out.select(F.col("vec_id").cast("long"),
+                      F.col("cluster").cast("long"))
+
+
 def _q_semantic_dedup_band_audit(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Closed-form audit of semantic_dedup_int8's fp-read confinement:
@@ -3134,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "louvain_two_scale": _q_louvain_two_scale,
             "semantic_dedup_planted": _q_semantic_dedup,
             "semantic_dedup_int8_planted": _q_semantic_dedup_int8,
+            "kmeans_planted": _q_kmeans_planted,
             "semantic_dedup_band_audit": _q_semantic_dedup_band_audit,
             "louvain_weighted_triples": _q_louvain_weighted,
             "core_decomposition_cliques": _q_core_decomposition,
@@ -5994,6 +6031,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(100000 + g AS BIGINT) AS vec_id,
                    CAST(100000 + g AS BIGINT) AS canonical_id
             FROM (SELECT DISTINCT k // 4 AS g FROM members)
+        """,
+        "kmeans_planted": """
+            -- planted 8-cluster corpus with init_ids=[0..7]: cluster
+            -- index = the dominant basis axis = k % 8 (closed form)
+            SELECT CAST(s_suppkey AS BIGINT) AS vec_id,
+                   CAST(s_suppkey % 8 AS BIGINT) AS cluster
+            FROM supplier
+            WHERE s_suppkey < least((SELECT count(*) FROM supplier), 240)
         """,
         "semantic_dedup_band_audit": """
             -- closed-form int8 band classification on the planted

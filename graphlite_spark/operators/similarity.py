@@ -399,12 +399,13 @@ def _make_assign_l2(centroids):
 
 def kmeans(
     items: DataFrame,
-    k: int,
+    k: int | None = None,
     max_iters: int = 20,
     tol: float | None = 1e-4,
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_ids: list | None = None,
 ) -> DataFrame:
     """First-class distributed k-means over an embedding column:
     (id, cluster int) — Lloyd's algorithm with broadcast centroids,
@@ -413,7 +414,11 @@ def kmeans(
 
     - init: the k items with the smallest xxhash64(id) — a uniform
       reproducible sample, no RNG state (the _coarse_kmeans seed rule,
-      promoted). k must be <= |items|.
+      promoted). k must be <= |items|. Or pass ``init_ids`` (an
+      ordered list of item ids) to warm-start from known rows —
+      cluster i is init_ids[i]'s centroid, which makes the labeling
+      engine-independent (the gate entry's device; also the standard
+      resume-from-previous-fit API). Exactly one of k / init_ids.
     - per round: ONE distributed assignment pass (centroids broadcast
       to an Arrow-vectorized argmax — the corpus is scanned, never
       collected) + ONE k-row groupBy for the new means; the max
@@ -430,6 +435,10 @@ def kmeans(
     does). At 100 TB each round is one corpus scan + a k-row shuffle:
     no quadratic stage, no driver-side data path.
     """
+    if (k is None) == (init_ids is None):
+        raise ValueError("pass exactly one of k / init_ids")
+    if init_ids is not None:
+        k = len(init_ids)
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if metric not in ("cosine", "l2"):
@@ -441,16 +450,27 @@ def kmeans(
     it = items.select(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
     ).localCheckpoint(eager=False)  # scanned once per round — cut lineage
-    seeds = (
-        it.withColumn("_h", F.xxhash64(F.col("_iid")))
-        .orderBy("_h")
-        .limit(k)
-        .collect()
-    )
-    if len(seeds) < k:
-        raise ValueError(
-            f"kmeans: k={k} exceeds corpus size {len(seeds)}")
-    cents = np.array([r["_iv"] for r in seeds], dtype="float64")
+    if init_ids is not None:
+        rows = {r["_iid"]: r["_iv"]
+                for r in it.filter(F.col("_iid").isin(list(init_ids)))
+                .collect()}
+        missing = [i for i in init_ids if i not in rows]
+        if missing:
+            raise ValueError(
+                f"kmeans: init_ids not present in items: {missing[:5]}")
+        seeds_v = [rows[i] for i in init_ids]
+    else:
+        seeds = (
+            it.withColumn("_h", F.xxhash64(F.col("_iid")))
+            .orderBy("_h")
+            .limit(k)
+            .collect()
+        )
+        if len(seeds) < k:
+            raise ValueError(
+                f"kmeans: k={k} exceeds corpus size {len(seeds)}")
+        seeds_v = [r["_iv"] for r in seeds]
+    cents = np.array(seeds_v, dtype="float64")
     if metric == "cosine":
         cents = cents / np.maximum(
             np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
@@ -494,6 +514,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 20,
+    kmeans_iters: int = 1,
 ) -> DataFrame:
     """(id, canonical_id): SemDeDup (Abbas et al. 2023) — semantic
     near-duplicate pruning over an embedding column. Text-level dedup
@@ -515,14 +536,17 @@ def semantic_dedup(
 
     A near-dup pair split across two lists is missed — that is
     SemDeDup's documented approximation (recall depends on cluster
-    quality). Singletons map to themselves.
+    quality). Singletons map to themselves. ``kmeans_iters`` buys
+    better lists (fewer split pairs) with extra Lloyd rounds — one
+    corpus scan + one k-row groupBy each; default 1 preserves the
+    historical quantizer exactly.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     it = items.select(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
     )
-    cents, make_assign = _coarse_kmeans(it, n_lists)
+    cents, make_assign = _coarse_kmeans(it, n_lists, kmeans_iters)
     if cents is None:
         # empty corpus: the identity mapping on zero rows, not a
         # numpy shape error from the seed sample
@@ -576,21 +600,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    kmeans_iters: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
     Coarse quantizer: n_lists centroids chosen deterministically (items
     with the smallest xxhash64(id) — a uniform reproducible sample),
     refined with one Lloyd step (mean of assigned vectors — a single
-    groupBy). Items live in their nearest centroid's list; a query scores
-    only its n_probe nearest lists. Assignment uses an Arrow-vectorized
-    pandas UDF (numpy matmul) — the one place built-ins can't express a
-    k-way argmin economically.
+    groupBy; ``kmeans_iters`` raises the refinement budget — better
+    lists, higher recall per probe). Items live in their nearest
+    centroid's list; a query scores only its n_probe nearest lists.
+    Assignment uses an Arrow-vectorized pandas UDF (numpy matmul) —
+    the one place built-ins can't express a k-way argmin economically.
     """
     it = items.select(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
     )
-    cents, make_assign = _coarse_kmeans(it, n_lists)
+    cents, make_assign = _coarse_kmeans(it, n_lists, kmeans_iters)
     if cents is None:
         raise ValueError("ivf_topk: items frame is empty — nothing to index")
     items_assigned = it.withColumn(
@@ -1210,6 +1236,7 @@ def semantic_dedup_int8(
     max_iter: int = 20,
     index_path: str | None = None,
     eps_slack: float = 1e-9,
+    kmeans_iters: int = 1,
 ) -> DataFrame:
     """semantic_dedup whose within-list pairwise pass runs on INT8
     codes with a PROVABLE per-pair error band — full-precision vectors
@@ -1256,7 +1283,7 @@ def semantic_dedup_int8(
     it = items.select(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
     )
-    cents, make_assign = _coarse_kmeans(it, n_lists)
+    cents, make_assign = _coarse_kmeans(it, n_lists, kmeans_iters)
     if cents is None:
         return items.select(
             F.col(id_col).alias(id_col),
@@ -1396,6 +1423,7 @@ def semantic_dedup_band_audit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     eps_slack: float = 1e-9,
+    kmeans_iters: int = 1,
 ) -> DataFrame:
     """One row quantifying semantic_dedup_int8's fp-read confinement on
     a given corpus: of all within-list candidate pairs, how many were
@@ -1410,7 +1438,7 @@ def semantic_dedup_band_audit(
     it = items.select(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
     )
-    cents, make_assign = _coarse_kmeans(it, n_lists)
+    cents, make_assign = _coarse_kmeans(it, n_lists, kmeans_iters)
     if cents is None:
         return items.sparkSession.createDataFrame(
             [(0, 0, 0, 0, 0.0)],

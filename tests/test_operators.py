@@ -1552,6 +1552,123 @@ def test_semantic_dedup(spark):
         semantic_dedup(df, threshold=0.0)
 
 
+def test_kmeans_numpy_lloyd_parity(spark):
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.similarity import kmeans
+
+    rng = np.random.default_rng(11)
+    n, d, k = 150, 12, 5
+    vecs = rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(int(i), vecs[i].tolist()) for i in range(n)],
+        "vec_id: long, embedding: array<double>")
+
+    # reference numpy Lloyd with the operator's exact conventions:
+    # seeds = k smallest xxhash64(id) (read back from Spark so the
+    # hash itself isn't re-implemented), empty clusters keep their
+    # centroid, cosine = spherical, l2 = argmin distance
+    from pyspark.sql import functions as F
+    seed_ids = [r.vec_id for r in df.select(
+        "vec_id", F.xxhash64("vec_id").alias("h")).orderBy("h")
+        .limit(k).collect()]
+
+    def np_lloyd(metric, iters):
+        c = vecs[seed_ids].astype(np.float64).copy()
+        if metric == "cosine":
+            c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True),
+                               1e-12)
+        m = vecs.astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        for _ in range(iters):
+            if metric == "cosine":
+                a = np.argsort(-(mn @ c.T), axis=1)[:, 0]
+            else:
+                d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+            for j in range(k):
+                sel = m[a == j]
+                if len(sel):
+                    v = sel.mean(axis=0)
+                    if metric == "cosine":
+                        nv = np.linalg.norm(v)
+                        c[j] = v / nv if nv > 1e-12 else c[j]
+                    else:
+                        c[j] = v
+        if metric == "cosine":
+            return np.argsort(-(mn @ c.T), axis=1)[:, 0]
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d2, axis=1)
+
+    for metric in ("cosine", "l2"):
+        want = np_lloyd(metric, 4)
+        got = {r.vec_id: r.cluster for r in
+               kmeans(df, k=k, max_iters=4, tol=None,
+                      metric=metric).collect()}
+        assert [got[i] for i in range(n)] == want.tolist(), metric
+
+    # bounded rounds RAISE when tol is unreachable in the budget
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kmeans(df, k=k, max_iters=1, tol=0.0)
+    # convergent case: a loose tol within a generous budget passes and
+    # clusters every row
+    out = kmeans(df, k=k, max_iters=30, tol=1e-3)
+    assert out.count() == n
+
+    # init_ids: warm start from explicit rows — cluster i IS
+    # init_ids[i]'s centroid lineage; unknown ids raise
+    got = kmeans(df, init_ids=[3, 7], max_iters=10, tol=None).collect()
+    assert {r.cluster for r in got} <= {0, 1} and len(got) == n
+    with pytest.raises(ValueError, match="not present"):
+        kmeans(df, init_ids=[3, 10**9], max_iters=2, tol=None)
+    with pytest.raises(ValueError, match="exactly one"):
+        kmeans(df, k=3, init_ids=[1, 2])
+    with pytest.raises(ValueError, match="exactly one"):
+        kmeans(df)
+    with pytest.raises(ValueError, match="metric"):
+        kmeans(df, k=2, metric="cityblock")
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        kmeans(df, k=n + 1)
+
+
+def test_kmeans_iters_knob_and_quantizer_equivalence(spark):
+    # kmeans_iters=1 must leave ivf_topk / semantic_dedup byte-for-byte
+    # at their historical outputs (it IS the historical code path), and
+    # deeper refinement must produce valid (possibly different) results
+    import numpy as np
+
+    from graphlite_spark.operators.similarity import (
+        ivf_topk,
+        semantic_dedup,
+        semantic_dedup_int8,
+    )
+
+    rng = np.random.default_rng(23)
+    df = spark.createDataFrame(
+        [(int(i), rng.standard_normal(16).tolist()) for i in range(80)],
+        "vec_id: long, embedding: array<double>")
+    q = df.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    base = sorted(map(tuple, ivf_topk(df, q, k=5, n_lists=4).collect()))
+    one = sorted(map(tuple, ivf_topk(df, q, k=5, n_lists=4,
+                                     kmeans_iters=1).collect()))
+    assert base == one
+    deep = ivf_topk(df, q, k=5, n_lists=4, kmeans_iters=4)
+    assert deep.count() == 15
+    sd1 = sorted(map(tuple, semantic_dedup(df, threshold=0.4,
+                                           n_lists=4).collect()))
+    sd1b = sorted(map(tuple, semantic_dedup(df, threshold=0.4, n_lists=4,
+                                            kmeans_iters=1).collect()))
+    assert sd1 == sd1b
+    # fp/int8 parity must hold at ANY refinement depth
+    fp3 = sorted(map(tuple, semantic_dedup(df, threshold=0.4, n_lists=4,
+                                           kmeans_iters=3).collect()))
+    i83 = sorted(map(tuple, semantic_dedup_int8(df, threshold=0.4,
+                                                n_lists=4,
+                                                kmeans_iters=3).collect()))
+    assert fp3 == i83
+
+
 def test_semantic_dedup_int8_identical_to_fp(spark, tmp_path):
     import numpy as np
     import pytest
