@@ -1439,6 +1439,46 @@ def _q_semantic_dedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("canonical_id").cast("long"))
 
 
+def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram naive-Bayes lang_id on a closed-form corpus: three
+    planted 'languages' with DISJOINT alphabets (aa: a-f, bb: g-l, cc:
+    m-r) trained from one cyclic document each (repeat(alphabet, 4)
+    contains every cyclic trigram), scored on supplier-derived test
+    docs that are 12-char windows of the same cycle — every test gram
+    is in-model, so prediction = planted language with coverage 1.0.
+    Out-of-set docs (k%4==3, alphabet s-x) match nothing -> 'und' via
+    the coverage gate; short docs (k%17==0, 2 chars < n) -> 'und' with
+    no grams. Exercises gram extraction, the NB score+unseen-penalty
+    join, the winner window, and both 'und' paths. Discrimination on
+    SHARED alphabets is pinned by pytest (synth_multilingual, acc
+    floors)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import lang_id, lang_ngram_model
+
+    train = spark.createDataFrame(
+        [("aa", "abcdef" * 4), ("bb", "ghijkl" * 4), ("cc", "mnopqr" * 4)],
+        "lang: string, text: string")
+    model = lang_ngram_model(train)
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg(F.least(F.count(F.lit(1)), F.lit(240)).alias("_cap"))
+    docs = (
+        sup.crossJoin(F.broadcast(cap))
+        .filter(F.col("k") < F.col("_cap"))
+        .selectExpr(
+            "k AS doc_id",
+            "CASE WHEN k % 17 = 0 THEN 'ab' ELSE substring(repeat("
+            "element_at(array('abcdef', 'ghijkl', 'mnopqr', 'stuvwx'), "
+            "CAST(k % 4 AS INT) + 1), 4), 1 + CAST(k % 6 AS INT), 12) "
+            "END AS text",
+        )
+    )
+    out = lang_id(docs, model=model)
+    return out.select(F.col("doc_id").cast("long"), "lang_guess",
+                      "coverage")
+
+
 def _q_kmeans_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-class distributed k-means on planted well-separated
     clusters: supplier k (capped 240) gets vector e_(k%8) + 0.3 *
@@ -3171,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "semantic_dedup_planted": _q_semantic_dedup,
             "semantic_dedup_int8_planted": _q_semantic_dedup_int8,
             "kmeans_planted": _q_kmeans_planted,
+            "lang_id_ngram": _q_lang_id_ngram,
             "semantic_dedup_band_audit": _q_semantic_dedup_band_audit,
             "louvain_weighted_triples": _q_louvain_weighted,
             "core_decomposition_cliques": _q_core_decomposition,
@@ -6031,6 +6072,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(100000 + g AS BIGINT) AS vec_id,
                    CAST(100000 + g AS BIGINT) AS canonical_id
             FROM (SELECT DISTINCT k // 4 AS g FROM members)
+        """,
+        "lang_id_ngram": """
+            -- disjoint-alphabet planted languages: in-set docs are
+            -- classified with coverage 1.0, out-of-set (k%4=3) and
+            -- short (k%17=0) docs are 'und' with coverage 0
+            SELECT CAST(s_suppkey AS BIGINT) AS doc_id,
+                   CASE WHEN s_suppkey % 17 = 0 THEN 'und'
+                        WHEN s_suppkey % 4 = 0 THEN 'aa'
+                        WHEN s_suppkey % 4 = 1 THEN 'bb'
+                        WHEN s_suppkey % 4 = 2 THEN 'cc'
+                        ELSE 'und' END AS lang_guess,
+                   CASE WHEN s_suppkey % 17 = 0 OR s_suppkey % 4 = 3
+                        THEN 0.0 ELSE 1.0 END AS coverage
+            FROM supplier
+            WHERE s_suppkey < least((SELECT count(*) FROM supplier), 240)
         """,
         "kmeans_planted": """
             -- planted 8-cluster corpus with init_ids=[0..7]: cluster

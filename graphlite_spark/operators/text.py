@@ -143,9 +143,141 @@ def repetition_score(df: DataFrame, text_col: str = "text",
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit language guess over LANG_LEXICON; 'und' (undetermined)
-    when no lexicon scores > 0. Deterministic ties: lexicon order."""
+def _char_ngrams(text_col, n: int = 3):
+    """array<string> of overlapping lowercased character n-grams —
+    whitespace-collapsed first so formatting doesn't shift grams.
+    Empty array when the text is shorter than n. One SQL expression
+    (codegen, map-side); the identical arithmetic is expressible in
+    DuckDB (substr + range) for oracles."""
+    name = text_col if isinstance(text_col, str) else text_col._jc.toString()
+    return F.expr(
+        f"CASE WHEN length(trim(regexp_replace(lower({name}), '\\\\s+', ' ')))"
+        f" >= {n} THEN transform(sequence(1, "
+        f"length(trim(regexp_replace(lower({name}), '\\\\s+', ' '))) - {n - 1}"
+        f"), i -> substring(trim(regexp_replace(lower({name}), '\\\\s+', ' ')),"
+        f" i, {n})) ELSE array() END"
+    )
+
+
+def lang_ngram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = 3,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """(lang, gram, logprob, unseen_logprob): a character-n-gram
+    naive-Bayes language model trained from a LABELED corpus — the
+    real classifier behind lang_id(model=...), replacing the stopword
+    heuristic. Per language:
+        p(g | lang) = (count(g, lang) + s) / (total(lang) + s*|V|)
+    with |V| the cross-language gram vocabulary; ``unseen_logprob`` is
+    the same formula at count 0, denormalized onto every row so
+    scoring needs no second frame. Only observed (lang, gram) rows
+    materialize. One map-side-combined groupBy over exploded grams +
+    a lang-marginal + a 1x1 vocab frame — the lm_unigram_model shape;
+    the model is small by nature (<= |langs| * |gram space|) and
+    broadcasts."""
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_char_ngrams(text_col, n)).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.groupBy("lang").agg(F.sum("_c").alias("_tot"))
+    vocab = counts.agg(F.count_distinct("gram").alias("_v"))
+    return (
+        counts.join(totals, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang", "gram",
+            F.log((F.col("_c") + F.lit(smoothing))
+                  / (F.col("_tot") + F.lit(smoothing) * F.col("_v")))
+            .alias("logprob"),
+            F.log(F.lit(smoothing)
+                  / (F.col("_tot") + F.lit(smoothing) * F.col("_v")))
+            .alias("unseen_logprob"),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            model: DataFrame | None = None, n: int = 3,
+            min_coverage: float = 0.2) -> DataFrame:
+    """Language identification.
+
+    With ``model`` (a lang_ngram_model frame — the REAL path): per
+    document, score every language as the naive-Bayes log-likelihood
+    of its character n-grams — matched grams contribute their trained
+    logprob, unmatched grams the language's unseen_logprob, so scores
+    are comparable across languages (a sparse match can't win by
+    summing fewer penalties). Winner = max score, ties broken on lang
+    ascending; documents whose winning language matched fewer than
+    ``min_coverage`` of their grams — out-of-set languages, noise —
+    and documents with no grams at all (shorter than n chars) return
+    'und'. Returns (id, lang_guess, coverage). Distributed shape: the
+    model BROADCASTS; the corpus explodes to (doc, gram) once, one
+    groupBy to per-(doc, lang) sums, one |langs|-wide window — no
+    corpus-sized join ever shuffles twice.
+
+    Without ``model``: the legacy stopword-hit heuristic over
+    LANG_LEXICON (kept as the zero-setup fallback; 'und' when no
+    lexicon scores > 0; deterministic ties by lexicon order). Returns
+    (id, lang_guess, lang_hits).
+    """
+    if model is not None:
+        if not 0.0 <= min_coverage <= 1.0:
+            raise ValueError(
+                f"min_coverage must be in [0, 1], got {min_coverage}")
+        m = F.broadcast(model.select("lang", "gram", "logprob",
+                                     "unseen_logprob"))
+        langs = F.broadcast(
+            model.select("lang", "unseen_logprob").distinct())
+        docs = df.select(
+            F.col(id_col),
+            F.size(_char_ngrams(text_col, n)).cast("double").alias("_ng"),
+        )
+        grams = df.select(
+            F.col(id_col),
+            F.explode(_char_ngrams(text_col, n)).alias("gram"),
+        )
+        matched = (
+            grams.join(m, "gram")
+            .groupBy(id_col, "lang")
+            .agg(F.sum("logprob").alias("_ms"),
+                 F.count(F.lit(1)).cast("double").alias("_mc"))
+        )
+        scored = (
+            docs.crossJoin(langs)
+            .join(matched, [id_col, "lang"], "left")
+            .select(
+                F.col(id_col), "lang", "_ng",
+                (F.coalesce(F.col("_ms"), F.lit(0.0))
+                 + (F.col("_ng") - F.coalesce(F.col("_mc"), F.lit(0.0)))
+                 * F.col("unseen_logprob")).alias("_score"),
+                (F.coalesce(F.col("_mc"), F.lit(0.0))
+                 / F.greatest(F.col("_ng"), F.lit(1.0))).alias("_cov"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_score").desc(), F.col("lang").asc())
+        best = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(
+                F.col(id_col),
+                F.when((F.col("_ng") > 0)
+                       & (F.col("_cov") >= F.lit(min_coverage)),
+                       F.col("lang")).otherwise(F.lit("und"))
+                .alias("lang_guess"),
+                F.round(F.when(F.col("_ng") > 0, F.col("_cov"))
+                        .otherwise(F.lit(0.0)), 6).alias("coverage"),
+            )
+        )
+        # documents can never drop out: every doc row survives the
+        # crossJoin with the (non-empty) language frame
+        return best
     toks = _tokens(F.lower(F.col(text_col)))
     scores = []
     for lang, words in LANG_LEXICON.items():
@@ -163,6 +295,70 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.col(id_col),
         best.alias("lang_guess"),
         best_score.cast("long").alias("lang_hits"),
+    )
+
+
+# per-language common-word inventories for synth_multilingual — public
+# high-frequency words, overlapping alphabets (discrimination must come
+# from n-gram statistics, not from disjoint character sets)
+_SYNTH_LANG_WORDS = {
+    "en": ["the", "and", "of", "to", "that", "have", "with", "this",
+           "from", "they", "would", "there", "their", "what", "about",
+           "which", "when", "people", "because", "through", "where",
+           "thought", "should", "world", "right"],
+    "de": ["der", "die", "und", "das", "nicht", "sie", "mit", "sich",
+           "auf", "auch", "eine", "werden", "noch", "wenn", "aber",
+           "durch", "schon", "gegen", "immer", "zwischen", "wieder",
+           "unter", "machen", "jahren", "menschen"],
+    "fr": ["les", "des", "une", "dans", "est", "pour", "qui", "pas",
+           "sur", "plus", "par", "avec", "tout", "faire", "comme",
+           "mais", "nous", "vous", "leur", "bien", "aussi", "cette",
+           "sans", "peut", "deux"],
+    "es": ["que", "los", "del", "las", "una", "por", "con", "para",
+           "como", "pero", "sus", "fue", "ser", "son", "entre", "cuando",
+           "todo", "esta", "hay", "donde", "quien", "desde", "nos",
+           "durante", "todos"],
+    "it": ["che", "della", "per", "una", "sono", "anche", "come", "dal",
+           "questo", "quando", "essere", "fatto", "loro", "perche",
+           "molto", "senza", "dopo", "ancora", "stato", "solo", "tutti",
+           "cosa", "nella", "prima", "tempo"],
+    "pt": ["que", "uma", "com", "para", "mais", "dos", "como", "mas",
+           "foi", "ser", "tem", "seu", "sua", "quando", "muito", "nos",
+           "depois", "mesmo", "sem", "ainda", "entre", "grande", "bem",
+           "pelo", "anos"],
+}
+
+
+def synth_multilingual(spark, n_docs: int, words_per_doc: int = 30,
+                       langs: tuple[str, ...] = tuple(_SYNTH_LANG_WORDS),
+                       salt: int = 0):
+    """(doc_id, lang, text): a deterministic synthetic multilingual
+    corpus — doc i is in langs[i % |langs|] and concatenates
+    ``words_per_doc`` words drawn from that language's common-word
+    inventory by the Knuth multiplicative hash
+    ((i * W + j + salt) * 2654435761) mod 2^32 (no RNG state; the
+    synth_html discipline). The inventories deliberately share an
+    alphabet, so the trained model must discriminate on gram
+    STATISTICS. Built as one SQL expression over spark.range — no
+    driver-side corpus."""
+    inv = {k: _SYNTH_LANG_WORDS[k] for k in langs}
+    lang_arms = " ".join(
+        f"WHEN {i} THEN '{k}'" for i, k in enumerate(langs))
+    word_arms = " ".join(
+        "WHEN '{k}' THEN element_at(array({ws}), "
+        "CAST((((doc_id * {W} + j + {salt}) * 2654435761) % 4294967296) "
+        "% {n} AS INT) + 1)".format(
+            k=k, ws=", ".join(f"'{w}'" for w in ws),
+            W=words_per_doc, salt=salt, n=len(ws))
+        for k, ws in inv.items())
+    return spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        f"CASE CAST(id % {len(langs)} AS INT) {lang_arms} END AS lang",
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        f"array_join(transform(sequence(0, {words_per_doc - 1}), "
+        f"j -> CASE lang {word_arms} END), ' ') AS text",
     )
 
 

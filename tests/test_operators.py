@@ -1552,6 +1552,67 @@ def test_semantic_dedup(spark):
         semantic_dedup(df, threshold=0.0)
 
 
+def test_lang_id_ngram_model(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import (
+        lang_id,
+        lang_ngram_model,
+        synth_multilingual,
+    )
+
+    # train on one deterministic synthetic shard, score a DIFFERENT
+    # shard (different salt = held-out docs) — the offline-model
+    # deployment contract, same as lm_quality_score's
+    train = synth_multilingual(spark, 600, words_per_doc=40, salt=1)
+    model = lang_ngram_model(train)
+    langs = {r.lang for r in model.select("lang").distinct().collect()}
+    assert langs == {"en", "de", "fr", "es", "it", "pt"}
+
+    def acc(test):
+        j = lang_id(test.select("doc_id", "text"), model=model).join(
+            test.select("doc_id", F.col("lang").alias("truth")), "doc_id")
+        return j.agg(F.avg((F.col("lang_guess") == F.col("truth"))
+                           .cast("double"))).collect()[0][0]
+
+    # accuracy floors: full docs essentially perfect, 3-word docs
+    # (the short-doc regime the stopword heuristic misroutes) >= 0.9
+    assert acc(synth_multilingual(spark, 300, words_per_doc=30,
+                                  salt=999)) >= 0.99
+    assert acc(synth_multilingual(spark, 300, words_per_doc=3,
+                                  salt=77)) >= 0.9
+
+    # out-of-set language (consonant-cluster noise sharing the
+    # alphabet) maps to 'und' via the coverage gate
+    oos = spark.range(50).selectExpr(
+        "id as doc_id",
+        "array_join(transform(sequence(0, 19), j -> element_at("
+        "array('xqz', 'wvk', 'zzt', 'qqj', 'kxw'), "
+        "CAST(((id*20 + j) * 2654435761) % 4294967296 % 5 AS INT) + 1)), "
+        "' ') as text")
+    und = lang_id(oos, model=model).agg(
+        F.avg((F.col("lang_guess") == "und").cast("double"))
+    ).collect()[0][0]
+    assert und == 1.0
+
+    # empty / sub-n / NULL text all yield ('und', 0.0) — never dropped
+    tiny = spark.createDataFrame(
+        [(0, ""), (1, "ab"), (2, None)], "doc_id: long, text: string")
+    got = {(r.doc_id, r.lang_guess, r.coverage)
+           for r in lang_id(tiny, model=model).collect()}
+    assert got == {(0, "und", 0.0), (1, "und", 0.0), (2, "und", 0.0)}
+
+    with pytest.raises(ValueError, match="min_coverage"):
+        lang_id(tiny, model=model, min_coverage=1.5)
+
+    # legacy lexicon fallback unchanged: no model -> stopword hits
+    legacy = lang_id(spark.createDataFrame(
+        [(0, "the cat and the dog")], "doc_id: long, text: string"))
+    assert legacy.columns == ["doc_id", "lang_guess", "lang_hits"]
+    assert legacy.collect()[0].lang_guess == "en"
+
+
 def test_kmeans_numpy_lloyd_parity(spark):
     import numpy as np
     import pytest
