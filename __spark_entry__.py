@@ -2280,6 +2280,18 @@ def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
                                 20, 12, pixel=img,
                                 little_endian=bool(did % 2),
                                 rows_per_strip=4 if did % 4 == 1 else None)
+                    elif fmt == "tiff_lzw":
+                        # Compression=5: cycle predictor (horizontal
+                        # differencing undone in-decoder), byte order,
+                        # strip split, gray-vs-RGB
+                        content = synth_tiff(
+                            20, 12,
+                            pixel=(np.full((12, 20), v, np.uint8)
+                                   if did % 3 == 2 else img),
+                            little_endian=bool(did % 2),
+                            rows_per_strip=4 if did % 4 == 1 else None,
+                            compression=5,
+                            predictor=2 if did % 5 < 2 else 1)
                     else:
                         content = synth_bmp(20, 12,
                                             lambda x, y, v=v: (v, v, v))
@@ -3279,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "resize_images_png": _q_resize_images,
             "image_features_bmp": _q_image_decode("bmp"),
             "image_features_tiff": _q_image_decode("tiff"),
+            "image_features_tiff_lzw": _q_image_decode("tiff_lzw"),
             "audio_features_wav": _q_audio_decode,
             "audio_features_g711": _q_audio_decode_g711,
             "audio_features_flac": _q_audio_decode_flac,
@@ -5930,6 +5943,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 64
         """,
         "image_features_tiff": """
+            SELECT doc_id AS asset_id,
+                   CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum0,
+                   round((0.299 * ((doc_id * 37) % 256)
+                        + 0.587 * ((doc_id * 37) % 256)
+                        + 0.114 * ((doc_id * 37) % 256)) / 255.0, 6) AS lum7
+            FROM documents WHERE doc_id < 64
+        """,
+        "image_features_tiff_lzw": """
+            -- gray-uniform LZW strips round-trip to the same closed
+            -- form as the uncompressed entry (predictor/byte-order/
+            -- strip variants change the bytes, never the pixels)
             SELECT doc_id AS asset_id,
                    CAST(20 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
                    round((0.299 * ((doc_id * 37) % 256)

@@ -456,6 +456,112 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int]:
     return out
 
 
+def _tiff_lzw_decode(data: bytes, max_bytes: int) -> bytes:
+    """TIFF-variant LZW (Compression=5): MSB-first bit packing, 8-bit
+    symbols with CLEAR=256 / EOI=257, code width 9->12 with the
+    'early change' convention — the width bump fires one table entry
+    EARLIER than GIF's (when the table length reaches 2^w - 1, vs 2^w
+    in _lzw_decode above). The TIFF 6.0 spec text famously admits an
+    off-by-one reading of where the bump lands; this follows libtiff's
+    convention (the de-facto ecosystem ground truth), and the paired
+    _tiff_lzw_encode uses the mirror rule (bump when NextCode reaches
+    2^w, one write later — the asymmetry is inherent: the decoder's
+    table lags the encoder's by exactly one entry at the same stream
+    position). Round-trip across every width boundary is pinned in
+    pytest. Inherently sequential, same class as GIF LZW / JPEG
+    Huffman."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    bitpos = 0
+    total = len(data) * 8
+    prev = None
+    while len(out) < max_bytes and bitpos + width <= total:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i:byte_i + 4].ljust(4, b"\0"),
+                                "big")
+        code = (window >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("TIFF LZW: non-literal first code")
+            entry = table[code]
+            out += entry
+            prev = entry
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("invalid TIFF LZW code")
+        table.append(prev + entry[:1])
+        # early change: one entry before the table actually fills
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """The synth/encoder sibling of _tiff_lzw_decode (same role as
+    synth_jpeg/synth_tiff: deterministic assets for exact oracles).
+    Emits CLEAR when NextCode reaches 4094 (leaving spec headroom
+    below the 12-bit ceiling); width bump when NextCode reaches 2^w
+    (the decoder, one entry behind, bumps at 2^w - 1 and stays in
+    sync — see _tiff_lzw_decode)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    cur = b""
+    for b in data:
+        s = cur + bytes([b])
+        if s in table:
+            cur = s
+            continue
+        emit(table[cur], width)
+        table[s] = next_code
+        next_code += 1
+        cur = bytes([b])
+        if next_code == 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        elif next_code == (1 << width) and width < 12:
+            width += 1
+    if cur:
+        emit(table[cur], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _gif_frames(content: bytes):
     """Iterate composited full-canvas frames of a GIF87a/89a stream.
 
@@ -3233,10 +3339,12 @@ def _tiff_values(content: bytes, bo: str, entry) -> list[int]:
 
 
 def _decode_tiff(content: bytes):
-    """Uncompressed (Compression=1) strip TIFF decode: 8-bit gray or
-    RGB, strips concatenated in order -> (width, height, luminance).
-    Other compressions/depths raise NotImplementedError (honest
-    guard); the probe still reports their metadata."""
+    """Strip TIFF decode, Compression=1 (uncompressed) and =5 (LZW,
+    per-strip _tiff_lzw_decode streams, with Predictor=2 horizontal
+    differencing undone by a per-row per-channel cumulative sum mod
+    256): 8-bit gray or RGB -> (width, height, luminance). Other
+    compressions/depths raise NotImplementedError (honest guard); the
+    probe still reports their metadata."""
     import numpy as np
 
     bo = "<" if content[:2] == b"II" else ">"
@@ -3248,7 +3356,7 @@ def _decode_tiff(content: bytes):
     height = _tiff_values(content, bo, ent[257])[0]
     _check_dims(width, height, "TIFF")
     comp = _tiff_values(content, bo, ent[259])[0] if 259 in ent else 1
-    if comp != 1:
+    if comp not in (1, 5):
         raise NotImplementedError(f"TIFF compression={comp} unsupported")
     spp = _tiff_values(content, bo, ent[277])[0] if 277 in ent else 1
     bits = _tiff_values(content, bo, ent[258]) if 258 in ent else [8]
@@ -3265,9 +3373,40 @@ def _decode_tiff(content: bytes):
     if photo not in (1, 2):
         raise NotImplementedError(
             f"TIFF PhotometricInterpretation={photo} unsupported")
+    pred = _tiff_values(content, bo, ent[317])[0] if 317 in ent else 1
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF Predictor={pred} unsupported")
+    if pred == 2 and comp == 1:
+        # legal per spec but pathological; the differencing undo below
+        # only runs on the LZW path where encoders actually use it
+        raise NotImplementedError(
+            "TIFF Predictor=2 with Compression=1 unsupported")
     offs = _tiff_values(content, bo, ent[273])
     counts = _tiff_values(content, bo, ent[279])
-    raw = b"".join(content[o:o + n] for o, n in zip(offs, counts))
+    rps = _tiff_values(content, bo, ent[278])[0] if 278 in ent else height
+    if comp == 1:
+        raw = b"".join(content[o:o + n] for o, n in zip(offs, counts))
+    else:
+        # each strip is an independent LZW stream sized by its rows;
+        # predictor rows never cross strip boundaries, so undo per
+        # strip right after its decode
+        parts = []
+        row_bytes = width * spp
+        for i, (o, n) in enumerate(zip(offs, counts)):
+            rows = min(rps, height - i * rps)
+            if rows <= 0:
+                break
+            dec = _tiff_lzw_decode(content[o:o + n], rows * row_bytes)
+            if len(dec) < rows * row_bytes:
+                raise ValueError("TIFF: LZW strip truncated")
+            if pred == 2:
+                arr = np.frombuffer(dec, np.uint8).reshape(
+                    rows, width, spp)
+                dec = np.cumsum(
+                    arr.astype(np.uint32), axis=1
+                ).astype(np.uint8).tobytes()
+            parts.append(dec)
+        raw = b"".join(parts)
     expected = width * height * spp
     if len(raw) < expected:
         raise ValueError("TIFF: strip data truncated")
@@ -3305,38 +3444,58 @@ def _probe_tiff(content: bytes):
 
 
 def synth_tiff(width: int, height: int, little_endian: bool = True,
-               pixel=None, rows_per_strip: int | None = None) -> bytes:
+               pixel=None, rows_per_strip: int | None = None,
+               compression: int = 1, predictor: int = 1) -> bytes:
     """TIFF writer for tests: header + one IFD; with ``pixel`` (an
     (h, w, 3) RGB or (h, w) gray uint8 array) it also writes real
-    uncompressed strips split every ``rows_per_strip`` rows (default:
-    one strip), which the decoder reads back exactly. Without pixels
-    it is header-only (probe tests)."""
+    strips split every ``rows_per_strip`` rows (default: one strip),
+    which the decoder reads back exactly. compression=5 LZW-encodes
+    each strip independently (_tiff_lzw_encode); predictor=2 applies
+    horizontal differencing (tag 317) before the LZW pass — the
+    standard pairing real encoders emit. Without pixels it is
+    header-only (probe tests)."""
     import struct
 
     import numpy as np
 
+    if compression not in (1, 5):
+        raise ValueError(f"compression must be 1 or 5, got {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if predictor == 2 and compression != 5:
+        raise ValueError("predictor=2 requires compression=5")
     bo = "<" if little_endian else ">"
     if pixel is None:
         entries = [
             (256, 3, [width]), (257, 3, [height]),
-            (258, 3, [8]), (259, 3, [1]),
+            (258, 3, [8]), (259, 3, [compression]),
         ]
         strips = []
     else:
         arr = np.asarray(pixel, dtype=np.uint8)
         spp = 1 if arr.ndim == 2 else arr.shape[2]
         rps = rows_per_strip or height
-        strips = [arr[r:r + rps].tobytes()
-                  for r in range(0, height, rps)]
+        strips = []
+        for r in range(0, height, rps):
+            chunk = arr[r:r + rps]
+            if predictor == 2:
+                d = chunk.reshape(chunk.shape[0], width, spp).astype(int)
+                d[:, 1:, :] = (d[:, 1:, :] - d[:, :-1, :]) % 256
+                chunk = d.astype(np.uint8)
+            raw = chunk.tobytes()
+            strips.append(
+                _tiff_lzw_encode(raw) if compression == 5 else raw)
         entries = [
             (256, 3, [width]), (257, 3, [height]),
-            (258, 3, [8] * spp), (259, 3, [1]),
+            (258, 3, [8] * spp), (259, 3, [compression]),
             (262, 3, [1 if spp == 1 else 2]),
             (273, 4, [0] * len(strips)),   # offsets patched below
             (277, 3, [spp]),
             (278, 3, [rps]),
             (279, 4, [len(s) for s in strips]),
         ]
+        if predictor == 2:
+            entries.append((317, 3, [predictor]))
 
     def ifd_size(ents):
         extra = 0

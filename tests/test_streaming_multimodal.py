@@ -1703,6 +1703,56 @@ def test_tiff_decode_roundtrip():
         _decode_image(full[:-40])
 
 
+def test_tiff_lzw_decode_roundtrip():
+    # Compression=5 LZW strips (+ Predictor=2 differencing): exact
+    # pixel round-trip, both byte orders, strip splits, gray + RGB
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.multimodal import (
+        _decode_image, _gray_embedding, _luminance, _tiff_lzw_decode,
+        _tiff_lzw_encode, synth_tiff)
+
+    # kernel round-trips crossing every code-width boundary: random
+    # bytes grow the table ~1 entry/code (9->10->11->12 bumps and the
+    # 4094 CLEAR all exercised at n=40000), repetitive data grows
+    # long entries, a uniform run is the degenerate case
+    rng = np.random.default_rng(37)
+    for n in (0, 1, 2, 300, 800, 3000, 40000):
+        data = rng.integers(0, 256, n, np.uint8).tobytes()
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), n) == data, n
+    rep = b"abcabcabd" * 5000
+    assert _tiff_lzw_decode(_tiff_lzw_encode(rep), len(rep)) == rep
+    uni = bytes([7]) * 30000
+    assert _tiff_lzw_decode(_tiff_lzw_encode(uni), len(uni)) == uni
+
+    img = rng.integers(0, 256, (13, 17, 3), np.uint8)
+    exp = _gray_embedding(_luminance(img.reshape(-1, 3), 3), 17, 13, 8)
+    for le in (True, False):
+        for rps in (None, 4, 5):
+            for pred in (1, 2):
+                w, h, emb = _decode_image(
+                    synth_tiff(17, 13, little_endian=le, pixel=img,
+                               rows_per_strip=rps, compression=5,
+                               predictor=pred))
+                assert (w, h) == (17, 13) and emb == exp, (le, rps, pred)
+    gray = rng.integers(0, 256, (13, 17), np.uint8)
+    _, _, gemb = _decode_image(
+        synth_tiff(17, 13, pixel=gray, compression=5, predictor=2))
+    assert gemb == _gray_embedding(
+        _luminance(gray.reshape(-1, 1), 1), 17, 13, 8)
+
+    # truncated LZW strip: clean ValueError (guard, not garbage)
+    full = synth_tiff(17, 13, pixel=gray, compression=5)
+    with pytest.raises(ValueError):
+        _decode_image(full[:-30])
+    # predictor=2 without LZW refuses on both sides
+    with pytest.raises(ValueError, match="requires compression=5"):
+        synth_tiff(4, 4, pixel=gray[:4, :4], predictor=2)
+    with pytest.raises(ValueError, match="compression"):
+        synth_tiff(4, 4, pixel=gray[:4, :4], compression=3)
+
+
 def test_probe_bytes_fuzz_never_crashes():
     # the triage path's whole contract: probe_bytes on ARBITRARY bytes
     # (random blobs + bit-flipped/truncated valid streams of all 12
