@@ -1218,6 +1218,34 @@ def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes (Brandes-Pich estimator) over the event
+    chains — the EXECUTABLE scale posture the exact betweenness_chains
+    entry documents: sources are the Knuth-hash 25% sample of events
+    (salt 7) and scores scale by |V|/|S|. The oracle REPLAYS the
+    sampling (the DOULION device) and the chain closed form restricted
+    to sampled sources, so the ESTIMATE itself is hash-matched, not
+    just its expectation. Edges are built on the raw event_id domain
+    (lead() per user chain) so both engines hash identical keys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import betweenness_sampled
+
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_id").alias("_src"),
+            F.lead("event_id").over(w).alias("_dst"))
+        .filter(F.col("_dst").isNotNull())
+    )
+    nodes = ev.select(F.col("event_id").alias("node"))
+    out = betweenness_sampled(edges, nodes, p=0.25, salt=7, max_hops=8)
+    return out.filter(F.col("betweenness") > 0).select(
+        F.col("node").cast("long").alias("event_id"), "betweenness")
+
+
 def _ring_db(spark: SparkSession, sf_dir: str):
     """Register a cyclic ring graph (one directed ring of nations per
     region, 5-cycles in TPC-H) beside the main graph — the workload the
@@ -2019,10 +2047,24 @@ def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 8-token window occurring more than once in the corpus and
     rebuild the text from surviving tokens. The planted near-dup pairs
     give real coverage (47/500 docs carry duplicated spans at sf0.01).
+    Runs the DEFAULT (r8: hashed_keys — 8-byte xxhash64 shuffle keys,
+    the 100 TB path) against the same exact oracle; the string-keyed
+    path is pinned by span_dedup_string_keys.
     """
     from graphlite_spark.operators.dedup import span_dedup
 
     return span_dedup(_table(spark, sf_dir, "documents"), k=8)
+
+
+def _q_span_dedup_string_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_dedup with hashed_keys=False (gram-string shuffle keys —
+    the collision-free exact setting): identical output to the hashed
+    default on any non-adversarial corpus, so the SAME oracle pins
+    both key paths."""
+    from graphlite_spark.operators.dedup import span_dedup
+
+    return span_dedup(_table(spark, sf_dir, "documents"), k=8,
+                      hashed_keys=False)
 
 
 def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3209,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_repetition_filters": _q_gopher_repetition,
             "dedup_lines_c4": _q_dedup_lines_c4,
             "span_dedup_exact": _q_span_dedup,
+            "span_dedup_string_keys": _q_span_dedup_string_keys,
             "cap_per_source": _q_cap_per_source,
             "pack_documents_bins": _q_pack_documents,
             "lang_id": _q_lang_id,
@@ -3262,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_dense_rank": _q_window_dense_rank,
             "closeness_centrality": _q_closeness,
             "betweenness_chains": _q_betweenness,
+            "betweenness_sampled_audit": _q_betweenness_sampled,
             "path_mode_trail": _q_path_mode("TRAIL"),
             "path_mode_simple": _q_path_mode("SIMPLE"),
             "path_mode_acyclic": _q_path_mode("ACYCLIC"),
@@ -3427,7 +3471,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
     """
-    return {
+    sql = {
         "node_scan_filter": """
             SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
             FROM customer WHERE c_acctbal > 4000 AND c_mktsegment <> 'BUILDING'
@@ -5385,6 +5429,36 @@ def oracle_sql() -> dict[str, str]:
              AND LEAST(v.L, s.rn + 8) > v.rn
             GROUP BY v.event_id
         """,
+        "betweenness_sampled_audit": """
+            -- Brandes-Pich sampled estimate, sampling REPLAYED: source
+            -- chain positions are the Knuth-hash 25% of events (salt
+            -- 7, cut floor(0.25 * 2^32)); scores scale by |V|/|S|
+            WITH pos AS (
+                SELECT event_id, user_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS L
+                FROM events
+            ), stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_all,
+                       CAST(sum(CASE WHEN ((event_id + 7) * 2654435761)
+                                          % 4294967296 < 1073741824
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS n_s
+                FROM events
+            )
+            SELECT v.event_id AS event_id,
+                   round(CAST(SUM(LEAST(v.L, q.rn + 8) - v.rn) AS DOUBLE)
+                         * (st.n_all / st.n_s), 6) AS betweenness
+            FROM pos v
+            JOIN pos q
+              ON q.user_id = v.user_id
+             AND q.rn < v.rn
+             AND v.rn - q.rn <= 8
+             AND LEAST(v.L, q.rn + 8) > v.rn
+             AND ((q.event_id + 7) * 2654435761) % 4294967296 < 1073741824
+            CROSS JOIN stats st
+            GROUP BY v.event_id, st.n_all, st.n_s
+        """,
         # --- path modes over per-region nation rings (ast.rs:276-287;
         # executor.rs:6624-6641: TRAIL = no repeated edges, SIMPLE and
         # ACYCLIC = no repeated vertices). Recursive-CTE twins track the
@@ -6202,3 +6276,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh_pairs / simhash_pairs / ann_lsh_topk:
         # engine-specific hash/LSH internals — driver records rows-only checks.
     }
+    # same exact oracle for both span_dedup key paths (hashed keys
+    # change only the shuffle key, never the output)
+    sql["span_dedup_string_keys"] = sql["span_dedup_exact"]
+    return sql

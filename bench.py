@@ -57,7 +57,7 @@ HEADLINE = [
     "simhash_pairs",              # pigeonhole-exact hamming blocking
     # round-6 additions (VERDICT r5 ask #6): the heaviest round-4/5
     # operators plus the round-6 surface, so they get a regression watch
-    "betweenness_chains",         # sampled-source Brandes (heaviest graph op)
+    "betweenness_chains",         # ALL-sources Brandes (heaviest graph op)
     "chunk_documents_overlap",    # token-window explode (zero-exchange)
     "probe_media_mixed",          # 9-container probe triage
     "curation_pipeline_e2e",      # normalize->scrub->dedup->mix chain
@@ -80,6 +80,14 @@ HEADLINE = [
     "curation_pipeline_v2",           # extract->gopher->span chain (r7)
     "gopher_repetition_filters",      # O(G^2)-per-doc array lambdas (r7)
     "dedup_lines_c4",                 # C4 corpus-wide line dedup (r7)
+    # round-8 additions
+    "semantic_dedup_int8_planted",    # banded int8 SemDeDup (r8)
+    "betweenness_sampled_audit",      # Brandes-Pich 25% sample (r8) —
+                                      # the executable scale posture; read
+                                      # against betweenness_chains (exact)
+    "kmeans_planted",                 # bounded distributed Lloyd (r8)
+    "lang_id_ngram",                  # char-trigram NB language ID (r8)
+    "image_features_tiff_lzw",        # TIFF LZW + predictor decode (r8)
 ]
 
 

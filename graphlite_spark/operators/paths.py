@@ -394,6 +394,63 @@ def betweenness_centrality(
     )
 
 
+def betweenness_sampled(
+    edges: DataFrame,
+    nodes: DataFrame,
+    p: float,
+    salt: int = 0,
+    max_hops: int = 8,
+    directed: bool = True,
+    batch_levels: int = 8,
+) -> DataFrame:
+    """Sampled-source Brandes estimate — the EXECUTABLE scale posture
+    for betweenness (running every node as a source is |V| x reach
+    work; the standard estimator runs a uniform source sample and
+    scales by |V| / |S|, Brandes-Pich 2007).
+
+    Sources are chosen by the Knuth multiplicative hash
+    ((node + salt) * 2654435761) mod 2^32 < floor(p * 2^32) — the
+    deterministic sampling BOTH engines can compute (the DOULION
+    replay device, memory-free and partition-insensitive), so even
+    the sampled estimate is oracle-matchable: the oracle samples
+    identically and reproduces the estimate exactly, not just in
+    expectation. Returns (node, betweenness) with betweenness =
+    round(bc_sampled * |V|/|S|, 6); the scale ratio rides as a
+    broadcast 1x1 frame (no driver collect). Raises if the sample is
+    empty (raise p or change salt). Estimator error decays as
+    1/sqrt(|S|) — rel-err at the gate corpus is pinned in pytest.
+    """
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    node_col = nodes.columns[0]
+    cut = int(p * 4294967296.0)
+    keep = (
+        F.pmod((F.col(node_col) + F.lit(salt)) * F.lit(2654435761),
+               F.lit(4294967296)) < F.lit(cut)
+    )
+    sampled = nodes.filter(keep)
+    stats = (
+        nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .crossJoin(sampled.agg(F.count(F.lit(1)).cast("double")
+                               .alias("_s")))
+    )
+    bc = betweenness_centrality(edges, sampled, max_hops=max_hops,
+                                directed=directed,
+                                batch_levels=batch_levels)
+    out = bc.crossJoin(F.broadcast(stats))
+    # fail fast on an empty sample: scaling by n/0 would silently
+    # produce Infinity rows under non-ANSI configs
+    if sampled.limit(1).count() == 0:
+        raise ValueError(
+            f"betweenness_sampled: p={p} salt={salt} sampled 0 of the "
+            "source universe; raise p or change salt")
+    return out.select(
+        "node",
+        F.round(F.col("betweenness") * F.col("_n") / F.col("_s"), 6)
+        .alias("betweenness"),
+    )
+
+
 def weighted_sssp(
     edges: DataFrame,
     sources: DataFrame,

@@ -297,3 +297,48 @@ def test_betweenness_brute_force_parity(spark):
         for k in set(got) | set(exp):
             assert abs(got.get(k, 0.0) - exp.get(k, 0.0)) < 1e-6, (
                 edges, sources, h, k)
+
+
+def test_betweenness_sampled_estimator(spark):
+    # Brandes-Pich sampled estimate: deterministic Knuth-hash source
+    # sample, |V|/|S| scaling, and a pinned relative error vs the
+    # all-sources exact run on a chain forest (40 chains x 25 nodes)
+    import pytest
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import (
+        betweenness_centrality,
+        betweenness_sampled,
+    )
+
+    edges = [(c * 100 + i, c * 100 + i + 1)
+             for c in range(40) for i in range(24)]
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    edf = spark.createDataFrame(edges, "_src long, _dst long")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+
+    exact = {r.node: r.betweenness for r in
+             betweenness_centrality(edf, ndf, max_hops=8).collect()}
+    est = {r.node: r.betweenness for r in
+           betweenness_sampled(edf, ndf, p=0.3, salt=3,
+                               max_hops=8).collect()}
+    # replicate the sampling rule to check the scale factor exactly
+    kept = [n for n in nodes
+            if ((n + 3) * 2654435761) % 4294967296 < int(0.3 * 2 ** 32)]
+    assert 0 < len(kept) < len(nodes)
+    scale = len(nodes) / len(kept)
+    sub = {r.node: r.betweenness for r in betweenness_centrality(
+        edf, spark.createDataFrame([(n,) for n in kept], "node long"),
+        max_hops=8).collect()}
+    for n, v in est.items():
+        assert abs(v - round(sub[n] * scale, 6)) < 1e-6
+    # pinned estimator quality on this corpus: total mass within 15%
+    tot_exact = sum(exact.values())
+    tot_est = sum(est.values())
+    assert abs(tot_est - tot_exact) / tot_exact < 0.15, (
+        tot_exact, tot_est)
+
+    with pytest.raises(ValueError, match="p must be"):
+        betweenness_sampled(edf, ndf, p=0.0)
+    with pytest.raises(ValueError, match="sampled 0"):
+        betweenness_sampled(edf, ndf, p=1e-9, salt=1)
