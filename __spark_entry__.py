@@ -2030,6 +2030,85 @@ def _q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_VOCAB = (
+    "the", "and", "with", "that", "have", "market", "system", "people",
+    "world", "result", "number", "water", "group", "party", "company",
+    "country", "problem", "service", "question", "program", "night",
+    "point", "house", "member", "area",
+)
+
+
+def _q_streaming_curation_batch(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """streaming_curation's batch fallback, oracle-matched end to end:
+    html -> extract (nav/footer are 100% link text and must drop) ->
+    gopher gate (short docs, k%17==0, carry 5-word bodies and fail
+    min_words=40) -> minhash dedup on arrival. Bodies are CLASS
+    functions (class = k % 30): every same-class doc is an exact
+    duplicate with identical MinHash signatures in every band, so the
+    class minimum wins all its buckets with certainty and keep =
+    {min surviving k per class}. The 30 distinct word-salad bodies are
+    regenerated verbatim by the DuckDB oracle (Knuth-hash word draws),
+    so the extracted TEXT of every survivor is verified too — a wrong
+    extraction, a wrong gopher verdict, or a wrong dedup winner all
+    break the hash. Cross-class texts share no shingle runs (xxhash
+    deterministic, classes fixed at 30 at every SF), so no accidental
+    band collision can perturb the closed form; near-dup biting across
+    micro-batches is pinned by the stream==batch pytest."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.streaming.stateful import streaming_curation
+
+    words = ", ".join(f"'{w}'" for w in _CURATION_VOCAB)
+
+    def body(n_words: int) -> str:
+        # two planted-corpus traps found while building this entry,
+        # both deterministic and worth recording: (1) the plain Knuth
+        # multiplicative hash is LINEAR in the key, so sequential keys
+        # give a golden-rotation word sequence and adjacent classes
+        # shared up to 68% of their 3-shingles (fixed: square the
+        # 31-bit intermediate -> worst cross-class Jaccard 0.032); and
+        # (2) the minhash family h_i = a + i*b is linear too, so ONE
+        # shared shingle with an extreme (a, b) dominates most
+        # coordinates of BOTH docs — docs 10 and 29 collided in 7/8
+        # bands at 3% Jaccard. Closed forms need DISJOINT shingle
+        # sets: every 3rd word is the class marker c{cls}, so every
+        # 3-shingle carries it and cross-class shingles cannot overlap
+        h1 = "(((cls * 50 + j) * 2654435761) % 2147483648)"
+        return (
+            f"array_join(transform(sequence(0, {n_words - 1}), "
+            f"j -> CASE WHEN j % 3 = 2 THEN concat('c', CAST(cls AS STRING)) "
+            f"ELSE element_at(array({words}), "
+            f"CAST((({h1} * {h1}) DIV 4096) % 25 AS INT) + 1) END), ' ')"
+        )
+
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg(F.least(F.count(F.lit(1)), F.lit(240)).alias("_cap"))
+    docs = (
+        sup.crossJoin(F.broadcast(cap))
+        .filter(F.col("k") < F.col("_cap"))
+        .selectExpr("k AS doc_id", "k % 30 AS cls")
+        .selectExpr(
+            "doc_id",
+            "concat('<html><head><title>t</title></head><body>"
+            "<nav><a href=\"/\">Home</a> <a href=\"/x\">Links</a></nav>"
+            "<p>', "
+            f"CASE WHEN doc_id % 17 = 0 THEN {body(5)} "
+            f"ELSE {body(50)} END, "
+            "'</p><footer><a href=\"/t\">Terms</a></footer>"
+            "</body></html>') AS html",
+        )
+    )
+    # disjoint shingle sets make any band collision require exact
+    # 32-bit minima ties across a full band — bands=8 (8 rows/band)
+    # drives that to ~(2e-6)^8 while exact duplicates still collide
+    # in every band
+    out = streaming_curation(docs, min_words=40, min_stop_words=1,
+                             num_hashes=64, bands=8)
+    return out.select(F.col("doc_id").cast("long"), "text")
+
+
 def _q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-set quality flags (Rae et al. 2021 A1.1) — pure
     codegen projection, no shuffle. min_words/min_stop_words adapted
@@ -3248,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_quality_filters": _q_gopher_filters,
             "extract_html_roundtrip": _q_extract_html,
             "curation_pipeline_v2": _q_curation_pipeline_v2,
+            "streaming_curation_batch": _q_streaming_curation_batch,
             "gopher_repetition_filters": _q_gopher_repetition,
             "dedup_lines_c4": _q_dedup_lines_c4,
             "span_dedup_exact": _q_span_dedup,
@@ -4146,6 +4226,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN c USING (text)
         """,
         "gopher_repetition_filters": _gopher_repetition_oracle(),
+        "streaming_curation_batch": """
+            -- html -> extract -> gopher(min_words=40) -> minhash
+            -- dedup: short docs (k%17=0, 5-word bodies) fail the
+            -- gate; survivors are exact duplicates per class (k%30)
+            -- so the class-minimum id wins every bucket; the oracle
+            -- regenerates the surviving class body verbatim
+            WITH cap AS (SELECT least(count(*), 240) AS c FROM supplier),
+            surv AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS k,
+                       s_suppkey % 30 AS cls
+                FROM supplier, cap
+                WHERE s_suppkey < c AND s_suppkey % 17 <> 0
+            ),
+            keep AS (
+                SELECT cls, min(k) AS doc_id FROM surv GROUP BY cls
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(range(0, 50),
+                       j -> CASE WHEN j % 3 = 2
+                            THEN 'c' || CAST(cls AS VARCHAR)
+                            ELSE (['the', 'and', 'with', 'that', 'have',
+                              'market', 'system', 'people', 'world',
+                              'result', 'number', 'water', 'group',
+                              'party', 'company', 'country', 'problem',
+                              'service', 'question', 'program', 'night',
+                              'point', 'house', 'member', 'area'])
+                           [CAST((((((cls * 50 + j) * 2654435761)
+                                     % 2147483648)
+                                   * (((cls * 50 + j) * 2654435761)
+                                      % 2147483648)) // 4096) % 25
+                                 AS INT) + 1] END),
+                       ' ') AS text
+            FROM keep
+        """,
         "curation_pipeline_v2": """
             -- compound oracle for the r7 chain: html-extract recovery
             -- -> gopher keep -> span dedup over kept docs -> per-source

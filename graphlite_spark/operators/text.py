@@ -881,6 +881,7 @@ def gopher_quality_filters(
     max_ellipsis_line_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.8,
     min_stop_words: int = 2,
+    keep: tuple = (),
 ) -> DataFrame:
     """Per-document Gopher quality-filter flags (Rae et al. 2021 A1.1)
     — the rule set most published curation pipelines start from. One
@@ -946,7 +947,12 @@ def gopher_quality_filters(
         "alpha_words_ok": alpha_ratio >= min_alpha_word_ratio,
         "stop_words_ok": stop_hits >= min_stop_words,
     }
-    out = [F.col(id_col), n_words.alias("n_words"),
+    # ``keep`` passes columns through the projection (e.g. the text
+    # itself) so STREAMING callers can filter on gopher_pass without a
+    # stream-stream self-join — the whole pass stays one map-side
+    # projection
+    out = [F.col(id_col), *[F.col(c) for c in keep],
+           n_words.alias("n_words"),
            F.round(mean_word_len, 6).alias("mean_word_len")]
     passed = None
     for name, flag in flags.items():

@@ -438,3 +438,60 @@ def streaming_minhash_dedup(
     verdicts = buckets.withColumn(
         "won", F.col("doc_id") == F.min("doc_id").over(wmin))
     return minhash_dedup_reduce(verdicts)
+
+
+def streaming_curation(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    min_stop_words: int = 2,
+    max_link_density: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The streaming twin of curation_pipeline_v2: one composable query
+    running the production ingest edge HTML -> main-content extraction
+    (extract_html_text) -> Gopher quality gate (gopher_quality_filters
+    with keep=, so the stream filters on gopher_pass without a
+    stream-stream self-join) -> near-dup dedup on arrival
+    (streaming_minhash_dedup). Extraction and the quality gate are
+    map-side (Arrow mapInPandas + one codegen projection), so the ONLY
+    stateful stage is the MinHash band-bucket state — the chain runs
+    verbatim on a readStream frame.
+
+    BATCH input: returns the surviving documents as (doc_id, text) —
+    extraction output for every doc that passes the quality gate and
+    wins near-dup dedup (first doc per LSH cluster by id). This is the
+    gate-entry fallback and is oracle-matchable end to end on planted
+    corpora.
+
+    STREAMING input: returns the per-bucket verdict stream of the
+    quality-passing docs (streaming_minhash_dedup's contract); reduce
+    per micro-batch with ``minhash_dedup_reduce`` inside foreachBatch
+    (exactly-once with a checkpointed sink):
+
+        q = (streaming_curation(stream)
+             .writeStream.foreachBatch(
+                 lambda df, _: sink(minhash_dedup_reduce(df)))
+             .option("checkpointLocation", ckpt).start())
+
+    The stream==batch pytest pins that the two modes keep the same ids
+    on an id-ordered multi-batch corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.html import extract_html_text
+    from ..operators.text import gopher_quality_filters
+
+    ext = extract_html_text(docs, html_col=html_col, id_col=id_col)
+    flagged = gopher_quality_filters(
+        ext, id_col="doc_id", min_words=min_words,
+        min_stop_words=min_stop_words, keep=("text",))
+    kept = flagged.filter(F.col("gopher_pass")).select("doc_id", "text")
+    deduped = streaming_minhash_dedup(
+        kept, n=n, num_hashes=num_hashes, bands=bands)
+    if docs.isStreaming:
+        return deduped
+    return deduped.join(kept, "doc_id").select("doc_id", "text")

@@ -1933,6 +1933,75 @@ def test_streaming_minhash_dedup_stream_matches_batch(spark, tmp_path):
     assert sorted(kept_s) == kept_b
 
 
+def test_streaming_curation_stream_matches_batch(spark, tmp_path):
+    # the composed ingest chain html -> extract -> gopher -> minhash
+    # dedup, run identically as one batch and as two micro-batches:
+    # nav/footer boilerplate must drop, short docs must fail the
+    # quality gate BEFORE dedup, near-dups must collide across
+    # batches, and the stream's kept ids must equal the batch's
+    from graphlite_spark.streaming.stateful import (
+        minhash_dedup_reduce,
+        streaming_curation,
+    )
+
+    base_words = ("the quick brown fox jumps over the lazy dog near the "
+                  "red barn and the wide river bends with every season "
+                  "that passes while people gather to watch the water "
+                  "move past the old mill and children have games")
+    near = base_words.replace("dog", "cat").replace("mill", "barn")
+    uniq = ("entirely different words compose this long sentence about "
+            "spark and the many ways that distributed systems have to "
+            "shuffle data between the executors while keeping the "
+            "lineage exact for recovery and the schedulers fair")
+    short = "too short to pass"
+
+    def page(body):
+        return ("<html><body><nav><a href='/'>Home</a></nav><p>"
+                + body + "</p><footer><a href='/t'>T</a></footer>"
+                "</body></html>")
+
+    d = str(tmp_path / "cur_stream")
+    spark.createDataFrame(
+        [(1, page(base_words)), (2, page(short)), (3, page(uniq))],
+        "doc_id long, html string",
+    ).coalesce(1).write.parquet(d + "/f0")
+    spark.createDataFrame(
+        [(10, page(near)),            # near-dup of 1, cross-batch
+         (11, page(uniq + " extra")),  # near-dup of 3, cross-batch
+         (12, page(short))],          # gopher-fails, never reaches state
+        "doc_id long, html string",
+    ).coalesce(1).write.parquet(d + "/f1")
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(d)
+
+    kept_b = streaming_curation(batch, min_words=30, min_stop_words=1)
+    rows = {r.doc_id: r.text for r in kept_b.collect()}
+    # extraction dropped the boilerplate, gopher dropped the shorts,
+    # dedup dropped the near-dups
+    assert sorted(rows) == [1, 3]
+    assert rows[1] == base_words and rows[3] == uniq
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    kept_s: list = []
+
+    def sink(df, _epoch):
+        kept_s.extend(r.doc_id for r in minhash_dedup_reduce(df).collect())
+
+    q = (
+        streaming_curation(stream, min_words=30, min_stop_words=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(kept_s) == sorted(rows)
+
+
 def test_streaming_minhash_dedup_matches_batch_cluster_path(spark):
     # the streaming keep set agrees with the batch pairs->clusters
     # canonical keep set on a corpus whose LSH clusters are arrival-
