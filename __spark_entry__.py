@@ -1467,6 +1467,41 @@ def _q_semantic_dedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("canonical_id").cast("long"))
 
 
+def _q_cluster_balanced_sample(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling on the kmeans_planted corpus (8
+    dominant-axis clusters, init_ids labeling): cap 3 per cluster
+    ordered by vec_id. Cluster c's members are k = c, c+8, c+16, ...
+    so the closed form keeps exactly the ids below 24 — a wrong
+    cluster assignment, a wrong cap, or a wrong rank order all break
+    the hash."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import cluster_balanced_sample
+
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg(F.least(F.count(F.lit(1)), F.lit(240)).alias("_cap"))
+    corpus = (
+        sup.crossJoin(F.broadcast(cap))
+        .filter(F.col("k") < F.col("_cap"))
+        .select(
+            F.col("k").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), i -> "
+                "CASE WHEN i = CAST(k % 8 AS INT) THEN CAST(1.0 AS DOUBLE) "
+                "WHEN i = CAST(8 + (k DIV 8) % 56 AS INT) "
+                "THEN CAST(0.3 AS DOUBLE) "
+                "ELSE CAST(0.0 AS DOUBLE) END)").alias("embedding"),
+        )
+    )
+    out = cluster_balanced_sample(
+        corpus, init_ids=list(range(8)), cap_per_cluster=3,
+        max_iters=10, tol=1e-4)
+    return out.select(F.col("vec_id").cast("long"),
+                      F.col("cluster").cast("long"))
+
+
 def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram naive-Bayes lang_id on a closed-form corpus: three
     planted 'languages' with DISJOINT alphabets (aa: a-f, bb: g-l, cc:
@@ -3346,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "semantic_dedup_planted": _q_semantic_dedup,
             "semantic_dedup_int8_planted": _q_semantic_dedup_int8,
             "kmeans_planted": _q_kmeans_planted,
+            "cluster_balanced_sample": _q_cluster_balanced_sample,
             "lang_id_ngram": _q_lang_id_ngram,
             "semantic_dedup_band_audit": _q_semantic_dedup_band_audit,
             "louvain_weighted_triples": _q_louvain_weighted,
@@ -6310,6 +6346,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s_suppkey % 8 AS BIGINT) AS cluster
             FROM supplier
             WHERE s_suppkey < least((SELECT count(*) FROM supplier), 240)
+        """,
+        "cluster_balanced_sample": """
+            -- cap 3 per planted cluster ordered by id: cluster c keeps
+            -- c, c+8, c+16 -> exactly the ids below 24 (and below cap)
+            SELECT CAST(s_suppkey AS BIGINT) AS vec_id,
+                   CAST(s_suppkey % 8 AS BIGINT) AS cluster
+            FROM supplier
+            WHERE s_suppkey < least(least((SELECT count(*) FROM supplier),
+                                          240), 24)
         """,
         "semantic_dedup_band_audit": """
             -- closed-form int8 band classification on the planted

@@ -1524,3 +1524,51 @@ def semantic_dedup_band_audit(
                 / F.greatest(F.col("n_pairs"), F.lit(1)), 6)
         .alias("band_fraction"),
     )
+
+
+def cluster_balanced_sample(
+    items: DataFrame,
+    k: int | None = None,
+    cap_per_cluster: int = 1000,
+    max_iters: int = 20,
+    tol: float | None = None,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_ids: list | None = None,
+    order_col: str | None = None,
+    descending: bool = False,
+) -> DataFrame:
+    """Cluster-balanced corpus sampling — the composition the
+    first-class kmeans unlocks (the SemDeDup paper's cluster step /
+    DoReMi-style balance): kmeans over the embedding column, then at
+    most ``cap_per_cluster`` items kept per cluster, so no embedding
+    region can dominate the sampled corpus the way no host can
+    dominate a cap_per_key'd crawl.
+
+    Ranking within a cluster follows cap_per_key's contract:
+    ``order_col`` ascending by default (pass the id column for
+    keep-earliest, a quality score with ``descending=True`` for
+    keep-best); default order = the id column, deterministic.
+    tol=None runs exactly ``max_iters`` Lloyd rounds (the fixed-budget
+    mode — sampling needs reproducibility, not convergence proofs);
+    pass a tol to require convergence like kmeans itself.
+
+    Returns (id, cluster) for the kept rows. Shape at scale: the
+    kmeans rounds are corpus scans + k-row groupBys, and the cap is
+    ONE shuffle whose row_number+filter compiles to a PARTIAL
+    pre-shuffle WindowGroupLimit (each map task forwards at most
+    cap rows per cluster it sees) — the cap_per_key plan, proven in
+    docs/PLANS.md.
+    """
+    if cap_per_cluster < 1:
+        raise ValueError(
+            f"cap_per_cluster must be >= 1, got {cap_per_cluster}")
+    assigned = kmeans(items, k=k, max_iters=max_iters, tol=tol,
+                      metric=metric, id_col=id_col, vec_col=vec_col,
+                      init_ids=init_ids)
+    from .sampling import cap_per_key
+
+    return cap_per_key(assigned, "cluster", cap_per_cluster,
+                       order_col=order_col or id_col,
+                       descending=descending)

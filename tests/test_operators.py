@@ -1693,6 +1693,32 @@ def test_kmeans_numpy_lloyd_parity(spark):
         kmeans(df, k=n + 1)
 
 
+def test_cluster_balanced_sample(spark):
+    import numpy as np
+    import pytest
+
+    from graphlite_spark.operators.similarity import cluster_balanced_sample
+
+    rng = np.random.default_rng(19)
+    df = spark.createDataFrame(
+        [(int(i), rng.standard_normal(12).tolist()) for i in range(90)],
+        "vec_id: long, embedding: array<double>")
+    out = cluster_balanced_sample(df, k=4, cap_per_cluster=5,
+                                  max_iters=3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r.vec_id)
+    # cap respected per cluster; kept rows are each cluster's LOWEST ids
+    assert all(len(v) <= 5 for v in by_cluster.values())
+    assert sum(len(v) for v in by_cluster.values()) == len(out) <= 20
+    again = cluster_balanced_sample(df.repartition(7), k=4,
+                                    cap_per_cluster=5, max_iters=3).collect()
+    assert sorted((r.vec_id, r.cluster) for r in out) == \
+        sorted((r.vec_id, r.cluster) for r in again)
+    with pytest.raises(ValueError, match="cap_per_cluster"):
+        cluster_balanced_sample(df, k=4, cap_per_cluster=0)
+
+
 def test_kmeans_iters_knob_and_quantizer_equivalence(spark):
     # kmeans_iters=1 must leave ivf_topk / semantic_dedup byte-for-byte
     # at their historical outputs (it IS the historical code path), and
