@@ -2469,6 +2469,44 @@ def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) ingestion — the Common Crawl edge: synthesize
+    one WARC file per doc executor-side (odd ids as .warc.gz with the
+    standard one-gzip-member-per-record layout, even ids plain),
+    explode response records with warc_records, and verify
+    uri/status/content-type/body against the closed form. A wrong
+    header parse, a wrong gzip member walk, or a wrong HTTP head/body
+    split all break the hash."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.sources.warc import synth_warc, warc_records
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"path": [], "content": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                uri = f"http://site{did % 7}.example/page{did}"
+                body = f"document {did} body with {did % 5} extras"
+                out["path"].append(f"synthetic/{did}.warc")
+                out["content"].append(bytearray(synth_warc(
+                    [(uri, body, "text/html")],
+                    gzip_records=bool(did % 2))))
+            yield pd.DataFrame(out)
+
+    frames = docs.mapInPandas(gen, "path string, content binary")
+    out = warc_records(frames)
+    return out.select(
+        "target_uri",
+        F.col("http_status").cast("long").alias("http_status"),
+        "content_type", "body")
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking with overlap (training/RAG context
     slicing): 64-token windows, 16-token overlap, map-side explode."""
@@ -3363,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_html_roundtrip": _q_extract_html,
             "curation_pipeline_v2": _q_curation_pipeline_v2,
             "streaming_curation_batch": _q_streaming_curation_batch,
+            "warc_ingest": _q_warc_ingest,
             "gopher_repetition_filters": _q_gopher_repetition,
             "dedup_lines_c4": _q_dedup_lines_c4,
             "span_dedup_exact": _q_span_dedup,
@@ -4262,6 +4301,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN c USING (text)
         """,
         "gopher_repetition_filters": _gopher_repetition_oracle(),
+        "warc_ingest": """
+            -- synth WARC round-trip: one response record per doc,
+            -- status 200, html content type, closed-form uri and body
+            SELECT 'http://site' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example/page' || CAST(doc_id AS VARCHAR)
+                       AS target_uri,
+                   CAST(200 AS BIGINT) AS http_status,
+                   'text/html' AS content_type,
+                   'document ' || CAST(doc_id AS VARCHAR)
+                     || ' body with ' || CAST(doc_id % 5 AS VARCHAR)
+                     || ' extras' AS body
+            FROM documents WHERE doc_id < 64
+        """,
         "streaming_curation_batch": """
             -- html -> extract -> gopher(min_words=40) -> minhash
             -- dedup: short docs (k%17=0, 5-word bodies) fail the
