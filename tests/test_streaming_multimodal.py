@@ -1987,6 +1987,49 @@ def test_warc_parse_and_ingest(spark, tmp_path):
     q.awaitTermination()
     assert sorted(r.target_uri for r in seen) == sorted(rows)
 
+    # the full production ingest edge, one streaming query: WARC
+    # binaryFile stream -> warc_records -> html rows -> extract ->
+    # gopher -> minhash dedup (streaming_curation). Crawl pages long
+    # enough to pass the gate, one near-dup pair across records.
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.streaming.stateful import (
+        minhash_dedup_reduce,
+        streaming_curation,
+    )
+
+    long_a = ("the river bends with every season that passes while "
+              "people gather to watch the water move past the old "
+              "mill and children have games that the town remembers")
+    pages = [(f"http://crawl/{i}",
+              "<html><body><nav><a href='/'>H</a></nav><p>"
+              + (long_a if i < 2 else long_a.replace("mill", "dock")
+                 + f" plus tail {i} of words")
+              + "</p></body></html>", "text/html") for i in range(3)]
+    d2 = str(tmp_path / "warcs2")
+    os.makedirs(d2)
+    with open(os.path.join(d2, "c.warc.gz"), "wb") as f:
+        f.write(synth_warc(pages, gzip_records=True))
+    bf2 = spark.read.format("binaryFile").load(d2)
+    st2 = spark.readStream.format("binaryFile").schema(bf2.schema).load(d2)
+    html_rows = (
+        warc_records(st2)
+        .filter(F.col("content_type").startswith("text/html"))
+        .select(F.xxhash64("target_uri").alias("doc_id"),
+                F.col("body").alias("html"))
+    )
+    kept: list = []
+    q2 = (streaming_curation(html_rows, min_words=25, min_stop_words=1)
+          .writeStream
+          .foreachBatch(lambda df, _:
+                        kept.extend(minhash_dedup_reduce(df).collect()))
+          .option("checkpointLocation", str(tmp_path / "wc2_ckpt"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    # pages 0 and 1 are exact dups (one survives); page 2 is a
+    # near-dup with a distinct tail — 2 or fewer survivors, >= 1
+    assert 1 <= len(kept) <= 2
+
 
 def test_streaming_curation_stream_matches_batch(spark, tmp_path):
     # the composed ingest chain html -> extract -> gopher -> minhash
