@@ -1542,6 +1542,43 @@ def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "coverage")
 
 
+def _q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (CCNet/LLaMA recipe) on the
+    disjoint-alphabet device: 'good' trained on the a-f cycle, 'bad'
+    on g-l; supplier test docs alternate alphabets (k%2) so the
+    closed form is pass = in-good-alphabet, and short docs (k%17==0)
+    have no grams -> log_odds 0 -> fail. Log-odds VALUES are pinned
+    by pytest against a pure-python NB replica; the gate pins the
+    discrete decisions."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import (
+        lang_ngram_model,
+        nb_quality_classifier,
+    )
+
+    train = spark.createDataFrame(
+        [("good", "abcdef" * 4), ("bad", "ghijkl" * 4)],
+        "lang: string, text: string")
+    model = lang_ngram_model(train)
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg(F.least(F.count(F.lit(1)), F.lit(240)).alias("_cap"))
+    docs = (
+        sup.crossJoin(F.broadcast(cap))
+        .filter(F.col("k") < F.col("_cap"))
+        .selectExpr(
+            "k AS doc_id",
+            "CASE WHEN k % 17 = 0 THEN 'ab' ELSE substring(repeat("
+            "element_at(array('abcdef', 'ghijkl'), "
+            "CAST(k % 2 AS INT) + 1), 4), 1 + CAST(k % 6 AS INT), 12) "
+            "END AS text",
+        )
+    )
+    out = nb_quality_classifier(docs, model, pos_label="good")
+    return out.select(F.col("doc_id").cast("long"), "quality_pass")
+
+
 def _q_kmeans_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-class distributed k-means on planted well-separated
     clusters: supplier k (capped 240) gets vector e_(k%8) + 0.3 *
@@ -3422,6 +3459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kmeans_planted": _q_kmeans_planted,
             "cluster_balanced_sample": _q_cluster_balanced_sample,
             "lang_id_ngram": _q_lang_id_ngram,
+            "nb_quality_classifier": _q_nb_quality_classifier,
             "semantic_dedup_band_audit": _q_semantic_dedup_band_audit,
             "louvain_weighted_triples": _q_louvain_weighted,
             "core_decomposition_cliques": _q_core_decomposition,
@@ -6375,6 +6413,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(100000 + g AS BIGINT) AS vec_id,
                    CAST(100000 + g AS BIGINT) AS canonical_id
             FROM (SELECT DISTINCT k // 4 AS g FROM members)
+        """,
+        "nb_quality_classifier": """
+            -- disjoint-alphabet binary NB: good-alphabet docs pass,
+            -- bad-alphabet docs fail, short docs (no grams) fail
+            SELECT CAST(s_suppkey AS BIGINT) AS doc_id,
+                   (s_suppkey % 17 <> 0 AND s_suppkey % 2 = 0)
+                       AS quality_pass
+            FROM supplier
+            WHERE s_suppkey < least((SELECT count(*) FROM supplier), 240)
         """,
         "lang_id_ngram": """
             -- disjoint-alphabet planted languages: in-set docs are

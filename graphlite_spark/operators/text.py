@@ -200,6 +200,94 @@ def lang_ngram_model(
     )
 
 
+def _nb_label_scores(df: DataFrame, model: DataFrame, text_col: str,
+                     id_col: str, n: int) -> DataFrame:
+    """Shared naive-Bayes scoring core for lang_id(model=) and
+    nb_quality_classifier: per (doc, label), matched grams contribute
+    their trained logprob and unmatched grams the label's
+    unseen_logprob (scores comparable across labels). Returns
+    (id, lang, _ng, _score, _cov). The model BROADCASTS; the corpus
+    explodes to (doc, gram) once, one groupBy, one |labels|-wide
+    crossJoin — no corpus-sized join shuffles twice."""
+    m = F.broadcast(model.select("lang", "gram", "logprob",
+                                 "unseen_logprob"))
+    langs = F.broadcast(
+        model.select("lang", "unseen_logprob").distinct())
+    docs = df.select(
+        F.col(id_col),
+        F.size(_char_ngrams(text_col, n)).cast("double").alias("_ng"),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(_char_ngrams(text_col, n)).alias("gram"),
+    )
+    matched = (
+        grams.join(m, "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("logprob").alias("_ms"),
+             F.count(F.lit(1)).cast("double").alias("_mc"))
+    )
+    return (
+        docs.crossJoin(langs)
+        .join(matched, [id_col, "lang"], "left")
+        .select(
+            F.col(id_col), "lang", "_ng",
+            (F.coalesce(F.col("_ms"), F.lit(0.0))
+             + (F.col("_ng") - F.coalesce(F.col("_mc"), F.lit(0.0)))
+             * F.col("unseen_logprob")).alias("_score"),
+            (F.coalesce(F.col("_mc"), F.lit(0.0))
+             / F.greatest(F.col("_ng"), F.lit(1.0))).alias("_cov"),
+        )
+    )
+
+
+def nb_quality_classifier(
+    df: DataFrame,
+    model: DataFrame,
+    pos_label: str = "good",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Model-based quality filtering (the CCNet / LLaMA recipe: keep
+    pages a classifier scores as reference-like): a BINARY char-n-gram
+    naive-Bayes classifier over a two-label lang_ngram_model — train
+    with lang_ngram_model on a labeled frame whose 'lang' column is
+    {pos_label, <other>} (e.g. reference text vs crawl noise), then
+    score any corpus map-side with the broadcast model.
+
+    Returns (id, log_odds, quality_pass): log_odds = score(pos) -
+    score(neg) under the shared matched+unseen NB scoring (docs with
+    no grams score 0.0 and fail), quality_pass = log_odds > threshold.
+    Deterministic and fully SQL-expressible (the oracle can recompute
+    the model — the lm_quality_score discipline); discrete outputs
+    (pass/fail) are additionally closed-form on planted corpora.
+    """
+    labels = [r["lang"] for r in
+              model.select("lang").distinct().collect()]
+    if len(labels) != 2 or pos_label not in labels:
+        raise ValueError(
+            f"nb_quality_classifier needs a 2-label model containing "
+            f"pos_label={pos_label!r}; model has {sorted(labels)}")
+    neg_label = next(lb for lb in labels if lb != pos_label)
+    scored = _nb_label_scores(df, model, text_col, id_col, n)
+    pos = scored.filter(F.col("lang") == pos_label).select(
+        F.col(id_col), F.col("_ng"), F.col("_score").alias("_sp"))
+    neg = scored.filter(F.col("lang") == neg_label).select(
+        F.col(id_col), F.col("_score").alias("_sn"))
+    lo = F.when(F.col("_ng") > 0,
+                F.col("_sp") - F.col("_sn")).otherwise(F.lit(0.0))
+    return (
+        pos.join(neg, id_col)
+        .select(
+            F.col(id_col),
+            F.round(lo, 6).alias("log_odds"),
+            (lo > F.lit(threshold)).alias("quality_pass"),
+        )
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             model: DataFrame | None = None, n: int = 3,
             min_coverage: float = 0.2) -> DataFrame:
@@ -228,36 +316,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         if not 0.0 <= min_coverage <= 1.0:
             raise ValueError(
                 f"min_coverage must be in [0, 1], got {min_coverage}")
-        m = F.broadcast(model.select("lang", "gram", "logprob",
-                                     "unseen_logprob"))
-        langs = F.broadcast(
-            model.select("lang", "unseen_logprob").distinct())
-        docs = df.select(
-            F.col(id_col),
-            F.size(_char_ngrams(text_col, n)).cast("double").alias("_ng"),
-        )
-        grams = df.select(
-            F.col(id_col),
-            F.explode(_char_ngrams(text_col, n)).alias("gram"),
-        )
-        matched = (
-            grams.join(m, "gram")
-            .groupBy(id_col, "lang")
-            .agg(F.sum("logprob").alias("_ms"),
-                 F.count(F.lit(1)).cast("double").alias("_mc"))
-        )
-        scored = (
-            docs.crossJoin(langs)
-            .join(matched, [id_col, "lang"], "left")
-            .select(
-                F.col(id_col), "lang", "_ng",
-                (F.coalesce(F.col("_ms"), F.lit(0.0))
-                 + (F.col("_ng") - F.coalesce(F.col("_mc"), F.lit(0.0)))
-                 * F.col("unseen_logprob")).alias("_score"),
-                (F.coalesce(F.col("_mc"), F.lit(0.0))
-                 / F.greatest(F.col("_ng"), F.lit(1.0))).alias("_cov"),
-            )
-        )
+        scored = _nb_label_scores(df, model, text_col, id_col, n)
         from pyspark.sql import Window
 
         w = Window.partitionBy(id_col).orderBy(

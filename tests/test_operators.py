@@ -1693,6 +1693,83 @@ def test_kmeans_numpy_lloyd_parity(spark):
         kmeans(df, k=n + 1)
 
 
+def test_nb_quality_classifier(spark):
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import (
+        lang_ngram_model,
+        nb_quality_classifier,
+        synth_multilingual,
+    )
+
+    # binary model: english-ish good vs consonant-noise bad; held-out
+    # shards separate perfectly
+    good = synth_multilingual(spark, 120, words_per_doc=40, langs=("en",),
+                              salt=2).selectExpr(
+        "doc_id", "'good' AS lang", "text")
+    bad = spark.range(120).selectExpr(
+        "id + 1000 AS doc_id", "'bad' AS lang",
+        "array_join(transform(sequence(0, 39), j -> element_at("
+        "array('xqzt', 'wvkk', 'zztp', 'qqjx', 'kxwv', 'jjqz'), "
+        "CAST((((id*40 + j) * 2654435761) % 4294967296) % 6 AS INT) + 1)),"
+        " ' ') AS text")
+    model = lang_ngram_model(good.unionByName(bad))
+    tg = synth_multilingual(spark, 40, words_per_doc=25, langs=("en",),
+                            salt=99).select("doc_id", "text")
+    tb = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "array_join(transform(sequence(0, 24), j -> element_at("
+        "array('xqzt', 'wvkk', 'zztp', 'qqjx', 'kxwv', 'jjqz'), "
+        "CAST((((id*25 + j + 7) * 2654435761) % 4294967296) % 6 AS INT)"
+        " + 1)), ' ') AS text")
+    assert nb_quality_classifier(tg, model).agg(
+        F.avg(F.col("quality_pass").cast("double"))
+    ).collect()[0][0] == 1.0
+    assert nb_quality_classifier(tb, model).agg(
+        F.avg(F.col("quality_pass").cast("double"))
+    ).collect()[0][0] == 0.0
+
+    # log-odds VALUES against a pure-python NB replica (same Lidstone
+    # arithmetic over the collected model rows)
+    mrows = model.collect()
+    lp = {(r.lang, r.gram): r.logprob for r in mrows}
+    unseen = {r.lang: r.unseen_logprob for r in mrows}
+
+    def replica(text):
+        t = " ".join(text.lower().split())
+        grams = [t[i:i + 3] for i in range(len(t) - 2)] if len(t) >= 3 \
+            else []
+        if not grams:
+            return 0.0
+        s = {}
+        for lb in ("good", "bad"):
+            s[lb] = sum(lp.get((lb, g), unseen[lb]) for g in grams)
+        return s["good"] - s["bad"]
+
+    sample = [(i, r.text) for i, r in enumerate(
+        tg.limit(5).collect() + tb.limit(5).collect())]
+    sdf = spark.createDataFrame(sample, "doc_id: long, text: string")
+    got = {r.doc_id: r.log_odds
+           for r in nb_quality_classifier(sdf, model).collect()}
+    for i, text in sample:
+        assert math.isclose(got[i], round(replica(text), 6),
+                            abs_tol=2e-6), i
+
+    # empty/NULL docs: log_odds 0.0, fail
+    tiny = spark.createDataFrame([(0, ""), (1, None)],
+                                 "doc_id: long, text: string")
+    assert {(r.doc_id, r.log_odds, r.quality_pass)
+            for r in nb_quality_classifier(tiny, model).collect()} == \
+        {(0, 0.0, False), (1, 0.0, False)}
+    # a >2-label model is rejected
+    m6 = lang_ngram_model(synth_multilingual(spark, 60, salt=1))
+    with pytest.raises(ValueError, match="2-label"):
+        nb_quality_classifier(tg, m6)
+
+
 def test_cluster_balanced_sample(spark):
     import numpy as np
     import pytest
