@@ -2506,6 +2506,33 @@ def _q_image_decode(fmt: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _q_normalize_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (the pre-dedup stage of crawl curation):
+    three synthetic variants per doc_id — messy http with default
+    port, tracking params and fragment; https with default port and
+    bare host; a non-URL that must pass through unchanged — each with
+    a closed-form expected answer, plus the extracted host column."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.web import normalize_url, url_host
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 300
+    ).selectExpr(
+        "doc_id",
+        "CASE CAST(doc_id % 3 AS INT) "
+        "WHEN 0 THEN concat('HTTP://Site', CAST(doc_id % 7 AS STRING), "
+        "'.Example.COM:80/page', CAST(doc_id AS STRING), "
+        "'?utm_source=x&id=', CAST(doc_id AS STRING), '&fbclid=z#frag') "
+        "WHEN 1 THEN concat('https://Host', CAST(doc_id % 5 AS STRING), "
+        "'.example:443') "
+        "ELSE concat('doc:', CAST(doc_id AS STRING)) END AS url",
+    )
+    out = normalize_url(docs)
+    return out.select(
+        "doc_id", "url", url_host(F.col("url")).alias("host"))
+
+
 def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC (ISO 28500) ingestion — the Common Crawl edge: synthesize
     one WARC file per doc executor-side (odd ids as .warc.gz with the
@@ -3439,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "curation_pipeline_v2": _q_curation_pipeline_v2,
             "streaming_curation_batch": _q_streaming_curation_batch,
             "warc_ingest": _q_warc_ingest,
+            "normalize_url": _q_normalize_url,
             "gopher_repetition_filters": _q_gopher_repetition,
             "dedup_lines_c4": _q_dedup_lines_c4,
             "span_dedup_exact": _q_span_dedup,
@@ -4339,6 +4367,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN c USING (text)
         """,
         "gopher_repetition_filters": _gopher_repetition_oracle(),
+        "normalize_url": """
+            -- closed-form canonicalization: default ports and
+            -- tracking params and fragments drop, case folds, bare
+            -- paths become '/', non-URLs pass through with NULL host
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com/page' || CAST(doc_id AS VARCHAR)
+                       || '?id=' || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN 'https://host'
+                       || CAST(doc_id % 5 AS VARCHAR) || '.example/'
+                     ELSE 'doc:' || CAST(doc_id AS VARCHAR) END AS url,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com'
+                     WHEN 1 THEN 'host' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example'
+                     ELSE NULL END AS host
+            FROM documents WHERE doc_id < 300
+        """,
         "warc_ingest": """
             -- synth WARC round-trip: one response record per doc,
             -- status 200, html content type, closed-form uri and body

@@ -88,6 +88,8 @@ HEADLINE = [
     "kmeans_planted",                 # bounded distributed Lloyd (r8)
     "lang_id_ngram",                  # char-trigram NB language ID (r8)
     "image_features_tiff_lzw",        # TIFF LZW + predictor decode (r8)
+    "streaming_curation_batch",       # html->extract->gopher->minhash (r8)
+    "warc_ingest",                    # WARC record explode, gzip mix (r8)
 ]
 
 

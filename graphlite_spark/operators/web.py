@@ -1,0 +1,84 @@
+"""Web/URL curation operators — the stage between WARC ingest and
+per-host policies (URL dedup needs canonical URLs; host caps and
+blocklists need a host column). Pure pyspark.sql.functions string
+work (codegen, map-side, zero shuffle), RE2-compatible patterns so
+every rule has an exact DuckDB oracle.
+
+Reference scope note: the reference engine has no web surface; this is
+beyond-reference pipeline infrastructure alongside sources/warc.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# http(s)://host[:port][/path][?query][#fragment] — anchored, no
+# backrefs/lookaround (Java + RE2 + DuckDB compatible)
+_URL_RE = r"(?i)^(https?)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$"
+
+# tracking parameters every published pipeline strips before URL dedup
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref_src)="
+
+
+def url_host(col):
+    """Lowercased host of an http(s) URL (port stripped); NULL when
+    the value does not parse as an http(s) URL. One regexp_extract —
+    usable directly as the key of cap_per_key (per-host caps) or a
+    blocklist join."""
+    h = F.regexp_extract(col, _URL_RE, 2)
+    return F.when(h != "", F.lower(h))
+
+
+def normalize_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str | None = None,
+    strip_www: bool = False,
+) -> DataFrame:
+    """Canonicalize http(s) URLs so URL-level dedup keys agree:
+
+    - scheme and host lowercased; default ports dropped (:80 on http,
+      :443 on https), other ports kept;
+    - fragment dropped (never reaches the server);
+    - tracking query params removed (TRACKING_PARAM_RE: utm_*, gclid,
+      fbclid, msclkid, ref_src); the '?' goes too when nothing
+      survives; surviving params keep their original ORDER (sorting
+      would conflate ?a=1&b=2 with ?b=2&a=1 — semantics-changing for
+      some sites, so we only remove, never reorder);
+    - empty path becomes '/' (http://x and http://x/ are the same
+      resource).
+
+    Non-http(s) values (mailto:, data:, garbage) pass through
+    UNCHANGED — curation drops them downstream by host IS NULL, and a
+    normalizer that nulls them would silently conflate all of them.
+    Entirely map-side; exact DuckDB twin for the oracle.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    host = F.lower(F.regexp_extract(u, _URL_RE, 2))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(u, _URL_RE, 3)
+    path = F.regexp_extract(u, _URL_RE, 4)
+    query = F.regexp_extract(u, _URL_RE, 5)
+    keep_port = F.when(
+        ((scheme == "http") & (port == ":80"))
+        | ((scheme == "https") & (port == ":443")), F.lit("")
+    ).otherwise(port)
+    params = F.filter(
+        F.split(F.regexp_replace(query, r"^\?", ""), "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    clean_query = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    norm = F.concat(
+        scheme, F.lit("://"), host, keep_port,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        clean_query,
+    )
+    out = F.when(scheme != "", norm).otherwise(u)
+    return df.withColumn(out_col or url_col, out)

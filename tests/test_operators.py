@@ -1693,6 +1693,38 @@ def test_kmeans_numpy_lloyd_parity(spark):
         kmeans(df, k=n + 1)
 
 
+def test_normalize_url(spark):
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.web import normalize_url, url_host
+
+    cases = [
+        ("HTTP://Example.COM:80/Path?utm_source=x&q=1&fbclid=z#frag",
+         "http://example.com/Path?q=1"),
+        ("https://A.b:443/", "https://a.b/"),
+        ("https://a.b:8443/x", "https://a.b:8443/x"),  # non-default port
+        ("http://x.y", "http://x.y/"),                 # bare host -> /
+        ("http://x.y?utm_campaign=only", "http://x.y/"),
+        # param ORDER preserved (only removal, never reordering)
+        ("http://x.y/p?b=2&a=1", "http://x.y/p?b=2&a=1"),
+        ("mailto:someone@example.com", "mailto:someone@example.com"),
+        ("not a url", "not a url"),
+        ("http://WWW.Site.com/a", "http://www.site.com/a"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i: long, url: string")
+    got = {r.i: r.url for r in normalize_url(df).collect()}
+    for i, (inp, want) in enumerate(cases):
+        assert got[i] == want, (inp, got[i], want)
+    hosts = {r.i: r.h for r in
+             df.select("i", url_host(F.col("url")).alias("h")).collect()}
+    assert hosts[0] == "example.com" and hosts[8] == "www.site.com"
+    assert hosts[6] is None and hosts[7] is None  # non-http(s) -> NULL
+    www = {r.i: r.url
+           for r in normalize_url(df, strip_www=True).collect()}
+    assert www[8] == "http://site.com/a"
+
+
 def test_nb_quality_classifier(spark):
     import math
 
