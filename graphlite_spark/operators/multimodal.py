@@ -3399,6 +3399,12 @@ def _decode_tiff(content: bytes):
             dec = _tiff_lzw_decode(content[o:o + n], rows * row_bytes)
             if len(dec) < rows * row_bytes:
                 raise ValueError("TIFF: LZW strip truncated")
+            # the decoder can OVERSHOOT by up to one table entry (the
+            # final code is appended whole); real writers pad the last
+            # strip to rows_per_strip and expect readers to truncate —
+            # without this, pred=2 fails its reshape and pred=1 shifts
+            # every later strip's pixels silently
+            dec = dec[:rows * row_bytes]
             if pred == 2:
                 arr = np.frombuffer(dec, np.uint8).reshape(
                     rows, width, spp)

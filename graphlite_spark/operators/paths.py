@@ -424,11 +424,14 @@ def betweenness_sampled(
         raise ValueError(f"p must be in (0, 1], got {p}")
     node_col = nodes.columns[0]
     cut = int(p * 4294967296.0)
-    keep = (
-        F.pmod((F.col(node_col) + F.lit(salt)) * F.lit(2654435761),
-               F.lit(4294967296)) < F.lit(cut)
-    )
-    sampled = nodes.filter(keep)
+    # sampling._bucket = the SAME (node + salt) * KNUTH mod 2^32 value
+    # via the 16/16-split multiply — a naive long multiply raises
+    # ARITHMETIC_OVERFLOW under ANSI for ids above ~3.47e9 (any
+    # 64-bit/xxhash64 id); congruence mod 2^32 keeps oracle replays
+    # on small ids byte-identical
+    from .sampling import _bucket
+
+    sampled = nodes.filter(_bucket(F.col(node_col), salt) < F.lit(cut))
     stats = (
         nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
         .crossJoin(sampled.agg(F.count(F.lit(1)).cast("double")

@@ -1227,6 +1227,78 @@ def quantize_embeddings_int4(
     )
 
 
+
+def _int8_assign_encode(it: DataFrame, cents, id_type) -> DataFrame:
+    """Shared single-pass kmeans-assignment + int8 encoding for
+    semantic_dedup_int8 and semantic_dedup_band_audit: one map-side fp
+    read yielding (_iid, _list, _codes, _scale, _inorm). Assignment
+    replicates _coarse_kmeans.make_assign's numpy sequence exactly;
+    codes replicate build_rescore_index's arithmetic exactly. ONE
+    implementation so the audit can never desync from the operator."""
+    import numpy as np
+
+    bc = it.sparkSession.sparkContext.broadcast(cents)
+
+    def assign_encode(batches):
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["_iv"].to_numpy())
+            mn = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            lists = np.argsort(-(mn @ c.T), axis=1)[:, :1][:, 0]
+            m64 = m.astype(np.float64)
+            iscale = np.maximum(np.abs(m64).max(axis=1), 1e-12) / 127.0
+            i8 = np.rint(m64 / iscale[:, None]).astype(np.int32)
+            inorm = np.sqrt((i8 * i8).sum(axis=1)) * iscale
+            yield pd.DataFrame({
+                "_iid": pdf["_iid"].to_numpy(),
+                "_list": lists.astype(np.int32),
+                "_codes": [r.astype(np.int8) for r in i8],
+                "_scale": iscale,
+                "_inorm": inorm,
+            })
+
+    from pyspark.sql.types import (
+        ArrayType, ByteType, DoubleType, IntegerType, StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("_iid", id_type, False),
+        StructField("_list", IntegerType(), False),
+        StructField("_codes", ArrayType(ByteType()), False),
+        StructField("_scale", DoubleType(), False),
+        StructField("_inorm", DoubleType(), False),
+    ])
+    return it.mapInPandas(assign_encode, schema)
+
+
+def _int8_pair_cols(eps_slack: float):
+    """The (approx, eps) column pair over a joined code-pair row
+    (_ca/_cb/_sa/_sb/_na/_nb) — the single source of truth for the
+    banded classification arithmetic (operator AND audit): integer dot
+    widened per element and accumulated in long, approx = cos(a^, b^),
+    eps = sqrt(d)*(s_a/|a^| + s_b/|b^|) + slack with the 1e-300 guards
+    that route zero-norm rows to the band."""
+    dot = F.aggregate(
+        F.zip_with(F.col("_ca"), F.col("_cb"),
+                   lambda x, y: (x.cast("int") * y.cast("int")).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    approx = (dot * F.col("_sa") * F.col("_sb")
+              / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-300)))
+    eps = (F.sqrt(F.size("_ca").cast("double"))
+           * (F.col("_sa") / F.greatest(F.col("_na"), F.lit(1e-300))
+              + F.col("_sb") / F.greatest(F.col("_nb"), F.lit(1e-300)))
+           + F.lit(float(eps_slack)))
+    return approx, eps
+
+
 def semantic_dedup_int8(
     items: DataFrame,
     threshold: float = 0.9,
@@ -1275,8 +1347,6 @@ def semantic_dedup_int8(
     sequence bit-for-bit (np.stack -> normalize -> @cents.T ->
     argsort), so the confinement structure matches the fp operator's.
     """
-    import numpy as np
-
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     spark = items.sparkSession
@@ -1301,47 +1371,7 @@ def semantic_dedup_int8(
         codes = spark.read.parquet(index_path + "/codes")
         qdf = assigned.join(codes, "_iid")
     else:
-        bc = spark.sparkContext.broadcast(cents)
-
-        def assign_encode(batches):
-            import pandas as pd
-
-            c = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                m = np.stack(pdf["_iv"].to_numpy())
-                # assignment: EXACTLY make_assign's sequence
-                mn = m / np.maximum(
-                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-                sims = mn @ c.T
-                lists = np.argsort(-sims, axis=1)[:, :1][:, 0]
-                # codes: EXACTLY build_rescore_index's arithmetic
-                m64 = m.astype(np.float64)
-                iscale = np.maximum(np.abs(m64).max(axis=1), 1e-12) / 127.0
-                i8 = np.rint(m64 / iscale[:, None]).astype(np.int32)
-                inorm = np.sqrt((i8 * i8).sum(axis=1)) * iscale
-                yield pd.DataFrame({
-                    "_iid": pdf["_iid"].to_numpy(),
-                    "_list": lists.astype(np.int32),
-                    "_codes": [r.astype(np.int8) for r in i8],
-                    "_scale": iscale,
-                    "_inorm": inorm,
-                })
-
-        from pyspark.sql.types import (
-            ArrayType, ByteType, DoubleType, IntegerType, StructField,
-            StructType,
-        )
-
-        schema = StructType([
-            StructField("_iid", items.schema[id_col].dataType, False),
-            StructField("_list", IntegerType(), False),
-            StructField("_codes", ArrayType(ByteType()), False),
-            StructField("_scale", DoubleType(), False),
-            StructField("_inorm", DoubleType(), False),
-        ])
-        qdf = it.mapInPandas(assign_encode, schema)
+        qdf = _int8_assign_encode(it, cents, items.schema[id_col].dataType)
 
     # the encoded+assigned frame feeds both join sides — cut it once
     qdf = qdf.localCheckpoint(eager=False)
@@ -1351,25 +1381,7 @@ def semantic_dedup_int8(
     b = qdf.select(
         "_list", F.col("_iid").alias("_ib"), F.col("_codes").alias("_cb"),
         F.col("_scale").alias("_sb"), F.col("_inorm").alias("_nb"))
-    # integer dot JVM-side: bytes widened per element (tinyint*tinyint
-    # would overflow), accumulated in long (d*127^2 outgrows int past
-    # d ~ 130k)
-    dot = F.aggregate(
-        F.zip_with(F.col("_ca"), F.col("_cb"),
-                   lambda x, y: (x.cast("int") * y.cast("int")).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    ).cast("double")
-    approx = (dot * F.col("_sa") * F.col("_sb")
-              / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-300)))
-    # greatest(., 1e-300): a zero code norm (<=> all-zero vector) must
-    # reach the band rescore — where the shared cosine expression
-    # raises ANSI DIVIDE_BY_ZERO exactly like the fp path — instead of
-    # erroring here in the classification arithmetic
-    eps = (F.sqrt(F.size("_ca").cast("double"))
-           * (F.col("_sa") / F.greatest(F.col("_na"), F.lit(1e-300))
-              + F.col("_sb") / F.greatest(F.col("_nb"), F.lit(1e-300)))
-           + F.lit(float(eps_slack)))
+    approx, eps = _int8_pair_cols(eps_slack)
     scored = (
         a.join(b, "_list")
         .filter(F.col("_ia") < F.col("_ib"))
@@ -1433,8 +1445,6 @@ def semantic_dedup_band_audit(
     vectors. Deterministic (hash-seeded kmeans, rint codes), so the
     audited fractions are a reproducible constant of (corpus, params).
     """
-    import numpy as np
-
     it = items.select(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
     )
@@ -1444,66 +1454,16 @@ def semantic_dedup_band_audit(
             [(0, 0, 0, 0, 0.0)],
             "n_pairs: long, n_auto_accept: long, n_auto_reject: long, "
             "n_band: long, band_fraction: double")
-    bc = items.sparkSession.sparkContext.broadcast(cents)
-
-    def assign_encode(batches):
-        import pandas as pd
-
-        c = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.stack(pdf["_iv"].to_numpy())
-            mn = m / np.maximum(
-                np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            lists = np.argsort(-(mn @ c.T), axis=1)[:, :1][:, 0]
-            m64 = m.astype(np.float64)
-            iscale = np.maximum(np.abs(m64).max(axis=1), 1e-12) / 127.0
-            i8 = np.rint(m64 / iscale[:, None]).astype(np.int32)
-            inorm = np.sqrt((i8 * i8).sum(axis=1)) * iscale
-            yield pd.DataFrame({
-                "_iid": pdf["_iid"].to_numpy(),
-                "_list": lists.astype(np.int32),
-                "_codes": [r.astype(np.int8) for r in i8],
-                "_scale": iscale,
-                "_inorm": inorm,
-            })
-
-    from pyspark.sql.types import (
-        ArrayType, ByteType, DoubleType, IntegerType, StructField,
-        StructType,
-    )
-
-    schema = StructType([
-        StructField("_iid", items.schema[id_col].dataType, False),
-        StructField("_list", IntegerType(), False),
-        StructField("_codes", ArrayType(ByteType()), False),
-        StructField("_scale", DoubleType(), False),
-        StructField("_inorm", DoubleType(), False),
-    ])
-    qdf = it.mapInPandas(assign_encode, schema).localCheckpoint(eager=False)
+    qdf = _int8_assign_encode(
+        it, cents, items.schema[id_col].dataType
+    ).localCheckpoint(eager=False)
     a = qdf.select(
         "_list", F.col("_iid").alias("_ia"), F.col("_codes").alias("_ca"),
         F.col("_scale").alias("_sa"), F.col("_inorm").alias("_na"))
     b = qdf.select(
         "_list", F.col("_iid").alias("_ib"), F.col("_codes").alias("_cb"),
         F.col("_scale").alias("_sb"), F.col("_inorm").alias("_nb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("_ca"), F.col("_cb"),
-                   lambda x, y: (x.cast("int") * y.cast("int")).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    ).cast("double")
-    approx = (dot * F.col("_sa") * F.col("_sb")
-              / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-300)))
-    # greatest(., 1e-300): a zero code norm (<=> all-zero vector) must
-    # reach the band rescore — where the shared cosine expression
-    # raises ANSI DIVIDE_BY_ZERO exactly like the fp path — instead of
-    # erroring here in the classification arithmetic
-    eps = (F.sqrt(F.size("_ca").cast("double"))
-           * (F.col("_sa") / F.greatest(F.col("_na"), F.lit(1e-300))
-              + F.col("_sb") / F.greatest(F.col("_nb"), F.lit(1e-300)))
-           + F.lit(float(eps_slack)))
+    approx, eps = _int8_pair_cols(eps_slack)
     t = F.lit(threshold)
     cls = (
         a.join(b, "_list")
@@ -1567,8 +1527,17 @@ def cluster_balanced_sample(
     assigned = kmeans(items, k=k, max_iters=max_iters, tol=tol,
                       metric=metric, id_col=id_col, vec_col=vec_col,
                       init_ids=init_ids)
+    oc = order_col or id_col
+    if oc not in assigned.columns:
+        # kmeans returns only (id, cluster): a score/order column from
+        # the input frame rides back in via an id join before the cap
+        if oc not in items.columns:
+            raise ValueError(
+                f"order_col {oc!r} not in items columns {items.columns}")
+        assigned = assigned.join(
+            items.select(F.col(id_col), F.col(oc)), id_col)
     from .sampling import cap_per_key
 
     return cap_per_key(assigned, "cluster", cap_per_cluster,
-                       order_col=order_col or id_col,
-                       descending=descending)
+                       order_col=oc,
+                       descending=descending).select(id_col, "cluster")

@@ -13,20 +13,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# http(s)://host[:port][/path][?query][#fragment] — anchored, no
-# backrefs/lookaround (Java + RE2 + DuckDB compatible)
-_URL_RE = r"(?i)^(https?)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$"
+# http(s)://[userinfo@]host[:port][/path][?query][#fragment] —
+# anchored, no backrefs/lookaround (Java + RE2 + DuckDB compatible).
+# The optional userinfo group matters: without it, url_host on
+# 'http://u:p@blocked.example/' returns 'u' and host caps/blocklists
+# key on garbage a crawl source controls.
+_URL_RE = (r"(?i)^(https?)://(?:([^/?#@]*)@)?"
+           r"([^/?#:@]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$")
 
 # tracking parameters every published pipeline strips before URL dedup
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref_src)="
 
 
 def url_host(col):
-    """Lowercased host of an http(s) URL (port stripped); NULL when
-    the value does not parse as an http(s) URL. One regexp_extract —
-    usable directly as the key of cap_per_key (per-host caps) or a
-    blocklist join."""
-    h = F.regexp_extract(col, _URL_RE, 2)
+    """Lowercased REAL host of an http(s) URL (userinfo and port
+    stripped); NULL when the value does not parse as an http(s) URL.
+    One regexp_extract — usable directly as the key of cap_per_key
+    (per-host caps) or a blocklist join."""
+    h = F.regexp_extract(col, _URL_RE, 3)
     return F.when(h != "", F.lower(h))
 
 
@@ -38,7 +42,9 @@ def normalize_url(
 ) -> DataFrame:
     """Canonicalize http(s) URLs so URL-level dedup keys agree:
 
-    - scheme and host lowercased; default ports dropped (:80 on http,
+    - scheme and host lowercased (userinfo, when present, is kept
+      VERBATIM — it is case-sensitive and folding it would conflate
+      distinct credentials); default ports dropped (:80 on http,
       :443 on https), other ports kept;
     - fragment dropped (never reaches the server);
     - tracking query params removed (TRACKING_PARAM_RE: utm_*, gclid,
@@ -56,12 +62,13 @@ def normalize_url(
     """
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
-    host = F.lower(F.regexp_extract(u, _URL_RE, 2))
+    userinfo = F.regexp_extract(u, _URL_RE, 2)
+    host = F.lower(F.regexp_extract(u, _URL_RE, 3))
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
-    port = F.regexp_extract(u, _URL_RE, 3)
-    path = F.regexp_extract(u, _URL_RE, 4)
-    query = F.regexp_extract(u, _URL_RE, 5)
+    port = F.regexp_extract(u, _URL_RE, 4)
+    path = F.regexp_extract(u, _URL_RE, 5)
+    query = F.regexp_extract(u, _URL_RE, 6)
     keep_port = F.when(
         ((scheme == "http") & (port == ":80"))
         | ((scheme == "https") & (port == ":443")), F.lit("")
@@ -75,8 +82,12 @@ def normalize_url(
         F.size(params) > 0,
         F.concat(F.lit("?"), F.array_join(params, "&")),
     ).otherwise(F.lit(""))
+    # userinfo (group 2) matched iff the URL had '@' before the host;
+    # an EMPTY userinfo ('http://@x/') still had the '@' — re-emit it
+    at = F.when(u.rlike(r"(?i)^https?://[^/?#@]*@"), F.lit("@")) \
+        .otherwise(F.lit(""))
     norm = F.concat(
-        scheme, F.lit("://"), host, keep_port,
+        scheme, F.lit("://"), userinfo, at, host, keep_port,
         F.when(path == "", F.lit("/")).otherwise(path),
         clean_query,
     )

@@ -78,7 +78,6 @@ def parse_warc_bytes(data: bytes, max_body_bytes: int = 1 << 20):
                 raise ValueError(
                     f"WARC: bad version line {lines[0][:40]!r}")
             break
-        first = False
         hdrs = {}
         for ln in lines[1:]:
             k, _, v = ln.partition(":")
@@ -86,7 +85,15 @@ def parse_warc_bytes(data: bytes, max_body_bytes: int = 1 << 20):
         try:
             clen = int(hdrs.get("content-length", ""))
         except ValueError:
+            # a corrupt/missing Content-Length on the FIRST record is
+            # a malformed file (the leading-header contract), not a
+            # truncated tail — swallowing it would make the whole file
+            # indistinguishable from an empty crawl
+            if first:
+                raise ValueError(
+                    "WARC: first record has no valid Content-Length")
             break
+        first = False
         body_start = head_end + 4
         payload = data[body_start:body_start + clen]
         pos = body_start + clen

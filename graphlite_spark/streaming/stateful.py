@@ -485,7 +485,8 @@ def streaming_curation(
     from ..operators.html import extract_html_text
     from ..operators.text import gopher_quality_filters
 
-    ext = extract_html_text(docs, html_col=html_col, id_col=id_col)
+    ext = extract_html_text(docs, html_col=html_col, id_col=id_col,
+                            max_link_density=max_link_density)
     flagged = gopher_quality_filters(
         ext, id_col="doc_id", min_words=min_words,
         min_stop_words=min_stop_words, keep=("text",))

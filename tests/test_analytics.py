@@ -342,3 +342,14 @@ def test_betweenness_sampled_estimator(spark):
         betweenness_sampled(edf, ndf, p=0.0)
     with pytest.raises(ValueError, match="sampled 0"):
         betweenness_sampled(edf, ndf, p=1e-9, salt=1)
+
+    # 64-bit node ids (xxhash64-scale) must not ANSI-overflow the
+    # sampling hash: the 16/16-split multiply handles any long
+    big = 7_000_000_000_000
+    bedges = [(big + a, big + b) for a, b in edges[:48]]
+    bnodes = sorted({a for a, _ in bedges} | {b for _, b in bedges})
+    bout = betweenness_sampled(
+        spark.createDataFrame(bedges, "_src long, _dst long"),
+        spark.createDataFrame([(n,) for n in bnodes], "node long"),
+        p=0.5, salt=3, max_hops=8)
+    assert bout.count() > 0

@@ -1710,6 +1710,12 @@ def test_normalize_url(spark):
         ("mailto:someone@example.com", "mailto:someone@example.com"),
         ("not a url", "not a url"),
         ("http://WWW.Site.com/a", "http://www.site.com/a"),
+        # userinfo: kept verbatim (case-sensitive), host still folds
+        # and default port still drops — and url_host must return the
+        # REAL host, not the credentials (blocklist-evasion vector)
+        ("http://User:Pw@Blocked.Example:80/x",
+         "http://User:Pw@blocked.example/x"),
+        ("http://@Host.example/", "http://@host.example/"),
     ]
     df = spark.createDataFrame(
         [(i, c[0]) for i, c in enumerate(cases)], "i: long, url: string")
@@ -1720,6 +1726,7 @@ def test_normalize_url(spark):
              df.select("i", url_host(F.col("url")).alias("h")).collect()}
     assert hosts[0] == "example.com" and hosts[8] == "www.site.com"
     assert hosts[6] is None and hosts[7] is None  # non-http(s) -> NULL
+    assert hosts[9] == "blocked.example" and hosts[10] == "host.example"
     www = {r.i: r.url
            for r in normalize_url(df, strip_www=True).collect()}
     assert www[8] == "http://site.com/a"
@@ -1805,6 +1812,7 @@ def test_nb_quality_classifier(spark):
 def test_cluster_balanced_sample(spark):
     import numpy as np
     import pytest
+    from pyspark.sql import functions as F
 
     from graphlite_spark.operators.similarity import cluster_balanced_sample
 
@@ -1826,6 +1834,23 @@ def test_cluster_balanced_sample(spark):
         sorted((r.vec_id, r.cluster) for r in again)
     with pytest.raises(ValueError, match="cap_per_cluster"):
         cluster_balanced_sample(df, k=4, cap_per_cluster=0)
+
+    # keep-best-by-score: an order column from the INPUT frame (not in
+    # kmeans' output) rides back in via the id join — the advertised
+    # quality-score mode (was an unresolved-column crash before r8's
+    # review pass)
+    scored_df = df.withColumn("score", (F.col("vec_id") % 7).cast("double"))
+    best = cluster_balanced_sample(scored_df, k=4, cap_per_cluster=2,
+                                   max_iters=3, order_col="score",
+                                   descending=True)
+    assert best.columns == ["vec_id", "cluster"]
+    rows = best.collect()
+    assert len(rows) <= 8
+    kept_scores = {r.vec_id % 7 for r in rows}
+    assert max(kept_scores) == 6  # top scores survive
+    with pytest.raises(ValueError, match="order_col"):
+        cluster_balanced_sample(df, k=4, cap_per_cluster=2,
+                                order_col="nope")
 
 
 def test_kmeans_iters_knob_and_quantizer_equivalence(spark):

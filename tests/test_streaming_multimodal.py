@@ -1746,6 +1746,26 @@ def test_tiff_lzw_decode_roundtrip():
     full = synth_tiff(17, 13, pixel=gray, compression=5)
     with pytest.raises(ValueError):
         _decode_image(full[:-30])
+
+    # writer-padded last strip (encodes MORE rows than the height
+    # leaves): readers must truncate, not reshape-crash (pred=2) or
+    # shift pixels (pred=1). Build by patching the height tag of a
+    # 16-row rows_per_strip=4 file down to 14 — the last strip then
+    # over-decodes by 2 rows.
+    import struct
+
+    img16 = rng.integers(0, 256, (16, 17), np.uint8)
+    for pred in (1, 2):
+        t16 = bytearray(synth_tiff(17, 16, pixel=img16, rows_per_strip=4,
+                                   compression=5, predictor=pred))
+        # IFD entry 1 (tag 257 ImageLength): value bytes at 8+2+12+8
+        assert struct.unpack_from("<HH", t16, 10 + 12)[0] == 257
+        struct.pack_into("<H", t16, 10 + 12 + 8, 14)
+        w14, h14, emb14 = _decode_image(bytes(t16))
+        assert (w14, h14) == (17, 14)
+        exp14 = _gray_embedding(
+            _luminance(img16[:14].reshape(-1, 1), 1), 17, 14, 8)
+        assert emb14 == exp14, pred
     # predictor=2 without LZW refuses on both sides
     with pytest.raises(ValueError, match="requires compression=5"):
         synth_tiff(4, 4, pixel=gray[:4, :4], predictor=2)
@@ -1961,6 +1981,11 @@ def test_warc_parse_and_ingest(spark, tmp_path):
     assert len(list(parse_warc_bytes(synth_warc(recs)[:-40]))) == 4
     with pytest.raises(ValueError, match="WARC"):
         list(parse_warc_bytes(b"NOT A WARC\r\n\r\n"))
+    # corrupt Content-Length on the FIRST record is malformed-leading
+    # (raises), not a silent empty file
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(parse_warc_bytes(
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\n\r\npayload"))
 
     d = str(tmp_path / "warcs")
     import os
