@@ -1711,6 +1711,33 @@ def _q_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("coreness").cast("long"))
 
 
+def _q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-truss on the same planted variable-size cliques as
+    core_decomposition (block g keeps its first 3 + g%4 members as a
+    clique, sizes 3..6, trailing partial block excluded): every edge
+    of an s-clique has support s-2 within it, so the 5-truss keeps
+    exactly the cliques with s >= 5 (g%4 in {2, 3}) and the smaller
+    cliques peel away entirely — closed-form surviving edge set."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import k_truss
+
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg((6 * (F.count(F.lit(1)) / 6).cast("long")).alias("_cap"))
+    base = sup.crossJoin(F.broadcast(cap)).filter(
+        F.col("k") < F.col("_cap")).select(
+        "k", (F.col("k") / 6).cast("long").alias("g"),
+        (F.col("k") % 6).alias("i"),
+    ).filter(F.col("i") < 3 + (F.col("g") % 4))
+    a, b = base.alias("a"), base.alias("b")
+    edges = a.join(b, F.expr("a.g = b.g AND a.i < b.i")).select(
+        F.col("a.k").alias("_src"), F.col("b.k").alias("_dst"))
+    out = k_truss(edges, k=5)
+    return out.select(F.col("_src").cast("long").alias("src"),
+                      F.col("_dst").cast("long").alias("dst"))
+
+
 def _q_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED Louvain on a planted chain of supplier triples:
     within-triple edges w=10, triple-to-triple links w=0.1 — the
@@ -3491,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "semantic_dedup_band_audit": _q_semantic_dedup_band_audit,
             "louvain_weighted_triples": _q_louvain_weighted,
             "core_decomposition_cliques": _q_core_decomposition,
+            "k_truss_cliques": _q_k_truss,
             "pagerank_weighted_2iter": _q_pagerank_weighted_2iter,
             "pagerank_personalized_2iter": _q_pagerank_personalized_2iter,
             "dag_layers_follows": _q_dag_layers,
@@ -6535,6 +6563,24 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
             WHERE s_suppkey % 6 < 3 + ((s_suppkey // 6) % 4)
               AND s_suppkey < 6 * ((SELECT count(*) FROM supplier) // 6)
+        """,
+        "k_truss_cliques": """
+            -- 5-truss keeps exactly the planted cliques of size >= 5
+            -- (block size 3 + g%4, partial trailing block excluded):
+            -- all within-clique edges of blocks with g%4 in (2, 3)
+            WITH cap AS (
+                SELECT 6 * ((SELECT count(*) FROM supplier) // 6) AS c
+            ),
+            m AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS k,
+                       s_suppkey // 6 AS g
+                FROM supplier, cap
+                WHERE s_suppkey < c
+                  AND s_suppkey % 6 < 3 + ((s_suppkey // 6) % 4)
+                  AND (s_suppkey // 6) % 4 >= 2
+            )
+            SELECT a.k AS src, b.k AS dst
+            FROM m a JOIN m b ON a.g = b.g AND a.k < b.k
         """,
         "louvain_weighted_triples": """
             -- weighted chain of triples (10/10 within, 0.1 between):

@@ -1031,6 +1031,77 @@ def triangle_count_approx(
     )
 
 
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 50,
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """(src, dst) — the canonical surviving edges of the k-truss: the
+    maximal subgraph in which every edge participates in >= k-2
+    triangles WITHIN the subgraph (Cohen 2008). The edge analog of
+    k-core — the standard cohesive-subgraph primitive a community/
+    fraud pipeline runs when k-core is too permissive (a star passes
+    k-core reasoning at its hub; a truss requires actual triangle
+    density). Beyond-reference analytics, same family as
+    triangle_count (no reference counterpart).
+
+    Distributed peeling fixpoint, same round discipline as k_core:
+    per round, enumerate the CURRENT subgraph's triangles through the
+    degree-oriented wedge closure (_oriented_triangle_triples — fanout
+    bounded by sqrt(2m), two single-key shuffles), explode each
+    triangle into its three canonical edges, one map-side-combined
+    groupBy for per-edge support, and drop edges below k-2. A dropped
+    edge can break other edges' triangles, so iterate to the fixpoint;
+    rounds are bounded and non-convergence RAISES (house contract).
+    Per-round lineage is cut with the stats-resetting checkpoint
+    (_ck_cut_stats) so driver stats stay O(1) per round. 2-truss = the
+    whole simple graph (support >= 0 always holds): returns it after
+    one verification round.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a, b).alias("_lo"), F.greatest(a, b).alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+    )
+    und = _ck_cut_stats(und)
+    need = k - 2
+    for _ in range(max_iters):
+        tris = _oriented_triangle_triples(und, "_lo", "_hi")
+        tri_edges = tris.select(
+            F.explode(F.array(
+                F.struct(F.least("a", "b").alias("_lo"),
+                         F.greatest("a", "b").alias("_hi")),
+                F.struct(F.least("a", "c").alias("_lo"),
+                         F.greatest("a", "c").alias("_hi")),
+                F.struct(F.least("b", "c").alias("_lo"),
+                         F.greatest("b", "c").alias("_hi")),
+            )).alias("_e")
+        ).select("_e._lo", "_e._hi")
+        supp = tri_edges.groupBy("_lo", "_hi").agg(
+            F.count(F.lit(1)).alias("_s"))
+        kept = (
+            und.join(supp, ["_lo", "_hi"], "left")
+            .filter(F.coalesce(F.col("_s"), F.lit(0)) >= need)
+            .select("_lo", "_hi")
+        )
+        kept = _ck_cut_stats(kept)
+        # one 2-scalar stats job per round: how many edges fell
+        n_before, n_after = und.count(), kept.count()
+        und = kept
+        if n_after == n_before or n_after == 0:
+            return und.select(F.col("_lo").alias(src),
+                              F.col("_hi").alias(dst))
+    raise RuntimeError(
+        f"k_truss did not reach a fixpoint within max_iters={max_iters}; "
+        "raise the bound")
+
+
 def label_propagation(
     edges: DataFrame,
     nodes: DataFrame,

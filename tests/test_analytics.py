@@ -299,6 +299,59 @@ def test_betweenness_brute_force_parity(spark):
                 edges, sources, h, k)
 
 
+def test_k_truss_brute_force_parity(spark):
+    # distributed peeling must equal the sequential fixpoint on every
+    # structural shape: clique+pendant path, triangles sharing an
+    # edge, and a random multigraph — for every k
+    import itertools
+    import random
+
+    import pytest
+
+    from graphlite_spark.operators.paths import k_truss
+
+    def brute(edges, k):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        changed = True
+        while changed:
+            changed = False
+            adj = {}
+            for x, y in es:
+                adj.setdefault(x, set()).add(y)
+                adj.setdefault(y, set()).add(x)
+            drop = {e for e in es if len(adj[e[0]] & adj[e[1]]) < k - 2}
+            if drop:
+                es -= drop
+                changed = True
+        return es
+
+    rng = random.Random(9)
+    cases = [
+        list(itertools.combinations(range(5), 2)) + [(4, 10), (10, 11)],
+        [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)],  # 2 tris share an edge
+        [(rng.randrange(14), rng.randrange(14)) for _ in range(40)],
+    ]
+    for edges in cases:
+        edf = spark.createDataFrame(edges, "_src long, _dst long")
+        for k in (2, 3, 4, 5):
+            got = {(r._src, r._dst) for r in k_truss(edf, k).collect()}
+            assert got == brute(edges, k), (edges[:6], k)
+    # an s-clique is exactly an s-truss: the 5-truss of clique5+path
+    # is the clique's 10 edges; the 6-truss is empty
+    edf = spark.createDataFrame(cases[0], "_src long, _dst long")
+    assert k_truss(edf, 5).count() == 10
+    assert k_truss(edf, 6).count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        k_truss(edf, 1)
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        # a long chain of edge-sharing triangles peels one triangle
+        # per round: max_iters=1 cannot reach the fixpoint
+        chain = [(i, i + 1) for i in range(8)] + \
+            [(i, i + 2) for i in range(7)]
+        k_truss(spark.createDataFrame(chain, "_src long, _dst long"),
+                4, max_iters=1)
+
+
 def test_betweenness_sampled_estimator(spark):
     # Brandes-Pich sampled estimate: deterministic Knuth-hash source
     # sample, |V|/|S| scaling, and a pinned relative error vs the
