@@ -1738,6 +1738,33 @@ def _q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("_dst").cast("long").alias("dst"))
 
 
+def _q_truss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full truss decomposition on the planted variable-size cliques:
+    an s-clique's edges all have trussness exactly s (closed form =
+    3 + g%4 per block, sizes 3..6; trailing partial block excluded) —
+    a wrong support count at ANY peel level shifts some edge's
+    trussness and breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import truss_decomposition
+
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg((6 * (F.count(F.lit(1)) / 6).cast("long")).alias("_cap"))
+    base = sup.crossJoin(F.broadcast(cap)).filter(
+        F.col("k") < F.col("_cap")).select(
+        "k", (F.col("k") / 6).cast("long").alias("g"),
+        (F.col("k") % 6).alias("i"),
+    ).filter(F.col("i") < 3 + (F.col("g") % 4))
+    a, b = base.alias("a"), base.alias("b")
+    edges = a.join(b, F.expr("a.g = b.g AND a.i < b.i")).select(
+        F.col("a.k").alias("_src"), F.col("b.k").alias("_dst"))
+    out = truss_decomposition(edges)
+    return out.select(F.col("_src").cast("long").alias("src"),
+                      F.col("_dst").cast("long").alias("dst"),
+                      F.col("trussness").cast("long").alias("trussness"))
+
+
 def _q_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED Louvain on a planted chain of supplier triples:
     within-triple edges w=10, triple-to-triple links w=0.1 — the
@@ -3519,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "louvain_weighted_triples": _q_louvain_weighted,
             "core_decomposition_cliques": _q_core_decomposition,
             "k_truss_cliques": _q_k_truss,
+            "truss_decomposition_cliques": _q_truss_decomposition,
             "pagerank_weighted_2iter": _q_pagerank_weighted_2iter,
             "pagerank_personalized_2iter": _q_pagerank_personalized_2iter,
             "dag_layers_follows": _q_dag_layers,
@@ -6563,6 +6591,23 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
             WHERE s_suppkey % 6 < 3 + ((s_suppkey // 6) % 4)
               AND s_suppkey < 6 * ((SELECT count(*) FROM supplier) // 6)
+        """,
+        "truss_decomposition_cliques": """
+            -- an s-clique's edges all have trussness s: closed form
+            -- 3 + g%4 per block (partial trailing block excluded)
+            WITH cap AS (
+                SELECT 6 * ((SELECT count(*) FROM supplier) // 6) AS c
+            ),
+            m AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS k,
+                       s_suppkey // 6 AS g
+                FROM supplier, cap
+                WHERE s_suppkey < c
+                  AND s_suppkey % 6 < 3 + ((s_suppkey // 6) % 4)
+            )
+            SELECT a.k AS src, b.k AS dst,
+                   CAST(3 + (a.g % 4) AS BIGINT) AS trussness
+            FROM m a JOIN m b ON a.g = b.g AND a.k < b.k
         """,
         "k_truss_cliques": """
             -- 5-truss keeps exactly the planted cliques of size >= 5

@@ -1102,6 +1102,82 @@ def k_truss(
         "raise the bound")
 
 
+def truss_decomposition(
+    edges: DataFrame,
+    max_trussness: int = 64,
+    max_iters: int = 50,
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """(src, dst, trussness): FULL truss decomposition — each
+    canonical edge's largest k for which it survives k-truss peeling
+    (an s-clique's edges have trussness s). The edge-granular sibling
+    of core_decomposition, same outer-loop discipline: for k = 3, 4,
+    ... peel the surviving subgraph to its k-truss (the k_truss round:
+    degree-oriented triangle enumeration + per-edge support + drop
+    below k-2), edges removed while peeling at k get trussness k-1;
+    triangle-free edges get trussness 2 (every simple edge is a
+    2-truss member). Bounds RAISE rather than return a wrong partial
+    answer. Outer iterations are bounded by the max clique-ish density
+    (tiny next to the peel rounds at any real skew)."""
+    if max_trussness < 2:
+        raise ValueError(
+            f"max_trussness must be >= 2, got {max_trussness}")
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a, b).alias("_lo"), F.greatest(a, b).alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+    )
+    und = _ck_cut_stats(und)
+    out_parts = []
+    for k in range(3, max_trussness + 2):
+        if k == max_trussness + 1:
+            raise RuntimeError(
+                f"truss_decomposition: edges remain past "
+                f"max_trussness={max_trussness}; raise the bound")
+        before = und
+        for _ in range(max_iters):
+            tris = _oriented_triangle_triples(und, "_lo", "_hi")
+            tri_edges = tris.select(
+                F.explode(F.array(
+                    F.struct(F.least("a", "b").alias("_lo"),
+                             F.greatest("a", "b").alias("_hi")),
+                    F.struct(F.least("a", "c").alias("_lo"),
+                             F.greatest("a", "c").alias("_hi")),
+                    F.struct(F.least("b", "c").alias("_lo"),
+                             F.greatest("b", "c").alias("_hi")),
+                )).alias("_e")
+            ).select("_e._lo", "_e._hi")
+            supp = tri_edges.groupBy("_lo", "_hi").agg(
+                F.count(F.lit(1)).alias("_s"))
+            kept = (
+                und.join(supp, ["_lo", "_hi"], "left")
+                .filter(F.coalesce(F.col("_s"), F.lit(0)) >= k - 2)
+                .select("_lo", "_hi")
+            )
+            kept = _ck_cut_stats(kept)
+            n_before, n_after = und.count(), kept.count()
+            und = kept
+            if n_after == n_before:
+                break
+        else:
+            raise RuntimeError(
+                f"truss_decomposition: k={k} peel did not drain within "
+                f"max_iters={max_iters}; raise the bound")
+        peeled = before.join(und, ["_lo", "_hi"], "left_anti")
+        out_parts.append(
+            peeled.select("_lo", "_hi", F.lit(k - 1).alias("trussness")))
+        if und.isEmpty():
+            break
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out.select(F.col("_lo").alias(src), F.col("_hi").alias(dst),
+                      "trussness")
+
+
 def label_propagation(
     edges: DataFrame,
     nodes: DataFrame,

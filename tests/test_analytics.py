@@ -352,6 +352,61 @@ def test_k_truss_brute_force_parity(spark):
                 4, max_iters=1)
 
 
+def test_truss_decomposition_brute_force_parity(spark):
+    import itertools
+    import random
+
+    import pytest
+
+    from graphlite_spark.operators.paths import truss_decomposition
+
+    def brute(edges):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        tn, k = {}, 3
+        while es:
+            cur, changed = set(es), True
+            while changed:
+                changed = False
+                adj = {}
+                for x, y in cur:
+                    adj.setdefault(x, set()).add(y)
+                    adj.setdefault(y, set()).add(x)
+                drop = {e for e in cur
+                        if len(adj[e[0]] & adj[e[1]]) < k - 2}
+                if drop:
+                    cur -= drop
+                    changed = True
+            for e in es - cur:
+                tn[e] = k - 1
+            es, k = cur, k + 1
+        return tn
+
+    rng = random.Random(4)
+    cases = [
+        list(itertools.combinations(range(5), 2)) + [(4, 10), (10, 11)],
+        [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)],
+        [(rng.randrange(12), rng.randrange(12)) for _ in range(36)],
+    ]
+    for edges in cases:
+        edf = spark.createDataFrame(edges, "_src long, _dst long")
+        got = {(r._src, r._dst): r.trussness
+               for r in truss_decomposition(edf).collect()}
+        assert got == brute(edges), edges[:6]
+    # clique-5 edges are exactly 5-trussness; pendant edges 2
+    g = {(r._src, r._dst): r.trussness for r in truss_decomposition(
+        spark.createDataFrame(cases[0], "_src long, _dst long")
+    ).collect()}
+    assert g[(0, 1)] == 5 and g[(4, 10)] == 2 and g[(10, 11)] == 2
+    with pytest.raises(ValueError, match="max_trussness"):
+        truss_decomposition(
+            spark.createDataFrame(cases[0], "_src long, _dst long"),
+            max_trussness=1)
+    with pytest.raises(RuntimeError, match="max_trussness"):
+        truss_decomposition(
+            spark.createDataFrame(cases[0], "_src long, _dst long"),
+            max_trussness=3)
+
+
 def test_betweenness_sampled_estimator(spark):
     # Brandes-Pich sampled estimate: deterministic Knuth-hash source
     # sample, |V|/|S| scaling, and a pinned relative error vs the
