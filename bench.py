@@ -90,6 +90,7 @@ HEADLINE = [
     "image_features_tiff_lzw",        # TIFF LZW + predictor decode (r8)
     "streaming_curation_batch",       # html->extract->gopher->minhash (r8)
     "warc_ingest",                    # WARC record explode, gzip mix (r8)
+    "truss_decomposition_cliques",    # iterative triangle peeling (r8)
 ]
 
 
