@@ -857,7 +857,10 @@ class GraphLiteSpark:
             if stmt.yield_cols:
                 df = df.select(*stmt.yield_cols)
             return df
-        elif name in ("gql.pagerank", "gql.connected_components"):
+        elif name in ("gql.pagerank", "gql.connected_components",
+                      "gql.k_truss", "gql.truss_decomposition",
+                      "gql.core_decomposition",
+                      "gql.betweenness_sampled"):
             # distributed graph analytics over the session graph's full
             # edge union (GraphIndexScan companions, operators/paths.py)
             from .operators import paths as P
@@ -878,6 +881,19 @@ class GraphLiteSpark:
             if name == "gql.pagerank":
                 iters = int(stmt.args[0].value) if stmt.args else 10
                 df = P.pagerank(e, n, num_iter=iters)
+            elif name == "gql.k_truss":
+                k = int(stmt.args[0].value) if stmt.args else 3
+                df = P.k_truss(e, k)
+            elif name == "gql.truss_decomposition":
+                df = P.truss_decomposition(e)
+            elif name == "gql.core_decomposition":
+                df = P.core_decomposition(e)
+            elif name == "gql.betweenness_sampled":
+                p = float(stmt.args[0].value) if stmt.args else 0.25
+                h = int(stmt.args[1].value) if len(stmt.args) > 1 else 8
+                df = P.betweenness_sampled(
+                    e, n.withColumnRenamed("_id", "node"), p=p,
+                    max_hops=h)
             else:
                 df = P.connected_components(e, n)
             if stmt.yield_cols:

@@ -192,8 +192,18 @@ def _row_exists(df, row: dict) -> bool:
 
 
 def _union_fill(old, new):
-    """unionByName with schema union (new props become NULL on old rows)."""
-    return old.unionByName(new, allowMissingColumns=True)
+    """unionByName with schema union (new props become NULL on old rows),
+    LINEAGE-CUT: without the cut, n sequential mutations build an
+    n-deep union whose branches are the MUTATIONS' OWN PLANS (a
+    MATCH-INSERT appends its join subtree), so every later statement
+    re-executes all prior mutations and the non-CBO join-stats product
+    compounds per level — measured 11 single-edge inserts taking 430s
+    (~40s each, growing) before the cut, sub-second after. DML frames
+    are small by nature, so the eager checkpoint costs milliseconds
+    and keeps every mutation O(current data), not O(history)."""
+    from .operators.paths import _ck_cut_stats
+
+    return _ck_cut_stats(old.unionByName(new, allowMissingColumns=True))
 
 
 def _compile_matches(graph: PropertyGraph, matches, params):

@@ -428,10 +428,18 @@ def betweenness_sampled(
     # via the 16/16-split multiply — a naive long multiply raises
     # ARITHMETIC_OVERFLOW under ANSI for ids above ~3.47e9 (any
     # 64-bit/xxhash64 id); congruence mod 2^32 keeps oracle replays
-    # on small ids byte-identical
+    # on small ids byte-identical. NON-numeric ids (string content
+    # hashes from pure-GQL graphs) pre-hash through xxhash64 — still
+    # deterministic and partition-insensitive, just engine-internal
+    # (an oracle would replay the numeric form only)
+    from pyspark.sql.types import NumericType
+
     from .sampling import _bucket
 
-    sampled = nodes.filter(_bucket(F.col(node_col), salt) < F.lit(cut))
+    key = F.col(node_col)
+    if not isinstance(nodes.schema[node_col].dataType, NumericType):
+        key = F.xxhash64(key)
+    sampled = nodes.filter(_bucket(key, salt) < F.lit(cut))
     stats = (
         nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
         .crossJoin(sampled.agg(F.count(F.lit(1)).cast("double")

@@ -443,6 +443,30 @@ def test_call_graph_analytics(db):
     assert ranks[-1] > ranks[0]
 
 
+def test_call_truss_and_core_procedures(db):
+    # a 4-clique of Persons plus a pendant edge: the truss/core/
+    # sampled-betweenness surface reachable from GQL (CALL gql.*)
+    import itertools
+
+    names = ["P1", "P2", "P3", "P4", "P5"]
+    for n in names:
+        db.execute(f"INSERT (:Person {{name: '{n}'}})")
+    for a, b in list(itertools.combinations(names[:4], 2)) + \
+            [("P4", "P5")]:
+        db.execute(
+            "MATCH (x:Person {name: '%s'}), (y:Person {name: '%s'}) "
+            "INSERT (x)-[:KNOWS]->(y)" % (a, b))
+    kt = db.execute("CALL gql.k_truss(4)").collect()
+    assert len(kt) == 6  # exactly the 4-clique's edges survive
+    td = {(r._src, r._dst): r.trussness
+          for r in db.execute("CALL gql.truss_decomposition()").collect()}
+    assert sorted(td.values()) == [2, 4, 4, 4, 4, 4, 4]
+    cd = db.execute("CALL gql.core_decomposition()").collect()
+    assert max(r.coreness for r in cd) == 3  # clique members
+    bs = db.execute("CALL gql.betweenness_sampled(0.9, 4)").collect()
+    assert all(r.betweenness >= 0 for r in bs)
+
+
 def test_truncate_and_clear_graph(db):
     """TRUNCATE/CLEAR GRAPH (ast.rs:625-644): data gone, schema kept."""
     db.execute("INSERT (:Person {name: 'Ada'})-[:KNOWS]->(:Person {name: 'Bob'})")
