@@ -1682,6 +1682,27 @@ def _q_pagerank_personalized_2iter(spark: SparkSession,
                     F.round("rank", 4).alias("rank"))
 
 
+def _planted_clique_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared variable-size planted-clique edges for the
+    core/truss-family gates: 6-block g keeps its first 3 + g%4
+    supplier members as a clique (sizes 3..6); the trailing PARTIAL
+    block is excluded (a truncated clique breaks every closed form —
+    the r7 00f8dc7 lesson, now maintained in ONE place)."""
+    from pyspark.sql import functions as F
+
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg((6 * (F.count(F.lit(1)) / 6).cast("long")).alias("_cap"))
+    base = sup.crossJoin(F.broadcast(cap)).filter(
+        F.col("k") < F.col("_cap")).select(
+        "k", (F.col("k") / 6).cast("long").alias("g"),
+        (F.col("k") % 6).alias("i"),
+    ).filter(F.col("i") < 3 + (F.col("g") % 4))
+    a, b = base.alias("a"), base.alias("b")
+    return a.join(b, F.expr("a.g = b.g AND a.i < b.i")).select(
+        F.col("a.k").alias("_src"), F.col("b.k").alias("_dst"))
+
+
 def _q_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full core decomposition on planted VARIABLE-SIZE supplier
     cliques: 6-blocks keep their first 3 + (block % 4) members as a
@@ -1695,17 +1716,7 @@ def _q_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graphlite_spark.operators.paths import core_decomposition
 
-    sup = _table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").cast("long").alias("k"))
-    cap = sup.agg((6 * (F.count(F.lit(1)) / 6).cast("long")).alias("_cap"))
-    base = sup.crossJoin(F.broadcast(cap)).filter(
-        F.col("k") < F.col("_cap")).select(
-        "k", (F.col("k") / 6).cast("long").alias("g"),
-        (F.col("k") % 6).alias("i"),
-    ).filter(F.col("i") < 3 + (F.col("g") % 4))
-    a, b = base.alias("a"), base.alias("b")
-    edges = a.join(b, F.expr("a.g = b.g AND a.i < b.i")).select(
-        F.col("a.k").alias("_src"), F.col("b.k").alias("_dst"))
+    edges = _planted_clique_edges(spark, sf_dir)
     out = core_decomposition(edges)
     return out.select(F.col("node").cast("long"),
                       F.col("coreness").cast("long"))
@@ -1722,17 +1733,7 @@ def _q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graphlite_spark.operators.paths import k_truss
 
-    sup = _table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").cast("long").alias("k"))
-    cap = sup.agg((6 * (F.count(F.lit(1)) / 6).cast("long")).alias("_cap"))
-    base = sup.crossJoin(F.broadcast(cap)).filter(
-        F.col("k") < F.col("_cap")).select(
-        "k", (F.col("k") / 6).cast("long").alias("g"),
-        (F.col("k") % 6).alias("i"),
-    ).filter(F.col("i") < 3 + (F.col("g") % 4))
-    a, b = base.alias("a"), base.alias("b")
-    edges = a.join(b, F.expr("a.g = b.g AND a.i < b.i")).select(
-        F.col("a.k").alias("_src"), F.col("b.k").alias("_dst"))
+    edges = _planted_clique_edges(spark, sf_dir)
     out = k_truss(edges, k=5)
     return out.select(F.col("_src").cast("long").alias("src"),
                       F.col("_dst").cast("long").alias("dst"))
@@ -1748,17 +1749,7 @@ def _q_truss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from graphlite_spark.operators.paths import truss_decomposition
 
-    sup = _table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").cast("long").alias("k"))
-    cap = sup.agg((6 * (F.count(F.lit(1)) / 6).cast("long")).alias("_cap"))
-    base = sup.crossJoin(F.broadcast(cap)).filter(
-        F.col("k") < F.col("_cap")).select(
-        "k", (F.col("k") / 6).cast("long").alias("g"),
-        (F.col("k") % 6).alias("i"),
-    ).filter(F.col("i") < 3 + (F.col("g") % 4))
-    a, b = base.alias("a"), base.alias("b")
-    edges = a.join(b, F.expr("a.g = b.g AND a.i < b.i")).select(
-        F.col("a.k").alias("_src"), F.col("b.k").alias("_dst"))
+    edges = _planted_clique_edges(spark, sf_dir)
     out = truss_decomposition(edges)
     return out.select(F.col("_src").cast("long").alias("src"),
                       F.col("_dst").cast("long").alias("dst"),

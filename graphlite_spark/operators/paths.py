@@ -879,23 +879,33 @@ def core_decomposition(
 
 
 def _oriented_triangle_triples(
-    edges: DataFrame, src: str = SRC, dst: str = DST
+    edges: DataFrame, src: str = SRC, dst: str = DST,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """(a, b, c) — every triangle of the undirected simple view
     exactly once, found via the degree-oriented wedge closure (shared
-    by triangle_count and triangles_per_vertex)."""
+    by triangle_count and triangles_per_vertex).
+
+    ``assume_canonical``: the caller guarantees (src < dst, distinct,
+    lineage already cut) — iterative peelers (k_truss /
+    truss_decomposition) re-enumerate every round, and re-running the
+    least/greatest + distinct shuffle on an already-canonical set
+    wasted a full edge-set shuffle per round."""
     a, b = F.col(src), F.col(dst)
-    # checkpoint: the canonical edge set feeds three join sides, and
-    # its lineage may hold an expensive upstream projection (e.g. the
-    # co-purchase self-join) — without the cut it executes 3x
-    und = (
-        edges.select(
-            F.least(a, b).alias("_lo"), F.greatest(a, b).alias("_hi")
+    if assume_canonical:
+        und = edges.select(a.alias("_lo"), b.alias("_hi"))
+    else:
+        # checkpoint: the canonical edge set feeds three join sides, and
+        # its lineage may hold an expensive upstream projection (e.g. the
+        # co-purchase self-join) — without the cut it executes 3x
+        und = (
+            edges.select(
+                F.least(a, b).alias("_lo"), F.greatest(a, b).alias("_hi")
+            )
+            .filter(F.col("_lo") != F.col("_hi"))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        .filter(F.col("_lo") != F.col("_hi"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
     # degree orientation (the power-law refinement, now actually done):
     # orient every edge from its lower-(degree, id) endpoint to the
     # higher one. Wedges then open only at a triangle's MINIMUM-degree
@@ -1039,6 +1049,56 @@ def triangle_count_approx(
     )
 
 
+def _canon_simple_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical (_lo < _hi) distinct simple edges, lineage-cut."""
+    a, b = F.col(src), F.col(dst)
+    return _ck_cut_stats(
+        edges.select(F.least(a, b).alias("_lo"),
+                     F.greatest(a, b).alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+    )
+
+
+def _truss_peel_fixpoint(und: DataFrame, need: int, max_iters: int,
+                         n_cur: int, what: str):
+    """Shared truss peel (k_truss AND truss_decomposition — one
+    implementation so they can never desync): drop edges whose
+    within-subgraph triangle support is below ``need`` until the
+    fixpoint (nothing dropped, or empty). Input must be canonical and
+    lineage-cut with a known count ``n_cur`` (carried forward so each
+    round runs exactly ONE count job). Returns (und, n). RAISES if the
+    level does not drain within max_iters."""
+    for _ in range(max_iters):
+        tris = _oriented_triangle_triples(und, "_lo", "_hi",
+                                          assume_canonical=True)
+        tri_edges = tris.select(
+            F.explode(F.array(
+                F.struct(F.least("a", "b").alias("_lo"),
+                         F.greatest("a", "b").alias("_hi")),
+                F.struct(F.least("a", "c").alias("_lo"),
+                         F.greatest("a", "c").alias("_hi")),
+                F.struct(F.least("b", "c").alias("_lo"),
+                         F.greatest("b", "c").alias("_hi")),
+            )).alias("_e")
+        ).select("_e._lo", "_e._hi")
+        supp = tri_edges.groupBy("_lo", "_hi").agg(
+            F.count(F.lit(1)).alias("_s"))
+        kept = _ck_cut_stats(
+            und.join(supp, ["_lo", "_hi"], "left")
+            .filter(F.coalesce(F.col("_s"), F.lit(0)) >= need)
+            .select("_lo", "_hi")
+        )
+        n_after = kept.count()
+        dropped = n_cur - n_after
+        und, n_cur = kept, n_after
+        if dropped == 0 or n_cur == 0:
+            return und, n_cur
+    raise RuntimeError(
+        f"{what}: support-{need} peel did not reach a fixpoint within "
+        f"max_iters={max_iters}; raise the bound")
+
+
 def k_truss(
     edges: DataFrame,
     k: int,
@@ -1070,44 +1130,13 @@ def k_truss(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    a, b = F.col(src), F.col(dst)
-    und = (
-        edges.select(
-            F.least(a, b).alias("_lo"), F.greatest(a, b).alias("_hi"))
-        .filter(F.col("_lo") != F.col("_hi"))
-        .distinct()
-    )
-    und = _ck_cut_stats(und)
-    need = k - 2
-    for _ in range(max_iters):
-        tris = _oriented_triangle_triples(und, "_lo", "_hi")
-        tri_edges = tris.select(
-            F.explode(F.array(
-                F.struct(F.least("a", "b").alias("_lo"),
-                         F.greatest("a", "b").alias("_hi")),
-                F.struct(F.least("a", "c").alias("_lo"),
-                         F.greatest("a", "c").alias("_hi")),
-                F.struct(F.least("b", "c").alias("_lo"),
-                         F.greatest("b", "c").alias("_hi")),
-            )).alias("_e")
-        ).select("_e._lo", "_e._hi")
-        supp = tri_edges.groupBy("_lo", "_hi").agg(
-            F.count(F.lit(1)).alias("_s"))
-        kept = (
-            und.join(supp, ["_lo", "_hi"], "left")
-            .filter(F.coalesce(F.col("_s"), F.lit(0)) >= need)
-            .select("_lo", "_hi")
-        )
-        kept = _ck_cut_stats(kept)
-        # one 2-scalar stats job per round: how many edges fell
-        n_before, n_after = und.count(), kept.count()
-        und = kept
-        if n_after == n_before or n_after == 0:
-            return und.select(F.col("_lo").alias(src),
-                              F.col("_hi").alias(dst))
-    raise RuntimeError(
-        f"k_truss did not reach a fixpoint within max_iters={max_iters}; "
-        "raise the bound")
+    und = _canon_simple_edges(edges, src, dst)
+    if k == 2:
+        # every simple edge is a 2-truss member — no enumeration needed
+        return und.select(F.col("_lo").alias(src), F.col("_hi").alias(dst))
+    und, _ = _truss_peel_fixpoint(und, k - 2, max_iters, und.count(),
+                                  "k_truss")
+    return und.select(F.col("_lo").alias(src), F.col("_hi").alias(dst))
 
 
 def truss_decomposition(
@@ -1131,57 +1160,28 @@ def truss_decomposition(
     if max_trussness < 2:
         raise ValueError(
             f"max_trussness must be >= 2, got {max_trussness}")
-    a, b = F.col(src), F.col(dst)
-    und = (
-        edges.select(
-            F.least(a, b).alias("_lo"), F.greatest(a, b).alias("_hi"))
-        .filter(F.col("_lo") != F.col("_hi"))
-        .distinct()
-    )
-    und = _ck_cut_stats(und)
+    und = _canon_simple_edges(edges, src, dst)
+    n = und.count()
     out_parts = []
+    # the k=3 peel labels trussness-2 edges, so peels run for k up to
+    # max_trussness + 1 (labeling trussness max_trussness); only edges
+    # surviving ALL allowed peels exceed the bound
     for k in range(3, max_trussness + 2):
-        if k == max_trussness + 1:
-            raise RuntimeError(
-                f"truss_decomposition: edges remain past "
-                f"max_trussness={max_trussness}; raise the bound")
         before = und
-        for _ in range(max_iters):
-            tris = _oriented_triangle_triples(und, "_lo", "_hi")
-            tri_edges = tris.select(
-                F.explode(F.array(
-                    F.struct(F.least("a", "b").alias("_lo"),
-                             F.greatest("a", "b").alias("_hi")),
-                    F.struct(F.least("a", "c").alias("_lo"),
-                             F.greatest("a", "c").alias("_hi")),
-                    F.struct(F.least("b", "c").alias("_lo"),
-                             F.greatest("b", "c").alias("_hi")),
-                )).alias("_e")
-            ).select("_e._lo", "_e._hi")
-            supp = tri_edges.groupBy("_lo", "_hi").agg(
-                F.count(F.lit(1)).alias("_s"))
-            kept = (
-                und.join(supp, ["_lo", "_hi"], "left")
-                .filter(F.coalesce(F.col("_s"), F.lit(0)) >= k - 2)
-                .select("_lo", "_hi")
-            )
-            kept = _ck_cut_stats(kept)
-            n_before, n_after = und.count(), kept.count()
-            und = kept
-            if n_after == n_before:
-                break
-        else:
-            raise RuntimeError(
-                f"truss_decomposition: k={k} peel did not drain within "
-                f"max_iters={max_iters}; raise the bound")
+        und, n = _truss_peel_fixpoint(und, k - 2, max_iters, n,
+                                      "truss_decomposition")
         peeled = before.join(und, ["_lo", "_hi"], "left_anti")
         out_parts.append(
             peeled.select("_lo", "_hi", F.lit(k - 1).alias("trussness")))
-        if und.isEmpty():
+        if n == 0:
             break
+    else:
+        raise RuntimeError(
+            f"truss_decomposition: edges remain past "
+            f"max_trussness={max_trussness}; raise the bound")
     out = out_parts[0]
-    for p in out_parts[1:]:
-        out = out.unionByName(p)
+    for part in out_parts[1:]:
+        out = out.unionByName(part)
     return out.select(F.col("_lo").alias(src), F.col("_hi").alias(dst),
                       "trussness")
 

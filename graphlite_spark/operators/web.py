@@ -17,8 +17,12 @@ from pyspark.sql import functions as F
 # anchored, no backrefs/lookaround (Java + RE2 + DuckDB compatible).
 # The optional userinfo group matters: without it, url_host on
 # 'http://u:p@blocked.example/' returns 'u' and host caps/blocklists
-# key on garbage a crawl source controls.
-_URL_RE = (r"(?i)^(https?)://(?:([^/?#@]*)@)?"
+# key on garbage a crawl source controls. The userinfo char class
+# includes '@' and the group is GREEDY, so the host is the token
+# after the LAST '@' before the path — WHATWG/browser semantics;
+# first-@ parsing would let 'http://x@y@evil.com/' evade a blocklist
+# on evil.com (the real fetch target).
+_URL_RE = (r"(?i)^(https?)://(?:([^/?#]*)@)?"
            r"([^/?#:@]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$")
 
 # tracking parameters every published pipeline strips before URL dedup
@@ -84,7 +88,7 @@ def normalize_url(
     ).otherwise(F.lit(""))
     # userinfo (group 2) matched iff the URL had '@' before the host;
     # an EMPTY userinfo ('http://@x/') still had the '@' — re-emit it
-    at = F.when(u.rlike(r"(?i)^https?://[^/?#@]*@"), F.lit("@")) \
+    at = F.when(u.rlike(r"(?i)^https?://[^/?#]*@"), F.lit("@")) \
         .otherwise(F.lit(""))
     norm = F.concat(
         scheme, F.lit("://"), userinfo, at, host, keep_port,

@@ -93,6 +93,15 @@ def parse_warc_bytes(data: bytes, max_body_bytes: int = 1 << 20):
                 raise ValueError(
                     "WARC: first record has no valid Content-Length")
             break
+        if clen < 0:
+            # a negative length would move pos BACKWARD: a
+            # self-consistent header (clen == -(head+4)) re-parses the
+            # same record forever — attacker-controlled crawl bytes
+            # must never drive an unbounded generator
+            if first:
+                raise ValueError(
+                    f"WARC: negative Content-Length {clen}")
+            break
         first = False
         body_start = head_end + 4
         payload = data[body_start:body_start + clen]

@@ -405,6 +405,14 @@ def test_truss_decomposition_brute_force_parity(spark):
         truss_decomposition(
             spark.createDataFrame(cases[0], "_src long, _dst long"),
             max_trussness=3)
+    # max_trussness=2 is SUFFICIENT for a triangle-free graph (every
+    # edge has trussness 2) — was an unconditional raise before the
+    # r8 review pass
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                 "_src long, _dst long")
+    g2 = {(r._src, r._dst): r.trussness
+          for r in truss_decomposition(path, max_trussness=2).collect()}
+    assert g2 == {(0, 1): 2, (1, 2): 2, (2, 3): 2}
 
 
 def test_betweenness_sampled_estimator(spark):

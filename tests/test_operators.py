@@ -1716,6 +1716,11 @@ def test_normalize_url(spark):
         ("http://User:Pw@Blocked.Example:80/x",
          "http://User:Pw@blocked.example/x"),
         ("http://@Host.example/", "http://@host.example/"),
+        # LAST-@ host semantics (WHATWG/browser): the real fetch
+        # target is after the final '@' — first-@ parsing would let
+        # this evade a blocklist on evil.com
+        ("http://allowed.example@x@Evil.com/p",
+         "http://allowed.example@x@evil.com/p"),
     ]
     df = spark.createDataFrame(
         [(i, c[0]) for i, c in enumerate(cases)], "i: long, url: string")
@@ -1727,6 +1732,7 @@ def test_normalize_url(spark):
     assert hosts[0] == "example.com" and hosts[8] == "www.site.com"
     assert hosts[6] is None and hosts[7] is None  # non-http(s) -> NULL
     assert hosts[9] == "blocked.example" and hosts[10] == "host.example"
+    assert hosts[11] == "evil.com"  # last-@ = the real fetch target
     www = {r.i: r.url
            for r in normalize_url(df, strip_www=True).collect()}
     assert www[8] == "http://site.com/a"

@@ -1986,6 +1986,16 @@ def test_warc_parse_and_ingest(spark, tmp_path):
     with pytest.raises(ValueError, match="Content-Length"):
         list(parse_warc_bytes(
             b"WARC/1.0\r\nWARC-Type: warcinfo\r\n\r\npayload"))
+    # a NEGATIVE Content-Length must never move pos backward: the
+    # self-consistent header (clen == -(head+4)) would otherwise
+    # re-parse the same record forever (unbounded generator on
+    # attacker-controlled crawl bytes)
+    evil = b"WARC/1.0\r\nContent-Length: -33\r\n\r\n"
+    with pytest.raises(ValueError, match="negative"):
+        list(parse_warc_bytes(evil))
+    # ...and mid-file it just stops the walk
+    got = list(parse_warc_bytes(synth_warc(recs[:1]) + evil))
+    assert len(got) == 2
 
     d = str(tmp_path / "warcs")
     import os
