@@ -1756,6 +1756,42 @@ def _q_truss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("trussness").cast("long").alias("trussness"))
 
 
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform random walks, RANDOMNESS REPLAYED by the
+    oracle: on a planted 2-out-regular graph (node k -> {k+1, k+2},
+    edges only for k <= cap-3 so neighbor lists are always sorted as
+    [k+1, k+2] and the last two nodes are dead ends), the walk rule
+    (Knuth bucket of the seed mod out-degree over sorted neighbors) is
+    computed step-for-step by a DuckDB recursive CTE (HUGEINT for the
+    32x32-bit multiply) — the sampled trajectories themselves
+    hash-match, dead-end early termination included."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import random_walks
+
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg(F.least(F.count(F.lit(1)), F.lit(240)).alias("_cap"))
+    base = sup.crossJoin(F.broadcast(cap)).filter(
+        F.col("k") < F.col("_cap"))
+    edges = (
+        base.filter(F.col("k") <= F.col("_cap") - 3)
+        .selectExpr("k AS _src", "k + 1 AS _dst")
+        .unionByName(
+            base.filter(F.col("k") <= F.col("_cap") - 3)
+            .selectExpr("k AS _src", "k + 2 AS _dst"))
+    )
+    starts = base.select(F.col("k").alias("node"))
+    out = random_walks(edges, start_nodes=starts, n_walks=2, length=5,
+                       salt=3)
+    return out.select(
+        F.col("start").cast("long"),
+        F.col("walk_id").cast("long"),
+        F.col("step").cast("long"),
+        F.col("node").cast("long"),
+    )
+
+
 def _q_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED Louvain on a planted chain of supplier triples:
     within-triple edges w=10, triple-to-triple links w=0.1 — the
@@ -3538,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "core_decomposition_cliques": _q_core_decomposition,
             "k_truss_cliques": _q_k_truss,
             "truss_decomposition_cliques": _q_truss_decomposition,
+            "random_walks_replayed": _q_random_walks,
             "pagerank_weighted_2iter": _q_pagerank_weighted_2iter,
             "pagerank_personalized_2iter": _q_pagerank_personalized_2iter,
             "dag_layers_follows": _q_dag_layers,
@@ -6582,6 +6619,36 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
             WHERE s_suppkey % 6 < 3 + ((s_suppkey // 6) % 4)
               AND s_suppkey < 6 * ((SELECT count(*) FROM supplier) // 6)
+        """,
+        "random_walks_replayed": """
+            -- the walk rule replayed step-for-step: seed =
+            -- (cur mod 1000003)*131071 + walk_id*1031 + step, bucket =
+            -- ((seed mod 2^32 + 3) mod 2^32) * 2654435761 mod 2^32
+            -- (HUGEINT multiply), neighbor = sorted [cur+1, cur+2]
+            -- indexed by bucket mod 2; nodes past cap-3 are dead ends
+            WITH RECURSIVE cap AS (
+                SELECT least(count(*), 240) AS c FROM supplier
+            ),
+            starts AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS start
+                FROM supplier, cap WHERE s_suppkey < c
+            ),
+            walk(start, walk_id, step, node) AS (
+                SELECT start, w.walk_id, CAST(0 AS BIGINT), start
+                FROM starts, (VALUES (CAST(0 AS BIGINT)),
+                                     (CAST(1 AS BIGINT))) w(walk_id)
+                UNION ALL
+                SELECT start, walk_id, step + 1,
+                       node + 1 + CAST(
+                         (CAST(((node % 1000003) * 131071
+                                + walk_id * 1031 + step + 1)
+                               % 4294967296 + 3 AS HUGEINT)
+                          % 4294967296 * 2654435761)
+                         % 4294967296 % 2 AS BIGINT)
+                FROM walk, cap
+                WHERE step < 5 AND node <= c - 3
+            )
+            SELECT start, walk_id, step, node FROM walk
         """,
         "truss_decomposition_cliques": """
             -- an s-clique's edges all have trussness s: closed form

@@ -1049,6 +1049,98 @@ def triangle_count_approx(
     )
 
 
+def random_walks(
+    edges: DataFrame,
+    start_nodes: DataFrame | None = None,
+    n_walks: int = 1,
+    length: int = 10,
+    salt: int = 0,
+    directed: bool = True,
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """(start, walk_id, step, node): deterministic uniform random
+    walks — the sampling pass DeepWalk/node2vec-style graph-embedding
+    training consumes. Beyond-reference analytics.
+
+    Each step picks uniformly among the current node's SORTED
+    neighbors by the Knuth multiplicative hash of
+    (cur mod 1000003)*131071 + walk_id*1031 + step (through
+    sampling._bucket's overflow-safe split multiply), so walks are
+    reproducible on any cluster/partitioning with no RNG state, and —
+    the DOULION replay device — an oracle can regenerate the walks
+    EXACTLY (DuckDB: same arithmetic over list(dst ORDER BY dst) in a
+    recursive CTE), making even the randomness hash-checkable. The
+    seed folds cur mod 1000003, so step choices are pseudo-, not
+    cryptographically, independent — the standard bar for embedding
+    samplers. n_walks <= 127 and length <= 1000 keep the seed terms
+    disjoint (validated).
+
+    Dead ends terminate a walk early (rows up to the dead end are
+    kept). Distributed shape: the neighbor table (node, sorted
+    neighbor array) is ONE groupBy; each step is one equi-join of the
+    |starts| x n_walks walk frontier against it — length-bounded
+    linear plans with lazy cuts every few steps, no driver-side
+    stepping.
+    """
+    if not 1 <= n_walks <= 127:
+        raise ValueError(f"n_walks must be in [1, 127], got {n_walks}")
+    if not 1 <= length <= 1000:
+        raise ValueError(f"length must be in [1, 1000], got {length}")
+    from .sampling import _bucket
+
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b"))
+        ).distinct()
+    nbrs = (
+        e.groupBy(F.col("_a").alias("_cur"))
+        .agg(F.sort_array(F.collect_set("_b")).alias("_nb"))
+        .localCheckpoint(eager=False)
+    )
+    if start_nodes is None:
+        starts = e.select(F.col("_a").alias("start")).distinct()
+    else:
+        starts = start_nodes.select(
+            F.col(start_nodes.columns[0]).alias("start"))
+    frontier = starts.select(
+        "start",
+        F.explode(F.array(*[F.lit(w) for w in range(n_walks)]))
+        .alias("walk_id"),
+        F.array(F.col("start")).alias("_walk"),
+        F.col("start").alias("_cur"),
+    )
+    for t in range(1, length + 1):
+        seed = (F.pmod(F.col("_cur"), F.lit(1000003)) * F.lit(131071)
+                + F.col("walk_id") * F.lit(1031) + F.lit(t))
+        step = (
+            frontier.join(nbrs, "_cur", "left")
+            .select(
+                "start", "walk_id",
+                F.when(
+                    F.col("_nb").isNotNull(),
+                    F.concat("_walk", F.array(F.element_at(
+                        "_nb",
+                        F.pmod(_bucket(seed, salt),
+                               F.size("_nb")).cast("int") + 1)))
+                ).otherwise(F.col("_walk")).alias("_walk"),
+                F.when(F.col("_nb").isNotNull(),
+                       F.element_at(
+                           "_nb",
+                           F.pmod(_bucket(seed, salt),
+                                  F.size("_nb")).cast("int") + 1))
+                .alias("_cur"),  # NULL at a dead end: joins stop
+            )
+        )
+        frontier = step.localCheckpoint(eager=False) \
+            if t % 8 == 0 else step
+    return frontier.select(
+        "start", "walk_id",
+        F.posexplode("_walk").alias("step", "node"),
+    )
+
+
 def _canon_simple_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Canonical (_lo < _hi) distinct simple edges, lineage-cut."""
     a, b = F.col(src), F.col(dst)

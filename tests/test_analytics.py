@@ -299,6 +299,60 @@ def test_betweenness_brute_force_parity(spark):
                 edges, sources, h, k)
 
 
+def test_random_walks_replica_parity(spark):
+    # the walk rule against a pure-python replica (same Knuth bucket
+    # over sorted neighbors), dead-end termination, undirected mode,
+    # and the bound guards
+    import pytest
+
+    from graphlite_spark.operators.paths import random_walks
+
+    edges = [(k, (k + i) % 12) for k in range(12) for i in (1, 2)]
+    edf = spark.createDataFrame(edges, "_src long, _dst long")
+    out = random_walks(edf, n_walks=2, length=5, salt=3).collect()
+    assert len(out) == 12 * 2 * 6  # no dead ends on the 2-regular ring
+
+    KN, M32 = 2654435761, 1 << 32
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+    nbrs = {k: sorted(v) for k, v in nbrs.items()}
+
+    def walk(s, w, L, salt):
+        cur, path = s, [s]
+        for t in range(1, L + 1):
+            if cur not in nbrs:
+                break
+            seed = (cur % 1000003) * 131071 + w * 1031 + t
+            h = ((seed % M32 + salt) % M32) * KN % M32
+            cur = nbrs[cur][h % len(nbrs[cur])]
+            path.append(cur)
+        return path
+
+    got = {}
+    for r in out:
+        got.setdefault((r.start, r.walk_id), {})[r.step] = r.node
+    for (s, w), steps in got.items():
+        assert [steps[i] for i in range(len(steps))] == walk(s, w, 5, 3)
+    # the seeds genuinely vary: not all walks identical
+    assert len({tuple(sorted(v.items())) for v in got.values()}) > 4
+
+    # dead ends keep the prefix; undirected mode walks back too
+    dead = random_walks(
+        spark.createDataFrame([(0, 100)], "_src long, _dst long"),
+        n_walks=1, length=4).collect()
+    assert sorted((r.step, r.node) for r in dead) == [(0, 0), (1, 100)]
+    und = random_walks(
+        spark.createDataFrame([(0, 1)], "_src long, _dst long"),
+        n_walks=1, length=3, directed=False).collect()
+    assert len(und) == 8  # both starts walk the full length
+
+    with pytest.raises(ValueError, match="n_walks"):
+        random_walks(edf, n_walks=0)
+    with pytest.raises(ValueError, match="length"):
+        random_walks(edf, length=0)
+
+
 def test_k_truss_brute_force_parity(spark):
     # distributed peeling must equal the sequential fixpoint on every
     # structural shape: clique+pendant path, triangles sharing an
