@@ -91,6 +91,7 @@ HEADLINE = [
     "streaming_curation_batch",       # html->extract->gopher->minhash (r8)
     "warc_ingest",                    # WARC record explode, gzip mix (r8)
     "truss_decomposition_cliques",    # iterative triangle peeling (r8)
+    "random_walks_replayed",          # hash-stepped walk sampling (r8)
 ]
 
 
