@@ -860,7 +860,8 @@ class GraphLiteSpark:
         elif name in ("gql.pagerank", "gql.connected_components",
                       "gql.k_truss", "gql.truss_decomposition",
                       "gql.core_decomposition",
-                      "gql.betweenness_sampled"):
+                      "gql.betweenness_sampled",
+                      "gql.random_walks"):
             # distributed graph analytics over the session graph's full
             # edge union (GraphIndexScan companions, operators/paths.py)
             from .operators import paths as P
@@ -894,6 +895,10 @@ class GraphLiteSpark:
                 df = P.betweenness_sampled(
                     e, n.withColumnRenamed("_id", "node"), p=p,
                     max_hops=h)
+            elif name == "gql.random_walks":
+                nw = int(stmt.args[0].value) if stmt.args else 1
+                ln = int(stmt.args[1].value) if len(stmt.args) > 1 else 10
+                df = P.random_walks(e, n_walks=nw, length=ln)
             else:
                 df = P.connected_components(e, n)
             if stmt.yield_cols:

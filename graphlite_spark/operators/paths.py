@@ -1087,7 +1087,19 @@ def random_walks(
         raise ValueError(f"n_walks must be in [1, 127], got {n_walks}")
     if not 1 <= length <= 1000:
         raise ValueError(f"length must be in [1, 1000], got {length}")
+    from pyspark.sql.types import NumericType
+
     from .sampling import _bucket
+
+    # non-numeric node ids (string content hashes from pure-GQL
+    # graphs) fold through xxhash64 for the SEED arithmetic only — the
+    # walks themselves carry the original ids; same convention as
+    # betweenness_sampled (numeric ids stay oracle-replayable)
+    numeric_ids = isinstance(edges.schema[src].dataType, NumericType)
+
+    def _seed_base(col):
+        return F.pmod(col if numeric_ids else F.xxhash64(col),
+                      F.lit(1000003))
 
     e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
     if not directed:
@@ -1112,7 +1124,7 @@ def random_walks(
         F.col("start").alias("_cur"),
     )
     for t in range(1, length + 1):
-        seed = (F.pmod(F.col("_cur"), F.lit(1000003)) * F.lit(131071)
+        seed = (_seed_base(F.col("_cur")) * F.lit(131071)
                 + F.col("walk_id") * F.lit(1031) + F.lit(t))
         step = (
             frontier.join(nbrs, "_cur", "left")

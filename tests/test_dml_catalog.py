@@ -465,6 +465,10 @@ def test_call_truss_and_core_procedures(db):
     assert max(r.coreness for r in cd) == 3  # clique members
     bs = db.execute("CALL gql.betweenness_sampled(0.9, 4)").collect()
     assert all(r.betweenness >= 0 for r in bs)
+    rw = db.execute("CALL gql.random_walks(2, 3)").collect()
+    # every walk starts at its start node and advances along edges
+    assert {r.step for r in rw} <= {0, 1, 2, 3}
+    assert all(r.node == r.start for r in rw if r.step == 0)
 
 
 def test_truncate_and_clear_graph(db):
