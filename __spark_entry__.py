@@ -3282,6 +3282,98 @@ def _q_triangles_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction family (common-neighbors / jaccard /
+    adamic-adar / resource-allocation / preferential-attachment,
+    Liben-Nowell & Kleinberg 2003) over a bounded co-purchase
+    projection: the first two lineitems of each order link their
+    parts (mod 300), and every UNLINKED part pair at distance 2 is
+    scored. The oracle recomputes all five formulas from the same
+    canonical edge set — wedge self-join at the center, degree joins,
+    NOT EXISTS edge exclusion — so the whole family hash-matches."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import link_prediction
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey")
+    a = li.filter(F.col("l_linenumber") == 1).alias("a")
+    b = li.filter(F.col("l_linenumber") == 2).alias("b")
+    edges = a.join(b, "l_orderkey").select(
+        (F.col("a.l_partkey") % 300).alias("src"),
+        (F.col("b.l_partkey") % 300).alias("dst"),
+    )
+    return link_prediction(edges, "src", "dst")
+
+
+def _q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (Watts-Strogatz) on the
+    co-purchase projection (parts sharing an order, the triangle
+    entries' graph): 2·T(v)/(deg·(deg−1)), zero for deg < 2. The
+    oracle enumerates canonical (a<b<c) triples with the same
+    three-way join as copurchase_triangles and credits all corners."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import clustering_coefficient
+
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return clustering_coefficient(pairs, "src", "dst")
+
+
+def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (3·triangles / wedges) of the co-purchase
+    projection — the one-row closure-ratio companion to the per-node
+    clustering entry; wedges = Σ deg·(deg−1)/2."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import transitivity
+
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return transitivity(pairs, "src", "dst")
+
+
+def _q_hits_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, 2 iterations with L2 half-step
+    normalization, over the pagerank entries' part→supplier graph
+    (l_partkey%100 → l_suppkey%100). Like pagerank_2iter the oracle
+    UNROLLS the recursion in SQL — two authority and two hub
+    join+groupBy+sqrt-normalize rounds — so the fixed-point math
+    itself is hash-matched, not just row counts."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import hits
+
+    li = _table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") % 100).alias("src"),
+        ((F.col("l_suppkey") % 100)).alias("dst"),
+    ).distinct()
+    out = hits(edges, num_iter=2, norm="l2", src="src", dst="dst")
+    return out.select(
+        "node",
+        F.round("hub", 4).alias("hub"),
+        F.round("authority", 4).alias("authority"),
+    )
+
+
 def _q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by part type through an explicitly salted join: the part
     build side is replicated SALT ways and lineitem probes scatter across
@@ -3597,6 +3689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "copurchase_triangles": _q_copurchase_triangles,
             "triangles_approx_audit": _q_triangles_approx_audit,
             "copurchase_triangles_approx": _q_copurchase_triangles_approx,
+            "link_prediction_copurchase": _q_link_prediction,
+            "clustering_coefficient": _q_clustering_coefficient,
+            "transitivity_copurchase": _q_transitivity,
+            "hits_2iter": _q_hits_2iter,
             "click_view_interval_join": _q_click_view_interval_join,
             "bm25_search_topk": _q_bm25_search,
             "weighted_sssp_bounded": _q_weighted_sssp,
@@ -5457,6 +5553,161 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(round(n_sampled_triangles / 0.125, 6) - n_exact)
                          / greatest(n_exact, 1), 6) AS rel_err
             FROM n_ex, n_sa
+        """,
+        "link_prediction_copurchase": """
+            -- the full neighborhood-overlap family recomputed from the
+            -- canonical edge set: wedges open at the CENTER w (one row
+            -- per common neighbor), degrees join back for jaccard/PA,
+            -- NOT EXISTS excludes already-linked pairs
+            WITH raw AS (
+                SELECT a.l_partkey % 300 AS x, b.l_partkey % 300 AS y
+                FROM lineitem a JOIN lineitem b
+                     ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_linenumber = 1 AND b.l_linenumber = 2
+            ), und AS (
+                SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
+                FROM raw WHERE x <> y
+            ), deg AS (
+                SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                    SELECT lo AS n FROM und
+                    UNION ALL SELECT hi FROM und) GROUP BY 1
+            ), adj AS (
+                SELECT lo AS w, hi AS x FROM und
+                UNION ALL SELECT hi, lo FROM und
+            ), wedge AS (
+                SELECT a.x AS u, b.x AS v, deg.d AS dw
+                FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x
+                JOIN deg ON deg.n = a.w
+            ), agg AS (
+                SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+                       sum(1.0 / ln(dw)) AS aa, sum(1.0 / dw) AS ra
+                FROM wedge GROUP BY 1, 2
+            ), unlinked AS (
+                SELECT * FROM agg
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM und
+                    WHERE und.lo = agg.u AND und.hi = agg.v)
+            )
+            SELECT u AS node_u, v AS node_v, cn AS common_neighbors,
+                   round(cn / (du.d + dv.d - cn), 6) AS jaccard,
+                   round(aa, 4) AS adamic_adar,
+                   round(ra, 6) AS resource_allocation,
+                   CAST(du.d * dv.d AS BIGINT) AS preferential_attachment
+            FROM unlinked
+            JOIN deg du ON du.n = unlinked.u
+            JOIN deg dv ON dv.n = unlinked.v
+        """,
+        "clustering_coefficient": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+                FROM lineitem a JOIN lineitem b
+                     ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey < b.l_partkey
+            ), deg AS (
+                SELECT n, CAST(count(*) AS BIGINT) AS degree FROM (
+                    SELECT lo AS n FROM pairs
+                    UNION ALL SELECT hi FROM pairs) GROUP BY 1
+            ), tri AS (
+                SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+                FROM pairs e1
+                JOIN pairs e2 ON e1.hi = e2.lo
+                JOIN pairs e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+            ), pernode AS (
+                SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+                    SELECT a AS n FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri) GROUP BY 1
+            )
+            SELECT deg.n AS node, deg.degree,
+                   coalesce(pernode.t, 0) AS n_triangles,
+                   CASE WHEN deg.degree >= 2 THEN
+                       round(2.0 * coalesce(pernode.t, 0)
+                             / (deg.degree * (deg.degree - 1)), 6)
+                   ELSE 0.0 END AS clustering
+            FROM deg LEFT JOIN pernode ON pernode.n = deg.n
+        """,
+        "transitivity_copurchase": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+                FROM lineitem a JOIN lineitem b
+                     ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey < b.l_partkey
+            ), tri AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                FROM pairs e1
+                JOIN pairs e2 ON e1.hi = e2.lo
+                JOIN pairs e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+            ), wed AS (
+                SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+                FROM (SELECT n, count(*) AS d FROM (
+                          SELECT lo AS n FROM pairs
+                          UNION ALL SELECT hi FROM pairs) GROUP BY 1)
+            )
+            SELECT n_triangles, n_wedges,
+                   CASE WHEN n_wedges > 0 THEN
+                       round(3.0 * n_triangles / n_wedges, 6)
+                   ELSE 0.0 END AS transitivity
+            FROM tri, wed
+        """,
+        "hits_2iter": """
+            -- Kleinberg HITS unrolled 2 iterations, L2-normalized per
+            -- half-step: auth = in-sum(hub)/||.||, hub = out-sum(auth)
+            -- /||.||; isolated-from-edges nodes don't exist here (node
+            -- set = edge endpoints, the operator's default)
+            WITH e AS (
+                SELECT DISTINCT l_partkey % 100 AS a, l_suppkey % 100 AS b
+                FROM lineitem),
+            nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+            h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+            a1u AS (
+                SELECT e.b AS node, sum(h0.hub) AS s
+                FROM e JOIN h0 ON h0.node = e.a GROUP BY 1),
+            a1n AS (SELECT sqrt(sum(s * s)) AS z FROM a1u),
+            a1 AS (
+                SELECT nodes.node,
+                       CASE WHEN a1n.z > 0
+                            THEN coalesce(a1u.s, 0.0) / a1n.z
+                            ELSE 0.0 END AS authority
+                FROM nodes CROSS JOIN a1n
+                LEFT JOIN a1u ON a1u.node = nodes.node),
+            h1u AS (
+                SELECT e.a AS node, sum(a1.authority) AS s
+                FROM e JOIN a1 ON a1.node = e.b GROUP BY 1),
+            h1n AS (SELECT sqrt(sum(s * s)) AS z FROM h1u),
+            h1 AS (
+                SELECT nodes.node,
+                       CASE WHEN h1n.z > 0
+                            THEN coalesce(h1u.s, 0.0) / h1n.z
+                            ELSE 0.0 END AS hub
+                FROM nodes CROSS JOIN h1n
+                LEFT JOIN h1u ON h1u.node = nodes.node),
+            a2u AS (
+                SELECT e.b AS node, sum(h1.hub) AS s
+                FROM e JOIN h1 ON h1.node = e.a GROUP BY 1),
+            a2n AS (SELECT sqrt(sum(s * s)) AS z FROM a2u),
+            a2 AS (
+                SELECT nodes.node,
+                       CASE WHEN a2n.z > 0
+                            THEN coalesce(a2u.s, 0.0) / a2n.z
+                            ELSE 0.0 END AS authority
+                FROM nodes CROSS JOIN a2n
+                LEFT JOIN a2u ON a2u.node = nodes.node),
+            h2u AS (
+                SELECT e.a AS node, sum(a2.authority) AS s
+                FROM e JOIN a2 ON a2.node = e.b GROUP BY 1),
+            h2n AS (SELECT sqrt(sum(s * s)) AS z FROM h2u),
+            h2 AS (
+                SELECT nodes.node,
+                       CASE WHEN h2n.z > 0
+                            THEN coalesce(h2u.s, 0.0) / h2n.z
+                            ELSE 0.0 END AS hub
+                FROM nodes CROSS JOIN h2n
+                LEFT JOIN h2u ON h2u.node = nodes.node)
+            SELECT h2.node, round(h2.hub, 4) AS hub,
+                   round(a2.authority, 4) AS authority
+            FROM h2 JOIN a2 ON a2.node = h2.node
         """,
         "click_view_interval_join": """
             SELECT c.event_id AS click_id, v.event_id AS view_id

@@ -92,6 +92,9 @@ HEADLINE = [
     "warc_ingest",                    # WARC record explode, gzip mix (r8)
     "truss_decomposition_cliques",    # iterative triangle peeling (r8)
     "random_walks_replayed",          # hash-stepped walk sampling (r8)
+    "link_prediction_copurchase",     # neighborhood-overlap family (r8)
+    "clustering_coefficient",         # per-node triangle closure (r8)
+    "hits_2iter",                     # hubs/authorities L2 rounds (r8)
 ]
 
 

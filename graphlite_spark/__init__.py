@@ -861,19 +861,39 @@ class GraphLiteSpark:
                       "gql.k_truss", "gql.truss_decomposition",
                       "gql.core_decomposition",
                       "gql.betweenness_sampled",
-                      "gql.random_walks"):
+                      "gql.random_walks",
+                      "gql.hits", "gql.link_prediction",
+                      "gql.clustering_coefficient",
+                      "gql.transitivity"):
             # distributed graph analytics over the session graph's full
             # edge union (GraphIndexScan companions, operators/paths.py)
+            from pyspark.sql import functions as F
+
             from .operators import paths as P
 
             g = self.graph()
-            e = None
-            for et in g.edges.values():
-                part = et.df.select("_src", "_dst")
+            e_parts = [et.df.select("_src", "_dst")
+                       for et in g.edges.values()]
+            n_parts = [g.nodes_for_label(lbl).select("_id")
+                       for lbl in g.node_labels()]
+            # a graph can mix long-keyed registered tables with
+            # string content-hash ids from pure-GQL inserts; under
+            # ANSI union coercion the string side would be CAST to
+            # BIGINT and blow up mid-stage — when id dtypes disagree
+            # anywhere, run the analytics on the STRING id domain
+            # (every operator here joins/compares ids only;
+            # random_walks folds non-numeric ids through xxhash64)
+            id_types = {t for p in e_parts + n_parts for _, t in p.dtypes}
+            if len(id_types) > 1:
+                e_parts = [p.select(F.col("_src").cast("string").alias("_src"),
+                                    F.col("_dst").cast("string").alias("_dst"))
+                           for p in e_parts]
+                n_parts = [p.select(F.col("_id").cast("string").alias("_id"))
+                           for p in n_parts]
+            e = n = None
+            for part in e_parts:
                 e = part if e is None else e.unionByName(part)
-            n = None
-            for lbl in g.node_labels():
-                part = g.nodes_for_label(lbl).select("_id")
+            for part in n_parts:
                 n = part if n is None else n.unionByName(part)
             if e is None:
                 e = self.spark.createDataFrame([], "_src long, _dst long")
@@ -899,6 +919,16 @@ class GraphLiteSpark:
                 nw = int(stmt.args[0].value) if stmt.args else 1
                 ln = int(stmt.args[1].value) if len(stmt.args) > 1 else 10
                 df = P.random_walks(e, n_walks=nw, length=ln)
+            elif name == "gql.hits":
+                iters = int(stmt.args[0].value) if stmt.args else 10
+                df = P.hits(e, n, num_iter=iters)
+            elif name == "gql.link_prediction":
+                cap = int(stmt.args[0].value) if stmt.args else None
+                df = P.link_prediction(e, max_center_degree=cap)
+            elif name == "gql.clustering_coefficient":
+                df = P.clustering_coefficient(e)
+            elif name == "gql.transitivity":
+                df = P.transitivity(e)
             else:
                 df = P.connected_components(e, n)
             if stmt.yield_cols:

@@ -2074,3 +2074,265 @@ def dag_layers(
         f"dag_layers: no fixpoint within max_iter={max_iter} steps — the "
         f"graph has a cycle or a path longer than the bound; raise "
         f"max_iter for deep DAGs")
+
+
+def _canonical_undirected(
+    edges: DataFrame, src: str = SRC, dst: str = DST
+) -> DataFrame:
+    """Canonical simple undirected view: (_lo < _hi), distinct,
+    lineage cut (the edge frame feeds several join sides downstream)."""
+    a, b = F.col(src), F.col(dst)
+    return (
+        edges.select(F.least(a, b).alias("_lo"), F.greatest(a, b).alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = SRC,
+    dst: str = DST,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Link-prediction scores for every UNLINKED pair at distance 2
+    (≥1 common neighbor, no direct edge) of the simple undirected view
+    — the classic neighborhood-overlap family (Liben-Nowell & Kleinberg
+    2003; beyond-reference analytics, the standard companion to
+    components/pagerank for graph-based candidate generation):
+
+    - common_neighbors  |N(u) ∩ N(v)|
+    - jaccard           |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+    - adamic_adar       Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w)
+    - resource_allocation  Σ_{w} 1/deg(w)
+    - preferential_attachment  deg(u)·deg(v)
+
+    Distributed shape: one canonical-edge distinct, one degree groupBy,
+    then the wedge self-join OPENED AT THE CENTER w — every common
+    neighbor of (u, v) produces exactly one (u, v, deg_w) row, so the
+    per-pair aggregate is a single map-side-combinable groupBy and the
+    existing-edge exclusion one left_anti join on the canonical key.
+    Unlike the triangle closure this CANNOT be degree-oriented away:
+    the OUTPUT itself is Σ_w deg(w)² candidate pairs, so a hub center
+    is inherent work, not join-plan waste. ``max_center_degree`` is
+    the documented estimator for skewed graphs: wedge centers above
+    the cap are dropped (a w with deg 10⁶ contributes ≤1/ln(10⁶) ≈
+    0.07 per pair anyway — the standard production cut that bounds
+    the blow-up at 100 TB; scores become lower bounds).
+
+    deg(w) ≥ 2 for every wedge center by construction (a degree-1 node
+    has no second neighbor), so 1/ln(deg) never divides by zero.
+
+    Returns (node_u, node_v, common_neighbors BIGINT, jaccard,
+    adamic_adar, resource_allocation, preferential_attachment BIGINT)
+    with node_u < node_v; float scores rounded to 6 (jaccard/RA —
+    exact rationals) and 4 (adamic-adar — libm ln) digits so the
+    frame is cross-engine comparable.
+    """
+    und = _canonical_undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("_lo").alias("_n"))
+        .unionByName(und.select(F.col("_hi").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    adj = (
+        und.select(F.col("_lo").alias("_w"), F.col("_hi").alias("_x"))
+        .unionByName(
+            und.select(F.col("_hi").alias("_w"), F.col("_lo").alias("_x")))
+    )
+    adjd = adj.join(deg.select(F.col("_n").alias("_w"),
+                               F.col("_d").alias("_dw")), "_w")
+    if max_center_degree is not None:
+        if max_center_degree < 2:
+            raise ValueError(
+                f"max_center_degree must be >= 2, got {max_center_degree}")
+        adjd = adjd.filter(F.col("_dw") <= F.lit(int(max_center_degree)))
+    a2 = adjd.select(F.col("_w"), F.col("_x").alias("_v"))
+    pairs = (
+        adjd.join(a2, "_w")
+        .filter(F.col("_x") < F.col("_v"))
+        .groupBy(F.col("_x").alias("node_u"), F.col("_v").alias("node_v"))
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log(F.col("_dw"))).alias("_aa"),
+            F.sum(F.lit(1.0) / F.col("_dw")).alias("_ra"),
+        )
+    )
+    unlinked = pairs.join(
+        und.select(F.col("_lo").alias("node_u"), F.col("_hi").alias("node_v")),
+        ["node_u", "node_v"], "left_anti",
+    )
+    du = deg.select(F.col("_n").alias("node_u"), F.col("_d").alias("_du"))
+    dv = deg.select(F.col("_n").alias("node_v"), F.col("_d").alias("_dv"))
+    return (
+        unlinked.join(du, "node_u").join(dv, "node_v")
+        .select(
+            "node_u", "node_v", "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("_du") + F.col("_dv") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("_aa"), 4).alias("adamic_adar"),
+            F.round(F.col("_ra"), 6).alias("resource_allocation"),
+            (F.col("_du") * F.col("_dv")).cast("long")
+            .alias("preferential_attachment"),
+        )
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = SRC, dst: str = DST
+) -> DataFrame:
+    """Per-node local clustering coefficient of the simple undirected
+    view: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0.0 when deg < 2
+    (Watts-Strogatz 1998; beyond-reference analytics). Rides the same
+    degree-oriented wedge closure as triangle_count — T(v) per node is
+    one explode + map-side-combined groupBy over the triple set — plus
+    the degree groupBy; every node of the graph appears, triangle-free
+    ones with n_triangles = 0.
+
+    Returns (node, degree BIGINT, n_triangles BIGINT, clustering)
+    with clustering rounded to 6 digits (exact rational)."""
+    und = _canonical_undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("_lo").alias("node"))
+        .unionByName(und.select(F.col("_hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = (
+        _oriented_triangle_triples(und, "_lo", "_hi", assume_canonical=True)
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node", "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long")
+            .alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )
+
+
+def transitivity(
+    edges: DataFrame, src: str = SRC, dst: str = DST
+) -> DataFrame:
+    """Global transitivity (one row): 3·triangles / wedges, where
+    wedges = Σ_v deg(v)·(deg(v)−1)/2 over the simple undirected view;
+    0.0 on wedge-free graphs. The corpus-level closure ratio that
+    complements the per-node clustering_coefficient report."""
+    und = _canonical_undirected(edges, src, dst)
+    tri = _oriented_triangle_triples(und, "_lo", "_hi",
+                                     assume_canonical=True).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    wed = (
+        und.select(F.col("_lo").alias("node"))
+        .unionByName(und.select(F.col("_hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg((F.sum(F.col("_d") * (F.col("_d") - 1)) / 2).cast("long")
+             .alias("n_wedges"))
+    )
+    return tri.crossJoin(wed).select(
+        "n_triangles", "n_wedges",
+        F.when(F.col("n_wedges") > 0,
+               F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))
+        .otherwise(F.lit(0.0)).alias("transitivity"),
+    )
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    num_iter: int = 10,
+    norm: str = "l2",
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """(node, hub, authority): HITS / hubs-and-authorities (Kleinberg
+    1999) over directed edges — authority(v) = Σ_{u→v} hub(u),
+    hub(u) = Σ_{u→v} authority(v), each renormalized per half-step
+    (``norm='l2'`` — Kleinberg's choice — or ``'l1'``). The companion
+    centrality to pagerank for bipartite-ish citation / endorsement
+    graphs, where "points at good pages" and "is pointed at by good
+    pages" are distinct roles.
+
+    Same execution discipline as pagerank: each half-step is one
+    edge join + one map-side-combined groupBy; the normalizer is a
+    1×1 aggregate broadcast-crossJoined back (no driver barrier
+    anywhere in the loop); the (node, hub, auth) frame is ONE frame
+    per round, lineage cut lazily. ``nodes`` defaults to the edge
+    endpoints; pass a frame to include isolated nodes (their scores
+    are 0). Multi-edges count with multiplicity — pre-distinct the
+    edge frame to ignore them.
+    """
+    from pyspark.sql.functions import broadcast
+
+    if norm not in ("l1", "l2"):
+        raise ValueError(f"norm must be 'l1' or 'l2', got {norm!r}")
+    if num_iter < 1:
+        raise ValueError(f"num_iter must be >= 1, got {num_iter}")
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")) \
+        .localCheckpoint(eager=False)
+    if nodes is None:
+        base = (
+            e.select(F.col("_a").alias("node"))
+            .unionByName(e.select(F.col("_b").alias("node")))
+            .distinct()
+        )
+    else:
+        base = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    base = base.localCheckpoint(eager=False)
+
+    def _normed(frame: DataFrame, col: str) -> DataFrame:
+        mass = F.sum(F.col(col) * F.col(col)) if norm == "l2" \
+            else F.sum(F.abs(F.col(col)))
+        tot = frame.agg(
+            (F.sqrt(mass) if norm == "l2" else mass).alias("_z"))
+        return (
+            frame.crossJoin(broadcast(tot))
+            .select(
+                "node",
+                F.when(F.col("_z") > 0, F.col(col) / F.col("_z"))
+                .otherwise(F.lit(0.0)).alias(col),
+            )
+        )
+
+    scores = base.select("node", F.lit(1.0).alias("hub"))
+    for _ in range(num_iter):
+        auth_in = (
+            e.join(scores.select(F.col("node").alias("_a"), "hub"), "_a")
+            .groupBy(F.col("_b").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = _normed(
+            base.join(auth_in, "node", "left")
+            .select("node", F.coalesce("authority", F.lit(0.0))
+                    .alias("authority")),
+            "authority",
+        )
+        hub_in = (
+            e.join(auth.select(F.col("node").alias("_b"), "authority"), "_b")
+            .groupBy(F.col("_a").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hub = _normed(
+            base.join(hub_in, "node", "left")
+            .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub",
+        )
+        scores = hub.join(auth, "node").localCheckpoint(eager=False)
+    return scores.select("node", "hub", "authority")

@@ -730,3 +730,71 @@ def test_graph_stats_reports_empty_labels(spark):
     rows = db.execute("CALL gql.graph_stats()").collect()
     assert [(r.kind, r.label, r.n) for r in rows] == [
         ("node", "Empty", 0), ("node", "Full", 2)]
+
+
+def test_call_linkpred_clustering_hits_procedures(db):
+    # 4-clique P1..P4 plus pendant P4-P5: closed-form clustering /
+    # transitivity / link-prediction values reachable from GQL
+    import itertools
+    import math
+
+    names = ["P1", "P2", "P3", "P4", "P5"]
+    for n in names:
+        db.execute(f"INSERT (:Person {{name: '{n}'}})")
+    for a, b in list(itertools.combinations(names[:4], 2)) + \
+            [("P4", "P5")]:
+        db.execute(
+            "MATCH (x:Person {name: '%s'}), (y:Person {name: '%s'}) "
+            "INSERT (x)-[:KNOWS]->(y)" % (a, b))
+    cc = db.execute("CALL gql.clustering_coefficient()").collect()
+    # K4 corners: P1-P3 lcc=1.0 (deg 3, T=3); P4 deg 4, T=3 -> 0.5;
+    # pendant P5 deg 1 -> 0.0
+    assert sorted(r.clustering for r in cc) == [0.0, 0.5, 1.0, 1.0, 1.0]
+    t = db.execute("CALL gql.transitivity()").collect()[0]
+    assert (t.n_triangles, t.n_wedges, t.transitivity) == (4, 15, 0.8)
+    lp = db.execute("CALL gql.link_prediction()").collect()
+    # unlinked distance-2 pairs: (Pi, P5) for i=1..3, all via center P4
+    assert len(lp) == 3
+    assert all(r.common_neighbors == 1 for r in lp)
+    assert all(r.adamic_adar == round(1 / math.log(4), 4) for r in lp)
+    assert all(r.preferential_attachment == 3 for r in lp)
+    ht = db.execute("CALL gql.hits(5)").collect()
+    assert len(ht) == 5
+    # L2-normalized halves: both score vectors have unit norm
+    assert abs(sum(r.hub ** 2 for r in ht) - 1.0) < 1e-9
+    assert abs(sum(r.authority ** 2 for r in ht) - 1.0) < 1e-9
+
+
+def test_call_procedures_mixed_id_domains(spark):
+    # a registered long-keyed graph that then receives pure-GQL inserts
+    # mixes BIGINT table ids with string content-hash ids; the analytics
+    # procedures' edge/node union must harmonize to the string domain
+    # instead of letting ANSI coercion CAST the hashes to BIGINT
+    # (crashed mid-stage before the fix)
+    from graphlite_spark import GraphLiteSpark, PropertyGraph
+
+    db = GraphLiteSpark(spark)
+    g = PropertyGraph(spark, name="mixed")
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "id: long")
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src: long, dst: long")
+    g.add_nodes("Item", nodes, "id")
+    g.add_edges("LINKS", edges, "src", "dst", "Item", "Item")
+    db.register_graph(g)
+    db.execute("INSERT (:Person {name: 'A'})")
+    db.execute("INSERT (:Person {name: 'B'})")
+    db.execute(
+        "MATCH (x:Person {name: 'A'}), (y:Person {name: 'B'}) "
+        "INSERT (x)-[:KNOWS]->(y)")
+    # chain 0-1-2 plus the Person pair: two components, sizes 2 and 3
+    cc = db.execute("CALL gql.connected_components()").collect()
+    comps = {}
+    for r in cc:
+        comps.setdefault(r.comp, set()).add(r.node)
+    assert sorted(len(v) for v in comps.values()) == [2, 3]
+    t = db.execute("CALL gql.transitivity()").collect()[0]
+    assert (t.n_triangles, t.n_wedges, t.transitivity) == (0, 1, 0.0)
+    lp = db.execute("CALL gql.link_prediction()").collect()
+    assert len(lp) == 1 and lp[0].common_neighbors == 1
+    assert {lp[0].node_u, lp[0].node_v} == {"0", "2"}
+    ht = db.execute("CALL gql.hits(2)").collect()
+    assert len(ht) == 5

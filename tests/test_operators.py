@@ -2313,3 +2313,118 @@ def test_core_decomposition(spark):
         core_decomposition(df, max_coreness=0)
     with pytest.raises(RuntimeError, match="max_coreness"):
         core_decomposition(df, max_coreness=2)
+
+
+def test_link_prediction_hand_case(spark):
+    import math
+
+    from graphlite_spark.operators.paths import link_prediction
+
+    # K4 minus edge (2,3) plus pendant 4-0; mixed directions + dup +
+    # self-loop to exercise canonicalization.
+    E = [(0, 1), (1, 2), (2, 0), (3, 0), (1, 3), (2, 1), (0, 0), (4, 0)]
+    edges = spark.createDataFrame(E, "_src long, _dst long")
+    rows = {(r.node_u, r.node_v): r
+            for r in link_prediction(edges).collect()}
+    # degrees: 0->4, 1->3, 2->2, 3->2, 4->1
+    assert set(rows) == {(2, 3), (1, 4), (2, 4), (3, 4)}
+    r23 = rows[(2, 3)]
+    assert r23.common_neighbors == 2
+    assert r23.jaccard == 1.0
+    assert r23.adamic_adar == round(1 / math.log(4) + 1 / math.log(3), 4)
+    assert r23.resource_allocation == round(1 / 4 + 1 / 3, 6)
+    assert r23.preferential_attachment == 4
+    r14 = rows[(1, 4)]
+    assert (r14.common_neighbors, r14.preferential_attachment) == (1, 3)
+    assert r14.jaccard == round(1 / 3, 6)
+    assert r14.adamic_adar == round(1 / math.log(4), 4)
+    assert rows[(2, 4)].jaccard == 0.5
+    assert rows[(3, 4)].preferential_attachment == 2
+
+    # hub cap: center 0 (deg 4) dropped -> only the (2,3)-via-1 wedge
+    # survives; scores become documented lower bounds.
+    capped = {(r.node_u, r.node_v): r
+              for r in link_prediction(edges, max_center_degree=3).collect()}
+    assert set(capped) == {(2, 3)}
+    c23 = capped[(2, 3)]
+    assert c23.common_neighbors == 1
+    assert c23.adamic_adar == round(1 / math.log(3), 4)
+    assert c23.jaccard == round(1 / 3, 6)  # denominators keep FULL degrees
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_center_degree"):
+        link_prediction(edges, max_center_degree=1)
+
+
+def test_clustering_coefficient_and_transitivity(spark):
+    from graphlite_spark.operators.paths import (
+        clustering_coefficient, transitivity,
+    )
+
+    E = [(0, 1), (1, 2), (2, 0), (3, 0), (1, 3), (2, 1), (0, 0), (4, 0)]
+    edges = spark.createDataFrame(E, "_src long, _dst long")
+    got = {r.node: (r.degree, r.n_triangles, r.clustering)
+           for r in clustering_coefficient(edges).collect()}
+    assert got == {
+        0: (4, 2, round(1 / 3, 6)),
+        1: (3, 2, round(2 / 3, 6)),
+        2: (2, 1, 1.0),
+        3: (2, 1, 1.0),
+        4: (1, 0, 0.0),
+    }
+    t = transitivity(edges).collect()[0]
+    assert (t.n_triangles, t.n_wedges) == (2, 11)
+    assert t.transitivity == round(6 / 11, 6)
+    # wedge-free graph: single edge
+    t0 = transitivity(
+        spark.createDataFrame([(0, 1)], "_src long, _dst long")
+    ).collect()[0]
+    assert (t0.n_triangles, t0.n_wedges, t0.transitivity) == (0, 0, 0.0)
+
+
+def test_hits_matches_numpy(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from graphlite_spark.operators.paths import hits
+
+    # directed citation-ish graph with an isolated node (5 via nodes=)
+    E = [(0, 2), (0, 3), (1, 2), (1, 3), (4, 2), (2, 3), (3, 0)]
+    edges = spark.createDataFrame(E, "_src long, _dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+
+    def np_hits(n_iter, norm):
+        A = np.zeros((6, 6))
+        for a, b in E:
+            A[a, b] += 1.0
+        h = np.ones(6)
+        for _ in range(n_iter):
+            a = A.T @ h
+            z = np.sqrt((a * a).sum()) if norm == "l2" else np.abs(a).sum()
+            a = a / z if z > 0 else a * 0.0
+            h = A @ a
+            z = np.sqrt((h * h).sum()) if norm == "l2" else np.abs(h).sum()
+            h = h / z if z > 0 else h * 0.0
+        return h, a
+
+    for norm in ("l2", "l1"):
+        got = {r.node: (r.hub, r.authority)
+               for r in hits(edges, nodes, num_iter=15, norm=norm).collect()}
+        h, a = np_hits(15, norm)
+        for i in range(6):
+            assert abs(got[i][0] - h[i]) < 1e-9, (norm, i, got[i][0], h[i])
+            assert abs(got[i][1] - a[i]) < 1e-9, (norm, i, got[i][1], a[i])
+    # isolated node scores 0 on both axes
+    got = {r.node: (r.hub, r.authority)
+           for r in hits(edges, nodes, num_iter=3).collect()}
+    assert got[5] == (0.0, 0.0)
+    # nodes defaulted from edges: same scores, no node 5
+    got_def = {r.node: (r.hub, r.authority)
+               for r in hits(edges, num_iter=3).collect()}
+    assert set(got_def) == {0, 1, 2, 3, 4}
+    assert all(abs(got_def[i][0] - got[i][0]) < 1e-12 for i in got_def)
+
+    with _pytest.raises(ValueError, match="norm"):
+        hits(edges, norm="cosine")
+    with _pytest.raises(ValueError, match="num_iter"):
+        hits(edges, num_iter=0)
