@@ -3282,6 +3282,23 @@ def _q_triangles_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select the 60
+    documents whose unigram+bigram distribution best matches the
+    English subset, by Gumbel top-k over Lidstone-smoothed importance
+    log-weights. EVERYTHING replays in SQL: the bag models (shared
+    cross-corpus vocabulary), the per-doc weight sum, and the Gumbel
+    noise itself (−ln(−ln((knuth_bucket(doc_id,3)+0.5)/2³²))) — so the
+    resampling, not just its expectation, is hash-matched."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sampling import dsir_select
+
+    docs = _table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en").select("text")
+    return dsir_select(docs, target, k=60, salt=3)
+
+
 def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction family (common-neighbors / jaccard /
     adamic-adar / resource-allocation / preferential-attachment,
@@ -3690,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "triangles_approx_audit": _q_triangles_approx_audit,
             "copurchase_triangles_approx": _q_copurchase_triangles_approx,
             "link_prediction_copurchase": _q_link_prediction,
+            "dsir_select_en": _q_dsir_select,
             "clustering_coefficient": _q_clustering_coefficient,
             "transitivity_copurchase": _q_transitivity,
             "hits_2iter": _q_hits_2iter,
@@ -5553,6 +5571,68 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(round(n_sampled_triangles / 0.125, 6) - n_exact)
                          / greatest(n_exact, 1), 6) AS rel_err
             FROM n_ex, n_sa
+        """,
+        "dsir_select_en": """
+            -- DSIR replayed end-to-end: unigram+bigram bag models with
+            -- Lidstone smoothing over the shared vocabulary, per-doc
+            -- importance log-weight, and the DETERMINISTIC Gumbel draw
+            -- from the Knuth bucket of (doc_id + 3)
+            WITH rawtoks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS ws
+                FROM documents
+            ), tgttoks AS (
+                SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+                FROM documents WHERE lang = 'en'
+            ), rawfeat AS (
+                SELECT doc_id, unnest(ws) AS f FROM rawtoks
+                UNION ALL
+                SELECT doc_id,
+                       unnest(CASE WHEN len(ws) >= 2 THEN
+                           list_transform(generate_series(0, len(ws) - 2),
+                               p -> array_to_string(ws[p+1:p+2], ' '))
+                           ELSE []::VARCHAR[] END) AS f
+                FROM rawtoks
+            ), tgtfeat AS (
+                SELECT unnest(ws) AS f FROM tgttoks
+                UNION ALL
+                SELECT unnest(CASE WHEN len(ws) >= 2 THEN
+                           list_transform(generate_series(0, len(ws) - 2),
+                               p -> array_to_string(ws[p+1:p+2], ' '))
+                           ELSE []::VARCHAR[] END) AS f
+                FROM tgttoks
+            ), tc AS (SELECT f, count(*) AS ct FROM tgtfeat GROUP BY 1),
+            rc AS (SELECT f, count(*) AS cr FROM rawfeat GROUP BY 1),
+            vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM (
+                       SELECT f FROM tc UNION SELECT f FROM rc)),
+            tt AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS tot
+                   FROM tc),
+            tr AS (SELECT CAST(coalesce(sum(cr), 0) AS DOUBLE) AS tot
+                   FROM rc),
+            model AS (
+                SELECT coalesce(tc.f, rc.f) AS f,
+                       ln((coalesce(ct, 0) + 0.5) / (tt.tot + 0.5 * vv.v))
+                     - ln((coalesce(cr, 0) + 0.5) / (tr.tot + 0.5 * vv.v))
+                           AS delta
+                FROM tc FULL OUTER JOIN rc ON tc.f = rc.f, tt, tr, vv
+            ), lw AS (
+                SELECT rawfeat.doc_id, sum(model.delta) AS w
+                FROM rawfeat JOIN model ON model.f = rawfeat.f
+                GROUP BY 1
+            ), keyed AS (
+                SELECT doc_id, coalesce(w, 0.0) AS w,
+                       -ln(-ln((
+                           (2654435761 * ((((doc_id % 4294967296) + 3)
+                                           % 4294967296) % 65536)
+                            + ((2654435761 * ((((doc_id % 4294967296) + 3)
+                                               % 4294967296) // 65536))
+                               % 65536) * 65536) % 4294967296
+                           + 0.5) / 4294967296)) AS g
+                FROM lw
+            )
+            SELECT doc_id, round(w, 4) AS log_weight,
+                   round(w + g, 4) AS gumbel_key
+            FROM keyed ORDER BY w + g DESC, doc_id LIMIT 60
         """,
         "link_prediction_copurchase": """
             -- the full neighborhood-overlap family recomputed from the

@@ -95,6 +95,7 @@ HEADLINE = [
     "link_prediction_copurchase",     # neighborhood-overlap family (r8)
     "clustering_coefficient",         # per-node triangle closure (r8)
     "hits_2iter",                     # hubs/authorities L2 rounds (r8)
+    "dsir_select_en",                 # DSIR importance resampling (r8)
 ]
 
 

@@ -190,3 +190,166 @@ def cap_per_key(df: DataFrame, key_col: str, k: int,
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def _word_ngram_features(text_col: str, orders: tuple[int, ...]) -> Column:
+    """Concatenated word n-gram array of lower(trim(text)) for every
+    order in ``orders`` — the DSIR feature extractor (unigrams+bigrams
+    by default, matching Xie et al. 2023 §3). split('' ) yields ['']
+    so even an empty document has one unigram feature (consistent in
+    the ANSI SQL twin)."""
+    ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    parts = []
+    for n in sorted(orders):
+        if n == 1:
+            parts.append(ws)
+        else:
+            parts.append(
+                F.when(
+                    F.size(ws) >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(ws) - n),
+                        lambda p: F.concat_ws(" ", F.slice(ws, p + 1, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    orders: tuple[int, ...] = (1, 2),
+    num_buckets: int | None = None,
+    smoothing: float = 0.5,
+    salt: int = 0,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): pick the ``k`` raw documents whose hashed-n-gram
+    distribution looks most like a TARGET corpus, by Gumbel top-k over
+    importance log-weights
+
+        log w(x) = Σ_features count_f(x) · (log p̂_target(f) − log q̂_raw(f))
+
+    with both bag-of-features models Lidstone-smoothed over the shared
+    cross-corpus vocabulary (the lang_ngram_model recipe applied to a
+    target/raw pair). Gumbel resampling-without-replacement keeps the
+    selected set DISTRIBUTIONALLY matched to the target instead of
+    collapsing onto near-duplicates of its mode, which is the paper's
+    point vs plain top-weight selection; here the Gumbel draw is the
+    DETERMINISTIC Knuth bucket of the document id —
+    g = −ln(−ln((bucket(id, salt)+0.5)/2³²)) — so selection is
+    reproducible across runs/partitionings AND the whole operator
+    (noise included) replays in ANSI SQL for cross-engine oracles.
+    Non-numeric ids fold through xxhash64 for the noise only (then the
+    oracle is rows-only, the LSH-family convention).
+
+    ``num_buckets``: hash features into a bounded space
+    (xxhash64 mod buckets — the paper uses 10k). That caps BOTH model
+    frames at num_buckets rows — broadcastable at any corpus scale —
+    which is the 100 TB deployment shape; the default (None) keeps raw
+    gram features so the model math is exactly replayable in SQL.
+    Collisions fold feature counts together (the paper's variance
+    argument: unbiased enough at 10k buckets).
+
+    Distributed shape: two explode+groupBy passes build the models
+    (target presumably small; raw model is one map-side-combined
+    groupBy), a full-outer feature join + three broadcast 1×1s
+    (totals, vocab) form per-feature deltas, scoring is one
+    explode+join+groupBy over the raw corpus, and the top-k is a
+    distributed TakeOrdered — no driver-side loop anywhere.
+
+    Returns the selected rows: (id, log_weight, gumbel_key), both
+    rounded (4) for cross-engine comparability, ordered by the
+    UNROUNDED key descending (ties by id).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if not orders or any(n < 1 for n in orders):
+        raise ValueError(f"orders must be positive n-gram sizes, got {orders}")
+
+    feats = _word_ngram_features(text_col, tuple(orders))
+    if num_buckets is not None:
+        if num_buckets < 2:
+            raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+        feat_expr = F.pmod(F.xxhash64(F.col("_g")), F.lit(int(num_buckets)))
+    else:
+        feat_expr = F.col("_g")
+
+    raw_feats = (
+        df.select(F.col(id_col), F.explode(feats).alias("_g"))
+        .select(F.col(id_col), feat_expr.alias("_f"))
+        .localCheckpoint(eager=False)
+    )
+    tgt_feats = target.select(F.explode(feats).alias("_g")) \
+        .select(feat_expr.alias("_f"))
+
+    tc = tgt_feats.groupBy("_f").agg(F.count(F.lit(1)).alias("_ct"))
+    rc = raw_feats.groupBy("_f").agg(F.count(F.lit(1)).alias("_cr"))
+    vocab = (
+        tc.select("_f").unionByName(rc.select("_f")).distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("_v"))
+    )
+    # coalesce(…, 0): an EMPTY target degrades to the uniform-target
+    # limit (delta = log(1/V) − log q̂) instead of null-poisoning weights
+    tt = tc.agg(F.coalesce(F.sum("_ct"), F.lit(0))
+                .cast("double").alias("_tt"))
+    tr = rc.agg(F.coalesce(F.sum("_cr"), F.lit(0))
+                .cast("double").alias("_tr"))
+    s = float(smoothing)
+    model = (
+        tc.join(rc, "_f", "full_outer")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "_f",
+            (
+                F.log((F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(s))
+                      / (F.col("_tt") + F.lit(s) * F.col("_v")))
+                - F.log((F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(s))
+                        / (F.col("_tr") + F.lit(s) * F.col("_v")))
+            ).alias("_delta"),
+        )
+    )
+    # every raw feature occurrence is in the raw model by construction,
+    # so the inner join loses nothing; the left join back onto the id
+    # set is belt-and-braces for degenerate corpora
+    weights = (
+        raw_feats.join(model, "_f")
+        .groupBy(id_col)
+        .agg(F.sum("_delta").alias("_lw"))
+    )
+    id_dtype = dict(df.dtypes)[id_col]
+    noise_key = (F.col(id_col) if id_dtype in
+                 ("tinyint", "smallint", "int", "bigint")
+                 else F.xxhash64(F.col(id_col)))
+    u = (_bucket(noise_key, salt) + F.lit(0.5)) / F.lit(float(_M32))
+    keyed = (
+        df.select(F.col(id_col)).distinct()
+        .join(weights, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_lw"), F.lit(0.0)).alias("_lw"),
+            (-F.log(-F.log(u))).alias("_gum"),
+        )
+    )
+    return (
+        keyed.select(
+            F.col(id_col),
+            (F.col("_lw") + F.col("_gum")).alias("_key"),
+            F.round(F.col("_lw"), 4).alias("log_weight"),
+            F.round(F.col("_lw") + F.col("_gum"), 4).alias("gumbel_key"),
+        )
+        .orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(int(k))
+        .drop("_key")
+    )

@@ -2428,3 +2428,103 @@ def test_hits_matches_numpy(spark):
         hits(edges, norm="cosine")
     with _pytest.raises(ValueError, match="num_iter"):
         hits(edges, num_iter=0)
+
+
+def _dsir_replica(docs, target_texts, orders=(1, 2), smoothing=0.5,
+                  salt=0, k=5):
+    """Pure-python DSIR replica: importance log-weights + deterministic
+    Gumbel keys, matching the operator's exact arithmetic."""
+    import math
+    import re
+
+    def feats(text):
+        ws = re.split(r"\s+", text.strip().lower())
+        out = []
+        for n in sorted(orders):
+            if n == 1:
+                out.extend(ws)
+            else:
+                out.extend(" ".join(ws[i:i + n])
+                           for i in range(len(ws) - n + 1))
+        return out
+
+    tc, rc = {}, {}
+    for t in target_texts:
+        for f in feats(t):
+            tc[f] = tc.get(f, 0) + 1
+    raw_feats = {i: feats(t) for i, t in docs.items()}
+    for fs in raw_feats.values():
+        for f in fs:
+            rc[f] = rc.get(f, 0) + 1
+    v = len(set(tc) | set(rc))
+    tt, tr = sum(tc.values()), sum(rc.values())
+    s = smoothing
+
+    def delta(f):
+        return (math.log((tc.get(f, 0) + s) / (tt + s * v))
+                - math.log((rc.get(f, 0) + s) / (tr + s * v)))
+
+    out = {}
+    for i, fs in raw_feats.items():
+        lw = sum(delta(f) for f in fs)
+        b = (((i % (1 << 32)) + salt) % (1 << 32) * 2654435761) % (1 << 32)
+        u = (b + 0.5) / float(1 << 32)
+        g = -math.log(-math.log(u))
+        out[i] = (lw, lw + g)
+    sel = sorted(out, key=lambda i: (-out[i][1], i))[:k]
+    return out, sel
+
+
+def test_dsir_select_python_parity(spark):
+    from graphlite_spark.operators.sampling import dsir_select
+
+    # raw corpus: half quality-prose-ish (target-like), half noise
+    docs = {}
+    for i in range(6):
+        docs[i] = f"the quick brown fox jumps over lazy dog number {i}"
+    for i in range(6, 12):
+        docs[i] = f"zz{i} qqq www " + "spam " * (i - 5)
+    target_texts = [
+        "the quick brown fox", "a lazy dog jumps", "the dog and the fox",
+        "quick dogs jump over foxes",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string")
+    tgt = spark.createDataFrame(
+        [(t,) for t in target_texts], "text string")
+
+    got = dsir_select(df, tgt, k=5, salt=3).collect()
+    exp, sel = _dsir_replica(docs, target_texts, salt=3, k=5)
+    assert [r.doc_id for r in got] == sel
+    for r in got:
+        assert r.log_weight == round(exp[r.doc_id][0], 4), r
+        assert r.gumbel_key == round(exp[r.doc_id][1], 4), r
+    # target-like docs dominate the selection
+    assert sum(1 for r in got if r.doc_id < 6) >= 4
+
+    # hashed features with a collision-free bucket space reproduce the
+    # unhashed weights exactly (counts fold bijectively)
+    hashed = dsir_select(df, tgt, k=5, salt=3, num_buckets=1 << 61).collect()
+    assert [(r.doc_id, r.log_weight, r.gumbel_key) for r in hashed] == \
+        [(r.doc_id, r.log_weight, r.gumbel_key) for r in got]
+
+    # a tiny bucket space still selects deterministically (collisions
+    # fold counts; weights differ, the contract is determinism)
+    small1 = dsir_select(df, tgt, k=5, salt=3, num_buckets=4).collect()
+    small2 = dsir_select(df, tgt, k=5, salt=3, num_buckets=4).collect()
+    assert [r.doc_id for r in small1] == [r.doc_id for r in small2]
+
+    # salt changes the gumbel draw (selection may reshuffle)
+    other = dsir_select(df, tgt, k=5, salt=99).collect()
+    assert any(r.gumbel_key != g.gumbel_key
+               for r, g in zip(other, got))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        dsir_select(df, tgt, k=0)
+    with _pytest.raises(ValueError, match="smoothing"):
+        dsir_select(df, tgt, k=1, smoothing=0.0)
+    with _pytest.raises(ValueError, match="orders"):
+        dsir_select(df, tgt, k=1, orders=())
+    with _pytest.raises(ValueError, match="num_buckets"):
+        dsir_select(df, tgt, k=1, num_buckets=1)
