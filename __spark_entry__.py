@@ -3625,6 +3625,87 @@ def _q_window_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct o_custkey per order status (p=10, ~3.3%
+    sigma). The sketch REGISTERS and the estimator replay in the
+    oracle — the fmix32 hash is pure integer arithmetic both engines
+    compute identically — so the approximation itself is hash-matched,
+    not compared against the exact count (the DOULION discipline)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sketches import hll_count_distinct
+
+    orders = _table(spark, sf_dir, "orders")
+    out = hll_count_distinct(orders, "o_custkey", ("o_orderstatus",),
+                             p=10, salt=4)
+    return out.select(F.col("o_orderstatus").alias("status"),
+                      "estimate").orderBy("status")
+
+
+def _q_cms_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point queries: lineitem frequency of the first 30
+    suppliers through a depth-4 x width-1024 sketch. Kirsch-
+    Mitzenmacher buckets and the min-fold replay in DuckDB, so every
+    estimate (including any deterministic collision overcount) is
+    hash-matched."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sketches import cms_query, cms_sketch
+
+    li = _table(spark, sf_dir, "lineitem")
+    sketch = cms_sketch(li, "l_suppkey", depth=4, width=1024, salt=5)
+    probes = (
+        _table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 30)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    out = cms_query(sketch, probes, "l_suppkey", depth=4, width=1024,
+                    salt=5)
+    return out.select(F.col("l_suppkey").alias("suppkey"),
+                      "estimate").orderBy("suppkey")
+
+
+def _q_dd_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles of l_extendedprice per return flag
+    (alpha=0.01 relative-error guarantee). Bucket assignment
+    ceil(ln(v)/ln_gamma), the cumulative walk, and the bucket-midpoint
+    estimate all replay in SQL with the SAME Python-computed double
+    literals injected into both engines."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sketches import dd_quantile, dd_sketch
+
+    li = _table(spark, sf_dir, "lineitem")
+    sketch = dd_sketch(li, "l_extendedprice", ("l_returnflag",),
+                       alpha=0.01)
+    out = dd_quantile(sketch, [0.25, 0.5, 0.75, 0.95, 0.99], alpha=0.01,
+                      group_cols=("l_returnflag",))
+    return out.select(F.col("l_returnflag").alias("flag"), "q",
+                      "estimate").orderBy("flag", "q")
+
+
+def _q_bloom_customer_prefilter(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Bloom prefilter: customers whose key MIGHT be among big
+    spenders (orders over 495k), through a 4096-bit k=3 filter small
+    enough to force the false-positive path. No false negatives by
+    construction; the deterministic false positives hash-match because
+    the oracle rebuilds the identical bit set."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sketches import bloom_filter_join
+
+    cust = _table(spark, sf_dir, "customer").select("c_custkey")
+    keys = (
+        _table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 495000)
+        .select("o_custkey")
+    )
+    out = bloom_filter_join(cust, keys, "c_custkey", keys_key="o_custkey",
+                            num_bits=1 << 12, k=3, salt=11)
+    return out.select(F.col("c_custkey").alias("custkey")).orderBy("custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, text in _GQL_QUERIES.items():
@@ -3708,6 +3789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "copurchase_triangles_approx": _q_copurchase_triangles_approx,
             "link_prediction_copurchase": _q_link_prediction,
             "dsir_select_en": _q_dsir_select,
+            "hll_distinct_custkeys": _q_hll_distinct_custkeys,
+            "cms_supplier_counts": _q_cms_supplier_counts,
+            "dd_quantile_prices": _q_dd_quantile_prices,
+            "bloom_customer_prefilter": _q_bloom_customer_prefilter,
             "clustering_coefficient": _q_clustering_coefficient,
             "transitivity_copurchase": _q_transitivity,
             "hits_2iter": _q_hits_2iter,
@@ -7065,4 +7150,120 @@ def oracle_sql() -> dict[str, str]:
     # same exact oracle for both span_dedup key paths (hashed keys
     # change only the shuffle key, never the output)
     sql["span_dedup_string_keys"] = sql["span_dedup_exact"]
+
+    # --- sketch family: oracles GENERATED from the same hash mirrors
+    # the engine uses (mix32_sql/km_positions_sql), so engine and
+    # oracle cannot drift (the gopher generated-oracle rule).
+    import math as _math
+
+    from graphlite_spark.operators.sketches import (km_positions_sql,
+                                                    mix32_sql)
+
+    _p, _salt = 10, 4
+    _m, _w = 1 << _p, 32 - _p
+    _alpha = 0.7213 / (1 + 1.079 / _m)
+    sql["hll_distinct_custkeys"] = f"""
+        -- HLL registers + estimator replayed: fmix32 register/rho
+        -- slices, exact power-of-two register sums (order-independent
+        -- in IEEE), linear-counting small-range branch
+        WITH h AS (
+            SELECT o_orderstatus AS g,
+                   {mix32_sql('o_custkey', _salt)} AS h
+            FROM orders
+        ), regs AS (
+            SELECT g, h // {1 << _w} AS register,
+                   max(CASE WHEN h % {1 << _w} = 0 THEN {_w + 1}
+                       ELSE {_w + 1} - length(bin(h % {1 << _w}))
+                       END) AS rho
+            FROM h GROUP BY 1, 2
+        ), agg AS (
+            SELECT g, count(*) AS present,
+                   sum(power(2.0, -rho)) AS sumreg
+            FROM regs GROUP BY 1
+        ), est AS (
+            SELECT g, ({float(_m)!r} - present) + sumreg AS sum_inv,
+                   {float(_m)!r} - present AS zeros
+            FROM agg
+        )
+        SELECT g AS status,
+               round(CASE WHEN {_alpha * _m * _m!r} / sum_inv
+                               <= {2.5 * _m!r} AND zeros > 0
+                      THEN {float(_m)!r} * ln({float(_m)!r} / zeros)
+                      ELSE {_alpha * _m * _m!r} / sum_inv END,
+                     4) AS estimate
+        FROM est ORDER BY 1
+    """
+
+    _cw, _cs = 1024, 5
+    _arms = "\n            UNION ALL ".join(
+        f"SELECT {j} AS r,"
+        f" {km_positions_sql('l_suppkey', _cs, j, _cw)} AS bucket,"
+        f" count(*) AS cnt FROM lineitem GROUP BY 1, 2"
+        for j in range(4))
+    _folds = ",\n                   ".join(
+        f"coalesce((SELECT cnt FROM counts WHERE r = {j} AND bucket ="
+        f" {km_positions_sql('s_suppkey', _cs, j, _cw)}), 0)"
+        for j in range(4))
+    sql["cms_supplier_counts"] = f"""
+        -- Count-Min replayed: Kirsch-Mitzenmacher buckets per hash
+        -- row, additive counts, min-fold point query
+        WITH counts AS (
+            {_arms}
+        )
+        SELECT s_suppkey AS suppkey,
+               least({_folds}) AS estimate
+        FROM supplier WHERE s_suppkey <= 30 ORDER BY 1
+    """
+
+    _gamma = (1 + 0.01) / (1 - 0.01)
+    _lng = _math.log(_gamma)
+    _sc2 = 2.0 / (_gamma + 1)
+    sql["dd_quantile_prices"] = f"""
+        -- DDSketch replayed: same ln_gamma double literal as the
+        -- engine, cumulative walk, first bucket past rank, midpoint
+        -- estimate 2*gamma^b/(gamma+1)
+        WITH b AS (
+            SELECT l_returnflag AS flag,
+                   CAST(ceil(ln(l_extendedprice) / {_lng!r}) AS BIGINT)
+                       AS bucket,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ), c AS (
+            SELECT flag, bucket,
+                   sum(cnt) OVER (PARTITION BY flag ORDER BY bucket)
+                       AS cum,
+                   sum(cnt) OVER (PARTITION BY flag) AS n
+            FROM b
+        ), qq AS (SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS q)
+        SELECT flag, q,
+               round({_sc2!r} * power({_gamma!r}, min(bucket)), 4)
+                   AS estimate
+        FROM c, qq
+        WHERE cum > floor(q * (n - 1))
+        GROUP BY flag, q ORDER BY flag, q
+    """
+
+    _nb, _bs = 1 << 12, 11
+    _ins = "\n                UNION ALL ".join(
+        f"SELECT {km_positions_sql('k', _bs, j, _nb)} AS pos"
+        f" FROM members" for j in range(3))
+    _tests = "\n          AND ".join(
+        f"{km_positions_sql('c_custkey', _bs, j, _nb)}"
+        f" IN (SELECT pos FROM setbits)" for j in range(3))
+    sql["bloom_customer_prefilter"] = f"""
+        -- Bloom replayed as set membership over the identical bit
+        -- positions: kept iff ALL k probe positions were set by some
+        -- member key (bit test == position-set membership)
+        WITH members AS (
+            SELECT DISTINCT o_custkey AS k FROM orders
+            WHERE o_totalprice > 495000
+        ), setbits AS (
+            SELECT DISTINCT pos FROM (
+                {_ins}
+            )
+        )
+        SELECT c_custkey AS custkey FROM customer
+        WHERE {_tests}
+        ORDER BY 1
+    """
     return sql

@@ -96,6 +96,12 @@ HEADLINE = [
     "clustering_coefficient",         # per-node triangle closure (r8)
     "hits_2iter",                     # hubs/authorities L2 rounds (r8)
     "dsir_select_en",                 # DSIR importance resampling (r8)
+    # sketch family (r8): mergeable pre-aggregation — build cost is the
+    # number that matters (estimates aggregate only sketch rows)
+    "hll_distinct_custkeys",          # HyperLogLog grouped distinct
+    "cms_supplier_counts",            # Count-Min build + 30 point queries
+    "dd_quantile_prices",             # DDSketch build + 5-quantile walk
+    "bloom_customer_prefilter",       # broadcast-bitmap semi-join
 ]
 
 

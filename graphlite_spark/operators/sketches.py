@@ -1,0 +1,567 @@
+"""Mergeable, deterministic sketches — the 100 TB pre-aggregation tier.
+
+Beyond-reference surface (the reference engine has no sketch
+operators; the driver brief names "hypertable rollup, a novel sketch"
+as the custom-operator family). The deployment shape these exist for:
+sketch ONCE per partition/day (a scan-bound pass producing rows
+measured in kilobytes), persist the sketch rows, then answer any
+range/rollup query by MERGING sketches — never re-reading the corpus.
+Every sketch here is a plain DataFrame of (group..., cell..., value)
+rows, so "persist" is write_parquet and "merge" is union + the same
+groupBy that built it:
+
+- HyperLogLog  (Flajolet et al. 2007): register rows merge by MAX.
+- Count-Min    (Cormode & Muthukrishnan 2005): counter rows merge by SUM.
+- DDSketch     (Masson, Rim & Lee, VLDB 2019): bucket rows merge by SUM.
+- Bloom filter (Bloom 1970): word rows merge by BIT_OR.
+
+Determinism discipline (the sampling.py/DOULION rule): all hashing is
+``_mix32`` — a salted murmur3 fmix32 avalanche (xor-shift + modular
+multiply, the multiplies 16/16-split so nothing overflows BIGINT under
+ANSI mode) — pure integer arithmetic both engines compute identically,
+so the sketches THEMSELVES replay in ANSI SQL and the gate
+hash-matches the registers, the estimates, and even Bloom false
+positives (``_mix32_sql`` emits the mirror expression — generated, not
+hand-copied, per the gopher-oracle rule). The sampling family's plain
+Knuth hash is NOT enough here: its output is a Weyl sequence —
+perfectly equidistributed, which is exactly wrong for HLL's max-rho
+statistics (measured 11% error at p=12 where fmix32 gives the
+theoretical 1.6%) — uniform-bucket operators (sampling) tolerate it,
+bit-pattern operators (rho runs, Bloom bit spread) do not. String
+keys fold through xxhash64 first (then the oracle is rows-only, like
+the LSH family).
+
+rho / leading-zero counts use ``length(bin(x))`` — Spark and DuckDB
+both render minimal binary strings (``bin(0) = '0'``) — never
+``log2()``, whose libm rounding at exact powers of two is not a
+cross-engine contract.
+
+At 100 TB: every build is one map-side-combined groupBy whose key
+space is the SKETCH size (m registers / d*w counters / bit-words), not
+the data; estimates aggregate the sketch rows only; the Bloom probe is
+a broadcast crossJoin of one ~kB array row against the big side — the
+classic shuffle-free semi-join prefilter.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Salt spacing between the independent hash functions of one sketch.
+# Any odd constant works; 0x9E37 (golden-ratio prefix) documents intent.
+_SALT_STEP = 0x9E37
+
+_M32 = 1 << 32
+_MIX_C1 = 0x85EBCA6B  # murmur3 fmix32 constants (Appleby, public domain)
+_MIX_C2 = 0xC2B2AE35
+
+
+def _mulmod32(col: Column, const: int) -> Column:
+    """(col * const) mod 2^32 with a 16/16 split — no BIGINT overflow.
+
+    (c*lo + ((c*hi mod 2^16) << 16)) mod 2^32 is congruent to the full
+    product; the largest intermediate is < 2^49 (sampling._bucket's
+    ANSI-mode lesson applied).
+    """
+    lo = col.bitwiseAND(F.lit(0xFFFF))
+    hi = F.shiftright(col, 16)
+    return F.pmod(
+        F.lit(const) * lo
+        + F.pmod(F.lit(const) * hi, F.lit(1 << 16)) * F.lit(1 << 16),
+        F.lit(_M32),
+    )
+
+
+def _mix32(key: Column, salt: int) -> Column:
+    """Salted murmur3 fmix32: a full-avalanche 32-bit hash in [0, 2^32).
+
+    h = (key + salt) mod 2^32, then the standard finalizer
+    (h ^= h>>16; h *= c1; h ^= h>>13; h *= c2; h ^= h>>16) — every
+    output bit depends on every input bit, which is what HLL's rho
+    runs, CMS's bucket spread, and Bloom's bit positions all assume.
+    """
+    h = F.pmod(F.pmod(key.cast("long"), F.lit(_M32)) + F.lit(salt),
+               F.lit(_M32))
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = _mulmod32(h, _MIX_C1)
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = _mulmod32(h, _MIX_C2)
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
+
+def _attach_mix32(df: DataFrame, key: Column, salt: int,
+                  name: str) -> DataFrame:
+    """df + one column ``name`` = _mix32(key, salt), STAGED.
+
+    The single-Column form of the finalizer duplicates its input
+    subtree at every xor step (h appears twice in h ^ h>>s), giving a
+    ~32-leaf expression per hash — large enough to spill out of
+    whole-stage codegen and drop 60k rows/3.5s into interpreted eval.
+    Staging each step as a named projection evaluates it once per row:
+    CollapseProject deliberately refuses to inline a non-cheap alias
+    referenced more than once, so the stages survive optimization
+    (measured 7x on the CMS build).
+    """
+    t = f"_{name}_t"
+    df = df.withColumn(
+        t, F.pmod(F.pmod(key.cast("long"), F.lit(_M32)) + F.lit(salt),
+                  F.lit(_M32)))
+    for shift, const in ((16, _MIX_C1), (13, _MIX_C2), (16, None)):
+        h = F.col(t)
+        df = df.withColumn(t, h.bitwiseXOR(F.shiftright(h, shift)))
+        if const is not None:
+            df = df.withColumn(t, _mulmod32(F.col(t), const))
+    return df.withColumnRenamed(t, name)
+
+
+def _attach_km(df: DataFrame, key: Column, salt: int, count: int,
+               modulus: int, prefix: str) -> DataFrame:
+    """df + columns ``{prefix}0..{prefix}{count-1}`` — the staged-
+    projection form of ``_km_positions`` (two mix32 chains shared by
+    all ``count`` positions instead of re-expanded per position)."""
+    df = _attach_mix32(df, key, salt, f"_{prefix}_h1")
+    df = _attach_mix32(df, key, salt + _SALT_STEP, f"_{prefix}_h2")
+    h1 = F.col(f"_{prefix}_h1")
+    stride = F.col(f"_{prefix}_h2") * 2 + 1
+    for j in range(count):
+        df = df.withColumn(
+            f"{prefix}{j}",
+            F.pmod(F.pmod(h1 + F.lit(j) * stride, F.lit(_M32)),
+                   F.lit(modulus)))
+    return df.drop(f"_{prefix}_h1", f"_{prefix}_h2")
+
+
+def mix32_sql(key_expr: str, salt: int) -> str:
+    """The ANSI-SQL mirror of ``_mix32`` — GENERATED so oracle and
+    engine cannot drift (the gopher-repetition generated-oracle rule).
+    Uses xor()/// — DuckDB builtins; every intermediate < 2^49.
+    """
+    def _xorshift(h: str, div: int) -> str:
+        return f"xor({h}, ({h}) // {div})"
+
+    def _mul(h: str, c: int) -> str:
+        return (f"(({c} * (({h}) % 65536)"
+                f" + (({c} * (({h}) // 65536)) % 65536) * 65536)"
+                f" % 4294967296)")
+
+    h = (f"(((({key_expr}) % 4294967296) + 4294967296 + {salt})"
+         f" % 4294967296)")
+    h = _mul(_xorshift(h, 1 << 16), _MIX_C1)
+    h = _mul(_xorshift(h, 1 << 13), _MIX_C2)
+    return _xorshift(h, 1 << 16)
+
+
+def _km_positions(key: Column, salt: int, count: int,
+                  modulus: int) -> list[Column]:
+    """``count`` positions in [0, modulus) by Kirsch-Mitzenmacher
+    double hashing: pos_j = (h1 + j*(2*h2+1)) mod 2^32 mod modulus.
+
+    NOT ``count`` independently-salted mixes: additive pre-avalanche
+    salts alias shifted keys — probe j of key x = m + step IS probe
+    j+1 of member m, which measurably inflated Bloom false positives
+    70x over theory. Two independent hashes with an odd stride carry
+    the standard guarantees (Kirsch & Mitzenmacher 2006) and cost two
+    mixes instead of k. Intermediates stay < 2^38 (j <= 15).
+    """
+    h1 = _mix32(key, salt)
+    stride = _mix32(key, salt + _SALT_STEP) * 2 + 1
+    return [
+        F.pmod(F.pmod(h1 + F.lit(j) * stride, F.lit(_M32)),
+               F.lit(modulus))
+        for j in range(count)
+    ]
+
+
+def km_positions_sql(key_expr: str, salt: int, j: int, modulus: int) -> str:
+    """ANSI-SQL mirror of one ``_km_positions`` entry (generated)."""
+    h1 = mix32_sql(key_expr, salt)
+    h2 = mix32_sql(key_expr, salt + _SALT_STEP)
+    return (f"((({h1}) + {j} * (2 * ({h2}) + 1)) % 4294967296)"
+            f" % {modulus}")
+
+
+def _require_power_of_two(n: int, name: str) -> None:
+    if n < 2 or (n & (n - 1)) != 0:
+        raise ValueError(f"{name} must be a power of two >= 2, got {n}")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def hll_sketch(df: DataFrame, key_col: str, group_cols: tuple = (),
+               p: int = 12, salt: int = 0) -> DataFrame:
+    """Sparse HLL registers: (group..., register, rho) with rho = max.
+
+    The textbook single-hash layout over one fmix32 hash: register =
+    the top ``p`` bits, rho = 1 + leading zeros of the remaining
+    w = 32-p bits (full avalanche makes the two slices independent —
+    the property the plain Knuth hash measurably lacks, see module
+    docstring).
+
+    Scale: the groupBy key space is at most 2^p per group (4096 at the
+    default p=12, ~1.6% standard error) — map-side combine collapses
+    each partition to <= m rows before the shuffle, so sketching 100 TB
+    shuffles kilobytes. Merging day-sketches is the SAME groupBy over
+    unioned register rows.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    w = 32 - p
+    staged = _attach_mix32(df.select(*group_cols, key_col),
+                           F.col(key_col), salt, "_h")
+    staged = staged.withColumn("_rem", F.pmod(F.col("_h"), F.lit(1 << w)))
+    register = F.shiftright(F.col("_h"), w).cast("int")
+    # leading zeros of a w-bit window + 1 == w + 1 - bitlength(window);
+    # bin() gives the minimal binary string in BOTH engines (bin(0)='0',
+    # handled by the zero branch).
+    rho = F.when(F.col("_rem") == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(F.col("_rem")))
+    ).cast("int")
+    gcols = [F.col(c) for c in group_cols]
+    return (
+        staged.select(*gcols, register.alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """Union register rows and re-max — the rollup step.
+
+    Any slicing of the data (days, partitions, tenants) merges into the
+    sketch of the union; this is the whole point of register-max
+    mergeability. Cost: one groupBy over sketch rows (kilobytes).
+    """
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy(*group_cols, "register").agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant (Flajolet et al. 2007, Fig. 3)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_estimate(sketch: DataFrame, p: int,
+                 group_cols: tuple = ()) -> DataFrame:
+    """(group..., estimate) — the HLL cardinality estimate, per group.
+
+    sum(2^-M_j) over ALL m registers = (m - present) * 2^0 + the sum
+    over present rows; every term is a power of two >= 2^-29 and the
+    total is < 2*m, so EVERY partial sum fits exactly in a double's
+    53-bit mantissa — the sum is order-independent and cross-engine
+    exact, which is what lets the estimate hash-match instead of being
+    a rows-only entry. The small-range branch (E <= 2.5m with empty
+    registers) switches to linear counting m*ln(m/V) per the paper.
+    Rounded to 4 decimals like every ln-bearing oracle value (the dsir
+    convention).
+    """
+    m = 1 << p
+    alpha = hll_alpha(m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_sumreg"),
+    )
+    sum_inv = (F.lit(float(m)) - F.col("_present")) + F.col("_sumreg")
+    raw = F.lit(alpha * m * m) / sum_inv
+    zeros = F.lit(float(m)) - F.col("_present")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    gcols = [F.col(c) for c in group_cols]
+    return agg.select(*gcols, F.round(est, 4).alias("estimate"))
+
+
+def hll_count_distinct(df: DataFrame, key_col: str, group_cols: tuple = (),
+                       p: int = 12, salt: int = 0) -> DataFrame:
+    """Build + estimate in one call — the direct-query convenience."""
+    return hll_estimate(
+        hll_sketch(df, key_col, group_cols, p=p, salt=salt), p, group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+def cms_sketch(df: DataFrame, key_col: str, group_cols: tuple = (),
+               depth: int = 4, width: int = 1024, salt: int = 0,
+               weight_col: str | None = None) -> DataFrame:
+    """Count-Min counters: (group..., row, bucket, cnt), cnt additive.
+
+    Each input row contributes 1 (or its weight) to one bucket per
+    hash row; counters merge across any partitioning of the data by
+    plain SUM — the groupBy key space is depth*width per group, so the
+    map-side combine bounds the shuffle at sketch size. Point queries
+    overestimate by at most eps*N with probability 1-delta for
+    width=ceil(e/eps), depth=ceil(ln(1/delta)) (Cormode &
+    Muthukrishnan 2005, Thm 1).
+    """
+    if depth < 1 or depth > 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    _require_power_of_two(width, "width")
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    cols = [*group_cols, key_col] + ([weight_col] if weight_col else [])
+    staged = _attach_km(df.select(*cols), F.col(key_col), salt, depth,
+                        width, "_kb")
+    buckets = F.array(*[F.col(f"_kb{j}") for j in range(depth)])
+    gcols = [F.col(c) for c in group_cols]
+    return (
+        staged.select(*gcols,
+                      F.posexplode(buckets).alias("row", "bucket"),
+                      w.alias("_w"))
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """Union counter rows and re-sum — additive mergeability."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy(*group_cols, "row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_query(sketch: DataFrame, probes: DataFrame, key_col: str,
+              depth: int = 4, width: int = 1024, salt: int = 0,
+              group_cols: tuple = ()) -> DataFrame:
+    """(probe row..., estimate) — min over hash rows, missing cell = 0.
+
+    The sketch collapses to ONE dense array<long> row per group
+    (row-major depth*width cells; 32 KB at the defaults) which is
+    BROADCAST onto the probe side; the estimate is depth element_at
+    lookups folded with least() — one sketch job, zero probe-side
+    shuffles, so probing scales to a 100 TB probe stream. A per-hash-
+    row join instead would rebuild the sketch subplan depth times
+    (measured 7.5s vs 0.5s at sf0.01). depth/width/salt must match
+    the build (cells are positional).
+    """
+    _require_power_of_two(width, "width")
+    if depth * width > (1 << 22):
+        raise ValueError(
+            f"dense sketch too large to broadcast: depth*width = "
+            f"{depth * width} > 2^22 cells")
+    cell = (F.col("row") * width + F.col("bucket")).cast("long")
+    dense = (
+        sketch.groupBy(*group_cols)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct(cell.alias("c"), F.col("cnt")))
+        ).alias("_cm"))
+        .select(*group_cols, F.transform(
+            F.sequence(F.lit(0), F.lit(depth * width - 1)),
+            lambda i: F.coalesce(F.element_at("_cm", i.cast("long")),
+                                 F.lit(0).cast("long")),
+        ).alias("_cells"))
+    )
+    if group_cols:
+        out = probes.join(F.broadcast(dense), list(group_cols), "left")
+    else:
+        out = probes.crossJoin(F.broadcast(dense))
+    out = _attach_km(out, F.col(key_col), salt, depth, width, "_pb")
+    ests = [
+        F.coalesce(
+            F.element_at("_cells",
+                         (F.lit(j * width) + F.col(f"_pb{j}") + 1)
+                         .cast("int")),
+            F.lit(0).cast("long"))
+        for j in range(depth)
+    ]
+    est = ests[0] if len(ests) == 1 else F.least(*ests)
+    return out.select(*probes.columns, est.alias("estimate"))
+
+
+# ---------------------------------------------------------------------------
+# DDSketch
+# ---------------------------------------------------------------------------
+
+def dd_gamma(alpha: float) -> float:
+    """Bucket base for relative-accuracy alpha (paper §2.1)."""
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    return (1 + alpha) / (1 - alpha)
+
+
+def dd_sketch(df: DataFrame, value_col: str, group_cols: tuple = (),
+              alpha: float = 0.01,
+              on_nonpositive: str = "error") -> DataFrame:
+    """DDSketch buckets: (group..., bucket, cnt), cnt additive.
+
+    bucket = ceil(ln(v) / ln(gamma)) with gamma = (1+alpha)/(1-alpha);
+    any value in bucket i is within relative error alpha of the bucket
+    estimate 2*gamma^i/(gamma+1), and buckets merge across partitions /
+    days by SUM — the mergeable-quantile property t-digest gives up
+    (its centroids are order-dependent; DDSketch is fully deterministic,
+    which is why it can be oracle-replayed).
+
+    Values must be > 0 (the paper's sketch domain).
+    ``on_nonpositive``: 'error' fails the job on the first nonpositive
+    value (an assertion in the plan, no extra pass); 'drop' filters.
+    """
+    gamma = dd_gamma(alpha)
+    v = F.col(value_col).cast("double")
+    bucket = F.ceil(F.log(v) / F.lit(math.log(gamma))).cast("long")
+    if on_nonpositive == "drop":
+        df = df.where(v > 0)
+    elif on_nonpositive == "error":
+        # The guard lives INSIDE the bucket expression — a separate
+        # assertion column would be pruned by Catalyst and never fire.
+        bucket = F.when(v > 0, bucket).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"dd_sketch: nonpositive {value_col}: "),
+                v.cast("string"))).cast("long"))
+    else:
+        raise ValueError(f"on_nonpositive must be error|drop,"
+                         f" got {on_nonpositive!r}")
+    gcols = [F.col(c) for c in group_cols]
+    return (
+        df.select(*gcols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def dd_merge(*sketches: DataFrame, group_cols: tuple = ()) -> DataFrame:
+    """Union bucket rows and re-sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy(*group_cols, "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def dd_quantile(sketch: DataFrame, qs: list, alpha: float = 0.01,
+                group_cols: tuple = ()) -> DataFrame:
+    """(group..., q, estimate) — paper §2.2 quantile walk, per group.
+
+    rank = floor(q*(n-1)); the answer is the first bucket (ascending)
+    whose cumulative count exceeds rank; estimate = 2*gamma^b/(gamma+1)
+    (guaranteed within relative error alpha of the true quantile).
+    Cost: one window cumsum over SKETCH rows + a min-per-(group, q)
+    aggregate — never touches the data. Rounded to 4 decimals (pow's
+    last-ulp is not a cross-engine contract; the dsir convention).
+    """
+    from pyspark.sql import Window
+
+    gamma = dd_gamma(alpha)
+    for q in qs:
+        if not 0 <= q <= 1:
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("bucket")
+    tot = Window.partitionBy(*[F.col(c) for c in group_cols])
+    cum = sketch.select(
+        *group_cols, "bucket",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(tot).alias("_n"),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    exploded = cum.select(
+        *group_cols, "bucket", "_cum", "_n",
+        F.explode(qarr).alias("q"),
+    )
+    rank = F.floor(F.col("q") * (F.col("_n") - 1))
+    hit = exploded.where(F.col("_cum") > rank)
+    est = F.lit(2.0 / (gamma + 1)) * F.pow(F.lit(gamma), F.col("_mb"))
+    gcols = [F.col(c) for c in group_cols]
+    return (
+        hit.groupBy(*group_cols, "q").agg(F.min("bucket").alias("_mb"))
+        .select(*gcols, "q", F.round(est, 4).alias("estimate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def bloom_words(keys: DataFrame, key_col: str, num_bits: int = 1 << 20,
+                k: int = 3, salt: int = 0) -> DataFrame:
+    """Sparse Bloom words: (word, bits) — 32-bit words, BIT_OR-mergeable.
+
+    32-bit words (not 64) keep every ``1 << bit`` strictly positive in
+    a BIGINT, so the bit arithmetic is identical in Spark and ANSI SQL
+    with no sign-bit edge. Word count = num_bits/32; at the default
+    2^20 bits the dense filter is 256 KB — broadcast territory.
+    """
+    _require_power_of_two(num_bits, "num_bits")
+    if not 1 <= k <= 8:
+        raise ValueError(f"k must be in [1, 8], got {k}")
+    staged = _attach_km(keys.select(key_col), F.col(key_col), salt, k,
+                        num_bits, "_bp")
+    positions = F.array(*[F.col(f"_bp{j}") for j in range(k)])
+    # 2^bit via pow(): bit <= 31 so the double is the exact integer
+    # (PySpark's shiftleft() only takes a literal shift count).
+    bitval = F.pow(F.lit(2.0),
+                   F.col("_pos").bitwiseAND(F.lit(31))).cast("long")
+    return (
+        staged.select(F.explode(positions).alias("_pos"))
+        .select(F.shiftright(F.col("_pos"), 5).alias("word"),
+                bitval.alias("_bit"))
+        .groupBy("word")
+        .agg(F.bit_or("_bit").alias("bits"))
+    )
+
+
+def bloom_filter_join(big: DataFrame, keys: DataFrame, big_key: str,
+                      keys_key: str | None = None,
+                      num_bits: int = 1 << 20, k: int = 3,
+                      salt: int = 0) -> DataFrame:
+    """Approximate semi-join: keep big rows whose key MIGHT be in keys.
+
+    The 100 TB prefilter shape: the key set collapses to a dense
+    array<long> bitmap in ONE row (num_bits/32 words, 256 KB at the
+    default), crossJoin(broadcast) attaches it to every big-side
+    partition, and membership is k codegen'd bit tests — the big side
+    never shuffles. No false negatives; false positives at the standard
+    (1 - e^{-kn/m})^k rate are DETERMINISTIC (same hashes both
+    engines), so an exact semi-join afterwards — against the now-tiny
+    survivor set — completes the join.
+    """
+    _require_power_of_two(num_bits, "num_bits")
+    n_words = num_bits >> 5
+    words = bloom_words(keys, keys_key or big_key, num_bits, k, salt)
+    dense = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))).alias("_wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.element_at("_wm", i.cast("long")),
+                                 F.lit(0).cast("long")),
+        ).alias("_bloom")
+    )
+    out = big.crossJoin(F.broadcast(dense))
+    out = _attach_km(out, F.col(big_key), salt, k, num_bits, "_qp")
+    tests = []
+    for j in range(k):
+        pos = F.col(f"_qp{j}")
+        word = F.shiftright(pos, 5)
+        # word value divided by 2^bit, mod 2 — pure arithmetic (the
+        # shift count is a column, which PySpark's shiftright() can't
+        # take). Words are < 2^32 and divisors <= 2^31, so the double
+        # quotient floors exactly.
+        bitval = F.pow(F.lit(2.0),
+                       pos.bitwiseAND(F.lit(31))).cast("long")
+        w = F.element_at("_bloom", (word + 1).cast("int"))
+        tests.append(F.pmod(F.floor(w / bitval), F.lit(2)) == 1)
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    return out.where(cond).drop("_bloom",
+                                *[f"_qp{j}" for j in range(k)])

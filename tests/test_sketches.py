@@ -1,0 +1,262 @@
+"""Sketch-family tests: accuracy bounds, mergeability, determinism,
+and pure-python / DuckDB replica parity of the hash arithmetic."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphlite_spark.operators import sketches as sk
+
+M32 = 1 << 32
+
+
+def py_mix32(key: int, salt: int) -> int:
+    h = (key % M32 + salt) % M32
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) % M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) % M32
+    return h ^ (h >> 16)
+
+
+def py_km(key: int, salt: int, count: int, modulus: int) -> list[int]:
+    h1 = py_mix32(key, salt)
+    h2 = py_mix32(key, salt + sk._SALT_STEP)
+    return [((h1 + j * (2 * h2 + 1)) % M32) % modulus for j in range(count)]
+
+
+TRICKY_KEYS = [0, 1, 2, 13, 999, 65535, 65536, 2**31, 2**32 - 1,
+               2**63 - 1, -5, -(2**31)]
+
+
+@pytest.fixture(scope="module")
+def tricky(spark):
+    return spark.createDataFrame([(k,) for k in TRICKY_KEYS], "k: long")
+
+
+def test_mix32_python_replica(tricky):
+    got = [r[0] for r in tricky.select(sk._mix32(F.col("k"), 7)).collect()]
+    assert got == [py_mix32(k, 7) for k in TRICKY_KEYS]
+
+
+def test_mix32_sql_mirror(tricky):
+    import duckdb
+
+    got = [r[0] for r in tricky.select(sk._mix32(F.col("k"), 7)).collect()]
+    con = duckdb.connect()
+    sql = [con.execute(f"select {sk.mix32_sql(str(k), 7)}").fetchone()[0]
+           for k in TRICKY_KEYS]
+    assert got == sql
+
+
+def test_km_positions_replicas(tricky):
+    import duckdb
+
+    got = [tuple(r) for r in
+           tricky.select(*sk._km_positions(F.col("k"), 3, 4, 1024)).collect()]
+    assert got == [tuple(py_km(k, 3, 4, 1024)) for k in TRICKY_KEYS]
+    con = duckdb.connect()
+    sql = [tuple(
+        con.execute(f"select {sk.km_positions_sql(str(k), 3, j, 1024)}")
+        .fetchone()[0] for j in range(4)) for k in TRICKY_KEYS]
+    assert got == sql
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def test_hll_accuracy_and_python_registers(spark):
+    n = 20000
+    df = spark.range(0, n).select((F.col("id") * 7 + 3).alias("k"))
+    est = sk.hll_count_distinct(df, "k", p=12).collect()[0]["estimate"]
+    assert abs(est - n) / n < 0.05  # 3 sigma at p=12 is ~4.8%
+
+    # register frame == pure-python HLL on a small set
+    small = spark.createDataFrame([(k,) for k in range(500)], "k: long")
+    got = {(r["register"], r["rho"])
+           for r in sk.hll_sketch(small, "k", p=8, salt=3).collect()}
+    regs: dict[int, int] = {}
+    for k in range(500):
+        h = py_mix32(k, 3)
+        reg, rem = h >> 24, h % (1 << 24)
+        rho = 25 - rem.bit_length() if rem else 25
+        regs[reg] = max(regs.get(reg, 0), rho)
+    assert got == set(regs.items())
+
+
+def test_hll_duplicate_and_partition_insensitive(spark):
+    df = spark.range(0, 5000).select((F.col("id") % 1000).alias("k"))
+    a = sk.hll_count_distinct(df, "k", p=10).collect()[0]["estimate"]
+    b = sk.hll_count_distinct(df.repartition(13), "k", p=10) \
+        .collect()[0]["estimate"]
+    c = sk.hll_count_distinct(df.unionByName(df), "k", p=10) \
+        .collect()[0]["estimate"]
+    assert a == b == c
+    assert abs(a - 1000) / 1000 < 0.12  # p=10 -> ~3.3% sigma
+
+
+def test_hll_merge_equals_whole(spark):
+    df = spark.range(0, 8000).select((F.col("id") * 11).alias("k"),
+                                     (F.col("id") % 4).alias("g"))
+    parts = [sk.hll_sketch(df.where(F.col("k") % 3 == i), "k", ("g",), p=9)
+             for i in range(3)]
+    merged = sk.hll_estimate(
+        sk.hll_merge(*parts, group_cols=("g",)), 9, ("g",))
+    whole = sk.hll_estimate(sk.hll_sketch(df, "k", ("g",), p=9), 9, ("g",))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_hll_small_range_linear_counting(spark):
+    # tiny cardinality vs m=4096 registers -> the linear-counting branch
+    df = spark.createDataFrame([(k,) for k in range(30)], "k: long")
+    est = sk.hll_count_distinct(df, "k", p=12).collect()[0]["estimate"]
+    assert abs(est - 30) < 2
+
+
+def test_hll_p_validation(spark):
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="p must be"):
+        sk.hll_sketch(df, "k", p=3)
+    with pytest.raises(ValueError, match="p must be"):
+        sk.hll_sketch(df, "k", p=19)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+def test_cms_overestimates_and_is_tight_when_sparse(spark):
+    df = spark.range(0, 9000).select((F.col("id") % 90).alias("k"))
+    sketch = sk.cms_sketch(df, "k", depth=4, width=1024, salt=5)
+    probes = spark.range(0, 90).select(F.col("id").alias("k"))
+    got = {r["k"]: r["estimate"]
+           for r in sk.cms_query(sketch, probes, "k", depth=4, width=1024,
+                                 salt=5).collect()}
+    # 90 keys in 1024 buckets and a 4-row min: collisions vanish
+    assert all(v == 100 for v in got.values())
+    # absent key may only OVERestimate (never negative, never missing)
+    absent = spark.createDataFrame([(123456,)], "k: long")
+    est = sk.cms_query(sketch, absent, "k", depth=4, width=1024,
+                       salt=5).collect()[0]["estimate"]
+    assert est >= 0
+
+
+def test_cms_merge_is_additive(spark):
+    df = spark.range(0, 2000).select((F.col("id") % 40).alias("k"))
+    s1 = sk.cms_sketch(df.where("k < 20"), "k", width=256, salt=1)
+    s2 = sk.cms_sketch(df.where("k >= 20"), "k", width=256, salt=1)
+    merged = sk.cms_merge(s1, s2)
+    whole = sk.cms_sketch(df, "k", width=256, salt=1)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame([(1, 5), (1, 7), (2, 10)], "k: long, w: long")
+    sketch = sk.cms_sketch(df, "k", depth=3, width=64, weight_col="w")
+    probes = spark.createDataFrame([(1,), (2,)], "k: long")
+    got = {r["k"]: r["estimate"]
+           for r in sk.cms_query(sketch, probes, "k", depth=3,
+                                 width=64).collect()}
+    assert got[1] >= 12 and got[2] >= 10  # min-overestimate property
+
+
+def test_cms_validation(spark):
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="depth"):
+        sk.cms_sketch(df, "k", depth=0)
+    with pytest.raises(ValueError, match="power of two"):
+        sk.cms_sketch(df, "k", width=100)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch
+# ---------------------------------------------------------------------------
+
+def test_dd_quantile_relative_error_bound(spark):
+    vals = spark.range(1, 20001).select(
+        F.pow(F.lit(1.001), F.col("id") % 5000).alias("v"))
+    truth = sorted(1.001 ** (i % 5000) for i in range(1, 20001))
+    sketch = sk.dd_sketch(vals, "v", alpha=0.02)
+    for q, est in [(r["q"], r["estimate"]) for r in
+                   sk.dd_quantile(sketch, [0.01, 0.5, 0.99],
+                                  alpha=0.02).collect()]:
+        true = truth[math.floor(q * (len(truth) - 1))]
+        assert abs(est - true) / true <= 0.02 + 1e-9, (q, est, true)
+
+
+def test_dd_merge_equals_whole(spark):
+    vals = spark.range(1, 5001).select(F.col("id").cast("double").alias("v"))
+    s1 = sk.dd_sketch(vals.where("v <= 2500"), "v", alpha=0.01)
+    s2 = sk.dd_sketch(vals.where("v > 2500"), "v", alpha=0.01)
+    merged = sk.dd_quantile(sk.dd_merge(s1, s2), [0.5], alpha=0.01)
+    whole = sk.dd_quantile(sk.dd_sketch(vals, "v", alpha=0.01), [0.5],
+                           alpha=0.01)
+    assert merged.collect() == whole.collect()
+
+
+def test_dd_nonpositive_policies(spark):
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([(1.0,), (0.0,), (4.0,)], "v: double")
+    with pytest.raises(Exception) as ei:
+        sk.dd_sketch(df, "v").collect()
+    assert "nonpositive" in str(ei.value)
+    kept = sk.dd_sketch(df, "v", on_nonpositive="drop")
+    assert kept.agg(F.sum("cnt")).collect()[0][0] == 2
+    with pytest.raises(ValueError, match="on_nonpositive"):
+        sk.dd_sketch(df, "v", on_nonpositive="ignore")
+
+
+def test_dd_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "v: double")
+    with pytest.raises(ValueError, match="alpha"):
+        sk.dd_sketch(df, "v", alpha=1.5)
+    with pytest.raises(ValueError, match="quantile"):
+        sk.dd_quantile(sk.dd_sketch(df, "v"), [1.5])
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fp_near_theory(spark):
+    keys = spark.range(0, 2000).select((F.col("id") * 13 + 1).alias("k"))
+    big = spark.range(0, 60000).select(F.col("id").alias("k"))
+    kept = sk.bloom_filter_join(big, keys, "k", num_bits=1 << 15, k=4,
+                                salt=2)
+    kept_ids = {r["k"] for r in kept.collect()}
+    member_ids = {r["k"] for r in big.join(keys, "k", "left_semi").collect()}
+    assert member_ids <= kept_ids  # NO false negatives, ever
+    # fp rate near (1 - e^{-kn/m})^k ~ 0.55% here; allow 3x slack
+    fp = len(kept_ids - member_ids)
+    n_non = 60000 - len(member_ids)
+    theory = (1 - math.exp(-4 * 2000 / (1 << 15))) ** 4
+    assert fp / n_non < 3 * theory + 1e-4, (fp, n_non, theory)
+
+
+def test_bloom_words_mergeable_and_partition_insensitive(spark):
+    keys = spark.range(0, 500).select((F.col("id") * 3).alias("k"))
+    whole = sk.bloom_words(keys, "k", num_bits=1 << 12, k=3, salt=9)
+    a = sk.bloom_words(keys.where("k % 2 = 0"), "k", 1 << 12, 3, 9)
+    b = sk.bloom_words(keys.where("k % 2 = 1"), "k", 1 << 12, 3, 9)
+    merged = (a.unionByName(b).groupBy("word")
+              .agg(F.bit_or("bits").alias("bits")))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+    rep = sk.bloom_words(keys.repartition(7), "k", 1 << 12, 3, 9)
+    assert sorted(map(tuple, rep.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_bloom_validation(spark):
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="power of two"):
+        sk.bloom_words(df, "k", num_bits=1000)
+    with pytest.raises(ValueError, match="k must be"):
+        sk.bloom_words(df, "k", num_bits=1 << 10, k=0)
