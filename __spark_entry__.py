@@ -3684,6 +3684,27 @@ def _q_dd_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "estimate").orderBy("flag", "q")
 
 
+def _q_hll_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable-rollup shape: daily HLL sketches of distinct
+    users, then WEEKLY answers produced by re-maxing the daily
+    REGISTER ROWS (hll_merge) — the raw events are read exactly once;
+    every coarser grain aggregates kilobytes of sketch. The oracle
+    mirrors the two-level max, so the rollup path itself (not just the
+    final estimate) is what hash-matches."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sketches import (hll_estimate,
+                                                    hll_merge, hll_sketch)
+
+    ev = _table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_sketch(ev, "user_id", ("day",), p=9, salt=6)
+    weekly = hll_merge(
+        daily.withColumn("week",
+                         F.date_trunc("week", F.col("day")).cast("date")),
+        group_cols=("week",))
+    return hll_estimate(weekly, 9, ("week",)).orderBy("week")
+
+
 def _q_bloom_customer_prefilter(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Bloom prefilter: customers whose key MIGHT be among big
@@ -3793,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cms_supplier_counts": _q_cms_supplier_counts,
             "dd_quantile_prices": _q_dd_quantile_prices,
             "bloom_customer_prefilter": _q_bloom_customer_prefilter,
+            "hll_rollup_events": _q_hll_rollup_events,
             "clustering_coefficient": _q_clustering_coefficient,
             "transitivity_copurchase": _q_transitivity,
             "hits_2iter": _q_hits_2iter,
@@ -7241,6 +7263,44 @@ def oracle_sql() -> dict[str, str]:
         FROM c, qq
         WHERE cum > floor(q * (n - 1))
         GROUP BY flag, q ORDER BY flag, q
+    """
+
+    _rp, _rs = 9, 6
+    _rm, _rw = 1 << _rp, 32 - _rp
+    _ralpha = 0.7213 / (1 + 1.079 / _rm)
+    sql["hll_rollup_events"] = f"""
+        -- the rollup replayed at BOTH grains: daily register max,
+        -- weekly re-max over the daily rows, then the estimator
+        WITH h AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   {mix32_sql('user_id', _rs)} AS h
+            FROM events
+        ), regs AS (
+            SELECT day, h // {1 << _rw} AS register,
+                   max(CASE WHEN h % {1 << _rw} = 0 THEN {_rw + 1}
+                       ELSE {_rw + 1} - length(bin(h % {1 << _rw}))
+                       END) AS rho
+            FROM h GROUP BY 1, 2
+        ), wk AS (
+            SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+                   register, max(rho) AS rho
+            FROM regs GROUP BY 1, 2
+        ), agg AS (
+            SELECT week, count(*) AS present,
+                   sum(power(2.0, -rho)) AS sumreg
+            FROM wk GROUP BY 1
+        ), est AS (
+            SELECT week, ({float(_rm)!r} - present) + sumreg AS sum_inv,
+                   {float(_rm)!r} - present AS zeros
+            FROM agg
+        )
+        SELECT week,
+               round(CASE WHEN {_ralpha * _rm * _rm!r} / sum_inv
+                               <= {2.5 * _rm!r} AND zeros > 0
+                      THEN {float(_rm)!r} * ln({float(_rm)!r} / zeros)
+                      ELSE {_ralpha * _rm * _rm!r} / sum_inv END,
+                     4) AS estimate
+        FROM est ORDER BY 1
     """
 
     _nb, _bs = 1 << 12, 11

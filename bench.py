@@ -102,6 +102,7 @@ HEADLINE = [
     "cms_supplier_counts",            # Count-Min build + 30 point queries
     "dd_quantile_prices",             # DDSketch build + 5-quantile walk
     "bloom_customer_prefilter",       # broadcast-bitmap semi-join
+    "hll_rollup_events",              # daily→weekly sketch re-max rollup
 ]
 
 

@@ -857,6 +857,40 @@ class GraphLiteSpark:
             if stmt.yield_cols:
                 df = df.select(*stmt.yield_cols)
             return df
+        elif name in ("gql.hll_distinct", "gql.dd_quantiles"):
+            # sketch procedures over a node property (operators/
+            # sketches.py): approximate distinct / quantiles that stay
+            # mergeable and deterministic on any partitioning
+            from pyspark.sql import functions as F
+
+            from .operators import sketches as SK
+
+            if len(stmt.args) < 2:
+                raise ValueError(f"{name} needs (label, property, ...)")
+            label = stmt.args[0].value
+            prop = stmt.args[1].value
+            nodes = self.graph().nodes_for_label(label)
+            if prop not in nodes.columns:
+                raise KeyError(
+                    f"unknown property {prop!r} on label {label!r}")
+            if name == "gql.hll_distinct":
+                p = int(stmt.args[2].value) if len(stmt.args) > 2 else 12
+                dtype = dict(nodes.dtypes)[prop]
+                key = nodes.select(
+                    (F.col(prop) if dtype in ("bigint", "int", "smallint",
+                                              "tinyint")
+                     else F.xxhash64(prop)).alias("_k"))
+                df = SK.hll_count_distinct(key, "_k", p=p)
+            else:
+                qs = ([float(a.value) for a in stmt.args[2:]]
+                      or [0.5, 0.9, 0.99])
+                sketch = SK.dd_sketch(
+                    nodes.select(F.col(prop).cast("double").alias("_v")),
+                    "_v", alpha=0.01, on_nonpositive="drop")
+                df = SK.dd_quantile(sketch, qs, alpha=0.01).orderBy("q")
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            return df
         elif name in ("gql.pagerank", "gql.connected_components",
                       "gql.k_truss", "gql.truss_decomposition",
                       "gql.core_decomposition",

@@ -798,3 +798,27 @@ def test_call_procedures_mixed_id_domains(spark):
     assert {lp[0].node_u, lp[0].node_v} == {"0", "2"}
     ht = db.execute("CALL gql.hits(2)").collect()
     assert len(ht) == 5
+
+
+def test_call_sketch_procedures(db):
+    # 40 Persons with distinct ages: HLL at p=12 resolves small
+    # cardinalities exactly (linear counting), DDSketch medians are
+    # within the 1% relative-error guarantee
+    for i in range(40):
+        db.execute(f"INSERT (:Person {{name: 'S{i}', age: {20 + i}}})")
+    est = db.execute(
+        "CALL gql.hll_distinct('Person', 'age')").collect()[0].estimate
+    assert abs(est - 40) < 2
+    # string property folds through xxhash64 before sketching
+    est_s = db.execute(
+        "CALL gql.hll_distinct('Person', 'name', 12)").collect()[0].estimate
+    assert abs(est_s - 40) < 2
+    rows = db.execute(
+        "CALL gql.dd_quantiles('Person', 'age', 0.5)").collect()
+    assert len(rows) == 1
+    true_median = sorted(20 + i for i in range(40))[int(0.5 * 39)]
+    assert abs(rows[0].estimate - true_median) / true_median <= 0.01
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="unknown property"):
+        db.execute("CALL gql.hll_distinct('Person', 'nope')")

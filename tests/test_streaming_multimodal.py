@@ -2294,3 +2294,24 @@ def test_gopher_and_html_extract_stream_match_batch(spark, tmp_path):
     got_h = {r.doc_id: r.text
              for r in spark.table("html_stream").collect()}
     assert got_h == exp_h and len(got_h) == 40
+
+
+def test_hll_sketch_stream_matches_batch(spark, events_stream_dir):
+    """Sketch builds are plain groupBy aggregates, so they run verbatim
+    on a stream (complete mode) — the streaming twin of the rollup
+    deployment: sketch microbatches, merge downstream."""
+    from graphlite_spark.operators.sketches import hll_sketch
+
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {(r.register, r.rho)
+                for r in hll_sketch(batch, "user_id", p=9, salt=6).collect()}
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    sketched = hll_sketch(stream, "user_id", p=9, salt=6)
+    assert sketched.isStreaming
+    q = (sketched.writeStream.format("memory").queryName("hll_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.register, r.rho)
+           for r in spark.table("hll_stream").collect()}
+    assert got == expected and len(got) >= 10
