@@ -3705,6 +3705,26 @@ def _q_hll_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(weekly, 9, ("week",)).orderBy("week")
 
 
+def _q_theta_overlap_custkeys(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Theta/KMV set-operation estimates — the query family HLL
+    cannot answer: how many customers placed BOTH a finished and an
+    open order, from two k=256 sketches (never the raw tables). Below
+    k a side is exact (sf0.001 exercises that branch; sf0.01+ the
+    estimator). The k smallest hashes, thresholds, and the rescaled
+    shared count all replay in SQL."""
+    from graphlite_spark.operators.sketches import (
+        theta_intersect_estimate, theta_sketch)
+    from pyspark.sql import functions as F
+
+    orders = _table(spark, sf_dir, "orders")
+    a = theta_sketch(orders.where(F.col("o_orderstatus") == "F"),
+                     "o_custkey", k=256, salt=3)
+    b = theta_sketch(orders.where(F.col("o_orderstatus") == "O"),
+                     "o_custkey", k=256, salt=3)
+    return theta_intersect_estimate(a, b, 256)
+
+
 def _q_bloom_customer_prefilter(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Bloom prefilter: customers whose key MIGHT be among big
@@ -3815,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_quantile_prices": _q_dd_quantile_prices,
             "bloom_customer_prefilter": _q_bloom_customer_prefilter,
             "hll_rollup_events": _q_hll_rollup_events,
+            "theta_overlap_custkeys": _q_theta_overlap_custkeys,
             "clustering_coefficient": _q_clustering_coefficient,
             "transitivity_copurchase": _q_transitivity,
             "hits_2iter": _q_hits_2iter,
@@ -7301,6 +7322,43 @@ def oracle_sql() -> dict[str, str]:
                       ELSE {_ralpha * _rm * _rm!r} / sum_inv END,
                      4) AS estimate
         FROM est ORDER BY 1
+    """
+
+    _tk, _ts = 256, 3
+    _tm32 = float(1 << 32)
+    sql["theta_overlap_custkeys"] = f"""
+        -- KMV replayed: k smallest distinct hashes per side, exact-
+        -- below-k thresholds, shared count below min(theta) rescaled
+        WITH ka AS (
+            SELECT DISTINCT {mix32_sql('o_custkey', _ts)} AS h
+            FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY 1 LIMIT {_tk}
+        ), kb AS (
+            SELECT DISTINCT {mix32_sql('o_custkey', _ts)} AS h
+            FROM orders WHERE o_orderstatus = 'O'
+            ORDER BY 1 LIMIT {_tk}
+        ), sa AS (SELECT count(*) AS n, max(h) AS hk FROM ka),
+        sb AS (SELECT count(*) AS n, max(h) AS hk FROM kb),
+        th AS (
+            SELECT least(
+                CASE WHEN sa.n < {_tk} THEN {_tm32!r}
+                     ELSE CAST(sa.hk AS DOUBLE) END,
+                CASE WHEN sb.n < {_tk} THEN {_tm32!r}
+                     ELSE CAST(sb.hk AS DOUBLE) END) AS theta
+            FROM sa, sb
+        ), c AS (
+            SELECT count(*) AS c FROM ka JOIN kb USING (h), th
+            WHERE ka.h < th.theta
+        )
+        SELECT
+            round(CASE WHEN sa.n < {_tk} THEN CAST(sa.n AS DOUBLE)
+                  ELSE {float(_tk - 1) * (1 << 32)!r} / sa.hk END, 4)
+                AS est_a,
+            round(CASE WHEN sb.n < {_tk} THEN CAST(sb.n AS DOUBLE)
+                  ELSE {float(_tk - 1) * (1 << 32)!r} / sb.hk END, 4)
+                AS est_b,
+            round(c.c * {_tm32!r} / th.theta, 4) AS est_intersection
+        FROM sa, sb, th, c
     """
 
     _nb, _bs = 1 << 12, 11

@@ -103,6 +103,7 @@ HEADLINE = [
     "dd_quantile_prices",             # DDSketch build + 5-quantile walk
     "bloom_customer_prefilter",       # broadcast-bitmap semi-join
     "hll_rollup_events",              # daily→weekly sketch re-max rollup
+    "theta_overlap_custkeys",         # KMV set-intersection estimate
 ]
 
 

@@ -294,6 +294,136 @@ def hll_count_distinct(df: DataFrame, key_col: str, group_cols: tuple = (),
 
 
 # ---------------------------------------------------------------------------
+# Theta / KMV (k minimum values)
+# ---------------------------------------------------------------------------
+
+def theta_sketch(df: DataFrame, key_col: str, group_cols: tuple = (),
+                 k: int = 1024, salt: int = 0) -> DataFrame:
+    """KMV sketch: (group..., h) — the k smallest DISTINCT hashes.
+
+    What HLL cannot do: because the sketch RETAINS sample hashes, two
+    sketches support set operations — union (re-take k smallest of the
+    union) and intersection ESTIMATES (``theta_intersect_estimate``) —
+    the audience-overlap query family. Fully deterministic given the
+    hash, hence order/partitioning-insensitive and oracle-replayable.
+
+    Scale shape: groupBy(group, h) first — partial aggregation
+    collapses duplicate keys map-side, which matters because
+    distinct-counting workloads are duplicate-heavy (a window-first
+    plan would ship every copy of the k smallest values). Then the
+    k-smallest selection: grouped sketches use row_number<=k, which
+    compiles to a partial pre-shuffle WindowGroupLimit (the
+    cap_per_key plan — each partition ships <= k rows per group);
+    UNGROUPED sketches must NOT use a window (an empty partitionBy
+    funnels every distinct hash through one partition) — sort+limit
+    compiles to TakeOrderedAndProject, the distributed per-partition
+    top-k merge.
+    """
+    if not 16 <= k <= (1 << 20):
+        raise ValueError(f"k must be in [16, 2^20], got {k}")
+    staged = _attach_mix32(df.select(*group_cols, key_col),
+                           F.col(key_col), salt, "h")
+    distinct = staged.select(*group_cols, "h").distinct()
+    return _k_smallest(distinct, k, group_cols)
+
+
+def _k_smallest(distinct: DataFrame, k: int,
+                group_cols: tuple) -> DataFrame:
+    from pyspark.sql import Window
+
+    if not group_cols:
+        return distinct.orderBy("h").limit(k)
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (
+        distinct.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k).drop("_rn")
+    )
+
+
+def theta_estimate(sketch: DataFrame, k: int,
+                   group_cols: tuple = ()) -> DataFrame:
+    """(group..., estimate) — (k-1)/U_(k), exact below k.
+
+    When a group holds fewer than k hashes the sketch IS the distinct
+    set (estimate = row count, exact); at k the k-th smallest
+    normalized hash estimates density. One integer division — no
+    transcendentals, so the value is bit-identical cross-engine even
+    before rounding.
+    """
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk"))
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float((k - 1)) * _M32) / F.col("_hk"))
+    gcols = [F.col(c) for c in group_cols]
+    return agg.select(*gcols, F.round(est, 4).alias("estimate"))
+
+
+def theta_union(*sketches: DataFrame, k: int = 1024,
+                group_cols: tuple = ()) -> DataFrame:
+    """Union sketch rows, dedup, re-take the k smallest — the
+    mergeability step (sketch rows only, kilobytes)."""
+    from pyspark.sql import Window
+
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    distinct = out.select(*group_cols, "h").distinct()
+    return _k_smallest(distinct, k, group_cols)
+
+
+def theta_intersect_estimate(a: DataFrame, b: DataFrame, k: int,
+                             group_cols: tuple = ()) -> DataFrame:
+    """(group..., est_a, est_b, est_intersection) from two KMV
+    sketches built with the SAME key domain, k, and salt.
+
+    theta = min of the two k-th-smallest thresholds (an exact side
+    contributes threshold 2^32, so two exact sides give the EXACT
+    intersection count); the estimate counts shared hashes below
+    theta and rescales by 1/theta. All sketch-row-sized work: two
+    k-row aggregates broadcast onto a k-row join.
+    """
+    def _side(s: DataFrame, tag: str) -> DataFrame:
+        agg = s.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias(f"_n{tag}"),
+            F.max("h").alias(f"_hk{tag}"))
+        return agg.withColumn(
+            f"_theta{tag}",
+            F.when(F.col(f"_n{tag}") < k,
+                   F.lit(float(_M32))).otherwise(
+                F.col(f"_hk{tag}").cast("double")))
+
+    stats = _side(a, "a")
+    stats_b = _side(b, "b")
+    stats = (stats.join(F.broadcast(stats_b), list(group_cols), "inner")
+             if group_cols else stats.crossJoin(F.broadcast(stats_b)))
+    theta = F.least(F.col("_thetaa"), F.col("_thetab"))
+    shared = a.join(b, [*group_cols, "h"], "inner")
+    joined = (shared.join(F.broadcast(stats), list(group_cols), "inner")
+              if group_cols else shared.crossJoin(F.broadcast(stats)))
+    counts = (
+        joined.where(F.col("h") < theta)
+        .groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # left join keeps groups whose intersection is EMPTY (est 0), which
+    # an inner join through `shared` would silently drop
+    out = (stats.join(counts, list(group_cols), "left") if group_cols
+           else stats.join(counts, F.lit(True), "left"))
+    c = F.coalesce(F.col("_c"), F.lit(0))
+    est_a = F.when(F.col("_na") < k, F.col("_na").cast("double")) \
+        .otherwise(F.lit(float(k - 1) * _M32) / F.col("_hka"))
+    est_b = F.when(F.col("_nb") < k, F.col("_nb").cast("double")) \
+        .otherwise(F.lit(float(k - 1) * _M32) / F.col("_hkb"))
+    est_i = c * F.lit(float(_M32)) / theta
+    gcols = [F.col(c_) for c_ in group_cols]
+    return out.select(
+        *gcols,
+        F.round(est_a, 4).alias("est_a"),
+        F.round(est_b, 4).alias("est_b"),
+        F.round(est_i, 4).alias("est_intersection"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-Min
 # ---------------------------------------------------------------------------
 

@@ -260,3 +260,59 @@ def test_bloom_validation(spark):
         sk.bloom_words(df, "k", num_bits=1000)
     with pytest.raises(ValueError, match="k must be"):
         sk.bloom_words(df, "k", num_bits=1 << 10, k=0)
+
+
+# ---------------------------------------------------------------------------
+# Theta / KMV
+# ---------------------------------------------------------------------------
+
+def test_theta_estimate_and_setops(spark):
+    A = spark.range(0, 10000).select(F.col("id").alias("k"))
+    B = spark.range(5000, 15000).select(F.col("id").alias("k"))
+    sa = sk.theta_sketch(A, "k", k=512, salt=3)
+    sb = sk.theta_sketch(B, "k", k=512, salt=3)
+    ea = sk.theta_estimate(sa, 512).collect()[0]["estimate"]
+    assert abs(ea - 10000) / 10000 < 0.15  # ~3 sigma at k=512
+    r = sk.theta_intersect_estimate(sa, sb, 512).collect()[0]
+    assert abs(r["est_intersection"] - 5000) / 5000 < 0.2
+    eu = sk.theta_estimate(sk.theta_union(sa, sb, k=512), 512) \
+        .collect()[0]["estimate"]
+    assert abs(eu - 15000) / 15000 < 0.15
+
+
+def test_theta_exact_below_k_and_disjoint(spark):
+    S = spark.range(0, 100).select(F.col("id").alias("k"))
+    ss = sk.theta_sketch(S, "k", k=512, salt=3)
+    assert sk.theta_estimate(ss, 512).collect()[0]["estimate"] == 100.0
+    # two exact sides -> EXACT intersection count
+    T = spark.range(60, 160).select(F.col("id").alias("k"))
+    st = sk.theta_sketch(T, "k", k=512, salt=3)
+    r = sk.theta_intersect_estimate(ss, st, 512).collect()[0]
+    assert (r["est_a"], r["est_b"], r["est_intersection"]) == \
+        (100.0, 100.0, 40.0)
+    # disjoint sides -> 0.0, group still present in the output
+    C = spark.range(20000, 30000).select(F.col("id").alias("k"))
+    sc = sk.theta_sketch(C, "k", k=512, salt=3)
+    r2 = sk.theta_intersect_estimate(
+        sk.theta_sketch(spark.range(0, 10000)
+                        .select(F.col("id").alias("k")), "k", k=512,
+                        salt=3), sc, 512).collect()
+    assert len(r2) == 1 and r2[0]["est_intersection"] == 0.0
+
+
+def test_theta_partition_and_duplicate_insensitive(spark):
+    A = spark.range(0, 5000).select((F.col("id") % 800).alias("k"))
+    s1 = sorted(r.h for r in sk.theta_sketch(A, "k", k=256, salt=1).collect())
+    s2 = sorted(r.h for r in
+                sk.theta_sketch(A.repartition(13), "k", k=256,
+                                salt=1).collect())
+    s3 = sorted(r.h for r in
+                sk.theta_sketch(A.unionByName(A), "k", k=256,
+                                salt=1).collect())
+    assert s1 == s2 == s3 and len(s1) == 256
+
+
+def test_theta_validation(spark):
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="k must be"):
+        sk.theta_sketch(df, "k", k=8)
