@@ -3705,6 +3705,42 @@ def _q_hll_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(weekly, 9, ("week",)).orderBy("week")
 
 
+def _q_shortest_path_pair_chain(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Bidirectional point-to-point BFS over the event chains: the
+    distance from the FIRST to the LAST event of the minimum-user
+    chain. The chain construction (lead per user) makes the oracle
+    closed form — dist = that user's event count minus one — so the
+    meet-in-the-middle search, batching, and horizon logic are all on
+    the hook for an exact scalar. Endpoints are passed as one-row
+    FRAMES (no driver round-trip building them)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import shortest_path_pair
+
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_id").alias("_src"),
+            F.lead("event_id").over(w).alias("_dst"))
+        .filter(F.col("_dst").isNotNull())
+        # the chain edges come from a window compute, re-read every
+        # expansion round — materialize once (a parquet-scan edge
+        # table wouldn't need this)
+        .localCheckpoint(eager=False)
+    )
+    minu = ev.groupBy().agg(F.min("user_id").alias("user_id"))
+    chain = ev.join(F.broadcast(minu), "user_id")
+    src = chain.orderBy("ts", "event_id").limit(1).select("event_id")
+    dst = chain.orderBy(F.col("ts").desc(),
+                        F.col("event_id").desc()).limit(1) \
+        .select("event_id")
+    return shortest_path_pair(edges, src, dst, max_hops=5000,
+                              batch_hops=16)
+
+
 def _q_theta_overlap_custkeys(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation estimates — the query family HLL
@@ -3836,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bloom_customer_prefilter": _q_bloom_customer_prefilter,
             "hll_rollup_events": _q_hll_rollup_events,
             "theta_overlap_custkeys": _q_theta_overlap_custkeys,
+            "shortest_path_pair_chain": _q_shortest_path_pair_chain,
             "clustering_coefficient": _q_clustering_coefficient,
             "transitivity_copurchase": _q_transitivity,
             "hits_2iter": _q_hits_2iter,
@@ -7322,6 +7359,14 @@ def oracle_sql() -> dict[str, str]:
                       ELSE {_ralpha * _rm * _rm!r} / sum_inv END,
                      4) AS estimate
         FROM est ORDER BY 1
+    """
+
+    sql["shortest_path_pair_chain"] = """
+        -- chains are linear, so first->last distance of the min-user
+        -- chain is its event count minus one (closed form)
+        SELECT CAST(count(*) - 1 AS BIGINT) AS dist
+        FROM events
+        WHERE user_id = (SELECT min(user_id) FROM events)
     """
 
     _tk, _ts = 256, 3

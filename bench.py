@@ -104,6 +104,7 @@ HEADLINE = [
     "bloom_customer_prefilter",       # broadcast-bitmap semi-join
     "hll_rollup_events",              # daily→weekly sketch re-max rollup
     "theta_overlap_custkeys",         # KMV set-intersection estimate
+    "shortest_path_pair_chain",       # bidirectional point-to-point BFS
 ]
 
 

@@ -163,6 +163,141 @@ def bfs_distances(
     return visited
 
 
+def shortest_path_pair(
+    edges: DataFrame,
+    source,
+    target,
+    max_hops: int = 20,
+    directed: bool = True,
+    batch_hops: int = 2,
+    dedup_every: int = 4,
+    max_batch_hops: int = 64,
+    grow_threshold: int = 1024,
+) -> DataFrame:
+    """One-row (dist) frame: the shortest hop count source -> target
+    (empty if unreachable within max_hops).
+
+    Bidirectional BFS — the point-query companion to bfs_distances:
+    two balls grow from both endpoints, ALTERNATING on the smaller
+    frontier, and the search stops at the first meeting. On a
+    branching-factor-b graph each ball explores O(b^(d/2)) nodes
+    instead of one ball's O(b^d) — at 100 TB graph scale this is the
+    difference between a point query and an all-pairs-sized job.
+
+    Exactness at first meeting: suppose the true distance d were
+    smaller than the best meeting sum. The node on a shortest path at
+    forward radius rf has backward distance d - rf; if d <= rf + rb it
+    lies in BOTH balls and bounds the meeting sum by d — so a meeting
+    sum > d forces d > rf + rb >= (that sum), a contradiction. Both
+    visited sets hold exact min-dists (level-order expansion with
+    anti-join), so the returned value is exact, batch size
+    notwithstanding.
+
+    source/target: python ints or single-column one-row DataFrames
+    (frame form avoids a driver round-trip when endpoints come from a
+    query). Driver probes are O(1) counters per round, the repo
+    discipline for iterative operators.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(SRC).alias("_a"), F.col(DST).alias("_b"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(DST).alias("_a"), F.col(SRC).alias("_b"))
+        ).distinct()
+    # backward ball walks edges REVERSED so dist_b is distance TO target
+    e_rev = e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+
+    def _one(v, name: str) -> DataFrame:
+        if isinstance(v, DataFrame):
+            c = v.columns[0]
+            return v.select(F.col(c).alias("node")).limit(1)
+        return spark.createDataFrame([(v,)], "node: long")
+
+    sides = {
+        "f": {"visited": _one(source, "src").withColumn("dist", F.lit(0)),
+              "edges": e},
+        "b": {"visited": _one(target, "dst").withColumn("dist", F.lit(0)),
+              "edges": e_rev},
+    }
+    for s in sides.values():
+        s["frontier"] = s["visited"]
+        s["n"] = 1
+        s["radius"] = 0
+        s["alive"] = True
+        s["batch"] = batch_hops
+
+    def _meet() -> int | None:
+        m = (sides["f"]["visited"].select("node", F.col("dist").alias("_df"))
+             .join(sides["b"]["visited"]
+                   .select("node", F.col("dist").alias("_db")), "node")
+             .agg(F.min(F.col("_df") + F.col("_db")).alias("d"))
+             .collect()[0]["d"])
+        return None if m is None else int(m)
+
+    best = _meet()  # source == target -> 0 immediately
+    while best is None:
+        live = [s for s in sides.values() if s["alive"]]
+        if not live:
+            return spark.createDataFrame([], "dist: long")
+        side = min(live, key=lambda s: s["n"])
+        other = sides["b"] if side is sides["f"] else sides["f"]
+        if side["radius"] + other["radius"] >= max_hops:
+            return spark.createDataFrame([], "dist: long")
+        lvl = side["frontier"]
+        levels = []
+        steps = min(side["batch"],
+                    max_hops - side["radius"] - other["radius"])
+        for i in range(steps):
+            side["radius"] += 1
+            lvl = lvl.join(side["edges"], lvl["node"] == side["edges"]["_a"],
+                           "inner").select(
+                F.col("_b").alias("node"),
+                (F.col("dist") + 1).alias("dist"))
+            # dedup + lineage cut on a cadence, not per level — each is
+            # a full shuffle stage and on sparse frontiers (chains:
+            # ONE node) the fixed stage cost dwarfs the duplicates it
+            # removes (the bfs_distances lesson)
+            if (i + 1) % dedup_every == 0:
+                lvl = lvl.dropDuplicates(["node"]) \
+                    .localCheckpoint(eager=False)
+            levels.append(lvl)
+        block = levels[0]
+        for extra in levels[1:]:
+            block = block.unionByName(extra)
+        nxt = (
+            block.groupBy("node").agg(F.min("dist").alias("dist"))
+            .join(side["visited"].select("node"), ["node"], "left_anti")
+        )
+        nxt = _ck_cut_stats(nxt)
+        # ONE probe job: frontier size AND the best meeting sum among
+        # the newly reached nodes (new meetings only arise from nxt)
+        probe = (
+            nxt.join(other["visited"]
+                     .select("node", F.col("dist").alias("_do")),
+                     ["node"], "left")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(F.col("dist") + F.col("_do")).alias("meet"))
+            .collect()[0]
+        )
+        side["n"] = int(probe["n"])
+        if side["n"] == 0:
+            side["alive"] = False
+            # an exhausted ball with no meeting means unreachable
+            return spark.createDataFrame([], "dist: long")
+        side["visited"] = side["visited"].unionByName(nxt)
+        side["frontier"] = nxt
+        # sparse frontier = round-count-bound regime (long chains):
+        # double the batch like bfs_distances; exactness is batch-size
+        # independent
+        if side["n"] < grow_threshold and side["batch"] < max_batch_hops:
+            side["batch"] = min(side["batch"] * 2, max_batch_hops)
+        if probe["meet"] is not None:
+            best = int(probe["meet"])
+    if best > max_hops:
+        return spark.createDataFrame([], "dist: long")
+    return spark.createDataFrame([(best,)], "dist: long")
+
+
 def closeness_centrality(
     edges: DataFrame,
     sources: DataFrame,

@@ -523,3 +523,44 @@ def test_betweenness_sampled_estimator(spark):
         spark.createDataFrame([(n,) for n in bnodes], "node long"),
         p=0.5, salt=3, max_hops=8)
     assert bout.count() > 0
+
+
+def test_shortest_path_pair_bidirectional(spark):
+    from graphlite_spark.operators.paths import bfs_distances, shortest_path_pair
+
+    # 12-chain with a branch: 0->..->11, plus 3->20->21
+    chain = [(i, i + 1) for i in range(11)] + [(3, 20), (20, 21)]
+    e = spark.createDataFrame(chain, "_src: long, _dst: long")
+
+    def d(s, t, **kw):
+        rows = shortest_path_pair(e, s, t, **kw).collect()
+        return rows[0]["dist"] if rows else None
+
+    assert d(0, 11, max_hops=15) == 11
+    assert d(0, 21, max_hops=15) == 5
+    assert d(5, 5) == 0
+    assert d(0, 11, max_hops=5) is None        # beyond horizon
+    assert d(11, 0, max_hops=15) is None       # directed: no back path
+    assert d(11, 0, max_hops=15, directed=False) == 11
+    assert d(21, 9, directed=False) == 8       # 21-20-3-4..9
+
+    # frame-typed endpoints (no driver round-trip needed by callers)
+    from pyspark.sql import functions as F
+    s_f = spark.createDataFrame([(0,)], "n: long")
+    t_f = spark.createDataFrame([(11,)], "n: long")
+    rows = shortest_path_pair(e, s_f, t_f, max_hops=15).collect()
+    assert rows[0]["dist"] == 11
+
+    # parity vs single-source BFS on a random-ish dense graph
+    import random
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(70)})
+    e2 = spark.createDataFrame(edges, "_src: long, _dst: long")
+    src = spark.createDataFrame([(0,)], "node: long")
+    ref = {r["node"]: r["dist"]
+           for r in bfs_distances(e2, src, max_hops=10).collect()}
+    for t in [5, 13, 29, 17]:
+        got = d2 = None
+        rows = shortest_path_pair(e2, 0, t, max_hops=10).collect()
+        got = rows[0]["dist"] if rows else None
+        assert got == ref.get(t), (t, got, ref.get(t))
