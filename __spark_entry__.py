@@ -3741,6 +3741,32 @@ def _q_shortest_path_pair_chain(spark: SparkSession,
                               batch_hops=16)
 
 
+def _q_dd_clamp_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-cost winsorization: l_extendedprice clamped into its
+    per-flag [Q05, Q95] DDSketch band. The audit aggregate (trim
+    counts + DECIMAL sum of clamped values — exact, order-independent)
+    hash-matches a full SQL replay of buckets → quantile walk →
+    clamp, so both the bounds and their application are verified."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sketches import dd_clamp
+
+    li = _table(spark, sf_dir, "lineitem")
+    out = dd_clamp(li, "l_extendedprice", lo_q=0.05, hi_q=0.95,
+                   alpha=0.01, group_cols=("l_returnflag",))
+    return (
+        out.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.col("l_extendedprice_clamped")
+                  .cast("decimal(18,4)")).cast("double")
+            .alias("sum_clamped"),
+            F.sum(F.col("_clamped_lo").cast("long")).alias("n_lo"),
+            F.sum(F.col("_clamped_hi").cast("long")).alias("n_hi"),
+        )
+        .orderBy("flag")
+    )
+
+
 def _q_theta_overlap_custkeys(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation estimates — the query family HLL
@@ -3873,6 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hll_rollup_events": _q_hll_rollup_events,
             "theta_overlap_custkeys": _q_theta_overlap_custkeys,
             "shortest_path_pair_chain": _q_shortest_path_pair_chain,
+            "dd_clamp_prices": _q_dd_clamp_prices,
             "clustering_coefficient": _q_clustering_coefficient,
             "transitivity_copurchase": _q_transitivity,
             "hits_2iter": _q_hits_2iter,
@@ -7404,6 +7431,46 @@ def oracle_sql() -> dict[str, str]:
                 AS est_b,
             round(c.c * {_tm32!r} / th.theta, 4) AS est_intersection
         FROM sa, sb, th, c
+    """
+
+    sql["dd_clamp_prices"] = f"""
+        -- winsorize replayed end-to-end: DDSketch buckets, the
+        -- 0.05/0.95 quantile walk, then clamp + exact DECIMAL audit
+        WITH b AS (
+            SELECT l_returnflag AS flag,
+                   CAST(ceil(ln(l_extendedprice) / {_lng!r}) AS BIGINT)
+                       AS bucket,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ), c AS (
+            SELECT flag, bucket,
+                   sum(cnt) OVER (PARTITION BY flag ORDER BY bucket)
+                       AS cum,
+                   sum(cnt) OVER (PARTITION BY flag) AS n
+            FROM b
+        ), qq AS (SELECT unnest([0.05, 0.95]) AS q),
+        qr AS (
+            SELECT flag, q,
+                   round({_sc2!r} * power({_gamma!r}, min(bucket)), 4)
+                       AS est
+            FROM c, qq WHERE cum > floor(q * (n - 1))
+            GROUP BY flag, q
+        ), bounds AS (
+            SELECT flag,
+                   min(CASE WHEN q = 0.05 THEN est END) AS lo,
+                   min(CASE WHEN q = 0.95 THEN est END) AS hi
+            FROM qr GROUP BY 1
+        )
+        SELECT l_returnflag AS flag,
+               CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi)
+                             AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_clamped,
+               CAST(sum(CASE WHEN l_extendedprice < lo
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+               CAST(sum(CASE WHEN l_extendedprice > hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        FROM lineitem JOIN bounds ON l_returnflag = bounds.flag
+        GROUP BY 1 ORDER BY 1
     """
 
     _nb, _bs = 1 << 12, 11

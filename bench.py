@@ -105,6 +105,7 @@ HEADLINE = [
     "hll_rollup_events",              # daily→weekly sketch re-max rollup
     "theta_overlap_custkeys",         # KMV set-intersection estimate
     "shortest_path_pair_chain",       # bidirectional point-to-point BFS
+    "dd_clamp_prices",                # sketch-cost winsorization
 ]
 
 

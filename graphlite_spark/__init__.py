@@ -898,7 +898,8 @@ class GraphLiteSpark:
                       "gql.random_walks",
                       "gql.hits", "gql.link_prediction",
                       "gql.clustering_coefficient",
-                      "gql.transitivity"):
+                      "gql.transitivity",
+                      "gql.shortest_path_pair"):
             # distributed graph analytics over the session graph's full
             # edge union (GraphIndexScan companions, operators/paths.py)
             from pyspark.sql import functions as F
@@ -963,6 +964,27 @@ class GraphLiteSpark:
                 df = P.clustering_coefficient(e)
             elif name == "gql.transitivity":
                 df = P.transitivity(e)
+            elif name == "gql.shortest_path_pair":
+                if len(stmt.args) < 2:
+                    raise ValueError(
+                        "gql.shortest_path_pair needs (src, dst[, "
+                        "max_hops])")
+                hops = (int(stmt.args[2].value) if len(stmt.args) > 2
+                        else 20)
+                src_v, dst_v = stmt.args[0].value, stmt.args[1].value
+                if len(id_types) > 1 or "string" in id_types:
+                    src_v, dst_v = str(src_v), str(dst_v)
+                    src_df = self.spark.createDataFrame(
+                        [(src_v,)], "node: string")
+                    dst_df = self.spark.createDataFrame(
+                        [(dst_v,)], "node: string")
+                else:
+                    src_df = self.spark.createDataFrame(
+                        [(int(src_v),)], "node: long")
+                    dst_df = self.spark.createDataFrame(
+                        [(int(dst_v),)], "node: long")
+                df = P.shortest_path_pair(e, src_df, dst_df,
+                                          max_hops=hops)
             else:
                 df = P.connected_components(e, n)
             if stmt.yield_cols:

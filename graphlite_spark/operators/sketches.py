@@ -616,6 +616,44 @@ def dd_quantile(sketch: DataFrame, qs: list, alpha: float = 0.01,
     )
 
 
+def dd_clamp(df: DataFrame, value_col: str, lo_q: float = 0.01,
+             hi_q: float = 0.99, alpha: float = 0.01,
+             group_cols: tuple = (), out_col: str | None = None,
+             on_nonpositive: str = "error") -> DataFrame:
+    """Winsorize: clamp ``value_col`` into [Q(lo_q), Q(hi_q)] — the
+    outlier-trimming pass of a curation pipeline at SKETCH cost.
+
+    The bounds come from a DDSketch (relative error alpha), so the
+    whole operation is two scans of the data (sketch build + clamp)
+    with only bucket rows and two quantile scalars per group ever
+    shuffled/broadcast — never a sort. Adds ``out_col`` (default
+    ``{value_col}_clamped``) plus ``_clamped_lo``/``_clamped_hi``
+    flags so audits can count trims. Positive-domain like dd_sketch.
+    """
+    if not 0 <= lo_q < hi_q <= 1:
+        raise ValueError(f"need 0 <= lo_q < hi_q <= 1,"
+                         f" got ({lo_q}, {hi_q})")
+    out_col = out_col or f"{value_col}_clamped"
+    sketch = dd_sketch(df, value_col, group_cols, alpha,
+                       on_nonpositive=on_nonpositive)
+    qs = dd_quantile(sketch, [lo_q, hi_q], alpha, group_cols)
+    bounds = qs.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("q") == float(lo_q),
+                     F.col("estimate"))).alias("_lo"),
+        F.min(F.when(F.col("q") == float(hi_q),
+                     F.col("estimate"))).alias("_hi"),
+    )
+    joined = (df.join(F.broadcast(bounds), list(group_cols), "left")
+              if group_cols else df.crossJoin(F.broadcast(bounds)))
+    v = F.col(value_col).cast("double")
+    return joined.select(
+        *df.columns,
+        F.least(F.greatest(v, F.col("_lo")), F.col("_hi")).alias(out_col),
+        (v < F.col("_lo")).alias("_clamped_lo"),
+        (v > F.col("_hi")).alias("_clamped_hi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter
 # ---------------------------------------------------------------------------

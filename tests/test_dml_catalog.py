@@ -822,3 +822,24 @@ def test_call_sketch_procedures(db):
 
     with _pytest.raises(KeyError, match="unknown property"):
         db.execute("CALL gql.hll_distinct('Person', 'nope')")
+
+
+def test_call_shortest_path_pair(db):
+    # directed chain A -> B -> C -> D plus a shortcut A -> C
+    for n in ["A", "B", "C", "D"]:
+        db.execute(f"INSERT (:Person {{name: '{n}'}})")
+    for a, b in [("A", "B"), ("B", "C"), ("C", "D"), ("A", "C")]:
+        db.execute(
+            "MATCH (x:Person {name: '%s'}), (y:Person {name: '%s'}) "
+            "INSERT (x)-[:KNOWS]->(y)" % (a, b))
+    ids = {r.name: r.i for r in db.query(
+        "MATCH (p:Person) RETURN p.name AS name, id(p) AS i").collect()}
+    d = db.execute(
+        f"CALL gql.shortest_path_pair('{ids['A']}', '{ids['D']}')"
+    ).collect()
+    assert len(d) == 1 and d[0].dist == 2  # A -> C -> D via the shortcut
+    # unreachable in the directed graph -> empty
+    d2 = db.execute(
+        f"CALL gql.shortest_path_pair('{ids['D']}', '{ids['A']}', 6)"
+    ).collect()
+    assert d2 == []

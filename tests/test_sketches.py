@@ -316,3 +316,23 @@ def test_theta_validation(spark):
     df = spark.range(5).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="k must be"):
         sk.theta_sketch(df, "k", k=8)
+
+
+def test_dd_clamp_winsorizes(spark):
+    vals = spark.range(1, 1001).select(F.col("id").cast("double").alias("v"))
+    out = sk.dd_clamp(vals, "v", lo_q=0.1, hi_q=0.9, alpha=0.01)
+    rows = out.collect()
+    lo_ct = sum(1 for r in rows if r["_clamped_lo"])
+    hi_ct = sum(1 for r in rows if r["_clamped_hi"])
+    # ~10% trimmed each side (alpha slack)
+    assert 80 <= lo_ct <= 120 and 80 <= hi_ct <= 120
+    # clamped column is bounded and untouched in the middle
+    los = [r["v_clamped"] for r in rows if r["_clamped_lo"]]
+    assert len(set(los)) == 1  # everything below lo maps to ONE bound
+    mid = [r for r in rows if not r["_clamped_lo"] and not r["_clamped_hi"]]
+    assert all(r["v_clamped"] == r["v"] for r in mid)
+    # bound within alpha of the true quantile
+    true_lo = 1 + 0.1 * 999
+    assert abs(los[0] - true_lo) / true_lo < 0.02
+    with pytest.raises(ValueError, match="lo_q"):
+        sk.dd_clamp(vals, "v", lo_q=0.9, hi_q=0.1)
