@@ -207,16 +207,16 @@ def shortest_path_pair(
     # backward ball walks edges REVERSED so dist_b is distance TO target
     e_rev = e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
 
-    def _one(v, name: str) -> DataFrame:
+    def _one(v) -> DataFrame:
         if isinstance(v, DataFrame):
             c = v.columns[0]
             return v.select(F.col(c).alias("node")).limit(1)
         return spark.createDataFrame([(v,)], "node: long")
 
     sides = {
-        "f": {"visited": _one(source, "src").withColumn("dist", F.lit(0)),
+        "f": {"visited": _one(source).withColumn("dist", F.lit(0)),
               "edges": e},
-        "b": {"visited": _one(target, "dst").withColumn("dist", F.lit(0)),
+        "b": {"visited": _one(target).withColumn("dist", F.lit(0)),
               "edges": e_rev},
     }
     for s in sides.values():

@@ -21,7 +21,7 @@ multiply, the multiplies 16/16-split so nothing overflows BIGINT under
 ANSI mode) — pure integer arithmetic both engines compute identically,
 so the sketches THEMSELVES replay in ANSI SQL and the gate
 hash-matches the registers, the estimates, and even Bloom false
-positives (``_mix32_sql`` emits the mirror expression — generated, not
+positives (``mix32_sql`` emits the mirror expression — generated, not
 hand-copied, per the gopher-oracle rule). The sampling family's plain
 Knuth hash is NOT enough here: its output is a Weyl sequence —
 perfectly equidistributed, which is exactly wrong for HLL's max-rho
@@ -321,8 +321,15 @@ def theta_sketch(df: DataFrame, key_col: str, group_cols: tuple = (),
     """
     if not 16 <= k <= (1 << 20):
         raise ValueError(f"k must be in [16, 2^20], got {k}")
-    staged = _attach_mix32(df.select(*group_cols, key_col),
-                           F.col(key_col), salt, "h")
+    if "h" in group_cols:
+        raise ValueError("group column may not be named 'h' (the "
+                         "sketch's hash column)")
+    # alias the key first: the hash column is NAMED 'h' in the output,
+    # and renaming onto an existing 'h' input column would create a
+    # duplicate-name frame
+    staged = _attach_mix32(
+        df.select(*group_cols, F.col(key_col).alias("_tsk")),
+        F.col("_tsk"), salt, "h")
     distinct = staged.select(*group_cols, "h").distinct()
     return _k_smallest(distinct, k, group_cols)
 
@@ -361,9 +368,11 @@ def theta_estimate(sketch: DataFrame, k: int,
 def theta_union(*sketches: DataFrame, k: int = 1024,
                 group_cols: tuple = ()) -> DataFrame:
     """Union sketch rows, dedup, re-take the k smallest — the
-    mergeability step (sketch rows only, kilobytes)."""
-    from pyspark.sql import Window
-
+    mergeability step (sketch rows only, kilobytes). ``k`` must match
+    the build (a larger k cannot be reconstructed from smaller
+    sketches)."""
+    if not 16 <= k <= (1 << 20):
+        raise ValueError(f"k must be in [16, 2^20], got {k}")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

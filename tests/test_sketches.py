@@ -336,3 +336,14 @@ def test_dd_clamp_winsorizes(spark):
     assert abs(los[0] - true_lo) / true_lo < 0.02
     with pytest.raises(ValueError, match="lo_q"):
         sk.dd_clamp(vals, "v", lo_q=0.9, hi_q=0.1)
+
+
+def test_theta_key_named_h(spark):
+    # the hash column is named 'h' — a key column with the same name
+    # must not produce a duplicate-name frame
+    df = spark.range(0, 200).select(F.col("id").alias("h"))
+    s = sk.theta_sketch(df, "h", k=64, salt=1)
+    assert s.columns == ["h"] and s.count() == 64
+    with pytest.raises(ValueError, match="named 'h'"):
+        sk.theta_sketch(df.withColumn("g", F.lit(1)), "h",
+                        group_cols=("h",), k=64)
