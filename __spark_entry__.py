@@ -3767,6 +3767,29 @@ def _q_dd_clamp_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_priority_sample_orders(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Duffield-Lund-Thorup priority sampling: 15 orders per status,
+    weight-proportional by o_totalprice, with the unbiased
+    weight_est = max(w, tau) estimates. Priorities are two IEEE
+    divisions over the replayed fmix32 uniform, so rows AND estimates
+    hash-match unrounded — the sampling, the threshold, and the
+    estimator are all oracle-verified."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sampling import priority_sample
+
+    orders = _table(spark, sf_dir, "orders")
+    out = priority_sample(orders, "o_totalprice", 15, "o_orderkey",
+                          salt=9, group_cols=("o_orderstatus",))
+    return out.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("weight"),
+        "weight_est",
+    ).orderBy("status", "orderkey")
+
+
 def _q_theta_overlap_custkeys(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation estimates — the query family HLL
@@ -3900,6 +3923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "theta_overlap_custkeys": _q_theta_overlap_custkeys,
             "shortest_path_pair_chain": _q_shortest_path_pair_chain,
             "dd_clamp_prices": _q_dd_clamp_prices,
+            "priority_sample_orders": _q_priority_sample_orders,
             "clustering_coefficient": _q_clustering_coefficient,
             "transitivity_copurchase": _q_transitivity,
             "hits_2iter": _q_hits_2iter,
@@ -7394,6 +7418,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(count(*) - 1 AS BIGINT) AS dist
         FROM events
         WHERE user_id = (SELECT min(user_id) FROM events)
+    """
+
+    sql["priority_sample_orders"] = f"""
+        -- DLT priority sampling replayed: q = w/u with the SAME
+        -- two-division evaluation order, rank by (q desc, key),
+        -- tau = the 16th priority, w_hat = greatest(w, tau)
+        WITH q AS (
+            SELECT o_orderstatus AS g, o_orderkey AS okey,
+                   o_totalprice AS w,
+                   o_totalprice / ((({mix32_sql('o_orderkey', 9)}) + 0.5)
+                                   / 4294967296.0) AS q
+            FROM orders
+        ), r AS (
+            SELECT g, okey, w, q,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY q DESC, okey) AS rn
+            FROM q
+        ), t AS (
+            SELECT g, max(CASE WHEN rn = 16 THEN q END) AS tau
+            FROM r GROUP BY 1
+        )
+        SELECT r.g AS status, r.okey AS orderkey, r.w AS weight,
+               greatest(r.w, coalesce(t.tau, 0.0)) AS weight_est
+        FROM r JOIN t ON r.g = t.g WHERE rn <= 15
+        ORDER BY 1, 2
     """
 
     _tk, _ts = 256, 3

@@ -106,6 +106,7 @@ HEADLINE = [
     "theta_overlap_custkeys",         # KMV set-intersection estimate
     "shortest_path_pair_chain",       # bidirectional point-to-point BFS
     "dd_clamp_prices",                # sketch-cost winsorization
+    "priority_sample_orders",         # DLT weight-proportional sampling
 ]
 
 

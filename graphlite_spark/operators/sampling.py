@@ -353,3 +353,82 @@ def dsir_select(
         .limit(int(k))
         .drop("_key")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    group_cols: tuple = (),
+    on_nonpositive: str = "error",
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2005): the n rows
+    with the largest priority q = w / u per group, plus the UNBIASED
+    per-row weight estimate ``w_hat = max(w, tau)``.
+
+    u is the deterministic uniform ``(fmix32(key)+0.5)/2^32`` (the
+    dsir Gumbel device), tau the (n+1)-th largest priority (0 when the
+    group fits entirely, making the sample exact). sum(w_hat) over ANY
+    kept subset unbiasedly estimates that subset's true weight sum —
+    the property plain weighted top-k does not have, and the reason
+    this is the right primitive for weight-proportional corpus
+    subsampling with downstream per-slice accounting.
+
+    Deterministic end to end — same rows and estimates on any
+    partitioning, replayable in ANSI SQL (q is two IEEE divisions,
+    ties broken by key). Scale: grouped selection compiles to the
+    partial pre-shuffle WindowGroupLimit plan (each partition ships
+    <= n+1 rows per group); ungrouped uses sort+limit
+    (TakeOrderedAndProject). Weights must be > 0 per the paper;
+    ``on_nonpositive``: 'error' (in-plan assertion) or 'drop'.
+    """
+    from pyspark.sql import Window
+
+    from .sketches import _attach_mix32, _M32 as _SM32
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(weight_col).cast("double")
+    if on_nonpositive == "drop":
+        df = df.where(w > 0)
+    elif on_nonpositive == "error":
+        w = F.when(w > 0, w).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"priority_sample: nonpositive {weight_col}: "),
+                w.cast("string"))).cast("double"))
+    else:
+        raise ValueError(f"on_nonpositive must be error|drop,"
+                         f" got {on_nonpositive!r}")
+    staged = _attach_mix32(
+        df.select(*group_cols, key_col, weight_col),
+        F.col(key_col), salt, "_ph")
+    u = (F.col("_ph") + F.lit(0.5)) / F.lit(float(_SM32))
+    staged = staged.select(
+        *group_cols, key_col, w.alias("_w"), (w / u).alias("_q"))
+    if group_cols:
+        win = Window.partitionBy(*[F.col(c) for c in group_cols]) \
+            .orderBy(F.col("_q").desc(), F.col(key_col))
+        top = staged.withColumn("_rn", F.row_number().over(win)) \
+            .where(F.col("_rn") <= n + 1)
+    else:
+        top = staged.orderBy(F.col("_q").desc(), F.col(key_col)) \
+            .limit(n + 1)
+        win = Window.partitionBy().orderBy(F.col("_q").desc(),
+                                           F.col(key_col))
+        top = top.withColumn("_rn", F.row_number().over(win))
+    taus = (
+        top.groupBy(*group_cols)
+        .agg(F.max(F.when(F.col("_rn") == n + 1, F.col("_q")))
+             .alias("_tau"))
+    )
+    kept = top.where(F.col("_rn") <= n)
+    joined = (kept.join(F.broadcast(taus), list(group_cols), "left")
+              if group_cols else kept.crossJoin(F.broadcast(taus)))
+    tau = F.coalesce(F.col("_tau"), F.lit(0.0))
+    return joined.select(
+        *group_cols, key_col,
+        F.col("_w").alias(weight_col),
+        F.greatest(F.col("_w"), tau).alias("weight_est"),
+    )

@@ -347,3 +347,77 @@ def test_theta_key_named_h(spark):
     with pytest.raises(ValueError, match="named 'h'"):
         sk.theta_sketch(df.withColumn("g", F.lit(1)), "h",
                         group_cols=("h",), k=64)
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (DLT)
+# ---------------------------------------------------------------------------
+
+def _py_priority(ws: dict, n: int, salt: int):
+    """Pure-python DLT replica: kept {key: w_hat}."""
+    qs = sorted(((w / ((py_mix32(k, salt) + 0.5) / M32), k, w)
+                 for k, w in ws.items()), key=lambda t: (-t[0], t[1]))
+    tau = qs[n][0] if len(qs) > n else 0.0
+    return {k: max(w, tau) for _, k, w in qs[:n]}
+
+
+def test_priority_sample_replica_parity(spark):
+    from graphlite_spark.operators.sampling import priority_sample
+
+    ws = {i: float(1 + (i * 7) % 13) for i in range(100)}
+    df = spark.createDataFrame(list(ws.items()), "doc_id: long, w: double")
+    for salt in (0, 9):
+        got = {r["doc_id"]: r["weight_est"]
+               for r in priority_sample(df, "w", 20, "doc_id",
+                                        salt=salt).collect()}
+        assert got == _py_priority(ws, 20, salt)
+    # partition insensitivity
+    a = sorted(map(tuple, priority_sample(df, "w", 10, "doc_id",
+                                          salt=3).collect()))
+    b = sorted(map(tuple,
+                   priority_sample(df.repartition(13), "w", 10, "doc_id",
+                                   salt=3).collect()))
+    assert a == b
+
+
+def test_priority_sample_exact_and_grouped(spark):
+    from graphlite_spark.operators.sampling import priority_sample
+
+    small = spark.createDataFrame([(i, 2.0, i % 2) for i in range(6)],
+                                  "doc_id: long, w: double, g: int")
+    out = priority_sample(small, "w", 10, "doc_id",
+                          group_cols=("g",)).collect()
+    # both groups fit entirely -> exact weights, all rows kept
+    assert len(out) == 6 and all(r["weight_est"] == 2.0 for r in out)
+    big = spark.createDataFrame(
+        [(i, float(i + 1), i % 2) for i in range(40)],
+        "doc_id: long, w: double, g: int")
+    kept = priority_sample(big, "w", 5, "doc_id",
+                           group_cols=("g",)).collect()
+    assert len(kept) == 10
+    assert {r["g"] for r in kept} == {0, 1}
+
+
+def test_priority_sample_estimator_converges():
+    # the DLT subset-sum estimator, averaged over MANY salts of the
+    # deterministic hash u, converges to the true total (skewed
+    # distribution: slow from below, hence 3000 draws)
+    ws = {i: float(1 + (i * 7) % 13) for i in range(100)}
+    true_total = sum(ws.values())
+    tot = 0.0
+    for salt in range(3000):
+        tot += sum(_py_priority(ws, 20, salt).values())
+    assert abs(tot / 3000 - true_total) / true_total < 0.03
+
+
+def test_priority_sample_validation(spark):
+    from graphlite_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame([(1, 0.0)], "doc_id: long, w: double")
+    with pytest.raises(ValueError, match="n must be"):
+        priority_sample(df, "w", 0, "doc_id")
+    with pytest.raises(Exception) as ei:
+        priority_sample(df, "w", 5, "doc_id").collect()
+    assert "nonpositive" in str(ei.value)
+    assert priority_sample(df, "w", 5, "doc_id",
+                           on_nonpositive="drop").count() == 0
