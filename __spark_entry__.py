@@ -3790,6 +3790,24 @@ def _q_priority_sample_orders(spark: SparkSession,
     ).orderBy("status", "orderkey")
 
 
+def _q_zorder_values_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order codes for (p_retailprice, p_size): the
+    data-layout primitive behind multi-column scan pruning. Equi-width
+    buckets from derived min/max + bit interleave are pure arithmetic,
+    so every code hash-matches the generated SQL mirror; the pruning
+    benefit itself is pinned by pytest against parquet row-group
+    statistics (y-only predicate: x-sorted layout reads 100%, z-order
+    reads <= 50%)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.layout import zorder_value
+
+    part = _table(spark, sf_dir, "part")
+    z = zorder_value(part, ["p_retailprice", "p_size"], bits=8)
+    return z.select(F.col("p_partkey").alias("partkey"),
+                    F.col("_z").alias("z")).orderBy("partkey")
+
+
 def _q_theta_overlap_custkeys(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation estimates — the query family HLL
@@ -3924,6 +3942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "shortest_path_pair_chain": _q_shortest_path_pair_chain,
             "dd_clamp_prices": _q_dd_clamp_prices,
             "priority_sample_orders": _q_priority_sample_orders,
+            "zorder_values_parts": _q_zorder_values_parts,
             "clustering_coefficient": _q_clustering_coefficient,
             "transitivity_copurchase": _q_transitivity,
             "hits_2iter": _q_hits_2iter,
@@ -7443,6 +7462,14 @@ def oracle_sql() -> dict[str, str]:
                greatest(r.w, coalesce(t.tau, 0.0)) AS weight_est
         FROM r JOIN t ON r.g = t.g WHERE rn <= 15
         ORDER BY 1, 2
+    """
+
+    from graphlite_spark.operators.layout import zorder_sql
+
+    sql["zorder_values_parts"] = f"""
+        SELECT p_partkey AS partkey, _z AS z
+        FROM ({zorder_sql(['p_retailprice', 'p_size'], 8, 'part')})
+        ORDER BY 1
     """
 
     _tk, _ts = 256, 3

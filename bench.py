@@ -107,6 +107,7 @@ HEADLINE = [
     "shortest_path_pair_chain",       # bidirectional point-to-point BFS
     "dd_clamp_prices",                # sketch-cost winsorization
     "priority_sample_orders",         # DLT weight-proportional sampling
+    "zorder_values_parts",            # Morton codes for layout pruning
 ]
 
 

@@ -421,3 +421,86 @@ def test_priority_sample_validation(spark):
     assert "nonpositive" in str(ei.value)
     assert priority_sample(df, "w", 5, "doc_id",
                            on_nonpositive="drop").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+def test_zorder_interleave_replica(spark):
+    from graphlite_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), float((i * 3) % 5)) for i in range(50)],
+        "id: long, x: double, y: double")
+    got = {r["id"]: r["_z"] for r in
+           zorder_value(df, ["x", "y"], bits=4,
+                        bounds={"x": (0, 6), "y": (0, 4)}).collect()}
+
+    def interleave(bx, by):
+        z = 0
+        for b in range(4):
+            z |= ((bx >> b) & 1) << (2 * b)
+            z |= ((by >> b) & 1) << (2 * b + 1)
+        return z
+
+    for i in range(50):
+        x, y = i % 7, (i * 3) % 5
+        bx = min(15, int(x / 6 * 16))
+        by = min(15, int(y / 4 * 16))
+        assert got[i] == interleave(bx, by), (i, x, y)
+
+
+def test_zorder_pruning_beats_single_sort(spark, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from graphlite_spark.operators.layout import zorder_repartition
+
+    df = spark.range(0, 40000).select(
+        (F.col("id") % 317).cast("double").alias("x"),
+        ((F.col("id") * 7919) % 293).cast("double").alias("y"))
+    zp, lp = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_repartition(df, ["x", "y"], 32, bits=10) \
+        .write.mode("overwrite").parquet(zp)
+    df.repartitionByRange(32, "x").sortWithinPartitions("x") \
+        .write.mode("overwrite").parquet(lp)
+
+    def touched(path, xr, yr):
+        hit = tot = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            for rg in range(md.num_row_groups):
+                st = {md.row_group(rg).column(i).path_in_schema:
+                      md.row_group(rg).column(i).statistics
+                      for i in range(md.row_group(rg).num_columns)}
+                tot += 1
+                if (st["x"].min <= xr[1] and st["x"].max >= xr[0]
+                        and st["y"].min <= yr[1] and st["y"].max >= yr[0]):
+                    hit += 1
+        return hit, tot
+
+    # the z-order claim: a predicate on the column the single sort
+    # IGNORES still prunes — linear-by-x reads everything
+    zh, zt = touched(zp, (0.0, 316.0), (100.0, 120.0))
+    lh, lt = touched(lp, (0.0, 316.0), (100.0, 120.0))
+    assert lh == lt  # x-sort: zero pruning on y
+    assert zh <= zt // 2, (zh, zt)  # z-order: at least half pruned
+
+
+def test_zorder_validation(spark):
+    from graphlite_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame([(1.0,)], "x: double")
+    with pytest.raises(ValueError, match="<= 63"):
+        zorder_value(df, ["x"], bits=64)
+    with pytest.raises(ValueError, match="bounds missing"):
+        zorder_value(df, ["x"], bounds={})
+    # constant column -> bucket 0 everywhere, no NaN
+    const = spark.createDataFrame([(2.0, float(i)) for i in range(4)],
+                                  "x: double, y: double")
+    zs = zorder_value(const, ["x", "y"], bits=4)
+    assert zs.where(F.col("_z").isNull()).count() == 0
