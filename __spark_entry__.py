@@ -3808,6 +3808,28 @@ def _q_zorder_values_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("_z").alias("z")).orderBy("partkey")
 
 
+def _q_mis_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set over the copurchase graph
+    (l_partkey%300 pairs sharing an order). Hash priorities make
+    every round a pure function of (graph, salt), so the oracle
+    REPLAYS the rounds as unrolled generated SQL — the parallel
+    algorithm itself is hash-matched, not just set properties."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import maximal_independent_set
+
+    li = _table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey", (F.col("l_partkey") % 300).alias("_src"))
+    b = li.where(F.col("l_linenumber") == 2).select(
+        "l_orderkey", (F.col("l_partkey") % 300).alias("_dst"))
+    raw = a.join(b, "l_orderkey").select("_src", "_dst")
+    nodes = raw.select(F.col("_src").alias("node")).unionByName(
+        raw.select(F.col("_dst").alias("node"))).distinct()
+    out = maximal_independent_set(raw, nodes, salt=5)
+    return out.orderBy("node")
+
+
 def _q_theta_overlap_custkeys(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation estimates — the query family HLL
@@ -3943,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_clamp_prices": _q_dd_clamp_prices,
             "priority_sample_orders": _q_priority_sample_orders,
             "zorder_values_parts": _q_zorder_values_parts,
+            "mis_copurchase": _q_mis_copurchase,
             "clustering_coefficient": _q_clustering_coefficient,
             "transitivity_copurchase": _q_transitivity,
             "hits_2iter": _q_hits_2iter,
@@ -7470,6 +7493,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT p_partkey AS partkey, _z AS z
         FROM ({zorder_sql(['p_retailprice', 'p_size'], 8, 'part')})
         ORDER BY 1
+    """
+
+    _mis_rounds, _mis_salt = 10, 5
+    _mis_ctes = []
+    for r in range(_mis_rounds):
+        _mis_ctes.append(f"""
+        nbr{r} AS MATERIALIZED (
+            SELECT _a, _bpri, _b FROM (
+                SELECT e._a, u._pri AS _bpri, e._b,
+                       row_number() OVER (PARTITION BY e._a
+                                          ORDER BY u._pri, e._b) AS rn
+                FROM e{r} e JOIN und{r} u ON e._b = u.node)
+            WHERE rn = 1
+        ), win{r} AS MATERIALIZED (
+            SELECT u.node FROM und{r} u JOIN nbr{r} n ON u.node = n._a
+            WHERE (u._pri, u.node) < (n._bpri, n._b)
+        ), und{r + 1} AS MATERIALIZED (
+            SELECT * FROM und{r}
+            WHERE node NOT IN (SELECT node FROM win{r})
+              AND node NOT IN (
+                SELECT e._b FROM e{r} e
+                JOIN win{r} w ON e._a = w.node)
+        ), e{r + 1} AS MATERIALIZED (
+            SELECT e.* FROM e{r} e
+            WHERE e._a IN (SELECT node FROM und{r + 1})
+              AND e._b IN (SELECT node FROM und{r + 1})
+        )""")
+    _mis_union = "\n            UNION ALL ".join(
+        f"SELECT node FROM win{r}" for r in range(_mis_rounds))
+    sql["mis_copurchase"] = f"""
+        -- Luby MIS replayed: {_mis_rounds} unrolled rounds (each a
+        -- min-neighbor-priority window + tuple-compare winners +
+        -- knockouts); extra rounds past the fixpoint are no-ops, and
+        -- survivors of the last round are the isolated leftovers
+        WITH raw AS MATERIALIZED (
+            SELECT a.l_partkey % 300 AS x, b.l_partkey % 300 AS y
+            FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_linenumber = 1 AND b.l_linenumber = 2
+        ), nodes0 AS (
+            SELECT DISTINCT x AS node FROM raw
+            UNION SELECT DISTINCT y FROM raw
+        ), canon AS (
+            SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
+            FROM raw WHERE x <> y
+        ), und0 AS MATERIALIZED (
+            SELECT node, {mix32_sql('node', _mis_salt)} AS _pri
+            FROM nodes0
+        ), e0 AS MATERIALIZED (
+            SELECT lo AS _a, hi AS _b FROM canon
+            UNION ALL SELECT hi, lo FROM canon
+        ),{",".join(_mis_ctes)}
+        SELECT node FROM (
+            {_mis_union}
+            UNION ALL SELECT node FROM und{_mis_rounds}
+        ) ORDER BY node
     """
 
     _tk, _ts = 256, 3

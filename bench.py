@@ -108,6 +108,7 @@ HEADLINE = [
     "dd_clamp_prices",                # sketch-cost winsorization
     "priority_sample_orders",         # DLT weight-proportional sampling
     "zorder_values_parts",            # Morton codes for layout pruning
+    "mis_copurchase",                 # Luby maximal independent set
 ]
 
 

@@ -899,7 +899,8 @@ class GraphLiteSpark:
                       "gql.hits", "gql.link_prediction",
                       "gql.clustering_coefficient",
                       "gql.transitivity",
-                      "gql.shortest_path_pair"):
+                      "gql.shortest_path_pair",
+                      "gql.maximal_independent_set"):
             # distributed graph analytics over the session graph's full
             # edge union (GraphIndexScan companions, operators/paths.py)
             from pyspark.sql import functions as F
@@ -964,6 +965,9 @@ class GraphLiteSpark:
                 df = P.clustering_coefficient(e)
             elif name == "gql.transitivity":
                 df = P.transitivity(e)
+            elif name == "gql.maximal_independent_set":
+                salt = int(stmt.args[0].value) if stmt.args else 0
+                df = P.maximal_independent_set(e, n, salt=salt)
             elif name == "gql.shortest_path_pair":
                 if len(stmt.args) < 2:
                     raise ValueError(

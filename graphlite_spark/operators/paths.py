@@ -1425,6 +1425,105 @@ def truss_decomposition(
                       "trussness")
 
 
+def maximal_independent_set(
+    edges: DataFrame,
+    nodes: DataFrame,
+    salt: int = 0,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node) — a maximal independent set by Luby's algorithm with
+    DETERMINISTIC hash priorities (Luby 1986, the parallel-MIS
+    classic; the base primitive for parallel matching, coloring, and
+    scheduling).
+
+    Each round, every undecided node whose priority
+    (fmix32(node, salt), node) is strictly smaller than all undecided
+    neighbors' joins the set; winners' neighbors are knocked out; the
+    edge set shrinks to undecided-undecided pairs and the loop repeats
+    until no edges remain (leftover isolated nodes all join). Expected
+    O(log n) rounds; the hash tie-break by node id makes every round
+    — and therefore the SET ITSELF — a pure function of (graph, salt),
+    so the oracle replays the rounds as unrolled generated SQL.
+    Independence and maximality hold by construction (a winner has no
+    undecided smaller-priority neighbor; a knocked-out node has a
+    neighbor in the set; a surviving isolated node joins).
+
+    Scale shape per round: one min-priority groupBy over the CURRENT
+    edge set (map-side combined) + two semi/anti joins, all keyed on
+    node id; lineage cut per round; bounded rounds RAISE (the repo's
+    iterative-operator discipline).
+    """
+    from .sketches import _attach_mix32
+
+    id_col = nodes.columns[0]
+    lo = F.least(F.col(SRC), F.col(DST))
+    hi = F.greatest(F.col(SRC), F.col(DST))
+    canon = (
+        edges.select(lo.alias("_lo"), hi.alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+    )
+    und_edges = canon.select(
+        F.col("_lo").alias("_a"), F.col("_hi").alias("_b")
+    ).unionByName(
+        canon.select(F.col("_hi").alias("_a"), F.col("_lo").alias("_b"))
+    ).localCheckpoint(eager=False)
+    # string ids (pure-GQL content hashes) fold through xxhash64 for
+    # the PRIORITY arithmetic only — the set carries original ids (the
+    # random_walks discipline); numeric ids stay oracle-replayable
+    id_dtype = dict(nodes.dtypes)[id_col]
+    pri_key = (F.col("node") if id_dtype in
+               ("tinyint", "smallint", "int", "bigint")
+               else F.xxhash64(F.col("node")))
+    undecided = _attach_mix32(
+        nodes.select(F.col(id_col).alias("node")).distinct(),
+        pri_key, salt, "_pri",
+    ).localCheckpoint(eager=False)
+    mis = None
+    for _ in range(max_rounds):
+        if und_edges.isEmpty():
+            break
+        # min neighbor priority per undecided node with >= 1 edge;
+        # priority = (hash, node) lexicographic — ties impossible
+        pri = undecided.select("node", "_pri")
+        nbr = (
+            und_edges.join(pri.withColumnRenamed("node", "_b")
+                           .withColumnRenamed("_pri", "_bpri"), "_b")
+            .groupBy("_a")
+            .agg(F.min(F.struct(F.col("_bpri"), F.col("_b")))
+                 .alias("_nmin"))
+        )
+        winners = (
+            pri.join(nbr.withColumnRenamed("_a", "node"), "node")
+            .where(F.struct(F.col("_pri"), F.col("node")) < F.col("_nmin"))
+            .select("node")
+        )
+        losers = (
+            und_edges.join(winners.withColumnRenamed("node", "_a"), "_a",
+                           "left_semi")
+            .select(F.col("_b").alias("node")).distinct()
+        )
+        mis = winners if mis is None else mis.unionByName(winners)
+        gone = winners.unionByName(losers)
+        undecided = undecided.join(gone, "node", "left_anti") \
+            .localCheckpoint(eager=False)
+        und_edges = (
+            und_edges.join(undecided.select(F.col("node").alias("_a")),
+                           "_a", "left_semi")
+            .join(undecided.select(F.col("node").alias("_b")), "_b",
+                  "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise RuntimeError(
+            f"maximal_independent_set: not done after {max_rounds} "
+            f"rounds — raise max_rounds")
+    # every surviving undecided node is isolated in the residual graph
+    leftovers = undecided.select("node")
+    out = leftovers if mis is None else mis.unionByName(leftovers)
+    return out.select("node")
+
+
 def label_propagation(
     edges: DataFrame,
     nodes: DataFrame,

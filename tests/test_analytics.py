@@ -564,3 +564,54 @@ def test_shortest_path_pair_bidirectional(spark):
         rows = shortest_path_pair(e2, 0, t, max_hops=10).collect()
         got = rows[0]["dist"] if rows else None
         assert got == ref.get(t), (t, got, ref.get(t))
+
+
+def test_maximal_independent_set(spark):
+    from graphlite_spark.operators.paths import maximal_independent_set
+
+    # clique(4) + chain(5) + isolated node, plus a duplicate/reversed
+    # edge to exercise canonicalization
+    import itertools
+    clique = list(itertools.combinations(range(4), 2))
+    chain = [(10 + i, 11 + i) for i in range(4)]
+    edges = clique + chain + [(1, 0), (20, 20)]
+    e = spark.createDataFrame(edges, "_src: long, _dst: long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(4)) + list(range(10, 15)) + [20, 30]],
+        "node: long")
+    got = sorted(r["node"] for r in
+                 maximal_independent_set(e, nodes, salt=1).collect())
+
+    # pure-python Luby replica with the same priorities
+    from tests.test_sketches import py_mix32
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    und = {r[0] for r in nodes.collect()}
+    mis: set = set()
+    while any(adj.get(u) and (adj[u] & und) for u in und):
+        pri = {u: (py_mix32(u, 1), u) for u in und}
+        winners = {u for u in und if adj.get(u) and (adj[u] & und)
+                   and all(pri[u] < pri[v] for v in adj[u] & und)}
+        knocked = {v for w in winners for v in adj[w] & und}
+        mis |= winners
+        und -= winners | knocked
+    mis |= und  # isolated leftovers
+    assert got == sorted(mis)
+
+    # structural properties: independence + maximality
+    es = {(a, b) for a, b in edges if a != b}
+    es |= {(b, a) for a, b in es}
+    s = set(got)
+    assert not any((a, b) in es for a in s for b in s)
+    allnodes = {r[0] for r in nodes.collect()}
+    for v in allnodes - s:
+        assert any((v, u) in es for u in s), v
+
+    # bound raises
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="not done"):
+        maximal_independent_set(e, nodes, max_rounds=0)

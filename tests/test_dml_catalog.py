@@ -843,3 +843,26 @@ def test_call_shortest_path_pair(db):
         f"CALL gql.shortest_path_pair('{ids['D']}', '{ids['A']}', 6)"
     ).collect()
     assert d2 == []
+
+
+def test_call_maximal_independent_set(db):
+    # triangle A-B-C plus pendant C-D: MIS is {D, one of A/B/C}
+    for n in ["A", "B", "C", "D"]:
+        db.execute(f"INSERT (:Person {{name: '{n}'}})")
+    for a, b in [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D")]:
+        db.execute(
+            "MATCH (x:Person {name: '%s'}), (y:Person {name: '%s'}) "
+            "INSERT (x)-[:KNOWS]->(y)" % (a, b))
+    got = {r.node for r in
+           db.execute("CALL gql.maximal_independent_set()").collect()}
+    names = {r.i: r.name for r in db.query(
+        "MATCH (p:Person) RETURN p.name AS name, id(p) AS i").collect()}
+    picked = {names[n] for n in got}
+    assert "D" in picked or "C" in picked
+    # independence: C and D never both in (edge), A/B not both in, etc.
+    es = {("A", "B"), ("B", "C"), ("A", "C"), ("C", "D")}
+    assert not any((a, b) in es or (b, a) in es
+                   for a in picked for b in picked)
+    # maximality: every excluded vertex has a neighbor inside
+    for v in set("ABCD") - picked:
+        assert any((v, u) in es or (u, v) in es for u in picked), v
