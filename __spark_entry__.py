@@ -3830,6 +3830,23 @@ def _q_mis_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("node")
 
 
+def _q_matching_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel maximal matching over the copurchase graph — like
+    mis_copurchase, the deterministic edge priorities let the oracle
+    replay the pointer rounds themselves as unrolled SQL."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import maximal_matching
+
+    li = _table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey", (F.col("l_partkey") % 300).alias("_src"))
+    b = li.where(F.col("l_linenumber") == 2).select(
+        "l_orderkey", (F.col("l_partkey") % 300).alias("_dst"))
+    raw = a.join(b, "l_orderkey").select("_src", "_dst")
+    return maximal_matching(raw, salt=7).orderBy("node_u", "node_v")
+
+
 def _q_theta_overlap_custkeys(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation estimates — the query family HLL
@@ -3966,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "priority_sample_orders": _q_priority_sample_orders,
             "zorder_values_parts": _q_zorder_values_parts,
             "mis_copurchase": _q_mis_copurchase,
+            "matching_copurchase": _q_matching_copurchase,
             "clustering_coefficient": _q_clustering_coefficient,
             "transitivity_copurchase": _q_transitivity,
             "hits_2iter": _q_hits_2iter,
@@ -7549,6 +7567,55 @@ def oracle_sql() -> dict[str, str]:
             {_mis_union}
             UNION ALL SELECT node FROM und{_mis_rounds}
         ) ORDER BY node
+    """
+
+    _mm_rounds, _mm_salt = 12, 7
+    _mm_inner = mix32_sql("lo", _mm_salt)
+    _mm_pri = mix32_sql(f"(({_mm_inner}) + hi) % 4294967296", _mm_salt)
+    _mm_ctes = []
+    for r in range(_mm_rounds):
+        _mm_ctes.append(f"""
+        cand{r} AS MATERIALIZED (
+            SELECT node, _lo, _hi FROM (
+                SELECT node, _lo, _hi,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY _pri, _lo, _hi) AS rn
+                FROM (SELECT _lo AS node, _pri, _lo, _hi FROM m{r}
+                      UNION ALL
+                      SELECT _hi, _pri, _lo, _hi FROM m{r}))
+            WHERE rn = 1
+        ), hit{r} AS MATERIALIZED (
+            SELECT e._lo, e._hi FROM m{r} e
+            JOIN cand{r} cl ON cl.node = e._lo AND cl._lo = e._lo
+                           AND cl._hi = e._hi
+            JOIN cand{r} ch ON ch.node = e._hi AND ch._lo = e._lo
+                           AND ch._hi = e._hi
+        ), m{r + 1} AS MATERIALIZED (
+            SELECT e.* FROM m{r} e
+            WHERE e._lo NOT IN (SELECT _lo FROM hit{r}
+                                UNION ALL SELECT _hi FROM hit{r})
+              AND e._hi NOT IN (SELECT _lo FROM hit{r}
+                                UNION ALL SELECT _hi FROM hit{r})
+        )""")
+    _mm_union = "\n            UNION ALL ".join(
+        f"SELECT _lo, _hi FROM hit{r}" for r in range(_mm_rounds))
+    sql["matching_copurchase"] = f"""
+        -- parallel pointer matching replayed: {_mm_rounds} unrolled
+        -- rounds of per-node argmin candidates + both-endpoints hits
+        WITH raw AS MATERIALIZED (
+            SELECT a.l_partkey % 300 AS x, b.l_partkey % 300 AS y
+            FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_linenumber = 1 AND b.l_linenumber = 2
+        ), canon AS MATERIALIZED (
+            SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
+            FROM raw WHERE x <> y
+        ), m0 AS MATERIALIZED (
+            SELECT lo AS _lo, hi AS _hi, {_mm_pri} AS _pri FROM canon
+        ),{",".join(_mm_ctes)}
+        SELECT _lo AS node_u, _hi AS node_v FROM (
+            {_mm_union}
+        ) ORDER BY 1, 2
     """
 
     _tk, _ts = 256, 3

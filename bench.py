@@ -109,6 +109,7 @@ HEADLINE = [
     "priority_sample_orders",         # DLT weight-proportional sampling
     "zorder_values_parts",            # Morton codes for layout pruning
     "mis_copurchase",                 # Luby maximal independent set
+    "matching_copurchase",            # parallel pointer matching
 ]
 
 

@@ -900,7 +900,8 @@ class GraphLiteSpark:
                       "gql.clustering_coefficient",
                       "gql.transitivity",
                       "gql.shortest_path_pair",
-                      "gql.maximal_independent_set"):
+                      "gql.maximal_independent_set",
+                      "gql.maximal_matching"):
             # distributed graph analytics over the session graph's full
             # edge union (GraphIndexScan companions, operators/paths.py)
             from pyspark.sql import functions as F
@@ -968,6 +969,9 @@ class GraphLiteSpark:
             elif name == "gql.maximal_independent_set":
                 salt = int(stmt.args[0].value) if stmt.args else 0
                 df = P.maximal_independent_set(e, n, salt=salt)
+            elif name == "gql.maximal_matching":
+                salt = int(stmt.args[0].value) if stmt.args else 0
+                df = P.maximal_matching(e, salt=salt)
             elif name == "gql.shortest_path_pair":
                 if len(stmt.args) < 2:
                     raise ValueError(

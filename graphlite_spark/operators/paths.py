@@ -1524,6 +1524,87 @@ def maximal_independent_set(
     return out.select("node")
 
 
+def maximal_matching(
+    edges: DataFrame,
+    salt: int = 0,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """(node_u, node_v) — a maximal matching by parallel pointer
+    rounds (Israeli & Itai 1986 style): every node points at its
+    minimum-priority incident edge; an edge whose BOTH endpoints point
+    at it is matched; matched endpoints drop out and the edge set
+    shrinks. The assignment/pairing primitive (dedup pairing, greedy
+    1-1 linkage) — MIS's sibling.
+
+    Edge priority = (fmix32((fmix32(lo)+hi) mod 2^32), lo, hi) —
+    deterministic and unique, so the MATCHING is a pure function of
+    (graph, salt) and the oracle replays the rounds as unrolled SQL.
+    The globally minimum edge in any residual component is pointed at
+    from both sides, so every round matches >= 1 edge per component;
+    bounded rounds RAISE. String ids fold through xxhash64 for the
+    priority only (the random_walks discipline).
+
+    Per round: one explode-both-directions projection, one min-struct
+    groupBy per node (map-side combined), two candidate joins, two
+    anti-joins — all keyed on node ids, lineage cut per round.
+    """
+    from .sketches import _attach_mix32, _M32
+
+    lo = F.least(F.col(SRC), F.col(DST))
+    hi = F.greatest(F.col(SRC), F.col(DST))
+    canon = (
+        edges.select(lo.alias("_lo"), hi.alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+    )
+    dtypes = {t for _, t in canon.dtypes}
+    numeric = dtypes <= {"tinyint", "smallint", "int", "bigint"}
+    lo_k = F.col("_lo") if numeric else F.xxhash64(F.col("_lo"))
+    hi_k = F.col("_hi") if numeric else F.xxhash64(F.col("_hi"))
+    cur = _attach_mix32(canon, lo_k, salt, "_m1")
+    cur = _attach_mix32(
+        cur, F.pmod(F.col("_m1") + hi_k, F.lit(_M32)), salt, "_pri",
+    ).drop("_m1").localCheckpoint(eager=False)
+    matched = None
+    for _ in range(max_rounds):
+        if cur.isEmpty():
+            break
+        ek = F.struct(F.col("_pri"), F.col("_lo"), F.col("_hi"))
+        both = cur.select(F.col("_lo").alias("node"), ek.alias("_ek")) \
+            .unionByName(
+                cur.select(F.col("_hi").alias("node"), ek.alias("_ek")))
+        cand = both.groupBy("node").agg(F.min("_ek").alias("_cand"))
+        hits = (
+            cur.join(cand.withColumnRenamed("node", "_lo")
+                     .withColumnRenamed("_cand", "_cl"), "_lo")
+            .join(cand.withColumnRenamed("node", "_hi")
+                  .withColumnRenamed("_cand", "_ch"), "_hi")
+            .where((ek == F.col("_cl")) & (ek == F.col("_ch")))
+            .select("_lo", "_hi")
+        )
+        matched = hits if matched is None else matched.unionByName(hits)
+        gone = hits.select(F.col("_lo").alias("node")).unionByName(
+            hits.select(F.col("_hi").alias("node")))
+        cur = (
+            cur.join(gone.withColumnRenamed("node", "_lo"), "_lo",
+                     "left_anti")
+            .join(gone.withColumnRenamed("node", "_hi"), "_hi",
+                  "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise RuntimeError(
+            f"maximal_matching: not done after {max_rounds} rounds —"
+            f" raise max_rounds")
+    spark = edges.sparkSession
+    if matched is None:
+        schema_t = dict(canon.dtypes)["_lo"]
+        return spark.createDataFrame(
+            [], f"node_u: {schema_t}, node_v: {schema_t}")
+    return matched.select(F.col("_lo").alias("node_u"),
+                          F.col("_hi").alias("node_v"))
+
+
 def label_propagation(
     edges: DataFrame,
     nodes: DataFrame,

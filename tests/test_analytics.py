@@ -615,3 +615,50 @@ def test_maximal_independent_set(spark):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="not done"):
         maximal_independent_set(e, nodes, max_rounds=0)
+
+
+def test_maximal_matching(spark):
+    from graphlite_spark.operators.paths import maximal_matching
+    from tests.test_sketches import py_mix32
+
+    import itertools
+    M32 = 1 << 32
+    clique = list(itertools.combinations(range(5), 2))
+    chain = [(10 + i, 11 + i) for i in range(5)]
+    edges = clique + chain + [(2, 1), (30, 30)]
+    e = spark.createDataFrame(edges, "_src: long, _dst: long")
+    got = sorted((r["node_u"], r["node_v"]) for r in
+                 maximal_matching(e, salt=2).collect())
+
+    # pure-python replica with identical priorities and rounds
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    pri = {(a, b): (py_mix32((py_mix32(a, 2) + b) % M32, 2), a, b)
+           for a, b in canon}
+    live = set(canon)
+    matched = []
+    while live:
+        cand = {}
+        for a, b in live:
+            for n in (a, b):
+                if n not in cand or pri[(a, b)] < pri[cand[n]]:
+                    cand[n] = (a, b)
+        hits = [eb for eb in live if cand[eb[0]] == eb and cand[eb[1]] == eb]
+        matched += hits
+        used = {n for eb in hits for n in eb}
+        live = {eb for eb in live if eb[0] not in used and eb[1] not in used}
+    assert got == sorted(matched)
+
+    # matching property: no node appears twice; maximality: every
+    # original edge has a matched endpoint
+    seen = [n for uv in got for n in uv]
+    assert len(seen) == len(set(seen))
+    ms = set(seen)
+    for a, b in canon:
+        assert a in ms or b in ms, (a, b)
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="not done"):
+        maximal_matching(e, max_rounds=0)
+    # empty graph -> empty typed frame
+    empty = spark.createDataFrame([], "_src: long, _dst: long")
+    assert maximal_matching(empty).count() == 0

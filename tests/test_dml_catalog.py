@@ -866,3 +866,19 @@ def test_call_maximal_independent_set(db):
     # maximality: every excluded vertex has a neighbor inside
     for v in set("ABCD") - picked:
         assert any((v, u) in es or (u, v) in es for u in picked), v
+
+
+def test_call_maximal_matching(db):
+    # path A - B - C - D: a maximal matching has exactly 2 edges
+    # (or 1 if it picks the middle edge)
+    for n in ["A", "B", "C", "D"]:
+        db.execute(f"INSERT (:Person {{name: '{n}'}})")
+    for a, b in [("A", "B"), ("B", "C"), ("C", "D")]:
+        db.execute(
+            "MATCH (x:Person {name: '%s'}), (y:Person {name: '%s'}) "
+            "INSERT (x)-[:KNOWS]->(y)" % (a, b))
+    got = [(r.node_u, r.node_v) for r in
+           db.execute("CALL gql.maximal_matching()").collect()]
+    seen = [n for uv in got for n in uv]
+    assert len(seen) == len(set(seen))  # a matching
+    assert len(got) in (1, 2)           # middle-edge or outer pair
