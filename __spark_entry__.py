@@ -3847,6 +3847,27 @@ def _q_matching_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(raw, salt=7).orderBy("node_u", "node_v")
 
 
+def _q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel within an hour per step,
+    earliest-anchored strict order — the product-analytics staple as
+    k-1 shrinking user-keyed joins (no whole-history windows)."""
+    from graphlite_spark.operators.temporal import funnel
+
+    ev = _table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], 3600) \
+        .orderBy("step")
+
+
+def _q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = Monday week of first
+    activity, offset 0..6; one min-per-user aggregate + one distinct
+    + one join — no per-user sorting anywhere."""
+    from graphlite_spark.operators.temporal import retention_cohorts
+
+    ev = _table(spark, sf_dir, "events")
+    return retention_cohorts(ev, horizon=6).orderBy("cohort", "offset")
+
+
 def _q_theta_overlap_custkeys(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation estimates — the query family HLL
@@ -3984,6 +4005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "zorder_values_parts": _q_zorder_values_parts,
             "mis_copurchase": _q_mis_copurchase,
             "matching_copurchase": _q_matching_copurchase,
+            "funnel_view_click_purchase": _q_funnel_events,
+            "retention_weekly_events": _q_retention_weekly,
             "clustering_coefficient": _q_clustering_coefficient,
             "transitivity_copurchase": _q_transitivity,
             "hits_2iter": _q_hits_2iter,
@@ -7616,6 +7639,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT _lo AS node_u, _hi AS node_v FROM (
             {_mm_union}
         ) ORDER BY 1, 2
+    """
+
+    sql["funnel_view_click_purchase"] = """
+        -- earliest-anchored strict-order funnel, each step within an
+        -- hour of the previous
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t
+              AND e.ts <= s1.t + INTERVAL 3600 SECOND
+            GROUP BY 1
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              AND e.ts <= s2.t + INTERVAL 3600 SECOND
+            GROUP BY 1
+        )
+        SELECT 1 AS step, 'view' AS event_type,
+               (SELECT count(*) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        ORDER BY 1
+    """
+
+    sql["retention_weekly_events"] = """
+        -- weekly retention triangle: Monday cohorts, week offsets
+        WITH f AS (
+            SELECT user_id, min(ts) AS ft FROM events GROUP BY 1
+        ), cohort AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', ft) AS DATE) AS cohort
+            FROM f
+        ), active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS w
+            FROM events
+        ), j AS (
+            SELECT c.cohort,
+                   CAST(datediff('day', c.cohort, a.w) // 7 AS BIGINT)
+                       AS "offset"
+            FROM active a JOIN cohort c ON a.user_id = c.user_id
+        ), counts AS (
+            SELECT cohort, "offset", count(*) AS n_active
+            FROM j WHERE "offset" BETWEEN 0 AND 6 GROUP BY 1, 2
+        ), sizes AS (
+            SELECT cohort, count(*) AS n_cohort FROM cohort GROUP BY 1
+        )
+        SELECT counts.cohort, "offset", n_active, n_cohort,
+               round(n_active / n_cohort, 4) AS retention
+        FROM counts JOIN sizes ON counts.cohort = sizes.cohort
+        ORDER BY 1, 2
     """
 
     _tk, _ts = 256, 3

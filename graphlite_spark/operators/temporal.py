@@ -328,3 +328,102 @@ def gapfill(
         *by_cols,
         v.alias("value"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step, event_type, n_users) — strict-order funnel conversion.
+
+    The product-analytics staple: per user, anchor at the EARLIEST
+    occurrence of step 1, then require each subsequent step strictly
+    after the previous one and within ``within_seconds`` of it,
+    always taking the earliest qualifying event (the standard
+    earliest-anchored semantics; a later anchor that would convert
+    when the earliest doesn't is deliberately not credited — document
+    before comparing numbers across tools).
+
+    Scale shape: k-1 joins, each keyed on the user id between a
+    filtered event scan and the previous step's one-row-per-user
+    frame — the per-step frames only shrink, and every aggregate is a
+    map-side-combined min. No windows over whole user histories.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if within_seconds <= 0:
+        raise ValueError(f"within_seconds must be > 0,"
+                         f" got {within_seconds}")
+    u, t = F.col(user_col), F.col(ts_col)
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+    )
+    out_rows = [cur.agg(
+        F.lit(1).alias("step"), F.lit(steps[0]).alias("event_type"),
+        F.count(F.lit(1)).alias("n_users"))]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .join(cur, user_col)
+            .where((t > F.col("_t")) &
+                   (t <= F.col("_t") +
+                    F.expr(f"INTERVAL {int(within_seconds)} SECOND")))
+            .groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        )
+        out_rows.append(nxt.agg(
+            F.lit(i).alias("step"), F.lit(step).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users")))
+        cur = nxt
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    horizon: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort, offset, n_active, n_cohort, retention) — weekly
+    retention triangle: cohort = the Monday week of a user's FIRST
+    event; offset = weeks since cohort; n_active = cohort members
+    active that week. offset 0 is the cohort size by construction.
+
+    Scale shape: one min-per-user aggregate (the cohort assignment,
+    broadcastable — one row per user), one distinct over (user, week),
+    a join back on user id, and a counting groupBy — no windows, no
+    per-user sorting.
+    """
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    first = (
+        events.groupBy(user_col)
+        .agg(F.min(ts_col).alias("_first")))
+    cohort = first.select(
+        user_col,
+        F.date_trunc("week", F.col("_first")).cast("date").alias("cohort"))
+    active = events.select(user_col, week.alias("_week")).distinct()
+    joined = active.join(cohort, user_col).withColumn(
+        "offset", (F.datediff(F.col("_week"), F.col("cohort")) / 7)
+        .cast("long"))
+    counts = (
+        joined.where(F.col("offset").between(0, horizon))
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        counts.join(sizes, "cohort")
+        .select("cohort", "offset", "n_active", "n_cohort",
+                F.round(F.col("n_active") / F.col("n_cohort"), 4)
+                .alias("retention"))
+    )

@@ -172,3 +172,63 @@ def test_gapfill_locf_zero_interp(spark):
     null = {(r.k, r.bucket): r.value
             for r in gapfill(df, every="1 hour", by="k", fill="null").collect()}
     assert null[("a", _ts("2024-01-01 02:00:00"))] is None
+
+
+def test_funnel_strict_order_and_window(spark):
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.temporal import funnel
+
+    rows = [
+        # u1 converts fully: A@0, B@10, C@20
+        (1, "A", 0), (1, "B", 10), (1, "C", 20),
+        # u2: B before A -> only step 1 credited (B@5 not after A@8)
+        (2, "B", 5), (2, "A", 8), (2, "C", 9),
+        # wait - u2's C@9 is after A@8 but step 2 is B, no B after A
+        # u3: A@0, B@200 outside the 100s window -> step 1 only
+        (3, "A", 0), (3, "B", 200),
+        # u4: anchored at earliest A@0; B@50 ok; C@140 within 100 of B
+        (4, "A", 0), (4, "B", 50), (4, "A", 60), (4, "C", 140),
+        # u5: no A at all
+        (5, "B", 0), (5, "C", 1),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, s) for u, t, s in rows],
+        "user_id: long, event_type: string, sec: long",
+    ).select("user_id", "event_type",
+             F.timestamp_seconds(F.col("sec")).alias("ts"))
+    got = {r["step"]: (r["event_type"], r["n_users"])
+           for r in funnel(ev, ["A", "B", "C"], 100).collect()}
+    assert got == {1: ("A", 4), 2: ("B", 2), 3: ("C", 2)}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least 2"):
+        funnel(ev, ["A"], 100)
+    with _pytest.raises(ValueError, match="within_seconds"):
+        funnel(ev, ["A", "B"], 0)
+
+
+def test_retention_cohorts_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.temporal import retention_cohorts
+
+    # two cohorts: users 1,2 first active week 0; user 3 week 1.
+    # week 0 = 2024-01-01 (a Monday)
+    day = 86400
+    rows = [
+        (1, 0), (2, 0),              # cohort w0
+        (1, 7 * day), (3, 7 * day),  # w1: u1 retained, u3 new cohort
+        (2, 14 * day), (3, 14 * day),  # w2
+    ]
+    ev = spark.createDataFrame(rows, "user_id: long, sec: long").select(
+        "user_id",
+        F.timestamp_seconds(F.col("sec") + 1704067200).alias("ts"))
+    got = {(str(r["cohort"]), r["offset"]):
+           (r["n_active"], r["n_cohort"], r["retention"])
+           for r in retention_cohorts(ev, horizon=4).collect()}
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-01", 2)] == (1, 2, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert got[("2024-01-08", 1)] == (1, 1, 1.0)
