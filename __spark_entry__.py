@@ -3847,6 +3847,31 @@ def _q_matching_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(raw, salt=7).orderBy("node_u", "node_v")
 
 
+def _q_matching_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preis locally-heaviest matching: weights = shared-order counts
+    per copurchase pair, priorities (-w, edge) — deterministic with
+    no hash at all, total weight >= 1/2 optimum (Preis 1999). Same
+    unrolled-rounds oracle as the unweighted entry."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import maximal_matching
+
+    li = _table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey", (F.col("l_partkey") % 300).alias("x"))
+    b = li.where(F.col("l_linenumber") == 2).select(
+        "l_orderkey", (F.col("l_partkey") % 300).alias("y"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("x") != F.col("y"))
+        .groupBy(F.least("x", "y").alias("_src"),
+                 F.greatest("x", "y").alias("_dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return maximal_matching(pairs, weight_col="cnt") \
+        .orderBy("node_u", "node_v")
+
+
 def _q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel within an hour per step,
     earliest-anchored strict order — the product-analytics staple as
@@ -4005,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "zorder_values_parts": _q_zorder_values_parts,
             "mis_copurchase": _q_mis_copurchase,
             "matching_copurchase": _q_matching_copurchase,
+            "matching_weighted_copurchase": _q_matching_weighted,
             "funnel_view_click_purchase": _q_funnel_events,
             "retention_weekly_events": _q_retention_weekly,
             "clustering_coefficient": _q_clustering_coefficient,
@@ -7595,9 +7621,13 @@ def oracle_sql() -> dict[str, str]:
     _mm_rounds, _mm_salt = 12, 7
     _mm_inner = mix32_sql("lo", _mm_salt)
     _mm_pri = mix32_sql(f"(({_mm_inner}) + hi) % 4294967296", _mm_salt)
-    _mm_ctes = []
-    for r in range(_mm_rounds):
-        _mm_ctes.append(f"""
+
+    def _pointer_rounds(rounds: int, hit_cols: str):
+        """Unrolled pointer-matching rounds (shared by the unweighted
+        and Preis-weighted oracles; only the hit projection varies)."""
+        ctes = []
+        for r in range(rounds):
+            ctes.append(f"""
         cand{r} AS MATERIALIZED (
             SELECT node, _lo, _hi FROM (
                 SELECT node, _lo, _hi,
@@ -7608,7 +7638,7 @@ def oracle_sql() -> dict[str, str]:
                       SELECT _hi, _pri, _lo, _hi FROM m{r}))
             WHERE rn = 1
         ), hit{r} AS MATERIALIZED (
-            SELECT e._lo, e._hi FROM m{r} e
+            SELECT {hit_cols} FROM m{r} e
             JOIN cand{r} cl ON cl.node = e._lo AND cl._lo = e._lo
                            AND cl._hi = e._hi
             JOIN cand{r} ch ON ch.node = e._hi AND ch._lo = e._lo
@@ -7620,6 +7650,9 @@ def oracle_sql() -> dict[str, str]:
               AND e._hi NOT IN (SELECT _lo FROM hit{r}
                                 UNION ALL SELECT _hi FROM hit{r})
         )""")
+        return ctes
+
+    _mm_ctes = _pointer_rounds(_mm_rounds, "e._lo, e._hi")
     _mm_union = "\n            UNION ALL ".join(
         f"SELECT _lo, _hi FROM hit{r}" for r in range(_mm_rounds))
     sql["matching_copurchase"] = f"""
@@ -7638,6 +7671,28 @@ def oracle_sql() -> dict[str, str]:
         ),{",".join(_mm_ctes)}
         SELECT _lo AS node_u, _hi AS node_v FROM (
             {_mm_union}
+        ) ORDER BY 1, 2
+    """
+
+    _mw_ctes = _pointer_rounds(25, "e._lo, e._hi, e._w")
+    _mw_union = "\n            UNION ALL ".join(
+        f"SELECT _lo, _hi, _w FROM hit{r}" for r in range(25))
+    sql["matching_weighted_copurchase"] = f"""
+        -- Preis locally-heaviest matching replayed: priorities are
+        -- (-weight, edge), weights = shared-order counts per pair
+        WITH raw AS MATERIALIZED (
+            SELECT a.l_partkey % 300 AS x, b.l_partkey % 300 AS y
+            FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_linenumber = 1 AND b.l_linenumber = 2
+        ), m0 AS MATERIALIZED (
+            SELECT least(x, y) AS _lo, greatest(x, y) AS _hi,
+                   -CAST(count(*) AS DOUBLE) AS _pri,
+                   CAST(count(*) AS DOUBLE) AS _w
+            FROM raw WHERE x <> y GROUP BY 1, 2
+        ),{",".join(_mw_ctes)}
+        SELECT _lo AS node_u, _hi AS node_v, _w AS weight FROM (
+            {_mw_union}
         ) ORDER BY 1, 2
     """
 

@@ -110,6 +110,7 @@ HEADLINE = [
     "zorder_values_parts",            # Morton codes for layout pruning
     "mis_copurchase",                 # Luby maximal independent set
     "matching_copurchase",            # parallel pointer matching
+    "matching_weighted_copurchase",   # Preis locally-heaviest matching
     "funnel_view_click_purchase",     # strict-order funnel conversion
     "retention_weekly_events",        # weekly cohort retention triangle
 ]

@@ -1528,20 +1528,27 @@ def maximal_matching(
     edges: DataFrame,
     salt: int = 0,
     max_rounds: int = 60,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """(node_u, node_v) — a maximal matching by parallel pointer
-    rounds (Israeli & Itai 1986 style): every node points at its
-    minimum-priority incident edge; an edge whose BOTH endpoints point
-    at it is matched; matched endpoints drop out and the edge set
-    shrinks. The assignment/pairing primitive (dedup pairing, greedy
-    1-1 linkage) — MIS's sibling.
+    """(node_u, node_v[, weight]) — a maximal matching by parallel
+    pointer rounds (Israeli & Itai 1986 style): every node points at
+    its best incident edge; an edge whose BOTH endpoints point at it
+    is matched; matched endpoints drop out and the edge set shrinks.
+    The assignment/pairing primitive (dedup pairing, greedy 1-1
+    linkage) — MIS's sibling.
 
-    Edge priority = (fmix32((fmix32(lo)+hi) mod 2^32), lo, hi) —
-    deterministic and unique, so the MATCHING is a pure function of
-    (graph, salt) and the oracle replays the rounds as unrolled SQL.
-    The globally minimum edge in any residual component is pointed at
-    from both sides, so every round matches >= 1 edge per component;
-    bounded rounds RAISE. String ids fold through xxhash64 for the
+    Unweighted: edge priority = (fmix32((fmix32(lo)+hi) mod 2^32),
+    lo, hi) — deterministic and unique, so the MATCHING is a pure
+    function of (graph, salt) and the oracle replays the rounds as
+    unrolled SQL. With ``weight_col``, "best" means locally HEAVIEST
+    (priority = (-w, lo, hi); max weight kept per parallel edge) —
+    Preis 1999: matching locally-heaviest edges guarantees total
+    weight >= 1/2 of the maximum-weight matching, and stays fully
+    deterministic (ties by edge id), so it replays the same way.
+
+    The best edge in any residual component is pointed at from both
+    sides, so every round matches >= 1 edge per component; bounded
+    rounds RAISE. String ids fold through xxhash64 for the hash
     priority only (the random_walks discipline).
 
     Per round: one explode-both-directions projection, one min-struct
@@ -1552,19 +1559,29 @@ def maximal_matching(
 
     lo = F.least(F.col(SRC), F.col(DST))
     hi = F.greatest(F.col(SRC), F.col(DST))
-    canon = (
-        edges.select(lo.alias("_lo"), hi.alias("_hi"))
-        .filter(F.col("_lo") != F.col("_hi"))
-        .distinct()
-    )
-    dtypes = {t for _, t in canon.dtypes}
-    numeric = dtypes <= {"tinyint", "smallint", "int", "bigint"}
-    lo_k = F.col("_lo") if numeric else F.xxhash64(F.col("_lo"))
-    hi_k = F.col("_hi") if numeric else F.xxhash64(F.col("_hi"))
-    cur = _attach_mix32(canon, lo_k, salt, "_m1")
-    cur = _attach_mix32(
-        cur, F.pmod(F.col("_m1") + hi_k, F.lit(_M32)), salt, "_pri",
-    ).drop("_m1").localCheckpoint(eager=False)
+    if weight_col is not None:
+        canon = (
+            edges.select(lo.alias("_lo"), hi.alias("_hi"),
+                         F.col(weight_col).cast("double").alias("_w"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .groupBy("_lo", "_hi").agg(F.max("_w").alias("_w"))
+        )
+        cur = canon.withColumn("_pri", -F.col("_w")) \
+            .localCheckpoint(eager=False)
+    else:
+        canon = (
+            edges.select(lo.alias("_lo"), hi.alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .distinct()
+        )
+        dtypes = {t for _, t in canon.dtypes}
+        numeric = dtypes <= {"tinyint", "smallint", "int", "bigint"}
+        lo_k = F.col("_lo") if numeric else F.xxhash64(F.col("_lo"))
+        hi_k = F.col("_hi") if numeric else F.xxhash64(F.col("_hi"))
+        cur = _attach_mix32(canon, lo_k, salt, "_m1")
+        cur = _attach_mix32(
+            cur, F.pmod(F.col("_m1") + hi_k, F.lit(_M32)), salt, "_pri",
+        ).drop("_m1").localCheckpoint(eager=False)
     matched = None
     for _ in range(max_rounds):
         if cur.isEmpty():
@@ -1574,13 +1591,14 @@ def maximal_matching(
             .unionByName(
                 cur.select(F.col("_hi").alias("node"), ek.alias("_ek")))
         cand = both.groupBy("node").agg(F.min("_ek").alias("_cand"))
+        keep = ["_lo", "_hi"] + (["_w"] if weight_col is not None else [])
         hits = (
             cur.join(cand.withColumnRenamed("node", "_lo")
                      .withColumnRenamed("_cand", "_cl"), "_lo")
             .join(cand.withColumnRenamed("node", "_hi")
                   .withColumnRenamed("_cand", "_ch"), "_hi")
             .where((ek == F.col("_cl")) & (ek == F.col("_ch")))
-            .select("_lo", "_hi")
+            .select(*keep)
         )
         matched = hits if matched is None else matched.unionByName(hits)
         gone = hits.select(F.col("_lo").alias("node")).unionByName(
@@ -1599,10 +1617,14 @@ def maximal_matching(
     spark = edges.sparkSession
     if matched is None:
         schema_t = dict(canon.dtypes)["_lo"]
+        extra = ", weight: double" if weight_col is not None else ""
         return spark.createDataFrame(
-            [], f"node_u: {schema_t}, node_v: {schema_t}")
-    return matched.select(F.col("_lo").alias("node_u"),
-                          F.col("_hi").alias("node_v"))
+            [], f"node_u: {schema_t}, node_v: {schema_t}{extra}")
+    out_cols = [F.col("_lo").alias("node_u"),
+                F.col("_hi").alias("node_v")]
+    if weight_col is not None:
+        out_cols.append(F.col("_w").alias("weight"))
+    return matched.select(*out_cols)
 
 
 def label_propagation(

@@ -662,3 +662,33 @@ def test_maximal_matching(spark):
     # empty graph -> empty typed frame
     empty = spark.createDataFrame([], "_src: long, _dst: long")
     assert maximal_matching(empty).count() == 0
+
+
+def test_maximal_matching_weighted_preis(spark):
+    from graphlite_spark.operators.paths import maximal_matching
+
+    # path a-b-c-d with weights 1, 10, 1: locally-heaviest matches
+    # ONLY b-c (weight 10) then a/d are isolated -> maximal
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 10.0), (2, 3, 1.0)],
+        "_src: long, _dst: long, w: double")
+    got = [(r["node_u"], r["node_v"], r["weight"]) for r in
+           maximal_matching(e, weight_col="w").collect()]
+    assert got == [(1, 2, 10.0)]
+
+    # even weights: w(a-b)=5, w(b-c)=3, w(c-d)=5 -> outer pair wins
+    e2 = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 3.0), (2, 3, 5.0)],
+        "_src: long, _dst: long, w: double")
+    got2 = sorted((r["node_u"], r["node_v"]) for r in
+                  maximal_matching(e2, weight_col="w").collect())
+    assert got2 == [(0, 1), (2, 3)]
+
+    # parallel edges keep the max weight; Preis half-approx sanity on
+    # a star + rim: center-heavy edge matched first
+    e3 = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 1, 7.0), (1, 2, 4.0)],
+        "_src: long, _dst: long, w: double")
+    got3 = [(r["node_u"], r["node_v"], r["weight"]) for r in
+            maximal_matching(e3, weight_col="w").collect()]
+    assert got3 == [(0, 1, 7.0)]
