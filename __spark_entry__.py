@@ -3847,6 +3847,30 @@ def _q_matching_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_matching(raw, salt=7).orderBy("node_u", "node_v")
 
 
+def _q_coloring_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby-wave greedy coloring of the event chains (color k = MIS
+    of the residual). Chains 2/3-color; the oracle replays all waves
+    with the same generated round blocks as mis_copurchase."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import greedy_coloring
+
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_id").alias("_src"),
+            F.lead("event_id").over(w).alias("_dst"))
+        .filter(F.col("_dst").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    nodes = ev.select(F.col("event_id").alias("node"))
+    out = greedy_coloring(edges, nodes, salt=11, max_colors=4)
+    return out.select(F.col("node").alias("event_id"),
+                      "color").orderBy("event_id")
+
+
 def _q_matching_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preis locally-heaviest matching: weights = shared-order counts
     per copurchase pair, priorities (-w, edge) — deterministic with
@@ -4031,6 +4055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mis_copurchase": _q_mis_copurchase,
             "matching_copurchase": _q_matching_copurchase,
             "matching_weighted_copurchase": _q_matching_weighted,
+            "coloring_event_chains": _q_coloring_chains,
             "funnel_view_click_purchase": _q_funnel_events,
             "retention_weekly_events": _q_retention_weekly,
             "clustering_coefficient": _q_clustering_coefficient,
@@ -7563,32 +7588,44 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _mis_rounds, _mis_salt = 10, 5
-    _mis_ctes = []
-    for r in range(_mis_rounds):
-        _mis_ctes.append(f"""
-        nbr{r} AS MATERIALIZED (
+
+    def _mis_wave(pfx: str, rounds: int):
+        """Unrolled Luby-MIS rounds under a CTE-name prefix, reading
+        und{pfx}0/e{pfx}0 — shared by the MIS oracle and each wave of
+        the coloring oracle so the round logic cannot drift. Returns
+        (cte_blocks, mis_set_select)."""
+        ctes = []
+        for r in range(rounds):
+            ctes.append(f"""
+        {pfx}nbr{r} AS MATERIALIZED (
             SELECT _a, _bpri, _b FROM (
                 SELECT e._a, u._pri AS _bpri, e._b,
                        row_number() OVER (PARTITION BY e._a
                                           ORDER BY u._pri, e._b) AS rn
-                FROM e{r} e JOIN und{r} u ON e._b = u.node)
+                FROM {pfx}e{r} e JOIN {pfx}und{r} u ON e._b = u.node)
             WHERE rn = 1
-        ), win{r} AS MATERIALIZED (
-            SELECT u.node FROM und{r} u JOIN nbr{r} n ON u.node = n._a
+        ), {pfx}win{r} AS MATERIALIZED (
+            SELECT u.node FROM {pfx}und{r} u
+            JOIN {pfx}nbr{r} n ON u.node = n._a
             WHERE (u._pri, u.node) < (n._bpri, n._b)
-        ), und{r + 1} AS MATERIALIZED (
-            SELECT * FROM und{r}
-            WHERE node NOT IN (SELECT node FROM win{r})
+        ), {pfx}und{r + 1} AS MATERIALIZED (
+            SELECT * FROM {pfx}und{r}
+            WHERE node NOT IN (SELECT node FROM {pfx}win{r})
               AND node NOT IN (
-                SELECT e._b FROM e{r} e
-                JOIN win{r} w ON e._a = w.node)
-        ), e{r + 1} AS MATERIALIZED (
-            SELECT e.* FROM e{r} e
-            WHERE e._a IN (SELECT node FROM und{r + 1})
-              AND e._b IN (SELECT node FROM und{r + 1})
+                SELECT e._b FROM {pfx}e{r} e
+                JOIN {pfx}win{r} w ON e._a = w.node)
+        ), {pfx}e{r + 1} AS MATERIALIZED (
+            SELECT e.* FROM {pfx}e{r} e
+            WHERE e._a IN (SELECT node FROM {pfx}und{r + 1})
+              AND e._b IN (SELECT node FROM {pfx}und{r + 1})
         )""")
-    _mis_union = "\n            UNION ALL ".join(
-        f"SELECT node FROM win{r}" for r in range(_mis_rounds))
+        union = "\n            UNION ALL ".join(
+            f"SELECT node FROM {pfx}win{r}" for r in range(rounds))
+        sel = (f"{union}\n            UNION ALL"
+               f" SELECT node FROM {pfx}und{rounds}")
+        return ctes, sel
+
+    _mis_ctes, _mis_sel = _mis_wave("", _mis_rounds)
     sql["mis_copurchase"] = f"""
         -- Luby MIS replayed: {_mis_rounds} unrolled rounds (each a
         -- min-neighbor-priority window + tuple-compare winners +
@@ -7613,9 +7650,70 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT hi, lo FROM canon
         ),{",".join(_mis_ctes)}
         SELECT node FROM (
-            {_mis_union}
-            UNION ALL SELECT node FROM und{_mis_rounds}
+            {_mis_sel}
         ) ORDER BY node
+    """
+
+    # coloring: MIS waves over the event chains; wave w reads
+    # w{w}und0/w{w}e0 built from the previous wave's survivors
+    _col_waves, _col_rounds, _col_salt = 4, 14, 11
+    _col_parts = []
+    _col_color_sel = []
+    for wv in range(_col_waves):
+        pfx = f"w{wv}"
+        blocks, sel = _mis_wave(pfx, _col_rounds)
+        if wv == 0:
+            _col_parts.append(f"""
+        {pfx}und0 AS MATERIALIZED (
+            SELECT node, {mix32_sql('node', _col_salt)} AS _pri
+            FROM nodesall
+        ), {pfx}e0 AS MATERIALIZED (
+            SELECT lo AS _a, hi AS _b FROM canon
+            UNION ALL SELECT hi, lo FROM canon
+        )""")
+        else:
+            prev = f"w{wv - 1}"
+            _col_parts.append(f"""
+        {pfx}rem AS MATERIALIZED (
+            SELECT node FROM {prev}und0
+            WHERE node NOT IN (SELECT node FROM {prev}mis)
+        ), {pfx}und0 AS MATERIALIZED (
+            SELECT node, {mix32_sql('node', _col_salt)} AS _pri
+            FROM {pfx}rem
+        ), {pfx}e0 AS MATERIALIZED (
+            SELECT e._a, e._b FROM {prev}e0 e
+            WHERE e._a IN (SELECT node FROM {pfx}rem)
+              AND e._b IN (SELECT node FROM {pfx}rem)
+        )""")
+        _col_parts.extend(blocks)
+        _col_parts.append(f"""
+        {pfx}mis AS MATERIALIZED (
+            SELECT node FROM ({sel})
+        )""")
+        _col_color_sel.append(
+            f"SELECT node, {wv} AS color FROM {pfx}mis")
+    _col_union = "\n            UNION ALL ".join(_col_color_sel)
+    sql["coloring_event_chains"] = f"""
+        -- Luby-wave coloring replayed: wave k's color class is the
+        -- MIS of the residual graph, each wave {_col_rounds} unrolled
+        -- rounds (generated by the same _mis_wave as mis_copurchase)
+        WITH raw AS MATERIALIZED (
+            SELECT event_id AS src,
+                   lead(event_id) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS dst
+            FROM events
+        ), edges AS MATERIALIZED (
+            SELECT src, dst FROM raw WHERE dst IS NOT NULL
+        ), nodesall AS MATERIALIZED (
+            SELECT DISTINCT event_id AS node FROM events
+        ), canon AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS lo,
+                   greatest(src, dst) AS hi
+            FROM edges WHERE src <> dst
+        ),{",".join(_col_parts)}
+        SELECT node AS event_id, color FROM (
+            {_col_union}
+        ) ORDER BY 1
     """
 
     _mm_rounds, _mm_salt = 12, 7

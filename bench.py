@@ -111,6 +111,7 @@ HEADLINE = [
     "mis_copurchase",                 # Luby maximal independent set
     "matching_copurchase",            # parallel pointer matching
     "matching_weighted_copurchase",   # Preis locally-heaviest matching
+    "coloring_event_chains",          # Luby-wave greedy coloring
     "funnel_view_click_purchase",     # strict-order funnel conversion
     "retention_weekly_events",        # weekly cohort retention triangle
 ]

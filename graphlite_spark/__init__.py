@@ -901,7 +901,8 @@ class GraphLiteSpark:
                       "gql.transitivity",
                       "gql.shortest_path_pair",
                       "gql.maximal_independent_set",
-                      "gql.maximal_matching"):
+                      "gql.maximal_matching",
+                      "gql.greedy_coloring"):
             # distributed graph analytics over the session graph's full
             # edge union (GraphIndexScan companions, operators/paths.py)
             from pyspark.sql import functions as F
@@ -972,6 +973,9 @@ class GraphLiteSpark:
             elif name == "gql.maximal_matching":
                 salt = int(stmt.args[0].value) if stmt.args else 0
                 df = P.maximal_matching(e, salt=salt)
+            elif name == "gql.greedy_coloring":
+                salt = int(stmt.args[0].value) if stmt.args else 0
+                df = P.greedy_coloring(e, n, salt=salt)
             elif name == "gql.shortest_path_pair":
                 if len(stmt.args) < 2:
                     raise ValueError(

@@ -1524,6 +1524,58 @@ def maximal_independent_set(
     return out.select("node")
 
 
+def greedy_coloring(
+    edges: DataFrame,
+    nodes: DataFrame,
+    salt: int = 0,
+    max_colors: int = 64,
+    mis_rounds: int = 50,
+) -> DataFrame:
+    """(node, color) — a proper coloring by MIS waves: color k is a
+    maximal independent set of the residual graph (Luby-wave
+    coloring). Every wave empties a maximal independent set, so the
+    wave count is bounded by the degeneracy-ish structure (<= Delta+1
+    in practice; chains take 2-3); ``max_colors`` RAISES if exceeded.
+
+    Deterministic: each wave is ``maximal_independent_set`` with the
+    same salt, so the full coloring is a pure function of (graph,
+    salt) and replays as nested unrolled SQL. Proper by construction
+    (a wave is independent); total (every node colored: leftover
+    isolated nodes join their wave's set).
+    """
+    id_col = nodes.columns[0]
+    remaining = nodes.select(F.col(id_col).alias("node")).distinct() \
+        .localCheckpoint(eager=False)
+    e = edges.select(F.col(SRC).alias(SRC), F.col(DST).alias(DST)) \
+        .localCheckpoint(eager=False)
+    colored = None
+    for color in range(max_colors):
+        if remaining.isEmpty():
+            break
+        s = maximal_independent_set(e, remaining, salt=salt,
+                                    max_rounds=mis_rounds)
+        wave = s.select("node", F.lit(color).alias("color")) \
+            .localCheckpoint(eager=False)
+        colored = wave if colored is None else colored.unionByName(wave)
+        remaining = remaining.join(wave.select("node"), "node",
+                                   "left_anti").localCheckpoint(eager=False)
+        e = (
+            e.join(remaining.select(F.col("node").alias(SRC)), SRC,
+                   "left_semi")
+            .join(remaining.select(F.col("node").alias(DST)), DST,
+                  "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise RuntimeError(
+            f"greedy_coloring: not done after {max_colors} colors —"
+            f" raise max_colors")
+    if colored is None:
+        return nodes.sparkSession.createDataFrame(
+            [], "node: long, color: int")
+    return colored
+
+
 def maximal_matching(
     edges: DataFrame,
     salt: int = 0,

@@ -692,3 +692,36 @@ def test_maximal_matching_weighted_preis(spark):
     got3 = [(r["node_u"], r["node_v"], r["weight"]) for r in
             maximal_matching(e3, weight_col="w").collect()]
     assert got3 == [(0, 1, 7.0)]
+
+
+def test_greedy_coloring(spark):
+    from graphlite_spark.operators.paths import (greedy_coloring,
+                                                 maximal_independent_set)
+
+    import itertools
+    clique = list(itertools.combinations(range(4), 2))
+    chain = [(10 + i, 11 + i) for i in range(6)]
+    edges = clique + chain
+    e = spark.createDataFrame(edges, "_src: long, _dst: long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(4)) + list(range(10, 17)) + [50]],
+        "node: long")
+    got = {r["node"]: r["color"] for r in
+           greedy_coloring(e, nodes, salt=3).collect()}
+    # total
+    assert set(got) == {r[0] for r in nodes.collect()}
+    # proper
+    for a, b in edges:
+        assert got[a] != got[b], (a, b)
+    # clique forces exactly 4 colors there; chain stays small
+    assert {got[i] for i in range(4)} == set(range(4))
+    assert max(got[i] for i in list(range(10, 17))) <= 2
+    assert got[50] == 0  # isolated -> first wave
+    # wave 0 IS the MIS of the whole graph with the same salt
+    mis0 = {r["node"] for r in
+            maximal_independent_set(e, nodes, salt=3).collect()}
+    assert {n for n, c in got.items() if c == 0} == mis0
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="not done"):
+        greedy_coloring(e, nodes, max_colors=2)

@@ -882,3 +882,21 @@ def test_call_maximal_matching(db):
     seen = [n for uv in got for n in uv]
     assert len(seen) == len(set(seen))  # a matching
     assert len(got) in (1, 2)           # middle-edge or outer pair
+
+
+def test_call_greedy_coloring(db):
+    # 5-cycle needs 3 colors; coloring is proper and total
+    for i in range(5):
+        db.execute(f"INSERT (:Person {{name: 'C{i}'}})")
+    for i in range(5):
+        db.execute(
+            "MATCH (x:Person {name: 'C%d'}), (y:Person {name: 'C%d'}) "
+            "INSERT (x)-[:KNOWS]->(y)" % (i, (i + 1) % 5))
+    got = {r.node: r.color for r in
+           db.execute("CALL gql.greedy_coloring()").collect()}
+    assert len(got) == 5
+    ids = {r.name: r.i for r in db.query(
+        "MATCH (p:Person) RETURN p.name AS name, id(p) AS i").collect()}
+    for i in range(5):
+        assert got[ids[f"C{i}"]] != got[ids[f"C{(i + 1) % 5}"]]
+    assert len(set(got.values())) >= 3  # odd cycle is not 2-colorable
