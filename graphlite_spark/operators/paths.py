@@ -1571,8 +1571,9 @@ def greedy_coloring(
             f"greedy_coloring: not done after {max_colors} colors —"
             f" raise max_colors")
     if colored is None:
+        node_t = dict(nodes.dtypes)[id_col]
         return nodes.sparkSession.createDataFrame(
-            [], "node: long, color: int")
+            [], f"node: {node_t}, color: int")
     return colored
 
 

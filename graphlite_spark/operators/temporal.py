@@ -358,7 +358,7 @@ def funnel(
     if within_seconds <= 0:
         raise ValueError(f"within_seconds must be > 0,"
                          f" got {within_seconds}")
-    u, t = F.col(user_col), F.col(ts_col)
+    t = F.col(ts_col)
     cur = (
         events.where(F.col(type_col) == steps[0])
         .groupBy(user_col).agg(F.min(ts_col).alias("_t"))
