@@ -3871,6 +3871,20 @@ def _q_coloring_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "color").orderBy("event_id")
 
 
+def _q_streaming_funnel_batch(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """streaming_funnel's batch fallback (== funnel_user_steps): the
+    per-user step-reach rows with anchored timestamps — the
+    user-granular frame whose per-step sizes are the funnel counts;
+    the streaming twin carries anchors through the state store
+    (2-batch stream==batch pytest)."""
+    from graphlite_spark.streaming.stateful import streaming_funnel
+
+    ev = _table(spark, sf_dir, "events")
+    return streaming_funnel(ev, ["view", "click", "purchase"], 3600) \
+        .orderBy("user_id", "step")
+
+
 def _q_matching_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preis locally-heaviest matching: weights = shared-order counts
     per copurchase pair, priorities (-w, edge) — deterministic with
@@ -4056,6 +4070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "matching_copurchase": _q_matching_copurchase,
             "matching_weighted_copurchase": _q_matching_weighted,
             "coloring_event_chains": _q_coloring_chains,
+            "streaming_funnel_batch": _q_streaming_funnel_batch,
             "funnel_view_click_purchase": _q_funnel_events,
             "retention_weekly_events": _q_retention_weekly,
             "clustering_coefficient": _q_clustering_coefficient,
@@ -7818,6 +7833,32 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         ORDER BY 1
+    """
+
+    sql["streaming_funnel_batch"] = """
+        -- funnel_user_steps replayed: the same shrinking per-user
+        -- chain, emitted at user granularity with anchor timestamps
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t
+              AND e.ts <= s1.t + INTERVAL 3600 SECOND
+            GROUP BY 1
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              AND e.ts <= s2.t + INTERVAL 3600 SECOND
+            GROUP BY 1
+        )
+        SELECT user_id, CAST(1 AS BIGINT) AS step,
+               'view' AS event_type, t FROM s1
+        UNION ALL SELECT user_id, 2, 'click', t FROM s2
+        UNION ALL SELECT user_id, 3, 'purchase', t FROM s3
+        ORDER BY 1, 2
     """
 
     sql["retention_weekly_events"] = """

@@ -114,6 +114,7 @@ HEADLINE = [
     "coloring_event_chains",          # Luby-wave greedy coloring
     "funnel_view_click_purchase",     # strict-order funnel conversion
     "retention_weekly_events",        # weekly cohort retention triangle
+    "streaming_funnel_batch",         # per-user funnel state machine
 ]
 
 

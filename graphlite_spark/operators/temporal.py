@@ -427,3 +427,49 @@ def retention_cohorts(
                 F.round(F.col("n_active") / F.col("n_cohort"), 4)
                 .alias("retention"))
     )
+
+
+def funnel_user_steps(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user_id, step, event_type, t) — one row per step each user
+    REACHED, with the anchored timestamp. The user-granular view of
+    ``funnel`` (identical chain of shrinking joins; funnel's counts
+    are this frame's per-step sizes) and the batch twin of
+    ``streaming.stateful.streaming_funnel``.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if within_seconds <= 0:
+        raise ValueError(f"within_seconds must be > 0,"
+                         f" got {within_seconds}")
+    t = F.col(ts_col)
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+    )
+    frames = [cur.select(
+        F.col(user_col).alias("user_id"), F.lit(1).alias("step"),
+        F.lit(steps[0]).alias("event_type"), F.col("_t").alias("t"))]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .join(cur, user_col)
+            .where((t > F.col("_t")) &
+                   (t <= F.col("_t") +
+                    F.expr(f"INTERVAL {int(within_seconds)} SECOND")))
+            .groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        )
+        frames.append(nxt.select(
+            F.col(user_col).alias("user_id"), F.lit(i).alias("step"),
+            F.lit(step).alias("event_type"), F.col("_t").alias("t")))
+        cur = nxt
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

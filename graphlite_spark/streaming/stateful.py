@@ -496,3 +496,100 @@ def streaming_curation(
     if docs.isStreaming:
         return deduped
     return deduped.join(kept, "doc_id").select("doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel: per-user step state machine through the state store.
+# The ingest-side twin of operators.temporal.funnel_user_steps.
+# ---------------------------------------------------------------------------
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user_id, step, event_type, t) — funnel step-reach rows emitted
+    AS USERS CONVERT, from a per-user state machine in the state store.
+
+    State per user is the anchored timestamp of each reached step
+    (k longs — bounded, never grows with history); a micro-batch
+    replays its events in timestamp order against the state and emits
+    rows for steps newly reached. Semantics match
+    ``funnel_user_steps`` when events arrive in timestamp order (or in
+    one batch): anchors only TIGHTEN within the batch that sets them —
+    an out-of-order earlier step-1 event arriving after step 2 was
+    already anchored does not re-derive step 2 (frozen-anchor
+    arrival semantics; the batch operator, which sees everything,
+    would re-anchor — same caveat as streaming_exact_dedup's
+    first-arrival-wins). Batch input routes to funnel_user_steps
+    verbatim.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from ..operators.temporal import funnel_user_steps
+
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if within_seconds <= 0:
+        raise ValueError(f"within_seconds must be > 0,"
+                         f" got {within_seconds}")
+    if not events.isStreaming:
+        return funnel_user_steps(events, steps, within_seconds,
+                                 user_col, ts_col, type_col)
+
+    k = len(steps)
+    slim = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(type_col).alias("event_type"),
+    )
+    out_schema = StructType([
+        StructField("user_id", LongType(), False),
+        StructField("step", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("t", TimestampType(), False),
+    ])
+    state_schema = StructType(
+        [StructField(f"t{i}", LongType()) for i in range(k)])
+    win_us = int(within_seconds) * 1_000_000
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    def update(key_, pdfs: Iterator, state: GroupState) -> Iterator:
+        anchors = list(state.get) if state.exists else [None] * k
+        before = list(anchors)
+        rows = []
+        for pdf in pdfs:
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                rows.append((ts.value // 1000, et))  # ns -> us
+        rows.sort()
+        for ts_us, et in rows:
+            j = step_ix[et]
+            if anchors[j] is not None:
+                continue
+            if j == 0:
+                anchors[0] = ts_us
+            elif (anchors[j - 1] is not None
+                  and ts_us > anchors[j - 1]
+                  and ts_us <= anchors[j - 1] + win_us):
+                anchors[j] = ts_us
+        state.update(tuple(anchors))
+        new = [(j, anchors[j]) for j in range(k)
+               if anchors[j] is not None and before[j] is None]
+        if not new:
+            return
+        yield pd.DataFrame({
+            "user_id": [int(key_[0])] * len(new),
+            "step": [j + 1 for j, _ in new],
+            "event_type": [steps[j] for j, _ in new],
+            "t": [pd.Timestamp(t_us, unit="us") for _, t_us in new],
+        })
+
+    return slim.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

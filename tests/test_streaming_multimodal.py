@@ -2315,3 +2315,52 @@ def test_hll_sketch_stream_matches_batch(spark, events_stream_dir):
     got = {(r.register, r.rho)
            for r in spark.table("hll_stream").collect()}
     assert got == expected and len(got) >= 10
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Two time-ordered micro-batches: anchors set in batch 1 carry
+    through the state store and steps completed in batch 2 emit —
+    union of emissions == the batch operator on the full data."""
+    import pandas as pd
+
+    from graphlite_spark.streaming.stateful import streaming_funnel
+
+    rows = []
+    # 40 users: step1 in half-1; step2/step3 split across halves
+    for u in range(40):
+        rows.append((u, "view", 100 + u))
+        if u % 2 == 0:
+            rows.append((u, "click", 200 + u))          # half-1
+        if u % 4 == 0:
+            rows.append((u, "purchase", 3500 + u))      # half-2
+        if u % 8 == 0:
+            rows.append((u, "click", 9000 + u))         # too late: >1h?
+    df = spark.createDataFrame(rows, "user_id: long, event_type: string, sec: long")
+    df = df.select("user_id", "event_type",
+                   F.timestamp_seconds(F.col("sec")).alias("ts"))
+    d = str(tmp_path / "funnel_stream")
+    df.where("ts < timestamp_seconds(3000)").coalesce(1) \
+        .write.parquet(d + "/p=0")
+    df.where("ts >= timestamp_seconds(3000)").coalesce(1) \
+        .write.parquet(d + "/p=1")
+
+    batch = spark.read.parquet(d + "/p=0", d + "/p=1") \
+        .select("user_id", "event_type", "ts")
+    expected = {(r["user_id"], r["step"], r["event_type"], r["t"])
+                for r in streaming_funnel(
+                    batch, ["view", "click", "purchase"], 3600).collect()}
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(d + "/p=*"))
+    q = (streaming_funnel(stream, ["view", "click", "purchase"], 3600)
+         .writeStream.format("memory").queryName("funnel_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["step"], r["event_type"], r["t"])
+           for r in spark.table("funnel_stream").collect()}
+    assert got == expected
+    assert len({r for r in got if r[1] == 1}) == 40
+    assert len({r for r in got if r[1] == 3}) == 10
