@@ -7916,15 +7916,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS c FROM ka JOIN kb USING (h), th
             WHERE ka.h < th.theta
         )
-        SELECT
-            round(CASE WHEN sa.n < {_tk} THEN CAST(sa.n AS DOUBLE)
-                  ELSE {float(_tk - 1) * (1 << 32)!r} / sa.hk END, 4)
-                AS est_a,
-            round(CASE WHEN sb.n < {_tk} THEN CAST(sb.n AS DOUBLE)
-                  ELSE {float(_tk - 1) * (1 << 32)!r} / sb.hk END, 4)
-                AS est_b,
-            round(c.c * {_tm32!r} / th.theta, 4) AS est_intersection
-        FROM sa, sb, th, c
+        , raws AS (
+            SELECT
+                CASE WHEN sa.n < {_tk} THEN CAST(sa.n AS DOUBLE)
+                     ELSE {float(_tk - 1) * (1 << 32)!r} / sa.hk END
+                    AS ra,
+                CASE WHEN sb.n < {_tk} THEN CAST(sb.n AS DOUBLE)
+                     ELSE {float(_tk - 1) * (1 << 32)!r} / sb.hk END
+                    AS rb,
+                c.c * {_tm32!r} / th.theta AS ri
+            FROM sa, sb, th, c
+        )
+        SELECT round(ra, 4) AS est_a, round(rb, 4) AS est_b,
+               round(ri, 4) AS est_intersection,
+               round(ra + rb - ri, 4) AS est_union,
+               round(CASE WHEN ra + rb - ri <= 0 THEN 0.0
+                     ELSE ri / (ra + rb - ri) END, 4) AS jaccard
+        FROM raws
     """
 
     sql["dd_clamp_prices"] = f"""

@@ -423,12 +423,18 @@ def theta_intersect_estimate(a: DataFrame, b: DataFrame, k: int,
     est_b = F.when(F.col("_nb") < k, F.col("_nb").cast("double")) \
         .otherwise(F.lit(float(k - 1) * _M32) / F.col("_hkb"))
     est_i = c * F.lit(float(_M32)) / theta
+    # inclusion-exclusion union + Jaccard from the SAME estimates, so
+    # the ratio is consistent with the parts (zero-union -> 0.0)
+    est_u = est_a + est_b - est_i
+    jac = F.when(est_u <= 0, F.lit(0.0)).otherwise(est_i / est_u)
     gcols = [F.col(c_) for c_ in group_cols]
     return out.select(
         *gcols,
         F.round(est_a, 4).alias("est_a"),
         F.round(est_b, 4).alias("est_b"),
         F.round(est_i, 4).alias("est_intersection"),
+        F.round(est_u, 4).alias("est_union"),
+        F.round(jac, 4).alias("jaccard"),
     )
 
 

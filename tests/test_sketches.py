@@ -504,3 +504,21 @@ def test_zorder_validation(spark):
                                   "x: double, y: double")
     zs = zorder_value(const, ["x", "y"], bits=4)
     assert zs.where(F.col("_z").isNull()).count() == 0
+
+
+def test_theta_jaccard_and_union(spark):
+    A = spark.range(0, 8000).select(F.col("id").alias("k"))
+    B = spark.range(4000, 12000).select(F.col("id").alias("k"))
+    sa = sk.theta_sketch(A, "k", k=512, salt=3)
+    sb = sk.theta_sketch(B, "k", k=512, salt=3)
+    r = sk.theta_intersect_estimate(sa, sb, 512).collect()[0]
+    # true: |A|=|B|=8000, inter 4000, union 12000, J = 1/3
+    assert abs(r["est_union"] - 12000) / 12000 < 0.15
+    assert abs(r["jaccard"] - 1 / 3) < 0.1
+    # exact sides give exact everything
+    S = spark.range(0, 60).select(F.col("id").alias("k"))
+    T = spark.range(30, 90).select(F.col("id").alias("k"))
+    r2 = sk.theta_intersect_estimate(
+        sk.theta_sketch(S, "k", k=512, salt=3),
+        sk.theta_sketch(T, "k", k=512, salt=3), 512).collect()[0]
+    assert (r2["est_union"], r2["jaccard"]) == (90.0, round(30 / 90, 4))
