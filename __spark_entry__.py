@@ -3871,6 +3871,29 @@ def _q_coloring_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "color").orderBy("event_id")
 
 
+def _q_rrf_fuse_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion over two top-50 customer rankings
+    (total spend vs order count) — the hybrid-search combiner on
+    rankings whose construction the oracle can replay exactly (DECIMAL
+    spend sums, deterministic tie-breaks). Customers strong on BOTH
+    lists float to the top regardless of either scorer's scale."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import rrf_fuse
+
+    o = _table(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("spend"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    a = o.orderBy(F.col("spend").desc(), "custkey").limit(50) \
+        .select("custkey", F.col("spend").alias("score"))
+    b = o.orderBy(F.col("cnt").desc(), "custkey").limit(50) \
+        .select("custkey", F.col("cnt").cast("double").alias("score"))
+    return rrf_fuse([a, b], id_col="custkey", k=60, topk=30)
+
+
 def _q_streaming_funnel_batch(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """streaming_funnel's batch fallback (== funnel_user_steps): the
@@ -4071,6 +4094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "matching_weighted_copurchase": _q_matching_weighted,
             "coloring_event_chains": _q_coloring_chains,
             "streaming_funnel_batch": _q_streaming_funnel_batch,
+            "rrf_fuse_customers": _q_rrf_fuse_customers,
             "funnel_view_click_purchase": _q_funnel_events,
             "retention_weekly_events": _q_retention_weekly,
             "clustering_coefficient": _q_clustering_coefficient,
@@ -7833,6 +7857,37 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         ORDER BY 1
+    """
+
+    sql["rrf_fuse_customers"] = """
+        -- RRF replayed: per-list deterministic top-50 + rank, fused
+        -- 1/(60+rank) contributions summed per id
+        WITH agg AS (
+            SELECT o_custkey AS custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS spend,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1
+        ), a AS (
+            SELECT custkey,
+                   row_number() OVER (ORDER BY spend DESC, custkey)
+                       AS r
+            FROM (SELECT * FROM agg
+                  ORDER BY spend DESC, custkey LIMIT 50)
+        ), b AS (
+            SELECT custkey,
+                   row_number() OVER (ORDER BY CAST(cnt AS DOUBLE) DESC,
+                                      custkey) AS r
+            FROM (SELECT * FROM agg
+                  ORDER BY cnt DESC, custkey LIMIT 50)
+        ), u AS (
+            SELECT custkey, 1.0 / (60 + r) AS c FROM a
+            UNION ALL SELECT custkey, 1.0 / (60 + r) FROM b
+        )
+        SELECT custkey, round(sum(c), 6) AS fused_score,
+               count(*) AS n_lists
+        FROM u GROUP BY 1
+        ORDER BY fused_score DESC, custkey LIMIT 30
     """
 
     sql["streaming_funnel_batch"] = """

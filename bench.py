@@ -115,6 +115,7 @@ HEADLINE = [
     "funnel_view_click_purchase",     # strict-order funnel conversion
     "retention_weekly_events",        # weekly cohort retention triangle
     "streaming_funnel_batch",         # per-user funnel state machine
+    "rrf_fuse_customers",             # reciprocal rank fusion
 ]
 
 

@@ -1541,3 +1541,57 @@ def cluster_balanced_sample(
     return cap_per_key(assigned, "cluster", cap_per_cluster,
                        order_col=oc,
                        descending=descending).select(id_col, "cluster")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    score_cols: list[str] | None = None,
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """(id, fused_score, n_lists) — Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher 2009): fused = sum over input lists of
+    1/(k + rank), rank from each list's own score (desc, ties by id).
+
+    THE standard hybrid-retrieval combiner — BM25 lexical + dense ANN
+    lists fuse without score calibration because only RANKS enter the
+    sum (scales/monotone transforms of either scorer change nothing).
+    k=60 is the paper's setting. Deterministic given the inputs, so
+    fusions of deterministic retrievals stay oracle-replayable.
+
+    Scale shape: each list gets one window rank over ITS OWN rows
+    (candidate lists are top-k-sized by construction, not corpus-
+    sized), then a unioned groupBy on the id — sketch-sized work even
+    when the corpora behind the lists are 100 TB.
+    """
+    from pyspark.sql import Window
+
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least 2 rankings")
+    if score_cols is None:
+        score_cols = ["score"] * len(rankings)
+    if len(score_cols) != len(rankings):
+        raise ValueError("score_cols must match rankings")
+    parts = []
+    for df, sc in zip(rankings, score_cols):
+        parts.append(
+            df.select(F.col(id_col).alias("_id"), F.col(sc).alias("_s"))
+            .withColumn("_r", F.row_number().over(
+                Window.orderBy(F.col("_s").desc(), F.col("_id"))))
+            .select("_id", (F.lit(1.0) / (F.lit(k) + F.col("_r")))
+                    .alias("_contrib"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    fused = (
+        out.groupBy("_id")
+        .agg(F.round(F.sum("_contrib"), 6).alias("fused_score"),
+             F.count(F.lit(1)).alias("n_lists"))
+        .select(F.col("_id").alias(id_col), "fused_score", "n_lists")
+    )
+    if topk is not None:
+        fused = fused.orderBy(F.col("fused_score").desc(),
+                              F.col(id_col)).limit(topk)
+    return fused

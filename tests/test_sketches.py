@@ -522,3 +522,34 @@ def test_theta_jaccard_and_union(spark):
         sk.theta_sketch(S, "k", k=512, salt=3),
         sk.theta_sketch(T, "k", k=512, salt=3), 512).collect()[0]
     assert (r2["est_union"], r2["jaccard"]) == (90.0, round(30 / 90, 4))
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_hybrid(spark):
+    from graphlite_spark.operators.similarity import rrf_fuse
+
+    # lexical list ranks 1,2,3 = docs 10,20,30; dense ranks 30,40,10
+    lex = spark.createDataFrame(
+        [(10, 9.0), (20, 5.0), (30, 1.0)], "doc_id: long, score: double")
+    den = spark.createDataFrame(
+        [(30, 0.9), (40, 0.8), (10, 0.7)], "doc_id: long, score: double")
+    got = {r["doc_id"]: (r["fused_score"], r["n_lists"])
+           for r in rrf_fuse([lex, den], k=60).collect()}
+    assert got[10] == (round(1 / 61 + 1 / 63, 6), 2)
+    assert got[30] == (round(1 / 63 + 1 / 61, 6), 2)
+    assert got[20] == (round(1 / 62, 6), 1)
+    assert got[40] == (round(1 / 62, 6), 1)
+    # doc in both lists outranks single-list docs; scale invariance
+    top = rrf_fuse([lex, den], k=60, topk=2).collect()
+    assert {r["doc_id"] for r in top} == {10, 30}
+    lex2 = lex.select("doc_id", (F.col("score") * 1000 + 5).alias("score"))
+    got2 = {r["doc_id"]: r["fused_score"]
+            for r in rrf_fuse([lex2, den], k=60).collect()}
+    assert got2 == {d: s for d, (s, _) in got.items()}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least 2"):
+        rrf_fuse([lex])
