@@ -553,3 +553,40 @@ def test_rrf_fuse_hybrid(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least 2"):
         rrf_fuse([lex])
+
+
+def test_rrf_hybrid_search_end_to_end(spark):
+    """The composition rrf_fuse exists for: BM25 lexical + dense
+    cosine retrieval over the REAL documents/embeddings tables (ids
+    aligned), fused without score calibration. Querying with doc 7's
+    own words and embedding must fuse doc 7 to rank 1."""
+    from pyspark.sql import Row
+
+    from graphlite_spark.operators.similarity import cosine_topk, rrf_fuse
+    from graphlite_spark.operators.text import bm25_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    target = docs.where("doc_id = 7").collect()[0]
+    terms = [w for w in target["text"].split()[:6] if len(w) > 3][:4]
+    lex = bm25_search(docs, terms, k=20).select(
+        "doc_id", F.col("score").cast("double").alias("score"))
+    qvec = emb.where("vec_id = 7").collect()[0]["embedding"]
+    q = spark.createDataFrame(
+        [Row(query_id=0, embedding=list(qvec))])
+    den = cosine_topk(emb, q, k=20).select(
+        F.col("item_id").alias("doc_id"),
+        F.col("score").cast("double").alias("score"))
+    fused = rrf_fuse([lex, den], id_col="doc_id", topk=5).collect()
+    # the synthetic corpus shares a tiny vocabulary, so the two top-20
+    # lists are disjoint here — the fusion must still interleave them:
+    # the dense #1 (the query doc itself, cosine 1.0) and the lexical
+    # #1 tie at 1/(k+1) and occupy the top two fused slots
+    top2 = {fused[0]["doc_id"], fused[1]["doc_id"]}
+    lex_top = lex.orderBy(F.desc("score"), "doc_id").first()["doc_id"]
+    assert top2 == {7, lex_top}
+    assert fused[0]["fused_score"] == fused[1]["fused_score"]
+    den_ids = {r["doc_id"] for r in den.collect()}
+    lex_ids = {r["doc_id"] for r in lex.collect()}
+    out_ids = {r["doc_id"] for r in fused}
+    assert out_ids <= den_ids | lex_ids
