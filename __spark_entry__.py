@@ -3871,6 +3871,37 @@ def _q_coloring_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "color").orderBy("event_id")
 
 
+def _q_bipartite_rings_chains(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """is_bipartite over BOTH branches at once: the odd 5-rings of
+    nations (never 2-colorable — closed form false) disjoint-unioned
+    with the user event chains (paths — always 2-colorable, closed
+    form true with comp = the user's min event id). Ring node ids
+    shift by 10^10 so the two families cannot merge."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import is_bipartite
+
+    off = 10**10
+    db = _ring_db(spark, sf_dir)
+    rings = db.graph("ring").edge_type("R").df.select(
+        (F.col("_src") + off).alias("_src"),
+        (F.col("_dst") + off).alias("_dst"))
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chains = (
+        ev.select(F.col("event_id").alias("_src"),
+                  F.lead("event_id").over(w).alias("_dst"))
+        .filter(F.col("_dst").isNotNull())
+    )
+    nat = _table(spark, sf_dir, "nation")
+    nodes = nat.select((F.col("n_nationkey") + off).alias("node")) \
+        .unionByName(ev.select(F.col("event_id").alias("node")))
+    out = is_bipartite(rings.unionByName(chains), nodes)
+    return out.orderBy("comp")
+
+
 def _q_rrf_fuse_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal Rank Fusion over two top-50 customer rankings
     (total spend vs order count) — the hybrid-search combiner on
@@ -4095,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "coloring_event_chains": _q_coloring_chains,
             "streaming_funnel_batch": _q_streaming_funnel_batch,
             "rrf_fuse_customers": _q_rrf_fuse_customers,
+            "bipartite_rings_chains": _q_bipartite_rings_chains,
             "funnel_view_click_purchase": _q_funnel_events,
             "retention_weekly_events": _q_retention_weekly,
             "clustering_coefficient": _q_clustering_coefficient,
@@ -7856,6 +7888,19 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(*) FROM s1) AS n_users
         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        ORDER BY 1
+    """
+
+    sql["bipartite_rings_chains"] = """
+        -- closed form: odd nation 5-rings are never bipartite; event
+        -- chains (paths) always are, comp = the component's min id
+        SELECT min(n_nationkey) + 10000000000 AS comp,
+               false AS bipartite, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM nation GROUP BY n_regionkey
+        UNION ALL
+        SELECT min(event_id) AS comp, true AS bipartite,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM events GROUP BY user_id
         ORDER BY 1
     """
 

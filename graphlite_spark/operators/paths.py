@@ -1524,6 +1524,61 @@ def maximal_independent_set(
     return out.select("node")
 
 
+def is_bipartite(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_hops: int = 1000,
+) -> DataFrame:
+    """(comp, bipartite, n_nodes) — 2-colorability per connected
+    component, by composition: hash-min CC picks each component's
+    representative (comp = min node id), multi-source BFS from the
+    representatives assigns depth PARITY, and a component is bipartite
+    iff no undirected edge joins equal parities (the classic
+    odd-cycle criterion: an odd cycle forces some same-parity edge
+    under ANY root). Entirely built from connected_components +
+    bfs_distances — no new iteration machinery, so it inherits their
+    hop-batching, lineage cuts, and probe discipline.
+
+    Cost note: this runs TWO iterative fixpoints (CC then
+    multi-source BFS — ~45s on the sf0.1 chains, stage-count-bound).
+    The known single-fixpoint form folds parity into hash-min CC's
+    pointer jumping (par(v->root) composes by XOR); worth doing if
+    bipartiteness ever becomes a hot path — today it is a
+    composition, deliberately.
+    """
+    # materialize the edge frame ONCE: it feeds ~depth BFS level joins
+    # plus CC plus the conflict join, and a derived lineage (window
+    # lead(), unions) would re-execute at every level — measured 65s vs
+    # 15s on the sf0.1 chains. Same for the CC lineage behind reps.
+    edges = edges.select(SRC, DST).localCheckpoint(eager=False)
+    cc = connected_components(edges, nodes).localCheckpoint(eager=False)
+    reps = cc.select(F.col("comp").alias("root_src")).distinct() \
+        .localCheckpoint(eager=False)
+    dist = bfs_distances(edges, reps, max_hops=max_hops, directed=False)
+    parity = dist.select(
+        F.col("root").alias("comp"), F.col("node"),
+        F.pmod(F.col("dist"), F.lit(2)).alias("_par"))
+    e = edges.select(F.col(SRC).alias("_u"), F.col(DST).alias("_v")) \
+        .filter(F.col("_u") != F.col("_v"))
+    conflicts = (
+        e.join(parity.select(F.col("node").alias("_u"),
+                             F.col("comp"),
+                             F.col("_par").alias("_pu")), "_u")
+        .join(parity.select(F.col("node").alias("_v"),
+                            F.col("_par").alias("_pv")), "_v")
+        .where(F.col("_pu") == F.col("_pv"))
+        .groupBy("comp").agg(F.count(F.lit(1)).alias("_bad"))
+    )
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        sizes.join(conflicts, "comp", "left")
+        .select("comp",
+                (F.coalesce(F.col("_bad"), F.lit(0)) == 0)
+                .alias("bipartite"),
+                "n_nodes")
+    )
+
+
 def greedy_coloring(
     edges: DataFrame,
     nodes: DataFrame,

@@ -725,3 +725,28 @@ def test_greedy_coloring(spark):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="not done"):
         greedy_coloring(e, nodes, max_colors=2)
+
+
+def test_is_bipartite(spark):
+    from graphlite_spark.operators.paths import is_bipartite
+
+    # even 6-cycle (bipartite), odd 5-cycle (not), a chain (bipartite),
+    # a triangle with a tail (not), and an isolated node (trivially is)
+    even = [(i, (i + 1) % 6) for i in range(6)]
+    odd = [(10 + i, 10 + (i + 1) % 5) for i in range(5)]
+    chain = [(20 + i, 21 + i) for i in range(4)]
+    tri = [(30, 31), (31, 32), (32, 30), (32, 33)]
+    e = spark.createDataFrame(even + odd + chain + tri,
+                              "_src: long, _dst: long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (list(range(6)) + list(range(10, 15))
+                        + list(range(20, 25)) + list(range(30, 34))
+                        + [99])],
+        "node: long")
+    got = {r["comp"]: (r["bipartite"], r["n_nodes"])
+           for r in is_bipartite(e, nodes).collect()}
+    assert got[0] == (True, 6)
+    assert got[10] == (False, 5)
+    assert got[20] == (True, 5)
+    assert got[30] == (False, 4)
+    assert got[99] == (True, 1)
