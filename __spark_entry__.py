@@ -3902,6 +3902,27 @@ def _q_bipartite_rings_chains(spark: SparkSession,
     return out.orderBy("comp")
 
 
+def _q_ranking_metrics_nations(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """recall@10 / MRR / nDCG@10 per nation: predictions = customers
+    ranked by balance, relevant = the >7500-balance set — both
+    deterministic, so the evaluation metrics themselves hash-match
+    (incl. the harmonic IDCG prefix injected as identical literals
+    into both engines)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import ranking_metrics
+
+    c = _table(spark, sf_dir, "customer")
+    preds = c.select(F.col("c_nationkey").alias("query_id"),
+                     F.col("c_custkey").alias("item_id"),
+                     F.col("c_acctbal").alias("score"))
+    truth = c.where(F.col("c_acctbal") > 7500).select(
+        F.col("c_nationkey").alias("query_id"),
+        F.col("c_custkey").alias("item_id"))
+    return ranking_metrics(preds, truth, k=10).orderBy("query_id")
+
+
 def _q_rrf_fuse_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal Rank Fusion over two top-50 customer rankings
     (total spend vs order count) — the hybrid-search combiner on
@@ -4127,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "streaming_funnel_batch": _q_streaming_funnel_batch,
             "rrf_fuse_customers": _q_rrf_fuse_customers,
             "bipartite_rings_chains": _q_bipartite_rings_chains,
+            "ranking_metrics_nations": _q_ranking_metrics_nations,
             "funnel_view_click_purchase": _q_funnel_events,
             "retention_weekly_events": _q_retention_weekly,
             "clustering_coefficient": _q_clustering_coefficient,
@@ -7888,6 +7910,46 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(*) FROM s1) AS n_users
         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        ORDER BY 1
+    """
+
+    import math as _m2
+
+    _rk = 10
+    _harm = [sum(1.0 / _m2.log2(i + 2) for i in range(m))
+             for m in range(1, _rk + 1)]
+    _harm_lits = ", ".join(repr(v) for v in _harm)
+    sql["ranking_metrics_nations"] = f"""
+        -- the evaluation replayed: rank window, truth join, binary
+        -- DCG with the SAME harmonic IDCG literals as the engine
+        WITH ranked AS (
+            SELECT c_nationkey AS q, c_custkey AS i,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC,
+                                               c_custkey) AS r
+            FROM customer
+        ), topk AS (SELECT * FROM ranked WHERE r <= {_rk}),
+        rel AS (
+            SELECT DISTINCT c_nationkey AS q, c_custkey AS i
+            FROM customer WHERE c_acctbal > 7500
+        ), nrel AS (
+            SELECT q, count(*) AS n_relevant FROM rel GROUP BY 1
+        ), hits AS (
+            SELECT t.q, count(*) AS h, min(t.r) AS fr,
+                   sum(1.0 / log2(t.r + 1)) AS dcg
+            FROM topk t JOIN rel ON t.q = rel.q AND t.i = rel.i
+            GROUP BY 1
+        )
+        SELECT nrel.q AS query_id,
+               round(coalesce(h, 0) / n_relevant, 4) AS recall_at_k,
+               round(coalesce(1.0 / fr, 0.0), 4) AS mrr,
+               round(coalesce(
+                   dcg / (CASE WHEN n_relevant >= {_rk}
+                          THEN {_harm[-1]!r}
+                          ELSE ([{_harm_lits}])[least(n_relevant, {_rk})]
+                          END), 0.0), 4) AS ndcg_at_k,
+               n_relevant
+        FROM nrel LEFT JOIN hits ON nrel.q = hits.q
         ORDER BY 1
     """
 

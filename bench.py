@@ -116,6 +116,7 @@ HEADLINE = [
     "retention_weekly_events",        # weekly cohort retention triangle
     "streaming_funnel_batch",         # per-user funnel state machine
     "rrf_fuse_customers",             # reciprocal rank fusion
+    "ranking_metrics_nations",        # recall@k / MRR / nDCG evaluation
 ]
 
 

@@ -16,6 +16,8 @@ We provide:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd  # module-level: pandas_udf type hints resolve against globals
 
 from pyspark.sql import DataFrame, Window
@@ -1595,3 +1597,70 @@ def rrf_fuse(
         fused = fused.orderBy(F.col("fused_score").desc(),
                               F.col(id_col)).limit(topk)
     return fused
+
+
+def ranking_metrics(
+    preds: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(query_id, recall_at_k, mrr, ndcg_at_k, n_relevant) — the
+    standard retrieval-evaluation triple per query, computed
+    distributed over ranked candidate lists.
+
+    recall@k = |top-k ∩ relevant| / |relevant|; MRR = 1/rank of the
+    first relevant item (0 when none in top-k); nDCG@k with binary
+    gains = sum of 1/log2(rank+1) over relevant hits, normalized by
+    the ideal prefix. Ranks come from (score desc, item id) — fully
+    deterministic, so evaluations of deterministic retrievals are
+    oracle-replayable (log2 values round to 4 dp, the ln-bearing
+    oracle convention). Queries with relevant items but NO
+    predictions still appear (all-zero metrics) — silently dropping
+    them would inflate every average.
+
+    Scale shape: one rank window per query over candidate-list-sized
+    frames, one join against the truth set, one groupBy — evaluation
+    never touches the corpora behind the lists.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(item_col))
+    ranked = (
+        preds.select(query_col, item_col, score_col)
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+    )
+    rel = truth.select(query_col, item_col).distinct()
+    n_rel = rel.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_relevant"))
+    hits = ranked.join(rel, [query_col, item_col], "inner")
+    per_q = hits.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("_hits"),
+        F.min("_r").alias("_first"),
+        F.sum(F.lit(1.0) / F.log2(F.col("_r") + 1)).alias("_dcg"),
+    )
+    # ideal DCG over the first min(k, n_relevant) slots; the harmonic
+    # prefix is tiny (k terms) so it rides as a generated expression
+    idcg = F.when(F.col("n_relevant") >= k, F.lit(sum(
+        1.0 / math.log2(i + 2) for i in range(k)))).otherwise(
+        F.element_at(
+            F.array(*[F.lit(sum(1.0 / math.log2(i + 2) for i in range(m)))
+                      for m in range(1, k + 1)]),
+            F.least(F.col("n_relevant"), F.lit(k)).cast("int")))
+    out = n_rel.join(per_q, query_col, "left")
+    return out.select(
+        query_col,
+        F.round(F.coalesce(F.col("_hits"), F.lit(0))
+                / F.col("n_relevant"), 4).alias("recall_at_k"),
+        F.round(F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)),
+                4).alias("mrr"),
+        F.round(F.coalesce(F.col("_dcg") / idcg, F.lit(0.0)),
+                4).alias("ndcg_at_k"),
+        "n_relevant",
+    )

@@ -590,3 +590,33 @@ def test_rrf_hybrid_search_end_to_end(spark):
     lex_ids = {r["doc_id"] for r in lex.collect()}
     out_ids = {r["doc_id"] for r in fused}
     assert out_ids <= den_ids | lex_ids
+
+
+def test_ranking_metrics_closed_form(spark):
+    import math
+
+    from graphlite_spark.operators.similarity import ranking_metrics
+
+    # q1: relevant {1,2,3}; top-5 prediction ranks them at 1, 3, absent
+    preds = spark.createDataFrame(
+        [(1, 1, 0.9), (1, 7, 0.8), (1, 2, 0.7), (1, 8, 0.6), (1, 9, 0.5),
+         # q2: nothing relevant retrieved
+         (2, 7, 0.9), (2, 8, 0.8)],
+        "query_id: long, item_id: long, score: double")
+    truth = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (2, 5), (3, 6)],
+        "query_id: long, item_id: long")
+    got = {r["query_id"]: r.asDict() for r in
+           ranking_metrics(preds, truth, k=5).collect()}
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 2) for i in range(3))
+    assert got[1]["recall_at_k"] == round(2 / 3, 4)
+    assert got[1]["mrr"] == 1.0
+    assert got[1]["ndcg_at_k"] == round(dcg / idcg, 4)
+    assert got[2] == {"query_id": 2, "recall_at_k": 0.0, "mrr": 0.0,
+                      "ndcg_at_k": 0.0, "n_relevant": 1}
+    # q3 has truth but NO predictions — must appear with zeros
+    assert got[3]["recall_at_k"] == 0.0 and got[3]["n_relevant"] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        ranking_metrics(preds, truth, k=0)
