@@ -4048,6 +4048,42 @@ def _q_bloom_customer_prefilter(spark: SparkSession,
     return out.select(F.col("c_custkey").alias("custkey")).orderBy("custkey")
 
 
+def _q_srp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection JL reduction 64 -> 16 over the real
+    embeddings table. The ±1 matrix is a deterministic model parameter
+    (murmur3 fmix32 over the flat index) injected as literals into
+    BOTH engines; the verified work is the distributed per-row GEMM,
+    whose left-to-right double fold is bit-identical before the
+    6-dp round."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import srp_project
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = srp_project(emb, dim=64, out_dim=16, salt=7)
+    return out.select(
+        "vec_id",
+        F.transform("projection", lambda x: F.round(x, 6))
+        .alias("projection"),
+    )
+
+
+def _q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing: unigram-LM perplexity per doc ->
+    per-language equal-depth head/middle/tail tertiles (ntile over
+    (perplexity asc, doc_id) — deterministic, ANSI-replayable)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import (lm_quality_score,
+                                                perplexity_buckets)
+
+    docs = _table(spark, sf_dir, "documents")
+    scored = lm_quality_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id")
+    out = perplexity_buckets(scored, group_cols=("lang",))
+    return out.select("doc_id", "lang", "perplexity", "ppl_bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, text in _GQL_QUERIES.items():
@@ -4149,6 +4185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rrf_fuse_customers": _q_rrf_fuse_customers,
             "bipartite_rings_chains": _q_bipartite_rings_chains,
             "ranking_metrics_nations": _q_ranking_metrics_nations,
+            "srp_project_embeddings": _q_srp_project,
+            "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
             "funnel_view_click_purchase": _q_funnel_events,
             "retention_weekly_events": _q_retention_weekly,
             "clustering_coefficient": _q_clustering_coefficient,
@@ -8159,5 +8197,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey AS custkey FROM customer
         WHERE {_tests}
         ORDER BY 1
+    """
+    from graphlite_spark.operators.similarity import srp_sql
+
+    sql["srp_project_embeddings"] = f"""
+        -- JL sign matrix injected as identical literals; the verified
+        -- work is the per-row GEMM (same left-to-right double fold)
+        SELECT vec_id, {srp_sql(64, 16, salt=7)} AS projection
+        FROM embeddings
+    """
+    sql["ccnet_ppl_buckets"] = """
+        -- lm_quality_score mirror + per-language NTILE(3) tertiles
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents WHERE length(trim(text)) > 0
+        ), tk AS (
+            SELECT doc_id, w FROM toks WHERE length(w) > 0
+        ), model AS (
+            SELECT w, count(*) AS c FROM tk GROUP BY 1
+        ), tot AS (
+            SELECT sum(c) AS total, count(*) AS vocab FROM model
+        ), scored AS (
+            SELECT doc_id,
+                   round(exp(-avg(ln((c + 0.5) / (total + 0.5 * vocab)))), 6)
+                       AS perplexity
+            FROM tk JOIN model USING (w) CROSS JOIN tot
+            GROUP BY doc_id
+        )
+        SELECT s.doc_id, d.lang, s.perplexity,
+               (['head', 'middle', 'tail'])[
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY s.perplexity ASC, s.doc_id ASC)]
+                   AS ppl_bucket
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id
     """
     return sql

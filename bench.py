@@ -117,6 +117,8 @@ HEADLINE = [
     "streaming_funnel_batch",         # per-user funnel state machine
     "rrf_fuse_customers",             # reciprocal rank fusion
     "ranking_metrics_nations",        # recall@k / MRR / nDCG evaluation
+    "srp_project_embeddings",         # JL sign-projection GEMM (r8)
+    "ccnet_ppl_buckets",              # LM perplexity tertiles (r8)
 ]
 
 

@@ -1664,3 +1664,96 @@ def ranking_metrics(
                 4).alias("ndcg_at_k"),
         "n_relevant",
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed random projection (Johnson-Lindenstrauss dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+def srp_sign_matrix(dim: int, out_dim: int, salt: int = 0) -> list:
+    """dim x out_dim deterministic ±1 matrix from murmur3 fmix32 over
+    the flat index — the Achlioptas (2001) sign-matrix instance of a
+    JL projection. Pure Python: the matrix is a MODEL PARAMETER (like
+    ranking_metrics' harmonic prefix), generated once from (dim,
+    out_dim, salt) and injected as literals into both the Spark plan
+    and any SQL oracle — the engines then agree by construction and
+    the distributed work (the per-row GEMM) is what gets verified."""
+    if dim < 1 or out_dim < 1:
+        raise ValueError(f"dim/out_dim must be >= 1, got {dim}/{out_dim}")
+    c1, c2, m32 = 0x85EBCA6B, 0xC2B2AE35, 1 << 32
+
+    def _mix(key: int) -> int:
+        h = (key + salt) % m32
+        h ^= h >> 16
+        h = (h * c1) % m32
+        h ^= h >> 13
+        h = (h * c2) % m32
+        return h ^ (h >> 16)
+
+    return [
+        [1 if _mix(i * out_dim + j) & 1 == 0 else -1
+         for j in range(out_dim)]
+        for i in range(dim)
+    ]
+
+
+def srp_project(
+    items: DataFrame,
+    dim: int,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int = 0,
+    scale: bool = True,
+) -> DataFrame:
+    """(id, projection array<double> of out_dim): signed-random-
+    projection dimensionality reduction — the cheap JL step a 100 TB
+    embedding pipeline runs BEFORE clustering/ANN when the stored
+    dimension is wider than the recall target needs (shrinking d
+    shrinks every downstream GEMM, shuffle, and index linearly).
+
+    projection[j] = (1/sqrt(out_dim)) * sum_i vec[i] * sign(i, j)
+    with the Achlioptas ±1 matrix from srp_sign_matrix. Cosine is
+    preserved in expectation with distortion O(1/sqrt(out_dim))
+    (pinned by the distortion pytest, not assumed).
+
+    Scale shape: entirely map-side — out_dim zip_with/aggregate folds
+    per row over sign-literal arrays, whole-stage codegen, ZERO
+    shuffle and zero Python. The fold order is the array order, so an
+    ANSI-SQL mirror summing terms left-to-right reproduces the exact
+    IEEE double before rounding.
+
+    Rows whose vector length != dim project to NULL (documented —
+    silently zero-padding would fabricate geometry).
+    """
+    signs = srp_sign_matrix(dim, out_dim, salt)
+    inv = 1.0 / math.sqrt(out_dim) if scale else 1.0
+    base = items.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    comps = []
+    for j in range(out_dim):
+        sgn = F.array(*[F.lit(float(signs[i][j])) for i in range(dim)])
+        comps.append(
+            F.aggregate(
+                F.zip_with(F.col("_v"), sgn, lambda x, s: x * s),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ) * F.lit(inv))
+    proj = F.when(F.size("_v") == dim, F.array(*comps))
+    return base.select(F.col(id_col), proj.alias("projection"))
+
+
+def srp_sql(dim: int, out_dim: int, salt: int = 0,
+            vec_expr: str = "embedding", scale: bool = True,
+            round_to: int = 6) -> str:
+    """GENERATED ANSI-SQL mirror of one srp_project row — a list of
+    out_dim rounded components, same sign literals, same left-to-right
+    double fold (so the pre-round value is bit-identical)."""
+    signs = srp_sign_matrix(dim, out_dim, salt)
+    inv = repr(1.0 / math.sqrt(out_dim)) if scale else "1.0"
+    comps = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"CAST({vec_expr}[{i + 1}] AS DOUBLE) * {signs[i][j]}.0"
+            for i in range(dim))
+        comps.append(f"round((0.0 + {terms}) * {inv}, {round_to})")
+    return "[" + ", ".join(comps) + "]"

@@ -1171,3 +1171,35 @@ def gopher_repetition_filters(
         passed = flag if passed is None else (passed & flag)
     out.append(passed.alias("repetition_pass"))
     return stage4.select(*out)
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    value_col: str = "perplexity",
+    id_col: str = "doc_id",
+    group_cols: tuple = (),
+    labels: tuple = ("head", "middle", "tail"),
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    each group (typically a language) into equal-depth buckets by LM
+    perplexity ascending — 'head' is the most-reference-like third,
+    'tail' the least; CCNet keeps head+middle and drops or downweights
+    tail. Compose after lm_quality_score / lm_bigram_score.
+
+    Deterministic: ntile over (value asc, id) — equal values split by
+    id, matching ANSI NTILE in any oracle engine. Scale shape: one
+    window shuffle on the group key over the SCORED frame (one short
+    row per doc, not the text) — the corpus itself is joined back by
+    id only if the caller wants text downstream.
+    """
+    if len(labels) < 2:
+        raise ValueError(f"need >= 2 bucket labels, got {labels!r}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc())
+    n = len(labels)
+    lab = F.element_at(F.array(*[F.lit(x) for x in labels]),
+                       F.ntile(n).over(w))
+    return df.withColumn(out_col, lab)

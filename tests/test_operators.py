@@ -2528,3 +2528,88 @@ def test_dsir_select_python_parity(spark):
         dsir_select(df, tgt, k=1, orders=())
     with _pytest.raises(ValueError, match="num_buckets"):
         dsir_select(df, tgt, k=1, num_buckets=1)
+
+
+def test_srp_project_numpy_parity_and_distortion(spark):
+    """srp_project == numpy sign-GEMM exactly (double fold, same
+    order); JL cosine distortion on unit-ish vectors stays within the
+    O(1/sqrt(k)) envelope; wrong-dim rows project to NULL."""
+    import numpy as np
+
+    from graphlite_spark.operators.similarity import (srp_project,
+                                                      srp_sign_matrix)
+
+    rng = np.random.RandomState(11)
+    dim, k, n = 32, 16, 40
+    vecs = rng.randn(n, dim).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    rows.append((n, [1.0, 2.0]))  # wrong dim -> NULL
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.projection
+           for r in srp_project(df, dim=dim, out_dim=k, salt=3).collect()}
+
+    assert out[n] is None
+    S = np.array(srp_sign_matrix(dim, k, salt=3), dtype=np.float64)
+    inv = 1.0 / np.sqrt(k)
+    for i in range(n):
+        # replicate the sequential left fold in float64
+        want = []
+        for j in range(k):
+            acc = 0.0
+            for x, s in zip(vecs[i].astype(np.float64), S[:, j]):
+                acc += x * s
+            want.append(acc * inv)
+        got = out[i]
+        assert got == pytest.approx(want, abs=1e-12)
+
+    # cosine preservation: planted near-duplicate pairs stay near,
+    # and mean |cos_orig - cos_proj| over random pairs is JL-bounded
+    proj = np.array([out[i] for i in range(n)])
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    errs = []
+    for a in range(0, n, 3):
+        for b in range(a + 1, n, 7):
+            errs.append(abs(cos(vecs[a], vecs[b]) - cos(proj[a], proj[b])))
+    import math
+
+    assert sum(errs) / len(errs) < 2.0 / math.sqrt(k)
+
+
+def test_srp_sign_matrix_balance_and_determinism():
+    from graphlite_spark.operators.similarity import srp_sign_matrix
+
+    a = srp_sign_matrix(64, 8, salt=5)
+    b = srp_sign_matrix(64, 8, salt=5)
+    assert a == b
+    c = srp_sign_matrix(64, 8, salt=6)
+    assert a != c
+    flat = [s for row in a for s in row]
+    # fmix32 avalanche: signs roughly balanced
+    assert abs(sum(flat)) < len(flat) * 0.2
+    with pytest.raises(ValueError):
+        srp_sign_matrix(0, 4)
+
+
+def test_perplexity_buckets_closed_form(spark):
+    """9 docs per group with distinct perplexities -> exact tertiles;
+    ties split deterministically by id; bad labels raise."""
+    from graphlite_spark.operators.text import perplexity_buckets
+
+    rows = [(gi * 100 + i, g, float(10 + i))
+            for gi, g in enumerate(("en", "fr")) for i in range(9)]
+    # a tie group: all equal values -> ntile splits by doc_id
+    rows += [(300 + i, "de", 5.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, perplexity double")
+    out = {r.doc_id: r.ppl_bucket
+           for r in perplexity_buckets(df, group_cols=("lang",)).collect()}
+    for base, lang in ((0, "en"), (100, "fr")):
+        for i in range(9):
+            want = ("head", "middle", "tail")[i // 3]
+            assert out[base + i] == want, (base, i)
+    assert (out[300], out[301], out[302]) == ("head", "middle", "tail")
+
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, labels=("only",))
