@@ -4048,6 +4048,76 @@ def _q_bloom_customer_prefilter(spark: SparkSession,
     return out.select(F.col("c_custkey").alias("custkey")).orderBy("custkey")
 
 
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, n_chars): four deterministic URL families per
+    doc_id — clean .com, cdn.bad*.net (parent-domain hit), direct
+    bad*.net, and a non-URL — the closed-form corpus the blocklist
+    and host-stats entries share."""
+    from pyspark.sql import functions as F
+
+    return _table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars").filter(F.col("doc_id") < 400).selectExpr(
+        "doc_id", "n_chars",
+        "CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN concat('http://www.site',"
+        " CAST(doc_id % 10 AS STRING), '.com/p', CAST(doc_id AS STRING)) "
+        "WHEN 1 THEN concat('https://cdn.bad',"
+        " CAST(doc_id % 5 AS STRING), '.net/x') "
+        "WHEN 2 THEN concat('http://bad',"
+        " CAST(doc_id % 5 AS STRING), '.NET/y?q=', CAST(doc_id AS STRING)) "
+        "ELSE concat('notaurl', CAST(doc_id AS STRING)) END AS url",
+    )
+
+
+def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-domain blocklist gate: bad0.net / bad3.net block both
+    their direct hosts and cdn.* subdomains (parent-domain matching);
+    non-URLs drop fail-closed. Closed form: kept iff doc_id%4 == 0, or
+    doc_id%4 in (1,2) with doc_id%5 not in (0,3)."""
+    from graphlite_spark.operators.web import blocklist_filter
+
+    urls = _synth_urls(spark, sf_dir).select("doc_id", "url")
+    blocked = spark.createDataFrame(
+        [("bad0.net",), ("BAD3.net",)], "host string")
+    return blocklist_filter(urls, blocked)
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus profile over the synthetic URL families —
+    closed-form group sizes; the NULL-host row keeps the garbage
+    volume visible."""
+    from graphlite_spark.operators.web import host_stats
+
+    return host_stats(_synth_urls(spark, sf_dir),
+                      value_cols=("n_chars",))
+
+
+def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (the disconnected-graph-safe centrality:
+    sum of 1/dist, unreachable nodes contribute 0) over the FOLLOWS
+    chains — closed form: an event at position rn of an L-chain scores
+    the harmonic number H(L-rn), which the oracle computes as the same
+    1/d series."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import closeness_centrality
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    sources = g.nodes_for_label("Event").filter(
+        F.col("event_id") < 500
+    ).select("_id")
+    out = closeness_centrality(
+        g.edge_type("FOLLOWS").df.select("_src", "_dst"),
+        sources, max_hops=1000, harmonic=True,
+    )
+    ns = 10**12
+    return out.select(
+        (F.col("node") % ns).alias("event_id"), "n_reachable",
+        F.col("closeness").alias("harmonic"),
+    )
+
+
 def _q_srp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection JL reduction 64 -> 16 over the real
     embeddings table. The ±1 matrix is a deterministic model parameter
@@ -4186,6 +4256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bipartite_rings_chains": _q_bipartite_rings_chains,
             "ranking_metrics_nations": _q_ranking_metrics_nations,
             "srp_project_embeddings": _q_srp_project,
+            "harmonic_centrality_chains": _q_harmonic_centrality,
+            "blocklist_filter_synth": _q_blocklist_filter,
+            "host_stats_synth": _q_host_stats,
             "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
             "funnel_view_click_purchase": _q_funnel_events,
             "retention_weekly_events": _q_retention_weekly,
@@ -8205,6 +8278,66 @@ def oracle_sql() -> dict[str, str]:
         -- work is the per-row GEMM (same left-to-right double fold)
         SELECT vec_id, {srp_sql(64, 16, salt=7)} AS projection
         FROM embeddings
+    """
+    _url_synth = """
+        SELECT doc_id, n_chars,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN concat('http://www.site',
+                      CAST(doc_id % 10 AS VARCHAR), '.com/p',
+                      CAST(doc_id AS VARCHAR))
+                 WHEN 1 THEN concat('https://cdn.bad',
+                      CAST(doc_id % 5 AS VARCHAR), '.net/x')
+                 WHEN 2 THEN concat('http://bad',
+                      CAST(doc_id % 5 AS VARCHAR), '.NET/y?q=',
+                      CAST(doc_id AS VARCHAR))
+                 ELSE concat('notaurl', CAST(doc_id AS VARCHAR)) END AS url
+        FROM documents WHERE doc_id < 400
+    """
+    sql["blocklist_filter_synth"] = f"""
+        -- kept iff clean .com family, or bad-family host not in the
+        -- blocked residues (bad0/bad3); non-URLs drop fail-closed
+        WITH u AS ({_url_synth})
+        SELECT doc_id, url FROM u
+        WHERE doc_id % 4 = 0
+           OR (doc_id % 4 IN (1, 2) AND doc_id % 5 NOT IN (0, 3))
+    """
+    sql["host_stats_synth"] = f"""
+        WITH u AS ({_url_synth}),
+        h AS (
+            SELECT doc_id, n_chars,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN concat('www.site',
+                          CAST(doc_id % 10 AS VARCHAR), '.com')
+                     WHEN 1 THEN concat('cdn.bad',
+                          CAST(doc_id % 5 AS VARCHAR), '.net')
+                     WHEN 2 THEN concat('bad',
+                          CAST(doc_id % 5 AS VARCHAR), '.net')
+                     ELSE NULL END AS host,
+                   url
+            FROM u
+        )
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+               round(avg(n_chars), 6) AS avg_n_chars
+        FROM h GROUP BY host
+    """
+    sql["harmonic_centrality_chains"] = """
+        -- position rn of an L-chain reaches distances 1..L-rn:
+        -- harmonic = H(L-rn), the same 1/d series summed in order
+        WITH pos AS (
+            SELECT event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS L
+            FROM events
+        )
+        SELECT event_id,
+               CAST(L - rn + 1 AS BIGINT) AS n_reachable,
+               round(coalesce(list_sum(list_transform(
+                   range(1, L - rn + 1), d -> 1.0 / d)), 0.0), 6)
+                   AS harmonic
+        FROM pos WHERE event_id < 500
     """
     sql["ccnet_ppl_buckets"] = """
         -- lm_quality_score mirror + per-language NTILE(3) tertiles

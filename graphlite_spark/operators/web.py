@@ -97,3 +97,95 @@ def normalize_url(
     )
     out = F.when(scheme != "", norm).otherwise(u)
     return df.withColumn(out_col or url_col, out)
+
+
+def host_suffixes(col):
+    """array<string> of dot-suffixes of a host, most-specific first:
+    'a.b.co' -> ['a.b.co', 'b.co', 'co'] — the match domain set a
+    suffix blocklist (UT1 / RefinedWeb-style) keys on. Map-side; the
+    array is bounded by the label count of one hostname."""
+    parts = F.split(col, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + F.lit(1)), "."),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    block_col: str = "host",
+    mode: str = "drop",
+    flag_col: str = "blocked",
+) -> DataFrame:
+    """Suffix-domain blocklist over a URL column — the adult/malware/
+    spam host gate every published crawl pipeline (C4, RefinedWeb,
+    Gopher) applies before content filters. A row is blocked when the
+    URL's REAL host (url_host: post-userinfo, lowercased) or ANY
+    parent domain appears in ``blocked`` — listing 'evil.com' blocks
+    'cdn.evil.com' but never 'notevil.com'.
+
+    mode='drop' removes blocked rows AND rows with no parseable
+    http(s) host (a crawl row whose URL cannot be keyed can't be
+    policy-checked — failing open would let every garbage URL through
+    the gate); mode='flag' keeps every row and adds boolean
+    ``flag_col`` (NULL-host rows flag true, same fail-closed stance).
+
+    Scale shape: two broadcast joins, the corpus never shuffles. The
+    blocklist (small by contract — UT1 is ~4M hosts, a few MB)
+    broadcasts against a NARROW (id, suffix) explode (<= ~6 rows per
+    doc, two short columns — never the text); the surviving blocked-id
+    set (blocked rows only, small when the gate is doing its job)
+    broadcasts back for the anti/flag join. If a blocklist ever
+    matched most of the corpus, flip the second join around — but
+    that corpus has bigger problems.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    bl = F.broadcast(
+        blocked.select(F.lower(F.col(block_col)).alias("_bl_host"))
+        .distinct())
+    host = url_host(F.col(url_col))
+    sfx = df.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(host_suffixes(host)).alias("_sfx"),
+    )
+    hit_ids = F.broadcast(
+        sfx.join(bl, sfx["_sfx"] == bl["_bl_host"], "left_semi")
+        .select("_bid").distinct())
+    if mode == "flag":
+        return (
+            df.join(hit_ids, df[id_col] == hit_ids["_bid"], "left")
+            .withColumn(
+                flag_col,
+                F.col("_bid").isNotNull() | host.isNull())
+            .drop("_bid")
+        )
+    return df.filter(host.isNotNull()).join(
+        hit_ids, df[id_col] == hit_ids["_bid"], "left_anti")
+
+
+def host_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    value_cols: tuple = (),
+) -> DataFrame:
+    """(host, n_docs, n_urls, avg_<value>...) — the per-host corpus
+    profile that feeds per-domain caps (cap_per_key) and reputation
+    policies. One map-side-combined groupBy on the extracted host;
+    rows with no parseable host aggregate under NULL so the garbage
+    volume is visible rather than silently dropped."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col(url_col)).alias("n_urls"),
+    ]
+    for c in value_cols:
+        aggs.append(F.round(F.avg(F.col(c)), 6).alias(f"avg_{c}"))
+    return (
+        df.withColumn("_host", url_host(F.col(url_col)))
+        .groupBy(F.col("_host").alias("host"))
+        .agg(*aggs)
+    )

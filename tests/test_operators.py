@@ -2613,3 +2613,46 @@ def test_perplexity_buckets_closed_form(spark):
 
     with pytest.raises(ValueError):
         perplexity_buckets(df, labels=("only",))
+
+
+def test_blocklist_filter_and_host_stats(spark):
+    from graphlite_spark.operators.web import (blocklist_filter,
+                                               host_stats, host_suffixes)
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "http://evil.com/a", 10.0),
+        (2, "https://cdn.evil.com/x?y=1", 20.0),     # parent-domain hit
+        (3, "http://notevil.com/ok", 30.0),           # suffix NOT a label match
+        (4, "https://good.org/页", 40.0),
+        (5, "mailto:junk@nowhere", 50.0),             # unparseable host
+        (6, "http://u:p@evil.com/bypass", 60.0),      # userinfo evasion
+        (7, "http://EVIL.com:8080/", 70.0),           # case + port
+        (8, "https://good.org/dup", 80.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    bl = spark.createDataFrame([("evil.com",), ("spam.net",)], "host string")
+
+    kept = sorted(r.doc_id for r in
+                  blocklist_filter(df, bl).collect())
+    assert kept == [3, 4, 8]  # 5 dropped (no host), evil.* all dropped
+
+    flags = {r.doc_id: r.blocked
+             for r in blocklist_filter(df, bl, mode="flag").collect()}
+    assert flags == {1: True, 2: True, 3: False, 4: False,
+                     5: True, 6: True, 7: True, 8: False}
+
+    with pytest.raises(ValueError):
+        blocklist_filter(df, bl, mode="nope")
+
+    sfx = df.filter(F.col("doc_id") == 2).select(
+        host_suffixes(F.lit("a.b.co")).alias("s")).collect()[0].s
+    assert sfx == ["a.b.co", "b.co", "co"]
+
+    stats = {r.host: (r.n_docs, r.n_urls, r.avg_score)
+             for r in host_stats(df, value_cols=("score",)).collect()}
+    assert stats["evil.com"] == (3, 3, 46.666667)
+    assert stats["cdn.evil.com"] == (1, 1, 20.0)
+    assert stats["good.org"] == (2, 2, 60.0)
+    assert stats[None] == (1, 1, 50.0)
+    assert stats["notevil.com"] == (1, 1, 30.0)
