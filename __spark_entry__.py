@@ -3705,6 +3705,21 @@ def _q_hll_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(weekly, 9, ("week",)).orderBy("week")
 
 
+def _q_streaming_hll_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch fallback of the STREAMING windowed-HLL operator (the
+    stream build is bit-identical to this by the stream==batch
+    pytest): hourly tumbling windows of distinct users as register
+    rows, then the estimator — per-window state is 2^p rows no matter
+    the arrival volume."""
+    from graphlite_spark.operators.sketches import hll_estimate
+    from graphlite_spark.streaming.windows import streaming_hll_counts
+
+    ev = _table(spark, sf_dir, "events")
+    sk = streaming_hll_counts(ev, key_col="user_id", window="1 hour",
+                              p=9, salt=8)
+    return hll_estimate(sk, 9, ("window_start",)).orderBy("window_start")
+
+
 def _q_shortest_path_pair_chain(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Bidirectional point-to-point BFS over the event chains: the
@@ -4242,6 +4257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dd_quantile_prices": _q_dd_quantile_prices,
             "bloom_customer_prefilter": _q_bloom_customer_prefilter,
             "hll_rollup_events": _q_hll_rollup_events,
+            "streaming_hll_batch": _q_streaming_hll_batch,
             "theta_overlap_custkeys": _q_theta_overlap_custkeys,
             "shortest_path_pair_chain": _q_shortest_path_pair_chain,
             "dd_clamp_prices": _q_dd_clamp_prices,
@@ -7750,6 +7766,42 @@ def oracle_sql() -> dict[str, str]:
         FROM est ORDER BY 1
     """
 
+    _sp, _ss = 9, 8
+    _sm, _sw = 1 << _sp, 32 - _sp
+    _salpha = 0.7213 / (1 + 1.079 / _sm)
+    sql["streaming_hll_batch"] = f"""
+        -- the streaming build's batch twin replayed: hourly windows,
+        -- fmix32 register/rho slices, estimator with linear-counting
+        -- branch
+        WITH h AS (
+            SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+                       AS window_start,
+                   {mix32_sql('user_id', _ss)} AS h
+            FROM events
+        ), regs AS (
+            SELECT window_start, h // {1 << _sw} AS register,
+                   max(CASE WHEN h % {1 << _sw} = 0 THEN {_sw + 1}
+                       ELSE {_sw + 1} - length(bin(h % {1 << _sw}))
+                       END) AS rho
+            FROM h GROUP BY 1, 2
+        ), agg AS (
+            SELECT window_start, count(*) AS present,
+                   sum(power(2.0, -rho)) AS sumreg
+            FROM regs GROUP BY 1
+        ), est AS (
+            SELECT window_start,
+                   ({float(_sm)!r} - present) + sumreg AS sum_inv,
+                   {float(_sm)!r} - present AS zeros
+            FROM agg
+        )
+        SELECT window_start,
+               round(CASE WHEN {_salpha * _sm * _sm!r} / sum_inv
+                               <= {2.5 * _sm!r} AND zeros > 0
+                      THEN {float(_sm)!r} * ln({float(_sm)!r} / zeros)
+                      ELSE {_salpha * _sm * _sm!r} / sum_inv END,
+                     4) AS estimate
+        FROM est ORDER BY 1
+    """
     sql["shortest_path_pair_chain"] = """
         -- chains are linear, so first->last distance of the min-user
         -- chain is its event count minus one (closed form)

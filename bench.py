@@ -119,6 +119,8 @@ HEADLINE = [
     "ranking_metrics_nations",        # recall@k / MRR / nDCG evaluation
     "srp_project_embeddings",         # JL sign-projection GEMM (r8)
     "ccnet_ppl_buckets",              # LM perplexity tertiles (r8)
+    "blocklist_filter_synth",         # suffix-domain URL gate (r8)
+    "streaming_hll_batch",            # windowed-HLL distinct twin (r8)
 ]
 
 

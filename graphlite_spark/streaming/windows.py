@@ -183,3 +183,41 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_hll_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    p: int = 9,
+    salt: int = 0,
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Continuous distinct counting: HLL register rows per tumbling
+    event-time window — (window_start, register, rho). hll_sketch is a
+    projection + groupBy-MAX, which is exactly the stream-legal
+    aggregation shape, so the STREAM state per window is bounded by
+    2^p register rows (~4 KB at p=9) no matter how many events or
+    distinct keys arrive; late data re-maxes the same registers until
+    the watermark closes the window. Feed the output to
+    sketches.hll_estimate for the count, or hll_merge register rows
+    across windows/streams/tenants for coarser grains — the mergeable
+    deployment shape (a batch-built daily sketch and a stream-built
+    hourly sketch union freely).
+
+    Identical call runs on a batch frame (watermark no-op — the
+    stream==batch discipline); on streams use update/complete output
+    for the register rows, or append once the watermark passes.
+    """
+    from graphlite_spark.operators.sketches import hll_sketch
+
+    df = _prep(events, ts_col, watermark)
+    # group by the window STRUCT (it carries the event-time marker the
+    # streaming planner needs for state eviction); project start after
+    # the aggregation
+    df = df.select(F.window(F.col(ts_col), window).alias("_w"),
+                   F.col(key_col))
+    sk = hll_sketch(df, key_col, ("_w",), p=p, salt=salt)
+    return sk.select(F.col("_w.start").alias("window_start"),
+                     "register", "rho")

@@ -2364,3 +2364,38 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert got == expected
     assert len({r for r in got if r[1] == 1}) == 40
     assert len({r for r in got if r[1] == 3}) == 10
+
+
+def test_streaming_hll_counts_stream_matches_batch(spark, events_stream_dir):
+    """Windowed HLL register rows built ON THE STREAM are bit-identical
+    to the batch build, and the estimates they yield match exact
+    per-window distinct counts within HLL error."""
+    from graphlite_spark.operators.sketches import hll_estimate
+    from graphlite_spark.streaming.windows import (run_stream_to_memory,
+                                                   streaming_hll_counts)
+
+    batch = spark.read.parquet(events_stream_dir)
+    expected = {
+        (r.window_start, r.register): r.rho
+        for r in streaming_hll_counts(batch, p=8, salt=3).collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    run_stream_to_memory(
+        streaming_hll_counts(stream, p=8, salt=3), "hll_stream_test")
+    sk = spark.table("hll_stream_test")
+    got = {(r.window_start, r.register): r.rho for r in sk.collect()}
+    assert got == expected and len(got) > 50
+
+    est = {r.window_start: r.estimate
+           for r in hll_estimate(sk, 8, ("window_start",)).collect()}
+    truth = {
+        r.w: r.n
+        for r in batch.withColumn(
+            "ts", F.col("ts").cast("timestamp")).groupBy(
+            F.window("ts", "1 hour").start.alias("w")).agg(
+            F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(est) == set(truth)
+    for w, n in truth.items():
+        assert abs(est[w] - n) <= max(3.0, 0.25 * n), (w, est[w], n)
