@@ -1792,6 +1792,42 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec BIASED walks with the randomness replayed by the
+    oracle: on a chain-with-back-edges graph (k -> k+1, k+2 for
+    k <= cap-3; k -> k-1 for k >= 1) the 2nd-order weights
+    (return 1/p, common-neighbor 1, explore 1/q; p=1/2, q=2 scale to
+    integers 4/2/1) are closed-form per (prev, cur) case, so a DuckDB
+    recursive CTE walks the SAME cumulative-weight pick —
+    477/480 trajectories differ from the uniform sampler on this
+    graph, so a bias bug cannot hide."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import node2vec_walks
+
+    sup = _table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    cap = sup.agg(F.least(F.count(F.lit(1)), F.lit(240)).alias("_cap"))
+    base = sup.crossJoin(F.broadcast(cap)).filter(
+        F.col("k") < F.col("_cap"))
+    fwd = base.filter(F.col("k") <= F.col("_cap") - 3)
+    edges = (
+        fwd.selectExpr("k AS _src", "k + 1 AS _dst")
+        .unionByName(fwd.selectExpr("k AS _src", "k + 2 AS _dst"))
+        .unionByName(base.filter(F.col("k") >= 1)
+                     .selectExpr("k AS _src", "k - 1 AS _dst"))
+    )
+    starts = base.select(F.col("k").alias("node"))
+    out = node2vec_walks(edges, start_nodes=starts, n_walks=2, length=5,
+                         p="1/2", q=2, salt=3)
+    return out.select(
+        F.col("start").cast("long"),
+        F.col("walk_id").cast("long"),
+        F.col("step").cast("long"),
+        F.col("node").cast("long"),
+    )
+
+
 def _q_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED Louvain on a planted chain of supplier triples:
     within-triple edges w=10, triple-to-triple links w=0.1 — the
@@ -4228,6 +4264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "k_truss_cliques": _q_k_truss,
             "truss_decomposition_cliques": _q_truss_decomposition,
             "random_walks_replayed": _q_random_walks,
+            "node2vec_walks_replayed": _q_node2vec_walks,
             "pagerank_weighted_2iter": _q_pagerank_weighted_2iter,
             "pagerank_personalized_2iter": _q_pagerank_personalized_2iter,
             "dag_layers_follows": _q_dag_layers,
@@ -8322,6 +8359,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey AS custkey FROM customer
         WHERE {_tests}
         ORDER BY 1
+    """
+    # node2vec replay: same seed/bucket arithmetic as random_walks'
+    # oracle; the 2nd-order weight of candidate x given prev is a
+    # closed-form CASE on the planted chain-with-back-edges graph
+    # (x adj prev iff x = prev-1 [prev>=1] or x = prev+1/+2
+    # [prev <= c-3]); pick walks the cumulative integer weights
+    _WR, _WI, _WO = 4, 2, 1  # p=1/2, q=2 scaled
+
+    def _n2v_w(x: str) -> str:
+        return (f"(CASE WHEN prev IS NULL THEN 1"
+                f" WHEN ({x}) = prev THEN {_WR}"
+                f" WHEN (({x}) = prev - 1 AND prev >= 1)"
+                f" OR (({x}) = prev + 1 AND prev <= c - 3)"
+                f" OR (({x}) = prev + 2 AND prev <= c - 3) THEN {_WI}"
+                f" ELSE {_WO} END)")
+
+    _w1, _w2 = _n2v_w("1"), _n2v_w("2")
+    _wm, _wp1, _wp2 = (_n2v_w("node - 1"), _n2v_w("node + 1"),
+                       _n2v_w("node + 2"))
+    _n2v_bucket = (
+        "(CAST(((node % 1000003) * 131071 + walk_id * 1031 + step + 1)"
+        " % 4294967296 + 3 AS HUGEINT)"
+        " % 4294967296 * 2654435761) % 4294967296")
+    sql["node2vec_walks_replayed"] = f"""
+        WITH RECURSIVE cap AS (
+            SELECT least(count(*), 240) AS c FROM supplier
+        ),
+        starts AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS start
+            FROM supplier, cap WHERE s_suppkey < c
+        ),
+        walk(start, walk_id, step, prev, node) AS (
+            SELECT start, w.walk_id, CAST(0 AS BIGINT),
+                   CAST(NULL AS BIGINT), start
+            FROM starts, (VALUES (CAST(0 AS BIGINT)),
+                                 (CAST(1 AS BIGINT))) w(walk_id)
+            UNION ALL
+            SELECT start, walk_id, step + 1, node,
+                   CAST(CASE
+                     WHEN node = 0 THEN
+                       CASE WHEN b % ({_w1} + {_w2}) < {_w1}
+                            THEN 1 ELSE 2 END
+                     WHEN node <= c - 3 THEN
+                       CASE WHEN b % ({_wm} + {_wp1} + {_wp2}) < {_wm}
+                                THEN node - 1
+                            WHEN b % ({_wm} + {_wp1} + {_wp2})
+                                 < {_wm} + {_wp1} THEN node + 1
+                            ELSE node + 2 END
+                     ELSE node - 1
+                   END AS BIGINT)
+            FROM (SELECT start, walk_id, step, prev, node, c,
+                         {_n2v_bucket} AS b
+                  FROM walk, cap WHERE step < 5) t
+        )
+        SELECT start, walk_id, step, node FROM walk
     """
     from graphlite_spark.operators.similarity import srp_sql
 

@@ -121,6 +121,7 @@ HEADLINE = [
     "ccnet_ppl_buckets",              # LM perplexity tertiles (r8)
     "blocklist_filter_synth",         # suffix-domain URL gate (r8)
     "streaming_hll_batch",            # windowed-HLL distinct twin (r8)
+    "node2vec_walks_replayed",        # 2nd-order biased walks (r8)
 ]
 
 

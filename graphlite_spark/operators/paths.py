@@ -1288,6 +1288,157 @@ def random_walks(
     )
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    start_nodes: DataFrame | None = None,
+    n_walks: int = 1,
+    length: int = 10,
+    p: float | str = 1,
+    q: float | str = 1,
+    salt: int = 0,
+    directed: bool = True,
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """(start, walk_id, step, node): deterministic node2vec
+    second-order biased walks (Grover & Leskovec 2016) — random_walks'
+    sampler with the return/in-out bias. At node v coming from u, the
+    unnormalized weight of neighbor x is 1/p when x == u (return), 1
+    when x is also a neighbor of u (BFS-ish), else 1/q (DFS-ish); the
+    first step is uniform.
+
+    Determinism + oracle replay: p and q are taken as EXACT rationals
+    (Fraction of the string form — pass '0.5', 2, '1/3') and the three
+    weights scale to integers, so the pick is `seed_bucket mod
+    total_weight` walked through the SORTED neighbor list's cumulative
+    integer weights — the DOULION device again: an oracle replays the
+    biased randomness exactly, no floating-point tie ambiguity. Seed
+    arithmetic is identical to random_walks.
+
+    Distributed shape: the one extra cost over uniform walks is
+    carrying the PREVIOUS node's sorted neighbor array on the walk
+    frontier (it is exactly the array the previous step already
+    joined — no second join, no u-x adjacency shuffle); the
+    membership test is a binary array_contains over that array,
+    map-side. Unweighted edges (the paper's alpha without w_uv);
+    dead ends terminate early, same as random_walks.
+    """
+    if not 1 <= n_walks <= 127:
+        raise ValueError(f"n_walks must be in [1, 127], got {n_walks}")
+    if not 1 <= length <= 1000:
+        raise ValueError(f"length must be in [1, 1000], got {length}")
+    import math as _math
+    from fractions import Fraction
+
+    P, Q = Fraction(str(p)), Fraction(str(q))
+    if P <= 0 or Q <= 0:
+        raise ValueError(f"p and q must be > 0, got p={p} q={q}")
+    w_ret, w_in, w_out = 1 / P, Fraction(1), 1 / Q
+    scale = _math.lcm(w_ret.denominator, w_out.denominator)
+    W_RET, W_IN, W_OUT = (int(w_ret * scale), int(scale),
+                          int(w_out * scale))
+    if max(W_RET, W_IN, W_OUT) > (1 << 20):
+        raise ValueError(
+            f"p/q denominators too fine (scaled weights "
+            f"{W_RET}/{W_IN}/{W_OUT} > 2^20): the mod-total pick "
+            f"needs total weight << 2^32")
+    from pyspark.sql.types import NumericType
+
+    from .sampling import _bucket
+
+    node_t = edges.schema[src].dataType
+    numeric_ids = isinstance(node_t, NumericType)
+
+    def _seed_base(col):
+        return F.pmod(col if numeric_ids else F.xxhash64(col),
+                      F.lit(1000003))
+
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b"))
+        ).distinct()
+    nbrs = (
+        e.groupBy(F.col("_a").alias("_cur"))
+        .agg(F.sort_array(F.collect_set("_b")).alias("_nb"))
+        .localCheckpoint(eager=False)
+    )
+    if start_nodes is None:
+        starts = e.select(F.col("_a").alias("start")).distinct()
+    else:
+        starts = start_nodes.select(
+            F.col(start_nodes.columns[0]).alias("start"))
+    frontier = starts.select(
+        "start",
+        F.explode(F.array(*[F.lit(w) for w in range(n_walks)]))
+        .alias("walk_id"),
+        F.array(F.col("start")).alias("_walk"),
+        F.col("start").alias("_cur"),
+        F.lit(None).cast(node_t).alias("_prev"),
+        F.lit(None).cast(f"array<{node_t.simpleString()}>").alias("_pnb"),
+    )
+    for t in range(1, length + 1):
+        seed = (_seed_base(F.col("_cur")) * F.lit(131071)
+                + F.col("walk_id") * F.lit(1031) + F.lit(t))
+        j = frontier.join(nbrs, "_cur", "left")
+        wts = F.when(
+            F.col("_prev").isNull(),
+            F.transform(F.col("_nb"), lambda x: F.lit(1).cast("long")),
+        ).otherwise(
+            F.transform(
+                F.col("_nb"),
+                lambda x: F.when(x == F.col("_prev"),
+                                 F.lit(W_RET).cast("long"))
+                .when(F.array_contains(F.col("_pnb"), x),
+                      F.lit(W_IN).cast("long"))
+                .otherwise(F.lit(W_OUT).cast("long")),
+            )
+        )
+        j = j.select("start", "walk_id", "_walk", "_cur", "_nb",
+                     wts.alias("_wt"))
+        total = F.aggregate(F.col("_wt"), F.lit(0).cast("long"),
+                            lambda a, v: a + v)
+        r = F.pmod(_bucket(seed, salt), total)
+        pairs = F.zip_with(
+            F.col("_nb"), F.col("_wt"),
+            lambda x, w: F.struct(x.alias("x"), w.alias("w")))
+        zero = F.struct(r.alias("rem"),
+                        F.lit(None).cast(node_t).alias("x"))
+        pick = F.aggregate(
+            pairs, zero,
+            lambda acc, ele: F.when(
+                acc.getField("x").isNotNull(), acc
+            ).otherwise(
+                F.when(
+                    ele.getField("w") > acc.getField("rem"),
+                    F.struct(acc.getField("rem").alias("rem"),
+                             ele.getField("x").alias("x")),
+                ).otherwise(
+                    F.struct(
+                        (acc.getField("rem") - ele.getField("w"))
+                        .alias("rem"),
+                        acc.getField("x").alias("x"),
+                    )
+                )
+            ),
+        ).getField("x")
+        alive = F.col("_nb").isNotNull() & (F.size("_nb") > 0)
+        step = j.select(
+            "start", "walk_id",
+            F.when(alive, F.concat("_walk", F.array(pick)))
+            .otherwise(F.col("_walk")).alias("_walk"),
+            F.when(alive, pick).alias("_cur"),  # NULL at a dead end
+            F.when(alive, F.col("_cur")).alias("_prev"),
+            F.when(alive, F.col("_nb")).alias("_pnb"),
+        )
+        frontier = step.localCheckpoint(eager=False) \
+            if t % 8 == 0 else step
+    return frontier.select(
+        "start", "walk_id",
+        F.posexplode("_walk").alias("step", "node"),
+    )
+
+
 def _canon_simple_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Canonical (_lo < _hi) distinct simple edges, lineage-cut."""
     a, b = F.col(src), F.col(dst)

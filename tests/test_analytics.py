@@ -750,3 +750,91 @@ def test_is_bipartite(spark):
     assert got[20] == (True, 5)
     assert got[30] == (False, 4)
     assert got[99] == (True, 1)
+
+
+def test_node2vec_walks_python_replay_and_uniform_equivalence(spark):
+    """The biased sampler replayed step-for-step in pure Python
+    (sorted neighbors, integer cumulative weights, Knuth bucket mod
+    total) matches the distributed walks EXACTLY — dead ends, bias
+    cases and all; p=q=1 degenerates to random_walks bit-for-bit."""
+    from fractions import Fraction
+
+    from graphlite_spark.operators.paths import node2vec_walks, random_walks
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0), (3, 0),
+             (2, 5), (5, 6)]  # 6 is a dead end
+    df = spark.createDataFrame(edges, "_src long, _dst long")
+    p_s, q_s, salt, n_walks, length = "4", "1/4", 7, 3, 8
+    out = node2vec_walks(df, n_walks=n_walks, length=length, p=p_s,
+                         q=q_s, salt=salt)
+    got = {}
+    for r in out.collect():
+        got.setdefault((r.start, r.walk_id), {})[r.step] = r.node
+    walks = {k: [v[i] for i in range(len(v))] for k, v in got.items()}
+
+    # pure-python replay
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    P, Q = Fraction(p_s), Fraction(q_s)
+    w_ret, w_in, w_out = 1 / P, Fraction(1), 1 / Q
+    import math
+    sc = math.lcm(w_ret.denominator, w_out.denominator)
+    WR, WI, WO = int(w_ret * sc), int(sc), int(w_out * sc)
+
+    def bucket(key):
+        return ((key % 2**32 + salt) % 2**32) * 2654435761 % 2**32
+
+    expected = {}
+    for start in sorted(adj):
+        for wid in range(n_walks):
+            walk, cur, prev = [start], start, None
+            for t in range(1, length + 1):
+                nb = adj.get(cur)
+                if not nb:
+                    break
+                if prev is None:
+                    wts = [1] * len(nb)
+                else:
+                    pn = set(adj.get(prev, []))
+                    wts = [WR if x == prev else WI if x in pn else WO
+                           for x in nb]
+                seed = (cur % 1000003) * 131071 + wid * 1031 + t
+                r = bucket(seed) % sum(wts)
+                for x, w in zip(nb, wts):
+                    if w > r:
+                        nxt = x
+                        break
+                    r -= w
+                walk.append(nxt)
+                prev, cur = cur, nxt
+            expected[(start, wid)] = walk
+    assert walks == expected
+    # the dead end terminated at least one walk early
+    assert any(len(w) < length + 1 for w in expected.values())
+    # bias sanity: at least one step where prev mattered produced a
+    # different node than the uniform sampler
+    uni = {}
+    for r in random_walks(df, n_walks=n_walks, length=length,
+                          salt=salt).collect():
+        uni.setdefault((r.start, r.walk_id), {})[r.step] = r.node
+    uni = {k: [v[i] for i in range(len(v))] for k, v in uni.items()}
+    assert uni != walks
+
+    # p=q=1 == uniform random_walks exactly
+    same = {}
+    for r in node2vec_walks(df, n_walks=2, length=6, p=1, q=1,
+                            salt=salt).collect():
+        same.setdefault((r.start, r.walk_id), {})[r.step] = r.node
+    same = {k: [v[i] for i in range(len(v))] for k, v in same.items()}
+    uni2 = {}
+    for r in random_walks(df, n_walks=2, length=6, salt=salt).collect():
+        uni2.setdefault((r.start, r.walk_id), {})[r.step] = r.node
+    uni2 = {k: [v[i] for i in range(len(v))] for k, v in uni2.items()}
+    assert same == uni2
+
+    with pytest.raises(ValueError):
+        node2vec_walks(df, p=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(df, p="1/3000000")
