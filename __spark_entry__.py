@@ -3741,6 +3741,16 @@ def _q_hll_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(weekly, 9, ("week",)).orderBy("week")
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    journeys (lead window -> |types|² groupBy -> row-normalized
+    probabilities); ties break on event_id so the matrix is
+    deterministic."""
+    from graphlite_spark.operators.temporal import event_transitions
+
+    return event_transitions(_table(spark, sf_dir, "events"))
+
+
 def _q_streaming_hll_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch fallback of the STREAMING windowed-HLL operator (the
     stream build is bit-identical to this by the stream==batch
@@ -4295,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bloom_customer_prefilter": _q_bloom_customer_prefilter,
             "hll_rollup_events": _q_hll_rollup_events,
             "streaming_hll_batch": _q_streaming_hll_batch,
+            "event_transitions_markov": _q_event_transitions,
             "theta_overlap_custkeys": _q_theta_overlap_custkeys,
             "shortest_path_pair_chain": _q_shortest_path_pair_chain,
             "dd_clamp_prices": _q_dd_clamp_prices,
@@ -7803,6 +7814,22 @@ def oracle_sql() -> dict[str, str]:
         FROM est ORDER BY 1
     """
 
+    sql["event_transitions_markov"] = """
+        WITH nxt AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       AS to_type
+            FROM events
+        ), c AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6)
+                   AS prob
+        FROM c
+    """
     _sp, _ss = 9, 8
     _sm, _sw = 1 << _sp, 32 - _sp
     _salpha = 0.7213 / (1 + 1.079 / _sm)

@@ -122,6 +122,7 @@ HEADLINE = [
     "blocklist_filter_synth",         # suffix-domain URL gate (r8)
     "streaming_hll_batch",            # windowed-HLL distinct twin (r8)
     "node2vec_walks_replayed",        # 2nd-order biased walks (r8)
+    "event_transitions_markov",       # user-journey transition matrix (r8)
 ]
 
 

@@ -895,7 +895,7 @@ class GraphLiteSpark:
                       "gql.k_truss", "gql.truss_decomposition",
                       "gql.core_decomposition",
                       "gql.betweenness_sampled",
-                      "gql.random_walks",
+                      "gql.random_walks", "gql.node2vec_walks",
                       "gql.hits", "gql.link_prediction",
                       "gql.clustering_coefficient",
                       "gql.transitivity",
@@ -957,6 +957,13 @@ class GraphLiteSpark:
                 nw = int(stmt.args[0].value) if stmt.args else 1
                 ln = int(stmt.args[1].value) if len(stmt.args) > 1 else 10
                 df = P.random_walks(e, n_walks=nw, length=ln)
+            elif name == "gql.node2vec_walks":
+                nw = int(stmt.args[0].value) if stmt.args else 1
+                ln = int(stmt.args[1].value) if len(stmt.args) > 1 else 10
+                pp = stmt.args[2].value if len(stmt.args) > 2 else 1
+                qq = stmt.args[3].value if len(stmt.args) > 3 else 1
+                df = P.node2vec_walks(e, n_walks=nw, length=ln,
+                                      p=pp, q=qq)
             elif name == "gql.hits":
                 iters = int(stmt.args[0].value) if stmt.args else 10
                 df = P.hits(e, n, num_iter=iters)

@@ -473,3 +473,45 @@ def funnel_user_steps(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(from_type, to_type, n, prob): first-order Markov transition
+    matrix over each user's time-ordered event sequence — the
+    user-journey fingerprint product analytics builds sankeys and
+    next-action models from.
+
+    prob is row-normalized (P(to | from) — each from_type's
+    probabilities sum to 1). Ordering ties break on ``tiebreak_col``
+    so the matrix is deterministic and ANSI-replayable.
+
+    Scale shape: ONE shuffle on the user id for the lead window (the
+    per-user sort is partition-local), then a groupBy whose key space
+    is |event types|² — map-side combine collapses each partition to
+    the matrix size, and the row normalization is a window over those
+    few rows. No per-user state beyond the sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
+    )

@@ -469,6 +469,10 @@ def test_call_truss_and_core_procedures(db):
     # every walk starts at its start node and advances along edges
     assert {r.step for r in rw} <= {0, 1, 2, 3}
     assert all(r.node == r.start for r in rw if r.step == 0)
+    n2 = db.execute("CALL gql.node2vec_walks(2, 3, 1, 1)").collect()
+    # p=q=1 degenerates to the uniform sampler — identical rows
+    assert sorted((r.start, r.walk_id, r.step, r.node) for r in n2) \
+        == sorted((r.start, r.walk_id, r.step, r.node) for r in rw)
 
 
 def test_truncate_and_clear_graph(db):

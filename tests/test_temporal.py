@@ -232,3 +232,34 @@ def test_retention_cohorts_closed_form(spark):
     assert got[("2024-01-01", 2)] == (1, 2, 0.5)
     assert got[("2024-01-08", 0)] == (1, 1, 1.0)
     assert got[("2024-01-08", 1)] == (1, 1, 1.0)
+
+
+def test_event_transitions_closed_form(spark):
+    """Hand-built journeys: counts, row-normalized probabilities,
+    deterministic tie-break, last-event exclusion."""
+    from graphlite_spark.operators.temporal import event_transitions
+
+    rows = [
+        # user 1: view -> click -> view -> buy
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (1, 2, "2024-01-01 10:01:00", "click"),
+        (1, 3, "2024-01-01 10:02:00", "view"),
+        (1, 4, "2024-01-01 10:03:00", "buy"),
+        # user 2: view -> view (tie ts -> event_id order), then click
+        (2, 5, "2024-01-01 11:00:00", "view"),
+        (2, 6, "2024-01-01 11:00:00", "view"),
+        (2, 7, "2024-01-01 11:05:00", "click"),
+        # user 3: a single event contributes no transition
+        (3, 8, "2024-01-01 12:00:00", "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.from_type, r.to_type): (r.n, r.prob)
+           for r in event_transitions(df).collect()}
+    assert got == {
+        ("view", "click"): (2, 0.5),
+        ("view", "view"): (1, 0.25),
+        ("view", "buy"): (1, 0.25),
+        ("click", "view"): (1, 1.0),
+    }
