@@ -3741,6 +3741,71 @@ def _q_hll_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(weekly, 9, ("week",)).orderBy("week")
 
 
+def _dedup_index_path(sf_dir: str) -> str:
+    """Fingerprint-cached index path (the ann_rescore_persisted rule:
+    keyed on source file size+mtime, not the sf-dir name)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isfile(src):
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    for root, _dirs, files in os.walk(src):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(
+        "/tmp/graphlite_dedup_index",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{fp}")
+
+
+def _dedup_index_frames(spark: SparkSession, sf_dir: str):
+    """Historical side = docs < 300 (indexed once, fingerprint-cached);
+    incoming batch = docs >= 300 PLUS exact copies of docs < 50
+    re-keyed to id+100000 (planted dupes the index must catch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import build_dedup_index
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 300)
+    idx = _dedup_index_path(sf_dir)
+    if not os.path.exists(os.path.join(idx, "meta")):
+        build_dedup_index(hist, idx, n=3, num_hashes=64, bands=16)
+    batch = docs.filter(F.col("doc_id") >= 300).unionByName(
+        docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return batch, idx
+
+
+def _q_dedup_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup against the persisted index: kept iff
+    the batch doc's normalized text does not appear among the indexed
+    docs — closed form on text membership (the planted id+100000
+    copies always drop; a doc >= 300 drops only if it coincidentally
+    repeats an indexed text, which the oracle also sees)."""
+    batch, idx = _dedup_index_frames(spark, sf_dir)
+    from graphlite_spark.operators.dedup import dedup_against_index
+
+    return dedup_against_index(batch, idx, near=False)
+
+
+def _q_dedup_index_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near mode (band-bucket hits, drop-on-arrival): rows-only by
+    design (xxhash64 banding is engine-specific) — pinned by the
+    oracle-matched exact sibling above and by the pytest that proves
+    the index path buckets bit-identically to minhash_lsh_pairs."""
+    batch, idx = _dedup_index_frames(spark, sf_dir)
+    from graphlite_spark.operators.dedup import dedup_against_index
+
+    return dedup_against_index(batch, idx, near=True)
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     journeys (lead window -> |types|² groupBy -> row-normalized
@@ -4306,6 +4371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hll_rollup_events": _q_hll_rollup_events,
             "streaming_hll_batch": _q_streaming_hll_batch,
             "event_transitions_markov": _q_event_transitions,
+            "dedup_index_exact": _q_dedup_index_exact,
+            "dedup_index_near": _q_dedup_index_near,
             "theta_overlap_custkeys": _q_theta_overlap_custkeys,
             "shortest_path_pair_chain": _q_shortest_path_pair_chain,
             "dd_clamp_prices": _q_dd_clamp_prices,
@@ -7814,6 +7881,21 @@ def oracle_sql() -> dict[str, str]:
         FROM est ORDER BY 1
     """
 
+    sql["dedup_index_exact"] = """
+        -- batch = docs >= 300 plus id+100000 copies of docs < 50;
+        -- kept iff normalized text not among the indexed (< 300) texts
+        WITH hist AS (
+            SELECT DISTINCT lower(trim(text)) AS t FROM documents
+            WHERE doc_id < 300
+        ), batch AS (
+            SELECT doc_id, text FROM documents WHERE doc_id >= 300
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+            WHERE doc_id < 50
+        )
+        SELECT b.doc_id, b.text FROM batch b
+        WHERE lower(trim(b.text)) NOT IN (SELECT t FROM hist)
+    """
     sql["event_transitions_markov"] = """
         WITH nxt AS (
             SELECT event_type AS from_type,

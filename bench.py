@@ -123,6 +123,9 @@ HEADLINE = [
     "streaming_hll_batch",            # windowed-HLL distinct twin (r8)
     "node2vec_walks_replayed",        # 2nd-order biased walks (r8)
     "event_transitions_markov",       # user-journey transition matrix (r8)
+    "dedup_index_near",               # incremental dedup vs persisted index
+                                      # (r8): cold builds the index once,
+                                      # warm is the daily-batch shape
 ]
 
 

@@ -497,6 +497,34 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return _minhash_sig(sh, id_col, num_hashes)
 
 
+def _band_bucket_frame(sig: DataFrame, id_col: str, num_hashes: int,
+                       bands: int) -> DataFrame:
+    """(id, band, bucket) rows from a signature frame — ONE banding
+    construction shared by minhash_lsh_pairs, the persisted dedup
+    index, and dedup_against_index, so batch, index, and query sides
+    can never bucket differently (the streaming path computes the
+    identical buckets map-side and is pinned to this by pytest).
+    One SQL string (not a Column-tree loop — see _minhash_sig note)."""
+    r = num_hashes // bands
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', "
+        "xxhash64(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(element_at(signature, {b * r + j + 1}) AS STRING)"
+                for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sig.select(
+        id_col, F.expr(f"explode(array({band_structs}))").alias("bb")
+    ).select(
+        id_col, F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
@@ -513,7 +541,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     Scale: the only shuffles are the signature groupBy and the
     band-bucket self-join; no O(n^2) stage anywhere.
     """
-    r = num_hashes // bands
     # checkpoint the compact array form: shingling runs once, and both
     # the signature explode and the verification docsets reuse it
     base = shingle_array(df, text_col, id_col, n, words=words).localCheckpoint(
@@ -521,27 +548,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
     sh = base.select(F.col(id_col), F.explode("_shingles").alias("shingle"))
     sig = _minhash_sig(sh, id_col, num_hashes)
-    # one SQL string (not a Column-tree loop — see _minhash_sig note)
-    band_structs = ", ".join(
-        "named_struct('band', {b}, 'bucket', "
-        "xxhash64(concat_ws(',', {cols})))".format(
-            b=b,
-            cols=", ".join(
-                f"CAST(element_at(signature, {b * r + j + 1}) AS STRING)"
-                for j in range(r)
-            ),
-        )
-        for b in range(bands)
-    )
     # checkpoint: both sides of the band-bucket self-join read this
     # frame, and the signature aggregation upstream is the expensive
     # stage — without the cut it executes twice (no ReusedExchange in
     # the static plan)
-    buckets = sig.select(
-        id_col, F.expr(f"explode(array({band_structs}))").alias("bb")
-    ).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    ).localCheckpoint(eager=False)
+    buckets = _band_bucket_frame(sig, id_col, num_hashes, bands) \
+        .localCheckpoint(eager=False)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), on=["band", "bucket"])
@@ -908,3 +920,134 @@ def dedup_lines(
             ).alias("cleaned_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted dedup index — incremental ingestion against a historical corpus
+# ---------------------------------------------------------------------------
+
+def build_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    words: bool = True,
+    normalize: bool = True,
+    target_mb: int = 256,
+) -> int:
+    """Materialize a historical corpus's dedup side-structures ONCE —
+    the incremental-ingestion shape: a daily crawl batch dedups
+    against years of corpus without ever re-reading it. Writes
+
+    - ``{path}/exact``: DISTINCT xxhash64 of the (optionally
+      normalized) text — 8 bytes per distinct document,
+    - ``{path}/bands``: DISTINCT (band, bucket) MinHash band keys —
+      the near-dup membership set (bucket-hit semantics, the same
+      drop-on-arrival rule streaming_minhash_dedup applies),
+    - ``{path}/meta``: 1-row parquet pinning (n, num_hashes, bands,
+      words, normalize, n_docs) so queries can never band differently
+      than the build (dedup_against_index reads its parameters from
+      here, it does not take them).
+
+    Banding goes through the SAME _band_bucket_frame as
+    minhash_lsh_pairs (bit-identity pinned by pytest). Index size is
+    ~8 bytes/doc + ~16 bytes/(doc·band) before distinct-ing —
+    kilobytes per million docs after parquet, vs the corpus's
+    terabytes. Returns n_docs indexed.
+    """
+    from graphlite_spark.sources.sinks import write_parquet_sized
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes, got {num_hashes}/{bands}")
+    key = (F.lower(F.trim(F.col(text_col))) if normalize
+           else F.col(text_col))
+    exact = corpus.select(F.xxhash64(key).alias("h")).distinct()
+    write_parquet_sized(exact, f"{path}/exact", target_mb=target_mb)
+    sig = minhash_signatures(corpus, text_col, id_col, n=n,
+                             num_hashes=num_hashes, words=words)
+    bb = _band_bucket_frame(sig, id_col, num_hashes, bands) \
+        .select("band", "bucket").distinct()
+    write_parquet_sized(bb, f"{path}/bands", target_mb=target_mb)
+    n_docs = corpus.count()
+    spark = corpus.sparkSession
+    meta = spark.createDataFrame(
+        [(n, num_hashes, bands, bool(words), bool(normalize), n_docs)],
+        "n int, num_hashes int, bands int, words boolean, "
+        "normalize boolean, n_docs long",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return n_docs
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near: bool = True,
+    mode: str = "drop",
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST a persisted index
+    (build_dedup_index) — exact content hits and (optionally) MinHash
+    band-bucket near-dup hits are dropped (or flagged:
+    ``mode='flag'`` adds boolean ``exact_dup`` / ``near_dup``
+    columns). Banding parameters come from the index's meta row, so a
+    query cannot silently band differently than the build.
+
+    Near semantics are bucket-hit (any shared band bucket), the same
+    drop-on-arrival rule as streaming_minhash_dedup — candidate-level,
+    no exact-Jaccard verification against the historical corpus
+    (verification would require the corpus's shingle sets, i.e. the
+    corpus; the index deliberately stores only keys). Docs too short
+    to shingle have no bands and can only hit exactly.
+
+    Scale shape: the batch computes its own hashes/buckets map-side;
+    the joins are semi/anti joins on 8-byte keys between the batch
+    (small) and the index key tables — the historical corpus is never
+    read, and the index tables never rematerialize documents.
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    spark = new_docs.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    key = (F.lower(F.trim(F.col(text_col))) if m.normalize
+           else F.col(text_col))
+    exact_idx = spark.read.parquet(f"{path}/exact")
+    hashed = new_docs.withColumn("_h", F.xxhash64(key))
+    exact_ids = (
+        hashed.select(F.col(id_col).alias("_eid"), "_h")
+        .join(exact_idx, F.col("_h") == exact_idx["h"], "left_semi")
+        .select("_eid").distinct()
+    )
+    near_ids = None
+    if near:
+        bands_idx = spark.read.parquet(f"{path}/bands")
+        sig = minhash_signatures(new_docs, text_col, id_col, n=m.n,
+                                 num_hashes=m.num_hashes, words=m.words)
+        bb = _band_bucket_frame(sig, id_col, m.num_hashes, m.bands)
+        near_ids = (
+            bb.join(bands_idx, ["band", "bucket"], "left_semi")
+            .select(F.col(id_col).alias("_nid")).distinct()
+        )
+    if mode == "flag":
+        out = new_docs.join(
+            exact_ids, new_docs[id_col] == exact_ids["_eid"], "left"
+        ).withColumn("exact_dup", F.col("_eid").isNotNull()).drop("_eid")
+        if near_ids is not None:
+            out = out.join(
+                near_ids, out[id_col] == near_ids["_nid"], "left"
+            ).withColumn("near_dup", F.col("_nid").isNotNull()) \
+                .drop("_nid")
+        else:
+            out = out.withColumn("near_dup", F.lit(False))
+        return out
+    out = new_docs.join(
+        exact_ids, new_docs[id_col] == exact_ids["_eid"], "left_anti")
+    if near_ids is not None:
+        out = out.join(
+            near_ids, out[id_col] == near_ids["_nid"], "left_anti")
+    return out

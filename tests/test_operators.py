@@ -2656,3 +2656,73 @@ def test_blocklist_filter_and_host_stats(spark):
     assert stats["good.org"] == (2, 2, 60.0)
     assert stats[None] == (1, 1, 50.0)
     assert stats["notevil.com"] == (1, 1, 30.0)
+
+
+def test_dedup_against_index(spark, tmp_path):
+    """Persisted dedup index: exact content hits and band-bucket
+    near-dup hits drop on arrival; parameters are pinned in meta; the
+    index path buckets IDENTICALLY to minhash_lsh_pairs (shared
+    construction) so every pair the batch operator finds between
+    corpus and batch is also caught by the index."""
+    from graphlite_spark.operators.dedup import (build_dedup_index,
+                                                 dedup_against_index,
+                                                 minhash_lsh_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    corpus_rows = [
+        (i, base.replace("fox", w))
+        for i, w in enumerate(["fox", "cat", "owl", "elk", "bat"])
+    ]
+    # unrelated docs so the index isn't one near-dup cluster
+    corpus_rows += [
+        (10 + i, f"completely unrelated document number {i} about "
+                 f"spark catalyst optimizer internals volume {i}")
+        for i in range(5)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    idx = str(tmp_path / "dedup_idx")
+    n_docs = build_dedup_index(corpus, idx, n=3, num_hashes=64, bands=16)
+    assert n_docs == 10
+
+    new_rows = [
+        (100, corpus_rows[0][1]),              # exact dup (and near)
+        (101, corpus_rows[1][1].upper()),      # exact after normalize
+        (102, base.replace("fox", "hen")),     # near-dup of the family
+        (103, "a totally fresh document about nothing seen before "
+              "with many novel words and phrases galore"),
+        (104, "x"),                            # too short to shingle
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    kept = sorted(r.doc_id for r in dedup_against_index(new, idx).collect())
+    # 102's near-dup status must agree with the batch operator run on
+    # the union — if minhash finds a (corpus, 102) pair, the index
+    # must catch it (same banding)
+    union = corpus.unionByName(new)
+    pairs = minhash_lsh_pairs(union, threshold=0.0, verify=False).collect()
+    cross = {(a, b) for a, b in
+             ((r.id_a, r.id_b) for r in pairs) if a < 10 <= b or b < 10 <= a}
+    caught_102 = any(102 in p for p in cross)
+    assert caught_102  # the planted family near-dup is found by LSH
+    assert 100 not in kept and 101 not in kept and 102 not in kept
+    assert 103 in kept and 104 in kept
+
+    flags = {r.doc_id: (r.exact_dup, r.near_dup)
+             for r in dedup_against_index(new, idx, mode="flag").collect()}
+    assert flags[100] == (True, True)
+    assert flags[101][0] is True
+    assert flags[102] == (False, True)
+    assert flags[103] == (False, False)
+    assert flags[104] == (False, False)
+
+    # exact-only mode keeps the near-dup
+    kept_exact = sorted(
+        r.doc_id
+        for r in dedup_against_index(new, idx, near=False).collect())
+    assert kept_exact == [102, 103, 104]
+
+    with pytest.raises(ValueError):
+        dedup_against_index(new, idx, mode="nope")
+    with pytest.raises(ValueError):
+        build_dedup_index(corpus, idx, num_hashes=64, bands=7)
