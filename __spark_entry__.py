@@ -4218,6 +4218,53 @@ def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       value_cols=("n_chars",))
 
 
+def _q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eccentricity over FOLLOWS chains — closed form: position rn of
+    an L-chain reaches L-rn hops, so eccentricity = L-rn and the
+    global sampled diameter over these sources is max(L-rn)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import eccentricity
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    sources = g.nodes_for_label("Event").filter(
+        F.col("event_id") < 500
+    ).select("_id")
+    out = eccentricity(
+        g.edge_type("FOLLOWS").df.select("_src", "_dst"),
+        sources, max_hops=1000,
+    )
+    ns = 10**12
+    return out.select(
+        (F.col("node") % ns).alias("event_id"), "eccentricity",
+        "n_reachable",
+    )
+
+
+def _q_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of GraphSAGE-mean smoothing over a vec_id chain
+    (k -> k+1 for k < 200): r1(v) = mean(e(v), e(v-1)) and
+    r2(v) = mean(r1(v), r1(v-1)) — the oracle nests the same means per
+    dimension, so message creation, the posexplode avg, reassembly
+    ORDER, and the keep-isolated rule are all on the hook."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import feature_propagation
+
+    emb = _table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") <= 200)
+    edges = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("_src"),
+        (F.col("vec_id") + 1).alias("_dst"))
+    out = feature_propagation(emb, edges, rounds=2)
+    return out.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: F.round(x, 6)).alias("embedding"),
+    )
+
+
 def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic centrality (the disconnected-graph-safe centrality:
     sum of 1/dist, unreachable nodes contribute 0) over the FOLLOWS
@@ -4388,6 +4435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ranking_metrics_nations": _q_ranking_metrics_nations,
             "srp_project_embeddings": _q_srp_project,
             "harmonic_centrality_chains": _q_harmonic_centrality,
+            "eccentricity_chains": _q_eccentricity,
+            "feature_propagation_chain": _q_feature_propagation,
             "blocklist_filter_synth": _q_blocklist_filter,
             "host_stats_synth": _q_host_stats,
             "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
@@ -8574,6 +8623,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
                round(avg(n_chars), 6) AS avg_n_chars
         FROM h GROUP BY host
+    """
+    sql["eccentricity_chains"] = """
+        -- position rn of an L-chain reaches exactly L-rn hops
+        WITH pos AS (
+            SELECT event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS L
+            FROM events
+        )
+        SELECT event_id,
+               CAST(L - rn AS BIGINT) AS eccentricity,
+               CAST(L - rn + 1 AS BIGINT) AS n_reachable
+        FROM pos WHERE event_id < 500
+    """
+    sql["feature_propagation_chain"] = """
+        -- two nested two-term means per dimension; node 0 (no
+        -- in-neighbor) keeps its own vector at each round
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id <= 200
+        ), r1 AS (
+            SELECT a.vec_id,
+                   CASE WHEN b.vec_id IS NULL THEN a.v
+                        ELSE list_transform(range(1, len(a.v) + 1),
+                             i -> (a.v[i] + b.v[i]) / 2.0) END AS v
+            FROM e a LEFT JOIN e b ON b.vec_id = a.vec_id - 1
+        ), r2 AS (
+            SELECT a.vec_id,
+                   CASE WHEN b.vec_id IS NULL THEN a.v
+                        ELSE list_transform(range(1, len(a.v) + 1),
+                             i -> (a.v[i] + b.v[i]) / 2.0) END AS v
+            FROM r1 a LEFT JOIN r1 b ON b.vec_id = a.vec_id - 1
+        )
+        SELECT vec_id,
+               list_transform(range(1, len(v) + 1),
+                              i -> round(v[i], 6)) AS embedding
+        FROM r2
     """
     sql["harmonic_centrality_chains"] = """
         -- position rn of an L-chain reaches distances 1..L-rn:

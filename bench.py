@@ -126,6 +126,7 @@ HEADLINE = [
     "dedup_index_near",               # incremental dedup vs persisted index
                                       # (r8): cold builds the index once,
                                       # warm is the daily-batch shape
+    "feature_propagation_chain",      # 2-round GraphSAGE-mean smoothing (r8)
 ]
 
 

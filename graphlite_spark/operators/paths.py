@@ -2932,3 +2932,115 @@ def hits(
         )
         scores = hub.join(auth, "node").localCheckpoint(eager=False)
     return scores.select("node", "hub", "authority")
+
+
+def eccentricity(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 50,
+    directed: bool = True,
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """(node, eccentricity, n_reachable): each source's eccentricity —
+    the maximum FINITE distance to any node it reaches (the standard
+    disconnected-graph convention; a node reaching nothing scores 0).
+    One hop-batched multi-source BFS + a groupBy max; pass every node
+    for exact values on analysis-sized graphs or a hash_sample for
+    the sampled bound at corpus scale (cost = |sources| x reach, the
+    closeness/betweenness posture)."""
+    e = edges.select(F.col(src).alias(SRC), F.col(dst).alias(DST))
+    d = bfs_distances(e, sources, max_hops=max_hops, directed=directed)
+    return (
+        d.groupBy("root")
+        .agg(F.max("dist").alias("eccentricity"),
+             F.count(F.lit(1)).alias("n_reachable"))
+        .select(F.col("root").alias("node"),
+                F.col("eccentricity").cast("long").alias("eccentricity"),
+                F.col("n_reachable").cast("long").alias("n_reachable"))
+    )
+
+
+def graph_diameter(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 50,
+    directed: bool = True,
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """1-row (diameter): max eccentricity over ``sources`` — EXACT when
+    sources = every node, a lower bound under sampling (document which
+    you passed). Same BFS machinery; the final max is a 1-row
+    aggregate."""
+    return eccentricity(edges, sources, max_hops=max_hops,
+                        directed=directed, src=src, dst=dst).agg(
+        F.max("eccentricity").cast("long").alias("diameter"))
+
+
+def feature_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = True,
+    directed: bool = True,
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """(id, vector): GraphSAGE-mean / LightGCN-style feature smoothing
+    — each round every node's vector becomes the per-dimension MEAN of
+    its in-neighbors' vectors (plus its own when ``include_self``).
+    The standard label/feature-propagation step graph-ML pipelines run
+    before or instead of training a GNN; k rounds mix k-hop
+    neighborhoods. Nodes receiving no messages keep their current
+    vector (smoothing must not erase isolated nodes).
+
+    Scale shape per round: one join of the edge list against the
+    feature frame (message creation), then a POSEXPLODE to
+    (node, dim, value) rows aggregated by avg — deliberately the
+    d-times-taller NARROW shuffle rather than collect_list of whole
+    vectors, because per-(node,dim) avg gets map-side partial
+    aggregation and never materializes a hub's full inbox in memory
+    (a celebrity node with 10M in-edges aggregates incrementally;
+    collect_list would hold 10M×d doubles in one group). Reassembly
+    is a sort of d structs per node. Bounded ``rounds`` with a
+    lineage cut per round.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from .similarity import _as_double
+
+    feat = nodes.select(F.col(id_col).alias("_n"),
+                        _as_double(F.col(vec_col)).alias("_v"))
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b"))
+        ).distinct()
+    for _ in range(rounds):
+        msgs = (
+            e.join(feat, e["_a"] == feat["_n"], "inner")
+            .select(F.col("_b").alias("_n"), "_v")
+        )
+        if include_self:
+            msgs = msgs.unionByName(feat)
+        dims = msgs.select(
+            "_n", F.posexplode("_v").alias("_p", "_x"))
+        agg = dims.groupBy("_n", "_p").agg(F.avg("_x").alias("_m"))
+        mixed = (
+            agg.groupBy("_n")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("_p", "_m"))).alias("_pv"))
+            .select(
+                "_n",
+                F.transform("_pv", lambda s: s.getField("_m"))
+                .alias("_v2"))
+        )
+        feat = _ck_cut_stats(
+            feat.join(mixed, "_n", "left")
+            .select("_n", F.coalesce("_v2", "_v").alias("_v"))
+        ).localCheckpoint(eager=False)
+    return feat.select(F.col("_n").alias(id_col),
+                       F.col("_v").alias(vec_col))

@@ -838,3 +838,58 @@ def test_node2vec_walks_python_replay_and_uniform_equivalence(spark):
         node2vec_walks(df, p=0)
     with pytest.raises(ValueError):
         node2vec_walks(df, p="1/3000000")
+
+
+def test_eccentricity_and_diameter(spark):
+    from graphlite_spark.operators.paths import eccentricity, graph_diameter
+
+    # chain 0->1->2->3 and a separate pair 10->11
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "_src long, _dst long")
+    n = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 10, 11)],
+                              "node long")
+    ecc = {r.node: (r.eccentricity, r.n_reachable)
+           for r in eccentricity(e, n).collect()}
+    assert ecc == {0: (3, 4), 1: (2, 3), 2: (1, 2), 3: (0, 1),
+                   10: (1, 2), 11: (0, 1)}
+    assert graph_diameter(e, n).collect()[0].diameter == 3
+    # undirected: the pair has diameter 1, chain 3
+    ecc_u = {r.node: r.eccentricity
+             for r in eccentricity(e, n, directed=False).collect()}
+    assert ecc_u == {0: 3, 1: 2, 2: 2, 3: 3, 10: 1, 11: 1}
+
+
+def test_feature_propagation_closed_form(spark):
+    """Chain 0->1->2 with include_self: r1(v) = mean(e(v), e(v-1));
+    two rounds nest; isolated node keeps its vector; include_self=False
+    leaves no-message nodes unchanged."""
+    from graphlite_spark.operators.paths import feature_propagation
+
+    nodes = spark.createDataFrame(
+        [(0, [0.0, 8.0]), (1, [2.0, 0.0]), (2, [4.0, 4.0]),
+         (9, [7.0, 7.0])],
+        "vec_id long, embedding array<double>")
+    e = spark.createDataFrame([(0, 1), (1, 2)], "_src long, _dst long")
+
+    r1 = {r.vec_id: r.embedding
+          for r in feature_propagation(nodes, e, rounds=1).collect()}
+    assert r1[0] == [0.0, 8.0]            # no in-neighbors: self mean
+    assert r1[1] == [1.0, 4.0]            # mean(self, 0)
+    assert r1[2] == [3.0, 2.0]            # mean(self, 1)
+    assert r1[9] == [7.0, 7.0]            # isolated
+
+    r2 = {r.vec_id: r.embedding
+          for r in feature_propagation(nodes, e, rounds=2).collect()}
+    assert r2[1] == [0.5, 6.0]            # mean(r1(1), r1(0))
+    assert r2[2] == [2.0, 3.0]            # mean(r1(2), r1(1))
+
+    ns = {r.vec_id: r.embedding
+          for r in feature_propagation(nodes, e, rounds=1,
+                                       include_self=False).collect()}
+    assert ns[0] == [0.0, 8.0]            # no messages: unchanged
+    assert ns[1] == [0.0, 8.0]            # exactly neighbor 0's vector
+    assert ns[9] == [7.0, 7.0]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        feature_propagation(nodes, e, rounds=0)
