@@ -4218,6 +4218,17 @@ def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       value_cols=("n_chars",))
 
 
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass column profile over two integral orders
+    columns — exact counts/nulls/min/max/mean/stddev PLUS the
+    replayable-HLL approx_distinct, all hash-matched (the oracle
+    re-runs the fmix32 register estimate per column)."""
+    from graphlite_spark.operators.analytics import table_profile
+
+    return table_profile(_table(spark, sf_dir, "orders"),
+                         cols=["o_orderkey", "o_custkey"])
+
+
 def _q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eccentricity over FOLLOWS chains — closed form: position rn of
     an L-chain reaches L-rn hops, so eccentricity = L-rn and the
@@ -4436,6 +4447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "srp_project_embeddings": _q_srp_project,
             "harmonic_centrality_chains": _q_harmonic_centrality,
             "eccentricity_chains": _q_eccentricity,
+            "table_profile_orders": _q_table_profile,
             "feature_propagation_chain": _q_feature_propagation,
             "blocklist_filter_synth": _q_blocklist_filter,
             "host_stats_synth": _q_host_stats,
@@ -8624,6 +8636,55 @@ def oracle_sql() -> dict[str, str]:
                round(avg(n_chars), 6) AS avg_n_chars
         FROM h GROUP BY host
     """
+    # table_profile replay: exact stats + the SAME fmix32 HLL estimate
+    # per integral column (p=12, salt=0), unioned
+    _pm, _pw = 1 << 12, 32 - 12
+    _palpha = 0.7213 / (1 + 1.079 / _pm)
+
+    def _profile_col_sql(c: str) -> str:
+        return f"""
+            SELECT '{c}' AS column,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS null_rate,
+                   (WITH h AS (
+                        SELECT {mix32_sql(c, 0)} AS h FROM orders
+                        WHERE {c} IS NOT NULL
+                    ), regs AS (
+                        SELECT h // {1 << _pw} AS register,
+                               max(CASE WHEN h % {1 << _pw} = 0
+                                   THEN {_pw + 1}
+                                   ELSE {_pw + 1} -
+                                        length(bin(h % {1 << _pw}))
+                                   END) AS rho
+                        FROM h GROUP BY 1
+                    ), agg AS (
+                        SELECT count(*) AS present,
+                               sum(power(2.0, -rho)) AS sumreg
+                        FROM regs
+                    )
+                    SELECT round(CASE WHEN {_palpha * _pm * _pm!r}
+                                   / (({float(_pm)!r} - present) + sumreg)
+                                   <= {2.5 * _pm!r}
+                                   AND {float(_pm)!r} - present > 0
+                               THEN {float(_pm)!r} * ln({float(_pm)!r}
+                                    / ({float(_pm)!r} - present))
+                               ELSE {_palpha * _pm * _pm!r}
+                                    / (({float(_pm)!r} - present)
+                                       + sumreg) END, 4)
+                    FROM agg) AS approx_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_value,
+                   CAST(max({c}) AS VARCHAR) AS max_value,
+                   round(avg({c}), 6) AS mean,
+                   round(stddev_samp({c}), 6) AS stddev
+            FROM orders
+        """
+
+    sql["table_profile_orders"] = (
+        _profile_col_sql("o_orderkey") + " UNION ALL "
+        + _profile_col_sql("o_custkey"))
     sql["eccentricity_chains"] = """
         -- position rn of an L-chain reaches exactly L-rn hops
         WITH pos AS (

@@ -127,6 +127,7 @@ HEADLINE = [
                                       # (r8): cold builds the index once,
                                       # warm is the daily-batch shape
     "feature_propagation_chain",      # 2-round GraphSAGE-mean smoothing (r8)
+    "table_profile_orders",           # one-pass column profiler (r8)
 ]
 
 

@@ -149,3 +149,91 @@ def ntile_buckets(
     return df.withColumn(
         out_col, F.ntile(buckets).over(_spec(partition_by, order_by))
     )
+
+
+def table_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    p: int = 12,
+    salt: int = 0,
+) -> DataFrame:
+    """(column, n_rows, n_null, null_rate, approx_distinct, min_value,
+    max_value, mean, stddev): Deequ-style column profiling — the data-
+    quality pass a pipeline runs on every new corpus drop before
+    trusting it (null-rate spikes, cardinality collapse, and range
+    drift are the three classic ingestion failures).
+
+    Exact stats (counts, nulls, min/max as strings, mean/stddev for
+    numerics) come from ONE shared aggregate job over the scan — a
+    single 1-row reduce, no shuffle of data rows. approx_distinct is
+    this repo's replayable HLL (sketches.hll_count_distinct: fmix32
+    registers, NOT Spark's approx_count_distinct, whose HLL++ is not
+    oracle-mirrorable) — one sketch-sized aggregation per column,
+    each shuffling at most 2^p register rows. Non-numeric columns
+    fold through xxhash64 for the sketch (engine-specific — profile
+    entries oracle-match on numeric columns; string distincts are
+    pytest-pinned against exact counts).
+
+    At 100 TB: k columns cost one wide scan + k kilobyte shuffles —
+    the profile must never cost more than reading the table once.
+    """
+    from pyspark.sql.types import NumericType
+
+    from .sketches import hll_count_distinct
+
+    if cols is None:
+        cols = df.columns
+    types = dict(df.dtypes)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+        if isinstance(schema[c], NumericType):
+            aggs.append(F.avg(F.col(c)).alias(f"_mean_{c}"))
+            aggs.append(F.stddev(F.col(c)).alias(f"_sd_{c}"))
+    row = df.agg(*aggs).collect()[0]  # O(columns) scalars, one job
+    spark = df.sparkSession
+    out = None
+    from pyspark.sql.types import IntegralType
+
+    for c in cols:
+        numeric = isinstance(schema[c], NumericType)
+        # only integral keys feed the replayable mix32 directly —
+        # fractional values would be CAST to long (truncate in Spark,
+        # round in other engines: a silent cross-engine mismatch AND a
+        # distinctness collapse), so they fold through xxhash64 like
+        # strings
+        # xxhash64(NULL) is the seed hash, NOT NULL — mask nulls first
+        # or every column with any null over-counts by one
+        key = (F.col(c) if isinstance(schema[c], IntegralType)
+               else F.when(F.col(c).isNotNull(),
+                           F.xxhash64(c))).alias("_k")
+        nn = df.select(key).filter(F.col("_k").isNotNull())
+        ad = hll_count_distinct(nn, "_k", p=p, salt=salt).select(
+            F.lit(c).alias("column"),
+            F.col("estimate").alias("approx_distinct"))
+        n = int(row["_n"])
+        nulls = int(row[f"_null_{c}"] or 0)
+        stats = spark.createDataFrame(
+            [(
+                c, n, nulls,
+                round(nulls / n, 6) if n else 0.0,
+                row[f"_min_{c}"], row[f"_max_{c}"],
+                round(float(row[f"_mean_{c}"]), 6)
+                if numeric and row[f"_mean_{c}"] is not None else None,
+                round(float(row[f"_sd_{c}"]), 6)
+                if numeric and row[f"_sd_{c}"] is not None else None,
+            )],
+            "column string, n_rows long, n_null long, null_rate double, "
+            "min_value string, max_value string, mean double, "
+            "stddev double",
+        )
+        part = stats.join(ad, "column", "left")
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "column", "n_rows", "n_null", "null_rate",
+        F.coalesce("approx_distinct", F.lit(0.0)).alias("approx_distinct"),
+        "min_value", "max_value", "mean", "stddev",
+    )

@@ -893,3 +893,28 @@ def test_feature_propagation_closed_form(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         feature_propagation(nodes, e, rounds=0)
+
+
+def test_table_profile(spark):
+    from graphlite_spark.operators.analytics import table_profile
+
+    rows = [(1, 10.0, "a"), (2, None, "b"), (3, 10.0, None),
+            (4, 30.0, "a"), (5, 20.0, "c")]
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    prof = {r.column: r for r in table_profile(df, p=10).collect()}
+    assert set(prof) == {"id", "v", "s"}
+    r = prof["id"]
+    assert (r.n_rows, r.n_null, r.null_rate) == (5, 0, 0.0)
+    assert (r.min_value, r.max_value) == ("1", "5")
+    assert r.mean == 3.0
+    # 5 distinct small ints: HLL exact at this range
+    assert abs(r.approx_distinct - 5) < 0.6
+    v = prof["v"]
+    assert (v.n_null, v.null_rate) == (1, 0.2)
+    assert v.min_value == "10.0" and v.max_value == "30.0"
+    assert v.mean == 17.5
+    assert abs(v.approx_distinct - 3) < 0.5  # xxhash64-folded doubles
+    s = prof["s"]
+    assert s.n_null == 1 and s.mean is None and s.stddev is None
+    assert (s.min_value, s.max_value) == ("a", "c")
+    assert abs(s.approx_distinct - 3) < 0.5
