@@ -4218,6 +4218,42 @@ def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       value_cols=("n_chars",))
 
 
+def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling, randomness REPLAYED by
+    the oracle (Knuth bucket over (q, i, j) mod n_items with the
+    collide-with-positive forward nudge)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sampling import negative_samples
+
+    sup = _table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") < 200
+    ).select(
+        (F.col("s_suppkey") % 13).cast("long").alias("query_id"),
+        F.col("s_suppkey").cast("long").alias("item_id"),
+    )
+    return negative_samples(sup, n_items=50, k=3, salt=5)
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-mined hard negatives: top-10 most-similar non-positive
+    items per query (explicit fetch_k=15, positives = vec_id 10..14)
+    — the full exact-cosine oracle re-ranks after the same
+    anti-join."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import hard_negatives
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    positives = queries_df.select("query_id").crossJoin(
+        spark.range(10, 15).select(F.col("id").alias("item_id")))
+    out = hard_negatives(emb, queries_df, positives, k=10, fetch_k=15)
+    return out.select("query_id", "item_id",
+                      F.round("score", 6).alias("score"), "neg_rank")
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style one-pass column profile over two integral orders
     columns — exact counts/nulls/min/max/mean/stddev PLUS the
@@ -4448,6 +4484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "harmonic_centrality_chains": _q_harmonic_centrality,
             "eccentricity_chains": _q_eccentricity,
             "table_profile_orders": _q_table_profile,
+            "negative_samples_replayed": _q_negative_samples,
+            "hard_negatives_embeddings": _q_hard_negatives,
             "feature_propagation_chain": _q_feature_propagation,
             "blocklist_filter_synth": _q_blocklist_filter,
             "host_stats_synth": _q_host_stats,
@@ -8635,6 +8673,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
                round(avg(n_chars), 6) AS avg_n_chars
         FROM h GROUP BY host
+    """
+    sql["negative_samples_replayed"] = """
+        -- bucket((q%1000003)*1000003 + (i%8191)*8191 + j, salt=5)
+        -- mod 50, +1 mod 50 when it hits the pair's own positive
+        WITH p AS (
+            SELECT CAST(s_suppkey % 13 AS BIGINT) AS query_id,
+                   CAST(s_suppkey AS BIGINT) AS item_id
+            FROM supplier WHERE s_suppkey < 200
+        ), ex AS (
+            SELECT query_id, item_id, j AS neg_rank,
+                   (CAST(((query_id % 1000003) * 1000003
+                          + (item_id % 8191) * 8191 + j)
+                         % 4294967296 + 5 AS HUGEINT)
+                    % 4294967296 * 2654435761) % 4294967296 % 50
+                       AS cand
+            FROM p, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+                            (CAST(2 AS BIGINT))) t(j)
+        )
+        SELECT query_id, item_id, neg_rank,
+               CAST(CASE WHEN cand = item_id THEN (cand + 1) % 50
+                         ELSE cand END AS BIGINT) AS negative
+        FROM ex
+    """
+    sql["hard_negatives_embeddings"] = """
+        -- exact top-15 cosine per query, anti-join positives 10..14,
+        -- re-rank, keep 10
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id < 3
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS item_id,
+                   list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])) AS score
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id
+        ), fetched AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, item_id) AS rk
+                FROM scored
+            ) WHERE rk <= 15
+        ), neg AS (
+            SELECT query_id, item_id, score FROM fetched
+            WHERE item_id NOT BETWEEN 10 AND 14
+        )
+        SELECT query_id, item_id, round(score, 6) AS score, neg_rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, item_id) AS neg_rank
+            FROM neg
+        ) WHERE neg_rank <= 10
     """
     # table_profile replay: exact stats + the SAME fmix32 HLL estimate
     # per integral column (p=12, salt=0), unioned

@@ -128,6 +128,7 @@ HEADLINE = [
                                       # warm is the daily-batch shape
     "feature_propagation_chain",      # 2-round GraphSAGE-mean smoothing (r8)
     "table_profile_orders",           # one-pass column profiler (r8)
+    "hard_negatives_embeddings",      # ANN-mined contrastive negatives (r8)
 ]
 
 

@@ -432,3 +432,46 @@ def priority_sample(
         F.col("_w").alias(weight_col),
         F.greatest(F.col("_w"), tau).alias("weight_est"),
     )
+
+
+def negative_samples(
+    pairs: DataFrame,
+    n_items: int,
+    k: int = 4,
+    salt: int = 0,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    item_base: int = 0,
+) -> DataFrame:
+    """(query, positive, neg_rank, negative): k deterministic uniform
+    negatives per positive pair — the word2vec/DSSM/GNN contrastive-
+    training sampler. Negative j of pair (q, i) is
+    ``bucket(q*1000003 + i*8191 + j, salt) mod n_items + item_base``,
+    nudged forward by one (mod n) when it collides with the pair's own
+    positive — deterministic on any partitioning, replayable in ANSI
+    SQL (the random_walks discipline). Other positives of the same
+    query are NOT excluded (the standard in-batch trade: exclusion
+    would need a per-query positive set join; callers who want it
+    compose an anti-join or use hard_negatives).
+
+    Map-side only: one explode of k rows per pair, zero shuffle.
+    """
+    if k < 1 or k > 64:
+        raise ValueError(f"k must be in [1, 64], got {k}")
+    if n_items < 2:
+        raise ValueError(f"n_items must be >= 2, got {n_items}")
+    q, i = F.col(query_col), F.col(item_col)
+    out = pairs.select(
+        q, i,
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("neg_rank"),
+    )
+    seed = (F.pmod(q.cast("long"), F.lit(1000003)) * F.lit(1000003)
+            + F.pmod(i.cast("long"), F.lit(8191)) * F.lit(8191)
+            + F.col("neg_rank"))
+    cand = F.pmod(_bucket(seed, salt), F.lit(n_items))
+    fixed = F.when(cand + F.lit(item_base) == i,
+                   F.pmod(cand + 1, F.lit(n_items))).otherwise(cand)
+    return out.select(
+        query_col, item_col, "neg_rank",
+        (fixed + F.lit(item_base)).cast("long").alias("negative"),
+    )

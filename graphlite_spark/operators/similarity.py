@@ -1757,3 +1757,47 @@ def srp_sql(dim: int, out_dim: int, salt: int = 0,
             for i in range(dim))
         comps.append(f"round((0.0 + {terms}) * {inv}, {round_to})")
     return "[" + ", ".join(comps) + "]"
+
+
+def hard_negatives(
+    items: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    fetch_k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """(query_id, item_id, score, neg_rank): the k most-similar items
+    to each query that are NOT in its positive set — ANN-mined hard
+    negatives, the contrastive-training upgrade over uniform
+    negative_samples (models stop learning from easy negatives fast;
+    every dense-retrieval recipe mines hard ones).
+
+    Fetches the top ``fetch_k`` (default k + max positives per query,
+    computed from ``positives`` — pass it explicitly to skip that
+    aggregate) by exact cosine, anti-joins the positive set, re-ranks,
+    keeps k. Exactness: a query with p positives inside its top
+    fetch_k can lose at most p candidates, so fetch_k = k + p_max
+    guarantees k true hard negatives — this is the exact operator;
+    at corpus scale swap the scorer for ann_topk and accept its
+    recall (same downstream shape).
+    """
+    if fetch_k is None:
+        pmax = positives.groupBy(query_id_col).count().agg(
+            F.max("count")).collect()[0][0]
+        fetch_k = k + int(pmax or 0)
+    scored = cosine_topk(items, queries, k=fetch_k, id_col=id_col,
+                         vec_col=vec_col, query_id_col=query_id_col)
+    pos = positives.select(
+        F.col(query_id_col),
+        F.col(item_col).alias("item_id")).distinct()
+    neg = scored.join(pos, [query_id_col, "item_id"], "left_anti")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("item_id"))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+    )

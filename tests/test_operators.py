@@ -2726,3 +2726,56 @@ def test_dedup_against_index(spark, tmp_path):
         dedup_against_index(new, idx, mode="nope")
     with pytest.raises(ValueError):
         build_dedup_index(corpus, idx, num_hashes=64, bands=7)
+
+
+def test_negative_samples_replay_and_collision(spark):
+    from graphlite_spark.operators.sampling import negative_samples
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (1, 7), (2, 0)], "query_id long, item_id long")
+    out = negative_samples(pairs, n_items=10, k=4, salt=5).collect()
+    assert len(out) == 12
+
+    def bucket(key):
+        return ((key % 2**32 + 5) % 2**32) * 2654435761 % 2**32
+
+    for r in out:
+        seed = (r.query_id % 1000003) * 1000003 \
+            + (r.item_id % 8191) * 8191 + r.neg_rank
+        cand = bucket(seed) % 10
+        want = (cand + 1) % 10 if cand == r.item_id else cand
+        assert r.negative == want
+        assert r.negative != r.item_id and 0 <= r.negative < 10
+
+    with pytest.raises(ValueError):
+        negative_samples(pairs, n_items=1)
+    with pytest.raises(ValueError):
+        negative_samples(pairs, n_items=10, k=0)
+
+
+def test_hard_negatives_excludes_positives(spark):
+    import numpy as np
+
+    from graphlite_spark.operators.similarity import hard_negatives
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 8).astype(float)
+    items = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]])],
+        "query_id long, embedding array<double>")
+    # positives: the 3 most-similar items (computed via numpy)
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    sims = sorted(((cos(vecs[0], vecs[j]), j) for j in range(1, 30)),
+                  reverse=True)
+    pos_ids = [j for _, j in sims[:3]]
+    positives = spark.createDataFrame(
+        [(0, j) for j in pos_ids], "query_id long, item_id long")
+    out = hard_negatives(items, queries, positives, k=5).collect()
+    got = [r.item_id for r in sorted(out, key=lambda r: r.neg_rank)]
+    want = [j for _, j in sims[3:8]]
+    assert got == want  # exactly the next-5 most-similar non-positives
+    assert set(got).isdisjoint(pos_ids)
