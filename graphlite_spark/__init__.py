@@ -857,6 +857,27 @@ class GraphLiteSpark:
             if stmt.yield_cols:
                 df = df.select(*stmt.yield_cols)
             return df
+        elif name == "gql.profile":
+            # Deequ-style column profile over a label's node table
+            # (operators/analytics.table_profile): CALL gql.profile(
+            # 'Customer'[, 'col1', 'col2', ...])
+            from .operators.analytics import table_profile
+
+            if not stmt.args:
+                raise ValueError("gql.profile needs (label[, cols...])")
+            label = stmt.args[0].value
+            nodes = self.graph().nodes_for_label(label)
+            cols = [a.value for a in stmt.args[1:]] or None
+            if cols:
+                missing = [c for c in cols if c not in nodes.columns]
+                if missing:
+                    raise KeyError(
+                        f"unknown properties {missing!r} on label "
+                        f"{label!r}")
+            df = table_profile(nodes, cols=cols)
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            return df
         elif name in ("gql.hll_distinct", "gql.dd_quantiles"):
             # sketch procedures over a node property (operators/
             # sketches.py): approximate distinct / quantiles that stay

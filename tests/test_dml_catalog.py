@@ -904,3 +904,22 @@ def test_call_greedy_coloring(db):
     for i in range(5):
         assert got[ids[f"C{i}"]] != got[ids[f"C{(i + 1) % 5}"]]
     assert len(set(got.values())) >= 3  # odd cycle is not 2-colorable
+
+
+def test_call_profile_procedure(db):
+    for i in range(10):
+        db.execute(f"INSERT (:Person {{name: 'Q{i}', age: {30 + i}}})")
+    rows = {r.column: r for r in
+            db.execute("CALL gql.profile('Person', 'age')").collect()}
+    assert set(rows) == {"age"}
+    r = rows["age"]
+    assert r.n_rows == 10 and r.n_null == 0
+    assert (r.min_value, r.max_value) == ("30", "39")
+    assert r.mean == 34.5
+    assert abs(r.approx_distinct - 10) < 1
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="unknown properties"):
+        db.execute("CALL gql.profile('Person', 'nope')")
+    with _pytest.raises(ValueError):
+        db.execute("CALL gql.profile()")
