@@ -2219,6 +2219,53 @@ def _q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 end-to-end curation chain over the NEW operator family,
+    one compound oracle (wrong answer at any stage breaks the hash):
+    synthetic per-doc URLs -> blocklist_filter (suffix-domain gate,
+    fail-closed non-URLs) -> gopher_quality_filters (full rule set,
+    min_words=50) -> lm_quality_score -> perplexity_buckets per lang
+    (CCNet) -> drop 'tail' -> per-language report (docs, tokens, mean
+    perplexity). The LM model is trained on the POST-FILTER corpus
+    (self-model), so the blocklist and gopher stages change the
+    perplexities too — stages are coupled, not just concatenated."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import (gopher_quality_filters,
+                                                lm_quality_score,
+                                                perplexity_buckets)
+    from graphlite_spark.operators.web import blocklist_filter
+
+    docs = _table(spark, sf_dir, "documents")
+    urls = docs.selectExpr(
+        "doc_id",
+        "CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN concat('http://www.site',"
+        " CAST(doc_id % 10 AS STRING), '.com/p', CAST(doc_id AS STRING)) "
+        "WHEN 1 THEN concat('https://cdn.bad',"
+        " CAST(doc_id % 5 AS STRING), '.net/x') "
+        "WHEN 2 THEN concat('http://bad',"
+        " CAST(doc_id % 5 AS STRING), '.NET/y?q=', CAST(doc_id AS STRING)) "
+        "ELSE concat('notaurl', CAST(doc_id AS STRING)) END AS url",
+    )
+    blocked = spark.createDataFrame(
+        [("bad0.net",), ("bad3.net",)], "host string")
+    ok = blocklist_filter(urls, blocked).select("doc_id")
+    base = docs.join(ok, "doc_id")
+    flags = gopher_quality_filters(base, min_words=50, min_stop_words=1)
+    kept = base.join(
+        flags.filter(F.col("gopher_pass")).select("doc_id"), "doc_id")
+    scored = lm_quality_score(kept).join(
+        kept.select("doc_id", "lang"), "doc_id")
+    buck = perplexity_buckets(scored, group_cols=("lang",))
+    fin = buck.filter(F.col("ppl_bucket") != "tail")
+    return fin.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("perplexity"), 4).alias("mean_ppl"),
+    )
+
+
 _CURATION_VOCAB = (
     "the", "and", "with", "that", "have", "market", "system", "people",
     "world", "result", "number", "water", "group", "party", "company",
@@ -4403,6 +4450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_quality_filters": _q_gopher_filters,
             "extract_html_roundtrip": _q_extract_html,
             "curation_pipeline_v2": _q_curation_pipeline_v2,
+            "curation_pipeline_v3": _q_curation_pipeline_v3,
             "streaming_curation_batch": _q_streaming_curation_batch,
             "warc_ingest": _q_warc_ingest,
             "normalize_url": _q_normalize_url,
@@ -8673,6 +8721,92 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
                round(avg(n_chars), 6) AS avg_n_chars
         FROM h GROUP BY host
+    """
+    sql["curation_pipeline_v3"] = """
+        -- compound r8 chain: blocklist residues -> full gopher rule
+        -- set -> self-model LM perplexity -> per-lang CCNet tertiles
+        -- -> drop tail -> report. Stages are coupled (the LM model is
+        -- trained on the post-filter corpus), so a wrong keep-set at
+        -- any stage shifts every perplexity downstream.
+        WITH blk AS (
+            SELECT doc_id, text, lang FROM documents
+            WHERE doc_id % 4 = 0
+               OR (doc_id % 4 IN (1, 2) AND doc_id % 5 NOT IN (0, 3))
+        ), t AS (
+            SELECT doc_id, text, lang,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(text), '\\s+')
+                   END AS ws,
+                   string_split(text, chr(10)) AS lns
+            FROM blk
+        ), m AS (
+            SELECT doc_id, text, lang,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(ws, w -> length(w)))
+                        AS BIGINT) AS sum_wl,
+                   CAST(length(text) - length(replace(text, '#', ''))
+                        AS BIGINT) AS n_hash,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST((length(text)
+                             - length(regexp_replace(text, '\\.\\.\\.',
+                                                     '', 'g'))) / 3
+                            AS BIGINT)
+                   ELSE 0 END AS n_ell,
+                   CAST(greatest(len(lns), 1) AS DOUBLE) AS n_lines,
+                   CAST(len(list_filter(lns, l ->
+                        regexp_matches(trim(l), '^[-*•‣◦]')))
+                        AS BIGINT) AS bullet_lines,
+                   CAST(len(list_filter(lns, l ->
+                        regexp_matches(trim(l), '\\.\\.\\.$')))
+                        AS BIGINT) AS ell_lines,
+                   CAST(len(list_filter(ws, w ->
+                        regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+                        AS alpha_words,
+                   CAST(len(list_distinct(list_filter(ws, w ->
+                        lower(w) IN ('the','be','to','of','and',
+                                     'that','have','with'))))
+                        AS BIGINT) AS stop_hits
+            FROM t
+        ), kept AS (
+            SELECT doc_id, text, lang FROM m
+            WHERE n_words >= 50 AND n_words <= 100000
+              AND (CAST(sum_wl AS DOUBLE) / n_words) >= 3.0
+              AND (CAST(sum_wl AS DOUBLE) / n_words) <= 10.0
+              AND (CAST(n_hash + n_ell AS DOUBLE) / n_words) <= 0.1
+              AND CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
+              AND CAST(ell_lines AS DOUBLE) / n_lines <= 0.3
+              AND (CAST(alpha_words AS DOUBLE) / n_words) >= 0.8
+              AND stop_hits >= 1
+        ), toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM kept WHERE length(trim(text)) > 0
+        ), tk AS (
+            SELECT doc_id, w FROM toks WHERE length(w) > 0
+        ), model AS (
+            SELECT w, count(*) AS c FROM tk GROUP BY 1
+        ), tot AS (
+            SELECT sum(c) AS total, count(*) AS vocab FROM model
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(exp(-avg(ln((c + 0.5)
+                                     / (total + 0.5 * vocab)))), 6)
+                       AS perplexity
+            FROM tk JOIN model USING (w) CROSS JOIN tot
+            GROUP BY doc_id
+        ), buck AS (
+            SELECT s.doc_id, k.lang, s.n_tokens, s.perplexity,
+                   ntile(3) OVER (PARTITION BY k.lang
+                                  ORDER BY s.perplexity ASC,
+                                           s.doc_id ASC) AS b
+            FROM scored s JOIN kept k ON k.doc_id = s.doc_id
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(perplexity), 4) AS mean_ppl
+        FROM buck WHERE b <= 2
+        GROUP BY lang
     """
     sql["negative_samples_replayed"] = """
         -- bucket((q%1000003)*1000003 + (i%8191)*8191 + j, salt=5)

@@ -129,6 +129,7 @@ HEADLINE = [
     "feature_propagation_chain",      # 2-round GraphSAGE-mean smoothing (r8)
     "table_profile_orders",           # one-pass column profiler (r8)
     "hard_negatives_embeddings",      # ANN-mined contrastive negatives (r8)
+    "curation_pipeline_v3",           # blocklist->gopher->CCNet chain (r8)
 ]
 
 
