@@ -4265,6 +4265,21 @@ def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       value_cols=("n_chars",))
 
 
+def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over each user's event values —
+    trailing-10-rows-excluding-current baseline, NULL (never flagged)
+    under 2 baseline rows or zero variance."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.analytics import anomaly_zscore
+
+    ev = _table(spark, sf_dir, "events")
+    out = anomaly_zscore(ev, "value", ["user_id"], ["ts", "event_id"],
+                         window=10, threshold=2.0)
+    return out.select("event_id", "user_id", "baseline_mean",
+                      "baseline_std", "zscore", "is_anomaly")
+
+
 def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform negative sampling, randomness REPLAYED by
     the oracle (Knuth bucket over (q, i, j) mod n_items with the
@@ -4533,6 +4548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "eccentricity_chains": _q_eccentricity,
             "table_profile_orders": _q_table_profile,
             "negative_samples_replayed": _q_negative_samples,
+            "anomaly_zscore_events": _q_anomaly_zscore,
             "hard_negatives_embeddings": _q_hard_negatives,
             "feature_propagation_chain": _q_feature_propagation,
             "blocklist_filter_synth": _q_blocklist_filter,
@@ -8721,6 +8737,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
                round(avg(n_chars), 6) AS avg_n_chars
         FROM h GROUP BY host
+    """
+    sql["anomaly_zscore_events"] = """
+        WITH w AS (
+            SELECT event_id, user_id, value,
+                   avg(value) OVER win AS bm,
+                   stddev_samp(value) OVER win AS bs,
+                   count(value) OVER win AS bc
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id,
+               round(bm, 6) AS baseline_mean,
+               round(bs, 6) AS baseline_std,
+               round(CASE WHEN bc >= 2 AND bs > 0
+                          THEN (value - bm) / bs END, 6) AS zscore,
+               coalesce(abs(CASE WHEN bc >= 2 AND bs > 0
+                                 THEN (value - bm) / bs END) > 2.0,
+                        FALSE) AS is_anomaly
+        FROM w
     """
     sql["curation_pipeline_v3"] = """
         -- compound r8 chain: blocklist residues -> full gopher rule

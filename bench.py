@@ -130,6 +130,7 @@ HEADLINE = [
     "table_profile_orders",           # one-pass column profiler (r8)
     "hard_negatives_embeddings",      # ANN-mined contrastive negatives (r8)
     "curation_pipeline_v3",           # blocklist->gopher->CCNet chain (r8)
+    "anomaly_zscore_events",          # rolling z-score outlier flags (r8)
 ]
 
 

@@ -237,3 +237,38 @@ def table_profile(
         F.coalesce("approx_distinct", F.lit(0.0)).alias("approx_distinct"),
         "min_value", "max_value", "mean", "stddev",
     )
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    value_col: str,
+    partition_by: list[str],
+    order_by: list,
+    window: int = 10,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """+ (baseline_mean, baseline_std, zscore, is_anomaly): rolling
+    z-score outlier detection per key — each point is compared against
+    the TRAILING ``window`` rows EXCLUDING itself (a baseline that
+    contains the point dampens exactly the spikes it should flag).
+    Points with fewer than 2 baseline rows or zero baseline variance
+    get NULL zscore and never flag (insufficient evidence is not an
+    anomaly). One shuffle on the partition keys; the frame is a
+    streaming Tungsten window, O(window) state per key.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    spec = _spec(partition_by, order_by).rowsBetween(-window, -1)
+    x = F.col(value_col)
+    mean = F.avg(x).over(spec)
+    std = F.stddev(x).over(spec)
+    cnt = F.count(x).over(spec)
+    z = F.when((cnt >= 2) & (std > 0), (x - mean) / std)
+    return (
+        df.withColumn("baseline_mean", F.round(mean, 6))
+        .withColumn("baseline_std", F.round(std, 6))
+        .withColumn("zscore", F.round(z, 6))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False)))
+    )

@@ -918,3 +918,31 @@ def test_table_profile(spark):
     assert s.n_null == 1 and s.mean is None and s.stddev is None
     assert (s.min_value, s.max_value) == ("a", "c")
     assert abs(s.approx_distinct - 3) < 0.5
+
+
+def test_anomaly_zscore(spark):
+    from graphlite_spark.operators.analytics import anomaly_zscore
+
+    rows = [(1, i, 10.0) for i in range(8)] + [(1, 8, 100.0), (1, 9, 10.0)]
+    rows += [(2, 0, 5.0), (2, 1, 6.0)]  # too little history to flag
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {(r.k, r.t): r for r in anomaly_zscore(
+        df, "v", ["k"], ["t"], window=5, threshold=3.0).collect()}
+    assert out[(1, 0)].zscore is None          # empty baseline
+    assert out[(1, 1)].zscore is None          # 1-row baseline
+    assert out[(1, 2)].zscore is None          # zero variance
+    assert out[(1, 8)].zscore is None          # baseline all-10s: std 0
+    # after the spike enters the baseline, the return to 10 is NOT
+    # anomalous (std now huge)
+    assert out[(1, 9)].is_anomaly is False and out[(1, 9)].zscore is not None
+    assert out[(2, 1)].is_anomaly is False
+
+    # a real spike over a varied baseline flags
+    rows2 = [(3, i, float(10 + (i % 3))) for i in range(6)] + [(3, 6, 50.0)]
+    df2 = spark.createDataFrame(rows2, "k long, t long, v double")
+    got = {r.t: r for r in anomaly_zscore(
+        df2, "v", ["k"], ["t"], window=5, threshold=3.0).collect()}
+    assert got[6].is_anomaly is True and got[6].zscore > 3
+
+    with pytest.raises(ValueError):
+        anomaly_zscore(df, "v", ["k"], ["t"], window=1)
