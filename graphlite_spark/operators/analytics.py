@@ -260,15 +260,22 @@ def anomaly_zscore(
         raise ValueError(f"window must be >= 2, got {window}")
     spec = _spec(partition_by, order_by).rowsBetween(-window, -1)
     x = F.col(value_col)
-    mean = F.avg(x).over(spec)
-    std = F.stddev(x).over(spec)
-    cnt = F.count(x).over(spec)
-    z = F.when((cnt >= 2) & (std > 0), (x - mean) / std)
+    # stage the three window aggregates as named columns ONCE — inlining
+    # them into every derived expression re-expands each windowspec
+    # (the plan showed 12 window expressions where 3 suffice)
+    staged = (
+        df.withColumn("_bm", F.avg(x).over(spec))
+        .withColumn("_bs", F.stddev(x).over(spec))
+        .withColumn("_bc", F.count(x).over(spec))
+    )
+    z = F.when((F.col("_bc") >= 2) & (F.col("_bs") > 0),
+               (x - F.col("_bm")) / F.col("_bs"))
     return (
-        df.withColumn("baseline_mean", F.round(mean, 6))
-        .withColumn("baseline_std", F.round(std, 6))
+        staged.withColumn("baseline_mean", F.round("_bm", 6))
+        .withColumn("baseline_std", F.round("_bs", 6))
         .withColumn("zscore", F.round(z, 6))
         .withColumn(
             "is_anomaly",
             F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False)))
+        .drop("_bm", "_bs", "_bc")
     )
