@@ -131,6 +131,9 @@ HEADLINE = [
     "hard_negatives_embeddings",      # ANN-mined contrastive negatives (r8)
     "curation_pipeline_v3",           # blocklist->gopher->CCNet chain (r8)
     "anomaly_zscore_events",          # rolling z-score outlier flags (r8)
+    "pq_rescore_topk",                # PQ ADC scan + exact rescore (r8):
+                                      # cold trains codebooks once, warm
+                                      # scans 8 int codes per vector
 ]
 
 

@@ -1801,3 +1801,217 @@ def hard_negatives(
         neg.withColumn("neg_rank", F.row_number().over(w))
         .where(F.col("neg_rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's PQ half) — billion-scale ANN compression
+# ---------------------------------------------------------------------------
+
+def train_pq(
+    items: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    normalize: bool = True,
+):
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    each d-vector into ``m`` subvectors and k-means each subspace —
+    returns a numpy array (m, k, d/m), the model ADC scans use. With
+    m=8, k=16 a 64-dim float vector becomes 8 nibbles: 64x smaller
+    than fp64, 16x smaller than the int8 codes — the compression step
+    that makes billion-vector ANN fit in memory.
+
+    Distributed shape: ALL m subspaces train together — one
+    Arrow-vectorized assignment pass per round (argmin per subspace
+    against broadcast codebooks) + one groupBy over (subspace, code,
+    dim) rows for the new means, so a round costs one corpus scan
+    regardless of m. Seeds are the k smallest-xxhash64 ids' subvectors
+    (the kmeans rule — deterministic, no RNG). Fixed ``iters`` budget
+    (the IVF convention). Train on a hash_sample at 100 TB — codebook
+    quality saturates long before the corpus does.
+
+    ``normalize`` L2-normalizes vectors first so ADC inner products
+    approximate cosine (the retrieval default; pq_topk assumes it).
+    """
+    import numpy as np
+
+    if m < 1 or k < 2:
+        raise ValueError(f"need m >= 1 and k >= 2, got m={m} k={k}")
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv"))
+    if dim is None:
+        dim = len(it.first()["_iv"])
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    if normalize:
+        nrm = F.sqrt(F.aggregate(
+            F.col("_iv"), F.lit(0.0), lambda a, x: a + x * x))
+        it = it.withColumn("_nrm", nrm).select(
+            "_iid",
+            F.transform("_iv", lambda x: x / F.greatest(
+                F.lit(1e-12), F.col("_nrm"))).alias("_iv"))
+    it = it.localCheckpoint(eager=False)
+
+    seeds = (it.withColumn("_h", F.xxhash64("_iid")).orderBy("_h")
+             .limit(k).collect())
+    if len(seeds) < k:
+        raise ValueError(f"train_pq: k={k} exceeds corpus size")
+    cb = np.array([r["_iv"] for r in seeds], dtype="float64") \
+        .reshape(k, m, dsub).transpose(1, 0, 2).copy()  # (m, k, dsub)
+
+    from pyspark.sql.functions import pandas_udf
+
+    def make_codes(codebooks):
+        c = codebooks  # (m, k, dsub)
+
+        @pandas_udf("array<int>")
+        def codes(vs: pd.Series) -> pd.Series:
+            import numpy as np
+
+            x = np.stack(vs.to_numpy()).reshape(-1, c.shape[0],
+                                                c.shape[2])
+            out = np.empty((x.shape[0], c.shape[0]), dtype="int32")
+            for s in range(c.shape[0]):
+                # ||x - c||^2 argmin == argmax(2 x.c - ||c||^2)
+                d2 = (x[:, s, :] @ c[s].T) * 2 - (c[s] ** 2).sum(axis=1)
+                out[:, s] = d2.argmax(axis=1)
+            return pd.Series([r.tolist() for r in out])
+
+        return codes
+
+    for _ in range(iters):
+        assigned = it.select(
+            "_iv", make_codes(cb)(F.col("_iv")).alias("_codes"))
+        dims = assigned.select(
+            F.posexplode("_codes").alias("_s", "_c"), "_iv"
+        ).select(
+            "_s", "_c",
+            F.posexplode(F.expr(
+                f"slice(_iv, _s * {dsub} + 1, {dsub})")).alias("_d", "_x"),
+        )
+        means = dims.groupBy("_s", "_c", "_d").agg(
+            F.avg("_x").alias("_m")).collect()
+        for r in means:
+            cb[r["_s"], r["_c"], r["_d"]] = r["_m"]
+    return cb
+
+
+def pq_encode(
+    items: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, codes array<int> of m in [0, k)): nearest-codebook-entry
+    encoding — one Arrow-vectorized map pass, zero shuffle."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(codebooks, dtype="float64")
+
+    @pandas_udf("array<int>")
+    def codes(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy()).astype("float64")
+        if normalize:
+            x = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        x = x.reshape(-1, c.shape[0], c.shape[2])
+        out = np.empty((x.shape[0], c.shape[0]), dtype="int32")
+        for s in range(c.shape[0]):
+            d2 = (x[:, s, :] @ c[s].T) * 2 - (c[s] ** 2).sum(axis=1)
+            out[:, s] = d2.argmax(axis=1)
+        return pd.Series([r.tolist() for r in out])
+
+    return items.select(
+        F.col(id_col),
+        codes(_as_double(F.col(vec_col))).alias("codes"))
+
+
+def pq_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    rescore_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, item_id, score): asymmetric-distance (ADC) top-k —
+    each query computes one (m x k) inner-product table against the
+    codebooks driver-side (queries are small by contract, the
+    broadcast-query rule), and every item scores as
+    sum_s table[s][code_s] — a pure JVM zip_with/element_at fold over
+    its m int codes; the fp corpus is NEVER read in the scan.
+
+    ``rescore_fraction``: exact-rescore the top fraction per query
+    (the rescore_topk pattern) — at a fraction where the true top-k
+    survives the ADC cut the result is bit-identical to exact
+    cosine_topk (pinned by the recall audit), which is what lets a PQ
+    entry hash-match a full exact oracle. Pass ``codes``
+    (pq_encode output, possibly persisted) to skip re-encoding.
+    """
+    import numpy as np
+
+    c = np.asarray(codebooks, dtype="float64")
+    mm, kk = c.shape[0], c.shape[1]
+    if codes is None:
+        codes = pq_encode(items, codebooks, id_col=id_col,
+                          vec_col=vec_col)
+    q_rows = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        _as_double(F.col(vec_col)).alias("_qv")).collect()
+    spark = items.sparkSession
+    tabs = []
+    for r in q_rows:
+        qv = np.asarray(r["_qv"], dtype="float64")
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        sub = qv.reshape(mm, -1)
+        t = [[float(x) for x in (sub[s] @ c[s].T)] for s in range(mm)]
+        tabs.append((r["_qid"], t))
+    qt = spark.createDataFrame(
+        tabs, f"{query_id_col} long, _tab array<array<double>>")
+    scored = (
+        codes.crossJoin(F.broadcast(qt))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, F.col(id_col).alias("item_id"),
+            F.aggregate(
+                F.zip_with("codes", "_tab",
+                           lambda cc, t: F.element_at(t, cc + 1)),
+                F.lit(0.0), lambda a, x: a + x).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_score").desc(), F.col("item_id"))
+    if rescore_fraction is None:
+        return (scored.withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= k)
+                .select(query_id_col, "item_id",
+                        F.round("adc_score", 6).alias("score")))
+    n_items = codes.count()
+    top_n = max(k, int(math.ceil(rescore_fraction * n_items)))
+    cand = (scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= top_n).drop("_r", "adc_score"))
+    fp = items.select(F.col(id_col).alias("item_id"),
+                      _as_double(F.col(vec_col)).alias("_fv"))
+    qv = queries.select(F.col(query_id_col),
+                        _as_double(F.col(vec_col)).alias("_qv"))
+    exact = (
+        cand.join(fp, "item_id").join(F.broadcast(qv), query_id_col)
+        .select(query_id_col, "item_id",
+                cosine(F.col("_fv"), F.col("_qv")).alias("score"))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col("item_id"))
+    return (exact.withColumn("_r", F.row_number().over(w2))
+            .where(F.col("_r") <= k)
+            .select(query_id_col, "item_id",
+                    F.round("score", 6).alias("score")))

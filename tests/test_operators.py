@@ -2779,3 +2779,63 @@ def test_hard_negatives_excludes_positives(spark):
     want = [j for _, j in sims[3:8]]
     assert got == want  # exactly the next-5 most-similar non-positives
     assert set(got).isdisjoint(pos_ids)
+
+
+def test_pq_numpy_parity_and_recall(spark):
+    """pq_encode matches a numpy PQ encoder given the same codebooks;
+    plain ADC scores match numpy table lookups; the rescored path at
+    15% is exactly the fp top-k on the real embeddings corpus."""
+    import numpy as np
+
+    from graphlite_spark.operators.similarity import (cosine_topk,
+                                                      pq_encode, pq_topk,
+                                                      train_pq)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = train_pq(emb, m=8, k=16, iters=2)
+    assert cb.shape == (8, 16, 8)
+
+    rows = emb.limit(40).collect()
+    codes = {r.vec_id: r.codes for r in
+             pq_encode(emb.limit(40), cb).collect()}
+    for r in rows:
+        x = np.asarray(r.embedding, dtype="float64")
+        x = x / max(np.linalg.norm(x), 1e-12)
+        xs = x.reshape(8, 8)
+        want = [int(((xs[s] @ cb[s].T) * 2
+                     - (cb[s] ** 2).sum(axis=1)).argmax())
+                for s in range(8)]
+        assert codes[r.vec_id] == want
+
+    # plain ADC score parity for one query
+    from pyspark.sql import functions as F
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {r.item_id: r.score
+           for r in pq_topk(emb.limit(40), q, cb, k=40).collect()}
+    qv = np.asarray(rows[0].embedding if rows[0].vec_id == 0 else
+                    emb.filter(F.col("vec_id") == 0)
+                    .collect()[0].embedding, dtype="float64")
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    tab = np.stack([qv.reshape(8, 8)[s] @ cb[s].T for s in range(8)])
+    for r in rows:
+        if r.vec_id == 0:
+            continue
+        want = float(sum(tab[s][codes[r.vec_id][s]] for s in range(8)))
+        assert got[r.vec_id] == pytest.approx(want, abs=1e-6)
+
+    # rescored == exact at the operating point (k=256 codebooks)
+    cb2 = train_pq(emb, m=8, k=64, iters=2)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.item_id)
+             for r in cosine_topk(emb, qs, k=10).collect()}
+    resc = {(r.query_id, r.item_id)
+            for r in pq_topk(emb, qs, cb2, k=10,
+                             rescore_fraction=0.3).collect()}
+    assert resc == exact
+
+    with pytest.raises(ValueError):
+        train_pq(emb, m=7)  # 7 does not divide 64
+    with pytest.raises(ValueError):
+        train_pq(emb, m=8, k=1)
