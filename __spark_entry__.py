@@ -4326,6 +4326,31 @@ def _q_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("recall_at_k") >= 0.25).alias("recall_floor_met"))
 
 
+def _q_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ configuration (coarse router + ADC within
+    probed lists + band rescore) audited against exact: measured
+    recall 0.80/0.76/0.74 at sf0.001/0.01/0.1 with n_probe=8 of 16
+    lists + 50% band rescore on the RANDOM corpus (clustered corpora
+    >= 0.9 — pytest); floor 0.5."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import (ann_recall_audit,
+                                                      cosine_topk,
+                                                      ivfpq_topk)
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, queries_df, k=10)
+    cb, _frac = _pq_codebooks(spark, sf_dir)
+    got = ivfpq_topk(emb, queries_df, cb, k=10, n_lists=16, n_probe=8,
+                     rescore_fraction=0.5)
+    audit = ann_recall_audit(exact, got)
+    return audit.select(
+        "n_exact_rows",
+        (F.col("recall_at_k") >= 0.5).alias("recall_floor_met"))
+
+
 def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags over each user's event values —
     trailing-10-rows-excluding-current baseline, NULL (never flagged)
@@ -4612,6 +4637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "anomaly_zscore_events": _q_anomaly_zscore,
             "pq_rescore_topk": _q_pq_rescore_topk,
             "pq_recall_audit": _q_pq_recall_audit,
+            "ivfpq_recall_audit": _q_ivfpq_recall_audit,
             "hard_negatives_embeddings": _q_hard_negatives,
             "feature_propagation_chain": _q_feature_propagation,
             "blocklist_filter_synth": _q_blocklist_filter,
@@ -8826,6 +8852,22 @@ def oracle_sql() -> dict[str, str]:
         -- n_exact_rows recomputed from the corpus; the floor boolean
         -- is a reproducible constant of (corpus, m=8, k=256, 3
         -- rounds) — measured plain-ADC recall 0.64 at sf0.01
+        SELECT CAST(count(*) AS BIGINT) AS n_exact_rows,
+               TRUE AS recall_floor_met
+        FROM (
+            SELECT row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(
+                    CAST(q.embedding AS DOUBLE[]),
+                    CAST(i.embedding AS DOUBLE[])) DESC, i.vec_id) AS rk
+            FROM embeddings q JOIN embeddings i ON i.vec_id != q.vec_id
+            WHERE q.vec_id < 5
+        ) WHERE rk <= 10
+    """
+    sql["ivfpq_recall_audit"] = """
+        -- n_exact_rows recomputed; the compound-router floor is a
+        -- reproducible constant of (corpus, 16 lists, 8 probes, PQ
+        -- m=8, 50% band): measured 0.80/0.76/0.74 across the SFs
         SELECT CAST(count(*) AS BIGINT) AS n_exact_rows,
                TRUE AS recall_floor_met
         FROM (

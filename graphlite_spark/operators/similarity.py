@@ -2015,3 +2015,103 @@ def pq_topk(
             .where(F.col("_r") <= k)
             .select(query_id_col, "item_id",
                     F.round("score", 6).alias("score")))
+
+
+def ivfpq_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 1,
+    rescore_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, item_id, score): the full IVF-PQ configuration — the
+    billion-scale ANN deployment shape (FAISS IVFx,PQy): a coarse
+    kmeans router confines each query to its n_probe nearest lists,
+    and WITHIN the probed lists items score by PQ ADC (int-code table
+    lookups), never by fp vectors. Candidate volume is
+    ~(n_probe/n_lists) of the corpus and each candidate costs m code
+    lookups — the two approximations multiply.
+
+    ``rescore_fraction`` exact-rescores the top fraction OF THE PROBED
+    CANDIDATES (fp read confined to that band). Recall compounds both
+    cuts: audit with ann_recall_audit on your corpus before trusting a
+    parameter point (the recall-audit discipline every ANN family
+    entry here follows).
+    """
+    it = items.select(
+        F.col(id_col).alias("_iid"),
+        _as_double(F.col(vec_col)).alias("_iv"))
+    cents, make_assign = _coarse_kmeans(it, n_lists, kmeans_iters)
+    if cents is None:
+        raise ValueError("ivfpq_topk: items frame is empty")
+    assigned = it.withColumn(
+        "_list", make_assign(cents, 1)(F.col("_iv"))[0])
+    codes = pq_encode(assigned.select(F.col("_iid").alias(id_col),
+                                      F.col("_iv").alias(vec_col)),
+                      codebooks, id_col=id_col, vec_col=vec_col)
+    coded = assigned.select("_iid", "_list").join(
+        codes.select(F.col(id_col).alias("_iid"), "codes"), "_iid")
+
+    import numpy as np
+
+    c = np.asarray(codebooks, dtype="float64")
+    mm = c.shape[0]
+    q_rows = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        _as_double(F.col(vec_col)).alias("_qv")).collect()
+    spark = items.sparkSession
+    tabs = []
+    for r in q_rows:
+        qv = np.asarray(r["_qv"], dtype="float64")
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        sub = qv.reshape(mm, -1)
+        tabs.append((r["_qid"],
+                     [[float(x) for x in (sub[s] @ c[s].T)]
+                      for s in range(mm)]))
+    qt = spark.createDataFrame(
+        tabs, "_qid long, _tab array<array<double>>")
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        _as_double(F.col(vec_col)).alias("_qv"))
+    q = q.withColumn("_probes", make_assign(cents, n_probe)(F.col("_qv")))
+    q = q.join(qt, "_qid").select(
+        "_qid", "_qv", "_tab", F.explode("_probes").alias("_list"))
+    cand = (
+        coded.join(q, "_list")
+        .filter(F.col("_iid") != F.col("_qid"))
+        .select(
+            "_qid", "_iid", "_qv",
+            F.aggregate(
+                F.zip_with("codes", "_tab",
+                           lambda cc, t: F.element_at(t, cc + 1)),
+                F.lit(0.0), lambda a, x: a + x).alias("_adc"))
+        .dropDuplicates(["_qid", "_iid"])
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_adc").desc(), F.col("_iid"))
+    if rescore_fraction is None:
+        return (cand.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= k)
+                .select(F.col("_qid").alias(query_id_col),
+                        F.col("_iid").alias("item_id"),
+                        F.round("_adc", 6).alias("score")))
+    n_cand = max(k, int(math.ceil(
+        rescore_fraction * items.count() * n_probe / n_lists)))
+    top = (cand.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= n_cand).drop("_rk", "_adc"))
+    fp = it.select(F.col("_iid"), F.col("_iv").alias("_fv"))
+    exact = top.join(fp, "_iid").select(
+        "_qid", "_iid", cosine(F.col("_fv"), F.col("_qv")).alias("_s"))
+    w2 = Window.partitionBy("_qid").orderBy(
+        F.col("_s").desc(), F.col("_iid"))
+    return (exact.withColumn("_rk", F.row_number().over(w2))
+            .filter(F.col("_rk") <= k)
+            .select(F.col("_qid").alias(query_id_col),
+                    F.col("_iid").alias("item_id"),
+                    F.round("_s", 6).alias("score")))

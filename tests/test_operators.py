@@ -2839,3 +2839,45 @@ def test_pq_numpy_parity_and_recall(spark):
         train_pq(emb, m=7)  # 7 does not divide 64
     with pytest.raises(ValueError):
         train_pq(emb, m=8, k=1)
+
+
+def test_ivfpq_recall_floor_on_clusters(spark):
+    """Where IVF-PQ's guarantee applies — clustered corpora — the
+    compound router (coarse lists -> PQ ADC within probed lists) must
+    recover nearly all true neighbors; on cluster data PQ centroids
+    align with the clusters and ADC separates mates from strangers."""
+    import random
+
+    from graphlite_spark.operators.similarity import (ann_recall_audit,
+                                                      cosine_topk,
+                                                      ivfpq_topk,
+                                                      train_pq)
+
+    rng = random.Random(5)
+    rows = []
+    for c in range(20):
+        center = [rng.uniform(-1, 1) for _ in range(16)]
+        for j in range(10):
+            rows.append((c * 10 + j,
+                         [v + rng.uniform(-0.02, 0.02) for v in center]))
+    items = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>")
+    q = items.filter("vec_id % 10 = 0 AND vec_id < 50").selectExpr(
+        "vec_id AS query_id", "embedding")
+    cb = train_pq(items, m=4, k=16, iters=2, dim=16)
+    exact = cosine_topk(items, q, k=5)
+    # plain ADC: within a tight cluster every mate scores nearly
+    # identically, so ADC may return a different 5 OF THE SAME MATES
+    # than exact — the meaningful plain-ADC claim is cluster purity
+    ann = ivfpq_topk(items, q, cb, k=5, n_lists=8, n_probe=2)
+    rows_out = ann.collect()
+    assert len(rows_out) == 25
+    purity = sum(r.item_id // 10 == r.query_id // 10
+                 for r in rows_out) / len(rows_out)
+    assert purity >= 0.9, purity
+    # exact rescore of the probed band restores the true ranking
+    resc = ivfpq_topk(items, q, cb, k=5, n_lists=8, n_probe=2,
+                      rescore_fraction=0.5)
+    audit = ann_recall_audit(exact, resc).collect()[0]
+    assert audit.n_exact_rows == 25
+    assert audit.recall_at_k >= 0.9, audit.asDict()
