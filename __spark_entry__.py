@@ -4242,6 +4242,20 @@ def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_blocklist_flag_stream_batch(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Batch fallback of the STREAM-legal blocklist flag (stateless
+    broadcast-set UDF; the stream build is row-identical by the
+    stream==batch pytest) — closed-form flag booleans on the synth
+    URL families."""
+    from graphlite_spark.operators.web import blocklist_flag_stream
+
+    urls = _synth_urls(spark, sf_dir).select("doc_id", "url")
+    blocked = spark.createDataFrame(
+        [("bad0.net",), ("BAD3.net",)], "host string")
+    return blocklist_flag_stream(urls, blocked)
+
+
 def _q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-domain blocklist gate: bad0.net / bad3.net block both
     their direct hosts and cdn.* subdomains (parent-domain matching);
@@ -4641,6 +4655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hard_negatives_embeddings": _q_hard_negatives,
             "feature_propagation_chain": _q_feature_propagation,
             "blocklist_filter_synth": _q_blocklist_filter,
+            "blocklist_flag_stream_batch": _q_blocklist_flag_stream_batch,
             "host_stats_synth": _q_host_stats,
             "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
             "funnel_view_click_purchase": _q_funnel_events,
@@ -9124,6 +9139,15 @@ def oracle_sql() -> dict[str, str]:
                list_transform(range(1, len(v) + 1),
                               i -> round(v[i], 6)) AS embedding
         FROM r2
+    """
+    sql["blocklist_flag_stream_batch"] = f"""
+        -- flag booleans: blocked residues true, non-URLs fail closed
+        WITH u AS ({_url_synth})
+        SELECT doc_id, url,
+               (doc_id % 4 = 3
+                OR (doc_id % 4 IN (1, 2) AND doc_id % 5 IN (0, 3)))
+                   AS blocked
+        FROM u
     """
     sql["harmonic_centrality_chains"] = """
         -- position rn of an L-chain reaches distances 1..L-rn:

@@ -10,6 +10,8 @@ beyond-reference pipeline infrastructure alongside sources/warc.py.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against globals
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -189,3 +191,53 @@ def host_stats(
         .groupBy(F.col("_host").alias("host"))
         .agg(*aggs)
     )
+
+
+def blocklist_flag_stream(
+    df: DataFrame,
+    blocked,
+    url_col: str = "url",
+    flag_col: str = "blocked",
+) -> DataFrame:
+    """Stream-legal twin of ``blocklist_filter(mode='flag')``: the
+    suffix-domain membership test as ONE stateless Arrow-batched map
+    over a broadcast host set — no joins, no distinct, no state, so it
+    runs verbatim inside a streaming query (the batch operator's
+    blocked-id broadcast-back needs a distinct the streaming planner
+    rejects). Same fail-closed semantics: unparseable URLs flag True.
+
+    ``blocked``: a host DataFrame (collected — blocklists are small by
+    contract, the batch path broadcasts the same rows) or an iterable
+    of hosts. Batch frames accept the same call (stream==batch
+    pytest pins equality against blocklist_filter on every URL family
+    incl. the userinfo-evasion cases).
+    """
+    import re as _re
+
+    if isinstance(blocked, DataFrame):
+        hosts = {r[0].lower() for r in blocked.collect()}
+    else:
+        hosts = {h.lower() for h in blocked}
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(hosts)
+    pat = _re.compile(_URL_RE)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _flag(urls: pd.Series) -> pd.Series:
+        bl = bc.value
+
+        def one(u):
+            if u is None:
+                return True
+            m = pat.match(u)
+            if not m or not m.group(3):
+                return True  # fail closed: no policy key
+            parts = m.group(3).lower().split(".")
+            return any(".".join(parts[i:]) in bl
+                       for i in range(len(parts)))
+
+        return urls.map(one)
+
+    return df.withColumn(flag_col, _flag(F.col(url_col)))

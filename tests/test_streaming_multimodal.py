@@ -2399,3 +2399,43 @@ def test_streaming_hll_counts_stream_matches_batch(spark, events_stream_dir):
     assert set(est) == set(truth)
     for w, n in truth.items():
         assert abs(est[w] - n) <= max(3.0, 0.25 * n), (w, est[w], n)
+
+
+def test_blocklist_flag_stream_matches_batch(spark, tmp_path):
+    """The stateless UDF blocklist flag on a readStream equals the
+    batch blocklist_filter flag mode row-for-row — including userinfo
+    evasion, case/port variants, parent domains, and fail-closed
+    non-URLs."""
+    from graphlite_spark.operators.web import (blocklist_filter,
+                                               blocklist_flag_stream)
+    from graphlite_spark.streaming.windows import run_stream_to_memory
+
+    rows = [
+        (1, "http://evil.com/a"),
+        (2, "https://cdn.evil.com/x?y=1"),
+        (3, "http://notevil.com/ok"),
+        (4, "https://good.org/p"),
+        (5, "mailto:junk@nowhere"),
+        (6, "http://u:p@evil.com/bypass"),
+        (7, "http://EVIL.com:8080/"),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    d = str(tmp_path / "urls")
+    df.write.mode("overwrite").parquet(d)
+    bl = spark.createDataFrame([("evil.com",)], "host string")
+
+    batch_flags = {r.doc_id: r.blocked
+                   for r in blocklist_filter(df, bl, mode="flag").collect()}
+    # batch call of the stream twin
+    same = {r.doc_id: r.blocked
+            for r in blocklist_flag_stream(df, bl).collect()}
+    assert same == batch_flags
+
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    run_stream_to_memory(blocklist_flag_stream(stream, bl),
+                         "blocklist_stream_test", output_mode="append")
+    got = {r.doc_id: r.blocked
+           for r in spark.table("blocklist_stream_test").collect()}
+    assert got == batch_flags
+    assert got[6] is True and got[3] is False and got[8] is True
