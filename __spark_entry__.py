@@ -3574,6 +3574,36 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(docs, ["hash", "join", "spark"], k=20)
 
 
+def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the PERSISTED inverted index (build once per corpus
+    version, term-sorted postings so the query scan prunes row
+    groups) — bit-identical to bm25_search, so the oracle is the SAME
+    bm25 SQL. Fingerprint-cached like the other persisted indexes."""
+    import hashlib
+    import os
+
+    from graphlite_spark.operators.text import (bm25_search_indexed,
+                                                build_bm25_index)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isfile(src):
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    for root, _dirs, files in os.walk(src):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
+    idx = os.path.join(
+        "/tmp/graphlite_bm25_index",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{fp}")
+    if not os.path.exists(os.path.join(idx, "stats")):
+        build_bm25_index(_table(spark, sf_dir, "documents"), idx)
+    return bm25_search_indexed(spark, idx, ["hash", "join", "spark"],
+                               k=20)
+
+
 def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 orders per customer: row_number window + filter — ONE
     shuffle on the customer key. The reference's only top-k is global
@@ -4652,6 +4682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pq_rescore_topk": _q_pq_rescore_topk,
             "pq_recall_audit": _q_pq_recall_audit,
             "ivfpq_recall_audit": _q_ivfpq_recall_audit,
+            "bm25_indexed_topk": _q_bm25_indexed,
             "hard_negatives_embeddings": _q_hard_negatives,
             "feature_propagation_chain": _q_feature_propagation,
             "blocklist_filter_synth": _q_blocklist_filter,
@@ -8879,6 +8910,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.vec_id < 5
         ) WHERE rk <= 10
     """
+    # indexed BM25 is bit-identical to the direct operator, so it
+    # shares the direct entry's oracle verbatim
+    sql["bm25_indexed_topk"] = sql["bm25_search_topk"]
     sql["ivfpq_recall_audit"] = """
         -- n_exact_rows recomputed; the compound-router floor is a
         -- reproducible constant of (corpus, 16 lists, 8 probes, PQ

@@ -134,6 +134,9 @@ HEADLINE = [
     "pq_rescore_topk",                # PQ ADC scan + exact rescore (r8):
                                       # cold trains codebooks once, warm
                                       # scans 8 int codes per vector
+    "bm25_indexed_topk",              # persisted inverted-index BM25 (r8):
+                                      # cold builds postings, warm scans
+                                      # the queried terms' row groups
 ]
 
 

@@ -1203,3 +1203,94 @@ def perplexity_buckets(
     lab = F.element_at(F.array(*[F.lit(x) for x in labels]),
                        F.ntile(n).over(w))
     return df.withColumn(out_col, lab)
+
+
+def build_bm25_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_mb: int = 256,
+) -> int:
+    """Materialize bm25_search's postings ONCE — the persisted
+    inverted index (the ANN/dedup persisted-index discipline applied
+    to lexical search): ``{path}/postings`` (term, id, tf, dl) written
+    SORTED BY term so a term-filtered query scan prunes row groups;
+    ``{path}/terms`` (term, df); ``{path}/stats`` 1-row (n_docs,
+    avgdl). bm25_search re-tokenizes the corpus per query batch —
+    correct, but at 100 TB the postings are the thing you build once
+    per corpus version and scan per query. Scoring from this index is
+    bit-identical to bm25_search (same tf/df/dl/stats — pytest).
+    Returns n_docs."""
+    from graphlite_spark.sources.sinks import write_parquet_sized
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("double").alias("dl"),
+    )
+    postings = (
+        base.select("id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    write_parquet_sized(postings, f"{path}/postings",
+                        target_mb=target_mb, sort_by=["term"])
+    spark = corpus.sparkSession
+    terms = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    write_parquet_sized(terms, f"{path}/terms", target_mb=target_mb)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"))
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    return int(spark.read.parquet(f"{path}/stats")
+               .collect()[0]["n_docs"])
+
+
+def bm25_search_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k over a PERSISTED index (build_bm25_index): the query
+    plan reads postings WHERE term IN (...) — a pushed-down filter
+    over the term-sorted parquet, so a 3-term query scans 3 terms'
+    row groups, not the corpus — joins the broadcast per-term df rows
+    and the 1-row stats, and runs the identical Robertson scoring.
+    Bit-identical to bm25_search on the same corpus (pytest + the
+    shared oracle)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    postings = spark.read.parquet(f"{path}/postings") \
+        .filter(F.col("term").isin(*terms))
+    dfreq = spark.read.parquet(f"{path}/terms") \
+        .filter(F.col("term").isin(*terms))
+    stats = spark.read.parquet(f"{path}/stats")
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)))
+        .withColumn(
+            "tscore",
+            F.col("idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                   / F.col("avgdl"))))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.round(F.sum("tscore"), 6).alias("score"),
+             F.count(F.lit(1)).cast("long").alias("n_terms_hit"))
+        .select(F.col("id").alias(id_col), "score", "n_terms_hit")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -2881,3 +2881,29 @@ def test_ivfpq_recall_floor_on_clusters(spark):
     audit = ann_recall_audit(exact, resc).collect()[0]
     assert audit.n_exact_rows == 25
     assert audit.recall_at_k >= 0.9, audit.asDict()
+
+
+def test_bm25_indexed_bit_identical(spark, tmp_path):
+    from graphlite_spark.operators.text import (bm25_search,
+                                                bm25_search_indexed,
+                                                build_bm25_index)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "bm25_idx")
+    n = build_bm25_index(docs, idx)
+    assert n == docs.count()
+    terms = ["hash", "join", "spark"]
+    direct = [(r.doc_id, r.score, r.n_terms_hit)
+              for r in bm25_search(docs, terms, k=20).collect()]
+    indexed = [(r.doc_id, r.score, r.n_terms_hit)
+               for r in bm25_search_indexed(spark, idx, terms,
+                                            k=20).collect()]
+    assert direct == indexed and len(direct) > 0
+
+    # the query plan reads postings with the term filter PUSHED DOWN
+    plan = bm25_search_indexed(spark, idx, terms, k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "term" in plan
+
+    with pytest.raises(ValueError):
+        bm25_search_indexed(spark, idx, [])
