@@ -183,7 +183,6 @@ def table_profile(
 
     if cols is None:
         cols = df.columns
-    types = dict(df.dtypes)
     schema = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
