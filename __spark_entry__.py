@@ -4457,6 +4457,39 @@ def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                          cols=["o_orderkey", "o_custkey"])
 
 
+def _q_katz_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality on FOLLOWS chains, alpha=1/2 beta=1, 3
+    unrolled iterations: position rn accumulates the walk series
+    x = sum_{j<=min(rn-1,3)} 2^-j — every value is an exact dyadic
+    (1, 1.5, 1.75, 1.875), so the oracle injects the identical
+    iteratively-computed literals with ZERO float ambiguity."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import katz_centrality
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    nodes = g.nodes_for_label("Event").filter(
+        F.col("event_id") < 500).select("_id")
+    out = katz_centrality(
+        g.edge_type("FOLLOWS").df.select("_src", "_dst"),
+        nodes, alpha=0.5, beta=1.0, num_iter=3)
+    ns = 10**12
+    return out.select((F.col("node") % ns).alias("event_id"), "katz")
+
+
+def _q_assortativity_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the FOLLOWS chains (undirected):
+    endpoint degrees are 1 (chain ends) and 2 (interior) — the oracle
+    recomputes the same Pearson over both edge orientations."""
+    from graphlite_spark.operators.paths import degree_assortativity
+
+    db = _db(spark, sf_dir)
+    g = db.graph()
+    return degree_assortativity(
+        g.edge_type("FOLLOWS").df.select("_src", "_dst"))
+
+
 def _q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eccentricity over FOLLOWS chains — closed form: position rn of
     an L-chain reaches L-rn hops, so eccentricity = L-rn and the
@@ -4676,6 +4709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "srp_project_embeddings": _q_srp_project,
             "harmonic_centrality_chains": _q_harmonic_centrality,
             "eccentricity_chains": _q_eccentricity,
+            "katz_chains": _q_katz_chains,
+            "assortativity_chains": _q_assortativity_chains,
             "table_profile_orders": _q_table_profile,
             "negative_samples_replayed": _q_negative_samples,
             "anomaly_zscore_events": _q_anomaly_zscore,
@@ -9136,6 +9171,42 @@ def oracle_sql() -> dict[str, str]:
     sql["table_profile_orders"] = (
         _profile_col_sql("o_orderkey") + " UNION ALL "
         + _profile_col_sql("o_custkey"))
+    sql["katz_chains"] = """
+        -- exact dyadic walk series per chain position: the same
+        -- iteratively-computed literals the engine's 3 unrolled
+        -- rounds produce (alpha=1/2, beta=1 -> 1, 1.5, 1.75, 1.875)
+        WITH pos AS (
+            SELECT event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT event_id,
+               CASE least(rn - 1, 3)
+                 WHEN 0 THEN 1.0 WHEN 1 THEN 1.5
+                 WHEN 2 THEN 1.75 ELSE 1.875 END AS katz
+        FROM pos WHERE event_id < 500
+    """
+    sql["assortativity_chains"] = """
+        -- Pearson of endpoint total degrees over both orientations
+        WITH e AS (
+            SELECT a.event_id AS s,
+                   lead(a.event_id) OVER (PARTITION BY a.user_id
+                                          ORDER BY a.ts, a.event_id) AS d
+            FROM events a
+        ), ed AS (
+            SELECT s, d FROM e WHERE d IS NOT NULL
+        ), und AS (
+            SELECT s AS a, d AS b FROM ed
+            UNION ALL SELECT d, s FROM ed
+        ), deg AS (
+            SELECT a AS n, CAST(count(*) AS DOUBLE) AS dg
+            FROM und GROUP BY 1
+        )
+        SELECT round(corr(x.dg, y.dg), 6) AS assortativity,
+               CAST(count(*) / 2 AS BIGINT) AS n_edges
+        FROM und u JOIN deg x ON x.n = u.a JOIN deg y ON y.n = u.b
+    """
     sql["eccentricity_chains"] = """
         -- position rn of an L-chain reaches exactly L-rn hops
         WITH pos AS (

@@ -137,6 +137,7 @@ HEADLINE = [
     "bm25_indexed_topk",              # persisted inverted-index BM25 (r8):
                                       # cold builds postings, warm scans
                                       # the queried terms' row groups
+    "katz_chains",                    # damped walk-count centrality (r8)
 ]
 
 

@@ -3044,3 +3044,113 @@ def feature_propagation(
         ).localCheckpoint(eager=False)
     return feat.select(F.col("_n").alias(id_col),
                        F.col("_v").alias(vec_col))
+
+
+def katz_centrality(
+    edges: DataFrame,
+    nodes: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    num_iter: int = 10,
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """(node, katz): Katz centrality by fixed-budget iteration —
+    x_{t+1}(v) = beta + alpha * sum over in-edges (u -> v) of x_t(u),
+    x_0 = beta. Counts walks of every length damped by alpha^len;
+    unlike PageRank it does not normalize by out-degree, so prolific
+    pointers pass full weight (the citation/influence convention).
+    Caller guarantees alpha < 1/lambda_max for convergence (the
+    standard contract); the fixed unrolled budget keeps runs
+    deterministic and lets a closed-form oracle replay chains exactly.
+
+    Per round: one equi-join of the edge list against the score frame
+    + one map-side-combined groupBy on dst — the PageRank loop shape
+    without the degree division; lineage cut per round, zero driver
+    barriers.
+    """
+    if num_iter < 1:
+        raise ValueError(f"num_iter must be >= 1, got {num_iter}")
+    id_col = nodes.columns[0]
+    x = nodes.select(F.col(id_col).alias("_n"),
+                     F.lit(float(beta)).alias("_x"))
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")) \
+        .localCheckpoint(eager=False)
+    for _ in range(num_iter):
+        contrib = (
+            e.join(x, e["_a"] == x["_n"], "inner")
+            .groupBy(F.col("_b").alias("_n"))
+            .agg(F.sum("_x").alias("_in"))
+        )
+        x = _ck_cut_stats(
+            x.select("_n").join(contrib, "_n", "left")
+            .select("_n",
+                    (F.lit(float(beta))
+                     + F.lit(float(alpha))
+                     * F.coalesce(F.col("_in"), F.lit(0.0))).alias("_x"))
+        ).localCheckpoint(eager=False)
+    return x.select(F.col("_n").alias("node"),
+                    F.round("_x", 6).alias("katz"))
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    directed: bool = False,
+    src: str = SRC,
+    dst: str = DST,
+) -> DataFrame:
+    """1-row (assortativity, n_edges): the Pearson correlation of
+    endpoint degrees across edges (Newman 2002) — positive means hubs
+    link to hubs (social nets), negative means hubs link to leaves
+    (the internet, most engineered graphs). Undirected: each edge
+    contributes both orientations over total degrees; directed:
+    (out-degree of src, in-degree of dst) per edge.
+
+    Scale shape: two degree groupBys + one edge join per side + one
+    corr aggregate — no quadratic stage; the corr is Spark's built-in
+    (one pass, map-side-combinable moments)."""
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")) \
+        .filter(F.col(src) != F.col(dst))
+    if directed:
+        dsrc = e.groupBy(F.col("_a").alias("_n")).agg(
+            F.count(F.lit(1)).cast("double").alias("_da"))
+        ddst = e.groupBy(F.col("_b").alias("_n")).agg(
+            F.count(F.lit(1)).cast("double").alias("_db"))
+        pairs = (
+            e.join(dsrc, e["_a"] == dsrc["_n"]).drop("_n")
+            .join(ddst, e["_b"] == ddst["_n"]).drop("_n")
+            .select(F.col("_da").alias("_x"), F.col("_db").alias("_y"))
+        )
+    else:
+        und = e.unionByName(
+            e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+        deg = und.groupBy(F.col("_a").alias("_n")).agg(
+            F.count(F.lit(1)).cast("double").alias("_d"))
+        pairs = (
+            und.join(deg.withColumnRenamed("_d", "_x"),
+                     und["_a"] == F.col("_n")).drop("_n")
+            .join(deg.withColumnRenamed("_d", "_y"),
+                  F.col("_b") == F.col("_n")).drop("_n")
+            .select("_x", "_y")
+        )
+    # Pearson from explicit moments: ANSI-mode F.corr RAISES
+    # DIVIDE_BY_ZERO on zero variance (regular graphs — every cycle);
+    # the guarded form returns NULL there, matching ANSI engines'
+    # corr() and keeping the operator total
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    vx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    return mom.select(
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
+        ).alias("assortativity"),
+        (F.col("_n") / (1 if directed else 2)).cast("long")
+        .alias("n_edges"),
+    )

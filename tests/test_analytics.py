@@ -946,3 +946,52 @@ def test_anomaly_zscore(spark):
 
     with pytest.raises(ValueError):
         anomaly_zscore(df, "v", ["k"], ["t"], window=1)
+
+
+def test_katz_centrality_chain_closed_form(spark):
+    from graphlite_spark.operators.paths import katz_centrality
+
+    # chain 0 -> 1 -> 2 -> 3: after t iters,
+    # x(v) = beta * sum_{j=0..min(pos,t)} alpha^j
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                              "_src long, _dst long")
+    n = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    a, b = 0.5, 2.0
+    got = {r.node: r.katz
+           for r in katz_centrality(e, n, alpha=a, beta=b,
+                                    num_iter=3).collect()}
+    want = {v: round(b * sum(a ** j for j in range(min(v, 3) + 1)), 6)
+            for v in range(4)}
+    assert got == want
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        katz_centrality(e, n, num_iter=0)
+
+
+def test_degree_assortativity(spark):
+    import math
+
+    from graphlite_spark.operators.paths import degree_assortativity
+
+    # star 0-{1,2,3}: every undirected edge pairs degree 3 with
+    # degree 1 -> x constant per orientation pairing... both
+    # orientations included, so pairs are (3,1) x3 and (1,3) x3:
+    # perfectly anti-correlated -> r = -1
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)],
+                                 "_src long, _dst long")
+    r = degree_assortativity(star).collect()[0]
+    assert r.n_edges == 3 and r.assortativity == -1.0
+
+    # 4-cycle: all degrees 2 -> corr undefined (zero variance): NULL
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)],
+                                "_src long, _dst long")
+    r2 = degree_assortativity(cyc).collect()[0]
+    assert r2.assortativity is None and r2.n_edges == 4
+
+    # directed: 0->1, 0->2, 1->2: pairs (outdeg(src), indeg(dst)) =
+    # (2,1), (2,2), (1,2) -> pearson of x=[2,2,1], y=[1,2,2] = -0.5
+    d = spark.createDataFrame([(0, 1), (0, 2), (1, 2)],
+                              "_src long, _dst long")
+    r3 = degree_assortativity(d, directed=True).collect()[0]
+    assert r3.assortativity == -0.5 and r3.n_edges == 3
