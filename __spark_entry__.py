@@ -3908,6 +3908,22 @@ def _q_streaming_hll_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(sk, 9, ("window_start",)).orderBy("window_start")
 
 
+def _q_cumulative_distinct_users(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Growth curve: cumulative distinct users after each day —
+    inherently sequential exactly, parallel as prefix-merged HLL
+    register maxes (the triangular merge runs over sketch rows only,
+    never re-reading events); the oracle replays registers AND the
+    prefix merge."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sketches import hll_cumulative_distinct
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    return hll_cumulative_distinct(ev, "user_id", "day", p=10, salt=6)
+
+
 def _q_shortest_path_pair_chain(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Bidirectional point-to-point BFS over the event chains: the
@@ -4690,6 +4706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bloom_customer_prefilter": _q_bloom_customer_prefilter,
             "hll_rollup_events": _q_hll_rollup_events,
             "streaming_hll_batch": _q_streaming_hll_batch,
+            "cumulative_distinct_users": _q_cumulative_distinct_users,
             "event_transitions_markov": _q_event_transitions,
             "dedup_index_exact": _q_dedup_index_exact,
             "dedup_index_near": _q_dedup_index_near,
@@ -8244,6 +8261,45 @@ def oracle_sql() -> dict[str, str]:
                round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6)
                    AS prob
         FROM c
+    """
+    _cp, _cs = 10, 6
+    _cm, _cw = 1 << _cp, 32 - _cp
+    _calpha = 0.7213 / (1 + 1.079 / _cm)
+    sql["cumulative_distinct_users"] = f"""
+        -- prefix-merged HLL replayed: per-day registers, triangular
+        -- register-wise max over days <= d, estimator per prefix
+        WITH h AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   {mix32_sql('user_id', _cs)} AS h
+            FROM events
+        ), regs AS (
+            SELECT day, h // {1 << _cw} AS register,
+                   max(CASE WHEN h % {1 << _cw} = 0 THEN {_cw + 1}
+                       ELSE {_cw + 1} - length(bin(h % {1 << _cw}))
+                       END) AS rho
+            FROM h GROUP BY 1, 2
+        ), days AS (
+            SELECT DISTINCT day FROM regs
+        ), cum AS (
+            SELECT d.day, r.register, max(r.rho) AS rho
+            FROM days d JOIN regs r ON r.day <= d.day
+            GROUP BY 1, 2
+        ), agg AS (
+            SELECT day, count(*) AS present,
+                   sum(power(2.0, -rho)) AS sumreg
+            FROM cum GROUP BY 1
+        ), est AS (
+            SELECT day, ({float(_cm)!r} - present) + sumreg AS sum_inv,
+                   {float(_cm)!r} - present AS zeros
+            FROM agg
+        )
+        SELECT day,
+               round(CASE WHEN {_calpha * _cm * _cm!r} / sum_inv
+                               <= {2.5 * _cm!r} AND zeros > 0
+                      THEN {float(_cm)!r} * ln({float(_cm)!r} / zeros)
+                      ELSE {_calpha * _cm * _cm!r} / sum_inv END,
+                     4) AS estimate
+        FROM est ORDER BY 1
     """
     _sp, _ss = 9, 8
     _sm, _sw = 1 << _sp, 32 - _sp

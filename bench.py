@@ -138,6 +138,7 @@ HEADLINE = [
                                       # cold builds postings, warm scans
                                       # the queried terms' row groups
     "katz_chains",                    # damped walk-count centrality (r8)
+    "cumulative_distinct_users",      # prefix-merged HLL growth curve (r8)
 ]
 
 

@@ -917,6 +917,7 @@ class GraphLiteSpark:
                       "gql.core_decomposition",
                       "gql.betweenness_sampled",
                       "gql.random_walks", "gql.node2vec_walks",
+                      "gql.katz_centrality", "gql.assortativity",
                       "gql.hits", "gql.link_prediction",
                       "gql.clustering_coefficient",
                       "gql.transitivity",
@@ -988,6 +989,16 @@ class GraphLiteSpark:
             elif name == "gql.hits":
                 iters = int(stmt.args[0].value) if stmt.args else 10
                 df = P.hits(e, n, num_iter=iters)
+            elif name == "gql.katz_centrality":
+                alpha = float(stmt.args[0].value) if stmt.args else 0.1
+                beta = (float(stmt.args[1].value)
+                        if len(stmt.args) > 1 else 1.0)
+                iters = (int(stmt.args[2].value)
+                         if len(stmt.args) > 2 else 10)
+                df = P.katz_centrality(e, n, alpha=alpha, beta=beta,
+                                       num_iter=iters)
+            elif name == "gql.assortativity":
+                df = P.degree_assortativity(e)
             elif name == "gql.link_prediction":
                 cap = int(stmt.args[0].value) if stmt.args else None
                 df = P.link_prediction(e, max_center_degree=cap)

@@ -748,3 +748,38 @@ def bloom_filter_join(big: DataFrame, keys: DataFrame, big_key: str,
         cond = cond & t
     return out.where(cond).drop("_bloom",
                                 *[f"_qp{j}" for j in range(k)])
+
+
+def hll_cumulative_distinct(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    p: int = 12,
+    salt: int = 0,
+) -> DataFrame:
+    """(bucket, estimate): cumulative distinct-key estimate for every
+    PREFIX of buckets in ascending bucket order — the growth-curve
+    statistic (cumulative unique users per day, Heaps-law vocabulary
+    growth per corpus slice) that is inherently sequential computed
+    exactly, but embarrassingly parallel as sketches: per-bucket HLL
+    register rows merge into every prefix by register-wise MAX.
+
+    Scale shape: ONE corpus groupBy to (bucket, register, rho) rows
+    (map-side combined, <= |buckets| * 2^p rows out), then a
+    triangular join OVER SKETCH ROWS ONLY (each prefix bucket gathers
+    registers of buckets <= it — |buckets|^2 * 2^p worst case,
+    kilobytes) and the standard estimator per prefix. The corpus is
+    read once; no prefix re-scans it. String keys: pre-fold through
+    xxhash64 yourself (engine-specific — integral keys replay in ANSI
+    oracles, the hll_sketch convention).
+    """
+    sk = hll_sketch(df.select(bucket_col, key_col), key_col,
+                    (bucket_col,), p=p, salt=salt)
+    b = sk.select(F.col(bucket_col).alias("_b")).distinct()
+    cum = (
+        b.join(sk, sk[bucket_col] <= b["_b"], "inner")
+        .groupBy("_b", "register")
+        .agg(F.max("rho").alias("rho"))
+        .withColumnRenamed("_b", bucket_col)
+    )
+    return hll_estimate(cum, p, (bucket_col,)).orderBy(bucket_col)

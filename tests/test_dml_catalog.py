@@ -923,3 +923,18 @@ def test_call_profile_procedure(db):
         db.execute("CALL gql.profile('Person', 'nope')")
     with _pytest.raises(ValueError):
         db.execute("CALL gql.profile()")
+
+
+def test_call_katz_and_assortativity(db):
+    # chain A -> B -> C
+    for nm in ["A", "B", "C"]:
+        db.execute(f"INSERT (:Person {{name: '{nm}'}})")
+    for a, b in [("A", "B"), ("B", "C")]:
+        db.execute(
+            "MATCH (x:Person {name: '%s'}), (y:Person {name: '%s'}) "
+            "INSERT (x)-[:KNOWS]->(y)" % (a, b))
+    kz = {r.node: r.katz for r in db.execute(
+        "CALL gql.katz_centrality(0.5, 1.0, 3)").collect()}
+    assert sorted(kz.values()) == [1.0, 1.5, 1.75]
+    r = db.execute("CALL gql.assortativity()").collect()[0]
+    assert r.n_edges == 2 and r.assortativity is not None

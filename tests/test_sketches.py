@@ -620,3 +620,34 @@ def test_ranking_metrics_closed_form(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must be"):
         ranking_metrics(preds, truth, k=0)
+
+
+def test_hll_cumulative_distinct_matches_exact_prefixes(spark):
+    """Prefix-merged registers equal the sketch OF the prefix (merge
+    soundness), and estimates track exact cumulative distincts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sketches import hll_cumulative_distinct
+
+    rng = random.Random(7)
+    rows = []
+    for b in range(5):
+        # each bucket introduces some new keys and repeats old ones
+        for _ in range(300):
+            rows.append((b, rng.randrange(0, 100 * (b + 1))))
+    df = spark.createDataFrame(rows, "bucket int, k long")
+    got = {r.bucket: r.estimate
+           for r in hll_cumulative_distinct(df, "k", "bucket",
+                                            p=10).collect()}
+    # monotone non-decreasing
+    vals = [got[b] for b in range(5)]
+    assert vals == sorted(vals)
+    # each prefix estimate within HLL error of the exact prefix count
+    import math
+    for b in range(5):
+        exact = df.filter(F.col("bucket") <= b) \
+            .select("k").distinct().count()
+        rel = abs(got[b] - exact) / exact
+        assert rel < 4 * 1.04 / math.sqrt(1 << 10), (b, got[b], exact)
