@@ -3908,6 +3908,17 @@ def _q_streaming_hll_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(sk, 9, ("window_start",)).orderBy("window_start")
 
 
+def _q_attribution_last_touch(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution over the events table:
+    every 'purchase' credits the latest strictly-earlier event of the
+    same user (ties by id via the struct max); organic conversions
+    keep NULL touches."""
+    from graphlite_spark.operators.temporal import attribution
+
+    return attribution(_table(spark, sf_dir, "events"), "purchase")
+
+
 def _q_cumulative_distinct_users(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Growth curve: cumulative distinct users after each day —
@@ -4707,6 +4718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hll_rollup_events": _q_hll_rollup_events,
             "streaming_hll_batch": _q_streaming_hll_batch,
             "cumulative_distinct_users": _q_cumulative_distinct_users,
+            "attribution_last_touch": _q_attribution_last_touch,
             "event_transitions_markov": _q_event_transitions,
             "dedup_index_exact": _q_dedup_index_exact,
             "dedup_index_near": _q_dedup_index_near,
@@ -8261,6 +8273,42 @@ def oracle_sql() -> dict[str, str]:
                round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6)
                    AS prob
         FROM c
+    """
+    sql["attribution_last_touch"] = """
+        -- latest strictly-earlier same-user touch per conversion,
+        -- ties by id; organic conversions keep NULL touches
+        WITH e AS (
+            -- floor(epoch) mirrors Spark's unix_timestamp second
+            -- truncation; a fractional difference would be off by one
+            -- whenever the touch's sub-second part exceeds the
+            -- conversion's
+            SELECT user_id, event_id, event_type, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ep
+            FROM events
+        ), conv AS (
+            SELECT * FROM e WHERE event_type = 'purchase'
+        ), t AS (
+            SELECT * FROM e WHERE event_type <> 'purchase'
+        ), j AS (
+            SELECT c.event_id, c.user_id, c.ts AS conv_ts,
+                   t.event_id AS tid, t.event_type AS ttp,
+                   CAST(c.ep - t.ep AS BIGINT) AS secs,
+                   row_number() OVER (PARTITION BY c.event_id
+                       ORDER BY t.ep DESC, t.event_id DESC) AS rk
+            FROM conv c JOIN t
+              ON t.user_id = c.user_id AND t.ep < c.ep
+        )
+        SELECT event_id, user_id, conv_ts,
+               tid AS touch_event_id, ttp AS touch_type,
+               secs AS seconds_to_convert
+        FROM j WHERE rk = 1
+        UNION ALL
+        SELECT c.event_id, c.user_id, c.ts AS conv_ts,
+               NULL AS touch_event_id, NULL AS touch_type,
+               NULL AS seconds_to_convert
+        FROM conv c
+        WHERE NOT EXISTS (SELECT 1 FROM t
+                          WHERE t.user_id = c.user_id AND t.ep < c.ep)
     """
     _cp, _cs = 10, 6
     _cm, _cw = 1 << _cp, 32 - _cp

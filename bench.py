@@ -139,6 +139,7 @@ HEADLINE = [
                                       # the queried terms' row groups
     "katz_chains",                    # damped walk-count centrality (r8)
     "cumulative_distinct_users",      # prefix-merged HLL growth curve (r8)
+    "attribution_last_touch",         # conversion-touch credit window (r8)
 ]
 
 

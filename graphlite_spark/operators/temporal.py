@@ -515,3 +515,65 @@ def event_transitions(
         "from_type", "to_type", F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.sum("n").over(tot), 6).alias("prob"),
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str] | None = None,
+    mode: str = "last",
+    within_seconds: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(conversion event_id, user_id, conv_ts, touch_event_id,
+    touch_type, touch_ts, seconds_to_convert): first-/last-touch
+    conversion attribution — credit each conversion to the earliest/
+    latest STRICTLY-EARLIER touch event of the same user (optionally
+    within ``within_seconds``). Unattributed conversions keep NULL
+    touch columns (dropping them would hide organic conversions).
+
+    Determinism without IGNORE NULLS ordering hazards: the attributed
+    touch is MIN/MAX of struct(epoch, id, type) over a RANGE frame
+    ending at 1 PRECEDING — strictly-earlier-epoch semantics are
+    tie-safe across engines (a ROWS frame would depend on the
+    nondeterministic order of same-timestamp rows), and the struct
+    comparison breaks same-epoch touch ties by id. One shuffle on the
+    user key; O(1) window state (min/max, not a buffered frame).
+
+    ``touch_types=None`` counts every non-conversion event as a touch.
+    """
+    if mode not in ("first", "last"):
+        raise ValueError(f"mode must be 'first' or 'last', got {mode!r}")
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError("within_seconds must be > 0")
+    from pyspark.sql import Window
+    from pyspark.sql.types import TimestampNTZType
+
+    df = events
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    df = df.withColumn("_ep", F.unix_timestamp(ts_col))
+    if touch_types is None:
+        is_touch = F.col(type_col) != conversion_type
+    else:
+        is_touch = F.col(type_col).isin(list(touch_types))
+    tv = F.when(is_touch, F.struct(
+        F.col("_ep").alias("ep"),
+        F.col(id_col).alias("id"),
+        F.col(type_col).alias("tp")))
+    lo = (Window.unboundedPreceding if within_seconds is None
+          else -int(within_seconds))
+    w = Window.partitionBy(user_col).orderBy("_ep").rangeBetween(lo, -1)
+    agg = F.max(tv).over(w) if mode == "last" else F.min(tv).over(w)
+    out = df.withColumn("_touch", agg).filter(
+        F.col(type_col) == conversion_type)
+    return out.select(
+        F.col(id_col), F.col(user_col),
+        F.col(ts_col).alias("conv_ts"),
+        F.col("_touch.id").alias("touch_event_id"),
+        F.col("_touch.tp").alias("touch_type"),
+        (F.col("_ep") - F.col("_touch.ep")).alias("seconds_to_convert"),
+    )

@@ -263,3 +263,51 @@ def test_event_transitions_closed_form(spark):
         ("view", "buy"): (1, 0.25),
         ("click", "view"): (1, 1.0),
     }
+
+
+def test_attribution_first_last_window(spark):
+    from graphlite_spark.operators.temporal import attribution
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (1, 2, "2024-01-01 10:05:00", "click"),
+        (1, 3, "2024-01-01 10:06:00", "purchase"),
+        (1, 4, "2024-01-01 12:00:00", "purchase"),  # touch 2h earlier
+        # user 2: conversion with NO prior touch, then same-ts touches
+        (2, 5, "2024-01-01 09:00:00", "purchase"),
+        (2, 6, "2024-01-01 09:30:00", "view"),
+        (2, 7, "2024-01-01 09:30:00", "click"),     # same epoch as 6
+        (2, 8, "2024-01-01 09:40:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    last = {r.event_id: (r.touch_event_id, r.touch_type,
+                         r.seconds_to_convert)
+            for r in attribution(df, "purchase").collect()}
+    assert last[3] == (2, "click", 60)
+    assert last[4] == (2, "click", 6900)
+    assert last[5] == (None, None, None)            # organic kept
+    assert last[8] == (7, "click", 600)             # same-epoch tie -> max id
+
+    first = {r.event_id: r.touch_event_id
+             for r in attribution(df, "purchase", mode="first").collect()}
+    assert first[3] == 1 and first[4] == 1 and first[8] == 6
+
+    # within window: the 12:00 purchase has no touch within 10 min
+    within = {r.event_id: r.touch_event_id
+              for r in attribution(df, "purchase",
+                                   within_seconds=600).collect()}
+    assert within[3] == 2 and within[4] is None
+
+    # touch_types restriction: views only
+    views = {r.event_id: r.touch_type
+             for r in attribution(df, "purchase",
+                                  touch_types=["view"]).collect()}
+    assert views[3] == "view" and views[8] == "view"
+
+    with pytest.raises(ValueError):
+        attribution(df, "purchase", mode="median")
+    with pytest.raises(ValueError):
+        attribution(df, "purchase", within_seconds=0)
