@@ -3919,6 +3919,18 @@ def _q_attribution_last_touch(spark: SparkSession,
     return attribution(_table(spark, sf_dir, "events"), "purchase")
 
 
+def _q_streaming_attribution_batch(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Batch fallback of the STREAMING attribution state machine
+    (routes to attribution() verbatim; the stream build is
+    row-identical by the stream==batch pytest, incl. cross-batch
+    state carry) — shares the attribution oracle."""
+    from graphlite_spark.streaming.stateful import streaming_attribution
+
+    return streaming_attribution(_table(spark, sf_dir, "events"),
+                                 "purchase")
+
+
 def _q_cumulative_distinct_users(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Growth curve: cumulative distinct users after each day —
@@ -4719,6 +4731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "streaming_hll_batch": _q_streaming_hll_batch,
             "cumulative_distinct_users": _q_cumulative_distinct_users,
             "attribution_last_touch": _q_attribution_last_touch,
+            "streaming_attribution_batch": _q_streaming_attribution_batch,
             "event_transitions_markov": _q_event_transitions,
             "dedup_index_exact": _q_dedup_index_exact,
             "dedup_index_near": _q_dedup_index_near,
@@ -8310,6 +8323,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM t
                           WHERE t.user_id = c.user_id AND t.ep < c.ep)
     """
+    # the streaming state machine's batch fallback IS attribution()
+    sql["streaming_attribution_batch"] = sql["attribution_last_touch"]
     _cp, _cs = 10, 6
     _cm, _cw = 1 << _cp, 32 - _cp
     _calpha = 0.7213 / (1 + 1.079 / _cm)

@@ -140,6 +140,7 @@ HEADLINE = [
     "katz_chains",                    # damped walk-count centrality (r8)
     "cumulative_distinct_users",      # prefix-merged HLL growth curve (r8)
     "attribution_last_touch",         # conversion-touch credit window (r8)
+    "streaming_attribution_batch",    # attribution-on-arrival twin (r8)
 ]
 
 

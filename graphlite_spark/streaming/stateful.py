@@ -593,3 +593,139 @@ def streaming_funnel(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str] | None = None,
+    mode: str = "last",
+    within_seconds: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Real-time conversion attribution: one credit row PER CONVERSION
+    emitted as it arrives, from a per-user state machine holding just
+    the first and last touch seen (two (epoch, id, type) triples — a
+    few dozen bytes, never history-sized).
+
+    Semantics match ``operators.temporal.attribution`` exactly when
+    events arrive in timestamp order or in one batch (stream==batch
+    pytest): each micro-batch replays its rows in (floored-second
+    epoch, id) order, processing each epoch GROUP as conversions-first
+    — so a conversion is credited only from STRICTLY-earlier-epoch
+    touches, with same-epoch touch ties broken by id, exactly the
+    batch operator's struct-extremum rule. Arrival caveat (the
+    streaming_funnel discipline): a LATE-arriving touch updates state
+    for future conversions only — already-emitted credits are
+    append-only; for mode='last' a late old touch is absorbed by the
+    (epoch, id) max and never regresses state. Organic conversions
+    emit NULL touches. Batch input routes to attribution() verbatim.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from ..operators.temporal import attribution
+
+    if mode not in ("first", "last"):
+        raise ValueError(f"mode must be 'first' or 'last', got {mode!r}")
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError("within_seconds must be > 0")
+    if not events.isStreaming:
+        return attribution(events, conversion_type, touch_types, mode,
+                           within_seconds, user_col, ts_col, type_col,
+                           id_col)
+
+    touches = set(touch_types) if touch_types is not None else None
+    keep = ([conversion_type] + sorted(touches)
+            if touches is not None else None)
+    slim = events
+    if keep is not None:
+        slim = slim.where(F.col(type_col).isin(keep)
+                          | (F.col(type_col) == conversion_type))
+    slim = slim.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.unix_timestamp(F.col(ts_col).cast("timestamp")).alias("_ep"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(type_col).alias("event_type"),
+    )
+    out_schema = StructType([
+        StructField("event_id", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("conv_ts", TimestampType(), False),
+        StructField("touch_event_id", LongType(), True),
+        StructField("touch_type", StringType(), True),
+        StructField("seconds_to_convert", LongType(), True),
+    ])
+    state_schema = StructType([
+        StructField("f_ep", LongType()), StructField("f_id", LongType()),
+        StructField("f_tp", StringType()),
+        StructField("l_ep", LongType()), StructField("l_id", LongType()),
+        StructField("l_tp", StringType()),
+    ])
+
+    def update(key_, pdfs: Iterator, state: GroupState) -> Iterator:
+        if state.exists:
+            f_ep, f_id, f_tp, l_ep, l_id, l_tp = state.get
+        else:
+            f_ep = f_id = f_tp = l_ep = l_id = l_tp = None
+        rows = []
+        for pdf in pdfs:
+            for eid, ep, ts, et in zip(pdf["event_id"], pdf["_ep"],
+                                       pdf["ts"], pdf["event_type"]):
+                rows.append((int(ep), int(eid), ts, et))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        out = []
+        i = 0
+        while i < len(rows):
+            j = i
+            ep = rows[i][0]
+            while j < len(rows) and rows[j][0] == ep:
+                j += 1
+            group = rows[i:j]
+            # conversions first: credit from strictly-earlier epochs
+            for gep, gid, gts, get_ in group:
+                if get_ != conversion_type:
+                    continue
+                if mode == "last":
+                    t = (l_ep, l_id, l_tp)
+                else:
+                    t = (f_ep, f_id, f_tp)
+                if (t[0] is None
+                        or (within_seconds is not None
+                            and gep - t[0] > within_seconds)):
+                    out.append((gid, gts, None, None, None))
+                else:
+                    out.append((gid, gts, t[1], t[2], gep - t[0]))
+            # then this epoch's touches enter state (id-ascending:
+            # the last same-epoch touch by id wins the 'last' slot)
+            for gep, gid, gts, get_ in group:
+                is_touch = (get_ != conversion_type
+                            if touches is None else get_ in touches)
+                if not is_touch:
+                    continue
+                if f_ep is None or (gep, gid) < (f_ep, f_id):
+                    f_ep, f_id, f_tp = gep, gid, get_
+                if l_ep is None or (gep, gid) > (l_ep, l_id):
+                    l_ep, l_id, l_tp = gep, gid, get_
+            i = j
+        state.update((f_ep, f_id, f_tp, l_ep, l_id, l_tp))
+        if not out:
+            return
+        yield pd.DataFrame({
+            "event_id": [r[0] for r in out],
+            "user_id": [int(key_[0])] * len(out),
+            "conv_ts": [r[1] for r in out],
+            "touch_event_id": [r[2] for r in out],
+            "touch_type": [r[3] for r in out],
+            "seconds_to_convert": [r[4] for r in out],
+        })
+
+    return slim.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

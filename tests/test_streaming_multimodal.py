@@ -2439,3 +2439,68 @@ def test_blocklist_flag_stream_matches_batch(spark, tmp_path):
            for r in spark.table("blocklist_stream_test").collect()}
     assert got == batch_flags
     assert got[6] is True and got[3] is False and got[8] is True
+
+
+def test_streaming_attribution_matches_batch(spark, events_stream_dir):
+    """Streaming last-touch credits from a readStream equal the batch
+    attribution operator row-for-row on in-order data; first-touch
+    mode too."""
+    from graphlite_spark.operators.temporal import attribution
+    from graphlite_spark.streaming.stateful import streaming_attribution
+    from graphlite_spark.streaming.windows import run_stream_to_memory
+
+    batch = spark.read.parquet(events_stream_dir)
+    for mode, name in (("last", "attr_last_test"),
+                       ("first", "attr_first_test")):
+        expected = {
+            r.event_id: (r.touch_event_id, r.touch_type,
+                         r.seconds_to_convert)
+            for r in attribution(batch, "purchase", mode=mode).collect()
+        }
+        stream = spark.readStream.schema(batch.schema) \
+            .parquet(events_stream_dir)
+        run_stream_to_memory(
+            streaming_attribution(stream, "purchase", mode=mode),
+            name, output_mode="append")
+        got = {r.event_id: (r.touch_event_id, r.touch_type,
+                            r.seconds_to_convert)
+               for r in spark.table(name).collect()}
+        assert got == expected and len(got) > 20, mode
+
+
+def test_streaming_attribution_state_across_batches(spark, tmp_path):
+    """A touch in batch 1 credits a conversion arriving in batch 2 —
+    the state carries; a conversion before any touch is organic."""
+    import datetime as dt
+
+    from graphlite_spark.streaming.stateful import streaming_attribution
+
+    d = tmp_path / "attr_stream"
+    d.mkdir()
+
+    def write(batch_no, rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp,"
+                  " event_type string"
+        ).coalesce(1).write.mode("append").parquet(str(d))
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    write(1, [(1, 1, ts(0), "purchase"),      # organic
+              (1, 2, ts(10), "click")])
+    schema = spark.read.parquet(str(d)).schema
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    write(2, [(1, 3, ts(20), "purchase")])    # credited to click@10
+
+    q = (streaming_attribution(stream, "purchase")
+         .writeStream.format("memory").queryName("attr_xbatch")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.event_id: (r.touch_event_id, r.seconds_to_convert)
+           for r in spark.table("attr_xbatch").collect()}
+    assert got[1] == (None, None)
+    assert got[3] == (2, 10)
