@@ -141,6 +141,10 @@ HEADLINE = [
     "cumulative_distinct_users",      # prefix-merged HLL growth curve (r8)
     "attribution_last_touch",         # conversion-touch credit window (r8)
     "streaming_attribution_batch",    # attribution-on-arrival twin (r8)
+    # round-9 additions (VERDICT r8 ask #2): the fast forms of the
+    # heavy BFS family, tracked where the slow forms were excluded
+    "bipartite_rings_chains",         # single-fixpoint parity-CC (r9)
+    "harmonic_sampled_audit",         # Eppstein-Wang 25% sample (r9)
 ]
 
 
@@ -202,41 +206,56 @@ def main() -> None:
         load1 = load5 = load15 = -1.0
     loadavg = [round(load1, 2), round(load5, 2), round(load15, 2)]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Full dump first (human/archive record)...
-    print(
-        json.dumps(
-            {
-                "metric": "headline_detail",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "loadavg": loadavg,
-                "ncpus": os.cpu_count(),
-                "sf": sf_val,
-            }
-        )
+    detail_line, final_line = summary_lines(timings, cold, total, loadavg, sf_val)
+    # Full dump first (human/archive record), then the scalar-only
+    # summary as the FINAL line.
+    print(detail_line)
+    print(final_line)
+
+
+def summary_lines(
+    timings: dict[str, float],
+    cold: dict[str, float],
+    total: float,
+    loadavg: list[float],
+    sf_val,
+) -> tuple[str, str]:
+    """Build the two stdout JSON lines: detail first, scalar summary LAST.
+
+    The driver captures only a byte-bounded TAIL of stdout (~2000 bytes),
+    so the final line must stay parseable regardless of how many queries
+    HEADLINE grows to. Round 6 truncated mid-dict (warm + cold dicts on
+    the last line); round 8 recurred after +50 queries pushed the
+    warm-dict-bearing line past the bound again. The invariant, pinned by
+    tests/test_bench_summary.py against a synthetic 500-query dict: the
+    FINAL line carries scalars only — never any per-query collection —
+    and is < 1000 bytes at ANY query count. The per-query dicts live on
+    the preceding headline_detail line (VERDICT r8 "What's wrong #1").
+    """
+    detail_line = json.dumps(
+        {
+            "metric": "headline_detail",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "cold_queries": cold,
+            "loadavg": loadavg,
+            "ncpus": os.cpu_count(),
+            "sf": sf_val,
+        }
     )
-    # ...then a compact summary as the FINAL line. The driver captures a
-    # byte-bounded tail of stdout; the full dump (warm + cold dicts) grew
-    # past that bound in round 6 and truncated mid-dict BEFORE the
-    # headline value, making BENCH_r06 unparseable. The last line keeps
-    # the warm per-query dict (~25 bytes/query) but drops cold_queries,
-    # so it stays well under the tail bound and is always captured whole
-    # (VERDICT r6 "What's wrong #3").
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "loadavg": loadavg,
-                "ncpus": os.cpu_count(),
-                "sf": sf_val,
-            }
-        )
+    final_line = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "n_queries": len(timings),
+            "loadavg": loadavg,
+            "ncpus": os.cpu_count(),
+            "sf": sf_val,
+        }
     )
+    return detail_line, final_line
 
 
 if __name__ == "__main__":
