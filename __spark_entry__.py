@@ -1246,6 +1246,36 @@ def _q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("event_id"), "betweenness")
 
 
+def _q_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-target harmonic centrality (Eppstein-Wang estimator)
+    over the event chains — the EXECUTABLE scale posture the exact
+    harmonic_centrality_chains entry needs at corpus scale (VERDICT r8
+    ask #2b): targets are the Knuth-hash 25% sample of events (salt 7),
+    distances truncate at 8 hops, and scores scale by |V|/|S|. The
+    oracle REPLAYS the sampling and the chain closed form (position rn
+    reaches positions rn+1..rn+8 of its chain at distance d = delta),
+    so the ESTIMATE itself hash-matches, not just its expectation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import closeness_sampled
+
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_id").alias("_src"),
+            F.lead("event_id").over(w).alias("_dst"))
+        .filter(F.col("_dst").isNotNull())
+    )
+    nodes = ev.select(F.col("event_id").alias("node"))
+    out = closeness_sampled(edges, nodes, p=0.25, salt=7, max_hops=8,
+                            directed=True, harmonic=True)
+    return out.select(
+        F.col("node").cast("long").alias("event_id"), "n_reachable",
+        F.col("closeness").alias("harmonic")).orderBy("event_id")
+
+
 def _ring_db(spark: SparkSession, sf_dir: str):
     """Register a cyclic ring graph (one directed ring of nations per
     region, 5-cycles in TPC-H) beside the main graph — the workload the
@@ -4785,6 +4815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "closeness_centrality": _q_closeness,
             "betweenness_chains": _q_betweenness,
             "betweenness_sampled_audit": _q_betweenness_sampled,
+            "harmonic_sampled_audit": _q_harmonic_sampled,
             "path_mode_trail": _q_path_mode("TRAIL"),
             "path_mode_simple": _q_path_mode("SIMPLE"),
             "path_mode_acyclic": _q_path_mode("ACYCLIC"),
@@ -7221,6 +7252,47 @@ def oracle_sql() -> dict[str, str]:
              AND ((q.event_id + 7) * 2654435761) % 4294967296 < 1073741824
             CROSS JOIN stats st
             GROUP BY v.event_id, st.n_all, st.n_s
+        """,
+        "harmonic_sampled_audit": """
+            -- Eppstein-Wang sampled harmonic, sampling REPLAYED:
+            -- targets are the Knuth-hash 25% of events (salt 7, cut
+            -- floor(0.25 * 2^32)); position rn reaches sampled chain
+            -- positions rn+1..rn+8 at distance delta; estimates scale
+            -- by |V|/|S| with the engine's association (x * (n/s))
+            WITH pos AS (
+                SELECT event_id, user_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_all,
+                       CAST(sum(CASE WHEN ((event_id + 7) * 2654435761)
+                                          % 4294967296 < 1073741824
+                                     THEN 1 ELSE 0 END) AS DOUBLE) AS n_s
+                FROM events
+            ), contrib AS (
+                SELECT v.event_id AS event_id,
+                       CAST(count(*) AS DOUBLE) AS cnt,
+                       sum(1.0 / (s.rn - v.rn)) AS h
+                FROM pos v
+                JOIN pos s
+                  ON s.user_id = v.user_id
+                 AND s.rn > v.rn
+                 AND s.rn - v.rn <= 8
+                 AND ((s.event_id + 7) * 2654435761) % 4294967296
+                     < 1073741824
+                GROUP BY 1
+            )
+            SELECT p.event_id,
+                   CAST(round(coalesce(c.cnt, 0.0)
+                              * (st.n_all / st.n_s), 0) AS BIGINT) + 1
+                       AS n_reachable,
+                   round(coalesce(c.h, 0.0) * (st.n_all / st.n_s), 6)
+                       AS harmonic
+            FROM pos p
+            LEFT JOIN contrib c ON c.event_id = p.event_id
+            CROSS JOIN stats st
+            ORDER BY 1
         """,
         # --- path modes over per-region nation rings (ast.rs:276-287;
         # executor.rs:6624-6641: TRAIL = no repeated edges, SIMPLE and

@@ -349,6 +349,102 @@ def closeness_centrality(
     )
 
 
+def closeness_sampled(
+    edges: DataFrame,
+    nodes: DataFrame,
+    p: float,
+    salt: int = 0,
+    max_hops: int = 50,
+    directed: bool = True,
+    harmonic: bool = True,
+) -> DataFrame:
+    """Sampled-TARGET estimate of harmonic/closeness centrality — the
+    EXECUTABLE scale posture for the all-sources form (exact
+    closeness_centrality runs |V| BFS reaches; the Eppstein-Wang
+    estimator runs them from a uniform sample and scales by |V|/|S|;
+    VERDICT r8 ask #2b — the betweenness_sampled replay template,
+    paths.py:532, applied to the distance-sum family).
+
+    Targets are chosen by the Knuth multiplicative hash
+    ((node + salt) * 2654435761) mod 2^32 < floor(p * 2^32) — the
+    deterministic, partition-insensitive sample BOTH engines compute,
+    so the ESTIMATE itself is oracle-matchable, not just its
+    expectation. One multi-source BFS runs from the sampled set over
+    REVERSED edges (an s-rooted reverse-BFS distance d equals the
+    forward distance v->s), so the per-node sums over sampled targets
+    come out of a single groupBy:
+
+      harmonic_hat(v)  = round((N/|S|) * sum_{s in S, d(v,s)>0}
+                               1/d(v,s), 6)
+      closeness uses the same scaled reach/distance sums in the
+      Wasserman-Faust form ((n_hat-1)/sum_hat, 0.0 when nothing
+      is reached).
+
+    Distances are truncated at ``max_hops`` (contributes 0 beyond —
+    the same bounded-reach convention betweenness_sampled documents;
+    an oracle replays the bound as a join predicate). Error decays as
+    1/sqrt(|S|); rel-err on the gate corpus is pinned in pytest.
+    Raises if the sample is empty (raise p or change salt). Returns
+    (node, n_reachable, closeness) with n_reachable = the SCALED
+    reach estimate rounded to a long — schema-compatible with the
+    exact operator.
+    """
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    from pyspark.sql.types import NumericType
+
+    from .sampling import _bucket
+
+    node_col = nodes.columns[0]
+    cut = int(p * 4294967296.0)
+    key = F.col(node_col)
+    if not isinstance(nodes.schema[node_col].dataType, NumericType):
+        key = F.xxhash64(key)
+    sampled = nodes.filter(_bucket(key, salt) < F.lit(cut)) \
+        .select(F.col(node_col).alias("_t"))
+    if sampled.limit(1).count() == 0:
+        raise ValueError(
+            f"closeness_sampled: p={p} salt={salt} sampled 0 of the "
+            "node universe; raise p or change salt")
+    stats = (
+        nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .crossJoin(sampled.agg(F.count(F.lit(1)).cast("double")
+                               .alias("_s")))
+    )
+    # reverse-BFS from the sampled targets: root = target s,
+    # node = v, dist = d(v, s) in the FORWARD graph
+    rev = edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    d = bfs_distances(rev if directed else edges, sampled,
+                      max_hops=max_hops, directed=directed)
+    per = d.filter(F.col("dist") > 0).groupBy("node").agg(
+        F.count(F.lit(1)).cast("double").alias("_reach"),
+        F.sum(F.lit(1.0) / F.col("dist")).alias("_h"),
+        F.sum("dist").cast("double").alias("_sum"),
+    )
+    # every node is its own 0-distance row ONLY if sampled; emit the
+    # full node universe so unreached nodes score 0.0 like the exact
+    # operator's never-reaching sources
+    base = nodes.select(F.col(node_col).alias("node")) \
+        .join(per, "node", "left").crossJoin(F.broadcast(stats))
+    scale = F.col("_n") / F.col("_s")
+    # reach_hat estimates |{u != v : d(v,u) in (0, max_hops]}|; the
+    # reported n_reachable adds the self row back so p=1.0 reproduces
+    # the exact operator's count-including-self EXACTLY (pytest-pinned)
+    reach_hat = F.coalesce(F.col("_reach"), F.lit(0.0)) * scale
+    if harmonic:
+        val = F.round(F.coalesce(F.col("_h"), F.lit(0.0)) * scale, 6)
+    else:
+        sum_hat = F.coalesce(F.col("_sum"), F.lit(0.0)) * scale
+        val = F.round(
+            F.when(sum_hat > 0, reach_hat / sum_hat)
+            .otherwise(F.lit(0.0)), 6)
+    return base.select(
+        "node",
+        (F.round(reach_hat, 0).cast("long") + 1).alias("n_reachable"),
+        val.alias("closeness"),
+    )
+
+
 def _bfs_sigma(
     e: DataFrame,
     sources: DataFrame,
@@ -1679,48 +1775,105 @@ def is_bipartite(
     edges: DataFrame,
     nodes: DataFrame,
     max_hops: int = 1000,
+    max_iter: int = 30,
 ) -> DataFrame:
     """(comp, bipartite, n_nodes) — 2-colorability per connected
-    component, by composition: hash-min CC picks each component's
-    representative (comp = min node id), multi-source BFS from the
-    representatives assigns depth PARITY, and a component is bipartite
-    iff no undirected edge joins equal parities (the classic
-    odd-cycle criterion: an odd cycle forces some same-parity edge
-    under ANY root). Entirely built from connected_components +
-    bfs_distances — no new iteration machinery, so it inherits their
-    hop-batching, lineage cuts, and probe discipline.
+    component, as ONE parity-carrying hash-min CC fixpoint (the
+    single-fixpoint form the earlier two-fixpoint composition's
+    docstring promised; VERDICT r8 ask #2a).
 
-    Cost note: this runs TWO iterative fixpoints (CC then
-    multi-source BFS — ~45s on the sf0.1 chains, stage-count-bound).
-    The known single-fixpoint form folds parity into hash-min CC's
-    pointer jumping (par(v->root) composes by XOR); worth doing if
-    bipartiteness ever becomes a hot path — today it is a
-    composition, deliberately.
+    Each node carries (comp, par): comp = the smallest id it has a
+    walk to, par = the parity of SOME such walk. Propagation flips
+    parity across an edge; pointer jumping (comp := comp[comp])
+    composes parities by XOR. Convergence is on comp ONLY — in a
+    non-bipartite component walk parities to the representative can
+    keep flipping forever (there is no consistent 2-coloring), and
+    that is exactly the signal: after comps converge, ONE edge join
+    checks for a same-parity edge inside a component. If none exists,
+    par IS a proper 2-coloring (edge endpoints differ) => bipartite;
+    if the component has an odd cycle, no parity assignment can make
+    all edges differ => the check necessarily finds a conflict. Either
+    way ONE final join decides, with no parity-convergence wait.
+
+    vs the old composition (CC then multi-source BFS from the
+    representatives): BFS parity is DIAMETER-bound — ~45s on the
+    sf0.1 event chains — while this form inherits CC's pointer
+    jumping, so rounds are O(log diameter). ``max_hops`` is retained
+    for signature compatibility and ignored (there is no BFS).
     """
-    # materialize the edge frame ONCE: it feeds ~depth BFS level joins
-    # plus CC plus the conflict join, and a derived lineage (window
-    # lead(), unions) would re-execute at every level — measured 65s vs
-    # 15s on the sf0.1 chains. Same for the CC lineage behind reps.
-    edges = edges.select(SRC, DST).localCheckpoint(eager=False)
-    cc = connected_components(edges, nodes).localCheckpoint(eager=False)
-    reps = cc.select(F.col("comp").alias("root_src")).distinct() \
+    id_col = nodes.columns[0]
+    # materialize the edge frame once: it feeds every round's
+    # propagation join plus the final conflict join, and a derived
+    # lineage (window lead(), unions) would re-execute each round
+    e = (
+        edges.select(F.col(SRC).alias("_a"), F.col(DST).alias("_b"))
+        .unionByName(edges.select(F.col(DST).alias("_a"),
+                                  F.col(SRC).alias("_b")))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
         .localCheckpoint(eager=False)
-    dist = bfs_distances(edges, reps, max_hops=max_hops, directed=False)
-    parity = dist.select(
-        F.col("root").alias("comp"), F.col("node"),
-        F.pmod(F.col("dist"), F.lit(2)).alias("_par"))
-    e = edges.select(F.col(SRC).alias("_u"), F.col(DST).alias("_v")) \
-        .filter(F.col("_u") != F.col("_v"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("comp"),
+        F.lit(0).alias("par"),
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        # neighbor propagation: a walk u->c of parity x gives the
+        # neighbor v a walk v->c of parity x^1. min(struct) picks the
+        # smallest comp and, among ties, the smaller parity —
+        # deterministic, any walk parity is equally valid evidence.
+        nbr = (
+            labels.join(e, labels["node"] == e["_a"], "inner")
+            .select(F.col("_b").alias("node"), F.col("comp"),
+                    (F.lit(1) - F.col("par")).alias("par"))
+        )
+        stepped = (
+            labels.select("node", "comp", "par").unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min(F.struct("comp", "par")).alias("_s"))
+            .select("node", F.col("_s.comp").alias("comp"),
+                    F.col("_s.par").alias("par"))
+        )
+        # pointer jumping with parity composition: node->c parity x,
+        # c->c2 parity y => node->c2 parity x^y
+        m = stepped.select(F.col("node").alias("_mn"),
+                           F.col("comp").alias("_mc"),
+                           F.col("par").alias("_mp"))
+        _jc = F.coalesce(F.col("_mc"), F.col("comp"))
+        _jp = F.pmod(F.col("par") + F.coalesce(F.col("_mp"), F.lit(0)),
+                     F.lit(2))
+        new_labels = (
+            stepped.join(m, stepped["comp"] == m["_mn"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), _jc).alias("_nc"),
+                F.when(_jc < F.col("comp"), _jp)
+                .when(F.col("comp") < _jc, F.col("par"))
+                .otherwise(F.least(F.col("par"), _jp))
+                .alias("par"),
+            )
+            .withColumnRenamed("_nc", "comp")
+        )
+        new_labels = _ck_cut_stats(new_labels)
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
     conflicts = (
-        e.join(parity.select(F.col("node").alias("_u"),
+        e.join(labels.select(F.col("node").alias("_a"),
                              F.col("comp"),
-                             F.col("_par").alias("_pu")), "_u")
-        .join(parity.select(F.col("node").alias("_v"),
-                            F.col("_par").alias("_pv")), "_v")
-        .where(F.col("_pu") == F.col("_pv"))
+                             F.col("par").alias("_pa")), "_a")
+        .join(labels.select(F.col("node").alias("_b"),
+                            F.col("par").alias("_pb")), "_b")
+        .where(F.col("_pa") == F.col("_pb"))
         .groupBy("comp").agg(F.count(F.lit(1)).alias("_bad"))
     )
-    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("n_nodes"))
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_nodes"))
     return (
         sizes.join(conflicts, "comp", "left")
         .select("comp",

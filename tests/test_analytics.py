@@ -995,3 +995,57 @@ def test_degree_assortativity(spark):
                               "_src long, _dst long")
     r3 = degree_assortativity(d, directed=True).collect()[0]
     assert r3.assortativity == -0.5 and r3.n_edges == 3
+
+
+def test_closeness_sampled_p1_equals_exact_and_rel_err_pinned(spark):
+    """p=1.0 reproduces the exact operator EXACTLY (same truncation
+    bound, scale ratio 1, self-inclusive reach count); at p=0.25 the
+    Eppstein-Wang estimate's aggregate error on the sf0.001 chains is
+    deterministic (hash sampling) and pinned."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.datasets.tpch import load_table
+    from graphlite_spark.operators.paths import (closeness_centrality,
+                                                 closeness_sampled)
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(F.col("event_id").alias("_src"),
+                  F.lead("event_id").over(w).alias("_dst"))
+        .filter(F.col("_dst").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    nodes = ev.select(F.col("event_id").alias("node"))
+
+    for harmonic in (True, False):
+        exact = {
+            r["node"]: (r["n_reachable"], r["closeness"])
+            for r in closeness_centrality(
+                edges, nodes, max_hops=8, directed=True,
+                harmonic=harmonic).collect()
+        }
+        full = {
+            r["node"]: (r["n_reachable"], r["closeness"])
+            for r in closeness_sampled(
+                edges, nodes, p=1.0, salt=7, max_hops=8, directed=True,
+                harmonic=harmonic).collect()
+        }
+        assert full == exact, f"p=1.0 parity broke (harmonic={harmonic})"
+
+    # 25% sample: deterministic given salt -> the aggregate ratio is a
+    # pinned measurement, not a tolerance guess; 1/sqrt(|S|) scaling
+    exact_sum = sum(v for _, v in (
+        (r["node"], r["closeness"]) for r in closeness_centrality(
+            edges, nodes, max_hops=8, directed=True,
+            harmonic=True).collect()))
+    est_sum = sum(r["closeness"] for r in closeness_sampled(
+        edges, nodes, p=0.25, salt=7, max_hops=8, directed=True,
+        harmonic=True).collect())
+    ratio = est_sum / exact_sum
+    assert 0.85 < ratio < 1.15, f"aggregate ratio {ratio}"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="p must be"):
+        closeness_sampled(edges, nodes, p=0.0)
