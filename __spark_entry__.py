@@ -3913,6 +3913,49 @@ def _q_dedup_index_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_index(batch, idx, near=True)
 
 
+def _q_dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch fallback of the persisted-dedup-index MAINTENANCE loop
+    (streaming_dedup_index_maintenance): one ingest epoch dedups
+    against the historical index (docs < 300), dedups internally
+    (min id per normalized text), appends its survivors' keys to the
+    index delta tier exactly-once, and returns the survivors. Exact
+    mode, so the whole epoch is a closed form on text membership the
+    oracle replays: planted id+100000 copies of docs < 50 hit the
+    index; planted id+200000 copies of docs 300..309 lose the
+    within-batch min-id race. Re-runs are idempotent by construction
+    (epoch-0 partitions overwrite themselves; the against-index read
+    excludes the epoch's own keys) — running this entry twice is
+    itself the crash-replay test."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import build_dedup_index
+    from graphlite_spark.streaming.stateful import (
+        streaming_dedup_index_maintenance,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 300)
+    idx = _dedup_index_path(sf_dir) + "-maint"
+    if not os.path.exists(os.path.join(idx, "meta")):
+        build_dedup_index(hist, idx, n=3, num_hashes=64, bands=16)
+    batch = (
+        docs.filter(F.col("doc_id") >= 300)
+        .unionByName(docs.filter(F.col("doc_id") < 50)
+                     .select((F.col("doc_id") + 100000).alias("doc_id"),
+                             "text"))
+        .unionByName(docs.filter((F.col("doc_id") >= 300)
+                                 & (F.col("doc_id") < 310))
+                     .select((F.col("doc_id") + 200000).alias("doc_id"),
+                             "text"))
+    )
+    out = streaming_dedup_index_maintenance(
+        batch, idx, checkpoint=os.path.join(idx, "_ckpt_unused"),
+        near=False)
+    return out.orderBy("doc_id")
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     journeys (lead window -> |types|² groupBy -> row-normalized
@@ -4765,6 +4808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_transitions_markov": _q_event_transitions,
             "dedup_index_exact": _q_dedup_index_exact,
             "dedup_index_near": _q_dedup_index_near,
+            "dedup_index_maintain_batch": _q_dedup_index_maintain,
             "theta_overlap_custkeys": _q_theta_overlap_custkeys,
             "shortest_path_pair_chain": _q_shortest_path_pair_chain,
             "dd_clamp_prices": _q_dd_clamp_prices,
@@ -8342,6 +8386,33 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT b.doc_id, b.text FROM batch b
         WHERE lower(trim(b.text)) NOT IN (SELECT t FROM hist)
+    """
+    sql["dedup_index_maintain_batch"] = """
+        -- one maintenance epoch replayed: batch = docs >= 300, plus
+        -- id+100000 copies of docs < 50 (hit the historical index),
+        -- plus id+200000 copies of docs 300..309 (lose the
+        -- within-batch min-id race); kept iff text unseen historically
+        -- AND the doc is its text's smallest id in the batch
+        WITH hist AS (
+            SELECT DISTINCT lower(trim(text)) AS t FROM documents
+            WHERE doc_id < 300
+        ), batch AS (
+            SELECT doc_id, text FROM documents WHERE doc_id >= 300
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+            WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text FROM documents
+            WHERE doc_id >= 300 AND doc_id < 310
+        ), keyed AS (
+            SELECT doc_id, text, lower(trim(text)) AS t,
+                   min(doc_id) OVER (PARTITION BY lower(trim(text)))
+                       AS mn
+            FROM batch
+        )
+        SELECT doc_id, text FROM keyed
+        WHERE doc_id = mn AND t NOT IN (SELECT t FROM hist)
+        ORDER BY doc_id
     """
     sql["event_transitions_markov"] = """
         WITH nxt AS (

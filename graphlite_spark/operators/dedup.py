@@ -983,6 +983,31 @@ def build_dedup_index(
     return n_docs
 
 
+def _index_tier(spark, base_path: str, delta_path: str,
+                before_batch: "int | None") -> DataFrame:
+    """Read one key tier of a persisted dedup index: the immutable
+    base plus, when present, the append-only delta partitions
+    (``_batch_id=<k>`` directories written by the maintenance loop).
+    ``before_batch=k`` keeps only deltas with _batch_id < k — the
+    replay-safe read an ingest of epoch k must use so a re-delivered
+    epoch never sees its OWN keys (partition pruning makes the filter
+    a directory skip, not a scan)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(delta_path)
+    base = spark.read.parquet(base_path)
+    if not jpath.getFileSystem(conf).exists(jpath):
+        return base
+    try:
+        delta = spark.read.parquet(delta_path)
+    except Exception:
+        # an all-empty-epoch delta dir has no schema to infer
+        return base
+    if before_batch is not None:
+        delta = delta.filter(F.col("_batch_id") < int(before_batch))
+    return base.unionByName(delta.select(*base.columns))
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     path: str,
@@ -990,6 +1015,7 @@ def dedup_against_index(
     id_col: str = "doc_id",
     near: bool = True,
     mode: str = "drop",
+    before_batch: "int | None" = None,
 ) -> DataFrame:
     """Dedup an incoming batch AGAINST a persisted index
     (build_dedup_index) — exact content hits and (optionally) MinHash
@@ -1009,6 +1035,12 @@ def dedup_against_index(
     the joins are semi/anti joins on 8-byte keys between the batch
     (small) and the index key tables — the historical corpus is never
     read, and the index tables never rematerialize documents.
+
+    When the index has been maintained incrementally
+    (dedup_index_ingest_batch appends survivors' keys under
+    ``{path}/exact_delta`` / ``{path}/bands_delta``), those delta
+    partitions are included; ``before_batch=k`` restricts to deltas
+    from epochs < k (the replay-safe read — see _index_tier).
     """
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
@@ -1016,7 +1048,8 @@ def dedup_against_index(
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     key = (F.lower(F.trim(F.col(text_col))) if m.normalize
            else F.col(text_col))
-    exact_idx = spark.read.parquet(f"{path}/exact")
+    exact_idx = _index_tier(spark, f"{path}/exact",
+                            f"{path}/exact_delta", before_batch)
     hashed = new_docs.withColumn("_h", F.xxhash64(key))
     exact_ids = (
         hashed.select(F.col(id_col).alias("_eid"), "_h")
@@ -1025,7 +1058,8 @@ def dedup_against_index(
     )
     near_ids = None
     if near:
-        bands_idx = spark.read.parquet(f"{path}/bands")
+        bands_idx = _index_tier(spark, f"{path}/bands",
+                                f"{path}/bands_delta", before_batch)
         sig = minhash_signatures(new_docs, text_col, id_col, n=m.n,
                                  num_hashes=m.num_hashes, words=m.words)
         bb = _band_bucket_frame(sig, id_col, m.num_hashes, m.bands)
@@ -1051,3 +1085,116 @@ def dedup_against_index(
         out = out.join(
             near_ids, out[id_col] == near_ids["_nid"], "left_anti")
     return out
+
+
+def dedup_index_ingest_batch(
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near: bool = True,
+) -> DataFrame:
+    """Process ONE ingest epoch through the persisted-index
+    maintenance loop (VERDICT r8 ask #3): dedup the batch against the
+    index AS OF this epoch, dedup it internally, then append the
+    SURVIVORS' exact hashes / band keys to the index's delta tiers —
+    the production shape where a daily crawl batch both filters
+    against and extends years of corpus without ever re-reading it.
+
+    Exactly-once by construction: key appends land under
+    ``{path}/exact_delta/_batch_id=<k>`` (and ``bands_delta``) with
+    dynamic partition overwrite, and the against-index read uses
+    ``before_batch=batch_id`` so a RE-DELIVERED epoch (crash between
+    write and offset commit) never collides with its own previous
+    write — it recomputes identical survivors and overwrites its own
+    partitions. Replay is a no-op (pytest-pinned).
+
+    Batch-internal dedup is deterministic and order-free:
+    - exact: min id per content hash survives;
+    - near (``near=True``): the streaming_minhash_dedup batch rule —
+      bucket winner = min id per (band, bucket) over the WHOLE batch
+      (index-hit and exact-dup docs still poison buckets, matching
+      doc-at-a-time drop-on-arrival when ids arrive in order), a doc
+      survives iff it wins every one of its buckets.
+
+    Invariant (pytest-pinned): after any sequence of epochs, the
+    index's key set equals build_dedup_index(historical corpus +
+    all survivors) — incremental maintenance is indistinguishable
+    from a from-scratch rebuild.
+
+    Returns the surviving rows of ``batch``.
+    """
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    key = (F.lower(F.trim(F.col(text_col))) if m.normalize
+           else F.col(text_col))
+    exact_idx = _index_tier(spark, f"{path}/exact",
+                            f"{path}/exact_delta", before_batch=batch_id)
+    hashed = batch.withColumn("_h", F.xxhash64(key)) \
+        .localCheckpoint(eager=False)
+    # batch-internal exact: min id per hash
+    wmin = Window.partitionBy("_h")
+    keep = hashed.withColumn(
+        "_exact_win", F.col(id_col) == F.min(id_col).over(wmin))
+    # against-index exact (anti on 8-byte keys)
+    keep = keep.join(exact_idx, keep["_h"] == exact_idx["h"],
+                     "left_anti")
+    bb = None
+    if near:
+        bands_idx = _index_tier(spark, f"{path}/bands",
+                                f"{path}/bands_delta",
+                                before_batch=batch_id)
+        sig = minhash_signatures(batch, text_col, id_col, n=m.n,
+                                 num_hashes=m.num_hashes, words=m.words)
+        bb = _band_bucket_frame(sig, id_col, m.num_hashes, m.bands) \
+            .localCheckpoint(eager=False)
+        # a bucket is poisoned if the INDEX knows it, or if a smaller
+        # batch id touches it (winner computed over the whole batch)
+        wband = Window.partitionBy("band", "bucket")
+        verdicts = (
+            bb.withColumn("_bwin",
+                          F.col(id_col) == F.min(id_col).over(wband))
+            .join(bands_idx.select("band", "bucket")
+                  .withColumn("_idx_hit", F.lit(True)),
+                  ["band", "bucket"], "left")
+            .withColumn("_ok", F.col("_bwin")
+                        & F.col("_idx_hit").isNull())
+        )
+        near_losers = (
+            verdicts.filter(~F.col("_ok"))
+            .select(F.col(id_col).alias("_nl")).distinct()
+        )
+        keep = keep.join(near_losers,
+                         keep[id_col] == near_losers["_nl"],
+                         "left_anti")
+    survivors = (
+        keep.filter(F.col("_exact_win"))
+        .select(*batch.columns)
+        .localCheckpoint(eager=True)
+    )
+    # append the survivors' keys — idempotent per-epoch partitions
+    surv_ids = survivors.select(F.col(id_col).alias("_sid"))
+    new_exact = (
+        hashed.join(surv_ids, hashed[id_col] == surv_ids["_sid"],
+                    "left_semi")
+        .select(F.col("_h").alias("h"))
+        .distinct()
+        .withColumn("_batch_id", F.lit(int(batch_id)))
+    )
+    (new_exact.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id").parquet(f"{path}/exact_delta"))
+    if near and bb is not None:
+        new_bands = (
+            bb.join(surv_ids, bb[id_col] == surv_ids["_sid"],
+                    "left_semi")
+            .select("band", "bucket").distinct()
+            .withColumn("_batch_id", F.lit(int(batch_id)))
+        )
+        (new_bands.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(f"{path}/bands_delta"))
+    return survivors

