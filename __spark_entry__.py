@@ -1246,6 +1246,71 @@ def _q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("event_id"), "betweenness")
 
 
+def _bridge_gadget_graph(spark: SparkSession, sf_dir: str):
+    """One Leiden-paper Fig.2 bridge gadget PER USER (ids offset by
+    user_id*100): heavy pair {b+1,b+2}, bridge b+3 (weight-25 pull to
+    the pair, weight-3 spokes to both triangles), triangles
+    {b+4..b+6} and {b+7..b+9} (internal weight 2). Under this
+    module's deterministic synchronous local moves the triangles
+    adopt the bridge's label in round 1 while the bridge defects to
+    the pair — leaving {b+4..b+9} one DISCONNECTED community, the
+    exact defect Leiden's refinement repairs. Closed form per gadget
+    at any gadget count >= 5 (below that the modularity penalty terms
+    keep the triangles from adopting the bridge — measured; the test
+    corpus has >= 150 users at every SF)."""
+    from pyspark.sql import functions as F
+
+    ev = _table(spark, sf_dir, "events")
+    users = ev.select(F.col("user_id").cast("long").alias("u")).distinct()
+    tmpl = spark.createDataFrame(
+        [(1, 2, 8.0), (3, 1, 25.0),
+         (4, 5, 2.0), (4, 6, 2.0), (5, 6, 2.0),
+         (7, 8, 2.0), (7, 9, 2.0), (8, 9, 2.0),
+         (3, 4, 3.0), (3, 5, 3.0), (3, 6, 3.0),
+         (3, 7, 3.0), (3, 8, 3.0), (3, 9, 3.0)],
+        "si long, di long, w double")
+    edges = users.crossJoin(F.broadcast(tmpl)).select(
+        (F.col("u") * 100 + F.col("si")).alias("_src"),
+        (F.col("u") * 100 + F.col("di")).alias("_dst"),
+        "w")
+    offs = spark.range(1, 10).select(F.col("id").alias("i"))
+    nodes = users.crossJoin(F.broadcast(offs)).select(
+        (F.col("u") * 100 + F.col("i")).alias("node"))
+    return edges, nodes
+
+
+def _q_louvain_bridge_defect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain over the per-user bridge gadgets: the oracle's closed
+    form INCLUDES the defect — community b+4 spans both triangles
+    even though the bridge that connected them settled in b+1's
+    community, so b+4 induces a disconnected subgraph. This entry
+    exists to pin the defect the leiden_planted_bridge entry
+    repairs."""
+    from graphlite_spark.operators.paths import louvain_communities
+
+    edges, nodes = _bridge_gadget_graph(spark, sf_dir)
+    out = louvain_communities(edges, nodes, max_levels=1,
+                              weight_col="w")
+    return out.orderBy("node")
+
+
+def _q_leiden_planted_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """leiden_communities over the same gadgets: refinement splits
+    each abandoned {b+4..b+9} blob into its two connected triangles
+    (closed form: communities b+1, b+4, b+7 per gadget). max_levels=1
+    keeps the demonstration scale-stable: at higher levels the
+    modularity resolution limit (penalty terms ~ k^2/2m vanish as
+    gadget count grows) legally re-merges each gadget's communities
+    into one connected blob, hiding the defect rather than exhibiting
+    it."""
+    from graphlite_spark.operators.paths import leiden_communities
+
+    edges, nodes = _bridge_gadget_graph(spark, sf_dir)
+    out = leiden_communities(edges, nodes, max_levels=1,
+                             weight_col="w")
+    return out.orderBy("node")
+
+
 def _q_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-target harmonic centrality (Eppstein-Wang estimator)
     over the event chains — the EXECUTABLE scale posture the exact
@@ -4860,6 +4925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "betweenness_chains": _q_betweenness,
             "betweenness_sampled_audit": _q_betweenness_sampled,
             "harmonic_sampled_audit": _q_harmonic_sampled,
+            "louvain_bridge_defect": _q_louvain_bridge_defect,
+            "leiden_planted_bridge": _q_leiden_planted_bridge,
             "path_mode_trail": _q_path_mode("TRAIL"),
             "path_mode_simple": _q_path_mode("SIMPLE"),
             "path_mode_acyclic": _q_path_mode("ACYCLIC"),
@@ -7296,6 +7363,33 @@ def oracle_sql() -> dict[str, str]:
              AND ((q.event_id + 7) * 2654435761) % 4294967296 < 1073741824
             CROSS JOIN stats st
             GROUP BY v.event_id, st.n_all, st.n_s
+        """,
+        "louvain_bridge_defect": """
+            -- closed form WITH the defect: per user gadget, the pair+
+            -- bridge community (b+1) and ONE community b+4 spanning
+            -- both triangles the departed bridge no longer connects
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+                 n AS (SELECT CAST(r.range AS BIGINT) AS i
+                       FROM range(1, 10) r)
+            SELECT u.user_id * 100 + n.i AS node,
+                   u.user_id * 100
+                   + CASE WHEN n.i <= 3 THEN 1 ELSE 4 END AS community
+            FROM u, n
+            ORDER BY node
+        """,
+        "leiden_planted_bridge": """
+            -- closed form after refinement: the abandoned blob splits
+            -- into its two connected triangles (b+4, b+7)
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+                 n AS (SELECT CAST(r.range AS BIGINT) AS i
+                       FROM range(1, 10) r)
+            SELECT u.user_id * 100 + n.i AS node,
+                   u.user_id * 100
+                   + CASE WHEN n.i <= 3 THEN 1
+                          WHEN n.i <= 6 THEN 4
+                          ELSE 7 END AS community
+            FROM u, n
+            ORDER BY node
         """,
         "harmonic_sampled_audit": """
             -- Eppstein-Wang sampled harmonic, sampling REPLAYED:

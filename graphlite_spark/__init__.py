@@ -916,7 +916,7 @@ class GraphLiteSpark:
                       "gql.k_truss", "gql.truss_decomposition",
                       "gql.core_decomposition",
                       "gql.betweenness_sampled",
-                      "gql.closeness_sampled",
+                      "gql.closeness_sampled", "gql.leiden",
                       "gql.random_walks", "gql.node2vec_walks",
                       "gql.katz_centrality", "gql.assortativity",
                       "gql.hits", "gql.link_prediction",
@@ -976,6 +976,11 @@ class GraphLiteSpark:
                 df = P.betweenness_sampled(
                     e, n.withColumnRenamed("_id", "node"), p=p,
                     max_hops=h)
+            elif name == "gql.leiden":
+                lv = int(stmt.args[0].value) if stmt.args else 3
+                mr = int(stmt.args[1].value) if len(stmt.args) > 1 else 20
+                df = P.leiden_communities(e, n, max_levels=lv,
+                                          max_rounds=mr)
             elif name == "gql.closeness_sampled":
                 p = float(stmt.args[0].value) if stmt.args else 0.25
                 h = int(stmt.args[1].value) if len(stmt.args) > 1 else 8

@@ -2340,18 +2340,20 @@ def _modularity_local_moves(
         )
         # argmax with epsilon preference for the CURRENT community:
         # a move must beat staying by > 1e-12, and equal-gain
-        # alternatives resolve to the smallest community id
+        # alternatives resolve to the smallest community id (min_by
+        # over (-value, cand) — id-type-generic: string content-hash
+        # ids order fine where the earlier -cand negation could not)
         best = (
             scored.groupBy("node")
             .agg(
-                F.max_by(
+                F.min_by(
                     "cand",
                     F.struct(
-                        (F.col("val")
-                         + F.when(F.col("cand") == F.col("_cur"),
-                                  F.lit(1e-12)).otherwise(F.lit(0.0))
+                        (-(F.col("val")
+                           + F.when(F.col("cand") == F.col("_cur"),
+                                    F.lit(1e-12)).otherwise(F.lit(0.0)))
                          ).alias("v"),
-                        (-F.col("cand")).alias("t"),
+                        F.col("cand").alias("t"),
                     ),
                 ).alias("_new")
             )
@@ -2476,6 +2478,138 @@ def louvain_communities(
         # whole multi-level lineage into each plan build, and plain
         # eager ones carry the compounded sizeInBytes estimate across
         # levels (see _ck_cut_stats)
+        selfw = _ck_cut_stats(
+            selfw.join(lab.select(F.col("_n").alias("node"),
+                                  F.col("_c").alias("_c")), "node")
+            .groupBy(F.col("_c").alias("node"))
+            .agg(F.sum("sw").alias("sw"))
+            .unionByName(intra)
+            .groupBy("node")
+            .agg(F.sum("sw").alias("sw"))
+        )
+        canon = _ck_cut_stats(
+            tagged.filter(F.col("_c1") != F.col("_c2"))
+            .select(
+                F.least("_c1", "_c2").alias("_lo"),
+                F.greatest("_c1", "_c2").alias("_hi"),
+                "w",
+            )
+            .groupBy("_lo", "_hi")
+            .agg(F.sum("w").alias("w"))
+        )
+        node_ids = _ck_cut_stats(
+            comm.select(F.col("c").alias("node")).distinct())
+    canonical = mapping.groupBy("cur").agg(F.min("node").alias("community"))
+    return mapping.join(canonical, "cur").select("node", "community")
+
+
+def _refine_connected(canon: DataFrame, comm: DataFrame) -> DataFrame:
+    """Leiden refinement kernel: split every community into the
+    CONNECTED COMPONENTS of its induced subgraph. Edges between two
+    parts of a split community do not exist by definition, so after
+    aggregation the parts are non-adjacent supernodes and can never
+    silently re-fuse — each must independently join a community it
+    actually touches. Returns (node, c) with c = min member id per
+    part (connected_components' canonical label), so refinement of an
+    already-connected partition is a pure relabel-to-min no-op."""
+    lab = comm.select(F.col("node").alias("_n"), F.col("c").alias("_c"))
+    intra = (
+        canon.join(lab.select(F.col("_n").alias("_lo"),
+                              F.col("_c").alias("_c1")), "_lo")
+        .join(lab.select(F.col("_n").alias("_hi"),
+                         F.col("_c").alias("_c2")), "_hi")
+        .filter(F.col("_c1") == F.col("_c2"))
+        .select(F.col("_lo").alias("_src"), F.col("_hi").alias("_dst"))
+    )
+    cc = connected_components(intra, comm.select("node"))
+    return cc.select("node", F.col("comp").alias("c"))
+
+
+def leiden_communities(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_levels: int = 3,
+    max_rounds: int = 20,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(node, community): Louvain with Leiden's connectivity
+    refinement (Traag, Waltman & van Eck 2019, "From Louvain to
+    Leiden") — VERDICT r8 ask #4. Louvain's known defect: when a
+    bridge node moves OUT of its community, the nodes left behind
+    keep the old label even if nothing connects them anymore, so
+    communities can be internally DISCONNECTED (the paper's Fig. 2;
+    planted and pytest-pinned here). Leiden inserts a refinement
+    phase between local moving and aggregation: each community is
+    split into well-connected subcommunities and aggregation runs on
+    the REFINED partition.
+
+    This implementation's refinement is the connectivity kernel
+    (_refine_connected): each community splits into the connected
+    components of its induced subgraph — the exact invariant the
+    paper proves for Leiden (their Theorem: every community is
+    connected) enforced directly, rather than the paper's randomized
+    gamma-well-connectedness merging (deterministic here by design:
+    every stage is a pure function of the graph, like the rest of
+    this module's parallel fixpoints). Inductively every supernode at
+    every level represents a connected set of original nodes —
+    level-N communities are unions of ADJACENT supernodes (local
+    moves only ever adopt a neighboring community's label), so the
+    returned partition always induces connected subgraphs
+    (pytest-pinned invariant).
+
+    Machinery (local-moving core, weighted aggregation with
+    self-loops, bounded-rounds RAISE, per-level lineage cuts) is
+    shared with louvain_communities; refinement adds one
+    intra-community edge filter + one hash-min CC per level.
+    """
+    if max_levels < 1:
+        raise ValueError(f"max_levels must be >= 1, got {max_levels}")
+    from pyspark.sql.types import NumericType
+
+    id_col = nodes.columns[0]
+    canon = _canon_undirected_weighted(edges, weight_col)
+    # id-type-generic: numeric ids canonicalize to long; string ids
+    # (pure-GQL content-hash graphs) stay strings — every stage below
+    # only joins/compares/mins ids, all of which order strings fine
+    _key = (F.col(id_col).cast("long")
+            if isinstance(nodes.schema[id_col].dataType, NumericType)
+            else F.col(id_col))
+    orig = nodes.select(_key.alias("node")).distinct()
+    mapping = orig.select("node", F.col("node").alias("cur")) \
+        .localCheckpoint(eager=False)
+    selfw = orig.select("node", F.lit(0.0).alias("sw")).limit(0)
+    totals = canon.agg(F.sum("w")).collect()[0][0]
+    if totals is None:
+        return orig.select("node", F.col("node").alias("community"))
+    node_ids = orig
+    for _level in range(max_levels):
+        sw_sum = selfw.agg(F.sum("sw")).collect()[0][0] or 0.0
+        w_sum = canon.agg(F.sum("w")).collect()[0][0] or 0.0
+        two_m = float(2 * (w_sum + sw_sum))
+        comm, moved = _modularity_local_moves(
+            canon, selfw, node_ids, two_m, max_rounds,
+            "leiden_communities")
+        if not moved:
+            break
+        # ---- the Leiden step: refine BEFORE aggregating ----
+        comm = _ck_cut_stats(_refine_connected(canon, comm))
+        mapping = _ck_cut_stats(
+            mapping.join(comm.select(F.col("node").alias("cur"),
+                                     F.col("c").alias("_nc")), "cur")
+            .select("node", F.col("_nc").alias("cur"))
+        )
+        lab = comm.select(F.col("node").alias("_n"), F.col("c").alias("_c"))
+        tagged = (
+            canon.join(lab.select(F.col("_n").alias("_lo"),
+                                  F.col("_c").alias("_c1")), "_lo")
+            .join(lab.select(F.col("_n").alias("_hi"),
+                             F.col("_c").alias("_c2")), "_hi")
+        )
+        intra = (
+            tagged.filter(F.col("_c1") == F.col("_c2"))
+            .groupBy(F.col("_c1").alias("node"))
+            .agg(F.sum("w").alias("sw"))
+        )
         selfw = _ck_cut_stats(
             selfw.join(lab.select(F.col("_n").alias("node"),
                                   F.col("_c").alias("_c")), "node")

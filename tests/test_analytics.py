@@ -1049,3 +1049,63 @@ def test_closeness_sampled_p1_equals_exact_and_rel_err_pinned(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="p must be"):
         closeness_sampled(edges, nodes, p=0.0)
+
+
+def test_leiden_splits_louvains_disconnected_community(spark):
+    """The Leiden paper's defect, planted (Fig. 2 shape): bridge node 3
+    holds triangles {4,5,6} and {7,8,9} together just long enough for
+    them to adopt its label, then defects to the heavy pair {1,2} —
+    Louvain leaves {4..9} as ONE community with no internal edge
+    between the triangles (provably disconnected), Leiden's refinement
+    splits it. Also pins the refinement invariant: every Leiden
+    community induces a connected subgraph."""
+    from graphlite_spark.operators.paths import (
+        connected_components,
+        leiden_communities,
+        louvain_communities,
+    )
+
+    edges = [(1, 2, 8.0), (3, 1, 25.0)]
+    for grp in ([4, 5, 6], [7, 8, 9]):
+        for i in range(3):
+            for j in range(i + 1, 3):
+                edges.append((grp[i], grp[j], 1.0))
+        for x in grp:
+            edges.append((3, x, 3.0))
+    e = spark.createDataFrame(edges, "_src long, _dst long, w double")
+    n = spark.createDataFrame([(i,) for i in range(1, 10)], "node long")
+
+    lv = {r.node: r.community
+          for r in louvain_communities(e, n, weight_col="w").collect()}
+    ld = {r.node: r.community
+          for r in leiden_communities(e, n, weight_col="w").collect()}
+    # Louvain: the abandoned community {4..9} keeps one label...
+    assert lv == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4,
+                  7: 4, 8: 4, 9: 4}
+    # ...and is provably disconnected: its induced subgraph has no
+    # edge between {4,5,6} and {7,8,9} (bridge 3 lives elsewhere)
+    bad = [s for s, d, _ in edges
+           if lv.get(s) == 4 and lv.get(d) == 4
+           and ((s <= 6) != (d <= 6))]
+    assert bad == []
+    # Leiden splits it into the two connected triangles
+    assert ld == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4,
+                  7: 7, 8: 7, 9: 7}
+
+    # refinement invariant on the full output: within every Leiden
+    # community, the community's induced subgraph is ONE connected
+    # component
+    from pyspark.sql import functions as F
+
+    lab = spark.createDataFrame(list(ld.items()), "node long, c long")
+    intra = (
+        e.join(lab.withColumnRenamed("node", "_src")
+               .withColumnRenamed("c", "c1"), "_src")
+        .join(lab.withColumnRenamed("node", "_dst")
+              .withColumnRenamed("c", "c2"), "_dst")
+        .filter("c1 = c2").select("_src", "_dst")
+    )
+    cc = connected_components(intra, lab.select("node"))
+    joined = cc.join(lab, "node")
+    n_parts = joined.select("c", "comp").distinct().groupBy("c").count()
+    assert all(r["count"] == 1 for r in n_parts.collect())

@@ -473,6 +473,16 @@ def test_call_truss_and_core_procedures(db):
     # p=q=1 degenerates to the uniform sampler — identical rows
     assert sorted((r.start, r.walk_id, r.step, r.node) for r in n2) \
         == sorted((r.start, r.walk_id, r.step, r.node) for r in rw)
+    # leiden over the same graph (string content-hash ids — the
+    # id-type-generic path): the synchronous-dynamics optimum here is
+    # {3-clique}, {P4, P5} — same split louvain finds on numeric ids
+    # for this topology — and both communities are connected
+    le = db.execute("CALL gql.leiden(2, 30)").collect()
+    assert len(le) == 5
+    comm = {}
+    for r in le:
+        comm.setdefault(r.community, set()).add(r.node)
+    assert sorted(len(v) for v in comm.values()) == [2, 3]
 
 
 def test_truncate_and_clear_graph(db):
