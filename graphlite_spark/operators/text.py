@@ -1294,3 +1294,191 @@ def bm25_search_indexed(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def train_quality_lr(
+    labeled: DataFrame,
+    label_col: str = "lang",
+    pos_label: str = "good",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    orders: tuple[int, ...] = (1,),
+    num_buckets: int | None = None,
+    lr: float = 1.0,
+    num_iter: int = 8,
+    grad_round: int = 8,
+    tol: float | None = None,
+) -> DataFrame:
+    """Train a DISCRIMINATIVE quality classifier — distributed binary
+    logistic regression over word-n-gram count features (VERDICT r8
+    ask #5: the published pipelines — CCNet, LLaMA, RefinedWeb — gate
+    on a linear model over hashed n-gram features, not the generative
+    NB nb_quality_classifier approximates them with).
+
+    Full-batch gradient descent, every piece a deterministic pure
+    function of the corpus so the WHOLE trajectory replays in ANSI
+    SQL (the DSIR discipline):
+
+      p_i     = sigmoid(Σ_f c_if·w_f + b)     (z: one broadcast-join
+                                               + per-doc sum)
+      g_f     = round(Σ_i c_if·(y_i - p_i)/N, grad_round)
+                                              (one groupBy-sum per
+                                               iteration)
+      w_f    += lr·g_f ; b += lr·round(Σ_i (y_i-p_i)/N, grad_round)
+
+    Deterministic init w=0, b=0; exactly ``num_iter`` iterations; the
+    per-iteration gradient ROUNDING (8 dp) is the cross-engine device:
+    it absorbs the ~1e-16 summation-order noise between engines, so
+    weights stay bit-identical across iterations instead of
+    compounding drift. ``num_buckets`` hashes features into a bounded
+    space (xxhash64 mod buckets — the DSIR deployment shape, model
+    size capped for broadcast at any corpus scale; engine-internal,
+    so oracles go rows-only); the default None keeps raw gram
+    features and the math exactly SQL-replayable.
+
+    ``tol``: when set, RAISES (the kmeans bounded-rounds discipline)
+    if max |gradient| after the final iteration still exceeds it —
+    silent non-convergence never masquerades as a trained model.
+
+    Returns the model frame: (feature, weight) for every corpus
+    feature plus one bias row with feature NULL. Labels: y = 1 iff
+    ``label_col == pos_label``.
+    """
+    from .sampling import _word_ngram_features
+
+    if num_iter < 1:
+        raise ValueError(f"num_iter must be >= 1, got {num_iter}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    feats_arr = _word_ngram_features(text_col, tuple(orders))
+    gexpr = F.col("_g")
+    if num_buckets is not None:
+        if num_buckets < 2:
+            raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+        gexpr = F.pmod(F.xxhash64(F.col("_g")),
+                       F.lit(int(num_buckets))).cast("string")
+    docs = labeled.select(
+        F.col(id_col).alias("_id"),
+        (F.col(label_col) == F.lit(pos_label)).cast("double").alias("_y"),
+        feats_arr.alias("_gs"),
+    )
+    feats = (
+        docs.select("_id", F.explode("_gs").alias("_g"))
+        .select("_id", gexpr.alias("_f"))
+        .groupBy("_id", "_f").agg(F.count(F.lit(1))
+                                  .cast("double").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    ys = docs.select("_id", "_y").localCheckpoint(eager=False)
+    n_docs = float(ys.count())
+    if n_docs == 0:
+        raise ValueError("train_quality_lr: empty training frame")
+    wdf = feats.select("_f").distinct() \
+        .select("_f", F.lit(0.0).alias("_w")) \
+        .localCheckpoint(eager=True)
+    bias = 0.0
+    max_grad = float("inf")
+    for _ in range(num_iter):
+        z = (
+            feats.join(F.broadcast(wdf), "_f")
+            .groupBy("_id")
+            .agg(F.sum(F.col("_c") * F.col("_w")).alias("_z"))
+        )
+        resid = (
+            ys.join(z, "_id", "left")
+            .select(
+                "_id",
+                (F.col("_y")
+                 - F.lit(1.0)
+                 / (F.lit(1.0)
+                    + F.exp(-(F.coalesce("_z", F.lit(0.0))
+                              + F.lit(bias))))).alias("_r"),
+            )
+        )
+        grad = (
+            feats.join(resid, "_id")
+            .groupBy("_f")
+            .agg(F.round(F.sum(F.col("_c") * F.col("_r"))
+                         / F.lit(n_docs), grad_round).alias("_g"))
+        )
+        wdf = (
+            wdf.join(grad, "_f")
+            .select("_f", (F.col("_w")
+                           + F.lit(lr) * F.col("_g")).alias("_w"),
+                    "_g")
+        ).localCheckpoint(eager=True)
+        stats = wdf.agg(F.max(F.abs("_g")).alias("mg")).collect()[0]
+        bg_row = resid.agg(
+            F.round(F.sum("_r") / F.lit(n_docs), grad_round).alias("bg")
+        ).collect()[0]
+        bias += lr * float(bg_row["bg"])
+        max_grad = max(float(stats["mg"] or 0.0), abs(float(bg_row["bg"])))
+        wdf = wdf.select("_f", "_w")
+    if tol is not None and max_grad > tol:
+        raise RuntimeError(
+            f"train_quality_lr: max |gradient| {max_grad} > tol={tol} "
+            f"after num_iter={num_iter}; raise num_iter or lr")
+    spark = labeled.sparkSession
+    bias_row = spark.createDataFrame([(None, float(bias))],
+                                     "feature string, weight double")
+    return wdf.select(F.col("_f").alias("feature"),
+                      F.col("_w").alias("weight")) \
+        .unionByName(bias_row)
+
+
+def lr_quality_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    orders: tuple[int, ...] = (1,),
+    num_buckets: int | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Score a corpus with a trained (or injected-literal)
+    train_quality_lr model: (id, score, quality_pass) with score =
+    round(Σ_f c_f·w_f + bias, 4) — the log-odds margin — and
+    quality_pass = score > threshold. ``orders``/``num_buckets`` must
+    match the training call (raw-gram models join on the gram string;
+    hashed models on the bucket).
+
+    Scale shape: the model frame is broadcast (num_buckets caps it at
+    any corpus size); the corpus is read once — explode, broadcast
+    join, one per-doc sum. Docs whose features all miss the model
+    still score (left join, missing weights contribute 0); docs
+    absent from the explode cannot exist (the tokenizer emits [''] on
+    empty text, matching the SQL twin).
+    """
+    from .sampling import _word_ngram_features
+
+    feats_arr = _word_ngram_features(text_col, tuple(orders))
+    gexpr = F.col("_g")
+    if num_buckets is not None:
+        gexpr = F.pmod(F.xxhash64(F.col("_g")),
+                       F.lit(int(num_buckets))).cast("string")
+    bias = model.filter(F.col("feature").isNull()) \
+        .select(F.col("weight").alias("_b"))
+    w = model.filter(F.col("feature").isNotNull()) \
+        .select(F.col("feature").alias("_f"), F.col("weight").alias("_w"))
+    feats = (
+        df.select(F.col(id_col), F.explode(feats_arr).alias("_g"))
+        .select(F.col(id_col), gexpr.alias("_f"))
+    )
+    z = (
+        feats.join(F.broadcast(w), "_f", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce("_w", F.lit(0.0))).alias("_z"))
+    )
+    out = (
+        df.select(id_col).distinct()
+        .join(z, id_col, "left")
+        .crossJoin(F.broadcast(bias))
+        .select(
+            F.col(id_col),
+            F.round(F.coalesce("_z", F.lit(0.0)) + F.col("_b"), 4)
+            .alias("score"),
+        )
+    )
+    return out.select(id_col, "score",
+                      (F.col("score") > F.lit(threshold))
+                      .alias("quality_pass"))
