@@ -1637,6 +1637,39 @@ def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "coverage")
 
 
+def _q_lang_id_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_id re-gated on the WIDER corpus (VERDICT r8 ask #6): the
+    13-language synth_multilingual inventory — Latin scripts sharing
+    an alphabet, Cyrillic ru, non-space-delimited ja/zh, the es/pt
+    confusable pair — trained on one shard, scored on a held-out
+    shard whose size scales with the supplier table, plus 26 planted
+    out-of-set noise docs. Closed form: per-language accuracy is
+    exactly 1.0 on this corpus (pytest pins the >= 0.99 floors per
+    language on bigger shards), so lang_guess = langs[doc_id % 13]
+    and noise -> 'und'."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import (lang_id,
+                                                lang_ngram_model,
+                                                synth_multilingual)
+
+    train = synth_multilingual(spark, 1300, words_per_doc=40, salt=1)
+    model = lang_ngram_model(train)
+    cnt = _table(spark, sf_dir, "supplier").count()
+    n = min(max(2 * cnt, 130), 650)
+    test = synth_multilingual(spark, n, words_per_doc=30, salt=999) \
+        .select("doc_id", "text")
+    noise = spark.range(26).selectExpr(
+        "id + 1000000 AS doc_id",
+        "array_join(transform(sequence(0, 19), j -> element_at("
+        "array('xqz', 'wvk', 'zzt', 'qqj', 'kxw'), "
+        "CAST(((id*20 + j) * 2654435761) % 4294967296 % 5 AS INT) + 1)),"
+        " ' ') AS text")
+    out = lang_id(test.unionByName(noise), model=model)
+    return out.select(F.col("doc_id").cast("long"), "lang_guess") \
+        .orderBy("doc_id")
+
+
 def _q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter (CCNet/LLaMA recipe) on the
     disjoint-alphabet device: 'good' trained on the a-f cycle, 'bad'
@@ -4977,6 +5010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kmeans_planted": _q_kmeans_planted,
             "cluster_balanced_sample": _q_cluster_balanced_sample,
             "lang_id_ngram": _q_lang_id_ngram,
+            "lang_id_wide": _q_lang_id_wide,
             "nb_quality_classifier": _q_nb_quality_classifier,
             "lr_quality_trained": _q_lr_quality_trained,
             "semantic_dedup_band_audit": _q_semantic_dedup_band_audit,
@@ -8306,6 +8340,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE s_suppkey < least((SELECT count(*) FROM supplier), 240)
         """,
         "lr_quality_trained": _lr_trained_oracle_sql(num_iter=3),
+        "lang_id_wide": """
+            -- closed form on the 13-language synth corpus: accuracy
+            -- is exactly 1.0 (floors pytest-pinned), so the guess is
+            -- the planted language; planted noise docs -> 'und'
+            WITH c AS (
+                SELECT least(greatest(2 * count(*), 130), 650) AS n
+                FROM supplier
+            )
+            SELECT CAST(r.range AS BIGINT) AS doc_id,
+                   (['en','de','fr','es','it','pt','nl','sv','pl',
+                     'tr','ru','ja','zh'])[CAST(r.range % 13 AS INT) + 1]
+                       AS lang_guess
+            FROM range(0, 650) r, c WHERE r.range < c.n
+            UNION ALL
+            SELECT CAST(1000000 + r.range AS BIGINT), 'und'
+            FROM range(0, 26) r
+            ORDER BY 1
+        """,
         "lang_id_ngram": """
             -- disjoint-alphabet planted languages: in-set docs are
             -- classified with coverage 1.0, out-of-set (k%4=3) and

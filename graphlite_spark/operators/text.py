@@ -385,7 +385,42 @@ _SYNTH_LANG_WORDS = {
            "foi", "ser", "tem", "seu", "sua", "quando", "muito", "nos",
            "depois", "mesmo", "sem", "ainda", "entre", "grande", "bem",
            "pelo", "anos"],
+    # r9 breadth (VERDICT r8 ask #6): 13 languages incl. a Cyrillic
+    # script, two non-space-delimited CJK scripts, and the es/pt
+    # confusable pair above
+    "nl": ["de", "het", "een", "van", "dat", "niet", "zijn", "met",
+           "voor", "maar", "ook", "als", "dan", "nog", "wordt", "naar",
+           "door", "over", "bij", "uit", "worden", "deze", "veel",
+           "onze", "tegen"],
+    "sv": ["och", "att", "det", "som", "en", "av", "för", "på", "är",
+           "med", "den", "till", "inte", "har", "om", "ett", "men",
+           "sig", "kan", "också", "efter", "eller", "vid", "mycket",
+           "genom"],
+    "pl": ["nie", "się", "jest", "na", "do", "że", "jak", "ale", "po",
+           "co", "tak", "jego", "przez", "tylko", "być", "która",
+           "bardzo", "już", "może", "przy", "czy", "które", "ich",
+           "będzie", "oraz"],
+    "tr": ["bir", "ve", "bu", "için", "ile", "olarak", "daha", "çok",
+           "gibi", "ancak", "sonra", "kadar", "olan", "her", "ama",
+           "değil", "ise", "bütün", "üzerine", "aynı", "hem", "göre",
+           "yeni", "zaman", "kendi"],
+    "ru": ["что", "это", "как", "его", "она", "так", "был", "все",
+           "они", "только", "меня", "было", "когда", "даже", "уже",
+           "если", "или", "себя", "ничего", "может", "этот", "чтобы",
+           "здесь", "потом", "очень"],
+    "ja": ["これ", "それ", "です", "ます", "した", "いる", "ある",
+           "こと", "もの", "ため", "よう", "から", "まで", "など",
+           "について", "という", "されて", "している", "ていた",
+           "になる", "による", "として", "たち", "ながら", "けれど"],
+    "zh": ["的", "是", "了", "在", "有", "我们", "他们", "这个",
+           "可以", "没有", "自己", "什么", "时候", "知道", "现在",
+           "因为", "所以", "但是", "如果", "就是", "还是", "已经",
+           "一个", "问题", "工作"],
 }
+
+# non-space-delimited scripts: synth docs concatenate WITHOUT spaces
+# (the real-world CJK tokenizer trap char n-grams sidestep)
+_SYNTH_NOSPACE = {"ja", "zh"}
 
 
 def synth_multilingual(spark, n_docs: int, words_per_doc: int = 30,
@@ -396,10 +431,12 @@ def synth_multilingual(spark, n_docs: int, words_per_doc: int = 30,
     ``words_per_doc`` words drawn from that language's common-word
     inventory by the Knuth multiplicative hash
     ((i * W + j + salt) * 2654435761) mod 2^32 (no RNG state; the
-    synth_html discipline). The inventories deliberately share an
-    alphabet, so the trained model must discriminate on gram
-    STATISTICS. Built as one SQL expression over spark.range — no
-    driver-side corpus."""
+    synth_html discipline). The Latin-script inventories deliberately
+    share an alphabet, so the trained model must discriminate on gram
+    STATISTICS; _SYNTH_NOSPACE languages (CJK) concatenate WITHOUT
+    spaces — the non-space-delimited regime a word tokenizer can't
+    handle but char n-grams can. Built as one SQL expression over
+    spark.range — no driver-side corpus."""
     inv = {k: _SYNTH_LANG_WORDS[k] for k in langs}
     lang_arms = " ".join(
         f"WHEN {i} THEN '{k}'" for i, k in enumerate(langs))
@@ -410,6 +447,9 @@ def synth_multilingual(spark, n_docs: int, words_per_doc: int = 30,
             k=k, ws=", ".join(f"'{w}'" for w in ws),
             W=words_per_doc, salt=salt, n=len(ws))
         for k, ws in inv.items())
+    nospace = [k for k in langs if k in _SYNTH_NOSPACE]
+    sep = ("CASE WHEN lang IN ({}) THEN '' ELSE ' ' END".format(
+        ", ".join(f"'{k}'" for k in nospace)) if nospace else "' '")
     return spark.range(n_docs).selectExpr(
         "id AS doc_id",
         f"CASE CAST(id % {len(langs)} AS INT) {lang_arms} END AS lang",
@@ -417,7 +457,7 @@ def synth_multilingual(spark, n_docs: int, words_per_doc: int = 30,
         "doc_id",
         "lang",
         f"array_join(transform(sequence(0, {words_per_doc - 1}), "
-        f"j -> CASE lang {word_arms} END), ' ') AS text",
+        f"j -> CASE lang {word_arms} END), {sep}) AS text",
     )
 
 

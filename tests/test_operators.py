@@ -1568,7 +1568,8 @@ def test_lang_id_ngram_model(spark):
     train = synth_multilingual(spark, 600, words_per_doc=40, salt=1)
     model = lang_ngram_model(train)
     langs = {r.lang for r in model.select("lang").distinct().collect()}
-    assert langs == {"en", "de", "fr", "es", "it", "pt"}
+    assert langs == {"en", "de", "fr", "es", "it", "pt", "nl", "sv",
+                     "pl", "tr", "ru", "ja", "zh"}
 
     def acc(test):
         j = lang_id(test.select("doc_id", "text"), model=model).join(
@@ -3001,3 +3002,71 @@ def test_train_quality_lr_replica_separation_and_raise(spark):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="tol"):
         train_quality_lr(tr, num_iter=1, lr=0.1, tol=1e-9)
+
+
+def test_lang_id_breadth_per_language_floors_and_und_sweep(spark):
+    """lang_id breadth (VERDICT r8 ask #6): 13 languages including
+    Cyrillic (ru), two non-space-delimited CJK scripts (ja, zh — the
+    word-tokenizer trap char trigrams sidestep), and the es/pt
+    confusable pair. Per-language accuracy floors pinned on held-out
+    shards; an und-threshold sweep shows the coverage gate's monotone
+    effect: raising min_coverage never hurts the noise rejection rate
+    and in-set accuracy survives every swept threshold."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import (
+        lang_id,
+        lang_ngram_model,
+        synth_multilingual,
+    )
+
+    train = synth_multilingual(spark, 1300, words_per_doc=40, salt=1)
+    model = lang_ngram_model(train)
+    test = synth_multilingual(spark, 650, words_per_doc=30, salt=999)
+
+    j = lang_id(test.select("doc_id", "text"), model=model).join(
+        test.select("doc_id", F.col("lang").alias("truth")), "doc_id")
+    per = {r.truth: r.acc for r in j.groupBy("truth").agg(
+        F.avg((F.col("lang_guess") == F.col("truth")).cast("double"))
+        .alias("acc")).collect()}
+    assert set(per) == {"en", "de", "fr", "es", "it", "pt", "nl", "sv",
+                        "pl", "tr", "ru", "ja", "zh"}
+    for lang, acc in per.items():
+        assert acc >= 0.99, (lang, acc)
+    # the confusable pair and the non-space scripts explicitly
+    assert per["es"] >= 0.95 and per["pt"] >= 0.95
+    assert per["ja"] >= 0.99 and per["zh"] >= 0.99
+
+    # CJK docs really are space-free (the tokenizer-trap regime)
+    cjk = test.filter(F.col("lang").isin("ja", "zh")) \
+        .filter(F.col("text").contains(" ")).count()
+    assert cjk == 0
+
+    # und-threshold sweep: out-of-set consonant noise + in-set docs
+    oos = spark.range(50).selectExpr(
+        "id + 1000000 as doc_id",
+        "array_join(transform(sequence(0, 19), j -> element_at("
+        "array('xqz', 'wvk', 'zzt', 'qqj', 'kxw'), "
+        "CAST(((id*20 + j) * 2654435761) % 4294967296 % 5 AS INT) + 1)), "
+        "' ') as text")
+    prev_rate = -1.0
+    for mc in (0.0, 0.1, 0.2, 0.4):
+        und_rate = lang_id(oos, model=model, min_coverage=mc).agg(
+            F.avg((F.col("lang_guess") == "und").cast("double"))
+        ).collect()[0][0]
+        assert und_rate >= prev_rate       # monotone in the threshold
+        prev_rate = und_rate
+        acc_in = lang_id(test.select("doc_id", "text"), model=model,
+                         min_coverage=mc).join(
+            test.select("doc_id", F.col("lang").alias("truth")),
+            "doc_id").agg(
+            F.avg((F.col("lang_guess") == F.col("truth"))
+                  .cast("double"))).collect()[0][0]
+        assert acc_in >= 0.99, (mc, acc_in)
+    assert prev_rate == 1.0                # fully rejected by 0.4
+    # and the gate actually bites: with no threshold the noise is
+    # NOT rejected (it picks some in-set language)
+    loose = lang_id(oos, model=model, min_coverage=0.0).agg(
+        F.avg((F.col("lang_guess") == "und").cast("double"))
+    ).collect()[0][0]
+    assert loose < 0.5
