@@ -8743,7 +8743,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM e WHERE event_type <> 'purchase'
         ), j AS (
             SELECT c.event_id, c.user_id, c.ts AS conv_ts,
-                   t.event_id AS tid, t.event_type AS ttp,
+                   t.event_id AS tid, t.event_type AS ttp, t.ep AS tep,
                    CAST(c.ep - t.ep AS BIGINT) AS secs,
                    row_number() OVER (PARTITION BY c.event_id
                        ORDER BY t.ep DESC, t.event_id DESC) AS rk
@@ -8752,11 +8752,13 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, conv_ts,
                tid AS touch_event_id, ttp AS touch_type,
+               make_timestamp(tep * 1000000) AS touch_ts,
                secs AS seconds_to_convert
         FROM j WHERE rk = 1
         UNION ALL
         SELECT c.event_id, c.user_id, c.ts AS conv_ts,
                NULL AS touch_event_id, NULL AS touch_type,
+               CAST(NULL AS TIMESTAMP) AS touch_ts,
                NULL AS seconds_to_convert
         FROM conv c
         WHERE NOT EXISTS (SELECT 1 FROM t

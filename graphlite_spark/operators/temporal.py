@@ -575,5 +575,9 @@ def attribution(
         F.col(ts_col).alias("conv_ts"),
         F.col("_touch.id").alias("touch_event_id"),
         F.col("_touch.tp").alias("touch_type"),
+        # the touch's floored-second epoch back as a timestamp (the
+        # window math runs on floored epochs, so this is the touch
+        # instant at the operator's own resolution)
+        F.col("_touch.ep").cast("timestamp").alias("touch_ts"),
         (F.col("_ep") - F.col("_touch.ep")).alias("seconds_to_convert"),
     )

@@ -674,26 +674,35 @@ def streaming_attribution(
     id_col: str = "event_id",
 ) -> DataFrame:
     """Real-time conversion attribution: one credit row PER CONVERSION
-    emitted as it arrives, from a per-user state machine holding just
-    the first and last touch seen (two (epoch, id, type) triples — a
-    few dozen bytes, never history-sized).
+    emitted as it arrives, from a per-user state machine holding the
+    first and last touch seen (two (epoch, id, type) triples) plus —
+    only for mode='first' with a window — the BOUNDED set of touches
+    still inside the trailing window (entries older than
+    newest_epoch - within_seconds are pruned every batch, so state is
+    window-span-sized, never history-sized).
 
     Semantics match ``operators.temporal.attribution`` exactly when
     events arrive in timestamp order or in one batch (stream==batch
-    pytest): each micro-batch replays its rows in (floored-second
-    epoch, id) order, processing each epoch GROUP as conversions-first
-    — so a conversion is credited only from STRICTLY-earlier-epoch
-    touches, with same-epoch touch ties broken by id, exactly the
-    batch operator's struct-extremum rule. Arrival caveat (the
+    pytest, incl. mode='first' + within_seconds): each micro-batch
+    replays its rows in (floored-second epoch, id) order, processing
+    each epoch GROUP as conversions-first — so a conversion is
+    credited only from STRICTLY-earlier-epoch touches, with
+    same-epoch touch ties broken by id, exactly the batch operator's
+    struct-extremum rule; windowed 'first' credits the earliest touch
+    INSIDE the conversion's trailing window (the batch RANGE frame),
+    not the expired global first. Arrival caveat (the
     streaming_funnel discipline): a LATE-arriving touch updates state
     for future conversions only — already-emitted credits are
     append-only; for mode='last' a late old touch is absorbed by the
     (epoch, id) max and never regresses state. Organic conversions
-    emit NULL touches. Batch input routes to attribution() verbatim.
+    emit NULL touches. Output columns carry the CALLER'S
+    ``user_col``/``id_col`` names and dtypes, so stream and batch
+    schemas agree for any column mapping. Batch input routes to
+    attribution() verbatim.
     """
     import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import ArrayType, TimestampType
 
     from ..operators.temporal import attribution
 
@@ -713,38 +722,50 @@ def streaming_attribution(
     if keep is not None:
         slim = slim.where(F.col(type_col).isin(keep)
                           | (F.col(type_col) == conversion_type))
+    user_t = events.schema[user_col].dataType
+    id_t = events.schema[id_col].dataType
     slim = slim.select(
-        F.col(user_col).cast("long").alias("user_id"),
-        F.col(id_col).cast("long").alias("event_id"),
+        F.col(user_col).alias("_user"),
+        F.col(id_col).alias("_eid"),
         F.unix_timestamp(F.col(ts_col).cast("timestamp")).alias("_ep"),
-        F.col(ts_col).cast("timestamp").alias("ts"),
-        F.col(type_col).alias("event_type"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(type_col).alias("_et"),
     )
     out_schema = StructType([
-        StructField("event_id", LongType(), False),
-        StructField("user_id", LongType(), False),
+        StructField(id_col, id_t, False),
+        StructField(user_col, user_t, False),
         StructField("conv_ts", TimestampType(), False),
-        StructField("touch_event_id", LongType(), True),
+        StructField("touch_event_id", id_t, True),
         StructField("touch_type", StringType(), True),
+        StructField("touch_ts", TimestampType(), True),
         StructField("seconds_to_convert", LongType(), True),
     ])
     state_schema = StructType([
-        StructField("f_ep", LongType()), StructField("f_id", LongType()),
+        StructField("f_ep", LongType()), StructField("f_id", id_t),
         StructField("f_tp", StringType()),
-        StructField("l_ep", LongType()), StructField("l_id", LongType()),
+        StructField("l_ep", LongType()), StructField("l_id", id_t),
         StructField("l_tp", StringType()),
+        # windowed-'first' deque: touches still inside the trailing
+        # window, parallel arrays (epoch, id, type)
+        StructField("q_ep", ArrayType(LongType())),
+        StructField("q_id", ArrayType(id_t)),
+        StructField("q_tp", ArrayType(StringType())),
     ])
+    windowed_first = mode == "first" and within_seconds is not None
 
     def update(key_, pdfs: Iterator, state: GroupState) -> Iterator:
         if state.exists:
-            f_ep, f_id, f_tp, l_ep, l_id, l_tp = state.get
+            (f_ep, f_id, f_tp, l_ep, l_id, l_tp,
+             q_ep, q_id, q_tp) = state.get
+            q = list(zip(q_ep or [], q_id or [], q_tp or []))
         else:
             f_ep = f_id = f_tp = l_ep = l_id = l_tp = None
+            q = []
         rows = []
         for pdf in pdfs:
-            for eid, ep, ts, et in zip(pdf["event_id"], pdf["_ep"],
-                                       pdf["ts"], pdf["event_type"]):
-                rows.append((int(ep), int(eid), ts, et))
+            for eid, ep, ts, et in zip(pdf["_eid"], pdf["_ep"],
+                                       pdf["_ts"], pdf["_et"]):
+                rows.append((int(ep), eid, ts, et))
         rows.sort(key=lambda r: (r[0], r[1]))
         out = []
         i = 0
@@ -758,16 +779,24 @@ def streaming_attribution(
             for gep, gid, gts, get_ in group:
                 if get_ != conversion_type:
                     continue
-                if mode == "last":
+                if windowed_first:
+                    # earliest touch INSIDE the batch RANGE frame
+                    # [gep - within_seconds, gep - 1]
+                    cand = [t for t in q
+                            if gep - within_seconds <= t[0] < gep]
+                    t = min(cand) if cand else (None, None, None)
+                elif mode == "last":
                     t = (l_ep, l_id, l_tp)
                 else:
                     t = (f_ep, f_id, f_tp)
                 if (t[0] is None
                         or (within_seconds is not None
                             and gep - t[0] > within_seconds)):
-                    out.append((gid, gts, None, None, None))
+                    out.append((gid, gts, None, None, None, None))
                 else:
-                    out.append((gid, gts, t[1], t[2], gep - t[0]))
+                    out.append((gid, gts, t[1], t[2],
+                                pd.Timestamp(t[0], unit="s"),
+                                gep - t[0]))
             # then this epoch's touches enter state (id-ascending:
             # the last same-epoch touch by id wins the 'last' slot)
             for gep, gid, gts, get_ in group:
@@ -779,20 +808,30 @@ def streaming_attribution(
                     f_ep, f_id, f_tp = gep, gid, get_
                 if l_ep is None or (gep, gid) > (l_ep, l_id):
                     l_ep, l_id, l_tp = gep, gid, get_
+                if windowed_first:
+                    q.append((gep, gid, get_))
             i = j
-        state.update((f_ep, f_id, f_tp, l_ep, l_id, l_tp))
+        if windowed_first and rows:
+            # prune: anything older than newest_epoch - within_seconds
+            # can never sit inside a FUTURE in-order conversion's frame
+            horizon = rows[-1][0] - within_seconds
+            q = [t for t in q if t[0] >= horizon]
+        state.update((f_ep, f_id, f_tp, l_ep, l_id, l_tp,
+                      [t[0] for t in q], [t[1] for t in q],
+                      [t[2] for t in q]))
         if not out:
             return
         yield pd.DataFrame({
-            "event_id": [r[0] for r in out],
-            "user_id": [int(key_[0])] * len(out),
+            id_col: [r[0] for r in out],
+            user_col: [key_[0]] * len(out),
             "conv_ts": [r[1] for r in out],
             "touch_event_id": [r[2] for r in out],
             "touch_type": [r[3] for r in out],
-            "seconds_to_convert": [r[4] for r in out],
+            "touch_ts": [r[4] for r in out],
+            "seconds_to_convert": [r[5] for r in out],
         })
 
-    return slim.groupBy("user_id").applyInPandasWithState(
+    return slim.groupBy("_user").applyInPandasWithState(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )

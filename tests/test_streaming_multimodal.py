@@ -2450,22 +2450,63 @@ def test_streaming_attribution_matches_batch(spark, events_stream_dir):
     from graphlite_spark.streaming.windows import run_stream_to_memory
 
     batch = spark.read.parquet(events_stream_dir)
-    for mode, name in (("last", "attr_last_test"),
-                       ("first", "attr_first_test")):
+    for mode, win, name in (("last", None, "attr_last_test"),
+                            ("first", None, "attr_first_test"),
+                            ("last", 3600, "attr_last_win_test"),
+                            # the r8 ADVICE case: windowed 'first'
+                            # must credit the earliest touch INSIDE
+                            # the window, not the expired global first
+                            ("first", 3600, "attr_first_win_test"),
+                            ("first", 60, "attr_first_win60_test")):
         expected = {
-            r.event_id: (r.touch_event_id, r.touch_type,
+            r.event_id: (r.touch_event_id, r.touch_type, r.touch_ts,
                          r.seconds_to_convert)
-            for r in attribution(batch, "purchase", mode=mode).collect()
+            for r in attribution(batch, "purchase", mode=mode,
+                                 within_seconds=win).collect()
         }
         stream = spark.readStream.schema(batch.schema) \
             .parquet(events_stream_dir)
         run_stream_to_memory(
-            streaming_attribution(stream, "purchase", mode=mode),
+            streaming_attribution(stream, "purchase", mode=mode,
+                                  within_seconds=win),
             name, output_mode="append")
-        got = {r.event_id: (r.touch_event_id, r.touch_type,
+        got = {r.event_id: (r.touch_event_id, r.touch_type, r.touch_ts,
                             r.seconds_to_convert)
                for r in spark.table(name).collect()}
-        assert got == expected and len(got) > 20, mode
+        assert got == expected and len(got) > 20, (mode, win)
+        if mode == "first" and win == 3600:
+            # the combination must actually exercise the divergence:
+            # some conversion's credited touch differs from the
+            # GLOBAL first touch (i.e. a global-first-only state
+            # machine would emit the wrong row here)
+            glob = {
+                r.event_id: r.touch_event_id
+                for r in attribution(batch, "purchase",
+                                     mode="first").collect()}
+            assert any(v[0] is not None and glob[k] != v[0]
+                       for k, v in expected.items()), (mode, win)
+
+    # custom user/id column names + dtypes survive the stream path
+    # (r8 ADVICE: stream and batch schemas must agree)
+    renamed = batch.selectExpr("user_id AS uid", "event_id AS eid",
+                               "ts", "event_type")
+    exp2 = attribution(renamed, "purchase", user_col="uid",
+                       id_col="eid")
+    stream2 = spark.readStream.schema(batch.schema) \
+        .parquet(events_stream_dir) \
+        .selectExpr("user_id AS uid", "event_id AS eid", "ts",
+                    "event_type")
+    s2 = streaming_attribution(stream2, "purchase", user_col="uid",
+                               id_col="eid")
+    assert s2.columns == exp2.columns
+    assert dict(s2.dtypes)["uid"] == dict(exp2.dtypes)["uid"]
+    assert dict(s2.dtypes)["eid"] == dict(exp2.dtypes)["eid"]
+    run_stream_to_memory(s2, "attr_renamed_test", output_mode="append")
+    got2 = {r.eid: (r.touch_event_id, r.seconds_to_convert)
+            for r in spark.table("attr_renamed_test").collect()}
+    exp2d = {r.eid: (r.touch_event_id, r.seconds_to_convert)
+             for r in exp2.collect()}
+    assert got2 == exp2d
 
 
 def test_streaming_attribution_state_across_batches(spark, tmp_path):
