@@ -174,12 +174,18 @@ def table_profile(
     entries oracle-match on numeric columns; string distincts are
     pytest-pinned against exact counts).
 
-    At 100 TB: k columns cost one wide scan + k kilobyte shuffles —
-    the profile must never cost more than reading the table once.
+    At 100 TB: k columns cost ONE wide scan + one kilobyte-sized
+    register shuffle — the profile must never cost more than reading
+    the table once. The HLL sketches for ALL columns build in a
+    single pass (r8 ADVICE): each row explodes into k (column, key)
+    pairs map-side, and one grouped register aggregation (map-side
+    combined to <= k * 2^p rows) feeds the estimator — the per-column
+    register math is identical to k separate hll_count_distinct
+    calls, just grouped.
     """
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import IntegralType, NumericType
 
-    from .sketches import hll_count_distinct
+    from .sketches import hll_estimate, hll_sketch
 
     if cols is None:
         cols = df.columns
@@ -194,25 +200,35 @@ def table_profile(
             aggs.append(F.stddev(F.col(c)).alias(f"_sd_{c}"))
     row = df.agg(*aggs).collect()[0]  # O(columns) scalars, one job
     spark = df.sparkSession
-    out = None
-    from pyspark.sql.types import IntegralType
 
+    # one-pass sketch build: explode each row into (column, key)
+    # structs. Only integral keys feed the replayable mix32 directly —
+    # fractional values would be CAST to long (truncate in Spark,
+    # round in other engines: a silent cross-engine mismatch AND a
+    # distinctness collapse), so they fold through xxhash64 like
+    # strings. xxhash64(NULL) is the seed hash, NOT NULL — mask nulls
+    # first or every column with any null over-counts by one.
+    entries = []
+    for c in cols:
+        key = (F.col(c).cast("long")
+               if isinstance(schema[c], IntegralType)
+               else F.when(F.col(c).isNotNull(), F.xxhash64(c)))
+        entries.append(F.struct(F.lit(c).alias("column"),
+                                key.alias("_k")))
+    pairs = (
+        df.select(F.explode(F.array(*entries)).alias("_e"))
+        .select(F.col("_e.column").alias("column"),
+                F.col("_e._k").alias("_k"))
+        .filter(F.col("_k").isNotNull())
+    )
+    ad = hll_estimate(
+        hll_sketch(pairs, "_k", group_cols=("column",), p=p, salt=salt),
+        p, group_cols=("column",),
+    ).select("column", F.col("estimate").alias("approx_distinct"))
+
+    out = None
     for c in cols:
         numeric = isinstance(schema[c], NumericType)
-        # only integral keys feed the replayable mix32 directly —
-        # fractional values would be CAST to long (truncate in Spark,
-        # round in other engines: a silent cross-engine mismatch AND a
-        # distinctness collapse), so they fold through xxhash64 like
-        # strings
-        # xxhash64(NULL) is the seed hash, NOT NULL — mask nulls first
-        # or every column with any null over-counts by one
-        key = (F.col(c) if isinstance(schema[c], IntegralType)
-               else F.when(F.col(c).isNotNull(),
-                           F.xxhash64(c))).alias("_k")
-        nn = df.select(key).filter(F.col("_k").isNotNull())
-        ad = hll_count_distinct(nn, "_k", p=p, salt=salt).select(
-            F.lit(c).alias("column"),
-            F.col("estimate").alias("approx_distinct"))
         n = int(row["_n"])
         nulls = int(row[f"_null_{c}"] or 0)
         stats = spark.createDataFrame(
@@ -229,8 +245,8 @@ def table_profile(
             "min_value string, max_value string, mean double, "
             "stddev double",
         )
-        part = stats.join(ad, "column", "left")
-        out = part if out is None else out.unionByName(part)
+        out = stats if out is None else out.unionByName(stats)
+    out = out.join(F.broadcast(ad), "column", "left")
     return out.select(
         "column", "n_rows", "n_null", "null_rate",
         F.coalesce("approx_distinct", F.lit(0.0)).alias("approx_distinct"),

@@ -2013,11 +2013,25 @@ def pq_topk(
         sub = qv.reshape(mm, -1)
         t = [[float(x) for x in (sub[s] @ c[s].T)] for s in range(mm)]
         tabs.append((r["_qid"], t))
+    # derive the query-id field type from the caller's frame — string
+    # or other non-integral query ids are as legal here as in
+    # cosine_topk (r8 ADVICE)
+    from pyspark.sql.types import (ArrayType, DoubleType, StructField,
+                                   StructType)
+
+    qid_t = queries.schema[query_id_col].dataType
     qt = spark.createDataFrame(
-        tabs, f"{query_id_col} long, _tab array<array<double>>")
+        tabs, StructType([
+            StructField(query_id_col, qid_t, True),
+            StructField("_tab", ArrayType(ArrayType(DoubleType())),
+                        True)]))
+    scored = codes.crossJoin(F.broadcast(qt))
+    if qid_t == items.schema[id_col].dataType:
+        # self-exclusion only makes sense when queries share the
+        # corpus id domain; a cross-type comparison would ANSI-fail
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
     scored = (
-        codes.crossJoin(F.broadcast(qt))
-        .filter(F.col(id_col) != F.col(query_id_col))
+        scored
         .select(
             query_id_col, F.col(id_col).alias("item_id"),
             F.aggregate(
@@ -2111,17 +2125,26 @@ def ivfpq_topk(
         tabs.append((r["_qid"],
                      [[float(x) for x in (sub[s] @ c[s].T)]
                       for s in range(mm)]))
+    from pyspark.sql.types import (ArrayType, DoubleType, StructField,
+                                   StructType)
+
+    qid_t = queries.schema[query_id_col].dataType
     qt = spark.createDataFrame(
-        tabs, "_qid long, _tab array<array<double>>")
+        tabs, StructType([
+            StructField("_qid", qid_t, True),
+            StructField("_tab", ArrayType(ArrayType(DoubleType())),
+                        True)]))
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         _as_double(F.col(vec_col)).alias("_qv"))
     q = q.withColumn("_probes", make_assign(cents, n_probe)(F.col("_qv")))
     q = q.join(qt, "_qid").select(
         "_qid", "_qv", "_tab", F.explode("_probes").alias("_list"))
+    cand = coded.join(q, "_list")
+    if qid_t == items.schema[id_col].dataType:
+        cand = cand.filter(F.col("_iid") != F.col("_qid"))
     cand = (
-        coded.join(q, "_list")
-        .filter(F.col("_iid") != F.col("_qid"))
+        cand
         .select(
             "_qid", "_iid", "_qv",
             F.aggregate(

@@ -3118,3 +3118,36 @@ def test_semantic_dedup_auto_routing(spark, tmp_path):
     assert small == fp
     assert large == i8
     assert small == large
+
+
+def test_pq_topk_string_query_ids(spark):
+    """pq_topk / ivfpq_topk accept non-integral query ids like the
+    rest of the ANN family (r8 ADVICE): string-keyed queries score
+    identically to the same vectors under long ids (modulo the
+    self-exclusion, which only applies when id domains match)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import (ivfpq_topk,
+                                                      pq_topk, train_pq)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = train_pq(emb, m=8, k=16, iters=2)
+    # external queries: ids NOT in the corpus domain either way
+    qlong = emb.filter("vec_id < 3").select(
+        (F.col("vec_id") + 1000000).alias("query_id"), "embedding")
+    qstr = emb.filter("vec_id < 3").select(
+        F.concat(F.lit("q-"), F.col("vec_id")).alias("query_id"),
+        "embedding")
+    long_res = {(r.query_id - 1000000, r.item_id): r.score
+                for r in pq_topk(emb, qlong, cb, k=5).collect()}
+    str_res = {(int(r.query_id[2:]), r.item_id): r.score
+               for r in pq_topk(emb, qstr, cb, k=5).collect()}
+    assert long_res == str_res and len(str_res) == 15
+
+    ilong = {(r.query_id - 1000000, r.item_id): r.score
+             for r in ivfpq_topk(emb, qlong, cb, k=5, n_lists=4,
+                                 n_probe=2).collect()}
+    istr = {(int(r.query_id[2:]), r.item_id): r.score
+            for r in ivfpq_topk(emb, qstr, cb, k=5, n_lists=4,
+                                n_probe=2).collect()}
+    assert ilong == istr and len(istr) == 15
