@@ -1341,6 +1341,34 @@ def _q_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("closeness").alias("harmonic")).orderBy("event_id")
 
 
+def _q_eccentricity_sampled(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Sampled-target eccentricity lower bound over the event chains
+    (the third member of the sampled heavy-BFS family, with
+    betweenness_sampled_audit and harmonic_sampled_audit): targets
+    are the Knuth-hash 25% of events (salt 7), distances truncate at
+    8 hops, ecc_hat(v) = max sampled distance — the oracle replays
+    the sample and the chain closed form (position rn reaches
+    sampled positions rn+1..rn+8 at distance delta)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import eccentricity_sampled
+
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_id").alias("_src"),
+            F.lead("event_id").over(w).alias("_dst"))
+        .filter(F.col("_dst").isNotNull())
+    )
+    nodes = ev.select(F.col("event_id").alias("node"))
+    out = eccentricity_sampled(edges, nodes, p=0.25, salt=7, max_hops=8)
+    return out.select(F.col("node").cast("long").alias("event_id"),
+                      "eccentricity", "n_reachable").orderBy("event_id")
+
+
 def _ring_db(spark: SparkSession, sf_dir: str):
     """Register a cyclic ring graph (one directed ring of nations per
     region, 5-cycles in TPC-H) beside the main graph — the workload the
@@ -5108,6 +5136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "betweenness_chains": _q_betweenness,
             "betweenness_sampled_audit": _q_betweenness_sampled,
             "harmonic_sampled_audit": _q_harmonic_sampled,
+            "eccentricity_sampled_audit": _q_eccentricity_sampled,
             "louvain_bridge_defect": _q_louvain_bridge_defect,
             "leiden_planted_bridge": _q_leiden_planted_bridge,
             "path_mode_trail": _q_path_mode("TRAIL"),
@@ -7546,6 +7575,36 @@ def oracle_sql() -> dict[str, str]:
              AND ((q.event_id + 7) * 2654435761) % 4294967296 < 1073741824
             CROSS JOIN stats st
             GROUP BY v.event_id, st.n_all, st.n_s
+        """,
+        "eccentricity_sampled_audit": """
+            -- sampled-target eccentricity lower bound, sampling
+            -- REPLAYED: position rn's sampled reach is chain
+            -- positions rn+1..rn+8 that pass the Knuth 25% cut
+            -- (salt 7); ecc_hat = max delta, coverage = count
+            WITH pos AS (
+                SELECT event_id, user_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), contrib AS (
+                SELECT v.event_id AS event_id,
+                       max(s.rn - v.rn) AS e,
+                       count(*) AS r
+                FROM pos v
+                JOIN pos s
+                  ON s.user_id = v.user_id
+                 AND s.rn > v.rn
+                 AND s.rn - v.rn <= 8
+                 AND ((s.event_id + 7) * 2654435761) % 4294967296
+                     < 1073741824
+                GROUP BY 1
+            )
+            SELECT p.event_id,
+                   CAST(coalesce(c.e, 0) AS BIGINT) AS eccentricity,
+                   CAST(coalesce(c.r, 0) AS BIGINT) AS n_reachable
+            FROM pos p
+            LEFT JOIN contrib c ON c.event_id = p.event_id
+            ORDER BY 1
         """,
         "louvain_bridge_defect": """
             -- closed form WITH the defect: per user gadget, the pair+

@@ -145,6 +145,16 @@ HEADLINE = [
     # heavy BFS family, tracked where the slow forms were excluded
     "bipartite_rings_chains",         # single-fixpoint parity-CC (r9)
     "harmonic_sampled_audit",         # Eppstein-Wang 25% sample (r9)
+    "eccentricity_sampled_audit",     # sampled ecc lower bound (r9)
+    # round-9 surface (regression watch, the r8 convention)
+    "dedup_index_maintain_batch",     # index maintenance epoch (r9):
+                                      # cold builds the historical
+                                      # index once, warm is one
+                                      # ingest epoch incl. delta write
+    "lr_quality_trained",             # 3-iter distributed LR train
+                                      # + score (r9)
+    "lang_id_wide",                   # 13-language NB incl. CJK (r9)
+    "leiden_planted_bridge",          # refinement fixpoint + CC (r9)
 ]
 
 

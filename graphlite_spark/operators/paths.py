@@ -445,6 +445,69 @@ def closeness_sampled(
     )
 
 
+def eccentricity_sampled(
+    edges: DataFrame,
+    nodes: DataFrame,
+    p: float,
+    salt: int = 0,
+    max_hops: int = 50,
+    directed: bool = True,
+) -> DataFrame:
+    """Sampled-target eccentricity LOWER BOUND for every node — the
+    scale posture of all-sources eccentricity (the closeness_sampled
+    / betweenness_sampled replay family): targets are the Knuth-hash
+    p-fraction of nodes, one reverse multi-source BFS computes
+    d(v, s) for every v, and
+
+        ecc_hat(v) = max_{s in S} d(v, s)  <=  ecc(v)
+
+    — the standard sampled bound (max over a subset can never exceed
+    the max over all targets; pytest-pinned, with p=1.0 reproducing
+    the exact operator on the same truncation bound). No |V|/|S|
+    scaling: a max, unlike a sum, estimates by inclusion, so the
+    bound is exact-from-below and deterministic (oracle replays the
+    sample). Distances truncate at ``max_hops``; nodes reaching no
+    sampled target score 0 with n_reachable 0 (the exact operator's
+    reaching-nothing convention). Returns (node, eccentricity,
+    n_reachable) — n_reachable counts SAMPLED targets reached, a
+    coverage diagnostic, not a scaled estimate."""
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    from pyspark.sql.types import NumericType
+
+    from .sampling import _bucket
+
+    node_col = nodes.columns[0]
+    cut = int(p * 4294967296.0)
+    key = F.col(node_col)
+    if not isinstance(nodes.schema[node_col].dataType, NumericType):
+        key = F.xxhash64(key)
+    sampled = nodes.filter(_bucket(key, salt) < F.lit(cut)) \
+        .select(F.col(node_col).alias("_t"))
+    if sampled.limit(1).count() == 0:
+        raise ValueError(
+            f"eccentricity_sampled: p={p} salt={salt} sampled 0 of "
+            "the node universe; raise p or change salt")
+    rev = edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    d = bfs_distances(rev if directed else edges, sampled,
+                      max_hops=max_hops, directed=directed)
+    per = d.filter(F.col("dist") > 0).groupBy("node").agg(
+        F.max("dist").alias("_e"),
+        F.count(F.lit(1)).alias("_r"),
+    )
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(per, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_e"), F.lit(0)).cast("long")
+            .alias("eccentricity"),
+            F.coalesce(F.col("_r"), F.lit(0)).cast("long")
+            .alias("n_reachable"),
+        )
+    )
+
+
 def _bfs_sigma(
     e: DataFrame,
     sources: DataFrame,

@@ -1109,3 +1109,45 @@ def test_leiden_splits_louvains_disconnected_community(spark):
     joined = cc.join(lab, "node")
     n_parts = joined.select("c", "comp").distinct().groupBy("c").count()
     assert all(r["count"] == 1 for r in n_parts.collect())
+
+
+def test_eccentricity_sampled_bound_and_p1_parity(spark):
+    """eccentricity_sampled: p=1.0 reproduces exact eccentricity at
+    the same truncation bound; p<1 is a LOWER bound everywhere (max
+    by inclusion); empty sample raises."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.datasets.tpch import load_table
+    from graphlite_spark.operators.paths import (eccentricity,
+                                                 eccentricity_sampled)
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(F.col("event_id").alias("_src"),
+                  F.lead("event_id").over(w).alias("_dst"))
+        .filter(F.col("_dst").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    nodes = ev.select(F.col("event_id").alias("node"))
+
+    exact = {r.node: (r.eccentricity, r.n_reachable)
+             for r in eccentricity(edges, nodes, max_hops=8).collect()}
+    full = {r.node: (r.eccentricity, r.n_reachable)
+            for r in eccentricity_sampled(edges, nodes, p=1.0, salt=7,
+                                          max_hops=8).collect()}
+    assert set(full) == set(exact)
+    for n, (e, r) in full.items():
+        assert e == exact[n][0], n
+        assert r + 1 == exact[n][1], n   # self excluded in sampled
+
+    lower = {r.node: r.eccentricity
+             for r in eccentricity_sampled(edges, nodes, p=0.25,
+                                           salt=7, max_hops=8).collect()}
+    assert all(lower[n] <= exact[n][0] for n in lower)
+    assert any(v > 0 for v in lower.values())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="p must be"):
+        eccentricity_sampled(edges, nodes, p=1.5)
