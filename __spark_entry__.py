@@ -1808,7 +1808,7 @@ def _lr_trained_oracle_sql(num_iter: int = 3) -> str:
         f"{parts(_LR_GOOD, 6, 4)} || ' ' || {parts(_LR_SHARED, 2, 2)} "
         "ELSE "
         f"{parts(_LR_BAD, 6, 4)} || ' ' || {parts(_LR_SHARED, 2, 2)} END")
-    pre = f"""
+    return f"""
         WITH cap AS (SELECT least(count(*), 240) AS c FROM supplier),
         kk AS (
             SELECT CAST(s_suppkey AS BIGINT) AS k
@@ -1829,7 +1829,28 @@ def _lr_trained_oracle_sql(num_iter: int = 3) -> str:
             SELECT doc_id, w AS ft, CAST(count(*) AS DOUBLE) AS c
             FROM f0 GROUP BY 1, 2
         ),
-        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d)""" \
+        + _lr_gd_sql_chain(num_iter) + f""",
+        zf AS (
+            SELECT f.doc_id, sum(f.c * w{num_iter}.w) AS z
+            FROM f JOIN w{num_iter} USING (ft) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               round(coalesce(zf.z, 0.0) + b{num_iter}.b, 4) AS score,
+               (round(coalesce(zf.z, 0.0) + b{num_iter}.b, 4) > 0.0)
+                   AS quality_pass
+        FROM d LEFT JOIN zf USING (doc_id) CROSS JOIN b{num_iter}
+        ORDER BY d.doc_id
+    """
+
+
+def _lr_gd_sql_chain(num_iter: int) -> str:
+    """The unrolled gradient-descent CTE chain shared by every
+    trained-LR oracle: given CTEs ``d(doc_id, y, ...)``,
+    ``f(doc_id, ft, c)`` and ``nn(n)``, emits r1..w{T}/b{T} with the
+    engine's exact formulas and per-iteration 8-dp gradient rounding
+    (leading comma included; splice after the nn CTE)."""
+    chain = """,
         r1 AS (SELECT doc_id, y - 0.5 AS r FROM d),
         g1 AS (
             SELECT f.ft, round(sum(f.c * r1.r) / any_value(nn.n), 8) AS g
@@ -1840,9 +1861,8 @@ def _lr_trained_oracle_sql(num_iter: int = 3) -> str:
             SELECT round(sum(r) / any_value(nn.n), 8) AS b
             FROM r1 CROSS JOIN nn
         )"""
-    body = ""
     for t in range(2, num_iter + 1):
-        body += f""",
+        chain += f""",
         z{t} AS (
             SELECT f.doc_id, sum(f.c * w{t - 1}.w) AS z
             FROM f JOIN w{t - 1} USING (ft) GROUP BY 1
@@ -1868,19 +1888,7 @@ def _lr_trained_oracle_sql(num_iter: int = 3) -> str:
                       FROM r{t} CROSS JOIN nn) AS b
             FROM b{t - 1}
         )"""
-    T = num_iter
-    return pre + body + f""",
-        zf AS (
-            SELECT f.doc_id, sum(f.c * w{T}.w) AS z
-            FROM f JOIN w{T} USING (ft) GROUP BY 1
-        )
-        SELECT d.doc_id,
-               round(coalesce(zf.z, 0.0) + b{T}.b, 4) AS score,
-               (round(coalesce(zf.z, 0.0) + b{T}.b, 4) > 0.0)
-                   AS quality_pass
-        FROM d LEFT JOIN zf USING (doc_id) CROSS JOIN b{T}
-        ORDER BY d.doc_id
-    """
+    return chain
 
 
 def _q_kmeans_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2568,6 +2576,62 @@ def _q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("perplexity"), 4).alias("mean_ppl"),
     )
+
+
+def _q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 compound chain: the DISTILLATION shape the published
+    pipelines run (a cheap trained classifier mimicking an expensive
+    rule set — LLaMA's reference classifier, RefinedWeb's judgments):
+    synthetic URLs -> blocklist_filter -> gopher_quality_filters
+    VERDICTS become training labels -> train_quality_lr (3 GD
+    iterations over word counts, the lr_quality_trained machinery) on
+    those labels -> score the whole blocklist-surviving corpus ->
+    per-language report (docs, classifier keeps, label agreement,
+    mean margin). ONE coupled oracle replays blocklist residues, the
+    full gopher rule mirror, the unrolled GD trajectory, and the
+    report — a wrong verdict anywhere shifts the labels, hence the
+    weights, hence every score."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import (gopher_quality_filters,
+                                                lr_quality_score,
+                                                train_quality_lr)
+    from graphlite_spark.operators.web import blocklist_filter
+
+    docs = _table(spark, sf_dir, "documents")
+    urls = docs.selectExpr(
+        "doc_id",
+        "CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN concat('http://www.site',"
+        " CAST(doc_id % 10 AS STRING), '.com/p', CAST(doc_id AS STRING)) "
+        "WHEN 1 THEN concat('https://cdn.bad',"
+        " CAST(doc_id % 5 AS STRING), '.net/x') "
+        "WHEN 2 THEN concat('http://bad',"
+        " CAST(doc_id % 5 AS STRING), '.NET/y?q=', CAST(doc_id AS STRING)) "
+        "ELSE concat('notaurl', CAST(doc_id AS STRING)) END AS url",
+    )
+    blocked = spark.createDataFrame(
+        [("bad0.net",), ("bad3.net",)], "host string")
+    ok = blocklist_filter(urls, blocked).select("doc_id")
+    base = docs.join(ok, "doc_id")
+    flags = gopher_quality_filters(base, min_words=50, min_stop_words=1)
+    labeled = base.join(
+        flags.select("doc_id", "gopher_pass"), "doc_id"
+    ).withColumn(
+        "label", F.when(F.col("gopher_pass"), F.lit("good"))
+        .otherwise(F.lit("bad")))
+    model = train_quality_lr(labeled, label_col="label",
+                             pos_label="good", num_iter=3, lr=1.0)
+    scored = lr_quality_score(labeled, model)
+    rep = scored.join(
+        labeled.select("doc_id", "lang", "gopher_pass"), "doc_id")
+    return rep.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("quality_pass").cast("long")).alias("n_pass"),
+        F.sum((F.col("quality_pass") == F.col("gopher_pass"))
+              .cast("long")).alias("n_agree"),
+        F.round(F.avg("score"), 4).alias("mean_margin"),
+    ).orderBy("lang")
 
 
 _CURATION_VOCAB = (
@@ -5015,6 +5079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_html_roundtrip": _q_extract_html,
             "curation_pipeline_v2": _q_curation_pipeline_v2,
             "curation_pipeline_v3": _q_curation_pipeline_v3,
+            "curation_pipeline_v4": _q_curation_pipeline_v4,
             "streaming_curation_batch": _q_streaming_curation_batch,
             "warc_ingest": _q_warc_ingest,
             "normalize_url": _q_normalize_url,
@@ -9602,6 +9667,92 @@ def oracle_sql() -> dict[str, str]:
                                  THEN (value - bm) / bs END) > 2.0,
                         FALSE) AS is_anomaly
         FROM w
+    """
+    sql["curation_pipeline_v4"] = """
+        -- compound r9 distillation chain: blocklist residues ->
+        -- gopher rule mirror AS LABELS -> unrolled 3-iteration GD ->
+        -- score everything -> per-lang report. Coupled end to end: a
+        -- wrong verdict anywhere shifts labels -> weights -> scores.
+        WITH blk AS (
+            SELECT doc_id, text, lang FROM documents
+            WHERE doc_id % 4 = 0
+               OR (doc_id % 4 IN (1, 2) AND doc_id % 5 NOT IN (0, 3))
+        ), t AS (
+            SELECT doc_id, text, lang,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(text), '\\s+')
+                   END AS ws,
+                   string_split(text, chr(10)) AS lns
+            FROM blk
+        ), m AS (
+            SELECT doc_id, text, lang,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(ws, w -> length(w)))
+                        AS BIGINT) AS sum_wl,
+                   CAST(length(text) - length(replace(text, '#', ''))
+                        AS BIGINT) AS n_hash,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST((length(text)
+                             - length(regexp_replace(text, '\\.\\.\\.',
+                                                     '', 'g'))) / 3
+                            AS BIGINT)
+                   ELSE 0 END AS n_ell,
+                   CAST(greatest(len(lns), 1) AS DOUBLE) AS n_lines,
+                   CAST(len(list_filter(lns, l ->
+                        regexp_matches(trim(l), '^[-*•‣◦]')))
+                        AS BIGINT) AS bullet_lines,
+                   CAST(len(list_filter(lns, l ->
+                        regexp_matches(trim(l), '\\.\\.\\.$')))
+                        AS BIGINT) AS ell_lines,
+                   CAST(len(list_filter(ws, w ->
+                        regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+                        AS alpha_words,
+                   CAST(len(list_distinct(list_filter(ws, w ->
+                        lower(w) IN ('the','be','to','of','and',
+                                     'that','have','with'))))
+                        AS BIGINT) AS stop_hits
+            FROM t
+        ), d AS (
+            SELECT doc_id, text, lang,
+                   CASE WHEN n_words >= 50 AND n_words <= 100000
+                         AND (CAST(sum_wl AS DOUBLE) / n_words) >= 3.0
+                         AND (CAST(sum_wl AS DOUBLE) / n_words) <= 10.0
+                         AND (CAST(n_hash + n_ell AS DOUBLE)
+                              / n_words) <= 0.1
+                         AND CAST(bullet_lines AS DOUBLE)
+                             / n_lines <= 0.9
+                         AND CAST(ell_lines AS DOUBLE) / n_lines <= 0.3
+                         AND (CAST(alpha_words AS DOUBLE)
+                              / n_words) >= 0.8
+                         AND stop_hits >= 1
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM m
+        ), f0 AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS w
+            FROM d
+        ), f AS (
+            SELECT doc_id, w AS ft, CAST(count(*) AS DOUBLE) AS c
+            FROM f0 GROUP BY 1, 2
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d)""" \
+        + _lr_gd_sql_chain(3) + """,
+        zf AS (
+            SELECT f.doc_id, sum(f.c * w3.w) AS z
+            FROM f JOIN w3 USING (ft) GROUP BY 1
+        ), sc AS (
+            SELECT d.doc_id, d.lang, d.y,
+                   round(coalesce(zf.z, 0.0) + b3.b, 4) AS score
+            FROM d LEFT JOIN zf USING (doc_id) CROSS JOIN b3
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN score > 0.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pass,
+               CAST(sum(CASE WHEN (score > 0.0) = (y = 1.0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+               round(avg(score), 4) AS mean_margin
+        FROM sc GROUP BY lang ORDER BY lang
     """
     sql["curation_pipeline_v3"] = """
         -- compound r8 chain: blocklist residues -> full gopher rule

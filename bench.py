@@ -155,6 +155,8 @@ HEADLINE = [
                                       # + score (r9)
     "lang_id_wide",                   # 13-language NB incl. CJK (r9)
     "leiden_planted_bridge",          # refinement fixpoint + CC (r9)
+    "curation_pipeline_v4",           # distillation chain: gopher
+                                      # labels -> LR train -> score (r9)
 ]
 
 
