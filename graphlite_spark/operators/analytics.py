@@ -174,14 +174,13 @@ def table_profile(
     entries oracle-match on numeric columns; string distincts are
     pytest-pinned against exact counts).
 
-    At 100 TB: k columns cost ONE wide scan + one kilobyte-sized
-    register shuffle — the profile must never cost more than reading
-    the table once. The HLL sketches for ALL columns build in a
-    single pass (r8 ADVICE): each row explodes into k (column, key)
-    pairs map-side, and one grouped register aggregation (map-side
-    combined to <= k * 2^p rows) feeds the estimator — the per-column
-    register math is identical to k separate hll_count_distinct
-    calls, just grouped.
+    At 100 TB: k columns cost TWO passes over the table regardless of
+    k — the shared exact-stats reduce (one job, no data shuffle) and
+    ONE sketch pass for ALL columns (r8 ADVICE; was k separate
+    passes): each row explodes into k (column, key) structs map-side,
+    and one grouped register aggregation (map-side combined to
+    <= k * 2^p rows) feeds the estimator — per-column register math
+    identical to k separate hll_count_distinct calls, just grouped.
     """
     from pyspark.sql.types import IntegralType, NumericType
 
