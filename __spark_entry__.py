@@ -1665,6 +1665,22 @@ def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "coverage")
 
 
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture sampling (XLM/mT5 alpha-rebalancing) over
+    the documents table by language, alpha=0.5 (sqrt shares — the
+    correctly-rounded-IEEE path both engines compute identically),
+    weights = n_chars, Knuth-hash selection (salt 11). The oracle
+    replays shares -> sqrt -> normalize -> min-T -> 9-dp rates -> the
+    hash gate, so the SELECTED SET hash-matches."""
+    from graphlite_spark.operators.sampling import temperature_sample
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    out = temperature_sample(docs, "lang", "doc_id", alpha=0.5,
+                             salt=11, weight_col="n_chars")
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
 def _q_lang_id_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lang_id re-gated on the WIDER corpus (VERDICT r8 ask #6): the
     13-language synth_multilingual inventory — Latin scripts sharing
@@ -5104,6 +5120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cluster_balanced_sample": _q_cluster_balanced_sample,
             "lang_id_ngram": _q_lang_id_ngram,
             "lang_id_wide": _q_lang_id_wide,
+            "temperature_sample_langs": _q_temperature_sample,
             "nb_quality_classifier": _q_nb_quality_classifier,
             "lr_quality_trained": _q_lr_quality_trained,
             "semantic_dedup_band_audit": _q_semantic_dedup_band_audit,
@@ -7899,6 +7916,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rates r ON d.lang = r.lang
             WHERE ((d.doc_id + 11) * 2654435761) % 4294967296
                   < r.rate * 4294967296.0
+        """,
+        "temperature_sample_langs": """
+            -- alpha=0.5 temperature rebalancing replayed: natural
+            -- shares -> sqrt (correctly-rounded IEEE both engines) ->
+            -- normalize -> largest-corpus rates rounded to 9 dp ->
+            -- Knuth-hash selection
+            WITH stats AS (
+                SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS w
+                FROM documents GROUP BY 1
+            ), tot AS (SELECT sum(w) AS t FROM stats),
+            q0 AS (
+                SELECT lang, w, sqrt(w / tot.t) AS qraw
+                FROM stats, tot
+            ), s AS (SELECT sum(qraw) AS sq FROM q0),
+            q AS (
+                SELECT lang, w, qraw / s.sq AS q FROM q0, s
+            ), tm AS (SELECT min(w / q) AS T FROM q),
+            rates AS (
+                SELECT lang, round(least(1.0, q * tm.T / w), 9) AS rate
+                FROM q, tm
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN rates r USING (lang)
+            WHERE ((d.doc_id + 11) * 2654435761) % 4294967296
+                  < r.rate * 4294967296.0
+            ORDER BY d.doc_id
         """,
         "lm_bigram_score": """
             WITH lists AS (

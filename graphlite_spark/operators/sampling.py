@@ -475,3 +475,61 @@ def negative_samples(
         query_col, item_col, "neg_rank",
         (fixed + F.lit(item_base)).cast("long").alias("negative"),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: int = 0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based mixture sampling — the multilingual-corpus
+    rebalancing rule the published pretraining recipes use (XLM,
+    Lample & Conneau 2019 §3.1; mT5's alpha sweep): target share
+    q_g ∝ p_g^alpha where p_g is the group's natural share, alpha=1
+    keeps the natural mix, alpha -> 0 approaches uniform. Unlike
+    mixture_sample (explicit targets), the targets here are DERIVED
+    from the corpus itself, then realized the same way: the output is
+    the largest corpus achieving the q mixture without upsampling
+    (T = min_g w_g/q_g; group g keeps rate_g = q_g * T / w_g, the
+    binding group keeps everything), selected by the deterministic
+    Knuth key hash so the sample is reproducible and nested.
+
+    Cross-engine determinism: weights aggregate in their native
+    integer type and cast AFTER the sum; alpha=0.5 (the default, and
+    the common published setting) computes shares^alpha as sqrt —
+    CORRECTLY-ROUNDED IEEE in every engine, unlike pow — and the
+    per-group rate is rounded to 9 dp before the bucket comparison,
+    so the boundary test is engine-exact. One partial-aggregated
+    groupBy (|groups| rows) + broadcast rate join + map-side filter:
+    scan-dominated at any corpus size.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    stats = df.groupBy(group_col).agg(F.sum(w).alias("_ws")) \
+        .select(F.col(group_col), F.col("_ws").cast("double").alias("_w"))
+    tot = stats.agg(F.sum("_w").alias("_tot"))
+    share = F.col("_w") / F.col("_tot")
+    qraw = (F.sqrt(share) if alpha == 0.5
+            else F.pow(share, F.lit(float(alpha))))
+    scored = stats.crossJoin(F.broadcast(tot)) \
+        .select(F.col(group_col), "_w", qraw.alias("_qraw"))
+    norm = scored.agg(F.sum("_qraw").alias("_S"))
+    qed = scored.crossJoin(F.broadcast(norm)).select(
+        F.col(group_col), "_w",
+        (F.col("_qraw") / F.col("_S")).alias("_q"))
+    tmin = qed.select(F.min(F.col("_w") / F.col("_q")).alias("_T"))
+    rates = qed.crossJoin(F.broadcast(tmin)).select(
+        F.col(group_col),
+        F.round(
+            F.least(F.lit(1.0), F.col("_q") * F.col("_T") / F.col("_w")),
+            9,
+        ).alias("_rate"),
+    )
+    out = df.join(F.broadcast(rates), group_col, "inner")
+    return out.filter(
+        _bucket(F.col(key_col), salt) < F.col("_rate") * F.lit(float(_M32))
+    ).drop("_rate")

@@ -3151,3 +3151,43 @@ def test_pq_topk_string_query_ids(spark):
             for r in ivfpq_topk(emb, qstr, cb, k=5, n_lists=4,
                                 n_probe=2).collect()}
     assert ilong == istr and len(istr) == 15
+
+
+def test_temperature_sample_rebalances_and_alpha1_is_identity(spark):
+    """temperature_sample: alpha=1 keeps the natural mix (every rate
+    is exactly 1 -> identity); alpha=0.5 shrinks the max/min group
+    share ratio (rebalancing toward uniform); the binding group keeps
+    every row; selection is deterministic."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sampling import temperature_sample
+
+    rows = ([(i, "big") for i in range(900)]
+            + [(i + 10000, "mid") for i in range(300)]
+            + [(i + 20000, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    ident = temperature_sample(df, "lang", "doc_id", alpha=1.0, salt=3)
+    assert ident.count() == df.count()
+
+    out = temperature_sample(df, "lang", "doc_id", alpha=0.5, salt=3)
+    got = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # the rarest group binds: it keeps everything
+    assert got["small"] == 100
+    # rebalanced: post-sample max/min share ratio strictly shrinks
+    pre_ratio = 900 / 100
+    post_ratio = max(got.values()) / min(got.values())
+    assert post_ratio < pre_ratio
+    # expected shares ~ sqrt: big/small target ratio = 3 (sqrt(9));
+    # realized counts track it within hash noise
+    assert 2.0 < got["big"] / got["small"] <= 3.5
+
+    again = {r.lang: r.n for r in
+             temperature_sample(df, "lang", "doc_id", alpha=0.5, salt=3)
+             .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert again == got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "lang", "doc_id", alpha=0.0)
