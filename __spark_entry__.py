@@ -1665,6 +1665,27 @@ def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "coverage")
 
 
+def _q_semantic_contamination(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination audit: benchmark = embeddings
+    with vec_id < 8 (broadcast), corpus = the whole table; every
+    corpus row reports its max benchmark cosine, the nearest
+    benchmark id (ties to the smallest id), and the 6-dp-rounded
+    threshold verdict at 0.5. Benchmark members themselves score 1.0
+    — correctly contaminated. The oracle recomputes every cosine with
+    list_cosine_similarity (the cosine_topk convention)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 8)
+    out = semantic_contamination(emb, bench, threshold=0.5)
+    return out.orderBy("vec_id")
+
+
 def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture sampling (XLM/mT5 alpha-rebalancing) over
     the documents table by language, alpha=0.5 (sqrt shares — the
@@ -5121,6 +5142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang_id_ngram": _q_lang_id_ngram,
             "lang_id_wide": _q_lang_id_wide,
             "temperature_sample_langs": _q_temperature_sample,
+            "semantic_contamination_audit": _q_semantic_contamination,
             "nb_quality_classifier": _q_nb_quality_classifier,
             "lr_quality_trained": _q_lr_quality_trained,
             "semantic_dedup_band_audit": _q_semantic_dedup_band_audit,
@@ -7916,6 +7938,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rates r ON d.lang = r.lang
             WHERE ((d.doc_id + 11) * 2654435761) % 4294967296
                   < r.rate * 4294967296.0
+        """,
+        "semantic_contamination_audit": """
+            -- every corpus row's max benchmark cosine + nearest
+            -- benchmark id (ties to smallest) + 6-dp threshold verdict
+            WITH b AS (
+                SELECT vec_id AS bid, embedding FROM embeddings
+                WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, b.bid,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) AS s
+                FROM embeddings e, b
+            ), best AS (
+                SELECT vec_id, s AS mx, bid
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY s DESC, bid) AS rk
+                    FROM scored
+                ) WHERE rk = 1
+            )
+            SELECT vec_id, round(mx, 6) AS max_cos,
+                   bid AS nearest_bench_id,
+                   (round(mx, 6) >= 0.5) AS contaminated
+            FROM best ORDER BY vec_id
         """,
         "temperature_sample_langs": """
             -- alpha=0.5 temperature rebalancing replayed: natural

@@ -2175,3 +2175,63 @@ def ivfpq_topk(
             .select(F.col("_qid").alias(query_id_col),
                     F.col("_iid").alias("item_id"),
                     F.round("_s", 6).alias("score")))
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    mode: str = "flag",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag (or drop)
+    corpus items whose embedding is cosine-similar to ANY benchmark
+    item at >= ``threshold``. Text-level decontamination
+    (ngram_contamination) misses paraphrased or translated benchmark
+    leakage; this is its semantic sibling — the same reason SemDeDup
+    complements MinHash.
+
+    mode='flag' returns every corpus row as (id, max_cos,
+    nearest_bench_id, contaminated); mode='drop' returns the clean
+    rows of ``corpus`` unchanged. contaminated compares the 6-dp
+    ROUNDED max score (cross-engine-exact); nearest_bench_id is the
+    argmax with ties to the smallest benchmark id.
+
+    Scale shape: the benchmark is small by contract (a benchmark) and
+    BROADCASTS; the corpus is scanned once — per-row cosine folds +
+    one map-side-combinable max aggregate per corpus id. No corpus
+    self-join exists; at extreme benchmark sizes route the scoring
+    through ann_topk/ivf first (the ANN-prefilter discipline) and
+    exact-verify the candidates with this operator.
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    b = F.broadcast(benchmark.select(
+        F.col(bench_id_col).alias("_bid"),
+        _as_double(F.col(vec_col)).alias("_bv")))
+    it = corpus.select(F.col(id_col).alias("_iid"),
+                       _as_double(F.col(vec_col)).alias("_iv"))
+    scored = it.crossJoin(b).select(
+        "_iid", "_bid", cosine(F.col("_iv"), F.col("_bv")).alias("_s"))
+    per = scored.groupBy("_iid").agg(
+        F.max("_s").alias("_mx"),
+        F.min_by("_bid", F.struct((-F.col("_s")).alias("s"),
+                                  F.col("_bid").alias("b")))
+        .alias("nearest_bench_id"),
+    )
+    flagged = per.select(
+        F.col("_iid").alias(id_col),
+        F.round("_mx", 6).alias("max_cos"),
+        "nearest_bench_id",
+        (F.round("_mx", 6) >= F.lit(threshold)).alias("contaminated"),
+    )
+    if mode == "flag":
+        return flagged
+    dirty = flagged.filter(F.col("contaminated")) \
+        .select(F.col(id_col).alias("_dirty"))
+    return corpus.join(dirty, corpus[id_col] == F.col("_dirty"),
+                       "left_anti")

@@ -3191,3 +3191,46 @@ def test_temperature_sample_rebalances_and_alpha1_is_identity(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="alpha"):
         temperature_sample(df, "lang", "doc_id", alpha=0.0)
+
+
+def test_semantic_contamination_flag_and_drop(spark):
+    """Paraphrase-leak semantics: a near-copy of a benchmark vector is
+    contaminated even though its text-level hash would differ;
+    orthogonal vectors are clean; mode='drop' returns exactly the
+    clean rows; benchmark members flag themselves at 1.0."""
+    from graphlite_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    def v(axis, eps_axis=None, eps=0.0):
+        x = [0.0] * 8
+        x[axis] = 1.0
+        if eps_axis is not None:
+            x[eps_axis] = eps
+        return x
+
+    bench = spark.createDataFrame(
+        [(0, v(0)), (1, v(1))], "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(0, v(0)),              # benchmark member itself -> 1.0
+         (10, v(0, 7, 0.1)),     # near-copy of bench 0 -> contaminated
+         (11, v(1, 6, 0.05)),    # near-copy of bench 1 -> contaminated
+         (12, v(3)),             # orthogonal -> clean
+         (13, v(4, 0, 0.2))],    # mild overlap, below 0.9 -> clean
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.max_cos, r.nearest_bench_id, r.contaminated)
+           for r in semantic_contamination(corpus, bench,
+                                           threshold=0.9).collect()}
+    assert out[0] == (1.0, 0, True)
+    assert out[10][1] == 0 and out[10][2] and out[10][0] > 0.99
+    assert out[11][1] == 1 and out[11][2]
+    assert not out[12][2] and out[12][0] == 0.0
+    assert not out[13][2] and 0 < out[13][0] < 0.9
+
+    clean = sorted(r.vec_id for r in semantic_contamination(
+        corpus, bench, threshold=0.9, mode="drop").collect())
+    assert clean == [12, 13]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        semantic_contamination(corpus, bench, mode="purge")
