@@ -1522,3 +1522,66 @@ def lr_quality_score(
     return out.select(id_col, "score",
                       (F.col("score") > F.lit(threshold))
                       .alias("quality_pass"))
+
+
+def lr_score_col(
+    model: DataFrame,
+    text_col: str = "text",
+    orders: tuple[int, ...] = (1,),
+    num_buckets: int | None = None,
+    max_literal: int = 16384,
+):
+    """The trained-LR margin as a pure COLUMN expression — scoring as
+    literally "one map-side projection": the (bounded) model folds
+    into a map literal and the margin is an F.aggregate over the gram
+    array, so the plan has ZERO exchanges and the expression is
+    stream-legal (use it inside readStream selects, where
+    lr_quality_score's per-doc groupBy is not needed — all of a
+    document's grams live in its own row here).
+
+    Bounded-model contract: the literal is collected to the driver
+    once (the broadcast-weights idea taken to its limit), so the
+    model must be bounded — train with ``num_buckets`` (the DSIR
+    device caps vocabulary at any corpus size) or keep vocab small;
+    raises if the model exceeds ``max_literal`` rows rather than
+    silently building a plan-breaking literal (the 64 KB codegen
+    lesson: stage big literals, never inline unbounded ones).
+
+    Returns a Column: round(sum_f count_f * w_f + bias, 4) — equal to
+    lr_quality_score's score column by construction (pytest-pinned).
+    """
+    from .sampling import _word_ngram_features
+
+    rows = model.collect()
+    if len(rows) > max_literal:
+        raise ValueError(
+            f"lr_score_col: model has {len(rows)} rows > "
+            f"max_literal={max_literal}; train with num_buckets to "
+            "bound the vocabulary")
+    bias = 0.0
+    entries = []
+    for r in rows:
+        if r["feature"] is None:
+            bias = float(r["weight"])
+        else:
+            entries.append((r["feature"], float(r["weight"])))
+    feats_arr = _word_ngram_features(text_col, tuple(orders))
+    gexpr = (lambda c: c)
+    if num_buckets is not None:
+        gexpr = (lambda c: F.pmod(F.xxhash64(c),
+                                  F.lit(int(num_buckets))).cast("string"))
+    if not entries:
+        return F.round(F.lit(bias), 4)
+    wmap = F.create_map(
+        *[F.lit(x) for kv in entries for x in kv])
+    # stage the gram array once; the fold looks each gram up in the
+    # literal map (missing grams contribute 0.0)
+    return F.round(
+        F.aggregate(
+            feats_arr,
+            F.lit(0.0),
+            lambda acc, g: acc + F.coalesce(
+                wmap[gexpr(g)], F.lit(0.0)),
+        ) + F.lit(bias),
+        4,
+    )

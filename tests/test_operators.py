@@ -3234,3 +3234,48 @@ def test_semantic_contamination_flag_and_drop(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mode"):
         semantic_contamination(corpus, bench, mode="purge")
+
+
+def test_lr_score_col_equals_operator_and_is_stream_legal(spark, tmp_path):
+    """The zero-exchange scoring column equals lr_quality_score's
+    score for raw-gram AND hashed models, runs on a readStream frame
+    (stream-legal — no stateful aggregation in the plan), and raises
+    on unbounded models instead of inlining a plan-breaking literal."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import (lr_quality_score,
+                                                lr_score_col,
+                                                train_quality_lr)
+
+    rows = [(i, "good" if i % 2 == 0 else "bad",
+             ("alpha bravo common" if i % 2 == 0
+              else "zulu yankee common"))
+            for i in range(40)]
+    tr = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for nb in (None, 16):
+        model = train_quality_lr(tr, num_iter=4, lr=1.0, num_buckets=nb)
+        op = {r.doc_id: r.score
+              for r in lr_quality_score(tr, model, num_buckets=nb)
+              .collect()}
+        col = {r.doc_id: r.s for r in tr.select(
+            "doc_id",
+            lr_score_col(model, num_buckets=nb).alias("s")).collect()}
+        assert col == op, f"num_buckets={nb}"
+
+    # stream-legal: the same expression on a readStream frame
+    model = train_quality_lr(tr, num_iter=4, lr=1.0)
+    d = str(tmp_path / "docs")
+    tr.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(tr.schema).parquet(d) \
+        .select("doc_id", lr_score_col(model).alias("s"))
+    q = (stream.writeStream.format("memory").queryName("lr_stream_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.doc_id: r.s for r in spark.table("lr_stream_test").collect()}
+    exp = {r.doc_id: r.score
+           for r in lr_quality_score(tr, model).collect()}
+    assert got == exp
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_literal"):
+        lr_score_col(model, max_literal=2)
