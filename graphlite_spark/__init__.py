@@ -917,6 +917,7 @@ class GraphLiteSpark:
                       "gql.core_decomposition",
                       "gql.betweenness_sampled",
                       "gql.closeness_sampled", "gql.leiden",
+                      "gql.eccentricity_sampled",
                       "gql.random_walks", "gql.node2vec_walks",
                       "gql.katz_centrality", "gql.assortativity",
                       "gql.hits", "gql.link_prediction",
@@ -987,6 +988,12 @@ class GraphLiteSpark:
                 df = P.closeness_sampled(
                     e, n.withColumnRenamed("_id", "node"), p=p,
                     max_hops=h, harmonic=True)
+            elif name == "gql.eccentricity_sampled":
+                p = float(stmt.args[0].value) if stmt.args else 0.25
+                h = int(stmt.args[1].value) if len(stmt.args) > 1 else 8
+                df = P.eccentricity_sampled(
+                    e, n.withColumnRenamed("_id", "node"), p=p,
+                    max_hops=h)
             elif name == "gql.random_walks":
                 nw = int(stmt.args[0].value) if stmt.args else 1
                 ln = int(stmt.args[1].value) if len(stmt.args) > 1 else 10

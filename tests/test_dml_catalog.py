@@ -477,6 +477,8 @@ def test_call_truss_and_core_procedures(db):
     # id-type-generic path): the synchronous-dynamics optimum here is
     # {3-clique}, {P4, P5} — same split louvain finds on numeric ids
     # for this topology — and both communities are connected
+    es = db.execute("CALL gql.eccentricity_sampled(0.9, 4)").collect()
+    assert len(es) == 5 and all(r.eccentricity >= 0 for r in es)
     le = db.execute("CALL gql.leiden(2, 30)").collect()
     assert len(le) == 5
     comm = {}
