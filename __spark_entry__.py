@@ -4331,6 +4331,41 @@ def _q_dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _q_dedup_index_maintain_near(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Near-mode maintenance epoch (rows-only by design — xxhash64
+    banding is engine-specific, the dedup_index_near convention):
+    same planted batch as the exact entry, but band-bucket hits
+    against the historical index AND whole-batch bucket winners also
+    drop. Pinned by the oracle-matched exact sibling, the
+    bit-identity of _band_bucket_frame with minhash_lsh_pairs, and
+    the crash-replay/rebuild pytest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import build_dedup_index
+    from graphlite_spark.streaming.stateful import (
+        streaming_dedup_index_maintenance,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 300)
+    idx = _dedup_index_path(sf_dir) + "-maintn"
+    if not os.path.exists(os.path.join(idx, "meta")):
+        build_dedup_index(hist, idx, n=3, num_hashes=64, bands=16)
+    batch = (
+        docs.filter(F.col("doc_id") >= 300)
+        .unionByName(docs.filter(F.col("doc_id") < 50)
+                     .select((F.col("doc_id") + 100000).alias("doc_id"),
+                             "text"))
+    )
+    out = streaming_dedup_index_maintenance(
+        batch, idx, checkpoint=os.path.join(idx, "_ckpt_unused"),
+        near=True)
+    return out.orderBy("doc_id")
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     journeys (lead window -> |types|² groupBy -> row-normalized
@@ -5189,6 +5224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_index_exact": _q_dedup_index_exact,
             "dedup_index_near": _q_dedup_index_near,
             "dedup_index_maintain_batch": _q_dedup_index_maintain,
+            "dedup_index_maintain_near": _q_dedup_index_maintain_near,
             "theta_overlap_custkeys": _q_theta_overlap_custkeys,
             "shortest_path_pair_chain": _q_shortest_path_pair_chain,
             "dd_clamp_prices": _q_dd_clamp_prices,
