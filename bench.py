@@ -157,6 +157,8 @@ HEADLINE = [
     "leiden_planted_bridge",          # refinement fixpoint + CC (r9)
     "curation_pipeline_v4",           # distillation chain: gopher
                                       # labels -> LR train -> score (r9)
+    "temperature_sample_langs",       # alpha=0.5 corpus rebalance (r9)
+    "semantic_contamination_audit",   # embedding decontamination (r9)
 ]
 
 
