@@ -266,3 +266,33 @@ def test_write_parquet_sized(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_parquet_sized(df, out, target_mb=0)
+
+
+def test_bloom_join_hash_chains_stay_below_the_bnlj(spark):
+    """Pin the r8 codegen repair: the KM mix32 hash projections live
+    on the PROBE branch below the BroadcastNestedLoopJoin, so
+    bnlj_doConsume holds only the k bit tests and compiles inside
+    janino's 64 KB method limit (the old shape fused the chains into
+    the join consume and silently fell back to interpreted eval)."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.sketches import bloom_filter_join
+
+    big = spark.range(2000).select(F.col("id").alias("k"))
+    keys = spark.range(0, 2000, 7).select(F.col("id").alias("k"))
+    out = bloom_filter_join(big, keys, "k", num_bits=1 << 12, k=3)
+    out.write.mode("overwrite").format("noop").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    bnlj_idx = next(i for i, ln in enumerate(lines)
+                    if "BroadcastNestedLoopJoin" in ln)
+    # in the physical tree string, children print BELOW their parent;
+    # every _qp hash column must first materialize below the join
+    qp_idx = next(i for i, ln in enumerate(lines)
+                  if "_qp0" in ln and "Project" in ln)
+    assert qp_idx > bnlj_idx, (
+        "KM hash projection sits above the join again:\n" + plan[:2000])
+    # and the answer is still the bloom superset semantics: every true
+    # member survives (no false negatives)
+    got = {r.k for r in out.collect()}
+    assert {r.k for r in keys.collect()} <= got
