@@ -2185,6 +2185,10 @@ def semantic_contamination(
     vec_col: str = "embedding",
     bench_id_col: str = "vec_id",
     mode: str = "flag",
+    method: str = "exact",
+    dim: int = 64,
+    num_planes: int = 8,
+    n_tables: int = 8,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: flag (or drop)
     corpus items whose embedding is cosine-similar to ANY benchmark
@@ -2199,35 +2203,86 @@ def semantic_contamination(
     ROUNDED max score (cross-engine-exact); nearest_bench_id is the
     argmax with ties to the smallest benchmark id.
 
-    Scale shape: the benchmark is small by contract (a benchmark) and
-    BROADCASTS; the corpus is scanned once — per-row cosine folds +
-    one map-side-combinable max aggregate per corpus id. No corpus
-    self-join exists; at extreme benchmark sizes route the scoring
-    through ann_topk/ivf first (the ANN-prefilter discipline) and
-    exact-verify the candidates with this operator.
+    Scale shape, ``method='exact'`` (default): the benchmark is small
+    by contract (a benchmark) and BROADCASTS; the corpus is scanned
+    once — per-row cosine folds + one map-side-combinable max
+    aggregate per corpus id. No corpus self-join exists.
+
+    ``method='lsh'``: the LARGE-benchmark path — only corpus/benchmark
+    pairs sharing a random-hyperplane bucket in one of ``n_tables``
+    tables (plus one-bit probes) are exact-scored, the lsh_ann_topk
+    blocking applied cross-frame. Recall < 1 with the standard LSH
+    caveat — but contamination's regime is exactly LSH's good case
+    (leaked items are NEAR-duplicates of benchmark items, cosine
+    >= 0.9, where bucket collision probability is high;
+    pytest-pinned: every planted near-copy is still caught). Corpus
+    items with no candidate pair report max_cos 0.0 / clean.
     """
     if mode not in ("flag", "drop"):
         raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    b = F.broadcast(benchmark.select(
-        F.col(bench_id_col).alias("_bid"),
-        _as_double(F.col(vec_col)).alias("_bv")))
     it = corpus.select(F.col(id_col).alias("_iid"),
                        _as_double(F.col(vec_col)).alias("_iv"))
-    scored = it.crossJoin(b).select(
-        "_iid", "_bid", cosine(F.col("_iv"), F.col("_bv")).alias("_s"))
+    if method == "lsh":
+        sigs_i = [
+            hyperplane_signature(F.col("_iv"), dim, num_planes, table=t)
+            .alias(f"_s{t}") for t in range(n_tables)
+        ]
+        iti = it.select("_iid", "_iv", *sigs_i).select(
+            "_iid", "_iv", F.explode(F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("b"))
+                for t in range(n_tables)
+            ])).alias("_tb"))
+        b0 = benchmark.select(
+            F.col(bench_id_col).alias("_bid"),
+            _as_double(F.col(vec_col)).alias("_bv"))
+        sigs_b = [
+            hyperplane_signature(F.col("_bv"), dim, num_planes, table=t)
+            .alias(f"_s{t}") for t in range(n_tables)
+        ]
+        b_probes = []
+        for t in range(n_tables):
+            sig = F.col(f"_s{t}")
+            b_probes.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+            b_probes.extend(
+                F.struct(F.lit(t).alias("t"),
+                         sig.bitwiseXOR(F.lit(1 << p)).alias("b"))
+                for p in range(num_planes))
+        bb = b0.select("_bid", "_bv", *sigs_b).select(
+            "_bid", "_bv", F.explode(F.array(*b_probes)).alias("_tb"))
+        scored = (
+            iti.join(bb, "_tb")
+            .select("_iid", "_bid",
+                    cosine(F.col("_iv"), F.col("_bv")).alias("_s"))
+            .dropDuplicates(["_iid", "_bid"])
+        )
+    else:
+        b = F.broadcast(benchmark.select(
+            F.col(bench_id_col).alias("_bid"),
+            _as_double(F.col(vec_col)).alias("_bv")))
+        scored = it.crossJoin(b).select(
+            "_iid", "_bid", cosine(F.col("_iv"), F.col("_bv")).alias("_s"))
     per = scored.groupBy("_iid").agg(
         F.max("_s").alias("_mx"),
         F.min_by("_bid", F.struct((-F.col("_s")).alias("s"),
                                   F.col("_bid").alias("b")))
         .alias("nearest_bench_id"),
     )
-    flagged = per.select(
-        F.col("_iid").alias(id_col),
-        F.round("_mx", 6).alias("max_cos"),
-        "nearest_bench_id",
-        (F.round("_mx", 6) >= F.lit(threshold)).alias("contaminated"),
+    # corpus items with no scored pair (possible under 'lsh') report
+    # 0.0 / clean instead of vanishing
+    flagged = (
+        it.select(F.col("_iid"))
+        .join(per, "_iid", "left")
+        .select(
+            F.col("_iid").alias(id_col),
+            F.round(F.coalesce("_mx", F.lit(0.0)), 6).alias("max_cos"),
+            "nearest_bench_id",
+            (F.round(F.coalesce("_mx", F.lit(0.0)), 6)
+             >= F.lit(threshold)).alias("contaminated"),
+        )
     )
     if mode == "flag":
         return flagged

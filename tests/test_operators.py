@@ -3279,3 +3279,47 @@ def test_lr_score_col_equals_operator_and_is_stream_legal(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_literal"):
         lr_score_col(model, max_literal=2)
+
+
+def test_semantic_contamination_lsh_catches_near_copies(spark):
+    """The large-benchmark LSH path: near-duplicate leaks (the
+    contamination regime, cosine ~1) still flag — bucket collision is
+    near-certain for near-parallel vectors — and verdicts agree with
+    the exact path on the planted corpus; items with no candidate
+    pair report 0.0/clean instead of vanishing."""
+    import numpy as np
+
+    from graphlite_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    bench_vecs = rng.standard_normal((6, dim))
+    rows_b = [(i, bench_vecs[i].tolist()) for i in range(6)]
+    rows_c = []
+    for i in range(6):  # near-copies of every benchmark vector
+        v = bench_vecs[i] + 0.02 * rng.standard_normal(dim)
+        rows_c.append((100 + i, v.tolist()))
+    for i in range(20):  # random clean items
+        rows_c.append((200 + i, rng.standard_normal(dim).tolist()))
+    bench = spark.createDataFrame(
+        rows_b, "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        rows_c, "vec_id long, embedding array<double>")
+
+    exact = {r.vec_id: r.contaminated for r in semantic_contamination(
+        corpus, bench, threshold=0.9).collect()}
+    lsh = {r.vec_id: r.contaminated for r in semantic_contamination(
+        corpus, bench, threshold=0.9, method="lsh", dim=dim,
+        num_planes=8, n_tables=8).collect()}
+    assert set(lsh) == set(exact)          # nobody vanishes
+    for i in range(6):                      # every near-copy caught
+        assert exact[100 + i] and lsh[100 + i], i
+    # no false positives either way on the random cleans
+    assert not any(exact[200 + i] for i in range(20))
+    assert not any(lsh[200 + i] for i in range(20))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        semantic_contamination(corpus, bench, method="ann")
