@@ -1342,14 +1342,29 @@ def test_louvain_communities_two_scale(spark):
                                               max_rounds=30).collect())
     assert one == sorted(fine.items())
 
+    # leiden == louvain when every community stays connected (the
+    # two-scale graph never strands anyone): refinement is a pure
+    # relabel-to-min no-op, multi-level included
+    from graphlite_spark.operators.paths import leiden_communities
+
+    ld = sorted((r["node"], r["community"])
+                for r in leiden_communities(edges, nodes, max_levels=4,
+                                            max_rounds=30).collect())
+    assert ld == sorted(coarse.items())
+
     # empty edge set: singletons; validation
     empty = spark.createDataFrame([], "_src: long, _dst: long")
     two = spark.createDataFrame([(7,), (8,)], "id: long")
     assert sorted((r["node"], r["community"])
                   for r in louvain_communities(empty, two).collect()) \
         == [(7, 7), (8, 8)]
+    assert sorted((r["node"], r["community"])
+                  for r in leiden_communities(empty, two).collect()) \
+        == [(7, 7), (8, 8)]
     with pytest.raises(ValueError, match="max_levels"):
         louvain_communities(edges, nodes, max_levels=0)
+    with pytest.raises(ValueError, match="max_levels"):
+        leiden_communities(edges, nodes, max_levels=0)
 
 
 def test_lm_bigram_score(spark):
