@@ -2679,23 +2679,13 @@ _CURATION_VOCAB = (
 )
 
 
-def _q_streaming_curation_batch(spark: SparkSession,
-                                sf_dir: str) -> DataFrame:
-    """streaming_curation's batch fallback, oracle-matched end to end:
-    html -> extract (nav/footer are 100% link text and must drop) ->
-    gopher gate (short docs, k%17==0, carry 5-word bodies and fail
-    min_words=40) -> minhash dedup on arrival. Bodies are CLASS
-    functions (class = k % 30): every same-class doc is an exact
-    duplicate with identical MinHash signatures in every band, so the
-    class minimum wins all its buckets with certainty and keep =
-    {min surviving k per class}. The 30 distinct word-salad bodies are
-    regenerated verbatim by the DuckDB oracle (Knuth-hash word draws),
-    so the extracted TEXT of every survivor is verified too — a wrong
-    extraction, a wrong gopher verdict, or a wrong dedup winner all
-    break the hash. Cross-class texts share no shingle runs (xxhash
-    deterministic, classes fixed at 30 at every SF), so no accidental
-    band collision can perturb the closed form; near-dup biting across
-    micro-batches is pinned by the stream==batch pytest."""
+def _synth_curation_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, html): the deterministic class-function HTML corpus the
+    streaming curation/ingest entries share — class = doc_id % 30,
+    every same-class doc an exact duplicate after extraction, short
+    docs (k%17==0) carry 5-word bodies that fail the gopher gate. See
+    _q_streaming_curation_batch for the two planted-corpus traps this
+    construction dodges."""
     from pyspark.sql import functions as F
 
     from graphlite_spark.streaming.stateful import streaming_curation
@@ -2741,6 +2731,31 @@ def _q_streaming_curation_batch(spark: SparkSession,
             "</body></html>') AS html",
         )
     )
+    return docs
+
+
+def _q_streaming_curation_batch(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """streaming_curation's batch fallback, oracle-matched end to end:
+    html -> extract (nav/footer are 100% link text and must drop) ->
+    gopher gate (short docs, k%17==0, carry 5-word bodies and fail
+    min_words=40) -> minhash dedup on arrival. Bodies are CLASS
+    functions (class = k % 30): every same-class doc is an exact
+    duplicate with identical MinHash signatures in every band, so the
+    class minimum wins all its buckets with certainty and keep =
+    {min surviving k per class}. The 30 distinct word-salad bodies are
+    regenerated verbatim by the DuckDB oracle (Knuth-hash word draws),
+    so the extracted TEXT of every survivor is verified too — a wrong
+    extraction, a wrong gopher verdict, or a wrong dedup winner all
+    break the hash. Cross-class texts share no shingle runs (xxhash
+    deterministic, classes fixed at 30 at every SF), so no accidental
+    band collision can perturb the closed form; near-dup biting across
+    micro-batches is pinned by the stream==batch pytest."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.streaming.stateful import streaming_curation
+
+    docs = _synth_curation_html(spark, sf_dir)
     # disjoint shingle sets make any band collision require exact
     # 32-bit minima ties across a full band — bands=8 (8 rows/band)
     # drives that to ~(2e-6)^8 while exact duplicates still collide
@@ -2748,6 +2763,46 @@ def _q_streaming_curation_batch(spark: SparkSession,
     out = streaming_curation(docs, min_words=40, min_stop_words=1,
                              num_hashes=64, bands=8)
     return out.select(F.col("doc_id").cast("long"), "text")
+
+
+def _q_ingest_loop_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch fallback of the COMPLETE streaming ingest loop
+    (streaming_ingest_loop): html -> extract -> gopher ->
+    exact-dedup against a persisted index built from the extracted
+    texts of docs k < 10 (classes 0..9) -> append survivor keys.
+    The historical index holds the QUALITY-PASSING extraction of docs
+    k < 10 — production semantics: only previously-INGESTED documents
+    are indexed, so k=0 (short, fails the gate) indexes nothing and
+    class 0 stays unindexed. Closed form: survivors = the smallest
+    non-short doc per class among classes {0} ∪ {10..29} (class texts
+    are exact duplicates after extraction; indexed classes 1..9 hit
+    the historical index; short docs k%17==0 fail the gopher gate
+    first). Re-runs are idempotent (epoch-0 partitions overwrite
+    themselves)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import build_dedup_index
+    from graphlite_spark.operators.html import extract_html_text
+    from graphlite_spark.operators.text import gopher_quality_filters
+    from graphlite_spark.streaming.stateful import streaming_ingest_loop
+
+    docs = _synth_curation_html(spark, sf_dir)
+    idx = _dedup_index_path(sf_dir) + "-ingest"
+    if not os.path.exists(os.path.join(idx, "meta")):
+        ext = extract_html_text(
+            docs.filter(F.col("doc_id") < 10), html_col="html",
+            id_col="doc_id")
+        hist = gopher_quality_filters(
+            ext, id_col="doc_id", min_words=40, min_stop_words=1,
+            keep=("text",)
+        ).filter(F.col("gopher_pass")).select("doc_id", "text")
+        build_dedup_index(hist, idx, n=3, num_hashes=64, bands=8)
+    out = streaming_ingest_loop(
+        docs, idx, checkpoint=os.path.join(idx, "_ckpt_unused"),
+        min_words=40, min_stop_words=1, near=False)
+    return out.select(F.col("doc_id").cast("long")).orderBy("doc_id")
 
 
 def _q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5225,6 +5280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_index_near": _q_dedup_index_near,
             "dedup_index_maintain_batch": _q_dedup_index_maintain,
             "dedup_index_maintain_near": _q_dedup_index_maintain_near,
+            "ingest_loop_batch": _q_ingest_loop_batch,
             "theta_overlap_custkeys": _q_theta_overlap_custkeys,
             "shortest_path_pair_chain": _q_shortest_path_pair_chain,
             "dd_clamp_prices": _q_dd_clamp_prices,
@@ -7974,6 +8030,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rates r ON d.lang = r.lang
             WHERE ((d.doc_id + 11) * 2654435761) % 4294967296
                   < r.rate * 4294967296.0
+        """,
+        "ingest_loop_batch": """
+            -- the complete ingest loop's closed form: quality-passing
+            -- docs k < 10 are historically indexed (k=0 is short and
+            -- never ingested, so class 0 stays unindexed), short docs
+            -- (k%17=0) fail the gopher gate, so the survivors are the
+            -- smallest remaining doc per class in {0} u {10..29}
+            WITH cap AS (SELECT least(count(*), 240) AS c FROM supplier),
+            kk AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS k
+                FROM supplier, cap WHERE s_suppkey < cap.c
+            ), elig AS (
+                SELECT k, k % 30 AS cls FROM kk
+                WHERE k % 17 <> 0 AND (k % 30 >= 10 OR k % 30 = 0)
+            )
+            SELECT CAST(min(k) AS BIGINT) AS doc_id
+            FROM elig GROUP BY cls ORDER BY 1
         """,
         "semantic_contamination_audit": """
             -- every corpus row's max benchmark cosine + nearest

@@ -159,6 +159,10 @@ HEADLINE = [
                                       # labels -> LR train -> score (r9)
     "temperature_sample_langs",       # alpha=0.5 corpus rebalance (r9)
     "semantic_contamination_audit",   # embedding decontamination (r9)
+    "ingest_loop_batch",              # full ingest loop: extract ->
+                                      # gopher -> index dedup -> key
+                                      # append (r9); cold builds the
+                                      # historical index once
 ]
 
 

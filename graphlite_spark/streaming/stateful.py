@@ -565,6 +565,74 @@ def streaming_dedup_index_maintenance(
     return q
 
 
+def streaming_ingest_loop(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    survivors_path: "str | None" = None,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_words: int = 40,
+    min_stop_words: int = 1,
+    near: bool = False,
+):
+    """The COMPLETE production ingest loop as one exactly-once stream:
+    raw HTML -> main-content extraction -> Gopher quality gate ->
+    dedup against the persisted index -> append the SURVIVORS' keys
+    back to the index -> land the surviving documents. Composes
+    streaming_curation's stateless front half with
+    dedup_index_ingest_batch's index maintenance inside ONE
+    foreachBatch epoch, so the whole chain inherits the established
+    exactly-once devices (per-epoch _batch_id partitions + dynamic
+    overwrite + before_batch index reads): a crash-replayed epoch
+    re-extracts, re-gates, recomputes identical survivors, and
+    rewrites its own partitions.
+
+    Extraction and the quality gate are map-side (Arrow mapInPandas +
+    one codegen projection), index contact is 8/16-byte-key joins —
+    nothing in the loop is history-sized. BATCH input processes the
+    frame as epoch 0 and returns the surviving (doc_id, text) rows;
+    STREAMING input runs availableNow and blocks (stream ==
+    sequential-batch pytest)."""
+    from ..operators.dedup import dedup_index_ingest_batch
+    from ..operators.html import extract_html_text
+    from ..operators.text import gopher_quality_filters
+
+    def _epoch(df: DataFrame, batch_id: int) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        ext = extract_html_text(df, html_col=html_col, id_col=id_col)
+        flagged = gopher_quality_filters(
+            ext, id_col="doc_id", min_words=min_words,
+            min_stop_words=min_stop_words, keep=("text",))
+        kept = flagged.filter(F.col("gopher_pass")) \
+            .select("doc_id", "text")
+        surv = dedup_index_ingest_batch(
+            kept, index_path, batch_id=batch_id, near=near)
+        if survivors_path is not None:
+            (surv.withColumn("_batch_id", F.lit(int(batch_id)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("_batch_id").parquet(survivors_path))
+        return surv
+
+    if not docs.isStreaming:
+        return _epoch(docs, 0)
+
+    def _sink(df: DataFrame, batch_id: int) -> None:
+        _epoch(df, batch_id)
+
+    q = (
+        docs.writeStream
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 # ---------------------------------------------------------------------------
 # Streaming funnel: per-user step state machine through the state store.
 # The ingest-side twin of operators.temporal.funnel_user_steps.
