@@ -484,6 +484,8 @@ def temperature_sample(
     alpha: float = 0.5,
     salt: int = 0,
     weight_col: str | None = None,
+    tokenizer=None,
+    text_col: str = "text",
 ) -> DataFrame:
     """Temperature-based mixture sampling — the multilingual-corpus
     rebalancing rule the published pretraining recipes use (XLM,
@@ -508,6 +510,16 @@ def temperature_sample(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    drop_weight = ()
+    if tokenizer is not None:
+        # tokenizer-true budgets, the mixture_sample convention: the
+        # shares that get temperature-flattened are real BPE tokens
+        from .tokenize import bpe_token_count_col
+
+        weight_col = "_bpe_tokens"
+        drop_weight = (weight_col,)
+        df = df.withColumn(
+            weight_col, bpe_token_count_col(df, tokenizer, text_col))
     w = F.col(weight_col) if weight_col else F.lit(1)
     stats = df.groupBy(group_col).agg(F.sum(w).alias("_ws")) \
         .select(F.col(group_col), F.col("_ws").cast("double").alias("_w"))
@@ -532,4 +544,4 @@ def temperature_sample(
     out = df.join(F.broadcast(rates), group_col, "inner")
     return out.filter(
         _bucket(F.col(key_col), salt) < F.col("_rate") * F.lit(float(_M32))
-    ).drop("_rate")
+    ).drop("_rate", *drop_weight)

@@ -226,6 +226,19 @@ def test_spark_pack_and_mixture_tokenizer_threading(spark):
         w[r["lang"]] += counts[r["doc_id"]]
     assert w["en"] > 0 and w["de"] > 0
 
+    # temperature_sample threads the tokenizer the same way; alpha=1
+    # with token weights is still the identity and the temp column
+    # never leaks out
+    from graphlite_spark.operators.sampling import temperature_sample
+
+    t_out = temperature_sample(df, "lang", key_col="doc_id", alpha=1.0,
+                               tokenizer=tok)
+    assert set(t_out.columns) == {"doc_id", "lang", "text"}
+    assert t_out.count() == df.count()
+    t_half = temperature_sample(df, "lang", key_col="doc_id",
+                                alpha=0.5, tokenizer=tok)
+    assert 0 < t_half.count() <= df.count()
+
 
 def test_streaming_chunk_documents_bpe_matches_batch(spark, tmp_path):
     # chunk_documents_bpe is a plain mapInPandas transformation, so it
