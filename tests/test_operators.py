@@ -3338,3 +3338,57 @@ def test_semantic_contamination_lsh_catches_near_copies(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="method"):
         semantic_contamination(corpus, bench, method="ann")
+
+
+def test_leiden_resolution_monotone(spark):
+    """The resolution knob: gamma=1 reproduces the default exactly;
+    a high gamma splits the two-scale graph's coarse groups back into
+    fine triangles (the penalty term defeats the weak bridges); a
+    tiny gamma coarsens; the knob folds into 2m so nothing else
+    changes."""
+    import pytest
+
+    from graphlite_spark.operators.paths import leiden_communities
+
+    def nid(g, c, i):
+        return g * 100 + c * 10 + i
+
+    edge_list = []
+    for g in range(2):
+        for c in range(3):
+            ids = [nid(g, c, i) for i in range(3)]
+            edge_list += [(ids[0], ids[1]), (ids[1], ids[2]),
+                          (ids[0], ids[2])]
+        for c1 in range(3):
+            for c2 in range(c1 + 1, 3):
+                for i in (1, 2):
+                    edge_list.append((nid(g, c1, i), nid(g, c2, i)))
+    edge_list.append((nid(0, 0, 1), nid(1, 0, 1)))
+    node_ids = sorted({x for e in edge_list for x in e})
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id: long")
+    edges = spark.createDataFrame(edge_list, "_src: long, _dst: long")
+
+    base = sorted((r.node, r.community) for r in leiden_communities(
+        edges, nodes, max_levels=4, max_rounds=30).collect())
+    same = sorted((r.node, r.community) for r in leiden_communities(
+        edges, nodes, max_levels=4, max_rounds=30,
+        resolution=1.0).collect())
+    assert base == same
+    assert len({c for _, c in base}) == 2          # the coarse groups
+
+    fine = {r.node: r.community for r in leiden_communities(
+        edges, nodes, max_levels=4, max_rounds=30,
+        resolution=4.0).collect()}
+    assert len(set(fine.values())) == 6            # back to triangles
+    for g in range(2):
+        for c in range(3):
+            assert {fine[nid(g, c, i)] for i in range(3)} \
+                == {nid(g, c, 0)}
+
+    coarse = {r.node: r.community for r in leiden_communities(
+        edges, nodes, max_levels=4, max_rounds=30,
+        resolution=0.05).collect()}
+    assert len(set(coarse.values())) <= 2
+
+    with pytest.raises(ValueError, match="resolution"):
+        leiden_communities(edges, nodes, resolution=0.0)
