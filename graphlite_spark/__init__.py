@@ -980,8 +980,11 @@ class GraphLiteSpark:
             elif name == "gql.leiden":
                 lv = int(stmt.args[0].value) if stmt.args else 3
                 mr = int(stmt.args[1].value) if len(stmt.args) > 1 else 20
+                res = (float(stmt.args[2].value)
+                       if len(stmt.args) > 2 else 1.0)
                 df = P.leiden_communities(e, n, max_levels=lv,
-                                          max_rounds=mr)
+                                          max_rounds=mr,
+                                          resolution=res)
             elif name == "gql.closeness_sampled":
                 p = float(stmt.args[0].value) if stmt.args else 0.25
                 h = int(stmt.args[1].value) if len(stmt.args) > 1 else 8

@@ -485,6 +485,13 @@ def test_call_truss_and_core_procedures(db):
     for r in le:
         comm.setdefault(r.community, set()).add(r.node)
     assert sorted(len(v) for v in comm.values()) == [2, 3]
+    # the resolution arg threads through: a tiny gamma coarsens the
+    # same graph into fewer communities
+    lo = db.execute("CALL gql.leiden(2, 30, 0.1)").collect()
+    comm_lo = {}
+    for r in lo:
+        comm_lo.setdefault(r.community, set()).add(r.node)
+    assert len(comm_lo) <= len(comm)
 
 
 def test_truncate_and_clear_graph(db):
