@@ -1468,26 +1468,11 @@ def _q_modularity_nation_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("community").cast("long").alias("community"))
 
 
-def _q_louvain_two_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL multi-level Louvain over a planted TWO-SCALE structure the
-    one-level local-moving phase cannot resolve: suppliers are laid out
-    as groups of 12 = three 4-cliques per group, 4 bridges per clique
-    pair inside a group (offset i -> i+1 so level 1 keeps the cliques
-    separate), and ONE weak bridge between adjacent groups. Level 1
-    converges to the individual 4-cliques; the aggregation level
-    folds each group's three cliques into one
-    community (merge gain ~ +3.2 at sf0.01's 2m) while the single
-    inter-group bridges stay unmerged at every level (gain < 0).
-    Closed form: community = min member id = 12 * (s_suppkey / 12).
-    Partial trailing groups are excluded and the corpus is CAPPED at
-    240 suppliers (cap = 12 * floor(least(n, 240) / 12)): modularity's
-    resolution limit makes single-bridge group merges FAVORABLE once
-    2m outgrows tot_g^2/e (~60 groups here), so the planted closed
-    form only exists below that scale — the cap keeps the oracle
-    exact at every scale factor, same device as semantic_dedup's."""
+def _two_scale_graph(spark: SparkSession, sf_dir: str):
+    """(edges, nodes) for the planted two-scale clique structure the
+    louvain/leiden multi-level entries share (see
+    _q_louvain_two_scale for the construction and the cap)."""
     from pyspark.sql import functions as F
-
-    from graphlite_spark.operators.paths import louvain_communities
 
     sup = _table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("k"))
@@ -1516,7 +1501,50 @@ def _q_louvain_two_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = ends(intra).unionByName(ends(bridges)).unionByName(ends(inter))
     nodes = base.select(F.col("k").alias("id"))
+    return edges, nodes
+
+
+def _q_louvain_two_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL multi-level Louvain over a planted TWO-SCALE structure the
+    one-level local-moving phase cannot resolve: suppliers are laid out
+    as groups of 12 = three 4-cliques per group, 4 bridges per clique
+    pair inside a group (offset i -> i+1 so level 1 keeps the cliques
+    separate), and ONE weak bridge between adjacent groups. Level 1
+    converges to the individual 4-cliques; the aggregation level
+    folds each group's three cliques into one
+    community (merge gain ~ +3.2 at sf0.01's 2m) while the single
+    inter-group bridges stay unmerged at every level (gain < 0).
+    Closed form: community = min member id = 12 * (s_suppkey / 12).
+    Partial trailing groups are excluded and the corpus is CAPPED at
+    240 suppliers (cap = 12 * floor(least(n, 240) / 12)): modularity's
+    resolution limit makes single-bridge group merges FAVORABLE once
+    2m outgrows tot_g^2/e (~60 groups here), so the planted closed
+    form only exists below that scale — the cap keeps the oracle
+    exact at every scale factor, same device as semantic_dedup's."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import louvain_communities
+
+    edges, nodes = _two_scale_graph(spark, sf_dir)
     out = louvain_communities(edges, nodes, max_levels=4, max_rounds=30)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("community").cast("long").alias("community"))
+
+
+def _q_leiden_two_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL multi-level LEIDEN over the same planted two-scale
+    structure (the bridge entry exercises refinement at one level;
+    this one proves the refinement slots cleanly into the multi-level
+    loop): every community here stays connected, so refinement is a
+    pure relabel no-op and the closed form equals louvain's —
+    community = 12 * (k / 12). A refinement bug that split or
+    re-fused anything would break the hash."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.paths import leiden_communities
+
+    edges, nodes = _two_scale_graph(spark, sf_dir)
+    out = leiden_communities(edges, nodes, max_levels=4, max_rounds=30)
     return out.select(F.col("node").cast("long").alias("node"),
                       F.col("community").cast("long").alias("community"))
 
@@ -5225,6 +5253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "scc_nation_rings": _q_scc_rings,
             "modularity_nation_cliques": _q_modularity_nation_cliques,
             "louvain_two_scale": _q_louvain_two_scale,
+            "leiden_two_scale": _q_leiden_two_scale,
             "semantic_dedup_planted": _q_semantic_dedup,
             "semantic_dedup_int8_planted": _q_semantic_dedup_int8,
             "kmeans_planted": _q_kmeans_planted,
@@ -8820,6 +8849,16 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
             WHERE s_suppkey < 3 * (least((SELECT count(*) FROM supplier),
                                          240) // 3)
+        """,
+        "leiden_two_scale": """
+            -- multi-level leiden on the two-scale corpus: communities
+            -- stay connected so refinement is a relabel no-op and the
+            -- closed form equals louvain's
+            SELECT CAST(s_suppkey AS BIGINT) AS node,
+                   CAST((s_suppkey // 12) * 12 AS BIGINT) AS community
+            FROM supplier
+            WHERE s_suppkey < 12 * (least((SELECT count(*) FROM supplier),
+                                          240) // 12)
         """,
         "louvain_two_scale": """
             -- planted two-scale structure: full Louvain folds each
