@@ -1087,6 +1087,55 @@ def dedup_against_index(
     return out
 
 
+def compact_dedup_index(spark, path: str, target_mb: int = 256) -> dict:
+    """Fold a maintained index's delta tiers back into its base —
+    the hygiene pass a long-running ingest loop needs: every epoch
+    appends one `_batch_id` partition per tier, so after 10k epochs
+    the delta directories are 10k tiny partitions and every
+    against-index read lists and unions them. Compaction rewrites
+    base := distinct(base ∪ deltas) as size-targeted parquet and
+    drops the delta directories.
+
+    Key-set-preserving by construction (distinct union —
+    dedup_against_index answers are identical before and after,
+    pytest-pinned) and safe to schedule BETWEEN epochs: the swap
+    (rename old base away, rename compacted in, delete deltas) is
+    not atomic across files, so run it when no concurrent epoch is
+    mid-flight — the same offline-compaction contract every
+    LSM-shaped store documents. A crash mid-swap leaves either the
+    old layout or the new one plus a `_precompact` backup dir to
+    recover from; it never loses keys.
+
+    Returns {'exact': n_keys, 'bands': n_keys} after compaction.
+    """
+    from graphlite_spark.sources.sinks import write_parquet_sized
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _p(x):
+        return jvm.org.apache.hadoop.fs.Path(x)
+
+    fs = _p(path).getFileSystem(conf)
+    counts = {}
+    for tier, cols in (("exact", ["h"]), ("bands", ["band", "bucket"])):
+        base, delta = f"{path}/{tier}", f"{path}/{tier}_delta"
+        combined = _index_tier(spark, base, delta, before_batch=None) \
+            .select(*cols).distinct()
+        tmp = f"{path}/{tier}_compact"
+        write_parquet_sized(combined, tmp, target_mb=target_mb)
+        counts[tier] = spark.read.parquet(tmp).count()
+        backup = f"{path}/{tier}_precompact"
+        if fs.exists(_p(backup)):
+            fs.delete(_p(backup), True)
+        fs.rename(_p(base), _p(backup))
+        fs.rename(_p(tmp), _p(base))
+        if fs.exists(_p(delta)):
+            fs.delete(_p(delta), True)
+        fs.delete(_p(backup), True)
+    return counts
+
+
 def dedup_index_ingest_batch(
     batch: DataFrame,
     path: str,

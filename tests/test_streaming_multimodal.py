@@ -2726,3 +2726,62 @@ def test_streaming_ingest_loop_stream_matches_batch(spark, tmp_path):
     h11 = spark.createDataFrame([(body_b,)], "t string").select(
         F.xxhash64(F.lower(F.trim("t")))).collect()[0][0]
     assert h11 in {r.h for r in delta.collect()}
+
+
+def test_compact_dedup_index_preserves_answers(spark, tmp_path):
+    """Compaction folds delta partitions into the base without
+    changing a single answer: dedup_against_index and a further
+    ingest epoch behave identically before and after; the delta dirs
+    are gone; key counts match the distinct union."""
+    from graphlite_spark.operators.dedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_against_index,
+        dedup_index_ingest_batch,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "alpha bravo common words here"),
+         (2, "entirely different sentence content")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_dedup_index(hist, idx, n=3, num_hashes=64, bands=16)
+    ep1 = spark.createDataFrame(
+        [(10, "fresh epoch one content okay"),
+         (11, "alpha bravo common words here")],   # exact index hit
+        "doc_id long, text string")
+    ep2 = spark.createDataFrame(
+        [(20, "fresh epoch one content okay"),     # hits ep1 delta
+         (21, "brand new second epoch text")],
+        "doc_id long, text string")
+    assert sorted(r.doc_id for r in dedup_index_ingest_batch(
+        ep1, idx, batch_id=1).collect()) == [10]
+    assert sorted(r.doc_id for r in dedup_index_ingest_batch(
+        ep2, idx, batch_id=2).collect()) == [21]
+
+    probe = spark.createDataFrame(
+        [(90, "fresh epoch one content okay"),     # delta key
+         (91, "alpha bravo common words here"),    # base key
+         (92, "never seen text at all here")],
+        "doc_id long, text string")
+    before = sorted(r.doc_id for r in
+                    dedup_against_index(probe, idx).collect())
+
+    import os
+    counts = compact_dedup_index(spark, idx)
+    assert counts["exact"] == 4   # 2 hist + 2 survivors
+    assert not os.path.exists(idx + "/exact_delta")
+    assert not os.path.exists(idx + "/bands_delta")
+    assert not os.path.exists(idx + "/exact_precompact")
+
+    after = sorted(r.doc_id for r in
+                   dedup_against_index(probe, idx).collect())
+    assert after == before == [92]
+
+    # the loop keeps working on the compacted index
+    ep3 = spark.createDataFrame(
+        [(30, "brand new second epoch text"),      # hits compacted base
+         (31, "a third epoch novel document")],
+        "doc_id long, text string")
+    assert sorted(r.doc_id for r in dedup_index_ingest_batch(
+        ep3, idx, batch_id=3).collect()) == [31]
