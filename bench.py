@@ -163,6 +163,8 @@ HEADLINE = [
                                       # gopher -> index dedup -> key
                                       # append (r9); cold builds the
                                       # historical index once
+    "leiden_two_scale",               # multi-level leiden + no-op
+                                      # refinement proof (r9)
 ]
 
 
