@@ -1283,10 +1283,66 @@ def build_bm25_index(
     write_parquet_sized(terms, f"{path}/terms", target_mb=target_mb)
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"))
+        F.avg("dl").alias("avgdl"),
+        # exact corpus token mass, so incremental epochs
+        # (bm25_index_ingest_batch) recombine avgdl without the
+        # n*avg round-trip losing ulps
+        F.sum("dl").alias("sum_dl"))
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     return int(spark.read.parquet(f"{path}/stats")
                .collect()[0]["n_docs"])
+
+
+def bm25_index_ingest_batch(
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Extend a persisted BM25 index with one ingest epoch — the
+    maintenance loop the dedup index already has, applied to lexical
+    search: the epoch's postings, per-term document frequencies and
+    corpus stats land under ``{path}/postings_delta,terms_delta,
+    stats_delta/_batch_id=<k>`` with dynamic partition overwrite, so
+    a crash-replayed epoch rewrites itself (exactly-once, the
+    idempotent_parquet_sink device). Queries through
+    bm25_search_indexed see base ∪ deltas with df summed across tiers
+    and avgdl recombined from exact per-tier (n_docs, sum_dl) pairs —
+    scoring equals a from-scratch rebuild over the union corpus
+    (pytest-pinned). Doc ids are assumed globally unique across
+    epochs (index AFTER dedup — the pipeline order). Returns the
+    number of docs ingested."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    base = batch.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("double").alias("dl"),
+    ).localCheckpoint(eager=False)
+    postings = (
+        base.select("id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    (postings.withColumn("_batch_id", F.lit(int(batch_id)))
+     .sortWithinPartitions("term")
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id").parquet(f"{path}/postings_delta"))
+    terms = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    (terms.withColumn("_batch_id", F.lit(int(batch_id)))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id").parquet(f"{path}/terms_delta"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"))
+    (stats.withColumn("_batch_id", F.lit(int(batch_id)))
+     .coalesce(1).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id").parquet(f"{path}/stats_delta"))
+    return int(base.count())
 
 
 def bm25_search_indexed(
@@ -1304,15 +1360,38 @@ def bm25_search_indexed(
     row groups, not the corpus — joins the broadcast per-term df rows
     and the 1-row stats, and runs the identical Robertson scoring.
     Bit-identical to bm25_search on the same corpus (pytest + the
-    shared oracle)."""
+    shared oracle). When the index has been maintained incrementally
+    (bm25_index_ingest_batch), the delta tiers fold in: postings
+    union, df summed per term across tiers, avgdl recombined from
+    exact per-tier (n_docs, sum_dl) pairs."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    from .dedup import _index_tier
+
     terms = [t.lower() for t in query_terms]
-    postings = spark.read.parquet(f"{path}/postings") \
+    postings = _index_tier(spark, f"{path}/postings",
+                           f"{path}/postings_delta", None) \
         .filter(F.col("term").isin(*terms))
-    dfreq = spark.read.parquet(f"{path}/terms") \
-        .filter(F.col("term").isin(*terms))
-    stats = spark.read.parquet(f"{path}/stats")
+    dfreq = _index_tier(spark, f"{path}/terms",
+                        f"{path}/terms_delta", None) \
+        .filter(F.col("term").isin(*terms)) \
+        .groupBy("term").agg(F.sum("df").alias("df"))
+    base_stats = spark.read.parquet(f"{path}/stats")
+    if "sum_dl" not in base_stats.columns:
+        # pre-maintenance indexes store (n_docs, avgdl) only
+        base_stats = base_stats.withColumn(
+            "sum_dl", F.col("n_docs") * F.col("avgdl"))
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/stats_delta")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tiers = base_stats.select("n_docs", "sum_dl")
+    if fs.exists(jpath):
+        tiers = tiers.unionByName(
+            spark.read.parquet(f"{path}/stats_delta")
+            .select("n_docs", "sum_dl"))
+    stats = tiers.agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"))
     scored = (
         postings.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))

@@ -3392,3 +3392,60 @@ def test_leiden_resolution_monotone(spark):
 
     with pytest.raises(ValueError, match="resolution"):
         leiden_communities(edges, nodes, resolution=0.0)
+
+
+def test_bm25_index_maintenance_equals_union_rebuild(spark, tmp_path):
+    """The BM25 maintenance loop: after ingesting an epoch, indexed
+    search equals bm25_search over the UNION corpus (df summed across
+    tiers, avgdl recombined from exact token masses); a re-delivered
+    epoch is a no-op; the pre-epoch index still matches the base
+    corpus alone before any ingest."""
+    from graphlite_spark.operators.text import (bm25_index_ingest_batch,
+                                                bm25_search,
+                                                bm25_search_indexed,
+                                                build_bm25_index)
+
+    c1 = spark.createDataFrame(
+        [(1, "spark engine for big data processing"),
+         (2, "graph engine with gql query support"),
+         (3, "data pipelines and spark streaming")],
+        "doc_id long, text string")
+    c2 = spark.createDataFrame(
+        [(10, "spark graph analytics at scale"),
+         (11, "another document about engines"),
+         (12, "query processing on big graph data")],
+        "doc_id long, text string")
+    q = ["spark", "graph", "data"]
+
+    idx = str(tmp_path / "bm25idx")
+    build_bm25_index(c1, idx)
+    base_only = [(r.doc_id, r.score) for r in
+                 bm25_search_indexed(spark, idx, q, k=10).collect()]
+    exp1 = [(r.doc_id, r.score) for r in
+            bm25_search(c1, q, k=10).collect()]
+    assert base_only == exp1
+
+    assert bm25_index_ingest_batch(c2, idx, batch_id=1) == 3
+    got = [(r.doc_id, r.score) for r in
+           bm25_search_indexed(spark, idx, q, k=10).collect()]
+    exp = [(r.doc_id, r.score) for r in
+           bm25_search(c1.unionByName(c2), q, k=10).collect()]
+    assert got == exp
+
+    # crash replay: same epoch re-delivered -> identical results
+    bm25_index_ingest_batch(c2, idx, batch_id=1)
+    again = [(r.doc_id, r.score) for r in
+             bm25_search_indexed(spark, idx, q, k=10).collect()]
+    assert again == got
+
+    # a second epoch keeps composing
+    c3 = spark.createDataFrame(
+        [(20, "spark spark spark heavy repetition")],
+        "doc_id long, text string")
+    bm25_index_ingest_batch(c3, idx, batch_id=2)
+    got3 = [(r.doc_id, r.score) for r in
+            bm25_search_indexed(spark, idx, q, k=10).collect()]
+    exp3 = [(r.doc_id, r.score) for r in
+            bm25_search(c1.unionByName(c2).unionByName(c3),
+                        q, k=10).collect()]
+    assert got3 == exp3
