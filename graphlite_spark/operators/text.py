@@ -1345,6 +1345,74 @@ def bm25_index_ingest_batch(
     return int(base.count())
 
 
+def compact_bm25_index(spark, path: str, target_mb: int = 256) -> int:
+    """Fold a maintained BM25 index's delta tiers back into its base
+    (the compact_dedup_index hygiene pass for the lexical index):
+    postings rewrite term-sorted (row-group pruning is restored for
+    the whole corpus — delta partitions were only sorted within their
+    epoch), per-term df re-sums, stats recombine into one row with an
+    exact sum_dl. Score-preserving by construction (same tf/df/dl
+    multiset — pytest-pinned), and like every compaction here it runs
+    BETWEEN epochs: the rename swap is not atomic across files and a
+    `_precompact` backup covers a crash mid-swap. Returns n_docs."""
+    from graphlite_spark.sources.sinks import write_parquet_sized
+
+    from .dedup import _index_tier
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _p(x):
+        return jvm.org.apache.hadoop.fs.Path(x)
+
+    fs = _p(path).getFileSystem(conf)
+
+    def _swap(tier: str, frame, sort_by=None):
+        tmp = f"{path}/{tier}_compact"
+        if sort_by:
+            write_parquet_sized(frame, tmp, target_mb=target_mb,
+                                sort_by=sort_by)
+        else:
+            frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        backup = f"{path}/{tier}_precompact"
+        if fs.exists(_p(backup)):
+            fs.delete(_p(backup), True)
+        fs.rename(_p(f"{path}/{tier}"), _p(backup))
+        fs.rename(_p(tmp), _p(f"{path}/{tier}"))
+        delta = f"{path}/{tier}_delta"
+        if fs.exists(_p(delta)):
+            fs.delete(_p(delta), True)
+        fs.delete(_p(backup), True)
+
+    postings = _index_tier(spark, f"{path}/postings",
+                           f"{path}/postings_delta", None)
+    _swap("postings", postings, sort_by=["term"])
+    terms = spark.read.parquet(f"{path}/terms")
+    jd = _p(f"{path}/terms_delta")
+    if fs.exists(jd):
+        terms = terms.unionByName(
+            spark.read.parquet(f"{path}/terms_delta")
+            .select(*terms.columns))
+    _swap("terms", terms.groupBy("term").agg(F.sum("df").alias("df")))
+    base_stats = spark.read.parquet(f"{path}/stats")
+    if "sum_dl" not in base_stats.columns:
+        base_stats = base_stats.withColumn(
+            "sum_dl", F.col("n_docs") * F.col("avgdl"))
+    tiers = base_stats.select("n_docs", "sum_dl")
+    jsd = _p(f"{path}/stats_delta")
+    if fs.exists(jsd):
+        tiers = tiers.unionByName(
+            spark.read.parquet(f"{path}/stats_delta")
+            .select("n_docs", "sum_dl"))
+    combined = tiers.agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+        F.sum("sum_dl").alias("sum_dl"))
+    _swap("stats", combined)
+    return int(spark.read.parquet(f"{path}/stats")
+               .collect()[0]["n_docs"])
+
+
 def bm25_search_indexed(
     spark,
     path: str,

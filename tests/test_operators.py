@@ -3449,3 +3449,49 @@ def test_bm25_index_maintenance_equals_union_rebuild(spark, tmp_path):
             bm25_search(c1.unionByName(c2).unionByName(c3),
                         q, k=10).collect()]
     assert got3 == exp3
+
+
+def test_compact_bm25_index_preserves_scores(spark, tmp_path):
+    """BM25 compaction: after folding deltas into the base, every
+    query scores identically, the delta dirs are gone, and further
+    epochs keep composing on the compacted index."""
+    import os
+
+    from graphlite_spark.operators.text import (bm25_index_ingest_batch,
+                                                bm25_search,
+                                                bm25_search_indexed,
+                                                build_bm25_index,
+                                                compact_bm25_index)
+
+    c1 = spark.createDataFrame(
+        [(1, "spark engine for big data processing"),
+         (2, "graph engine with gql query support")],
+        "doc_id long, text string")
+    c2 = spark.createDataFrame(
+        [(10, "spark graph analytics at scale"),
+         (11, "query processing on big graph data")],
+        "doc_id long, text string")
+    q = ["spark", "graph", "data"]
+    idx = str(tmp_path / "bm25c")
+    build_bm25_index(c1, idx)
+    bm25_index_ingest_batch(c2, idx, batch_id=1)
+    before = [(r.doc_id, r.score) for r in
+              bm25_search_indexed(spark, idx, q, k=10).collect()]
+
+    assert compact_bm25_index(spark, idx) == 4
+    assert not os.path.exists(idx + "/postings_delta")
+    assert not os.path.exists(idx + "/terms_delta")
+    assert not os.path.exists(idx + "/stats_delta")
+    after = [(r.doc_id, r.score) for r in
+             bm25_search_indexed(spark, idx, q, k=10).collect()]
+    assert after == before
+
+    c3 = spark.createDataFrame(
+        [(20, "spark data one more epoch")], "doc_id long, text string")
+    bm25_index_ingest_batch(c3, idx, batch_id=2)
+    got = [(r.doc_id, r.score) for r in
+           bm25_search_indexed(spark, idx, q, k=10).collect()]
+    exp = [(r.doc_id, r.score) for r in
+           bm25_search(c1.unionByName(c2).unionByName(c3),
+                       q, k=10).collect()]
+    assert got == exp
