@@ -881,34 +881,16 @@ def rescore_topk(
     )
 
 
-def build_rescore_index(
-    items: DataFrame,
-    path: str,
-    bits: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    target_mb: int = 256,
-) -> int:
-    """Materialize rescore_topk's coarse representation ONCE: int8/int4
-    codes + per-vector scale + precomputed code norm, written as
-    size-targeted parquet (``{path}/codes``) with a 1-row
-    ``{path}/meta`` (bits, dim, n_items). rescore_topk re-quantizes
-    the whole corpus on every call — correct, but at 100 TB the int8
-    copy is the thing you build once and scan per query batch; this is
-    that build. Quantization uses EXACTLY rescore_topk's arithmetic
-    (np.rint half-even, float64 scales), so rescore_topk_indexed over
-    this index is bit-identical to the direct operator. Returns
-    n_items (persisted in meta so queries skip the sizing count).
-    """
+def _encode_int_codes(it: DataFrame, bits: int, id_type) -> DataFrame:
+    """The int8/int4 quantization kernel shared by build_rescore_index
+    and ann_index_ingest_batch: per-vector max-abs scales, np.rint
+    half-even codes, precomputed code norms — EXACTLY rescore_topk's
+    arithmetic, so indexed scans are bit-identical to the direct
+    operator whether a row was indexed at build time or by a later
+    epoch (codes are per-row self-contained; no cross-record state)."""
     import numpy as np
 
-    from graphlite_spark.sources.sinks import write_parquet_sized
-
-    if bits not in (8, 4):
-        raise ValueError(f"bits must be 8 or 4, got {bits}")
     qmax = 127.0 if bits == 8 else 7.0
-    it = items.select(
-        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv"))
 
     def encode(batches):
         import pandas as pd
@@ -935,14 +917,135 @@ def build_rescore_index(
         StructType,
     )
 
-    id_type = items.schema[id_col].dataType
     schema = StructType([
         StructField("_iid", id_type, False),
         StructField("_codes", ArrayType(ByteType()), False),
         StructField("_scale", DoubleType(), False),
         StructField("_inorm", DoubleType(), False),
     ])
-    codes = it.mapInPandas(encode, schema)
+    return it.mapInPandas(encode, schema)
+
+
+def ann_index_ingest_batch(
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Extend a persisted int-code ANN index with one ingest epoch —
+    the index-maintenance loop (dedup, BM25) applied to the third
+    persisted index family. Codes are per-row self-contained (the
+    scale is per-vector), so an epoch is simply the shared
+    quantization kernel written under
+    ``{path}/codes_delta/_batch_id=<k>`` plus a 1-row per-epoch count
+    under ``meta_delta`` (readers recombine n_items for the
+    candidate-fraction cut). Dynamic partition overwrite makes
+    replayed epochs rewrite themselves (exactly-once). Ids are
+    assumed unique across epochs (index AFTER dedup). Returns the
+    number of vectors ingested."""
+    spark = batch.sparkSession
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    it = batch.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv"))
+    codes = _encode_int_codes(it, int(meta["bits"]),
+                              batch.schema[id_col].dataType)
+    (codes.withColumn("_batch_id", F.lit(int(batch_id)))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id").parquet(path + "/codes_delta"))
+    n = batch.count()
+    (spark.createDataFrame([(int(n),)], "n_items long")
+     .withColumn("_batch_id", F.lit(int(batch_id)))
+     .coalesce(1).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id").parquet(path + "/meta_delta"))
+    return int(n)
+
+
+def _ann_index_frames(spark, index_path: str):
+    """(codes, n_items) for a possibly-maintained ANN index: base ∪
+    code deltas, with n_items recombined from the base meta plus the
+    per-epoch counts."""
+    from .dedup import _index_tier
+
+    codes = _index_tier(spark, index_path + "/codes",
+                        index_path + "/codes_delta", None)
+    meta = spark.read.parquet(index_path + "/meta").collect()[0]
+    n_items = int(meta["n_items"])
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(index_path + "/meta_delta")
+    if jp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jp):
+        extra = spark.read.parquet(index_path + "/meta_delta") \
+            .agg(F.sum("n_items")).collect()[0][0]
+        n_items += int(extra or 0)
+    return codes, n_items
+
+
+def compact_ann_index(spark, path: str, target_mb: int = 256) -> int:
+    """Fold a maintained ANN index's code deltas back into its base
+    (the shared compaction contract: run between epochs, _precompact
+    backup covers a crash mid-swap) and refresh meta's n_items.
+    Scan-preserving by construction — codes rows are immutable, only
+    their layout changes. Returns the compacted n_items."""
+    from graphlite_spark.sources.sinks import write_parquet_sized
+
+    codes, n_items = _ann_index_frames(spark, path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _p(x):
+        return jvm.org.apache.hadoop.fs.Path(x)
+
+    fs = _p(path).getFileSystem(conf)
+    tmp = path + "/codes_compact"
+    write_parquet_sized(codes.select("_iid", "_codes", "_scale",
+                                     "_inorm"), tmp, target_mb=target_mb)
+    backup = path + "/codes_precompact"
+    if fs.exists(_p(backup)):
+        fs.delete(_p(backup), True)
+    fs.rename(_p(path + "/codes"), _p(backup))
+    fs.rename(_p(tmp), _p(path + "/codes"))
+    for d in ("/codes_delta", "/meta_delta"):
+        if fs.exists(_p(path + d)):
+            fs.delete(_p(path + d), True)
+    fs.delete(_p(backup), True)
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    spark.createDataFrame(
+        [(int(meta["bits"]), int(meta["dim"]), int(n_items))],
+        "bits: int, dim: int, n_items: long",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    return int(n_items)
+
+
+def build_rescore_index(
+    items: DataFrame,
+    path: str,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_mb: int = 256,
+) -> int:
+    """Materialize rescore_topk's coarse representation ONCE: int8/int4
+    codes + per-vector scale + precomputed code norm, written as
+    size-targeted parquet (``{path}/codes``) with a 1-row
+    ``{path}/meta`` (bits, dim, n_items). rescore_topk re-quantizes
+    the whole corpus on every call — correct, but at 100 TB the int8
+    copy is the thing you build once and scan per query batch; this is
+    that build. Quantization uses EXACTLY rescore_topk's arithmetic
+    (np.rint half-even, float64 scales), so rescore_topk_indexed over
+    this index is bit-identical to the direct operator. Returns
+    n_items (persisted in meta so queries skip the sizing count).
+    """
+    import numpy as np
+
+    from graphlite_spark.sources.sinks import write_parquet_sized
+
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    it = items.select(
+        F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv"))
+    codes = _encode_int_codes(it, bits, items.schema[id_col].dataType)
     write_parquet_sized(codes, path + "/codes", target_mb=target_mb)
     spark = items.sparkSession
     meta = spark.read.parquet(path + "/codes")
@@ -983,7 +1086,8 @@ def rescore_topk_indexed(
             f"candidate_fraction must be in (0, 1], got {candidate_fraction}")
     spark = items.sparkSession
     meta = spark.read.parquet(index_path + "/meta").collect()[0]
-    bits, n_items = int(meta["bits"]), int(meta["n_items"])
+    bits = int(meta["bits"])
+    _codes_tier, n_items = _ann_index_frames(spark, index_path)
     qmax = 127.0 if bits == 8 else 7.0
     c_cut = max(k, int(-(-candidate_fraction * n_items // 1)))
 
@@ -998,7 +1102,7 @@ def rescore_topk_indexed(
     sc = spark.sparkContext
     bq = sc.broadcast((qids, q_i8, qscale))
 
-    codes = spark.read.parquet(index_path + "/codes")
+    codes = _codes_tier.select("_iid", "_codes", "_scale", "_inorm")
 
     def coarse(batches):
         import pandas as pd
@@ -1407,8 +1511,9 @@ def semantic_dedup_int8(
         assigned = it.withColumn(
             "_list", make_assign(cents, 1)(F.col("_iv"))[0]
         ).select("_iid", "_list")
-        codes = spark.read.parquet(index_path + "/codes")
-        qdf = assigned.join(codes, "_iid")
+        codes, _n = _ann_index_frames(spark, index_path)
+        qdf = assigned.join(
+            codes.select("_iid", "_codes", "_scale", "_inorm"), "_iid")
     else:
         qdf = _int8_assign_encode(it, cents, items.schema[id_col].dataType)
 

@@ -3495,3 +3495,55 @@ def test_compact_bm25_index_preserves_scores(spark, tmp_path):
            bm25_search(c1.unionByName(c2).unionByName(c3),
                        q, k=10).collect()]
     assert got == exp
+
+
+def test_ann_index_maintenance_and_compaction(spark, tmp_path):
+    """The third persisted index completes the lifecycle: after
+    ingesting an epoch, rescore_topk_indexed over the maintained
+    index is bit-identical to the direct operator on the UNION corpus
+    (codes are per-row self-contained); replay is a no-op; compaction
+    preserves every answer, drops the deltas, and refreshes meta."""
+    import os
+
+    from graphlite_spark.operators.similarity import (
+        ann_index_ingest_batch,
+        build_rescore_index,
+        compact_ann_index,
+        rescore_topk,
+        rescore_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = emb.filter("vec_id % 2 = 0")
+    c2 = emb.filter("vec_id % 2 = 1")
+    union = c1.unionByName(c2)
+    q = emb.filter("vec_id < 3").selectExpr(
+        "vec_id + 1000000 AS query_id", "embedding")
+
+    idx = str(tmp_path / "annidx")
+    n1 = build_rescore_index(c1, idx, bits=8)
+    assert ann_index_ingest_batch(c2, idx, batch_id=1) \
+        == union.count() - n1
+
+    got = sorted((r.query_id, r.item_id, r.score) for r in
+                 rescore_topk_indexed(union, q, idx, k=5,
+                                      candidate_fraction=0.3).collect())
+    exp = sorted((r.query_id, r.item_id, r.score) for r in
+                 rescore_topk(union, q, k=5, bits=8,
+                              candidate_fraction=0.3).collect())
+    assert got == exp and len(got) == 15
+
+    ann_index_ingest_batch(c2, idx, batch_id=1)   # replay
+    again = sorted((r.query_id, r.item_id, r.score) for r in
+                   rescore_topk_indexed(union, q, idx, k=5,
+                                        candidate_fraction=0.3).collect())
+    assert again == got
+
+    n_total = compact_ann_index(spark, idx)
+    assert n_total == union.count()
+    assert not os.path.exists(idx + "/codes_delta")
+    assert not os.path.exists(idx + "/meta_delta")
+    after = sorted((r.query_id, r.item_id, r.score) for r in
+                   rescore_topk_indexed(union, q, idx, k=5,
+                                        candidate_fraction=0.3).collect())
+    assert after == got
