@@ -960,9 +960,12 @@ def build_dedup_index(
     """
     from graphlite_spark.sources.sinks import write_parquet_sized
 
+    from .index_store import reset_manifest
+
     if num_hashes % bands != 0:
         raise ValueError(
             f"bands must divide num_hashes, got {num_hashes}/{bands}")
+    reset_manifest(corpus.sparkSession, path, ["exact", "bands"])
     key = (F.lower(F.trim(F.col(text_col))) if normalize
            else F.col(text_col))
     exact = corpus.select(F.xxhash64(key).alias("h")).distinct()
@@ -983,29 +986,19 @@ def build_dedup_index(
     return n_docs
 
 
-def _index_tier(spark, base_path: str, delta_path: str,
+def _index_tier(spark, path: str, tier: str,
                 before_batch: "int | None") -> DataFrame:
-    """Read one key tier of a persisted dedup index: the immutable
-    base plus, when present, the append-only delta partitions
-    (``_batch_id=<k>`` directories written by the maintenance loop).
-    ``before_batch=k`` keeps only deltas with _batch_id < k — the
-    replay-safe read an ingest of epoch k must use so a re-delivered
-    epoch never sees its OWN keys (partition pruning makes the filter
-    a directory skip, not a scan)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(delta_path)
-    base = spark.read.parquet(base_path)
-    if not jpath.getFileSystem(conf).exists(jpath):
-        return base
-    try:
-        delta = spark.read.parquet(delta_path)
-    except Exception:
-        # an all-empty-epoch delta dir has no schema to infer
-        return base
-    if before_batch is not None:
-        delta = delta.filter(F.col("_batch_id") < int(before_batch))
-    return base.unionByName(delta.select(*base.columns))
+    """Read one key tier of a persisted index: the live base (resolved
+    through the index's manifest — see index_store) plus the delta
+    partitions visible under the manifest's clamps (``delta_floor <
+    _batch_id <= hwm``); ``before_batch=k`` further keeps only deltas
+    with _batch_id < k — the replay-safe read an ingest of epoch k
+    must use so a re-delivered epoch never sees its OWN keys
+    (partition pruning makes every one of these filters a directory
+    skip, not a scan)."""
+    from .index_store import read_tier
+
+    return read_tier(spark, path, tier, before_batch=before_batch)
 
 
 def dedup_against_index(
@@ -1048,8 +1041,7 @@ def dedup_against_index(
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     key = (F.lower(F.trim(F.col(text_col))) if m.normalize
            else F.col(text_col))
-    exact_idx = _index_tier(spark, f"{path}/exact",
-                            f"{path}/exact_delta", before_batch)
+    exact_idx = _index_tier(spark, path, "exact", before_batch)
     hashed = new_docs.withColumn("_h", F.xxhash64(key))
     exact_ids = (
         hashed.select(F.col(id_col).alias("_eid"), "_h")
@@ -1058,8 +1050,7 @@ def dedup_against_index(
     )
     near_ids = None
     if near:
-        bands_idx = _index_tier(spark, f"{path}/bands",
-                                f"{path}/bands_delta", before_batch)
+        bands_idx = _index_tier(spark, path, "bands", before_batch)
         sig = minhash_signatures(new_docs, text_col, id_col, n=m.n,
                                  num_hashes=m.num_hashes, words=m.words)
         bb = _band_bucket_frame(sig, id_col, m.num_hashes, m.bands)
@@ -1098,41 +1089,44 @@ def compact_dedup_index(spark, path: str, target_mb: int = 256) -> dict:
 
     Key-set-preserving by construction (distinct union —
     dedup_against_index answers are identical before and after,
-    pytest-pinned) and safe to schedule BETWEEN epochs: the swap
-    (rename old base away, rename compacted in, delete deltas) is
-    not atomic across files, so run it when no concurrent epoch is
-    mid-flight — the same offline-compaction contract every
-    LSM-shaped store documents. A crash mid-swap leaves either the
-    old layout or the new one plus a `_precompact` backup dir to
-    recover from; it never loses keys.
+    pytest-pinned) and ATOMIC to readers: the folded base is written
+    NEXT TO the live one (``{tier}_v{n}``) and published with one
+    manifest-file rename (index_store.commit_compaction) — a reader
+    racing the compaction resolves either the old complete layout or
+    the new complete layout, never a torn middle. A crash at ANY
+    point between two filesystem operations leaves every reader
+    consistent (crash-injection pytest at every cut point); garbage
+    from a crash mid-GC is swept by the next compaction. Epochs
+    folded into the base are fenced off by ``delta_floor`` rather
+    than read-then-deleted, so answers never double-count.
 
     Returns {'exact': n_keys, 'bands': n_keys} after compaction.
     """
     from graphlite_spark.sources.sinks import write_parquet_sized
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
+    from .index_store import (
+        _fault_point,
+        commit_compaction,
+        current_manifest,
+        gc_index,
+        read_tier,
+    )
 
-    def _p(x):
-        return jvm.org.apache.hadoop.fs.Path(x)
-
-    fs = _p(path).getFileSystem(conf)
-    counts = {}
+    m = current_manifest(spark, path)
+    v = int(m.get("version", 1)) + 1
+    tiers = ("exact", "bands")
+    counts, new_tiers = {}, {}
     for tier, cols in (("exact", ["h"]), ("bands", ["band", "bucket"])):
-        base, delta = f"{path}/{tier}", f"{path}/{tier}_delta"
-        combined = _index_tier(spark, base, delta, before_batch=None) \
+        combined = read_tier(spark, path, tier, manifest=m) \
             .select(*cols).distinct()
-        tmp = f"{path}/{tier}_compact"
-        write_parquet_sized(combined, tmp, target_mb=target_mb)
-        counts[tier] = spark.read.parquet(tmp).count()
-        backup = f"{path}/{tier}_precompact"
-        if fs.exists(_p(backup)):
-            fs.delete(_p(backup), True)
-        fs.rename(_p(base), _p(backup))
-        fs.rename(_p(tmp), _p(base))
-        if fs.exists(_p(delta)):
-            fs.delete(_p(delta), True)
-        fs.delete(_p(backup), True)
+        new_dir = f"{tier}_v{v}"
+        _fault_point(f"compact:write:{tier}")
+        write_parquet_sized(combined, f"{path}/{new_dir}",
+                            target_mb=target_mb)
+        counts[tier] = spark.read.parquet(f"{path}/{new_dir}").count()
+        new_tiers[tier] = new_dir
+    m2 = commit_compaction(spark, path, new_tiers, m)
+    gc_index(spark, path, m2, list(tiers))
     return counts
 
 
@@ -1172,16 +1166,33 @@ def dedup_index_ingest_batch(
     all survivors) — incremental maintenance is indistinguishable
     from a from-scratch rebuild.
 
+    Writer fencing (index_store.fence_epoch): each committed epoch
+    records a high-water mark in the index manifest. The next epoch
+    must be ``hwm + 1`` (a gap RAISES — a skipped epoch means data
+    was lost upstream); ``batch_id <= hwm`` is treated as a crash
+    replay and becomes a VERIFIED no-op — survivors are recomputed
+    from the same as-of reads, checked multiset-equal against the
+    committed delta partitions (a duplicate batch_id carrying
+    DIFFERENT data raises instead of silently interleaving), and
+    returned without writing.
+
     Returns the surviving rows of ``batch``.
     """
     from pyspark.sql import Window
 
+    from .index_store import (
+        commit_epoch,
+        fence_epoch,
+        read_delta,
+        verify_replay,
+    )
+
     spark = batch.sparkSession
+    mode, manifest = fence_epoch(spark, path, batch_id)
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     key = (F.lower(F.trim(F.col(text_col))) if m.normalize
            else F.col(text_col))
-    exact_idx = _index_tier(spark, f"{path}/exact",
-                            f"{path}/exact_delta", before_batch=batch_id)
+    exact_idx = _index_tier(spark, path, "exact", before_batch=batch_id)
     hashed = batch.withColumn("_h", F.xxhash64(key)) \
         .localCheckpoint(eager=False)
     # batch-internal exact: min id per hash
@@ -1193,8 +1204,7 @@ def dedup_index_ingest_batch(
                      "left_anti")
     bb = None
     if near:
-        bands_idx = _index_tier(spark, f"{path}/bands",
-                                f"{path}/bands_delta",
+        bands_idx = _index_tier(spark, path, "bands",
                                 before_batch=batch_id)
         sig = minhash_signatures(batch, text_col, id_col, n=m.n,
                                  num_hashes=m.num_hashes, words=m.words)
@@ -1224,26 +1234,45 @@ def dedup_index_ingest_batch(
         .select(*batch.columns)
         .localCheckpoint(eager=True)
     )
-    # append the survivors' keys — idempotent per-epoch partitions
+    # the epoch's key frames — what a 'run' writes and what a
+    # 'replay' re-derives for verification
     surv_ids = survivors.select(F.col(id_col).alias("_sid"))
     new_exact = (
         hashed.join(surv_ids, hashed[id_col] == surv_ids["_sid"],
                     "left_semi")
         .select(F.col("_h").alias("h"))
         .distinct()
-        .withColumn("_batch_id", F.lit(int(batch_id)))
     )
-    (new_exact.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("_batch_id").parquet(f"{path}/exact_delta"))
+    new_bands = None
     if near and bb is not None:
         new_bands = (
             bb.join(surv_ids, bb[id_col] == surv_ids["_sid"],
                     "left_semi")
             .select("band", "bucket").distinct()
-            .withColumn("_batch_id", F.lit(int(batch_id)))
         )
-        (new_bands.write.mode("overwrite")
+    if mode == "replay":
+        verify_replay(
+            read_delta(spark, path, "exact", manifest,
+                       at_batch=batch_id),
+            new_exact, path, "exact", batch_id)
+        if new_bands is not None:
+            verify_replay(
+                read_delta(spark, path, "bands", manifest,
+                           at_batch=batch_id),
+                new_bands, path, "bands", batch_id)
+        return survivors
+    # append the survivors' keys — idempotent per-epoch partitions
+    (new_exact.withColumn("_batch_id", F.lit(int(batch_id)))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id").parquet(f"{path}/exact_delta"))
+    if new_bands is not None:
+        (new_bands.withColumn("_batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_batch_id").parquet(f"{path}/bands_delta"))
+    # publish the epoch: hwm := batch_id (crash before this line ->
+    # the partitions sit above hwm, invisible; replay re-runs as
+    # a normal epoch and overwrites them)
+    commit_epoch(spark, path, batch_id, manifest)
     return survivors

@@ -942,24 +942,48 @@ def ann_index_ingest_batch(
     under ``meta_delta`` (readers recombine n_items for the
     candidate-fraction cut). Dynamic partition overwrite makes
     replayed epochs rewrite themselves (exactly-once). Ids are
-    assumed unique across epochs (index AFTER dedup). Returns the
+    assumed unique across epochs (index AFTER dedup). Epochs are
+    FENCED like the dedup index's (index_store.fence_epoch): a gap
+    past the committed high-water mark raises, and a re-delivered
+    epoch is a verified no-op — codes and count recompute and check
+    multiset-equal against the committed partitions. Returns the
     number of vectors ingested."""
+    from .index_store import (
+        commit_epoch,
+        fence_epoch,
+        read_base,
+        read_delta,
+        verify_replay,
+    )
+
     spark = batch.sparkSession
-    meta = spark.read.parquet(path + "/meta").collect()[0]
+    mode, manifest = fence_epoch(spark, path, batch_id)
+    meta = read_base(spark, path, "meta", manifest).collect()[0]
     it = batch.select(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv"))
     codes = _encode_int_codes(it, int(meta["bits"]),
                               batch.schema[id_col].dataType)
+    n = batch.count()
+    counts = spark.createDataFrame([(int(n),)], "n_items long")
+    if mode == "replay":
+        verify_replay(
+            read_delta(spark, path, "codes", manifest,
+                       at_batch=batch_id),
+            codes, path, "codes", batch_id)
+        verify_replay(
+            read_delta(spark, path, "meta", manifest,
+                       at_batch=batch_id),
+            counts, path, "meta", batch_id)
+        return int(n)
     (codes.withColumn("_batch_id", F.lit(int(batch_id)))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("_batch_id").parquet(path + "/codes_delta"))
-    n = batch.count()
-    (spark.createDataFrame([(int(n),)], "n_items long")
-     .withColumn("_batch_id", F.lit(int(batch_id)))
+    (counts.withColumn("_batch_id", F.lit(int(batch_id)))
      .coalesce(1).write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("_batch_id").parquet(path + "/meta_delta"))
+    commit_epoch(spark, path, batch_id, manifest)
     return int(n)
 
 
@@ -967,54 +991,60 @@ def _ann_index_frames(spark, index_path: str):
     """(codes, n_items) for a possibly-maintained ANN index: base ∪
     code deltas, with n_items recombined from the base meta plus the
     per-epoch counts."""
-    from .dedup import _index_tier
+    from .index_store import (
+        current_manifest,
+        read_base,
+        read_delta,
+        read_tier,
+    )
 
-    codes = _index_tier(spark, index_path + "/codes",
-                        index_path + "/codes_delta", None)
-    meta = spark.read.parquet(index_path + "/meta").collect()[0]
+    man = current_manifest(spark, index_path)
+    codes = read_tier(spark, index_path, "codes", manifest=man)
+    meta = read_base(spark, index_path, "meta", man).collect()[0]
     n_items = int(meta["n_items"])
-    jvm = spark._jvm
-    jp = jvm.org.apache.hadoop.fs.Path(index_path + "/meta_delta")
-    if jp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jp):
-        extra = spark.read.parquet(index_path + "/meta_delta") \
-            .agg(F.sum("n_items")).collect()[0][0]
+    mdelta = read_delta(spark, index_path, "meta", man)
+    if mdelta is not None:
+        extra = mdelta.agg(F.sum("n_items")).collect()[0][0]
         n_items += int(extra or 0)
     return codes, n_items
 
 
 def compact_ann_index(spark, path: str, target_mb: int = 256) -> int:
     """Fold a maintained ANN index's code deltas back into its base
-    (the shared compaction contract: run between epochs, _precompact
-    backup covers a crash mid-swap) and refresh meta's n_items.
+    and refresh meta's n_items — ATOMIC to readers like the other two
+    families: the folded codes and the refreshed meta land as
+    ``codes_v{n}``/``meta_v{n}`` and are published together with one
+    manifest-file rename (index_store.commit_compaction); folded
+    delta partitions are fenced off by ``delta_floor`` before GC
+    deletes them (crash-injection pytest at every FS-op cut point).
     Scan-preserving by construction — codes rows are immutable, only
     their layout changes. Returns the compacted n_items."""
     from graphlite_spark.sources.sinks import write_parquet_sized
 
+    from .index_store import (
+        _fault_point,
+        commit_compaction,
+        current_manifest,
+        gc_index,
+        read_base,
+    )
+
+    m = current_manifest(spark, path)
+    v = int(m.get("version", 1)) + 1
     codes, n_items = _ann_index_frames(spark, path)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-
-    def _p(x):
-        return jvm.org.apache.hadoop.fs.Path(x)
-
-    fs = _p(path).getFileSystem(conf)
-    tmp = path + "/codes_compact"
+    meta = read_base(spark, path, "meta", m).collect()[0]
+    _fault_point("compact:write:codes")
     write_parquet_sized(codes.select("_iid", "_codes", "_scale",
-                                     "_inorm"), tmp, target_mb=target_mb)
-    backup = path + "/codes_precompact"
-    if fs.exists(_p(backup)):
-        fs.delete(_p(backup), True)
-    fs.rename(_p(path + "/codes"), _p(backup))
-    fs.rename(_p(tmp), _p(path + "/codes"))
-    for d in ("/codes_delta", "/meta_delta"):
-        if fs.exists(_p(path + d)):
-            fs.delete(_p(path + d), True)
-    fs.delete(_p(backup), True)
-    meta = spark.read.parquet(path + "/meta").collect()[0]
+                                     "_inorm"),
+                        f"{path}/codes_v{v}", target_mb=target_mb)
+    _fault_point("compact:write:meta")
     spark.createDataFrame(
         [(int(meta["bits"]), int(meta["dim"]), int(n_items))],
         "bits: int, dim: int, n_items: long",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta_v{v}")
+    m2 = commit_compaction(
+        spark, path, {"codes": f"codes_v{v}", "meta": f"meta_v{v}"}, m)
+    gc_index(spark, path, m2, ["codes", "meta"])
     return int(n_items)
 
 
@@ -1041,8 +1071,11 @@ def build_rescore_index(
 
     from graphlite_spark.sources.sinks import write_parquet_sized
 
+    from .index_store import reset_manifest
+
     if bits not in (8, 4):
         raise ValueError(f"bits must be 8 or 4, got {bits}")
+    reset_manifest(items.sparkSession, path, ["codes", "meta"])
     it = items.select(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv"))
     codes = _encode_int_codes(it, bits, items.schema[id_col].dataType)
@@ -1084,8 +1117,10 @@ def rescore_topk_indexed(
     if not 0.0 < candidate_fraction <= 1.0:
         raise ValueError(
             f"candidate_fraction must be in (0, 1], got {candidate_fraction}")
+    from .index_store import read_base
+
     spark = items.sparkSession
-    meta = spark.read.parquet(index_path + "/meta").collect()[0]
+    meta = read_base(spark, index_path, "meta").collect()[0]
     bits = int(meta["bits"])
     _codes_tier, n_items = _ann_index_frames(spark, index_path)
     qmax = 127.0 if bits == 8 else 7.0
@@ -1503,7 +1538,9 @@ def semantic_dedup_int8(
             F.col(id_col).alias("canonical_id"))
 
     if index_path is not None:
-        meta = spark.read.parquet(index_path + "/meta").collect()[0]
+        from .index_store import read_base
+
+        meta = read_base(spark, index_path, "meta").collect()[0]
         if int(meta["bits"]) != 8:
             raise ValueError(
                 "semantic_dedup_int8 requires a bits=8 index, got "

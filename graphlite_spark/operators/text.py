@@ -1264,6 +1264,10 @@ def build_bm25_index(
     Returns n_docs."""
     from graphlite_spark.sources.sinks import write_parquet_sized
 
+    from .index_store import reset_manifest
+
+    reset_manifest(corpus.sparkSession, path,
+                   ["postings", "terms", "stats"])
     toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     base = corpus.select(
         F.col(id_col).alias("id"),
@@ -1311,8 +1315,21 @@ def bm25_index_ingest_batch(
     and avgdl recombined from exact per-tier (n_docs, sum_dl) pairs —
     scoring equals a from-scratch rebuild over the union corpus
     (pytest-pinned). Doc ids are assumed globally unique across
-    epochs (index AFTER dedup — the pipeline order). Returns the
-    number of docs ingested."""
+    epochs (index AFTER dedup — the pipeline order). Epochs are
+    FENCED like the dedup index's (index_store.fence_epoch): a gap
+    past the committed high-water mark raises, and a re-delivered
+    epoch is a verified no-op — its postings/df/stats are recomputed
+    and checked multiset-equal against the committed partitions.
+    Returns the number of docs ingested."""
+    from .index_store import (
+        commit_epoch,
+        fence_epoch,
+        read_delta,
+        verify_replay,
+    )
+
+    spark = batch.sparkSession
+    mode, manifest = fence_epoch(spark, path, batch_id)
     toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     base = batch.select(
         F.col(id_col).alias("id"),
@@ -1324,24 +1341,33 @@ def bm25_index_ingest_batch(
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
+    terms = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"))
+    if mode == "replay":
+        for tier, frame in (("postings", postings), ("terms", terms),
+                            ("stats", stats)):
+            verify_replay(
+                read_delta(spark, path, tier, manifest,
+                           at_batch=batch_id),
+                frame, path, tier, batch_id)
+        return int(base.count())
     (postings.withColumn("_batch_id", F.lit(int(batch_id)))
      .sortWithinPartitions("term")
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("_batch_id").parquet(f"{path}/postings_delta"))
-    terms = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df"))
     (terms.withColumn("_batch_id", F.lit(int(batch_id)))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("_batch_id").parquet(f"{path}/terms_delta"))
-    stats = base.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum("dl").alias("sum_dl"))
     (stats.withColumn("_batch_id", F.lit(int(batch_id)))
      .coalesce(1).write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("_batch_id").parquet(f"{path}/stats_delta"))
+    commit_epoch(spark, path, batch_id, manifest)
     return int(base.count())
 
 
@@ -1352,64 +1378,63 @@ def compact_bm25_index(spark, path: str, target_mb: int = 256) -> int:
     the whole corpus — delta partitions were only sorted within their
     epoch), per-term df re-sums, stats recombine into one row with an
     exact sum_dl. Score-preserving by construction (same tf/df/dl
-    multiset — pytest-pinned), and like every compaction here it runs
-    BETWEEN epochs: the rename swap is not atomic across files and a
-    `_precompact` backup covers a crash mid-swap. Returns n_docs."""
+    multiset — pytest-pinned) and ATOMIC to readers: new bases land
+    as ``{tier}_v{n}`` and are published with one manifest-file
+    rename (index_store.commit_compaction); folded delta partitions
+    are fenced off by ``delta_floor`` before GC deletes them, so the
+    SUM semantics of the df/stats tiers never double-count even
+    mid-crash (crash-injection pytest at every FS-op cut point).
+    Returns n_docs."""
     from graphlite_spark.sources.sinks import write_parquet_sized
 
-    from .dedup import _index_tier
+    from .index_store import (
+        _fault_point,
+        commit_compaction,
+        current_manifest,
+        gc_index,
+        read_base,
+        read_delta,
+        read_tier,
+    )
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
+    m = current_manifest(spark, path)
+    v = int(m.get("version", 1)) + 1
+    new_tiers = {}
 
-    def _p(x):
-        return jvm.org.apache.hadoop.fs.Path(x)
-
-    fs = _p(path).getFileSystem(conf)
-
-    def _swap(tier: str, frame, sort_by=None):
-        tmp = f"{path}/{tier}_compact"
+    def _write(tier: str, frame, sort_by=None):
+        new_dir = f"{tier}_v{v}"
+        _fault_point(f"compact:write:{tier}")
         if sort_by:
-            write_parquet_sized(frame, tmp, target_mb=target_mb,
-                                sort_by=sort_by)
+            write_parquet_sized(frame, f"{path}/{new_dir}",
+                                target_mb=target_mb, sort_by=sort_by)
         else:
-            frame.coalesce(1).write.mode("overwrite").parquet(tmp)
-        backup = f"{path}/{tier}_precompact"
-        if fs.exists(_p(backup)):
-            fs.delete(_p(backup), True)
-        fs.rename(_p(f"{path}/{tier}"), _p(backup))
-        fs.rename(_p(tmp), _p(f"{path}/{tier}"))
-        delta = f"{path}/{tier}_delta"
-        if fs.exists(_p(delta)):
-            fs.delete(_p(delta), True)
-        fs.delete(_p(backup), True)
+            frame.coalesce(1).write.mode("overwrite") \
+                .parquet(f"{path}/{new_dir}")
+        new_tiers[tier] = new_dir
 
-    postings = _index_tier(spark, f"{path}/postings",
-                           f"{path}/postings_delta", None)
-    _swap("postings", postings, sort_by=["term"])
-    terms = spark.read.parquet(f"{path}/terms")
-    jd = _p(f"{path}/terms_delta")
-    if fs.exists(jd):
-        terms = terms.unionByName(
-            spark.read.parquet(f"{path}/terms_delta")
-            .select(*terms.columns))
-    _swap("terms", terms.groupBy("term").agg(F.sum("df").alias("df")))
-    base_stats = spark.read.parquet(f"{path}/stats")
+    postings = read_tier(spark, path, "postings", manifest=m)
+    _write("postings", postings, sort_by=["term"])
+    terms = read_base(spark, path, "terms", m)
+    tdelta = read_delta(spark, path, "terms", m)
+    if tdelta is not None:
+        terms = terms.unionByName(tdelta.select(*terms.columns))
+    _write("terms", terms.groupBy("term").agg(F.sum("df").alias("df")))
+    base_stats = read_base(spark, path, "stats", m)
     if "sum_dl" not in base_stats.columns:
         base_stats = base_stats.withColumn(
             "sum_dl", F.col("n_docs") * F.col("avgdl"))
     tiers = base_stats.select("n_docs", "sum_dl")
-    jsd = _p(f"{path}/stats_delta")
-    if fs.exists(jsd):
-        tiers = tiers.unionByName(
-            spark.read.parquet(f"{path}/stats_delta")
-            .select("n_docs", "sum_dl"))
+    sdelta = read_delta(spark, path, "stats", m)
+    if sdelta is not None:
+        tiers = tiers.unionByName(sdelta.select("n_docs", "sum_dl"))
     combined = tiers.agg(
         F.sum("n_docs").alias("n_docs"),
         (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
         F.sum("sum_dl").alias("sum_dl"))
-    _swap("stats", combined)
-    return int(spark.read.parquet(f"{path}/stats")
+    _write("stats", combined)
+    m2 = commit_compaction(spark, path, new_tiers, m)
+    gc_index(spark, path, m2, ["postings", "terms", "stats"])
+    return int(read_base(spark, path, "stats", m2)
                .collect()[0]["n_docs"])
 
 
@@ -1434,29 +1459,29 @@ def bm25_search_indexed(
     exact per-tier (n_docs, sum_dl) pairs."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    from .dedup import _index_tier
+    from .index_store import (
+        current_manifest,
+        read_base,
+        read_delta,
+        read_tier,
+    )
 
+    man = current_manifest(spark, path)
     terms = [t.lower() for t in query_terms]
-    postings = _index_tier(spark, f"{path}/postings",
-                           f"{path}/postings_delta", None) \
+    postings = read_tier(spark, path, "postings", manifest=man) \
         .filter(F.col("term").isin(*terms))
-    dfreq = _index_tier(spark, f"{path}/terms",
-                        f"{path}/terms_delta", None) \
+    dfreq = read_tier(spark, path, "terms", manifest=man) \
         .filter(F.col("term").isin(*terms)) \
         .groupBy("term").agg(F.sum("df").alias("df"))
-    base_stats = spark.read.parquet(f"{path}/stats")
+    base_stats = read_base(spark, path, "stats", man)
     if "sum_dl" not in base_stats.columns:
         # pre-maintenance indexes store (n_docs, avgdl) only
         base_stats = base_stats.withColumn(
             "sum_dl", F.col("n_docs") * F.col("avgdl"))
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/stats_delta")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     tiers = base_stats.select("n_docs", "sum_dl")
-    if fs.exists(jpath):
-        tiers = tiers.unionByName(
-            spark.read.parquet(f"{path}/stats_delta")
-            .select("n_docs", "sum_dl"))
+    sdelta = read_delta(spark, path, "stats", man)
+    if sdelta is not None:
+        tiers = tiers.unionByName(sdelta.select("n_docs", "sum_dl"))
     stats = tiers.agg(
         F.sum("n_docs").alias("n_docs"),
         (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"))

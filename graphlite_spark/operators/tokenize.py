@@ -103,6 +103,11 @@ class BPETokenizer:
     def __reduce__(self):
         return (BPETokenizer, (self.merges,))
 
+    def content_key(self) -> str:
+        import hashlib
+
+        return hashlib.sha256(repr(self.merges).encode()).hexdigest()
+
     def _bpe_word(self, word: bytes) -> tuple[bytes, ...]:
         """Canonical BPE: repeatedly merge ALL occurrences (left to
         right) of the lowest-ranked adjacent pair present."""
@@ -199,11 +204,25 @@ def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
     the top ``max_words`` rows by count come to the driver for the
     sequential merge loop — capping the histogram is the standard
     trainer posture (coverage loss is in the Zipf tail)."""
-    # Pre-tokenize in PYTHON (Arrow-vectorized), not Java regex:
-    # java.util.regex reads \w/\d/\s as ASCII-only without
-    # UNICODE_CHARACTER_CLASS, so regexp_extract_all would split
-    # 'café' differently than the encoder's _PRETOKEN_RE — the
-    # histogram must see exactly the encoder's pre-tokens.
+    counts = word_histogram(df, text_col=text_col, max_words=max_words)
+    return BPETokenizer(learn_bpe(counts, num_merges))
+
+
+def word_histogram(df: DataFrame, text_col: str = "text",
+                   max_words: int = 1_000_000) -> dict[bytes, int]:
+    """The distributed pre-token histogram both trainers (BPE,
+    unigram) learn from: one map-side-combined groupBy — the only
+    corpus-sized stage, scan-bound at 100 TB — capped at the top
+    ``max_words`` pre-tokens by count (the standard trainer posture;
+    coverage loss is in the Zipf tail). Deterministic: ties on count
+    break lexicographically.
+
+    Pre-tokenizes in PYTHON (Arrow-vectorized), not Java regex:
+    java.util.regex reads \\w/\\d/\\s as ASCII-only without
+    UNICODE_CHARACTER_CLASS, so regexp_extract_all would split
+    'café' differently than the encoder's _PRETOKEN_RE — the
+    histogram must see exactly the encoder's pre-tokens.
+    """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -219,38 +238,37 @@ def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
         .orderBy(F.col("c").desc(), F.col("w"))
         .limit(max_words)
     )
-    counts = {r["w"].encode("utf-8"): int(r["c"]) for r in hist.collect()}
-    return BPETokenizer(learn_bpe(counts, num_merges))
+    return {r["w"].encode("utf-8"): int(r["c"]) for r in hist.collect()}
 
 
-def _broadcast_tokenizer(df: DataFrame, tokenizer: BPETokenizer):
-    """Broadcast the merge table; returns (broadcast, content_key).
+def _broadcast_tokenizer(df: DataFrame, tokenizer):
+    """Broadcast the tokenizer; returns (broadcast, content_key).
 
-    The content key is a driver-side hash of the merge list itself —
-    worker-side Broadcast objects expose no stable id, and keying the
-    executor cache on id(bc) can silently alias two different
-    tokenizers if the first broadcast is garbage-collected and a later
-    one reuses the same CPython id (ADVICE r6). Content-keying makes
-    aliasing harmless: equal keys imply equal merge tables.
+    Works for ANY tokenizer here (BPETokenizer, UnigramTokenizer) —
+    both pickle via __reduce__ into their defining tables and expose
+    ``content_key()``. The content key is a driver-side hash of the
+    defining table itself — worker-side Broadcast objects expose no
+    stable id, and keying the executor cache on id(bc) can silently
+    alias two different tokenizers if the first broadcast is
+    garbage-collected and a later one reuses the same CPython id
+    (ADVICE r6). Content-keying makes aliasing harmless: equal keys
+    imply equal tables.
     """
-    import hashlib
-
     sc = df.sparkSession.sparkContext
-    key = hashlib.sha256(repr(tokenizer.merges).encode()).hexdigest()
-    return sc.broadcast(tokenizer.merges), key
+    return sc.broadcast(tokenizer), tokenizer.content_key()
 
 
-# Executor-side tokenizer instances, keyed by merge-table content
+# Executor-side tokenizer instances, keyed by defining-table content
 # hash: rebuilt vocab/rank dicts and a COLD word cache per Arrow
 # batch would bound the Zipfian cache benefit by batch size instead
 # of executor lifetime. The dict lives for the Python worker process.
 _TOKENIZER_CACHE: dict = {}
 
 
-def _tokenizer_from_broadcast(bc, key: str) -> BPETokenizer:
+def _tokenizer_from_broadcast(bc, key: str):
     tok = _TOKENIZER_CACHE.get(key)
     if tok is None:
-        tok = BPETokenizer(bc.value)
+        tok = bc.value
         if len(_TOKENIZER_CACHE) > 8:  # bound worker memory
             _TOKENIZER_CACHE.clear()
         _TOKENIZER_CACHE[key] = tok
@@ -394,3 +412,215 @@ def chunk_documents_bpe(
     out = src.mapInPandas(gen, schema)
     return out.select(F.col("_id").alias(id_col), "chunk_idx", "text",
                       "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer — the Llama/T5 family
+# ---------------------------------------------------------------------------
+
+class UnigramTokenizer:
+    """Byte-level unigram-LM subword tokenizer (the SentencePiece
+    model family: Kudo 2018, "Subword Regularization" — the published
+    algorithm; no SentencePiece code is used). A piece vocabulary
+    carries log-probabilities; encoding segments each pre-token
+    (same _PRETOKEN_RE as BPE, so the two tokenizers see identical
+    word boundaries) into the MAXIMUM-LIKELIHOOD piece sequence by
+    Viterbi over its UTF-8 bytes.
+
+    Byte fallback: all 256 single bytes are always in the vocabulary
+    (missing ones at ``byte_logp``, default min(vocab)-10), so
+    encoding is TOTAL and decode(encode(s)) == s for any s — the same
+    losslessness contract as BPETokenizer, pinned by the shared
+    pytest suite.
+
+    Determinism: Viterbi ties (equal total log-prob) break toward the
+    LONGER final piece (the inner loop scans piece lengths ascending
+    and accepts on >=), so segmentation is a pure function of the
+    vocabulary. Ids: 0-255 are the raw bytes; multi-byte pieces get
+    256+i in lexicographic piece order.
+    """
+
+    def __init__(self, vocab, byte_logp: "float | None" = None):
+        explicit: dict[bytes, float] = {}
+        for piece, lp in vocab:
+            b = piece.encode("utf-8") if isinstance(piece, str) \
+                else bytes(piece)
+            if not b:
+                raise ValueError("empty piece in unigram vocabulary")
+            explicit[b] = float(lp)
+        self._vocab_arg = sorted(explicit.items())
+        if byte_logp is None:
+            byte_logp = (min(explicit.values()) if explicit else 0.0) - 10.0
+        self.byte_logp = float(byte_logp)
+        self.logp: dict[bytes, float] = dict(explicit)
+        for i in range(256):
+            self.logp.setdefault(bytes([i]), self.byte_logp)
+        self.max_len = max(len(p) for p in self.logp)
+        self.vocab: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+        for p in sorted(k for k in self.logp if len(k) > 1):
+            self.vocab[p] = len(self.vocab)
+        self.id_to_piece = {i: p for p, i in self.vocab.items()}
+        self._word_cache = lru_cache(maxsize=65536)(self._viterbi_word)
+
+    def __reduce__(self):
+        return (UnigramTokenizer, (self._vocab_arg, self.byte_logp))
+
+    def content_key(self) -> str:
+        import hashlib
+
+        return hashlib.sha256(
+            repr((self._vocab_arg, self.byte_logp)).encode()).hexdigest()
+
+    def _viterbi_word(self, word: bytes) -> tuple[bytes, ...]:
+        n = len(word)
+        logp = self.logp
+        max_len = self.max_len
+        best = [-_INF] * (n + 1)
+        back = [0] * (n + 1)
+        best[0] = 0.0
+        for i in range(1, n + 1):
+            bi = -_INF
+            bj = i - 1
+            lo = max(0, i - max_len)
+            # lengths ascending; >= keeps the LONGER piece on ties
+            for j in range(i - 1, lo - 1, -1):
+                lp = logp.get(word[j:i])
+                if lp is None:
+                    continue
+                score = best[j] + lp
+                if score >= bi:
+                    bi, bj = score, j
+            best[i], back[i] = bi, bj
+        pieces: list[bytes] = []
+        i = n
+        while i > 0:
+            j = back[i]
+            pieces.append(word[j:i])
+            i = j
+        pieces.reverse()
+        return tuple(pieces)
+
+    def encode_pieces(self, text: str) -> list[bytes]:
+        pieces: list[bytes] = []
+        for word in _PRETOKEN_RE.findall(text):
+            pieces.extend(self._word_cache(word.encode("utf-8")))
+        return pieces
+
+    def encode(self, text: str) -> list[int]:
+        return [self.vocab[p] for p in self.encode_pieces(text)]
+
+    def decode(self, ids) -> str:
+        return b"".join(self.id_to_piece[int(i)] for i in ids).decode(
+            "utf-8", errors="replace")
+
+    def count(self, text: str) -> int:
+        return len(self.encode_pieces(text))
+
+
+def disjoint_digraph_unigram() -> UnigramTokenizer:
+    """The closed-form unigram vocabulary mirroring
+    disjoint_digraph_tokenizer: pieces {th, er, in, as} at log-prob
+    -1.0 over a -3.0 byte floor. A digraph (-1.0) always beats its
+    two bytes (-6.0), the four character sets are pairwise disjoint
+    (occurrences can neither overlap nor interact), and none is
+    self-overlapping — so the Viterbi-optimal segmentation uses EVERY
+    occurrence and the token count has the exact SQL form
+    bytes - sum(occurrences), the same oracle as the BPE twin. The
+    engine still runs full Viterbi; only the vocabulary is special.
+    """
+    return UnigramTokenizer(
+        [("th", -1.0), ("er", -1.0), ("in", -1.0), ("as", -1.0)],
+        byte_logp=-3.0)
+
+
+def learn_unigram(
+    word_counts: dict[bytes, int],
+    vocab_size: int = 8000,
+    max_piece_len: int = 8,
+    num_iters: int = 3,
+    seed_factor: int = 10,
+) -> list[tuple[bytes, float]]:
+    """Learn a unigram piece vocabulary from a word histogram (pure
+    Python — the driver-side half of train_unigram, like learn_bpe
+    for BPE). SentencePiece-style:
+
+    1. SEED: every substring (length 2..max_piece_len) of every
+       histogram word, weighted by word count; capped to the top
+       ``seed_factor * vocab_size`` by (count, piece) — deterministic.
+    2. EM (hard/Viterbi variant, ``num_iters`` rounds): E-step
+       re-segments the histogram under the current piece log-probs
+       (count-weighted); M-step re-estimates p(piece) from the
+       segmentation counts; pieces that won zero occurrences drop.
+    3. PRUNE to ``vocab_size`` multi-byte pieces by final count
+       (ties lexicographic), probabilities renormalized once more.
+
+    Hard-EM instead of forward-backward expected counts is the
+    documented deterministic trade: the same argmax the encoder uses,
+    so training and encoding can never disagree on a segmentation.
+    Returns [(piece, logp)] for UnigramTokenizer.
+    """
+    import math
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    # 1. seed candidates
+    cand: dict[bytes, int] = {}
+    for w, c in word_counts.items():
+        n = len(w)
+        for i in range(n):
+            for ln in range(2, min(max_piece_len, n - i) + 1):
+                sub = w[i:i + ln]
+                cand[sub] = cand.get(sub, 0) + c
+    cap = max(vocab_size * seed_factor, 256)
+    seeds = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+    # single bytes always present (fallback floor handled by the
+    # tokenizer; here they get their true corpus counts)
+    byte_counts: dict[bytes, int] = {}
+    for w, c in word_counts.items():
+        for b in w:
+            k = bytes([b])
+            byte_counts[k] = byte_counts.get(k, 0) + c
+    counts = dict(seeds)
+    counts.update(byte_counts)
+
+    def _logp_table(tbl: dict[bytes, int]) -> dict[bytes, float]:
+        total = sum(tbl.values())
+        return {p: math.log(c / total) for p, c in tbl.items() if c > 0}
+
+    for _ in range(num_iters):
+        tok = UnigramTokenizer(
+            [(p, lp) for p, lp in _logp_table(counts).items()])
+        new_counts: dict[bytes, int] = {}
+        for w, c in word_counts.items():
+            for piece in tok._viterbi_word(w):
+                new_counts[piece] = new_counts.get(piece, 0) + c
+        # single bytes survive even when a round never picks them
+        for k, v in byte_counts.items():
+            new_counts.setdefault(k, v)
+        counts = new_counts
+    multi = sorted(((p, c) for p, c in counts.items() if len(p) > 1),
+                   key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    final = dict(multi)
+    final.update({p: c for p, c in counts.items() if len(p) == 1})
+    return sorted(_logp_table(final).items())
+
+
+def train_unigram(
+    df: DataFrame,
+    vocab_size: int = 8000,
+    text_col: str = "text",
+    max_words: int = 1_000_000,
+    max_piece_len: int = 8,
+    num_iters: int = 3,
+) -> UnigramTokenizer:
+    """Train a unigram-LM tokenizer on a corpus: the SAME distributed
+    capped word histogram as train_bpe (one map-side-combined
+    groupBy — the only corpus-sized stage), then the sequential EM
+    loop on the compact histogram driver-side (how production
+    tokenizer trainers structure it; the EM rounds are inherently
+    sequential). Deterministic end to end — a pure-Python histogram
+    replica trains the identical vocabulary (pytest)."""
+    counts = word_histogram(df, text_col=text_col, max_words=max_words)
+    return UnigramTokenizer(learn_unigram(
+        counts, vocab_size=vocab_size, max_piece_len=max_piece_len,
+        num_iters=num_iters))
