@@ -3251,6 +3251,30 @@ def _q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_count_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-TRUE accounting under the UNIGRAM-LM family
+    (operators/tokenize.py UnigramTokenizer — SentencePiece-style
+    Viterbi max-likelihood segmentation with byte fallback, the
+    Llama/T5 tokenizer family, vs BPE's GPT-2 family): run with the
+    disjoint-digraph unigram vocabulary {th, er, in, as} @ logp -1.0
+    over a -3.0 byte floor. A digraph always beats its two bytes and
+    the charsets are pairwise disjoint and non-self-overlapping, so
+    the Viterbi optimum uses EVERY occurrence and the count has the
+    same closed SQL form as the BPE twin: bytes - sum(occurrences).
+    The engine still runs full Viterbi DP; only the vocabulary is
+    specially chosen (general-vocab correctness is pinned by the
+    exhaustive-reference pytest in test_unigram.py)."""
+    from graphlite_spark.operators.text import token_count
+    from graphlite_spark.operators.tokenize import (
+        disjoint_digraph_unigram,
+    )
+
+    return token_count(
+        _table(spark, sf_dir, "documents"),
+        tokenizer=disjoint_digraph_unigram(),
+    )
+
+
 def _q_chunk_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-mode sibling of chunk_documents_overlap: 64-BPE-token
     windows with 16-token overlap under the disjoint-digraph
@@ -5225,6 +5249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "simhash_pairs": _q_simhash,
             "token_count": _q_token_count,
             "token_count_bpe": _q_token_count_bpe,
+            "token_count_unigram": _q_token_count_unigram,
             "tokenize_bpe_roundtrip": _q_tokenize_bpe_roundtrip,
             "ann_rescore_int4_audit": _q_ann_rescore_int4_recall,
             "chunk_documents_overlap": _q_chunk_documents,
@@ -6059,6 +6084,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(50 AS BIGINT) AS n_hits,
                    CAST(1.0 AS DOUBLE) AS recall_at_k
             FROM ranked WHERE rk <= 10
+        """,
+        "token_count_unigram": """
+            -- unigram-LM Viterbi with the disjoint-digraph vocabulary
+            -- {th,er,in,as} @ -1.0 over a -3.0 byte floor: a digraph
+            -- beats its two bytes, charsets are pairwise disjoint and
+            -- non-self-overlapping, so the max-likelihood segmentation
+            -- takes every occurrence — same closed form as the BPE twin
+            SELECT doc_id,
+                   CAST(octet_length(encode(text))
+                        - (length(text) - length(replace(text,'th','')))//2
+                        - (length(text) - length(replace(text,'er','')))//2
+                        - (length(text) - length(replace(text,'in','')))//2
+                        - (length(text) - length(replace(text,'as','')))//2
+                        AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(octet_length(encode(text))
+                        - (length(text) - length(replace(text,'th','')))//2
+                        - (length(text) - length(replace(text,'er','')))//2
+                        - (length(text) - length(replace(text,'in','')))//2
+                        - (length(text) - length(replace(text,'as','')))//2
+                        AS BIGINT) AS n_subwords
+            FROM documents
         """,
         "token_count_bpe": """
             -- byte-level BPE with the disjoint-digraph vocabulary

@@ -498,6 +498,32 @@ def streaming_curation(
     return deduped.join(kept, "doc_id").select("doc_id", "text")
 
 
+def _maybe_compact(spark, index_path: str, batch_id: int,
+                   compact_every: "int | None") -> bool:
+    """Scheduled index hygiene INSIDE the exactly-once epoch loop:
+    compact the persisted dedup index before processing epoch k
+    whenever ``k`` is a multiple of ``compact_every`` — but only when
+    the manifest's committed high-water mark is exactly ``k - 1``,
+    i.e. this is the FIRST delivery of epoch k. A crash-replayed
+    epoch (hwm >= k) skips compaction, so a replay can never fold the
+    epoch's own deltas under the compaction floor and trip the fence;
+    a crash DURING or just after compaction leaves hwm at k-1, so the
+    re-delivery simply compacts again (answer-preserving and
+    crash-safe by the index_store manifest commit). Safe precisely
+    because the compaction swap is now atomic to readers."""
+    if not compact_every or batch_id <= 0 \
+            or batch_id % int(compact_every):
+        return False
+    from ..operators.dedup import compact_dedup_index
+    from ..operators.index_store import current_manifest
+
+    hwm = current_manifest(spark, index_path).get("hwm")
+    if hwm is None or int(hwm) != int(batch_id) - 1:
+        return False
+    compact_dedup_index(spark, index_path)
+    return True
+
+
 def streaming_dedup_index_maintenance(
     docs: DataFrame,
     index_path: str,
@@ -506,6 +532,7 @@ def streaming_dedup_index_maintenance(
     text_col: str = "text",
     id_col: str = "doc_id",
     near: bool = True,
+    compact_every: "int | None" = None,
 ):
     """Maintain a persisted dedup index (build_dedup_index) from a
     document STREAM — the production ingestion loop (VERDICT r8 ask
@@ -537,6 +564,8 @@ def streaming_dedup_index_maintenance(
     from ..operators.dedup import dedup_index_ingest_batch
 
     def _epoch(df: DataFrame, batch_id: int) -> DataFrame:
+        _maybe_compact(df.sparkSession, index_path, batch_id,
+                       compact_every)
         surv = dedup_index_ingest_batch(
             df, index_path, batch_id=batch_id, text_col=text_col,
             id_col=id_col, near=near)
@@ -575,6 +604,7 @@ def streaming_ingest_loop(
     min_words: int = 40,
     min_stop_words: int = 1,
     near: bool = False,
+    compact_every: "int | None" = None,
 ):
     """The COMPLETE production ingest loop as one exactly-once stream:
     raw HTML -> main-content extraction -> Gopher quality gate ->
@@ -587,6 +617,12 @@ def streaming_ingest_loop(
     overwrite + before_batch index reads): a crash-replayed epoch
     re-extracts, re-gates, recomputes identical survivors, and
     rewrites its own partitions.
+
+    ``compact_every=N`` folds the index's delta partitions into its
+    base every N epochs INSIDE the loop (first delivery of epoch k
+    only — see _maybe_compact), so a long-running ingest exercises
+    maintenance AND hygiene in one stream; answers are unchanged by
+    construction and the swap is atomic to readers (index_store).
 
     Extraction and the quality gate are map-side (Arrow mapInPandas +
     one codegen projection), index contact is 8/16-byte-key joins —
@@ -601,6 +637,8 @@ def streaming_ingest_loop(
     def _epoch(df: DataFrame, batch_id: int) -> DataFrame:
         from pyspark.sql import functions as F
 
+        _maybe_compact(df.sparkSession, index_path, batch_id,
+                       compact_every)
         ext = extract_html_text(df, html_col=html_col, id_col=id_col)
         flagged = gopher_quality_filters(
             ext, id_col="doc_id", min_words=min_words,

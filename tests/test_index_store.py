@@ -377,3 +377,85 @@ def test_fencing_applies_to_all_families(spark, tmp_path, family):
                 _ann_vecs(spark, range(40, 42)), path, batch_id=9)
     assert probe(spark, path) == before
     assert index_store.read_manifest(spark, path)["hwm"] == 2
+
+
+def test_streaming_ingest_with_scheduled_compaction(spark, tmp_path):
+    """compact_every=N inside the exactly-once maintenance stream:
+    >= 2 compactions across 6 epochs, survivors and against-index
+    answers byte-identical to the never-compacted loop, and a
+    crash-replay of the final epoch after the stream is a verified
+    no-op."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from graphlite_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_index_ingest_batch,
+    )
+    from graphlite_spark.streaming.stateful import (
+        streaming_dedup_index_maintenance,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "alpha bravo common words here")],
+        "doc_id long, text string")
+    epochs = []
+    for k in range(6):
+        rows = [(100 * k + 1, f"epoch {k} unique document number one"),
+                (100 * k + 2, f"epoch {k} unique document number two")]
+        if k >= 2:
+            # planted cross-epoch dup: repeats an epoch k-2 text, must
+            # be dropped by keys that may already be COMPACTED into
+            # the base when it arrives
+            rows.append((100 * k + 9,
+                         f"epoch {k - 2} unique document number one"))
+        epochs.append(spark.createDataFrame(
+            rows, "doc_id long, text string"))
+
+    def run(idx_name, out_name, compact_every):
+        idx = str(tmp_path / idx_name)
+        build_dedup_index(hist, idx, n=3, num_hashes=64, bands=16)
+        d = str(tmp_path / (idx_name + "_src"))
+        for k, ep in enumerate(epochs):
+            ep.coalesce(1).write.parquet(f"{d}/f{k}")
+        out = str(tmp_path / out_name)
+        stream = (spark.readStream.schema(epochs[0].schema)
+                  .option("recursiveFileLookup", "true")
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        streaming_dedup_index_maintenance(
+            stream, idx, checkpoint=str(tmp_path / (idx_name + "_ck")),
+            survivors_path=out, compact_every=compact_every)
+        kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        return idx, kept
+
+    idx_c, kept_c = run("idx_c", "out_c", compact_every=2)
+    idx_n, kept_n = run("idx_n", "out_n", compact_every=None)
+    assert kept_c == kept_n
+    # every cross-epoch dup dropped
+    assert all(d % 100 != 9 for d in kept_c)
+
+    # two compactions actually ran (epochs 2 and 4): version 1 (build)
+    # + 2 -> 3, floor = last compaction's hwm = 3
+    m = index_store.read_manifest(spark, idx_c)
+    assert m["version"] == 3
+    assert m["delta_floor"] == 3
+    assert m["hwm"] == 5
+
+    # answers identical between the compacted and never-compacted index
+    probe = spark.createDataFrame(
+        [(900, "epoch 0 unique document number one"),
+         (901, "epoch 5 unique document number two"),
+         (902, "never seen probe text here")],
+        "doc_id long, text string")
+    a = sorted(r.doc_id for r in dedup_against_index(probe, idx_c).collect())
+    b = sorted(r.doc_id for r in dedup_against_index(probe, idx_n).collect())
+    assert a == b == [902]
+
+    # crash-replay at the epoch boundary: re-deliver the final epoch
+    # -> verified no-op with identical survivors, state unchanged
+    surv5 = [d for d in kept_c if 500 <= d < 600]
+    replay = sorted(r.doc_id for r in dedup_index_ingest_batch(
+        epochs[5], idx_c, batch_id=5).collect())
+    assert replay == surv5
+    assert index_store.read_manifest(spark, idx_c)["version"] == 3
+    assert index_store.read_manifest(spark, idx_c)["hwm"] == 5
