@@ -2845,6 +2845,25 @@ def _q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_words=50, min_stop_words=1)
 
 
+def _q_gopher_filters_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME Gopher rule set driven through the GQL CALL surface
+    (VERDICT r9 #6: the curation tier reachable from GQL): documents
+    registered as a Document node label, flags computed by
+    CALL gql.gopher_filters('Document','text',50,1) over the session
+    graph, checked against the identical SQL oracle as the
+    DataFrame-path entry — the CALL path must be the operator, not a
+    reimplementation."""
+    from graphlite_spark import GraphLiteSpark, PropertyGraph
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = PropertyGraph(spark, name="calldocs")
+    g.add_nodes("Document", docs, "doc_id")
+    db = GraphLiteSpark(spark)
+    db.register_graph(g)
+    out = db.execute("CALL gql.gopher_filters('Document', 'text', 50, 1)")
+    return out.withColumnRenamed("_id", "doc_id")
+
+
 def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring (passage) dedup, Lee et al. 2021 style: drop
     every 8-token window occurring more than once in the corpus and
@@ -5256,6 +5275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "chunk_documents_bpe": _q_chunk_documents_bpe,
             "quality_score": _q_quality,
             "gopher_quality_filters": _q_gopher_filters,
+            "gopher_filters_call": _q_gopher_filters_call,
             "extract_html_roundtrip": _q_extract_html,
             "curation_pipeline_v2": _q_curation_pipeline_v2,
             "curation_pipeline_v3": _q_curation_pipeline_v3,
@@ -8947,6 +8967,9 @@ def oracle_sql() -> dict[str, str]:
     # same exact oracle for both span_dedup key paths (hashed keys
     # change only the shuffle key, never the output)
     sql["span_dedup_string_keys"] = sql["span_dedup_exact"]
+    # the CALL-path gopher entry is the SAME operator over the same
+    # rows, so it shares the DataFrame-path oracle verbatim
+    sql["gopher_filters_call"] = sql["gopher_quality_filters"]
 
     # --- sketch family: oracles GENERATED from the same hash mirrors
     # the engine uses (mix32_sql/km_positions_sql), so engine and

