@@ -3270,6 +3270,41 @@ def _q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tokenize_unigram_roundtrip(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """In-gate losslessness proof for the UNIGRAM tokenizer over the
+    REAL corpus: encode every document with the digraph unigram
+    vocabulary (Viterbi + byte fallback), decode the id sequence, and
+    compare byte-for-byte; n_tokens repeats the closed form (same
+    oracle as the BPE twin — the two tokenizer families must agree on
+    this vocabulary by construction)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from graphlite_spark.operators.tokenize import (
+        disjoint_digraph_unigram, tokenize_bpe)
+
+    tok = disjoint_digraph_unigram()
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    # tokenize_bpe is tokenizer-generic since r10 (broadcast object +
+    # content-keyed executor cache) — it runs the unigram encoder here
+    with_ids = tokenize_bpe(docs, tok)
+    bc = spark.sparkContext.broadcast(tok)
+
+    def _dec(s):
+        t = bc.value
+        return s.map(lambda ids: None if ids is None else t.decode(ids))
+
+    _dec.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    dec = pandas_udf(_dec, "string")(F.col("token_ids"))
+    return with_ids.select(
+        "doc_id",
+        (dec == F.col("text")).alias("roundtrip"),
+        F.size("token_ids").cast("long").alias("n_tokens"),
+    )
+
+
 def _q_token_count_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-TRUE accounting under the UNIGRAM-LM family
     (operators/tokenize.py UnigramTokenizer — SentencePiece-style
@@ -3306,6 +3341,24 @@ def _q_chunk_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         _table(spark, sf_dir, "documents"), max_tokens=64, overlap=16,
         tokenizer=disjoint_digraph_tokenizer(),
+    ).select("doc_id", "chunk_idx", "n_tokens")
+
+
+def _q_chunk_documents_unigram(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """chunk_documents under the UNIGRAM tokenizer (same 64/16
+    windows): the digraph unigram vocabulary segments identically to
+    the BPE one by construction, so the chunk layout shares the BPE
+    closed-form oracle; exact byte-slice chunk text is pinned by the
+    test_unigram.py reassembly pytest."""
+    from graphlite_spark.operators.text import chunk_documents
+    from graphlite_spark.operators.tokenize import (
+        disjoint_digraph_unigram,
+    )
+
+    return chunk_documents(
+        _table(spark, sf_dir, "documents"), max_tokens=64, overlap=16,
+        tokenizer=disjoint_digraph_unigram(),
     ).select("doc_id", "chunk_idx", "n_tokens")
 
 
@@ -5269,6 +5322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token_count": _q_token_count,
             "token_count_bpe": _q_token_count_bpe,
             "token_count_unigram": _q_token_count_unigram,
+            "tokenize_unigram_roundtrip": _q_tokenize_unigram_roundtrip,
+            "chunk_documents_unigram": _q_chunk_documents_unigram,
             "tokenize_bpe_roundtrip": _q_tokenize_bpe_roundtrip,
             "ann_rescore_int4_audit": _q_ann_rescore_int4_recall,
             "chunk_documents_overlap": _q_chunk_documents,
@@ -8970,6 +9025,11 @@ def oracle_sql() -> dict[str, str]:
     # the CALL-path gopher entry is the SAME operator over the same
     # rows, so it shares the DataFrame-path oracle verbatim
     sql["gopher_filters_call"] = sql["gopher_quality_filters"]
+    # the unigram digraph vocabulary segments identically to the BPE
+    # one by construction (disjoint non-self-overlapping digraphs), so
+    # the roundtrip entries share one oracle
+    sql["tokenize_unigram_roundtrip"] = sql["tokenize_bpe_roundtrip"]
+    sql["chunk_documents_unigram"] = sql["chunk_documents_bpe"]
 
     # --- sketch family: oracles GENERATED from the same hash mirrors
     # the engine uses (mix32_sql/km_positions_sql), so engine and

@@ -164,7 +164,13 @@ HEADLINE = [
                                       # append (r9); cold builds the
                                       # historical index once
     "leiden_two_scale",               # multi-level leiden + no-op
-                                      # refinement proof (r9)
+                                      # refinement proof (r9; r10:
+                                      # hash-Luby uphill schedule,
+                                      # 24 rounds -> 7)
+    "token_count_unigram",            # unigram-LM Viterbi accounting
+                                      # (r10; the Llama/T5 family)
+    "gopher_filters_call",            # curation tier via GQL CALL
+                                      # over document nodes (r10)
 ]
 
 

@@ -349,30 +349,56 @@ def commit_compaction(spark, path: str, new_tiers: "dict[str, str]",
     return m2
 
 
+def _manifest_at(spark, path: str, seq: int) -> "dict | None":
+    jvm, fs = _fs(spark, path)
+    jp = _jp(jvm, f"{path}/{MANIFEST_DIR}/{int(seq):020d}.json")
+    if not fs.exists(jp):
+        return None
+    return json.loads(_read_small_file(jvm, fs, jp).decode("utf-8"))
+
+
 def gc_index(spark, path: str, manifest: dict, tiers: "list[str]",
              delta_tiers: "list[str] | None" = None) -> None:
-    """Best-effort post-commit garbage collection: delete base
-    versions no longer referenced by the manifest and delta
-    partitions at or below delta_floor (already folded into the
-    base). Self-healing: it sweeps by PATTERN against the live
-    manifest, not by remembering what the previous compaction left,
-    so garbage from a crash mid-GC is collected by the next run.
-    Never deletes anything a manifest-resolving reader can reach."""
+    """Best-effort post-commit garbage collection with ONE-GENERATION
+    RETENTION: delete base versions and folded delta partitions only
+    once they are superseded by at least TWO manifest commits. A
+    reader that resolved the previous manifest and is still executing
+    its plan when this compaction commits keeps every file it can
+    reference (the Delta/Iceberg snapshot-retention posture; found by
+    the reader-racing-compaction pytest — immediate GC yanked the old
+    base out from under an in-flight scan). Readers more than one
+    generation behind are outside the retention window, the standard
+    bounded contract.
+
+    Self-healing: the base sweep works by PATTERN against the live +
+    previous manifests, not by remembering what the last compaction
+    left, so garbage stranded by a crash mid-GC is collected by the
+    next run. Never deletes anything a reader holding the current or
+    previous manifest can reach."""
     jvm, fs = _fs(spark, path)
-    live = {manifest.get("tiers", {}).get(t, t) for t in tiers}
+    prev = (_manifest_at(spark, path, int(manifest.get("seq", 1)) - 1)
+            if int(manifest.get("seq", 1)) > 1 else None)
+    keep = {manifest.get("tiers", {}).get(t, t) for t in tiers}
+    if prev is not None:
+        keep |= {prev.get("tiers", {}).get(t, t) for t in tiers}
     root = _jp(jvm, path)
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         for t in tiers:
-            if name in live:
+            if name in keep:
                 continue
             if name == t or re.fullmatch(re.escape(t) + r"_v\d+", name):
                 _fault_point(f"gc:base:{name}")
                 fs.delete(st.getPath(), True)
                 break
+    # delta partitions: a reader on the PREVIOUS manifest still needs
+    # (prev.delta_floor, prev.hwm] — only epochs already folded as of
+    # that manifest are collectable
     floor = manifest.get("delta_floor")
-    if floor is None:
+    prev_floor = prev.get("delta_floor") if prev is not None else None
+    if floor is None or prev_floor is None:
         return
+    del_floor = min(int(floor), int(prev_floor))
     for t in (delta_tiers if delta_tiers is not None else tiers):
         ddir = _jp(jvm, f"{path}/{t}_delta")
         if not fs.exists(ddir):
@@ -381,7 +407,7 @@ def gc_index(spark, path: str, manifest: dict, tiers: "list[str]",
         for st in fs.listStatus(ddir):
             name = st.getPath().getName()
             m = re.fullmatch(r"_batch_id=(\d+)", name)
-            if m and int(m.group(1)) <= int(floor):
+            if m and int(m.group(1)) <= del_floor:
                 _fault_point(f"gc:delta:{t}:{name}")
                 fs.delete(st.getPath(), True)
             elif m:

@@ -459,3 +459,54 @@ def test_streaming_ingest_with_scheduled_compaction(spark, tmp_path):
     assert replay == surv5
     assert index_store.read_manifest(spark, idx_c)["version"] == 3
     assert index_store.read_manifest(spark, idx_c)["hwm"] == 5
+
+
+def test_reader_racing_compaction_never_sees_torn_layout(
+        spark, tmp_path):
+    """The r9 hazard, tested literally: a reader thread hammers
+    dedup_against_index WHILE another thread runs compaction + a
+    further ingest epoch. Under the manifest layer every probe must
+    return the full, correct answer — the old multi-rename swap could
+    expose a missing base dir mid-swap."""
+    import threading
+
+    from graphlite_spark.operators.dedup import (
+        compact_dedup_index,
+        dedup_index_ingest_batch,
+    )
+
+    path = str(tmp_path / "idx")
+    _dedup_setup(spark, path)  # base + epochs 1..2
+    expected = _dedup_probe(spark, path)
+
+    stop = threading.Event()
+    failures: list = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                got = _dedup_probe(spark, path)
+                if got != expected:
+                    failures.append(("wrong answer", got))
+                    return
+            except Exception as e:  # a torn layout raises here
+                failures.append(("reader raised", repr(e)))
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for k in range(3, 6):
+            compact_dedup_index(spark, path)
+            ep = spark.createDataFrame(
+                [(100 + k, f"writer epoch {k} fresh text content")],
+                "doc_id long, text string")
+            got = sorted(r.doc_id for r in dedup_index_ingest_batch(
+                ep, path, batch_id=k).collect())
+            assert got == [100 + k]
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not failures, failures
+    # and the final state is exactly base + all epochs
+    assert _dedup_probe(spark, path) == expected

@@ -3479,12 +3479,17 @@ def test_compact_bm25_index_preserves_scores(spark, tmp_path):
               bm25_search_indexed(spark, idx, q, k=10).collect()]
 
     assert compact_bm25_index(spark, idx) == 4
-    assert not os.path.exists(idx + "/postings_delta")
-    assert not os.path.exists(idx + "/terms_delta")
-    assert not os.path.exists(idx + "/stats_delta")
     after = [(r.doc_id, r.score) for r in
              bm25_search_indexed(spark, idx, q, k=10).collect()]
     assert after == before
+    # retention: deltas are fenced after one compaction (answers
+    # above prove no double-count) and swept by the second
+    assert compact_bm25_index(spark, idx) == 4
+    assert not os.path.exists(idx + "/postings_delta")
+    assert not os.path.exists(idx + "/terms_delta")
+    assert not os.path.exists(idx + "/stats_delta")
+    assert [(r.doc_id, r.score) for r in
+            bm25_search_indexed(spark, idx, q, k=10).collect()] == before
 
     c3 = spark.createDataFrame(
         [(20, "spark data one more epoch")], "doc_id long, text string")
@@ -3541,12 +3546,18 @@ def test_ann_index_maintenance_and_compaction(spark, tmp_path):
 
     n_total = compact_ann_index(spark, idx)
     assert n_total == union.count()
-    assert not os.path.exists(idx + "/codes_delta")
-    assert not os.path.exists(idx + "/meta_delta")
     after = sorted((r.query_id, r.item_id, r.score) for r in
                    rescore_topk_indexed(union, q, idx, k=5,
                                         candidate_fraction=0.3).collect())
     assert after == got
+    # retention: second compaction sweeps the superseded generation
+    assert compact_ann_index(spark, idx) == union.count()
+    assert not os.path.exists(idx + "/codes_delta")
+    assert not os.path.exists(idx + "/meta_delta")
+    assert sorted((r.query_id, r.item_id, r.score) for r in
+                  rescore_topk_indexed(union, q, idx, k=5,
+                                       candidate_fraction=0.3).collect()) \
+        == got
 
 
 def test_ann_topk_target_recall_routing(spark):

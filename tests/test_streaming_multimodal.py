@@ -2770,13 +2770,20 @@ def test_compact_dedup_index_preserves_answers(spark, tmp_path):
     import os
     counts = compact_dedup_index(spark, idx)
     assert counts["exact"] == 4   # 2 hist + 2 survivors
-    assert not os.path.exists(idx + "/exact_delta")
-    assert not os.path.exists(idx + "/bands_delta")
+    # one-generation retention: the delta partitions survive the
+    # FIRST compaction (a reader on the previous manifest may still
+    # need them) but are fenced off by delta_floor; a second
+    # compaction supersedes that manifest too and sweeps them
     assert not os.path.exists(idx + "/exact_precompact")
-
     after = sorted(r.doc_id for r in
                    dedup_against_index(probe, idx).collect())
     assert after == before == [92]
+    compact_dedup_index(spark, idx)
+    assert not os.path.exists(idx + "/exact_delta")
+    assert not os.path.exists(idx + "/bands_delta")
+    assert not os.path.exists(idx + "/exact")   # v1 base swept too
+    assert sorted(r.doc_id for r in
+                  dedup_against_index(probe, idx).collect()) == [92]
 
     # the loop keeps working on the compacted index
     ep3 = spark.createDataFrame(
