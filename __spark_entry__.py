@@ -1051,6 +1051,24 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries_df, k=10, dim=64)
 
 
+def _q_ann_target_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative ANN routing (VERDICT r9 #7): ann_topk(
+    target_recall=0.99) must resolve through the documented
+    operating-point table to the int8 rescore route and reproduce the
+    EXACT top-10 on this corpus (the point's audited floor) — so the
+    oracle is the full exact top-k SQL. A routing bug that picked a
+    weaker point (lsh/ivf/int4-with-wrong-cut) breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.similarity import ann_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk(emb, queries_df, k=10, target_recall=0.99)
+
+
 def _q_ann_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized-scan + exact-rescore ANN (the ann_topk 'auto' route):
     int8 integer-GEMM coarse pass over all items, exact cosine only on
@@ -1728,6 +1746,28 @@ def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = temperature_sample(docs, "lang", "doc_id", alpha=0.5,
                              salt=11, weight_col="n_chars")
     return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def _q_temperature_sample_unigram(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """temperature_sample with TOKENIZER-TRUE weights under the
+    unigram family (r10): shares that get alpha-flattened are real
+    unigram-LM token counts (digraph closed form), not n_chars —
+    the published recipes weight by tokens, and token/char ratios
+    differ by language, which shifts every rate. The oracle replays
+    the per-doc closed-form count -> per-lang sums -> sqrt ->
+    normalize -> min-T -> 9-dp rates -> the same Knuth hash gate."""
+    from graphlite_spark.operators.sampling import temperature_sample
+    from graphlite_spark.operators.tokenize import (
+        disjoint_digraph_unigram,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text")
+    out = temperature_sample(docs, "lang", "doc_id", alpha=0.5,
+                             salt=11,
+                             tokenizer=disjoint_digraph_unigram())
+    return out.select("doc_id", "lang").orderBy("doc_id")
 
 
 def _q_lang_id_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5323,6 +5363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token_count_bpe": _q_token_count_bpe,
             "token_count_unigram": _q_token_count_unigram,
             "tokenize_unigram_roundtrip": _q_tokenize_unigram_roundtrip,
+            "temperature_sample_unigram": _q_temperature_sample_unigram,
             "chunk_documents_unigram": _q_chunk_documents_unigram,
             "tokenize_bpe_roundtrip": _q_tokenize_bpe_roundtrip,
             "ann_rescore_int4_audit": _q_ann_rescore_int4_recall,
@@ -5380,6 +5421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_lsh_recall_audit": _q_ann_recall("lsh"),
             "ivf_ann_recall_audit": _q_ann_recall("ivf"),
             "ann_rescore_topk": _q_ann_rescore,
+            "ann_target_recall_topk": _q_ann_target_recall,
             "ann_rescore_persisted": _q_ann_rescore_persisted,
             "ann_rescore_recall_audit": _q_ann_rescore_recall,
             "events_tumbling_counts": _q_tumbling_counts,
@@ -8251,6 +8293,41 @@ def oracle_sql() -> dict[str, str]:
                   < r.rate * 4294967296.0
             ORDER BY d.doc_id
         """,
+        "temperature_sample_unigram": """
+            -- temperature rebalancing with tokenizer-true weights:
+            -- per-doc unigram token count = the digraph closed form,
+            -- summed per lang in BIGINT then cast (engine parity),
+            -- then the same sqrt/normalize/min-T/9-dp/Knuth chain
+            WITH tc AS (
+                SELECT doc_id, lang,
+                       octet_length(encode(text))
+                       - (length(text) - length(replace(text,'th','')))//2
+                       - (length(text) - length(replace(text,'er','')))//2
+                       - (length(text) - length(replace(text,'in','')))//2
+                       - (length(text) - length(replace(text,'as','')))//2
+                       AS w
+                FROM documents
+            ), stats AS (
+                SELECT lang, CAST(sum(w) AS DOUBLE) AS w
+                FROM tc GROUP BY 1
+            ), tot AS (SELECT sum(w) AS t FROM stats),
+            q0 AS (
+                SELECT lang, w, sqrt(w / tot.t) AS qraw
+                FROM stats, tot
+            ), s AS (SELECT sum(qraw) AS sq FROM q0),
+            q AS (
+                SELECT lang, w, qraw / s.sq AS q FROM q0, s
+            ), tm AS (SELECT min(w / q) AS T FROM q),
+            rates AS (
+                SELECT lang, round(least(1.0, q * tm.T / w), 9) AS rate
+                FROM q, tm
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates r USING (lang)
+            WHERE ((d.doc_id + 11) * 2654435761) % 4294967296
+                  < r.rate * 4294967296.0
+            ORDER BY d.doc_id
+        """,
         "lm_bigram_score": """
             WITH lists AS (
                 SELECT doc_id,
@@ -9030,6 +9107,9 @@ def oracle_sql() -> dict[str, str]:
     # the roundtrip entries share one oracle
     sql["tokenize_unigram_roundtrip"] = sql["tokenize_bpe_roundtrip"]
     sql["chunk_documents_unigram"] = sql["chunk_documents_bpe"]
+    # target_recall=0.99 routes to the int8 rescore point, which is
+    # bit-identical to exact top-k on this corpus — same oracle
+    sql["ann_target_recall_topk"] = sql["ann_rescore_topk"]
 
     # --- sketch family: oracles GENERATED from the same hash mirrors
     # the engine uses (mix32_sql/km_positions_sql), so engine and
