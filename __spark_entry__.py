@@ -4585,6 +4585,54 @@ def _q_dedup_index_maintain_near(spark: SparkSession,
     return out.orderBy("doc_id")
 
 
+def _q_dedup_index_compacted(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Against-index dedup over a COMPACTED maintained index (r10):
+    build on docs < 300, ingest docs 300..399 as epoch 1, compact
+    TWICE (the second sweep removes the superseded generation under
+    the retention contract — this read resolves a v3 base through the
+    manifest with the delta dirs GONE), then probe with docs >= 400
+    plus planted copies of docs < 50 (keys from the BUILD) and docs
+    300..309 (keys that lived in the DELTA tier before being folded).
+    Closed form: the index key set after any build+epochs+compactions
+    equals the distinct normalized texts of docs < 400, so kept iff
+    text unseen there. A compaction that lost or double-counted keys,
+    or a reader that resolved a stale layout, breaks the hash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_against_index,
+        dedup_index_ingest_batch,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = _dedup_index_path(sf_dir) + "-compacted"
+    if not os.path.exists(os.path.join(idx, "meta")):
+        build_dedup_index(docs.filter(F.col("doc_id") < 300), idx,
+                          n=3, num_hashes=64, bands=16)
+        dedup_index_ingest_batch(
+            docs.filter((F.col("doc_id") >= 300)
+                        & (F.col("doc_id") < 400)),
+            idx, batch_id=1, near=False)
+        compact_dedup_index(spark, idx)
+        compact_dedup_index(spark, idx)
+    batch = (
+        docs.filter(F.col("doc_id") >= 400)
+        .unionByName(docs.filter(F.col("doc_id") < 50)
+                     .select((F.col("doc_id") + 100000).alias("doc_id"),
+                             "text"))
+        .unionByName(docs.filter((F.col("doc_id") >= 300)
+                                 & (F.col("doc_id") < 310))
+                     .select((F.col("doc_id") + 200000).alias("doc_id"),
+                             "text"))
+    )
+    return dedup_against_index(batch, idx, near=False)
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     journeys (lead window -> |types|² groupBy -> row-normalized
@@ -5448,6 +5496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "streaming_attribution_batch": _q_streaming_attribution_batch,
             "event_transitions_markov": _q_event_transitions,
             "dedup_index_exact": _q_dedup_index_exact,
+            "dedup_index_compacted": _q_dedup_index_compacted,
             "dedup_index_near": _q_dedup_index_near,
             "dedup_index_maintain_batch": _q_dedup_index_maintain,
             "dedup_index_maintain_near": _q_dedup_index_maintain_near,
@@ -9255,6 +9304,26 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT b.doc_id, b.text FROM batch b
         WHERE lower(trim(b.text)) NOT IN (SELECT t FROM hist)
+    """
+    sql["dedup_index_compacted"] = """
+        -- the compacted index's key set == distinct normalized texts
+        -- of docs < 400 (build < 300 plus epoch-1 survivors 300..399;
+        -- epoch-internal min-id dedup still indexes every distinct
+        -- epoch text); kept iff the probe text is unseen there
+        WITH seen AS (
+            SELECT DISTINCT lower(trim(text)) AS t FROM documents
+            WHERE doc_id < 400
+        ), batch AS (
+            SELECT doc_id, text FROM documents WHERE doc_id >= 400
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+            WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text FROM documents
+            WHERE doc_id >= 300 AND doc_id < 310
+        )
+        SELECT b.doc_id, b.text FROM batch b
+        WHERE lower(trim(b.text)) NOT IN (SELECT t FROM seen)
     """
     sql["dedup_index_maintain_batch"] = """
         -- one maintenance epoch replayed: batch = docs >= 300, plus
