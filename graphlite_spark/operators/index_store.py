@@ -65,6 +65,12 @@ import re
 from pyspark.sql import DataFrame, functions as F
 
 MANIFEST_DIR = "_manifest"
+# manifest-log retention: every commit O(1)-trims the file RETAIN
+# generations behind it, so the log a reader must list stays bounded
+# (~64 small files) no matter how many epochs the index has lived —
+# the Delta/Iceberg log-checkpoint concern solved by trimming, since
+# old manifests are never read past the one-generation GC window
+RETAIN_MANIFESTS = 64
 
 # -- crash injection (tests only) -------------------------------------------
 _FAULT_AFTER: "int | None" = None
@@ -170,6 +176,14 @@ def commit_manifest(spark, path: str, manifest: dict) -> None:
     if not fs.rename(tmp, final):
         raise RuntimeError(
             f"manifest commit rename failed for seq {seq} at {path}")
+    # O(1) log trim: no listing — delete exactly the file RETAIN
+    # generations back (crash-stranded stragglers are swept by the
+    # compaction-time gc_index pass)
+    old_seq = seq - RETAIN_MANIFESTS
+    if old_seq > 0:
+        stale = _jp(jvm, f"{path}/{MANIFEST_DIR}/{old_seq:020d}.json")
+        if fs.exists(stale):
+            fs.delete(stale, False)
 
 
 def reset_manifest(spark, path: str, tiers: "list[str]",
@@ -394,6 +408,16 @@ def gc_index(spark, path: str, manifest: dict, tiers: "list[str]",
     # delta partitions: a reader on the PREVIOUS manifest still needs
     # (prev.delta_floor, prev.hwm] — only epochs already folded as of
     # that manifest are collectable
+    # manifest-log sweep: collect stragglers the per-commit O(1) trim
+    # missed (crashes between rename and trim) — everything more than
+    # RETAIN_MANIFESTS generations old
+    mdir = _jp(jvm, f"{path}/{MANIFEST_DIR}")
+    if fs.exists(mdir):
+        cutoff = int(manifest.get("seq", 1)) - RETAIN_MANIFESTS
+        for st in fs.listStatus(mdir):
+            m = re.fullmatch(r"(\d+)\.json", st.getPath().getName())
+            if m and int(m.group(1)) <= cutoff:
+                fs.delete(st.getPath(), False)
     floor = manifest.get("delta_floor")
     prev_floor = prev.get("delta_floor") if prev is not None else None
     if floor is None or prev_floor is None:

@@ -510,3 +510,26 @@ def test_reader_racing_compaction_never_sees_torn_layout(
     assert not failures, failures
     # and the final state is exactly base + all epochs
     assert _dedup_probe(spark, path) == expected
+
+
+def test_manifest_log_stays_bounded(spark, tmp_path):
+    """The manifest log a reader must list is bounded by
+    RETAIN_MANIFESTS regardless of epoch count: each commit O(1)-trims
+    the file RETAIN generations back (no directory listing on the
+    commit path)."""
+    import os
+
+    path = str(tmp_path / "idx")
+    index_store.commit_manifest(spark, path, {
+        "seq": 1, "version": 1, "tiers": {}, "hwm": None,
+        "delta_floor": None})
+    for seq in range(2, index_store.RETAIN_MANIFESTS + 30):
+        index_store.commit_manifest(spark, path, {
+            "seq": seq, "version": 1, "tiers": {}, "hwm": seq - 1,
+            "delta_floor": None})
+    files = [f for f in os.listdir(f"{path}/{index_store.MANIFEST_DIR}")
+             if f.endswith(".json")]
+    assert len(files) <= index_store.RETAIN_MANIFESTS
+    m = index_store.read_manifest(spark, path)
+    assert m["seq"] == index_store.RETAIN_MANIFESTS + 29
+    assert m["hwm"] == index_store.RETAIN_MANIFESTS + 28
