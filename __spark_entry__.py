@@ -2873,6 +2873,55 @@ def _q_ingest_loop_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("long")).orderBy("doc_id")
 
 
+def _q_ingest_loop_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest loop CO-MAINTAINING the search index (r10): the same
+    closed-form html corpus runs crawl -> extract -> gopher -> dedup
+    -> survivor keys AND survivor postings in one exactly-once epoch
+    (streaming_ingest_loop(bm25_index_path=)); the entry then queries
+    the persisted BM25 index for two class markers. Closed form: the
+    searchable corpus is hist (quality-passing k < 10) ∪ the
+    loop's survivors, every doc hits exactly its own class marker —
+    c5 only lives in hist, c12 only in the class-12 survivor (absent
+    entirely at SFs too small to have eligible k >= 10). Re-runs are
+    verified replays on BOTH indexes. Hit SET + counts hash-match;
+    scores are pinned engine-side by the bm25_search == indexed
+    equality pytest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import build_dedup_index
+    from graphlite_spark.operators.html import extract_html_text
+    from graphlite_spark.operators.text import (
+        bm25_search_indexed,
+        build_bm25_index,
+        gopher_quality_filters,
+    )
+    from graphlite_spark.streaming.stateful import streaming_ingest_loop
+
+    docs = _synth_curation_html(spark, sf_dir)
+    didx = _dedup_index_path(sf_dir) + "-ingbm"
+    bidx = _dedup_index_path(sf_dir) + "-ingbm-search"
+    if not os.path.exists(os.path.join(didx, "meta")):
+        ext = extract_html_text(
+            docs.filter(F.col("doc_id") < 10), html_col="html",
+            id_col="doc_id")
+        hist = gopher_quality_filters(
+            ext, id_col="doc_id", min_words=40, min_stop_words=1,
+            keep=("text",)
+        ).filter(F.col("gopher_pass")).select("doc_id", "text")
+        build_dedup_index(hist, didx, n=3, num_hashes=64, bands=8)
+        build_bm25_index(hist, bidx)
+    streaming_ingest_loop(
+        docs, didx, checkpoint=os.path.join(didx, "_ckpt_unused"),
+        min_words=40, min_stop_words=1, near=False,
+        bm25_index_path=bidx)
+    return (bm25_search_indexed(spark, bidx, ["c5", "c12"], k=50)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_terms_hit")
+            .orderBy("doc_id"))
+
+
 def _q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-set quality flags (Rae et al. 2021 A1.1) — pure
     codegen projection, no shuffle. min_words/min_stop_words adapted
@@ -5420,6 +5469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_score": _q_quality,
             "gopher_quality_filters": _q_gopher_filters,
             "gopher_filters_call": _q_gopher_filters_call,
+            "ingest_loop_bm25_batch": _q_ingest_loop_bm25,
             "extract_html_roundtrip": _q_extract_html,
             "curation_pipeline_v2": _q_curation_pipeline_v2,
             "curation_pipeline_v3": _q_curation_pipeline_v3,
@@ -8289,6 +8339,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(min(k) AS BIGINT) AS doc_id
             FROM elig GROUP BY cls ORDER BY 1
+        """,
+        "ingest_loop_bm25_batch": """
+            -- searchable corpus = quality-passing hist (k < 10,
+            -- k%17<>0) ∪ the loop's survivors (smallest non-short doc
+            -- per class in {0} ∪ {10..29}); each doc hits exactly its
+            -- own class marker, so the c5/c12 query returns the hist
+            -- class-5 doc and the class-12 survivor, one term each
+            WITH cap AS (SELECT least(count(*), 240) AS c FROM supplier),
+            kk AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS k
+                FROM supplier, cap WHERE s_suppkey < cap.c
+            ), hist AS (
+                SELECT k, k % 30 AS cls FROM kk
+                WHERE k < 10 AND k % 17 <> 0
+            ), elig AS (
+                SELECT k, k % 30 AS cls FROM kk
+                WHERE k % 17 <> 0 AND (k % 30 >= 10 OR k % 30 = 0)
+            ), surv AS (
+                SELECT min(k) AS k, cls FROM elig GROUP BY cls
+            ), indexed AS (
+                SELECT k, cls FROM hist
+                UNION ALL SELECT k, cls FROM surv
+            )
+            SELECT CAST(k AS BIGINT) AS doc_id,
+                   CAST(1 AS BIGINT) AS n_terms_hit
+            FROM indexed WHERE cls IN (5, 12) ORDER BY doc_id
         """,
         "semantic_contamination_audit": """
             -- every corpus row's max benchmark cosine + nearest

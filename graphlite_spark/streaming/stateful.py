@@ -498,6 +498,24 @@ def streaming_curation(
     return deduped.join(kept, "doc_id").select("doc_id", "text")
 
 
+def _maybe_compact_bm25(spark, bm25_path: str, batch_id: int,
+                        compact_every: "int | None") -> bool:
+    """The _maybe_compact first-delivery rule applied to the search
+    index the ingest loop co-maintains: gated on the BM25 index's OWN
+    manifest high-water mark."""
+    if not compact_every or batch_id <= 0 \
+            or batch_id % int(compact_every):
+        return False
+    from ..operators.index_store import current_manifest
+    from ..operators.text import compact_bm25_index
+
+    hwm = current_manifest(spark, bm25_path).get("hwm")
+    if hwm is None or int(hwm) != int(batch_id) - 1:
+        return False
+    compact_bm25_index(spark, bm25_path)
+    return True
+
+
 def _maybe_compact(spark, index_path: str, batch_id: int,
                    compact_every: "int | None") -> bool:
     """Scheduled index hygiene INSIDE the exactly-once epoch loop:
@@ -605,6 +623,7 @@ def streaming_ingest_loop(
     min_stop_words: int = 1,
     near: bool = False,
     compact_every: "int | None" = None,
+    bm25_index_path: "str | None" = None,
 ):
     """The COMPLETE production ingest loop as one exactly-once stream:
     raw HTML -> main-content extraction -> Gopher quality gate ->
@@ -624,6 +643,16 @@ def streaming_ingest_loop(
     maintenance AND hygiene in one stream; answers are unchanged by
     construction and the swap is atomic to readers (index_store).
 
+    ``bm25_index_path``: co-maintain the SEARCH index in the same
+    exactly-once epoch (r10) — each epoch's dedup SURVIVORS append
+    their postings/df/stats deltas to a persisted BM25 index
+    (bm25_index_ingest_batch, fenced by that index's own manifest
+    hwm), so crawl -> extract -> gate -> dedup -> land -> SEARCHABLE
+    advances atomically with one batch_id; crash replays verify
+    against both indexes' committed partitions. Build it first with
+    build_bm25_index over the historical corpus (possibly empty).
+    ``compact_every`` compacts it on the same schedule.
+
     Extraction and the quality gate are map-side (Arrow mapInPandas +
     one codegen projection), index contact is 8/16-byte-key joins —
     nothing in the loop is history-sized. BATCH input processes the
@@ -639,6 +668,9 @@ def streaming_ingest_loop(
 
         _maybe_compact(df.sparkSession, index_path, batch_id,
                        compact_every)
+        if bm25_index_path is not None:
+            _maybe_compact_bm25(df.sparkSession, bm25_index_path,
+                                batch_id, compact_every)
         ext = extract_html_text(df, html_col=html_col, id_col=id_col)
         flagged = gopher_quality_filters(
             ext, id_col="doc_id", min_words=min_words,
@@ -647,6 +679,11 @@ def streaming_ingest_loop(
             .select("doc_id", "text")
         surv = dedup_index_ingest_batch(
             kept, index_path, batch_id=batch_id, near=near)
+        if bm25_index_path is not None:
+            from ..operators.text import bm25_index_ingest_batch
+
+            bm25_index_ingest_batch(surv, bm25_index_path,
+                                    batch_id=batch_id)
         if survivors_path is not None:
             (surv.withColumn("_batch_id", F.lit(int(batch_id)))
              .write.mode("overwrite")

@@ -533,3 +533,83 @@ def test_manifest_log_stays_bounded(spark, tmp_path):
     m = index_store.read_manifest(spark, path)
     assert m["seq"] == index_store.RETAIN_MANIFESTS + 29
     assert m["hwm"] == index_store.RETAIN_MANIFESTS + 28
+
+
+def test_ingest_loop_co_maintains_bm25_search_index(spark, tmp_path):
+    """streaming_ingest_loop(bm25_index_path=): each exactly-once
+    epoch appends its dedup SURVIVORS' postings to the persisted
+    search index — after the stream, indexed search equals
+    bm25_search over historical ∪ survivors, and a re-delivered
+    epoch is a verified no-op on BOTH indexes."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from graphlite_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_index_ingest_batch,
+    )
+    from graphlite_spark.operators.text import (
+        bm25_search,
+        bm25_search_indexed,
+        build_bm25_index,
+    )
+    from graphlite_spark.streaming.stateful import streaming_ingest_loop
+
+    def body(tag):
+        return " ".join(f"w{tag}{i} the data" for i in range(20))
+
+    def page(b):
+        return ("<html><body><nav><a href='/'>Home</a></nav><p>" + b
+                + "</p><footer><a href='/t'>T</a></footer></body></html>")
+
+    hist = spark.createDataFrame([(1, body("a"))],
+                                 "doc_id long, text string")
+    eps = [
+        spark.createDataFrame(
+            [(10, page(body("a"))),   # dup of hist -> dropped
+             (11, page(body("b")))],  # survivor
+            "doc_id long, html string"),
+        spark.createDataFrame(
+            [(20, page(body("b"))),   # dup of epoch-1 delta -> dropped
+             (21, page(body("c")))],  # survivor
+            "doc_id long, html string"),
+    ]
+    didx, bidx = str(tmp_path / "didx"), str(tmp_path / "bidx")
+    build_dedup_index(hist, didx, n=3, num_hashes=64, bands=8)
+    build_bm25_index(hist, bidx)
+
+    d = str(tmp_path / "src")
+    for k, ep in enumerate(eps):
+        ep.coalesce(1).write.parquet(f"{d}/f{k}")
+    stream = (spark.readStream.schema(eps[0].schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    out = str(tmp_path / "surv")
+    streaming_ingest_loop(stream, didx,
+                          checkpoint=str(tmp_path / "ck"),
+                          survivors_path=out, min_words=15,
+                          bm25_index_path=bidx)
+    kept = spark.read.parquet(out).select("doc_id", "text")
+    assert sorted(r.doc_id for r in kept.collect()) == [11, 21]
+
+    q = ["the", "wb3", "wc7"]
+    got = [(r.doc_id, r.score, r.n_terms_hit) for r in
+           bm25_search_indexed(spark, bidx, q, k=10).collect()]
+    want = [(r.doc_id, r.score, r.n_terms_hit) for r in
+            bm25_search(hist.unionByName(kept), q, k=10).collect()]
+    assert got == want and len(got) == 3
+
+    # re-delivered final epoch: verified no-op on BOTH indexes
+    from graphlite_spark.operators.html import extract_html_text
+    from graphlite_spark.operators.text import gopher_quality_filters
+
+    ext = extract_html_text(eps[1], html_col="html", id_col="doc_id")
+    kept2 = gopher_quality_filters(
+        ext, id_col="doc_id", min_words=15, min_stop_words=1,
+        keep=("text",)).filter("gopher_pass").select("doc_id", "text")
+    surv = dedup_index_ingest_batch(kept2, didx, batch_id=1, near=False)
+    assert sorted(r.doc_id for r in surv.collect()) == [21]
+    from graphlite_spark.operators.text import bm25_index_ingest_batch
+
+    assert bm25_index_ingest_batch(surv, bidx, batch_id=1) == 1
+    assert [(r.doc_id, r.score, r.n_terms_hit) for r in
+            bm25_search_indexed(spark, bidx, q, k=10).collect()] == want
