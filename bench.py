@@ -171,6 +171,16 @@ HEADLINE = [
                                       # (r10; the Llama/T5 family)
     "gopher_filters_call",            # curation tier via GQL CALL
                                       # over document nodes (r10)
+    "temperature_sample_unigram",     # tokenizer-true alpha rebalance
+                                      # (r10)
+    "ann_target_recall_topk",         # declarative recall routing ->
+                                      # int8 rescore point (r10)
+    "dedup_index_compacted",          # against-index read over a
+                                      # twice-compacted manifest base
+                                      # (r10; cold builds + compacts)
+    "ingest_loop_bm25_batch",         # full loop co-maintaining the
+                                      # search index + indexed query
+                                      # (r10; warm = verified replay)
 ]
 
 
