@@ -1770,6 +1770,23 @@ def _q_temperature_sample_unigram(spark: SparkSession,
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY report (r10) under the
+    digraph-unigram vocabulary: tokens-per-word and bytes-per-token
+    are the standard diagnostics when sizing a multilingual vocab,
+    and both have exact closed forms here (tokens = the digraph SQL
+    count; words = whitespace split; bytes = octet_length) — so the
+    whole report hash-matches, integer sums and 6-dp ratios alike."""
+    from graphlite_spark.operators.tokenize import (
+        disjoint_digraph_unigram,
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(
+        _table(spark, sf_dir, "documents"),
+        disjoint_digraph_unigram(), group_col="lang")
+
+
 def _q_lang_id_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lang_id re-gated on the WIDER corpus (VERDICT r8 ask #6): the
     13-language synth_multilingual inventory — Latin scripts sharing
@@ -5461,6 +5478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token_count_unigram": _q_token_count_unigram,
             "tokenize_unigram_roundtrip": _q_tokenize_unigram_roundtrip,
             "temperature_sample_unigram": _q_temperature_sample_unigram,
+            "tokenizer_fertility_langs": _q_tokenizer_fertility,
             "chunk_documents_unigram": _q_chunk_documents_unigram,
             "tokenize_bpe_roundtrip": _q_tokenize_bpe_roundtrip,
             "ann_rescore_int4_audit": _q_ann_rescore_int4_recall,
@@ -8417,6 +8435,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((d.doc_id + 11) * 2654435761) % 4294967296
                   < r.rate * 4294967296.0
             ORDER BY d.doc_id
+        """,
+        "tokenizer_fertility_langs": """
+            -- fertility report closed form: tokens = the digraph
+            -- count, words = whitespace split (empty guard), bytes =
+            -- octet_length; ratios on exact integer sums, 6 dp
+            WITH per AS (
+                SELECT lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\s+')) END AS w,
+                       octet_length(encode(text))
+                       - (length(text) - length(replace(text,'th','')))//2
+                       - (length(text) - length(replace(text,'er','')))//2
+                       - (length(text) - length(replace(text,'in','')))//2
+                       - (length(text) - length(replace(text,'as','')))//2
+                       AS t,
+                       octet_length(encode(text)) AS b
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(w) AS BIGINT) AS n_words,
+                   CAST(sum(t) AS BIGINT) AS n_tokens,
+                   CAST(sum(b) AS BIGINT) AS n_bytes,
+                   CASE WHEN sum(w) > 0
+                        THEN round(sum(t) * 1.0 / sum(w), 6) END
+                       AS fertility,
+                   CASE WHEN sum(t) > 0
+                        THEN round(sum(b) * 1.0 / sum(t), 6) END
+                       AS bytes_per_token
+            FROM per GROUP BY lang
         """,
         "temperature_sample_unigram": """
             -- temperature rebalancing with tokenizer-true weights:

@@ -624,3 +624,53 @@ def train_unigram(
     return UnigramTokenizer(learn_unigram(
         counts, vocab_size=vocab_size, max_piece_len=max_piece_len,
         num_iters=num_iters))
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    tokenizer,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer FERTILITY report — the standard diagnostic
+    when sizing/choosing a vocabulary for a multilingual corpus
+    (tokens-per-word varies 1.3-4x by language and tokenizer family,
+    which shifts every token-budgeted decision downstream: mixture
+    weights, packing bins, context windows, cost estimates):
+
+      (group, n_docs, n_words, n_tokens, n_bytes,
+       fertility        = n_tokens / n_words    (lower = better fit),
+       bytes_per_token  = n_bytes / n_tokens    (compression view))
+
+    Works with EITHER tokenizer family (BPE / unigram) through the
+    shared broadcast machinery; whitespace words use the same
+    empty-string guard as text.token_count. One map-side projection +
+    ONE |groups|-row groupBy — scan-bound at any corpus size. Ratios
+    rounded to 6 dp (cross-engine exact: both numerator and
+    denominator are exact integer sums).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.when(F.length(F.trim(F.col(text_col))) == 0,
+                     F.lit(0)).otherwise(F.size(toks)).cast("long")
+    cnt = bpe_token_count_col(df, tokenizer, text_col)
+    per_doc = df.select(
+        F.col(group_col),
+        n_words.alias("_w"),
+        cnt.alias("_t"),
+        F.octet_length(F.col(text_col)).cast("long").alias("_b"),
+    )
+    agg = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_t").alias("n_tokens"),
+        F.sum("_b").alias("n_bytes"),
+    )
+    return agg.select(
+        F.col(group_col), "n_docs", "n_words", "n_tokens", "n_bytes",
+        F.when(F.col("n_words") > 0,
+               F.round(F.col("n_tokens") / F.col("n_words"), 6))
+        .alias("fertility"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("n_bytes") / F.col("n_tokens"), 6))
+        .alias("bytes_per_token"),
+    )

@@ -199,3 +199,31 @@ def test_pack_and_temperature_thread_unigram(spark):
                                tokenizer=tok)
     assert set(t_out.columns) == {"doc_id", "lang", "text"}
     assert t_out.count() == df.count()
+
+
+def test_tokenizer_fertility_report(spark):
+    from graphlite_spark.operators.tokenize import (
+        disjoint_digraph_tokenizer,
+        tokenizer_fertility,
+    )
+
+    tok = disjoint_digraph_unigram()
+    rows = [(1, "en", "the fast the fast"),     # 4 words
+            (2, "en", "as in th er"),           # 4 words, all digraphs
+            (3, "xx", ""),                      # empty: 0 words
+            (4, "zz", "中文 文中")]              # CJK bytes
+    df = spark.createDataFrame(rows,
+                               "doc_id long, lang string, text string")
+    out = {r["lang"]: r for r in
+           tokenizer_fertility(df, tok, group_col="lang").collect()}
+    # en: tokens = sum of per-doc counts; words = 8
+    want_tokens = sum(tok.count(t) for _i, lg, t in rows if lg == "en")
+    assert out["en"]["n_words"] == 8
+    assert out["en"]["n_tokens"] == want_tokens
+    assert out["en"]["fertility"] == round(want_tokens / 8, 6)
+    assert out["xx"]["n_words"] == 0 and out["xx"]["fertility"] is None
+    assert out["zz"]["n_bytes"] == len("中文 文中".encode())
+    # both families ride the same machinery
+    bpe = {r["lang"]: r["n_tokens"] for r in tokenizer_fertility(
+        df, disjoint_digraph_tokenizer(), group_col="lang").collect()}
+    assert bpe["en"] == out["en"]["n_tokens"]  # same digraph counts
