@@ -181,6 +181,7 @@ HEADLINE = [
     "ingest_loop_bm25_batch",         # full loop co-maintaining the
                                       # search index + indexed query
                                       # (r10; warm = verified replay)
+    "tokenizer_fertility_langs",      # per-lang fertility report (r10)
 ]
 
 
