@@ -905,8 +905,7 @@ class GraphLiteSpark:
                        if len(stmt.args) > 3 else 0.8)
                 pairs = minhash_lsh_pairs(ndf, text_col=prop,
                                           id_col="_id", threshold=thr)
-                df = dedup_clusters(ndf, pairs, id_col="_id") \
-                    .withColumnRenamed("_id", "_id")
+                df = dedup_clusters(ndf, pairs, id_col="_id")
             else:
                 raise ValueError(
                     f"gql.dedup mode must be 'exact' or 'near', "

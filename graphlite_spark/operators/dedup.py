@@ -987,7 +987,8 @@ def build_dedup_index(
 
 
 def _index_tier(spark, path: str, tier: str,
-                before_batch: "int | None") -> DataFrame:
+                before_batch: "int | None",
+                as_of_seq: "int | None" = None) -> DataFrame:
     """Read one key tier of a persisted index: the live base (resolved
     through the index's manifest — see index_store) plus the delta
     partitions visible under the manifest's clamps (``delta_floor <
@@ -998,7 +999,8 @@ def _index_tier(spark, path: str, tier: str,
     skip, not a scan)."""
     from .index_store import read_tier
 
-    return read_tier(spark, path, tier, before_batch=before_batch)
+    return read_tier(spark, path, tier, before_batch=before_batch,
+                     as_of_seq=as_of_seq)
 
 
 def dedup_against_index(
@@ -1009,6 +1011,7 @@ def dedup_against_index(
     near: bool = True,
     mode: str = "drop",
     before_batch: "int | None" = None,
+    as_of_seq: "int | None" = None,
 ) -> DataFrame:
     """Dedup an incoming batch AGAINST a persisted index
     (build_dedup_index) — exact content hits and (optionally) MinHash
@@ -1034,6 +1037,13 @@ def dedup_against_index(
     ``{path}/exact_delta`` / ``{path}/bands_delta``), those delta
     partitions are included; ``before_batch=k`` restricts to deltas
     from epochs < k (the replay-safe read — see _index_tier).
+
+    ``as_of_seq=s``: TIME TRAVEL — answer against the index exactly
+    as it stood at manifest commit ``s`` (index_store.versions lists
+    the retained generations), the audit/reproducibility read: re-run
+    epoch k's dedup decision months later against the same key set.
+    Snapshots older than the GC retention window raise instead of
+    silently answering from a partial layout.
     """
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
@@ -1041,7 +1051,8 @@ def dedup_against_index(
     m = spark.read.parquet(f"{path}/meta").collect()[0]
     key = (F.lower(F.trim(F.col(text_col))) if m.normalize
            else F.col(text_col))
-    exact_idx = _index_tier(spark, path, "exact", before_batch)
+    exact_idx = _index_tier(spark, path, "exact", before_batch,
+                            as_of_seq=as_of_seq)
     hashed = new_docs.withColumn("_h", F.xxhash64(key))
     exact_ids = (
         hashed.select(F.col(id_col).alias("_eid"), "_h")
@@ -1050,7 +1061,8 @@ def dedup_against_index(
     )
     near_ids = None
     if near:
-        bands_idx = _index_tier(spark, path, "bands", before_batch)
+        bands_idx = _index_tier(spark, path, "bands", before_batch,
+                                as_of_seq=as_of_seq)
         sig = minhash_signatures(new_docs, text_col, id_col, n=m.n,
                                  num_hashes=m.num_hashes, words=m.words)
         bb = _band_bucket_frame(sig, id_col, m.num_hashes, m.bands)
@@ -1181,8 +1193,9 @@ def dedup_index_ingest_batch(
     from pyspark.sql import Window
 
     from .index_store import (
-        commit_epoch,
+        commit_epoch_with_rebase,
         fence_epoch,
+        publish_delta,
         read_delta,
         verify_replay,
     )
@@ -1261,18 +1274,18 @@ def dedup_index_ingest_batch(
                            at_batch=batch_id),
                 new_bands, path, "bands", batch_id)
         return survivors
-    # append the survivors' keys — idempotent per-epoch partitions
-    (new_exact.withColumn("_batch_id", F.lit(int(batch_id)))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("_batch_id").parquet(f"{path}/exact_delta"))
+    # append the survivors' keys — STAGED per-epoch partitions (stage
+    # + rename, so a racing same-batch writer can never interleave
+    # files into a partition this writer commits; identical staged
+    # content is adopted, different content raises — index_store)
+    publish_delta(spark, path, "exact", new_exact, batch_id)
     if new_bands is not None:
-        (new_bands.withColumn("_batch_id", F.lit(int(batch_id)))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("_batch_id").parquet(f"{path}/bands_delta"))
+        publish_delta(spark, path, "bands", new_bands, batch_id)
     # publish the epoch: hwm := batch_id (crash before this line ->
-    # the partitions sit above hwm, invisible; replay re-runs as
-    # a normal epoch and overwrites them)
-    commit_epoch(spark, path, batch_id, manifest)
+    # the partitions sit above hwm, invisible; replay re-runs as a
+    # normal epoch and adopts its own verified partitions). The
+    # commit REBASES past interleaved manifest commits (a concurrent
+    # compaction, another writer's disjoint epoch) instead of
+    # aborting — the optimistic multi-writer posture.
+    commit_epoch_with_rebase(spark, path, batch_id, manifest)
     return survivors

@@ -81,6 +81,13 @@ class InjectedCrash(RuntimeError):
     """Raised by _fault_point when a test arms _FAULT_AFTER."""
 
 
+class ManifestConflict(RuntimeError):
+    """A manifest commit lost the sequence-number race to another
+    writer. The losing writer made no changes; the APPEND path
+    recovers with :func:`commit_epoch_with_rebase` (compaction stays
+    single-writer and surfaces this to the scheduler)."""
+
+
 def _fault_point(label: str) -> None:
     global _ops_seen
     if _FAULT_AFTER is None:
@@ -158,7 +165,20 @@ def commit_manifest(spark, path: str, manifest: dict) -> None:
     The rename is the linearization point — a reader lists either the
     old maximum or the new one, never a partial file. A pre-existing
     target means another writer won the sequence number: RAISE (the
-    single-writer contract was violated; nothing was corrupted)."""
+    lost writer made no changes; the APPEND path recovers via
+    :func:`commit_epoch_with_rebase`).
+
+    Concurrency caveat (r10 ADVICE): the exists-check-then-rename is
+    atomic on HDFS (rename RAISES/returns false on an existing
+    destination) but only BEST-EFFORT on filesystems whose rename
+    replaces the destination (POSIX rename through
+    RawLocalFileSystem; some object-store connectors) — two writers
+    racing inside the check→rename window could both believe they
+    committed the same seq, losing one commit. Production multi-writer
+    deployments should point the index at a filesystem with
+    fail-on-existing rename semantics (HDFS, ABFS) or an external
+    commit coordinator; the optimistic retry layer narrows the window
+    to one FS round-trip but cannot close it on overwriting renames."""
     payload = json.dumps(manifest, sort_keys=True).encode("utf-8")
     jvm, fs = _fs(spark, path)
     seq = int(manifest["seq"])
@@ -169,7 +189,7 @@ def commit_manifest(spark, path: str, manifest: dict) -> None:
     _fault_point("manifest:rename")
     if fs.exists(final):
         fs.delete(tmp, False)
-        raise RuntimeError(
+        raise ManifestConflict(
             f"concurrent index writer detected: manifest seq {seq} "
             f"already committed at {path} — this writer lost the race "
             f"and made no changes")
@@ -245,10 +265,29 @@ def read_delta(spark, path: str, tier: str,
         return None
     try:
         delta = spark.read.parquet(ddir)
-    except Exception:
-        # an all-empty-epoch delta dir has no schema to infer
-        return None
+    except Exception as e:
+        # ONLY the all-empty-epoch case reads as "no deltas": a delta
+        # dir whose every partition was an empty write has no footer to
+        # infer a schema from. Anything else (corrupt footer, permission
+        # failure) must surface — for the dedup index a swallowed error
+        # would mean silently missed duplicates, for BM25 under-counted
+        # df/stats (r10 ADVICE).
+        msg = str(e)
+        if ("Unable to infer schema" in msg
+                or "Path does not exist" in msg
+                or "PATH_NOT_FOUND" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg):
+            return None
+        raise
     floor, hwm = m.get("delta_floor"), m.get("hwm")
+    if hwm is None and int(m.get("seq", 0)) >= 1:
+        # a COMMITTED manifest with no high-water mark means no epoch
+        # has ever been committed: every delta partition present is an
+        # uncommitted (crashed-before-commit) write and must stay
+        # invisible — also what makes an as-of read at the pre-epoch
+        # manifest answer "no deltas" instead of leaking later epochs.
+        # (Only the synthetic seq-0 LEGACY manifest reads unclamped.)
+        return None
     if floor is not None:
         delta = delta.filter(F.col("_batch_id") > int(floor))
     if hwm is not None:
@@ -262,15 +301,97 @@ def read_delta(spark, path: str, tier: str,
 
 def read_tier(spark, path: str, tier: str,
               before_batch: "int | None" = None,
-              manifest: "dict | None" = None) -> DataFrame:
+              manifest: "dict | None" = None,
+              as_of_seq: "int | None" = None) -> DataFrame:
     """base ∪ visible deltas, projected to the base's columns — the
-    one read every against-index query and ingest epoch uses."""
+    one read every against-index query and ingest epoch uses.
+
+    ``as_of_seq``: TIME TRAVEL — resolve through the manifest at that
+    sequence number instead of the newest one, answering exactly as a
+    reader at that commit saw the index (the reproducibility story
+    for training-data lineage: re-run epoch k's dedup decision months
+    later). The manifest log retains RETAIN_MANIFESTS generations and
+    GC keeps one superseded base generation, so snapshots survive one
+    compaction back; older snapshots RAISE a clear retention error
+    instead of silently answering from a partial layout."""
+    if as_of_seq is not None:
+        if manifest is not None:
+            raise ValueError("pass either manifest= or as_of_seq=, "
+                             "not both")
+        manifest = manifest_at(spark, path, as_of_seq)
+        _check_snapshot_readable(spark, path, tier, manifest, as_of_seq)
     m = manifest if manifest is not None else current_manifest(spark, path)
     base = read_base(spark, path, tier, m)
     delta = read_delta(spark, path, tier, m, before_batch=before_batch)
     if delta is None:
         return base
     return base.unionByName(delta.select(*base.columns))
+
+
+def manifest_at(spark, path: str, seq: int) -> dict:
+    """The committed manifest at an exact sequence number, for
+    snapshot reads. Raises when the generation was trimmed past the
+    retention window (or never existed)."""
+    m = _manifest_at(spark, path, int(seq))
+    if m is None:
+        raise ValueError(
+            f"no manifest seq {int(seq)} at {path}: never committed, "
+            f"or trimmed past the {RETAIN_MANIFESTS}-generation "
+            f"manifest-log retention window")
+    return m
+
+
+def versions(spark, path: str) -> "list[dict]":
+    """The retained manifest generations of an index, oldest first:
+    ``[{'seq', 'version', 'hwm', 'delta_floor'}]`` — the audit
+    listing for time travel (pick a seq, read with ``as_of_seq=``).
+    Empty for a pre-manifest (legacy) index."""
+    jvm, fs = _fs(spark, path)
+    mdir = _jp(jvm, f"{path}/{MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        mm = re.fullmatch(r"(\d+)\.json", st.getPath().getName())
+        if not mm:
+            continue
+        man = json.loads(
+            _read_small_file(jvm, fs, st.getPath()).decode("utf-8"))
+        out.append({"seq": int(man.get("seq", int(mm.group(1)))),
+                    "version": man.get("version"),
+                    "hwm": man.get("hwm"),
+                    "delta_floor": man.get("delta_floor")})
+    return sorted(out, key=lambda r: r["seq"])
+
+
+def _check_snapshot_readable(spark, path: str, tier: str,
+                             old: dict, seq: int) -> None:
+    """Refuse an as-of read whose layout was garbage-collected: the
+    snapshot's base dir must still exist, and every delta epoch the
+    snapshot needs (``old.delta_floor < b <= old.hwm``) must still
+    have its partition directory. Erring toward a raise is the right
+    failure mode for an auditor — never answer from a provably
+    partial layout."""
+    jvm, fs = _fs(spark, path)
+    bdir = tier_dir(path, old, tier)
+    if not fs.exists(_jp(jvm, bdir)):
+        raise ValueError(
+            f"snapshot seq {int(seq)} of {path} is outside the GC "
+            f"retention window: its '{tier}' base ({bdir}) was "
+            f"collected by a later compaction (GC keeps one "
+            f"superseded generation)")
+    hwm = old.get("hwm")
+    if hwm is None:
+        return
+    floor = int(old.get("delta_floor") or 0)
+    ddir = f"{path}/{tier}_delta"
+    for b in range(floor + 1, int(hwm) + 1):
+        if not fs.exists(_jp(jvm, f"{ddir}/_batch_id={b}")):
+            raise ValueError(
+                f"snapshot seq {int(seq)} of {path} is outside the GC "
+                f"retention window: delta epoch {b} of '{tier}' "
+                f"(needed for delta_floor={floor} < b <= hwm={hwm}) "
+                f"was folded and collected by a later compaction")
 
 
 # -- epoch fencing ------------------------------------------------------------
@@ -343,6 +464,153 @@ def verify_replay(persisted: "DataFrame | None", recomputed: DataFrame,
             f"different data under a committed batch_id")
 
 
+# -- staged delta publish + optimistic append commits -------------------------
+
+def _read_parquet_or_none(spark, d: str) -> "DataFrame | None":
+    """spark.read.parquet that treats ONLY the no-footer/empty-dir
+    case as 'no rows' (the read_delta rule) and re-raises everything
+    else."""
+    try:
+        return spark.read.parquet(d)
+    except Exception as e:
+        msg = str(e)
+        if ("Unable to infer schema" in msg
+                or "Path does not exist" in msg
+                or "PATH_NOT_FOUND" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg):
+            return None
+        raise
+
+
+def _verify_same_partition(spark, staged: str, dest: str,
+                           path: str, tier: str, batch_id: int) -> None:
+    """Multiset-compare a staged epoch write against an already
+    present partition for the same batch_id. Equality means the
+    existing partition is adoptable (our own crashed attempt, or a
+    concurrent writer that derived the identical delta — ingest is
+    deterministic by contract); inequality is either a concurrent
+    writer carrying DIFFERENT data or broken determinism upstream,
+    and both must fail loudly BEFORE any manifest commit."""
+    a = _read_parquet_or_none(spark, staged)
+    b = _read_parquet_or_none(spark, dest)
+    if a is None and b is None:
+        return
+    if a is None or b is None:
+        only = dest if a is None else staged
+        n = (b if a is None else a).count()
+        if n == 0:
+            return
+        raise ValueError(
+            f"conflicting delta partition for epoch {batch_id} of "
+            f"{path}/{tier}: {only} carries {n} rows where the other "
+            f"write is empty — different data under one batch_id "
+            f"(concurrent writer or non-deterministic recomputation)")
+    cols = sorted(a.columns)
+    x, y = a.select(*cols), b.select(*cols)
+    diff = x.exceptAll(y).count() + y.exceptAll(x).count()
+    if diff:
+        raise ValueError(
+            f"conflicting delta partition for epoch {batch_id} of "
+            f"{path}/{tier}: {diff} rows differ between the staged "
+            f"write and the partition already present — different "
+            f"data under one batch_id (concurrent writer or "
+            f"non-deterministic recomputation); refusing to publish")
+
+
+def publish_delta(spark, path: str, tier: str, df: DataFrame,
+                  batch_id: int) -> None:
+    """Publish one epoch's delta rows for a tier via STAGE + RENAME:
+    write to a writer-unique staging directory, then rename it into
+    ``{tier}_delta/_batch_id={k}`` — the partition appears to readers
+    complete or not at all, and a second writer's files can never
+    interleave into a partition another writer is about to commit
+    (the hazard of the previous dynamic-partition-overwrite append:
+    a racing same-batch writer silently replaced the winner's rows).
+
+    If the destination partition already exists it is verified
+    multiset-equal to the staged write and ADOPTED (our own crashed
+    previous attempt — partitions above hwm are invisible until the
+    manifest commit — or a concurrent writer that derived the same
+    delta); different content RAISES before any commit. Pass ``df``
+    already shaped (sortWithinPartitions/coalesce) — this function
+    only stages and renames."""
+    import uuid
+
+    jvm, fs = _fs(spark, path)
+    b = int(batch_id)
+    ddir = f"{path}/{tier}_delta"
+    dest_s = f"{ddir}/_batch_id={b}"
+    dest = _jp(jvm, dest_s)
+    stage = f"{path}/.stage/{tier}-{b}-{uuid.uuid4().hex[:12]}"
+    _fault_point(f"publish:stage:{tier}")
+    df.write.parquet(stage)
+    sp = _jp(jvm, stage)
+    try:
+        if fs.exists(dest):
+            _verify_same_partition(spark, stage, dest_s, path, tier, b)
+            return
+        fs.mkdirs(_jp(jvm, ddir))
+        _fault_point(f"publish:rename:{tier}")
+        if not fs.rename(sp, dest):
+            # lost a same-batch race inside the probe->rename window
+            # (fail-on-existing rename semantics): verify and adopt
+            _verify_same_partition(spark, stage, dest_s, path, tier, b)
+    finally:
+        if fs.exists(sp):
+            fs.delete(sp, True)
+
+
+def commit_epoch_with_rebase(spark, path: str, batch_id: int,
+                             manifest: dict,
+                             max_retries: int = 8) -> str:
+    """Optimistic append commit (the Delta/Iceberg
+    commit-retry-with-rebase posture, APPEND path only — compaction
+    stays single-writer): try commit_epoch; when another writer wins
+    the manifest sequence number, re-read the log, re-fence, and
+    retry on top of the interloper's commit instead of aborting.
+
+    Outcomes:
+    - ``'committed'`` — this writer's manifest commit published the
+      epoch (possibly after rebasing past interleaved commits such as
+      a concurrent compaction or another writer's DISJOINT epoch —
+      the manifest log serializes the order).
+    - ``'duplicate'`` — a concurrent writer committed THIS batch_id
+      first. Safe to treat as success: publish_delta already verified
+      the committed partition carries exactly this writer's rows
+      (different data under one batch_id raises there, before any
+      commit).
+    - RAISES on an epoch gap, on a replay below the compaction floor
+      (fence_epoch rules re-applied against each rebased manifest),
+      or after ``max_retries`` consecutive lost races."""
+    m = dict(manifest)
+    b = int(batch_id)
+    for _ in range(int(max_retries) + 1):
+        try:
+            commit_epoch(spark, path, b, m)
+            return "committed"
+        except ManifestConflict:
+            m2 = current_manifest(spark, path)
+            hwm, floor = m2.get("hwm"), m2.get("delta_floor")
+            if hwm is not None and int(hwm) >= b:
+                if floor is not None and b <= int(floor):
+                    raise ValueError(
+                        f"batch_id={b} at {path} was committed AND "
+                        f"folded below the compaction floor ({floor}) "
+                        f"while this writer raced — misrouted or "
+                        f"grossly delayed delivery")
+                return "duplicate"
+            if hwm is not None and b > int(hwm) + 1:
+                raise ValueError(
+                    f"epoch gap appeared at {path} while rebasing: "
+                    f"high-water mark moved to {hwm} but batch_id={b} "
+                    f"needs {int(hwm) + 1} committed first")
+            m = m2
+    raise RuntimeError(
+        f"commit_epoch_with_rebase gave up after {max_retries} lost "
+        f"manifest races at {path} (batch_id={b}) — pathological "
+        f"contention; serialize the writers")
+
+
 # -- compaction commit + GC ---------------------------------------------------
 
 def commit_compaction(spark, path: str, new_tiers: "dict[str, str]",
@@ -395,6 +663,14 @@ def gc_index(spark, path: str, manifest: dict, tiers: "list[str]",
     keep = {manifest.get("tiers", {}).get(t, t) for t in tiers}
     if prev is not None:
         keep |= {prev.get("tiers", {}).get(t, t) for t in tiers}
+    else:
+        # a legacy (pre-manifest) index's FIRST compaction has no
+        # previous manifest file, but a reader that resolved the legacy
+        # layout mid-scan holds the CONVENTIONAL tier names — keep them
+        # one more generation so the retention contract ("never delete
+        # what a reader holding the current or previous manifest can
+        # reach") also covers the upgrade commit (r10 ADVICE)
+        keep |= set(tiers)
     root = _jp(jvm, path)
     for st in fs.listStatus(root):
         name = st.getPath().getName()
@@ -423,6 +699,17 @@ def gc_index(spark, path: str, manifest: dict, tiers: "list[str]",
     if floor is None or prev_floor is None:
         return
     del_floor = min(int(floor), int(prev_floor))
+    # stranded staging dirs (publish_delta crashed between its write
+    # and rename): only epochs at/below the collectable floor can be
+    # swept — fence_epoch raises for those batch ids before any stage
+    # write, so nothing down there can still be in flight
+    sdir = _jp(jvm, f"{path}/.stage")
+    if fs.exists(sdir):
+        for st in fs.listStatus(sdir):
+            m = re.fullmatch(r".+-(\d+)-[0-9a-f]+",
+                             st.getPath().getName())
+            if m and int(m.group(1)) <= del_floor:
+                fs.delete(st.getPath(), True)
     for t in (delta_tiers if delta_tiers is not None else tiers):
         ddir = _jp(jvm, f"{path}/{t}_delta")
         if not fs.exists(ddir):

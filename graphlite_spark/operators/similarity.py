@@ -949,8 +949,9 @@ def ann_index_ingest_batch(
     multiset-equal against the committed partitions. Returns the
     number of vectors ingested."""
     from .index_store import (
-        commit_epoch,
+        commit_epoch_with_rebase,
         fence_epoch,
+        publish_delta,
         read_base,
         read_delta,
         verify_replay,
@@ -975,15 +976,10 @@ def ann_index_ingest_batch(
                        at_batch=batch_id),
             counts, path, "meta", batch_id)
         return int(n)
-    (codes.withColumn("_batch_id", F.lit(int(batch_id)))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("_batch_id").parquet(path + "/codes_delta"))
-    (counts.withColumn("_batch_id", F.lit(int(batch_id)))
-     .coalesce(1).write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("_batch_id").parquet(path + "/meta_delta"))
-    commit_epoch(spark, path, batch_id, manifest)
+    # staged publishes + optimistic rebase commit (index_store)
+    publish_delta(spark, path, "codes", codes, batch_id)
+    publish_delta(spark, path, "meta", counts.coalesce(1), batch_id)
+    commit_epoch_with_rebase(spark, path, batch_id, manifest)
     return int(n)
 
 
@@ -1221,7 +1217,8 @@ def rescore_topk_indexed(
 # entries; if an audit floor ever drops below its row here, that gate
 # entry breaks before this table lies.
 ANN_OPERATING_POINTS = (
-    # (recall_floor, strategy, params, measured, cost-note)
+    # (recall_floor, strategy, params, note) — note is one string
+    # carrying the measured recalls plus the cost rationale
     (0.50, "lsh", {"num_planes": 8, "n_tables": 8},
      "0.54/0.62 @ ~27% candidates; hash-bucketed, sublinear shuffles"),
     (0.80, "ivf", {"n_lists": 16, "n_probe": 8},

@@ -1322,8 +1322,9 @@ def bm25_index_ingest_batch(
     and checked multiset-equal against the committed partitions.
     Returns the number of docs ingested."""
     from .index_store import (
-        commit_epoch,
+        commit_epoch_with_rebase,
         fence_epoch,
+        publish_delta,
         read_delta,
         verify_replay,
     )
@@ -1354,20 +1355,14 @@ def bm25_index_ingest_batch(
                            at_batch=batch_id),
                 frame, path, tier, batch_id)
         return int(base.count())
-    (postings.withColumn("_batch_id", F.lit(int(batch_id)))
-     .sortWithinPartitions("term")
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("_batch_id").parquet(f"{path}/postings_delta"))
-    (terms.withColumn("_batch_id", F.lit(int(batch_id)))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("_batch_id").parquet(f"{path}/terms_delta"))
-    (stats.withColumn("_batch_id", F.lit(int(batch_id)))
-     .coalesce(1).write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("_batch_id").parquet(f"{path}/stats_delta"))
-    commit_epoch(spark, path, batch_id, manifest)
+    # staged publishes (stage + rename — index_store.publish_delta),
+    # then an optimistic manifest commit that rebases past interleaved
+    # commits instead of aborting
+    publish_delta(spark, path, "postings",
+                  postings.sortWithinPartitions("term"), batch_id)
+    publish_delta(spark, path, "terms", terms, batch_id)
+    publish_delta(spark, path, "stats", stats.coalesce(1), batch_id)
+    commit_epoch_with_rebase(spark, path, batch_id, manifest)
     return int(base.count())
 
 
