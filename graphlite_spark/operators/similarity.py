@@ -2159,6 +2159,26 @@ def pq_encode(
         codes(_as_double(F.col(vec_col))).alias("codes"))
 
 
+def _guard_query_frame(queries: DataFrame, max_query_rows: int,
+                       op: str) -> None:
+    """Enforce the broadcast-query contract BEFORE collecting the
+    query frame to the driver (r10 'What's wrong' #2): the PQ/IVF-PQ
+    ADC table build materializes one (m x k) lookup table per query
+    driver-side, which is the right shape for point/batch query
+    workloads but a driver OOM if a caller passes a corpus-sized
+    frame. limit(n+1).count() probes the bound without scanning past
+    it."""
+    n = queries.limit(int(max_query_rows) + 1).count()
+    if n > int(max_query_rows):
+        raise ValueError(
+            f"{op}: the query frame exceeds max_query_rows="
+            f"{max_query_rows} (the per-query ADC lookup tables are "
+            f"built driver-side — queries are the SMALL side by "
+            f"contract). For corpus-sized query sets, batch the "
+            f"calls, or raise max_query_rows= explicitly if the "
+            f"driver has the memory for n_queries * m * k doubles.")
+
+
 def pq_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -2169,6 +2189,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     codes: DataFrame | None = None,
+    max_query_rows: int = 4096,
 ) -> DataFrame:
     """(query_id, item_id, score): asymmetric-distance (ADC) top-k —
     each query computes one (m x k) inner-product table against the
@@ -2191,6 +2212,7 @@ def pq_topk(
     if codes is None:
         codes = pq_encode(items, codebooks, id_col=id_col,
                           vec_col=vec_col)
+    _guard_query_frame(queries, max_query_rows, "pq_topk")
     q_rows = queries.select(
         F.col(query_id_col).alias("_qid"),
         _as_double(F.col(vec_col)).alias("_qv")).collect()
@@ -2269,6 +2291,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int = 4096,
 ) -> DataFrame:
     """(query_id, item_id, score): the full IVF-PQ configuration — the
     billion-scale ANN deployment shape (FAISS IVFx,PQy): a coarse
@@ -2302,6 +2325,7 @@ def ivfpq_topk(
 
     c = np.asarray(codebooks, dtype="float64")
     mm = c.shape[0]
+    _guard_query_frame(queries, max_query_rows, "ivfpq_topk")
     q_rows = queries.select(
         F.col(query_id_col).alias("_qid"),
         _as_double(F.col(vec_col)).alias("_qv")).collect()
