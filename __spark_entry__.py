@@ -4699,6 +4699,123 @@ def _q_dedup_index_compacted(spark: SparkSession,
     return dedup_against_index(batch, idx, near=False)
 
 
+def _q_dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the maintained dedup index (r11): build on
+    docs < 300 (manifest seq 1), ingest docs 300..399 as epoch 1
+    (seq 2), ingest docs >= 400 as epoch 2 (seq 3) — then answer the
+    against-index dedup AS OF seq 2, the audit read: even though the
+    live index knows every text, the snapshot sees exactly the keys
+    epoch 2's ingest saw. Closed form: kept iff the probe's
+    normalized text is not among docs < 400 (epoch 2's own keys are
+    invisible at seq 2, so its docs only drop when they repeat an
+    OLDER text). A snapshot resolution bug (leaked later epochs,
+    wrong manifest, unclamped deltas) breaks the hash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_index_ingest_batch,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = _dedup_index_path(sf_dir) + "-asof"
+    if not os.path.exists(os.path.join(idx, "meta")):
+        build_dedup_index(docs.filter(F.col("doc_id") < 300), idx,
+                          n=3, num_hashes=64, bands=16)
+        dedup_index_ingest_batch(
+            docs.filter((F.col("doc_id") >= 300)
+                        & (F.col("doc_id") < 400)),
+            idx, batch_id=1, near=False)
+        dedup_index_ingest_batch(
+            docs.filter(F.col("doc_id") >= 400), idx, batch_id=2,
+            near=False)
+    probe = (
+        docs.filter(F.col("doc_id") >= 400)
+        .unionByName(docs.filter(F.col("doc_id") < 50)
+                     .select((F.col("doc_id") + 100000).alias("doc_id"),
+                             "text"))
+        .unionByName(docs.filter((F.col("doc_id") >= 300)
+                                 & (F.col("doc_id") < 310))
+                     .select((F.col("doc_id") + 200000).alias("doc_id"),
+                             "text"))
+    )
+    return dedup_against_index(probe, idx, near=False, as_of_seq=2)
+
+
+def _q_profile_sketch_index(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """The persisted MERGEABLE profile-sketch index (r11): build the
+    sketch tiers on the first third of the corpus, extend with two
+    ingest epochs covering the rest, compact — then answer the
+    dataset-card profile ENTIRELY from merged sketch rows
+    (profile_store.read_profile). Merge-exactness (register max-of-
+    maxes, bucket/scalar sum-of-sums) makes the merged per-epoch
+    sketches EQUAL the sketch of the full corpus, so the oracle
+    replays every column over the full documents table: exact
+    counts/sums/max, the HLL estimator through the generated fmix32
+    SQL mirror (p=10, salt=4, key doc_id), and the DDSketch quantile
+    walk (alpha=0.01 over per-doc whitespace word counts). Any
+    double-count, lost epoch, or drifted sketch parameter breaks the
+    hash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.profile_store import (
+        build_profile_index,
+        compact_profile_index,
+        profile_index_ingest_batch,
+        read_profile,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    idx = _dedup_index_path(sf_dir) + "-profile"
+    if not os.path.exists(os.path.join(idx, "meta")):
+        n = docs.count()
+        c1, c2 = n // 3, 2 * n // 3
+        build_profile_index(docs.filter(F.col("doc_id") < c1), idx)
+        profile_index_ingest_batch(
+            docs.filter((F.col("doc_id") >= c1)
+                        & (F.col("doc_id") < c2)), idx, batch_id=1)
+        profile_index_ingest_batch(
+            docs.filter(F.col("doc_id") >= c2), idx, batch_id=2)
+        compact_profile_index(spark, idx)
+    return read_profile(spark, idx).orderBy("lang")
+
+
+def _q_token_count_persisted(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Tokenizer-true accounting through a PERSISTED vocabulary
+    (r11): save the disjoint-digraph BPE tokenizer under the manifest
+    discipline (content-addressed blob + atomic commit), load it back
+    in this session, and score the corpus with the LOADED instance —
+    the reproducibility contract a production pipeline relies on
+    (train once, ship the vocab). Loaded == trained is bit-identity
+    by the round-trip pytest; the oracle is the same closed form as
+    token_count_bpe, so a persistence bug that perturbed one merge
+    rule breaks the hash."""
+    import os
+    import tempfile
+
+    from graphlite_spark.operators.text import token_count
+    from graphlite_spark.operators.tokenize import (
+        disjoint_digraph_tokenizer,
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    tok_dir = os.path.join(tempfile.gettempdir(),
+                           "graphlite_tokenizer_store")
+    if not os.path.exists(os.path.join(tok_dir, "_manifest")):
+        save_tokenizer(spark, disjoint_digraph_tokenizer(), tok_dir)
+    loaded = load_tokenizer(spark, tok_dir)
+    return token_count(_table(spark, sf_dir, "documents"),
+                       tokenizer=loaded)
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     journeys (lead window -> |types|² groupBy -> row-normalized
@@ -5565,6 +5682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_transitions_markov": _q_event_transitions,
             "dedup_index_exact": _q_dedup_index_exact,
             "dedup_index_compacted": _q_dedup_index_compacted,
+            "dedup_index_asof": _q_dedup_index_asof,
+            "profile_sketch_index": _q_profile_sketch_index,
+            "token_count_persisted": _q_token_count_persisted,
             "dedup_index_near": _q_dedup_index_near,
             "dedup_index_maintain_batch": _q_dedup_index_maintain,
             "dedup_index_maintain_near": _q_dedup_index_maintain_near,
@@ -9284,6 +9404,10 @@ def oracle_sql() -> dict[str, str]:
     # target_recall=0.99 routes to the int8 rescore point, which is
     # bit-identical to exact top-k on this corpus — same oracle
     sql["ann_target_recall_topk"] = sql["ann_rescore_topk"]
+    # a persisted-then-loaded tokenizer encodes bit-identically to the
+    # trained instance (round-trip pytest), so the persisted-scoring
+    # entry shares the BPE closed-form oracle verbatim
+    sql["token_count_persisted"] = sql["token_count_bpe"]
 
     # --- sketch family: oracles GENERATED from the same hash mirrors
     # the engine uses (mix32_sql/km_positions_sql), so engine and
@@ -9413,6 +9537,116 @@ def oracle_sql() -> dict[str, str]:
                       ELSE {_ralpha * _rm * _rm!r} / sum_inv END,
                      4) AS estimate
         FROM est ORDER BY 1
+    """
+
+    # --- r11 profile-sketch oracle: replay EVERY profile column over
+    # the FULL documents table — exact scalars, the HLL estimator
+    # through the generated fmix32 mirror (p=10, salt=4, key doc_id),
+    # and the DDSketch quantile walk (alpha=0.01 over word counts).
+    # Merge-exactness is what makes this a valid oracle for the
+    # incrementally-built index: merged per-epoch sketch rows EQUAL
+    # the full-corpus sketch rows, row for row.
+    _pp, _ps = 10, 4
+    _pm, _pw = 1 << _pp, 32 - _pp
+    _palpha = 0.7213 / (1 + 1.079 / _pm)
+    _pgamma = (1 + 0.01) / (1 - 0.01)
+    _plng = _math.log(_pgamma)
+    _psc2 = 2.0 / (_pgamma + 1)
+    _praw = (f"{_palpha * _pm * _pm!r} / "
+             f"(({float(_pm)!r} - present) + sumreg)")
+    sql["profile_sketch_index"] = f"""
+        WITH t AS (
+            SELECT lang, doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text),
+                                                         '\\s+'))
+                             AS BIGINT) END AS nt,
+                   CAST(length(text) AS BIGINT) AS nc
+            FROM documents
+        ), s AS (
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_words,
+                   round(avg(nt), 6) AS avg_words,
+                   CAST(max(nt) AS BIGINT) AS max_words,
+                   CAST(sum(nc) AS BIGINT) AS total_chars
+            FROM t GROUP BY lang
+        ), h AS (
+            SELECT lang, {mix32_sql('doc_id', _ps)} AS h
+            FROM documents
+        ), regs AS (
+            SELECT lang, h // {1 << _pw} AS register,
+                   max(CASE WHEN h % {1 << _pw} = 0 THEN {_pw + 1}
+                       ELSE {_pw + 1} - length(bin(h % {1 << _pw}))
+                       END) AS rho
+            FROM h GROUP BY 1, 2
+        ), hagg AS (
+            SELECT lang, count(*) AS present,
+                   sum(power(2.0, -rho)) AS sumreg
+            FROM regs GROUP BY 1
+        ), hest AS (
+            SELECT lang,
+                   round(CASE WHEN {_praw} <= {2.5 * _pm!r}
+                                   AND ({float(_pm)!r} - present) > 0
+                          THEN {float(_pm)!r} * ln({float(_pm)!r} /
+                                   ({float(_pm)!r} - present))
+                          ELSE {_praw} END, 4) AS distinct_keys_est
+            FROM hagg
+        ), b AS (
+            SELECT lang,
+                   CAST(ceil(ln(nt) / {_plng!r}) AS BIGINT) AS bucket,
+                   count(*) AS cnt
+            FROM t WHERE nt > 0 GROUP BY 1, 2
+        ), c AS (
+            SELECT lang, bucket,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY bucket)
+                       AS cum,
+                   sum(cnt) OVER (PARTITION BY lang) AS n
+            FROM b
+        ), qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS q
+        ), dd AS (
+            SELECT lang, q, min(bucket) AS mb
+            FROM c, qq WHERE cum > floor(q * (n - 1)) GROUP BY 1, 2
+        ), ddp AS (
+            SELECT lang,
+                   max(CASE WHEN q = 0.5 THEN
+                       round({_psc2!r} * power({_pgamma!r}, mb), 4)
+                       END) AS p50_words,
+                   max(CASE WHEN q = 0.9 THEN
+                       round({_psc2!r} * power({_pgamma!r}, mb), 4)
+                       END) AS p90_words,
+                   max(CASE WHEN q = 0.99 THEN
+                       round({_psc2!r} * power({_pgamma!r}, mb), 4)
+                       END) AS p99_words
+            FROM dd GROUP BY 1
+        )
+        SELECT s.lang, s.n_docs, s.total_words, s.avg_words,
+               s.max_words, s.total_chars, hest.distinct_keys_est,
+               ddp.p50_words, ddp.p90_words, ddp.p99_words
+        FROM s JOIN hest ON s.lang = hest.lang
+               JOIN ddp ON s.lang = ddp.lang
+        ORDER BY s.lang
+    """
+
+    sql["dedup_index_asof"] = """
+        -- TIME TRAVEL: as of manifest seq 2 (build + epoch 1) the
+        -- index key set is exactly the distinct normalized texts of
+        -- docs < 400 — epoch 2's keys exist in the live index but
+        -- must be invisible to the snapshot, so probe docs >= 400
+        -- drop only when they repeat an OLDER text
+        WITH hist AS (
+            SELECT DISTINCT lower(trim(text)) AS t FROM documents
+            WHERE doc_id < 400
+        ), batch AS (
+            SELECT doc_id, text FROM documents WHERE doc_id >= 400
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+            WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text FROM documents
+            WHERE doc_id >= 300 AND doc_id < 310
+        )
+        SELECT b.doc_id, b.text FROM batch b
+        WHERE lower(trim(b.text)) NOT IN (SELECT t FROM hist)
     """
 
     sql["dedup_index_exact"] = """

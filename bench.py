@@ -182,6 +182,14 @@ HEADLINE = [
                                       # search index + indexed query
                                       # (r10; warm = verified replay)
     "tokenizer_fertility_langs",      # per-lang fertility report (r10)
+    # round-11 surface (regression watch)
+    "profile_sketch_index",           # mergeable profile tier: cold
+                                      # builds+ingests+compacts, warm
+                                      # answers from sketch rows only
+    "dedup_index_asof",               # time-travel against-index read
+                                      # through a retained manifest
+    "token_count_persisted",          # scoring via a persisted-then-
+                                      # loaded vocabulary blob
 ]
 
 

@@ -516,6 +516,23 @@ def _maybe_compact_bm25(spark, bm25_path: str, batch_id: int,
     return True
 
 
+def _maybe_compact_profile(spark, profile_path: str, batch_id: int,
+                           compact_every: "int | None") -> bool:
+    """The _maybe_compact first-delivery rule applied to the profile
+    sketch index the ingest loop co-maintains."""
+    if not compact_every or batch_id <= 0 \
+            or batch_id % int(compact_every):
+        return False
+    from ..operators.index_store import current_manifest
+    from ..operators.profile_store import compact_profile_index
+
+    hwm = current_manifest(spark, profile_path).get("hwm")
+    if hwm is None or int(hwm) != int(batch_id) - 1:
+        return False
+    compact_profile_index(spark, profile_path)
+    return True
+
+
 def _maybe_compact(spark, index_path: str, batch_id: int,
                    compact_every: "int | None") -> bool:
     """Scheduled index hygiene INSIDE the exactly-once epoch loop:
@@ -624,6 +641,7 @@ def streaming_ingest_loop(
     near: bool = False,
     compact_every: "int | None" = None,
     bm25_index_path: "str | None" = None,
+    profile_index_path: "str | None" = None,
 ):
     """The COMPLETE production ingest loop as one exactly-once stream:
     raw HTML -> main-content extraction -> Gopher quality gate ->
@@ -653,6 +671,16 @@ def streaming_ingest_loop(
     build_bm25_index over the historical corpus (possibly empty).
     ``compact_every`` compacts it on the same schedule.
 
+    ``profile_index_path``: co-maintain the corpus-PROFILE sketch
+    index in the same exactly-once epoch (r11) — each epoch's dedup
+    SURVIVORS append their per-epoch sketch rows (scalar counts, HLL
+    registers, DDSketch buckets — profile_store) so dataset-card
+    statistics answer from merged sketches at O(batch)/epoch instead
+    of an O(corpus) recompute; fenced by that index's own manifest
+    hwm, compacted on the same ``compact_every`` schedule. Build it
+    first with build_profile_index over the historical corpus
+    (``by=None`` — extracted documents carry no language column).
+
     Extraction and the quality gate are map-side (Arrow mapInPandas +
     one codegen projection), index contact is 8/16-byte-key joins —
     nothing in the loop is history-sized. BATCH input processes the
@@ -671,6 +699,9 @@ def streaming_ingest_loop(
         if bm25_index_path is not None:
             _maybe_compact_bm25(df.sparkSession, bm25_index_path,
                                 batch_id, compact_every)
+        if profile_index_path is not None:
+            _maybe_compact_profile(df.sparkSession, profile_index_path,
+                                   batch_id, compact_every)
         ext = extract_html_text(df, html_col=html_col, id_col=id_col)
         flagged = gopher_quality_filters(
             ext, id_col="doc_id", min_words=min_words,
@@ -684,6 +715,13 @@ def streaming_ingest_loop(
 
             bm25_index_ingest_batch(surv, bm25_index_path,
                                     batch_id=batch_id)
+        if profile_index_path is not None:
+            from ..operators.profile_store import (
+                profile_index_ingest_batch,
+            )
+
+            profile_index_ingest_batch(surv, profile_index_path,
+                                       batch_id=batch_id)
         if survivors_path is not None:
             (surv.withColumn("_batch_id", F.lit(int(batch_id)))
              .write.mode("overwrite")
