@@ -2995,6 +2995,19 @@ def _q_span_dedup_string_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                       hashed_keys=False)
 
 
+def _q_span_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_dedup with skew='salted' (r11): the duplicated-gram
+    semi-join runs on (gram, salt) with the reduced key set
+    replicated across 16 salts, splitting a viral gram's occurrence
+    rows over 16 tasks instead of one. Output is identical by
+    construction, so the SAME exact oracle pins the salted path
+    (the span_dedup_string_keys convention)."""
+    from graphlite_spark.operators.dedup import span_dedup
+
+    return span_dedup(_table(spark, sf_dir, "documents"), k=8,
+                      skew="salted")
+
+
 def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (RefinedWeb-style host cap): keep the
     5 lowest-id docs per source. The row_number+filter plan compiles
@@ -5616,6 +5629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_lines_c4": _q_dedup_lines_c4,
             "span_dedup_exact": _q_span_dedup,
             "span_dedup_string_keys": _q_span_dedup_string_keys,
+            "span_dedup_salted": _q_span_dedup_salted,
             "cap_per_source": _q_cap_per_source,
             "pack_documents_bins": _q_pack_documents,
             "lang_id": _q_lang_id,
@@ -9393,6 +9407,9 @@ def oracle_sql() -> dict[str, str]:
     # same exact oracle for both span_dedup key paths (hashed keys
     # change only the shuffle key, never the output)
     sql["span_dedup_string_keys"] = sql["span_dedup_exact"]
+    # the salted semi-join changes only WHERE the hot gram's rows
+    # shuffle, never which rows match — same exact oracle (r11)
+    sql["span_dedup_salted"] = sql["span_dedup_exact"]
     # the CALL-path gopher entry is the SAME operator over the same
     # rows, so it shares the DataFrame-path oracle verbatim
     sql["gopher_filters_call"] = sql["gopher_quality_filters"]

@@ -190,6 +190,8 @@ HEADLINE = [
                                       # through a retained manifest
     "token_count_persisted",          # scoring via a persisted-then-
                                       # loaded vocabulary blob
+    "span_dedup_salted",              # hot-gram semi-join split over
+                                      # 16 salts (same exact oracle)
 ]
 
 

@@ -529,7 +529,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.6, words: bool = True,
-                      verify: bool = True) -> DataFrame:
+                      verify: bool = True, skew: str = "none",
+                      hot_min: int = 1024, salt: int = 16) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH.
 
     num_hashes/bands rows per band; two docs land in the same bucket for
@@ -540,7 +541,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
     Scale: the only shuffles are the signature groupBy and the
     band-bucket self-join; no O(n^2) stage anywhere.
+
+    Skew (r11, VERDICT r10 ask #4): a web corpus has pathological hot
+    buckets — boilerplate pages whose signatures collide band after
+    band put thousands of docs into one (band, bucket), and the
+    self-join then runs that bucket's full m x m candidate cross in
+    ONE task. ``skew='salted'`` runs a HYBRID join: bucket sizes are
+    counted first (one sketch-sized agg over the checkpointed bucket
+    frame), buckets with >= ``hot_min`` members split off — the cold
+    slice self-joins normally while the hot slice joins salted (probe
+    rows take a deterministic id-hash salt in [0, ``salt``), the
+    build side replicates across all salts), spreading each hot
+    bucket's cross over ``salt`` tasks. Candidate pairs are IDENTICAL
+    by construction (the a<b filter dedups the doubled orientation
+    exactly as the plain self-join does; planted-hot-bucket pytest
+    pins bit-equality). The m^2 candidate VOLUME of a hot bucket is
+    inherent to LSH semantics — salting fixes the one-task
+    bottleneck, not the quadratic output; cap bucket width upstream
+    (bands/rows) if the volume itself is the problem.
     """
+    if skew not in ("none", "salted"):
+        raise ValueError(f"skew must be 'none' or 'salted', got {skew!r}")
     # checkpoint the compact array form: shingling runs once, and both
     # the signature explode and the verification docsets reuse it
     base = shingle_array(df, text_col, id_col, n, words=words).localCheckpoint(
@@ -554,15 +575,36 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # the static plan)
     buckets = _band_bucket_frame(sig, id_col, num_hashes, bands) \
         .localCheckpoint(eager=False)
-    cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), on=["band", "bucket"])
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+
+    def _pairs(x: DataFrame, y: DataFrame, keys: list) -> DataFrame:
+        return (
+            x.alias("x").join(y.alias("y"), on=keys)
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(F.col(f"x.{id_col}").alias("id_a"),
+                    F.col(f"y.{id_col}").alias("id_b"))
         )
-        .distinct()
-    )
+
+    if skew == "salted":
+        hot = F.broadcast(
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= int(hot_min))
+            .select("band", "bucket"))
+        cold_b = buckets.join(hot, ["band", "bucket"], "left_anti")
+        hot_b = buckets.join(hot, ["band", "bucket"], "left_semi") \
+            .localCheckpoint(eager=False)
+        hx = hot_b.withColumn(
+            "_salt", F.pmod(F.xxhash64(id_col), F.lit(int(salt))))
+        hy = hot_b.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(int(salt))])))
+        cand = (
+            _pairs(cold_b, cold_b, ["band", "bucket"])
+            .unionByName(_pairs(hx, hy, ["band", "bucket", "_salt"]))
+            .distinct()
+        )
+    else:
+        cand = _pairs(buckets, buckets, ["band", "bucket"]).distinct()
     if not verify:
         return cand
     # exact-verify ONLY the candidates: join each side's shingle set and
@@ -727,6 +769,8 @@ def span_dedup(
     id_col: str = "doc_id",
     k: int = 8,
     hashed_keys: bool = True,
+    skew: str = "none",
+    salt: int = 16,
 ) -> DataFrame:
     """EXACT substring (span) deduplication — remove every k-token
     window that occurs more than once anywhere in the corpus, the
@@ -762,9 +806,21 @@ def span_dedup(
        -> distinct.
     4. rebuild: anti-join survivors, array_sort(collect_list) per doc.
     Skew: a gram duplicated millions of times (a viral license block)
-    hot-keys stage 2's count — partial aggregation absorbs it map-side;
-    stage 3 joins on (gram) AFTER reducing to the duplicated-gram set.
+    hot-keys stage 2's count — partial aggregation absorbs it map-side
+    (each map task emits at most one row per distinct gram, so the
+    reducer receives task-count rows per key, not occurrence-count).
+    The remaining skew surface is stage 3's occurrence ⋉ dup-keys
+    SEMI-JOIN: all of a hot gram's occurrence rows land in one task.
+    ``skew='salted'`` (r11, VERDICT r10 ask #4) splits it: occurrence
+    rows take a deterministic salt in [0, ``salt``) and the
+    duplicated-key set (already reduced — tiny next to the corpus) is
+    replicated across every salt, so the join key becomes (gram,
+    salt) and the hot gram's rows spread over ``salt`` tasks. Output
+    is IDENTICAL by construction (planted-hot-key pytest + the same
+    gate oracle as the plain path).
     """
+    if skew not in ("none", "salted"):
+        raise ValueError(f"skew must be 'none' or 'salted', got {skew!r}")
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -816,8 +872,21 @@ def span_dedup(
     # re-grouped with collect_list — two corpus-sized shuffles that
     # dominated the sf1 measurement at 123s; covered sets touch only
     # the duplicated slice.)
+    if skew == "salted":
+        # split the hot-gram semi-join: deterministic per-occurrence
+        # salt (position-keyed, no RNG state) vs the duplicated-key
+        # set exploded across all salts — same semantics, hot key
+        # spread over `salt` tasks
+        occ_s = occ.withColumn(
+            "_salt", F.pmod(F.xxhash64("_id", "_p"), F.lit(int(salt))))
+        dup_s = dup_keys.withColumn(
+            "_salt",
+            F.explode(F.array(*[F.lit(i) for i in range(int(salt))])))
+        hits = occ_s.join(dup_s, ["_k", "_salt"], "left_semi")
+    else:
+        hits = occ.join(dup_keys, "_k", "left_semi")
     covered_sets = (
-        occ.join(dup_keys, "_k", "left_semi")
+        hits
         .select("_id", F.explode(
             F.sequence(F.col("_p"), F.col("_p") + F.lit(k - 1))).alias("_cp"))
         .groupBy("_id")
