@@ -218,6 +218,9 @@ def reset_manifest(spark, path: str, tiers: "list[str]",
     mdir = _jp(jvm, f"{path}/{MANIFEST_DIR}")
     if fs.exists(mdir):
         fs.delete(mdir, True)
+    sdir = _jp(jvm, f"{path}/.stage")
+    if fs.exists(sdir):
+        fs.delete(sdir, True)
     for t in (delta_tiers if delta_tiers is not None else tiers):
         d = _jp(jvm, f"{path}/{t}_delta")
         if fs.exists(d):

@@ -983,18 +983,29 @@ def ann_index_ingest_batch(
     return int(n)
 
 
-def _ann_index_frames(spark, index_path: str):
+def _ann_index_frames(spark, index_path: str,
+                      as_of_seq: "int | None" = None):
     """(codes, n_items) for a possibly-maintained ANN index: base ∪
     code deltas, with n_items recombined from the base meta plus the
-    per-epoch counts."""
+    per-epoch counts. ``as_of_seq``: time travel — the codes and
+    count exactly as of a retained manifest commit (raises outside
+    the GC retention window)."""
     from .index_store import (
+        _check_snapshot_readable,
         current_manifest,
+        manifest_at,
         read_base,
         read_delta,
         read_tier,
     )
 
-    man = current_manifest(spark, index_path)
+    if as_of_seq is not None:
+        man = manifest_at(spark, index_path, as_of_seq)
+        for t in ("codes", "meta"):
+            _check_snapshot_readable(spark, index_path, t, man,
+                                     as_of_seq)
+    else:
+        man = current_manifest(spark, index_path)
     codes = read_tier(spark, index_path, "codes", manifest=man)
     meta = read_base(spark, index_path, "meta", man).collect()[0]
     n_items = int(meta["n_items"])
@@ -1096,6 +1107,7 @@ def rescore_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    as_of_seq: "int | None" = None,
 ) -> DataFrame:
     """rescore_topk over a PERSISTED coarse index (build_rescore_index):
     stage 1 scans the stored int codes — no re-quantization, no
@@ -1118,7 +1130,8 @@ def rescore_topk_indexed(
     spark = items.sparkSession
     meta = read_base(spark, index_path, "meta").collect()[0]
     bits = int(meta["bits"])
-    _codes_tier, n_items = _ann_index_frames(spark, index_path)
+    _codes_tier, n_items = _ann_index_frames(spark, index_path,
+                                             as_of_seq=as_of_seq)
     qmax = 127.0 if bits == 8 else 7.0
     c_cut = max(k, int(-(-candidate_fraction * n_items // 1)))
 

@@ -1441,6 +1441,7 @@ def bm25_search_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    as_of_seq: "int | None" = None,
 ) -> DataFrame:
     """BM25 top-k over a PERSISTED index (build_bm25_index): the query
     plan reads postings WHERE term IN (...) — a pushed-down filter
@@ -1451,17 +1452,30 @@ def bm25_search_indexed(
     shared oracle). When the index has been maintained incrementally
     (bm25_index_ingest_batch), the delta tiers fold in: postings
     union, df summed per term across tiers, avgdl recombined from
-    exact per-tier (n_docs, sum_dl) pairs."""
+    exact per-tier (n_docs, sum_dl) pairs.
+
+    ``as_of_seq=s``: TIME TRAVEL — score against the index exactly as
+    it stood at manifest commit ``s`` (df, avgdl, n_docs all as of
+    that epoch — the audit read for "what did this query return when
+    epoch k landed?"); snapshots outside the GC retention window
+    raise (index_store.read_tier rules)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     from .index_store import (
+        _check_snapshot_readable,
         current_manifest,
+        manifest_at,
         read_base,
         read_delta,
         read_tier,
     )
 
-    man = current_manifest(spark, path)
+    if as_of_seq is not None:
+        man = manifest_at(spark, path, as_of_seq)
+        for t in ("postings", "terms", "stats"):
+            _check_snapshot_readable(spark, path, t, man, as_of_seq)
+    else:
+        man = current_manifest(spark, path)
     terms = [t.lower() for t in query_terms]
     postings = read_tier(spark, path, "postings", manifest=man) \
         .filter(F.col("term").isin(*terms))

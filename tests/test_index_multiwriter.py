@@ -367,3 +367,70 @@ def test_manifest_at_missing_seq_raises(spark, tmp_path):
     _build(spark, path)
     with pytest.raises(ValueError, match="no manifest seq 99"):
         index_store.manifest_at(spark, path, 99)
+
+
+def test_bm25_asof_read(spark, tmp_path):
+    """bm25_search_indexed(as_of_seq=): df/n_docs/avgdl — and hence
+    scores — come from the snapshot's tiers, so a doc indexed by a
+    LATER epoch never appears and idf reflects the smaller corpus."""
+    from graphlite_spark.operators.text import (
+        bm25_index_ingest_batch,
+        bm25_search_indexed,
+        build_bm25_index,
+    )
+
+    path = str(tmp_path / "bm25")
+    c1 = spark.createDataFrame(
+        [(1, "spark shuffles data across executors"),
+         (2, "parquet stores columnar data")],
+        "doc_id long, text string")
+    build_bm25_index(c1, path)
+    bm25_index_ingest_batch(spark.createDataFrame(
+        [(3, "spark reads parquet data fast")],
+        "doc_id long, text string"), path, batch_id=1)
+    seq1 = index_store.current_manifest(spark, path)["seq"]
+    bm25_index_ingest_batch(spark.createDataFrame(
+        [(4, "spark executors cache spark data")],
+        "doc_id long, text string"), path, batch_id=2)
+    now = [(r.doc_id, r.score) for r in bm25_search_indexed(
+        spark, path, ["spark", "data"], k=10).collect()]
+    asof = [(r.doc_id, r.score) for r in bm25_search_indexed(
+        spark, path, ["spark", "data"], k=10, as_of_seq=seq1).collect()]
+    assert 4 in {d for d, _ in now}
+    assert 4 not in {d for d, _ in asof}
+    assert {d for d, _ in asof} == {1, 2, 3}
+    # scores differ: the snapshot's df/n_docs are the smaller corpus's
+    assert dict(asof) != {d: s for d, s in now if d != 4}
+
+
+def test_ann_asof_read(spark, tmp_path):
+    """rescore_topk_indexed(as_of_seq=): candidates come only from
+    the snapshot's code tiers — a vector ingested later is invisible
+    even at candidate_fraction=1.0."""
+    from graphlite_spark.operators.similarity import (
+        ann_index_ingest_batch,
+        build_rescore_index,
+        rescore_topk_indexed,
+    )
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, [float(i % 3) + 0.25, float(i % 5) - 1.5, 0.5 * i])
+             for i in ids],
+            "vec_id long, embedding array<double>")
+
+    path = str(tmp_path / "ann")
+    build_rescore_index(vecs(range(8)), path, bits=8)
+    ann_index_ingest_batch(vecs(range(8, 12)), path, batch_id=1)
+    seq1 = index_store.current_manifest(spark, path)["seq"]
+    ann_index_ingest_batch(vecs(range(12, 15)), path, batch_id=2)
+    items = vecs(range(15))
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.5, 2.0])], "query_id long, embedding array<double>")
+    now = {r.item_id for r in rescore_topk_indexed(
+        items, queries, path, k=15, candidate_fraction=1.0).collect()}
+    asof = {r.item_id for r in rescore_topk_indexed(
+        items, queries, path, k=15, candidate_fraction=1.0,
+        as_of_seq=seq1).collect()}
+    assert now == set(range(15))
+    assert asof == set(range(12))
