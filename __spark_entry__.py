@@ -4307,6 +4307,52 @@ def _q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=20)
 
 
+def _q_bm25_indexed_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the maintained BM25 index (r11): build on the
+    first third of the corpus, ingest the middle third as epoch 1
+    (manifest seq 2) and the rest as epoch 2 (seq 3), then score AS
+    OF seq 2 — df, n_docs and avgdl all come from the snapshot, so
+    the result equals bm25 over docs < 2n/3 exactly (the oracle
+    replays Robertson scoring with that WHERE clause). A snapshot bug
+    that leaked epoch 2's postings or stats breaks the hash."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.text import (
+        bm25_index_ingest_batch,
+        bm25_search_indexed,
+        build_bm25_index,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isfile(src):
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    for root, _dirs, files in os.walk(src):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
+    idx = os.path.join(
+        "/tmp/graphlite_bm25_index",
+        f"{os.path.basename(sf_dir.rstrip('/')) or 'sf'}-{fp}-asof")
+    docs = _table(spark, sf_dir, "documents")
+    if not os.path.exists(os.path.join(idx, "stats")):
+        n = docs.count()
+        c1, c2 = n // 3, n * 2 // 3
+        build_bm25_index(docs.filter(F.col("doc_id") < c1), idx)
+        bm25_index_ingest_batch(
+            docs.filter((F.col("doc_id") >= c1)
+                        & (F.col("doc_id") < c2)), idx, batch_id=1)
+        bm25_index_ingest_batch(
+            docs.filter(F.col("doc_id") >= c2), idx, batch_id=2)
+    return bm25_search_indexed(spark, idx, ["hash", "join", "spark"],
+                               k=20, as_of_seq=2)
+
+
 def _q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 orders per customer: row_number window + filter — ONE
     shuffle on the customer key. The reference's only top-k is global
@@ -5728,6 +5774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pq_recall_audit": _q_pq_recall_audit,
             "ivfpq_recall_audit": _q_ivfpq_recall_audit,
             "bm25_indexed_topk": _q_bm25_indexed,
+            "bm25_indexed_asof": _q_bm25_indexed_asof,
             "hard_negatives_embeddings": _q_hard_negatives,
             "feature_propagation_chain": _q_feature_propagation,
             "blocklist_filter_synth": _q_blocklist_filter,
@@ -10526,6 +10573,13 @@ def oracle_sql() -> dict[str, str]:
     # indexed BM25 is bit-identical to the direct operator, so it
     # shares the direct entry's oracle verbatim
     sql["bm25_indexed_topk"] = sql["bm25_search_topk"]
+    # the as-of snapshot at seq 2 contains exactly the first two
+    # thirds of the corpus — the live oracle restricted to that slice
+    # (df/n_docs/avgdl all recomputed over it)
+    sql["bm25_indexed_asof"] = sql["bm25_search_topk"].replace(
+        "FROM documents),",
+        "FROM documents WHERE doc_id < "
+        "(SELECT count(*) * 2 // 3 FROM documents)),")
     sql["ivfpq_recall_audit"] = """
         -- n_exact_rows recomputed; the compound-router floor is a
         -- reproducible constant of (corpus, 16 lists, 8 probes, PQ

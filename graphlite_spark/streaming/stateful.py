@@ -498,6 +498,24 @@ def streaming_curation(
     return deduped.join(kept, "doc_id").select("doc_id", "text")
 
 
+def _tolerate_lost_compaction_race(compact_fn) -> bool:
+    """Scheduled compaction is HYGIENE, not data: if a concurrent
+    writer (another loop on the same index, an external compactor)
+    wins the manifest seq this compaction planned to commit, the
+    right move inside an epoch loop is to SKIP — the index stayed
+    consistent (a lost commit_manifest race changes nothing), the
+    other writer's commit advanced the log, and the next scheduled
+    boundary re-checks. Compaction itself stays single-writer; only
+    the loop's reaction to losing becomes non-fatal (r11)."""
+    from ..operators.index_store import ManifestConflict
+
+    try:
+        compact_fn()
+        return True
+    except ManifestConflict:
+        return False
+
+
 def _maybe_compact_bm25(spark, bm25_path: str, batch_id: int,
                         compact_every: "int | None") -> bool:
     """The _maybe_compact first-delivery rule applied to the search
@@ -512,8 +530,8 @@ def _maybe_compact_bm25(spark, bm25_path: str, batch_id: int,
     hwm = current_manifest(spark, bm25_path).get("hwm")
     if hwm is None or int(hwm) != int(batch_id) - 1:
         return False
-    compact_bm25_index(spark, bm25_path)
-    return True
+    return _tolerate_lost_compaction_race(
+        lambda: compact_bm25_index(spark, bm25_path))
 
 
 def _maybe_compact_profile(spark, profile_path: str, batch_id: int,
@@ -529,8 +547,8 @@ def _maybe_compact_profile(spark, profile_path: str, batch_id: int,
     hwm = current_manifest(spark, profile_path).get("hwm")
     if hwm is None or int(hwm) != int(batch_id) - 1:
         return False
-    compact_profile_index(spark, profile_path)
-    return True
+    return _tolerate_lost_compaction_race(
+        lambda: compact_profile_index(spark, profile_path))
 
 
 def _maybe_compact(spark, index_path: str, batch_id: int,
@@ -555,8 +573,8 @@ def _maybe_compact(spark, index_path: str, batch_id: int,
     hwm = current_manifest(spark, index_path).get("hwm")
     if hwm is None or int(hwm) != int(batch_id) - 1:
         return False
-    compact_dedup_index(spark, index_path)
-    return True
+    return _tolerate_lost_compaction_race(
+        lambda: compact_dedup_index(spark, index_path))
 
 
 def streaming_dedup_index_maintenance(
