@@ -192,6 +192,8 @@ HEADLINE = [
                                       # loaded vocabulary blob
     "span_dedup_salted",              # hot-gram semi-join split over
                                       # 16 salts (same exact oracle)
+    "bm25_indexed_asof",              # snapshot-scored BM25 through a
+                                      # retained manifest generation
 ]
 
 

@@ -241,6 +241,35 @@ SHOWCASE = [
         "filter lambda drops their tokens in one projection, so no "
         "corpus-sized regroup exists anywhere.",
     ),
+    (
+        "span_dedup_salted",
+        "Salted skew path (round 11): identical plan shape to "
+        "span_dedup_exact except the duplicated-gram semi-join keys "
+        "on (_k, _salt) — look for the semi-join's Exchange "
+        "hashpartitioning carrying BOTH columns (the hot gram now "
+        "spreads over 16 partitions) and the generate/explode on the "
+        "dup-key side replicating the reduced key set, never the "
+        "occurrence rows.",
+    ),
+    (
+        "profile_sketch_index",
+        "Merged-sketch profile read (round 11): every scan is a "
+        "SKETCH tier (scalar rows, HLL registers, DDSketch buckets) "
+        "resolved through the index manifest — no documents scan "
+        "anywhere in the plan. The three merge groupBys are partial-"
+        "aggregated (key spaces bounded by groups x registers/"
+        "buckets), the HLL estimator and quantile walk run over "
+        "kilobytes, and the final three-way join is broadcast.",
+    ),
+    (
+        "bm25_indexed_asof",
+        "Snapshot BM25 (round 11): same term-pruned postings scan as "
+        "bm25_indexed_topk — PushedFilters term IN (...) — but every "
+        "tier dir resolves through manifest seq 2, and the delta "
+        "union's _batch_id clamps compile to PartitionFilters "
+        "(directory skips). Epoch 2's partition never appears in the "
+        "scan list.",
+    ),
 ]
 
 
