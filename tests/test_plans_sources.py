@@ -296,3 +296,46 @@ def test_bloom_join_hash_chains_stay_below_the_bnlj(spark):
     # member survives (no false negatives)
     got = {r.k for r in out.collect()}
     assert {r.k for r in keys.collect()} <= got
+
+
+def test_asof_delta_clamp_compiles_to_partition_filter(spark, tmp_path):
+    """Time-travel reads prune later epochs at the DIRECTORY level:
+    the snapshot's hwm clamp must appear as a PartitionFilters entry
+    on the delta scan (a post-scan Filter would read epoch 2's files
+    first)."""
+    from graphlite_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_index_ingest_batch,
+    )
+    from graphlite_spark.operators.index_store import read_tier
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo common words here")],
+        "doc_id long, text string")
+    build_dedup_index(docs, path, n=3, num_hashes=64, bands=16)
+    dedup_index_ingest_batch(spark.createDataFrame(
+        [(10, "fresh epoch one content okay")],
+        "doc_id long, text string"), path, batch_id=1, near=False)
+    dedup_index_ingest_batch(spark.createDataFrame(
+        [(20, "brand new second epoch text")],
+        "doc_id long, text string"), path, batch_id=2, near=False)
+    df = read_tier(spark, path, "exact", as_of_seq=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_batch_id" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
+def test_salted_span_join_keys_on_gram_and_salt(spark):
+    """The salted path's semi-join must key on (_k, _salt) — the
+    whole point is that the hot gram's rows hash to `salt` partitions
+    instead of one."""
+    from graphlite_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "permission is hereby granted free of charge"),
+         (2, "permission is hereby granted free of charge")],
+        "doc_id long, text string")
+    plan = span_dedup(docs, k=4, skew="salted")._jdf \
+        .queryExecution().analyzed().toString()
+    assert "_salt" in plan
