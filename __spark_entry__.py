@@ -4758,24 +4758,17 @@ def _q_dedup_index_compacted(spark: SparkSession,
     return dedup_against_index(batch, idx, near=False)
 
 
-def _q_dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIME TRAVEL over the maintained dedup index (r11): build on
-    docs < 300 (manifest seq 1), ingest docs 300..399 as epoch 1
-    (seq 2), ingest docs >= 400 as epoch 2 (seq 3) — then answer the
-    against-index dedup AS OF seq 2, the audit read: even though the
-    live index knows every text, the snapshot sees exactly the keys
-    epoch 2's ingest saw. Closed form: kept iff the probe's
-    normalized text is not among docs < 400 (epoch 2's own keys are
-    invisible at seq 2, so its docs only drop when they repeat an
-    OLDER text). A snapshot resolution bug (leaked later epochs,
-    wrong manifest, unclamped deltas) breaks the hash."""
+def _ensure_asof_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing the shared time-travel/changelog test index:
+    build on docs < 300 (manifest seq 1), ingest docs 300..399 as
+    epoch 1 (seq 2), ingest docs >= 400 as epoch 2 (seq 3).
+    Deterministic regardless of which gate entry constructs it."""
     import os
 
     from pyspark.sql import functions as F
 
     from graphlite_spark.operators.dedup import (
         build_dedup_index,
-        dedup_against_index,
         dedup_index_ingest_batch,
     )
 
@@ -4791,6 +4784,26 @@ def _q_dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_index_ingest_batch(
             docs.filter(F.col("doc_id") >= 400), idx, batch_id=2,
             near=False)
+    return idx
+
+
+def _q_dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the maintained dedup index (r11): build on
+    docs < 300 (manifest seq 1), ingest docs 300..399 as epoch 1
+    (seq 2), ingest docs >= 400 as epoch 2 (seq 3) — then answer the
+    against-index dedup AS OF seq 2, the audit read: even though the
+    live index knows every text, the snapshot sees exactly the keys
+    epoch 2's ingest saw. Closed form: kept iff the probe's
+    normalized text is not among docs < 400 (epoch 2's own keys are
+    invisible at seq 2, so its docs only drop when they repeat an
+    OLDER text). A snapshot resolution bug (leaked later epochs,
+    wrong manifest, unclamped deltas) breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import dedup_against_index
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = _ensure_asof_index(spark, sf_dir)
     probe = (
         docs.filter(F.col("doc_id") >= 400)
         .unionByName(docs.filter(F.col("doc_id") < 50)
@@ -4802,6 +4815,32 @@ def _q_dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "text"))
     )
     return dedup_against_index(probe, idx, near=False, as_of_seq=2)
+
+
+def _q_dedup_index_changes(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """CHANGELOG (CDC) read over the maintained dedup index (r11:
+    index_store.tier_changes): the exact-tier keys ADDED between
+    manifest seq 2 (build + epoch 1) and seq 3 (epoch 2) — a
+    directory-pruned read of epoch 2's delta partition alone, never
+    touching the base however large the index. Joined back to the
+    probe corpus to recover rows DuckDB can replay: epoch 2's added
+    keys are exactly the normalized texts of docs >= 400 that are
+    NOT already among docs < 400 (epoch survivors are anti-joined
+    against the prior index), so the answer is every doc >= 400
+    whose text is unseen below 400. A changelog bug (leaked base
+    rows, wrong epoch range, missed clamp) breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.index_store import tier_changes
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = _ensure_asof_index(spark, sf_dir)
+    ch = tier_changes(spark, idx, "exact", from_seq=2, to_seq=3)
+    probe = docs.filter(F.col("doc_id") >= 400).withColumn(
+        "_h", F.xxhash64(F.lower(F.trim(F.col("text")))))
+    return (probe.join(ch, probe["_h"] == ch["h"], "left_semi")
+            .select("doc_id", "text"))
 
 
 def _q_profile_sketch_index(spark: SparkSession,
@@ -5743,6 +5782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_index_exact": _q_dedup_index_exact,
             "dedup_index_compacted": _q_dedup_index_compacted,
             "dedup_index_asof": _q_dedup_index_asof,
+            "dedup_index_changes": _q_dedup_index_changes,
             "profile_sketch_index": _q_profile_sketch_index,
             "token_count_persisted": _q_token_count_persisted,
             "dedup_index_near": _q_dedup_index_near,
@@ -9713,6 +9753,17 @@ def oracle_sql() -> dict[str, str]:
         WHERE lower(trim(b.text)) NOT IN (SELECT t FROM hist)
     """
 
+    sql["dedup_index_changes"] = """
+        -- CDC: epoch 2's delta partition holds exactly the keys its
+        -- survivors added — the distinct normalized texts of
+        -- docs >= 400 not already indexed (< 400); joining back to
+        -- the probe keeps every doc >= 400 with such a text
+        SELECT d.doc_id, d.text FROM documents d
+        WHERE d.doc_id >= 400
+          AND lower(trim(d.text)) NOT IN (
+            SELECT lower(trim(text)) FROM documents
+            WHERE doc_id < 400)
+    """
     sql["dedup_index_exact"] = """
         -- batch = docs >= 300 plus id+100000 copies of docs < 50;
         -- kept iff normalized text not among the indexed (< 300) texts

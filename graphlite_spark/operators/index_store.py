@@ -397,6 +397,155 @@ def _check_snapshot_readable(spark, path: str, tier: str,
                 f"was folded and collected by a later compaction")
 
 
+def tier_changes(spark, path: str, tier: str, from_seq: int,
+                 to_seq: "int | None" = None,
+                 on_folded: str = "raise") -> DataFrame:
+    """CHANGELOG (CDC) read over the manifest log: the rows a tier
+    gained between manifest ``from_seq`` (exclusive) and ``to_seq``
+    (inclusive; default the newest commit) — the incremental feed a
+    downstream consumer uses to stay in sync with a maintained index
+    without re-reading it (``SELECT * FROM changes WHERE _batch_id
+    > last_seen`` instead of a full-snapshot diff every day).
+
+    Fast path: because every ingest epoch lands as its own
+    ``_batch_id={b}`` delta partition, the change set IS the delta
+    partitions with ``hwm(from) < _batch_id <= hwm(to)`` — a
+    directory-pruned read of exactly the changed epochs, O(changes)
+    however large the index base. For the key-set families (dedup
+    exact/bands, ANN ids) those rows are precisely the ADDED keys
+    (epoch survivors are anti-joined against the prior index, so
+    delta partitions are disjoint from the base and each other); for
+    the SUM-mergeable BM25 tiers they are the per-epoch posting/stat
+    INCREMENTS — in both cases the row a consumer should apply.
+
+    When a compaction between the two snapshots has folded part of
+    the requested range into the base (``delta_floor(to) >=`` a
+    needed epoch) the fast path cannot answer; ``on_folded='raise'``
+    (default) raises a retention-style error, ``on_folded='diff'``
+    falls back to an as-of snapshot set-difference
+    (``to ∖ from``, with ``_batch_id`` null — valid ONLY for
+    set-semantics tiers; a SUM tier's snapshot diff is not a row
+    changelog, so BM25 consumers must keep their lag inside the
+    compaction cadence). Returns base columns + ``_batch_id``.
+    """
+    if on_folded not in ("raise", "diff"):
+        raise ValueError(
+            f"on_folded must be 'raise' or 'diff', got {on_folded!r}")
+    if read_manifest(spark, path) is None:
+        raise ValueError(
+            f"no manifest log at {path}: a legacy (pre-manifest) "
+            f"index has no commit history to read changes from")
+    m_to = (manifest_at(spark, path, int(to_seq))
+            if to_seq is not None else current_manifest(spark, path))
+    m_from = manifest_at(spark, path, int(from_seq))
+    if int(m_from["seq"]) > int(m_to["seq"]):
+        raise ValueError(
+            f"from_seq {int(m_from['seq'])} is newer than to_seq "
+            f"{int(m_to['seq'])} at {path}")
+    base_cols = read_base(spark, path, tier, m_to).columns
+    out_cols = base_cols + ["_batch_id"]
+    from_hwm = m_from.get("hwm")
+    to_hwm = m_to.get("hwm")
+
+    def _empty() -> DataFrame:
+        return (read_base(spark, path, tier, m_to)
+                .withColumn("_batch_id", F.lit(None).cast("long"))
+                .select(*out_cols).limit(0))
+
+    if to_hwm is None or (from_hwm is not None
+                          and int(to_hwm) <= int(from_hwm)):
+        # append-only store: same hwm (even across a compaction)
+        # means no rows changed
+        return _empty()
+    lo = int(from_hwm) if from_hwm is not None else 0
+    floor_to = m_to.get("delta_floor")
+    folded = floor_to is not None and lo + 1 <= int(floor_to)
+    if not folded:
+        # a compaction PAST m_to may have folded+GC'd partitions m_to
+        # still considered visible — verify every needed epoch's
+        # directory survives before answering from the fast path
+        jvm, fs = _fs(spark, path)
+        for b in range(lo + 1, int(to_hwm) + 1):
+            if not fs.exists(
+                    _jp(jvm, f"{path}/{tier}_delta/_batch_id={b}")):
+                folded = True
+                break
+    if folded:
+        if on_folded == "raise":
+            raise ValueError(
+                f"changes ({int(m_from['seq'])}, {int(m_to['seq'])}] "
+                f"of '{tier}' at {path} include epochs already folded "
+                f"into a compacted base (delta_floor="
+                f"{m_to.get('delta_floor')}, needed > {lo}) — read "
+                f"before the compaction cadence, or pass "
+                f"on_folded='diff' for a set-semantics snapshot diff")
+        new = read_tier(spark, path, tier,
+                        as_of_seq=(int(to_seq) if to_seq is not None
+                                   else int(m_to["seq"])))
+        old = read_tier(spark, path, tier,
+                        as_of_seq=int(m_from["seq"]))
+        return (new.select(*base_cols).exceptAll(old.select(*base_cols))
+                .withColumn("_batch_id", F.lit(None).cast("long"))
+                .select(*out_cols))
+    delta = read_delta(spark, path, tier, m_to)
+    if delta is None:
+        return _empty()
+    return (delta.filter(F.col("_batch_id") > lo)
+            .select(*out_cols))
+
+
+def describe_index(spark, path: str) -> dict:
+    """Filesystem-only operational summary of a persisted index — no
+    data scan: the live manifest (seq/version/hwm/delta_floor), the
+    retained time-travel window, and per-tier layout (live base dir,
+    base bytes/files, delta epochs present with bytes) straight from
+    directory listings. The ops surface for 'how big is this index,
+    how far behind is compaction, which snapshots can I still read'.
+    """
+    jvm, fs = _fs(spark, path)
+    m = current_manifest(spark, path)
+    vs = versions(spark, path)
+    tiers: dict = {}
+    root = _jp(jvm, path)
+    known = dict(m.get("tiers", {}))
+    if not known and fs.exists(root):
+        # legacy index: every non-delta, non-manifest dir is a tier
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (st.isDirectory() and name != MANIFEST_DIR
+                    and not name.endswith("_delta")
+                    and not name.startswith(".")):
+                known[name] = name
+    for t, live in sorted(known.items()):
+        info: dict = {"base_dir": live}
+        bdir = _jp(jvm, f"{path}/{live}")
+        if fs.exists(bdir):
+            cs = fs.getContentSummary(bdir)
+            info["base_bytes"] = int(cs.getLength())
+            info["base_files"] = int(cs.getFileCount())
+        ddir = _jp(jvm, f"{path}/{t}_delta")
+        epochs = []
+        if fs.exists(ddir):
+            for st in fs.listStatus(ddir):
+                mm = re.fullmatch(r"_batch_id=(\d+)",
+                                  st.getPath().getName())
+                if mm:
+                    epochs.append(int(mm.group(1)))
+            cs = fs.getContentSummary(ddir)
+            info["delta_bytes"] = int(cs.getLength())
+        info["delta_epochs"] = sorted(epochs)
+        tiers[t] = info
+    return {
+        "path": path,
+        "seq": int(m.get("seq", 0)),
+        "version": m.get("version"),
+        "hwm": m.get("hwm"),
+        "delta_floor": m.get("delta_floor"),
+        "retained_seqs": [v["seq"] for v in vs],
+        "tiers": tiers,
+    }
+
+
 # -- epoch fencing ------------------------------------------------------------
 
 def fence_epoch(spark, path: str, batch_id: int) -> "tuple[str, dict]":
