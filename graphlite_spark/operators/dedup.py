@@ -1072,6 +1072,38 @@ def _index_tier(spark, path: str, tier: str,
                      as_of_seq=as_of_seq)
 
 
+def _probe_strategy(keys: DataFrame, strategy: str,
+                    broadcast_max_keys: int) -> str:
+    """Resolve ``strategy='auto'`` with a bounded count probe over
+    the BATCH's key set (never the index): at or under the cap the
+    broadcast-probe plan is safe, above it fall back to the shuffle
+    plan. The probe is one limit(cap+1).count() job on the small
+    side."""
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            f"strategy must be 'auto', 'broadcast' or 'shuffle', "
+            f"got {strategy!r}")
+    if strategy != "auto":
+        return strategy
+    n = keys.limit(int(broadcast_max_keys) + 1).count()
+    return "broadcast" if n <= int(broadcast_max_keys) else "shuffle"
+
+
+def _index_hits(idx: DataFrame, keys: DataFrame,
+                on: "list[str]") -> DataFrame:
+    """The index key rows that appear in the batch's (small) key
+    set, joined so the INDEX NEVER SHUFFLES: the batch keys are the
+    broadcast build side and the index scan streams through a
+    BroadcastHashJoin probe map-side. This is the shape that matters
+    at 100 TB — the plain ``batch semi-join index`` plan must
+    shuffle the ENTIRE index key tier on every epoch (LeftSemi can
+    only build on the right, and the right is the index), whereas
+    here the only full pass over the index is the scan itself and
+    the output is at most batch-sized. The result is small by
+    construction, so downstream joins against it broadcast too."""
+    return idx.join(F.broadcast(keys), on=on, how="left_semi")
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     path: str,
@@ -1081,6 +1113,8 @@ def dedup_against_index(
     mode: str = "drop",
     before_batch: "int | None" = None,
     as_of_seq: "int | None" = None,
+    strategy: str = "auto",
+    broadcast_max_keys: int = 8_000_000,
 ) -> DataFrame:
     """Dedup an incoming batch AGAINST a persisted index
     (build_dedup_index) — exact content hits and (optionally) MinHash
@@ -1100,6 +1134,17 @@ def dedup_against_index(
     the joins are semi/anti joins on 8-byte keys between the batch
     (small) and the index key tables — the historical corpus is never
     read, and the index tables never rematerialize documents.
+    ``strategy`` picks the join posture against an arbitrarily large
+    index: ``'broadcast'`` BROADCASTS the batch's distinct key set
+    and probes the index scan through a BroadcastHashJoin — the index
+    NEVER SHUFFLES, the only full pass is the scan (the plain plan
+    must shuffle the whole index key tier, because a LeftSemi join
+    can only build on the index side); ``'shuffle'`` keeps the plain
+    sort-merge plan for pathologically large batches; ``'auto'``
+    (default) count-probes the batch's key set against
+    ``broadcast_max_keys`` (8M keys ≈ 100-200 MB broadcast) and picks
+    accordingly. Identical output by construction — the broadcast
+    probe computes the same hit set, pytest-pinned.
 
     When the index has been maintained incrementally
     (dedup_index_ingest_batch appends survivors' keys under
@@ -1123,11 +1168,22 @@ def dedup_against_index(
     exact_idx = _index_tier(spark, path, "exact", before_batch,
                             as_of_seq=as_of_seq)
     hashed = new_docs.withColumn("_h", F.xxhash64(key))
-    exact_ids = (
-        hashed.select(F.col(id_col).alias("_eid"), "_h")
-        .join(exact_idx, F.col("_h") == exact_idx["h"], "left_semi")
-        .select("_eid").distinct()
-    )
+    keyset = (hashed.select(F.col("_h").alias("h")).distinct()
+              .localCheckpoint(eager=False))
+    strat = _probe_strategy(keyset, strategy, broadcast_max_keys)
+    if strat == "broadcast":
+        hits = _index_hits(exact_idx.select("h"), keyset, ["h"])
+        exact_ids = (
+            hashed.join(F.broadcast(hits),
+                        hashed["_h"] == hits["h"], "left_semi")
+            .select(F.col(id_col).alias("_eid")).distinct()
+        )
+    else:
+        exact_ids = (
+            hashed.select(F.col(id_col).alias("_eid"), "_h")
+            .join(exact_idx, F.col("_h") == exact_idx["h"], "left_semi")
+            .select("_eid").distinct()
+        )
     near_ids = None
     if near:
         bands_idx = _index_tier(spark, path, "bands", before_batch,
@@ -1135,10 +1191,22 @@ def dedup_against_index(
         sig = minhash_signatures(new_docs, text_col, id_col, n=m.n,
                                  num_hashes=m.num_hashes, words=m.words)
         bb = _band_bucket_frame(sig, id_col, m.num_hashes, m.bands)
-        near_ids = (
-            bb.join(bands_idx, ["band", "bucket"], "left_semi")
-            .select(F.col(id_col).alias("_nid")).distinct()
-        )
+        bkeys = (bb.select("band", "bucket").distinct()
+                 .localCheckpoint(eager=False))
+        bstrat = _probe_strategy(bkeys, strategy, broadcast_max_keys)
+        if bstrat == "broadcast":
+            bhits = _index_hits(bands_idx.select("band", "bucket"),
+                                bkeys, ["band", "bucket"])
+            near_ids = (
+                bb.join(F.broadcast(bhits), ["band", "bucket"],
+                        "left_semi")
+                .select(F.col(id_col).alias("_nid")).distinct()
+            )
+        else:
+            near_ids = (
+                bb.join(bands_idx, ["band", "bucket"], "left_semi")
+                .select(F.col(id_col).alias("_nid")).distinct()
+            )
     if mode == "flag":
         out = new_docs.join(
             exact_ids, new_docs[id_col] == exact_ids["_eid"], "left"
@@ -1218,6 +1286,8 @@ def dedup_index_ingest_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     near: bool = True,
+    strategy: str = "auto",
+    broadcast_max_keys: int = 8_000_000,
 ) -> DataFrame:
     """Process ONE ingest epoch through the persisted-index
     maintenance loop (VERDICT r8 ask #3): dedup the batch against the
@@ -1257,6 +1327,11 @@ def dedup_index_ingest_batch(
     DIFFERENT data raises instead of silently interleaving), and
     returned without writing.
 
+    ``strategy``/``broadcast_max_keys``: join posture against the
+    index key tiers, same contract as :func:`dedup_against_index` —
+    the default broadcast probe keeps the (arbitrarily large) index
+    un-shuffled every epoch; results are strategy-independent.
+
     Returns the surviving rows of ``batch``.
     """
     from pyspark.sql import Window
@@ -1281,9 +1356,20 @@ def dedup_index_ingest_batch(
     wmin = Window.partitionBy("_h")
     keep = hashed.withColumn(
         "_exact_win", F.col(id_col) == F.min(id_col).over(wmin))
-    # against-index exact (anti on 8-byte keys)
-    keep = keep.join(exact_idx, keep["_h"] == exact_idx["h"],
-                     "left_anti")
+    # against-index exact (anti on 8-byte keys); the broadcast-probe
+    # posture keeps the index un-shuffled however large it grows —
+    # hits are computed index-scan-side against the broadcast batch
+    # key set, then the batch anti-joins the (batch-bounded) hit set
+    keyset = (hashed.select(F.col("_h").alias("h")).distinct()
+              .localCheckpoint(eager=False))
+    strat = _probe_strategy(keyset, strategy, broadcast_max_keys)
+    if strat == "broadcast":
+        hits = _index_hits(exact_idx.select("h"), keyset, ["h"])
+        keep = keep.join(F.broadcast(hits),
+                         keep["_h"] == hits["h"], "left_anti")
+    else:
+        keep = keep.join(exact_idx, keep["_h"] == exact_idx["h"],
+                         "left_anti")
     bb = None
     if near:
         bands_idx = _index_tier(spark, path, "bands",
@@ -1295,12 +1381,21 @@ def dedup_index_ingest_batch(
         # a bucket is poisoned if the INDEX knows it, or if a smaller
         # batch id touches it (winner computed over the whole batch)
         wband = Window.partitionBy("band", "bucket")
+        bkeys = (bb.select("band", "bucket").distinct()
+                 .localCheckpoint(eager=False))
+        bstrat = _probe_strategy(bkeys, strategy, broadcast_max_keys)
+        if bstrat == "broadcast":
+            idx_hits = _index_hits(
+                bands_idx.select("band", "bucket"), bkeys,
+                ["band", "bucket"]).withColumn("_idx_hit", F.lit(True))
+            idx_hits = F.broadcast(idx_hits)
+        else:
+            idx_hits = bands_idx.select("band", "bucket") \
+                .withColumn("_idx_hit", F.lit(True))
         verdicts = (
             bb.withColumn("_bwin",
                           F.col(id_col) == F.min(id_col).over(wband))
-            .join(bands_idx.select("band", "bucket")
-                  .withColumn("_idx_hit", F.lit(True)),
-                  ["band", "bucket"], "left")
+            .join(idx_hits, ["band", "bucket"], "left")
             .withColumn("_ok", F.col("_bwin")
                         & F.col("_idx_hit").isNull())
         )
