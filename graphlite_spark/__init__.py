@@ -913,6 +913,64 @@ class GraphLiteSpark:
             if stmt.yield_cols:
                 df = df.select(*stmt.yield_cols)
             return df
+        elif name == "gql.index_versions":
+            # retained time-travel generations of a persisted index
+            # (dedup/BM25/ANN/profile/tokenizer families all share the
+            # manifest layer): CALL gql.index_versions('/path/to/idx')
+            from .operators.index_store import versions
+
+            rows = versions(self.spark, str(stmt.args[0].value))
+            df = self.spark.createDataFrame(
+                [(int(r["seq"]),
+                  int(r["version"]) if r["version"] is not None else None,
+                  int(r["hwm"]) if r["hwm"] is not None else None,
+                  (int(r["delta_floor"])
+                   if r["delta_floor"] is not None else None))
+                 for r in rows],
+                "seq long, version long, hwm long, delta_floor long")
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            return df
+        elif name == "gql.index_describe":
+            # scan-free per-tier ops summary of a persisted index:
+            # CALL gql.index_describe('/path/to/idx')
+            from .operators.index_store import describe_index
+
+            d = describe_index(self.spark, str(stmt.args[0].value))
+            df = self.spark.createDataFrame(
+                [(t,
+                  info.get("base_dir"),
+                  info.get("base_bytes"),
+                  info.get("base_files"),
+                  info.get("delta_bytes"),
+                  len(info.get("delta_epochs", [])),
+                  int(d["seq"]),
+                  int(d["version"]) if d["version"] is not None else None,
+                  int(d["hwm"]) if d["hwm"] is not None else None,
+                  (int(d["delta_floor"])
+                   if d["delta_floor"] is not None else None))
+                 for t, info in sorted(d["tiers"].items())],
+                "tier string, base_dir string, base_bytes long, "
+                "base_files long, delta_bytes long, delta_epochs long, "
+                "seq long, version long, hwm long, delta_floor long")
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            return df
+        elif name == "gql.index_changes":
+            # changelog (CDC) rows a tier gained between two manifest
+            # commits: CALL gql.index_changes('/path', 'exact', 2[, 3])
+            from .operators.index_store import tier_changes
+
+            path = str(stmt.args[0].value)
+            tier = str(stmt.args[1].value)
+            from_seq = int(stmt.args[2].value)
+            to_seq = (int(stmt.args[3].value)
+                      if len(stmt.args) > 3 else None)
+            df = tier_changes(self.spark, path, tier, from_seq,
+                              to_seq=to_seq)
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            return df
         elif name == "gql.weighted_shortest_path":
             # weighted SSSP over one edge type's weight property
             from .operators.paths import weighted_sssp

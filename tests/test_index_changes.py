@@ -190,3 +190,38 @@ def test_describe_index_fs_only_summary(spark, tmp_path):
     assert d2["seq"] == 4 and d2["delta_floor"] == 2
     assert d2["version"] == d["version"] + 1
     assert d2["tiers"]["exact"]["base_dir"] != "exact"
+
+
+# ---------------------------------------------------------------------------
+# CALL surface: gql.index_versions / index_describe / index_changes
+# ---------------------------------------------------------------------------
+
+def test_call_index_ops_match_python_api(spark, tmp_path):
+    """The index ops surface reachable from GQL: versions, describe
+    and changelog as CALL procedures, pinned against the Python API
+    (same manifest log, same rows)."""
+    from graphlite_spark import GraphLiteSpark
+
+    path = str(tmp_path / "idx")
+    _build_with_epochs(spark, path)
+    db = GraphLiteSpark(spark)
+
+    vs = db.execute(f"CALL gql.index_versions('{path}')").collect()
+    assert [(r.seq, r.hwm) for r in vs] == [(1, None), (2, 1), (3, 2)]
+
+    de = {r.tier: r for r in
+          db.execute(f"CALL gql.index_describe('{path}')").collect()}
+    assert set(de) == {"exact", "bands"}
+    assert de["exact"].delta_epochs == 2 and de["exact"].seq == 3
+    assert de["exact"].base_bytes > 0
+
+    ch = db.execute(
+        f"CALL gql.index_changes('{path}', 'exact', 2)").collect()
+    api = index_store.tier_changes(spark, path, "exact", 2).collect()
+    assert sorted((r.h, r._batch_id) for r in ch) \
+        == sorted((r.h, r._batch_id) for r in api)
+    # YIELD projection works on the procedure result
+    only = db.execute(
+        f"CALL gql.index_changes('{path}', 'exact', 1, 2) "
+        f"YIELD _batch_id").collect()
+    assert [r._batch_id for r in only] == [1]
