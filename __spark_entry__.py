@@ -3008,6 +3008,21 @@ def _q_span_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                       skew="salted")
 
 
+def _q_span_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_dedup with skew='auto' (r11): the hybrid hot/cold split —
+    duplicated grams at >= hot_min occurrences probe through a
+    BROADCAST semi-join (their occurrence rows never shuffle; hot
+    keys are at most total/hot_min so the broadcast is tiny by
+    construction) while the cold majority takes the normal shuffle
+    semi-join. hot_min=8 here so real corpus grams actually exercise
+    the broadcast branch. Output identical by construction — the
+    SAME exact oracle pins it."""
+    from graphlite_spark.operators.dedup import span_dedup
+
+    return span_dedup(_table(spark, sf_dir, "documents"), k=8,
+                      skew="auto", hot_min=8)
+
+
 def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (RefinedWeb-style host cap): keep the
     5 lowest-id docs per source. The row_number+filter plan compiles
@@ -5715,6 +5730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "span_dedup_exact": _q_span_dedup,
             "span_dedup_string_keys": _q_span_dedup_string_keys,
             "span_dedup_salted": _q_span_dedup_salted,
+            "span_dedup_auto": _q_span_dedup_auto,
             "cap_per_source": _q_cap_per_source,
             "pack_documents_bins": _q_pack_documents,
             "lang_id": _q_lang_id,
@@ -9497,6 +9513,7 @@ def oracle_sql() -> dict[str, str]:
     # the salted semi-join changes only WHERE the hot gram's rows
     # shuffle, never which rows match — same exact oracle (r11)
     sql["span_dedup_salted"] = sql["span_dedup_exact"]
+    sql["span_dedup_auto"] = sql["span_dedup_exact"]
     # the CALL-path gopher entry is the SAME operator over the same
     # rows, so it shares the DataFrame-path oracle verbatim
     sql["gopher_filters_call"] = sql["gopher_quality_filters"]

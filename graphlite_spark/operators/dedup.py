@@ -559,9 +559,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     inherent to LSH semantics — salting fixes the one-task
     bottleneck, not the quadratic output; cap bucket width upstream
     (bands/rows) if the volume itself is the problem.
+    ``skew='auto'`` is an alias for the hybrid — detection is already
+    count-based here (bucket sizes vs ``hot_min``), so there is
+    nothing further to automate; the name matches span_dedup's knob.
     """
-    if skew not in ("none", "salted"):
-        raise ValueError(f"skew must be 'none' or 'salted', got {skew!r}")
+    if skew not in ("none", "salted", "auto"):
+        raise ValueError(
+            f"skew must be 'none', 'salted' or 'auto', got {skew!r}")
+    if skew == "auto":
+        skew = "salted"
     # checkpoint the compact array form: shingling runs once, and both
     # the signature explode and the verification docsets reuse it
     base = shingle_array(df, text_col, id_col, n, words=words).localCheckpoint(
@@ -771,6 +777,7 @@ def span_dedup(
     hashed_keys: bool = True,
     skew: str = "none",
     salt: int = 16,
+    hot_min: int = 65536,
 ) -> DataFrame:
     """EXACT substring (span) deduplication — remove every k-token
     window that occurs more than once anywhere in the corpus, the
@@ -817,10 +824,20 @@ def span_dedup(
     replicated across every salt, so the join key becomes (gram,
     salt) and the hot gram's rows spread over ``salt`` tasks. Output
     is IDENTICAL by construction (planted-hot-key pytest + the same
-    gate oracle as the plain path).
+    gate oracle as the plain path). ``skew='auto'`` runs the HYBRID
+    using the per-gram counts stage 2 already computes: duplicated
+    keys split at ``hot_min`` occurrences — the genuinely hot grams
+    are FEW by definition (at most total-grams/hot_min), so they
+    probe through a BROADCAST semi-join and their occurrence rows
+    never shuffle at all (stronger than salting: no replication, no
+    residual salt-width bound), while the cold majority shuffles
+    normally. Auto costs one broadcast of a tiny key set on a benign
+    corpus and removes the hot-task bottleneck entirely on a
+    pathological one.
     """
-    if skew not in ("none", "salted"):
-        raise ValueError(f"skew must be 'none' or 'salted', got {skew!r}")
+    if skew not in ("none", "salted", "auto"):
+        raise ValueError(
+            f"skew must be 'none', 'salted' or 'auto', got {skew!r}")
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -859,11 +876,11 @@ def span_dedup(
     key = F.xxhash64("_gram") if hashed_keys else F.col("_gram")
     occ = occ.select("_id", "_p", key.alias("_k")) \
         .localCheckpoint(eager=False)
-    dup_keys = (
+    dups = (
         occ.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > 1)
-        .select("_k")
     )
+    dup_keys = dups.select("_k")
     # per-doc covered-position SETS (collect_set dedups, so no extra
     # distinct shuffle) — only docs that actually carry duplicated
     # grams appear; the rebuild then stays ARRAY-SIDE: filter the
@@ -883,6 +900,19 @@ def span_dedup(
             "_salt",
             F.explode(F.array(*[F.lit(i) for i in range(int(salt))])))
         hits = occ_s.join(dup_s, ["_k", "_salt"], "left_semi")
+    elif skew == "auto":
+        # hybrid: hot duplicated grams (>= hot_min occurrences) are at
+        # most total/hot_min keys — broadcast them, so the viral
+        # gram's occurrence rows probe map-side and never shuffle;
+        # cold duplicated keys take the normal shuffle semi-join.
+        # The two slices partition dup_keys, so the union == the
+        # plain semi-join against all duplicated keys.
+        hot_keys = F.broadcast(
+            dups.filter(F.col("_n") >= int(hot_min)).select("_k"))
+        cold_keys = dups.filter(F.col("_n") < int(hot_min)) \
+            .select("_k")
+        hits = (occ.join(cold_keys, "_k", "left_semi")
+                .unionByName(occ.join(hot_keys, "_k", "left_semi")))
     else:
         hits = occ.join(dup_keys, "_k", "left_semi")
     covered_sets = (

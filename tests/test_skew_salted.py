@@ -120,3 +120,45 @@ def test_salted_split_bounds_task_input(spark, viral_corpus):
     got = (occ.filter(F.col("_gram") == hot_gram)
            .select("_salt").distinct().count())
     assert got == salt  # all 60 occurrences spread over every salt
+
+
+# ---------------------------------------------------------------------------
+# skew='auto' (r11): hybrid hot/cold split with broadcast hot probes
+# ---------------------------------------------------------------------------
+
+def test_span_dedup_auto_identical_on_hot_gram(spark, viral_corpus):
+    """auto must equal plain on a planted hot gram (hot_min low
+    enough that the viral block's grams take the broadcast branch)."""
+    plain = _rows(span_dedup(viral_corpus, k=4))
+    auto = _rows(span_dedup(viral_corpus, k=4, skew="auto",
+                            hot_min=10))
+    assert auto == plain
+    assert all(r[2] > 0 for r in plain)
+
+
+def test_span_dedup_auto_identical_when_nothing_hot(spark,
+                                                    viral_corpus):
+    """With hot_min above every gram count the hot slice is empty and
+    auto degenerates to the plain join — same output."""
+    plain = _rows(span_dedup(viral_corpus, k=4))
+    auto = _rows(span_dedup(viral_corpus, k=4, skew="auto",
+                            hot_min=10 ** 9))
+    assert auto == plain
+
+
+def test_span_dedup_auto_hot_branch_is_broadcast(spark, viral_corpus):
+    """The hot slice's semi-join must probe a broadcast key set —
+    the viral gram's occurrence rows never shuffle."""
+    df = span_dedup(viral_corpus, k=4, skew="auto", hot_min=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final, final
+
+
+def test_lsh_auto_is_the_hybrid(spark, hot_bucket_corpus):
+    kw = dict(n=2, num_hashes=16, bands=8, threshold=0.0)
+    plain = _rows(minhash_lsh_pairs(hot_bucket_corpus, **kw))
+    auto = _rows(minhash_lsh_pairs(hot_bucket_corpus, skew="auto",
+                                   hot_min=4, salt=8, **kw))
+    assert auto == plain
