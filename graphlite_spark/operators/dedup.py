@@ -1068,12 +1068,16 @@ def build_dedup_index(
     key = (F.lower(F.trim(F.col(text_col))) if normalize
            else F.col(text_col))
     exact = corpus.select(F.xxhash64(key).alias("h")).distinct()
-    write_parquet_sized(exact, f"{path}/exact", target_mb=target_mb)
+    # key-range layout from day one (see compact_dedup_index): pushed
+    # point/IN probes skip whole files by footer min/max
+    write_parquet_sized(exact, f"{path}/exact", target_mb=target_mb,
+                        range_by=["h"])
     sig = minhash_signatures(corpus, text_col, id_col, n=n,
                              num_hashes=num_hashes, words=words)
     bb = _band_bucket_frame(sig, id_col, num_hashes, bands) \
         .select("band", "bucket").distinct()
-    write_parquet_sized(bb, f"{path}/bands", target_mb=target_mb)
+    write_parquet_sized(bb, f"{path}/bands", target_mb=target_mb,
+                        range_by=["band", "bucket"])
     n_docs = corpus.count()
     spark = corpus.sparkSession
     meta = spark.createDataFrame(
@@ -1103,20 +1107,36 @@ def _index_tier(spark, path: str, tier: str,
 
 
 def _probe_strategy(keys: DataFrame, strategy: str,
-                    broadcast_max_keys: int) -> str:
+                    broadcast_max_keys: int,
+                    pushdown_max_keys: int = 1024) -> str:
     """Resolve ``strategy='auto'`` with a bounded count probe over
-    the BATCH's key set (never the index): at or under the cap the
-    broadcast-probe plan is safe, above it fall back to the shuffle
-    plan. The probe is one limit(cap+1).count() job on the small
-    side."""
-    if strategy not in ("auto", "broadcast", "shuffle"):
+    the BATCH's key set (never the index): a point-probe-sized set
+    (<= ``pushdown_max_keys``) takes the PUSHDOWN plan (collected
+    IN-filter pushed into the index's parquet scan — with the
+    key-range base layout the scan skips whole files by footer
+    min/max), a batch-sized set (<= ``broadcast_max_keys``) takes the
+    broadcast probe, anything larger falls back to the shuffle plan.
+    The probe is one limit(cap+1).count() job on the small side.
+    Explicit ``strategy='pushdown'`` enforces its cap with a clear
+    raise (the collect is driver-side)."""
+    if strategy not in ("auto", "broadcast", "shuffle", "pushdown"):
         raise ValueError(
-            f"strategy must be 'auto', 'broadcast' or 'shuffle', "
-            f"got {strategy!r}")
-    if strategy != "auto":
-        return strategy
-    n = keys.limit(int(broadcast_max_keys) + 1).count()
-    return "broadcast" if n <= int(broadcast_max_keys) else "shuffle"
+            f"strategy must be 'auto', 'broadcast', 'shuffle' or "
+            f"'pushdown', got {strategy!r}")
+    if strategy == "auto":
+        n = keys.limit(int(broadcast_max_keys) + 1).count()
+        if n <= int(pushdown_max_keys):
+            return "pushdown"
+        return ("broadcast" if n <= int(broadcast_max_keys)
+                else "shuffle")
+    if strategy == "pushdown":
+        n = keys.limit(int(pushdown_max_keys) + 1).count()
+        if n > int(pushdown_max_keys):
+            raise ValueError(
+                f"strategy='pushdown' collects the batch key set to "
+                f"the driver; it has > {int(pushdown_max_keys)} keys "
+                f"(pushdown_max_keys) — use 'broadcast' or 'auto'")
+    return strategy
 
 
 def _index_hits(idx: DataFrame, keys: DataFrame,
@@ -1145,6 +1165,7 @@ def dedup_against_index(
     as_of_seq: "int | None" = None,
     strategy: str = "auto",
     broadcast_max_keys: int = 8_000_000,
+    pushdown_max_keys: int = 1024,
 ) -> DataFrame:
     """Dedup an incoming batch AGAINST a persisted index
     (build_dedup_index) — exact content hits and (optionally) MinHash
@@ -1169,12 +1190,18 @@ def dedup_against_index(
     and probes the index scan through a BroadcastHashJoin — the index
     NEVER SHUFFLES, the only full pass is the scan (the plain plan
     must shuffle the whole index key tier, because a LeftSemi join
-    can only build on the index side); ``'shuffle'`` keeps the plain
-    sort-merge plan for pathologically large batches; ``'auto'``
-    (default) count-probes the batch's key set against
-    ``broadcast_max_keys`` (8M keys ≈ 100-200 MB broadcast) and picks
-    accordingly. Identical output by construction — the broadcast
-    probe computes the same hit set, pytest-pinned.
+    can only build on the index side); ``'pushdown'`` goes further
+    for POINT PROBES (<= ``pushdown_max_keys``, default 1024):
+    the collected key list becomes an IN predicate pushed into the
+    index's parquet scan, and because build/compaction lay the base
+    out key-range-partitioned and sorted, footer min/max skip whole
+    files — the index is neither shuffled NOR fully scanned;
+    ``'shuffle'`` keeps the plain sort-merge plan for pathologically
+    large batches; ``'auto'`` (default) count-probes the batch's key
+    set and picks pushdown / broadcast (``broadcast_max_keys``, 8M
+    keys ≈ 100-200 MB) / shuffle accordingly. Identical output by
+    construction — every posture computes the same hit set,
+    pytest-pinned.
 
     When the index has been maintained incrementally
     (dedup_index_ingest_batch appends survivors' keys under
@@ -1200,8 +1227,20 @@ def dedup_against_index(
     hashed = new_docs.withColumn("_h", F.xxhash64(key))
     keyset = (hashed.select(F.col("_h").alias("h")).distinct()
               .localCheckpoint(eager=False))
-    strat = _probe_strategy(keyset, strategy, broadcast_max_keys)
-    if strat == "broadcast":
+    strat = _probe_strategy(keyset, strategy, broadcast_max_keys,
+                            pushdown_max_keys)
+    if strat == "pushdown":
+        # point-probe path: the collected key list becomes an IN
+        # predicate pushed into the index's parquet scan — with the
+        # key-range base layout most files never open
+        kvals = [r.h for r in keyset.collect()]
+        hits = exact_idx.select("h").filter(F.col("h").isin(kvals))
+        exact_ids = (
+            hashed.join(F.broadcast(hits),
+                        hashed["_h"] == hits["h"], "left_semi")
+            .select(F.col(id_col).alias("_eid")).distinct()
+        )
+    elif strat == "broadcast":
         hits = _index_hits(exact_idx.select("h"), keyset, ["h"])
         exact_ids = (
             hashed.join(F.broadcast(hits),
@@ -1224,6 +1263,11 @@ def dedup_against_index(
         bkeys = (bb.select("band", "bucket").distinct()
                  .localCheckpoint(eager=False))
         bstrat = _probe_strategy(bkeys, strategy, broadcast_max_keys)
+        if bstrat == "pushdown":
+            # composite (band, bucket) keys don't push as a
+            # single-column IN filter — the broadcast probe is the
+            # point-probe plan for the bands tier
+            bstrat = "broadcast"
         if bstrat == "broadcast":
             bhits = _index_hits(bands_idx.select("band", "bucket"),
                                 bkeys, ["band", "bucket"])
@@ -1300,8 +1344,12 @@ def compact_dedup_index(spark, path: str, target_mb: int = 256) -> dict:
             .select(*cols).distinct()
         new_dir = f"{tier}_v{v}"
         _fault_point(f"compact:write:{tier}")
+        # range-partition + sort the folded base on its key so each
+        # file covers a narrow disjoint key range — a pushed IN/point
+        # predicate (strategy='pushdown' probes) then skips whole
+        # files by footer min/max instead of scanning the base
         write_parquet_sized(combined, f"{path}/{new_dir}",
-                            target_mb=target_mb)
+                            target_mb=target_mb, range_by=cols)
         counts[tier] = spark.read.parquet(f"{path}/{new_dir}").count()
         new_tiers[tier] = new_dir
     m2 = commit_compaction(spark, path, new_tiers, m)
@@ -1318,6 +1366,7 @@ def dedup_index_ingest_batch(
     near: bool = True,
     strategy: str = "auto",
     broadcast_max_keys: int = 8_000_000,
+    pushdown_max_keys: int = 1024,
 ) -> DataFrame:
     """Process ONE ingest epoch through the persisted-index
     maintenance loop (VERDICT r8 ask #3): dedup the batch against the
@@ -1392,8 +1441,14 @@ def dedup_index_ingest_batch(
     # key set, then the batch anti-joins the (batch-bounded) hit set
     keyset = (hashed.select(F.col("_h").alias("h")).distinct()
               .localCheckpoint(eager=False))
-    strat = _probe_strategy(keyset, strategy, broadcast_max_keys)
-    if strat == "broadcast":
+    strat = _probe_strategy(keyset, strategy, broadcast_max_keys,
+                            pushdown_max_keys)
+    if strat == "pushdown":
+        kvals = [r.h for r in keyset.collect()]
+        hits = exact_idx.select("h").filter(F.col("h").isin(kvals))
+        keep = keep.join(F.broadcast(hits),
+                         keep["_h"] == hits["h"], "left_anti")
+    elif strat == "broadcast":
         hits = _index_hits(exact_idx.select("h"), keyset, ["h"])
         keep = keep.join(F.broadcast(hits),
                          keep["_h"] == hits["h"], "left_anti")
@@ -1414,6 +1469,11 @@ def dedup_index_ingest_batch(
         bkeys = (bb.select("band", "bucket").distinct()
                  .localCheckpoint(eager=False))
         bstrat = _probe_strategy(bkeys, strategy, broadcast_max_keys)
+        if bstrat == "pushdown":
+            # composite (band, bucket) keys don't push as a
+            # single-column IN filter — the broadcast probe is the
+            # point-probe plan for the bands tier
+            bstrat = "broadcast"
         if bstrat == "broadcast":
             idx_hits = _index_hits(
                 bands_idx.select("band", "bucket"), bkeys,

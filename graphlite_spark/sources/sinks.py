@@ -80,6 +80,7 @@ def write_parquet_sized(
     mode: str = "overwrite",
     partition_by: Optional[list[str]] = None,
     sort_by: Optional[list[str]] = None,
+    range_by: Optional[list[str]] = None,
     compression_ratio: float = 3.0,
 ) -> int:
     """Write parquet with a TARGET OUTPUT FILE SIZE — the small-files
@@ -99,7 +100,13 @@ def write_parquet_sized(
     partitioning is requested so each output partition's files stay
     few. ``sort_by`` applies sortWithinPartitions before the write
     (row-group locality for the columns later scans filter on: parquet
-    min/max page stats then actually prune).
+    min/max page stats then actually prune). ``range_by`` goes
+    further: repartitionByRange + sortWithinPartitions on those
+    columns, so each output FILE covers a narrow, disjoint key range
+    — a pushed point/IN predicate on the key then skips whole files
+    by footer min/max, not just row groups (the round-robin
+    ``sort_by`` layout sorts within files but every file still spans
+    the full key range). Mutually exclusive with partition_by/sort_by.
 
     Returns the file count it targeted. For exactly-once streaming
     epochs use streaming/sinks.py; this is the batch sink.
@@ -109,6 +116,9 @@ def write_parquet_sized(
     if compression_ratio <= 0:
         raise ValueError(
             f"compression_ratio must be positive, got {compression_ratio}")
+    if range_by and (partition_by or sort_by):
+        raise ValueError(
+            "range_by is mutually exclusive with partition_by/sort_by")
     from graphlite_spark.operators.dedup import _plan_size_bytes
 
     est = _plan_size_bytes(df)
@@ -122,12 +132,16 @@ def write_parquet_sized(
     else:
         n_files = int(-(-est / compression_ratio // (target_mb << 20)))
         n_files = min(max(n_files, 1), 100_000)
-        if partition_by:
+        if range_by:
+            out = df.repartitionByRange(n_files, *range_by)
+        elif partition_by:
             out = df.repartition(n_files, *partition_by)
         else:
             out = df.repartition(n_files)
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
+    if range_by:
+        out = out.sortWithinPartitions(*range_by)
     w = out.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -134,3 +134,110 @@ def test_broadcast_probe_plan_never_shuffles_the_index(
     # straight from its scan
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") <= 1, final
+
+
+# ---------------------------------------------------------------------------
+# strategy='pushdown' (point probes) + key-range base layout
+# ---------------------------------------------------------------------------
+
+def test_pushdown_parity_and_auto_selection(spark, built_index):
+    from graphlite_spark.operators.dedup import dedup_against_index
+
+    probe = _corpus(spark, 140, 160)  # 10 dups, 10 fresh
+    got = {}
+    for s in ("pushdown", "shuffle"):
+        got[s] = sorted(r.doc_id for r in dedup_against_index(
+            probe, built_index, near=False, strategy=s).collect())
+    assert got["pushdown"] == got["shuffle"] == list(range(150, 160))
+    # auto resolves a point-probe-sized batch to the same answer
+    auto = sorted(r.doc_id for r in dedup_against_index(
+        probe, built_index, near=False, strategy="auto").collect())
+    assert auto == got["shuffle"]
+
+
+def test_pushdown_over_cap_raises(spark, built_index):
+    from graphlite_spark.operators.dedup import dedup_against_index
+
+    with pytest.raises(ValueError, match="pushdown_max_keys"):
+        dedup_against_index(_corpus(spark, 0, 50), built_index,
+                            near=False, strategy="pushdown",
+                            pushdown_max_keys=10).collect()
+
+
+def test_pushdown_probe_reaches_the_parquet_scan(spark, built_index):
+    """The point-probe plan must show the IN predicate as a
+    PushedFilters entry on the index scan — with the key-range base
+    layout that's a footer-level file skip, not a post-scan
+    filter."""
+    from graphlite_spark.operators.dedup import dedup_against_index
+
+    probe = _corpus(spark, 140, 150)
+    df = dedup_against_index(probe, built_index, near=False,
+                             strategy="pushdown")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [seg for seg in plan.split("PushedFilters: ")[1:]
+              if seg.startswith("[In(h")]
+    assert pushed, plan
+
+
+def test_ingest_pushdown_parity(spark, tmp_path):
+    """A trickle epoch (under the pushdown cap) through ingest: same
+    survivors and index state as the shuffle posture."""
+    from graphlite_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_index_ingest_batch,
+    )
+    from graphlite_spark.operators.index_store import read_tier
+
+    state = {}
+    for s in ("pushdown", "shuffle"):
+        p = str(tmp_path / f"tr-{s}")
+        build_dedup_index(_corpus(spark, 0, 100), p,
+                          n=3, num_hashes=64, bands=16)
+        surv = dedup_index_ingest_batch(
+            _corpus(spark, 95, 105), p, batch_id=1, near=False,
+            strategy=s)
+        state[s] = (
+            sorted(r.doc_id for r in surv.collect()),
+            sorted(r.h for r in read_tier(spark, p, "exact").collect()),
+        )
+    assert state["pushdown"] == state["shuffle"]
+    assert state["shuffle"][0] == list(range(100, 105))
+
+
+def test_range_by_layout_files_are_key_disjoint(spark, tmp_path):
+    """write_parquet_sized(range_by=): each output file covers a
+    narrow, disjoint key range (footer min/max actually prune)."""
+    import pyarrow.parquet as pq
+    import os
+
+    from graphlite_spark.sources.sinks import write_parquet_sized
+
+    d = str(tmp_path / "ranged")
+    df = spark.range(100000).selectExpr("xxhash64(id) AS h")
+    # force several files by a tiny target
+    write_parquet_sized(df, d, target_mb=1, range_by=["h"],
+                        compression_ratio=0.1)
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(d, f)).metadata
+        mins = [md.row_group(i).column(0).statistics.min
+                for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(0).statistics.max
+                for i in range(md.num_row_groups)]
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+
+
+def test_range_by_mutually_exclusive(spark, tmp_path):
+    from graphlite_spark.sources.sinks import write_parquet_sized
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        write_parquet_sized(spark.range(5), str(tmp_path / "x"),
+                            range_by=["id"], sort_by=["id"])
