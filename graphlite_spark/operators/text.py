@@ -1254,8 +1254,10 @@ def build_bm25_index(
 ) -> int:
     """Materialize bm25_search's postings ONCE — the persisted
     inverted index (the ANN/dedup persisted-index discipline applied
-    to lexical search): ``{path}/postings`` (term, id, tf, dl) written
-    SORTED BY term so a term-filtered query scan prunes row groups;
+    to lexical search): ``{path}/postings`` (term, id, tf, dl) laid
+    out KEY-RANGE-PARTITIONED and sorted by term (each file a
+    disjoint term range) so a term-filtered query scan prunes whole
+    files, not just row groups;
     ``{path}/terms`` (term, df); ``{path}/stats`` 1-row (n_docs,
     avgdl). bm25_search re-tokenizes the corpus per query batch —
     correct, but at 100 TB the postings are the thing you build once
@@ -1279,8 +1281,12 @@ def build_bm25_index(
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
+    # key-range layout (not just within-file sort): each file covers
+    # a disjoint term range, so a point-term query reads ONE row
+    # group overall instead of one per file (round-robin + sort
+    # spreads the full term range into every file)
     write_parquet_sized(postings, f"{path}/postings",
-                        target_mb=target_mb, sort_by=["term"])
+                        target_mb=target_mb, range_by=["term"])
     spark = corpus.sparkSession
     terms = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df"))
@@ -1396,19 +1402,21 @@ def compact_bm25_index(spark, path: str, target_mb: int = 256) -> int:
     v = int(m.get("version", 1)) + 1
     new_tiers = {}
 
-    def _write(tier: str, frame, sort_by=None):
+    def _write(tier: str, frame, range_by=None):
         new_dir = f"{tier}_v{v}"
         _fault_point(f"compact:write:{tier}")
-        if sort_by:
+        if range_by:
+            # disjoint per-file key ranges — see build_bm25_index
             write_parquet_sized(frame, f"{path}/{new_dir}",
-                                target_mb=target_mb, sort_by=sort_by)
+                                target_mb=target_mb,
+                                range_by=range_by)
         else:
             frame.coalesce(1).write.mode("overwrite") \
                 .parquet(f"{path}/{new_dir}")
         new_tiers[tier] = new_dir
 
     postings = read_tier(spark, path, "postings", manifest=m)
-    _write("postings", postings, sort_by=["term"])
+    _write("postings", postings, range_by=["term"])
     terms = read_base(spark, path, "terms", m)
     tdelta = read_delta(spark, path, "terms", m)
     if tdelta is not None:
