@@ -426,7 +426,10 @@ def tier_changes(spark, path: str, tier: str, from_seq: int,
     (``to ∖ from``, with ``_batch_id`` null — valid ONLY for
     set-semantics tiers; a SUM tier's snapshot diff is not a row
     changelog, so BM25 consumers must keep their lag inside the
-    compaction cadence). Returns base columns + ``_batch_id``.
+    compaction cadence). Returns the delta partitions' columns plus
+    ``_batch_id`` — usually the base schema, but a tier whose epochs
+    append a different row shape (the ANN meta tier's per-epoch
+    counts) keeps its delta shape.
     """
     if on_folded not in ("raise", "diff"):
         raise ValueError(
@@ -443,14 +446,22 @@ def tier_changes(spark, path: str, tier: str, from_seq: int,
             f"from_seq {int(m_from['seq'])} is newer than to_seq "
             f"{int(m_to['seq'])} at {path}")
     base_cols = read_base(spark, path, tier, m_to).columns
-    out_cols = base_cols + ["_batch_id"]
     from_hwm = m_from.get("hwm")
     to_hwm = m_to.get("hwm")
+    # the changelog's schema is the DELTA partitions' schema (the
+    # rows epochs actually append) — usually the base's columns, but
+    # a tier with heterogeneous epoch rows (the ANN meta tier's
+    # per-epoch counts vs its 1-row base) keeps its delta shape
+    delta = read_delta(spark, path, tier, m_to)
 
     def _empty() -> DataFrame:
+        if delta is not None:
+            cols = ([c for c in delta.columns if c != "_batch_id"]
+                    + ["_batch_id"])
+            return delta.select(*cols).limit(0)
         return (read_base(spark, path, tier, m_to)
                 .withColumn("_batch_id", F.lit(None).cast("long"))
-                .select(*out_cols).limit(0))
+                .select(*(base_cols + ["_batch_id"])).limit(0))
 
     if to_hwm is None or (from_hwm is not None
                           and int(to_hwm) <= int(from_hwm)):
@@ -486,12 +497,13 @@ def tier_changes(spark, path: str, tier: str, from_seq: int,
                         as_of_seq=int(m_from["seq"]))
         return (new.select(*base_cols).exceptAll(old.select(*base_cols))
                 .withColumn("_batch_id", F.lit(None).cast("long"))
-                .select(*out_cols))
-    delta = read_delta(spark, path, tier, m_to)
+                .select(*(base_cols + ["_batch_id"])))
     if delta is None:
         return _empty()
+    cols = ([c for c in delta.columns if c != "_batch_id"]
+            + ["_batch_id"])
     return (delta.filter(F.col("_batch_id") > lo)
-            .select(*out_cols))
+            .select(*cols))
 
 
 def describe_index(spark, path: str) -> dict:

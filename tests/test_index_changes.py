@@ -225,3 +225,71 @@ def test_call_index_ops_match_python_api(spark, tmp_path):
         f"CALL gql.index_changes('{path}', 'exact', 1, 2) "
         f"YIELD _batch_id").collect()
     assert [r._batch_id for r in only] == [1]
+
+
+# ---------------------------------------------------------------------------
+# generality: the changelog works over the ANN and profile families
+# ---------------------------------------------------------------------------
+
+def test_changes_ann_codes(spark, tmp_path):
+    """The ANN codes tier's changelog rows are the per-epoch encoded
+    vectors — consumers syncing a mirror index apply exactly them."""
+    from graphlite_spark.operators.similarity import (
+        ann_index_ingest_batch,
+        build_rescore_index,
+    )
+
+    def _vecs(ids):
+        return spark.createDataFrame(
+            [(i, [float(i % 3) + 0.25, float(i % 5) - 1.5, 0.5 * i])
+             for i in ids],
+            "vec_id long, embedding array<double>")
+
+    path = str(tmp_path / "ann")
+    build_rescore_index(_vecs(range(8)), path, bits=8)
+    ann_index_ingest_batch(_vecs(range(8, 12)), path, batch_id=1)
+    ann_index_ingest_batch(_vecs(range(12, 15)), path, batch_id=2)
+    ch = index_store.tier_changes(spark, path, "codes", 2)
+    ids = sorted(r._iid for r in ch.collect())
+    assert ids == [12, 13, 14]
+    assert {r._batch_id for r in ch.collect()} == {2}
+    # the per-epoch meta counts are SUM increments
+    mch = index_store.tier_changes(spark, path, "meta", 1)
+    assert sorted(r.n_items for r in mch.collect()) == [3, 4]
+
+
+def test_changes_profile_sketches(spark, tmp_path):
+    """Profile sketch tiers: per-epoch mergeable rows ARE the
+    changelog; merged(from-snapshot + changes) == to-snapshot for
+    the SUM scalars."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.profile_store import (
+        build_profile_index,
+        profile_index_ingest_batch,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    c1, c2 = n // 3, 2 * n // 3
+    path = str(tmp_path / "prof")
+    build_profile_index(docs.filter(F.col("doc_id") < c1), path)
+    profile_index_ingest_batch(
+        docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+        path, batch_id=1)
+    profile_index_ingest_batch(
+        docs.filter(F.col("doc_id") >= c2), path, batch_id=2)
+    ch = index_store.tier_changes(spark, path, "scalars", 2)
+    assert {r._batch_id for r in ch.collect()} == {2}
+    old = index_store.read_tier(spark, path, "scalars", as_of_seq=2)
+    new = index_store.read_tier(spark, path, "scalars", as_of_seq=3)
+
+    def _docs_by_group(df):
+        return {r.g: r.s for r in
+                df.groupBy("g").agg(F.sum("n_docs").alias("s"))
+                .collect()}
+
+    merged = _docs_by_group(old.select("g", "n_docs").unionByName(
+        ch.select("g", "n_docs")))
+    assert merged == _docs_by_group(new.select("g", "n_docs"))
