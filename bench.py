@@ -194,6 +194,10 @@ HEADLINE = [
                                       # 16 salts (same exact oracle)
     "bm25_indexed_asof",              # snapshot-scored BM25 through a
                                       # retained manifest generation
+    "dedup_index_changes",            # CDC fast path: directory-
+                                      # pruned delta-epoch read
+    "span_dedup_auto",                # hybrid hot/cold gram split,
+                                      # broadcast hot probes
 ]
 
 
