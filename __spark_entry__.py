@@ -4858,6 +4858,50 @@ def _q_dedup_index_changes(spark: SparkSession,
             .select("doc_id", "text"))
 
 
+def _q_dedup_index_mirror(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Incremental index REPLICATION (r11: index_store.sync_index):
+    mirror the shared time-travel index (build <300, epoch 1 =
+    300..399, epoch 2 = >=400) by bootstrap + changelog shipping,
+    then answer the against-index dedup FROM THE MIRROR. The probe
+    carries id-shifted copies of docs from the build AND both epochs
+    (each must drop — proving every synced epoch's keys arrived) plus
+    50 marker-suffixed fresh texts (each must survive). sync_index is
+    idempotent (a re-run applies nothing), so the entry is stable
+    across gate runs. Closed form: kept iff the probe text is not
+    among any document text."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import dedup_against_index
+    from graphlite_spark.operators.index_store import sync_index
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = _ensure_asof_index(spark, sf_dir)
+    dst = src + "-mirror"
+    sync_index(spark, src, dst)
+    probe = (
+        docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 300)
+                        & (F.col("doc_id") < 310))
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    "text"))
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 400)
+                        & (F.col("doc_id") < 410))
+            .select((F.col("doc_id") + 250000).alias("doc_id"),
+                    "text"))
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 200)
+                        & (F.col("doc_id") < 250))
+            .select((F.col("doc_id") + 300000).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(" zz fresh marker")).alias("text")))
+    )
+    return dedup_against_index(probe, dst, near=False)
+
+
 def _q_profile_sketch_index(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """The persisted MERGEABLE profile-sketch index (r11): build the
@@ -5799,6 +5843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_index_compacted": _q_dedup_index_compacted,
             "dedup_index_asof": _q_dedup_index_asof,
             "dedup_index_changes": _q_dedup_index_changes,
+            "dedup_index_mirror": _q_dedup_index_mirror,
             "profile_sketch_index": _q_profile_sketch_index,
             "token_count_persisted": _q_token_count_persisted,
             "dedup_index_near": _q_dedup_index_near,
@@ -9780,6 +9825,30 @@ def oracle_sql() -> dict[str, str]:
           AND lower(trim(d.text)) NOT IN (
             SELECT lower(trim(text)) FROM documents
             WHERE doc_id < 400)
+    """
+    sql["dedup_index_mirror"] = """
+        -- the mirror must know EVERY synced epoch's keys: id-shifted
+        -- copies of build/epoch-1/epoch-2 docs drop, marker-suffixed
+        -- fresh texts survive; kept iff the probe text is unseen in
+        -- the whole corpus (the index covers all documents)
+        WITH seen AS (
+            SELECT DISTINCT lower(trim(text)) AS t FROM documents
+        ), batch AS (
+            SELECT doc_id + 100000 AS doc_id, text FROM documents
+            WHERE doc_id < 50
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text FROM documents
+            WHERE doc_id >= 300 AND doc_id < 310
+            UNION ALL
+            SELECT doc_id + 250000 AS doc_id, text FROM documents
+            WHERE doc_id >= 400 AND doc_id < 410
+            UNION ALL
+            SELECT doc_id + 300000 AS doc_id,
+                   text || ' zz fresh marker' AS text FROM documents
+            WHERE doc_id >= 200 AND doc_id < 250
+        )
+        SELECT b.doc_id, b.text FROM batch b
+        WHERE lower(trim(b.text)) NOT IN (SELECT t FROM seen)
     """
     sql["dedup_index_exact"] = """
         -- batch = docs >= 300 plus id+100000 copies of docs < 50;

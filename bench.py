@@ -198,6 +198,8 @@ HEADLINE = [
                                       # pruned delta-epoch read
     "span_dedup_auto",                # hybrid hot/cold gram split,
                                       # broadcast hot probes
+    "dedup_index_mirror",             # changelog-shipped replica
+                                      # answering against-index reads
 ]
 
 

@@ -558,6 +558,89 @@ def describe_index(spark, path: str) -> dict:
     }
 
 
+def sync_index(spark, src: str, dst: str,
+               extra_dirs: "tuple[str, ...]" = ("meta",)) -> dict:
+    """Incrementally REPLICATE a maintained index by shipping its
+    changelog — the cross-region/DR mirror story: after the one-time
+    bootstrap, each sync moves only the delta epochs the destination
+    hasn't seen (O(changes), never the base), and the mirror is a
+    full first-class index (fenced epochs, its own manifest log,
+    independently compactable, time-travelable, queryable by every
+    against-index read).
+
+    Bootstrap (no manifest at ``dst``): copy each live tier base (and
+    the conventional side dirs in ``extra_dirs`` — the dedup/BM25
+    ``meta`` parameters) and commit manifest seq 1 with
+    ``hwm = delta_floor = src.delta_floor`` — exactly the state of a
+    local index whose epochs up to the source's compaction floor were
+    folded into its base.
+
+    Incremental: committed source epochs ``dst.hwm+1 .. src.hwm``
+    re-publish through the destination's OWN stage+rename +
+    fence + optimistic commit path, so a crashed sync replays as a
+    verified no-op (identical staged content is adopted) and a
+    corrupted re-ship raises before any commit. A destination that
+    lagged past the source's compaction cadence (``src.delta_floor``
+    at or above the next needed epoch — the partitions were folded
+    and GC'd) RAISES: re-bootstrap into a fresh directory.
+
+    Returns ``{'bootstrapped', 'applied': [batch ids], 'hwm'}``.
+    """
+    src_m = read_manifest(spark, src)
+    if src_m is None:
+        raise ValueError(
+            f"no manifest log at {src}: a legacy (pre-manifest) index "
+            f"has no commit history to sync from")
+    tiers = sorted(src_m.get("tiers", {}))
+    if not tiers:
+        raise ValueError(f"source manifest at {src} lists no tiers")
+    jvm, fs = _fs(spark, src)
+    dst_m = read_manifest(spark, dst)
+    bootstrapped = False
+    if dst_m is None:
+        for t in tiers:
+            read_base(spark, src, t, src_m).write \
+                .mode("overwrite").parquet(f"{dst}/{t}")
+        for d in extra_dirs:
+            if fs.exists(_jp(jvm, f"{src}/{d}")):
+                spark.read.parquet(f"{src}/{d}").coalesce(1).write \
+                    .mode("overwrite").parquet(f"{dst}/{d}")
+        floor = src_m.get("delta_floor")
+        dst_m = {"seq": 1, "version": 1, "tiers": {t: t for t in tiers},
+                 "hwm": floor, "delta_floor": floor}
+        commit_manifest(spark, dst, dst_m)
+        bootstrapped = True
+    src_hwm = src_m.get("hwm")
+    dst_hwm = dst_m.get("hwm")
+    applied: "list[int]" = []
+    if src_hwm is not None and (dst_hwm is None
+                                or int(dst_hwm) < int(src_hwm)):
+        nxt = int(dst_hwm) + 1 if dst_hwm is not None else 1
+        src_floor = int(src_m.get("delta_floor") or 0)
+        if nxt <= src_floor:
+            raise ValueError(
+                f"mirror at {dst} (hwm={dst_hwm}) lagged past the "
+                f"source's compaction cadence: epochs from {nxt} were "
+                f"folded into {src}'s base (delta_floor={src_floor}) "
+                f"and their partitions collected — re-bootstrap the "
+                f"mirror into a fresh directory")
+        for b in range(nxt, int(src_hwm) + 1):
+            _mode, man = fence_epoch(spark, dst, b)
+            for t in tiers:
+                if not fs.exists(
+                        _jp(jvm, f"{src}/{t}_delta/_batch_id={b}")):
+                    continue
+                d = read_delta(spark, src, t, src_m, at_batch=b)
+                if d is None:
+                    continue
+                publish_delta(spark, dst, t, d.drop("_batch_id"), b)
+            commit_epoch_with_rebase(spark, dst, b, man)
+            applied.append(b)
+    final = current_manifest(spark, dst)
+    return {"bootstrapped": bootstrapped, "applied": applied,
+            "hwm": final.get("hwm")}
+
+
 # -- epoch fencing ------------------------------------------------------------
 
 def fence_epoch(spark, path: str, batch_id: int) -> "tuple[str, dict]":
