@@ -971,6 +971,21 @@ class GraphLiteSpark:
             if stmt.yield_cols:
                 df = df.select(*stmt.yield_cols)
             return df
+        elif name == "gql.index_sync":
+            # incrementally replicate a maintained index by shipping
+            # its changelog: CALL gql.index_sync('/src', '/dst')
+            from .operators.index_store import sync_index
+
+            out = sync_index(self.spark, str(stmt.args[0].value),
+                             str(stmt.args[1].value))
+            df = self.spark.createDataFrame(
+                [(bool(out["bootstrapped"]),
+                  len(out["applied"]),
+                  int(out["hwm"]) if out["hwm"] is not None else None)],
+                "bootstrapped boolean, applied long, hwm long")
+            if stmt.yield_cols:
+                df = df.select(*stmt.yield_cols)
+            return df
         elif name == "gql.weighted_shortest_path":
             # weighted SSSP over one edge type's weight property
             from .operators.paths import weighted_sssp

@@ -174,3 +174,18 @@ def test_sync_requires_a_manifest_log(spark, tmp_path):
     shutil.rmtree(f"{src}/{index_store.MANIFEST_DIR}")
     with pytest.raises(ValueError, match="no manifest log"):
         index_store.sync_index(spark, src, dst)
+
+
+def test_call_index_sync_procedure(spark, tmp_path):
+    from graphlite_spark import GraphLiteSpark
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _build_src(spark, src, epochs=2)
+    db = GraphLiteSpark(spark)
+    row = db.execute(
+        f"CALL gql.index_sync('{src}', '{dst}')").collect()[0]
+    assert row.bootstrapped and row.applied == 2 and row.hwm == 2
+    assert _kept(spark, dst) == _kept(spark, src)
+    again = db.execute(
+        f"CALL gql.index_sync('{src}', '{dst}')").collect()[0]
+    assert not again.bootstrapped and again.applied == 0
