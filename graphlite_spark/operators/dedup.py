@@ -566,6 +566,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     if skew not in ("none", "salted", "auto"):
         raise ValueError(
             f"skew must be 'none', 'salted' or 'auto', got {skew!r}")
+    if skew != "none" and int(salt) < 1:
+        # salt=0 would explode an empty salt array and pmod to null —
+        # silently dropping every hot-bucket pair
+        raise ValueError(f"salt must be >= 1, got {salt}")
     if skew == "auto":
         skew = "salted"
     # checkpoint the compact array form: shingling runs once, and both
@@ -838,6 +842,10 @@ def span_dedup(
     if skew not in ("none", "salted", "auto"):
         raise ValueError(
             f"skew must be 'none', 'salted' or 'auto', got {skew!r}")
+    if skew == "salted" and int(salt) < 1:
+        # salt=0 would explode an empty salt array and pmod to null —
+        # silently removing NO spans instead of raising
+        raise ValueError(f"salt must be >= 1, got {salt}")
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -1262,11 +1270,15 @@ def dedup_against_index(
         bb = _band_bucket_frame(sig, id_col, m.num_hashes, m.bands)
         bkeys = (bb.select("band", "bucket").distinct()
                  .localCheckpoint(eager=False))
-        bstrat = _probe_strategy(bkeys, strategy, broadcast_max_keys)
+        # composite (band, bucket) keys don't push as a
+        # single-column IN filter — the broadcast probe is the
+        # point-probe plan for the bands tier, so an explicit
+        # 'pushdown' maps to 'broadcast' BEFORE resolution (it must
+        # not trip the exact tier's pushdown cap on the ~bands-times
+        # larger bucket key set)
+        b_strategy = "broadcast" if strategy == "pushdown" else strategy
+        bstrat = _probe_strategy(bkeys, b_strategy, broadcast_max_keys)
         if bstrat == "pushdown":
-            # composite (band, bucket) keys don't push as a
-            # single-column IN filter — the broadcast probe is the
-            # point-probe plan for the bands tier
             bstrat = "broadcast"
         if bstrat == "broadcast":
             bhits = _index_hits(bands_idx.select("band", "bucket"),
@@ -1468,11 +1480,15 @@ def dedup_index_ingest_batch(
         wband = Window.partitionBy("band", "bucket")
         bkeys = (bb.select("band", "bucket").distinct()
                  .localCheckpoint(eager=False))
-        bstrat = _probe_strategy(bkeys, strategy, broadcast_max_keys)
+        # composite (band, bucket) keys don't push as a
+        # single-column IN filter — the broadcast probe is the
+        # point-probe plan for the bands tier, so an explicit
+        # 'pushdown' maps to 'broadcast' BEFORE resolution (it must
+        # not trip the exact tier's pushdown cap on the ~bands-times
+        # larger bucket key set)
+        b_strategy = "broadcast" if strategy == "pushdown" else strategy
+        bstrat = _probe_strategy(bkeys, b_strategy, broadcast_max_keys)
         if bstrat == "pushdown":
-            # composite (band, bucket) keys don't push as a
-            # single-column IN filter — the broadcast probe is the
-            # point-probe plan for the bands tier
             bstrat = "broadcast"
         if bstrat == "broadcast":
             idx_hits = _index_hits(

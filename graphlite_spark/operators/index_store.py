@@ -194,6 +194,18 @@ def commit_manifest(spark, path: str, manifest: dict) -> None:
             f"already committed at {path} — this writer lost the race "
             f"and made no changes")
     if not fs.rename(tmp, final):
+        # a rename refused because the destination appeared inside the
+        # exists-check -> rename window (HDFS fail-on-existing
+        # semantics) is a LOST RACE, not an I/O failure — it must
+        # surface as ManifestConflict so the optimistic append path
+        # (commit_epoch_with_rebase) rebases instead of aborting
+        fs.delete(tmp, False)
+        if fs.exists(final):
+            raise ManifestConflict(
+                f"concurrent index writer detected: manifest seq "
+                f"{seq} already committed at {path} — this writer "
+                f"lost the race inside the commit window and made "
+                f"no changes")
         raise RuntimeError(
             f"manifest commit rename failed for seq {seq} at {path}")
     # O(1) log trim: no listing — delete exactly the file RETAIN
@@ -266,22 +278,16 @@ def read_delta(spark, path: str, tier: str,
     ddir = f"{path}/{tier}_delta"
     if not fs.exists(_jp(jvm, ddir)):
         return None
-    try:
-        delta = spark.read.parquet(ddir)
-    except Exception as e:
-        # ONLY the all-empty-epoch case reads as "no deltas": a delta
-        # dir whose every partition was an empty write has no footer to
-        # infer a schema from. Anything else (corrupt footer, permission
-        # failure) must surface — for the dedup index a swallowed error
-        # would mean silently missed duplicates, for BM25 under-counted
-        # df/stats (r10 ADVICE).
-        msg = str(e)
-        if ("Unable to infer schema" in msg
-                or "Path does not exist" in msg
-                or "PATH_NOT_FOUND" in msg
-                or "UNABLE_TO_INFER_SCHEMA" in msg):
-            return None
-        raise
+    # ONLY the all-empty-epoch case reads as "no deltas": a delta dir
+    # whose every partition was an empty write has no footer to infer
+    # a schema from. Anything else (corrupt footer, permission
+    # failure) must surface — for the dedup index a swallowed error
+    # would mean silently missed duplicates, for BM25 under-counted
+    # df/stats (r10 ADVICE). The classification lives in ONE place
+    # (_read_parquet_or_none).
+    delta = _read_parquet_or_none(spark, ddir)
+    if delta is None:
+        return None
     floor, hwm = m.get("delta_floor"), m.get("hwm")
     if hwm is None and int(m.get("seq", 0)) >= 1:
         # a COMMITTED manifest with no high-water mark means no epoch
@@ -367,14 +373,34 @@ def versions(spark, path: str) -> "list[dict]":
     return sorted(out, key=lambda r: r["seq"])
 
 
+def _delta_epochs_present(spark, path: str, tier: str) -> "set[int]":
+    """Batch ids with a partition directory under ``{tier}_delta`` —
+    ONE directory listing, not one existence RPC per epoch."""
+    jvm, fs = _fs(spark, path)
+    ddir = _jp(jvm, f"{path}/{tier}_delta")
+    if not fs.exists(ddir):
+        return set()
+    out = set()
+    for st in fs.listStatus(ddir):
+        mm = re.fullmatch(r"_batch_id=(\d+)", st.getPath().getName())
+        if mm:
+            out.add(int(mm.group(1)))
+    return out
+
+
 def _check_snapshot_readable(spark, path: str, tier: str,
                              old: dict, seq: int) -> None:
     """Refuse an as-of read whose layout was garbage-collected: the
     snapshot's base dir must still exist, and every delta epoch the
-    snapshot needs (``old.delta_floor < b <= old.hwm``) must still
-    have its partition directory. Erring toward a raise is the right
-    failure mode for an auditor — never answer from a provably
-    partial layout."""
+    snapshot needs (``old.delta_floor < b <= old.hwm``) that a later
+    compaction has folded (``b <= current delta_floor``) must still
+    have its partition directory. A missing directory ABOVE the
+    current floor is legitimate — an epoch that published no rows for
+    this tier (dedup with ``near=False`` never writes bands) simply
+    has no partition; GC only ever removes directories at or below a
+    committed compaction floor. Erring toward a raise on genuinely
+    collected epochs is the right failure mode for an auditor —
+    never answer from a provably partial layout."""
     jvm, fs = _fs(spark, path)
     bdir = tier_dir(path, old, tier)
     if not fs.exists(_jp(jvm, bdir)):
@@ -387,9 +413,11 @@ def _check_snapshot_readable(spark, path: str, tier: str,
     if hwm is None:
         return
     floor = int(old.get("delta_floor") or 0)
-    ddir = f"{path}/{tier}_delta"
+    cur_floor = int((read_manifest(spark, path)
+                     or {}).get("delta_floor") or 0)
+    present = _delta_epochs_present(spark, path, tier)
     for b in range(floor + 1, int(hwm) + 1):
-        if not fs.exists(_jp(jvm, f"{ddir}/_batch_id={b}")):
+        if b not in present and b <= cur_floor:
             raise ValueError(
                 f"snapshot seq {int(seq)} of {path} is outside the GC "
                 f"retention window: delta epoch {b} of '{tier}' "
@@ -473,14 +501,21 @@ def tier_changes(spark, path: str, tier: str, from_seq: int,
     folded = floor_to is not None and lo + 1 <= int(floor_to)
     if not folded:
         # a compaction PAST m_to may have folded+GC'd partitions m_to
-        # still considered visible — verify every needed epoch's
-        # directory survives before answering from the fast path
-        jvm, fs = _fs(spark, path)
-        for b in range(lo + 1, int(to_hwm) + 1):
-            if not fs.exists(
-                    _jp(jvm, f"{path}/{tier}_delta/_batch_id={b}")):
-                folded = True
-                break
+        # still considered visible — verify every needed epoch whose
+        # id a later compaction could have collected (b <= the CURRENT
+        # floor) still has its directory. Missing directories above
+        # the current floor are epochs that never published rows for
+        # this tier (near=False ingests never write bands) — the fast
+        # path correctly reads nothing for them. One listing, not one
+        # RPC per epoch.
+        cur_floor = int((read_manifest(spark, path)
+                         or {}).get("delta_floor") or 0)
+        if cur_floor > lo:
+            present = _delta_epochs_present(spark, path, tier)
+            for b in range(lo + 1, min(int(to_hwm), cur_floor) + 1):
+                if b not in present:
+                    folded = True
+                    break
     if folded:
         if on_folded == "raise":
             raise ValueError(
@@ -598,13 +633,27 @@ def sync_index(spark, src: str, dst: str,
     dst_m = read_manifest(spark, dst)
     bootstrapped = False
     if dst_m is None:
-        for t in tiers:
-            read_base(spark, src, t, src_m).write \
-                .mode("overwrite").parquet(f"{dst}/{t}")
-        for d in extra_dirs:
-            if fs.exists(_jp(jvm, f"{src}/{d}")):
-                spark.read.parquet(f"{src}/{d}").coalesce(1).write \
-                    .mode("overwrite").parquet(f"{dst}/{d}")
+        # byte-identical FILE copy of each live base (FileUtil), not a
+        # Spark rewrite: the source's key-range layout and file sizing
+        # (pushdown file skipping) carry over to the mirror verbatim.
+        # No manifest exists at dst yet, so no reader can observe the
+        # copy in progress; dirs left by a crashed bootstrap are
+        # removed first (FileUtil.copy would nest into them).
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        futil = jvm.org.apache.hadoop.fs.FileUtil
+        dfs = _fs(spark, dst)[1]
+        copies = [(tier_dir(src, src_m, t), f"{dst}/{t}")
+                  for t in tiers]
+        copies += [(f"{src}/{d}", f"{dst}/{d}") for d in extra_dirs
+                   if fs.exists(_jp(jvm, f"{src}/{d}"))]
+        for sdir, ddirc in copies:
+            dpath = _jp(jvm, ddirc)
+            if dfs.exists(dpath):
+                dfs.delete(dpath, True)
+            if not futil.copy(fs, _jp(jvm, sdir), dfs, dpath,
+                              False, conf):
+                raise RuntimeError(
+                    f"bootstrap copy {sdir} -> {ddirc} failed")
         floor = src_m.get("delta_floor")
         dst_m = {"seq": 1, "version": 1, "tiers": {t: t for t in tiers},
                  "hwm": floor, "delta_floor": floor}
@@ -788,10 +837,12 @@ def publish_delta(spark, path: str, tier: str, df: DataFrame,
     ddir = f"{path}/{tier}_delta"
     dest_s = f"{ddir}/_batch_id={b}"
     dest = _jp(jvm, dest_s)
-    stage = f"{path}/.stage/{tier}-{b}-{uuid.uuid4().hex[:12]}"
+    stage_name = f"{tier}-{b}-{uuid.uuid4().hex[:12]}"
+    stage = f"{path}/.stage/{stage_name}"
     _fault_point(f"publish:stage:{tier}")
     df.write.parquet(stage)
     sp = _jp(jvm, stage)
+    recover_s = None
     try:
         if fs.exists(dest):
             _verify_same_partition(spark, stage, dest_s, path, tier, b)
@@ -802,9 +853,30 @@ def publish_delta(spark, path: str, tier: str, df: DataFrame,
             # lost a same-batch race inside the probe->rename window
             # (fail-on-existing rename semantics): verify and adopt
             _verify_same_partition(spark, stage, dest_s, path, tier, b)
+            return
+        # Hadoop rename does NOT fail when the destination directory
+        # appeared inside the probe->rename window — it moves the
+        # source INTO it and returns true, silently nesting this
+        # writer's files inside the winner's partition. Detect the
+        # nesting, pull the staged write back out, and run the same
+        # verify-and-adopt protocol the fail-fast path uses.
+        nested_s = f"{dest_s}/{stage_name}"
+        nested = _jp(jvm, nested_s)
+        if fs.exists(nested):
+            recover_s = f"{path}/.stage/{stage_name}-recover"
+            if not fs.rename(nested, _jp(jvm, recover_s)):
+                raise RuntimeError(
+                    f"could not extract nested stage {nested_s} after "
+                    f"a lost same-batch publish race at {path}")
+            _verify_same_partition(spark, recover_s, dest_s, path,
+                                   tier, b)
     finally:
         if fs.exists(sp):
             fs.delete(sp, True)
+        if recover_s is not None:
+            rp = _jp(jvm, recover_s)
+            if fs.exists(rp):
+                fs.delete(rp, True)
 
 
 def commit_epoch_with_rebase(spark, path: str, batch_id: int,

@@ -123,12 +123,16 @@ def write_parquet_sized(
 
     est = _plan_size_bytes(df)
     if est >= 1 << 59:
-        # estimate unavailable — genuinely keep the current layout:
-        # no repartition (a round-robin shuffle to the SAME partition
+        # estimate unavailable — keep the current layout: no
+        # repartition (a round-robin shuffle to the SAME partition
         # count would move every row for nothing and destroy upstream
-        # ordering)
+        # ordering). EXCEPT under range_by, whose disjoint-per-file
+        # key-range guarantee is the caller's contract (pushdown
+        # file skipping) — fall back to the current partition count
+        # but still range-partition on the key.
         n_files = max(df.rdd.getNumPartitions(), 1)
-        out = df
+        out = (df.repartitionByRange(n_files, *range_by)
+               if range_by else df)
     else:
         n_files = int(-(-est / compression_ratio // (target_mb << 20)))
         n_files = min(max(n_files, 1), 100_000)

@@ -516,65 +516,58 @@ def _tolerate_lost_compaction_race(compact_fn) -> bool:
         return False
 
 
-def _maybe_compact_bm25(spark, bm25_path: str, batch_id: int,
-                        compact_every: "int | None") -> bool:
-    """The _maybe_compact first-delivery rule applied to the search
-    index the ingest loop co-maintains: gated on the BM25 index's OWN
-    manifest high-water mark."""
+def _maybe_compact_index(spark, path: str, batch_id: int,
+                         compact_every: "int | None",
+                         compact_fn) -> bool:
+    """Scheduled index hygiene INSIDE the exactly-once epoch loop,
+    shared by every co-maintained index family (dedup, BM25, profile
+    sketches): compact the index at ``path`` before processing epoch
+    k whenever ``k`` is a multiple of ``compact_every`` — but only
+    when that index's OWN manifest high-water mark is exactly
+    ``k - 1``, i.e. this is the FIRST delivery of epoch k. A
+    crash-replayed epoch (hwm >= k) skips compaction, so a replay can
+    never fold the epoch's own deltas under the compaction floor and
+    trip the fence; a crash DURING or just after compaction leaves
+    hwm at k-1, so the re-delivery simply compacts again
+    (answer-preserving and crash-safe — the index_store manifest
+    discipline). A compaction that loses the manifest race to a
+    concurrent writer is SKIPPED, not fatal
+    (_tolerate_lost_compaction_race) — the next scheduled epoch
+    retries."""
     if not compact_every or batch_id <= 0 \
             or batch_id % int(compact_every):
         return False
     from ..operators.index_store import current_manifest
-    from ..operators.text import compact_bm25_index
 
-    hwm = current_manifest(spark, bm25_path).get("hwm")
+    hwm = current_manifest(spark, path).get("hwm")
     if hwm is None or int(hwm) != int(batch_id) - 1:
         return False
     return _tolerate_lost_compaction_race(
-        lambda: compact_bm25_index(spark, bm25_path))
-
-
-def _maybe_compact_profile(spark, profile_path: str, batch_id: int,
-                           compact_every: "int | None") -> bool:
-    """The _maybe_compact first-delivery rule applied to the profile
-    sketch index the ingest loop co-maintains."""
-    if not compact_every or batch_id <= 0 \
-            or batch_id % int(compact_every):
-        return False
-    from ..operators.index_store import current_manifest
-    from ..operators.profile_store import compact_profile_index
-
-    hwm = current_manifest(spark, profile_path).get("hwm")
-    if hwm is None or int(hwm) != int(batch_id) - 1:
-        return False
-    return _tolerate_lost_compaction_race(
-        lambda: compact_profile_index(spark, profile_path))
+        lambda: compact_fn(spark, path))
 
 
 def _maybe_compact(spark, index_path: str, batch_id: int,
                    compact_every: "int | None") -> bool:
-    """Scheduled index hygiene INSIDE the exactly-once epoch loop:
-    compact the persisted dedup index before processing epoch k
-    whenever ``k`` is a multiple of ``compact_every`` — but only when
-    the manifest's committed high-water mark is exactly ``k - 1``,
-    i.e. this is the FIRST delivery of epoch k. A crash-replayed
-    epoch (hwm >= k) skips compaction, so a replay can never fold the
-    epoch's own deltas under the compaction floor and trip the fence;
-    a crash DURING or just after compaction leaves hwm at k-1, so the
-    re-delivery simply compacts again (answer-preserving and
-    crash-safe by the index_store manifest commit). Safe precisely
-    because the compaction swap is now atomic to readers."""
-    if not compact_every or batch_id <= 0 \
-            or batch_id % int(compact_every):
-        return False
     from ..operators.dedup import compact_dedup_index
-    from ..operators.index_store import current_manifest
 
-    hwm = current_manifest(spark, index_path).get("hwm")
-    if hwm is None or int(hwm) != int(batch_id) - 1:
-        return False
-    return _tolerate_lost_compaction_race(
-        lambda: compact_dedup_index(spark, index_path))
+    return _maybe_compact_index(spark, index_path, batch_id,
+                                compact_every, compact_dedup_index)
+
+
+def _maybe_compact_bm25(spark, bm25_path: str, batch_id: int,
+                        compact_every: "int | None") -> bool:
+    from ..operators.text import compact_bm25_index
+
+    return _maybe_compact_index(spark, bm25_path, batch_id,
+                                compact_every, compact_bm25_index)
+
+
+def _maybe_compact_profile(spark, profile_path: str, batch_id: int,
+                           compact_every: "int | None") -> bool:
+    from ..operators.profile_store import compact_profile_index
+
+    return _maybe_compact_index(spark, profile_path, batch_id,
+                                compact_every, compact_profile_index)
 
 
 def streaming_dedup_index_maintenance(

@@ -293,3 +293,48 @@ def test_changes_profile_sketches(spark, tmp_path):
     merged = _docs_by_group(old.select("g", "n_docs").unionByName(
         ch.select("g", "n_docs")))
     assert merged == _docs_by_group(new.select("g", "n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# review fix: never-published tier partitions are not "GC'd"
+# ---------------------------------------------------------------------------
+
+def test_near_false_epochs_do_not_break_bands_asof_or_changes(
+        spark, tmp_path):
+    """near=False ingests never publish a bands partition; as-of
+    reads and the changelog on the bands tier must treat the missing
+    directories as 'no rows', not as a GC retention violation."""
+    from graphlite_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_index_ingest_batch,
+    )
+
+    path = str(tmp_path / "idx")
+    build_dedup_index(
+        _docs(spark, [(1, "alpha bravo common words here")]),
+        path, n=3, num_hashes=64, bands=16)
+    dedup_index_ingest_batch(
+        _docs(spark, [(10, "fresh epoch one content okay")]),
+        path, batch_id=1, near=False)
+    dedup_index_ingest_batch(
+        _docs(spark, [(20, "brand new second epoch text")]),
+        path, batch_id=2, near=False)
+    # bands changelog: epochs appended nothing -> empty, no raise
+    ch = index_store.tier_changes(spark, path, "bands", 1)
+    assert ch.count() == 0
+    # near=True against-index read AS OF the current seq: the bands
+    # snapshot check must pass (base only, no epoch partitions)
+    probe = _docs(spark, [(90, "fresh epoch one content okay"),
+                          (91, "completely novel probe text here")])
+    kept = sorted(r.doc_id for r in dedup_against_index(
+        probe, path, near=True, as_of_seq=3).collect())
+    assert kept == [91]
+    # a mirror of this index syncs and answers identically
+    dst = str(tmp_path / "dst")
+    out = index_store.sync_index(spark, path, dst)
+    assert out["applied"] == [1, 2]
+    kept_m = sorted(r.doc_id for r in dedup_against_index(
+        probe, dst, near=True).collect())
+    assert kept_m == sorted(r.doc_id for r in dedup_against_index(
+        probe, path, near=True).collect())

@@ -241,3 +241,137 @@ def test_range_by_mutually_exclusive(spark, tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         write_parquet_sized(spark.range(5), str(tmp_path / "x"),
                             range_by=["id"], sort_by=["id"])
+
+
+# ---------------------------------------------------------------------------
+# review fixes (r11): pushdown+near, salt validation, ranged fallback
+# ---------------------------------------------------------------------------
+
+def test_pushdown_with_near_maps_bands_to_broadcast(spark, built_index):
+    """Explicit strategy='pushdown' with near=True must NOT trip the
+    exact tier's pushdown cap on the ~bands-times larger bucket key
+    set — the bands tier maps to the broadcast probe instead."""
+    from graphlite_spark.operators.dedup import dedup_against_index
+
+    probe = _corpus(spark, 140, 160)  # 20 docs -> ~320 band keys
+    push = sorted(r.doc_id for r in dedup_against_index(
+        probe, built_index, near=True, strategy="pushdown").collect())
+    plain = sorted(r.doc_id for r in dedup_against_index(
+        probe, built_index, near=True, strategy="shuffle").collect())
+    assert push == plain
+
+
+def test_salt_zero_raises_instead_of_silent_noop(spark):
+    from graphlite_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        span_dedup,
+    )
+
+    docs = _corpus(spark, 0, 10)
+    with pytest.raises(ValueError, match="salt must be"):
+        span_dedup(docs, k=4, skew="salted", salt=0)
+    with pytest.raises(ValueError, match="salt must be"):
+        minhash_lsh_pairs(docs, skew="salted", salt=0)
+
+
+def test_range_by_holds_without_a_size_estimate(spark, tmp_path):
+    """An RDD-backed frame (sc.parallelize) has no size estimate
+    (LogicalRDD defaults to Long.Max); range_by must still produce
+    disjoint per-file key ranges (the pushdown contract), falling
+    back to the current partition count."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from graphlite_spark.operators.dedup import _plan_size_bytes
+    from graphlite_spark.sources.sinks import write_parquet_sized
+
+    d = str(tmp_path / "ranged-noest")
+    rdd = spark.sparkContext.parallelize(
+        [(hash(str(i)) * 2654435761 % (1 << 61),) for i in range(20000)],
+        4)
+    df = spark.createDataFrame(rdd, "h long")
+    assert _plan_size_bytes(df) >= 1 << 59  # premise: no estimate
+    write_parquet_sized(df, d, target_mb=1, range_by=["h"])
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(d, f)).metadata
+        st = [md.row_group(i).column(0).statistics
+              for i in range(md.num_row_groups)]
+        if st:
+            ranges.append((min(s.min for s in st),
+                           max(s.max for s in st)))
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+
+
+def test_publish_race_nested_rename_is_recovered(spark, tmp_path,
+                                                 monkeypatch):
+    """Hadoop rename moves a source dir INTO an existing destination
+    dir and returns true. Simulate an interloper winning the
+    exists-check -> rename window: the loser must detect the nesting,
+    extract its staged write, verify it equal, and leave the
+    partition exactly as the winner committed it."""
+    from graphlite_spark.operators import index_store
+    from graphlite_spark.operators.dedup import build_dedup_index
+
+    path = str(tmp_path / "idx")
+    build_dedup_index(_corpus(spark, 0, 5), path,
+                      n=3, num_hashes=64, bands=16)
+    df = spark.createDataFrame([(11,), (22,)], "h long")
+
+    real_fault = index_store._fault_point
+    fired = {"n": 0}
+
+    def interloper(label):
+        if label == "publish:rename:exact" and fired["n"] == 0:
+            fired["n"] = 1
+            # the winner commits the same partition content first
+            index_store.publish_delta(spark, path, "exact", df, 1)
+        return real_fault(label)
+
+    monkeypatch.setattr(index_store, "_fault_point", interloper)
+    index_store.publish_delta(spark, path, "exact", df, 1)
+    got = sorted(r.h for r in
+                 spark.read.parquet(f"{path}/exact_delta").collect())
+    assert got == [11, 22]
+    # no nested directory survived inside the partition
+    import os
+
+    part = f"{path}/exact_delta/_batch_id=1"
+    assert all(not os.path.isdir(os.path.join(part, e))
+               for e in os.listdir(part))
+
+
+def test_publish_race_nested_different_data_raises(spark, tmp_path,
+                                                   monkeypatch):
+    from graphlite_spark.operators import index_store
+    from graphlite_spark.operators.dedup import build_dedup_index
+
+    path = str(tmp_path / "idx")
+    build_dedup_index(_corpus(spark, 0, 5), path,
+                      n=3, num_hashes=64, bands=16)
+
+    real_fault = index_store._fault_point
+    fired = {"n": 0}
+
+    def interloper(label):
+        if label == "publish:rename:exact" and fired["n"] == 0:
+            fired["n"] = 1
+            index_store.publish_delta(
+                spark, path, "exact",
+                spark.createDataFrame([(99,)], "h long"), 1)
+        return real_fault(label)
+
+    monkeypatch.setattr(index_store, "_fault_point", interloper)
+    with pytest.raises(ValueError, match="conflicting delta partition"):
+        index_store.publish_delta(
+            spark, path, "exact",
+            spark.createDataFrame([(11,)], "h long"), 1)
+    # winner's rows intact, loser's gone
+    got = [r.h for r in
+           spark.read.parquet(f"{path}/exact_delta").collect()]
+    assert got == [99]
