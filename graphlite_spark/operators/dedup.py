@@ -1114,9 +1114,18 @@ def _index_tier(spark, path: str, tier: str,
                      as_of_seq=as_of_seq)
 
 
+# an index whose key tier is at most this big is cheaper through the
+# PLAIN semi-join: Catalyst broadcasts the small index side itself
+# (no shuffle either way), so the probe machinery's extra jobs
+# (key-set distinct + count probe) would only add latency. The
+# flipped probe pays off once the index outgrows broadcast range.
+SMALL_INDEX_BYTES = 32 << 20
+
+
 def _probe_strategy(keys: DataFrame, strategy: str,
                     broadcast_max_keys: int,
-                    pushdown_max_keys: int = 1024) -> str:
+                    pushdown_max_keys: int = 1024,
+                    idx: "DataFrame | None" = None) -> str:
     """Resolve ``strategy='auto'`` with a bounded count probe over
     the BATCH's key set (never the index): a point-probe-sized set
     (<= ``pushdown_max_keys``) takes the PUSHDOWN plan (collected
@@ -1132,6 +1141,9 @@ def _probe_strategy(keys: DataFrame, strategy: str,
             f"strategy must be 'auto', 'broadcast', 'shuffle' or "
             f"'pushdown', got {strategy!r}")
     if strategy == "auto":
+        if idx is not None and _plan_size_bytes(idx) <= SMALL_INDEX_BYTES:
+            # plain plan: Catalyst broadcasts the small index itself
+            return "shuffle"
         n = keys.limit(int(broadcast_max_keys) + 1).count()
         if n <= int(pushdown_max_keys):
             return "pushdown"
@@ -1205,9 +1217,12 @@ def dedup_against_index(
     out key-range-partitioned and sorted, footer min/max skip whole
     files — the index is neither shuffled NOR fully scanned;
     ``'shuffle'`` keeps the plain sort-merge plan for pathologically
-    large batches; ``'auto'`` (default) count-probes the batch's key
-    set and picks pushdown / broadcast (``broadcast_max_keys``, 8M
-    keys ≈ 100-200 MB) / shuffle accordingly. Identical output by
+    large batches; ``'auto'`` (default) takes the plain plan outright
+    while the index key tier is small (Catalyst broadcasts the index
+    itself — the probe machinery only pays off once the index
+    outgrows broadcast range), else count-probes the batch's key set
+    and picks pushdown / broadcast (``broadcast_max_keys``, 8M keys ≈
+    100-200 MB) / shuffle accordingly. Identical output by
     construction — every posture computes the same hit set,
     pytest-pinned.
 
@@ -1236,7 +1251,7 @@ def dedup_against_index(
     keyset = (hashed.select(F.col("_h").alias("h")).distinct()
               .localCheckpoint(eager=False))
     strat = _probe_strategy(keyset, strategy, broadcast_max_keys,
-                            pushdown_max_keys)
+                            pushdown_max_keys, idx=exact_idx)
     if strat == "pushdown":
         # point-probe path: the collected key list becomes an IN
         # predicate pushed into the index's parquet scan — with the
@@ -1277,7 +1292,8 @@ def dedup_against_index(
         # not trip the exact tier's pushdown cap on the ~bands-times
         # larger bucket key set)
         b_strategy = "broadcast" if strategy == "pushdown" else strategy
-        bstrat = _probe_strategy(bkeys, b_strategy, broadcast_max_keys)
+        bstrat = _probe_strategy(bkeys, b_strategy, broadcast_max_keys,
+                                 idx=bands_idx)
         if bstrat == "pushdown":
             bstrat = "broadcast"
         if bstrat == "broadcast":
@@ -1454,7 +1470,7 @@ def dedup_index_ingest_batch(
     keyset = (hashed.select(F.col("_h").alias("h")).distinct()
               .localCheckpoint(eager=False))
     strat = _probe_strategy(keyset, strategy, broadcast_max_keys,
-                            pushdown_max_keys)
+                            pushdown_max_keys, idx=exact_idx)
     if strat == "pushdown":
         kvals = [r.h for r in keyset.collect()]
         hits = exact_idx.select("h").filter(F.col("h").isin(kvals))
@@ -1487,7 +1503,8 @@ def dedup_index_ingest_batch(
         # not trip the exact tier's pushdown cap on the ~bands-times
         # larger bucket key set)
         b_strategy = "broadcast" if strategy == "pushdown" else strategy
-        bstrat = _probe_strategy(bkeys, b_strategy, broadcast_max_keys)
+        bstrat = _probe_strategy(bkeys, b_strategy, broadcast_max_keys,
+                                 idx=bands_idx)
         if bstrat == "pushdown":
             bstrat = "broadcast"
         if bstrat == "broadcast":
