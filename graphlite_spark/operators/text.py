@@ -1548,11 +1548,14 @@ def train_quality_lr(
     function of the corpus so the WHOLE trajectory replays in ANSI
     SQL (the DSIR discipline):
 
-      p_i     = sigmoid(Σ_f c_if·w_f + b)     (z: one broadcast-join
-                                               + per-doc sum)
+      p_i     = sigmoid(Σ_f c_if·w_f + b)     (z: map-side array fold
+                                               against the broadcast
+                                               weight map — no join,
+                                               no shuffle)
       g_f     = round(Σ_i c_if·(y_i - p_i)/N, grad_round)
-                                              (one groupBy-sum per
-                                               iteration)
+                                              (one explode+groupBy per
+                                               iteration, collected —
+                                               vocab-bounded)
       w_f    += lr·g_f ; b += lr·round(Σ_i (y_i-p_i)/N, grad_round)
 
     Deterministic init w=0, b=0; exactly ``num_iter`` iterations; the
@@ -1586,73 +1589,95 @@ def train_quality_lr(
             raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
         gexpr = F.pmod(F.xxhash64(F.col("_g")),
                        F.lit(int(num_buckets))).cast("string")
-    docs = labeled.select(
-        F.col(id_col).alias("_id"),
+    # per-gram feature key, usable both on an exploded column and
+    # inside array lambdas
+    def _fkey(c):
+        if num_buckets is not None:
+            return F.pmod(F.xxhash64(c), F.lit(int(num_buckets))) \
+                .cast("string")
+        return c
+
+    base = labeled.select(
         (F.col(label_col) == F.lit(pos_label)).cast("double").alias("_y"),
         feats_arr.alias("_gs"),
-    )
-    feats = (
-        docs.select("_id", F.explode("_gs").alias("_g"))
-        .select("_id", gexpr.alias("_f"))
-        .groupBy("_id", "_f").agg(F.count(F.lit(1))
-                                  .cast("double").alias("_c"))
-        .localCheckpoint(eager=False)
-    )
-    ys = docs.select("_id", "_y").localCheckpoint(eager=False)
-    n_docs = float(ys.count())
+    ).localCheckpoint(eager=False)
+    n_docs = float(base.count())
     if n_docs == 0:
         raise ValueError("train_quality_lr: empty training frame")
-    wdf = feats.select("_f").distinct() \
-        .select("_f", F.lit(0.0).alias("_w")) \
-        .localCheckpoint(eager=True)
+    # The weight vector lives on the DRIVER between iterations — the
+    # same boundedness contract the broadcast form already relied on
+    # (the model ships whole to every executor either way; num_buckets
+    # caps it for deployment). That makes each GD iteration ONE Spark
+    # action with ONE exchange: z is a map-side array fold against the
+    # broadcast weight map (no join, no per-doc shuffle), the residual
+    # is a projection, and the gradient is a single explode+groupBy
+    # whose result (vocab-bounded) is collected and applied in the
+    # driver. The earlier form paid ~20 AQE stage-jobs per iteration
+    # (weight-frame checkpoint, two probe collects, and a re-derived
+    # residual subtree) — guide §1.2 "the distributed algorithm",
+    # §2.4 "remove shuffles outright". Trajectory identical: same
+    # formulas, same per-iteration grad_round rounding (which absorbs
+    # summation-order noise between engines by design).
+    spark = labeled.sparkSession
+    vocab_rows = (
+        base.select(F.explode("_gs").alias("_g"))
+        .select(gexpr.alias("_f")).distinct().collect()
+    )
+    weights: dict = {r["_f"]: 0.0 for r in vocab_rows}
     bias = 0.0
     max_grad = float("inf")
     for _ in range(num_iter):
-        z = (
-            feats.join(F.broadcast(wdf), "_f")
-            .groupBy("_id")
-            .agg(F.sum(F.col("_c") * F.col("_w")).alias("_z"))
+        # bias rides in the broadcast row (not as a literal) so the
+        # per-iteration plan is byte-identical and whole-stage-codegen
+        # compilation caches across iterations
+        wmap = spark.createDataFrame([(weights, float(bias))],
+                                     "_wm map<string,double>, _b double")
+        z_expr = F.aggregate(
+            F.transform(
+                "_gs",
+                lambda g: F.coalesce(F.element_at("_wm", _fkey(g)),
+                                     F.lit(0.0)),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
-        resid = (
-            ys.join(z, "_id", "left")
+        r_frame = (
+            base.crossJoin(F.broadcast(wmap))
             .select(
-                "_id",
+                "_gs",
                 (F.col("_y")
                  - F.lit(1.0)
                  / (F.lit(1.0)
-                    + F.exp(-(F.coalesce("_z", F.lit(0.0))
-                              + F.lit(bias))))).alias("_r"),
+                    + F.exp(-(z_expr + F.col("_b"))))).alias("_r"),
             )
         )
-        grad = (
-            feats.join(resid, "_id")
+        grad_rows = (
+            r_frame.select("_r", F.explode("_gs").alias("_g"))
+            .select("_r", gexpr.alias("_f"))
             .groupBy("_f")
-            .agg(F.round(F.sum(F.col("_c") * F.col("_r"))
-                         / F.lit(n_docs), grad_round).alias("_g"))
+            .agg(F.round(F.sum("_r") / F.lit(n_docs),
+                         grad_round).alias("_g"))
+            .unionByName(
+                r_frame.agg(F.round(F.sum("_r") / F.lit(n_docs),
+                                    grad_round).alias("_g"))
+                .select(F.lit(None).cast("string").alias("_f"), "_g"))
+            .collect()
         )
-        wdf = (
-            wdf.join(grad, "_f")
-            .select("_f", (F.col("_w")
-                           + F.lit(lr) * F.col("_g")).alias("_w"),
-                    "_g")
-        ).localCheckpoint(eager=True)
-        stats = wdf.agg(F.max(F.abs("_g")).alias("mg")).collect()[0]
-        bg_row = resid.agg(
-            F.round(F.sum("_r") / F.lit(n_docs), grad_round).alias("bg")
-        ).collect()[0]
-        bias += lr * float(bg_row["bg"])
-        max_grad = max(float(stats["mg"] or 0.0), abs(float(bg_row["bg"])))
-        wdf = wdf.select("_f", "_w")
+        mg = 0.0
+        for r in grad_rows:
+            g = float(r["_g"] or 0.0)
+            mg = max(mg, abs(g))
+            if r["_f"] is None:
+                bias += lr * g
+            else:
+                weights[r["_f"]] += lr * g
+        max_grad = mg
     if tol is not None and max_grad > tol:
         raise RuntimeError(
             f"train_quality_lr: max |gradient| {max_grad} > tol={tol} "
             f"after num_iter={num_iter}; raise num_iter or lr")
-    spark = labeled.sparkSession
-    bias_row = spark.createDataFrame([(None, float(bias))],
-                                     "feature string, weight double")
-    return wdf.select(F.col("_f").alias("feature"),
-                      F.col("_w").alias("weight")) \
-        .unionByName(bias_row)
+    rows = [(f, w) for f, w in weights.items()] + [(None, float(bias))]
+    return spark.createDataFrame(rows, "feature string, weight double")
 
 
 def lr_quality_score(

@@ -46,4 +46,13 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    # deployment-specific overrides without code edits: semicolon-
+    # separated k=v pairs (e.g. production shuffle codec, advisory
+    # partition sizes). Applied LAST so they win over the defaults.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in env_conf.split(";"):
+        pair = pair.strip()
+        if pair and "=" in pair:
+            k, v = pair.split("=", 1)
+            b = b.config(k.strip(), v.strip())
     return b.getOrCreate()
