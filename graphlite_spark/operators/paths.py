@@ -210,7 +210,12 @@ def shortest_path_pair(
     def _one(v) -> DataFrame:
         if isinstance(v, DataFrame):
             c = v.columns[0]
-            return v.select(F.col(c).alias("node")).limit(1)
+            # materialize the endpoint once: it seeds the visited set,
+            # whose union lineage is re-read by EVERY probe and meet
+            # check — an un-cut endpoint plan (often an orderBy+limit
+            # over a full table) would re-execute each time
+            return v.select(F.col(c).alias("node")).limit(1) \
+                .localCheckpoint(eager=False)
         return spark.createDataFrame([(v,)], "node: long")
 
     sides = {
@@ -256,7 +261,10 @@ def shortest_path_pair(
             # dedup + lineage cut on a cadence, not per level — each is
             # a full shuffle stage and on sparse frontiers (chains:
             # ONE node) the fixed stage cost dwarfs the duplicates it
-            # removes (the bfs_distances lesson)
+            # removes (the bfs_distances lesson). Measured r11: cadences
+            # LONGER than 4 (16 un-cut chained joins) blow up plan size
+            # and made the deep-chain point query 2-4x slower, so the
+            # cadence stays at dedup_every.
             if (i + 1) % dedup_every == 0:
                 lvl = lvl.dropDuplicates(["node"]) \
                     .localCheckpoint(eager=False)
@@ -1758,11 +1766,19 @@ def maximal_independent_set(
     undecided smaller-priority neighbor; a knocked-out node has a
     neighbor in the set; a surviving isolated node joins).
 
-    Scale shape per round: one min-priority groupBy over the CURRENT
-    edge set (map-side combined) + two semi/anti joins, all keyed on
-    node id; lineage cut per round; bounded rounds RAISE (the repo's
-    iterative-operator discipline).
+    Scale shape per round: ONE plan with three keyed window passes
+    over the CURRENT edge set (win flags + dead flags for both
+    endpoints — no joins at all), eagerly checkpointed; the round's
+    winners and the next round's edge set are FILTERS over that
+    checkpoint. The emptiness probe scans the materialized RDD
+    without a shuffle. (The earlier form — a min-priority groupBy
+    plus four semi/anti joins across three lazily-checkpointed
+    frames — spent ~20 Spark jobs per round on scheduling alone;
+    this shape is ~5. Guide §2.4: remove shuffles outright.)
+    Bounded rounds RAISE (the repo's iterative-operator discipline).
     """
+    from pyspark.sql import Window
+
     from .sketches import _attach_mix32
 
     id_col = nodes.columns[0]
@@ -1773,65 +1789,84 @@ def maximal_independent_set(
         .filter(F.col("_lo") != F.col("_hi"))
         .distinct()
     )
-    und_edges = canon.select(
+    nodes_f = nodes.select(F.col(id_col).alias("node")).distinct() \
+        .localCheckpoint(eager=False)
+    und = canon.select(
         F.col("_lo").alias("_a"), F.col("_hi").alias("_b")
     ).unionByName(
         canon.select(F.col("_hi").alias("_a"), F.col("_lo").alias("_b"))
-    ).localCheckpoint(eager=False)
+    )
+    # neighbors outside the node frame carry no priority (the old
+    # inner pri-join made them invisible) — restrict once up front
+    und = und.join(nodes_f.select(F.col("node").alias("_a")), "_a",
+                   "left_semi") \
+        .join(nodes_f.select(F.col("node").alias("_b")), "_b", "left_semi")
     # string ids (pure-GQL content hashes) fold through xxhash64 for
     # the PRIORITY arithmetic only — the set carries original ids (the
-    # random_walks discipline); numeric ids stay oracle-replayable
+    # random_walks discipline); numeric ids stay oracle-replayable.
+    # Priorities are PURE ARITHMETIC of the endpoint id, so they ride
+    # on the edge rows directly — no node-frame join per round.
     id_dtype = dict(nodes.dtypes)[id_col]
-    pri_key = (F.col("node") if id_dtype in
-               ("tinyint", "smallint", "int", "bigint")
-               else F.xxhash64(F.col("node")))
-    undecided = _attach_mix32(
-        nodes.select(F.col(id_col).alias("node")).distinct(),
-        pri_key, salt, "_pri",
-    ).localCheckpoint(eager=False)
-    mis = None
+    numeric = id_dtype in ("tinyint", "smallint", "int", "bigint")
+    a_key = F.col("_a") if numeric else F.xxhash64(F.col("_a"))
+    b_key = F.col("_b") if numeric else F.xxhash64(F.col("_b"))
+    und = _attach_mix32(und, a_key, salt, "_apri")
+    und = _attach_mix32(und, b_key, salt, "_bpri") \
+        .localCheckpoint(eager=False)
+    rounds = _luby_mis_rounds(und, max_rounds, "maximal_independent_set")
+    # every node never knocked out (nor a winner) is isolated in the
+    # residual graph and joins the set
+    node_cast = F.col("node").cast(id_dtype)
+    if not rounds:
+        return nodes_f.select("node")
+    winners = rounds[0].where("_awin").select(F.col("_a").alias("node"))
+    deads = rounds[0].where("_adead").select(F.col("_a").alias("node"))
+    for t in rounds[1:]:
+        winners = winners.unionByName(
+            t.where("_awin").select(F.col("_a").alias("node")))
+        deads = deads.unionByName(
+            t.where("_adead").select(F.col("_a").alias("node")))
+    leftovers = nodes_f.join(deads, "node", "left_anti")
+    return winners.select(node_cast.alias("node")) \
+        .dropDuplicates(["node"]).unionByName(leftovers.select("node"))
+
+
+def _luby_mis_rounds(und: DataFrame, max_rounds: int,
+                     who: str) -> list[DataFrame]:
+    """Run Luby rounds over a prepared both-direction prioritized edge
+    frame (_a, _b, _apri, _bpri) until no undecided-undecided edge
+    remains; returns the per-round checkpointed flag frames (_awin,
+    _bwin, _adead, _bdead added). Bounded rounds RAISE."""
+    from pyspark.sql import Window
+
+    w_a = Window.partitionBy("_a")
+    w_b = Window.partitionBy("_b")
+    apk = F.struct(F.col("_apri"), F.col("_a"))
+    bpk = F.struct(F.col("_bpri"), F.col("_b"))
+    rounds: list[DataFrame] = []
     for _ in range(max_rounds):
-        if und_edges.isEmpty():
+        if und.isEmpty():
             break
-        # min neighbor priority per undecided node with >= 1 edge;
-        # priority = (hash, node) lexicographic — ties impossible
-        pri = undecided.select("node", "_pri")
-        nbr = (
-            und_edges.join(pri.withColumnRenamed("node", "_b")
-                           .withColumnRenamed("_pri", "_bpri"), "_b")
-            .groupBy("_a")
-            .agg(F.min(F.struct(F.col("_bpri"), F.col("_b")))
-                 .alias("_nmin"))
+        # both-direction edge rows: partition by _a = all neighbors
+        # of a, partition by _b = all neighbors of b. A node wins
+        # when its (hash, id) priority beats every undecided
+        # neighbor's; winners' neighbors die with them.
+        t = (
+            und.withColumn("_awin", apk < F.min(bpk).over(w_a))
+            .withColumn("_bwin", bpk < F.min(apk).over(w_b))
+            .withColumn("_bdead",
+                        F.col("_bwin") | F.max(F.col("_awin")).over(w_b))
+            .withColumn("_adead",
+                        F.col("_awin") | F.max(F.col("_bwin")).over(w_a))
         )
-        winners = (
-            pri.join(nbr.withColumnRenamed("_a", "node"), "node")
-            .where(F.struct(F.col("_pri"), F.col("node")) < F.col("_nmin"))
-            .select("node")
-        )
-        losers = (
-            und_edges.join(winners.withColumnRenamed("node", "_a"), "_a",
-                           "left_semi")
-            .select(F.col("_b").alias("node")).distinct()
-        )
-        mis = winners if mis is None else mis.unionByName(winners)
-        gone = winners.unionByName(losers)
-        undecided = undecided.join(gone, "node", "left_anti") \
-            .localCheckpoint(eager=False)
-        und_edges = (
-            und_edges.join(undecided.select(F.col("node").alias("_a")),
-                           "_a", "left_semi")
-            .join(undecided.select(F.col("node").alias("_b")), "_b",
-                  "left_semi")
-            .localCheckpoint(eager=False)
-        )
+        t = _ck_cut_stats(t)
+        rounds.append(t)
+        und = t.where(~F.col("_adead") & ~F.col("_bdead")) \
+            .select("_a", "_b", "_apri", "_bpri")
     else:
         raise RuntimeError(
-            f"maximal_independent_set: not done after {max_rounds} "
-            f"rounds — raise max_rounds")
-    # every surviving undecided node is isolated in the residual graph
-    leftovers = undecided.select("node")
-    out = leftovers if mis is None else mis.unionByName(leftovers)
-    return out.select("node")
+            f"{who}: not done after {max_rounds} rounds — raise max_rounds")
+    return rounds
 
 
 def is_bipartite(
@@ -1959,32 +1994,85 @@ def greedy_coloring(
     wave count is bounded by the degeneracy-ish structure (<= Delta+1
     in practice; chains take 2-3); ``max_colors`` RAISES if exceeded.
 
-    Deterministic: each wave is ``maximal_independent_set`` with the
-    same salt, so the full coloring is a pure function of (graph,
-    salt) and replays as nested unrolled SQL. Proper by construction
-    (a wave is independent); total (every node colored: leftover
-    isolated nodes join their wave's set).
+    Deterministic: each wave is the ``maximal_independent_set`` round
+    loop with the same salt, so the full coloring is a pure function
+    of (graph, salt) and replays as nested unrolled SQL. Proper by
+    construction (a wave is independent); total (every node colored:
+    leftover isolated nodes join their wave's set).
+
+    Perf shape: the prioritized both-direction edge frame is built
+    ONCE (hash priorities don't change between waves); each wave runs
+    the shared window-form Luby rounds on the residual and trims it
+    with two semi-joins — no per-wave re-canonicalization, no
+    per-wave node-frame rebuild (was ~6 extra jobs per wave).
     """
+    from .sketches import _attach_mix32
+
     id_col = nodes.columns[0]
+    id_dtype = dict(nodes.dtypes)[id_col]
     remaining = nodes.select(F.col(id_col).alias("node")).distinct() \
         .localCheckpoint(eager=False)
-    e = edges.select(F.col(SRC).alias(SRC), F.col(DST).alias(DST)) \
+    lo = F.least(F.col(SRC), F.col(DST))
+    hi = F.greatest(F.col(SRC), F.col(DST))
+    canon = (
+        edges.select(lo.alias("_lo"), hi.alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .distinct()
+    )
+    und = canon.select(
+        F.col("_lo").alias("_a"), F.col("_hi").alias("_b")
+    ).unionByName(
+        canon.select(F.col("_hi").alias("_a"), F.col("_lo").alias("_b"))
+    )
+    und = und.join(remaining.select(F.col("node").alias("_a")), "_a",
+                   "left_semi") \
+        .join(remaining.select(F.col("node").alias("_b")), "_b",
+              "left_semi")
+    numeric = id_dtype in ("tinyint", "smallint", "int", "bigint")
+    a_key = F.col("_a") if numeric else F.xxhash64(F.col("_a"))
+    b_key = F.col("_b") if numeric else F.xxhash64(F.col("_b"))
+    und = _attach_mix32(und, a_key, salt, "_apri")
+    und = _attach_mix32(und, b_key, salt, "_bpri") \
         .localCheckpoint(eager=False)
+    node_cast = F.col("node").cast(id_dtype)
     colored = None
     for color in range(max_colors):
         if remaining.isEmpty():
             break
-        s = maximal_independent_set(e, remaining, salt=salt,
-                                    max_rounds=mis_rounds)
-        wave = s.select("node", F.lit(color).alias("color")) \
-            .localCheckpoint(eager=False)
-        colored = wave if colored is None else colored.unionByName(wave)
-        remaining = remaining.join(wave.select("node"), "node",
-                                   "left_anti").localCheckpoint(eager=False)
-        e = (
-            e.join(remaining.select(F.col("node").alias(SRC)), SRC,
-                   "left_semi")
-            .join(remaining.select(F.col("node").alias(DST)), DST,
+        rounds = _luby_mis_rounds(und, mis_rounds, "greedy_coloring")
+        if not rounds:
+            # residual has no edges: every remaining node is isolated
+            # — they all take this color and the coloring is total
+            wave = remaining.select("node")
+            colored_w = wave.select("node", F.lit(color).alias("color"))
+            colored = colored_w if colored is None \
+                else colored.unionByName(colored_w)
+            break
+        winners = rounds[0].where("_awin").select(
+            F.col("_a").alias("node"))
+        deads = rounds[0].where("_adead").select(F.col("_a").alias("node"))
+        for t in rounds[1:]:
+            winners = winners.unionByName(
+                t.where("_awin").select(F.col("_a").alias("node")))
+            deads = deads.unionByName(
+                t.where("_adead").select(F.col("_a").alias("node")))
+        winners = winners.select(node_cast.alias("node")) \
+            .dropDuplicates(["node"])
+        deads = deads.select(node_cast.alias("node")) \
+            .dropDuplicates(["node"])
+        wave = winners.unionByName(
+            remaining.join(deads, "node", "left_anti").select("node"))
+        colored_w = wave.select("node", F.lit(color).alias("color"))
+        colored = colored_w if colored is None \
+            else colored.unionByName(colored_w)
+        # next residual: knocked-out non-winners, and the edges
+        # between them (monotone shrink of the current frame)
+        remaining = _ck_cut_stats(
+            deads.join(winners, "node", "left_anti"))
+        und = (
+            und.join(remaining.select(F.col("node").alias("_a")), "_a",
+                     "left_semi")
+            .join(remaining.select(F.col("node").alias("_b")), "_b",
                   "left_semi")
             .localCheckpoint(eager=False)
         )
@@ -1993,9 +2081,8 @@ def greedy_coloring(
             f"greedy_coloring: not done after {max_colors} colors —"
             f" raise max_colors")
     if colored is None:
-        node_t = dict(nodes.dtypes)[id_col]
         return nodes.sparkSession.createDataFrame(
-            [], f"node: {node_t}, color: int")
+            [], f"node: {id_dtype}, color: int")
     return colored
 
 
@@ -2026,10 +2113,18 @@ def maximal_matching(
     rounds RAISE. String ids fold through xxhash64 for the hash
     priority only (the random_walks discipline).
 
-    Per round: one explode-both-directions projection, one min-struct
-    groupBy per node (map-side combined), two candidate joins, two
-    anti-joins — all keyed on node ids, lineage cut per round.
+    Per round: ONE plan with three keyed window passes over the
+    doubled (both-direction) edge rows — each node's best incident
+    edge, the matched flag, and both endpoints' dead flags, with no
+    joins — eagerly checkpointed; the round's matches and the next
+    round's edge set are FILTERS over that checkpoint, and the
+    emptiness probe scans the materialized RDD without a shuffle.
+    (The earlier groupBy + two candidate joins + two anti-joins form
+    cost ~20 Spark jobs per round in scheduling; this is ~5. Guide
+    §2.4.) Lineage cut per round; bounded rounds RAISE.
     """
+    from pyspark.sql import Window
+
     from .sketches import _attach_mix32, _M32
 
     lo = F.least(F.col(SRC), F.col(DST))
@@ -2040,9 +2135,8 @@ def maximal_matching(
                          F.col(weight_col).cast("double").alias("_w"))
             .filter(F.col("_lo") != F.col("_hi"))
             .groupBy("_lo", "_hi").agg(F.max("_w").alias("_w"))
+            .withColumn("_pri", -F.col("_w"))
         )
-        cur = canon.withColumn("_pri", -F.col("_w")) \
-            .localCheckpoint(eager=False)
     else:
         canon = (
             edges.select(lo.alias("_lo"), hi.alias("_hi"))
@@ -2053,50 +2147,56 @@ def maximal_matching(
         numeric = dtypes <= {"tinyint", "smallint", "int", "bigint"}
         lo_k = F.col("_lo") if numeric else F.xxhash64(F.col("_lo"))
         hi_k = F.col("_hi") if numeric else F.xxhash64(F.col("_hi"))
-        cur = _attach_mix32(canon, lo_k, salt, "_m1")
-        cur = _attach_mix32(
-            cur, F.pmod(F.col("_m1") + hi_k, F.lit(_M32)), salt, "_pri",
-        ).drop("_m1").localCheckpoint(eager=False)
-    matched = None
+        canon = _attach_mix32(canon, lo_k, salt, "_m1")
+        canon = _attach_mix32(
+            canon, F.pmod(F.col("_m1") + hi_k, F.lit(_M32)), salt, "_pri",
+        ).drop("_m1")
+    wcols = ["_w"] if weight_col is not None else []
+    # doubled rows: partition by _u sees every incident edge of u
+    cur = canon.select(F.col("_lo").alias("_u"), F.col("_hi").alias("_v"),
+                       "_pri", *wcols).unionByName(
+        canon.select(F.col("_hi").alias("_u"), F.col("_lo").alias("_v"),
+                     "_pri", *wcols)
+    ).localCheckpoint(eager=False)
+    w_u = Window.partitionBy("_u")
+    w_v = Window.partitionBy("_v")
+    ek = F.struct(F.col("_pri"), F.least(F.col("_u"), F.col("_v")),
+                  F.greatest(F.col("_u"), F.col("_v")))
+    rounds: list[DataFrame] = []
     for _ in range(max_rounds):
         if cur.isEmpty():
             break
-        ek = F.struct(F.col("_pri"), F.col("_lo"), F.col("_hi"))
-        both = cur.select(F.col("_lo").alias("node"), ek.alias("_ek")) \
-            .unionByName(
-                cur.select(F.col("_hi").alias("node"), ek.alias("_ek")))
-        cand = both.groupBy("node").agg(F.min("_ek").alias("_cand"))
-        keep = ["_lo", "_hi"] + (["_w"] if weight_col is not None else [])
-        hits = (
-            cur.join(cand.withColumnRenamed("node", "_lo")
-                     .withColumnRenamed("_cand", "_cl"), "_lo")
-            .join(cand.withColumnRenamed("node", "_hi")
-                  .withColumnRenamed("_cand", "_ch"), "_hi")
-            .where((ek == F.col("_cl")) & (ek == F.col("_ch")))
-            .select(*keep)
+        # an edge is matched when it is the best incident edge of
+        # BOTH endpoints; matched endpoints drop out
+        t = (
+            cur.withColumn("_cu", F.min(ek).over(w_u))
+            .withColumn("_m", (ek == F.col("_cu"))
+                        & (ek == F.min(ek).over(w_v)))
+            .withColumn("_vdead", F.max(F.col("_m")).over(w_v))
+            .withColumn("_udead", F.max(F.col("_m")).over(w_u))
         )
-        matched = hits if matched is None else matched.unionByName(hits)
-        gone = hits.select(F.col("_lo").alias("node")).unionByName(
-            hits.select(F.col("_hi").alias("node")))
-        cur = (
-            cur.join(gone.withColumnRenamed("node", "_lo"), "_lo",
-                     "left_anti")
-            .join(gone.withColumnRenamed("node", "_hi"), "_hi",
-                  "left_anti")
-            .localCheckpoint(eager=False)
-        )
+        t = _ck_cut_stats(t)
+        rounds.append(t)
+        cur = t.where(~F.col("_udead") & ~F.col("_vdead")) \
+            .select("_u", "_v", "_pri", *wcols)
     else:
         raise RuntimeError(
             f"maximal_matching: not done after {max_rounds} rounds —"
             f" raise max_rounds")
     spark = edges.sparkSession
-    if matched is None:
+    if not rounds:
         schema_t = dict(canon.dtypes)["_lo"]
         extra = ", weight: double" if weight_col is not None else ""
         return spark.createDataFrame(
             [], f"node_u: {schema_t}, node_v: {schema_t}{extra}")
-    out_cols = [F.col("_lo").alias("node_u"),
-                F.col("_hi").alias("node_v")]
+    # matched edges appear on both directed rows; keep the canonical
+    # orientation (_u < _v)
+    matched = rounds[0].where(F.col("_m") & (F.col("_u") < F.col("_v")))
+    for t in rounds[1:]:
+        matched = matched.unionByName(
+            t.where(F.col("_m") & (F.col("_u") < F.col("_v"))))
+    out_cols = [F.col("_u").alias("node_u"),
+                F.col("_v").alias("node_v")]
     if weight_col is not None:
         out_cols.append(F.col("_w").alias("weight"))
     return matched.select(*out_cols)
