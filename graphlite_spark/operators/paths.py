@@ -612,10 +612,12 @@ def betweenness_centrality(
     - backward: dependency accumulation delta(v) = sum over DAG
       successors w (dist_w = dist_v + 1) of sigma_v / sigma_w *
       (1 + delta(w)), swept from the deepest level toward the sources
-      — level d depends only on level d+1, so ``batch_levels`` levels
-      chain lazily between checkpoints exactly like the forward pass.
-      The shortest-path DAG is materialized once and filtered per
-      level.
+      — level d depends only on level d+1; each level is one
+      dag-slice join + partial-aggregated groupBy over the
+      materialized DAG, eagerly checkpointed so the final union reads
+      every level exactly once (``batch_levels`` is retained for
+      signature compatibility; lazily chaining levels re-executed all
+      deeper levels per union branch, measured O(levels^2) joins).
 
     The horizon bounds both work (|sources| x reach) and the backward
     sweep's level count — the 100 TB posture for a metric whose exact
@@ -626,6 +628,16 @@ def betweenness_centrality(
         e = e.unionByName(
             edges.select(F.col(DST).alias("_a"), F.col(SRC).alias("_b"))
         ).distinct()
+    # materialize the edge frame ONCE: it feeds every forward BFS level
+    # AND the DAG join, and a derived edge lineage (the chains entries
+    # build edges with a window lead() over the event table) would
+    # re-execute that window + its exchange once per level. Plain
+    # localCheckpoint (not _ck_cut_stats) on purpose: e is checkpointed
+    # once, so there is no round-compounding stats blowup, and keeping
+    # its size estimate lets the per-level frontier⋈edges join go
+    # broadcast when the edge set fits (guide §3.1) while staying a
+    # shuffle join at scale.
+    e = e.localCheckpoint(eager=True)
     vis = _bfs_sigma(e, sources, max_hops)
 
     # shortest-path DAG: consecutive-dist pairs, with both endpoints'
@@ -654,45 +666,54 @@ def betweenness_centrality(
         ).limit(0).withColumn("betweenness", F.lit(0.0))
 
     # backward sweep: prev = delta at level d+1 (deepest level has no
-    # successors -> delta 0)
-    prev = vis.filter(F.col("dist") == dmax).select(
-        "root", F.col("node").alias("_w"), F.lit(0.0).alias("_delta")
-    )
-    acc = [prev]
-    since_ckpt = 0
+    # successors -> delta None = all-zero). Each level is ONE
+    # dag-slice join + groupBy, EAGERLY checkpointed: the recurrence
+    # is sequential in d, and the final union re-reads every level's
+    # frame — without the per-level cut each union branch recomputed
+    # all deeper levels from scratch (O(dmax^2) shuffle joins; the
+    # measured r11 backward sweep was 12-16s of the 16.7s total on
+    # the chains entry). A node absent from a level's contrib has
+    # delta 0, which the coalesce on the NEXT level's join treats
+    # identically — so the old per-level zero-fill join against vis
+    # is folded into ONE zero-fill at the end (same output rows).
+    prev = None
+    acc: list[DataFrame] = []
     for d in range(dmax - 1, 0, -1):
-        contrib = (
-            dag.filter(F.col("_dv") == d)
-            .join(prev, ["root", "_w"], "left")
-            .groupBy("root", "_v")
-            .agg(
-                F.sum(
-                    (F.col("_sv") / F.col("_sw"))
-                    * (F.lit(1.0) + F.coalesce(F.col("_delta"), F.lit(0.0)))
-                ).alias("_delta")
+        lvl = dag.filter(F.col("_dv") == d)
+        if prev is None:
+            contrib = lvl.groupBy("root", "_v").agg(
+                F.sum(F.col("_sv") / F.col("_sw")).alias("_delta"))
+        else:
+            contrib = (
+                lvl.join(prev, ["root", "_w"], "left")
+                .groupBy("root", "_v")
+                .agg(
+                    F.sum(
+                        (F.col("_sv") / F.col("_sw"))
+                        * (F.lit(1.0)
+                           + F.coalesce(F.col("_delta"), F.lit(0.0)))
+                    ).alias("_delta")
+                )
             )
-        )
-        cur = (
-            vis.filter(F.col("dist") == d)
-            .select("root", F.col("node").alias("_v"))
-            .join(contrib, ["root", "_v"], "left")
-            .select(
-                "root", F.col("_v").alias("_w"),
-                F.coalesce(F.col("_delta"), F.lit(0.0)).alias("_delta"),
-            )
-        )
-        since_ckpt += 1
-        if since_ckpt % batch_levels == 0 or d == 1:
-            cur = cur.localCheckpoint(eager=False)
-        acc.append(cur)
-        prev = cur
+        contrib = _ck_cut_stats(contrib)
+        acc.append(contrib)
+        prev = contrib.select("root", F.col("_v").alias("_w"), "_delta")
 
+    # output node set: every node some root reaches at dist >= 1 (the
+    # set the old per-level vis zero-fill produced), scores summed
+    # over the checkpointed level slices
+    reached = vis.filter(F.col("dist") >= 1).select("node").distinct()
+    if not acc:
+        return reached.withColumn("betweenness", F.lit(0.0))
     deltas = acc[0]
     for extra in acc[1:]:
         deltas = deltas.unionByName(extra)
-    return (
-        deltas.groupBy(F.col("_w").alias("node"))
-        .agg(F.round(F.sum("_delta"), 6).alias("betweenness"))
+    scores = deltas.groupBy(F.col("_v").alias("node")).agg(
+        F.sum("_delta").alias("_s"))
+    return reached.join(scores, "node", "left").select(
+        "node",
+        F.round(F.coalesce(F.col("_s"), F.lit(0.0)), 6)
+        .alias("betweenness"),
     )
 
 
