@@ -2484,20 +2484,36 @@ def _modularity_local_moves(
              + 2.0 * F.coalesce("sw", F.lit(0.0))).alias("k"),
         )
     )
-    comm = node_ids.select("node", F.col("node").alias("c")) \
-        .localCheckpoint(eager=False)
+    # the assignment frame CARRIES each node's degree k: k never
+    # changes within the call, so folding it onto comm kills the two
+    # per-round deg joins (tot, scored) the earlier shape paid — tot
+    # becomes a plain groupBy and scored needs ONE node-keyed join
+    # for (_cur, k) together (guide §2.4: fewer exchanges per round)
+    comm = _ck_cut_stats(
+        node_ids.select("node", F.col("node").alias("c"))
+        .join(deg, "node", "left")
+        .select("node", "c", F.coalesce("k", F.lit(0.0)).alias("k"))
+    )
+    # data-adaptive broadcast regime (guide §3.1): node-scale frames
+    # (assignment, community totals) broadcast when the MEASURED node
+    # count fits comfortably in an executor — then the edge frame is
+    # never shuffled by the per-round joins and a round is ~4
+    # exchanges instead of ~11 (the per-round fixed job overhead
+    # dominated these iterative planted-graph entries). Big graphs
+    # keep the shuffle joins; the threshold is row-count-based, not a
+    # local[32]-tuned config. Aggregated Louvain levels shrink, so
+    # later levels of a huge run re-enter the broadcast regime
+    # naturally (the count is re-measured per call).
+    n_nodes = comm.count()
+    b = F.broadcast if n_nodes <= 2_000_000 else (lambda df: df)
     any_moved = False
     for _round in range(max_rounds):
-        tot = (
-            comm.join(deg, "node", "left")
-            .groupBy("c")
-            .agg(F.sum(F.coalesce("k", F.lit(0.0))).alias("tot"))
-        )
+        tot = comm.groupBy("c").agg(F.sum("k").alias("tot"))
         # weight from i into each neighboring community, under the
         # PREVIOUS round's assignment (synchronous)
         e_ic = (
-            und.join(comm.select(F.col("node").alias("_b"),
-                                 F.col("c").alias("_cb")), "_b")
+            und.join(b(comm.select(F.col("node").alias("_b"),
+                                   F.col("c").alias("_cb"))), "_b")
             .groupBy(F.col("_a").alias("node"), F.col("_cb").alias("cand"))
             .agg(F.sum("w").alias("e"))
         )
@@ -2508,19 +2524,18 @@ def _modularity_local_moves(
             .groupBy("node", "cand")
             .agg(F.max("e").alias("e"))
         )
-        cur = comm.select("node", F.col("c").alias("_cur"))
         scored = (
-            cands.join(deg, "node", "left")
-            .join(cur, "node")
-            .join(tot.select(F.col("c").alias("cand"), "tot"), "cand")
+            cands.join(b(comm.select("node", F.col("c").alias("_cur"),
+                                     "k")), "node")
+            .join(b(tot.select(F.col("c").alias("cand"), "tot")), "cand")
             .select(
-                "node", "cand", "_cur",
+                "node", "cand", "_cur", "k",
                 (
                     F.col("e")
-                    - F.coalesce("k", F.lit(0.0))
+                    - F.col("k")
                     * (F.col("tot")
                        - F.when(F.col("cand") == F.col("_cur"),
-                                F.coalesce("k", F.lit(0.0)))
+                                F.col("k"))
                        .otherwise(F.lit(0.0)))
                     / F.lit(two_m)
                 ).alias("val"),
@@ -2530,9 +2545,17 @@ def _modularity_local_moves(
         # a move must beat staying by > 1e-12, and equal-gain
         # alternatives resolve to the smallest community id (min_by
         # over (-value, cand) — id-type-generic: string content-hash
-        # ids order fine where the earlier -cand negation could not)
-        best = (
-            scored.groupBy("node")
+        # ids order fine where the earlier -cand negation could not).
+        # The round is ONE eagerly-checkpointed frame: the DOWNHILL
+        # schedule (below) is applied IN-PLAN (c = _new when
+        # _new < _cur), so the common round pays one heavy job + one
+        # shuffle-free probe over the materialized RDD, where the
+        # earlier movers-frame + separate comm-update paid two heavy
+        # jobs and an extra join per round (measured r11: ~24 AQE
+        # jobs and ~0.8-1.4s per round on a 2.4k-node planted graph —
+        # fixed overhead, not data).
+        nxt = _ck_cut_stats(
+            scored.groupBy("node", "_cur", "k")
             .agg(
                 F.min_by(
                     "cand",
@@ -2545,17 +2568,17 @@ def _modularity_local_moves(
                     ),
                 ).alias("_new")
             )
+            .select(
+                "node", "_cur", "_new", "k",
+                F.when(F.col("_new") < F.col("_cur"), F.col("_new"))
+                .otherwise(F.col("_cur")).alias("c"),
+            )
         )
-        movers = _ck_cut_stats(
-            comm.join(best, "node")
-            .filter(F.col("_new") != F.col("c"))
-            .select("node", "_new", "c")
-        )
-        st = movers.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("_new") < F.col("c")).cast("int")).alias("nd"),
+        st = nxt.agg(
+            F.sum((F.col("_new") != F.col("_cur")).cast("int")).alias("n"),
+            F.sum((F.col("_new") < F.col("_cur")).cast("int")).alias("nd"),
         ).collect()[0]
-        if int(st["n"]) == 0:
+        if int(st["n"] or 0) == 0:
             return comm, any_moved
         any_moved = True
         # DOWNHILL-FIRST schedule: every move whose target label is
@@ -2572,8 +2595,7 @@ def _modularity_local_moves(
         # back to the Luby local-minimum set, whose independence keeps
         # liveness without cycles.
         if int(st["nd"] or 0) > 0:
-            applied = movers.filter(F.col("_new") < F.col("c")) \
-                .select("node", "_new")
+            comm = nxt.select("node", "c", "k")
         else:
             # Luby's ACTUAL randomized rule, derandomized with a
             # round-salted hash: a mover applies iff its (hash, id)
@@ -2585,32 +2607,43 @@ def _modularity_local_moves(
             # two-scale graph's 20 bridge nodes took 20 rounds;
             # VERDICT r9 #4. The hash breaks the adversarial id
             # order; the round salt breaks repeats across rounds.)
+            # The mover count is KNOWN from the probe: small mover
+            # sets broadcast explicitly (guide §3.1 — _ck_cut_stats
+            # resets size stats, so auto-broadcast cannot see how
+            # tiny these frames are), keeping the full edge frame
+            # unshuffled in the fallback; big mover sets keep the
+            # shuffle join.
+            movers = nxt.filter(F.col("_new") != F.col("_cur"))
             mh = movers.select(
                 "node",
                 F.xxhash64(F.col("node").cast("string"),
                            F.lit(int(_round))).alias("_mh"))
+            small = int(st["n"]) <= 1_000_000
+            mh_b = F.broadcast(mh) if small else mh
             nbr_min = (
-                und.join(mh.select(F.col("node").alias("_b"),
-                                   F.col("_mh").alias("_bh")), "_b")
-                .join(mh.select(F.col("node").alias("_a")), "_a",
+                und.join(mh_b.select(F.col("node").alias("_b"),
+                                     F.col("_mh").alias("_bh")), "_b")
+                .join(mh_b.select(F.col("node").alias("_a")), "_a",
                       "left_semi")
                 .groupBy(F.col("_a").alias("node"))
                 .agg(F.min(F.struct(F.col("_bh").alias("h"),
                                     F.col("_b").alias("t"))).alias("_nm"))
             )
+            nbr_min_b = F.broadcast(nbr_min) if small else nbr_min
             applied = (
                 movers.join(mh, "node")
-                .join(nbr_min, "node", "left")
+                .join(nbr_min_b, "node", "left")
                 .filter(F.col("_nm").isNull()
                         | (F.struct(F.col("_mh").alias("h"),
                                     F.col("node").alias("t"))
                            < F.col("_nm")))
                 .select("node", "_new")
             )
-        comm = _ck_cut_stats(
-            comm.join(applied, "node", "left")
-            .select("node", F.coalesce("_new", "c").alias("c"))
-        )
+            comm = _ck_cut_stats(
+                nxt.select("node", F.col("_cur").alias("c"), "k")
+                .join(applied, "node", "left")
+                .select("node", F.coalesce("_new", "c").alias("c"), "k")
+            )
     raise RuntimeError(
         f"{opname}: no stable partition within "
         f"max_rounds={max_rounds} (synchronous moves are oscillating); "
