@@ -1204,6 +1204,7 @@ def core_decomposition(
 def _oriented_triangle_triples(
     edges: DataFrame, src: str = SRC, dst: str = DST,
     assume_canonical: bool = False,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """(a, b, c) — every triangle of the undirected simple view
     exactly once, found via the degree-oriented wedge closure (shared
@@ -1246,11 +1247,17 @@ def _oriented_triangle_triples(
     keyed = und.join(dl, "_lo").join(dh, "_hi")
     klo = F.struct(F.col("_dlo").alias("d"), F.col("_lo").alias("n"))
     khi = F.struct(F.col("_dhi").alias("d"), F.col("_hi").alias("n"))
+    # The measured edge count drives the closure-join strategy below.
+    # Iterative callers (the truss peelers) already track their edge
+    # count per round and pass ``n_edges``, skipping the extra
+    # materialize+count jobs a per-round call would pay.
     oriented = keyed.select(
         F.when(klo < khi, F.col("_lo")).otherwise(F.col("_hi")).alias("u"),
         F.when(klo < khi, F.col("_hi")).otherwise(F.col("_lo")).alias("v"),
         F.when(klo < khi, khi).otherwise(klo).alias("kv"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=n_edges is None)
+    if n_edges is None:
+        n_edges = oriented.count()
     e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"),
                          F.col("kv").alias("kb"))
     e2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"),
@@ -1263,6 +1270,16 @@ def _oriented_triangle_triples(
         .select("a", "b", "c")
     )
     e3 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    # the wedge set is Σ out-deg² rows — orders of magnitude bigger
+    # than the edge set (41M wedges from 1.2M edges on the sf0.1
+    # co-purchase graph). Shuffling it by (b, c) for the closure join
+    # dominated the operator, so when the MEASURED edge count fits a
+    # broadcast the closing edges ship to the wedge side and the
+    # wedges never hit an exchange (guide §3.1; the checkpoint erases
+    # size stats, so auto-broadcast cannot make this call). Huge
+    # graphs keep the shuffle join.
+    if n_edges <= 4_000_000:
+        e3 = F.broadcast(e3)
     return wedges.join(e3, ["b", "c"])
 
 
@@ -1649,7 +1666,8 @@ def _truss_peel_fixpoint(und: DataFrame, need: int, max_iters: int,
     level does not drain within max_iters."""
     for _ in range(max_iters):
         tris = _oriented_triangle_triples(und, "_lo", "_hi",
-                                          assume_canonical=True)
+                                          assume_canonical=True,
+                                          n_edges=n_cur)
         tri_edges = tris.select(
             F.explode(F.array(
                 F.struct(F.least("a", "b").alias("_lo"),
