@@ -101,6 +101,13 @@ def bfs_distances(
         e = e.unionByName(
             edges.select(F.col(DST).alias("_a"), F.col(SRC).alias("_b"))
         ).distinct()
+    # materialize the adjacency ONCE (the GraphX/Pregel cache-the-graph
+    # discipline): every level of every batch joins e, and a derived
+    # edge lineage (the chains entries build edges with a window lead()
+    # over the event table; sampled-centrality callers add a reverse
+    # projection) re-executes per level otherwise. Plain localCheckpoint
+    # keeps the size estimate for the join planner.
+    e = e.localCheckpoint(eager=True)
     visited = sources.select(
         F.col(id_col).alias("root"),
         F.col(id_col).alias("node"),
@@ -821,6 +828,9 @@ def weighted_sssp(
                 F.col(weight_col).cast("double").alias("_w"),
             )
         )
+    # cache the adjacency once — every relaxation round joins it (see
+    # bfs_distances)
+    e = e.localCheckpoint(eager=True)
     dist = sources.select(
         F.col(id_col).alias("node"), F.lit(0.0).alias("dist")
     ).localCheckpoint(eager=True)
