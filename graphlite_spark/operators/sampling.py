@@ -284,13 +284,25 @@ def dsir_select(
     else:
         feat_expr = F.col("_g")
 
+    # the n-gram explode is the heavy stage and a small corpus often
+    # arrives as ONE parquet row group (one scan task) — spread it so
+    # the explode parallelizes; a many-split corpus is left alone
+    # (common.spread_narrow's contract)
+    from .common import spread_narrow
+
     raw_feats = (
-        df.select(F.col(id_col), F.explode(feats).alias("_g"))
+        spread_narrow(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), F.explode(feats).alias("_g"))
         .select(F.col(id_col), feat_expr.alias("_f"))
         .localCheckpoint(eager=False)
     )
-    tgt_feats = target.select(F.explode(feats).alias("_g")) \
+    # target spreads keyed on the text itself — deterministic under
+    # task retry where a synthetic row number would not be
+    tgt_feats = (
+        spread_narrow(target.select(F.col(text_col)), text_col)
+        .select(F.explode(feats).alias("_g"))
         .select(feat_expr.alias("_f"))
+    )
 
     tc = tgt_feats.groupBy("_f").agg(F.count(F.lit(1)).alias("_ct"))
     rc = raw_feats.groupBy("_f").agg(F.count(F.lit(1)).alias("_cr"))
