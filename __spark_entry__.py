@@ -2735,13 +2735,19 @@ def _q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = spark.createDataFrame(
         [("bad0.net",), ("bad3.net",)], "host string")
     ok = blocklist_filter(urls, blocked).select("doc_id")
-    base = docs.join(ok, "doc_id")
+    # spread before the gopher rule projection (byte-light, CPU-heavy
+    # on a one-row-group corpus), and checkpoint the labeled frame:
+    # it feeds the LR trainer, the scorer AND the report join — left
+    # lazy, the whole blocklist+gopher chain executed three times
+    from graphlite_spark.operators.common import spread_narrow
+
+    base = spread_narrow(docs.join(ok, "doc_id"), "doc_id")
     flags = gopher_quality_filters(base, min_words=50, min_stop_words=1)
     labeled = base.join(
         flags.select("doc_id", "gopher_pass"), "doc_id"
     ).withColumn(
         "label", F.when(F.col("gopher_pass"), F.lit("good"))
-        .otherwise(F.lit("bad")))
+        .otherwise(F.lit("bad"))).localCheckpoint(eager=False)
     model = train_quality_lr(labeled, label_col="label",
                              pos_label="good", num_iter=3, lr=1.0)
     scored = lr_quality_score(labeled, model)

@@ -1597,10 +1597,21 @@ def train_quality_lr(
                 .cast("string")
         return c
 
-    base = labeled.select(
-        (F.col(label_col) == F.lit(pos_label)).cast("double").alias("_y"),
-        feats_arr.alias("_gs"),
-    ).localCheckpoint(eager=False)
+    # spread before the feature projection: the training frame is
+    # tiny in BYTES (AQE coalesces it to one task) but every GD
+    # iteration runs an array fold + explode over it — CPU-heavy,
+    # byte-light, exactly spread_narrow's contract. The checkpoint
+    # then pins the spread partitioning for all iterations.
+    from .common import spread_narrow
+
+    base = spread_narrow(
+        labeled.select(
+            (F.col(label_col) == F.lit(pos_label)).cast("double")
+            .alias("_y"),
+            F.col(text_col),
+        ),
+        text_col,
+    ).select("_y", feats_arr.alias("_gs")).localCheckpoint(eager=False)
     n_docs = float(base.count())
     if n_docs == 0:
         raise ValueError("train_quality_lr: empty training frame")
@@ -1714,8 +1725,14 @@ def lr_quality_score(
         .select(F.col("weight").alias("_b"))
     w = model.filter(F.col("feature").isNotNull()) \
         .select(F.col("feature").alias("_f"), F.col("weight").alias("_w"))
+    # spread before the explode: byte-light, CPU-heavy (see
+    # train_quality_lr) — a one-row-group corpus would score on one
+    # core otherwise
+    from .common import spread_narrow
+
     feats = (
-        df.select(F.col(id_col), F.explode(feats_arr).alias("_g"))
+        spread_narrow(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col), F.explode(feats_arr).alias("_g"))
         .select(F.col(id_col), gexpr.alias("_f"))
     )
     z = (
