@@ -60,6 +60,14 @@ def shingle_array(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     stream-stream join).
     """
     extra = [F.col(c) for c in keep]
+    # spread before the gram build: shingling is the family's heavy
+    # map stage and inherits the SCAN's split count — a one-row-group
+    # compact corpus would serialize the whole minhash/simhash/jaccard
+    # front end onto one core (the span_dedup/dedup_lines lesson,
+    # common.spread_narrow). No-op on many-split scans and streams.
+    from .common import spread_narrow
+
+    df = spread_narrow(df, id_col)
     # NB: sequence(1, 0) is DESCENDING in Spark — guard short/empty texts.
     # Word n-grams fold n-1 zip_withs over shifted slices of the word
     # array — O(L) per level. (transform(sequence, i -> slice(...)) is
