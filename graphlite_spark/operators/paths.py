@@ -942,26 +942,34 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("comp").alias("_oc"),
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
         )
         # pointer jumping: comp := comp[comp] (path compression)
-        m = new_labels.select(
+        m = stepped.select(
             F.col("node").alias("_mn"), F.col("comp").alias("_mc")
         )
         new_labels = (
-            new_labels.join(m, new_labels["comp"] == m["_mn"], "left")
+            stepped.join(m, stepped["comp"] == m["_mn"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("_mc"), F.col("comp"))
                 ).alias("comp"),
+                # convergence rides IN the round frame: the old label
+                # is carried through and compared in-plan, so the probe
+                # below is a shuffle-free filter over the checkpointed
+                # RDD instead of a per-round new⋈old join + exchange
+                (F.least(
+                    F.col("comp"), F.coalesce(F.col("_mc"), F.col("comp"))
+                ) != F.col("_oc")).alias("_chg"),
             )
         )
         # checkpoint every round: the convergence probe below would
@@ -971,13 +979,8 @@ def connected_components(
         # compounds as prev^3 per round — 529k-digit BigInts measured
         # after ~15 pointer-jumping rounds on a 30k chain)
         new_labels = _ck_cut_stats(new_labels)
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .isEmpty()
-        )
-        labels = new_labels
+        converged = new_labels.filter(F.col("_chg")).isEmpty()
+        labels = new_labels.select("node", "comp")
         if converged:
             break
     return labels
@@ -1972,14 +1975,23 @@ def is_bipartite(
         nbr = (
             labels.join(e, labels["node"] == e["_a"], "inner")
             .select(F.col("_b").alias("node"), F.col("comp"),
-                    (F.lit(1) - F.col("par")).alias("par"))
+                    (F.lit(1) - F.col("par")).alias("par"),
+                    F.lit(None).cast(dict(labels.dtypes)["comp"])
+                    .alias("_oc"))
         )
+        # each node's OWN row carries its previous comp (_oc); the
+        # groupBy max() recovers it alongside the min-struct step, so
+        # the convergence flag can be computed in-plan downstream
+        # without a separate new⋈old join per round
         stepped = (
-            labels.select("node", "comp", "par").unionByName(nbr)
+            labels.select("node", "comp", "par",
+                          F.col("comp").alias("_oc"))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min(F.struct("comp", "par")).alias("_s"))
+            .agg(F.min(F.struct("comp", "par")).alias("_s"),
+                 F.max("_oc").alias("_ocomp"))
             .select("node", F.col("_s.comp").alias("comp"),
-                    F.col("_s.par").alias("par"))
+                    F.col("_s.par").alias("par"), "_ocomp")
         )
         # pointer jumping with parity composition: node->c parity x,
         # c->c2 parity y => node->c2 parity x^y
@@ -1998,17 +2010,17 @@ def is_bipartite(
                 .when(F.col("comp") < _jc, F.col("par"))
                 .otherwise(F.least(F.col("par"), _jp))
                 .alias("par"),
+                # convergence is on comp ONLY (see docstring); the old
+                # comp rides in-plan so the probe is a shuffle-free
+                # filter over the checkpointed RDD, not a new⋈old join
+                (F.least(F.col("comp"), _jc) != F.col("_ocomp"))
+                .alias("_chg"),
             )
             .withColumnRenamed("_nc", "comp")
         )
         new_labels = _ck_cut_stats(new_labels)
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .isEmpty()
-        )
-        labels = new_labels
+        converged = new_labels.filter(F.col("_chg")).isEmpty()
+        labels = new_labels.select("node", "comp", "par")
         if converged:
             break
     conflicts = (
