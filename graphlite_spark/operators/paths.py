@@ -1118,9 +1118,13 @@ def k_core(
         canon.select(F.col("_hi").alias("_a"), F.col("_lo").alias("_b"))
     ).localCheckpoint(eager=True)
     for _ in range(max_iters):
-        deg = und.groupBy("_a").agg(F.count(F.lit(1)).alias("deg"))
-        removed = deg.filter(F.col("deg") < k)
-        if removed.isEmpty():
+        # materialize the degree frame ONCE per round: the emptiness
+        # probe and the peel are separate ACTIONS, so a lazy deg ran
+        # its groupBy twice per round; both now read the checkpoint
+        # and the probe is a shuffle-free filter
+        deg = _ck_cut_stats(
+            und.groupBy("_a").agg(F.count(F.lit(1)).alias("deg")))
+        if deg.filter(F.col("deg") < k).isEmpty():
             break
         keep = deg.filter(F.col("deg") >= k).select("_a")
         und = _ck_cut_stats(
@@ -1187,9 +1191,12 @@ def core_decomposition(
                 f"core_decomposition: graph still non-empty past "
                 f"max_coreness={max_coreness}; raise the bound")
         for _ in range(max_iters):
-            deg = und.groupBy("_a").agg(F.count(F.lit(1)).alias("deg"))
-            removed = deg.filter(F.col("deg") < k)
-            if removed.isEmpty():
+            # materialized once per round — probe and peel are
+            # separate actions, a lazy deg ran its groupBy twice
+            # (see k_core)
+            deg = _ck_cut_stats(
+                und.groupBy("_a").agg(F.count(F.lit(1)).alias("deg")))
+            if deg.filter(F.col("deg") < k).isEmpty():
                 break
             keep = deg.filter(F.col("deg") >= k).select("_a")
             und = _ck_cut_stats(
