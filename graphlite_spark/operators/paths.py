@@ -211,6 +211,10 @@ def shortest_path_pair(
         e = e.unionByName(
             edges.select(F.col(DST).alias("_a"), F.col(SRC).alias("_b"))
         ).distinct()
+    # cache the adjacency once (the bfs_distances discipline): every
+    # level of every batch joins e, and the deep-chain entry derives
+    # edges from a window lead() that would re-execute per level
+    e = e.localCheckpoint(eager=True)
     # backward ball walks edges REVERSED so dist_b is distance TO target
     e_rev = e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
 
