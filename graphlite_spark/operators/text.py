@@ -148,14 +148,21 @@ def _char_ngrams(text_col, n: int = 3):
     whitespace-collapsed first so formatting doesn't shift grams.
     Empty array when the text is shorter than n. One SQL expression
     (codegen, map-side); the identical arithmetic is expressible in
-    DuckDB (substr + range) for oracles."""
+    DuckDB (substr + range) for oracles.
+
+    The normalized string is BOUND ONCE per row as a lambda variable
+    (a 1-element transform): Catalyst does not common-subexpression-
+    eliminate through higher-order-function lambdas, so inlining the
+    trim(regexp_replace(lower(...))) into the per-gram substring
+    re-ran the regex once per OUTPUT GRAM — measured 6.6x slower on
+    a 640-char-per-doc corpus (r11)."""
     name = text_col if isinstance(text_col, str) else text_col._jc.toString()
+    norm = f"trim(regexp_replace(lower({name}), '\\\\s+', ' '))"
     return F.expr(
-        f"CASE WHEN length(trim(regexp_replace(lower({name}), '\\\\s+', ' ')))"
-        f" >= {n} THEN transform(sequence(1, "
-        f"length(trim(regexp_replace(lower({name}), '\\\\s+', ' '))) - {n - 1}"
-        f"), i -> substring(trim(regexp_replace(lower({name}), '\\\\s+', ' ')),"
-        f" i, {n})) ELSE array() END"
+        f"transform(array({norm}), _t -> "
+        f"CASE WHEN length(_t) >= {n} THEN transform(sequence(1, "
+        f"length(_t) - {n - 1}), i -> substring(_t, i, {n})) "
+        f"ELSE array() END)[0]"
     )
 
 
