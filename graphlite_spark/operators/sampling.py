@@ -199,24 +199,29 @@ def _word_ngram_features(text_col: str, orders: tuple[int, ...]) -> Column:
     so even an empty document has one unigram feature (consistent in
     the ANSI SQL twin)."""
     ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if tuple(sorted(orders)) == (1,):
+        return ws
+
+    # bind the split word array ONCE per row as a lambda variable:
+    # Catalyst does not CSE through higher-order-function lambdas, so
+    # referencing the split inside the per-position slice re-ran the
+    # regex split once per output n-gram (the _char_ngrams lesson,
+    # r11). SQL form with EXPLICIT lambda names — pyspark's Column-API
+    # nested lambdas shadow their auto-generated variable names.
     parts = []
     for n in sorted(orders):
         if n == 1:
-            parts.append(ws)
+            parts.append("_w")
         else:
             parts.append(
-                F.when(
-                    F.size(ws) >= n,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(ws) - n),
-                        lambda p: F.concat_ws(" ", F.slice(ws, p + 1, n)),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
+                f"CASE WHEN size(_w) >= {n} THEN "
+                f"transform(sequence(0, size(_w) - {n}), "
+                f"_p -> concat_ws(' ', slice(_w, _p + 1, {n}))) "
+                f"ELSE array() END"
             )
-    out = parts[0]
-    for p in parts[1:]:
-        out = F.concat(out, p)
-    return out
+    body = parts[0] if len(parts) == 1 else "concat(" + ", ".join(parts) + ")"
+    norm = f"split(trim(lower({text_col})), '\\\\s+')"
+    return F.expr(f"transform(array({norm}), _w -> {body})[0]")
 
 
 def dsir_select(
