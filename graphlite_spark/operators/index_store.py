@@ -733,6 +733,27 @@ def commit_epoch(spark, path: str, batch_id: int, manifest: dict) -> None:
     commit_manifest(spark, path, m2)
 
 
+def _multiset_diff_count(a: DataFrame, b: DataFrame) -> int:
+    """Number of distinct row values whose multiplicities differ
+    between the two frames — 0 iff they are multiset-equal (null-safe
+    grouping, the same row equality ``exceptAll`` uses). ONE action,
+    each side evaluated exactly once: the naive
+    ``a.exceptAll(b).count() + b.exceptAll(a).count()`` form costs two
+    actions and evaluates each frame twice — and the recomputed side
+    of a replay verification is a whole ingest chain."""
+    cols = list(a.columns)
+    tagged = (
+        a.withColumn("_vtag", F.lit(1))
+        .unionByName(b.select(*cols).withColumn("_vtag", F.lit(-1)))
+    )
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_vtag").alias("_vsum"))
+        .filter(F.col("_vsum") != 0)
+        .count()
+    )
+
+
 def verify_replay(persisted: "DataFrame | None", recomputed: DataFrame,
                   path: str, tier: str, batch_id: int) -> None:
     """The 'verified' in verified no-op: a re-delivered epoch's
@@ -751,13 +772,13 @@ def verify_replay(persisted: "DataFrame | None", recomputed: DataFrame,
                 f"data under a committed batch_id")
         return
     a = persisted.select(*recomputed.columns)
-    diff = a.exceptAll(recomputed).count() + recomputed.exceptAll(a).count()
+    diff = _multiset_diff_count(a, recomputed)
     if diff:
         raise ValueError(
             f"replay verification failed for epoch {batch_id} of "
-            f"{path}/{tier}: {diff} rows differ between the committed "
-            f"partition and the re-delivered batch's recomputation — "
-            f"different data under a committed batch_id")
+            f"{path}/{tier}: {diff} distinct rows differ between the "
+            f"committed partition and the re-delivered batch's "
+            f"recomputation — different data under a committed batch_id")
 
 
 # -- staged delta publish + optimistic append commits -------------------------
@@ -803,13 +824,13 @@ def _verify_same_partition(spark, staged: str, dest: str,
             f"(concurrent writer or non-deterministic recomputation)")
     cols = sorted(a.columns)
     x, y = a.select(*cols), b.select(*cols)
-    diff = x.exceptAll(y).count() + y.exceptAll(x).count()
+    diff = _multiset_diff_count(x, y)
     if diff:
         raise ValueError(
             f"conflicting delta partition for epoch {batch_id} of "
-            f"{path}/{tier}: {diff} rows differ between the staged "
-            f"write and the partition already present — different "
-            f"data under one batch_id (concurrent writer or "
+            f"{path}/{tier}: {diff} distinct rows differ between the "
+            f"staged write and the partition already present — "
+            f"different data under one batch_id (concurrent writer or "
             f"non-deterministic recomputation); refusing to publish")
 
 
