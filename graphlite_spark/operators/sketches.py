@@ -755,8 +755,17 @@ def bloom_filter_join(big: DataFrame, keys: DataFrame, big_key: str,
     cond = tests[0]
     for t in tests[1:]:
         cond = cond & t
-    return out.where(cond).drop("_bloom",
-                                *[f"_qp{j}" for j in range(k)])
+    # coalesce(cond, false) drops exactly the rows where(cond) drops
+    # (a NULL test only arises from a NULL key, and NULL never passes
+    # a bloom test) but makes the condition null-TOLERANT, so
+    # InferFiltersFromConstraints cannot derive an isnotnull() over
+    # it: that derived constraint pushed past the staged _qp/_h1/_h2
+    # projections, re-inlining the two mix32 chains into ONE
+    # ~1000-node scan filter — measured 1.2 s/run of planning plus a
+    # per-row mega-expression eval at a 15 k-row execution, and the
+    # blowup grows with the chain, not the data.
+    return out.where(F.coalesce(cond, F.lit(False))).drop(
+        "_bloom", *[f"_qp{j}" for j in range(k)])
 
 
 def hll_cumulative_distinct(
