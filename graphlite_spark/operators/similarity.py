@@ -545,9 +545,13 @@ def semantic_dedup(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # the projected corpus feeds the seed sample, the Lloyd step, the
+    # list assignment AND the final left join — cut it once so a
+    # derived items lineage isn't re-executed per consumer (the
+    # kmeans() entry discipline)
     it = items.select(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
-    )
+    ).localCheckpoint(eager=False)
     cents, make_assign = _coarse_kmeans(it, n_lists, kmeans_iters)
     if cents is None:
         # empty corpus: the identity mapping on zero rows, not a
@@ -1588,9 +1592,12 @@ def semantic_dedup_int8(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     spark = items.sparkSession
+    # feeds seeds, Lloyd, encode/assign, BOTH band fp fetches and the
+    # final left join — cut the projected corpus once (see
+    # semantic_dedup)
     it = items.select(
         F.col(id_col).alias("_iid"), _as_double(F.col(vec_col)).alias("_iv")
-    )
+    ).localCheckpoint(eager=False)
     cents, make_assign = _coarse_kmeans(it, n_lists, kmeans_iters)
     if cents is None:
         return items.select(
