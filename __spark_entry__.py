@@ -2685,10 +2685,18 @@ def _q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = spark.createDataFrame(
         [("bad0.net",), ("bad3.net",)], "host string")
     ok = blocklist_filter(urls, blocked).select("doc_id")
-    base = docs.join(ok, "doc_id")
+    # spread before the gopher projection (byte-light, CPU-heavy on a
+    # one-row-group corpus) and checkpoint the kept frame: it feeds
+    # the LM trainer, the scorer explode AND the lang join — left
+    # lazy, the whole blocklist+gopher chain executes three times
+    # (the curation_pipeline_v4 lesson)
+    from graphlite_spark.operators.common import spread_narrow
+
+    base = spread_narrow(docs.join(ok, "doc_id"), "doc_id")
     flags = gopher_quality_filters(base, min_words=50, min_stop_words=1)
     kept = base.join(
-        flags.filter(F.col("gopher_pass")).select("doc_id"), "doc_id")
+        flags.filter(F.col("gopher_pass")).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
     scored = lm_quality_score(kept).join(
         kept.select("doc_id", "lang"), "doc_id")
     buck = perplexity_buckets(scored, group_cols=("lang",))
