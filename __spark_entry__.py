@@ -2634,7 +2634,11 @@ def _q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphlite_spark.operators.text import gopher_quality_filters
 
     docs = _table(spark, sf_dir, "documents")
-    ext = extract_html_text(synth_html(docs)).select("doc_id", "text")
+    # checkpoint the extraction output: it feeds BOTH the gopher flag
+    # pass and the kept join below — left lazy, the synth+extract
+    # mapInPandas chain (the expensive Python stage) executes twice
+    ext = extract_html_text(synth_html(docs)).select("doc_id", "text") \
+        .localCheckpoint(eager=False)
     flags = gopher_quality_filters(ext, min_words=40, min_stop_words=1)
     kept = ext.join(
         flags.filter(F.col("gopher_pass")).select("doc_id"), "doc_id")

@@ -491,6 +491,12 @@ def streaming_curation(
         ext, id_col="doc_id", min_words=min_words,
         min_stop_words=min_stop_words, keep=("text",))
     kept = flagged.filter(F.col("gopher_pass")).select("doc_id", "text")
+    if not docs.isStreaming:
+        # batch fallback: kept feeds the dedup chain AND the final
+        # join — left lazy, the extract+gopher chain (an Arrow
+        # mapInPandas pass) executes twice; streams can't checkpoint
+        # and don't re-read (the verdict stream is the output)
+        kept = kept.localCheckpoint(eager=False)
     deduped = streaming_minhash_dedup(
         kept, n=n, num_hashes=num_hashes, bands=bands)
     if docs.isStreaming:
