@@ -1107,7 +1107,8 @@ def build_dedup_index(
 
 def _index_tier(spark, path: str, tier: str,
                 before_batch: "int | None",
-                as_of_seq: "int | None" = None) -> DataFrame:
+                as_of_seq: "int | None" = None,
+                manifest: "dict | None" = None) -> DataFrame:
     """Read one key tier of a persisted index: the live base (resolved
     through the index's manifest — see index_store) plus the delta
     partitions visible under the manifest's clamps (``delta_floor <
@@ -1115,11 +1116,20 @@ def _index_tier(spark, path: str, tier: str,
     with _batch_id < k — the replay-safe read an ingest of epoch k
     must use so a re-delivered epoch never sees its OWN keys
     (partition pruning makes every one of these filters a directory
-    skip, not a scan)."""
+    skip, not a scan).
+
+    ``manifest``: pass the ALREADY-RESOLVED current manifest when the
+    caller reads several tiers of one index — each resolution is a
+    directory listing + small-file read, paid per call otherwise
+    (mutually exclusive with ``as_of_seq``, which resolves its own
+    historical manifest)."""
     from .index_store import read_tier
 
+    if as_of_seq is not None:
+        return read_tier(spark, path, tier, before_batch=before_batch,
+                         as_of_seq=as_of_seq)
     return read_tier(spark, path, tier, before_batch=before_batch,
-                     as_of_seq=as_of_seq)
+                     manifest=manifest)
 
 
 # an index whose key tier is at most this big is cheaper through the
@@ -1130,7 +1140,7 @@ def _index_tier(spark, path: str, tier: str,
 SMALL_INDEX_BYTES = 32 << 20
 
 
-def _probe_strategy(keys: DataFrame, strategy: str,
+def _probe_strategy(keys, strategy: str,
                     broadcast_max_keys: int,
                     pushdown_max_keys: int = 1024,
                     idx: "DataFrame | None" = None) -> str:
@@ -1143,7 +1153,15 @@ def _probe_strategy(keys: DataFrame, strategy: str,
     broadcast probe, anything larger falls back to the shuffle plan.
     The probe is one limit(cap+1).count() job on the small side.
     Explicit ``strategy='pushdown'`` enforces its cap with a clear
-    raise (the collect is driver-side)."""
+    raise (the collect is driver-side).
+
+    ``keys`` may be the key frame or a ZERO-ARG CALLABLE producing it:
+    the frames the callers probe with are lazily-checkpointed, and
+    ``localCheckpoint(eager=False)`` pays FULL physical planning at
+    construction (the Dataset builds its checkpoint RDD up front) —
+    measured 1.6 s for the band-bucket key set at sf0.1 — so paths
+    that resolve without the key set (small index -> plain plan;
+    explicit 'shuffle'/'broadcast') must not build it at all."""
     if strategy not in ("auto", "broadcast", "shuffle", "pushdown"):
         raise ValueError(
             f"strategy must be 'auto', 'broadcast', 'shuffle' or "
@@ -1152,13 +1170,15 @@ def _probe_strategy(keys: DataFrame, strategy: str,
         if idx is not None and _plan_size_bytes(idx) <= SMALL_INDEX_BYTES:
             # plain plan: Catalyst broadcasts the small index itself
             return "shuffle"
-        n = keys.limit(int(broadcast_max_keys) + 1).count()
+        n = (keys() if callable(keys) else keys) \
+            .limit(int(broadcast_max_keys) + 1).count()
         if n <= int(pushdown_max_keys):
             return "pushdown"
         return ("broadcast" if n <= int(broadcast_max_keys)
                 else "shuffle")
     if strategy == "pushdown":
-        n = keys.limit(int(pushdown_max_keys) + 1).count()
+        n = (keys() if callable(keys) else keys) \
+            .limit(int(pushdown_max_keys) + 1).count()
         if n > int(pushdown_max_keys):
             raise ValueError(
                 f"strategy='pushdown' collects the batch key set to "
@@ -1180,6 +1200,21 @@ def _index_hits(idx: DataFrame, keys: DataFrame,
     the output is at most batch-sized. The result is small by
     construction, so downstream joins against it broadcast too."""
     return idx.join(F.broadcast(keys), on=on, how="left_semi")
+
+
+def _lazy_frame(make):
+    """Memoized zero-arg constructor for a probe key frame: the frame
+    is lazily checkpointed, and building it costs full physical
+    planning (see _probe_strategy) — so construct at most once, and
+    only on the strategy paths that consume it."""
+    box: list = []
+
+    def get() -> DataFrame:
+        if not box:
+            box.append(make())
+        return box[0]
+
+    return get
 
 
 def dedup_against_index(
@@ -1250,21 +1285,30 @@ def dedup_against_index(
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
     spark = new_docs.sparkSession
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    from .index_store import current_manifest, read_meta_row
+
+    # resolve the manifest ONCE for the whole read (meta + both key
+    # tiers) — three separate resolutions cost three directory
+    # listings per call; as-of reads resolve their own historical
+    # manifest inside read_tier (the snapshot-retention check lives
+    # there)
+    man = current_manifest(spark, path) if as_of_seq is None else None
+    m = read_meta_row(spark, path, manifest=man)
     key = (F.lower(F.trim(F.col(text_col))) if m.normalize
            else F.col(text_col))
     exact_idx = _index_tier(spark, path, "exact", before_batch,
-                            as_of_seq=as_of_seq)
+                            as_of_seq=as_of_seq, manifest=man)
     hashed = new_docs.withColumn("_h", F.xxhash64(key))
-    keyset = (hashed.select(F.col("_h").alias("h")).distinct()
-              .localCheckpoint(eager=False))
+    keyset = _lazy_frame(
+        lambda: hashed.select(F.col("_h").alias("h")).distinct()
+        .localCheckpoint(eager=False))
     strat = _probe_strategy(keyset, strategy, broadcast_max_keys,
                             pushdown_max_keys, idx=exact_idx)
     if strat == "pushdown":
         # point-probe path: the collected key list becomes an IN
         # predicate pushed into the index's parquet scan — with the
         # key-range base layout most files never open
-        kvals = [r.h for r in keyset.collect()]
+        kvals = [r.h for r in keyset().collect()]
         hits = exact_idx.select("h").filter(F.col("h").isin(kvals))
         exact_ids = (
             hashed.join(F.broadcast(hits),
@@ -1272,7 +1316,7 @@ def dedup_against_index(
             .select(F.col(id_col).alias("_eid")).distinct()
         )
     elif strat == "broadcast":
-        hits = _index_hits(exact_idx.select("h"), keyset, ["h"])
+        hits = _index_hits(exact_idx.select("h"), keyset(), ["h"])
         exact_ids = (
             hashed.join(F.broadcast(hits),
                         hashed["_h"] == hits["h"], "left_semi")
@@ -1287,12 +1331,13 @@ def dedup_against_index(
     near_ids = None
     if near:
         bands_idx = _index_tier(spark, path, "bands", before_batch,
-                                as_of_seq=as_of_seq)
+                                as_of_seq=as_of_seq, manifest=man)
         sig = minhash_signatures(new_docs, text_col, id_col, n=m.n,
                                  num_hashes=m.num_hashes, words=m.words)
         bb = _band_bucket_frame(sig, id_col, m.num_hashes, m.bands)
-        bkeys = (bb.select("band", "bucket").distinct()
-                 .localCheckpoint(eager=False))
+        bkeys = _lazy_frame(
+            lambda: bb.select("band", "bucket").distinct()
+            .localCheckpoint(eager=False))
         # composite (band, bucket) keys don't push as a
         # single-column IN filter — the broadcast probe is the
         # point-probe plan for the bands tier, so an explicit
@@ -1306,7 +1351,7 @@ def dedup_against_index(
             bstrat = "broadcast"
         if bstrat == "broadcast":
             bhits = _index_hits(bands_idx.select("band", "bucket"),
-                                bkeys, ["band", "bucket"])
+                                bkeys(), ["band", "bucket"])
             near_ids = (
                 bb.join(F.broadcast(bhits), ["band", "bucket"],
                         "left_semi")
@@ -1461,10 +1506,15 @@ def dedup_index_ingest_batch(
 
     spark = batch.sparkSession
     mode, manifest = fence_epoch(spark, path, batch_id)
-    m = spark.read.parquet(f"{path}/meta").collect()[0]
+    from .index_store import read_meta_row
+
+    # the fence already resolved the current manifest — reuse it for
+    # the meta row and both tier reads instead of re-listing the log
+    m = read_meta_row(spark, path, manifest=manifest)
     key = (F.lower(F.trim(F.col(text_col))) if m.normalize
            else F.col(text_col))
-    exact_idx = _index_tier(spark, path, "exact", before_batch=batch_id)
+    exact_idx = _index_tier(spark, path, "exact", before_batch=batch_id,
+                            manifest=manifest)
     hashed = batch.withColumn("_h", F.xxhash64(key)) \
         .localCheckpoint(eager=False)
     # batch-internal exact: min id per hash
@@ -1475,17 +1525,18 @@ def dedup_index_ingest_batch(
     # posture keeps the index un-shuffled however large it grows —
     # hits are computed index-scan-side against the broadcast batch
     # key set, then the batch anti-joins the (batch-bounded) hit set
-    keyset = (hashed.select(F.col("_h").alias("h")).distinct()
-              .localCheckpoint(eager=False))
+    keyset = _lazy_frame(
+        lambda: hashed.select(F.col("_h").alias("h")).distinct()
+        .localCheckpoint(eager=False))
     strat = _probe_strategy(keyset, strategy, broadcast_max_keys,
                             pushdown_max_keys, idx=exact_idx)
     if strat == "pushdown":
-        kvals = [r.h for r in keyset.collect()]
+        kvals = [r.h for r in keyset().collect()]
         hits = exact_idx.select("h").filter(F.col("h").isin(kvals))
         keep = keep.join(F.broadcast(hits),
                          keep["_h"] == hits["h"], "left_anti")
     elif strat == "broadcast":
-        hits = _index_hits(exact_idx.select("h"), keyset, ["h"])
+        hits = _index_hits(exact_idx.select("h"), keyset(), ["h"])
         keep = keep.join(F.broadcast(hits),
                          keep["_h"] == hits["h"], "left_anti")
     else:
@@ -1494,7 +1545,7 @@ def dedup_index_ingest_batch(
     bb = None
     if near:
         bands_idx = _index_tier(spark, path, "bands",
-                                before_batch=batch_id)
+                                before_batch=batch_id, manifest=manifest)
         sig = minhash_signatures(batch, text_col, id_col, n=m.n,
                                  num_hashes=m.num_hashes, words=m.words)
         bb = _band_bucket_frame(sig, id_col, m.num_hashes, m.bands) \
@@ -1502,8 +1553,9 @@ def dedup_index_ingest_batch(
         # a bucket is poisoned if the INDEX knows it, or if a smaller
         # batch id touches it (winner computed over the whole batch)
         wband = Window.partitionBy("band", "bucket")
-        bkeys = (bb.select("band", "bucket").distinct()
-                 .localCheckpoint(eager=False))
+        bkeys = _lazy_frame(
+            lambda: bb.select("band", "bucket").distinct()
+            .localCheckpoint(eager=False))
         # composite (band, bucket) keys don't push as a
         # single-column IN filter — the broadcast probe is the
         # point-probe plan for the bands tier, so an explicit
@@ -1517,7 +1569,7 @@ def dedup_index_ingest_batch(
             bstrat = "broadcast"
         if bstrat == "broadcast":
             idx_hits = _index_hits(
-                bands_idx.select("band", "bucket"), bkeys,
+                bands_idx.select("band", "bucket"), bkeys(),
                 ["band", "bucket"]).withColumn("_idx_hit", F.lit(True))
             idx_hits = F.broadcast(idx_hits)
         else:

@@ -264,6 +264,49 @@ def read_base(spark, path: str, tier: str,
     return spark.read.parquet(tier_dir(path, m, tier))
 
 
+def read_meta_row(spark, path: str, tier: str = "meta",
+                  manifest: "dict | None" = None):
+    """The one-row PARAMETER frame of a persisted index (banding
+    config, quantizer shape, ...), read DRIVER-SIDE via a pyarrow
+    footer read when the directory is on the local filesystem — no
+    Spark job, where the ``spark.read.parquet(...).collect()`` form
+    costs ~0.3 s of fixed job latency on EVERY against-index call.
+    Resolves the directory through the manifest mapping exactly like
+    :func:`read_base` (a versioned meta tier reads the LIVE
+    generation); any pyarrow-path surprise falls back to the Spark
+    read, which stays the remote-filesystem (HDFS/S3) path."""
+    m = manifest if manifest is not None else current_manifest(spark, path)
+    d = tier_dir(path, m, tier)
+    local = re.sub(r"^file:(//)?", "", d)
+    if "://" not in local:
+        try:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            for f in sorted(glob.glob(os.path.join(local, "*.parquet"))):
+                t = pq.read_table(f)
+                if t.num_rows:
+                    return _MetaRow({
+                        c: t.column(c)[0].as_py() for c in t.column_names})
+        except Exception:
+            pass  # fall through to the authoritative Spark read
+    return spark.read.parquet(d).collect()[0]
+
+
+class _MetaRow(dict):
+    """Row stand-in for driver-side meta reads: supports BOTH the
+    ``row.field`` and ``row['field']`` access the callers use (a Spark
+    ``Row`` supports both; plain dicts only the latter)."""
+
+    def __getattr__(self, name: str):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+
 def read_delta(spark, path: str, tier: str,
                manifest: "dict | None" = None,
                before_batch: "int | None" = None,

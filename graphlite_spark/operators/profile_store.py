@@ -146,7 +146,9 @@ def build_profile_index(
 
 
 def _read_meta(spark, path: str):
-    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    from .index_store import read_meta_row
+
+    row = read_meta_row(spark, path)
 
     class _Meta:
         by = row.by or None
