@@ -375,3 +375,79 @@ def test_publish_race_nested_different_data_raises(spark, tmp_path,
     got = [r.h for r in
            spark.read.parquet(f"{path}/exact_delta").collect()]
     assert got == [99]
+
+
+def test_read_meta_row_matches_spark_read(spark, tmp_path):
+    """read_meta_row (the driver-side pyarrow footer read) must return
+    the same values as the authoritative Spark read, support BOTH
+    attribute and item access like a Row, and resolve a COMPACTED
+    (versioned) meta tier through the manifest like read_base."""
+    from graphlite_spark.operators.dedup import build_dedup_index
+    from graphlite_spark.operators.index_store import read_meta_row
+
+    path = str(tmp_path / "idx")
+    build_dedup_index(_corpus(spark, 0, 30), path,
+                      n=3, num_hashes=64, bands=16)
+    fast = read_meta_row(spark, path)
+    ref = spark.read.parquet(f"{path}/meta").collect()[0]
+    for f in ref.__fields__:
+        assert fast[f] == ref[f]
+        assert getattr(fast, f) == getattr(ref, f)
+
+    # ANN family: meta IS a manifest-mapped tier that compaction
+    # versions — the fast read must follow the mapping
+    import numpy as np
+
+    from graphlite_spark.operators.similarity import (
+        ann_index_ingest_batch,
+        build_rescore_index,
+        compact_ann_index,
+    )
+
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    apath = str(tmp_path / "ann")
+    build_rescore_index(emb, apath, bits=8)
+    ann_index_ingest_batch(
+        spark.createDataFrame(
+            [(100 + i, [float(x) for x in rng.randn(8)])
+             for i in range(5)],
+            "vec_id long, embedding array<double>"),
+        apath, batch_id=1)
+    compact_ann_index(spark, apath)
+    fast2 = read_meta_row(spark, apath)
+    ref2 = spark.read.parquet(f"{apath}/meta_v2").collect()[0]
+    assert int(fast2["n_items"]) == int(ref2["n_items"]) == 25
+    assert int(fast2.bits) == 8
+
+
+def test_probe_strategy_lazy_keys_not_built_for_small_index(spark,
+                                                            tmp_path):
+    """strategy='auto' over a small index must resolve to the plain
+    plan WITHOUT constructing the probe key set (building a lazily-
+    checkpointed frame pays full physical planning up front)."""
+    from graphlite_spark.operators.dedup import (
+        _probe_strategy,
+        build_dedup_index,
+        _index_tier,
+    )
+
+    path = str(tmp_path / "idx")
+    build_dedup_index(_corpus(spark, 0, 10), path,
+                      n=3, num_hashes=64, bands=16)
+    idx = _index_tier(spark, path, "exact", None)
+    calls = {"n": 0}
+
+    def make_keys():
+        calls["n"] += 1
+        return _corpus(spark, 0, 5).select("doc_id")
+
+    assert _probe_strategy(make_keys, "auto", 8_000_000,
+                           idx=idx) == "shuffle"
+    assert calls["n"] == 0
+    # explicit pushdown still counts (and builds) the key set
+    assert _probe_strategy(make_keys, "pushdown", 8_000_000,
+                           idx=idx) == "pushdown"
+    assert calls["n"] == 1
