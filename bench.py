@@ -261,11 +261,19 @@ def main() -> None:
         load1 = load5 = load15 = -1.0
     loadavg = [round(load1, 2), round(load5, 2), round(load15, 2)]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    detail_line, final_line = summary_lines(timings, cold, total, loadavg, sf_val)
-    # Full dump first (human/archive record), then the scalar-only
-    # summary as the FINAL line.
+    detail_line, chunk_lines, final_line = summary_lines(
+        timings, cold, total, loadavg, sf_val
+    )
+    # Full dump first (human/archive record), then small per-query
+    # chunk lines (each individually inside the driver's tail window),
+    # then the scalar-only summary as the FINAL line.
     print(detail_line)
+    for line in chunk_lines:
+        print(line)
     print(final_line)
+
+
+CHUNK_QUERIES = 8
 
 
 def summary_lines(
@@ -274,8 +282,8 @@ def summary_lines(
     total: float,
     loadavg: list[float],
     sf_val,
-) -> tuple[str, str]:
-    """Build the two stdout JSON lines: detail first, scalar summary LAST.
+) -> tuple[str, list[str], str]:
+    """Build the stdout JSON lines: detail, per-query chunks, summary LAST.
 
     The driver captures only a byte-bounded TAIL of stdout (~2000 bytes),
     so the final line must stay parseable regardless of how many queries
@@ -284,8 +292,21 @@ def summary_lines(
     warm-dict-bearing line past the bound again. The invariant, pinned by
     tests/test_bench_summary.py against a synthetic 500-query dict: the
     FINAL line carries scalars only — never any per-query collection —
-    and is < 1000 bytes at ANY query count. The per-query dicts live on
-    the preceding headline_detail line (VERDICT r8 "What's wrong #1").
+    and is < 1000 bytes at ANY query count. The full per-query dicts live
+    on the leading headline_detail line (VERDICT r8 "What's wrong #1").
+
+    Round 11 showed the single headline_detail line itself outgrows the
+    driver's tail window (PERF_r11 per_query came back EMPTY because both
+    BENCH tails began mid-object). Per VERDICT r11 ask #1, the per-query
+    warm timings are ADDITIONALLY re-emitted as many small chunk lines
+    ({"metric": "headline_chunk", "i": k, "n": total_chunks,
+    "queries": {...<=CHUNK_QUERIES entries...}}) between the detail line
+    and the final line, in HEADLINE order. Each chunk line parses on its
+    own, so however the tail is cut, every fully-captured chunk yields
+    valid per-query timings — the comparator merges the "queries" dicts
+    of whatever chunk lines survive. Additions-only: the detail line and
+    the final headline_total line are byte-for-byte the same contract as
+    round 11.
     """
     detail_line = json.dumps(
         {
@@ -299,6 +320,23 @@ def summary_lines(
             "sf": sf_val,
         }
     )
+    names = list(timings)
+    nchunks = max(1, (len(names) + CHUNK_QUERIES - 1) // CHUNK_QUERIES)
+    chunk_lines = [
+        json.dumps(
+            {
+                "metric": "headline_chunk",
+                "i": k,
+                "n": nchunks,
+                "queries": {
+                    name: timings[name]
+                    for name in names[k * CHUNK_QUERIES : (k + 1) * CHUNK_QUERIES]
+                },
+            },
+            separators=(",", ":"),
+        )
+        for k in range(nchunks)
+    ]
     final_line = json.dumps(
         {
             "metric": "headline_total",
@@ -310,7 +348,7 @@ def summary_lines(
             "sf": sf_val,
         }
     )
-    return detail_line, final_line
+    return detail_line, chunk_lines, final_line
 
 
 if __name__ == "__main__":

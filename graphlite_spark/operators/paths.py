@@ -18,8 +18,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, PropertyGraph
+from .common import fits_broadcast
 
 _CHECKPOINT_EVERY = 4
+
+# salt fan for the wedge-closure join when the closing-edge side is
+# too big to broadcast: a boilerplate-heavy 100 TB graph has hot
+# (b, c) pairs whose wedge rows would otherwise land on ONE reducer
+# (AQE's skew split cannot divide a single key — guide §2.5). 16 ways
+# bounds the per-task slice at 1/16 of the hottest pair for the cost
+# of replicating the EDGE side 16x — noise next to the Σdeg² wedge
+# set. Module-level so the planted-hot-key pytest can exercise the
+# salted regime on a small graph.
+_WEDGE_SALT = 16
+_WEDGE_BROADCAST_MAX_EDGES = 4_000_000
 
 
 def _ck_cut_stats(df: DataFrame) -> DataFrame:
@@ -52,6 +64,29 @@ def _ck_cut_stats(df: DataFrame) -> DataFrame:
         return DataFrame(new_jdf, spark)
     except Exception:  # pragma: no cover - non-classic sessions
         return ck
+
+
+def _ck_observe(df: DataFrame, *metrics):
+    """Eager stats-cutting checkpoint that ALSO computes scalar
+    metrics in the same materialization pass, via an ``observe`` node
+    (CollectMetrics): returns (checkpointed frame, {name: value}).
+
+    Every iterative loop in this module pays a fixed per-ACTION
+    overhead (job submission + AQE re-planning, ~60-100 ms on the
+    bench box) and previously ran TWO actions per round — the eager
+    round checkpoint plus a convergence probe (an isEmpty / one-row
+    collect over the materialized RDD). The observation rides the
+    checkpoint job, so the probe job disappears: one action per round
+    (guide §1.2 step 1 / §2.4 — the r11 verdict measured this family
+    per-round fixed-overhead bound, not data bound). Aggregates must
+    be Observation-legal (no distinct); empty frames yield count 0 /
+    NULL extrema, matching what the separate probes saw.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ck = _ck_cut_stats(df.observe(obs, *metrics))
+    return ck, obs.get
 
 
 def bfs_distances(
@@ -533,14 +568,17 @@ def _bfs_sigma(
     max_hops: int,
     batch_hops: int = 8,
     dedup_every: int = 4,
-) -> DataFrame:
-    """(root, node, dist, sigma): min-dist BFS that also counts the
-    number of distinct shortest paths (Brandes' sigma) — the forward
-    pass of betweenness. Same hop-batched structure as bfs_distances;
-    the per-level dedup becomes a (root, node, dist) SUM (merging
-    same-length path bundles IS path counting), and the batch end
-    keeps, per (root, node), the minimum dist with sigma summed over
-    exactly that dist. e: (_a, _b) prepared edge frame.
+) -> tuple[DataFrame, int]:
+    """((root, node, dist, sigma), max dist reached): min-dist BFS
+    that also counts the number of distinct shortest paths (Brandes'
+    sigma) — the forward pass of betweenness. Same hop-batched
+    structure as bfs_distances; the per-level dedup becomes a
+    (root, node, dist) SUM (merging same-length path bundles IS path
+    counting), and the batch end keeps, per (root, node), the minimum
+    dist with sigma summed over exactly that dist. The reached-depth
+    maximum is tracked from the per-batch observed stats, so the
+    caller's backward sweep needs no extra scan of the visited union.
+    e: (_a, _b) prepared edge frame.
 
     Correctness of batching: all predecessors of a node at true dist
     d-1 are discovered in the same batch (batch depth ranges are
@@ -558,6 +596,7 @@ def _bfs_sigma(
     )
     frontier = visited
     depth = 0
+    dmax = 0
     while depth < max_hops:
         lvl = frontier
         levels = []
@@ -588,17 +627,19 @@ def _bfs_sigma(
             .join(visited.select("root", "node"), ["root", "node"],
                   "left_anti")
         )
-        nxt = _ck_cut_stats(nxt)
-        stats = nxt.agg(
-            F.count("*").alias("n"), F.max("dist").alias("md")
-        ).collect()[0]
+        # batch stats ride the checkpoint job (_ck_observe) instead of
+        # a separate one-row collect per batch
+        nxt, stats = _ck_observe(
+            nxt,
+            F.count(F.lit(1)).alias("n"), F.max("dist").alias("md"))
         if int(stats["n"] or 0) == 0:
             break
         visited = visited.unionByName(nxt)
+        dmax = max(dmax, int(stats["md"]))
         if int(stats["md"]) < depth:
             break  # frontier died mid-batch (see bfs_distances)
         frontier = nxt
-    return visited
+    return visited, dmax
 
 
 def betweenness_centrality(
@@ -649,7 +690,7 @@ def betweenness_centrality(
     # broadcast when the edge set fits (guide §3.1) while staying a
     # shuffle join at scale.
     e = e.localCheckpoint(eager=True)
-    vis = _bfs_sigma(e, sources, max_hops)
+    vis, dmax = _bfs_sigma(e, sources, max_hops)
 
     # shortest-path DAG: consecutive-dist pairs, with both endpoints'
     # sigma. Reused by every backward level -> checkpoint once.
@@ -669,8 +710,8 @@ def betweenness_centrality(
         .select("root", "_v", "_dv", "_sv", "_w", "_sw")
         .localCheckpoint(eager=True)
     )
-    dmax_row = vis.agg(F.max("dist")).collect()[0][0]
-    dmax = int(dmax_row or 0)
+    # dmax was tracked from the per-batch observed stats — no extra
+    # scan of the visited union (r12)
     if dmax == 0:
         return sources.select(
             F.col(sources.columns[0]).alias("node")
@@ -688,6 +729,7 @@ def betweenness_centrality(
     # identically — so the old per-level zero-fill join against vis
     # is folded into ONE zero-fill at the end (same output rows).
     prev = None
+    prev_n = 0
     acc: list[DataFrame] = []
     for d in range(dmax - 1, 0, -1):
         lvl = dag.filter(F.col("_dv") == d)
@@ -695,8 +737,17 @@ def betweenness_centrality(
             contrib = lvl.groupBy("root", "_v").agg(
                 F.sum(F.col("_sv") / F.col("_sw")).alias("_delta"))
         else:
+            # the previous level's delta frame is (root, node, delta)
+            # with an OBSERVED row count: broadcast it when it fits so
+            # the dag slice — a shuffle-free filter over the
+            # materialized dag RDD — never hits an exchange for this
+            # join and the level runs in ONE exchange (the groupBy).
+            # Deep/wide graphs past the cap keep the shuffle join.
+            prev_b = (F.broadcast(prev)
+                      if fits_broadcast(prev_n, prev.schema,
+                                        max_rows=2_000_000) else prev)
             contrib = (
-                lvl.join(prev, ["root", "_w"], "left")
+                lvl.join(prev_b, ["root", "_w"], "left")
                 .groupBy("root", "_v")
                 .agg(
                     F.sum(
@@ -706,7 +757,9 @@ def betweenness_centrality(
                     ).alias("_delta")
                 )
             )
-        contrib = _ck_cut_stats(contrib)
+        contrib, cst = _ck_observe(
+            contrib, F.count(F.lit(1)).alias("n"))
+        prev_n = int(cst["n"] or 0)
         acc.append(contrib)
         prev = contrib.select("root", F.col("_v").alias("_w"), "_delta")
 
@@ -956,36 +1009,51 @@ def connected_components(
                 ).alias("comp"),
             )
         )
-        # pointer jumping: comp := comp[comp] (path compression)
-        m = stepped.select(
-            F.col("node").alias("_mn"), F.col("comp").alias("_mc")
-        )
-        new_labels = (
-            stepped.join(m, stepped["comp"] == m["_mn"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("_mc"), F.col("comp"))
-                ).alias("comp"),
-                # convergence rides IN the round frame: the old label
-                # is carried through and compared in-plan, so the probe
-                # below is a shuffle-free filter over the checkpointed
-                # RDD instead of a per-round new⋈old join + exchange
-                (F.least(
-                    F.col("comp"), F.coalesce(F.col("_mc"), F.col("comp"))
-                ) != F.col("_oc")).alias("_chg"),
+        # pointer jumping: comp := comp[comp] (path compression),
+        # applied TWICE per round plan from round 2 on (r12): each
+        # round is one action whose fixed overhead dominates at bench
+        # scale, and a second in-plan jump squares the compression per
+        # action — long chains/rings converge in roughly half the
+        # rounds for two extra joins inside the same job (the fixpoint
+        # — comp = min component id — is schedule-independent, so
+        # results are unchanged). Rounds 1-2 keep the single jump:
+        # shallow graphs (the common CC-inside-an-operator case)
+        # converge in 1-2 rounds and would pay the extra joins for no
+        # round saved. Convergence rides IN the round frame: the old
+        # label is carried through and compared in-plan.
+        cur = stepped
+        for _jump in range(2 if it >= 2 else 1):
+            m = cur.select(
+                F.col("node").alias("_mn"), F.col("comp").alias("_mc")
             )
+            cur = (
+                cur.join(m, cur["comp"] == m["_mn"], "left")
+                .select(
+                    "node",
+                    "_oc",
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("_mc"), F.col("comp")),
+                    ).alias("comp"),
+                )
+            )
+        new_labels = cur.select(
+            "node", "comp",
+            (F.col("comp") != F.col("_oc")).alias("_chg"),
         )
-        # checkpoint every round: the convergence probe below would
-        # otherwise re-execute the whole iterative lineage each time
-        # (_ck_cut_stats: the round references labels through THREE
-        # multiplicative joins, so the preserved originStats estimate
-        # compounds as prev^3 per round — 529k-digit BigInts measured
-        # after ~15 pointer-jumping rounds on a 30k chain)
-        new_labels = _ck_cut_stats(new_labels)
-        converged = new_labels.filter(F.col("_chg")).isEmpty()
+        # checkpoint every round, with the convergence count computed
+        # IN the materialization pass (_ck_observe — one action per
+        # round; the separate probe job is gone). _ck_cut_stats is
+        # still load-bearing underneath: the round references labels
+        # through THREE multiplicative joins, so a preserved
+        # originStats estimate compounds as prev^3 per round (529k-
+        # digit BigInts measured after ~15 pointer-jumping rounds on a
+        # 30k chain)
+        new_labels, st = _ck_observe(
+            new_labels,
+            F.sum(F.col("_chg").cast("long")).alias("n_chg"))
         labels = new_labels.select("node", "comp")
-        if converged:
+        if int(st["n_chg"] or 0) == 0:
             break
     return labels
 
@@ -1122,13 +1190,13 @@ def k_core(
         canon.select(F.col("_hi").alias("_a"), F.col("_lo").alias("_b"))
     ).localCheckpoint(eager=True)
     for _ in range(max_iters):
-        # materialize the degree frame ONCE per round: the emptiness
-        # probe and the peel are separate ACTIONS, so a lazy deg ran
-        # its groupBy twice per round; both now read the checkpoint
-        # and the probe is a shuffle-free filter
-        deg = _ck_cut_stats(
-            und.groupBy("_a").agg(F.count(F.lit(1)).alias("deg")))
-        if deg.filter(F.col("deg") < k).isEmpty():
+        # materialize the degree frame ONCE per round with the
+        # below-k count observed IN the materialization pass
+        # (_ck_observe) — the probe was a separate action per round
+        deg, st = _ck_observe(
+            und.groupBy("_a").agg(F.count(F.lit(1)).alias("deg")),
+            F.sum((F.col("deg") < k).cast("long")).alias("n_below"))
+        if int(st["n_below"] or 0) == 0:
             break
         keep = deg.filter(F.col("deg") >= k).select("_a")
         und = _ck_cut_stats(
@@ -1194,19 +1262,24 @@ def core_decomposition(
             raise RuntimeError(
                 f"core_decomposition: graph still non-empty past "
                 f"max_coreness={max_coreness}; raise the bound")
+        n_edges = None
         for _ in range(max_iters):
-            # materialized once per round — probe and peel are
-            # separate actions, a lazy deg ran its groupBy twice
-            # (see k_core)
-            deg = _ck_cut_stats(
-                und.groupBy("_a").agg(F.count(F.lit(1)).alias("deg")))
-            if deg.filter(F.col("deg") < k).isEmpty():
+            # one action per peel round: the below-k count rides the
+            # degree checkpoint (_ck_observe; see k_core), and the
+            # kept-edge checkpoint observes the residual edge count so
+            # the end-of-level isEmpty probe below is free too
+            deg, st = _ck_observe(
+                und.groupBy("_a").agg(F.count(F.lit(1)).alias("deg")),
+                F.sum((F.col("deg") < k).cast("long")).alias("n_below"))
+            if int(st["n_below"] or 0) == 0:
                 break
             keep = deg.filter(F.col("deg") >= k).select("_a")
-            und = _ck_cut_stats(
+            und, est = _ck_observe(
                 und.join(keep, "_a", "left_semi")
-                .join(keep.withColumnRenamed("_a", "_b"), "_b", "left_semi")
-            )
+                .join(keep.withColumnRenamed("_a", "_b"), "_b",
+                      "left_semi"),
+                F.count(F.lit(1)).alias("n"))
+            n_edges = int(est["n"] or 0)
         else:
             raise RuntimeError(
                 f"core_decomposition: k={k} peel did not drain within "
@@ -1217,7 +1290,7 @@ def core_decomposition(
         out_parts.append(
             peeled.select("node", F.lit(k - 1).alias("coreness")))
         survivors = kcore_nodes
-        if und.isEmpty():
+        if (n_edges == 0) if n_edges is not None else und.isEmpty():
             break
     out = out_parts[0]
     for p in out_parts[1:]:
@@ -1268,18 +1341,32 @@ def _oriented_triangle_triples(
     )
     dl = deg.select(F.col("_n").alias("_lo"), F.col("_d").alias("_dlo"))
     dh = deg.select(F.col("_n").alias("_hi"), F.col("_d").alias("_dhi"))
+    # the degree frame is node-scale (two narrow columns, <= 2
+    # rows per edge): when the measured edge count fits, broadcast it
+    # to both orientation joins so the edge frame itself never hits an
+    # exchange (r12; the iterative peelers pay these joins per round).
+    # First call (n_edges unknown) keeps the shuffle joins — the
+    # count is only measured after orientation.
+    if n_edges is not None and fits_broadcast(
+            n_edges, deg.schema, max_rows=_WEDGE_BROADCAST_MAX_EDGES):
+        dl, dh = F.broadcast(dl), F.broadcast(dh)
     keyed = und.join(dl, "_lo").join(dh, "_hi")
     klo = F.struct(F.col("_dlo").alias("d"), F.col("_lo").alias("n"))
     khi = F.struct(F.col("_dhi").alias("d"), F.col("_hi").alias("n"))
     # The measured edge count drives the closure-join strategy below.
     # Iterative callers (the truss peelers) already track their edge
     # count per round and pass ``n_edges``, skipping the extra
-    # materialize+count jobs a per-round call would pay.
+    # materialize+count jobs a per-round call would pay. The oriented
+    # frame is hash-distributed by its wedge corner BEFORE the
+    # lineage cut: plain localCheckpoint preserves outputPartitioning,
+    # so the e1 ⋈ e2 wedge self-join below needs NO exchange on
+    # either side (two shuffles of the edge set per call/round gone;
+    # one repartition added — guide §2.4).
     oriented = keyed.select(
         F.when(klo < khi, F.col("_lo")).otherwise(F.col("_hi")).alias("u"),
         F.when(klo < khi, F.col("_hi")).otherwise(F.col("_lo")).alias("v"),
         F.when(klo < khi, khi).otherwise(klo).alias("kv"),
-    ).localCheckpoint(eager=n_edges is None)
+    ).repartition("u").localCheckpoint(eager=n_edges is None)
     if n_edges is None:
         n_edges = oriented.count()
     e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"),
@@ -1298,13 +1385,24 @@ def _oriented_triangle_triples(
     # than the edge set (41M wedges from 1.2M edges on the sf0.1
     # co-purchase graph). Shuffling it by (b, c) for the closure join
     # dominated the operator, so when the MEASURED edge count fits a
-    # broadcast the closing edges ship to the wedge side and the
-    # wedges never hit an exchange (guide §3.1; the checkpoint erases
-    # size stats, so auto-broadcast cannot make this call). Huge
-    # graphs keep the shuffle join.
-    if n_edges <= 4_000_000:
-        e3 = F.broadcast(e3)
-    return wedges.join(e3, ["b", "c"])
+    # broadcast (row cap AND estimated bytes — fits_broadcast) the
+    # closing edges ship to the wedge side and the wedges never hit an
+    # exchange (guide §3.1; the checkpoint erases size stats, so
+    # auto-broadcast cannot make this call). Above the cap the closure
+    # is a SALTED shuffle join (guide §2.5): wedge rows scatter over
+    # _WEDGE_SALT deterministic salts and the edge side replicates,
+    # so a hot (b, c) pair — which AQE's skew split cannot divide, it
+    # is a single key — is bounded at 1/salt of its rows per task.
+    if fits_broadcast(n_edges, e3.schema,
+                      max_rows=_WEDGE_BROADCAST_MAX_EDGES):
+        return wedges.join(F.broadcast(e3), ["b", "c"]) \
+            .select("a", "b", "c")
+    w_s = wedges.withColumn(
+        "_salt", F.pmod(F.xxhash64("a", "b", "c"), F.lit(_WEDGE_SALT)))
+    e3_s = e3.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(_WEDGE_SALT)])))
+    return w_s.join(e3_s, ["b", "c", "_salt"]).select("a", "b", "c")
 
 
 def triangle_count(
@@ -1704,12 +1802,22 @@ def _truss_peel_fixpoint(und: DataFrame, need: int, max_iters: int,
         ).select("_e._lo", "_e._hi")
         supp = tri_edges.groupBy("_lo", "_hi").agg(
             F.count(F.lit(1)).alias("_s"))
-        kept = _ck_cut_stats(
+        # the support frame is edge-bounded (<= n_cur rows of two ids
+        # + a count): when the measured edge count fits a broadcast,
+        # ship it to the surviving-edge side so the edge frame never
+        # hits an exchange for the keep join (guide §3.1, the same
+        # measured switch as the wedge closure); the surviving-edge
+        # count rides the checkpoint job (_ck_observe) instead of a
+        # separate count action per round
+        if fits_broadcast(n_cur, supp.schema, max_rows=4_000_000):
+            supp = F.broadcast(supp)
+        kept, st = _ck_observe(
             und.join(supp, ["_lo", "_hi"], "left")
             .filter(F.coalesce(F.col("_s"), F.lit(0)) >= need)
-            .select("_lo", "_hi")
+            .select("_lo", "_hi"),
+            F.count(F.lit(1)).alias("n"),
         )
-        n_after = kept.count()
+        n_after = int(st["n"] or 0)
         dropped = n_cur - n_after
         und, n_cur = kept, n_after
         if dropped == 0 or n_cur == 0:
@@ -1907,23 +2015,29 @@ def _luby_mis_rounds(und: DataFrame, max_rounds: int,
     apk = F.struct(F.col("_apri"), F.col("_a"))
     bpk = F.struct(F.col("_bpri"), F.col("_b"))
     rounds: list[DataFrame] = []
+    # round 0 probes the prepared frame once; every later round's
+    # residual edge count was already observed on the previous round's
+    # checkpoint (_ck_observe), so the per-round isEmpty job is gone
+    alive: int | None = None
     for _ in range(max_rounds):
-        if und.isEmpty():
+        if (alive == 0) if alive is not None else und.isEmpty():
             break
         # both-direction edge rows: partition by _a = all neighbors
         # of a, partition by _b = all neighbors of b. A node wins
         # when its (hash, id) priority beats every undecided
         # neighbor's; winners' neighbors die with them.
-        t = (
+        t, st = _ck_observe(
             und.withColumn("_awin", apk < F.min(bpk).over(w_a))
             .withColumn("_bwin", bpk < F.min(apk).over(w_b))
             .withColumn("_bdead",
                         F.col("_bwin") | F.max(F.col("_awin")).over(w_b))
             .withColumn("_adead",
-                        F.col("_awin") | F.max(F.col("_bwin")).over(w_a))
+                        F.col("_awin") | F.max(F.col("_bwin")).over(w_a)),
+            F.sum(((~F.col("_adead")) & (~F.col("_bdead"))).cast("long"))
+            .alias("alive"),
         )
-        t = _ck_cut_stats(t)
         rounds.append(t)
+        alive = int(st["alive"] or 0)
         und = t.where(~F.col("_adead") & ~F.col("_bdead")) \
             .select("_a", "_b", "_apri", "_bpri")
     else:
@@ -1978,7 +2092,7 @@ def is_bipartite(
         F.col(id_col).alias("node"), F.col(id_col).alias("comp"),
         F.lit(0).alias("par"),
     ).localCheckpoint(eager=False)
-    for _ in range(max_iter):
+    for _it in range(max_iter):
         # neighbor propagation: a walk u->c of parity x gives the
         # neighbor v a walk v->c of parity x^1. min(struct) picks the
         # smallest comp and, among ties, the smaller parity —
@@ -2005,34 +2119,49 @@ def is_bipartite(
                     F.col("_s.par").alias("par"), "_ocomp")
         )
         # pointer jumping with parity composition: node->c parity x,
-        # c->c2 parity y => node->c2 parity x^y
-        m = stepped.select(F.col("node").alias("_mn"),
+        # c->c2 parity y => node->c2 parity x^y. Applied TWICE per
+        # round plan (r12, see connected_components): the second
+        # in-plan jump squares the compression per action, halving
+        # rounds on long rings/chains; parity composition applies
+        # identically at each jump, so every carried parity remains a
+        # valid walk parity and the final conflict check — the only
+        # consumer of par — is schedule-independent. Rounds 1-2 keep the
+        # single jump (see connected_components).
+        cur = stepped
+        for _jump in range(2 if _it >= 2 else 1):
+            m = cur.select(F.col("node").alias("_mn"),
                            F.col("comp").alias("_mc"),
                            F.col("par").alias("_mp"))
-        _jc = F.coalesce(F.col("_mc"), F.col("comp"))
-        _jp = F.pmod(F.col("par") + F.coalesce(F.col("_mp"), F.lit(0)),
-                     F.lit(2))
-        new_labels = (
-            stepped.join(m, stepped["comp"] == m["_mn"], "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), _jc).alias("_nc"),
-                F.when(_jc < F.col("comp"), _jp)
-                .when(F.col("comp") < _jc, F.col("par"))
-                .otherwise(F.least(F.col("par"), _jp))
-                .alias("par"),
-                # convergence is on comp ONLY (see docstring); the old
-                # comp rides in-plan so the probe is a shuffle-free
-                # filter over the checkpointed RDD, not a new⋈old join
-                (F.least(F.col("comp"), _jc) != F.col("_ocomp"))
-                .alias("_chg"),
+            _jc = F.coalesce(F.col("_mc"), F.col("comp"))
+            _jp = F.pmod(F.col("par") + F.coalesce(F.col("_mp"), F.lit(0)),
+                         F.lit(2))
+            cur = (
+                cur.join(m, cur["comp"] == m["_mn"], "left")
+                .select(
+                    "node",
+                    "_ocomp",
+                    F.least(F.col("comp"), _jc).alias("_nc"),
+                    F.when(_jc < F.col("comp"), _jp)
+                    .when(F.col("comp") < _jc, F.col("par"))
+                    .otherwise(F.least(F.col("par"), _jp))
+                    .alias("par"),
+                )
+                .withColumnRenamed("_nc", "comp")
             )
-            .withColumnRenamed("_nc", "comp")
+        # convergence is on comp ONLY (see docstring); the old comp
+        # rides in-plan so the probe below is observed on the
+        # checkpoint, not a new⋈old join
+        new_labels = cur.select(
+            "node", "comp", "par",
+            (F.col("comp") != F.col("_ocomp")).alias("_chg"),
         )
-        new_labels = _ck_cut_stats(new_labels)
-        converged = new_labels.filter(F.col("_chg")).isEmpty()
+        # one action per round: the changed-count rides the checkpoint
+        # job (_ck_observe) instead of a separate isEmpty probe
+        new_labels, st = _ck_observe(
+            new_labels,
+            F.sum(F.col("_chg").cast("long")).alias("n_chg"))
         labels = new_labels.select("node", "comp", "par")
-        if converged:
+        if int(st["n_chg"] or 0) == 0:
             break
     conflicts = (
         e.join(labels.select(F.col("node").alias("_a"),
@@ -2521,11 +2650,11 @@ def _modularity_local_moves(
             canon.select(F.col("_hi").alias("_a"),
                          F.col("_lo").alias("_b"), "w")
         ).localCheckpoint(eager=False)
-    # materialized ONCE per call: deg is joined twice per round (tot,
-    # scored), so leaving it lazy re-runs its groupBy+outer-join
-    # subtree 2x per round — at 30 rounds that is 60 redundant
-    # exchanges for a frame that never changes within the call
-    deg = _ck_cut_stats(
+    # deg stays a LAZY plan (r12): after the r11 k-carrying change it
+    # has exactly ONE consumer — the comm seed below — so its eager
+    # checkpoint was a whole extra action per call; it now executes
+    # once inside comm's materialization job
+    deg = (
         und.groupBy(F.col("_a").alias("node"))
         .agg(F.sum("w").alias("_kw"))
         .join(selfw, "node", "outer")
@@ -2539,11 +2668,14 @@ def _modularity_local_moves(
     # changes within the call, so folding it onto comm kills the two
     # per-round deg joins (tot, scored) the earlier shape paid — tot
     # becomes a plain groupBy and scored needs ONE node-keyed join
-    # for (_cur, k) together (guide §2.4: fewer exchanges per round)
-    comm = _ck_cut_stats(
+    # for (_cur, k) together (guide §2.4: fewer exchanges per round).
+    # The node count rides the seed checkpoint job (_ck_observe)
+    # instead of a separate count action.
+    comm, cst = _ck_observe(
         node_ids.select("node", F.col("node").alias("c"))
         .join(deg, "node", "left")
-        .select("node", "c", F.coalesce("k", F.lit(0.0)).alias("k"))
+        .select("node", "c", F.coalesce("k", F.lit(0.0)).alias("k")),
+        F.count(F.lit(1)).alias("n"),
     )
     # data-adaptive broadcast regime (guide §3.1): node-scale frames
     # (assignment, community totals) broadcast when the MEASURED node
@@ -2555,25 +2687,43 @@ def _modularity_local_moves(
     # local[32]-tuned config. Aggregated Louvain levels shrink, so
     # later levels of a huge run re-enter the broadcast regime
     # naturally (the count is re-measured per call).
-    n_nodes = comm.count()
-    b = F.broadcast if n_nodes <= 2_000_000 else (lambda df: df)
+    n_nodes = int(cst["n"] or 0)
+    small = fits_broadcast(n_nodes, comm.schema, max_rows=2_000_000)
+    b = F.broadcast if small else (lambda df: df)
     any_moved = False
     for _round in range(max_rounds):
         tot = comm.groupBy("c").agg(F.sum("k").alias("tot"))
         # weight from i into each neighboring community, under the
-        # PREVIOUS round's assignment (synchronous)
-        e_ic = (
+        # PREVIOUS round's assignment (synchronous). The stay row
+        # (cand = current community, weight 0) is unioned BEFORE the
+        # (node, cand) aggregation so e_ic and the stay-candidate
+        # injection share ONE exchange (r11 paid two: a groupBy for
+        # e_ic, then a second groupBy over the union — guide §2.4).
+        # sum(w ∪ {0}) == the old max(e_ic, stay 0) because community
+        # weights are nonnegative (w >= 0, the weighted-modularity
+        # domain), and for cand != current the 0-row doesn't exist.
+        raw = (
             und.join(b(comm.select(F.col("node").alias("_b"),
                                    F.col("c").alias("_cb"))), "_b")
-            .groupBy(F.col("_a").alias("node"), F.col("_cb").alias("cand"))
-            .agg(F.sum("w").alias("e"))
+            .select(F.col("_a").alias("node"), F.col("_cb").alias("cand"),
+                    "w")
         )
         stay = comm.select("node", F.col("c").alias("cand"),
-                           F.lit(0.0).alias("e"))
+                           F.lit(0.0).alias("w"))
+        pooled = raw.unionByName(stay)
+        if small:
+            # broadcast regime: hash-partition by node ONCE — node
+            # partitioning satisfies the clustering of BOTH downstream
+            # aggregations ((node, cand) here and (node, _cur, k) in
+            # the argmax), so the whole round runs in one exchange
+            # where the grouped forms paid two. Big graphs keep the
+            # (node, cand) partial aggregation instead: there the
+            # map-side combine (edge-scale -> (node, cand)-scale rows)
+            # is worth more than the saved exchange (guide §2.3).
+            pooled = pooled.repartition("node")
         cands = (
-            e_ic.unionByName(stay)
-            .groupBy("node", "cand")
-            .agg(F.max("e").alias("e"))
+            pooled.groupBy("node", "cand")
+            .agg(F.sum("w").alias("e"))
         )
         scored = (
             cands.join(b(comm.select("node", F.col("c").alias("_cur"),
@@ -2605,7 +2755,10 @@ def _modularity_local_moves(
         # jobs and an extra join per round (measured r11: ~24 AQE
         # jobs and ~0.8-1.4s per round on a 2.4k-node planted graph —
         # fixed overhead, not data).
-        nxt = _ck_cut_stats(
+        # the mover/downhill counts ride the round checkpoint's
+        # materialization job (_ck_observe) — the earlier separate
+        # one-row collect was a whole extra action per round
+        nxt, st = _ck_observe(
             scored.groupBy("node", "_cur", "k")
             .agg(
                 F.min_by(
@@ -2623,12 +2776,10 @@ def _modularity_local_moves(
                 "node", "_cur", "_new", "k",
                 F.when(F.col("_new") < F.col("_cur"), F.col("_new"))
                 .otherwise(F.col("_cur")).alias("c"),
-            )
-        )
-        st = nxt.agg(
+            ),
             F.sum((F.col("_new") != F.col("_cur")).cast("int")).alias("n"),
             F.sum((F.col("_new") < F.col("_cur")).cast("int")).alias("nd"),
-        ).collect()[0]
+        )
         if int(st["n"] or 0) == 0:
             return comm, any_moved
         any_moved = True
@@ -2728,37 +2879,28 @@ def louvain_communities(
     id_col = nodes.columns[0]
     canon = _canon_undirected_weighted(edges, weight_col)
     orig = nodes.select(F.col(id_col).cast("long").alias("node")).distinct()
-    mapping = orig.select("node", F.col("node").alias("cur")) \
-        .localCheckpoint(eager=False)
     selfw = orig.select("node", F.lit(0.0).alias("sw")).limit(0)
     totals = canon.agg(F.sum("w")).collect()[0][0]
     if totals is None:
         return orig.select("node", F.col("node").alias("community"))
     node_ids = orig
+    # per-level comm frames (checkpointed RDDs); the node -> community
+    # mapping is composed from them ONCE at the end instead of an
+    # eager mapping checkpoint per level (r12: one action per level
+    # saved; the fold is <= max_levels lazy joins over materialized
+    # RDDs inside the single final materialization)
+    maps: list[DataFrame] = []
+    sw_sum, w_sum = 0.0, float(totals)
     for _level in range(max_levels):
-        if _level == 0:
-            # selfw is empty and canon untouched at level 0: reuse the
-            # emptiness-check total instead of launching scalar jobs
-            sw_sum, w_sum = 0.0, float(totals)
-        else:
-            # ONE fused scalar job for both per-level totals (VERDICT
-            # r9 #4: was two separate one-row collects per level)
-            row = (selfw.agg(F.sum("sw").alias("_sw"))
-                   .crossJoin(canon.agg(F.sum("w").alias("_w")))
-                   .collect()[0])
-            sw_sum = row["_sw"] or 0.0
-            w_sum = row["_w"] or 0.0
+        # level > 0 totals were OBSERVED on the previous level's
+        # selfw/canon checkpoints — no per-level scalar collect
         two_m = float(2 * (w_sum + sw_sum))
         comm, moved = _modularity_local_moves(
             canon, selfw, node_ids, two_m, max_rounds,
             "louvain_communities")
         if not moved:
             break
-        mapping = _ck_cut_stats(
-            mapping.join(comm.select(F.col("node").alias("cur"),
-                                     F.col("c").alias("_nc")), "cur")
-            .select("node", F.col("_nc").alias("cur"))
-        )
+        maps.append(comm)
         # aggregate: intra-community weight -> self-loops, inter ->
         # canonical supernode edges
         lab = comm.select(F.col("node").alias("_n"), F.col("c").alias("_c"))
@@ -2777,17 +2919,19 @@ def louvain_communities(
         # seed every plan of the next level; lazy checkpoints embed the
         # whole multi-level lineage into each plan build, and plain
         # eager ones carry the compounded sizeInBytes estimate across
-        # levels (see _ck_cut_stats)
-        selfw = _ck_cut_stats(
+        # levels (see _ck_cut_stats). The NEXT level's totals ride
+        # these checkpoints' materialization jobs (_ck_observe).
+        selfw, sst = _ck_observe(
             selfw.join(lab.select(F.col("_n").alias("node"),
                                   F.col("_c").alias("_c")), "node")
             .groupBy(F.col("_c").alias("node"))
             .agg(F.sum("sw").alias("sw"))
             .unionByName(intra)
             .groupBy("node")
-            .agg(F.sum("sw").alias("sw"))
+            .agg(F.sum("sw").alias("sw")),
+            F.sum("sw").alias("_sw"),
         )
-        canon = _ck_cut_stats(
+        canon, wst = _ck_observe(
             tagged.filter(F.col("_c1") != F.col("_c2"))
             .select(
                 F.least("_c1", "_c2").alias("_lo"),
@@ -2795,11 +2939,23 @@ def louvain_communities(
                 "w",
             )
             .groupBy("_lo", "_hi")
-            .agg(F.sum("w").alias("w"))
+            .agg(F.sum("w").alias("w")),
+            F.sum("w").alias("_w"),
         )
+        sw_sum = float(sst["_sw"] or 0.0)
+        w_sum = float(wst["_w"] or 0.0)
         # lazy: one distinct over the checkpointed comm, consumed
         # exactly once when the next level seeds its assignment
         node_ids = comm.select(F.col("c").alias("node")).distinct()
+    mapping = orig.select("node", F.col("node").alias("cur"))
+    for cm in maps:
+        mapping = mapping.join(
+            cm.select(F.col("node").alias("cur"), F.col("c").alias("_nc")),
+            "cur").select("node", F.col("_nc").alias("cur"))
+    if maps:
+        # materialized once: the canonical groupBy AND the final join
+        # both read the fold (two consumers of one composed plan)
+        mapping = _ck_cut_stats(mapping)
     canonical = mapping.groupBy("cur").agg(F.min("node").alias("community"))
     return mapping.join(canonical, "cur").select("node", "community")
 
@@ -2886,26 +3042,18 @@ def leiden_communities(
             if isinstance(nodes.schema[id_col].dataType, NumericType)
             else F.col(id_col))
     orig = nodes.select(_key.alias("node")).distinct()
-    mapping = orig.select("node", F.col("node").alias("cur")) \
-        .localCheckpoint(eager=False)
     selfw = orig.select("node", F.lit(0.0).alias("sw")).limit(0)
     totals = canon.agg(F.sum("w")).collect()[0][0]
     if totals is None:
         return orig.select("node", F.col("node").alias("community"))
     node_ids = orig
+    # per-level refined comm frames; the node -> community mapping is
+    # composed once at the end (see louvain_communities — one eager
+    # checkpoint per level saved), and level > 0 totals ride the
+    # selfw/canon checkpoints' materialization jobs (_ck_observe)
+    maps: list[DataFrame] = []
+    sw_sum, w_sum = 0.0, float(totals)
     for _level in range(max_levels):
-        if _level == 0:
-            # selfw is empty and canon untouched at level 0: reuse the
-            # emptiness-check total instead of launching scalar jobs
-            sw_sum, w_sum = 0.0, float(totals)
-        else:
-            # ONE fused scalar job for both per-level totals (VERDICT
-            # r9 #4: was two separate one-row collects per level)
-            row = (selfw.agg(F.sum("sw").alias("_sw"))
-                   .crossJoin(canon.agg(F.sum("w").alias("_w")))
-                   .collect()[0])
-            sw_sum = row["_sw"] or 0.0
-            w_sum = row["_w"] or 0.0
         # the Reichardt-Bornholdt resolution parameter folds into the
         # normalizer: gain = e_ic - gamma*k_i*tot/2m = e_ic -
         # k_i*tot/(2m/gamma), so the shared core runs UNCHANGED on an
@@ -2919,11 +3067,7 @@ def leiden_communities(
             break
         # ---- the Leiden step: refine BEFORE aggregating ----
         comm = _ck_cut_stats(_refine_connected(canon, comm))
-        mapping = _ck_cut_stats(
-            mapping.join(comm.select(F.col("node").alias("cur"),
-                                     F.col("c").alias("_nc")), "cur")
-            .select("node", F.col("_nc").alias("cur"))
-        )
+        maps.append(comm)
         lab = comm.select(F.col("node").alias("_n"), F.col("c").alias("_c"))
         tagged = (
             canon.join(lab.select(F.col("_n").alias("_lo"),
@@ -2936,16 +3080,17 @@ def leiden_communities(
             .groupBy(F.col("_c1").alias("node"))
             .agg(F.sum("w").alias("sw"))
         )
-        selfw = _ck_cut_stats(
+        selfw, sst = _ck_observe(
             selfw.join(lab.select(F.col("_n").alias("node"),
                                   F.col("_c").alias("_c")), "node")
             .groupBy(F.col("_c").alias("node"))
             .agg(F.sum("sw").alias("sw"))
             .unionByName(intra)
             .groupBy("node")
-            .agg(F.sum("sw").alias("sw"))
+            .agg(F.sum("sw").alias("sw")),
+            F.sum("sw").alias("_sw"),
         )
-        canon = _ck_cut_stats(
+        canon, wst = _ck_observe(
             tagged.filter(F.col("_c1") != F.col("_c2"))
             .select(
                 F.least("_c1", "_c2").alias("_lo"),
@@ -2953,11 +3098,21 @@ def leiden_communities(
                 "w",
             )
             .groupBy("_lo", "_hi")
-            .agg(F.sum("w").alias("w"))
+            .agg(F.sum("w").alias("w")),
+            F.sum("w").alias("_w"),
         )
+        sw_sum = float(sst["_sw"] or 0.0)
+        w_sum = float(wst["_w"] or 0.0)
         # lazy: one distinct over the checkpointed comm, consumed
         # exactly once when the next level seeds its assignment
         node_ids = comm.select(F.col("c").alias("node")).distinct()
+    mapping = orig.select("node", F.col("node").alias("cur"))
+    for cm in maps:
+        mapping = mapping.join(
+            cm.select(F.col("node").alias("cur"), F.col("c").alias("_nc")),
+            "cur").select("node", F.col("_nc").alias("cur"))
+    if maps:
+        mapping = _ck_cut_stats(mapping)
     canonical = mapping.groupBy("cur").agg(F.min("node").alias("community"))
     return mapping.join(canonical, "cur").select("node", "community")
 

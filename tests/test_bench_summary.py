@@ -6,6 +6,13 @@ grows (it did in rounds 6 and 8). This test feeds a synthetic 500-query
 timings dict through the exact line builder bench.main() uses and asserts
 the final line stays under 1000 bytes and parseable, so the invariant
 cannot rot as queries are added (VERDICT r8 ask #1).
+
+Round 11 additionally showed the single headline_detail line outgrows the
+tail window itself, leaving PERF per_query empty. Per VERDICT r11 ask #1,
+per-query warm timings are re-emitted as many small headline_chunk lines;
+these tests pin that every chunk line is individually small, the chunks
+cover the timings dict exactly, and a 2000-byte tail cut anywhere yields
+parseable chunk lines plus the final line.
 """
 
 from __future__ import annotations
@@ -22,7 +29,7 @@ def _synthetic(n: int) -> dict[str, float]:
 def test_final_line_is_scalar_only_and_bounded_at_500_queries():
     timings = _synthetic(500)
     cold = _synthetic(500)
-    detail_line, final_line = bench.summary_lines(
+    detail_line, chunk_lines, final_line = bench.summary_lines(
         timings, cold, total=61728.0, loadavg=[12.34, 11.11, 10.0], sf_val=0.1
     )
     assert len(final_line) < 1000, (
@@ -47,15 +54,54 @@ def test_final_line_is_scalar_only_and_bounded_at_500_queries():
     assert len(detail["cold_queries"]) == 500
 
 
-def test_final_line_is_last_and_parseable_from_a_2000_byte_tail():
-    # simulate the driver: concatenate the two lines, take the tail,
-    # parse the last complete line
+def test_chunk_lines_are_small_ordered_and_cover_all_queries():
+    timings = _synthetic(123)
+    _, chunk_lines, _ = bench.summary_lines(
+        timings, timings, total=1.0, loadavg=[0.0, 0.0, 0.0], sf_val=0.1
+    )
+    merged: dict[str, float] = {}
+    for k, line in enumerate(chunk_lines):
+        # each chunk line must parse on its own and stay far inside the
+        # driver's tail window
+        assert len(line) < 600, f"chunk {k} is {len(line)} bytes"
+        parsed = json.loads(line)
+        assert parsed["metric"] == "headline_chunk"
+        assert parsed["i"] == k
+        assert parsed["n"] == len(chunk_lines)
+        assert 1 <= len(parsed["queries"]) <= bench.CHUNK_QUERIES
+        merged.update(parsed["queries"])
+    assert merged == timings
+    # HEADLINE order is preserved so the tail-visible suffix matches the
+    # previous round's tail-visible suffix (maximises the comparator's
+    # common set)
+    order = [
+        name
+        for line in chunk_lines
+        for name in json.loads(line)["queries"]
+    ]
+    assert order == list(timings)
+
+
+def test_final_line_is_last_and_tail_yields_per_query_chunks():
+    # simulate the driver: concatenate all lines, take the tail, parse
+    # every complete line in it
     timings = _synthetic(500)
-    detail_line, final_line = bench.summary_lines(
+    detail_line, chunk_lines, final_line = bench.summary_lines(
         timings, timings, total=1.0, loadavg=[0.0, 0.0, 0.0], sf_val=0.01
     )
-    stdout = detail_line + "\n" + final_line + "\n"
+    stdout = "\n".join([detail_line, *chunk_lines, final_line]) + "\n"
     tail = stdout[-2000:]
-    last = [ln for ln in tail.splitlines() if ln.strip()][-1]
-    parsed = json.loads(last)
-    assert parsed["metric"] == "headline_total"
+    lines = [ln for ln in tail.splitlines() if ln.strip()]
+    parsed_last = json.loads(lines[-1])
+    assert parsed_last["metric"] == "headline_total"
+    # every fully-captured chunk line in the tail parses and carries
+    # per-query timings (the first tail line may be cut mid-object)
+    per_query: dict[str, float] = {}
+    for ln in lines[1:-1]:
+        parsed = json.loads(ln)
+        assert parsed["metric"] == "headline_chunk"
+        per_query.update(parsed["queries"])
+    assert len(per_query) >= 2 * bench.CHUNK_QUERIES, (
+        "a 2000-byte tail must recover multiple chunks of per-query timings"
+    )
+    assert all(timings[k] == v for k, v in per_query.items())
