@@ -178,16 +178,14 @@ def bfs_distances(
             .agg(F.min("dist").alias("dist"))
             .join(visited.select("root", "node"), ["root", "node"], "left_anti")
         )
-        # materialize each batch once: the stats probe and the next
-        # batch's joins then read the checkpoint instead of re-deriving
-        # the whole iterative lineage (ONE job yields the emptiness
-        # probe, the adaptive-growth signal AND the mid-batch-death
-        # signal)
-        nxt = _ck_cut_stats(nxt)
-        stats = nxt.agg(
-            F.count("*").alias("n"), F.max("dist").alias("md")
-        ).collect()[0]
-        n_new = int(stats["n"])
+        # materialize each batch once, with the stats riding the
+        # checkpoint's materialization pass (_ck_observe): ONE job
+        # yields the emptiness probe, the adaptive-growth signal AND
+        # the mid-batch-death signal — the separate one-row collect
+        # per batch is gone (r12, same device as _bfs_sigma)
+        nxt, stats = _ck_observe(
+            nxt, F.count(F.lit(1)).alias("n"), F.max("dist").alias("md"))
+        n_new = int(stats["n"] or 0)
         if n_new == 0:
             break
         visited = visited.unionByName(nxt)
@@ -322,18 +320,23 @@ def shortest_path_pair(
             block.groupBy("node").agg(F.min("dist").alias("dist"))
             .join(side["visited"].select("node"), ["node"], "left_anti")
         )
-        nxt = _ck_cut_stats(nxt)
-        # ONE probe job: frontier size AND the best meeting sum among
-        # the newly reached nodes (new meetings only arise from nxt)
-        probe = (
+        # the probe — frontier size AND the best meeting sum among the
+        # newly reached nodes (new meetings only arise from nxt) — now
+        # rides the round checkpoint's materialization pass: the
+        # other-ball lookup joins INTO the checkpointed frame (one
+        # extra int column, projected back off below) and the metrics
+        # are observed on it, so the separate probe job per round is
+        # gone (r12, _ck_observe). The left join preserves nxt's row
+        # count — other visited holds one row per node (min-dist set).
+        with_meet, probe = _ck_observe(
             nxt.join(other["visited"]
                      .select("node", F.col("dist").alias("_do")),
-                     ["node"], "left")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.min(F.col("dist") + F.col("_do")).alias("meet"))
-            .collect()[0]
+                     ["node"], "left"),
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("dist") + F.col("_do")).alias("meet"),
         )
-        side["n"] = int(probe["n"])
+        nxt = with_meet.select("node", "dist")
+        side["n"] = int(probe["n"] or 0)
         if side["n"] == 0:
             side["alive"] = False
             # an exhausted ball with no meeting means unreachable
@@ -921,13 +924,16 @@ def weighted_sssp(
         allimp = rounds[0]
         for r in rounds[1:]:
             allimp = allimp.unionByName(r)
-        improved = _ck_cut_stats(
+        # the emptiness probe rides the checkpoint's materialization
+        # pass (_ck_observe) — one action per batch (r12)
+        improved, st = _ck_observe(
             allimp.groupBy("node").agg(F.min("dist").alias("dist"))
             .join(dist.withColumnRenamed("dist", "_old"), "node", "left_outer")
             .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-            .select("node", "dist")
+            .select("node", "dist"),
+            F.count(F.lit(1)).alias("n"),
         )
-        if improved.isEmpty():
+        if int(st["n"] or 0) == 0:
             break
         dist = _ck_cut_stats(
             dist.unionByName(improved)
@@ -2237,8 +2243,13 @@ def greedy_coloring(
         .localCheckpoint(eager=False)
     node_cast = F.col("node").cast(id_dtype)
     colored = None
+    # wave 0 probes the lazy remaining frame once; each later wave's
+    # residual count was observed on that wave's remaining checkpoint
+    # (_ck_observe below), so the per-wave isEmpty job is gone (r12)
+    n_remaining: int | None = None
     for color in range(max_colors):
-        if remaining.isEmpty():
+        if (n_remaining == 0) if n_remaining is not None \
+                else remaining.isEmpty():
             break
         rounds = _luby_mis_rounds(und, mis_rounds, "greedy_coloring")
         if not rounds:
@@ -2267,9 +2278,12 @@ def greedy_coloring(
         colored = colored_w if colored is None \
             else colored.unionByName(colored_w)
         # next residual: knocked-out non-winners, and the edges
-        # between them (monotone shrink of the current frame)
-        remaining = _ck_cut_stats(
-            deads.join(winners, "node", "left_anti"))
+        # between them (monotone shrink of the current frame); its
+        # node count rides the checkpoint job
+        remaining, rst = _ck_observe(
+            deads.join(winners, "node", "left_anti"),
+            F.count(F.lit(1)).alias("n"))
+        n_remaining = int(rst["n"] or 0)
         und = (
             und.join(remaining.select(F.col("node").alias("_a")), "_a",
                      "left_semi")
@@ -2364,20 +2378,27 @@ def maximal_matching(
     ek = F.struct(F.col("_pri"), F.least(F.col("_u"), F.col("_v")),
                   F.greatest(F.col("_u"), F.col("_v")))
     rounds: list[DataFrame] = []
+    # round 0 probes the prepared frame once; every later round's
+    # residual edge count was observed on the previous round's
+    # checkpoint (_ck_observe), so the per-round isEmpty job is gone
+    # (r12, same device as _luby_mis_rounds)
+    alive: int | None = None
     for _ in range(max_rounds):
-        if cur.isEmpty():
+        if (alive == 0) if alive is not None else cur.isEmpty():
             break
         # an edge is matched when it is the best incident edge of
         # BOTH endpoints; matched endpoints drop out
-        t = (
+        t, st = _ck_observe(
             cur.withColumn("_cu", F.min(ek).over(w_u))
             .withColumn("_m", (ek == F.col("_cu"))
                         & (ek == F.min(ek).over(w_v)))
             .withColumn("_vdead", F.max(F.col("_m")).over(w_v))
-            .withColumn("_udead", F.max(F.col("_m")).over(w_u))
+            .withColumn("_udead", F.max(F.col("_m")).over(w_u)),
+            F.sum(((~F.col("_udead")) & (~F.col("_vdead"))).cast("long"))
+            .alias("alive"),
         )
-        t = _ck_cut_stats(t)
         rounds.append(t)
+        alive = int(st["alive"] or 0)
         cur = t.where(~F.col("_udead") & ~F.col("_vdead")) \
             .select("_u", "_v", "_pri", *wcols)
     else:
@@ -2509,21 +2530,23 @@ def label_propagation(
             )
             .select(F.col("_a").alias("node"), "_new")
         )
-        upd = _ck_cut_stats(
+        # the changed-count rides the round checkpoint's
+        # materialization job (_ck_observe) — the separate count
+        # action per round is gone (r12)
+        upd, st = _ck_observe(
             labels.join(best, "node", "left")
             .select(
                 "node",
                 F.coalesce("_new", "label").alias("label"),
                 (F.col("_new").isNotNull()
                  & (F.col("_new") != F.col("label"))).alias("_chg"),
-            )
+            ),
+            F.sum(F.col("_chg").cast("long")).alias("n_chg"),
         )
         labels = upd.select("node", "label")
         if it == num_iter - 1:
             break
-        # one count on the just-materialized checkpoint (the
-        # materialization itself is work the next round needed anyway)
-        n_chg = upd.filter(F.col("_chg")).count()
+        n_chg = int(st["n_chg"] or 0)
         # engage only when the changed set is broadcastable AND well
         # under half the graph — otherwise the restriction machinery
         # costs more than the full vote
@@ -3264,8 +3287,10 @@ def strongly_connected_components(
                 )
                 if (i + 1) % _CHECKPOINT_EVERY == 0:
                     updated = updated.localCheckpoint(eager=False)
-            updated = _ck_cut_stats(updated)
-            last_change = updated.agg(F.max("_lc")).collect()[0][0]
+            # convergence certificate rides the checkpoint job (r12)
+            updated, cst = _ck_observe(
+                updated, F.max("_lc").alias("lc"))
+            last_change = cst["lc"]
             colors = updated.select("node", "color")
             converged = last_change is None or int(last_change) < steps
             if not converged:
@@ -3322,15 +3347,14 @@ def strongly_connected_components(
             block = parts[0]
             for p in parts[1:]:
                 block = block.unionByName(p)
-            nxt = _ck_cut_stats(
+            # batch stats ride the checkpoint job (_ck_observe, r12)
+            nxt, stats = _ck_observe(
                 block.groupBy("node", "color")
                 .agg(F.min("_hop").alias("_hop"))
-                .join(marked, ["node", "color"], "left_anti")
+                .join(marked, ["node", "color"], "left_anti"),
+                F.count(F.lit(1)).alias("n"), F.max("_hop").alias("mh"),
             )
-            stats = nxt.agg(
-                F.count("*").alias("n"), F.max("_hop").alias("mh")
-            ).collect()[0]
-            n_new = int(stats["n"])
+            n_new = int(stats["n"] or 0)
             if n_new == 0:
                 break
             marked = marked.unionByName(nxt.select("node", "color")) \
@@ -3428,8 +3452,12 @@ def dag_layers(
             )
             if (i + 1) % _CHECKPOINT_EVERY == 0:
                 updated = updated.localCheckpoint(eager=False)
-        updated = _ck_cut_stats(updated)
-        last_change = updated.agg(F.max("_lc")).collect()[0][0]
+        # the convergence certificate (max last-change step) rides the
+        # batch checkpoint's materialization job (_ck_observe) — the
+        # separate 1-row agg per batch is gone (r12)
+        updated, st = _ck_observe(
+            updated, F.max("_lc").alias("lc"))
+        last_change = st["lc"]
         layers = updated.select("node", "layer")
         if last_change is None or int(last_change) < steps:
             return layers

@@ -71,15 +71,17 @@ def test_chunk_lines_are_small_ordered_and_cover_all_queries():
         assert 1 <= len(parsed["queries"]) <= bench.CHUNK_QUERIES
         merged.update(parsed["queries"])
     assert merged == timings
-    # HEADLINE order is preserved so the tail-visible suffix matches the
-    # previous round's tail-visible suffix (maximises the comparator's
-    # common set)
+    # emission order is ascending warm time (ties by name): the chunks
+    # nearest the final line — the only ones guaranteed inside the
+    # driver's 2000-byte tail — carry the slowest queries, which is
+    # where round-over-round comparison has signal (sub-second entries
+    # are the documented ±30% noise class on the bench box)
     order = [
         name
         for line in chunk_lines
         for name in json.loads(line)["queries"]
     ]
-    assert order == list(timings)
+    assert order == sorted(timings, key=lambda n: (timings[n], n))
 
 
 def test_final_line_is_last_and_tail_yields_per_query_chunks():
