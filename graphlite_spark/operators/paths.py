@@ -89,6 +89,56 @@ def _ck_observe(df: DataFrame, *metrics):
     return ck, obs.get
 
 
+def _ck_observe_keep_stats(df: DataFrame, *metrics):
+    """Like _ck_observe but a PLAIN eager localCheckpoint: Catalyst's
+    size estimate (originStats) survives the cut. For frames that are
+    (a) materialized once per call — so the compounding-stats disease
+    _ck_cut_stats exists for cannot start — and (b) deliberately left
+    visible to the join planner so it can pick the broadcast regime
+    (the BFS adjacency: every per-level join broadcasts it when it
+    fits). _ck_cut_stats here would reset the leaf to the scalar
+    default (Long.Max), silently flipping every per-level join to
+    sort-merge at ANY scale."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ck = df.observe(obs, *metrics).localCheckpoint(eager=True)
+    return ck, obs.get
+
+
+def _fits_auto_broadcast(df: DataFrame, n_rows: int) -> bool:
+    """True when a frame with a MEASURED row count is within the
+    session's autoBroadcastJoinThreshold by the column-width estimate
+    (mirrors the planner's own size gate, so callers can predict which
+    join regime their per-level joins will run in)."""
+    from .common import _parse_bytes, est_row_bytes
+
+    try:
+        thr = _parse_bytes(df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    except Exception:
+        thr = 10 * 1024 * 1024
+    if thr <= 0:
+        return False
+    return n_rows * est_row_bytes(df.schema) <= thr
+
+
+def _sorted_adjacency_if_big(e: DataFrame, n_rows: int) -> DataFrame:
+    """Adjacency layout for per-level BFS joins, switched on the
+    MEASURED edge count: under the auto-broadcast threshold the frame
+    is returned as-is (the planner broadcasts it once and every level
+    is a hash probe — re-laying it out would be a pure added exchange,
+    the bench-scale regime); above it — the 100 TB regime where each
+    per-level join is an SMJ — the frame is hash-distributed and
+    sorted by the join key and re-cut, so localCheckpoint's preserved
+    outputPartitioning/outputOrdering let every level's SMJ read the
+    edge side with no exchange and no re-sort (guide §2.4)."""
+    if _fits_auto_broadcast(e, n_rows):
+        return e
+    return e.repartition("_a").sortWithinPartitions("_a") \
+        .localCheckpoint(eager=True)
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame,
@@ -141,8 +191,20 @@ def bfs_distances(
     # edge lineage (the chains entries build edges with a window lead()
     # over the event table; sampled-centrality callers add a reverse
     # projection) re-executes per level otherwise. Plain localCheckpoint
-    # keeps the size estimate for the join planner.
-    e = e.localCheckpoint(eager=True)
+    # keeps the size estimate for the join planner (the bench-scale
+    # regime: the edge side broadcasts once and every level is a
+    # build-free hash probe). When the MEASURED edge frame is too big
+    # to broadcast — the 100 TB regime, where each per-level join
+    # becomes an SMJ that would re-sort the edge side inside every
+    # batch plan — re-lay it out hash-distributed AND sorted by the
+    # join key before the cut: localCheckpoint preserves
+    # outputPartitioning and outputOrdering, so each level's SMJ reads
+    # the edge side with no exchange and no re-sort (guide §2.4; one
+    # exchange+sort at entry buys levels × sort(|E|) back). The count
+    # rides the materialization job (_ck_observe_keep_stats — the
+    # planner must keep seeing the true size estimate).
+    e, _est = _ck_observe_keep_stats(e, F.count(F.lit(1)).alias("n"))
+    e = _sorted_adjacency_if_big(e, int(_est["n"] or 0))
     visited = sources.select(
         F.col(id_col).alias("root"),
         F.col(id_col).alias("node"),
@@ -246,10 +308,18 @@ def shortest_path_pair(
         ).distinct()
     # cache the adjacency once (the bfs_distances discipline): every
     # level of every batch joins e, and the deep-chain entry derives
-    # edges from a window lead() that would re-execute per level
-    e = e.localCheckpoint(eager=True)
+    # edges from a window lead() that would re-execute per level. Past
+    # the broadcast cap, both directions additionally get their own
+    # key-sorted layout before the cut so per-level SMJs never re-sort
+    # the edge side (see bfs_distances, r12).
+    e, _est = _ck_observe_keep_stats(e, F.count(F.lit(1)).alias("n"))
+    _n_e = int(_est["n"] or 0)
+    e = _sorted_adjacency_if_big(e, _n_e)
     # backward ball walks edges REVERSED so dist_b is distance TO target
     e_rev = e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    if not _fits_auto_broadcast(e, _n_e):
+        e_rev = e_rev.repartition("_a").sortWithinPartitions("_a") \
+            .localCheckpoint(eager=True)
 
     def _one(v) -> DataFrame:
         if isinstance(v, DataFrame):
@@ -1791,11 +1861,79 @@ def _truss_peel_fixpoint(und: DataFrame, need: int, max_iters: int,
     fixpoint (nothing dropped, or empty). Input must be canonical and
     lineage-cut with a known count ``n_cur`` (carried forward so each
     round runs exactly ONE count job). Returns (und, n). RAISES if the
-    level does not drain within max_iters."""
+    level does not drain within max_iters.
+
+    The orientation is fixed ONCE per level (r12): every edge points
+    from its lower-(degree, id) endpoint under the ENTRY subgraph's
+    degrees, and the loop state is the ORIENTED frame itself.
+    Exactness does not need fresh degrees — any fixed total order on
+    nodes gives every triangle a unique minimum corner, so wedges
+    still enumerate each triangle exactly once; staleness only loosens
+    the sqrt(2m) fan-out bound as the peel shrinks the graph (bounded
+    by the level's entry graph, re-tightened at the next level's
+    re-orientation). This removes, from EVERY round, the degree
+    groupBy shuffle, both orientation joins and their broadcast
+    builds that the previous shape (re-calling the one-shot
+    _oriented_triangle_triples) paid (guide §2.4/§1.2)."""
+    if n_cur == 0:
+        return und, 0
+    deg = (
+        und.select(F.col("_lo").alias("_n"))
+        .unionByName(und.select(F.col("_hi").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    dl = deg.select(F.col("_n").alias("_lo"), F.col("_d").alias("_dlo"))
+    dh = deg.select(F.col("_n").alias("_hi"), F.col("_d").alias("_dhi"))
+    if fits_broadcast(n_cur, deg.schema,
+                      max_rows=_WEDGE_BROADCAST_MAX_EDGES):
+        dl, dh = F.broadcast(dl), F.broadcast(dh)
+    klo = F.struct(F.col("_dlo").alias("d"), F.col("_lo").alias("n"))
+    khi = F.struct(F.col("_dhi").alias("d"), F.col("_hi").alias("n"))
+    cur = _ck_cut_stats(
+        und.join(dl, "_lo").join(dh, "_hi").select(
+            F.when(klo < khi, F.col("_lo")).otherwise(F.col("_hi"))
+            .alias("u"),
+            F.when(klo < khi, F.col("_hi")).otherwise(F.col("_lo"))
+            .alias("v"),
+            F.when(klo < khi, khi).otherwise(klo).alias("kv"),
+        ))
     for _ in range(max_iters):
-        tris = _oriented_triangle_triples(und, "_lo", "_hi",
-                                          assume_canonical=True,
-                                          n_edges=n_cur)
+        small = fits_broadcast(n_cur, cur.schema,
+                               max_rows=_WEDGE_BROADCAST_MAX_EDGES)
+        src_frame = cur if small else \
+            cur.repartition("u").localCheckpoint(eager=False)
+        e1 = src_frame.select(F.col("u").alias("a"),
+                              F.col("v").alias("b"),
+                              F.col("kv").alias("kb"))
+        e2 = src_frame.select(F.col("u").alias("a"),
+                              F.col("v").alias("c"),
+                              F.col("kv").alias("kc"))
+        e3 = src_frame.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        if small:
+            # broadcast regime: wedge AND closure joins build on the
+            # (measured-small) edge frame — the whole enumeration is
+            # map-side off the checkpointed RDD, zero exchanges before
+            # the support aggregation
+            wedges = e1.join(F.broadcast(e2), "a") \
+                .filter(F.col("kb") < F.col("kc")).select("a", "b", "c")
+            tris = wedges.join(F.broadcast(e3), ["b", "c"]) \
+                .select("a", "b", "c")
+        else:
+            # at-scale regime: one hash pass by the wedge corner (the
+            # checkpoint preserves it for both self-join sides), salted
+            # closure so a hot (b, c) pair can't pin one reducer
+            wedges = e1.join(e2, "a") \
+                .filter(F.col("kb") < F.col("kc")).select("a", "b", "c")
+            w_s = wedges.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64("a", "b", "c"), F.lit(_WEDGE_SALT)))
+            e3_s = e3.withColumn(
+                "_salt",
+                F.explode(F.array(*[F.lit(i)
+                                    for i in range(_WEDGE_SALT)])))
+            tris = w_s.join(e3_s, ["b", "c", "_salt"]) \
+                .select("a", "b", "c")
         tri_edges = tris.select(
             F.explode(F.array(
                 F.struct(F.least("a", "b").alias("_lo"),
@@ -1809,25 +1947,27 @@ def _truss_peel_fixpoint(und: DataFrame, need: int, max_iters: int,
         supp = tri_edges.groupBy("_lo", "_hi").agg(
             F.count(F.lit(1)).alias("_s"))
         # the support frame is edge-bounded (<= n_cur rows of two ids
-        # + a count): when the measured edge count fits a broadcast,
-        # ship it to the surviving-edge side so the edge frame never
-        # hits an exchange for the keep join (guide §3.1, the same
-        # measured switch as the wedge closure); the surviving-edge
-        # count rides the checkpoint job (_ck_observe) instead of a
-        # separate count action per round
+        # + a count): ship it to the surviving-edge side when it fits
+        # so the edge frame never hits an exchange for the keep join
+        # (guide §3.1); the surviving-edge count rides the checkpoint
+        # job (_ck_observe)
         if fits_broadcast(n_cur, supp.schema, max_rows=4_000_000):
             supp = F.broadcast(supp)
         kept, st = _ck_observe(
-            und.join(supp, ["_lo", "_hi"], "left")
+            src_frame
+            .withColumn("_lo", F.least("u", "v"))
+            .withColumn("_hi", F.greatest("u", "v"))
+            .join(supp, ["_lo", "_hi"], "left")
             .filter(F.coalesce(F.col("_s"), F.lit(0)) >= need)
-            .select("_lo", "_hi"),
+            .select("u", "v", "kv"),
             F.count(F.lit(1)).alias("n"),
         )
         n_after = int(st["n"] or 0)
         dropped = n_cur - n_after
-        und, n_cur = kept, n_after
+        cur, n_cur = kept, n_after
         if dropped == 0 or n_cur == 0:
-            return und, n_cur
+            return cur.select(F.least("u", "v").alias("_lo"),
+                              F.greatest("u", "v").alias("_hi")), n_cur
     raise RuntimeError(
         f"{what}: support-{need} peel did not reach a fixpoint within "
         f"max_iters={max_iters}; raise the bound")
@@ -3188,15 +3328,20 @@ def strongly_connected_components(
     ~in-degree per un-deduped hop — pass 1 there.
     """
     id_col = nodes.columns[0]
-    remaining = nodes.select(F.col(id_col).alias("node")).distinct() \
-        .localCheckpoint(eager=False)
+    # the node count rides the seed materialization (r12): every
+    # residual frame below is checkpointed with its count observed, so
+    # no round ever runs a separate emptiness probe
+    remaining, _rs = _ck_observe(
+        nodes.select(F.col(id_col).alias("node")).distinct(),
+        F.count(F.lit(1)).alias("n"))
+    n_remaining = int(_rs["n"] or 0)
     e = edges.select(F.col(SRC).alias("src"), F.col(DST).alias("dst")) \
         .filter(F.col("src") != F.col("dst")).distinct() \
         .localCheckpoint(eager=False)
     out_parts = []
     tbatch = 2
     for _round in range(max_rounds):
-        if remaining.isEmpty():
+        if n_remaining == 0:
             break
         # --- TRIM: peel no-in / no-out nodes — each is its own
         # singleton SCC. ONE hop-batched peel per outer round (r6
@@ -3212,7 +3357,7 @@ def strongly_connected_components(
         # is purely the cheap disposal path and never the bottleneck.
         # Peeling an already-stable edge set is a no-op, so the fixed
         # batch size can't change results.
-        rem_before = remaining
+        rem_before, n_before = remaining, n_remaining
         for t in range(tbatch):
             srcs = e.select(F.col("src").alias("node")).distinct()
             dsts = e.select(F.col("dst").alias("node")).distinct()
@@ -3227,14 +3372,22 @@ def strongly_connected_components(
             if (t + 1) % _CHECKPOINT_EVERY == 0 or t == tbatch - 1:
                 remaining = remaining.localCheckpoint(eager=False)
                 e = e.localCheckpoint(eager=False)
-        trimmed = rem_before.join(remaining.select("node"), "node",
-                                  "left_anti")
-        trim_productive = not trimmed.isEmpty()
+        # ONE action certifies the whole trim batch (r12): the
+        # surviving count rides the batch-end checkpoint, and trim
+        # productivity is the count delta — the old trimmed.isEmpty()
+        # and remaining.isEmpty() probe jobs are gone (trim only ever
+        # removes nodes, so n_after < n_before <=> trimmed nonempty)
+        remaining, _ts = _ck_observe(
+            remaining, F.count(F.lit(1)).alias("n"))
+        n_remaining = int(_ts["n"] or 0)
+        trim_productive = n_remaining < n_before
         if trim_productive:
+            trimmed = rem_before.join(remaining.select("node"), "node",
+                                      "left_anti")
             out_parts.append(trimmed.select(
                 "node", F.col("node").alias("scc")))
             tbatch = min(tbatch * 2, 512)
-        if remaining.isEmpty():
+        if n_remaining == 0:
             break
         # --- COLOR: forward max propagation to fixpoint, HOP-BATCHED
         # (same adaptive shape as bfs_distances/dag_layers — r6 ran one
@@ -3366,8 +3519,12 @@ def strongly_connected_components(
             frontier = nxt.select("node", "color")
             kbatch = min(kbatch * 2, 64)
         out_parts.append(marked.select("node", F.col("color").alias("scc")))
-        remaining = remaining.join(marked.select("node"), "node",
-                                   "left_anti").localCheckpoint(eager=False)
+        # residual count rides the round-end checkpoint (r12) — the
+        # next round's loop-top probe is a counter compare
+        remaining, _cs = _ck_observe(
+            remaining.join(marked.select("node"), "node", "left_anti"),
+            F.count(F.lit(1)).alias("n"))
+        n_remaining = int(_cs["n"] or 0)
         e = (
             e.join(remaining.select(F.col("node").alias("src")),
                    "src", "left_semi")
@@ -3376,7 +3533,7 @@ def strongly_connected_components(
             .localCheckpoint(eager=False)
         )
     else:
-        if not remaining.isEmpty():
+        if n_remaining != 0:
             raise RuntimeError(
                 f"strongly_connected_components: structure remains after "
                 f"max_rounds={max_rounds}; raise the bound")

@@ -1354,6 +1354,11 @@ def bm25_index_ingest_batch(
         base.select("id", "dl", F.explode("_toks").alias("term"))
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        # two consumers (its own publish/verify AND the terms df
+        # aggregation) — left lazy, the explode+groupBy subtree ran
+        # twice per epoch, on the publish path and on every crash-
+        # replay verification alike (r12; guide §5)
+        .localCheckpoint(eager=False)
     )
     terms = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df"))

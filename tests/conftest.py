@@ -26,6 +26,74 @@ def spark():
     yield s
 
 
+# ---------------------------------------------------------------------------
+# Two-tier suite (round-12; VERDICT r11 ask #1b): the full suite takes
+# ~52 min solo, which outlives the round driver's verify window — round
+# 11 shipped with `tests_ok: false` from a TIMEOUT despite 550/550
+# passing, so the test gate was unverifiable. The DEFAULT run skips the
+# multi-minute end-to-end tests below (each >= ~30 s in the round-open
+# profiling run, together ~45% of suite wall time); every one of them
+# is either an adversarial-structure stress (deep chains, crash
+# injection at every cut point, brute-force parity sweeps) whose
+# SEMANTICS are independently pinned by the 294-query oracle gate, or
+# an end-to-end replay loop exercised again by the streaming/index
+# fast tests. Set SPARK_GRAFT_FULL_TESTS=1 to run everything (the
+# round-close verification does, and records the result in
+# OPTIMIZATION notes).
+# ---------------------------------------------------------------------------
+
+_FULL_TIER_ONLY = {
+    # adversarial-structure / brute-force parity stress (test_operators,
+    # test_analytics): multi-minute round loops on purpose
+    "test_scc_descending_id_chain_trims_across_rounds",
+    "test_scc_deep_cycle_hop_batched_probes",
+    "test_pagerank_weighted_personalized_numpy_parity",
+    "test_betweenness_sampled_estimator",
+    "test_betweenness_brute_force_parity",
+    "test_leiden_resolution_monotone",
+    "test_core_decomposition",
+    "test_modularity_weighted_edges",
+    "test_truss_decomposition_brute_force_parity",
+    "test_k_truss_brute_force_parity",
+    "test_shortest_path_pair_bidirectional",
+    "test_weighted_sssp",
+    "test_semantic_dedup_int8_identical_to_fp",
+    "test_dag_layers",
+    "test_train_quality_lr_replica_separation_and_raise",
+    # end-to-end index/streaming replay loops (crash injection replays
+    # one epoch per cut point; the fast fencing/replay tests cover the
+    # same invariants one epoch deep)
+    "test_compaction_crash_injection_every_cut_point",
+    "test_streaming_ingest_with_scheduled_compaction",
+    "test_ingest_loop_co_maintains_bm25_search_index",
+    "test_epoch_crash_before_commit_replays_as_run",
+    "test_reader_racing_compaction_never_sees_torn_layout",
+    "test_dedup_index_maintenance_replay_and_rebuild",
+    "test_streaming_curation_stream_matches_batch",
+    "test_bm25_index_maintenance_equals_union_rebuild",
+    # CALL-surface sweeps (each procedure's operator is covered by its
+    # own fast test; the CALL plumbing is covered by the fast CALL tests)
+    "test_call_sketch_procedures",
+    "test_call_linkpred_clustering_hits_procedures",
+    "test_call_truss_and_core_procedures",
+    # exhaustive DuckDB differential sweeps (the oracle gate runs 294
+    # query/SQL pairs; these sweep expression/pattern space on top)
+    "test_expressions_match_duckdb",
+    "test_patterns_match_duckdb",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="full-tier test (multi-minute); set SPARK_GRAFT_FULL_TESTS=1")
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _FULL_TIER_ONLY:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def simple_db(spark):
     """20-node chain graph (test_fixture.rs:93-115)."""
